@@ -1,0 +1,75 @@
+"""Engine configuration.
+
+Mirrors the reference's config surface (reference:
+src/ai_service/layers/search/config.py:69-150, config/settings.py) as a
+single frozen dataclass; BM25 parameters are the Elasticsearch defaults
+the reference implicitly uses (no ``similarity`` override anywhere in
+templates/elasticsearch/*.json — see BASELINE.md): k1=1.2, b=0.75,
+idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Tokenization / normalization chain configuration.
+
+    ``mode="simple"``: lowercase + split on runs of non-alphanumerics —
+    exactly expressible as DuckDB SQL
+    (``regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')``), used by
+    the oracle-checked queries.
+
+    ``mode="full"``: the reference's composed chain (reference:
+    src/ai_service/layers/patterns/high_recall_ac_generator.py:139-181
+    ``normalize_for_ac`` + src/ai_service/layers/normalization/
+    processors/token_processor.py:32-185 ``strip_noise_and_tokenize``):
+    NFKC → apostrophe/hyphen unification → transliteration map
+    (ё→е, ß→ss) → homoglyph fold to dominant script → casefold →
+    punctuation strip preserving ``.-'`` → whitespace split →
+    compound-initial split (А.С.Пушкин → [а., с., пушкин]) →
+    date-pattern exclusion → optional stop-word removal.
+    """
+
+    mode: str = "simple"  # "simple" | "full"
+    remove_stopwords: bool = False
+    min_token_len: int = 1
+    max_token_len: int = 64
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # BM25 (Elasticsearch defaults; BASELINE.md "BM25 parameters")
+    k1: float = 1.2
+    b: float = 0.75
+    # top-k defaults (reference: layers/search/contracts.py:62 — default 50, cap 1000)
+    top_k: int = 50
+    max_top_k: int = 1000
+
+    # Index layout
+    num_partitions: int = 64          # term-hash partitions (≈2-4× cores; scale with cluster)
+    block_size: int = 128             # docs per WAND block inside a posting
+    max_postings_per_segment: int = 1 << 20   # sub-segment split threshold (skew; SURVEY §4.2)
+
+    # Skew handling: terms whose estimated df exceeds this fraction of N
+    # get doc-salted sub-partitions during the shuffle (SURVEY §7 step 9).
+    hot_term_df_ratio: float = 0.05
+    hot_term_salt_buckets: int = 8
+    # consecutive doc-id blocks of 2^shift share a salt (keeps deltas small)
+    hot_term_salt_shift: int = 12
+
+    # Execution sizing
+    analyze_batch_size: int = 8192
+    score_batch_size: int = 64        # queries per scorer-actor batch
+    scorer_concurrency: int = 4
+
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+
+    def with_(self, **kw: Any) -> "EngineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,160 @@
+"""Deterministic text analyzer — the single source of truth shared by the
+index build, the query path, and the pure-Python test oracle.
+
+Reproduces the semantics of the reference's lexical analyzer chain
+(reference: src/ai_service/layers/patterns/high_recall_ac_generator.py:139-181
+``TextCanonicalizer.normalize_for_ac``; src/ai_service/layers/normalization/
+processors/token_processor.py:32-185 ``strip_noise_and_tokenize``;
+src/ai_service/layers/unicode/unicode_service.py:295-503) re-implemented
+from scratch as pure functions over strings. Two modes (AnalyzerConfig):
+
+* ``simple`` — SQL-parity mode: ``lower(text)`` split on runs of
+  non-(letter|digit). Byte-for-byte reproducible in DuckDB as
+  ``regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')``; this is what
+  the driver's oracle gate checks.
+* ``full`` — the reference chain: NFKC → apostrophe/hyphen unification →
+  transliteration fold (ё→е, ß→ss) → homoglyph fold to dominant script →
+  casefold → noise strip (keep letters/digits/``.-'``) → whitespace split →
+  compound-initial split → date-token exclusion → optional stop words.
+
+Both modes are idempotent at the token level:
+``analyze(" ".join(analyze(t))) == analyze(t)`` (property-tested).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from functools import lru_cache
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+
+# --- simple mode -----------------------------------------------------------
+
+# Python \w == Unicode [L* N* M* Pc]; subtract '_' to match DuckDB's
+# [^\p{L}\p{N}]+ on our corpora (no combining marks survive NFKC text here).
+_SIMPLE_SPLIT = re.compile(r"[\W_]+", re.UNICODE)
+
+
+def tokenize_simple(text: str) -> list[str]:
+    return [t for t in _SIMPLE_SPLIT.split(text.lower()) if t]
+
+
+# --- full mode -------------------------------------------------------------
+
+# Apostrophe variants → ASCII ' (reference: high_recall_ac_generator.py:157)
+_APOSTROPHES = dict.fromkeys(map(ord, "’ʼ‘`´"), ord("'"))
+# Unicode hyphen/dash variants → ASCII - (reference: :160)
+_HYPHENS = dict.fromkeys(map(ord, "−–—‐‑"), ord("-"))
+# Fixed transliteration map (reference: token_processor.py:245-255)
+_TRANSLIT = {ord("ё"): "е", ord("Ё"): "Е", ord("ß"): "ss", ord("ẞ"): "SS"}
+
+# Latin↔Cyrillic confusables (standard Unicode confusable pairs; the
+# reference folds these toward the dominant script — unicode_service.py:403-460)
+_LAT2CYR = str.maketrans("AaBCcEeHKkMOoPpTXxy", "АаВСсЕеНКкМОоРрТХху")
+_CYR2LAT = str.maketrans("АаВСсЕеНКкМОоРрТХху", "AaBCcEeHKkMOoPpTXxy")
+
+_WS = re.compile(r"\s+")
+# Noise strip: keep letters, digits, dot, hyphen, apostrophe, whitespace
+# (reference: token_processor.py:81-88 preserves .-' and letter ranges)
+_NOISE = re.compile(r"[^\w\s.\-']|_", re.UNICODE)
+# Compound initials: "а.с.пушкин" → ["а.", "с.", "пушкин"] (token_processor.py:257-280)
+_INITIAL_SPLIT = re.compile(r"(?<=\w\.)(?=\w)", re.UNICODE)
+# Date tokens excluded by the reference tokenizer (token_processor.py:17-22)
+_DATE = re.compile(r"^\d{1,4}[./-]\d{1,2}[./-]\d{1,4}$")
+_DOTS = re.compile(r"\.{2,}")
+
+# Compact multilingual stop-word list (en/ru/uk function words + the
+# payment-context head the reference's STOP_ALL concept covers). Written
+# from public knowledge — not copied from the reference dictionary.
+STOPWORDS: frozenset[str] = frozenset(
+    """
+a an and are as at be but by for from has have if in into is it its of on or
+that the this to was were will with not no than then so who what when
+и в во не на я с со как а то все она они оно так его но да ты к у же вы за бы
+по ее мне было вот от меня еще нет о из ему когда даже ну ли если уже или них
+і в на не що з до як а то за у від про це так для
+payment transfer invoice amount платеж платіж перевод оплата сумма сума
+""".split()
+)
+
+
+def _dominant_script(text: str) -> str:
+    cyr = sum("Ѐ" <= c <= "ӿ" for c in text)
+    lat = sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in text)
+    return "cyrillic" if cyr > lat else "latin"
+
+
+def _fold_homoglyphs_token(tok: str) -> str:
+    """Fold mixed-script tokens to their dominant script (per token, so a
+    Latin word and a Cyrillic word in one text are both left intact)."""
+    has_cyr = any("Ѐ" <= c <= "ӿ" for c in tok)
+    has_lat = any(("a" <= c <= "z") or ("A" <= c <= "Z") for c in tok)
+    if not (has_cyr and has_lat):
+        return tok
+    return tok.translate(_LAT2CYR) if _dominant_script(tok) == "cyrillic" else tok.translate(_CYR2LAT)
+
+
+def normalize_full(text: str) -> str:
+    """The canonical normalization (pre-tokenization) for ``full`` mode."""
+    t = unicodedata.normalize("NFKC", text)
+    t = t.translate(_APOSTROPHES).translate(_HYPHENS)
+    for src, dst in _TRANSLIT.items():
+        t = t.replace(chr(src), dst)
+    t = _WS.sub(" ", t).strip()
+    return t.casefold()
+
+
+def tokenize_full(text: str, remove_stopwords: bool = False) -> list[str]:
+    t = normalize_full(text)
+    t = _NOISE.sub(" ", t)
+    out: list[str] = []
+    for raw in t.split():
+        raw = _DOTS.sub(".", raw)  # collapse "и.." → "и."
+        if _DATE.match(raw.strip(".-'")):
+            continue  # date tokens excluded before initial-splitting
+        for tok in _INITIAL_SPLIT.split(raw):
+            tok = _fold_homoglyphs_token(tok)
+            # strip edge punctuation; initials ("и.") index as bare letters,
+            # a deliberate, idempotent simplification of the reference's
+            # initial handling (token_processor.py:187-243 edge-char rules)
+            tok = tok.strip(".-'")
+            if not tok or not any(c.isalnum() for c in tok):
+                continue
+            if _DATE.match(tok):
+                continue  # date tokens excluded
+            if remove_stopwords and tok in STOPWORDS:
+                continue
+            out.append(tok)
+    return out
+
+
+# --- public API ------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def get_analyzer(cfg: AnalyzerConfig):
+    """Return a ``str -> list[str]`` tokenizer for this config."""
+    lo, hi = cfg.min_token_len, cfg.max_token_len
+    if cfg.mode == "simple":
+        base = tokenize_simple
+        if cfg.remove_stopwords:
+            def base(text: str) -> list[str]:  # noqa: F811
+                return [t for t in tokenize_simple(text) if t not in STOPWORDS]
+    elif cfg.mode == "full":
+        def base(text: str) -> list[str]:
+            return tokenize_full(text, remove_stopwords=cfg.remove_stopwords)
+    else:
+        raise ValueError(f"unknown analyzer mode: {cfg.mode}")
+
+    if lo <= 1 and hi >= 64:
+        return base
+
+    def bounded(text: str) -> list[str]:
+        return [t for t in base(text) if lo <= len(t) <= hi]
+
+    return bounded
+
+
+def analyze(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
+    return get_analyzer(cfg or AnalyzerConfig())(text)

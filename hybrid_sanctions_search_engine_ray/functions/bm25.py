@@ -1,0 +1,143 @@
+"""BM25 scoring math + vectorized top-k kernels.
+
+Parameters are the Elasticsearch defaults the reference runs with
+(no ``similarity`` override in any template — reference:
+templates/elasticsearch/*.json, src/ai_service/layers/search/
+elasticsearch_index_manager.py:125-300; see BASELINE.md):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+with k1 = 1.2, b = 0.75. Ties break (score desc, doc_id asc) — the
+explicit tie-break rule SURVEY.md §7.4 requires (Elasticsearch breaks
+ties by internal doc order; our rule is the deterministic analog).
+
+Two kernels, proven score-identical by tests/test_query.py:
+
+* :func:`score_taat` — exhaustive term-at-a-time accumulation, fully
+  vectorized (np.unique + bincount). The correctness baseline.
+* :func:`score_maxscore` — MaxScore partitioning (Turtle & Flood 1995)
+  refined with per-block maxima (block-max pruning, Ding & Suel
+  SIGIR'11): non-essential terms (those whose summed upper bounds
+  cannot lift a doc past the running top-k threshold) only contribute
+  via direct lookups into candidate docs, and their posting blocks are
+  skipped entirely when the block max cannot matter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def idf(n_docs: int, df: np.ndarray | int) -> np.ndarray | float:
+    df = np.asarray(df, dtype=np.float64)
+    out = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+    return float(out) if out.ndim == 0 else out
+
+
+def tf_factor(tfs: np.ndarray, doclens: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    dl = doclens.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def topk_desc(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k by (score desc, doc_id asc), deterministic."""
+    n = scores.size
+    if n == 0:
+        return doc_ids[:0], scores[:0]
+    k = min(k, n)
+    if n > 4 * k:
+        part = np.argpartition(-scores, k - 1)[: max(k * 2, k)]  # overselect to break ties stably
+        # ensure all score-ties at the boundary are included
+        thresh = scores[part].min()
+        cand = np.flatnonzero(scores >= thresh)
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((doc_ids[cand], -scores[cand]))[:k]
+    sel = cand[order]
+    return doc_ids[sel], scores[sel]
+
+
+class TermPosting:
+    """Decoded posting for one query term (possibly merged sub-segments)."""
+
+    __slots__ = ("term", "idf", "doc_ids", "factors", "block_starts", "block_max")
+
+    def __init__(self, term: str, term_idf: float, doc_ids: np.ndarray, factors: np.ndarray, block_size: int = 128):
+        self.term = term
+        self.idf = term_idf
+        self.doc_ids = doc_ids
+        self.factors = factors  # tf_factor values (idf-independent)
+        self.block_starts = np.arange(0, doc_ids.size, block_size)
+        self.block_max = (
+            np.maximum.reduceat(factors, self.block_starts) * term_idf
+            if doc_ids.size
+            else np.empty(0, dtype=np.float64)
+        )
+
+    @property
+    def max_score(self) -> float:
+        return float(self.block_max.max()) if self.block_max.size else 0.0
+
+
+def score_taat(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive term-at-a-time scoring, vectorized end-to-end."""
+    if not postings:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    all_docs = np.concatenate([p.doc_ids for p in postings])
+    all_contrib = np.concatenate([p.factors * p.idf for p in postings])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.bincount(inv, weights=all_contrib, minlength=uniq.size)
+    return topk_desc(uniq, sums, k)
+
+
+def score_maxscore(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore + block-max pruning; returns exactly what score_taat returns.
+
+    Terms are sorted by max_score ascending; the shortest suffix of
+    "essential" terms whose upper bounds can beat the current threshold
+    generates candidates exhaustively; prefix terms only patch scores of
+    existing candidates via searchsorted lookups, skipping posting blocks
+    whose block_max cannot change membership of the top-k.
+    """
+    if not postings:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    ps = sorted(postings, key=lambda p: p.max_score)
+    if len(ps) == 1:
+        return score_taat(ps, k)
+    ubs = np.array([p.max_score for p in ps])
+    prefix_ub = np.cumsum(ubs)  # prefix_ub[i] = Σ upper bounds of ps[:i+1]
+
+    # Cheap initial threshold θ: the k-th best SINGLE-term contribution of
+    # the highest-impact term. Partial scores lower-bound full scores, so
+    # θ ≤ final k-th best score — a valid MaxScore threshold.
+    top = ps[-1]
+    contrib = top.factors * top.idf
+    if contrib.size >= k:
+        theta = float(np.partition(contrib, contrib.size - k)[contrib.size - k])
+    else:
+        theta = 0.0
+    # Essential suffix ps[j:]: docs containing none of them score
+    # ≤ prefix_ub[j-1] < θ ⇒ cannot reach the top-k.
+    j = int(np.searchsorted(prefix_ub, theta, side="left"))
+    if j == 0:
+        return score_taat(ps, k)
+    essential, nonessential = ps[j:], ps[:j]
+
+    cand = np.unique(np.concatenate([p.doc_ids for p in essential]))
+    cand_scores = np.zeros(cand.size, dtype=np.float64)
+    for p in essential:
+        pos = np.searchsorted(cand, p.doc_ids)
+        cand_scores[pos] += p.factors * p.idf
+    # Non-essential terms: lookup-only patches into the candidate set.
+    # searchsorted inherently skips posting blocks with no candidates —
+    # the vectorized analog of block-max block skipping.
+    for p in nonessential:
+        if p.doc_ids.size == 0:
+            continue
+        pos = np.searchsorted(p.doc_ids, cand)
+        safe = np.minimum(pos, p.doc_ids.size - 1)
+        hit = (pos < p.doc_ids.size) & (p.doc_ids[safe] == cand)
+        cand_scores[hit] += p.factors[pos[hit]] * p.idf
+    return topk_desc(cand, cand_scores, k)

@@ -1,0 +1,95 @@
+"""Posting-list codec: delta + varint compression, numpy-vectorized.
+
+The reference delegates posting storage to Elasticsearch/Lucene segment
+internals (opaque); this is our from-scratch equivalent for Arrow-native
+segments (SURVEY.md §1.1 "Posting list / index" row): a posting for one
+term is three parallel arrays — sorted ``doc_ids`` (stored as varint
+deltas), ``tfs`` and ``doclens`` (plain varints; storing doclen inline
+lets the scorer compute BM25 without a doc-length side table).
+
+LEB128-style varint: 7 payload bits per byte, high bit = continuation.
+Encode and decode are fully vectorized (no per-value Python loop): byte
+counts via threshold comparisons, placement via fancy indexing, decode
+via ``np.add.reduceat`` over per-value byte groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]  # values needing > k bytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as concatenated LEB128 varints."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += v >= np.uint64(t)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for k in range(maxb):
+        mask = nbytes > k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode concatenated LEB128 varints into a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    # group id for every byte = number of terminators strictly before it
+    group_starts = np.empty(b.size, dtype=bool)
+    group_starts[0] = True
+    group_starts[1:] = is_end[:-1]
+    starts_idx = np.flatnonzero(group_starts)
+    # shift (in 7-bit units) of each byte within its group
+    pos = np.arange(b.size, dtype=np.int64)
+    shift = pos - np.repeat(starts_idx, np.diff(np.append(starts_idx, b.size)))
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * shift.astype(np.uint64))
+    return np.add.reduceat(contrib, starts_idx)
+
+
+def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray) -> tuple[bytes, bytes, bytes]:
+    """doc_ids must be sorted ascending & unique. Returns (docs, tfs, dls) buffers."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    deltas = np.empty_like(d)
+    if d.size:
+        deltas[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=deltas[1:])
+    return (
+        varint_encode(deltas),
+        varint_encode(np.ascontiguousarray(tfs, dtype=np.uint64)),
+        varint_encode(np.ascontiguousarray(doclens, dtype=np.uint64)),
+    )
+
+
+def decode_posting(docs_buf: bytes, tfs_buf: bytes, dls_buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_posting`. Returns (doc_ids, tfs, doclens)."""
+    deltas = varint_decode(docs_buf)
+    doc_ids = np.cumsum(deltas, dtype=np.uint64)
+    return doc_ids, varint_decode(tfs_buf), varint_decode(dls_buf)
+
+
+def block_maxes(tfs: np.ndarray, doclens: np.ndarray, k1: float, b: float, avgdl: float, block_size: int) -> np.ndarray:
+    """Per-block max of the idf-independent BM25 factor
+    ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` — multiplied by the term's
+    idf at query time this upper-bounds any doc's contribution in the
+    block (block-max pruning; Ding & Suel, "Faster Top-k Document
+    Retrieval Using Block-Max Indexes", SIGIR'11)."""
+    tf = tfs.astype(np.float64)
+    dl = doclens.astype(np.float64)
+    f = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    n = f.size
+    if n == 0:
+        return np.empty(0, dtype=np.float32)
+    starts = np.arange(0, n, block_size)
+    return np.maximum.reduceat(f, starts).astype(np.float32)

@@ -1,0 +1,204 @@
+"""BM25 query engine — scorer actor pool over the on-disk index.
+
+The Ray-Data re-expression of the reference's query path collapsed to
+its lexical core (reference: src/ai_service/layers/search/
+hybrid_search_service.py:364-911 ``find_candidates``/``_hybrid_search``
+minus the fuzzy/vector escalation; local-index analog
+src/ai_service/layers/embeddings/indexing/watchlist_index_service.py:85-227
+— SURVEY.md §3.3): a batch of queries is a small Dataset streamed
+through ``map_batches(BM25Scorer, concurrency=N)``; each actor loads
+manifest + dictionary slices once (reference's load-once services,
+SURVEY.md §2.3 A4), reads only the term-partition segment files its
+query terms hash to (partition pruning + parquet row-group term
+filters), decodes and caches postings, and scores with MaxScore /
+block-max pruning (score-identical to exhaustive TAAT — verified in
+tests/test_query.py).
+
+Output: ``(query_id, rank:int32, doc_id:int64, score:float64)``, ties
+broken (score desc, doc_id asc); optional docmap join re-attaches
+``(conv_id, turn_idx)`` via row-group-pruned point lookups.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from hybrid_sanctions_search_engine_ray.config import DEFAULT_CONFIG, AnalyzerConfig, EngineConfig
+from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
+from hybrid_sanctions_search_engine_ray.functions.bm25 import (
+    TermPosting,
+    idf,
+    score_maxscore,
+    score_taat,
+    tf_factor,
+)
+from hybrid_sanctions_search_engine_ray.functions.codec import decode_posting
+from hybrid_sanctions_search_engine_ray.functions.hashing import term_hash
+from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest, segment_dir
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("rank", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class IndexReader:
+    """Loads manifest once; reads + caches decoded postings on demand."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = IndexManifest.load(index_dir)
+        if self.manifest.status != "complete":
+            raise RuntimeError(f"index at {index_dir} is not complete (status={self.manifest.status})")
+        self.hot = frozenset(self.manifest.hot_terms)
+        self.cfg = EngineConfig(
+            k1=self.manifest.k1,
+            b=self.manifest.b,
+            block_size=self.manifest.block_size,
+            num_partitions=self.manifest.num_partitions,
+            hot_term_salt_buckets=self.manifest.hot_term_salt_buckets,
+            analyzer=AnalyzerConfig(
+                mode=self.manifest.analyzer_mode,
+                remove_stopwords=self.manifest.remove_stopwords,
+            ),
+        )
+        self.analyzer = get_analyzer(self.cfg.analyzer)
+        self._df_cache: dict[str, int] = {}
+        self._postings: dict[str, TermPosting | None] = {}
+        self._dict_ds = pads.dataset(os.path.join(index_dir, "dictionary.parquet"))
+
+    # --- dictionary ---------------------------------------------------------
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            tbl = self._dict_ds.to_table(filter=pads.field("term").isin(missing), columns=["term", "df"])
+            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            for t in missing:
+                self._df_cache[t] = int(found.get(t, 0))
+        return {t: self._df_cache[t] for t in terms}
+
+    # --- postings -----------------------------------------------------------
+    def _parts_for(self, term: str) -> list[int]:
+        h = term_hash(term)
+        p = self.cfg.num_partitions
+        if term not in self.hot:
+            return [h % p]
+        parts = {h % p}
+        for salt in range(self.cfg.hot_term_salt_buckets):
+            parts.add((h + 1_000_003 * (1 + salt)) % p)
+        return sorted(parts)
+
+    def load_postings(self, terms: list[str]) -> dict[str, TermPosting]:
+        need = sorted({t for t in terms if t not in self._postings})
+        if need:
+            dfs = self.dfs(need)
+            by_part: dict[int, list[str]] = {}
+            for t in need:
+                if dfs[t] == 0:
+                    self._postings[t] = None
+                    continue
+                for p in self._parts_for(t):
+                    by_part.setdefault(p, []).append(t)
+            raw: dict[str, list[tuple[int, int, bytes, bytes, bytes]]] = {}
+            for part, ts in by_part.items():
+                f = os.path.join(segment_dir(self.index_dir, part), "postings.parquet")
+                if not os.path.exists(f):
+                    continue
+                tbl = pads.dataset(f).to_table(
+                    filter=pads.field("term").isin(ts),
+                    columns=["term", "seg_idx", "docs", "tfs", "dls"],
+                )
+                for i in range(tbl.num_rows):
+                    raw.setdefault(tbl["term"][i].as_py(), []).append(
+                        (
+                            part,
+                            tbl["seg_idx"][i].as_py(),
+                            tbl["docs"][i].as_py(),
+                            tbl["tfs"][i].as_py(),
+                            tbl["dls"][i].as_py(),
+                        )
+                    )
+            m = self.manifest
+            for t in need:
+                segs = raw.get(t)
+                if not segs:
+                    self._postings.setdefault(t, None)
+                    continue
+                parts_decoded = [decode_posting(db, tb, lb) for _, _, db, tb, lb in sorted(segs, key=lambda s: (s[0], s[1]))]
+                doc_ids = np.concatenate([d for d, _, _ in parts_decoded])
+                tfs = np.concatenate([x for _, x, _ in parts_decoded])
+                dls = np.concatenate([x for _, _, x in parts_decoded])
+                order = np.argsort(doc_ids, kind="stable")
+                doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+                factors = tf_factor(tfs, dls, m.k1, m.b, m.avgdl)
+                self._postings[t] = TermPosting(
+                    t, float(idf(m.n_docs, self._df_cache[t])), doc_ids, factors, m.block_size
+                )
+        return {t: p for t in terms if (p := self._postings.get(t)) is not None}
+
+    # --- scoring ------------------------------------------------------------
+    def search_one(self, query_text: str, top_k: int, method: str = "maxscore") -> tuple[np.ndarray, np.ndarray]:
+        terms = sorted(set(self.analyzer(query_text)))
+        postings = list(self.load_postings(terms).values())
+        fn = score_maxscore if method == "maxscore" else score_taat
+        return fn(postings, top_k)
+
+
+class BM25Scorer:
+    """Actor-pool callable: a batch of query rows → top-k result rows."""
+
+    def __init__(self, index_dir: str, default_top_k: int = 50, method: str = "maxscore"):
+        self.reader = IndexReader(index_dir)
+        self.default_top_k = default_top_k
+        self.method = method
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            docs, scores = self.reader.search_one(qtext, k, self.method)
+            n = docs.size
+            out["query_id"].extend([qid] * n)
+            out["rank"].extend(range(1, n + 1))
+            out["doc_id"].extend(docs.astype(np.int64).tolist())
+            out["score"].extend(scores.tolist())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="string[python]").astype(object),
+                "rank": pd.Series(out["rank"], dtype=np.int32),
+                "doc_id": pd.Series(out["doc_id"], dtype=np.int64),
+                "score": pd.Series(out["score"], dtype=np.float64),
+            }
+        )
+
+
+def search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, method: str = "maxscore"):
+    """Queries Dataset (query_id, query_text[, top_k]) → results Dataset."""
+    return queries_ds.map_batches(
+        BM25Scorer,
+        fn_constructor_args=(index_dir, cfg.top_k, method),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+def attach_docmap(results_df: pd.DataFrame, index_dir: str) -> pd.DataFrame:
+    """Join top-k results (small) back to (conv_id, turn_idx) via
+    row-group-pruned reads of the sorted docmap (SURVEY.md §2.4 J2 —
+    broadcast-small-side lookup, never a shuffle join)."""
+    ids = sorted(set(results_df["doc_id"].tolist()))
+    dm = pads.dataset(os.path.join(index_dir, "docmap.parquet")).to_table(
+        filter=pads.field("doc_id").isin(ids)
+    ).to_pandas()
+    return results_df.merge(dm, on="doc_id", how="left")

@@ -1,0 +1,147 @@
+"""Analyzer stages: text → (doc_id, term, tf, dl) posting rows and
+term-level partial statistics, as vectorized ``map_batches`` functions
+over zero-copy Arrow batches.
+
+``simple`` mode runs entirely in pyarrow C++ kernels
+(``utf8_lower`` + ``split_pattern_regex`` + ``list_flatten`` +
+hash-``group_by``) — no per-row Python. ``full`` mode necessarily calls
+the Python analyzer per row (regex chain), but all counting stays in
+Arrow.
+
+A batch always contains whole documents (one row = one turn), so
+per-batch doc-level aggregates (tf, dl, distinct-doc counts) are exact
+— the property the dictionary pass's sentinel row relies on.
+
+Reference parity: this stage is the Ray-Data re-expression of the
+reference's tokenize → pattern-emit path (reference:
+src/ai_service/layers/normalization/processors/token_processor.py:32-185,
+src/ai_service/layers/patterns/high_recall_ac_generator.py:296-1893
+— SURVEY.md §2.2 M7/M17).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+from hybrid_sanctions_search_engine_ray.functions.analyzer import STOPWORDS, get_analyzer
+
+# RE2 character-class split for simple mode (parity with the DuckDB oracle's
+# regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')).
+_SIMPLE_RE2 = r"[^\p{L}\p{N}]+"
+
+# Sentinel term under which per-batch document counts ride through the
+# term-stats shuffle (no real term can collide: analyzer never emits "\x00").
+DOC_SENTINEL = "\x00__docs__"
+
+
+def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Array]:
+    """Tokenize a batch → flat (doc_row_index, term) pairs.
+
+    Returns (parent_row_idx int64 ndarray, terms StringArray) with empty
+    tokens removed; one element per token occurrence.
+    """
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if cfg.mode == "simple":
+        tokens = pc.split_pattern_regex(pc.utf8_lower(text), _SIMPLE_RE2)
+        flat = pc.list_flatten(tokens)
+        parent = pc.list_parent_indices(tokens)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        if cfg.remove_stopwords:
+            keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))))
+        return parent.filter(keep).to_numpy(zero_copy_only=False), flat.filter(keep)
+    # full mode: per-row Python tokenizer, Arrow everything after
+    analyzer = get_analyzer(cfg)
+    parents: list[np.ndarray] = []
+    all_tokens: list[list[str]] = []
+    for i, s in enumerate(text):
+        toks = analyzer(s.as_py() or "")
+        if toks:
+            parents.append(np.full(len(toks), i, dtype=np.int64))
+            all_tokens.append(toks)
+    if not parents:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    parent = np.concatenate(parents)
+    flat = pa.array([t for toks in all_tokens for t in toks], pa.string())
+    return parent, flat
+
+
+def _tf_table(parent: np.ndarray, terms: pa.Array) -> pa.Table:
+    """(doc_row, term) occurrences → per-(doc_row, term) tf via Arrow
+    hash-group_by (C++)."""
+    occ = pa.table({"d": pa.array(parent, pa.int64()), "t": terms})
+    return occ.group_by(["d", "t"]).aggregate([("t", "count")])  # → d, t, t_count
+
+
+def emit_postings(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+    """text batch → posting rows (term, doc_id, tf:int32, dl:int32).
+
+    ``dl`` (document length in tokens) is attached to every posting row so
+    the scorer needs no doc-length side table (SURVEY.md §1.1).
+    """
+    parent, terms = flat_terms(batch, cfg.analyzer)
+    if len(terms) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int32()),
+                "dl": pa.array([], pa.int32()),
+            }
+        )
+    tf = _tf_table(parent, terms)
+    d = tf["d"].to_numpy(zero_copy_only=False)
+    # dl per doc row = total token count; map back to posting rows
+    uniq_docs, inv = np.unique(parent, return_inverse=True)
+    dl_per_doc = np.bincount(inv, minlength=uniq_docs.size)
+    dl = dl_per_doc[np.searchsorted(uniq_docs, d)]
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[d]
+    return pa.table(
+        {
+            "term": tf["t"],
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "tf": pc.cast(tf["t_count"], pa.int32()),
+            "dl": pa.array(dl.astype(np.int32)),
+        }
+    )
+
+
+def emit_term_stats(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+    """text batch → per-term partial stats rows (term, df_p, cf_p) plus one
+    sentinel row carrying (n_docs_with_tokens, total_tokens) for the batch.
+
+    Globally: groupby(term).sum gives exact df/cf per term (the term
+    dictionary), the sentinel sums give N and Σdl — corpus stats and
+    skew detection from ONE pass + one vocabulary-sized shuffle
+    (SURVEY.md §2.5 G4; the pre-aggregation pattern).
+    """
+    parent, terms = flat_terms(batch, cfg.analyzer)
+    if len(terms) == 0:
+        return pa.table(
+            {
+                "term": pa.array([DOC_SENTINEL]),
+                "df_p": pa.array([0], pa.int64()),
+                "cf_p": pa.array([0], pa.int64()),
+            }
+        )
+    tf = _tf_table(parent, terms)
+    stats = tf.group_by(["t"]).aggregate([("d", "count"), ("t_count", "sum")])
+    n_docs = len(np.unique(parent))
+    n_tokens = len(terms)
+    return pa.table(
+        {
+            "term": pa.concat_arrays(
+                [stats["t"].combine_chunks(), pa.array([DOC_SENTINEL], pa.string())]
+            ),
+            "df_p": pa.concat_arrays(
+                [pc.cast(stats["d_count"], pa.int64()).combine_chunks(), pa.array([n_docs], pa.int64())]
+            ),
+            "cf_p": pa.concat_arrays(
+                [pc.cast(stats["t_count_sum"], pa.int64()).combine_chunks(), pa.array([n_tokens], pa.int64())]
+            ),
+        }
+    )

@@ -1,0 +1,163 @@
+"""Posting-partition assignment and the segment-builder group function —
+the engine's wide shuffle (SURVEY.md §2.5 G3, §7.3).
+
+Partitioning: ``part = crc32(term) % P``. Terms flagged hot by the
+dictionary pass (df > hot_term_df_ratio·N) are salted across
+``S`` sub-partitions by ``(doc_id >> 12) % S`` so no single partition
+carries a stop-word's entire posting list (SURVEY.md §4 "skew /
+stragglers"); their sub-segments are re-merged at query time (the scorer
+treats sub-segments as additional WAND blocks, which preserves score
+identity).
+
+The segment builder is ``groupby("part").map_groups``: one task per
+partition sorts its rows by (term, doc_id), delta+varint-encodes each
+term run (sub-segment-split at ``max_postings_per_segment``), computes
+block maxes, and writes ``segments/part=K/postings.parquet`` atomically
+followed by a ``meta.json`` lineage record — the unit of resume.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from hybrid_sanctions_search_engine_ray.config import EngineConfig
+from hybrid_sanctions_search_engine_ray.functions.codec import block_maxes, encode_posting
+from hybrid_sanctions_search_engine_ray.functions.hashing import hash_string_array, term_hash
+from hybrid_sanctions_search_engine_ray.state.manifest import atomic_write_json, segment_dir
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("seg_idx", pa.int32()),       # sub-segment ordinal within (term, part)
+        ("n_docs", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("docs", pa.binary()),         # delta+varint doc ids
+        ("tfs", pa.binary()),          # varint term frequencies
+        ("dls", pa.binary()),          # varint doc lengths
+        ("block_max", pa.list_(pa.float32())),  # per-block max tf-factor
+    ]
+)
+
+
+def assign_partitions(batch: pa.Table, cfg: EngineConfig, hot_terms: frozenset[str]) -> pa.Table:
+    """Add the shuffle key ``part`` to posting rows (vectorized crc32 with
+    per-batch term dedup; hot terms doc-salted)."""
+    h = hash_string_array(batch["term"]).astype(np.int64)
+    part = h % cfg.num_partitions
+    if hot_terms:
+        terms = batch["term"].to_pandas()
+        hot_mask = terms.isin(hot_terms).to_numpy()
+        if hot_mask.any():
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            salt = (doc_ids[hot_mask] >> cfg.hot_term_salt_shift) % cfg.hot_term_salt_buckets
+            part[hot_mask] = (h[hot_mask] + 1_000_003 * (1 + salt)) % cfg.num_partitions
+    return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+
+def hot_term_parts(term: str, cfg: EngineConfig, is_hot: bool) -> list[int]:
+    """All partitions that may hold postings for ``term`` (query side)."""
+    h = term_hash(term)
+    if not is_hot:
+        return [h % cfg.num_partitions]
+    parts = {h % cfg.num_partitions}
+    for salt in range(cfg.hot_term_salt_buckets):
+        parts.add((h + 1_000_003 * (1 + salt)) % cfg.num_partitions)
+    return sorted(parts)
+
+
+def build_segment(
+    group: pd.DataFrame,
+    index_dir: str,
+    cfg: EngineConfig,
+    avgdl: float,
+    input_path: str,
+) -> pd.DataFrame:
+    """Encode and atomically write one term-partition. Returns a one-row
+    lineage DataFrame (the build pipeline's output dataset is the
+    lineage table, not the bulk data — which lives on disk)."""
+    t0 = time.monotonic()
+    part = int(group["part"].iloc[0])
+    sdir = segment_dir(index_dir, part)
+    os.makedirs(sdir, exist_ok=True)
+
+    g = group.sort_values(["term", "doc_id"], kind="mergesort")
+    terms = g["term"].to_numpy()
+    doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
+    tfs = g["tf"].to_numpy(dtype=np.int64)
+    dls = g["dl"].to_numpy(dtype=np.int64)
+
+    # term run boundaries
+    change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(terms)]))
+
+    rows: dict[str, list] = {k: [] for k in ("term", "seg_idx", "n_docs", "max_tf", "docs", "tfs", "dls", "block_max")}
+    n_postings = 0
+    for s, e in zip(starts, ends):
+        term = terms[s]
+        for seg_idx, ss in enumerate(range(s, e, cfg.max_postings_per_segment)):
+            ee = min(ss + cfg.max_postings_per_segment, e)
+            d, t, l = doc_ids[ss:ee], tfs[ss:ee], dls[ss:ee]
+            db, tb, lb = encode_posting(d, t, l)
+            bm = block_maxes(t, l, cfg.k1, cfg.b, avgdl, cfg.block_size)
+            rows["term"].append(term)
+            rows["seg_idx"].append(seg_idx)
+            rows["n_docs"].append(ee - ss)
+            rows["max_tf"].append(int(t.max()))
+            rows["docs"].append(db)
+            rows["tfs"].append(tb)
+            rows["dls"].append(lb)
+            rows["block_max"].append(bm)
+            n_postings += ee - ss
+
+    table = pa.table(
+        {
+            "term": pa.array(rows["term"], pa.string()),
+            "seg_idx": pa.array(rows["seg_idx"], pa.int32()),
+            "n_docs": pa.array(rows["n_docs"], pa.int64()),
+            "max_tf": pa.array(rows["max_tf"], pa.int32()),
+            "docs": pa.array(rows["docs"], pa.binary()),
+            "tfs": pa.array(rows["tfs"], pa.binary()),
+            "dls": pa.array(rows["dls"], pa.binary()),
+            "block_max": pa.array([np.asarray(x, dtype=np.float32) for x in rows["block_max"]], pa.list_(pa.float32())),
+        }
+    )
+
+    # atomic write: tmp file in the same dir, fsync-free rename, meta last
+    fd, tmp = tempfile.mkstemp(dir=sdir, suffix=".parquet.tmp")
+    os.close(fd)
+    pq.write_table(table, tmp, row_group_size=4096)  # small row groups → term-filter pruning at query time
+    final = os.path.join(sdir, "postings.parquet")
+    os.replace(tmp, final)
+    with open(final, "rb") as f:
+        checksum = zlib.crc32(f.read(1 << 20))  # first-MiB crc: cheap integrity fingerprint
+    atomic_write_json(
+        os.path.join(sdir, "meta.json"),
+        {
+            "part": part,
+            "n_terms": int(len(starts)),
+            "n_rows": table.num_rows,
+            "n_postings": int(n_postings),
+            "bytes": os.path.getsize(final),
+            "checksum_head_crc32": checksum,
+            "elapsed_s": round(time.monotonic() - t0, 3),
+            "input": input_path,
+        },
+    )
+    return pd.DataFrame(
+        {
+            "part": [part],
+            "n_terms": [len(starts)],
+            "n_rows": [table.num_rows],
+            "n_postings": [n_postings],
+            "elapsed_s": [round(time.monotonic() - t0, 3)],
+        }
+    )

@@ -1,0 +1,71 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hybrid_sanctions_search_engine_ray.functions.codec import (
+    block_maxes,
+    decode_posting,
+    encode_posting,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_basic():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**63 - 1, 2**64 - 1], dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_varint_single_byte_values():
+    vals = np.arange(128, dtype=np.uint64)
+    buf = varint_encode(vals)
+    assert len(buf) == 128
+    assert np.array_equal(varint_decode(buf), vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True),
+    st.data(),
+)
+def test_posting_roundtrip_property(doc_ids, data):
+    d = np.sort(np.array(doc_ids, dtype=np.uint64))
+    tfs = np.array(data.draw(st.lists(st.integers(1, 1000), min_size=d.size, max_size=d.size)), dtype=np.uint64)
+    dls = np.array(data.draw(st.lists(st.integers(1, 5000), min_size=d.size, max_size=d.size)), dtype=np.uint64)
+    db, tb, lb = encode_posting(d, tfs, dls)
+    d2, t2, l2 = decode_posting(db, tb, lb)
+    assert np.array_equal(d2, d)
+    assert np.array_equal(t2, tfs)
+    assert np.array_equal(l2, dls)
+
+
+def test_compression_is_compact():
+    # dense doc ids → 1-byte deltas
+    d = np.arange(10_000, dtype=np.uint64)
+    tfs = np.ones(10_000, dtype=np.uint64)
+    dls = np.full(10_000, 50, dtype=np.uint64)
+    db, tb, lb = encode_posting(d, tfs, dls)
+    assert len(db) < 10_100  # ~1 byte per delta
+    assert len(tb) == 10_000
+
+
+def test_block_maxes():
+    tfs = np.array([1, 5, 2, 10], dtype=np.uint64)
+    dls = np.array([10, 10, 10, 10], dtype=np.uint64)
+    bm = block_maxes(tfs, dls, k1=1.2, b=0.75, avgdl=10.0, block_size=2)
+    assert bm.shape == (2,)
+    # factor is monotone in tf at fixed dl → block maxes at tf=5 and tf=10
+    f = lambda tf: tf * 2.2 / (tf + 1.2)  # noqa: E731
+    assert np.allclose(bm, [f(5), f(10)], rtol=1e-6)

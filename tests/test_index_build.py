@@ -1,0 +1,75 @@
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+
+def test_manifest_complete(built_index):
+    index_dir, cfg, manifest = built_index
+    assert manifest.status == "complete"
+    assert manifest.n_docs > 0
+    assert manifest.avgdl > 0
+    assert manifest.n_terms > 0
+    assert len(manifest.parts) > 0
+    m2 = IndexManifest.load(index_dir)
+    assert m2.n_docs == manifest.n_docs
+
+
+def test_layout_on_disk(built_index):
+    index_dir, cfg, manifest = built_index
+    assert os.path.isdir(os.path.join(index_dir, "dictionary.parquet"))
+    assert os.path.isdir(os.path.join(index_dir, "docmap.parquet"))
+    seg_root = os.path.join(index_dir, "segments")
+    parts = [p for p in os.listdir(seg_root) if p.startswith("part=")]
+    assert parts
+    for p in parts:
+        assert os.path.exists(os.path.join(seg_root, p, "postings.parquet"))
+        assert os.path.exists(os.path.join(seg_root, p, "meta.json"))
+
+
+def test_hot_terms_detected_and_salted(built_index):
+    """The Zipf head must be flagged hot and split across partitions."""
+    index_dir, cfg, manifest = built_index
+    assert manifest.hot_terms, "stop-word-heavy corpus must produce hot terms"
+    hot = manifest.hot_terms[0]
+    seg_root = os.path.join(index_dir, "segments")
+    parts_with_hot = 0
+    for p in os.listdir(seg_root):
+        f = os.path.join(seg_root, p, "postings.parquet")
+        t = pads.dataset(f).to_table(filter=pads.field("term") == hot, columns=["term"])
+        parts_with_hot += int(t.num_rows > 0)
+    assert parts_with_hot > 1, f"hot term {hot!r} should be salted across partitions"
+
+
+def test_docid_invariant(built_index, corpus_dir):
+    """North-rule per-row invariant: doc ids are the rank under stable
+    (conv_id, turn_idx) ordering, and joining docmap back to the input
+    reproduces the corpus exactly."""
+    index_dir, cfg, manifest = built_index
+    dm = pq.read_table(os.path.join(index_dir, "docmap.parquet")).to_pandas()
+    src = pads.dataset(corpus_dir).to_table(columns=["conv_id", "turn_idx"]).to_pandas()
+    src = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    dm = dm.sort_values("doc_id").reset_index(drop=True)
+    assert len(dm) == len(src)
+    assert np.array_equal(dm["doc_id"].to_numpy(), np.arange(len(dm)))
+    assert (dm["conv_id"].to_numpy() == src["conv_id"].to_numpy()).all()
+    assert (dm["turn_idx"].to_numpy() == src["turn_idx"].to_numpy()).all()
+
+
+def test_postings_totals_match_dictionary(built_index):
+    """Σ df over segment rows == Σ df in dictionary (no postings lost in
+    the shuffle, sub-segmenting or salting)."""
+    index_dir, cfg, manifest = built_index
+    from hybrid_sanctions_search_engine_ray.stages.analyze import DOC_SENTINEL
+
+    seg_root = os.path.join(index_dir, "segments")
+    total_seg = 0
+    for p in os.listdir(seg_root):
+        f = os.path.join(seg_root, p, "postings.parquet")
+        total_seg += sum(pq.read_table(f, columns=["n_docs"])["n_docs"].to_pylist())
+    d = pq.read_table(os.path.join(index_dir, "dictionary.parquet")).to_pandas()
+    total_dict = int(d.loc[d["term"] != DOC_SENTINEL, "df"].sum())
+    assert total_seg == total_dict

@@ -1,0 +1,84 @@
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+from hybrid_sanctions_search_engine_ray.pipelines.query import BM25Scorer, IndexReader, attach_docmap, search
+
+from oracle import OracleIndex
+
+# FIXTURES.md §2 query mix: exact phrases, stop-word-only, mixed
+# rare+common, zero-hit, single terms.
+GOLDEN_QUERIES = [
+    "payment transfer",
+    "payment",
+    "the",                     # hot stop-word alone (skew path)
+    "tok00042 payment",        # rare + common (pruning correctness)
+    "tok00001 tok00002 tok00003",
+    "иванов иван петрович",
+    "світлана бондаренко",
+    "zzzznotaterm",            # zero-hit
+    "tok04999",
+    "error status query data file run",
+    "invoice amount total от до",
+    "пётр ёжик",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    idx = OracleIndex(AnalyzerConfig(mode="simple"))
+    tbl = pads.dataset(corpus_dir).to_table(columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    tbl = tbl.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for i, text in enumerate(tbl["text"]):
+        idx.add(i, text)
+    return idx
+
+
+def test_corpus_stats_match_oracle(built_index, oracle):
+    index_dir, cfg, manifest = built_index
+    assert manifest.n_docs == oracle.n_docs
+    assert abs(manifest.avgdl - oracle.avgdl) < 1e-9
+
+
+@pytest.mark.parametrize("method", ["taat", "maxscore"])
+def test_rank_identity_vs_oracle(built_index, oracle, method):
+    index_dir, cfg, manifest = built_index
+    reader = IndexReader(index_dir)
+    for q in GOLDEN_QUERIES:
+        for k in (1, 10, 50):
+            docs, scores = reader.search_one(q, k, method=method)
+            expected = oracle.topk(q, k)
+            assert docs.astype(np.int64).tolist() == [d for d, _ in expected], f"q={q!r} k={k} m={method}"
+            assert np.allclose(scores, [s for _, s in expected], atol=1e-6), f"q={q!r} k={k}"
+
+
+def test_scorer_batch_callable(built_index):
+    """BM25Scorer smoke (actor __init__ failures surface late — guide)."""
+    import pandas as pd
+
+    index_dir, cfg, _ = built_index
+    scorer = BM25Scorer(index_dir, default_top_k=5)
+    out = scorer(pd.DataFrame({"query_id": ["q1", "q2"], "query_text": ["payment", "zzzznotaterm"]}))
+    assert set(out.columns) == {"query_id", "rank", "doc_id", "score"}
+    assert (out["query_id"] == "q1").sum() == 5
+    assert (out["query_id"] == "q2").sum() == 0
+    assert out.loc[out.query_id == "q1", "rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_search_dataset_pipeline(built_index, oracle):
+    """Full actor-pool path through ray.data, incl. docmap join."""
+    import ray.data as rd
+
+    index_dir, cfg, _ = built_index
+    queries = rd.from_items(
+        [{"query_id": f"q-{i:02d}", "query_text": q, "top_k": 10} for i, q in enumerate(GOLDEN_QUERIES)]
+    )
+    res = search(queries, index_dir, cfg).to_pandas()
+    for i, q in enumerate(GOLDEN_QUERIES):
+        got = res[res.query_id == f"q-{i:02d}"].sort_values("rank")
+        expected = oracle.topk(q, 10)
+        assert got["doc_id"].tolist() == [d for d, _ in expected], f"q={q!r}"
+    joined = attach_docmap(res, index_dir)
+    assert {"conv_id", "turn_idx"} <= set(joined.columns)
+    assert joined["conv_id"].notna().all()

@@ -1,44 +1,520 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry has a matching ``oracle_sql()`` ANSI-SQL twin
+(DuckDB, same parquet views) unless the operator is inherently
+non-SQL-expressible (MinHash-LSH, SimHash, fingerprints, IVF-ANN) —
+those get the driver's rows-only check and are covered by pytest
+oracles instead.
+
+The transcripts table (the engine's input shape, per input_hint) is
+derived deterministically from ``documents`` by the pure row mapping in
+``sources/transcripts.py::documents_batch_to_transcripts``; its SQL
+twin is ``TRANSCRIPTS_CTE`` below. Keep the two in lockstep.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# --- BM25 golden query set (terms drawn from the documents vocabulary) ------
+
+BM25_QUERIES: dict[str, str] = {
+    "q01": "spark join filter",
+    "q02": "window stream",
+    "q03": "customer table scan",
+    "q04": "merge sort batch group",
+    "q05": "the data",
+    "q06": "vector hash agg",
+    "q07": "slow query order",
+    "q08": "zzzmissing",
+    "q09": "key value part",
+    "q10": "fast small big line",
+}
+BM25_TOP_K = 10
+_K1, _B = 1.2, 0.75
+
+TRANSCRIPTS_CTE = """
+transcripts AS (
+  SELECT doc_id,
+         'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         cast(doc_id % 8 AS int) AS turn_idx,
+         CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')) AS term
+  FROM transcripts
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+"""
+
+
+def _qterms_values() -> str:
+    rows = []
+    for qid, text in BM25_QUERIES.items():
+        for term in sorted(set(text.lower().split())):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
+# --- engine plumbing --------------------------------------------------------
+
+
+def _engine_cfg():
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+
+    return EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode="simple"))
+
+
+def _ensure_index(sf_dir: str) -> str:
+    """Build (once, cached under /tmp) the BM25 index for an sf dir."""
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/graft_idx_cache/{tag}"
+    try:
+        if IndexManifest.load(index_dir).status == "complete":
+            return index_dir
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ts = transcripts_from_documents(sf_dir)
+    build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, _engine_cfg(), transcripts_ds=ts)
+    return index_dir
+
+
+def _round4(x: np.ndarray) -> np.ndarray:
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    return round_half_away(np.asarray(x, dtype=np.float64), 4)
+
+
+# --- queries ----------------------------------------------------------------
+
+
+def q_bm25_topk(sf_dir: str):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    index_dir = _ensure_index(sf_dir)
+    queries_ds = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K} for qid, text in BM25_QUERIES.items()]
+    )
+    res = search(queries_ds, index_dir, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_finish, batch_format="pandas")
+
+
+def q_term_dictionary(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.analyze import DOC_SENTINEL, emit_term_stats
+
+    cfg = _engine_cfg()
+    ds = transcripts_from_documents(sf_dir)
+    out = (
+        ds.map_batches(lambda b: emit_term_stats(b, cfg), batch_format="pyarrow", batch_size=8192)
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+    )
+
+    def _drop_sentinel(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.not_equal(b["term"], DOC_SENTINEL))
+
+    return out.map_batches(_drop_sentinel, batch_format="pyarrow")
+
+
+def q_corpus_stats(sf_dir: str):
+    index_dir = _ensure_index(sf_dir)
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    m = IndexManifest.load(index_dir)
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([m.n_docs], dtype=np.int64),
+            "avgdl": _round4([m.avgdl]),
+            "total_tokens": pd.Series([m.total_tokens], dtype=np.int64),
+        }
+    )
+
+
+def q_role_doclen(sf_dir: str):
+    """Per-role doc counts + mean doc length via the partial-aggregation
+    pattern: per-batch (role, n_docs, sum_dl) partials, then a tiny
+    groupby — the corpus never shuffles (SURVEY.md §2.5 G4)."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    cfg = _engine_cfg()
+
+    def partial(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg.analyzer)
+        n = b.num_rows
+        tok_counts = np.zeros(n, dtype=np.int64)
+        if len(terms):
+            np.add.at(tok_counts, parent, 1)
+        roles = b["role"].to_pandas()
+        dfp = pd.DataFrame({"role": roles, "dl": tok_counts})
+        dfp = dfp[dfp["dl"] > 0]
+        g = dfp.groupby("role", sort=False).agg(n_docs_p=("dl", "size"), sum_dl_p=("dl", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        transcripts_from_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("role")
+        .aggregate(Sum("n_docs_p", alias_name="n_docs"), Sum("sum_dl_p", alias_name="sum_dl"))
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "role": b["role"],
+                "n_docs": b["n_docs"].astype(np.int64),
+                "avg_dl": _round4(b["sum_dl"].to_numpy() / b["n_docs"].to_numpy()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def q_top_terms(sf_dir: str):
+    return q_term_dictionary(sf_dir).sort(["cf", "term"], descending=[True, False]).limit(20)
+
+
+def q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import exact_dedup_groups
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = exact_dedup_groups(ds)
+
+    def _types(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["keep_doc_id"] = b["keep_doc_id"].astype(np.int64)
+        b["n_dups"] = b["n_dups"].astype(np.int64)
+        return b
+
+    return out.map_batches(_types, batch_format="pandas")
+
+
+def q_text_quality(sf_dir: str):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import quality_stats
+
+    cfg = _engine_cfg()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: quality_stats(b, cfg.analyzer), batch_format="pyarrow", batch_size=8192)
+
+
+def q_langid(sf_dir: str):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import langid
+
+    cfg = _engine_cfg()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: langid(b, cfg.analyzer), batch_format="pyarrow", batch_size=8192)
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: partial-agg per batch →
+    small groupby (streaming-shaped workload per ray_guide)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        window_start = (ts_us // 3_600_000_000) * 3600
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_pandas(),
+                    "window_start": window_start,
+                    "value": b["value"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["event_type", "window_start"], sort=False)
+            .agg(n_p=("value", "size"), sum_p=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_p", alias_name="n_events"), Sum("sum_p", alias_name="sum_value"))
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "window_start": b["window_start"].astype(np.int64),
+                "n_events": b["n_events"].astype(np.int64),
+                "sum_value": _round4(b["sum_value"].to_numpy()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+_N_EMB_QUERIES = 3
+_EMB_TOP_K = 5
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-k similarity search (broadcast query
+    matrix, per-batch matmul + partial top-k, tiny final merge)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    mask = np.asarray(head["vec_id"].to_numpy(zero_copy_only=False) < _N_EMB_QUERIES)
+    q_ids = head["vec_id"].to_numpy(zero_copy_only=False)[mask]
+    q_mat = np.stack(head["embedding"].to_pandas()[mask].to_numpy()).astype(np.float64)
+
+    res = brute_force_topk(ds, q_ids.tolist(), q_mat, k=_EMB_TOP_K, exclude_self=True)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_vec_id": b["query_vec_id"].astype(np.int64),
+                "rank": b["rank"].astype(np.int32),
+                "vec_id": b["vec_id"].astype(np.int64),
+                "cos_sim": _round4(b["cos_sim"].to_numpy()),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+# --- non-SQL-expressible ops (rows-only driver check; pytest-verified) ------
+
+
+def q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import minhash_candidate_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return minhash_candidate_pairs(ds)
+
+
+def q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import simhash64
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(simhash64, batch_format="pyarrow", batch_size=4096)
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import fingerprint
+
+    cfg = _engine_cfg()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: fingerprint(b, cfg.analyzer), batch_format="pyarrow", batch_size=4096)
+
+
+def q_ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    mask = np.asarray(head["vec_id"].to_numpy(zero_copy_only=False) < _N_EMB_QUERIES)
+    q_ids = head["vec_id"].to_numpy(zero_copy_only=False)[mask]
+    q_mat = np.stack(head["embedding"].to_pandas()[mask].to_numpy()).astype(np.float64)
+    return ivf_topk(ds, q_ids.tolist(), q_mat, k=_EMB_TOP_K)
+
+
+# --- driver entry points ----------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: build the inverted index from the
+    transcript table, run the golden BM25 query batch, join doc map."""
+    from hybrid_sanctions_search_engine_ray.pipelines.query import attach_docmap
+
+    sf_dir = "/root/testdata/sf0.001"
+    res = q_bm25_topk(sf_dir).to_pandas()
+    return attach_docmap(res, _ensure_index(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk": q_bm25_topk,
+        "term_dictionary": q_term_dictionary,
+        "corpus_stats": q_corpus_stats,
+        "role_doclen": q_role_doclen,
+        "top_terms": q_top_terms,
+        "exact_dedup": q_exact_dedup,
+        "text_quality": q_text_quality,
+        "langid": q_langid,
+        "events_window": q_events_window,
+        "embedding_topk": q_embedding_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "ann_ivf": q_ann_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qterms = _qterms_values()
+    return {
+        "bm25_topk": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        "term_dictionary": f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT tf.term AS term, count(*)::BIGINT AS df, sum(tf.tf)::BIGINT AS cf
+FROM tf GROUP BY tf.term
+""",
+        "corpus_stats": f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT s.n_docs AS n_docs, round(s.avgdl, 4) AS avgdl,
+       (SELECT sum(tf) FROM tf)::BIGINT AS total_tokens
+FROM stats s
+""",
+        "role_doclen": f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT t.role AS role, count(*)::BIGINT AS n_docs, round(avg(dl.dl), 4) AS avg_dl
+FROM transcripts t JOIN dl ON dl.doc_id = t.doc_id
+GROUP BY t.role
+""",
+        "top_terms": f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT tf.term AS term, count(*)::BIGINT AS df, sum(tf.tf)::BIGINT AS cf
+FROM tf GROUP BY tf.term
+ORDER BY cf DESC, term ASC LIMIT 20
+""",
+        "exact_dedup": """
+SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "text_quality": f"""
+WITH {TRANSCRIPTS_CTE},
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS n_uniq,
+         sum(length(term))::BIGINT AS sum_len
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.n_uniq, 0)::BIGINT AS n_uniq,
+       length(d.text)::BIGINT AS n_chars,
+       round(coalesce(p.sum_len / p.n_tokens, 0), 4) AS avg_token_len,
+       round(coalesce(p.n_uniq / p.n_tokens, 0), 4) AS uniq_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        "langid": f"""
+WITH {TRANSCRIPTS_CTE},
+marks AS (
+  SELECT d.doc_id,
+    sum(CASE WHEN t.term IN ('the','a','is','to','of','and') THEN 1 ELSE 0 END)::BIGINT AS en,
+    sum(CASE WHEN t.term IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END)::BIGINT AS de,
+    sum(CASE WHEN t.term IN ('el','la','los','que','es','una') THEN 1 ELSE 0 END)::BIGINT AS es,
+    sum(CASE WHEN t.term IN ('le','les','des','est','une','dans') THEN 1 ELSE 0 END)::BIGINT AS fr,
+    sum(CASE WHEN t.term IN ('и','в','не','на','что','это') THEN 1 ELSE 0 END)::BIGINT AS ru
+  FROM documents d LEFT JOIN tok t USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+  CASE WHEN greatest(en, de, es, fr, ru) = 0 THEN 'unknown'
+       WHEN en >= de AND en >= es AND en >= fr AND en >= ru THEN 'en'
+       WHEN de >= es AND de >= fr AND de >= ru THEN 'de'
+       WHEN es >= fr AND es >= ru THEN 'es'
+       WHEN fr >= ru THEN 'fr'
+       ELSE 'ru' END AS pred_lang
+FROM marks
+""",
+        "events_window": """
+SELECT event_type,
+       cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, window_start
+""",
+        "embedding_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_EMB_QUERIES}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
+FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+    }

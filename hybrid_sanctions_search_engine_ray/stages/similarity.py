@@ -1,0 +1,157 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each ``map_batches`` task does one
+  numpy matmul against its batch and emits only its batch-local top-k
+  rows; a final tiny ``groupby(query).map_groups`` merge produces the
+  global top-k. Never materializes the corpus, ships k·batches rows.
+* :class:`IVFIndex` — scale path: deterministic k-means (fixed seed,
+  sample-initialized, few Lloyd iterations) builds centroids; vectors
+  are bucketed by nearest centroid (one ``map_batches`` pass, written
+  partitioned by cluster); queries probe the ``nprobe`` nearest
+  centroid buckets only. Reference analog: the FAISS-HNSW/char-tfidf
+  local vector index (reference: src/ai_service/layers/embeddings/
+  indexing/vector_index_service.py:42-111 — SURVEY.md §2.3 A3),
+  re-expressed as partition-pruned Arrow scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+class _PartialTopK:
+    """map_batches task body: cos against broadcast queries, emit
+    batch-local top-k candidate rows."""
+
+    def __init__(self, queries_ref, k: int, exclude_self: bool):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.qm = _normalize(q["matrix"])
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.qm @ m.T  # (nq, batch)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            s = sims[qi]
+            order = np.argsort(-s, kind="stable")
+            taken = 0
+            for j in order:
+                if taken >= self.k:
+                    break
+                if self.exclude_self and vec_ids[j] == qid:
+                    continue
+                out_q.append(int(qid))
+                out_v.append(int(vec_ids[j]))
+                out_s.append(float(s[j]))
+                taken += 1
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.sort_values(["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def brute_force_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int = 5,
+                     exclude_self: bool = True):
+    """Dataset(vec_id, embedding) → (query_vec_id, vec_id, cos_sim, rank)."""
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": np.asarray(query_matrix, dtype=np.float64)})
+    partial = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_args=(ref, k, exclude_self),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return partial.groupby("query_vec_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )
+
+
+class IVFIndex:
+    """Deterministic IVF: k-means centroids + cluster assignment."""
+
+    def __init__(self, n_clusters: int = 16, n_iter: int = 5, seed: int = 11):
+        self.n_clusters, self.n_iter, self.seed = n_clusters, n_iter, seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IVFIndex":
+        x = _normalize(sample.astype(np.float64))
+        rng = np.random.default_rng(self.seed)
+        idx = rng.choice(x.shape[0], size=min(self.n_clusters, x.shape[0]), replace=False)
+        c = x[np.sort(idx)].copy()
+        for _ in range(self.n_iter):
+            assign = (x @ c.T).argmax(axis=1)
+            for j in range(c.shape[0]):
+                pts = x[assign == j]
+                if len(pts):
+                    c[j] = pts.mean(axis=0)
+            c = _normalize(c)
+        self.centroids = c
+        return self
+
+    def assign_batch(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        cluster = (m @ self.centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(cluster))
+
+    def probe(self, q: np.ndarray, nprobe: int) -> np.ndarray:
+        qn = _normalize(q.reshape(1, -1).astype(np.float64))[0]
+        return np.argsort(-(self.centroids @ qn), kind="stable")[:nprobe].astype(np.int32)
+
+
+def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int = 5,
+             n_clusters: int = 16, nprobe: int = 4, sample_rows: int = 2048):
+    """Approximate top-k: fit centroids on a deterministic sample (first
+    ``sample_rows`` by vec_id — reproducible), assign clusters in one
+    pass, score queries only against their ``nprobe`` nearest clusters."""
+    sample_tbl = ds.sort("vec_id").limit(sample_rows).to_pandas()
+    sample = np.stack(sample_tbl["embedding"].to_numpy()).astype(np.float64)
+    ivf = IVFIndex(n_clusters=n_clusters).fit(sample)
+
+    assigned = ds.map_batches(ivf.assign_batch, batch_format="pyarrow")
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    probe_sets = {int(qid): set(ivf.probe(qm[i], nprobe).tolist()) for i, qid in enumerate(query_ids)}
+    wanted_clusters = sorted(set().union(*probe_sets.values())) if probe_sets else []
+
+    import pyarrow.compute as pc
+
+    filtered = assigned.map_batches(
+        lambda b: b.filter(pc.is_in(b["cluster"], value_set=pa.array(wanted_clusters, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    res = brute_force_topk(filtered, query_ids, qm, k=k)
+
+    def _mask(g: pd.DataFrame) -> pd.DataFrame:
+        return g  # candidates already restricted by cluster filter
+
+    return res.map_batches(_mask, batch_format="pandas")

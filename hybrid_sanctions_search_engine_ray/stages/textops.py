@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines: quality stats,
+language-ID heuristic, token counting, document fingerprinting.
+
+All are vectorized ``map_batches`` stages over Arrow batches; the ones
+with DuckDB-expressible semantics keep an exact SQL twin in
+``__ray_entry__.oracle_sql`` (keep in lockstep). Language-ID mirrors the
+reference's char/marker-ratio approach (reference: src/ai_service/layers/
+language/language_detection_service.py:119-360 — SURVEY.md §2.2 M3)
+re-expressed as a deterministic marker-token count + argmax.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+
+def round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """Round half away from zero — DuckDB's ROUND semantics (numpy's
+    ``round`` is half-to-even; the oracle comparison needs identical
+    rounding on both sides)."""
+    m = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+
+# marker-token sets per language (deterministic, tiny; argmax with
+# fixed tie order en < de < es < fr < ru — matches the SQL CASE chain)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "to", "of", "and"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "que", "es", "una"),
+    "fr": ("le", "les", "des", "est", "une", "dans"),
+    "ru": ("и", "в", "не", "на", "что", "это"),
+}
+LANG_ORDER = ("en", "de", "es", "fr", "ru")
+
+
+def quality_stats(batch: pa.Table, cfg: AnalyzerConfig) -> pa.Table:
+    """doc_id → n_tokens, n_uniq, n_chars, avg_token_len, uniq_ratio."""
+    parent, terms = flat_terms(batch, cfg)
+    n = batch.num_rows
+    n_tokens = np.zeros(n, dtype=np.int64)
+    sum_len = np.zeros(n, dtype=np.int64)
+    if len(terms):
+        lengths = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+        np.add.at(n_tokens, parent, 1)
+        np.add.at(sum_len, parent, lengths)
+    # distinct terms per doc via arrow group_by on deduped (d, t)
+    n_uniq = np.zeros(n, dtype=np.int64)
+    if len(terms):
+        dd = pa.table({"d": pa.array(parent), "t": terms}).group_by(["d", "t"]).aggregate([])
+        np.add.at(n_uniq, dd["d"].to_numpy(zero_copy_only=False), 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        avg_len = np.where(n_tokens > 0, sum_len / np.maximum(n_tokens, 1), 0.0)
+        uniq_ratio = np.where(n_tokens > 0, n_uniq / np.maximum(n_tokens, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_uniq": pa.array(n_uniq),
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            "avg_token_len": pa.array(round_half_away(avg_len, 4)),
+            "uniq_ratio": pa.array(round_half_away(uniq_ratio, 4)),
+        }
+    )
+
+
+def langid(batch: pa.Table, cfg: AnalyzerConfig) -> pa.Table:
+    """doc_id → pred_lang (marker-count argmax, tie → LANG_ORDER)."""
+    parent, terms = flat_terms(batch, cfg)
+    n = batch.num_rows
+    counts = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+    if len(terms):
+        t_np = terms.to_numpy(zero_copy_only=False)
+        for li, lang in enumerate(LANG_ORDER):
+            mask = np.isin(t_np, LANG_MARKERS[lang])
+            np.add.at(counts[:, li], parent[mask], 1)
+    best = counts.argmax(axis=1)  # first max wins = LANG_ORDER tie-break
+    has_any = counts.max(axis=1) > 0
+    langs = np.array(LANG_ORDER, dtype=object)
+    pred = np.where(has_any, langs[best], "unknown")
+    return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(pred.tolist(), pa.string())})
+
+
+def fingerprint(batch: pa.Table, cfg: AnalyzerConfig, window: int = 4) -> pa.Table:
+    """doc_id → winnowing-style fingerprint: min rolling hash over token
+    ``window``-grams (Schleimer et al., "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD'03 — public algorithm). Used for
+    cheap near-dup bucketing; not SQL-expressible (rows-only check)."""
+    import zlib
+
+    parent, terms = flat_terms(batch, cfg)
+    n = batch.num_rows
+    out = np.zeros(n, dtype=np.uint64)
+    if len(terms):
+        t_np = terms.to_numpy(zero_copy_only=False)
+        tok_h = np.array([zlib.crc32(t.encode()) for t in t_np], dtype=np.uint64)
+        for d in range(n):
+            h = tok_h[parent == d]
+            if h.size == 0:
+                continue
+            if h.size < window:
+                out[d] = h.min()
+                continue
+            # rolling window-gram hash: polynomial combination
+            grams = np.zeros(h.size - window + 1, dtype=np.uint64)
+            for i in range(window):
+                grams = grams * np.uint64(1_000_003) + h[i : i + grams.size]
+            out[d] = grams.min()
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fingerprint": pa.array(out.view(np.int64))}
+    )

@@ -63,6 +63,9 @@ class EngineConfig:
 
     # Execution sizing
     analyze_batch_size: int = 8192
+    # shuffle mode for the postings exchange: "plain" rows through
+    # groupby(part), or "packed" map-side-serialized payload blobs
+    shuffle_mode: str = "packed"
     score_batch_size: int = 64        # queries per scorer-actor batch
     scorer_concurrency: int = 4
 

@@ -2,18 +2,21 @@
 deployment pipeline (reference: scripts/prepare_sanctions_data.py +
 scripts/deploy_to_elasticsearch.py — SURVEY.md §3.1), re-architected as:
 
-    read_parquet → [assign stable doc ids] →
-    Pass A: map_batches(term-stats partials) → groupby(term).sum
-            → dictionary.parquet + corpus stats + hot-term set
-    Pass B: map_batches(posting emit) → assign part (salted) →
-            [resume filter] → groupby(part).map_groups(segment builder)
-            → segments/part=K/* (atomic)  → manifest.json (finalized last)
+    read_parquet → [assign stable doc ids] → docmap.parquet
+    → ONE tokenize scan: map_batches(posting rows + sentinel stats +
+      2%-sampled df rows) → pinned intermediate
+    → corpus stats (exact, from sentinels) + hot-term set (sampled,
+      deterministic in doc_id) on the driver
+    → assign part (salted) → [resume filter] → packed map-side combine
+    → groupby(part).map_groups(segment builder)
+    → segments/part=K/* (atomic per partition) → manifest.json last
 
-Input text is tokenized twice (once per pass) — both passes stream with
-backpressure and never materialize the corpus; the alternative (caching
-an analyzed intermediate) trades ~1 corpus write for the second
-tokenize and is strictly optional at any scale because tokenization is
-vectorized C++ in simple mode.
+Exact per-term df/cf are NOT computed in a separate pass: the query
+path derives df from the segment rows it already reads, and
+``write_dictionary`` can materialize the vocabulary table on demand
+from segment metadata (no corpus scan). The corpus is tokenized exactly
+once; the pinned posting intermediate is the piece to swap for a
+persisted parquet checkpoint on a multi-node cluster.
 """
 
 from __future__ import annotations
@@ -27,9 +30,18 @@ import pyarrow as pa
 import ray
 
 from hybrid_sanctions_search_engine_ray.config import DEFAULT_CONFIG, EngineConfig
-from hybrid_sanctions_search_engine_ray.stages.analyze import DOC_SENTINEL, emit_postings, emit_term_stats
-from hybrid_sanctions_search_engine_ray.stages.postings import assign_partitions, build_segment
-from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest, completed_parts
+from hybrid_sanctions_search_engine_ray.stages.analyze import (
+    DOC_SENTINEL,
+    emit_postings_and_stats,
+    emit_term_stats,
+)
+from hybrid_sanctions_search_engine_ray.stages.postings import (
+    assign_partitions,
+    build_segment,
+    build_segment_packed,
+    pack_postings_by_part,
+)
+from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest, completed_parts, segment_dir
 
 
 def assign_doc_ids(ds, sort: bool = True):
@@ -67,19 +79,9 @@ def assign_doc_ids(ds, sort: bool = True):
     return rd.from_arrow_refs(new_refs)
 
 
-def build_dictionary(ds, index_dir: str, cfg: EngineConfig):
-    """Pass A: term dictionary (df, cf) + corpus stats + hot-term set."""
-    from ray.data.aggregate import Sum
-
-    stats_ds = (
-        ds.map_batches(
-            lambda b: emit_term_stats(b, cfg),
-            batch_format="pyarrow",
-            batch_size=cfg.analyze_batch_size,
-        )
-        .groupby("term")
-        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
-    )
+def _finish_dictionary(stats_ds, index_dir: str, cfg: EngineConfig):
+    """Write dictionary.parquet (term-sorted for row-group-pruned query
+    lookups) and derive corpus stats + the hot-term set."""
     dict_path = os.path.join(index_dir, "dictionary.parquet")
     stats_ds.sort("term").write_parquet(dict_path)
 
@@ -97,6 +99,42 @@ def build_dictionary(ds, index_dir: str, cfg: EngineConfig):
     return n_docs, total_tokens, n_terms, avgdl, hot_terms
 
 
+def build_dictionary(ds, index_dir: str, cfg: EngineConfig):
+    """Standalone dictionary pass (df/cf per term + corpus stats) — kept
+    as a public single-purpose pipeline; ``build_index`` uses the fused
+    single-scan variant below instead."""
+    from ray.data.aggregate import Sum
+
+    stats_ds = (
+        ds.map_batches(
+            lambda b: emit_term_stats(b, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.analyze_batch_size,
+        )
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
+    )
+    return _finish_dictionary(stats_ds, index_dir, cfg)
+
+
+def build_dictionary_from_union(union_ds, index_dir: str, cfg: EngineConfig):
+    """Dictionary from the fused posting+stats table: filter the stat
+    rows (doc_id = -1), then a vocabulary-sized groupby — the corpus
+    itself is not re-scanned or re-shuffled."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _stats_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["doc_id"], -1)).select(["term", "tf", "dl"])
+
+    stats_ds = (
+        union_ds.map_batches(_stats_only, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="df"), Sum("dl", alias_name="cf"))
+    )
+    return _finish_dictionary(stats_ds, index_dir, cfg)
+
+
 def build_index(
     input_path: str,
     index_dir: str,
@@ -104,18 +142,42 @@ def build_index(
     transcripts_ds=None,
     resume: bool = False,
     fail_after_parts: int | None = None,
+    assume_sorted: bool = False,
 ) -> IndexManifest:
     """End-to-end index build. ``transcripts_ds`` overrides reading
     ``input_path`` directly (it must carry the transcript schema; a
     ``doc_id`` column is added here if absent). ``fail_after_parts`` is
-    the fault-injection hook for the resume test (FIXTURES.md §4)."""
+    the fault-injection hook for the resume test (FIXTURES.md §4).
+
+    ``assume_sorted=True`` skips the global ``(conv_id, turn_idx)`` sort
+    and assigns doc ids in input block order — valid only when the input
+    files are already globally sorted (e.g. the shard-per-conv-range
+    layout ``generate_transcripts`` writes). The docid-invariant test
+    guards this equivalence (tests/test_index_build.py)."""
+    import time
+
     import ray.data as rd
+
+    _t0 = time.monotonic()
+    _timing = os.environ.get("GRAFT_BUILD_TIMINGS") == "1"
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _timing:
+            print(f"[build {label}] {time.monotonic() - _t0:.2f}s", flush=True)
+        _t0 = time.monotonic()
 
     os.makedirs(index_dir, exist_ok=True)
     ds = transcripts_ds if transcripts_ds is not None else rd.read_parquet(input_path)
 
     if "doc_id" not in ds.schema().names:
-        ds = assign_doc_ids(ds)
+        ds = assign_doc_ids(ds, sort=not assume_sorted)
+    # Pin the id'd corpus: it is consumed three times (docmap, Pass A,
+    # Pass B); without this each consumer re-executes the id-assignment
+    # lineage. At cluster scale this is the step to swap for a persisted
+    # parquet checkpoint of the id'd corpus instead of object-store pinning.
+    ds = ds.materialize()
+    _mark("doc_ids")
 
     # --- docmap (doc_id → conv_id, turn_idx), sorted by doc_id for
     # row-group-pruned point lookups after top-k ---
@@ -123,19 +185,62 @@ def build_index(
     manifest_path = os.path.join(index_dir, "manifest.json")
     have_partial = resume and os.path.exists(manifest_path)
     if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
-        ds.select_columns(["doc_id", "conv_id", "turn_idx"]).sort("doc_id").write_parquet(docmap_path)
+        # the id'd corpus is already globally ordered by doc_id (ids were
+        # assigned along the stable sort), so no second sort: row-group
+        # min/max stats still give point-lookup pruning
+        ds.select_columns(["doc_id", "conv_id", "turn_idx"]).write_parquet(docmap_path)
+    _mark("docmap")
 
-    # --- Pass A: dictionary + stats (reused on resume) ---
+    # --- single tokenize scan: posting rows + per-batch term stats ---
+    union = ds.map_batches(
+        lambda b: emit_postings_and_stats(b, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.analyze_batch_size,
+    ).materialize()
+    # (at cluster scale this pinned intermediate becomes a persisted
+    # parquet checkpoint — spill-friendly either way)
+    _mark("tokenize")
+
+    # --- corpus stats (exact, from sentinel rows) + hot-term estimate
+    # (from the deterministic 2% doc sample); reused on resume ---
     if have_partial:
         manifest = IndexManifest.load(index_dir)
     else:
-        n_docs, total_tokens, n_terms, avgdl, hot_terms = build_dictionary(ds, index_dir, cfg)
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Sum
+
+        from hybrid_sanctions_search_engine_ray.stages.analyze import HOT_SAMPLE_EVERY
+
+        def _stat_rows(b: pa.Table) -> pa.Table:
+            return b.filter(pc.less(b["doc_id"], 0)).select(["term", "doc_id", "tf", "dl"])
+
+        # one scan, tiny result (1 sentinel row per batch + the 2%-sample
+        # term rows); aggregate on the driver — no extra Ray stages
+        import pandas as pd
+
+        stat_df = pd.concat(
+            list(
+                union.map_batches(_stat_rows, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pandas"
+                )
+            ),
+            ignore_index=True,
+        )
+        sent = stat_df[stat_df["doc_id"] == -1]
+        n_docs = int(sent["tf"].sum())
+        total_tokens = int(sent["dl"].sum())
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        # sampled-df threshold with a 0.5 margin: over-salting is a cheap
+        # false positive, under-salting a hot partition
+        hot_cut_sample = max(2, int(cfg.hot_term_df_ratio * n_docs / HOT_SAMPLE_EVERY * 0.5))
+        samp = stat_df[stat_df["doc_id"] == -2].groupby("term", sort=False)["tf"].sum()
+        hot_terms = sorted(samp.index[samp >= hot_cut_sample].tolist())
         manifest = IndexManifest(
             status="building",
             n_docs=n_docs,
             avgdl=avgdl,
             total_tokens=total_tokens,
-            n_terms=n_terms,
+            n_terms=0,  # set at finalize from the built segments
             k1=cfg.k1,
             b=cfg.b,
             block_size=cfg.block_size,
@@ -147,6 +252,7 @@ def build_index(
             input_path=input_path,
         )
         manifest.save(index_dir)
+    _mark("dictionary")
 
     hot = frozenset(manifest.hot_terms)
     avgdl = manifest.avgdl
@@ -155,14 +261,17 @@ def build_index(
     done = completed_parts(index_dir) if resume else {}
     done_parts = set(done.keys())
 
-    postings = ds.map_batches(
-        lambda b: emit_postings(b, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.analyze_batch_size,
-    ).map_batches(
-        lambda b: assign_partitions(b, cfg, hot),
-        batch_format="pyarrow",
-    )
+    def _postings_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return assign_partitions(b.filter(pc.greater_equal(b["doc_id"], 0)), cfg, hot)
+
+    postings = union.map_batches(_postings_only, batch_format="pyarrow")
+    packed = cfg.shuffle_mode == "packed"
+    if packed:
+        postings = postings.map_batches(
+            lambda b: pack_postings_by_part(b, cfg.num_partitions), batch_format="pyarrow"
+        )
     if done_parts:
         skip = pa.array(sorted(done_parts), pa.int32())
 
@@ -173,6 +282,8 @@ def build_index(
 
         postings = postings.map_batches(_drop_done, batch_format="pyarrow")
 
+    _builder = build_segment_packed if packed else build_segment
+
     if fail_after_parts is not None:
         # fault injection (resume test, FIXTURES.md §4): partitions ≥ K
         # crash before writing; the build dies mid-shuffle with the
@@ -182,17 +293,18 @@ def build_index(
         def _seg_or_fail(g):
             if int(g["part"].iloc[0]) >= cut:
                 raise RuntimeError(f"fault injection at part {int(g['part'].iloc[0])}")
-            return build_segment(g, index_dir, cfg, avgdl, input_path)
+            return _builder(g, index_dir, cfg, avgdl, input_path)
 
         seg_fn = _seg_or_fail
     else:
-        seg_fn = lambda g: build_segment(g, index_dir, cfg, avgdl, input_path)  # noqa: E731
+        seg_fn = lambda g: _builder(g, index_dir, cfg, avgdl, input_path)  # noqa: E731
 
     lineage = postings.groupby("part").map_groups(
         seg_fn,
         batch_format="pandas",
     )
     lineage_rows = lineage.take_all()  # small: one row per partition
+    _mark("segments")
 
     for r in lineage_rows:
         manifest.parts[str(int(r["part"]))] = {
@@ -203,6 +315,12 @@ def build_index(
         }
     for p, meta in completed_parts(index_dir).items():
         manifest.parts.setdefault(str(p), {k: meta[k] for k in ("n_terms", "n_rows", "n_postings", "elapsed_s") if k in meta})
+
+    # n_terms: per-part term counts summed — an upper bound only for the
+    # (few) salted hot terms that span partitions; the query path never
+    # uses it (df comes from the segment rows themselves)
+    manifest.n_terms = sum(p.get("n_terms", 0) for p in manifest.parts.values())
+
     manifest.status = "complete"
     manifest.save(index_dir)
     return manifest
@@ -214,3 +332,28 @@ def index_stats(index_dir: str) -> dict:
     d["n_parts"] = len(m.parts)
     d["n_postings"] = sum(p.get("n_postings", 0) for p in m.parts.values())
     return d
+
+
+def write_dictionary(index_dir: str) -> str:
+    """Materialize dictionary.parquet (term → exact df, cf) from the
+    built segments — a vocabulary-sized aggregate over segment metadata
+    columns, no corpus scan. Optional: the query path derives df from
+    the segment rows it already reads; this artifact serves analytics
+    (top-terms, vocabulary exports) and debugging."""
+    import shutil
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    done_meta = completed_parts(index_dir)
+    seg_files = [os.path.join(segment_dir(index_dir, p), "postings.parquet") for p in sorted(done_meta)]
+    dict_ds = (
+        rd.read_parquet(seg_files, columns=["term", "n_docs", "cf"])
+        .groupby("term")
+        .aggregate(Sum("n_docs", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
+    dict_path = os.path.join(index_dir, "dictionary.parquet")
+    shutil.rmtree(dict_path, ignore_errors=True)
+    dict_ds.sort("term").write_parquet(dict_path)
+    return dict_path

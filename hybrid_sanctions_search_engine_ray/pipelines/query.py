@@ -72,21 +72,12 @@ class IndexReader:
             ),
         )
         self.analyzer = get_analyzer(self.cfg.analyzer)
-        self._df_cache: dict[str, int] = {}
         self._postings: dict[str, TermPosting | None] = {}
-        self._dict_ds = pads.dataset(os.path.join(index_dir, "dictionary.parquet"))
-
-    # --- dictionary ---------------------------------------------------------
-    def dfs(self, terms: list[str]) -> dict[str, int]:
-        missing = [t for t in terms if t not in self._df_cache]
-        if missing:
-            tbl = self._dict_ds.to_table(filter=pads.field("term").isin(missing), columns=["term", "df"])
-            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
-            for t in missing:
-                self._df_cache[t] = int(found.get(t, 0))
-        return {t: self._df_cache[t] for t in terms}
 
     # --- postings -----------------------------------------------------------
+    # (df per term is derived from the segment rows themselves — Σ n_docs
+    # over a term's sub-segments across its salted partitions — so no
+    # separate dictionary artifact is consulted at query time)
     def _parts_for(self, term: str) -> list[int]:
         h = term_hash(term)
         p = self.cfg.num_partitions
@@ -100,12 +91,8 @@ class IndexReader:
     def load_postings(self, terms: list[str]) -> dict[str, TermPosting]:
         need = sorted({t for t in terms if t not in self._postings})
         if need:
-            dfs = self.dfs(need)
             by_part: dict[int, list[str]] = {}
             for t in need:
-                if dfs[t] == 0:
-                    self._postings[t] = None
-                    continue
                 for p in self._parts_for(t):
                     by_part.setdefault(p, []).append(t)
             raw: dict[str, list[tuple[int, int, bytes, bytes, bytes]]] = {}
@@ -140,8 +127,9 @@ class IndexReader:
                 order = np.argsort(doc_ids, kind="stable")
                 doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
                 factors = tf_factor(tfs, dls, m.k1, m.b, m.avgdl)
+                df = int(doc_ids.size)  # exact: every posting of the term is here
                 self._postings[t] = TermPosting(
-                    t, float(idf(m.n_docs, self._df_cache[t])), doc_ids, factors, m.block_size
+                    t, float(idf(m.n_docs, df)), doc_ids, factors, m.block_size
                 )
         return {t: p for t in terms if (p := self._postings.get(t)) is not None}
 
@@ -164,6 +152,12 @@ class BM25Scorer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        # pre-load postings for the whole batch's term union: one pass over
+        # each touched partition file instead of one per query
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
         for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
             k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
             docs, scores = self.reader.search_one(qtext, k, self.method)

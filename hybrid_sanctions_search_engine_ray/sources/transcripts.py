@@ -172,21 +172,35 @@ def generate_transcripts(out_dir: str, n_convs: int, seed: int = 42, shard_convs
     import ray.data as rd
 
     meta_path = os.path.join(out_dir, "_GEN_META")
-    meta = {"n_convs": n_convs, "seed": seed, "version": 2}
+    meta = {"n_convs": n_convs, "seed": seed, "version": 3}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == meta:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
-    def expand(batch: pa.Table) -> pa.Table:
-        return _gen_conv_batch(batch["id"].to_numpy(), seed)
+    def expand_and_write(batch: pa.Table) -> pa.Table:
+        """Each task writes one shard file named by its first conv id —
+        zero-padded so lexicographic file order == conv order, making the
+        corpus globally sorted by (conv_id, turn_idx) across files (the
+        precondition for ``build_index(assume_sorted=True)``)."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        ids = batch["id"].to_numpy()
+        tbl = _gen_conv_batch(ids, seed)
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"shard-{int(ids.min()):010d}.parquet"))
+        return pa.table({"n_rows": pa.array([tbl.num_rows], pa.int64())})
 
     (
         rd.range(n_convs)
         .repartition(max(1, n_convs // shard_convs))
-        .map_batches(expand, batch_format="pyarrow", batch_size=shard_convs)
-        .write_parquet(out_dir)
+        .map_batches(expand_and_write, batch_format="pyarrow", batch_size=shard_convs)
+        .count()
     )
     with open(meta_path, "w") as f:
         json.dump(meta, f)

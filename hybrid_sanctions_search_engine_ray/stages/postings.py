@@ -38,6 +38,7 @@ SEGMENT_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("seg_idx", pa.int32()),       # sub-segment ordinal within (term, part)
         ("n_docs", pa.int64()),
+        ("cf", pa.int64()),           # Σ tf in this sub-segment (dictionary source)
         ("max_tf", pa.int32()),
         ("docs", pa.binary()),         # delta+varint doc ids
         ("tfs", pa.binary()),          # varint term frequencies
@@ -73,6 +74,53 @@ def hot_term_parts(term: str, cfg: EngineConfig, is_hot: bool) -> list[int]:
     return sorted(parts)
 
 
+def pack_postings_by_part(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Map-side shuffle combine: split a posting batch by ``part`` and
+    serialize each slice to one Arrow-IPC payload row ``(part, payload)``.
+
+    The wide ``groupby(part)`` then moves ~(tasks × partitions) binary
+    blobs instead of one row per posting — per-row shuffle overhead
+    (hashing, sort comparisons, string copies) collapses by ~3 orders of
+    magnitude while the byte volume stays the same. This is the
+    map-side-combine pattern for Ray Data shuffles (ray_guide
+    "Aggregation at scale")."""
+    part = batch["part"].to_numpy(zero_copy_only=False)
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = batch.take(pa.array(order))
+    sp = part[order]
+    bounds = np.flatnonzero(sp[1:] != sp[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(sp)]))
+    parts_out, payloads = [], []
+    for s, e in zip(starts, ends):
+        sl = sorted_tbl.slice(s, e - s)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, sl.schema) as w:
+            w.write_table(sl)
+        parts_out.append(int(sp[s]))
+        payloads.append(sink.getvalue().to_pybytes())
+    return pa.table(
+        {"part": pa.array(parts_out, pa.int32()), "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def _unpack_group(group: pd.DataFrame) -> pd.DataFrame:
+    tables = [pa.ipc.open_stream(p).read_all() for p in group["payload"]]
+    return pa.concat_tables(tables).to_pandas()
+
+
+def build_segment_packed(
+    group: pd.DataFrame,
+    index_dir: str,
+    cfg: EngineConfig,
+    avgdl: float,
+    input_path: str,
+) -> pd.DataFrame:
+    """Reduce side of the packed shuffle: deserialize one partition's
+    payloads and delegate to :func:`build_segment`."""
+    return build_segment(_unpack_group(group), index_dir, cfg, avgdl, input_path)
+
+
 def build_segment(
     group: pd.DataFrame,
     index_dir: str,
@@ -99,7 +147,7 @@ def build_segment(
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(terms)]))
 
-    rows: dict[str, list] = {k: [] for k in ("term", "seg_idx", "n_docs", "max_tf", "docs", "tfs", "dls", "block_max")}
+    rows: dict[str, list] = {k: [] for k in ("term", "seg_idx", "n_docs", "cf", "max_tf", "docs", "tfs", "dls", "block_max")}
     n_postings = 0
     for s, e in zip(starts, ends):
         term = terms[s]
@@ -111,6 +159,7 @@ def build_segment(
             rows["term"].append(term)
             rows["seg_idx"].append(seg_idx)
             rows["n_docs"].append(ee - ss)
+            rows["cf"].append(int(t.sum()))
             rows["max_tf"].append(int(t.max()))
             rows["docs"].append(db)
             rows["tfs"].append(tb)
@@ -123,6 +172,7 @@ def build_segment(
             "term": pa.array(rows["term"], pa.string()),
             "seg_idx": pa.array(rows["seg_idx"], pa.int32()),
             "n_docs": pa.array(rows["n_docs"], pa.int64()),
+            "cf": pa.array(rows["cf"], pa.int64()),
             "max_tf": pa.array(rows["max_tf"], pa.int32()),
             "docs": pa.array(rows["docs"], pa.binary()),
             "tfs": pa.array(rows["tfs"], pa.binary()),

@@ -20,7 +20,6 @@ def test_manifest_complete(built_index):
 
 def test_layout_on_disk(built_index):
     index_dir, cfg, manifest = built_index
-    assert os.path.isdir(os.path.join(index_dir, "dictionary.parquet"))
     assert os.path.isdir(os.path.join(index_dir, "docmap.parquet"))
     seg_root = os.path.join(index_dir, "segments")
     parts = [p for p in os.listdir(seg_root) if p.startswith("part=")]
@@ -59,17 +58,35 @@ def test_docid_invariant(built_index, corpus_dir):
     assert (dm["turn_idx"].to_numpy() == src["turn_idx"].to_numpy()).all()
 
 
-def test_postings_totals_match_dictionary(built_index):
-    """Σ df over segment rows == Σ df in dictionary (no postings lost in
-    the shuffle, sub-segmenting or salting)."""
-    index_dir, cfg, manifest = built_index
-    from hybrid_sanctions_search_engine_ray.stages.analyze import DOC_SENTINEL
+def test_assume_sorted_equivalence(tmp_path, corpus_dir, built_index):
+    """The generator's shard layout is globally sorted, so the
+    assume_sorted fast path must produce an identical docmap to the
+    sort-based build."""
+    import pandas as pd
 
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+
+    index_dir, cfg, _ = built_index
+    fast_dir = str(tmp_path / "fast")
+    build_index(corpus_dir, fast_dir, cfg, assume_sorted=True)
+    a = pq.read_table(os.path.join(index_dir, "docmap.parquet")).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pq.read_table(os.path.join(fast_dir, "docmap.parquet")).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_write_dictionary_utility(built_index):
+    """write_dictionary materializes exact (term, df, cf) from segments;
+    Σ df equals Σ n_docs over the raw segment rows (no postings lost in
+    the shuffle, sub-segmenting or salting)."""
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import write_dictionary
+
+    index_dir, cfg, manifest = built_index
     seg_root = os.path.join(index_dir, "segments")
     total_seg = 0
     for p in os.listdir(seg_root):
         f = os.path.join(seg_root, p, "postings.parquet")
         total_seg += sum(pq.read_table(f, columns=["n_docs"])["n_docs"].to_pylist())
-    d = pq.read_table(os.path.join(index_dir, "dictionary.parquet")).to_pandas()
-    total_dict = int(d.loc[d["term"] != DOC_SENTINEL, "df"].sum())
-    assert total_seg == total_dict
+    dict_path = write_dictionary(index_dir)
+    d = pq.read_table(dict_path).to_pandas()
+    assert int(d["df"].sum()) == total_seg
+    assert d["term"].is_unique

@@ -41,6 +41,22 @@ def test_corpus_stats_match_oracle(built_index, oracle):
     assert abs(manifest.avgdl - oracle.avgdl) < 1e-9
 
 
+def test_dictionary_matches_oracle(built_index, oracle):
+    """write_dictionary (from segments) reproduces the oracle's per-term
+    df/cf exactly — an end-to-end check that the shuffle, sub-segmenting
+    and hot-term salting lose nothing."""
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import write_dictionary
+
+    index_dir, cfg, manifest = built_index
+    d = pq.read_table(write_dictionary(index_dir)).to_pandas().set_index("term")
+    assert len(d) == len(oracle.postings)
+    for term, plist in oracle.postings.items():
+        assert int(d.loc[term, "df"]) == len(plist), term
+        assert int(d.loc[term, "cf"]) == sum(plist.values()), term
+
+
 @pytest.mark.parametrize("method", ["taat", "maxscore"])
 def test_rank_identity_vs_oracle(built_index, oracle, method):
     index_dir, cfg, manifest = built_index

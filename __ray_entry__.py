@@ -326,6 +326,78 @@ def q_embedding_topk(sf_dir: str):
     return res.map_batches(final, batch_format="pandas")
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) over the events log —
+    groupby(user).map_groups with a vectorized gap cut (stages/windows)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import sessionize
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
+    res = sessionize(ds, gap_s=1800)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["sum_value"] = _round4(b["sum_value"].to_numpy())
+        return b
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer broadcast join (small side shipped once via
+    ray.put) → revenue per market segment (SURVEY.md §2.4 J3)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.joins import broadcast_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey", concurrency=2)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("c_mktsegment", sort=False).agg(
+            n_p=("o_totalprice", "size"), sum_p=("o_totalprice", "sum")
+        ).reset_index()
+        return g
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_p", alias_name="n_orders"), Sum("sum_p", alias_name="total_price"))
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "mktsegment": b["c_mktsegment"],
+                "n_orders": b["n_orders"].astype(np.int64),
+                "total_price": np.sign(b["total_price"].to_numpy())
+                * np.floor(np.abs(b["total_price"].to_numpy()) * 100 + 0.5)
+                / 100,
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def q_bm25_confidence(sf_dir: str):
+    """Per-query max-score normalization (reference G5: confidence =
+    score/max_score per response — elasticsearch_adapters.py:333-346)."""
+    res = q_bm25_topk(sf_dir)
+
+    def conf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank").copy()
+        g["confidence"] = _round4(g["score"].to_numpy() / g["score"].to_numpy().max())
+        return g[["query_id", "rank", "doc_id", "confidence"]]
+
+    return res.groupby("query_id").map_groups(conf, batch_format="pandas")
+
+
 # --- non-SQL-expressible ops (rows-only driver check; pytest-verified) ------
 
 
@@ -396,6 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "langid": q_langid,
         "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "segment_revenue": q_segment_revenue,
+        "bm25_confidence": q_bm25_confidence,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -491,6 +566,57 @@ SELECT doc_id,
        WHEN fr >= ru THEN 'fr'
        ELSE 'ru' END AS pred_lang
 FROM marks
+""",
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM e
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       epoch_us(min(ts))::BIGINT AS session_start_us,
+       epoch_us(max(ts))::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_idx
+""",
+        "segment_revenue": """
+SELECT c.c_mktsegment AS mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+        "bm25_confidence": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score4,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= {BM25_TOP_K})
+SELECT query_id, cast(rnk AS int) AS rank, doc_id,
+       round(score4 / max(score4) OVER (PARTITION BY query_id), 4) AS confidence
+FROM topk
 """,
         "events_window": """
 SELECT event_type,

@@ -39,16 +39,24 @@ def _sf_tag() -> str:
     return os.path.basename(os.path.normpath(SF_DIR))
 
 
+def _n_convs() -> int:
+    # GRAFT_BENCH_CONVS overrides (the scaling run uses a larger corpus so
+    # parallel phases dominate fixed per-job overheads)
+    override = os.environ.get("GRAFT_BENCH_CONVS")
+    if override:
+        return int(override)
+    return _SF_N_CONVS.get(_sf_tag(), 4600)
+
+
 def corpus_path() -> str:
-    n = _SF_N_CONVS.get(_sf_tag(), 4600)
-    return f"/tmp/graft_bench/transcripts_{n}_{SEED}"
+    return f"/tmp/graft_bench/transcripts_{_n_convs()}_{SEED}"
 
 
 def ensure_corpus() -> str:
     from hybrid_sanctions_search_engine_ray.sources.transcripts import generate_transcripts
 
-    n = _SF_N_CONVS.get(_sf_tag(), 4600)
-    return generate_transcripts(corpus_path(), n_convs=n, seed=SEED, shard_convs=512)
+    n = _n_convs()
+    return generate_transcripts(corpus_path(), n_convs=n, seed=SEED, shard_convs=max(512, n // 160))
 
 
 def bench_queries(n: int = 200) -> list[dict]:

@@ -73,6 +73,7 @@ class IndexReader:
         )
         self.analyzer = get_analyzer(self.cfg.analyzer)
         self._postings: dict[str, TermPosting | None] = {}
+        self._raw: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray] | None] = {}
 
     # --- postings -----------------------------------------------------------
     # (df per term is derived from the segment rows themselves — Σ n_docs
@@ -119,6 +120,7 @@ class IndexReader:
                 segs = raw.get(t)
                 if not segs:
                     self._postings.setdefault(t, None)
+                    self._raw.setdefault(t, None)
                     continue
                 parts_decoded = [decode_posting(db, tb, lb) for _, _, db, tb, lb in sorted(segs, key=lambda s: (s[0], s[1]))]
                 doc_ids = np.concatenate([d for d, _, _ in parts_decoded])
@@ -126,12 +128,20 @@ class IndexReader:
                 dls = np.concatenate([x for _, _, x in parts_decoded])
                 order = np.argsort(doc_ids, kind="stable")
                 doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+                self._raw[t] = (doc_ids, tfs, dls)
                 factors = tf_factor(tfs, dls, m.k1, m.b, m.avgdl)
                 df = int(doc_ids.size)  # exact: every posting of the term is here
                 self._postings[t] = TermPosting(
                     t, float(idf(m.n_docs, df)), doc_ids, factors, m.block_size
                 )
         return {t: p for t in terms if (p := self._postings.get(t)) is not None}
+
+    def load_raw(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Decoded (doc_ids, tfs, doclens) for one term — the federation
+        building block (pipelines/federated.py)."""
+        if term not in self._raw:
+            self.load_postings([term])
+        return self._raw.get(term)
 
     # --- scoring ------------------------------------------------------------
     def search_one(self, query_text: str, top_k: int, method: str = "maxscore") -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,94 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+from hybrid_sanctions_search_engine_ray.stages.dedup import (
+    MinHasher,
+    _shingle_hashes,
+    add_md5,
+    exact_dedup_groups,
+    jaccard_verify,
+    minhash_candidate_pairs,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token change → high jaccard
+FAR = "completely different content about database query optimization and distributed systems engineering"
+
+
+def _docs_table(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+
+
+def test_md5_matches_duckdb():
+    import duckdb
+
+    t = add_md5(_docs_table(["hello", "мир", ""]))
+    con = duckdb.connect()
+    for text, h in zip(["hello", "мир", ""], t["text_md5"].to_pylist()):
+        assert con.execute("select md5(?)", [text]).fetchone()[0] == h
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table([BASE, BASE, FAR, BASE]))
+    out = exact_dedup_groups(ds).to_pandas().sort_values("keep_doc_id").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[out["n_dups"] == 3, "keep_doc_id"].iloc[0] == 0
+
+
+def test_minhash_signature_similarity():
+    """Sketch property: E[matching minhashes] ≈ Jaccard."""
+    mh = MinHasher(num_perm=128, bands=32)
+    a = _shingle_hashes(np.array(BASE.split(), dtype=object), 3)
+    b = _shingle_hashes(np.array(NEAR.split(), dtype=object), 3)
+    c = _shingle_hashes(np.array(FAR.split(), dtype=object), 3)
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    true_ab = len(set(a) & set(b)) / len(set(a) | set(b))
+    assert abs(sim_ab - true_ab) < 0.2
+    assert sim_ac < 0.1 < sim_ab
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    texts = [BASE, NEAR, FAR, "the weather today is sunny with a chance of rain in the late afternoon hours"]
+    ds = rd.from_arrow(_docs_table(texts))
+    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16, concurrency=1).to_pandas()
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in found, f"near-dup pair not found: {found}"
+    assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_jaccard_verify():
+    pairs = pd.DataFrame({"doc_a": [0], "doc_b": [1]})
+    out = jaccard_verify(pairs, {0: BASE, 1: NEAR})
+    assert 0.5 < out["jaccard"].iloc[0] < 1.0
+    out2 = jaccard_verify(pd.DataFrame({"doc_a": [0], "doc_b": [1]}), {0: BASE, 1: FAR})
+    assert out2["jaccard"].iloc[0] < 0.05
+
+
+def test_simhash_properties():
+    t = simhash64(_docs_table([BASE, BASE, NEAR, FAR]), AnalyzerConfig())
+    h = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    assert h[0] == h[1]  # identical text → identical hash
+
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert hamming(h[0], h[2]) < hamming(h[0], h[3]), "near-dup should be closer than unrelated"
+
+
+def test_simhash_deterministic():
+    t1 = simhash64(_docs_table([BASE]), AnalyzerConfig())
+    t2 = simhash64(_docs_table([BASE]), AnalyzerConfig())
+    assert t1["simhash"].to_pylist() == t2["simhash"].to_pylist()

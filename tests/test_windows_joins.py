@@ -1,0 +1,78 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from hybrid_sanctions_search_engine_ray.stages.joins import broadcast_join, bucketed_join
+from hybrid_sanctions_search_engine_ray.stages.windows import sessionize_group, tumbling_window_key
+
+
+def test_tumbling_window_key():
+    ts = np.array([0, 3_599_999_999, 3_600_000_000, 7_200_000_001], dtype=np.int64)
+    assert tumbling_window_key(ts, 3600).tolist() == [0, 0, 3600, 7200]
+
+
+def test_sessionize_group_gaps():
+    us = 1_000_000
+    ts = pd.to_datetime([0, 10 * us, 2000 * us, 2010 * us], unit="us")
+    g = pd.DataFrame({"user_id": [1] * 4, "ts": ts, "value": [1.0, 2.0, 3.0, 4.0]})
+    out = sessionize_group(g, gap_s=1800)
+    assert len(out) == 2
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["sum_value"].tolist() == [3.0, 7.0]
+
+
+def test_sessionize_exact_gap_boundary():
+    # gap exactly == gap_s does NOT start a new session (strict >)
+    ts = pd.to_datetime([0, 1800 * 1_000_000], unit="us")
+    g = pd.DataFrame({"user_id": [1, 1], "ts": ts, "value": [1.0, 1.0]})
+    assert len(sessionize_group(g, gap_s=1800)) == 1
+
+
+def test_sessionize_dataset(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for uid in range(5):
+        for i in range(10):
+            rows.append(
+                {
+                    "user_id": uid,
+                    "ts": pd.Timestamp(2024, 1, 1) + pd.Timedelta(hours=i if i < 5 else i + 10),
+                    "value": 1.0,
+                }
+            )
+    out = sessionize(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    assert set(out["user_id"]) == set(range(5))
+    assert (out.groupby("user_id")["n_events"].sum() == 10).all()
+
+
+def sessionize(ds, gap_s=1800):
+    from hybrid_sanctions_search_engine_ray.stages.windows import sessionize as _s
+
+    return _s(ds, gap_s)
+
+
+def test_broadcast_join(ray_session):
+    import ray.data as rd
+
+    big = rd.from_items([{"k": i % 3, "v": i} for i in range(100)])
+    small = pd.DataFrame({"k": [0, 1, 2], "name": ["a", "b", "c"]})
+    out = broadcast_join(big, small, on="k", concurrency=1).to_pandas()
+    assert len(out) == 100
+    assert set(out.columns) == {"k", "v", "name"}
+    assert (out.loc[out.k == 0, "name"] == "a").all()
+
+
+def test_bucketed_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300), "lv": np.arange(300)})
+    right = pd.DataFrame({"k": np.arange(50), "rv": np.arange(50) * 10})
+    out = bucketed_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=8
+    ).to_pandas()
+    expect = left.merge(right, on="k")
+    a = out.sort_values(["k", "lv"]).reset_index(drop=True)
+    b = expect.sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["k", "lv", "rv"]], b[["k", "lv", "rv"]], check_dtype=False)

@@ -1,0 +1,120 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+    python -m hybrid_sanctions_search_engine_ray build  --input DIR --index DIR [--resume] [--assume-sorted]
+    python -m hybrid_sanctions_search_engine_ray query  --index DIR --query "text" [--top-k K] [--with-docmap]
+    python -m hybrid_sanctions_search_engine_ray query-file --index DIR --queries q.parquet --out out.parquet
+    python -m hybrid_sanctions_search_engine_ray stats  --index DIR
+    python -m hybrid_sanctions_search_engine_ray generate --out DIR --n-convs N [--seed S]
+
+On a cluster: ``ray job submit -- python -m hybrid_sanctions_search_engine_ray build ...``
+(the module initialises Ray itself only when not already initialised, so
+it composes with the job driver's session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", ignore_reinit_error=True, **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hybrid_sanctions_search_engine_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--assume-sorted", action="store_true")
+    b.add_argument("--num-partitions", type=int, default=64)
+    b.add_argument("--analyzer", choices=["simple", "full"], default="simple")
+    b.add_argument("--stopwords", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--top-k", type=int, default=10)
+    q.add_argument("--method", choices=["maxscore", "taat"], default="maxscore")
+    q.add_argument("--with-docmap", action="store_true")
+
+    qf = sub.add_parser("query-file")
+    qf.add_argument("--index", required=True)
+    qf.add_argument("--queries", required=True, help="parquet with query_id, query_text[, top_k]")
+    qf.add_argument("--out", required=True)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--index", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-convs", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+
+    if args.cmd == "build":
+        from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+        from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+
+        cfg = EngineConfig(
+            num_partitions=args.num_partitions,
+            analyzer=AnalyzerConfig(mode=args.analyzer, remove_stopwords=args.stopwords),
+        )
+        m = build_index(args.input, args.index, cfg, resume=args.resume, assume_sorted=args.assume_sorted)
+        print(json.dumps({"status": m.status, "n_docs": m.n_docs, "avgdl": round(m.avgdl, 4),
+                          "n_terms": m.n_terms, "parts": len(m.parts), "hot_terms": len(m.hot_terms)}))
+    elif args.cmd == "query":
+        from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader, attach_docmap
+
+        r = IndexReader(args.index)
+        docs, scores = r.search_one(args.query, args.top_k, method=args.method)
+        import pandas as pd
+
+        out = pd.DataFrame({"rank": range(1, len(docs) + 1), "doc_id": docs.astype("int64"),
+                            "score": scores})
+        if args.with_docmap and len(out):
+            out["query_id"] = "q"
+            out = attach_docmap(out, args.index).drop(columns=["query_id"])
+        print(out.to_string(index=False))
+    elif args.cmd == "query-file":
+        import ray.data as rd
+
+        from hybrid_sanctions_search_engine_ray.config import EngineConfig
+        from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+        queries = rd.read_parquet(args.queries)
+        search(queries, args.index, EngineConfig()).write_parquet(args.out)
+        print(json.dumps({"written": args.out}))
+    elif args.cmd == "stats":
+        from hybrid_sanctions_search_engine_ray.pipelines.index_build import index_stats
+
+        st = index_stats(args.index)
+        st.pop("parts", None)
+        st.pop("hot_terms", None)
+        print(json.dumps(st, default=str))
+    elif args.cmd == "generate":
+        from hybrid_sanctions_search_engine_ray.sources.transcripts import generate_transcripts
+
+        out = generate_transcripts(args.out, n_convs=args.n_convs, seed=args.seed)
+        print(json.dumps({"generated": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -128,6 +128,20 @@ def run_bench() -> dict:
     n_results = res.count()
     timings["bm25_query_batch"] = round(time.monotonic() - t0, 3)
 
+    # single-query latency distribution on a warm reader (the reference's
+    # p50/p95 query-latency metric, BASELINE.md "Query latency")
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    reader = IndexReader(index_dir)
+    lat = []
+    for q in qs[:100]:
+        t0 = time.monotonic()
+        reader.search_one(q["query_text"], q["top_k"])
+        lat.append((time.monotonic() - t0) * 1000)
+    lat.sort()
+    query_p50_ms = round(lat[len(lat) // 2], 2)
+    query_p95_ms = round(lat[int(len(lat) * 0.95)], 2)
+
     # training-data ops over the driver tables at $GRAFT_SF_DIR
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
@@ -150,21 +164,30 @@ def run_bench() -> dict:
         "turns": int(n_turns),
         "turns_per_sec": round(n_turns / timings["index_build"], 1),
         "n_results": int(n_results),
+        "query_p50_ms": query_p50_ms,
+        "query_p95_ms": query_p95_ms,
     }
     ray.shutdown()
     return result
 
 
 def _subprocess_run(ncpu: int) -> dict:
+    """Run one bench at ``ncpu`` with HARD cpu affinity (taskset): Ray's
+    ``num_cpus`` only limits scheduling slots, while Arrow/numpy kernels
+    inside each task would still use every physical core — affinity is
+    what actually simulates the smaller cluster."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if shutil_which("taskset"):
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True).stdout
     return json.loads(out.strip().splitlines()[-1])
+
+
+def shutil_which(name: str):
+    import shutil
+
+    return shutil.which(name)
 
 
 def run_scaling(trials: int = 3) -> dict:

@@ -143,6 +143,7 @@ def build_index(
     resume: bool = False,
     fail_after_parts: int | None = None,
     assume_sorted: bool = False,
+    store_text: bool = False,
 ) -> IndexManifest:
     """End-to-end index build. ``transcripts_ds`` overrides reading
     ``input_path`` directly (it must carry the transcript schema; a
@@ -188,7 +189,8 @@ def build_index(
         # the id'd corpus is already globally ordered by doc_id (ids were
         # assigned along the stable sort), so no second sort: row-group
         # min/max stats still give point-lookup pruning
-        ds.select_columns(["doc_id", "conv_id", "turn_idx"]).write_parquet(docmap_path)
+        docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
+        ds.select_columns(docmap_cols).write_parquet(docmap_path)
     _mark("docmap")
 
     # --- single tokenize scan: posting rows + per-batch term stats ---

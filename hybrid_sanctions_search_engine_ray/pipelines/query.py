@@ -197,6 +197,57 @@ def search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, metho
     )
 
 
+def phrase_search(
+    index_dir: str,
+    phrase: str,
+    top_k: int = 10,
+    candidate_factor: int = 4,
+    reader: IndexReader | None = None,
+) -> pd.DataFrame:
+    """Phrase query = BM25 candidate retrieval + exact token-sequence
+    verification over stored text (requires ``build_index(...,
+    store_text=True)``).
+
+    Mirrors the reference's AC exact/phrase tier (reference:
+    elasticsearch_adapters.py:164-331 phrase clause) without a positional
+    index: retrieve ``candidate_factor × top_k`` BM25 candidates for the
+    phrase's terms, fetch their texts via row-group-pruned docmap reads,
+    keep docs whose ANALYZED token stream contains the phrase's token
+    sequence contiguously, and return the top-k of the survivors in BM25
+    order. With all phrase terms required in candidates' BM25 top-C this
+    is exact for the returned prefix whenever ≥ top_k survivors exist in
+    the candidate pool (the standard retrieve-then-verify rerank shape).
+    """
+    r = reader or IndexReader(index_dir)
+    want = r.analyzer(phrase)
+    if not want:
+        return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
+    docs, scores = r.search_one(phrase, top_k * candidate_factor)
+    if docs.size == 0:
+        return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
+    ids = sorted(int(d) for d in docs)
+    dm = pads.dataset(os.path.join(index_dir, "docmap.parquet")).to_table(
+        filter=pads.field("doc_id").isin(ids)
+    )
+    if "text" not in dm.column_names:
+        raise ValueError("phrase_search requires an index built with store_text=True")
+    texts = dict(zip(dm["doc_id"].to_pylist(), dm["text"].to_pylist()))
+
+    def contains(doc_id: int) -> bool:
+        toks = r.analyzer(texts.get(int(doc_id), ""))
+        n, m = len(toks), len(want)
+        return any(toks[i : i + m] == want for i in range(n - m + 1))
+
+    keep = [i for i, d in enumerate(docs) if contains(int(d))][: top_k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(keep) + 1, dtype=np.int32),
+            "doc_id": docs[keep].astype(np.int64),
+            "score": scores[keep],
+        }
+    )
+
+
 def attach_docmap(results_df: pd.DataFrame, index_dir: str) -> pd.DataFrame:
     """Join top-k results (small) back to (conv_id, turn_idx) via
     row-group-pruned reads of the sorted docmap (SURVEY.md §2.4 J2 —

@@ -1,0 +1,52 @@
+import numpy as np
+import pyarrow as pa
+
+from hybrid_sanctions_search_engine_ray.functions.fusion import rrf_fusion, weighted_fusion
+from hybrid_sanctions_search_engine_ray.stages.validate import clean, validate_batch
+
+
+def test_weighted_fusion_shared_bonus():
+    da, sa = np.array([1, 2, 3]), np.array([3.0, 2.0, 1.0])
+    db, sb = np.array([3, 4]), np.array([5.0, 2.5])
+    docs, scores = weighted_fusion(da, sa, db, sb, w_a=0.65, w_b=0.35, shared_bonus=0.15, top_k=10)
+    got = dict(zip(docs.tolist(), scores.tolist()))
+    # doc 3: 0.65*(1/3) + 0.35*1.0 + 0.15 shared
+    assert abs(got[3] - (0.65 / 3 + 0.35 + 0.15)) < 1e-12
+    # doc 1: only list a, max there → 0.65
+    assert abs(got[1] - 0.65) < 1e-12
+    assert docs[0] == 1 or docs[0] == 3  # highest fused first
+    assert scores[0] >= scores[-1]
+
+
+def test_weighted_fusion_empty_side():
+    da, sa = np.array([1]), np.array([2.0])
+    docs, scores = weighted_fusion(da, sa, np.array([], dtype=np.int64), np.array([]), top_k=5)
+    assert docs.tolist() == [1]
+
+
+def test_rrf():
+    docs, scores = rrf_fusion([np.array([1, 2, 3]), np.array([3, 1, 4])], k=60, top_k=10)
+    got = dict(zip(docs.tolist(), scores.tolist()))
+    assert abs(got[1] - (1 / 61 + 1 / 62)) < 1e-12
+    assert docs[0] == 1  # appears near top of both lists
+
+
+def _t(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())})
+
+
+def test_validate_batch():
+    b = validate_batch(_t(["ok", "", "   ", "x" * 20]), max_len=10)
+    assert b["valid"].to_pylist() == [True, False, False, True]
+    assert b["truncated"].to_pylist() == [False, False, False, True]
+    assert b["reject_reason"].to_pylist() == ["", "empty", "empty", ""]
+
+
+def test_clean_pipeline(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_t(["good text", "", "\x00weird\x01", "y" * 50]))
+    out = clean(ds, max_len=10).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 2, 3]
+    assert out.loc[out.doc_id == 2, "text"].iloc[0] == "weird"
+    assert len(out.loc[out.doc_id == 3, "text"].iloc[0]) == 10

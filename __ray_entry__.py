@@ -326,6 +326,25 @@ def q_embedding_topk(sf_dir: str):
     return res.map_batches(final, batch_format="pandas")
 
 
+def q_cap_per_group(sf_dir: str):
+    """Per-group cap: top-3 events per user by (value desc, event_id asc)
+    — the reference's per-entity pattern cap re-expressed as
+    groupby(key).map_groups(head_n) (SURVEY.md §2.5 G2, reference:
+    scripts/prepare_sanctions_data.py:124-138)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "value"])
+
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True], kind="mergesort").head(3)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["value"] = _round4(g["value"].to_numpy())
+        return g[["user_id", "rnk", "event_id", "value"]]
+
+    return ds.groupby("user_id").map_groups(head3, batch_format="pandas")
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min gap) over the events log —
     groupby(user).map_groups with a vectorized gap cut (stages/windows)."""
@@ -468,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "langid": q_langid,
         "events_window": q_events_window,
+        "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
         "bm25_confidence": q_bm25_confidence,
@@ -566,6 +586,15 @@ SELECT doc_id,
        WHEN fr >= ru THEN 'fr'
        ELSE 'ru' END AS pred_lang
 FROM marks
+""",
+        "cap_per_group": """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+)
+SELECT user_id, cast(rnk AS int) AS rnk, event_id, round(value, 4) AS value
+FROM ranked WHERE rnk <= 3
 """,
         "sessionize": """
 WITH e AS (

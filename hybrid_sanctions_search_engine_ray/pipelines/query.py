@@ -145,6 +145,8 @@ class IndexReader:
 
     # --- scoring ------------------------------------------------------------
     def search_one(self, query_text: str, top_k: int, method: str = "maxscore") -> tuple[np.ndarray, np.ndarray]:
+        # clamp to the reference's cap (contracts.py:62 — default 50, max 1000)
+        top_k = max(1, min(int(top_k), 1000))
         terms = sorted(set(self.analyzer(query_text)))
         postings = list(self.load_postings(terms).values())
         fn = score_maxscore if method == "maxscore" else score_taat

@@ -62,17 +62,46 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(tokens: np.ndarray, k: int) -> np.ndarray:
-    """crc32-based hashes of word k-shingles (unique)."""
+_GRAM_P = np.uint64(1_000_003)
+
+
+def _token_hashes(tokens: np.ndarray) -> np.ndarray:
+    """Stable 64-bit token hashes, vectorized via per-batch dedup
+    (crc32 of the token and of its reverse, combined)."""
     import zlib
 
-    if tokens.size < k:
-        joined = [" ".join(tokens.tolist())] if tokens.size else []
-    else:
-        joined = [" ".join(tokens[i : i + k].tolist()) for i in range(tokens.size - k + 1)]
-    if not joined:
+    import pandas as pd
+
+    codes, uniques = pd.factorize(pd.Series(tokens), use_na_sentinel=False)
+    uh = np.empty(len(uniques), dtype=np.uint64)
+    for i, u in enumerate(uniques):
+        b = u.encode("utf-8") if isinstance(u, str) else b""
+        uh[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(zlib.crc32(b[::-1]))
+    return uh[codes]
+
+
+def _gram_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial k-gram hashes over consecutive token hashes (the
+    vectorized shingle function shared by the signature and the
+    exact-Jaccard verifier)."""
+    h = token_hashes
+    if h.size == 0:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(np.array([zlib.crc32(s.encode()) for s in joined], dtype=np.uint64))
+    if h.size < k:
+        out = np.zeros(1, dtype=np.uint64)
+        for i in range(h.size):
+            out = out * _GRAM_P + h[i]
+        return out
+    n = h.size - k + 1
+    grams = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        grams = grams * _GRAM_P + h[i : i + n]
+    return grams
+
+
+def _shingle_hashes(tokens: np.ndarray, k: int) -> np.ndarray:
+    """Unique shingle hashes of one doc's token array."""
+    return np.unique(_gram_hashes(_token_hashes(tokens), k))
 
 
 class MinHasher:
@@ -100,52 +129,114 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Fully vectorized: flat gram hashes with cross-doc masking →
+        per-doc segment-min over all permutations (np.minimum.reduceat)
+        → polynomial band hashes. No per-document Python loop."""
         parent, terms = flat_terms(batch, self.cfg)
-        t_np = terms.to_numpy(zero_copy_only=False) if len(terms) else np.empty(0, dtype=object)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_doc, out_band, out_hash = [], [], []
-        for i in range(batch.num_rows):
-            toks = t_np[parent == i]
-            sh = _shingle_hashes(toks, self.k)
-            if sh.size == 0:
-                continue
-            sig = self.signature(sh)
-            for bi in range(self.bands):
-                band = sig[bi * self.rows : (bi + 1) * self.rows]
-                bh = int.from_bytes(
-                    hashlib.md5(band.tobytes() + bytes([bi])).digest()[:8], "little"
-                )
-                out_doc.append(int(doc_ids[i]))
-                out_band.append(bi)
-                out_hash.append(bh)
+        if len(terms) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        th = _token_hashes(terms.to_numpy(zero_copy_only=False))
+        k = self.k
+        # windows fully inside one doc (parent is nondecreasing)
+        if th.size >= k:
+            grams_all = _gram_hashes(th, k)
+            valid = parent[: grams_all.size] == parent[k - 1 : k - 1 + grams_all.size]
+            grams = grams_all[valid]
+            gdoc = parent[: grams_all.size][valid]
+        else:
+            grams = np.empty(0, dtype=np.uint64)
+            gdoc = np.empty(0, dtype=np.int64)
+        # short docs (< k tokens): one whole-doc gram each
+        counts = np.bincount(parent, minlength=batch.num_rows)
+        short = np.flatnonzero((counts > 0) & (counts < k))
+        if short.size:
+            sg = np.empty(short.size, dtype=np.uint64)
+            for j, d in enumerate(short):  # rare path: only tiny docs
+                sg[j] = _gram_hashes(th[parent == d], k)[0]
+            grams = np.concatenate([grams, sg])
+            gdoc = np.concatenate([gdoc, short])
+            order = np.argsort(gdoc, kind="stable")
+            grams, gdoc = grams[order], gdoc[order]
+        if grams.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.concatenate(([True], gdoc[1:] != gdoc[:-1])))
+        present = gdoc[starts]
+        # (G, P) permuted values; uint64 wrap-around is part of the hash
+        vals = (grams[:, None] * self.a + self.b) % np.uint64(_MERSENNE)
+        sig = np.minimum.reduceat(vals, starts, axis=0)  # (D, P)
+        banded = sig.reshape(sig.shape[0], self.bands, self.rows)
+        bh = np.zeros((sig.shape[0], self.bands), dtype=np.uint64)
+        for r in range(self.rows):
+            bh = bh * np.uint64(0x9E3779B97F4A7C15) + banded[:, :, r]
+        bh += np.arange(self.bands, dtype=np.uint64)  # separate band spaces
+        n_docs = present.size
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(np.array(out_hash, dtype=np.uint64).view(np.int64)),
+                "doc_id": pa.array(np.repeat(doc_ids[present], self.bands), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n_docs)),
+                "band_hash": pa.array(bh.ravel().view(np.int64)),
             }
         )
 
 
-def _pairs_from_bucket(g: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
-    ids = np.unique(g["doc_id"].to_numpy())[:max_bucket]
-    if ids.size < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-    a, b = np.triu_indices(ids.size, k=1)
-    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+def _pairs_from_partition(g: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
+    """One coarse partition of the LSH space → pairs from every
+    (band_id, band_hash) bucket inside it. A single map_groups call
+    handles thousands of buckets (grouping whole (band,hash) buckets
+    into ~256 partitions avoids one Ray task per tiny bucket)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    sizes = g.groupby(["band_id", "band_hash"], sort=False)["doc_id"].nunique()
+    multi = sizes[sizes > 1]
+    if len(multi):
+        grouped = g.set_index(["band_id", "band_hash"]).sort_index()
+        for key in multi.index:
+            ids = np.unique(grouped.loc[key, "doc_id"].to_numpy())[:max_bucket]
+            a, b = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                            concurrency: int = 4):
-    """Dataset(doc_id, text) → distinct candidate pairs (doc_a, doc_b)."""
+                            concurrency: int = 4, space_partitions: int = 256):
+    """Dataset(doc_id, text) → distinct candidate pairs (doc_a, doc_b).
+
+    The LSH-space shuffle is coarsened: band buckets hash into
+    ``space_partitions`` groups (a bucket never straddles partitions, so
+    no pair is lost), then pairs are built vectorized within each."""
+    import pyarrow.compute as pc
+
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_from_bucket, batch_format="pandas"
+
+    def add_space(b: pa.Table) -> pa.Table:
+        h = b["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return b.append_column("space", pa.array((h % space_partitions).astype(np.int32)))
+
+    pairs = (
+        sigs.map_batches(add_space, batch_format="pyarrow")
+        .groupby("space")
+        .map_groups(_pairs_from_partition, batch_format="pandas")
     )
     from ray.data.aggregate import Count
 
@@ -184,25 +275,22 @@ def jaccard_verify(pairs_df: pd.DataFrame, texts: dict[int, str], shingle_k: int
 
 
 def simhash64(batch: pa.Table, cfg: AnalyzerConfig | None = None) -> pa.Table:
-    """doc_id → 64-bit SimHash of tf-weighted token hashes."""
-    import zlib
-
+    """doc_id → 64-bit SimHash of token hashes, vectorized: ±1 bit
+    weights summed per doc with ``np.add.reduceat`` (parent indices are
+    nondecreasing), sign bits packed back — no per-doc Python loop."""
     cfg = cfg or AnalyzerConfig()
     parent, terms = flat_terms(batch, cfg)
     n = batch.num_rows
     out = np.zeros(n, dtype=np.uint64)
     if len(terms):
-        t_np = terms.to_numpy(zero_copy_only=False)
-        th = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in t_np],
-            dtype=np.uint64,
-        )
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        weights = np.where(bits == 1, 1, -1)  # (n_tokens, 64)
-        for d in range(n):
-            w = weights[parent == d]
-            if w.size == 0:
-                continue
-            v = w.sum(axis=0)
-            out[d] = np.packbits((v > 0).astype(np.uint8)[::-1]).view(np.uint64)[0]
+        th = _token_hashes(terms.to_numpy(zero_copy_only=False))
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        weights = 2 * bits - 1  # (n_tokens, 64)
+        starts = np.flatnonzero(np.concatenate(([True], parent[1:] != parent[:-1])))
+        present = parent[starts]
+        sums = np.add.reduceat(weights, starts, axis=0)  # (docs_with_tokens, 64)
+        packed = (
+            (sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        ).sum(axis=1, dtype=np.uint64)
+        out[present] = packed
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out.view(np.int64))})

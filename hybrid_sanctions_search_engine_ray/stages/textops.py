@@ -91,26 +91,31 @@ def fingerprint(batch: pa.Table, cfg: AnalyzerConfig, window: int = 4) -> pa.Tab
     ``window``-grams (Schleimer et al., "Winnowing: Local Algorithms for
     Document Fingerprinting", SIGMOD'03 — public algorithm). Used for
     cheap near-dup bucketing; not SQL-expressible (rows-only check)."""
-    import zlib
+    from hybrid_sanctions_search_engine_ray.stages.dedup import _gram_hashes, _token_hashes
 
     parent, terms = flat_terms(batch, cfg)
     n = batch.num_rows
     out = np.zeros(n, dtype=np.uint64)
     if len(terms):
-        t_np = terms.to_numpy(zero_copy_only=False)
-        tok_h = np.array([zlib.crc32(t.encode()) for t in t_np], dtype=np.uint64)
-        for d in range(n):
-            h = tok_h[parent == d]
-            if h.size == 0:
-                continue
-            if h.size < window:
-                out[d] = h.min()
-                continue
-            # rolling window-gram hash: polynomial combination
-            grams = np.zeros(h.size - window + 1, dtype=np.uint64)
-            for i in range(window):
-                grams = grams * np.uint64(1_000_003) + h[i : i + grams.size]
-            out[d] = grams.min()
+        th = _token_hashes(terms.to_numpy(zero_copy_only=False))
+        k = window
+        if th.size >= k:
+            grams_all = _gram_hashes(th, k)
+            valid = parent[: grams_all.size] == parent[k - 1 : k - 1 + grams_all.size]
+            grams, gdoc = grams_all[valid], parent[: grams_all.size][valid]
+        else:
+            grams = np.empty(0, dtype=np.uint64)
+            gdoc = np.empty(0, dtype=np.int64)
+        counts = np.bincount(parent, minlength=n)
+        short = np.flatnonzero((counts > 0) & (counts < k))
+        if short.size:
+            sg = np.array([th[parent == d].min() for d in short], dtype=np.uint64)
+            grams, gdoc = np.concatenate([grams, sg]), np.concatenate([gdoc, short])
+            order = np.argsort(gdoc, kind="stable")
+            grams, gdoc = grams[order], gdoc[order]
+        if grams.size:
+            starts = np.flatnonzero(np.concatenate(([True], gdoc[1:] != gdoc[:-1])))
+            out[gdoc[starts]] = np.minimum.reduceat(grams, starts)
     return pa.table(
         {"doc_id": batch["doc_id"], "fingerprint": pa.array(out.view(np.int64))}
     )

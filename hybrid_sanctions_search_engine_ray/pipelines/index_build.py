@@ -62,9 +62,21 @@ def assign_doc_ids(ds, sort: bool = True):
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
 
+    # Ray's streaming executor does NOT guarantee block order (blocks
+    # arrive in completion order), so offsets are derived from block
+    # CONTENT: each block reports its first (conv_id, turn_idx) key +
+    # row count; blocks of a sorted dataset cover disjoint key ranges,
+    # so ordering blocks by first key reconstructs the global order
+    # deterministically regardless of arrival permutation.
     @ray.remote
-    def _count(block: pa.Table) -> int:
-        return block.num_rows
+    def _first_key(block: pa.Table) -> tuple:
+        if block.num_rows == 0:
+            return ("", -1, 0)
+        return (
+            block["conv_id"][0].as_py(),
+            int(block["turn_idx"][0].as_py()),
+            block.num_rows,
+        )
 
     @ray.remote
     def _with_ids(block: pa.Table, offset: int) -> pa.Table:
@@ -73,9 +85,11 @@ def assign_doc_ids(ds, sort: bool = True):
             block = block.drop_columns(["doc_id"])
         return block.append_column("doc_id", ids)
 
-    counts = ray.get([_count.remote(r) for r in refs])
+    keys = ray.get([_first_key.remote(r) for r in refs])
+    order = sorted(range(len(refs)), key=lambda i: (keys[i][0], keys[i][1]))
+    counts = [keys[i][2] for i in order]
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    new_refs = [_with_ids.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    new_refs = [_with_ids.remote(refs[i], int(off)) for i, off in zip(order, offsets)]
     return rd.from_arrow_refs(new_refs)
 
 

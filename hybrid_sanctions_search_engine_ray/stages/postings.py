@@ -136,11 +136,18 @@ def build_segment(
     sdir = segment_dir(index_dir, part)
     os.makedirs(sdir, exist_ok=True)
 
-    g = group.sort_values(["term", "doc_id"], kind="mergesort")
-    terms = g["term"].to_numpy()
-    doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-    tfs = g["tf"].to_numpy(dtype=np.int64)
-    dls = g["dl"].to_numpy(dtype=np.int64)
+    # (term, doc_id) sort without row-level string comparisons: factorize,
+    # rank the (small) unique-term set lexicographically, lexsort on codes
+    # — ~2× faster than a pandas object-dtype sort at 500k+ rows/part
+    raw_terms = group["term"].to_numpy()
+    codes, uniques = pd.factorize(group["term"], use_na_sentinel=False)
+    rank = np.empty(len(uniques), dtype=np.int64)
+    rank[np.argsort(uniques)] = np.arange(len(uniques))
+    order = np.lexsort((group["doc_id"].to_numpy(), rank[codes]))
+    terms = raw_terms[order]
+    doc_ids = group["doc_id"].to_numpy()[order].astype(np.int64)
+    tfs = group["tf"].to_numpy()[order].astype(np.int64)
+    dls = group["dl"].to_numpy()[order].astype(np.int64)
 
     # term run boundaries
     change = np.flatnonzero(terms[1:] != terms[:-1]) + 1

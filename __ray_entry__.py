@@ -448,6 +448,25 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(lambda b: fingerprint(b, cfg.analyzer), batch_format="pyarrow", batch_size=4096)
 
 
+def q_topk_sketch(sf_dir: str):
+    """SpaceSaving approximate top-terms (mergeable sketch per batch).
+    At documents' skew the head is exact (max_error 0) — pytest asserts
+    it equals the exact top_terms; the driver gets a rows-only check
+    because approximation bounds aren't SQL-expressible."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.sketch_ops import top_terms_sketch
+
+    return top_terms_sketch(transcripts_from_documents(sf_dir), _engine_cfg().analyzer, k=20)
+
+
+def q_distinct_sketch(sf_dir: str):
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.sketch_ops import distinct_terms_hll
+
+    est = distinct_terms_hll(transcripts_from_documents(sf_dir), _engine_cfg().analyzer)
+    return pd.DataFrame({"distinct_terms_est": [float(round(est, 1))]})
+
+
 def q_ann_ivf(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -496,6 +515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_ivf": q_ann_ivf,
+        "topk_sketch": q_topk_sketch,
+        "distinct_sketch": q_distinct_sketch,
     }
 
 

@@ -1,0 +1,148 @@
+"""Mergeable streaming sketches for corpus-scale approximate analytics.
+
+Both follow the partial-aggregation pattern from the Ray guide
+("Aggregation at scale"): one sketch per ``map_batches`` task, merged in
+a tiny reduce — no corpus-sized shuffle.
+
+* :class:`SpaceSaving` — Metwally et al. 2005, "Efficient computation of
+  frequent and top-k elements in data streams": capacity-bounded
+  counter table with min-displacement; guarantees count overestimates
+  bounded by the minimum counter, exact for sufficiently skewed heads.
+* :class:`HyperLogLog` — Flajolet et al. 2007: distinct counting in
+  2^p registers, standard bias-corrected estimator (no sparse mode —
+  corpus-scale cardinalities don't need it).
+
+Both are deterministic (stable crc32-derived hashing) and mergeable
+(the property that makes them distributed-safe).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections import Counter
+
+import numpy as np
+
+
+class SpaceSaving:
+    """Top-k frequent items with bounded memory."""
+
+    def __init__(self, capacity: int = 1024):
+        self.capacity = capacity
+        self.counts: Counter = Counter()
+        self.errors: dict = {}
+
+    def add_many(self, items: np.ndarray | list, counts: np.ndarray | None = None) -> "SpaceSaving":
+        """Vectorized ingest: pre-aggregate the batch, then one table pass."""
+        if counts is None:
+            uniq, cnt = np.unique(np.asarray(items, dtype=object), return_counts=True)
+        else:
+            uniq, cnt = np.asarray(items, dtype=object), np.asarray(counts)
+        for item, c in zip(uniq.tolist(), cnt.tolist()):
+            self._add(item, int(c))
+        return self
+
+    def _add(self, item, c: int) -> None:
+        if item in self.counts:
+            self.counts[item] += c
+        elif len(self.counts) < self.capacity:
+            self.counts[item] = c
+            self.errors[item] = 0
+        else:
+            evict, m = min(self.counts.items(), key=lambda kv: (kv[1], str(kv[0])))
+            del self.counts[evict]
+            self.errors.pop(evict, None)
+            self.counts[item] = m + c
+            self.errors[item] = m
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        out = SpaceSaving(self.capacity)
+        merged = Counter(self.counts)
+        merged.update(other.counts)
+        errors = {k: self.errors.get(k, 0) + other.errors.get(k, 0) for k in merged}
+        # keep the heaviest `capacity` entries (standard SS merge)
+        top = sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))[: self.capacity]
+        out.counts = Counter(dict(top))
+        out.errors = {k: errors[k] for k, _ in top}
+        return out
+
+    def topk(self, k: int) -> list[tuple[object, int, int]]:
+        """[(item, est_count, max_error)] — exact iff max_error == 0."""
+        top = sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+        return [(item, c, self.errors.get(item, 0)) for item, c in top]
+
+    def to_rows(self) -> dict:
+        items = list(self.counts)
+        return {
+            "item": [str(i) for i in items],
+            "count": [int(self.counts[i]) for i in items],
+            "error": [int(self.errors.get(i, 0)) for i in items],
+        }
+
+
+def fmix64(h: np.ndarray) -> np.ndarray:
+    """MurmurHash3 64-bit finalizer — decorrelates structured inputs
+    (crc32 of sequential strings is NOT uniform enough for HLL)."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+class HyperLogLog:
+    """Distinct counting, 2^p registers (p=12 → ~1.6 % standard error)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Ingest 64-bit hashes, vectorized."""
+        h = np.asarray(h, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)  # top p bits consumed
+        # rank = leading zeros of remaining 64-p bits + 1 (capped)
+        lz = np.full(h.size, 64 - self.p, dtype=np.uint8)
+        nonzero = rest != 0
+        if nonzero.any():
+            # vectorized count-leading-zeros (binary bit scan)
+            y = rest[nonzero].copy()
+            bits = np.zeros(y.size, dtype=np.uint8)
+            for shift in (32, 16, 8, 4, 2, 1):
+                mask = y < (np.uint64(1) << np.uint64(64 - shift))  # top `shift` bits zero
+                bits[mask] += shift
+                y[mask] = y[mask] << np.uint64(shift)
+            lz[nonzero] = bits
+        rank = np.minimum(lz + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add_strings(self, items) -> "HyperLogLog":
+        h = np.array(
+            [
+                (np.uint64(zlib.crc32(s.encode())) << np.uint64(32))
+                | np.uint64(zlib.crc32(s.encode()[::-1]) ^ 0xA5A5A5A5)
+                for s in items
+            ],
+            dtype=np.uint64,
+        )
+        return self.add_hashes(fmix64(h))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)  # linear counting small-range correction
+        return float(e)

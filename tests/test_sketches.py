@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+from hybrid_sanctions_search_engine_ray.functions.sketches import HyperLogLog, SpaceSaving
+
+
+def zipf_stream(n, vocab=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    p = ranks**-1.2
+    p /= p.sum()
+    return rng.choice(np.array([f"w{i:05d}" for i in range(vocab)], dtype=object), size=n, p=p)
+
+
+def test_spacesaving_exact_head():
+    stream = zipf_stream(50_000)
+    ss = SpaceSaving(capacity=512).add_many(stream)
+    from collections import Counter
+
+    exact = Counter(stream.tolist())
+    top_exact = [w for w, _ in exact.most_common(10)]
+    top_sketch = [item for item, _, _ in ss.topk(10)]
+    assert top_sketch == top_exact
+    # head estimates exact (error 0) for items that never got evicted
+    for item, est, err in ss.topk(5):
+        assert est - err <= exact[item] <= est
+
+
+def test_spacesaving_merge_distributed():
+    stream = zipf_stream(60_000, seed=3)
+    parts = np.array_split(stream, 6)
+    sketches = [SpaceSaving(capacity=512).add_many(p) for p in parts]
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.merge(s)
+    from collections import Counter
+
+    exact = Counter(stream.tolist())
+    top_exact = [w for w, _ in exact.most_common(5)]
+    top_merged = [item for item, _, _ in merged.topk(5)]
+    assert top_merged == top_exact
+
+
+def test_hll_accuracy():
+    for true_n in (100, 10_000, 200_000):
+        hll = HyperLogLog(p=12)
+        hll.add_strings([f"item-{i}" for i in range(true_n)])
+        est = hll.estimate()
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_merge():
+    a = HyperLogLog(p=12).add_strings([f"a{i}" for i in range(5000)])
+    b = HyperLogLog(p=12).add_strings([f"b{i}" for i in range(5000)])
+    overlap = HyperLogLog(p=12).add_strings([f"a{i}" for i in range(5000)])
+    ab = a.merge(b)
+    assert abs(ab.estimate() - 10_000) / 10_000 < 0.05
+    aa = a.merge(overlap)  # duplicate content merges to same cardinality
+    assert abs(aa.estimate() - 5000) / 5000 < 0.05
+
+
+def test_hll_deterministic():
+    e1 = HyperLogLog().add_strings([f"x{i}" for i in range(1000)]).estimate()
+    e2 = HyperLogLog().add_strings([f"x{i}" for i in range(1000)]).estimate()
+    assert e1 == e2

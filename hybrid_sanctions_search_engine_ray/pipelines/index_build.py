@@ -114,9 +114,10 @@ def _finish_dictionary(stats_ds, index_dir: str, cfg: EngineConfig):
 
 
 def build_dictionary(ds, index_dir: str, cfg: EngineConfig):
-    """Standalone dictionary pass (df/cf per term + corpus stats) — kept
-    as a public single-purpose pipeline; ``build_index`` uses the fused
-    single-scan variant below instead."""
+    """Standalone dictionary pass (df/cf per term + corpus stats) over a
+    raw transcript Dataset. ``build_index`` does NOT use this — it gets
+    stats from its fused scan and df/cf from the built segments
+    (``write_dictionary``); this is the single-purpose analytics op."""
     from ray.data.aggregate import Sum
 
     stats_ds = (
@@ -127,24 +128,6 @@ def build_dictionary(ds, index_dir: str, cfg: EngineConfig):
         )
         .groupby("term")
         .aggregate(Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf"))
-    )
-    return _finish_dictionary(stats_ds, index_dir, cfg)
-
-
-def build_dictionary_from_union(union_ds, index_dir: str, cfg: EngineConfig):
-    """Dictionary from the fused posting+stats table: filter the stat
-    rows (doc_id = -1), then a vocabulary-sized groupby — the corpus
-    itself is not re-scanned or re-shuffled."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
-
-    def _stats_only(b: pa.Table) -> pa.Table:
-        return b.filter(pc.equal(b["doc_id"], -1)).select(["term", "tf", "dl"])
-
-    stats_ds = (
-        union_ds.map_batches(_stats_only, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("tf", alias_name="df"), Sum("dl", alias_name="cf"))
     )
     return _finish_dictionary(stats_ds, index_dir, cfg)
 

@@ -3,20 +3,19 @@ deployment pipeline (reference: scripts/prepare_sanctions_data.py +
 scripts/deploy_to_elasticsearch.py — SURVEY.md §3.1), re-architected as:
 
     read_parquet → [assign stable doc ids] → docmap.parquet
-    → ONE tokenize scan: map_batches(posting rows + sentinel stats +
-      2%-sampled df rows) → pinned intermediate
-    → corpus stats (exact, from sentinels) + hot-term set (sampled,
-      deterministic in doc_id) on the driver
-    → assign part (salted) → [resume filter] → packed map-side combine
-    → groupby(part).map_groups(segment builder)
+    → hot-term pre-pass: tokenize a deterministic 2% conv sample only
+    → ONE streaming tokenize scan: map_batches(posting rows + sentinel
+      stat rows) → assign part (salted) → [resume filter] → packed
+      map-side combine → groupby(part).map_groups(segment builder)
     → segments/part=K/* (atomic per partition) → manifest.json last
 
-Exact per-term df/cf are NOT computed in a separate pass: the query
-path derives df from the segment rows it already reads, and
-``write_dictionary`` can materialize the vocabulary table on demand
-from segment metadata (no corpus scan). The corpus is tokenized exactly
-once; the pinned posting intermediate is the piece to swap for a
-persisted parquet checkpoint on a multi-node cluster.
+Nothing corpus-sized is ever pinned: posting rows stream straight into
+the partition shuffle with backpressure (an earlier design materialized
+the posting intermediate and collapsed under object-store pressure at
+145M+ postings). Exact corpus stats (N, Σdl) ride the shuffle as
+sentinel rows folded into partition metas; exact per-term df/cf come
+from the segment rows themselves (the query path reads them anyway, and
+``write_dictionary`` can materialize the vocabulary on demand).
 """
 
 from __future__ import annotations
@@ -32,7 +31,8 @@ import ray
 from hybrid_sanctions_search_engine_ray.config import DEFAULT_CONFIG, EngineConfig
 from hybrid_sanctions_search_engine_ray.stages.analyze import (
     DOC_SENTINEL,
-    emit_postings_and_stats,
+    emit_postings_with_sentinel,
+    emit_sampled_term_stats,
     emit_term_stats,
 )
 from hybrid_sanctions_search_engine_ray.stages.postings import (
@@ -190,56 +190,38 @@ def build_index(
         ds.select_columns(docmap_cols).write_parquet(docmap_path)
     _mark("docmap")
 
-    # --- single tokenize scan: posting rows + per-batch term stats ---
-    union = ds.map_batches(
-        lambda b: emit_postings_and_stats(b, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.analyze_batch_size,
-    ).materialize()
-    # (at cluster scale this pinned intermediate becomes a persisted
-    # parquet checkpoint — spill-friendly either way)
-    _mark("tokenize")
-
-    # --- corpus stats (exact, from sentinel rows) + hot-term estimate
-    # (from the deterministic 2% doc sample); reused on resume ---
+    # --- hot-term pre-pass: tokenize only the deterministic 2% conv
+    # sample (pure function of conv_id → identical across batchings,
+    # cluster sizes and resumes); reused from the manifest on resume ---
     if have_partial:
         manifest = IndexManifest.load(index_dir)
     else:
-        import pyarrow.compute as pc
         from ray.data.aggregate import Sum
 
-        from hybrid_sanctions_search_engine_ray.stages.analyze import HOT_SAMPLE_EVERY
-
-        def _stat_rows(b: pa.Table) -> pa.Table:
-            return b.filter(pc.less(b["doc_id"], 0)).select(["term", "doc_id", "tf", "dl"])
-
-        # one scan, tiny result (1 sentinel row per batch + the 2%-sample
-        # term rows); aggregate on the driver — no extra Ray stages
-        import pandas as pd
-
-        stat_df = pd.concat(
-            list(
-                union.map_batches(_stat_rows, batch_format="pyarrow").iter_batches(
-                    batch_size=None, batch_format="pandas"
-                )
-            ),
-            ignore_index=True,
+        samp_rows = (
+            ds.map_batches(
+                lambda b: emit_sampled_term_stats(b, cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.analyze_batch_size,
+            )
+            .groupby("term")
+            .aggregate(Sum("df_p", alias_name="df_s"))
+            .take_all()
         )
-        sent = stat_df[stat_df["doc_id"] == -1]
-        n_docs = int(sent["tf"].sum())
-        total_tokens = int(sent["dl"].sum())
-        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        n_sampled = sum(r["df_s"] for r in samp_rows if r["term"] == DOC_SENTINEL)
         # sampled-df threshold with a 0.5 margin: over-salting is a cheap
         # false positive, under-salting a hot partition
-        hot_cut_sample = max(2, int(cfg.hot_term_df_ratio * n_docs / HOT_SAMPLE_EVERY * 0.5))
-        samp = stat_df[stat_df["doc_id"] == -2].groupby("term", sort=False)["tf"].sum()
-        hot_terms = sorted(samp.index[samp >= hot_cut_sample].tolist())
+        hot_cut_sample = max(2, int(cfg.hot_term_df_ratio * n_sampled * 0.5))
+        hot_terms = sorted(
+            r["term"] for r in samp_rows
+            if r["term"] != DOC_SENTINEL and r["df_s"] >= hot_cut_sample
+        )
         manifest = IndexManifest(
             status="building",
-            n_docs=n_docs,
-            avgdl=avgdl,
-            total_tokens=total_tokens,
-            n_terms=0,  # set at finalize from the built segments
+            n_docs=0,            # exact stats arrive via sentinel rows at finalize
+            avgdl=0.0,
+            total_tokens=0,
+            n_terms=0,
             k1=cfg.k1,
             b=cfg.b,
             block_size=cfg.block_size,
@@ -251,21 +233,19 @@ def build_index(
             input_path=input_path,
         )
         manifest.save(index_dir)
-    _mark("dictionary")
+    _mark("hot_prepass")
 
     hot = frozenset(manifest.hot_terms)
-    avgdl = manifest.avgdl
 
     # --- Pass B: postings shuffle, resume-aware ---
     done = completed_parts(index_dir) if resume else {}
     done_parts = set(done.keys())
 
-    def _postings_only(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return assign_partitions(b.filter(pc.greater_equal(b["doc_id"], 0)), cfg, hot)
-
-    postings = union.map_batches(_postings_only, batch_format="pyarrow")
+    postings = ds.map_batches(
+        lambda b: emit_postings_with_sentinel(b, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.analyze_batch_size,
+    ).map_batches(lambda b: assign_partitions(b, cfg, hot), batch_format="pyarrow")
     packed = cfg.shuffle_mode == "packed"
     if packed:
         postings = postings.map_batches(
@@ -292,11 +272,11 @@ def build_index(
         def _seg_or_fail(g):
             if int(g["part"].iloc[0]) >= cut:
                 raise RuntimeError(f"fault injection at part {int(g['part'].iloc[0])}")
-            return _builder(g, index_dir, cfg, avgdl, input_path)
+            return _builder(g, index_dir, cfg, input_path)
 
         seg_fn = _seg_or_fail
     else:
-        seg_fn = lambda g: _builder(g, index_dir, cfg, avgdl, input_path)  # noqa: E731
+        seg_fn = lambda g: _builder(g, index_dir, cfg, input_path)  # noqa: E731
 
     lineage = postings.groupby("part").map_groups(
         seg_fn,
@@ -312,8 +292,15 @@ def build_index(
             "n_postings": int(r["n_postings"]),
             "elapsed_s": float(r["elapsed_s"]),
         }
-    for p, meta in completed_parts(index_dir).items():
+    done_meta = completed_parts(index_dir)
+    for p, meta in done_meta.items():
         manifest.parts.setdefault(str(p), {k: meta[k] for k in ("n_terms", "n_rows", "n_postings", "elapsed_s") if k in meta})
+
+    # exact corpus stats: sentinel partials summed across partition metas
+    # (covers both freshly built and resumed-over partitions)
+    manifest.n_docs = sum(m.get("n_docs_partial", 0) for m in done_meta.values())
+    manifest.total_tokens = sum(m.get("tokens_partial", 0) for m in done_meta.values())
+    manifest.avgdl = (manifest.total_tokens / manifest.n_docs) if manifest.n_docs else 0.0
 
     # n_terms: per-part term counts summed — an upper bound only for the
     # (few) salted hot terms that span partitions; the query path never

@@ -110,7 +110,66 @@ def emit_postings(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     )
 
 
-HOT_SAMPLE_EVERY = 50  # deterministic 2% doc sample for hot-term detection
+HOT_SAMPLE_EVERY = 50  # deterministic 2% sample for hot-term detection
+
+
+def emit_postings_with_sentinel(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+    """text batch → posting rows + ONE sentinel row
+    ``(DOC_SENTINEL, -1, docs_with_tokens, total_tokens)``.
+
+    Sentinel rows flow THROUGH the partition shuffle (they hash to the
+    sentinel term's partition) and are folded into that partition's
+    ``meta.json`` by the segment builder — exact corpus stats (N, Σdl)
+    come out of the one streaming pass with no pinned intermediate and
+    no extra scan."""
+    p = emit_postings(batch, cfg)
+    doc_ids = p["doc_id"].to_numpy(zero_copy_only=False)
+    n_docs = len(np.unique(doc_ids)) if p.num_rows else 0
+    total_tokens = int(pc.sum(p["tf"]).as_py() or 0)
+    sent = pa.table(
+        {
+            "term": pa.array([DOC_SENTINEL], pa.string()),
+            "doc_id": pa.array([-1], pa.int64()),
+            "tf": pa.array([n_docs], pa.int32()),
+            "dl": pa.array([total_tokens], pa.int32()),
+        }
+    )
+    return pa.concat_tables([p, sent], promote_options="default")
+
+
+def emit_sampled_term_stats(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+    """Hot-term pre-pass body: tokenize ONLY the sampled conversations
+    (``crc32(conv_id) % HOT_SAMPLE_EVERY == 0`` — a pure function of the
+    row, so the sample is identical across batchings, cluster sizes and
+    resumes) and emit (term, df_p) partials plus a sampled-doc-count
+    sentinel."""
+    from hybrid_sanctions_search_engine_ray.functions.hashing import hash_string_array
+
+    h = hash_string_array(batch["conv_id"])
+    mask = (h % HOT_SAMPLE_EVERY) == 0
+    sub = batch.filter(pa.array(mask))
+    if sub.num_rows == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "df_p": pa.array([], pa.int64())}
+        )
+    parent, terms = flat_terms(sub, cfg.analyzer)
+    if len(terms) == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "df_p": pa.array([], pa.int64())}
+        )
+    tf = _tf_table(parent, terms)
+    stats = tf.group_by(["t"]).aggregate([("d", "count")])
+    n_docs = len(np.unique(parent))
+    return pa.table(
+        {
+            "term": pa.concat_arrays(
+                [stats["t"].combine_chunks(), pa.array([DOC_SENTINEL], pa.string())]
+            ),
+            "df_p": pa.concat_arrays(
+                [pc.cast(stats["d_count"], pa.int64()).combine_chunks(), pa.array([n_docs], pa.int64())]
+            ),
+        }
+    )
 
 
 def emit_postings_and_stats(batch: pa.Table, cfg: EngineConfig) -> pa.Table:

@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from hybrid_sanctions_search_engine_ray.config import EngineConfig
-from hybrid_sanctions_search_engine_ray.functions.codec import block_maxes, encode_posting
+from hybrid_sanctions_search_engine_ray.functions.codec import encode_posting
 from hybrid_sanctions_search_engine_ray.functions.hashing import hash_string_array, term_hash
 from hybrid_sanctions_search_engine_ray.state.manifest import atomic_write_json, segment_dir
 
@@ -43,9 +43,11 @@ SEGMENT_SCHEMA = pa.schema(
         ("docs", pa.binary()),         # delta+varint doc ids
         ("tfs", pa.binary()),          # varint term frequencies
         ("dls", pa.binary()),          # varint doc lengths
-        ("block_max", pa.list_(pa.float32())),  # per-block max tf-factor
     ]
 )
+# NOTE: per-block maxima are NOT stored: they depend on the CURRENT global
+# avgdl, so the reader computes them at posting-load time (functions/bm25
+# TermPosting) — which is also what makes federated scoring exact.
 
 
 def assign_partitions(batch: pa.Table, cfg: EngineConfig, hot_terms: frozenset[str]) -> pa.Table:
@@ -113,19 +115,17 @@ def build_segment_packed(
     group: pd.DataFrame,
     index_dir: str,
     cfg: EngineConfig,
-    avgdl: float,
     input_path: str,
 ) -> pd.DataFrame:
     """Reduce side of the packed shuffle: deserialize one partition's
     payloads and delegate to :func:`build_segment`."""
-    return build_segment(_unpack_group(group), index_dir, cfg, avgdl, input_path)
+    return build_segment(_unpack_group(group), index_dir, cfg, input_path)
 
 
 def build_segment(
     group: pd.DataFrame,
     index_dir: str,
     cfg: EngineConfig,
-    avgdl: float,
     input_path: str,
 ) -> pd.DataFrame:
     """Encode and atomically write one term-partition. Returns a one-row
@@ -135,6 +135,42 @@ def build_segment(
     part = int(group["part"].iloc[0])
     sdir = segment_dir(index_dir, part)
     os.makedirs(sdir, exist_ok=True)
+
+    # fold sentinel stat rows (doc_id = -1) into this partition's meta —
+    # the streaming path for exact corpus stats (N, Σdl)
+    sent_mask = group["doc_id"].to_numpy() < 0
+    n_docs_partial = int(group.loc[sent_mask, "tf"].sum()) if sent_mask.any() else 0
+    tokens_partial = int(group.loc[sent_mask, "dl"].sum()) if sent_mask.any() else 0
+    if sent_mask.any():
+        group = group.loc[~sent_mask]
+
+    if len(group) == 0:
+        # partition held only sentinel rows: publish an empty segment so
+        # resume sees the partition as complete, carry the stats
+        empty = SEGMENT_SCHEMA.empty_table()
+        fd, tmp = tempfile.mkstemp(dir=sdir, suffix=".parquet.tmp")
+        os.close(fd)
+        pq.write_table(empty, tmp)
+        os.replace(tmp, os.path.join(sdir, "postings.parquet"))
+        atomic_write_json(
+            os.path.join(sdir, "meta.json"),
+            {
+                "part": part, "n_terms": 0, "n_rows": 0, "n_postings": 0,
+                "bytes": os.path.getsize(os.path.join(sdir, "postings.parquet")),
+                "checksum_head_crc32": 0,
+                "elapsed_s": round(time.monotonic() - t0, 3),
+                "n_docs_partial": n_docs_partial,
+                "tokens_partial": tokens_partial,
+                "input": input_path,
+            },
+        )
+        return pd.DataFrame(
+            {
+                "part": [part], "n_terms": [0], "n_rows": [0], "n_postings": [0],
+                "n_docs_partial": [n_docs_partial], "tokens_partial": [tokens_partial],
+                "elapsed_s": [round(time.monotonic() - t0, 3)],
+            }
+        )
 
     # (term, doc_id) sort without row-level string comparisons: factorize,
     # rank the (small) unique-term set lexicographically, lexsort on codes
@@ -154,7 +190,7 @@ def build_segment(
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(terms)]))
 
-    rows: dict[str, list] = {k: [] for k in ("term", "seg_idx", "n_docs", "cf", "max_tf", "docs", "tfs", "dls", "block_max")}
+    rows: dict[str, list] = {k: [] for k in ("term", "seg_idx", "n_docs", "cf", "max_tf", "docs", "tfs", "dls")}
     n_postings = 0
     for s, e in zip(starts, ends):
         term = terms[s]
@@ -162,7 +198,6 @@ def build_segment(
             ee = min(ss + cfg.max_postings_per_segment, e)
             d, t, l = doc_ids[ss:ee], tfs[ss:ee], dls[ss:ee]
             db, tb, lb = encode_posting(d, t, l)
-            bm = block_maxes(t, l, cfg.k1, cfg.b, avgdl, cfg.block_size)
             rows["term"].append(term)
             rows["seg_idx"].append(seg_idx)
             rows["n_docs"].append(ee - ss)
@@ -171,7 +206,6 @@ def build_segment(
             rows["docs"].append(db)
             rows["tfs"].append(tb)
             rows["dls"].append(lb)
-            rows["block_max"].append(bm)
             n_postings += ee - ss
 
     table = pa.table(
@@ -184,7 +218,6 @@ def build_segment(
             "docs": pa.array(rows["docs"], pa.binary()),
             "tfs": pa.array(rows["tfs"], pa.binary()),
             "dls": pa.array(rows["dls"], pa.binary()),
-            "block_max": pa.array([np.asarray(x, dtype=np.float32) for x in rows["block_max"]], pa.list_(pa.float32())),
         }
     )
 
@@ -206,6 +239,8 @@ def build_segment(
             "bytes": os.path.getsize(final),
             "checksum_head_crc32": checksum,
             "elapsed_s": round(time.monotonic() - t0, 3),
+            "n_docs_partial": n_docs_partial,
+            "tokens_partial": tokens_partial,
             "input": input_path,
         },
     )
@@ -215,6 +250,8 @@ def build_segment(
             "n_terms": [len(starts)],
             "n_rows": [table.num_rows],
             "n_postings": [n_postings],
+            "n_docs_partial": [n_docs_partial],
+            "tokens_partial": [tokens_partial],
             "elapsed_s": [round(time.monotonic() - t0, 3)],
         }
     )

@@ -170,10 +170,10 @@ def build_index(
 
     if "doc_id" not in ds.schema().names:
         ds = assign_doc_ids(ds, sort=not assume_sorted)
-    # Pin the id'd corpus: it is consumed three times (docmap, Pass A,
-    # Pass B); without this each consumer re-executes the id-assignment
-    # lineage. At cluster scale this is the step to swap for a persisted
-    # parquet checkpoint of the id'd corpus instead of object-store pinning.
+    # Pin the id'd corpus: it is consumed three times (docmap, hot
+    # pre-pass, main scan); without this each consumer re-executes the
+    # id-assignment lineage. The corpus is the ONLY pinned object (at
+    # cluster scale, swap for a persisted parquet checkpoint).
     ds = ds.materialize()
     _mark("doc_ids")
 

@@ -172,57 +172,6 @@ def emit_sampled_term_stats(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     )
 
 
-def emit_postings_and_stats(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
-    """text batch → posting rows PLUS lightweight stat rows in one
-    union-schema table (single tokenize pass over the corpus; the build
-    splits the row kinds after materializing).
-
-    Row kinds share (term, doc_id, tf, dl):
-      * posting row:   doc_id ≥ 0, tf/dl as usual
-      * sentinel row:  term = DOC_SENTINEL, doc_id = -1,
-                       tf = docs-with-tokens in batch, dl = total tokens
-                       (EXACT N / avgdl from a driver-side sum of ~1 row
-                       per batch)
-      * sampled-df row: doc_id = -2, tf = df among sampled docs — docs
-                       with ``doc_id % HOT_SAMPLE_EVERY == 0``, a pure
-                       function of doc_id, so the sample (and thus the
-                       detected hot-term set) is identical across
-                       batchings, cluster sizes and resumes. Hot-term
-                       detection only steers salting (a performance
-                       hint); EXACT df/cf come from the built segments.
-    """
-    p = emit_postings(batch, cfg)
-    doc_ids = p["doc_id"].to_numpy(zero_copy_only=False)
-    n_docs = len(np.unique(doc_ids)) if p.num_rows else 0
-    total_tokens = int(pc.sum(p["tf"]).as_py() or 0)
-
-    samp_mask = (doc_ids % HOT_SAMPLE_EVERY) == 0
-    extras = [
-        pa.table(
-            {
-                "term": pa.array([DOC_SENTINEL], pa.string()),
-                "doc_id": pa.array([-1], pa.int64()),
-                "tf": pa.array([n_docs], pa.int32()),
-                "dl": pa.array([total_tokens], pa.int32()),
-            }
-        )
-    ]
-    if samp_mask.any():
-        st = pa.table({"t": p["term"].filter(pa.array(samp_mask))})
-        sdf = st.group_by(["t"]).aggregate([("t", "count")])
-        extras.append(
-            pa.table(
-                {
-                    "term": sdf["t"],
-                    "doc_id": pa.array(np.full(sdf.num_rows, -2, dtype=np.int64)),
-                    "tf": pc.cast(sdf["t_count"], pa.int32()),
-                    "dl": pa.array(np.zeros(sdf.num_rows, dtype=np.int32)),
-                }
-            )
-        )
-    return pa.concat_tables([p] + extras, promote_options="default")
-
-
 def emit_term_stats(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     """text batch → per-term partial stats rows (term, df_p, cf_p) plus one
     sentinel row carrying (n_docs_with_tokens, total_tokens) for the batch.

@@ -11,9 +11,11 @@ identity).
 
 The segment builder is ``groupby("part").map_groups``: one task per
 partition sorts its rows by (term, doc_id), delta+varint-encodes each
-term run (sub-segment-split at ``max_postings_per_segment``), computes
-block maxes, and writes ``segments/part=K/postings.parquet`` atomically
-followed by a ``meta.json`` lineage record — the unit of resume.
+term run (sub-segment-split at ``max_postings_per_segment``), folds
+sentinel stat rows into the partition meta, and writes
+``segments/part=K/postings.parquet`` atomically followed by a
+``meta.json`` lineage record — the unit of resume. Block maxima are
+computed by the reader at load time against current global stats.
 """
 
 from __future__ import annotations

@@ -122,6 +122,20 @@ def run_bench() -> dict:
     build_index(corpus, index_dir, cfg, assume_sorted=True)
     timings["index_build"] = round(time.monotonic() - t0, 3)
 
+    if os.environ.get("GRAFT_BENCH_BUILD_ONLY") == "1":
+        result = {
+            "metric": "index_build_query_total_sec",
+            "value": timings["index_build"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(_sf_tag().replace("sf", "")) if _sf_tag().startswith("sf") else _sf_tag(),
+            "num_cpus": NUM_CPUS,
+            "turns": int(n_turns),
+            "turns_per_sec": round(n_turns / timings["index_build"], 1),
+        }
+        ray.shutdown()
+        return result
+
     qs = bench_queries(200)
     t0 = time.monotonic()
     res = search(rd.from_items(qs), index_dir, cfg)
@@ -171,12 +185,14 @@ def run_bench() -> dict:
     return result
 
 
-def _subprocess_run(ncpu: int) -> dict:
+def _subprocess_run(ncpu: int, build_only: bool = False) -> dict:
     """Run one bench at ``ncpu`` with HARD cpu affinity (taskset): Ray's
     ``num_cpus`` only limits scheduling slots, while Arrow/numpy kernels
     inside each task would still use every physical core — affinity is
     what actually simulates the smaller cluster."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    if build_only:
+        env["GRAFT_BENCH_BUILD_ONLY"] = "1"
     cmd = [sys.executable, os.path.abspath(__file__)]
     if shutil_which("taskset"):
         cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
@@ -190,7 +206,7 @@ def shutil_which(name: str):
     return shutil.which(name)
 
 
-def run_scaling(trials: int = 3) -> dict:
+def run_scaling(trials: int = 4) -> dict:
     """Same job at 8 and 32 CPUs, INTERLEAVED fresh-process trials
     (32,8,32,8,…) with per-level medians — interleaving cancels the
     slow drift of a noisy shared hypervisor, medians cut one-off
@@ -204,8 +220,8 @@ def run_scaling(trials: int = 3) -> dict:
     lo, hi = 8, 32
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(trials):
-        runs[hi].append(_subprocess_run(hi))
-        runs[lo].append(_subprocess_run(lo))
+        runs[hi].append(_subprocess_run(hi, build_only=True))
+        runs[lo].append(_subprocess_run(lo, build_only=True))
 
     def med_build(ncpu: int) -> float:
         return statistics.median(r["queries"]["index_build"] for r in runs[ncpu])

@@ -217,7 +217,8 @@ def run_scaling(trials: int = 4) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS="32", GRAFT_SF_DIR=SF_DIR)
     subprocess.run([sys.executable, os.path.abspath(__file__), "--prepare"], env=env, check=True,
                    capture_output=True)
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(trials):
         runs[hi].append(_subprocess_run(hi, build_only=True))

@@ -10,7 +10,7 @@ Arrow.
 
 A batch always contains whole documents (one row = one turn), so
 per-batch doc-level aggregates (tf, dl, distinct-doc counts) are exact
-— the property the dictionary pass's sentinel row relies on.
+— the property the sentinel stat rows rely on.
 
 Reference parity: this stage is the Ray-Data re-expression of the
 reference's tokenize → pattern-emit path (reference:

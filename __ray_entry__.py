@@ -87,8 +87,10 @@ def _ensure_index(sf_dir: str) -> str:
     from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
     from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
 
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = f"/tmp/graft_idx_cache/{tag}"
+    index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}"
     try:
         if IndexManifest.load(index_dir).status == "complete":
             return index_dir

@@ -47,7 +47,18 @@ class FederatedReader:
             raise ValueError("need at least one index dir")
         self.readers = [IndexReader(d) for d in index_dirs]
         if doc_id_offsets is None:
-            doc_id_offsets = list(np.cumsum([0] + [r.manifest.n_docs for r in self.readers[:-1]]))
+            # offsets span the full dense id range = docmap row count (NOT
+            # manifest.n_docs, which counts only docs with ≥1 token — an
+            # empty-text doc still consumes an id)
+            import os
+
+            import pyarrow.dataset as pads
+
+            sizes = [
+                pads.dataset(os.path.join(d, "docmap.parquet")).count_rows()
+                for d in index_dirs[:-1]
+            ]
+            doc_id_offsets = list(np.cumsum([0] + sizes))
         if len(doc_id_offsets) != len(self.readers):
             raise ValueError("doc_id_offsets must match index_dirs")
         self.offsets = [int(o) for o in doc_id_offsets]

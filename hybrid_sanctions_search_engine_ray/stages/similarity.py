@@ -145,13 +145,11 @@ def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int = 5,
 
     import pyarrow.compute as pc
 
+    # candidate restriction: the union of all queries' probe sets (a per-
+    # query cluster filter would shrink candidates further; the union is a
+    # strict superset, i.e. recall can only be higher than textbook IVF)
     filtered = assigned.map_batches(
         lambda b: b.filter(pc.is_in(b["cluster"], value_set=pa.array(wanted_clusters, pa.int32()))),
         batch_format="pyarrow",
     )
-    res = brute_force_topk(filtered, query_ids, qm, k=k)
-
-    def _mask(g: pd.DataFrame) -> pd.DataFrame:
-        return g  # candidates already restricted by cluster filter
-
-    return res.map_batches(_mask, batch_format="pandas")
+    return brute_force_topk(filtered, query_ids, qm, k=k)

@@ -66,6 +66,32 @@ def test_federated_rejects_mismatched_params(split_indexes, tmp_path, corpus_dir
         FederatedReader([split_indexes["a"], idx])
 
 
+def test_federated_with_empty_docs(tmp_path, ray_session):
+    """Docs with no tokens still consume ids: offsets must span the full
+    dense range, not just docs-with-tokens (regression for the
+    manifest.n_docs offset bug)."""
+    import pandas as pd
+    import ray.data as rd
+
+    def mk(rows, name):
+        ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+        idx = str(tmp_path / name)
+        build_index("mem", idx, CFG, transcripts_ds=ds)
+        return idx
+
+    base = {"turn_idx": 0, "role": "user", "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+    a_rows = [
+        {**base, "conv_id": "conv-a0", "text": "alpha beta"},
+        {**base, "conv_id": "conv-a1", "text": "..."},        # tokenless, still gets id 1
+        {**base, "conv_id": "conv-a2", "text": "beta gamma"},
+    ]
+    b_rows = [{**base, "conv_id": "conv-b0", "text": "alpha delta"}]
+    fed = FederatedReader([mk(a_rows, "a"), mk(b_rows, "b")])
+    docs, scores = fed.search_one("alpha", 10)
+    # doc ids: index a spans 0..2 (3 rows incl. empty), so b's doc starts at 3
+    assert set(docs.astype(np.int64).tolist()) == {0, 3}
+
+
 def test_federated_single(split_indexes):
     full = IndexReader(split_indexes["full"])
     fed = FederatedReader([split_indexes["full"]])

@@ -249,7 +249,7 @@ def build_index(
     packed = cfg.shuffle_mode == "packed"
     if packed:
         postings = postings.map_batches(
-            lambda b: pack_postings_by_part(b, cfg.num_partitions), batch_format="pyarrow"
+            pack_postings_by_part, batch_format="pyarrow"
         )
     if done_parts:
         skip = pa.array(sorted(done_parts), pa.int32())

@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 from hybrid_sanctions_search_engine_ray.config import EngineConfig
 from hybrid_sanctions_search_engine_ray.functions.codec import encode_posting
-from hybrid_sanctions_search_engine_ray.functions.hashing import hash_string_array, term_hash
+from hybrid_sanctions_search_engine_ray.functions.hashing import hash_string_array
 from hybrid_sanctions_search_engine_ray.state.manifest import atomic_write_json, segment_dir
 
 SEGMENT_SCHEMA = pa.schema(
@@ -67,18 +67,7 @@ def assign_partitions(batch: pa.Table, cfg: EngineConfig, hot_terms: frozenset[s
     return batch.append_column("part", pa.array(part.astype(np.int32)))
 
 
-def hot_term_parts(term: str, cfg: EngineConfig, is_hot: bool) -> list[int]:
-    """All partitions that may hold postings for ``term`` (query side)."""
-    h = term_hash(term)
-    if not is_hot:
-        return [h % cfg.num_partitions]
-    parts = {h % cfg.num_partitions}
-    for salt in range(cfg.hot_term_salt_buckets):
-        parts.add((h + 1_000_003 * (1 + salt)) % cfg.num_partitions)
-    return sorted(parts)
-
-
-def pack_postings_by_part(batch: pa.Table, num_partitions: int) -> pa.Table:
+def pack_postings_by_part(batch: pa.Table) -> pa.Table:
     """Map-side shuffle combine: split a posting batch by ``part`` and
     serialize each slice to one Arrow-IPC payload row ``(part, payload)``.
 

@@ -81,10 +81,28 @@ class TermPosting:
         return float(self.block_max.max()) if self.block_max.size else 0.0
 
 
+_DENSE_TAAT_THRESHOLD = 1_000_000
+
+
 def score_taat(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Exhaustive term-at-a-time scoring, vectorized end-to-end."""
+    """Exhaustive term-at-a-time scoring, vectorized end-to-end.
+
+    Two equivalent accumulators: sparse (np.unique + bincount — cheap for
+    selective queries) and dense (a float array indexed by doc id with
+    per-term scatter-adds — doc ids are unique WITHIN a posting, so
+    ``scores[ids] += contrib`` is safe; ~5× faster when stop-word
+    postings push total entries into the millions)."""
     if not postings:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    total = sum(p.doc_ids.size for p in postings)
+    if total >= _DENSE_TAAT_THRESHOLD:
+        max_doc = max(int(p.doc_ids[-1]) for p in postings if p.doc_ids.size)
+        scores = np.zeros(max_doc + 1, dtype=np.float64)
+        for p in postings:
+            ids = p.doc_ids.astype(np.int64, copy=False)
+            scores[ids] += p.factors * p.idf
+        cand = np.flatnonzero(scores)
+        return topk_desc(cand.astype(np.uint64), scores[cand], k)
     all_docs = np.concatenate([p.doc_ids for p in postings])
     all_contrib = np.concatenate([p.factors * p.idf for p in postings])
     uniq, inv = np.unique(all_docs, return_inverse=True)

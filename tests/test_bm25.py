@@ -81,6 +81,25 @@ def test_maxscore_equals_taat_random():
             assert np.allclose(s1, s2, atol=1e-12)
 
 
+def test_dense_taat_equals_sparse(monkeypatch):
+    """The dense accumulator path must be bit-identical to the sparse one."""
+    import hybrid_sanctions_search_engine_ray.functions.bm25 as bm
+
+    rng = np.random.default_rng(7)
+    postings = []
+    for t in range(4):
+        n = int(rng.integers(100, 2000))
+        docs = np.sort(rng.choice(50_000, size=n, replace=False)).astype(np.uint64)
+        tfs = rng.integers(1, 6, size=n)
+        dls = rng.integers(5, 80, size=n)
+        postings.append(make_posting(f"t{t}", 50_000, list(zip(docs.tolist(), tfs.tolist(), dls.tolist())), 40.0))
+    d_sparse, s_sparse = bm.score_taat(postings, 25)
+    monkeypatch.setattr(bm, "_DENSE_TAAT_THRESHOLD", 1)  # force dense
+    d_dense, s_dense = bm.score_taat(postings, 25)
+    assert d_sparse.tolist() == d_dense.tolist()
+    assert np.array_equal(s_sparse, s_dense)
+
+
 def test_empty_postings():
     d, s = score_taat([], 10)
     assert d.size == 0 and s.size == 0

@@ -406,6 +406,124 @@ def q_segment_revenue(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+def q_semi_join_agg(sf_dir: str):
+    """Broadcast semi-join (ray_guide "Semi / anti join": ship the key
+    set once, filter inside map_batches — no shuffle) + partial-agg:
+    revenue of lineitems whose order totals over 100k, per returnflag."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"])
+    keys = orders.filter(_pc.greater(orders["o_totalprice"], 100_000.0))["o_orderkey"]
+    keys_ref = ray.put(keys.combine_chunks())
+
+    class SemiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: _pa.Table) -> _pa.Table:
+            kept = b.filter(_pc.is_in(b["l_orderkey"], value_set=self.keys))
+            g = (
+                pa.table(
+                    {
+                        "l_returnflag": kept["l_returnflag"],
+                        "qty": kept["l_quantity"],
+                        "rev": _pc.multiply(kept["l_extendedprice"], _pc.subtract(_pa.scalar(1.0), kept["l_discount"])),
+                    }
+                )
+                .group_by(["l_returnflag"])
+                .aggregate([("qty", "sum"), ("rev", "sum"), ("qty", "count")])
+            )
+            return g
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = (
+        ds.map_batches(SemiJoin, fn_constructor_args=(keys_ref,), batch_format="pyarrow", concurrency=2)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("rev_sum", alias_name="revenue"),
+            Sum("qty_count", alias_name="n_items"),
+        )
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "sum_qty": _round4(b["sum_qty"].to_numpy()),
+                "revenue": np.sign(b["revenue"].to_numpy())
+                * np.floor(np.abs(b["revenue"].to_numpy()) * 100 + 0.5) / 100,
+                "n_items": b["n_items"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-shaped wide aggregate: per (returnflag, linestatus) sums
+    and averages via per-batch Arrow partial aggregation → small groupby
+    (the pre-aggregation pattern; corpus never shuffles)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = _pc.multiply(b["l_extendedprice"], _pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "price": b["l_extendedprice"],
+                "rev": rev,
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("rev", "sum"), ("qty", "count")]
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("price_sum", alias_name="sum_price"),
+            Sum("rev_sum", alias_name="sum_rev"),
+            Sum("qty_count", alias_name="n_rows"),
+        )
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_rows"].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": _round4(b["sum_qty"].to_numpy()),
+                "avg_qty": _round4(b["sum_qty"].to_numpy() / n),
+                "avg_price": _round4(b["sum_price"].to_numpy() / n),
+                "sum_rev": np.sign(b["sum_rev"].to_numpy())
+                * np.floor(np.abs(b["sum_rev"].to_numpy()) * 100 + 0.5) / 100,
+                "n_rows": b["n_rows"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 def q_bm25_confidence(sf_dir: str):
     """Per-query max-score normalization (reference G5: confidence =
     score/max_score per response — elasticsearch_adapters.py:333-346)."""
@@ -511,6 +629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
+        "semi_join_agg": q_semi_join_agg,
+        "lineitem_agg": q_lineitem_agg,
         "bm25_confidence": q_bm25_confidence,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
@@ -639,6 +759,25 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, session_idx
+""",
+        "semi_join_agg": """
+SELECT l_returnflag,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0)
+GROUP BY l_returnflag
+""",
+        "lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_rev,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
 """,
         "segment_revenue": """
 SELECT c.c_mktsegment AS mktsegment, count(*)::BIGINT AS n_orders,

@@ -2,7 +2,8 @@
 deployment pipeline (reference: scripts/prepare_sanctions_data.py +
 scripts/deploy_to_elasticsearch.py — SURVEY.md §3.1), re-architected as:
 
-    read_parquet → [assign stable doc ids] → docmap.parquet
+    read_parquet → [sorted+id'd corpus CHECKPOINT on disk, if ids must
+      be assigned — never pinned in the object store] → docmap.parquet
     → hot-term pre-pass: tokenize a deterministic 2% conv sample only
     → ONE streaming tokenize scan: map_batches(posting rows + sentinel
       stat rows) → assign part (salted) → [resume filter] → packed
@@ -41,56 +42,103 @@ from hybrid_sanctions_search_engine_ray.stages.postings import (
     build_segment_packed,
     pack_postings_by_part,
 )
-from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest, completed_parts, segment_dir
+from hybrid_sanctions_search_engine_ray.state.manifest import (
+    IndexManifest,
+    atomic_write_json,
+    completed_parts,
+    segment_dir,
+)
 
 
-def assign_doc_ids(ds, sort: bool = True):
-    """Assign dense, deterministic doc ids = rank under stable
-    ``(conv_id, turn_idx)`` ordering (the north rule's T5 invariant,
-    SURVEY.md §2.6).
+_CORPUS_COLS = ["conv_id", "turn_idx", "text"]
 
-    Implementation: range-shuffle sort, then per-block prefix-sum offsets
-    (block row counts gathered via lightweight remote tasks, ids attached
-    block-parallel). The sorted+id'd dataset is returned materialized —
-    at 100 TB this runs once per corpus and the result is the persisted
-    docmap; both passes read from it.
+
+@ray.remote
+def _attach_ids_task(tmp_path: str, offset: int, out_path: str) -> int:
+    """Phase-2 worker: rewrite one checkpoint block with its doc_id
+    column attached (doc ids = global rank; offset = prefix sum of
+    preceding blocks' row counts). Atomic via tmp + rename."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(tmp_path)
+    ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
+    t = t.add_column(0, "doc_id", ids)
+    tmp_out = out_path + ".tmp"
+    pq.write_table(t, tmp_out)
+    os.replace(tmp_out, out_path)
+    os.unlink(tmp_path)
+    return t.num_rows
+
+
+def checkpoint_corpus_with_ids(ds, corpus_dir: str, sort: bool = True) -> int:
+    """Persist the sorted+id'd corpus as a parquet checkpoint — doc ids
+    are dense ranks under stable ``(conv_id, turn_idx)`` ordering (the
+    north rule's T5 invariant, SURVEY.md §2.6) — WITHOUT ever pinning
+    the corpus in the object store (the round-1 design materialized it;
+    at 100 TB that collapses — VERDICT.md "What's wrong" #1).
+
+    Streaming two-phase layout:
+
+    * Phase 1: the sorted dataset streams block-by-block through a
+      ``map_batches`` task that writes each block to a temp parquet file
+      and emits ONLY a tiny metadata row (first key, row count, path).
+      Blocks of a sorted dataset cover disjoint key ranges, and Ray's
+      executor emits blocks in completion (not key) order, so global
+      order is reconstructed from block CONTENT.
+    * Phase 2: the driver orders the metadata rows by first key (one row
+      per block — KBs, not corpus-sized), prefix-sums row counts into
+      doc-id offsets, and fans out one lightweight task per file to
+      attach the doc_id column. Output files are named by their first
+      doc id, so lexicographic file order == doc order and parquet
+      row-group stats give point-lookup pruning.
+
+    At cluster scale ``corpus_dir`` lives on shared storage; every later
+    consumer (docmap, hot-term pre-pass, main posting scan) streams from
+    disk with column pruning instead of re-reading a pinned object.
+    Returns the total row count.
     """
-    import ray.data as rd
-
     if sort:
         ds = ds.sort(["conv_id", "turn_idx"])
-    mat = ds.materialize()
-    refs = mat.to_arrow_refs()
+    os.makedirs(corpus_dir, exist_ok=True)
+    for old in os.listdir(corpus_dir):
+        os.unlink(os.path.join(corpus_dir, old))
 
-    # Ray's streaming executor does NOT guarantee block order (blocks
-    # arrive in completion order), so offsets are derived from block
-    # CONTENT: each block reports its first (conv_id, turn_idx) key +
-    # row count; blocks of a sorted dataset cover disjoint key ranges,
-    # so ordering blocks by first key reconstructs the global order
-    # deterministically regardless of arrival permutation.
-    @ray.remote
-    def _first_key(block: pa.Table) -> tuple:
-        if block.num_rows == 0:
-            return ("", -1, 0)
-        return (
-            block["conv_id"][0].as_py(),
-            int(block["turn_idx"][0].as_py()),
-            block.num_rows,
+    def _dump_block(batch: pa.Table) -> pa.Table:
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        if batch.num_rows == 0:
+            return pa.table({"conv0": pa.array([], pa.string()), "turn0": pa.array([], pa.int32()),
+                             "n_rows": pa.array([], pa.int64()), "path": pa.array([], pa.string())})
+        fd, tmp = tempfile.mkstemp(dir=corpus_dir, suffix=".blk")
+        os.close(fd)
+        pq.write_table(batch.select(_CORPUS_COLS), tmp)
+        return pa.table(
+            {
+                "conv0": pa.array([batch["conv_id"][0].as_py()], pa.string()),
+                "turn0": pa.array([int(batch["turn_idx"][0].as_py())], pa.int32()),
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "path": pa.array([tmp], pa.string()),
+            }
         )
 
-    @ray.remote
-    def _with_ids(block: pa.Table, offset: int) -> pa.Table:
-        ids = pa.array(np.arange(offset, offset + block.num_rows, dtype=np.int64))
-        if "doc_id" in block.column_names:
-            block = block.drop_columns(["doc_id"])
-        return block.append_column("doc_id", ids)
+    meta = ds.map_batches(_dump_block, batch_format="pyarrow").take_all()
+    meta.sort(key=lambda r: (r["conv0"], r["turn0"]))
+    offsets = np.concatenate(([0], np.cumsum([r["n_rows"] for r in meta])))
+    tasks = [
+        _attach_ids_task.remote(
+            r["path"], int(off), os.path.join(corpus_dir, f"part-{int(off):012d}.parquet")
+        )
+        for r, off in zip(meta, offsets[:-1])
+    ]
+    total = int(sum(ray.get(tasks)))
+    atomic_write_json(os.path.join(corpus_dir, "_COMPLETE.json"), {"n_rows": total})
+    return total
 
-    keys = ray.get([_first_key.remote(r) for r in refs])
-    order = sorted(range(len(refs)), key=lambda i: (keys[i][0], keys[i][1]))
-    counts = [keys[i][2] for i in order]
-    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    new_refs = [_with_ids.remote(refs[i], int(off)) for i, off in zip(order, offsets)]
-    return rd.from_arrow_refs(new_refs)
+
+def corpus_checkpoint_complete(corpus_dir: str) -> bool:
+    return os.path.exists(os.path.join(corpus_dir, "_COMPLETE.json"))
 
 
 def _finish_dictionary(stats_ds, index_dir: str, cfg: EngineConfig):
@@ -168,27 +216,42 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     ds = transcripts_ds if transcripts_ds is not None else rd.read_parquet(input_path)
 
-    if "doc_id" not in ds.schema().names:
-        ds = assign_doc_ids(ds, sort=not assume_sorted)
-    # Pin the id'd corpus: it is consumed three times (docmap, hot
-    # pre-pass, main scan); without this each consumer re-executes the
-    # id-assignment lineage. The corpus is the ONLY pinned object (at
-    # cluster scale, swap for a persisted parquet checkpoint).
-    ds = ds.materialize()
-    _mark("doc_ids")
-
-    # --- docmap (doc_id → conv_id, turn_idx), sorted by doc_id for
-    # row-group-pruned point lookups after top-k ---
     docmap_path = os.path.join(index_dir, "docmap.parquet")
     manifest_path = os.path.join(index_dir, "manifest.json")
+    corpus_dir = os.path.join(index_dir, "corpus.parquet")
     have_partial = resume and os.path.exists(manifest_path)
-    if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
-        # the id'd corpus is already globally ordered by doc_id (ids were
-        # assigned along the stable sort), so no second sort: row-group
-        # min/max stats still give point-lookup pruning
-        docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
-        ds.select_columns(docmap_cols).write_parquet(docmap_path)
-    _mark("docmap")
+
+    # Nothing corpus-sized is ever pinned in the object store. Two cases:
+    #
+    # * input already carries stable doc ids → every consumer (docmap,
+    #   pre-pass, main scan) re-executes the cheap read+map lineage,
+    #   fully streaming with column pruning.
+    # * ids must be assigned → the sorted+id'd corpus is persisted ONCE
+    #   as a parquet checkpoint (checkpoint_corpus_with_ids) and all
+    #   consumers stream from that checkpoint on disk. The checkpoint
+    #   doubles as the build's resume point and is removed at finalize.
+    if "doc_id" in ds.schema().names:
+        use_checkpoint = False
+        if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
+            docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
+            ds.select_columns(docmap_cols).write_parquet(docmap_path)
+        _mark("docmap")
+    else:
+        use_checkpoint = True
+        if not (have_partial and corpus_checkpoint_complete(corpus_dir)):
+            checkpoint_corpus_with_ids(ds, corpus_dir, sort=not assume_sorted)
+        _mark("doc_ids")
+        corpus_files = sorted(
+            os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+        )
+        if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
+            # columnar select from the checkpoint: the text column is not
+            # even read off disk unless store_text asks for it. Files are
+            # doc-id ordered, so row-group stats give point-lookup pruning.
+            docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
+            rd.read_parquet(corpus_files, columns=docmap_cols).write_parquet(docmap_path)
+        ds = rd.read_parquet(corpus_files, columns=["doc_id", "conv_id", "text"])
+        _mark("docmap")
 
     # --- hot-term pre-pass: tokenize only the deterministic 2% conv
     # sample (pure function of conv_id → identical across batchings,
@@ -196,9 +259,17 @@ def build_index(
     if have_partial:
         manifest = IndexManifest.load(index_dir)
     else:
+        import pyarrow.compute as pc
         from ray.data.aggregate import Sum
 
-        samp_rows = (
+        # The sampled vocabulary is itself huge at 100 TB (identifiers,
+        # typos), so it never reaches the driver: the aggregated stats
+        # stay distributed (vocabulary-sized ≪ corpus-sized), the
+        # sentinel row is fetched alone, and the df_s >= cut filter runs
+        # dataset-side — the driver receives ONLY the hot terms, whose
+        # count is bounded by avgdl / (ratio·0.5) regardless of corpus
+        # size (Σdf ≤ N·avgdl ⇒ #\{df ≥ r·N\} ≤ avgdl/r).
+        samp_agg = (
             ds.map_batches(
                 lambda b: emit_sampled_term_stats(b, cfg),
                 batch_format="pyarrow",
@@ -206,16 +277,22 @@ def build_index(
             )
             .groupby("term")
             .aggregate(Sum("df_p", alias_name="df_s"))
-            .take_all()
+            .materialize()  # vocabulary-sized, NOT corpus-sized
         )
-        n_sampled = sum(r["df_s"] for r in samp_rows if r["term"] == DOC_SENTINEL)
+        sent_rows = samp_agg.map_batches(
+            lambda b: b.filter(pc.equal(b["term"], DOC_SENTINEL)), batch_format="pyarrow"
+        ).take_all()
+        n_sampled = sum(r["df_s"] for r in sent_rows)
         # sampled-df threshold with a 0.5 margin: over-salting is a cheap
         # false positive, under-salting a hot partition
         hot_cut_sample = max(2, int(cfg.hot_term_df_ratio * n_sampled * 0.5))
-        hot_terms = sorted(
-            r["term"] for r in samp_rows
-            if r["term"] != DOC_SENTINEL and r["df_s"] >= hot_cut_sample
-        )
+        hot_rows = samp_agg.map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.not_equal(b["term"], DOC_SENTINEL), pc.greater_equal(b["df_s"], hot_cut_sample))
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        hot_terms = sorted(r["term"] for r in hot_rows)
         manifest = IndexManifest(
             status="building",
             n_docs=0,            # exact stats arrive via sentinel rows at finalize
@@ -309,6 +386,12 @@ def build_index(
 
     manifest.status = "complete"
     manifest.save(index_dir)
+    if use_checkpoint:
+        # the checkpoint's job (resume point + streaming source) is done;
+        # everything the query path needs lives in docmap + segments
+        import shutil
+
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     return manifest
 
 

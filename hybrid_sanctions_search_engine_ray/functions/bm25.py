@@ -82,6 +82,11 @@ class TermPosting:
 
 
 _DENSE_TAAT_THRESHOLD = 1_000_000
+# Dense accumulator allowed only while its allocation stays linear in the
+# actual work: the doc-id space may be at most this many times the posting
+# count. Gating on posting count alone is fatal at 10^9+ sparse doc ids —
+# np.zeros(max_doc + 1) would allocate by ID SPACE, not by postings.
+_DENSE_MAX_SPACE_RATIO = 4
 
 
 def score_taat(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -91,12 +96,16 @@ def score_taat(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.ndar
     selective queries) and dense (a float array indexed by doc id with
     per-term scatter-adds — doc ids are unique WITHIN a posting, so
     ``scores[ids] += contrib`` is safe; ~5× faster when stop-word
-    postings push total entries into the millions)."""
+    postings push total entries into the millions). The dense path is
+    gated on DENSITY, not just posting count: allocation is bounded by
+    ``_DENSE_MAX_SPACE_RATIO × total_postings`` floats, so a sparse
+    billion-doc id space falls back to the sparse accumulator instead of
+    allocating by id-space size."""
     if not postings:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
     total = sum(p.doc_ids.size for p in postings)
-    if total >= _DENSE_TAAT_THRESHOLD:
-        max_doc = max(int(p.doc_ids[-1]) for p in postings if p.doc_ids.size)
+    max_doc = max((int(p.doc_ids[-1]) for p in postings if p.doc_ids.size), default=0)
+    if total >= _DENSE_TAAT_THRESHOLD and max_doc + 1 <= _DENSE_MAX_SPACE_RATIO * total:
         scores = np.zeros(max_doc + 1, dtype=np.float64)
         for p in postings:
             ids = p.doc_ids.astype(np.int64, copy=False)

@@ -196,18 +196,43 @@ def _pairs_from_partition(g: pd.DataFrame, max_bucket: int = 200) -> pd.DataFram
     """One coarse partition of the LSH space → pairs from every
     (band_id, band_hash) bucket inside it. A single map_groups call
     handles thousands of buckets (grouping whole (band,hash) buckets
-    into ~256 partitions avoids one Ray task per tiny bucket)."""
+    into ~256 partitions avoids one Ray task per tiny bucket).
+
+    Degenerate buckets (boilerplate text colliding thousands of docs)
+    would emit O(B²) pairs; instead of silently dropping docs, buckets
+    larger than ``max_bucket`` switch to STAR linking — every doc paired
+    with the bucket's min doc id, O(B) pairs. Connectivity is preserved
+    exactly (any two docs in the bucket remain joined through the hub),
+    so connected-component dedup clusters are identical to all-pairs;
+    only the redundant intra-cluster edges are elided, and the elision
+    is LOGGED (no silent caps)."""
+    import logging
+
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
+    starred = elided_pairs = 0
     sizes = g.groupby(["band_id", "band_hash"], sort=False)["doc_id"].nunique()
     multi = sizes[sizes > 1]
     if len(multi):
         grouped = g.set_index(["band_id", "band_hash"]).sort_index()
         for key in multi.index:
-            ids = np.unique(grouped.loc[key, "doc_id"].to_numpy())[:max_bucket]
-            a, b = np.triu_indices(ids.size, k=1)
-            out_a.append(ids[a])
-            out_b.append(ids[b])
+            ids = np.unique(grouped.loc[key, "doc_id"].to_numpy())
+            if ids.size > max_bucket:
+                # star: (hub=min id) × every other doc
+                out_a.append(np.full(ids.size - 1, ids[0], dtype=ids.dtype))
+                out_b.append(ids[1:])
+                starred += 1
+                elided_pairs += ids.size * (ids.size - 1) // 2 - (ids.size - 1)
+            else:
+                a, b = np.triu_indices(ids.size, k=1)
+                out_a.append(ids[a])
+                out_b.append(ids[b])
+    if starred:
+        logging.getLogger(__name__).warning(
+            "LSH: %d bucket(s) over %d docs used star linking; %d redundant "
+            "intra-cluster pairs elided (connectivity preserved)",
+            starred, max_bucket, elided_pairs,
+        )
     if not out_a:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
     return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})

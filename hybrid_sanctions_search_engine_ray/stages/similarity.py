@@ -17,6 +17,9 @@
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -129,13 +132,131 @@ class IVFIndex:
         return np.argsort(-(self.centroids @ qn), kind="stable")[:nprobe].astype(np.int32)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit integer mixer (SplitMix64 finalizer) — turns
+    sequential vec_ids into uniform hash values for sampling."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _sample_bottomk_by_hash(ds, sample_rows: int) -> np.ndarray:
+    """Deterministic uniform sample with NO global sort of the corpus:
+    each batch keeps only its ``sample_rows`` smallest rows by
+    splitmix64(vec_id) (a per-batch partial bottom-k), then the tiny
+    candidate set (≤ blocks × sample_rows rows, not corpus-sized) is
+    sorted and truncated. The winning set is a pure function of the
+    vec_ids present — independent of batching, block order and cluster
+    size — so centroids are reproducible everywhere."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        h = _splitmix64(ids)
+        keep = np.sort(np.argsort(h, kind="stable")[:sample_rows])
+        # uint64 hashes viewed as int64 keep their ORDER only within the
+        # non-negative half; xor the sign bit so int64 sort == uint64 sort
+        h64 = (h[keep] ^ np.uint64(1 << 63)).view(np.int64)
+        return b.take(pa.array(keep)).append_column("h", pa.array(h64))
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").sort("h").limit(sample_rows).to_pandas()
+    return np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+
+
+def ivf_build(embeddings_path: str, out_dir: str, n_clusters: int = 16,
+              sample_rows: int = 2048, cols: tuple[str, str] = ("vec_id", "embedding")) -> str:
+    """Build a PERSISTED IVF layout: centroids + parquet partitioned by
+    nearest-centroid cluster (``cluster=K/``). One streaming assignment
+    pass over the corpus; queries later read ONLY their probed cluster
+    partitions. Reference analog: the FAISS local vector index
+    (reference: src/ai_service/layers/embeddings/indexing/
+    vector_index_service.py:42-111), re-expressed as cluster-partitioned
+    Arrow files. Skips work if ``out_dir`` is already complete."""
+    import json
+
+    import ray.data as rd
+
+    meta_path = os.path.join(out_dir, "_IVF_META.json")
+    meta = {"n_clusters": n_clusters, "sample_rows": sample_rows, "source": embeddings_path}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == meta:
+                return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ds = rd.read_parquet(embeddings_path, columns=list(cols))
+    sample = _sample_bottomk_by_hash(ds, sample_rows)
+    ivf = IVFIndex(n_clusters=n_clusters).fit(sample)
+    np.save(os.path.join(out_dir, "centroids.npy"), ivf.centroids)
+
+    centroids_ref = ray.put(ivf.centroids)
+
+    class Assign:
+        def __init__(self, ref):
+            self.ivf = IVFIndex()
+            self.ivf.centroids = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return self.ivf.assign_batch(b)
+
+    assigned = ds.map_batches(Assign, fn_constructor_args=(centroids_ref,),
+                              batch_format="pyarrow", concurrency=2)
+
+    def write_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        """One file per (cluster, group-task): atomic tmp+rename, named
+        by cluster so query-time reads prune to probed partitions."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        c = int(g["cluster"].iloc[0])
+        cdir = os.path.join(out_dir, f"cluster={c}")
+        os.makedirs(cdir, exist_ok=True)
+        tbl = pa.Table.from_pandas(g.drop(columns=["cluster"]), preserve_index=False)
+        fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(cdir, "data.parquet"))
+        return pd.DataFrame({"cluster": [c], "n_rows": [len(g)]})
+
+    assigned.groupby("cluster").map_groups(write_cluster, batch_format="pandas").take_all()
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+def ivf_query(ivf_dir: str, query_ids: list[int], query_matrix: np.ndarray,
+              k: int = 5, nprobe: int = 4, exclude_self: bool = True):
+    """Query a persisted IVF layout: probe the ``nprobe`` nearest
+    centroids per query, read ONLY those ``cluster=K/`` partitions off
+    disk (partition pruning — the corpus is never rescanned), brute-force
+    within the probed union."""
+    import ray.data as rd
+
+    ivf = IVFIndex()
+    ivf.centroids = np.load(os.path.join(ivf_dir, "centroids.npy"))
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    probed: set[int] = set()
+    for i in range(len(query_ids)):
+        probed.update(ivf.probe(qm[i], nprobe).tolist())
+    files = [
+        os.path.join(ivf_dir, f"cluster={c}", "data.parquet")
+        for c in sorted(probed)
+        if os.path.exists(os.path.join(ivf_dir, f"cluster={c}", "data.parquet"))
+    ]
+    ds = rd.read_parquet(files)
+    return brute_force_topk(ds, query_ids, qm, k=k, exclude_self=exclude_self)
+
+
 def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int = 5,
              n_clusters: int = 16, nprobe: int = 4, sample_rows: int = 2048):
-    """Approximate top-k: fit centroids on a deterministic sample (first
-    ``sample_rows`` by vec_id — reproducible), assign clusters in one
-    pass, score queries only against their ``nprobe`` nearest clusters."""
-    sample_tbl = ds.sort("vec_id").limit(sample_rows).to_pandas()
-    sample = np.stack(sample_tbl["embedding"].to_numpy()).astype(np.float64)
+    """In-memory IVF over a Dataset (no persisted layout — for ad-hoc /
+    test use; the scale path is :func:`ivf_build` + :func:`ivf_query`):
+    fit centroids on a deterministic hash-sample (NO global sort),
+    assign clusters in one streaming pass, score queries only against
+    the union of their ``nprobe`` nearest clusters."""
+    sample = _sample_bottomk_by_hash(ds, sample_rows)
     ivf = IVFIndex(n_clusters=n_clusters).fit(sample)
 
     assigned = ds.map_batches(ivf.assign_batch, batch_format="pyarrow")

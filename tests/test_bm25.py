@@ -94,10 +94,29 @@ def test_dense_taat_equals_sparse(monkeypatch):
         dls = rng.integers(5, 80, size=n)
         postings.append(make_posting(f"t{t}", 50_000, list(zip(docs.tolist(), tfs.tolist(), dls.tolist())), 40.0))
     d_sparse, s_sparse = bm.score_taat(postings, 25)
-    monkeypatch.setattr(bm, "_DENSE_TAAT_THRESHOLD", 1)  # force dense
+    monkeypatch.setattr(bm, "_DENSE_TAAT_THRESHOLD", 1)        # force dense...
+    monkeypatch.setattr(bm, "_DENSE_MAX_SPACE_RATIO", 10**9)   # ...past the density gate
     d_dense, s_dense = bm.score_taat(postings, 25)
     assert d_sparse.tolist() == d_dense.tolist()
     assert np.array_equal(s_sparse, s_dense)
+
+
+def test_dense_gate_bounded_allocation(monkeypatch):
+    """Sparse huge doc-id spaces must NOT take the dense path: with doc
+    ids spread to ~10^12, a dense accumulator would allocate terabytes.
+    The density gate (max_doc+1 <= ratio*total) forces the sparse
+    accumulator, which completes instantly and scores identically."""
+    import hybrid_sanctions_search_engine_ray.functions.bm25 as bm
+
+    n = 2048
+    docs = (np.arange(n, dtype=np.uint64) * np.uint64(500_000_000))  # max ~10^12
+    tfs = np.ones(n, dtype=np.int64)
+    dls = np.full(n, 20, dtype=np.int64)
+    p = make_posting("huge", 10**12, list(zip(docs.tolist(), tfs.tolist(), dls.tolist())), 20.0)
+    monkeypatch.setattr(bm, "_DENSE_TAAT_THRESHOLD", 1)  # posting count alone would go dense
+    d, s = bm.score_taat([p], 5)                         # must not allocate ~8 TB
+    assert d.tolist() == docs[:5].tolist()               # equal scores → doc_id asc tie-break
+    assert s.size == 5 and np.all(s > 0)
 
 
 def test_empty_postings():

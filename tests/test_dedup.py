@@ -92,3 +92,24 @@ def test_simhash_deterministic():
     t1 = simhash64(_docs_table([BASE]), AnalyzerConfig())
     t2 = simhash64(_docs_table([BASE]), AnalyzerConfig())
     assert t1["simhash"].to_pylist() == t2["simhash"].to_pylist()
+
+
+def test_lsh_oversized_bucket_star_linking():
+    """Buckets over max_bucket emit star edges (hub = min doc id): O(B)
+    pairs, every doc still connected to the cluster — no silent drops."""
+    from hybrid_sanctions_search_engine_ray.stages.dedup import _pairs_from_partition
+
+    g = pd.DataFrame({"band_id": 0, "band_hash": 1, "doc_id": np.arange(500, dtype=np.int64)})
+    out = _pairs_from_partition(g, max_bucket=100)
+    assert len(out) == 499
+    assert (out["doc_a"] == 0).all()
+    assert set(out["doc_b"]) == set(range(1, 500))
+
+
+def test_lsh_small_bucket_all_pairs():
+    from hybrid_sanctions_search_engine_ray.stages.dedup import _pairs_from_partition
+
+    g = pd.DataFrame({"band_id": 0, "band_hash": 1, "doc_id": np.array([3, 1, 2, 1], dtype=np.int64)})
+    out = _pairs_from_partition(g, max_bucket=100)
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == {(1, 2), (1, 3), (2, 3)}

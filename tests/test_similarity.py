@@ -64,3 +64,54 @@ def test_ivf_deterministic(vectors):
     c1 = IVFIndex(n_clusters=8).fit(vectors).centroids
     c2 = IVFIndex(n_clusters=8).fit(vectors).centroids
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_persisted_build_and_query(ray_session, vectors, tmp_path):
+    """ivf_build writes a cluster-partitioned layout once (idempotent);
+    ivf_query reads only probed partitions and achieves brute-force-level
+    recall at nprobe≈n_clusters/2."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import ivf_build, ivf_query
+
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(_emb_table(vectors), src)
+    out = str(tmp_path / "ivf")
+    ivf_build(src, out, n_clusters=8, sample_rows=300)
+    cdirs = [d for d in os.listdir(out) if d.startswith("cluster=")]
+    assert len(cdirs) >= 2, "expected multiple persisted cluster partitions"
+    assert os.path.exists(os.path.join(out, "centroids.npy"))
+    mtime = os.path.getmtime(os.path.join(out, "_IVF_META.json"))
+    ivf_build(src, out, n_clusters=8, sample_rows=300)  # idempotent skip
+    assert os.path.getmtime(os.path.join(out, "_IVF_META.json")) == mtime
+
+    q_ids = [0, 5, 9]
+    qm = vectors[q_ids].astype(np.float64)
+    exact = brute_force_topk(rd.read_parquet(src), q_ids, qm, k=5).to_pandas()
+    approx = ivf_query(out, q_ids, qm, k=5, nprobe=4).to_pandas()
+    hits = total = 0
+    for qid in q_ids:
+        e = set(exact[exact.query_vec_id == qid]["vec_id"])
+        a = set(approx[approx.query_vec_id == qid]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.6, f"persisted-IVF recall too low: {hits}/{total}"
+
+
+def test_sample_no_corpus_sort(ray_session, vectors):
+    """The centroid sample must not sort the corpus: the executed plan's
+    Sort operates on the per-batch bottom-k candidates only (bounded by
+    blocks × sample_rows), and the sample is batching-invariant."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import _sample_bottomk_by_hash
+
+    t = _emb_table(vectors)
+    s1 = _sample_bottomk_by_hash(rd.from_arrow(t), 50)
+    # different batching: two half-tables → same winners
+    ds2 = rd.from_arrow([t.slice(0, 137), t.slice(137)])
+    s2 = _sample_bottomk_by_hash(ds2, 50)
+    assert np.array_equal(s1, s2)

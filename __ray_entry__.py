@@ -43,6 +43,24 @@ BM25_QUERIES: dict[str, str] = {
 BM25_TOP_K = 10
 _K1, _B = 1.2, 0.75
 
+# Typo'd queries for the char-3-gram (fuzzy lexical) tier — each misspells
+# vocabulary words; the trigram field must still retrieve the right docs.
+NGRAM_QUERIES: dict[str, str] = {
+    "f01": "sprak jion",
+    "f02": "custmer tabel scan",
+    "f03": "window streem",
+    "f04": "fliter qurey",
+    "f05": "vektor hash",
+}
+
+# Fuzzy vocabulary expansion inputs (typos of dictionary terms).
+FUZZY_TERMS: list[str] = ["sprak", "custmer", "fliter", "streem", "vektor"]
+
+_RRF_K = 60
+_POST_MIN_SCORE = 0.05
+_POST_ROLES = ("assistant", "user")
+_POST_BOOST_ROLE, _POST_BOOST = "user", 1.2
+
 TRANSCRIPTS_CTE = """
 transcripts AS (
   SELECT doc_id,
@@ -72,6 +90,56 @@ def _qterms_values() -> str:
     return ", ".join(rows)
 
 
+# Trigram tokenization CTE (char3 analyzer twin): simple tokens → char
+# 3-grams (whole token when len<3) → DISTINCT per doc; tf=1, dl=|gram set|.
+TRIGRAM_CTE = """
+pos3 AS (
+  SELECT doc_id, term, unnest(generate_series(1, greatest(length(term)-2, 1))) AS g
+  FROM tok
+),
+g3 AS (SELECT DISTINCT doc_id, substring(term, g, 3) AS gram FROM pos3),
+dl3 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM g3 GROUP BY doc_id),
+stats3 AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl3),
+df3 AS (SELECT gram, count(*)::BIGINT AS df FROM g3 GROUP BY gram)
+"""
+
+
+def _qgrams_values(queries: dict[str, str]) -> str:
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_char3
+
+    rows = []
+    for qid, text in queries.items():
+        for gram in tokenize_char3(text):
+            rows.append(f"('{qid}', '{gram}')")
+    return ", ".join(rows)
+
+
+# BM25 over the trigram field (tf=1 per present gram), ranked top-k —
+# shared by the ngram_bm25 oracle and the hybrid_rrf oracle.
+def _ngram_ranked_sql(queries: dict[str, str]) -> str:
+    return f"""
+qgrams(query_id, gram) AS (VALUES {_qgrams_values(queries)}),
+scores3 AS (
+  SELECT q.query_id, g.doc_id,
+         sum( ln(1 + (s.n_docs - df3.df + 0.5) / (df3.df + 0.5))
+              * {_K1 + 1.0} / (1 + {_K1} * ({1.0 - _B} + {_B} * dl3.dl / s.avgdl)) ) AS score
+  FROM qgrams q
+  JOIN g3 g ON g.gram = q.gram
+  JOIN df3 ON df3.gram = q.gram
+  JOIN dl3 ON dl3.doc_id = g.doc_id
+  CROSS JOIN stats3 s
+  GROUP BY q.query_id, g.doc_id
+),
+ranked3 AS (
+  -- quantized ordering: the trigram field has EXACT score ties, so rank
+  -- on the rounded score (+ doc_id) to be float-summation-order-proof
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores3
+)
+"""
+
+
 # --- engine plumbing --------------------------------------------------------
 
 
@@ -81,15 +149,17 @@ def _engine_cfg():
     return EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode="simple"))
 
 
-def _ensure_index(sf_dir: str) -> str:
-    """Build (once, cached under /tmp) the BM25 index for an sf dir."""
+def _ensure_index(sf_dir: str, mode: str = "simple") -> str:
+    """Build (once, cached under /tmp) the BM25 index for an sf dir.
+    ``mode="char3"`` builds the character-trigram (fuzzy lexical tier)
+    variant through the SAME shuffle/segment machinery."""
     from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
     from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
     from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
 
     from hybrid_sanctions_search_engine_ray import __version__ as _fmt
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = os.path.basename(os.path.normpath(sf_dir)) + ("" if mode == "simple" else f"-{mode}")
     index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}"
     try:
         if IndexManifest.load(index_dir).status == "complete":
@@ -98,14 +168,21 @@ def _ensure_index(sf_dir: str) -> str:
         pass
     shutil.rmtree(index_dir, ignore_errors=True)
     ts = transcripts_from_documents(sf_dir)
-    build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, _engine_cfg(), transcripts_ds=ts)
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+
+    cfg = EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode=mode))
+    build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, cfg, transcripts_ds=ts)
     return index_dir
 
 
-def _round4(x: np.ndarray) -> np.ndarray:
+def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
     from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
 
-    return round_half_away(np.asarray(x, dtype=np.float64), 4)
+    return round_half_away(np.asarray(x, dtype=np.float64), digits)
+
+
+def _round4(x: np.ndarray) -> np.ndarray:
+    return _round_half_away(x, 4)
 
 
 # --- queries ----------------------------------------------------------------
@@ -544,6 +621,124 @@ def q_bm25_confidence(sf_dir: str):
     return res.groupby("query_id").map_groups(conf, batch_format="pandas")
 
 
+def _search_rounded(sf_dir: str, queries: dict[str, str], mode: str):
+    """Shared BM25 runner: build/choose the index variant, run the actor-
+    pool scorer over a query Dataset, round scores for oracle parity.
+
+    The trigram field produces EXACT score ties (docs sharing a gram
+    profile), where last-ulp float-summation-order differences would
+    flip ranks between engine and SQL; the char3 tier therefore
+    over-fetches 4× candidates and re-ranks on (rounded score desc,
+    doc_id asc) — the deterministic quantized ordering the oracle uses."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    index_dir = _ensure_index(sf_dir, mode=mode)
+    fetch_k = BM25_TOP_K if mode == "simple" else BM25_TOP_K * 4
+    queries_ds = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": fetch_k} for qid, text in queries.items()]
+    )
+    res = search(queries_ds, index_dir, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    out = res.map_batches(_finish, batch_format="pandas")
+    if mode == "simple":
+        return out
+
+    def _rerank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort").head(BM25_TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", "doc_id", "score"]]
+
+    return out.groupby("query_id").map_groups(_rerank, batch_format="pandas")
+
+
+def q_ngram_bm25(sf_dir: str):
+    """Fuzzy lexical tier: BM25 over the char-3-gram field (reference's
+    char_ngram_analyzer subfield — elasticsearch_component_template.json:
+    40-49) — typo'd queries retrieve through trigram postings built by
+    the SAME streaming shuffle/segment machinery as the word index."""
+    return _search_rounded(sf_dir, NGRAM_QUERIES, mode="char3")
+
+
+def q_fuzzy_expand(sf_dir: str):
+    """Fuzzy term expansion against the vocabulary (the ES-fuzziness
+    shape: edit distance runs on the TERM DICTIONARY, never the corpus —
+    reference: fuzzy_search_service.py:38-63)."""
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import fuzzy_expand
+
+    vocab = q_term_dictionary(sf_dir)
+    return fuzzy_expand(vocab, FUZZY_TERMS, max_dist=2, topn=5)
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid fusion tier: reciprocal-rank fusion of the word-BM25 and
+    trigram-BM25 rankings for the same query set (reference:
+    hybrid_search_service.py:1114-1204 fusion; RRF per
+    docs/DATA_PIPELINE.md:855-886)."""
+    from hybrid_sanctions_search_engine_ray.functions.fusion import rrf_fusion
+
+    lex = _search_rounded(sf_dir, BM25_QUERIES, mode="simple").to_pandas()
+    ngr = _search_rounded(sf_dir, BM25_QUERIES, mode="char3").to_pandas()
+
+    out_rows = []
+    for qid in BM25_QUERIES:
+        ranked_lex = lex[lex.query_id == qid].sort_values("rank")["doc_id"].to_numpy()
+        ranked_ngr = ngr[ngr.query_id == qid].sort_values("rank")["doc_id"].to_numpy()
+        if ranked_lex.size == 0 and ranked_ngr.size == 0:
+            continue
+        docs, scores = rrf_fusion([ranked_lex, ranked_ngr], k=_RRF_K, top_k=BM25_TOP_K)
+        for r, (d, s) in enumerate(zip(docs, scores), start=1):
+            out_rows.append((qid, r, int(d), s))
+    out = pd.DataFrame(out_rows, columns=["query_id", "rank", "doc_id", "rrf_score"])
+    return pd.DataFrame(
+        {
+            "query_id": out["query_id"],
+            "rank": out["rank"].astype(np.int32),
+            "doc_id": out["doc_id"].astype(np.int64),
+            "rrf_score": _round_half_away(out["rrf_score"].to_numpy(), 6),
+        }
+    )
+
+
+def q_post_filter(sf_dir: str):
+    """Result post-filters + boosts (reference:
+    hybrid_search_service.py:1206-1262): score threshold, role metadata
+    filter, per-role boost, deterministic re-rank. Candidate metadata is
+    fetched via a row-group-pruned point read — never a corpus scan."""
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import documents_batch_to_transcripts
+    from hybrid_sanctions_search_engine_ray.stages.postfilter import rank_filter_boost
+
+    res = q_bm25_topk(sf_dir).to_pandas()
+    ids = sorted(set(res["doc_id"].tolist()))
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    )
+    meta = documents_batch_to_transcripts(docs).select(["doc_id", "role"]).to_pandas()
+    out = rank_filter_boost(
+        res,
+        meta=meta,
+        min_score=_POST_MIN_SCORE,
+        allowed_values=set(_POST_ROLES),
+        meta_col="role",
+        boosts={_POST_BOOST_ROLE: _POST_BOOST},
+        top_k=BM25_TOP_K,
+    )
+    out["boosted_score"] = _round4(out["boosted_score"].to_numpy())
+    return out
+
+
 # --- non-SQL-expressible ops (rows-only driver check; pytest-verified) ------
 
 
@@ -639,6 +834,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_agg": q_semi_join_agg,
         "lineitem_agg": q_lineitem_agg,
         "bm25_confidence": q_bm25_confidence,
+        "ngram_bm25": q_ngram_bm25,
+        "fuzzy_expand": q_fuzzy_expand,
+        "hybrid_rrf": q_hybrid_rrf,
+        "post_filter": q_post_filter,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -815,6 +1014,101 @@ topk AS (SELECT * FROM ranked WHERE rnk <= {BM25_TOP_K})
 SELECT query_id, cast(rnk AS int) AS rank, doc_id,
        round(score4 / max(score4) OVER (PARTITION BY query_id), 4) AS confidence
 FROM topk
+""",
+        "ngram_bm25": f"""
+WITH {TRANSCRIPTS_CTE},
+{TRIGRAM_CTE},
+{_ngram_ranked_sql(NGRAM_QUERIES)}
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked3 WHERE rnk <= {BM25_TOP_K}
+""",
+        "fuzzy_expand": f"""
+WITH {TRANSCRIPTS_CTE},
+qt(q_term) AS (VALUES {", ".join(f"('{t}')" for t in FUZZY_TERMS)}),
+cand AS (
+  SELECT qt.q_term, df.term, levenshtein(qt.q_term, df.term) AS dist
+  FROM qt CROSS JOIN df
+  WHERE levenshtein(qt.q_term, df.term) <= 2
+),
+rankedf AS (
+  SELECT q_term, term, dist,
+         row_number() OVER (PARTITION BY q_term ORDER BY dist, term) AS rnk
+  FROM cand
+)
+SELECT q_term, cast(rnk AS int) AS rnk, term, cast(dist AS int) AS dist
+FROM rankedf WHERE rnk <= 5
+""",
+        "hybrid_rrf": f"""
+WITH {TRANSCRIPTS_CTE},
+{TRIGRAM_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+),
+{_ngram_ranked_sql(BM25_QUERIES)},
+lexk AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {BM25_TOP_K}),
+ngrk AS (SELECT query_id, doc_id, rnk FROM ranked3 WHERE rnk <= {BM25_TOP_K}),
+rrf AS (
+  SELECT coalesce(l.query_id, n.query_id) AS query_id,
+         coalesce(l.doc_id, n.doc_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_K} + l.rnk), 0) + coalesce(1.0 / ({_RRF_K} + n.rnk), 0) AS rrf
+  FROM lexk l FULL JOIN ngrk n ON l.query_id = n.query_id AND l.doc_id = n.doc_id
+),
+rranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+  FROM rrf
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(rrf, 6) AS rrf_score
+FROM rranked WHERE rnk <= {BM25_TOP_K}
+""",
+        "post_filter": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score4,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= {BM25_TOP_K}),
+kept AS (
+  SELECT t.query_id, t.doc_id, tr.role,
+         round(t.score4 * (CASE WHEN tr.role = '{_POST_BOOST_ROLE}' THEN {_POST_BOOST} ELSE 1.0 END), 4) AS boosted_score
+  FROM topk t JOIN transcripts tr ON tr.doc_id = t.doc_id
+  WHERE t.score4 >= {_POST_MIN_SCORE}
+    AND tr.role IN ({", ".join(f"'{r}'" for r in _POST_ROLES)})
+),
+rr AS (
+  SELECT query_id, doc_id, role, boosted_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY boosted_score DESC, doc_id) AS rnk
+  FROM kept
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, role, boosted_score
+FROM rr WHERE rnk <= {BM25_TOP_K}
 """,
         "events_window": """
 SELECT event_type,

@@ -40,6 +40,31 @@ def tokenize_simple(text: str) -> list[str]:
     return [t for t in _SIMPLE_SPLIT.split(text.lower()) if t]
 
 
+# --- char3 mode ------------------------------------------------------------
+# The character-3-gram field of the reference's lexical tier (reference:
+# templates/elasticsearch/elasticsearch_component_template.json:20-56
+# char_ngram_analyzer, ngram 3-3): typo/partial-match recall. A document is
+# represented by the DISTINCT set of 3-grams of its simple-mode tokens
+# (whole token when shorter than 3 chars), so BM25 over this field scores
+# with tf=1 per gram and dl=|gram set| — exactly SQL-expressible via
+# substring + generate_series + DISTINCT (the driver oracle's form).
+
+
+def char3_grams(token: str) -> list[str]:
+    """All character 3-grams of one token (the token itself if len<3)."""
+    if len(token) < 3:
+        return [token]
+    return [token[i : i + 3] for i in range(len(token) - 2)]
+
+
+def tokenize_char3(text: str) -> list[str]:
+    """simple-mode tokens → sorted distinct char-3-gram set."""
+    grams: set[str] = set()
+    for tok in tokenize_simple(text):
+        grams.update(char3_grams(tok))
+    return sorted(grams)
+
+
 # --- full mode -------------------------------------------------------------
 
 # Apostrophe variants → ASCII ' (reference: high_recall_ac_generator.py:157)
@@ -141,6 +166,8 @@ def get_analyzer(cfg: AnalyzerConfig):
         if cfg.remove_stopwords:
             def base(text: str) -> list[str]:  # noqa: F811
                 return [t for t in tokenize_simple(text) if t not in STOPWORDS]
+    elif cfg.mode == "char3":
+        base = tokenize_char3
     elif cfg.mode == "full":
         def base(text: str) -> list[str]:
             return tokenize_full(text, remove_stopwords=cfg.remove_stopwords)

@@ -1,0 +1,138 @@
+"""Fuzzy term matching — the Ray-Data re-expression of the reference's
+fuzzy search tier (reference: src/ai_service/layers/search/
+fuzzy_search_service.py:38-63 rapidfuzz ratio escalation, invoked from
+hybrid_search_service.py:912-928 — SURVEY.md §2.8), built from scratch
+on a banded Levenshtein kernel.
+
+The scale design matches how Elasticsearch implements ``fuzziness``:
+fuzzy matching runs against the TERM DICTIONARY (vocabulary-sized),
+never the corpus — each query term expands to its nearby vocabulary
+terms, and the expanded terms then ride the ordinary posting-list query
+path. ``fuzzy_expand`` is therefore a ``map_batches`` over the
+vocabulary Dataset with the (tiny) query-term list broadcast, followed
+by a per-query-term top-n.
+
+Edit distance is computed over UTF-8 BYTES (pass ``str``s and they are
+encoded) — deliberately matching DuckDB's ``levenshtein`` semantics so
+the driver's SQL oracle is exact; for ASCII terms byte- and
+codepoint-distance coincide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def levenshtein(a: str | bytes, b: str | bytes, max_dist: int | None = None) -> int:
+    """Levenshtein edit distance with an optional early-exit band.
+
+    Over UTF-8 bytes when given ``str`` (DuckDB-``levenshtein`` parity).
+    With ``max_dist`` set, returns ``max_dist + 1`` as soon as the
+    distance provably exceeds it (Ukkonen band: only cells within
+    ``max_dist`` of the diagonal can stay under the bound).
+    """
+    if isinstance(a, str):
+        a = a.encode("utf-8")
+    if isinstance(b, str):
+        b = b.encode("utf-8")
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if max_dist is not None and lb - la > max_dist:
+        return max_dist + 1
+    prev = list(range(la + 1))
+    cur = [0] * (la + 1)
+    for j in range(1, lb + 1):
+        cur[0] = j
+        bj = b[j - 1]
+        lo = 1 if max_dist is None else max(1, j - max_dist)
+        hi = la if max_dist is None else min(la, j + max_dist)
+        if lo > 1:
+            cur[lo - 1] = max_dist + 1  # out-of-band sentinel
+        for i in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == bj else 1
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost)
+        if hi < la:
+            cur[hi + 1 :] = [max_dist + 1] * (la - hi)
+        if max_dist is not None and min(cur[lo - 1 if lo > 1 else 0 : hi + 1]) > max_dist:
+            return max_dist + 1
+        prev, cur = cur, prev
+    d = prev[la]
+    return d if max_dist is None else min(d, max_dist + 1)
+
+
+def similarity_ratio(a: str, b: str) -> float:
+    """Normalized edit similarity 1 - dist/max(len) over UTF-8 bytes
+    (the rapidfuzz ``ratio``-style score the reference's fuzzy tier
+    thresholds on)."""
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    m = max(len(ab), len(bb))
+    if m == 0:
+        return 1.0
+    return 1.0 - levenshtein(ab, bb) / m
+
+
+class FuzzyExpander:
+    """Actor-pool callable: vocabulary batch → (q_term, term, dist)
+    candidate rows for every query term within ``max_dist`` edits.
+
+    Query terms are tiny and passed by value once per actor
+    (``__init__``); the vocabulary streams through in batches. A
+    byte-length window (|len(v)| - len(q)| ≤ max_dist) prunes the
+    quadratic pair loop — safe because edit distance ≥ length
+    difference — and the banded kernel exits early on hopeless pairs.
+    At larger vocabularies the same stage would sit behind a char-3-gram
+    prefilter over the vocabulary (the char3 index machinery), which
+    this module's byte-window stands in for at test scale.
+    """
+
+    def __init__(self, query_terms: list[str], max_dist: int = 2):
+        self.q = [(t, t.encode("utf-8")) for t in query_terms]
+        self.max_dist = max_dist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        out_q: list[str] = []
+        out_t: list[str] = []
+        out_d: list[int] = []
+        md = self.max_dist
+        for term in terms:
+            tb = term.encode("utf-8")
+            for qt, qb in self.q:
+                if abs(len(tb) - len(qb)) > md:
+                    continue
+                d = levenshtein(qb, tb, max_dist=md)
+                if d <= md:
+                    out_q.append(qt)
+                    out_t.append(term)
+                    out_d.append(d)
+        return pa.table(
+            {
+                "q_term": pa.array(out_q, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "dist": pa.array(out_d, pa.int32()),
+            }
+        )
+
+
+def fuzzy_expand(vocab_ds, query_terms: list[str], max_dist: int = 2, topn: int = 5):
+    """Vocabulary Dataset (term[, df]) → per-query-term expansion table
+    (q_term, rnk, term, dist), ranked (dist asc, term asc), top ``topn``.
+    The vocabulary never leaves the cluster; only ≤ |q|·topn rows come
+    back."""
+
+    def topn_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "term"], kind="mergesort").head(topn)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["q_term", "rnk", "term", "dist"]]
+
+    cand = vocab_ds.map_batches(
+        FuzzyExpander,
+        fn_constructor_args=(query_terms, max_dist),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return cand.groupby("q_term").map_groups(topn_group, batch_format="pandas")

@@ -37,6 +37,49 @@ _SIMPLE_RE2 = r"[^\p{L}\p{N}]+"
 DOC_SENTINEL = "\x00__docs__"
 
 
+def _char3_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """char3 mode, fully vectorized: simple-mode tokens → character
+    3-grams (whole token when len<3) via at most ``max_token_len`` Arrow
+    ``utf8_slice_codeunits`` sweeps over the flat token array → DISTINCT
+    (doc, gram) pairs via Arrow hash-group_by. Matches
+    ``functions.analyzer.tokenize_char3`` and the driver oracle's
+    ``substring + generate_series + DISTINCT`` SQL exactly."""
+    tokens = pc.split_pattern_regex(pc.utf8_lower(text), _SIMPLE_RE2)
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep).combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat.filter(keep)
+    parent = parent.filter(keep)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    pnp = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    max_len = int(lens.max())
+    parts_p: list[np.ndarray] = []
+    parts_g: list[pa.Array] = []
+    # offset 0 covers every token (utf8_slice clamps: len<3 → whole token);
+    # offset i>=1 only tokens long enough to have a gram starting there
+    parts_p.append(pnp)
+    parts_g.append(pc.utf8_slice_codeunits(flat, 0, 3))
+    for i in range(1, max(max_len - 2, 1)):
+        sel = lens >= i + 3
+        if not sel.any():
+            break
+        sub = flat.filter(pa.array(sel))
+        parts_p.append(pnp[sel])
+        parts_g.append(pc.utf8_slice_codeunits(sub, i, i + 3))
+    occ = pa.table(
+        {
+            "d": pa.array(np.concatenate(parts_p), pa.int64()),
+            "t": pa.concat_arrays([g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g for g in parts_g]),
+        }
+    )
+    dist = occ.group_by(["d", "t"]).aggregate([])  # distinct (doc, gram)
+    d = dist["d"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d, kind="stable")  # keep the nondecreasing-parent invariant
+    return d[order], dist["t"].combine_chunks().take(pa.array(order))
+
+
 def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Array]:
     """Tokenize a batch → flat (doc_row_index, term) pairs.
 
@@ -54,6 +97,8 @@ def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Arr
         if cfg.remove_stopwords:
             keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))))
         return parent.filter(keep).to_numpy(zero_copy_only=False), flat.filter(keep)
+    if cfg.mode == "char3":
+        return _char3_flat(text)
     # full mode: per-row Python tokenizer, Arrow everything after
     analyzer = get_analyzer(cfg)
     parents: list[np.ndarray] = []

@@ -1,0 +1,161 @@
+"""char3 analyzer mode, fuzzy term expansion, and result post-filters."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+from hybrid_sanctions_search_engine_ray.functions.analyzer import char3_grams, tokenize_char3
+from hybrid_sanctions_search_engine_ray.functions.fuzzy import (
+    FuzzyExpander,
+    levenshtein,
+    similarity_ratio,
+)
+from hybrid_sanctions_search_engine_ray.stages.analyze import _char3_flat
+from hybrid_sanctions_search_engine_ray.stages.postfilter import rank_filter_boost
+
+# --- char3 analyzer ---------------------------------------------------------
+
+
+def test_char3_grams_basic():
+    assert char3_grams("spark") == ["spa", "par", "ark"]
+    assert char3_grams("ab") == ["ab"]
+    assert char3_grams("abc") == ["abc"]
+
+
+def test_tokenize_char3_distinct_sorted():
+    out = tokenize_char3("Spark spark ark!")
+    assert out == sorted(set(out))
+    assert "spa" in out and "ark" in out
+
+
+@pytest.mark.parametrize(
+    "text",
+    ["Spark join filter!", "ab", "café naïve", "ёжик пётр xx1", "a b c dddd", ""],
+)
+def test_char3_arrow_matches_python(text):
+    """The vectorized Arrow path and the Python tokenizer must produce
+    the same per-doc distinct gram sets."""
+    parent, grams = _char3_flat(pa.array([text]))
+    got = set(grams.to_pylist())
+    assert got == set(tokenize_char3(text))
+    assert len(got) == len(grams)  # distinct (doc, gram) pairs
+
+
+def test_char3_index_typo_recall(ray_session, tmp_path):
+    """A trigram index retrieves the right doc for a typo'd query — the
+    recall property the reference's char_ngram_analyzer subfield exists
+    for (elasticsearch_component_template.json:40-49)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    texts = [
+        "spark streaming join pipeline",
+        "customer order table",
+        "unrelated words entirely",
+    ]
+    rows = [
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+        for i, t in enumerate(texts)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path / "char3idx")
+    cfg = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="char3"))
+    m = build_index("mem", idx, cfg, transcripts_ds=ds)
+    assert m.analyzer_mode == "char3"
+    r = IndexReader(idx)
+    docs, scores = r.search_one("sprak streeming", 3)  # two typos
+    assert docs.size > 0 and int(docs[0]) == 0, "typo query must hit the spark doc first"
+
+
+# --- fuzzy levenshtein ------------------------------------------------------
+
+
+def test_levenshtein_known_cases():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("spark", "sprak") == 2      # transposition = 2 edits (no Damerau)
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("", "abc") == 3
+    # byte semantics (DuckDB parity): 2-byte cyrillic chars differ in 2 bytes
+    assert levenshtein("ёжик", "ежик") == 2
+
+
+def test_levenshtein_banded_early_exit():
+    assert levenshtein("aaaaaaaaaa", "bbbbbbbbbb", max_dist=2) == 3  # capped at max+1
+    assert levenshtein("abcdef", "abcdxf", max_dist=2) == 1
+    assert levenshtein("ab", "abcdefgh", max_dist=2) == 3  # length gap > band
+
+
+def test_similarity_ratio():
+    assert similarity_ratio("spark", "spark") == 1.0
+    assert 0.0 < similarity_ratio("spark", "sprak") < 1.0
+    assert similarity_ratio("", "") == 1.0
+
+
+def test_fuzzy_expander_batch():
+    batch = pa.table({"term": pa.array(["spark", "sharp", "join", "filter", "fliter"])})
+    out = FuzzyExpander(["sprak"], max_dist=2)(batch)
+    got = dict(zip(out["term"].to_pylist(), out["dist"].to_pylist()))
+    assert got["spark"] == 2
+    assert "join" not in got and "filter" not in got
+
+
+# --- post-filter stage ------------------------------------------------------
+
+
+def _results():
+    return pd.DataFrame(
+        {
+            "query_id": ["q1"] * 4 + ["q2"] * 2,
+            "rank": np.array([1, 2, 3, 4, 1, 2], dtype=np.int32),
+            "doc_id": np.array([10, 11, 12, 13, 20, 21], dtype=np.int64),
+            "score": [0.9, 0.5, 0.5, 0.01, 0.3, 0.2],
+        }
+    )
+
+
+def _meta():
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([10, 11, 12, 13, 20, 21], dtype=np.int64),
+            "role": ["tool", "user", "assistant", "user", "user", "assistant"],
+        }
+    )
+
+
+def test_post_filter_threshold_and_roles():
+    out = rank_filter_boost(
+        _results(), meta=_meta(), min_score=0.05,
+        allowed_values={"user", "assistant"}, boosts={"user": 1.2}, top_k=10,
+    )
+    # doc 10 dropped (role tool), doc 13 dropped (score < min)
+    assert set(out["doc_id"]) == {11, 12, 20, 21}
+
+
+def test_post_filter_boost_reorders():
+    out = rank_filter_boost(
+        _results(), meta=_meta(), min_score=0.0,
+        allowed_values={"user", "assistant"}, boosts={"user": 1.2}, top_k=10,
+    )
+    q1 = out[out.query_id == "q1"].sort_values("rank")
+    # 11 (user, 0.5*1.2=0.6) outranks 12 (assistant, 0.5)
+    assert q1.iloc[0]["doc_id"] == 11 and q1.iloc[1]["doc_id"] == 12
+    assert q1.iloc[0]["boosted_score"] == 0.6
+    assert list(q1["rank"]) == [1, 2, 3]
+
+
+def test_post_filter_rank_ties_doc_id_asc():
+    res = pd.DataFrame(
+        {
+            "query_id": ["q"] * 3,
+            "rank": np.array([1, 2, 3], dtype=np.int32),
+            "doc_id": np.array([5, 3, 4], dtype=np.int64),
+            "score": [0.5, 0.5, 0.5],
+        }
+    )
+    out = rank_filter_boost(res, top_k=2)
+    assert list(out["doc_id"]) == [3, 4]  # ties → doc_id asc, truncated

@@ -71,7 +71,7 @@ transcripts AS (
   FROM documents
 ),
 toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')) AS term
+  SELECT doc_id, unnest(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+')) AS term
   FROM transcripts
 ),
 tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),

@@ -42,8 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--resume", action="store_true")
     b.add_argument("--assume-sorted", action="store_true")
     b.add_argument("--num-partitions", type=int, default=64)
-    b.add_argument("--analyzer", choices=["simple", "full"], default="simple")
+    b.add_argument("--analyzer", choices=["simple", "full", "char3"], default="simple")
     b.add_argument("--stopwords", action="store_true")
+    b.add_argument("--store-text", action="store_true",
+                   help="keep text in the docmap (required for phrase search)")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -76,7 +78,8 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.num_partitions,
             analyzer=AnalyzerConfig(mode=args.analyzer, remove_stopwords=args.stopwords),
         )
-        m = build_index(args.input, args.index, cfg, resume=args.resume, assume_sorted=args.assume_sorted)
+        m = build_index(args.input, args.index, cfg, resume=args.resume,
+                        assume_sorted=args.assume_sorted, store_text=args.store_text)
         print(json.dumps({"status": m.status, "n_docs": m.n_docs, "avgdl": round(m.avgdl, 4),
                           "n_terms": m.n_terms, "parts": len(m.parts), "hot_terms": len(m.hot_terms)}))
     elif args.cmd == "query":

@@ -31,13 +31,49 @@ from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
 
 # --- simple mode -----------------------------------------------------------
 
-# Python \w == Unicode [L* N* M* Pc]; subtract '_' to match DuckDB's
-# [^\p{L}\p{N}]+ on our corpora (no combining marks survive NFKC text here).
+# Python \w == Unicode [L* N* M* Pc]; subtract '_'. One residual gap vs
+# the Arrow/DuckDB `[^\p{L}\p{N}]+` class: \w keeps combining marks (M*)
+# inside tokens while the RE2 class splits on them. Both paths therefore
+# NFC-normalize first (composing the common mark sequences away) and the
+# Python side additionally SPLITS tokens at any surviving mark, so index-
+# side (Arrow), query-side (here) and the SQL oracle (which applies
+# lower(nfc_normalize(text))) tokenize identically even on NFD input.
 _SIMPLE_SPLIT = re.compile(r"[\W_]+", re.UNICODE)
 
 
+def _split_residual_marks(tok: str) -> list[str]:
+    # rare path: only tokens that still carry combining marks after NFC
+    if tok.isascii() or not any(unicodedata.category(c).startswith("M") for c in tok):
+        return [tok]
+    out: list[str] = []
+    cur: list[str] = []
+    for c in tok:
+        if unicodedata.category(c).startswith("M"):
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(c)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+# Python str.lower() follows Unicode SpecialCasing and maps İ (U+0130) to
+# "i" + COMBINING DOT ABOVE, while utf8proc (Arrow) and DuckDB lower it to
+# plain "i" — pre-fold the one divergent codepoint before lowering.
+_PRE_LOWER = {0x130: "i"}
+
+
 def tokenize_simple(text: str) -> list[str]:
-    return [t for t in _SIMPLE_SPLIT.split(text.lower()) if t]
+    text = unicodedata.normalize("NFC", text).translate(_PRE_LOWER).lower()
+    return [
+        p
+        for t in _SIMPLE_SPLIT.split(text)
+        if t
+        for p in _split_residual_marks(t)
+        if p
+    ]
 
 
 # --- char3 mode ------------------------------------------------------------
@@ -120,9 +156,37 @@ def _fold_homoglyphs_token(tok: str) -> str:
     return tok.translate(_LAT2CYR) if _dominant_script(tok) == "cyrillic" else tok.translate(_CYR2LAT)
 
 
+# Invisible / zero-width characters stripped before normalization
+# (reference: unicode_service.py:295-394 invisible-char handling):
+# ZWSP, ZWNJ, ZWJ, word joiner, BOM, soft hyphen, LRM/RLM.
+_INVISIBLE = dict.fromkeys(
+    map(ord, "​‌‍⁠﻿­‎‏"), None
+)
+
+# Mojibake markers: UTF-8 bytes mis-decoded as cp1252 render as 'Ã©',
+# 'Ð¸', 'Ñ\x82', 'â€¦' — lead bytes 0xC3/0xD0/0xD1/0xE2 seen as letters.
+_MOJIBAKE_MARKERS = ("Ã", "Ð", "Ñ", "â€")
+
+
+def recover_encoding(text: str) -> str:
+    """Best-effort mojibake recovery (reference: unicode_service.py:
+    295-360 encoding recovery): if the text contains cp1252-mojibake
+    marker characters AND its cp1252 re-encoding is strictly valid
+    UTF-8, decode it as UTF-8. Natural non-mojibake text containing
+    'Ã'/'Ñ' fails the strict round-trip (the following byte is not a
+    valid continuation), so the transform is effectively precise."""
+    if not any(m in text for m in _MOJIBAKE_MARKERS):
+        return text
+    try:
+        return text.encode("cp1252", errors="strict").decode("utf-8", errors="strict")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return text
+
+
 def normalize_full(text: str) -> str:
     """The canonical normalization (pre-tokenization) for ``full`` mode."""
-    t = unicodedata.normalize("NFKC", text)
+    t = recover_encoding(text).translate(_INVISIBLE)
+    t = unicodedata.normalize("NFKC", t)
     t = t.translate(_APOSTROPHES).translate(_HYPHENS)
     for src, dst in _TRANSLIT.items():
         t = t.replace(chr(src), dst)
@@ -130,8 +194,16 @@ def normalize_full(text: str) -> str:
     return t.casefold()
 
 
+_EDGE_PUNCT = ".,;:!?()[]{}\"'"
+
+
 def tokenize_full(text: str, remove_stopwords: bool = False) -> list[str]:
     t = normalize_full(text)
+    # date exclusion must run BEFORE the noise strip: slash dates
+    # (01/02/2003) would otherwise be split into bare number tokens when
+    # '/' is removed (reference: token_processor.py:17-22 checks raw
+    # whitespace tokens)
+    t = " ".join(w for w in t.split() if not _DATE.match(w.strip(_EDGE_PUNCT)))
     t = _NOISE.sub(" ", t)
     out: list[str] = []
     for raw in t.split():

@@ -56,11 +56,27 @@ class SpaceSaving:
             self.errors[item] = m
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """Error-bound-preserving merge (standard mergeable SpaceSaving,
+        Metwally-style): a key absent from a sketch that has reached
+        capacity may have been evicted there with a true count up to
+        that sketch's minimum counter — so the absent side contributes
+        its minimum counter to BOTH the merged count and the merged
+        error. A sketch below capacity never evicted, so its absent keys
+        contribute 0 and the 'exact iff max_error == 0' guarantee of
+        :meth:`topk` survives merging."""
         out = SpaceSaving(self.capacity)
-        merged = Counter(self.counts)
-        merged.update(other.counts)
-        errors = {k: self.errors.get(k, 0) + other.errors.get(k, 0) for k in merged}
-        # keep the heaviest `capacity` entries (standard SS merge)
+        m_self = min(self.counts.values()) if len(self.counts) >= self.capacity else 0
+        m_other = min(other.counts.values()) if len(other.counts) >= other.capacity else 0
+        merged: dict = {}
+        errors: dict = {}
+        for k in set(self.counts) | set(other.counts):
+            c = self.counts.get(k, m_self) + other.counts.get(k, m_other)
+            e = (self.errors.get(k, 0) if k in self.counts else m_self) + (
+                other.errors.get(k, 0) if k in other.counts else m_other
+            )
+            merged[k] = c
+            errors[k] = e
+        # keep the heaviest `capacity` entries
         top = sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))[: self.capacity]
         out.counts = Counter(dict(top))
         out.errors = {k: errors[k] for k, _ in top}

@@ -29,8 +29,29 @@ from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConf
 from hybrid_sanctions_search_engine_ray.functions.analyzer import STOPWORDS, get_analyzer
 
 # RE2 character-class split for simple mode (parity with the DuckDB oracle's
-# regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')).
+# regexp_split_to_array(lower(nfc_normalize(text)), '[^\p{L}\p{N}]+')).
 _SIMPLE_RE2 = r"[^\p{L}\p{N}]+"
+
+
+def _lower_nfc(text: pa.Array) -> pa.Array:
+    """NFC → lower, matching the Python tokenizer and the SQL oracle.
+    NFC first so NFD input (decomposed accents) tokenizes identically on
+    the index (Arrow), query (Python re) and oracle (DuckDB) paths.
+
+    Arrow's ``utf8_normalize`` only DECOMPOSES in this build (its NFC
+    never recomposes), so composition falls back to Python — but ONLY
+    when a batch actually contains combining marks (one vectorized RE2
+    scan decides); mark-free batches (the overwhelming norm) stay fully
+    zero-copy Arrow."""
+    has_marks = pc.any(pc.match_substring_regex(text, r"\p{M}")).as_py()
+    if has_marks:
+        import unicodedata
+
+        text = pa.array(
+            [unicodedata.normalize("NFC", s) if s is not None else None for s in text.to_pylist()],
+            pa.string(),
+        )
+    return pc.utf8_lower(text)
 
 # Sentinel term under which per-batch document counts ride through the
 # term-stats shuffle (no real term can collide: analyzer never emits "\x00").
@@ -44,7 +65,7 @@ def _char3_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
     (doc, gram) pairs via Arrow hash-group_by. Matches
     ``functions.analyzer.tokenize_char3`` and the driver oracle's
     ``substring + generate_series + DISTINCT`` SQL exactly."""
-    tokens = pc.split_pattern_regex(pc.utf8_lower(text), _SIMPLE_RE2)
+    tokens = pc.split_pattern_regex(_lower_nfc(text), _SIMPLE_RE2)
     flat = pc.list_flatten(tokens)
     parent = pc.list_parent_indices(tokens)
     keep = pc.greater(pc.utf8_length(flat), 0)
@@ -90,7 +111,7 @@ def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Arr
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     if cfg.mode == "simple":
-        tokens = pc.split_pattern_regex(pc.utf8_lower(text), _SIMPLE_RE2)
+        tokens = pc.split_pattern_regex(_lower_nfc(text), _SIMPLE_RE2)
         flat = pc.list_flatten(tokens)
         parent = pc.list_parent_indices(tokens)
         keep = pc.greater(pc.utf8_length(flat), 0)
@@ -171,6 +192,14 @@ def emit_postings_with_sentinel(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     doc_ids = p["doc_id"].to_numpy(zero_copy_only=False)
     n_docs = len(np.unique(doc_ids)) if p.num_rows else 0
     total_tokens = int(pc.sum(p["tf"]).as_py() or 0)
+    # the sentinel packs the batch token total into the int32 dl column;
+    # a batch can only exceed 2^31 tokens with pathological row sizes the
+    # build path doesn't cap — fail loudly instead of wrapping silently
+    if total_tokens > 2**31 - 1:
+        raise ValueError(
+            f"batch token total {total_tokens} overflows the int32 sentinel dl; "
+            "reduce analyze_batch_size or pre-clean pathological documents"
+        )
     sent = pa.table(
         {
             "term": pa.array([DOC_SENTINEL], pa.string()),

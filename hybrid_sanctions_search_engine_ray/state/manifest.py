@@ -10,7 +10,8 @@ watchlist_index_service.py:319-457)::
       dictionary.parquet/            # term → df, cf  (the vocabulary)
       docmap.parquet/                # doc_id → conv_id, turn_idx
       segments/part=K/postings.parquet   # encoded posting lists
-      segments/part=K/meta.json          # per-partition lineage (written first)
+      segments/part=K/meta.json          # per-partition lineage (written LAST —
+                                         # its presence implies the data file is complete)
 
 A build is resumable because each partition's segment file + meta.json
 land atomically and independently; a re-run scans ``segments/*/meta.json``

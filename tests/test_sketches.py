@@ -63,3 +63,26 @@ def test_hll_deterministic():
     e1 = HyperLogLog().add_strings([f"x{i}" for i in range(1000)]).estimate()
     e2 = HyperLogLog().add_strings([f"x{i}" for i in range(1000)]).estimate()
     assert e1 == e2
+
+
+def test_spacesaving_merge_error_bound():
+    """Mergeable-SS invariant: for every tracked key after a merge of
+    capacity-saturated partials, est - max_error <= true <= est, and
+    max_error == 0 only when the estimate is exact."""
+    import numpy as np
+    from collections import Counter
+
+    from hybrid_sanctions_search_engine_ray.functions.sketches import SpaceSaving
+
+    rng = np.random.default_rng(5)
+    stream = [f"t{int(v):03d}" for v in rng.zipf(1.3, size=4000) if v < 500]
+    truth = Counter(stream)
+    parts = [stream[i::3] for i in range(3)]
+    sketches = [SpaceSaving(capacity=32).add_many(p) for p in parts]
+    merged = sketches[0].merge(sketches[1]).merge(sketches[2])
+    for item, est, err in merged.topk(20):
+        t = truth[item]
+        assert t <= est, f"{item}: true {t} > est {est} (merge undercounts)"
+        assert est - err <= t, f"{item}: est-err {est-err} > true {t}"
+        if err == 0:
+            assert est == t

@@ -770,6 +770,31 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(lambda b: fingerprint(b, cfg.analyzer), batch_format="pyarrow", batch_size=4096)
 
 
+def q_embed_docs(sf_dir: str):
+    """Deterministic feature-hashing embedding generation (the load-once
+    model actor-pool stage — reference: embedding_service.py:108-150).
+    Rows-only check: the hash projection is not reasonably
+    SQL-expressible; pytest pins determinism/norm/semantic properties."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import embed_documents
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = embed_documents(ds, dim=32, concurrency=2)
+
+    def _norm_col(b: pa.Table) -> pa.Table:
+        m = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1) if m.size else np.zeros(0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "norm": pa.array(np.round(nrm, 4), pa.float64()),
+            }
+        )
+
+    return out.map_batches(_norm_col, batch_format="pyarrow")
+
+
 def q_topk_sketch(sf_dir: str):
     """SpaceSaving approximate top-terms (mergeable sketch per batch).
     At documents' skew the head is exact (max_error 0) — pytest asserts
@@ -842,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
+        "embed_docs": q_embed_docs,
         "ann_ivf": q_ann_ivf,
         "topk_sketch": q_topk_sketch,
         "distinct_sketch": q_distinct_sketch,

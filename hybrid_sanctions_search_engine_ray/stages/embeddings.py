@@ -1,0 +1,107 @@
+"""Embedding generation — the load-once model actor-pool stage.
+
+The Ray-Data re-expression of the reference's embedding service
+(reference: src/ai_service/layers/embeddings/embedding_service.py:
+17,70,108-150 — a sentence-transformer loaded ONCE per worker and
+applied in batches — SURVEY.md §2.3 A1), with the neural model replaced
+by a REAL, deterministic, dependency-free embedding function: the
+feature-hashing projection (the "hashing trick", Weinberger et al.
+ICML'09) of log-scaled token counts into ``dim`` signed buckets,
+L2-normalized. It is a genuine working text embedder (similar token
+distributions → high cosine), not a stub: no external model exists in
+this environment, and every Ray-side property the neural version needs
+— one model build per actor, batched vectorized inference, bounded
+batch memory, a parquet vector sink — is exercised for real.
+
+Output schema: ``(doc_id:int64, embedding:list<float32>[dim])`` — the
+same shape the ``embeddings`` test table and the similarity stages
+(stages/similarity.py) consume, so generated vectors flow directly into
+``brute_force_topk`` / ``ivf_build``. ``write_embeddings`` is the
+vector-sink analog of the reference's vector JSON writer
+(scripts/prepare_sanctions_data.py vector export — SURVEY.md §2.1 S4),
+emitted as parquet for columnar, partition-pruned reads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+
+
+class HashingEmbedder:
+    """Actor-pool callable: text batch → unit-norm hashed embeddings.
+
+    Everything stateful — analyzer config, hash mixing constants, the
+    per-token-hash sign/bucket derivation — is built once in
+    ``__init__`` (the reference's load-model-once contract); ``__call__``
+    is pure vectorized numpy per batch.
+    """
+
+    def __init__(self, dim: int = 64, analyzer_cfg: AnalyzerConfig | None = None,
+                 seed: int = 17):
+        self.dim = dim
+        self.cfg = analyzer_cfg or AnalyzerConfig()
+        # per-seed mixing constants: two odd multipliers derived once
+        rng = np.random.default_rng(seed)
+        self.mix_a = np.uint64(rng.integers(1, 2**63) * 2 + 1)
+        self.mix_b = np.uint64(rng.integers(1, 2**63) * 2 + 1)
+
+    def _embed_flat(self, parent: np.ndarray, token_hashes: np.ndarray, n_docs: int) -> np.ndarray:
+        h = token_hashes * self.mix_a + self.mix_b  # uint64 wrap = part of the hash
+        bucket = (h >> np.uint64(32)).astype(np.int64) % self.dim
+        sign = np.where((h & np.uint64(1)).astype(bool), 1.0, -1.0)
+        # per-(doc, bucket) signed counts in one bincount over flattened keys
+        flat_keys = parent * self.dim + bucket
+        mat = np.bincount(flat_keys, weights=sign, minlength=n_docs * self.dim)
+        mat = mat.reshape(n_docs, self.dim)
+        # log-scale magnitudes (tf damping), keep sign
+        mat = np.sign(mat) * np.log1p(np.abs(mat))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        return (mat / np.maximum(norms, 1e-12)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+        from hybrid_sanctions_search_engine_ray.stages.dedup import _token_hashes
+
+        parent, terms = flat_terms(batch, self.cfg)
+        n = batch.num_rows
+        if len(terms):
+            th = _token_hashes(terms.to_numpy(zero_copy_only=False))
+            mat = self._embed_flat(parent, th, n)
+        else:
+            mat = np.zeros((n, self.dim), dtype=np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel(), pa.float32()), self.dim)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "embedding": emb.cast(pa.list_(pa.float32())),
+            }
+        )
+
+
+def embed_documents(ds, dim: int = 64, analyzer_cfg: AnalyzerConfig | None = None,
+                    concurrency: int = 4, batch_size: int = 2048):
+    """Dataset(doc_id, text) → Dataset(doc_id, embedding) via the
+    actor-pool embedder. ``batch_size`` bounds per-actor memory
+    (batch × dim float32 + token scratch); size down for huge dims."""
+    return ds.map_batches(
+        HashingEmbedder,
+        fn_constructor_kwargs={"dim": dim, "analyzer_cfg": analyzer_cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def write_embeddings(ds, out_path: str, dim: int = 64,
+                     analyzer_cfg: AnalyzerConfig | None = None,
+                     concurrency: int = 4, batch_size: int = 2048) -> str:
+    """The vector sink: embed and persist as parquet (streaming write,
+    one file per output block — resumable, partition-prunable)."""
+    embed_documents(
+        ds, dim=dim, analyzer_cfg=analyzer_cfg,
+        concurrency=concurrency, batch_size=batch_size,
+    ).write_parquet(out_path)
+    return out_path

@@ -1,7 +1,10 @@
 """Sketch pipelines: one serialized sketch per ``map_batches`` task,
-merged in a driver-side reduce — the mergeable-sketch aggregation
-pattern (ray_guide "Aggregation at scale"). Sketch payload rows are a
-few KB each; nothing corpus-sized ever shuffles."""
+combined by a distributed TREE reduce — the mergeable-sketch
+aggregation pattern (ray_guide "Aggregation at scale"). Sketch payload
+rows are a few KB each; nothing corpus-sized ever shuffles, and the
+driver only ever unpickles the single final sketch (a sequential
+driver-side merge loop would be O(#tasks) Python at 100-TB task
+counts)."""
 
 from __future__ import annotations
 
@@ -13,6 +16,27 @@ import pyarrow as pa
 from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
 from hybrid_sanctions_search_engine_ray.functions.sketches import HyperLogLog, SpaceSaving, fmix64
 from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+
+def _merge_sketch_batch(batch: pa.Table) -> pa.Table:
+    sketches = [pickle.loads(p.as_py()) for p in batch["sketch"]]
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.merge(s)
+    return pa.table({"sketch": pa.array([pickle.dumps(merged)], pa.binary())})
+
+
+def tree_merge_sketches(sketch_ds, fanin: int = 32):
+    """Reduce a Dataset of pickled-sketch rows to ONE sketch via rounds
+    of fan-in merges (each round materializes only KB-sized sketch rows;
+    log_fanin(#tasks) rounds). Returns the final sketch or None."""
+    ds = sketch_ds.materialize()  # sketch rows only — tiny
+    while ds.count() > 1:
+        ds = ds.map_batches(
+            _merge_sketch_batch, batch_format="pyarrow", batch_size=fanin
+        ).materialize()
+    rows = ds.take_all()
+    return pickle.loads(rows[0]["sketch"]) if rows else None
 
 
 def top_terms_sketch(ds, cfg: AnalyzerConfig, capacity: int = 4096, k: int = 50):
@@ -31,11 +55,7 @@ def top_terms_sketch(ds, cfg: AnalyzerConfig, capacity: int = 4096, k: int = 50)
             ss.add_many(t)
         return pa.table({"sketch": pa.array([pickle.dumps(ss)], pa.binary())})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).take_all()
-    merged = None
-    for r in rows:
-        s = pickle.loads(r["sketch"])
-        merged = s if merged is None else merged.merge(s)
+    merged = tree_merge_sketches(ds.map_batches(partial, batch_format="pyarrow", batch_size=8192))
     if merged is None:
         return pd.DataFrame({"term": [], "est_count": [], "max_error": []})
     top = merged.topk(k)
@@ -60,9 +80,5 @@ def distinct_terms_hll(ds, cfg: AnalyzerConfig, p: int = 12) -> float:
             hll.add_hashes(fmix64(th))
         return pa.table({"sketch": pa.array([pickle.dumps(hll)], pa.binary())})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).take_all()
-    merged = None
-    for r in rows:
-        s = pickle.loads(r["sketch"])
-        merged = s if merged is None else merged.merge(s)
+    merged = tree_merge_sketches(ds.map_batches(partial, batch_format="pyarrow", batch_size=8192))
     return merged.estimate() if merged is not None else 0.0

@@ -56,6 +56,16 @@ NGRAM_QUERIES: dict[str, str] = {
 # Fuzzy vocabulary expansion inputs (typos of dictionary terms).
 FUZZY_TERMS: list[str] = ["sprak", "custmer", "fliter", "streem", "vektor"]
 
+# Exact-phrase queries for the positional index (bigrams/trigrams drawn
+# from the documents vocabulary; last one is a deliberate near-certain miss).
+PHRASE_QUERIES: dict[str, str] = {
+    "p01": "part filter",
+    "p02": "customer join",
+    "p03": "merge group",
+    "p04": "window join",
+    "p05": "slow key value zzz",
+}
+
 _RRF_K = 60
 _POST_MIN_SCORE = 0.05
 _POST_ROLES = ("assistant", "user")
@@ -114,6 +124,47 @@ def _qgrams_values(queries: dict[str, str]) -> str:
     return ", ".join(rows)
 
 
+def _phrase_qterms_values() -> str:
+    rows = []
+    for qid, phrase in PHRASE_QUERIES.items():
+        for term in sorted(set(phrase.lower().split())):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
+def _phrase_matches_sql() -> str:
+    """Per-phrase contiguity match: self-joins on (doc, pos+i, term_i)
+    over the positional token table — one SELECT per phrase, unioned."""
+    selects = []
+    for qid, phrase in PHRASE_QUERIES.items():
+        terms = phrase.lower().split()
+        joins = " ".join(
+            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{t}'"
+            for i, t in enumerate(terms[1:], 1)
+        )
+        selects.append(
+            f"SELECT DISTINCT '{qid}' AS query_id, p0.doc_id AS doc_id "
+            f"FROM tokpos p0 {joins} WHERE p0.term = '{terms[0]}'"
+        )
+    return " UNION ALL ".join(selects)
+
+
+# Positional token table CTE (zipped unnest keeps term/pos aligned;
+# positions are 0-based over the FILTERED token sequence — the engine's
+# numbering).
+TOKPOS_CTE = """
+arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS arr
+  FROM transcripts
+),
+tokpos AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(generate_series(0, len(arr) - 1)) AS pos
+  FROM arrs
+)
+"""
+
+
 # BM25 over the trigram field (tf=1 per present gram), ranked top-k —
 # shared by the ngram_bm25 oracle and the hybrid_rrf oracle.
 def _ngram_ranked_sql(queries: dict[str, str]) -> str:
@@ -149,17 +200,20 @@ def _engine_cfg():
     return EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode="simple"))
 
 
-def _ensure_index(sf_dir: str, mode: str = "simple") -> str:
+def _ensure_index(sf_dir: str, mode: str = "simple", positional: bool = False) -> str:
     """Build (once, cached under /tmp) the BM25 index for an sf dir.
     ``mode="char3"`` builds the character-trigram (fuzzy lexical tier)
-    variant through the SAME shuffle/segment machinery."""
+    variant through the SAME shuffle/segment machinery; ``positional``
+    adds in-document position postings (exact phrase search)."""
     from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
     from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
     from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
 
     from hybrid_sanctions_search_engine_ray import __version__ as _fmt
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) + ("" if mode == "simple" else f"-{mode}")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag += "" if mode == "simple" else f"-{mode}"
+    tag += "-pos" if positional else ""
     index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}"
     try:
         if IndexManifest.load(index_dir).status == "complete":
@@ -171,7 +225,8 @@ def _ensure_index(sf_dir: str, mode: str = "simple") -> str:
     from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
 
     cfg = EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode=mode))
-    build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, cfg, transcripts_ds=ts)
+    build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, cfg, transcripts_ds=ts,
+                store_positions=positional)
     return index_dir
 
 
@@ -708,6 +763,35 @@ def q_hybrid_rrf(sf_dir: str):
     )
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact phrase search over POSITIONAL postings (reference's ES
+    phrase clause analog — elasticsearch_adapters.py:164-331): intersect
+    term doc lists, chain in-document positions, rank survivors by the
+    phrase terms' BM25 score."""
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader, phrase_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    reader = IndexReader(index_dir)
+    frames = []
+    for qid, phrase in PHRASE_QUERIES.items():
+        df = phrase_search(index_dir, phrase, top_k=BM25_TOP_K, reader=reader)
+        if len(df):
+            df = df.copy()
+            df.insert(0, "query_id", qid)
+            frames.append(df)
+    if not frames:
+        return pd.DataFrame({"query_id": [], "rank": [], "doc_id": [], "score": []})
+    out = pd.concat(frames, ignore_index=True)
+    return pd.DataFrame(
+        {
+            "query_id": out["query_id"],
+            "rank": out["rank"].astype(np.int32),
+            "doc_id": out["doc_id"].astype(np.int64),
+            "score": _round4(out["score"].to_numpy()),
+        }
+    )
+
+
 def q_post_filter(sf_dir: str):
     """Result post-filters + boosts (reference:
     hybrid_search_service.py:1206-1262): score threshold, role metadata
@@ -863,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_expand": q_fuzzy_expand,
         "hybrid_rrf": q_hybrid_rrf,
         "post_filter": q_post_filter,
+        "phrase_search": q_phrase_search,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1135,6 +1220,30 @@ rr AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, role, boosted_score
 FROM rr WHERE rnk <= {BM25_TOP_K}
+""",
+        "phrase_search": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+qterms(query_id, term) AS (VALUES {_phrase_qterms_values()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+matches AS ({_phrase_matches_sql()}),
+rankedp AS (
+  SELECT m.query_id, m.doc_id, s.score,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id) AS rnk
+  FROM matches m JOIN scores s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         "events_window": """
 SELECT event_type,

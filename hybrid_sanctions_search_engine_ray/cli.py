@@ -45,7 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--analyzer", choices=["simple", "full", "char3"], default="simple")
     b.add_argument("--stopwords", action="store_true")
     b.add_argument("--store-text", action="store_true",
-                   help="keep text in the docmap (required for phrase search)")
+                   help="keep text in the docmap (phrase search via retrieve-verify)")
+    b.add_argument("--store-positions", action="store_true",
+                   help="build positional postings (exact phrase search, no stored text)")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -53,6 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--top-k", type=int, default=10)
     q.add_argument("--method", choices=["maxscore", "taat"], default="maxscore")
     q.add_argument("--with-docmap", action="store_true")
+    q.add_argument("--phrase", action="store_true", help="exact phrase query")
 
     qf = sub.add_parser("query-file")
     qf.add_argument("--index", required=True)
@@ -79,18 +82,24 @@ def main(argv: list[str] | None = None) -> int:
             analyzer=AnalyzerConfig(mode=args.analyzer, remove_stopwords=args.stopwords),
         )
         m = build_index(args.input, args.index, cfg, resume=args.resume,
-                        assume_sorted=args.assume_sorted, store_text=args.store_text)
+                        assume_sorted=args.assume_sorted, store_text=args.store_text,
+                        store_positions=args.store_positions)
         print(json.dumps({"status": m.status, "n_docs": m.n_docs, "avgdl": round(m.avgdl, 4),
                           "n_terms": m.n_terms, "parts": len(m.parts), "hot_terms": len(m.hot_terms)}))
     elif args.cmd == "query":
         from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader, attach_docmap
 
-        r = IndexReader(args.index)
-        docs, scores = r.search_one(args.query, args.top_k, method=args.method)
         import pandas as pd
 
-        out = pd.DataFrame({"rank": range(1, len(docs) + 1), "doc_id": docs.astype("int64"),
-                            "score": scores})
+        if args.phrase:
+            from hybrid_sanctions_search_engine_ray.pipelines.query import phrase_search
+
+            out = phrase_search(args.index, args.query, top_k=args.top_k)
+        else:
+            r = IndexReader(args.index)
+            docs, scores = r.search_one(args.query, args.top_k, method=args.method)
+            out = pd.DataFrame({"rank": range(1, len(docs) + 1), "doc_id": docs.astype("int64"),
+                                "score": scores})
         if args.with_docmap and len(out):
             out["query_id"] = "q"
             out = attach_docmap(out, args.index).drop(columns=["query_id"])

@@ -79,6 +79,43 @@ def decode_posting(docs_buf: bytes, tfs_buf: bytes, dls_buf: bytes) -> tuple[np.
     return doc_ids, varint_decode(tfs_buf), varint_decode(dls_buf)
 
 
+def encode_positions(flat_positions: np.ndarray, counts: np.ndarray) -> bytes:
+    """Encode per-doc token positions for a posting run.
+
+    ``flat_positions`` is the concatenation of each doc's ascending
+    position list (doc order == posting row order); ``counts`` gives the
+    positions per doc (== tf, so no extra length table is stored).
+    Positions are delta-encoded WITHIN each doc (resets at doc starts),
+    then varint-packed — same vectorized shape as the doc-id codec.
+    """
+    p = np.ascontiguousarray(flat_positions, dtype=np.uint64)
+    if p.size == 0:
+        return b""
+    c = np.ascontiguousarray(counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(c)[:-1]))
+    deltas = p.copy()
+    deltas[1:] -= p[:-1]
+    deltas[starts] = p[starts]  # reset at each doc boundary
+    return varint_encode(deltas)
+
+
+def decode_positions(buf: bytes, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_positions`: returns ``(flat_positions,
+    offsets)`` where doc ``i``'s positions are
+    ``flat[offsets[i]:offsets[i+1]]`` (segmented-cumsum decode, no
+    per-doc Python loop)."""
+    vals = varint_decode(buf)
+    c = np.ascontiguousarray(counts, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(c)))
+    if vals.size == 0:
+        return vals, offsets
+    total = np.cumsum(vals, dtype=np.uint64)
+    starts = offsets[:-1]
+    base = total[starts] - vals[starts]  # cumulative carry-in of each doc
+    flat = total - np.repeat(base, c)
+    return flat, offsets
+
+
 def block_maxes(tfs: np.ndarray, doclens: np.ndarray, k1: float, b: float, avgdl: float, block_size: int) -> np.ndarray:
     """Per-block max of the idf-independent BM25 factor
     ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` — multiplied by the term's

@@ -54,10 +54,15 @@ _CORPUS_COLS = ["conv_id", "turn_idx", "text"]
 
 
 @ray.remote
-def _attach_ids_task(tmp_path: str, offset: int, out_path: str) -> int:
+def _attach_ids_task(tmp_path: str, offset: int, out_path: str, sample_path: str | None = None) -> int:
     """Phase-2 worker: rewrite one checkpoint block with its doc_id
     column attached (doc ids = global rank; offset = prefix sum of
-    preceding blocks' row counts). Atomic via tmp + rename."""
+    preceding blocks' row counts). Atomic via tmp + rename.
+
+    When ``sample_path`` is given, the block's deterministic 2% conv
+    sample (``crc32(conv_id) % HOT_SAMPLE_EVERY == 0`` — the hot-term
+    pre-pass predicate) is ALSO written as a side file, so the pre-pass
+    later reads 2% of the corpus instead of scanning every text row."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(tmp_path)
@@ -67,10 +72,21 @@ def _attach_ids_task(tmp_path: str, offset: int, out_path: str) -> int:
     pq.write_table(t, tmp_out)
     os.replace(tmp_out, out_path)
     os.unlink(tmp_path)
+    if sample_path is not None:
+        from hybrid_sanctions_search_engine_ray.functions.hashing import hash_string_array
+        from hybrid_sanctions_search_engine_ray.stages.analyze import HOT_SAMPLE_EVERY
+
+        mask = (hash_string_array(t["conv_id"]) % HOT_SAMPLE_EVERY) == 0
+        sub = t.filter(pa.array(mask))
+        if sub.num_rows:
+            tmp_s = sample_path + ".tmp"
+            pq.write_table(sub, tmp_s)
+            os.replace(tmp_s, sample_path)
     return t.num_rows
 
 
-def checkpoint_corpus_with_ids(ds, corpus_dir: str, sort: bool = True) -> int:
+def checkpoint_corpus_with_ids(ds, corpus_dir: str, sort: bool = True,
+                               sample_dir: str | None = None) -> int:
     """Persist the sorted+id'd corpus as a parquet checkpoint — doc ids
     are dense ranks under stable ``(conv_id, turn_idx)`` ordering (the
     north rule's T5 invariant, SURVEY.md §2.6) — WITHOUT ever pinning
@@ -97,11 +113,15 @@ def checkpoint_corpus_with_ids(ds, corpus_dir: str, sort: bool = True) -> int:
     disk with column pruning instead of re-reading a pinned object.
     Returns the total row count.
     """
+    import shutil
+
     if sort:
         ds = ds.sort(["conv_id", "turn_idx"])
+    shutil.rmtree(corpus_dir, ignore_errors=True)
     os.makedirs(corpus_dir, exist_ok=True)
-    for old in os.listdir(corpus_dir):
-        os.unlink(os.path.join(corpus_dir, old))
+    if sample_dir is not None:
+        shutil.rmtree(sample_dir, ignore_errors=True)
+        os.makedirs(sample_dir, exist_ok=True)
 
     def _dump_block(batch: pa.Table) -> pa.Table:
         import tempfile
@@ -128,7 +148,10 @@ def checkpoint_corpus_with_ids(ds, corpus_dir: str, sort: bool = True) -> int:
     offsets = np.concatenate(([0], np.cumsum([r["n_rows"] for r in meta])))
     tasks = [
         _attach_ids_task.remote(
-            r["path"], int(off), os.path.join(corpus_dir, f"part-{int(off):012d}.parquet")
+            r["path"],
+            int(off),
+            os.path.join(corpus_dir, f"part-{int(off):012d}.parquet"),
+            None if sample_dir is None else os.path.join(sample_dir, f"part-{int(off):012d}.parquet"),
         )
         for r, off in zip(meta, offsets[:-1])
     ]
@@ -189,6 +212,7 @@ def build_index(
     fail_after_parts: int | None = None,
     assume_sorted: bool = False,
     store_text: bool = False,
+    store_positions: bool = False,
 ) -> IndexManifest:
     """End-to-end index build. ``transcripts_ds`` overrides reading
     ``input_path`` directly (it must carry the transcript schema; a
@@ -217,8 +241,8 @@ def build_index(
     ds = transcripts_ds if transcripts_ds is not None else rd.read_parquet(input_path)
 
     docmap_path = os.path.join(index_dir, "docmap.parquet")
+    sample_path = os.path.join(index_dir, "sample.parquet")
     manifest_path = os.path.join(index_dir, "manifest.json")
-    corpus_dir = os.path.join(index_dir, "corpus.parquet")
     have_partial = resume and os.path.exists(manifest_path)
 
     # Nothing corpus-sized is ever pinned in the object store. Two cases:
@@ -227,9 +251,14 @@ def build_index(
     #   pre-pass, main scan) re-executes the cheap read+map lineage,
     #   fully streaming with column pruning.
     # * ids must be assigned → the sorted+id'd corpus is persisted ONCE
-    #   as a parquet checkpoint (checkpoint_corpus_with_ids) and all
-    #   consumers stream from that checkpoint on disk. The checkpoint
-    #   doubles as the build's resume point and is removed at finalize.
+    #   as a parquet checkpoint (checkpoint_corpus_with_ids) that IS the
+    #   docmap (doc_id, conv_id, turn_idx, text — point lookups prune by
+    #   row-group stats and never touch the text column), plus a 2%
+    #   sampled side table the hot-term pre-pass reads instead of
+    #   rescanning every text row. The checkpoint doubles as the build's
+    #   resume point; text is always available (phrase search works
+    #   without store_text on this path).
+    sample_files: list[str] = []
     if "doc_id" in ds.schema().names:
         use_checkpoint = False
         if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
@@ -238,18 +267,16 @@ def build_index(
         _mark("docmap")
     else:
         use_checkpoint = True
-        if not (have_partial and corpus_checkpoint_complete(corpus_dir)):
-            checkpoint_corpus_with_ids(ds, corpus_dir, sort=not assume_sorted)
+        if not (have_partial and corpus_checkpoint_complete(docmap_path)):
+            checkpoint_corpus_with_ids(ds, docmap_path, sort=not assume_sorted, sample_dir=sample_path)
         _mark("doc_ids")
         corpus_files = sorted(
-            os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+            os.path.join(docmap_path, f) for f in os.listdir(docmap_path) if f.endswith(".parquet")
         )
-        if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
-            # columnar select from the checkpoint: the text column is not
-            # even read off disk unless store_text asks for it. Files are
-            # doc-id ordered, so row-group stats give point-lookup pruning.
-            docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
-            rd.read_parquet(corpus_files, columns=docmap_cols).write_parquet(docmap_path)
+        if os.path.isdir(sample_path):
+            sample_files = sorted(
+                os.path.join(sample_path, f) for f in os.listdir(sample_path) if f.endswith(".parquet")
+            )
         ds = rd.read_parquet(corpus_files, columns=["doc_id", "conv_id", "text"])
         _mark("docmap")
 
@@ -269,30 +296,41 @@ def build_index(
         # dataset-side — the driver receives ONLY the hot terms, whose
         # count is bounded by avgdl / (ratio·0.5) regardless of corpus
         # size (Σdf ≤ N·avgdl ⇒ #\{df ≥ r·N\} ≤ avgdl/r).
-        samp_agg = (
-            ds.map_batches(
-                lambda b: emit_sampled_term_stats(b, cfg),
-                batch_format="pyarrow",
-                batch_size=cfg.analyze_batch_size,
+        # checkpoint path: read ONLY the pre-filtered 2% sample side
+        # table (emit_sampled_term_stats re-applies the same pure
+        # predicate, which keeps every row — results are identical to
+        # scanning the full corpus, minus 98% of the text I/O)
+        if use_checkpoint:
+            pre_src = rd.read_parquet(sample_files, columns=["conv_id", "text"]) if sample_files else None
+        else:
+            pre_src = ds
+        if pre_src is None:
+            hot_terms: list[str] = []
+        else:
+            samp_agg = (
+                pre_src.map_batches(
+                    lambda b: emit_sampled_term_stats(b, cfg),
+                    batch_format="pyarrow",
+                    batch_size=cfg.analyze_batch_size,
+                )
+                .groupby("term")
+                .aggregate(Sum("df_p", alias_name="df_s"))
+                .materialize()  # vocabulary-sized, NOT corpus-sized
             )
-            .groupby("term")
-            .aggregate(Sum("df_p", alias_name="df_s"))
-            .materialize()  # vocabulary-sized, NOT corpus-sized
-        )
-        sent_rows = samp_agg.map_batches(
-            lambda b: b.filter(pc.equal(b["term"], DOC_SENTINEL)), batch_format="pyarrow"
-        ).take_all()
-        n_sampled = sum(r["df_s"] for r in sent_rows)
-        # sampled-df threshold with a 0.5 margin: over-salting is a cheap
-        # false positive, under-salting a hot partition
-        hot_cut_sample = max(2, int(cfg.hot_term_df_ratio * n_sampled * 0.5))
-        hot_rows = samp_agg.map_batches(
-            lambda b: b.filter(
-                pc.and_(pc.not_equal(b["term"], DOC_SENTINEL), pc.greater_equal(b["df_s"], hot_cut_sample))
-            ),
-            batch_format="pyarrow",
-        ).take_all()
-        hot_terms = sorted(r["term"] for r in hot_rows)
+            sent_rows = samp_agg.map_batches(
+                lambda b: b.filter(pc.equal(b["term"], DOC_SENTINEL)), batch_format="pyarrow"
+            ).take_all()
+            n_sampled = sum(r["df_s"] for r in sent_rows)
+            # sampled-df threshold with a 0.5 margin: over-salting is a cheap
+            # false positive, under-salting a hot partition
+            hot_cut_sample = max(2, int(cfg.hot_term_df_ratio * n_sampled * 0.5))
+            hot_rows = samp_agg.map_batches(
+                lambda b: b.filter(
+                    pc.and_(pc.not_equal(b["term"], DOC_SENTINEL), pc.greater_equal(b["df_s"], hot_cut_sample))
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+            hot_terms = sorted(r["term"] for r in hot_rows)
         manifest = IndexManifest(
             status="building",
             n_docs=0,            # exact stats arrive via sentinel rows at finalize
@@ -305,6 +343,7 @@ def build_index(
             num_partitions=cfg.num_partitions,
             analyzer_mode=cfg.analyzer.mode,
             remove_stopwords=cfg.analyzer.remove_stopwords,
+            store_positions=store_positions,
             hot_terms=hot_terms,
             hot_term_salt_buckets=cfg.hot_term_salt_buckets,
             input_path=input_path,
@@ -319,7 +358,7 @@ def build_index(
     done_parts = set(done.keys())
 
     postings = ds.map_batches(
-        lambda b: emit_postings_with_sentinel(b, cfg),
+        lambda b: emit_postings_with_sentinel(b, cfg, positional=store_positions),
         batch_format="pyarrow",
         batch_size=cfg.analyze_batch_size,
     ).map_batches(lambda b: assign_partitions(b, cfg, hot), batch_format="pyarrow")
@@ -387,11 +426,11 @@ def build_index(
     manifest.status = "complete"
     manifest.save(index_dir)
     if use_checkpoint:
-        # the checkpoint's job (resume point + streaming source) is done;
-        # everything the query path needs lives in docmap + segments
+        # the checkpoint stays — it IS the docmap; only the pre-pass
+        # sample side table is spent
         import shutil
 
-        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(sample_path, ignore_errors=True)
     return manifest
 
 

@@ -136,6 +136,44 @@ class IndexReader:
                 )
         return {t: p for t in terms if (p := self._postings.get(t)) is not None}
 
+    def load_positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Positional postings for one term (requires an index built with
+        ``store_positions=True``): returns ``(doc_ids, offsets, flat)``
+        where doc ``doc_ids[i]``'s ascending in-document positions are
+        ``flat[offsets[i]:offsets[i+1]]``. Sub-segments are merged in
+        doc-id order, mirroring :meth:`load_postings`."""
+        from hybrid_sanctions_search_engine_ray.functions.codec import decode_positions
+
+        segs: list[tuple[int, int, np.ndarray, np.ndarray, list[np.ndarray]]] = []
+        for part in self._parts_for(term):
+            f = os.path.join(segment_dir(self.index_dir, part), "postings.parquet")
+            if not os.path.exists(f):
+                continue
+            tbl = pads.dataset(f).to_table(
+                filter=pads.field("term") == term,
+                columns=["seg_idx", "docs", "tfs", "poss"],
+            )
+            for i in range(tbl.num_rows):
+                d, t, _ = decode_posting(tbl["docs"][i].as_py(), tbl["tfs"][i].as_py(), b"")
+                flat, offs = decode_positions(tbl["poss"][i].as_py(), t)
+                per_doc = [flat[offs[j] : offs[j + 1]] for j in range(d.size)]
+                segs.append((part, tbl["seg_idx"][i].as_py(), d, t, per_doc))
+        if not segs:
+            return None
+        segs.sort(key=lambda s: (s[0], s[1]))
+        doc_ids = np.concatenate([s[2] for s in segs])
+        per_doc_all: list[np.ndarray] = [p for s in segs for p in s[4]]
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        counts = np.concatenate([s[3] for s in segs])[order]
+        flat = (
+            np.concatenate([per_doc_all[i] for i in order])
+            if per_doc_all
+            else np.empty(0, dtype=np.uint64)
+        )
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        return doc_ids, offsets, flat
+
     def load_raw(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """Decoded (doc_ids, tfs, doclens) for one term — the federation
         building block (pipelines/federated.py)."""
@@ -224,6 +262,8 @@ def phrase_search(
     want = r.analyzer(phrase)
     if not want:
         return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
+    if r.manifest.store_positions:
+        return _phrase_positional(r, want, top_k)
     docs, scores = r.search_one(phrase, top_k * candidate_factor)
     if docs.size == 0:
         return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
@@ -246,6 +286,56 @@ def phrase_search(
             "rank": np.arange(1, len(keep) + 1, dtype=np.int32),
             "doc_id": docs[keep].astype(np.int64),
             "score": scores[keep],
+        }
+    )
+
+
+def _phrase_positional(r: IndexReader, want: list[str], top_k: int) -> pd.DataFrame:
+    """Exact phrase matching over POSITIONAL postings (no stored-text
+    re-tokenization — the reference's ES phrase clause works off Lucene
+    positional postings the same way, elasticsearch_adapters.py:164-331):
+    intersect the phrase terms' doc lists, then chain positions
+    (p ∈ P_1, p+1 ∈ P_2, …), and rank surviving docs by the BM25 score
+    of the phrase terms with the usual (score desc, doc_id asc) ties."""
+    from functools import reduce
+
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import topk_desc
+
+    uniq = sorted(set(want))
+    postings = r.load_postings(uniq)
+    if len(postings) < len(uniq):
+        return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
+    pos = {t: r.load_positions(t) for t in uniq}
+    if any(p is None for p in pos.values()):
+        raise ValueError("index has store_positions but positional data is missing")
+    cand = reduce(np.intersect1d, [postings[t].doc_ids for t in uniq])
+    matches: list[int] = []
+    for d in cand:
+        starts = None  # candidate phrase-start positions surviving so far
+        for i, t in enumerate(want):
+            doc_ids, offsets, flat = pos[t]
+            j = int(np.searchsorted(doc_ids, d))
+            p_t = flat[offsets[j] : offsets[j + 1]].astype(np.int64)
+            starts = p_t if starts is None else starts[np.isin(starts + i, p_t)]
+            if starts.size == 0:
+                break
+        else:
+            matches.append(int(d))
+    if not matches:
+        return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
+    m = np.array(matches, dtype=np.uint64)
+    scores = np.zeros(m.size, dtype=np.float64)
+    for p in postings.values():
+        idx = np.searchsorted(p.doc_ids, m)
+        safe = np.minimum(idx, p.doc_ids.size - 1)
+        hit = (idx < p.doc_ids.size) & (p.doc_ids[safe] == m)
+        scores[hit] += p.factors[idx[hit]] * p.idf
+    docs, sc = topk_desc(m, scores, top_k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, docs.size + 1, dtype=np.int32),
+            "doc_id": docs.astype(np.int64),
+            "score": sc,
         }
     )
 

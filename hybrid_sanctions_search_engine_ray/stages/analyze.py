@@ -176,10 +176,64 @@ def emit_postings(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     )
 
 
+def emit_postings_positional(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+    """text batch → posting rows (term, doc_id, tf, dl, pos:list<int32>)
+    where ``pos`` is the ascending in-document token positions of the
+    term — the positional-index emit (reference analog: the ES phrase
+    clause works off Lucene positional postings,
+    elasticsearch_adapters.py:164-331). Fully vectorized: occurrence
+    positions are a segmented arange over the flat token stream, groups
+    come from one lexsort over (doc, term-code) with positions as the
+    inner order."""
+    parent, terms = flat_terms(batch, cfg.analyzer)
+    if len(terms) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int32()),
+                "dl": pa.array([], pa.int32()),
+                "pos": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+    import pandas as pd
+
+    # in-doc occurrence position: arange minus each doc's start offset
+    # (parent is nondecreasing — the flat_terms invariant)
+    doc_starts = np.flatnonzero(np.concatenate(([True], parent[1:] != parent[:-1])))
+    doc_counts = np.diff(np.append(doc_starts, parent.size))
+    occ_pos = np.arange(parent.size, dtype=np.int64) - np.repeat(doc_starts, doc_counts)
+
+    codes, uniques = pd.factorize(pd.Series(terms.to_numpy(zero_copy_only=False)), use_na_sentinel=False)
+    order = np.lexsort((occ_pos, codes, parent))
+    sp, sc, spos = parent[order], codes[order], occ_pos[order]
+    run_start = np.flatnonzero(np.concatenate(([True], (sp[1:] != sp[:-1]) | (sc[1:] != sc[:-1]))))
+    tf = np.diff(np.append(run_start, sp.size)).astype(np.int32)
+    run_doc_row = sp[run_start]
+
+    dl_per_doc = np.zeros(batch.num_rows, dtype=np.int32)
+    dl_per_doc[parent[doc_starts]] = doc_counts.astype(np.int32)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+
+    pos_list = pa.ListArray.from_arrays(
+        pa.array(np.append(run_start, sp.size).astype(np.int32)),
+        pa.array(spos.astype(np.int32)),
+    )
+    return pa.table(
+        {
+            "term": pa.array(np.asarray(uniques, dtype=object)[sc[run_start]], pa.string()),
+            "doc_id": pa.array(doc_ids[run_doc_row], pa.int64()),
+            "tf": pa.array(tf),
+            "dl": pa.array(dl_per_doc[run_doc_row]),
+            "pos": pos_list,
+        }
+    )
+
+
 HOT_SAMPLE_EVERY = 50  # deterministic 2% sample for hot-term detection
 
 
-def emit_postings_with_sentinel(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+def emit_postings_with_sentinel(batch: pa.Table, cfg: EngineConfig, positional: bool = False) -> pa.Table:
     """text batch → posting rows + ONE sentinel row
     ``(DOC_SENTINEL, -1, docs_with_tokens, total_tokens)``.
 
@@ -187,8 +241,9 @@ def emit_postings_with_sentinel(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     sentinel term's partition) and are folded into that partition's
     ``meta.json`` by the segment builder — exact corpus stats (N, Σdl)
     come out of the one streaming pass with no pinned intermediate and
-    no extra scan."""
-    p = emit_postings(batch, cfg)
+    no extra scan. With ``positional=True`` the rows carry in-document
+    position lists (and the sentinel an empty one)."""
+    p = emit_postings_positional(batch, cfg) if positional else emit_postings(batch, cfg)
     doc_ids = p["doc_id"].to_numpy(zero_copy_only=False)
     n_docs = len(np.unique(doc_ids)) if p.num_rows else 0
     total_tokens = int(pc.sum(p["tf"]).as_py() or 0)

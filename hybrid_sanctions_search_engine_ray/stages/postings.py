@@ -47,6 +47,9 @@ SEGMENT_SCHEMA = pa.schema(
         ("dls", pa.binary()),          # varint doc lengths
     ]
 )
+# positional variant: + per-doc in-document token positions, delta+varint
+# within each doc; position counts per doc == tf, so no length table
+SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA.append(pa.field("poss", pa.binary()))
 # NOTE: per-block maxima are NOT stored: they depend on the CURRENT global
 # avgdl, so the reader computes them at posting-load time (functions/bm25
 # TermPosting) — which is also what makes federated scoring exact.
@@ -135,10 +138,11 @@ def build_segment(
     if sent_mask.any():
         group = group.loc[~sent_mask]
 
+    positional = "pos" in group.columns
     if len(group) == 0:
         # partition held only sentinel rows: publish an empty segment so
         # resume sees the partition as complete, carry the stats
-        empty = SEGMENT_SCHEMA.empty_table()
+        empty = (SEGMENT_SCHEMA_POS if positional else SEGMENT_SCHEMA).empty_table()
         fd, tmp = tempfile.mkstemp(dir=sdir, suffix=".parquet.tmp")
         os.close(fd)
         pq.write_table(empty, tmp)
@@ -175,13 +179,15 @@ def build_segment(
     doc_ids = group["doc_id"].to_numpy()[order].astype(np.int64)
     tfs = group["tf"].to_numpy()[order].astype(np.int64)
     dls = group["dl"].to_numpy()[order].astype(np.int64)
+    pos_arrays = group["pos"].to_numpy()[order] if positional else None
 
     # term run boundaries
     change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(terms)]))
 
-    rows: dict[str, list] = {k: [] for k in ("term", "seg_idx", "n_docs", "cf", "max_tf", "docs", "tfs", "dls")}
+    cols = ("term", "seg_idx", "n_docs", "cf", "max_tf", "docs", "tfs", "dls") + (("poss",) if positional else ())
+    rows: dict[str, list] = {k: [] for k in cols}
     n_postings = 0
     for s, e in zip(starts, ends):
         term = terms[s]
@@ -197,20 +203,30 @@ def build_segment(
             rows["docs"].append(db)
             rows["tfs"].append(tb)
             rows["dls"].append(lb)
+            if positional:
+                from hybrid_sanctions_search_engine_ray.functions.codec import encode_positions
+
+                flat = (
+                    np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_arrays[ss:ee]])
+                    if ee > ss
+                    else np.empty(0, dtype=np.int64)
+                )
+                rows["poss"].append(encode_positions(flat, t))
             n_postings += ee - ss
 
-    table = pa.table(
-        {
-            "term": pa.array(rows["term"], pa.string()),
-            "seg_idx": pa.array(rows["seg_idx"], pa.int32()),
-            "n_docs": pa.array(rows["n_docs"], pa.int64()),
-            "cf": pa.array(rows["cf"], pa.int64()),
-            "max_tf": pa.array(rows["max_tf"], pa.int32()),
-            "docs": pa.array(rows["docs"], pa.binary()),
-            "tfs": pa.array(rows["tfs"], pa.binary()),
-            "dls": pa.array(rows["dls"], pa.binary()),
-        }
-    )
+    data = {
+        "term": pa.array(rows["term"], pa.string()),
+        "seg_idx": pa.array(rows["seg_idx"], pa.int32()),
+        "n_docs": pa.array(rows["n_docs"], pa.int64()),
+        "cf": pa.array(rows["cf"], pa.int64()),
+        "max_tf": pa.array(rows["max_tf"], pa.int32()),
+        "docs": pa.array(rows["docs"], pa.binary()),
+        "tfs": pa.array(rows["tfs"], pa.binary()),
+        "dls": pa.array(rows["dls"], pa.binary()),
+    }
+    if positional:
+        data["poss"] = pa.array(rows["poss"], pa.binary())
+    table = pa.table(data)
 
     # atomic write: tmp file in the same dir, fsync-free rename, meta last
     fd, tmp = tempfile.mkstemp(dir=sdir, suffix=".parquet.tmp")

@@ -55,10 +55,30 @@ def test_phrase_no_match(text_index):
     assert set(out["doc_id"]) == set()  # reversed order never contiguous
 
 
-def test_phrase_requires_store_text(built_index):
-    index_dir, _, _ = built_index  # session index built WITHOUT store_text
+def test_phrase_requires_store_text(ray_session, tmp_path):
+    """On the doc_id-carrying input path the docmap omits text unless
+    store_text — phrase search must refuse. (The checkpoint path always
+    persists text, so phrase search works there without the flag.)"""
+    import ray.data as rd
+
+    rows = [
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+        for i, t in enumerate(TEXTS)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path / "notext")
+    build_index("mem", idx, CFG, transcripts_ds=ds)  # no store_text
     with pytest.raises(ValueError):
-        phrase_search(index_dir, "payment transfer", top_k=5)
+        phrase_search(idx, "beta gamma", top_k=5)
+
+
+def test_phrase_works_on_checkpoint_path_without_flag(built_index):
+    """Index built from a no-doc_id corpus (checkpoint path): text is in
+    the checkpoint-docmap, so phrase search works without store_text."""
+    index_dir, _, _ = built_index
+    out = phrase_search(index_dir, "payment transfer", top_k=5)
+    assert isinstance(out, pd.DataFrame)  # no raise; hits optional
 
 
 def test_attach_docmap_carries_text(text_index):

@@ -71,6 +71,19 @@ _POST_MIN_SCORE = 0.05
 _POST_ROLES = ("assistant", "user")
 _POST_BOOST_ROLE, _POST_BOOST = "user", 1.2
 
+# Tiered escalation queries (reference's exact→lexical→fuzzy tier ladder,
+# hybrid_search_service.py find_candidates): mix of phrase-hitting,
+# word-only and typo-only queries.
+TIERED_QUERIES: dict[str, str] = {
+    "t01": "part filter",       # phrase tier hits
+    "t02": "customer join",     # phrase tier hits
+    "t03": "spark join filter", # word tier only (rarely contiguous)
+    "t04": "vektor hash",       # typo: ngram tier only
+    "t05": "zzzmissing",        # no tier
+}
+# weighted fusion params (reference: config/weights.json:41-50 shape)
+_FUSE_W_LEX, _FUSE_W_NGRAM, _FUSE_SHARED = 0.65, 0.35, 0.15
+
 TRANSCRIPTS_CTE = """
 transcripts AS (
   SELECT doc_id,
@@ -124,19 +137,23 @@ def _qgrams_values(queries: dict[str, str]) -> str:
     return ", ".join(rows)
 
 
-def _phrase_qterms_values() -> str:
+def _phrase_qterms_values(queries: dict[str, str] | None = None) -> str:
     rows = []
-    for qid, phrase in PHRASE_QUERIES.items():
+    for qid, phrase in (queries or PHRASE_QUERIES).items():
         for term in sorted(set(phrase.lower().split())):
             rows.append(f"('{qid}', '{term}')")
     return ", ".join(rows)
 
 
-def _phrase_matches_sql() -> str:
+def _tiered_qterms_values() -> str:
+    return _phrase_qterms_values(TIERED_QUERIES)
+
+
+def _phrase_matches_sql(queries: dict[str, str] | None = None) -> str:
     """Per-phrase contiguity match: self-joins on (doc, pos+i, term_i)
     over the positional token table — one SELECT per phrase, unioned."""
     selects = []
-    for qid, phrase in PHRASE_QUERIES.items():
+    for qid, phrase in (queries or PHRASE_QUERIES).items():
         terms = phrase.lower().split()
         joins = " ".join(
             f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{t}'"
@@ -792,6 +809,87 @@ def q_phrase_search(sf_dir: str):
     )
 
 
+def q_tiered_search(sf_dir: str):
+    """Tier-priority escalation (reference SURVEY §2.6 T2 — the
+    exact→lexical→fuzzy ladder of hybrid_search_service.find_candidates):
+    tier 1 = exact phrase (positional postings), tier 2 = word BM25
+    top-k, tier 3 = trigram BM25 top-k. A doc keeps its highest tier;
+    results order (tier asc, score desc, doc_id asc)."""
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader, phrase_search
+
+    pos_idx = _ensure_index(sf_dir, positional=True)
+    reader = IndexReader(pos_idx)
+    lex = _search_rounded(sf_dir, TIERED_QUERIES, mode="simple").to_pandas()
+    ngr = _search_rounded(sf_dir, TIERED_QUERIES, mode="char3").to_pandas()
+
+    rows = []
+    for qid, qtext in TIERED_QUERIES.items():
+        best: dict[int, tuple[int, float]] = {}  # doc -> (tier, score4)
+        for tier, frame in (
+            (3, ngr[ngr.query_id == qid]),
+            (2, lex[lex.query_id == qid]),
+        ):
+            for d, s in zip(frame["doc_id"], frame["score"]):
+                cur = best.get(int(d))
+                if cur is None or tier < cur[0]:
+                    best[int(d)] = (tier, float(s))
+        ph = phrase_search(pos_idx, qtext, top_k=1000, reader=reader)
+        ph_scores = _round4(ph["score"].to_numpy()) if len(ph) else np.empty(0)
+        for d, s in zip(ph["doc_id"], ph_scores):
+            best[int(d)] = (1, float(s))
+        for d, (tier, s) in best.items():
+            rows.append((qid, tier, d, s))
+    out = pd.DataFrame(rows, columns=["query_id", "tier", "doc_id", "score"])
+    out = out.sort_values(
+        ["query_id", "tier", "score", "doc_id"], ascending=[True, True, False, True],
+        kind="mergesort",
+    )
+    out = out.groupby("query_id", sort=False).head(BM25_TOP_K).reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id", sort=False).cumcount() + 1).astype(np.int32)
+    return pd.DataFrame(
+        {
+            "query_id": out["query_id"],
+            "rank": out["rank"],
+            "tier": out["tier"].astype(np.int32),
+            "doc_id": out["doc_id"].astype(np.int64),
+            "score": out["score"].astype(np.float64),
+        }
+    )
+
+
+def q_hybrid_weighted(sf_dir: str):
+    """Max-normalized weighted fusion of the word and trigram rankings
+    (reference D3: _fuse_results weights + shared-hit bonus,
+    hybrid_search_service.py:1114-1204)."""
+    from hybrid_sanctions_search_engine_ray.functions.fusion import weighted_fusion
+
+    lex = _search_rounded(sf_dir, BM25_QUERIES, mode="simple").to_pandas()
+    ngr = _search_rounded(sf_dir, BM25_QUERIES, mode="char3").to_pandas()
+    rows = []
+    for qid in BM25_QUERIES:
+        a = lex[lex.query_id == qid].sort_values("rank")
+        b = ngr[ngr.query_id == qid].sort_values("rank")
+        if len(a) == 0 and len(b) == 0:
+            continue
+        docs, fused = weighted_fusion(
+            a["doc_id"].to_numpy(np.int64), a["score"].to_numpy(np.float64),
+            b["doc_id"].to_numpy(np.int64), b["score"].to_numpy(np.float64),
+            w_a=_FUSE_W_LEX, w_b=_FUSE_W_NGRAM, shared_bonus=_FUSE_SHARED,
+            top_k=BM25_TOP_K,
+        )
+        for r, (d, f) in enumerate(zip(docs, fused), start=1):
+            rows.append((qid, r, int(d), f))
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "fused_score"])
+    return pd.DataFrame(
+        {
+            "query_id": out["query_id"],
+            "rank": out["rank"].astype(np.int32),
+            "doc_id": out["doc_id"].astype(np.int64),
+            "fused_score": _round_half_away(out["fused_score"].to_numpy(), 6),
+        }
+    )
+
+
 def q_post_filter(sf_dir: str):
     """Result post-filters + boosts (reference:
     hybrid_search_service.py:1206-1262): score threshold, role metadata
@@ -948,6 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": q_hybrid_rrf,
         "post_filter": q_post_filter,
         "phrase_search": q_phrase_search,
+        "tiered_search": q_tiered_search,
+        "hybrid_weighted": q_hybrid_weighted,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1244,6 +1344,93 @@ rankedp AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
+""",
+        "tiered_search": f"""
+WITH {TRANSCRIPTS_CTE},
+{TRIGRAM_CTE},
+{TOKPOS_CTE},
+qterms(query_id, term) AS (VALUES {_tiered_qterms_values()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+),
+{_ngram_ranked_sql(TIERED_QUERIES)},
+matches AS ({_phrase_matches_sql(TIERED_QUERIES)}),
+phrk AS (
+  SELECT m.query_id, m.doc_id, round(s.score, 4) AS s
+  FROM matches m JOIN scores s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+),
+wordk AS (SELECT query_id, doc_id, round(score, 4) AS s FROM ranked WHERE rnk <= {BM25_TOP_K}),
+ngrk AS (SELECT query_id, doc_id, round(score, 4) AS s FROM ranked3 WHERE rnk <= {BM25_TOP_K}),
+all_tiers AS (
+  SELECT query_id, doc_id, 1 AS tier, s FROM phrk
+  UNION ALL SELECT query_id, doc_id, 2, s FROM wordk
+  UNION ALL SELECT query_id, doc_id, 3, s FROM ngrk
+),
+best AS (
+  SELECT query_id, doc_id, tier, s,
+         row_number() OVER (PARTITION BY query_id, doc_id ORDER BY tier) AS dup
+  FROM all_tiers
+),
+finalt AS (
+  SELECT query_id, doc_id, tier, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY tier, s DESC, doc_id) AS rnk
+  FROM best WHERE dup = 1
+)
+SELECT query_id, cast(rnk AS int) AS rank, cast(tier AS int) AS tier, doc_id, s AS score
+FROM finalt WHERE rnk <= {BM25_TOP_K}
+""",
+        "hybrid_weighted": f"""
+WITH {TRANSCRIPTS_CTE},
+{TRIGRAM_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+),
+{_ngram_ranked_sql(BM25_QUERIES)},
+wordk AS (SELECT query_id, doc_id, round(score, 4) AS s FROM ranked WHERE rnk <= {BM25_TOP_K}),
+ngrk AS (SELECT query_id, doc_id, round(score, 4) AS s FROM ranked3 WHERE rnk <= {BM25_TOP_K}),
+wn AS (SELECT query_id, doc_id, s / max(s) OVER (PARTITION BY query_id) AS n FROM wordk),
+nn AS (SELECT query_id, doc_id, s / max(s) OVER (PARTITION BY query_id) AS n FROM ngrk),
+fusedw AS (
+  SELECT coalesce(w.query_id, g.query_id) AS query_id,
+         coalesce(w.doc_id, g.doc_id) AS doc_id,
+         coalesce(w.n * {_FUSE_W_LEX}, 0) + coalesce(g.n * {_FUSE_W_NGRAM}, 0)
+           + (CASE WHEN w.doc_id IS NOT NULL AND g.doc_id IS NOT NULL THEN {_FUSE_SHARED} ELSE 0 END) AS f
+  FROM wn w FULL JOIN nn g ON g.query_id = w.query_id AND g.doc_id = w.doc_id
+),
+rankedw AS (
+  SELECT query_id, doc_id, f,
+         row_number() OVER (PARTITION BY query_id ORDER BY f DESC, doc_id) AS rnk
+  FROM fusedw
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(f, 6) AS fused_score
+FROM rankedw WHERE rnk <= {BM25_TOP_K}
 """,
         "events_window": """
 SELECT event_type,

@@ -20,8 +20,6 @@ import pyarrow.compute as pc
 
 MAX_LEN = 10_000  # reference input_validation.py:32
 
-_CONTROL = dict.fromkeys(list(range(0x00, 0x09)) + [0x0B, 0x0C] + list(range(0x0E, 0x20)) + [0x7F])
-
 
 def validate_batch(batch: pa.Table, max_len: int = MAX_LEN, text_col: str = "text") -> pa.Table:
     text = batch[text_col]
@@ -40,26 +38,26 @@ def validate_batch(batch: pa.Table, max_len: int = MAX_LEN, text_col: str = "tex
     )
 
 
+# control characters to strip (keep \t \n \r; strip the rest of C0 + DEL)
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
 def clean(ds, max_len: int = MAX_LEN, text_col: str = "text"):
     """Drop empty rows, strip control chars, truncate over-long text —
-    the lenient sanitize path (no row ever raises)."""
+    the lenient sanitize path (no row ever raises). Fully vectorized:
+    Arrow regex replace + slice, no per-row Python."""
 
     def fn(batch: pa.Table) -> pa.Table:
         b = validate_batch(batch, max_len, text_col)
         b = b.filter(b["valid"])
-        texts = b[text_col].to_pylist()
-        out = []
-        changed = False
-        for t in texts:
-            t2 = t.translate(_CONTROL)
-            if len(t2) > max_len:
-                t2 = t2[:max_len]
-            if t2 is not t:
-                changed = True
-            out.append(t2)
-        if changed:
-            i = b.column_names.index(text_col)
-            b = b.set_column(i, text_col, pa.array(out, pa.string()))
+        text = b[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        cleaned = pc.utf8_slice_codeunits(
+            pc.replace_substring_regex(text, _CONTROL_RE, ""), 0, max_len
+        )
+        i = b.column_names.index(text_col)
+        b = b.set_column(i, text_col, cleaned)
         return b.drop_columns(["valid", "truncated", "reject_reason"])
 
     return ds.map_batches(fn, batch_format="pyarrow")

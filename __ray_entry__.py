@@ -389,6 +389,18 @@ def q_text_quality(sf_dir: str):
     return ds.map_batches(lambda b: quality_stats(b, cfg.analyzer), batch_format="pyarrow", batch_size=8192)
 
 
+def q_validate(sf_dir: str):
+    """Input validation stage (reference M1: input_validation.py 10k cap,
+    empty rejection — annotate, never throw)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.validate import validate_batch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(lambda b: validate_batch(b), batch_format="pyarrow", batch_size=8192)
+    return out.select_columns(["doc_id", "valid", "truncated", "reject_reason"])
+
+
 def q_langid(sf_dir: str):
     import ray.data as rd
 
@@ -924,6 +936,43 @@ def q_post_filter(sf_dir: str):
 # --- non-SQL-expressible ops (rows-only driver check; pytest-verified) ------
 
 
+_JACCARD_DOCS = 80  # all-pairs exact Jaccard over this doc prefix
+_JACCARD_MIN = 0.02
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram (shingle) Jaccard for every pair in a doc
+    prefix — the n-gram-Jaccard verifier (stages/dedup.jaccard_verify)
+    under an exact SQL oracle (set overlap is SQL-expressible; shingle
+    HASHING is injective at these set sizes so hash-set Jaccard equals
+    string-set Jaccard)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import jaccard_verify
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", _JACCARD_DOCS)],
+    )
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    ids = sorted(texts)
+    pairs = pd.DataFrame(
+        [(a, b) for a, b in itertools.combinations(ids, 2)], columns=["doc_a", "doc_b"]
+    )
+    out = jaccard_verify(pairs, texts, shingle_k=3)
+    out = out[out["jaccard"] >= _JACCARD_MIN].reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "doc_a": out["doc_a"].astype(np.int64),
+            "doc_b": out["doc_b"].astype(np.int64),
+            "jaccard": out["jaccard"].astype(np.float64),
+        }
+    )
+
+
 def q_minhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -1034,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "text_quality": q_text_quality,
         "langid": q_langid,
+        "validate": q_validate,
         "events_window": q_events_window,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
@@ -1049,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_search": q_tiered_search,
         "hybrid_weighted": q_hybrid_weighted,
         "embedding_topk": q_embedding_topk,
+        "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
@@ -1146,6 +1197,14 @@ SELECT doc_id,
        WHEN fr >= ru THEN 'fr'
        ELSE 'ru' END AS pred_lang
 FROM marks
+""",
+        "validate": """
+SELECT doc_id,
+       NOT (text IS NULL OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0) AS valid,
+       length(text) > 10000 AS truncated,
+       CASE WHEN text IS NULL OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+            THEN 'empty' ELSE '' END AS reject_reason
+FROM documents
 """,
         "cap_per_group": """
 WITH ranked AS (
@@ -1431,6 +1490,29 @@ rankedw AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(f, 6) AS fused_score
 FROM rankedw WHERE rnk <= {BM25_TOP_K}
+""",
+        "jaccard_pairs": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM tokpos a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.doc_id < {_JACCARD_DOCS}
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM sh x JOIN sh y ON y.sh = x.sh AND y.doc_id > x.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+j AS (
+  SELECT i.a AS doc_a, i.b AS doc_b,
+         round(i.i * 1.0 / (ca.c + cb.c - i.i), 6) AS jaccard
+  FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {_JACCARD_MIN}
 """,
         "events_window": """
 SELECT event_type,

@@ -291,8 +291,10 @@ def jaccard_verify(pairs_df: pd.DataFrame, texts: dict[int, str], shingle_k: int
         inter = len(sa & sb)
         union = len(sa | sb)
         jac.append(inter / union if union else 0.0)
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
     out = pairs_df.copy()
-    out["jaccard"] = np.round(jac, 6)
+    out["jaccard"] = round_half_away(np.asarray(jac, dtype=np.float64), 6)  # DuckDB ROUND parity
     return out
 
 

@@ -13,10 +13,11 @@ transcript corpus (~600k turns at sf0.1, scaled by sf) + a 200-query
 BM25 top-k batch, plus the training-data ops (dedup, similarity,
 text analysis) over $GRAFT_SF_DIR tables.
 
-``--scaling``: the same job at num_cpus=8 and num_cpus=32 in fresh
-subprocesses on the same pre-generated input (page cache warmed),
-reporting both throughputs and scaling efficiency (the sandbox
-evidence for the north rule's N-vs-4N-node criterion).
+``--scaling``: the same job at two taskset-enforced CPU levels (default
+4 and 16 — N and 4N) in fresh interleaved subprocesses on the same
+pre-generated input (page cache warmed), reporting both throughputs
+and scaling efficiency (the sandbox evidence for the north rule's
+N-vs-4N-node criterion; levels via GRAFT_SCALE_LO/HI).
 """
 
 from __future__ import annotations
@@ -219,8 +220,12 @@ def run_scaling(trials: int = 4) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS="32", GRAFT_SF_DIR=SF_DIR)
     subprocess.run([sys.executable, os.path.abspath(__file__), "--prepare"], env=env, check=True,
                    capture_output=True)
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    # Default measured pair: 4 → 16 cores (N and 4N). 16- and 32-core
+    # walls are EQUAL on this box (the shared-disk + shuffle-barrier
+    # floor binds past ~16 cores), so 8→32 measures the single-host
+    # floor, not the algorithm — see BASELINE.md "Scaling evidence".
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(trials):
         runs[hi].append(_subprocess_run(hi, build_only=True))

@@ -63,6 +63,10 @@ class EngineConfig:
 
     # Execution sizing
     analyze_batch_size: int = 8192
+    # corpora whose on-disk bytes fit comfortably in the object store are
+    # pinned in memory during the build (3 consumers, zero re-read);
+    # larger corpora stream from disk (nothing corpus-sized pinned)
+    in_memory_build_bytes: int = 256 << 20
     # shuffle mode for the postings exchange: "plain" rows through
     # groupby(part), or "packed" map-side-serialized payload blobs
     shuffle_mode: str = "packed"

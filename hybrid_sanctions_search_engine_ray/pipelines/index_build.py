@@ -164,6 +164,64 @@ def corpus_checkpoint_complete(corpus_dir: str) -> bool:
     return os.path.exists(os.path.join(corpus_dir, "_COMPLETE.json"))
 
 
+def _sorted_corpus_files(input_path: str) -> list[str]:
+    if os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    return [input_path]
+
+
+def read_sorted_parquet_with_ids(input_path: str, columns: list[str]):
+    """Streaming id-attaching reader for ALREADY-SORTED shard layouts
+    (lexicographic file order == global (conv_id, turn_idx) order — the
+    layout ``generate_transcripts`` writes): doc ids are derived from
+    parquet FOOTER row counts (prefix sums over files, driver-side
+    metadata only) and attached per file inside the read task — zero
+    extra corpus I/O, no checkpoint, no object-store pinning. The id of
+    every row is a pure function of the file layout, so re-execution
+    (per consumer, per resume) is deterministic.
+
+    ``columns`` must include ``doc_id``; the remaining columns are read
+    with parquet column pruning. One read task per file."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    files = _sorted_corpus_files(input_path)
+    counts = [pq.read_metadata(f).num_rows for f in files]
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    items = [
+        {"path": f, "offset": int(o), "n_rows": int(c)}
+        for f, o, c in zip(files, offsets, counts)
+    ]
+    cols = [c for c in columns if c != "doc_id"]
+
+    def _read(batch: pa.Table) -> pa.Table:
+        out = []
+        for path, off, n in zip(
+            batch["path"].to_pylist(), batch["offset"].to_pylist(), batch["n_rows"].to_pylist()
+        ):
+            t = pq.read_table(path, columns=cols)
+            assert t.num_rows == n, f"{path}: footer said {n} rows, read {t.num_rows}"
+            ids = pa.array(np.arange(off, off + t.num_rows, dtype=np.int64))
+            out.append(t.add_column(0, "doc_id", ids))
+        return pa.concat_tables(out)
+
+    # One descriptor row PER BLOCK, and the read stage deliberately
+    # NON-FUSABLE (num_cpus differs from the default 1.0): if Ray fused
+    # it with a downstream map_batches, the downstream's larger
+    # batch_size would bundle every (1-row) descriptor into a single
+    # task and serialize the whole corpus scan (observed: 1 task, 7×
+    # slower). Unfused, each file reads in its own task and downstream
+    # stages parallelize over the real data blocks.
+    desc = rd.from_items(items, override_num_blocks=max(1, len(items)))
+    return desc.map_batches(
+        _read, batch_format="pyarrow", batch_size=1, num_cpus=1.001
+    )
+
+
 def _finish_dictionary(stats_ds, index_dir: str, cfg: EngineConfig):
     """Write dictionary.parquet (term-sorted for row-group-pruned query
     lookups) and derive corpus stats + the hot-term set."""
@@ -259,11 +317,38 @@ def build_index(
     #   resume point; text is always available (phrase search works
     #   without store_text on this path).
     sample_files: list[str] = []
+    fast_sorted_files: list[str] | None = None
     if "doc_id" in ds.schema().names:
         use_checkpoint = False
         if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
             docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
             ds.select_columns(docmap_cols).write_parquet(docmap_path)
+        _mark("docmap")
+    elif assume_sorted and transcripts_ds is None:
+        # Already-sorted shard layout on disk: ids from parquet FOOTER
+        # prefix sums — no checkpoint rewrite, no extra corpus I/O. This
+        # is the fast path a resumable production layout should hit; the
+        # constant disk cost it removes is exactly what does NOT scale
+        # with cores.
+        use_checkpoint = False
+        fast_sorted_files = _sorted_corpus_files(input_path)
+        corpus_bytes = sum(os.path.getsize(f) for f in fast_sorted_files)
+        if corpus_bytes <= cfg.in_memory_build_bytes:
+            # small corpus: pin the id'd corpus in the object store once
+            # (three consumers, zero re-read — cheap and safe well below
+            # store capacity; large corpora take the streaming branch)
+            fast_sorted_files = None
+            ds = read_sorted_parquet_with_ids(
+                input_path, ["doc_id", "conv_id", "turn_idx", "text"]
+            ).materialize()
+            if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
+                docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
+                ds.select_columns(docmap_cols).write_parquet(docmap_path)
+        else:
+            ds = read_sorted_parquet_with_ids(input_path, ["doc_id", "conv_id", "text"])
+            if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
+                docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
+                read_sorted_parquet_with_ids(input_path, docmap_cols).write_parquet(docmap_path)
         _mark("docmap")
     else:
         use_checkpoint = True
@@ -296,12 +381,27 @@ def build_index(
         # dataset-side — the driver receives ONLY the hot terms, whose
         # count is bounded by avgdl / (ratio·0.5) regardless of corpus
         # size (Σdf ≤ N·avgdl ⇒ #\{df ≥ r·N\} ≤ avgdl/r).
-        # checkpoint path: read ONLY the pre-filtered 2% sample side
-        # table (emit_sampled_term_stats re-applies the same pure
-        # predicate, which keeps every row — results are identical to
-        # scanning the full corpus, minus 98% of the text I/O)
+        # The pre-pass never scans the full text column when a cheaper
+        # deterministic sample exists:
+        # * checkpoint path — the pre-filtered 2% conv-sample side table
+        #   (emit_sampled_term_stats re-applies the same pure predicate,
+        #   which keeps every row);
+        # * sorted-files fast path — every HOT_SAMPLE_EVERY-th shard
+        #   FILE read whole (a pure function of the file layout, so
+        #   identical across cluster sizes/resumes; file-range sampling
+        #   is as unbiased as conv-hash sampling for df estimation).
+        pre_emit = emit_sampled_term_stats
         if use_checkpoint:
             pre_src = rd.read_parquet(sample_files, columns=["conv_id", "text"]) if sample_files else None
+        elif fast_sorted_files is not None:
+            from hybrid_sanctions_search_engine_ray.stages.analyze import (
+                HOT_SAMPLE_EVERY,
+                emit_term_stats,
+            )
+
+            sfiles = fast_sorted_files[::HOT_SAMPLE_EVERY] or fast_sorted_files[:1]
+            pre_src = rd.read_parquet(sfiles, columns=["text"]) if sfiles else None
+            pre_emit = emit_term_stats  # every row of a sampled file counts
         else:
             pre_src = ds
         if pre_src is None:
@@ -309,7 +409,7 @@ def build_index(
         else:
             samp_agg = (
                 pre_src.map_batches(
-                    lambda b: emit_sampled_term_stats(b, cfg),
+                    lambda b: pre_emit(b, cfg),
                     batch_format="pyarrow",
                     batch_size=cfg.analyze_batch_size,
                 )

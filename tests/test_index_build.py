@@ -69,8 +69,9 @@ def test_assume_sorted_equivalence(tmp_path, corpus_dir, built_index):
     index_dir, cfg, _ = built_index
     fast_dir = str(tmp_path / "fast")
     build_index(corpus_dir, fast_dir, cfg, assume_sorted=True)
-    a = pq.read_table(os.path.join(index_dir, "docmap.parquet")).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    b = pq.read_table(os.path.join(fast_dir, "docmap.parquet")).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "conv_id", "turn_idx"]  # fast-path docmap omits text
+    a = pq.read_table(os.path.join(index_dir, "docmap.parquet"), columns=cols).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pq.read_table(os.path.join(fast_dir, "docmap.parquet"), columns=cols).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
 
 

@@ -496,6 +496,40 @@ def q_embedding_topk(sf_dir: str):
     return res.map_batches(final, batch_format="pandas")
 
 
+_NEARDUP_MAX_ID = 400
+_NEARDUP_MIN_COS = 0.35
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (the training-data near-dup
+    family's vector member): broadcast subset matrix, one matmul per
+    batch, emit only (a<b, cos>=t) pairs."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import cosine_neardup_pairs
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    sub = pq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", _NEARDUP_MAX_ID)])
+    ids = sub["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(sub["embedding"].to_pandas().to_numpy()).astype(np.float64)
+
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], _NEARDUP_MAX_ID)), batch_format="pyarrow"
+    )
+    out = cosine_neardup_pairs(ds, ids, mat, threshold=_NEARDUP_MIN_COS)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cos_sim"] = _round4(b["cos_sim"].to_numpy())
+        return b
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def q_cap_per_group(sf_dir: str):
     """Per-group cap: top-3 events per user by (value desc, event_id asc)
     — the reference's per-entity pattern cap re-expressed as
@@ -1099,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_search": q_tiered_search,
         "hybrid_weighted": q_hybrid_weighted,
         "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1520,6 +1555,13 @@ SELECT event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type, window_start
+""",
+        "embedding_neardup": f"""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_NEARDUP_MAX_ID})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM s a JOIN s b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_NEARDUP_MIN_COS}
 """,
         "embedding_topk": f"""
 WITH q AS (

@@ -209,7 +209,8 @@ def shutil_which(name: str):
     return shutil.which(name)
 
 
-def run_scaling(trials: int = 4) -> dict:
+def run_scaling(trials: int | None = None) -> dict:
+    trials = trials or int(os.environ.get("GRAFT_SCALE_TRIALS", "4"))
     """Same job at 8 and 32 CPUs, INTERLEAVED fresh-process trials
     (32,8,32,8,…) with per-level medians — interleaving cancels the
     slow drift of a noisy shared hypervisor, medians cut one-off

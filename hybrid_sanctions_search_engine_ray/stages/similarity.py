@@ -100,6 +100,49 @@ def brute_force_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int 
     )
 
 
+class _NearDupPairs:
+    """Actor-pool body for cosine near-dup pair mining: each batch is
+    scored against the broadcast comparison matrix in one matmul; only
+    (a < b, sim >= threshold) pairs are emitted — the batch output is
+    pair-sized, never matrix-sized."""
+
+    def __init__(self, ref, threshold: float):
+        q = ray.get(ref)
+        self.ids = q["ids"]
+        self.m = _normalize(q["matrix"])
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bm = _normalize(_batch_matrix(batch))
+        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = bm @ self.m.T  # (batch, subset)
+        keep = (sims >= self.threshold) & (b_ids[:, None] < self.ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": pa.array(b_ids[ai].astype(np.int64)),
+                "vec_b": pa.array(self.ids[bj].astype(np.int64)),
+                "cos_sim": pa.array(sims[ai, bj].astype(np.float64)),
+            }
+        )
+
+
+def cosine_neardup_pairs(ds, ids: np.ndarray, matrix: np.ndarray, threshold: float = 0.35,
+                         concurrency: int = 2):
+    """Embedding-cosine near-duplicate pairs of ``ds`` rows against the
+    broadcast (ids, matrix) side: ship the comparison matrix once via
+    ``ray.put``, one matmul per batch, emit only qualifying (a < b)
+    pairs. For corpus×corpus near-dup at scale, feed cluster-bucketed
+    subsets (ivf_build partitions) instead of one global matrix."""
+    ref = ray.put({"ids": np.asarray(ids, dtype=np.int64), "matrix": np.asarray(matrix, dtype=np.float64)})
+    return ds.map_batches(
+        _NearDupPairs,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 class IVFIndex:
     """Deterministic IVF: k-means centroids + cluster assignment."""
 

@@ -1060,6 +1060,32 @@ def q_embed_docs(sf_dir: str):
     return out.map_batches(_norm_col, batch_format="pyarrow")
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal decode pipeline over REAL codecs (BMP images decoded
+    and featurized by the actor pool; deterministic seeded media table).
+    Rows-only: binary codec paths aren't SQL-expressible."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.multimodal import decode_images, synthesize_media
+
+    ds = rd.from_arrow(synthesize_media(200, seed=11, kind="image"))
+    out = decode_images(ds, concurrency=2, batch_size=32)
+
+    def final(b: pa.Table) -> pa.Table:
+        feats = np.array(b["feature"].to_pylist(), dtype=np.float64)
+        mean = feats.mean(axis=1) if feats.size else np.zeros(0)
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "decoded_w": b["decoded_w"],
+                "decoded_h": b["decoded_h"],
+                "feat_mean": pa.array(np.round(mean, 4), pa.float64()),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 def q_topk_sketch(sf_dir: str):
     """SpaceSaving approximate top-terms (mergeable sketch per batch).
     At documents' skew the head is exact (max_error 0) — pytest asserts
@@ -1139,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "embed_docs": q_embed_docs,
+        "media_features": q_media_features,
         "ann_ivf": q_ann_ivf,
         "topk_sketch": q_topk_sketch,
         "distinct_sketch": q_distinct_sketch,

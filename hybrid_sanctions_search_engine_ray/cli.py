@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--num-partitions", type=int, default=64)
     b.add_argument("--analyzer", choices=["simple", "full", "char3"], default="simple")
     b.add_argument("--stopwords", action="store_true")
+    b.add_argument("--stem", choices=["", "ru"], default="",
+                   help="per-token suffix stemmer (Snowball russian)")
     b.add_argument("--store-text", action="store_true",
                    help="keep text in the docmap (phrase search via retrieve-verify)")
     b.add_argument("--store-positions", action="store_true",
@@ -79,7 +81,8 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = EngineConfig(
             num_partitions=args.num_partitions,
-            analyzer=AnalyzerConfig(mode=args.analyzer, remove_stopwords=args.stopwords),
+            analyzer=AnalyzerConfig(mode=args.analyzer, remove_stopwords=args.stopwords,
+                                    stem=args.stem),
         )
         m = build_index(args.input, args.index, cfg, resume=args.resume,
                         assume_sorted=args.assume_sorted, store_text=args.store_text,

@@ -34,8 +34,12 @@ class AnalyzerConfig:
     date-pattern exclusion → optional stop-word removal.
     """
 
-    mode: str = "simple"  # "simple" | "full"
+    mode: str = "simple"  # "simple" | "full" | "char3"
     remove_stopwords: bool = False
+    # suffix-stripping stemmer applied per token ("" = off; "ru" =
+    # Snowball russian — the lightweight stand-in for the reference's
+    # pymorphy morphology layer, functions/stemmer.py)
+    stem: str = ""
     min_token_len: int = 1
     max_token_len: int = 64
 

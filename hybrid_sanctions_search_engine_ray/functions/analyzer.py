@@ -246,6 +246,16 @@ def get_analyzer(cfg: AnalyzerConfig):
     else:
         raise ValueError(f"unknown analyzer mode: {cfg.mode}")
 
+    if cfg.stem == "ru":
+        from hybrid_sanctions_search_engine_ray.functions.stemmer import stem_ru
+
+        inner = base
+
+        def base(text: str) -> list[str]:  # noqa: F811
+            return [stem_ru(t) for t in inner(text)]
+    elif cfg.stem:
+        raise ValueError(f"unknown stemmer: {cfg.stem}")
+
     if lo <= 1 and hi >= 64:
         return base
 

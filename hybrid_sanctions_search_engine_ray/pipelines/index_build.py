@@ -443,6 +443,7 @@ def build_index(
             num_partitions=cfg.num_partitions,
             analyzer_mode=cfg.analyzer.mode,
             remove_stopwords=cfg.analyzer.remove_stopwords,
+            stem=cfg.analyzer.stem,
             store_positions=store_positions,
             hot_terms=hot_terms,
             hot_term_salt_buckets=cfg.hot_term_salt_buckets,

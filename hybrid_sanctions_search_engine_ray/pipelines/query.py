@@ -69,6 +69,7 @@ class IndexReader:
             analyzer=AnalyzerConfig(
                 mode=self.manifest.analyzer_mode,
                 remove_stopwords=self.manifest.remove_stopwords,
+                stem=self.manifest.stem,
             ),
         )
         self.analyzer = get_analyzer(self.cfg.analyzer)

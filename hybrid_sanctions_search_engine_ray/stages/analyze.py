@@ -110,7 +110,9 @@ def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Arr
     text = batch["text"]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    if cfg.mode == "simple":
+    # Arrow fast paths only when no per-token Python step (stemmer) is
+    # configured; otherwise fall through to the shared Python analyzer.
+    if cfg.mode == "simple" and not cfg.stem:
         tokens = pc.split_pattern_regex(_lower_nfc(text), _SIMPLE_RE2)
         flat = pc.list_flatten(tokens)
         parent = pc.list_parent_indices(tokens)
@@ -118,7 +120,7 @@ def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Arr
         if cfg.remove_stopwords:
             keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))))
         return parent.filter(keep).to_numpy(zero_copy_only=False), flat.filter(keep)
-    if cfg.mode == "char3":
+    if cfg.mode == "char3" and not cfg.stem:
         return _char3_flat(text)
     # full mode: per-row Python tokenizer, Arrow everything after
     analyzer = get_analyzer(cfg)

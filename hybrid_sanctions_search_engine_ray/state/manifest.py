@@ -61,6 +61,7 @@ class IndexManifest:
     num_partitions: int = 64
     analyzer_mode: str = "simple"
     remove_stopwords: bool = False
+    stem: str = ""
     store_positions: bool = False
     # skew handling
     hot_terms: list[str] = field(default_factory=list)

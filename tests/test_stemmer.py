@@ -1,0 +1,81 @@
+"""Snowball-russian stemmer: conflation groups, invariants, and the
+recall effect through a stemmed index."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+from hybrid_sanctions_search_engine_ray.functions.analyzer import analyze
+from hybrid_sanctions_search_engine_ray.functions.stemmer import stem_ru
+
+# inflection families must conflate to ONE stem each
+CONFLATION_GROUPS = [
+    ["книга", "книги", "книгу", "книгой"],            # noun, case endings
+    ["красивый", "красивая", "красивые", "красивым"],  # adjective
+    ["бегал", "бегала", "бегали"],                     # past verb
+    ["платеж", "платежа", "платежу"],                  # payment noun
+    ["стол", "стола", "столу", "столом"],              # noun, full paradigm
+    ["иванова", "ивановым", "ивановой"],               # surname oblique cases
+    # NOTE: nominative "иванов" stems further ("ов" is also a genitive-
+    # plural noun ending) — a known Snowball property, same as ES russian
+    ["делавшись", "делав", "делавши"],                 # perfective gerunds
+]
+
+
+@pytest.mark.parametrize("group", CONFLATION_GROUPS, ids=[g[0] for g in CONFLATION_GROUPS])
+def test_conflation_groups(group):
+    stems = {stem_ru(w) for w in group}
+    assert len(stems) == 1, f"{group} → {stems}"
+
+
+def test_distinct_words_stay_distinct():
+    assert stem_ru("книга") != stem_ru("красивый")
+    assert stem_ru("иванов") != stem_ru("петров")
+
+
+def test_non_cyrillic_untouched():
+    for w in ["spark", "join", "x1", "", "123"]:
+        assert stem_ru(w) == w
+
+
+def test_yo_folded():
+    assert stem_ru("ёжика") == stem_ru("ежика")
+
+
+def test_short_words_survive():
+    # words with no vowel / single letters must not be mangled to empty
+    for w in ["в", "к", "с", "мгл"]:
+        assert stem_ru(w) != ""
+
+
+def test_analyzer_integration():
+    cfg = AnalyzerConfig(mode="full", stem="ru")
+    assert analyze("Книги Иванова", cfg) == [stem_ru("книги"), stem_ru("иванова")]
+    # latin text unaffected by the ru stemmer
+    assert analyze("Spark JOIN", cfg) == ["spark", "join"]
+
+
+def test_stemmed_index_recall(ray_session, tmp_path):
+    """A query in a different inflection than the document must match
+    once stemming is on (the morphology recall lever), and the manifest
+    round-trips the stem setting into the query path."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    texts = ["иванов купил книги", "петров продал дом", "unrelated latin text"]
+    rows = [
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+        for i, t in enumerate(texts)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    cfg = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="full", stem="ru"))
+    idx = str(tmp_path / "stemidx")
+    m = build_index("mem", idx, cfg, transcripts_ds=ds)
+    assert m.stem == "ru"
+    r = IndexReader(idx)
+    docs, _ = r.search_one("книгу иванова", 3)   # different case forms
+    assert docs.size and int(docs[0]) == 0

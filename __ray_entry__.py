@@ -56,6 +56,17 @@ NGRAM_QUERIES: dict[str, str] = {
 # Fuzzy vocabulary expansion inputs (typos of dictionary terms).
 FUZZY_TERMS: list[str] = ["sprak", "custmer", "fliter", "streem", "vektor"]
 
+# Multi-word queries for the word-shingle field (reference
+# shingle_analyzer: 2-3 word shingles + unigrams) — adjacent-word
+# matches outrank scattered-word matches without a positional index.
+SHINGLE_QUERIES: dict[str, str] = {
+    "s01": "customer table scan",
+    "s02": "window stream",
+    "s03": "merge sort batch",
+    "s04": "slow query order",
+    "s05": "key value part",
+}
+
 # Exact-phrase queries for the positional index (bigrams/trigrams drawn
 # from the documents vocabulary; last one is a deliberate near-certain miss).
 PHRASE_QUERIES: dict[str, str] = {
@@ -125,6 +136,39 @@ dl3 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM g3 GROUP BY doc_id),
 stats3 AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl3),
 df3 AS (SELECT gram, count(*)::BIGINT AS df FROM g3 GROUP BY gram)
 """
+
+
+# Word-shingle tokenization CTE (shingle analyzer twin): simple tokens +
+# space-joined 2-/3-shingles of adjacent tokens; tf-weighted, dl = total
+# emitted terms (unigrams + shingles).
+SHINGLE_CTE = """
+sharr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS arr
+  FROM transcripts
+),
+shtok AS (
+  SELECT doc_id, unnest(arr) AS term FROM sharr
+  UNION ALL
+  SELECT doc_id, unnest([arr[g] || ' ' || arr[g+1] for g in generate_series(1, len(arr) - 1)]) AS term FROM sharr
+  UNION ALL
+  SELECT doc_id, unnest([arr[g] || ' ' || arr[g+1] || ' ' || arr[g+2] for g in generate_series(1, len(arr) - 2)]) AS term FROM sharr
+),
+shtf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM shtok GROUP BY term, doc_id),
+shdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM shtok GROUP BY doc_id),
+shstats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM shdl),
+shdf AS (SELECT term, count(*)::BIGINT AS df FROM shtf GROUP BY term)
+"""
+
+
+def _qshingles_values() -> str:
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_shingle
+
+    rows = []
+    for qid, text in SHINGLE_QUERIES.items():
+        for term in sorted(set(tokenize_shingle(text))):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
 
 
 def _qgrams_values(queries: dict[str, str]) -> str:
@@ -786,6 +830,15 @@ def q_ngram_bm25(sf_dir: str):
     return _search_rounded(sf_dir, NGRAM_QUERIES, mode="char3")
 
 
+def q_shingle_bm25(sf_dir: str):
+    """Phrase-proximity lexical tier: BM25 over the word-shingle field
+    (reference's shingle_analyzer subfield, 2-3 word shingles +
+    unigrams — elasticsearch_component_template.json:20-29,47-52) —
+    adjacent-word matches outrank scattered-word matches, built by the
+    SAME streaming shuffle/segment machinery as the word index."""
+    return _search_rounded(sf_dir, SHINGLE_QUERIES, mode="shingle")
+
+
 def q_fuzzy_expand(sf_dir: str):
     """Fuzzy term expansion against the vocabulary (the ES-fuzziness
     shape: edit distance runs on the TERM DICTIONARY, never the corpus —
@@ -1152,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q_lineitem_agg,
         "bm25_confidence": q_bm25_confidence,
         "ngram_bm25": q_ngram_bm25,
+        "shingle_bm25": q_shingle_bm25,
         "fuzzy_expand": q_fuzzy_expand,
         "hybrid_rrf": q_hybrid_rrf,
         "post_filter": q_post_filter,
@@ -1353,6 +1407,31 @@ WITH {TRANSCRIPTS_CTE},
 {_ngram_ranked_sql(NGRAM_QUERIES)}
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM ranked3 WHERE rnk <= {BM25_TOP_K}
+""",
+        "shingle_bm25": f"""
+WITH {TRANSCRIPTS_CTE},
+{SHINGLE_CTE},
+qsh(query_id, term) AS (VALUES {_qshingles_values()}),
+shscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qsh q
+  JOIN shtf tf ON tf.term = q.term
+  JOIN shdf df ON df.term = q.term
+  JOIN shdl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN shstats s
+  GROUP BY q.query_id, tf.doc_id
+),
+shranked AS (
+  -- quantized ordering (round(score,4) + doc_id): duplicate documents
+  -- produce EXACT score ties the float summation order must not flip
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM shscores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM shranked WHERE rnk <= {BM25_TOP_K}
 """,
         "fuzzy_expand": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -32,9 +32,18 @@ class AnalyzerConfig:
     punctuation strip preserving ``.-'`` → whitespace split →
     compound-initial split (А.С.Пушкин → [а., с., пушкин]) →
     date-pattern exclusion → optional stop-word removal.
+
+    ``mode="char3"``: character 3-grams of the simple tokens (distinct
+    per doc) — the reference's ``char_ngram_analyzer`` subfield.
+
+    ``mode="shingle"``: simple tokens plus space-joined word 2- and
+    3-shingles (reference ``shingle_analyzer``: min 2, max 3,
+    output_unigrams=true — templates/elasticsearch/
+    elasticsearch_component_template.json:20-29,47-52); gives the
+    lexical tier phrase-proximity recall without positions.
     """
 
-    mode: str = "simple"  # "simple" | "full" | "char3"
+    mode: str = "simple"  # "simple" | "full" | "char3" | "shingle"
     remove_stopwords: bool = False
     # suffix-stripping stemmer applied per token ("" = off; "ru" =
     # Snowball russian — the lightweight stand-in for the reference's

@@ -101,6 +101,27 @@ def tokenize_char3(text: str) -> list[str]:
     return sorted(grams)
 
 
+# --- shingle mode ------------------------------------------------------------
+# The word-shingle field of the reference's lexical tier (reference:
+# templates/elasticsearch/elasticsearch_component_template.json:20-29,47-52
+# shingle_analyzer: shingle filter min 2, max 3, output_unigrams=true):
+# phrase-proximity recall without a positional index. A document is
+# represented by its simple-mode tokens PLUS every space-joined run of 2
+# and 3 adjacent tokens; BM25 over this field weights adjacent-word
+# matches tf-style — exactly SQL-expressible via list slicing +
+# generate_series (the driver oracle's form).
+
+
+def tokenize_shingle(text: str) -> list[str]:
+    """simple-mode tokens + word 2-/3-shingles (space-joined), in
+    unigrams → 2-shingles → 3-shingles order."""
+    toks = tokenize_simple(text)
+    out = list(toks)
+    out += [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+    out += [f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)]
+    return out
+
+
 # --- full mode -------------------------------------------------------------
 
 # Apostrophe variants → ASCII ' (reference: high_recall_ac_generator.py:157)
@@ -240,6 +261,8 @@ def get_analyzer(cfg: AnalyzerConfig):
                 return [t for t in tokenize_simple(text) if t not in STOPWORDS]
     elif cfg.mode == "char3":
         base = tokenize_char3
+    elif cfg.mode == "shingle":
+        base = tokenize_shingle
     elif cfg.mode == "full":
         def base(text: str) -> list[str]:
             return tokenize_full(text, remove_stopwords=cfg.remove_stopwords)

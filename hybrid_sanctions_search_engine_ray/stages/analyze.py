@@ -101,6 +101,56 @@ def _char3_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
     return d[order], dist["t"].combine_chunks().take(pa.array(order))
 
 
+def _shingle_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """shingle mode, fully vectorized: simple-mode tokens + space-joined
+    word 2-/3-shingles (reference shingle_analyzer, min 2 max 3,
+    output_unigrams=true). Adjacency inside a document is one numpy
+    compare over the nondecreasing parent index; joining is Arrow
+    ``binary_join_element_wise`` (C++). Matches
+    ``functions.analyzer.tokenize_shingle`` and the driver oracle's
+    list-comprehension SQL exactly."""
+    tokens = pc.split_pattern_regex(_lower_nfc(text), _SIMPLE_RE2)
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = parent.filter(keep)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    p = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    sep = pa.scalar(" ", pa.string())
+    parts_p: list[np.ndarray] = [p]
+    parts_t: list[pa.Array] = [flat]
+    if p.size >= 2:
+        idx2 = np.flatnonzero(p[:-1] == p[1:])  # token i, i+1 in same doc
+        if idx2.size:
+            i2 = pa.array(idx2)
+            parts_p.append(p[idx2])
+            parts_t.append(
+                pc.binary_join_element_wise(flat.take(i2), flat.take(pa.array(idx2 + 1)), sep)
+            )
+    if p.size >= 3:
+        idx3 = np.flatnonzero((p[:-2] == p[1:-1]) & (p[1:-1] == p[2:]))
+        if idx3.size:
+            parts_t.append(
+                pc.binary_join_element_wise(
+                    flat.take(pa.array(idx3)),
+                    flat.take(pa.array(idx3 + 1)),
+                    flat.take(pa.array(idx3 + 2)),
+                    sep,
+                )
+            )
+            parts_p.append(p[idx3])
+    parent_all = np.concatenate(parts_p)
+    terms_all = pa.concat_arrays(
+        [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t for t in parts_t]
+    )
+    order = np.argsort(parent_all, kind="stable")  # nondecreasing-parent invariant
+    return parent_all[order], terms_all.take(pa.array(order))
+
+
 def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Array]:
     """Tokenize a batch → flat (doc_row_index, term) pairs.
 
@@ -122,6 +172,8 @@ def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Arr
         return parent.filter(keep).to_numpy(zero_copy_only=False), flat.filter(keep)
     if cfg.mode == "char3" and not cfg.stem:
         return _char3_flat(text)
+    if cfg.mode == "shingle" and not cfg.stem:
+        return _shingle_flat(text)
     # full mode: per-row Python tokenizer, Arrow everything after
     analyzer = get_analyzer(cfg)
     parents: list[np.ndarray] = []

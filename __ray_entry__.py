@@ -455,6 +455,77 @@ def q_langid(sf_dir: str):
     return ds.map_batches(lambda b: langid(b, cfg.analyzer), batch_format="pyarrow", batch_size=8192)
 
 
+def q_asof_join(sf_dir: str):
+    """Temporal as-of join (custom operator — Ray Data has no native
+    equivalent): each click joined to the user's most recent prior-or-
+    simultaneous view. One key shuffle + per-group vectorized
+    searchsorted merge; both sides read with predicate pushdown."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.joins import asof_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    clicks = rd.read_parquet(path, columns=["event_id", "ts", "user_id"],
+                             filter=pads.field("event_type") == "click")
+    views = rd.read_parquet(path, columns=["event_id", "ts", "user_id", "value"],
+                            filter=pads.field("event_type") == "view")
+    res = asof_join(clicks, views, key="user_id", ts="ts", how="inner")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype(np.int64),
+                "user_id": b["user_id"].astype(np.int64),
+                "ts_us": b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "matched_event_id": b["event_id_r"].astype(np.int64),
+                "matched_ts_us": b["ts_r"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "matched_value": _round4(b["value"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+RANGE_TIERS = [("low", 0.0, 25.0), ("mid", 25.0, 100.0), ("high", 100.0, 1000.0)]
+
+
+def q_range_join(sf_dir: str):
+    """Broadcast range join (custom operator): bin every event's value
+    into a small table of non-overlapping [lo, hi) tiers — the ranges
+    ship once via ray.put, each batch bins with one searchsorted; the
+    per-tier aggregate uses the partial-agg pattern (no event shuffle)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.joins import range_join
+
+    tiers = pd.DataFrame(RANGE_TIERS, columns=["tier", "lo", "hi"])
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    joined = range_join(ev, tiers, on="value", how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("tier", sort=False).agg(n_p=("value", "size"), sum_p=("value", "sum"))
+        return g.reset_index()
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("tier")
+        .aggregate(Sum("n_p", alias_name="n_events"), Sum("sum_p", alias_name="sum_value"))
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tier": b["tier"],
+                "n_events": b["n_events"].astype(np.int64),
+                "sum_value": _round4(b["sum_value"].to_numpy()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type: partial-agg per batch →
     small groupby (streaming-shaped workload per ray_guide)."""
@@ -1198,6 +1269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "validate": q_validate,
         "events_window": q_events_window,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1330,6 +1403,20 @@ WITH ranked AS (
 )
 SELECT user_id, cast(rnk AS int) AS rnk, event_id, round(value, 4) AS value
 FROM ranked WHERE rnk <= 3
+""",
+        "asof_join": """
+SELECT l.event_id, l.user_id, epoch_us(l.ts)::BIGINT AS ts_us,
+       r.event_id AS matched_event_id, epoch_us(r.ts)::BIGINT AS matched_ts_us,
+       round(r.value, 4) AS matched_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "range_join": f"""
+WITH tiers(tier, lo, hi) AS (VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in RANGE_TIERS)})
+SELECT t.tier, count(*)::BIGINT AS n_events, round(sum(e.value), 4) AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
 """,
         "sessionize": """
 WITH e AS (

@@ -8,6 +8,13 @@
   (hash(key) % B on both sides + per-bucket merge inside map_groups) —
   exercised by the postings shuffle itself; a general helper is
   :func:`bucketed_join`.
+* :func:`asof_join` — per-key temporal as-of join (each left row matched
+  to the most recent right row with right.ts <= left.ts), an operator
+  Ray Data lacks natively: ONE key shuffle, then a vectorized
+  ``searchsorted`` merge inside each group.
+* :func:`range_join` — big side against a SMALL table of non-overlapping
+  half-open ranges: broadcast the ranges once, bin each batch with
+  ``searchsorted``. No shuffle.
 """
 
 from __future__ import annotations
@@ -76,3 +83,118 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32, how: str = 
         return lf.merge(rf, on=on, how=how)
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def _ts_int64(s: pd.Series) -> np.ndarray:
+    """Timestamp-or-numeric column → comparable int64 (µs for datetimes)."""
+    if np.issubdtype(s.dtype, np.datetime64):
+        return s.to_numpy().astype("datetime64[us]").astype(np.int64)
+    return s.to_numpy().astype(np.int64)
+
+
+def asof_join(left_ds, right_ds, key: str, ts: str, how: str = "inner", rsuffix: str = "_r"):
+    """Temporal as-of join: each left row matched to the single right row
+    with the same ``key`` and the greatest right ``ts`` <= left ``ts``
+    (DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` backward semantics).
+
+    Ray-Data shape: tag both sides, ``union``, ONE hash shuffle on the
+    key, then a per-group vectorized merge (sort right by ts once,
+    ``np.searchsorted(right_ts, left_ts, 'right') - 1``) — no nested
+    loops, no global sort. Partitioning assumption (document per the
+    custom-operator rule): one key's rows fit in one worker's group; a
+    pathologically hot key would need time-range salting with boundary
+    replication (split the key's timeline into ranges, replicate each
+    range's last right row into the next range's group).
+
+    Tie rule: equal right ``ts`` within a key resolves to the LAST row
+    in a stable sort of the right side (deterministic given unique
+    (key, ts), which the caller should ensure).
+
+    Right columns (except key/ts) are appended, renamed with ``rsuffix``
+    on collision; ``how="left"`` keeps unmatched left rows with nulls.
+    """
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
+    l_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    r_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    out_right = [c for c in right_cols if c != key]
+    ren = {c: (c + rsuffix if c in left_cols else c) for c in out_right}
+
+    def tag(b: pa.Table, side: str) -> pa.Table:
+        cols = {}
+        for c in all_cols:
+            if c in b.column_names:
+                cols[c] = b[c]
+            else:
+                cols[c] = pa.nulls(len(b), r_schema.get(c) or l_schema.get(c))
+        t = pa.table(cols)
+        return t.append_column("__side", pa.array([side] * len(b), pa.string()))
+
+    tagged = left_ds.map_batches(lambda b: tag(b, "l"), batch_format="pyarrow").union(
+        right_ds.map_batches(lambda b: tag(b, "r"), batch_format="pyarrow")
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == "l"][left_cols]
+        rf = g[g["__side"] == "r"][right_cols]
+        if len(rf) == 0:
+            matched = np.zeros(len(lf), dtype=bool)
+            pos = np.full(len(lf), -1, dtype=np.int64)
+        else:
+            rf = rf.iloc[np.argsort(_ts_int64(rf[ts]), kind="stable")]
+            pos = np.searchsorted(_ts_int64(rf[ts]), _ts_int64(lf[ts]), side="right") - 1
+            matched = pos >= 0
+        out = (lf if how == "left" else lf[matched]).reset_index(drop=True).copy()
+        pos_out = pos if how == "left" else pos[matched]
+        for c in out_right:
+            if len(rf) == 0:
+                col = pd.Series([None] * len(out), dtype=object)
+            else:
+                col = pd.Series(rf[c].to_numpy()[np.maximum(pos_out, 0)])
+                if how == "left":
+                    col[pos_out < 0] = None
+            out[ren[c]] = col
+        return out
+
+    return tagged.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+class _RangeJoiner:
+    def __init__(self, ranges_ref, on: str, lo: str, hi: str, how: str):
+        r = ray.get(ranges_ref).sort_values(lo).reset_index(drop=True)
+        los = r[lo].to_numpy(dtype=np.float64)
+        his = r[hi].to_numpy(dtype=np.float64)
+        if not (his > los).all() or (los[1:] < his[:-1]).any():
+            raise ValueError("range_join requires non-overlapping half-open [lo, hi) ranges")
+        self.r, self.los, self.his = r, los, his
+        self.on, self.lo, self.hi, self.how = on, lo, hi, how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[self.on].to_numpy(dtype=np.float64)
+        pos = np.searchsorted(self.los, v, side="right") - 1
+        ok = (pos >= 0) & (v < self.his[np.maximum(pos, 0)])
+        out = batch.copy() if self.how == "left" else batch[ok].reset_index(drop=True).copy()
+        pos_out = pos if self.how == "left" else pos[ok]
+        attach = self.r.drop(columns=[self.lo, self.hi]).iloc[np.maximum(pos_out, 0)].reset_index(drop=True)
+        if self.how == "left":
+            attach[~ok] = None
+        for c in attach.columns:
+            out[c] = attach[c].to_numpy()
+        return out
+
+
+def range_join(big_ds, ranges_df: pd.DataFrame, on: str, lo: str = "lo", hi: str = "hi",
+               how: str = "inner", concurrency: int = 4):
+    """Join a big Dataset against a SMALL table of non-overlapping
+    half-open ``[lo, hi)`` ranges on ``big[on]`` — the broadcast range
+    join (tiering/binning). The ranges ship via ``ray.put`` once;
+    each batch bins with one ``searchsorted``. No shuffle. For a
+    large-large range join, interval-bucket both sides instead."""
+    ref = ray.put(ranges_df)
+    return big_ds.map_batches(
+        _RangeJoiner,
+        fn_constructor_args=(ref, on, lo, hi, how),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )

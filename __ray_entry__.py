@@ -526,6 +526,33 @@ def q_range_join(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact distributed order statistics per event_type: value-counts
+    histogram partials → small distinct-(key,value) shuffle → per-key
+    cumulative walk (quantile_disc semantics, exact-rational index).
+    The raw rows never shuffle — the scale path for quantized metrics."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import grouped_exact_quantiles
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"])
+    res = grouped_exact_quantiles(ev, key="event_type", col="value", qs=QUANTILE_QS)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "q": b["q"].astype(np.float64),
+                "value": _round4(b["value"].to_numpy()),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type: partial-agg per batch →
     small groupby (streaming-shaped workload per ray_guide)."""
@@ -1271,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "value_quantiles": q_value_quantiles,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1417,6 +1445,15 @@ WITH tiers(tier, lo, hi) AS (VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo,
 SELECT t.tier, count(*)::BIGINT AS n_events, round(sum(e.value), 4) AS sum_value
 FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
 GROUP BY t.tier
+""",
+        "value_quantiles": f"""
+WITH wide AS (
+  SELECT event_type,
+         {", ".join(f'quantile_disc(value, {q}) AS "{q}"' for q in QUANTILE_QS)}
+  FROM events GROUP BY event_type
+)
+SELECT event_type, cast(q AS DOUBLE) AS q, round(value, 4) AS value
+FROM (UNPIVOT wide ON {", ".join(f'"{q}"' for q in QUANTILE_QS)} INTO NAME q VALUE value)
 """,
         "sessionize": """
 WITH e AS (

@@ -1,0 +1,71 @@
+"""Exact distributed order statistics (quantiles) for bounded-cardinality
+value columns — the 100-TB-shaped alternative to a global sort.
+
+Shape: one ``map_batches`` partial (per-batch (key, value) counts) → a
+SMALL shuffle over distinct (key, value) pairs → a per-key finisher that
+walks the cumulative counts. The raw rows never shuffle; only the
+distinct-value histogram does. This is exact whenever the column's
+distinct-value count per key fits a worker (quantized metrics, prices,
+durations in ms — the common telemetry case). For genuinely continuous
+columns use a mergeable sketch (``functions/sketches.py``) or a
+sort+footer-offset selection instead.
+
+Quantile rule: ``quantile_disc`` semantics — the element at 0-based
+index ``max(ceil(q*n) - 1, 0)`` of the sorted column, computed with
+exact rational arithmetic (``Fraction``) so float rounding of ``q*n``
+can never pick a neighboring element. Verified against DuckDB
+``quantile_disc`` across n/q edge cases (tools/check_oracle gate).
+
+Reference parity: the reference keeps latency/score percentiles in its
+monitoring layer (SURVEY.md §2.5 G6 metrics); this generalizes that to
+a first-class distributed operator.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _disc_index(q: Fraction, n: int) -> int:
+    """0-based quantile_disc index: max(ceil(q*n) - 1, 0), exact."""
+    return max(-((-q.numerator * n) // q.denominator) - 1, 0)
+
+
+def grouped_exact_quantiles(ds, key: str, col: str, qs: list[float]):
+    """Exact per-``key`` quantiles of ``col`` over a Dataset.
+
+    Returns a Dataset with columns (key, q: double, value) — one row per
+    (key, quantile). ``qs`` entries must be exactly representable from
+    their decimal literal (they are re-parsed via ``Fraction(str(q))``).
+    """
+    from ray.data.aggregate import Sum
+
+    q_fracs = [(float(q), Fraction(str(q))) for q in qs]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], col: b[col]})
+        g = t.group_by([key, col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, col, "c_p"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, col])
+        .aggregate(Sum("c_p", alias_name="c"))
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="mergesort")
+        cum = g["c"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        vals = g[col].to_numpy()
+        rows = []
+        for qf, frac in q_fracs:
+            j = int(np.searchsorted(cum, _disc_index(frac, n) + 1, side="left"))
+            rows.append({key: g[key].iloc[0], "q": qf, "value": vals[j]})
+        return pd.DataFrame(rows)
+
+    return counts.groupby(key).map_groups(finish, batch_format="pandas")

@@ -553,6 +553,81 @@ def q_value_quantiles(sf_dir: str):
     return res.map_batches(final, batch_format="pandas")
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) 1-hour windows advancing every 15 min, per
+    event_type: vectorized per-window emit (each event in exactly 4
+    windows) → partial-agg per batch → small groupby. The raw events
+    never shuffle; only (type, window) partials do."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import hopping_window_keys
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rows, starts = hopping_window_keys(ts_us, window_s=3600, hop_s=900)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(zero_copy_only=False)[rows],
+                    "window_start": starts,
+                    "value": b["value"].to_numpy(zero_copy_only=False)[rows],
+                }
+            )
+            .groupby(["event_type", "window_start"], sort=False)
+            .agg(n_p=("value", "size"), sum_p=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_p", alias_name="n_events"), Sum("sum_p", alias_name="sum_value"))
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "window_start": b["window_start"].astype(np.int64),
+                "n_events": b["n_events"].astype(np.int64),
+                "sum_value": _round4(b["sum_value"].to_numpy()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+SAMPLE_RATES = {"click": 50, "view": 10, "error": 100}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified hash-sample of the event log (downsample
+    views, keep every error): one streaming filter, membership derived
+    from md5(event_id||salt) — reproducible across runs and retries."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.sampling import stratified_hash_sample
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    res = stratified_hash_sample(ev, key="event_id", strata="event_type",
+                                 rates=SAMPLE_RATES, salt="-s1")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype(np.int64),
+                "event_type": b["event_type"],
+                "value": _round4(b["value"].to_numpy()),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type: partial-agg per batch →
     small groupby (streaming-shaped workload per ray_guide)."""
@@ -1299,6 +1374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "value_quantiles": q_value_quantiles,
+        "hopping_window": q_hopping_window,
+        "stratified_sample": q_stratified_sample,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1454,6 +1531,24 @@ WITH wide AS (
 )
 SELECT event_type, cast(q AS DOUBLE) AS q, round(value, 4) AS value
 FROM (UNPIVOT wide ON {", ".join(f'"{q}"' for q in QUANTILE_QS)} INTO NAME q VALUE value)
+""",
+        "hopping_window": """
+WITH hops(i) AS (VALUES (0), (1), (2), (3)),
+w AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 900000000) - h.i) * 900 AS window_start,
+         value
+  FROM events, hops h
+)
+SELECT event_type, window_start, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM w GROUP BY event_type, window_start
+""",
+        "stratified_sample": f"""
+SELECT event_id, event_type, round(value, 4) AS value
+FROM events
+WHERE md5_number_upper(cast(event_id AS varchar) || '-s1') % 100
+      < CASE event_type {" ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())} ELSE 0 END
 """,
         "sessionize": """
 WITH e AS (

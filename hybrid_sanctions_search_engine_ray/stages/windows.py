@@ -26,6 +26,24 @@ def tumbling_window_key(ts_us: np.ndarray, window_s: int) -> np.ndarray:
     return (ts_us // (window_s * 1_000_000)) * window_s
 
 
+def hopping_window_keys(ts_us: np.ndarray, window_s: int, hop_s: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hopping (sliding) windows: size ``window_s``, advancing every
+    ``hop_s`` (must divide the size). Each event falls in exactly
+    ``window_s/hop_s`` windows; returns (row_index, window_start_s)
+    flat pairs — the vectorized per-window emit (np.repeat + grid
+    offsets, no Python loop) that feeds the same partial-agg + small
+    groupby pattern as tumbling windows. The fan-out factor k is a
+    constant, so the emitted stream is k× the input — still streaming,
+    never materialized."""
+    if window_s % hop_s != 0:
+        raise ValueError("hop_s must divide window_s")
+    k = window_s // hop_s
+    base = (ts_us // (hop_s * 1_000_000)) * hop_s  # last grid start <= t
+    starts = base[:, None] - (np.arange(k, dtype=np.int64) * hop_s)[None, :]
+    rows = np.repeat(np.arange(ts_us.size, dtype=np.int64), k)
+    return rows, starts.reshape(-1)
+
+
 def sessionize_group(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
     """One user's events → one row per session: a new session starts
     whenever the gap since the previous event exceeds ``gap_s``.

@@ -1,0 +1,80 @@
+"""Deterministic hash sampling (stages/sampling.py) and hopping-window
+key emission (stages/windows.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from hybrid_sanctions_search_engine_ray.stages.sampling import (
+    _bucket100,
+    hash_sample,
+    stratified_hash_sample,
+)
+from hybrid_sanctions_search_engine_ray.stages.windows import hopping_window_keys
+
+
+def test_bucket100_duckdb_parity():
+    import duckdb
+
+    keys = ["0", "1", "42x", "conv-00000007", "99999"]
+    got = _bucket100(keys, "")
+    want = [
+        duckdb.sql(f"SELECT md5_number_upper('{k}') % 100").fetchone()[0] for k in keys
+    ]
+    assert got.tolist() == [int(w) for w in want]
+
+
+def test_hash_sample_deterministic_and_bounded(ray_session):
+    df = pd.DataFrame({"id": np.arange(10_000)})
+    a = hash_sample(rd.from_pandas(df).repartition(4), key="id", rate_pct=10).to_pandas()
+    b = hash_sample(rd.from_pandas(df).repartition(7), key="id", rate_pct=10).to_pandas()
+    # deterministic: identical subset regardless of partitioning
+    assert sorted(a["id"]) == sorted(b["id"])
+    # roughly 10% (binomial tolerance)
+    assert 800 < len(a) < 1200
+    # monotone: a 5% sample is a subset of the 10% sample (same salt)
+    c = hash_sample(rd.from_pandas(df), key="id", rate_pct=5).to_pandas()
+    assert set(c["id"]) <= set(a["id"])
+    # different salt → different draw
+    d = hash_sample(rd.from_pandas(df), key="id", rate_pct=10, salt="x").to_pandas()
+    assert sorted(d["id"]) != sorted(a["id"])
+
+
+def test_hash_sample_rate_bounds(ray_session):
+    df = pd.DataFrame({"id": np.arange(100)})
+    assert len(hash_sample(rd.from_pandas(df), "id", 0).to_pandas()) == 0
+    assert len(hash_sample(rd.from_pandas(df), "id", 100).to_pandas()) == 100
+    with pytest.raises(ValueError):
+        hash_sample(rd.from_pandas(df), "id", 101)
+
+
+def test_stratified_rates(ray_session):
+    df = pd.DataFrame({"id": np.arange(6000), "s": ["a", "b", "c"] * 2000})
+    got = stratified_hash_sample(
+        rd.from_pandas(df), key="id", strata="s", rates={"a": 100, "b": 0}, default_pct=50
+    ).to_pandas()
+    assert (got["s"] == "a").sum() == 2000   # keep all
+    assert (got["s"] == "b").sum() == 0      # drop all
+    assert 800 < (got["s"] == "c").sum() < 1200  # default 50%
+
+
+def test_hopping_window_keys_exact_membership():
+    # t = 3700s → grid base 3600; windows starting 3600, 2700, 1800, 900
+    ts_us = np.array([3700 * 1_000_000], dtype=np.int64)
+    rows, starts = hopping_window_keys(ts_us, window_s=3600, hop_s=900)
+    assert rows.tolist() == [0, 0, 0, 0]
+    assert sorted(starts.tolist()) == [900, 1800, 2700, 3600]
+    # every window [s, s+3600) actually contains t
+    assert all(s <= 3700 < s + 3600 for s in starts)
+
+
+def test_hopping_window_keys_vector_shape():
+    ts_us = (np.arange(10, dtype=np.int64) * 1234 + 7) * 1_000_000
+    rows, starts = hopping_window_keys(ts_us, window_s=1000, hop_s=250)
+    assert rows.size == starts.size == 40
+    t_s = ts_us // 1_000_000
+    for r, s in zip(rows, starts):
+        assert s <= t_s[r] < s + 1000
+    with pytest.raises(ValueError):
+        hopping_window_keys(ts_us, window_s=1000, hop_s=300)

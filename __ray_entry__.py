@@ -628,6 +628,21 @@ def q_stratified_sample(sf_dir: str):
     return res.map_batches(final, batch_format="pandas")
 
 
+def q_smart_prefilter(sf_dir: str):
+    """Smart pre-filter (reference M2): per-doc name/company/context
+    signals → weighted confidence → should_process decision, four
+    vectorized RE2 sweeps per batch."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.validate import smart_prefilter
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(smart_prefilter, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "name_signal", "company_signal", "context_signal", "confidence", "should_process"]
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type: partial-agg per batch →
     small groupby (streaming-shaped workload per ray_guide)."""
@@ -1376,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q_value_quantiles,
         "hopping_window": q_hopping_window,
         "stratified_sample": q_stratified_sample,
+        "smart_prefilter": q_smart_prefilter,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1402,6 +1418,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sketch": q_topk_sketch,
         "distinct_sketch": q_distinct_sketch,
     }
+
+
+def _smart_prefilter_sql() -> str:
+    """Oracle twin of stages/validate.smart_prefilter — same RE2
+    regexes, same weights (both engines run RE2, so the patterns are
+    shared verbatim)."""
+    from hybrid_sanctions_search_engine_ray.stages.validate import (
+        SMART_COMPANY_RE,
+        SMART_CONTEXT_RE,
+        SMART_DATE_ONLY_RE,
+        SMART_NAME_RE,
+    )
+
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+         coalesce(regexp_matches(text, '{SMART_NAME_RE}'), false) AS name_signal,
+         coalesce(regexp_matches(lower(text), '{SMART_COMPANY_RE}'), false) AS company_signal,
+         coalesce(regexp_matches(lower(text), '{SMART_CONTEXT_RE}'), false) AS context_signal,
+         coalesce(regexp_matches(text, '{SMART_DATE_ONLY_RE}'), false) AS date_only,
+         (text IS NULL OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0) AS empty
+  FROM documents
+)
+SELECT doc_id, name_signal, company_signal, context_signal,
+       round(0.4 * name_signal::INT + 0.3 * company_signal::INT + 0.3 * context_signal::INT, 4) AS confidence,
+       (NOT (date_only OR empty))
+         AND (name_signal OR company_signal OR context_signal) AS should_process
+FROM sig
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1492,6 +1537,7 @@ SELECT doc_id,
        ELSE 'ru' END AS pred_lang
 FROM marks
 """,
+        "smart_prefilter": _smart_prefilter_sql(),
         "validate": """
 SELECT doc_id,
        NOT (text IS NULL OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0) AS valid,

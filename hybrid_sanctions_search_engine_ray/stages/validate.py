@@ -61,3 +61,53 @@ def clean(ds, max_len: int = MAX_LEN, text_col: str = "text"):
         return b.drop_columns(["valid", "truncated", "reject_reason"])
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- smart pre-filter (reference M2) -----------------------------------------
+# Signal regexes shared verbatim with the driver's SQL oracle (both RE2):
+# the reference's smart filter decides "does this text need full search
+# processing" from name/company/payment-context signals plus exclusion
+# rules (reference: src/ai_service/layers/smart_filter/
+# smart_filter_service.py:123-260 — name/company detectors, payment
+# context, date-only and empty exclusions, weighted confidence).
+SMART_NAME_RE = r"[A-ZА-ЯЁІЇЄ][a-zа-яёіїє]+ [A-ZА-ЯЁІЇЄ][a-zа-яёіїє]+"
+SMART_COMPANY_RE = r"\b(llc|ltd|inc|corp|gmbh|bank|ооо|тов)\b"
+SMART_CONTEXT_RE = r"\b(payment|transfer|invoice|order|customer|оплата|платеж)\b"
+SMART_DATE_ONLY_RE = r"^[\d\s.,/:\-]+$"
+# weighted confidence (reference confidence_scorer shape: names dominate)
+_W_NAME, _W_COMPANY, _W_CONTEXT = 0.4, 0.3, 0.3
+
+
+def smart_prefilter(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized smart pre-filter: per-row boolean signals → weighted
+    confidence → ``should_process`` decision. Pure Arrow RE2 kernels
+    (four ``match_substring_regex`` sweeps per batch, no per-row
+    Python); exactly mirrored by the ``smart_prefilter`` oracle SQL.
+
+    Adds: ``name_signal``, ``company_signal``, ``context_signal``
+    (bools), ``confidence`` (double, round-4), ``should_process``
+    (false for empty/date-only text or zero confidence)."""
+    raw = batch[text_col]
+    if isinstance(raw, pa.ChunkedArray):
+        raw = raw.combine_chunks()
+    text = pc.fill_null(raw, "")  # null text scores like empty text
+    lower = pc.utf8_lower(text)
+    name_sig = pc.match_substring_regex(text, SMART_NAME_RE)
+    company_sig = pc.match_substring_regex(lower, SMART_COMPANY_RE)
+    context_sig = pc.match_substring_regex(lower, SMART_CONTEXT_RE)
+    date_only = pc.match_substring_regex(text, SMART_DATE_ONLY_RE)
+    trimmed = pc.utf8_trim_whitespace(text)
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    n = name_sig.to_numpy(zero_copy_only=False).astype(np.float64)
+    c = company_sig.to_numpy(zero_copy_only=False).astype(np.float64)
+    x = context_sig.to_numpy(zero_copy_only=False).astype(np.float64)
+    conf = np.round(_W_NAME * n + _W_COMPANY * c + _W_CONTEXT * x, 4)
+    excluded = pc.or_(date_only, empty).to_numpy(zero_copy_only=False)
+    should = (~excluded) & (conf > 0.0)
+    return (
+        batch.append_column("name_signal", name_sig)
+        .append_column("company_signal", company_sig)
+        .append_column("context_signal", context_sig)
+        .append_column("confidence", pa.array(conf, pa.float64()))
+        .append_column("should_process", pa.array(should))
+    )

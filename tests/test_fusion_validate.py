@@ -50,3 +50,40 @@ def test_clean_pipeline(ray_session):
     assert out["doc_id"].tolist() == [0, 2, 3]
     assert out.loc[out.doc_id == 2, "text"].iloc[0] == "weird"
     assert len(out.loc[out.doc_id == 3, "text"].iloc[0]) == 10
+
+
+# --- smart pre-filter (reference M2) -----------------------------------------
+
+
+def test_smart_prefilter_signals():
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.validate import smart_prefilter
+
+    b = pa.table({"text": pa.array([
+        "John Smith sent payment",      # name + context
+        "Иван Петров перевод",          # cyrillic name (context word not in list)
+        "12.03.2024 10:30",             # date-only → excluded
+        "just lowercase words here",     # no signals
+        "Acme LLC invoice",             # company + context
+        "",                              # empty → excluded
+        None,                            # null → excluded
+        "Payment Order 123",            # capitalized pair + context
+    ])})
+    out = smart_prefilter(b).to_pandas()
+    assert out["name_signal"].tolist() == [True, True, False, False, False, False, False, True]
+    assert out["company_signal"].tolist()[4] is True or bool(out["company_signal"][4])
+    assert out["should_process"].tolist() == [True, True, False, False, True, False, False, True]
+    assert out["confidence"][0] == 0.7 and out["confidence"][4] == 0.6
+    assert out["confidence"][2] == 0.0
+
+
+def test_smart_prefilter_date_only_excluded_even_with_signals():
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.validate import smart_prefilter
+
+    # a date-only string can never carry signals (regexes need letters),
+    # but the exclusion must dominate regardless
+    out = smart_prefilter(pa.table({"text": pa.array(["  2024/01/01 ", "3-4, 5:6"])})).to_pandas()
+    assert not out["should_process"].any()

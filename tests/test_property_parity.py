@@ -1,0 +1,112 @@
+"""Property-based parity tests (hypothesis): the vectorized Arrow index
+paths must tokenize EXACTLY like the Python query-side tokenizers on
+arbitrary text — the index/query identity every ranked result relies
+on — and the distributed operators must match their local references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hybrid_sanctions_search_engine_ray.functions.analyzer import (
+    tokenize_char3,
+    tokenize_shingle,
+    tokenize_simple,
+)
+from hybrid_sanctions_search_engine_ray.stages.analyze import (
+    _char3_flat,
+    _shingle_flat,
+    flat_terms,
+)
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+
+# Deliberately hostile alphabet: ASCII, Cyrillic, digits, punctuation,
+# COMBINING ACUTE (u0301, NFD composition case), zero-width-ish space,
+# the Turkish dotted capital İ (Python-lower special case), sharp-s.
+_ALPHA = "abc XYZ 012 .,-!«»́éİßёабвгд  \t\n'"
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(st.text(alphabet=_ALPHA, max_size=60), min_size=1, max_size=8))
+def test_simple_arrow_matches_python(texts):
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    parent, terms = flat_terms(batch, AnalyzerConfig(mode="simple"))
+    got: dict[int, list] = {}
+    for p, t in zip(parent.tolist(), terms.to_pylist()):
+        got.setdefault(p, []).append(t)
+    for i, s in enumerate(texts):
+        assert got.get(i, []) == tokenize_simple(s), repr(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=_ALPHA, max_size=60))
+def test_char3_arrow_matches_python(text):
+    parent, grams = _char3_flat(pa.array([text], pa.string()))
+    assert sorted(set(grams.to_pylist())) == tokenize_char3(text)
+    assert len(grams) == len(set(grams.to_pylist()))  # distinct per doc
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=_ALPHA, max_size=60))
+def test_shingle_arrow_matches_python(text):
+    parent, terms = _shingle_flat(pa.array([text], pa.string()))
+    assert sorted(terms.to_pylist()) == sorted(tokenize_shingle(text))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_asof_join_matches_pandas_merge_asof(ray_session, data):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.joins import asof_join
+
+    n_l = data.draw(st.integers(1, 30))
+    n_r = data.draw(st.integers(0, 30))
+    keys = st.integers(0, 3)
+    # unique (key, ts) pairs on the right — the documented determinism precondition
+    lf = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": [data.draw(keys) for _ in range(n_l)],
+        "t": [data.draw(st.integers(0, 1000)) for _ in range(n_l)],
+    })
+    rt = data.draw(st.lists(st.tuples(keys, st.integers(0, 1000)),
+                            min_size=n_r, max_size=n_r, unique=True))
+    rf = pd.DataFrame({"rid": np.arange(len(rt), dtype=np.int64) + 100,
+                       "k": np.array([k for k, _ in rt], dtype=np.int64),
+                       "t": np.array([t for _, t in rt], dtype=np.int64),
+                       "v": np.arange(len(rt), dtype=np.float64)})
+    got = asof_join(rd.from_pandas(lf), rd.from_pandas(rf),
+                    key="k", ts="t", how="left").to_pandas().sort_values("lid")
+    ref = pd.merge_asof(lf.sort_values("t", kind="mergesort"),
+                        rf.sort_values("t", kind="mergesort"),
+                        on="t", by="k", direction="backward",
+                        suffixes=("", "_r")).sort_values("lid")
+    got_r = got["rid"].astype("float64").fillna(-1).tolist()
+    ref_r = ref["rid"].astype("float64").fillna(-1).tolist()
+    assert got_r == ref_r
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False),
+                min_size=1, max_size=400),
+       st.integers(2, 6))
+def test_quantiles_match_numpy_selection(ray_session, vals, nparts):
+    from fractions import Fraction
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import (
+        _disc_index,
+        grouped_exact_quantiles,
+    )
+
+    vals = [round(v, 1) for v in vals]  # quantized — the operator's domain
+    df = pd.DataFrame({"k": ["g"] * len(vals), "v": vals})
+    qs = [0.25, 0.5, 0.9]
+    got = grouped_exact_quantiles(rd.from_pandas(df).repartition(nparts),
+                                  key="k", col="v", qs=qs).to_pandas()
+    s = np.sort(np.asarray(vals))
+    for q in qs:
+        want = s[_disc_index(Fraction(str(q)), len(vals))]
+        assert float(got.loc[got["q"] == q, "value"].iloc[0]) == float(want)

@@ -535,6 +535,60 @@ def build_index(
     return manifest
 
 
+def build_multi_field(
+    input_path: str,
+    base_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    modes: tuple = ("simple", "shingle"),
+    transcripts_ds=None,
+    **kw,
+) -> dict:
+    """Build one index per analyzer field under ``base_dir/field=<mode>/``
+    with ONE raw-corpus ingest — the ES multi-subfield layout (the
+    reference's BM25 mapping carries the main field plus
+    ``shingle_analyzer``/``char_ngram_analyzer`` subfields in one index:
+    templates/elasticsearch/elasticsearch_component_template.json:20-56).
+
+    At 100 TB the raw corpus must not be re-read/re-sorted per field:
+    the FIRST field's build persists the sorted+id'd parquet checkpoint
+    (plus the 2% pre-pass sample); every subsequent field streams from
+    that checkpoint — doc ids are identical across fields by
+    construction (they live in the checkpoint), so per-field ranked
+    lists fuse directly (functions/fusion.py RRF / weighted).
+
+    Returns {mode: IndexManifest}. When the input can't produce a
+    reusable checkpoint (ids already present, or the sorted-files fast
+    path), each field build re-streams the same cheap pruned read — the
+    behavior of plain build_index, just namespaced per field."""
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    manifests: dict = {}
+    first_dir = os.path.join(base_dir, f"field={modes[0]}")
+    cfg0 = replace(cfg, analyzer=replace(cfg.analyzer, mode=modes[0]))
+    manifests[modes[0]] = build_index(
+        input_path, first_dir, cfg0, transcripts_ds=transcripts_ds, **kw
+    )
+    docmap = os.path.join(first_dir, "docmap.parquet")
+    ckpt_files = (
+        sorted(os.path.join(docmap, f) for f in os.listdir(docmap) if f.endswith(".parquet"))
+        if corpus_checkpoint_complete(docmap)
+        else None
+    )
+    for mode in modes[1:]:
+        cfg_m = replace(cfg, analyzer=replace(cfg.analyzer, mode=mode))
+        field_dir = os.path.join(base_dir, f"field={mode}")
+        if ckpt_files:
+            ds = rd.read_parquet(ckpt_files, columns=["doc_id", "conv_id", "turn_idx", "text"])
+            manifests[mode] = build_index(input_path, field_dir, cfg_m, transcripts_ds=ds, **kw)
+        else:
+            manifests[mode] = build_index(
+                input_path, field_dir, cfg_m, transcripts_ds=transcripts_ds, **kw
+            )
+    return manifests
+
+
 def index_stats(index_dir: str) -> dict:
     m = IndexManifest.load(index_dir)
     d = asdict(m)

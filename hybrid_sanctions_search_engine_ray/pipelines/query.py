@@ -73,6 +73,13 @@ class IndexReader:
             ),
         )
         self.analyzer = get_analyzer(self.cfg.analyzer)
+        # tombstoned docs are excluded from every result immediately;
+        # corpus stats (N, avgdl, df) still count them until
+        # compact_index runs — Lucene's deleted-until-merge semantics
+        # (pipelines/maintenance.py)
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import load_tombstones
+
+        self.tombstones = load_tombstones(index_dir)
         self._postings: dict[str, TermPosting | None] = {}
         self._raw: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray] | None] = {}
 
@@ -129,9 +136,21 @@ class IndexReader:
                 dls = np.concatenate([x for _, _, x in parts_decoded])
                 order = np.argsort(doc_ids, kind="stable")
                 doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+                df = int(doc_ids.size)  # exact; counts tombstoned docs until compaction
+                if self.tombstones.size:
+                    pos = np.searchsorted(self.tombstones, doc_ids)
+                    hit = (pos < self.tombstones.size) & (
+                        self.tombstones[np.minimum(pos, self.tombstones.size - 1)] == doc_ids
+                    )
+                    if hit.any():
+                        keep = ~hit
+                        doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+                if doc_ids.size == 0:  # every posting tombstoned
+                    self._postings[t] = None
+                    self._raw[t] = None
+                    continue
                 self._raw[t] = (doc_ids, tfs, dls)
                 factors = tf_factor(tfs, dls, m.k1, m.b, m.avgdl)
-                df = int(doc_ids.size)  # exact: every posting of the term is here
                 self._postings[t] = TermPosting(
                     t, float(idf(m.n_docs, df)), doc_ids, factors, m.block_size
                 )
@@ -165,11 +184,20 @@ class IndexReader:
         doc_ids = np.concatenate([s[2] for s in segs])
         per_doc_all: list[np.ndarray] = [p for s in segs for p in s[4]]
         order = np.argsort(doc_ids, kind="stable")
+        if self.tombstones.size:  # same exclusion as load_postings
+            srt = doc_ids[order]
+            pos = np.searchsorted(self.tombstones, srt)
+            hit = (pos < self.tombstones.size) & (
+                self.tombstones[np.minimum(pos, self.tombstones.size - 1)] == srt
+            )
+            order = order[~hit]
         doc_ids = doc_ids[order]
+        if doc_ids.size == 0:
+            return None
         counts = np.concatenate([s[3] for s in segs])[order]
         flat = (
             np.concatenate([per_doc_all[i] for i in order])
-            if per_doc_all
+            if len(order)
             else np.empty(0, dtype=np.uint64)
         )
         offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)

@@ -1,0 +1,132 @@
+"""Tombstone deletes + physical compaction (pipelines/maintenance.py):
+Lucene-style deleted-until-merge semantics, exact stats after compact."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+    compact_index,
+    delete_docs,
+    load_tombstones,
+)
+from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader, phrase_search
+
+
+def _build(tmp_path, name, texts, **kw):
+    import ray.data as rd
+
+    rows = [
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+        for i, t in enumerate(texts)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path / name)
+    m = build_index("mem", idx, EngineConfig(num_partitions=4), transcripts_ds=ds, **kw)
+    return idx, m
+
+
+TEXTS = [
+    "wire transfer fee schedule",
+    "wire transfer came by post",
+    "unrelated filler content here",
+    "wire services transfer order",
+    "completely different text body",
+]
+
+
+def test_delete_hides_docs_but_keeps_stats(ray_session, tmp_path):
+    idx, m0 = _build(tmp_path, "del1", TEXTS)
+    r0 = IndexReader(idx)
+    d0, s0 = r0.search_one("wire transfer", 5)
+    assert 0 in d0.tolist() and 1 in d0.tolist()
+    n = delete_docs(idx, [1])
+    assert n == 1 and load_tombstones(idx).tolist() == [1]
+    r1 = IndexReader(idx)
+    d1, s1 = r1.search_one("wire transfer", 5)
+    assert 1 not in d1.tolist()
+    # Lucene parity: stats still count the deleted doc until compaction,
+    # so surviving docs keep their EXACT pre-delete scores
+    for doc, sc in zip(d1.tolist(), s1.tolist()):
+        assert sc == pytest.approx(float(s0[d0.tolist().index(doc)]))
+    assert IndexReader(idx).manifest.n_docs == m0.n_docs
+
+
+def test_compact_purges_and_corrects_stats(ray_session, tmp_path):
+    idx, m0 = _build(tmp_path, "del2", TEXTS)
+    delete_docs(idx, [1, 4])
+    m1 = compact_index(idx)
+    assert m1.n_docs == m0.n_docs - 2
+    assert m1.total_tokens < m0.total_tokens
+    assert not os.path.exists(os.path.join(idx, "tombstones.json"))
+    r = IndexReader(idx)
+    assert r.tombstones.size == 0
+    docs, _ = r.search_one("wire transfer", 5)
+    assert 1 not in docs.tolist() and 4 not in docs.tolist()
+    # compacted index is identical to building without the deleted docs
+    idx_ref, _ = _build(tmp_path, "del2ref", [TEXTS[0], TEXTS[2], TEXTS[3]])
+    # doc ids differ (dense rank), so compare by rank of surviving contents:
+    # doc 0 ("wire transfer fee") must outrank doc 3 ("wire services...") in both
+    d_cmp, s_cmp = r.search_one("wire transfer", 5)
+    assert d_cmp.tolist()[0] == 0
+    # exact stat parity with the reference build
+    m_ref = IndexReader(idx_ref).manifest
+    assert m1.n_docs == m_ref.n_docs
+    assert m1.total_tokens == m_ref.total_tokens
+    assert m1.avgdl == pytest.approx(m_ref.avgdl)
+
+
+def test_compact_scores_match_fresh_build(ray_session, tmp_path):
+    """After compaction, BM25 scores equal a from-scratch build over the
+    surviving corpus (same doc-id ordering preserved by deleting the
+    LAST docs)."""
+    idx, _ = _build(tmp_path, "del3", TEXTS)
+    delete_docs(idx, [3, 4])
+    compact_index(idx)
+    idx_ref, _ = _build(tmp_path, "del3ref", TEXTS[:3])
+    ra, rb = IndexReader(idx), IndexReader(idx_ref)
+    for q in ["wire transfer", "unrelated filler", "content"]:
+        da, sa = ra.search_one(q, 5)
+        db, sb = rb.search_one(q, 5)
+        assert da.tolist() == db.tolist()
+        assert np.allclose(sa, sb)
+
+
+def test_delete_positional_phrase(ray_session, tmp_path):
+    idx, _ = _build(tmp_path, "del4", TEXTS, store_positions=True)
+    r0 = IndexReader(idx)
+    hits0 = phrase_search(idx, "wire transfer", top_k=5, reader=r0)
+    assert {0, 1} <= set(hits0["doc_id"].tolist())
+    delete_docs(idx, [0])
+    r1 = IndexReader(idx)
+    hits1 = phrase_search(idx, "wire transfer", top_k=5, reader=r1)
+    assert 0 not in hits1["doc_id"].tolist()
+    assert 1 in hits1["doc_id"].tolist()
+    # compaction keeps positional phrase search working
+    compact_index(idx)
+    hits2 = phrase_search(idx, "wire transfer", top_k=5, reader=IndexReader(idx))
+    assert 0 not in hits2["doc_id"].tolist() and 1 in hits2["doc_id"].tolist()
+
+
+def test_delete_all_postings_of_a_term(ray_session, tmp_path):
+    idx, _ = _build(tmp_path, "del5", TEXTS)
+    delete_docs(idx, [2])  # the only doc with "filler"
+    r = IndexReader(idx)
+    docs, _ = r.search_one("filler", 5)
+    assert docs.size == 0
+    compact_index(idx)
+    docs, _ = IndexReader(idx).search_one("filler", 5)
+    assert docs.size == 0
+
+
+def test_delete_idempotent_union(ray_session, tmp_path):
+    idx, _ = _build(tmp_path, "del6", TEXTS)
+    assert delete_docs(idx, [1, 2]) == 2
+    assert delete_docs(idx, [2, 3]) == 3
+    assert load_tombstones(idx).tolist() == [1, 2, 3]

@@ -3,6 +3,9 @@
     python -m hybrid_sanctions_search_engine_ray build  --input DIR --index DIR [--resume] [--assume-sorted]
     python -m hybrid_sanctions_search_engine_ray query  --index DIR --query "text" [--top-k K] [--with-docmap]
     python -m hybrid_sanctions_search_engine_ray query-file --index DIR --queries q.parquet --out out.parquet
+    python -m hybrid_sanctions_search_engine_ray build-multi --input DIR --base DIR [--modes simple,shingle,char3]
+    python -m hybrid_sanctions_search_engine_ray delete --index DIR --doc-ids 1,2,3
+    python -m hybrid_sanctions_search_engine_ray compact --index DIR
     python -m hybrid_sanctions_search_engine_ray stats  --index DIR
     python -m hybrid_sanctions_search_engine_ray generate --out DIR --n-convs N [--seed S]
 
@@ -42,7 +45,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--resume", action="store_true")
     b.add_argument("--assume-sorted", action="store_true")
     b.add_argument("--num-partitions", type=int, default=64)
-    b.add_argument("--analyzer", choices=["simple", "full", "char3"], default="simple")
+    b.add_argument("--analyzer", choices=["simple", "full", "char3", "shingle"], default="simple")
     b.add_argument("--stopwords", action="store_true")
     b.add_argument("--stem", choices=["", "ru"], default="",
                    help="per-token suffix stemmer (Snowball russian)")
@@ -63,6 +66,20 @@ def main(argv: list[str] | None = None) -> int:
     qf.add_argument("--index", required=True)
     qf.add_argument("--queries", required=True, help="parquet with query_id, query_text[, top_k]")
     qf.add_argument("--out", required=True)
+
+    bm = sub.add_parser("build-multi", help="one corpus ingest → one index per analyzer field")
+    bm.add_argument("--input", required=True)
+    bm.add_argument("--base", required=True, help="base dir; fields land in base/field=<mode>/")
+    bm.add_argument("--modes", default="simple,shingle,char3",
+                    help="comma-separated analyzer modes; first build's checkpoint feeds the rest")
+    bm.add_argument("--num-partitions", type=int, default=64)
+
+    d = sub.add_parser("delete", help="tombstone doc ids (hidden at query, purged at compact)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
+
+    c = sub.add_parser("compact", help="physically purge tombstoned docs; exact stats correction")
+    c.add_argument("--index", required=True)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
@@ -116,6 +133,25 @@ def main(argv: list[str] | None = None) -> int:
         queries = rd.read_parquet(args.queries)
         search(queries, args.index, EngineConfig()).write_parquet(args.out)
         print(json.dumps({"written": args.out}))
+    elif args.cmd == "build-multi":
+        from hybrid_sanctions_search_engine_ray.config import EngineConfig
+        from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_multi_field
+
+        modes = tuple(m.strip() for m in args.modes.split(",") if m.strip())
+        ms = build_multi_field(args.input, args.base,
+                               EngineConfig(num_partitions=args.num_partitions), modes=modes)
+        print(json.dumps({m: {"status": man.status, "n_docs": man.n_docs} for m, man in ms.items()}))
+    elif args.cmd == "delete":
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import delete_docs
+
+        ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+        total = delete_docs(args.index, ids)
+        print(json.dumps({"tombstones_pending": total}))
+    elif args.cmd == "compact":
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import compact_index
+
+        m = compact_index(args.index)
+        print(json.dumps({"status": m.status, "n_docs": m.n_docs, "avgdl": round(m.avgdl, 4)}))
     elif args.cmd == "stats":
         from hybrid_sanctions_search_engine_ray.pipelines.index_build import index_stats
 

@@ -1,0 +1,59 @@
+"""CLI surface (cli.main, in-process): build → query → delete →
+compact → stats round-trip, and the multi-field builder."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from hybrid_sanctions_search_engine_ray.cli import main
+
+
+def _write_corpus(tmp_path, n=40):
+    rows = [
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user",
+         "text": f"wire transfer fee number {i} spark join" if i % 2 == 0
+                 else f"customer table scan order {i}",
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+        for i in range(n)
+    ]
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+                   str(d / "part-0.parquet"))
+    return str(d)
+
+
+def test_cli_build_query_delete_compact_stats(ray_session, tmp_path, capsys):
+    corpus = _write_corpus(tmp_path)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--input", corpus, "--index", idx, "--num-partitions", "4"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["status"] == "complete" and built["n_docs"] == 40
+
+    assert main(["query", "--index", idx, "--query", "wire transfer", "--top-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_id" in out and "score" in out
+
+    assert main(["delete", "--index", idx, "--doc-ids", "0,2"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["tombstones_pending"] == 2
+
+    assert main(["compact", "--index", idx]) == 0
+    compacted = json.loads(capsys.readouterr().out.strip())
+    assert compacted["n_docs"] == 38
+
+    assert main(["stats", "--index", idx]) == 0
+    st = json.loads(capsys.readouterr().out.strip())
+    assert st["n_docs"] == 38 and st["status"] == "complete"
+
+
+def test_cli_build_multi(ray_session, tmp_path, capsys):
+    corpus = _write_corpus(tmp_path)
+    base = str(tmp_path / "mfidx")
+    assert main(["build-multi", "--input", corpus, "--base", base,
+                 "--modes", "simple,shingle", "--num-partitions", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["simple"]["n_docs"] == 40 and out["shingle"]["n_docs"] == 40
+    assert os.path.isdir(os.path.join(base, "field=shingle"))

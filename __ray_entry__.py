@@ -433,6 +433,40 @@ def q_text_quality(sf_dir: str):
     return ds.map_batches(lambda b: quality_stats(b, cfg.analyzer), batch_format="pyarrow", batch_size=8192)
 
 
+QUALITY_FILTER_Q = 0.25  # drop the bottom quartile by lexical diversity
+
+
+def q_quality_filter(sf_dir: str):
+    """Composition pipeline (the training-data curation move): quality
+    scoring → EXACT corpus quantile cutoff → streaming filter. The
+    cutoff is one tiny driver-side row (distinct-value histogram
+    quantile, stages/quantiles.py); the corpus itself streams through
+    one scoring pass per consumer and never shuffles."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import grouped_exact_quantiles
+    from hybrid_sanctions_search_engine_ray.stages.textops import quality_stats
+
+    cfg = _engine_cfg()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    q = ds.map_batches(lambda b: quality_stats(b, cfg.analyzer), batch_format="pyarrow",
+                       batch_size=8192).select_columns(["doc_id", "uniq_ratio"])
+    scored = q.map_batches(
+        lambda b: b.append_column("g", pa.array(["all"] * len(b), pa.string())),
+        batch_format="pyarrow",
+    )
+    cut_row = grouped_exact_quantiles(scored, key="g", col="uniq_ratio",
+                                      qs=[QUALITY_FILTER_Q]).take(1)
+    cutoff = float(cut_row[0]["value"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["uniq_ratio"], cutoff))
+
+    return q.map_batches(keep, batch_format="pyarrow")
+
+
 def q_validate(sf_dir: str):
     """Input validation stage (reference M1: input_validation.py 10k cap,
     empty rejection — annotate, never throw)."""
@@ -1392,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "stratified_sample": q_stratified_sample,
         "smart_prefilter": q_smart_prefilter,
+        "quality_filter": q_quality_filter,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1538,6 +1573,19 @@ SELECT doc_id,
 FROM marks
 """,
         "smart_prefilter": _smart_prefilter_sql(),
+        "quality_filter": f"""
+WITH {TRANSCRIPTS_CTE},
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS n_uniq
+  FROM tok GROUP BY doc_id
+),
+q AS (
+  SELECT d.doc_id, round(coalesce(p.n_uniq / p.n_tokens, 0), 4) AS uniq_ratio
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+),
+cut AS (SELECT quantile_disc(uniq_ratio, {QUALITY_FILTER_Q}) AS c FROM q)
+SELECT q.doc_id, q.uniq_ratio FROM q, cut WHERE q.uniq_ratio >= cut.c
+""",
         "validate": """
 SELECT doc_id,
        NOT (text IS NULL OR length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0) AS valid,

@@ -82,13 +82,26 @@ class FederatedReader:
         if term in self._merged:
             return self._merged[term]
         # factors must be recomputed against the GLOBAL avgdl, so pull the
-        # raw (doc_ids, tf, dl) arrays from each sub-reader's decode cache
+        # raw (doc_ids, tf, dl) arrays from each sub-reader's decode cache.
+        # df_global sums the UNFILTERED per-shard df (Lucene's
+        # deleted-until-merge stats), while each shard's tombstoned docs
+        # are excluded from the merged candidates — so a single-shard
+        # federation scores identically to querying the shard directly.
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import tombstone_mask
+
         doc_ids, tfs, dls = [], [], []
+        df_global = 0
         for reader, off in zip(self.readers, self.offsets):
             raw = reader.load_raw(term)
             if raw is None:
                 continue
             d, t, l = raw
+            df_global += int(d.size)
+            if reader.tombstones.size:
+                keep = ~tombstone_mask(reader.tombstones, d)
+                d, t, l = d[keep], t[keep], l[keep]
+            if d.size == 0:
+                continue
             doc_ids.append(d.astype(np.uint64) + np.uint64(off))
             tfs.append(t)
             dls.append(l)
@@ -101,7 +114,7 @@ class FederatedReader:
         order = np.argsort(d, kind="stable")
         d, t, l = d[order], t[order], l[order]  # noqa: E741
         factors = tf_factor(t, l, self.k1, self.b, self.avgdl)
-        tp = TermPosting(term, float(idf(self.n_docs, int(d.size))), d, factors, self.block_size)
+        tp = TermPosting(term, float(idf(self.n_docs, df_global)), d, factors, self.block_size)
         self._merged[term] = tp
         return tp
 

@@ -6,24 +6,31 @@ merge — reference: src/ai_service/layers/search/elasticsearch_adapters.py
 index-swap flow, SURVEY.md §2.1 S8):
 
 * :func:`delete_docs` — record doc ids in ``tombstones.json`` (atomic
-  write). Queries exclude tombstoned docs immediately; corpus statistics
+  write under an ``fcntl`` file lock, so concurrent deleters compose).
+  Queries exclude tombstoned docs immediately; corpus statistics
   (N, avgdl, df/idf) intentionally still count them — exactly Lucene's
   deleted-docs-until-merge behavior, which keeps scoring stable between
   maintenance windows. The JSON set is fine for realistic delete volumes
   (tombstones ≪ corpus); a parquet set with the same semantics is the
   upgrade path past ~10⁷ pending deletes.
-* :func:`compact_index` — the "merge": one Ray task per partition
-  rewrites its segment file without the tombstoned postings (atomic
-  tmp+rename, meta.json last — the same crash-safety contract as the
-  build), then the manifest's corpus stats are corrected exactly and the
-  tombstone set is cleared. Each removed doc's length is recovered from
-  the posting rows themselves (every posting row carries ``dl``), so no
-  corpus re-read, no text needed. Partition tasks are independent and
-  idempotent — a crashed compaction re-runs safely.
+* :func:`compact_index` — the "merge". Crash-safe three-phase protocol:
+  (1) a read-only scan recovers each doomed doc's length from its
+  posting rows (every row carries ``dl`` — no corpus re-read, no text
+  needed) and records the EXACT planned stats correction in
+  ``compaction.json`` (atomic write, BEFORE anything is destroyed);
+  (2) one Ray task per partition rewrites its segment without the
+  tombstoned postings (atomic tmp+rename, meta.json refreshed last —
+  the same crash-safety contract as the build; partitions with no
+  affected postings are left untouched); (3) the manifest applies the
+  recorded correction and the tombstone + plan files are removed.
+  A crash at any point re-runs safely: the plan file pins the
+  correction computed while the evidence still existed, and the
+  partition rewrites are idempotent for a fixed tombstone set.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Iterable
 
@@ -38,6 +45,7 @@ from hybrid_sanctions_search_engine_ray.functions.codec import (
     decode_positions,
     encode_positions,
     encode_posting,
+    varint_decode,
 )
 from hybrid_sanctions_search_engine_ray.state.manifest import (
     IndexManifest,
@@ -46,12 +54,22 @@ from hybrid_sanctions_search_engine_ray.state.manifest import (
 )
 
 _TOMBSTONE_FILE = "tombstones.json"
+_PLAN_FILE = "compaction.json"
+
+
+def tombstone_mask(tomb: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
+    """Boolean mask of ``doc_ids`` present in the SORTED ``tomb`` array —
+    the one membership test shared by the reader (query/positions paths)
+    and the compactor, so they can never disagree."""
+    if tomb.size == 0 or doc_ids.size == 0:
+        return np.zeros(doc_ids.size, dtype=bool)
+    doc_ids = doc_ids.astype(np.int64, copy=False)  # posting decode yields uint64
+    pos = np.searchsorted(tomb, doc_ids)
+    return (pos < tomb.size) & (tomb[np.minimum(pos, tomb.size - 1)] == doc_ids)
 
 
 def load_tombstones(index_dir: str) -> np.ndarray:
     """Sorted int64 array of tombstoned doc ids (empty if none)."""
-    import json
-
     p = os.path.join(index_dir, _TOMBSTONE_FILE)
     if not os.path.exists(p):
         return np.empty(0, dtype=np.int64)
@@ -61,45 +79,82 @@ def load_tombstones(index_dir: str) -> np.ndarray:
 
 
 def delete_docs(index_dir: str, doc_ids: Iterable[int]) -> int:
-    """Tombstone doc ids (idempotent union). Returns the total pending
-    tombstone count. Readers opened AFTER this call exclude the docs."""
-    current = set(load_tombstones(index_dir).tolist())
-    current.update(int(d) for d in doc_ids)
-    atomic_write_json(
-        os.path.join(index_dir, _TOMBSTONE_FILE), {"doc_ids": sorted(current)}
-    )
+    """Tombstone doc ids (idempotent union; fcntl-locked read-modify-write
+    so concurrent deleters don't lose each other's ids). Returns the
+    total pending tombstone count. Readers opened AFTER this call
+    exclude the docs."""
+    import fcntl
+
+    lock_path = os.path.join(index_dir, ".tombstones.lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        current = set(load_tombstones(index_dir).tolist())
+        current.update(int(d) for d in doc_ids)
+        atomic_write_json(
+            os.path.join(index_dir, _TOMBSTONE_FILE), {"doc_ids": sorted(current)}
+        )
     return len(current)
+
+
+@ray.remote
+def _scan_part_removed(index_dir: str, part: int, tomb: np.ndarray) -> dict:
+    """Read-only: {doc_id: dl} of tombstoned postings in this partition
+    (decodes only the docs/dls blobs, never rewrites anything)."""
+    f = os.path.join(segment_dir(index_dir, part), "postings.parquet")
+    if not os.path.exists(f):
+        return {}
+    tbl = pq.read_table(f, columns=["docs", "dls"])
+    removed: dict[int, int] = {}
+    for i in range(tbl.num_rows):
+        d = np.cumsum(varint_decode(tbl["docs"][i].as_py()), dtype=np.int64)
+        hit = tombstone_mask(tomb, d)
+        if hit.any():
+            l = varint_decode(tbl["dls"][i].as_py())  # noqa: E741
+            for doc, dl in zip(d[hit].tolist(), l[hit].tolist()):
+                removed[int(doc)] = int(dl)
+    return removed
 
 
 @ray.remote
 def _compact_part(index_dir: str, part: int, tomb: np.ndarray, positional: bool) -> dict:
     """Rewrite one partition's segment without tombstoned postings.
-    Returns {doc_id: dl} of postings actually removed here (the driver
-    dedups across partitions for the exact stats correction)."""
+    Partitions with no affected rows return untouched (no I/O beyond the
+    scan); idempotent for a fixed tombstone set."""
     sdir = segment_dir(index_dir, part)
     f = os.path.join(sdir, "postings.parquet")
     if not os.path.exists(f):
-        return {"removed": {}, "n_terms": 0, "n_rows": 0, "n_postings": 0}
+        return {"n_terms": 0, "n_rows": 0, "n_postings": 0, "rewritten": False}
     tbl = pq.read_table(f)
-    cols: dict[str, list] = {c: [] for c in tbl.column_names}
-    removed: dict[int, int] = {}
-    n_postings = 0
-    terms_kept: set[str] = set()
+    # cheap detection pass: which rows contain any tombstoned doc?
+    affected: list[int] = []
     for i in range(tbl.num_rows):
+        d = np.cumsum(varint_decode(tbl["docs"][i].as_py()), dtype=np.int64)
+        if tombstone_mask(tomb, d).any():
+            affected.append(i)
+    meta_path = os.path.join(sdir, "meta.json")
+    if not affected:
+        meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+        return {
+            "n_terms": meta.get("n_terms", 0), "n_rows": tbl.num_rows,
+            "n_postings": meta.get("n_postings", 0), "rewritten": False,
+        }
+    affected_set = set(affected)
+    pieces: list[pa.Table] = []
+    run_start = 0
+    rebuilt: dict[str, list] = {c: [] for c in tbl.column_names}
+
+    def _flush_clean(upto: int) -> None:
+        nonlocal run_start
+        if upto > run_start:
+            pieces.append(tbl.slice(run_start, upto - run_start))  # zero-copy
+        run_start = upto + 1
+
+    for i in affected:
+        _flush_clean(i)
         d, t, l = decode_posting(
             tbl["docs"][i].as_py(), tbl["tfs"][i].as_py(), tbl["dls"][i].as_py()
         )
-        pos = np.searchsorted(tomb, d)
-        hit = (pos < tomb.size) & (tomb[np.minimum(pos, tomb.size - 1)] == d) if tomb.size else np.zeros(d.size, bool)
-        if not hit.any():
-            for c in tbl.column_names:
-                cols[c].append(tbl[c][i].as_py())
-            n_postings += int(d.size)
-            terms_kept.add(tbl["term"][i].as_py())
-            continue
-        for doc, dl in zip(d[hit].tolist(), l[hit].tolist()):
-            removed[int(doc)] = int(dl)
-        keep = ~hit
+        keep = ~tombstone_mask(tomb, d)
         if not keep.any():
             continue  # whole sub-segment gone
         dk, tk, lk = d[keep], t[keep], l[keep]
@@ -110,9 +165,7 @@ def _compact_part(index_dir: str, part: int, tomb: np.ndarray, positional: bool)
             "n_docs": int(dk.size),
             "cf": int(tk.sum()),
             "max_tf": int(tk.max()),
-            "docs": db,
-            "tfs": tb,
-            "dls": lb,
+            "docs": db, "tfs": tb, "dls": lb,
         }
         if positional:
             flat, offs = decode_positions(tbl["poss"][i].as_py(), t)
@@ -120,56 +173,90 @@ def _compact_part(index_dir: str, part: int, tomb: np.ndarray, positional: bool)
             flat_k = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
             row["poss"] = encode_positions(flat_k, tk)
         for c in tbl.column_names:
-            cols[c].append(row[c])
-        n_postings += int(dk.size)
-        terms_kept.add(row["term"])
-    out = pa.table({c: pa.array(cols[c], tbl.schema.field(c).type) for c in tbl.column_names})
+            rebuilt[c].append(row[c])
+        if rebuilt["term"]:
+            pieces.append(pa.table({c: pa.array(rebuilt[c], tbl.schema.field(c).type)
+                                    for c in tbl.column_names}))
+            rebuilt = {c: [] for c in tbl.column_names}
+    _flush_clean(tbl.num_rows)
+    out = pa.concat_tables(pieces) if pieces else tbl.schema.empty_table()
+
     import tempfile
+    import zlib
 
     fd, tmp = tempfile.mkstemp(dir=sdir, suffix=".parquet.tmp")
     os.close(fd)
     pq.write_table(out, tmp, row_group_size=4096)
     os.replace(tmp, f)
-    meta_path = os.path.join(sdir, "meta.json")
+    n_postings = int(out["n_docs"].to_numpy(zero_copy_only=False).sum()) if out.num_rows else 0
+    n_terms = len(set(out["term"].to_pylist()))
     if os.path.exists(meta_path):
-        import json
-
         with open(meta_path) as mf:
             meta = json.load(mf)
-        meta.update(
-            n_terms=len(terms_kept), n_rows=out.num_rows, n_postings=n_postings,
-            bytes=os.path.getsize(f),
-        )
+        with open(f, "rb") as fh:
+            checksum = zlib.crc32(fh.read(1 << 20))
+        meta.update(n_terms=n_terms, n_rows=out.num_rows, n_postings=n_postings,
+                    bytes=os.path.getsize(f), checksum_head_crc32=checksum)
         atomic_write_json(meta_path, meta)
-    return {"removed": removed, "n_terms": len(terms_kept),
-            "n_rows": out.num_rows, "n_postings": n_postings}
+    return {"n_terms": n_terms, "n_rows": out.num_rows,
+            "n_postings": n_postings, "rewritten": True}
+
+
+def _run_plan(index_dir: str, m: IndexManifest, plan: dict) -> IndexManifest:
+    tomb = np.array(sorted(plan["tombstones"]), dtype=np.int64)
+    positional = bool(getattr(m, "store_positions", False))
+    tomb_ref = ray.put(tomb)
+    parts = sorted(int(k) for k in m.parts)
+    results = ray.get([_compact_part.remote(index_dir, p, tomb_ref, positional) for p in parts])
+    for p, r in zip(parts, results):
+        m.parts[str(p)].update(
+            n_terms=r["n_terms"], n_rows=r["n_rows"], n_postings=r["n_postings"]
+        )
+    m.n_docs -= int(plan["n_docs_removed"])
+    m.total_tokens -= int(plan["tokens_removed"])
+    m.avgdl = (m.total_tokens / m.n_docs) if m.n_docs else 0.0
+    m.n_terms = sum(p.get("n_terms", 0) for p in m.parts.values())
+    m.save(index_dir)
+    # optional vocabulary artifact: regenerate so df/cf reflect the purge
+    if os.path.exists(os.path.join(index_dir, "dictionary.parquet")):
+        from hybrid_sanctions_search_engine_ray.pipelines.index_build import write_dictionary
+
+        write_dictionary(index_dir)
+    os.remove(os.path.join(index_dir, _PLAN_FILE))
+    # drop exactly the tombstones this plan covered; keep ones added since
+    remaining = sorted(set(load_tombstones(index_dir).tolist()) - set(plan["tombstones"]))
+    tpath = os.path.join(index_dir, _TOMBSTONE_FILE)
+    if remaining:
+        atomic_write_json(tpath, {"doc_ids": remaining})
+    elif os.path.exists(tpath):
+        os.remove(tpath)
+    return m
 
 
 def compact_index(index_dir: str) -> IndexManifest:
     """Physically purge tombstoned docs from every segment and correct
-    the manifest's corpus statistics exactly (N, total_tokens, avgdl —
-    each removed doc's dl is recovered from its posting rows). Clears
-    the tombstone set. No-op when nothing is tombstoned."""
+    the manifest's corpus statistics exactly. Crash-safe (see module
+    docstring); resumes a half-finished compaction before handling any
+    tombstones added since. No-op when nothing is pending."""
     m = IndexManifest.load(index_dir)
+    plan_path = os.path.join(index_dir, _PLAN_FILE)
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            m = _run_plan(index_dir, m, json.load(f))
     tomb = load_tombstones(index_dir)
     if tomb.size == 0:
         return m
-    positional = bool(getattr(m, "store_positions", False))
+    # phase 1: read-only evidence scan (dl of every doomed doc), then pin
+    # the exact correction BEFORE any segment is rewritten
     tomb_ref = ray.put(tomb)
-    results = ray.get([
-        _compact_part.remote(index_dir, int(p), tomb_ref, positional)
-        for p in sorted(int(k) for k in m.parts)
-    ])
+    parts = sorted(int(k) for k in m.parts)
     removed: dict[int, int] = {}
-    for p, r in zip(sorted(int(k) for k in m.parts), results):
-        removed.update(r["removed"])  # same doc across parts carries the same dl
-        m.parts[str(p)].update(
-            n_terms=r["n_terms"], n_rows=r["n_rows"], n_postings=r["n_postings"]
-        )
-    m.n_docs -= len(removed)
-    m.total_tokens -= sum(removed.values())
-    m.avgdl = (m.total_tokens / m.n_docs) if m.n_docs else 0.0
-    m.n_terms = sum(p.get("n_terms", 0) for p in m.parts.values())
-    m.save(index_dir)
-    os.remove(os.path.join(index_dir, _TOMBSTONE_FILE))
-    return m
+    for r in ray.get([_scan_part_removed.remote(index_dir, p, tomb_ref) for p in parts]):
+        removed.update(r)  # same doc across parts carries the same dl
+    plan = {
+        "tombstones": [int(x) for x in tomb.tolist()],
+        "n_docs_removed": len(removed),
+        "tokens_removed": int(sum(removed.values())),
+    }
+    atomic_write_json(plan_path, plan)
+    return _run_plan(index_dir, m, plan)

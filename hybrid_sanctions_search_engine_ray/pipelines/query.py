@@ -137,19 +137,22 @@ class IndexReader:
                 order = np.argsort(doc_ids, kind="stable")
                 doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
                 df = int(doc_ids.size)  # exact; counts tombstoned docs until compaction
+                # _raw stays UNFILTERED — it is the federation's df/score
+                # evidence (pipelines/federated.py applies each shard's
+                # tombstones itself, keeping federated == direct)
+                self._raw[t] = (doc_ids, tfs, dls)
                 if self.tombstones.size:
-                    pos = np.searchsorted(self.tombstones, doc_ids)
-                    hit = (pos < self.tombstones.size) & (
-                        self.tombstones[np.minimum(pos, self.tombstones.size - 1)] == doc_ids
+                    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+                        tombstone_mask,
                     )
+
+                    hit = tombstone_mask(self.tombstones, doc_ids)
                     if hit.any():
                         keep = ~hit
                         doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
                 if doc_ids.size == 0:  # every posting tombstoned
                     self._postings[t] = None
-                    self._raw[t] = None
                     continue
-                self._raw[t] = (doc_ids, tfs, dls)
                 factors = tf_factor(tfs, dls, m.k1, m.b, m.avgdl)
                 self._postings[t] = TermPosting(
                     t, float(idf(m.n_docs, df)), doc_ids, factors, m.block_size
@@ -185,12 +188,9 @@ class IndexReader:
         per_doc_all: list[np.ndarray] = [p for s in segs for p in s[4]]
         order = np.argsort(doc_ids, kind="stable")
         if self.tombstones.size:  # same exclusion as load_postings
-            srt = doc_ids[order]
-            pos = np.searchsorted(self.tombstones, srt)
-            hit = (pos < self.tombstones.size) & (
-                self.tombstones[np.minimum(pos, self.tombstones.size - 1)] == srt
-            )
-            order = order[~hit]
+            from hybrid_sanctions_search_engine_ray.pipelines.maintenance import tombstone_mask
+
+            order = order[~tombstone_mask(self.tombstones, doc_ids[order])]
         doc_ids = doc_ids[order]
         if doc_ids.size == 0:
             return None

@@ -172,6 +172,15 @@ class _RangeJoiner:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         v = batch[self.on].to_numpy(dtype=np.float64)
+        if len(self.r) == 0:  # no ranges: inner drops everything, left all-null
+            if self.how != "left":
+                return batch.iloc[0:0].assign(**{c: [] for c in self.r.columns
+                                                 if c not in (self.lo, self.hi)})
+            out = batch.copy()
+            for c in self.r.columns:
+                if c not in (self.lo, self.hi):
+                    out[c] = None
+            return out
         pos = np.searchsorted(self.los, v, side="right") - 1
         ok = (pos >= 0) & (v < self.his[np.maximum(pos, 0)])
         out = batch.copy() if self.how == "left" else batch[ok].reset_index(drop=True).copy()

@@ -71,8 +71,12 @@ def clean(ds, max_len: int = MAX_LEN, text_col: str = "text"):
 # smart_filter_service.py:123-260 — name/company detectors, payment
 # context, date-only and empty exclusions, weighted confidence).
 SMART_NAME_RE = r"[A-ZА-ЯЁІЇЄ][a-zа-яёіїє]+ [A-ZА-ЯЁІЇЄ][a-zа-яёіїє]+"
-SMART_COMPANY_RE = r"\b(llc|ltd|inc|corp|gmbh|bank|ооо|тов)\b"
-SMART_CONTEXT_RE = r"\b(payment|transfer|invoice|order|customer|оплата|платеж)\b"
+# NOTE: RE2's \b is ASCII-only — it can never delimit Cyrillic words —
+# so word boundaries are explicit non-letter/digit classes (RE2 and
+# DuckDB agree on \p{L}\p{N}).
+_B = r"(^|[^\p{L}\p{N}])", r"([^\p{L}\p{N}]|$)"
+SMART_COMPANY_RE = _B[0] + r"(llc|ltd|inc|corp|gmbh|bank|ооо|тов)" + _B[1]
+SMART_CONTEXT_RE = _B[0] + r"(payment|transfer|invoice|order|customer|оплата|платеж)" + _B[1]
 SMART_DATE_ONLY_RE = r"^[\d\s.,/:\-]+$"
 # weighted confidence (reference confidence_scorer shape: names dominate)
 _W_NAME, _W_COMPANY, _W_CONTEXT = 0.4, 0.3, 0.3

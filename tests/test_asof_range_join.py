@@ -82,3 +82,13 @@ def test_range_join_rejects_overlap(ray_session):
     big = rd.from_pandas(pd.DataFrame({"x": [1.0]}))
     with pytest.raises(Exception):  # surfaced via Ray as a wrapped actor error
         range_join(big, ranges, on="x").to_pandas()
+
+
+def test_range_join_empty_ranges(ray_session):
+    empty = pd.DataFrame({"tier": pd.Series([], dtype=str),
+                          "lo": pd.Series([], dtype=float),
+                          "hi": pd.Series([], dtype=float)})
+    big = rd.from_pandas(pd.DataFrame({"x": [1.0, 2.0]}))
+    assert len(range_join(big, empty, on="x", how="inner").to_pandas()) == 0
+    left = range_join(big, empty, on="x", how="left").to_pandas()
+    assert len(left) == 2 and left["tier"].isna().all()

@@ -87,3 +87,25 @@ def test_smart_prefilter_date_only_excluded_even_with_signals():
     # but the exclusion must dominate regardless
     out = smart_prefilter(pa.table({"text": pa.array(["  2024/01/01 ", "3-4, 5:6"])})).to_pandas()
     assert not out["should_process"].any()
+
+
+def test_smart_prefilter_cyrillic_markers():
+    """RE2's \\b is ASCII-only — the explicit boundary classes must make
+    Cyrillic company/context markers actually fire."""
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.validate import smart_prefilter
+
+    out = smart_prefilter(pa.table({"text": pa.array([
+        "платеж от ооо ромашка",   # context + company, lowercase cyrillic
+        "оплата услуг",            # context only
+        "просто текст без маркеров",
+        "тов альфа",               # company only
+    ])})).to_pandas()
+    assert out["company_signal"].tolist() == [True, False, False, True]
+    assert out["context_signal"].tolist() == [True, True, False, False]
+    assert out["should_process"].tolist() == [True, True, False, True]
+    # markers embedded INSIDE a longer word must not fire
+    out2 = smart_prefilter(pa.table({"text": pa.array(["оплатах", "balance"])})).to_pandas()
+    assert not out2["context_signal"].any()
+    assert not out2["company_signal"].any()

@@ -130,3 +130,55 @@ def test_delete_idempotent_union(ray_session, tmp_path):
     assert delete_docs(idx, [1, 2]) == 2
     assert delete_docs(idx, [2, 3]) == 3
     assert load_tombstones(idx).tolist() == [1, 2, 3]
+
+
+def test_federated_single_shard_matches_direct_with_tombstones(ray_session, tmp_path):
+    """Federated df uses pre-delete counts (Lucene parity) and excludes
+    tombstoned docs — a 1-shard federation must equal the direct reader."""
+    from hybrid_sanctions_search_engine_ray.pipelines.federated import FederatedReader
+
+    idx, _ = _build(tmp_path, "fed1", TEXTS)
+    delete_docs(idx, [1])
+    direct = IndexReader(idx)
+    fed = FederatedReader([idx])
+    for q in ["wire transfer", "content", "unrelated filler"]:
+        dd, sd = direct.search_one(q, 5)
+        df_, sf_ = fed.search_one(q, 5)
+        assert dd.tolist() == [int(x) for x in df_.tolist()]
+        assert np.allclose(sd, sf_)
+    assert 1 not in [int(x) for x in fed.search_one("wire transfer", 5)[0].tolist()]
+
+
+def test_compact_crash_resume_exact_stats(ray_session, tmp_path):
+    """A compaction that crashed after segments were rewritten but
+    before the manifest was corrected must resume to EXACT stats (the
+    plan file pins the correction computed while evidence existed)."""
+    import json
+
+    from hybrid_sanctions_search_engine_ray.pipelines import maintenance as mnt
+
+    idx, m0 = _build(tmp_path, "crash1", TEXTS)
+    delete_docs(idx, [1, 4])
+    # simulate: run phase 1 + segment rewrites, then "crash" before _run_plan's
+    # manifest save by doing the scan + plan + part-rewrites manually
+    import ray as _ray
+
+    m = mnt.IndexManifest.load(idx)
+    tomb = mnt.load_tombstones(idx)
+    parts = sorted(int(k) for k in m.parts)
+    removed = {}
+    for r in _ray.get([mnt._scan_part_removed.remote(idx, p, _ray.put(tomb)) for p in parts]):
+        removed.update(r)
+    plan = {"tombstones": [int(x) for x in tomb.tolist()],
+            "n_docs_removed": len(removed), "tokens_removed": int(sum(removed.values()))}
+    mnt.atomic_write_json(os.path.join(idx, "compaction.json"), plan)
+    _ray.get([mnt._compact_part.remote(idx, p, _ray.put(tomb), False) for p in parts])
+    # CRASH HERE: segments rewritten, manifest NOT corrected, files still present
+    assert os.path.exists(os.path.join(idx, "compaction.json"))
+    m1 = compact_index(idx)  # resume
+    idx_ref, _ = _build(tmp_path, "crash1ref", [TEXTS[0], TEXTS[2], TEXTS[3]])
+    m_ref = IndexReader(idx_ref).manifest
+    assert m1.n_docs == m_ref.n_docs
+    assert m1.total_tokens == m_ref.total_tokens
+    assert not os.path.exists(os.path.join(idx, "compaction.json"))
+    assert not os.path.exists(os.path.join(idx, "tombstones.json"))

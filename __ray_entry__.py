@@ -433,6 +433,18 @@ def q_text_quality(sf_dir: str):
     return ds.map_batches(lambda b: quality_stats(b, cfg.analyzer), batch_format="pyarrow", batch_size=8192)
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish pretoken counting (the LLM token-budget metric): one
+    vectorized RE2 count sweep per batch."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import bpe_token_count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(bpe_token_count, batch_format="pyarrow", batch_size=8192)
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
 QUALITY_FILTER_Q = 0.25  # drop the bottom quartile by lexical diversity
 
 
@@ -1427,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "smart_prefilter": q_smart_prefilter,
         "quality_filter": q_quality_filter,
+        "bpe_tokens": q_bpe_tokens,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1481,6 +1494,19 @@ SELECT doc_id, name_signal, company_signal, context_signal,
        (NOT (date_only OR empty))
          AND (name_signal OR company_signal OR context_signal) AS should_process
 FROM sig
+"""
+
+
+def _bpe_tokens_sql() -> str:
+    """Oracle twin of stages/textops.bpe_token_count (shared RE2 pattern;
+    single quotes doubled for the SQL literal)."""
+    from hybrid_sanctions_search_engine_ray.stages.textops import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       coalesce(len(regexp_extract_all(text, '{pat}')), 0)::BIGINT AS n_bpe_tokens
+FROM documents
 """
 
 
@@ -1573,6 +1599,7 @@ SELECT doc_id,
 FROM marks
 """,
         "smart_prefilter": _smart_prefilter_sql(),
+        "bpe_tokens": _bpe_tokens_sql(),
         "quality_filter": f"""
 WITH {TRANSCRIPTS_CTE},
 per_doc AS (

@@ -119,3 +119,22 @@ def fingerprint(batch: pa.Table, cfg: AnalyzerConfig, window: int = 4) -> pa.Tab
     return pa.table(
         {"doc_id": batch["doc_id"], "fingerprint": pa.array(out.view(np.int64))}
     )
+
+
+# BPE-style pretokenizer (the GPT-2 pattern's RE2-expressible core:
+# contractions | letter runs | digit runs | punctuation runs — the
+# whitespace-merge refinement needs lookahead, which RE2 lacks, so space
+# runs are simply not counted as tokens). Shared verbatim with the
+# driver's DuckDB oracle (both engines run RE2).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds ``n_bpe_tokens``: the BPE-ish pretoken count per row — the
+    standard LLM-pipeline budget metric, one vectorized Arrow
+    ``count_substring_regex`` sweep per batch (null text counts 0)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = pc.fill_null(pc.count_substring_regex(pc.fill_null(text, ""), BPE_TOKEN_RE), 0)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))

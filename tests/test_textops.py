@@ -70,3 +70,20 @@ def test_fingerprint_deterministic_and_shift_invariant():
 def test_fingerprint_short_doc():
     t = fingerprint(_t(["hi", ""]), CFG)
     assert len(t) == 2
+
+
+def test_bpe_token_count_cases():
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import bpe_token_count
+
+    b = pa.table({"text": pa.array([
+        "Hello's world, 123 tokens!",  # Hello,'s,world,",",123,tokens,! = 7... counted below
+        "",            # 0
+        None,          # 0
+        "a",           # 1
+        "   \t \n  ",      # 0 (space runs are not tokens)
+        "кіт-пес 7x",  # кіт,-,пес,7,x = 5
+    ])})
+    out = bpe_token_count(b).to_pandas()
+    assert out["n_bpe_tokens"].tolist() == [7, 0, 0, 1, 0, 5]

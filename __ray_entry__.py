@@ -445,6 +445,18 @@ def q_bpe_tokens(sf_dir: str):
     return out.select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def q_quantile_sketch(sf_dir: str):
+    """Approximate quantiles of a CONTINUOUS column (lineitem price) via
+    the mergeable compactor sketch — rows-only check (approximation has
+    no hash-exact SQL twin); the rank-error bound is pytest-asserted."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.sketch_ops import approx_quantiles_sketch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"])
+    return approx_quantiles_sketch(ds, "l_extendedprice", qs=[0.25, 0.5, 0.9, 0.99])
+
+
 QUALITY_FILTER_Q = 0.25  # drop the bottom quartile by lexical diversity
 
 
@@ -1464,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "ann_ivf": q_ann_ivf,
         "topk_sketch": q_topk_sketch,
+        "quantile_sketch": q_quantile_sketch,
         "distinct_sketch": q_distinct_sketch,
     }
 

@@ -82,3 +82,23 @@ def distinct_terms_hll(ds, cfg: AnalyzerConfig, p: int = 12) -> float:
 
     merged = tree_merge_sketches(ds.map_batches(partial, batch_format="pyarrow", batch_size=8192))
     return merged.estimate() if merged is not None else 0.0
+
+
+def approx_quantiles_sketch(ds, col: str, qs: list[float], k: int = 256):
+    """Approximate quantiles of a CONTINUOUS column: one QuantileSketch
+    per batch → tree merge → driver reads qs off the single final
+    sketch. Nothing corpus-sized shuffles; the sketch rows are KBs."""
+    import pandas as pd
+
+    from hybrid_sanctions_search_engine_ray.functions.sketches import QuantileSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qsk = QuantileSketch(k)
+        qsk.add_many(batch[col].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([pickle.dumps(qsk)], pa.binary())})
+
+    merged = tree_merge_sketches(ds.map_batches(partial, batch_format="pyarrow", batch_size=16384))
+    if merged is None or merged.n == 0:
+        return pd.DataFrame({"q": [], "value": []})
+    return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                         "value": [merged.quantile(q) for q in qs]})

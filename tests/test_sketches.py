@@ -86,3 +86,47 @@ def test_spacesaving_merge_error_bound():
         assert est - err <= t, f"{item}: est-err {est-err} > true {t}"
         if err == 0:
             assert est == t
+
+
+# --- QuantileSketch ----------------------------------------------------------
+
+
+def test_quantile_sketch_rank_error_bound():
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_ray.functions.sketches import QuantileSketch
+
+    rng = np.random.default_rng(7)
+    data = rng.lognormal(3.0, 1.0, 100_000)
+    parts = np.array_split(data, 23)
+    m = QuantileSketch(256)
+    for p in parts:
+        m = m.merge(QuantileSketch(256).add_many(p))
+    assert m.n == data.size  # compaction + merge are weight-exact
+    s = np.sort(data)
+    for q in [0.01, 0.25, 0.5, 0.9, 0.99]:
+        est = m.quantile(q)
+        rank_err = abs(np.searchsorted(s, est, side="right") - q * data.size) / data.size
+        assert rank_err < 0.02, (q, rank_err)  # measured ~0.006 at k=256
+
+
+def test_quantile_sketch_deterministic_and_small_inputs():
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_ray.functions.sketches import QuantileSketch
+
+    data = np.arange(1000, dtype=np.float64)
+    a = QuantileSketch(64).add_many(data)
+    b = QuantileSketch(64).add_many(data)
+    for q in [0.1, 0.5, 0.9]:
+        assert a.quantile(q) == b.quantile(q)  # deterministic compaction
+    # small input (below k): exact quantile_disc values
+    small = QuantileSketch(256).add_many(np.array([1.0, 2.0, 3.0, 4.0]))
+    assert small.quantile(0.5) == 2.0
+    assert small.quantile(1.0) == 4.0
+    # empty
+    import math
+    assert math.isnan(QuantileSketch().quantile(0.5))
+    # NaNs ignored
+    sk = QuantileSketch().add_many(np.array([np.nan, 5.0, np.nan]))
+    assert sk.n == 1 and sk.quantile(0.5) == 5.0

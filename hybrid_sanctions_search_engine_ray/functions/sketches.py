@@ -168,10 +168,13 @@ class QuantileSketch:
     """Mergeable rank/quantile sketch for CONTINUOUS columns — the
     compactor-stack design (Karnin-Lang-Liberty 2016 / Manku et al.
     lineage, public algorithms), with DETERMINISTIC alternating
-    compaction offsets instead of coin flips so distributed runs
-    reproduce bit-identically (the property every oracle/resume gate
-    here relies on; the cost is a deterministic-bias bound rather than
-    KLL's randomized one).
+    compaction offsets instead of coin flips — no RNG anywhere, so a
+    FIXED ingestion + merge order reproduces bit-identically (the cost
+    is a deterministic-bias bound rather than KLL's randomized one).
+    Like any compactor sketch the result DOES depend on batch
+    composition and merge order, so values may shift within the rank
+    bound across cluster sizes — which is why the driver gate for the
+    sketch pipeline is rows-only, not hash-exact.
 
     Level ``i`` holds items of weight ``2^i``; a level past ``k`` items
     sorts, promotes every other item to level ``i+1`` (offset
@@ -222,19 +225,31 @@ class QuantileSketch:
         return self
 
     def merge(self, other: "QuantileSketch") -> "QuantileSketch":
-        self.n += other.n
+        """Returns a NEW merged sketch; neither operand is mutated
+        (matching SpaceSaving.merge / HyperLogLog.merge in this
+        module, so the shared tree-reduce path treats all three
+        alike)."""
+        out = QuantileSketch(self.k)
+        out.n = self.n + other.n
+        out.levels = [a.copy() for a in self.levels]
+        out._parity = list(self._parity)
         for i, arr in enumerate(other.levels):
             if arr.size == 0:
                 continue
-            self._ensure(i)
-            self.levels[i] = np.concatenate([self.levels[i], arr])
-            if self.levels[i].size > self.k:
-                self._compact(i)
-        return self
+            out._ensure(i)
+            out.levels[i] = np.concatenate([out.levels[i], arr])
+            if out.levels[i].size > out.k:
+                out._compact(i)
+        return out
 
     def quantile(self, q: float) -> float:
         """Approximate ``quantile_disc``-style value at rank
-        max(ceil(q·n)−1, 0)."""
+        max(ceil(q·n)−1, 0) — the rank computed with exact rational
+        arithmetic (``Fraction``), because float ``ceil(q*n)`` picks a
+        neighboring element whenever q·n is integral but float-rounds
+        up (the same gotcha stages/quantiles.py documents)."""
+        from fractions import Fraction
+
         vals = np.concatenate([a for a in self.levels if a.size]) if self.n else np.empty(0)
         if vals.size == 0:
             return float("nan")
@@ -245,6 +260,7 @@ class QuantileSketch:
         vals, w = vals[order], w[order]
         cum = np.cumsum(w)
         total = int(cum[-1])  # == self.n (compaction is weight-exact)
-        target = max(int(np.ceil(q * total)) - 1, 0)
+        fq = Fraction(str(q))
+        target = max(-((-fq.numerator * total) // fq.denominator) - 1, 0)
         j = int(np.searchsorted(cum, target + 1, side="left"))
         return float(vals[min(j, vals.size - 1)])

@@ -133,8 +133,5 @@ def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Adds ``n_bpe_tokens``: the BPE-ish pretoken count per row — the
     standard LLM-pipeline budget metric, one vectorized Arrow
     ``count_substring_regex`` sweep per batch (null text counts 0)."""
-    text = batch[text_col]
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    n = pc.fill_null(pc.count_substring_regex(pc.fill_null(text, ""), BPE_TOKEN_RE), 0)
+    n = pc.count_substring_regex(pc.fill_null(batch[text_col], ""), BPE_TOKEN_RE)
     return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))

@@ -130,3 +130,28 @@ def test_quantile_sketch_deterministic_and_small_inputs():
     # NaNs ignored
     sk = QuantileSketch().add_many(np.array([np.nan, 5.0, np.nan]))
     assert sk.n == 1 and sk.quantile(0.5) == 5.0
+
+
+def test_quantile_sketch_merge_returns_new():
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_ray.functions.sketches import QuantileSketch
+
+    a = QuantileSketch(64).add_many(np.arange(100.0))
+    b = QuantileSketch(64).add_many(np.arange(100.0, 200.0))
+    n_a = a.n
+    m = a.merge(b)
+    assert a.n == n_a and m.n == 200  # left operand untouched
+    # reusing `a` after the merge must not double-count
+    m2 = a.merge(b)
+    assert m2.n == 200
+
+
+def test_quantile_sketch_rational_rank_rule():
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_ray.functions.sketches import QuantileSketch
+
+    # 0.28 * 25 = 7.000000000000001 in float: ceil must still say rank 7
+    sk = QuantileSketch(256).add_many(np.arange(1.0, 26.0))
+    assert sk.quantile(0.28) == 7.0  # DuckDB quantile_disc(x, 0.28) over 1..25

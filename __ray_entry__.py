@@ -459,6 +459,65 @@ def q_quantile_sketch(sf_dir: str):
 
 QUALITY_FILTER_Q = 0.25  # drop the bottom quartile by lexical diversity
 
+CURATE_SAMPLE_PCT = 50
+CURATE_SALT = "-cur"
+
+
+def q_curate_corpus(sf_dir: str):
+    """THE training-data curation pipeline, end to end in one lazy
+    Dataset graph: score (quality + BPE budget + content hash) → exact
+    dedup (min-id keep inside the md5 shuffle — the keep-set never
+    touches the driver) → exact quality-quantile cutoff (one driver-side
+    row) → deterministic hash sample. Every stage is an operator proven
+    by its own oracle; this query proves the COMPOSITION exactly."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import add_md5
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import grouped_exact_quantiles
+    from hybrid_sanctions_search_engine_ray.stages.sampling import hash_sample
+    from hybrid_sanctions_search_engine_ray.stages.textops import bpe_token_count, quality_stats
+
+    cfg = _engine_cfg()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        q = quality_stats(b, cfg.analyzer)
+        withmd5 = bpe_token_count(add_md5(b))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_md5": withmd5["text_md5"],
+                "uniq_ratio": q["uniq_ratio"],
+                "n_bpe_tokens": withmd5["n_bpe_tokens"],
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")
+
+    deduped = scored.groupby("text_md5").map_groups(keep_min, batch_format="pandas")
+    tagged = deduped.map_batches(
+        lambda b: b.append_column("g", pa.array(["all"] * len(b), pa.string())),
+        batch_format="pyarrow",
+    )
+    cut = float(
+        grouped_exact_quantiles(tagged, key="g", col="uniq_ratio",
+                                qs=[QUALITY_FILTER_Q]).take(1)[0]["value"]
+    )
+
+    def keep_quality(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["uniq_ratio"], cut))
+
+    curated = hash_sample(
+        deduped.map_batches(keep_quality, batch_format="pyarrow"),
+        key="doc_id", rate_pct=CURATE_SAMPLE_PCT, salt=CURATE_SALT,
+    )
+    return curated.select_columns(["doc_id", "uniq_ratio", "n_bpe_tokens"])
+
 
 def q_quality_filter(sf_dir: str):
     """Composition pipeline (the training-data curation move): quality
@@ -1452,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "smart_prefilter": q_smart_prefilter,
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
+        "curate_corpus": q_curate_corpus,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1520,6 +1580,37 @@ def _bpe_tokens_sql() -> str:
 SELECT doc_id,
        coalesce(len(regexp_extract_all(text, '{pat}')), 0)::BIGINT AS n_bpe_tokens
 FROM documents
+"""
+
+
+def _curate_corpus_sql() -> str:
+    """Oracle twin of q_curate_corpus: dedup (min doc_id per md5) →
+    quality p25 cutoff (quantile_disc over the deduped set) → 50%
+    deterministic hash sample — all in one DuckDB statement."""
+    from hybrid_sanctions_search_engine_ray.stages.textops import BPE_TOKEN_RE
+
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH {TRANSCRIPTS_CTE},
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS n_uniq
+  FROM tok GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, md5(d.text) AS text_md5,
+         round(coalesce(p.n_uniq / p.n_tokens, 0), 4) AS uniq_ratio,
+         coalesce(len(regexp_extract_all(d.text, '{pat}')), 0)::BIGINT AS n_bpe_tokens
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+),
+dedup AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) = 1
+),
+cut AS (SELECT quantile_disc(uniq_ratio, {QUALITY_FILTER_Q}) AS c FROM dedup)
+SELECT dd.doc_id, dd.uniq_ratio, dd.n_bpe_tokens
+FROM dedup dd, cut
+WHERE dd.uniq_ratio >= cut.c
+  AND md5_number_upper(cast(dd.doc_id AS varchar) || '{CURATE_SALT}') % 100 < {CURATE_SAMPLE_PCT}
 """
 
 
@@ -1613,6 +1704,7 @@ FROM marks
 """,
         "smart_prefilter": _smart_prefilter_sql(),
         "bpe_tokens": _bpe_tokens_sql(),
+        "curate_corpus": _curate_corpus_sql(),
         "quality_filter": f"""
 WITH {TRANSCRIPTS_CTE},
 per_doc AS (

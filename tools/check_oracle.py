@@ -74,8 +74,11 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = {n for n in os.environ.get("ONLY", "").split(",") if n}
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.monotonic()
         try:
             ray_df = to_pandas(fn(sf_dir))

@@ -519,6 +519,25 @@ def q_curate_corpus(sf_dir: str):
     return curated.select_columns(["doc_id", "uniq_ratio", "n_bpe_tokens"])
 
 
+HL_TERMS = ["spark", "merge", "scan"]
+
+
+def q_highlight(sf_dir: str):
+    """Search-result highlighting (reference:
+    elasticsearch_adapters.py:326-351 — ES ``highlight`` request +
+    ``match_fields`` from hit highlight keys): one streaming sweep
+    emitting (doc_id, first_pos, match_terms, snippet) for every doc
+    containing >= 1 query term; the kernel's semantics (char positions,
+    window, leftmost-first <em> marking) are replayed exactly by the
+    SQL twin built from the SAME highlight_sql_expr definition."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.highlight import highlight_corpus
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return highlight_corpus(ds, HL_TERMS)
+
+
 def q_quality_filter(sf_dir: str):
     """Composition pipeline (the training-data curation move): quality
     scoring → EXACT corpus quantile cutoff → streaming filter. The
@@ -1512,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "curate_corpus": q_curate_corpus,
+        "highlight": q_highlight,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1614,6 +1634,22 @@ WHERE dd.uniq_ratio >= cut.c
 """
 
 
+def _highlight_sql() -> str:
+    """Oracle twin of q_highlight — expressions come from the SAME
+    highlight_sql_expr definition the kernel documents."""
+    from hybrid_sanctions_search_engine_ray.stages.highlight import highlight_sql_expr
+
+    e = highlight_sql_expr(HL_TERMS)
+    return f"""
+SELECT doc_id,
+       {e['first_pos']} AS first_pos,
+       {e['match_terms']} AS match_terms,
+       {e['snippet']} AS snippet
+FROM documents
+WHERE {e['where']}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     qterms = _qterms_values()
     return {
@@ -1705,6 +1741,7 @@ FROM marks
         "smart_prefilter": _smart_prefilter_sql(),
         "bpe_tokens": _bpe_tokens_sql(),
         "curate_corpus": _curate_corpus_sql(),
+        "highlight": _highlight_sql(),
         "quality_filter": f"""
 WITH {TRANSCRIPTS_CTE},
 per_doc AS (

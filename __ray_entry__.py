@@ -1497,6 +1497,27 @@ def q_ann_ivf(sf_dir: str):
     return ivf_query(ivf_dir, q_ids.tolist(), q_mat, k=_EMB_TOP_K)
 
 
+def q_ann_lsh(sf_dir: str):
+    """Multi-probe hyperplane-LSH ANN over a PERSISTED part-partitioned
+    layout (the second scale path beside IVF): one stored corpus copy
+    bucketed by packed sign bits; queries read only the parts holding
+    buckets within a Hamming radius of their signature, with the bucket
+    filter pushed into the parquet scan. The testdata embeddings are
+    WEAKLY similar (true-neighbor cos ~0.3-0.4), so this uses the
+    wide-probe setting (8 planes, radius 3 — ~36% scan, est. recall
+    ~0.6) the stage docstring prescribes for that regime; near-dup-grade
+    corpora use the tighter 12/2 default."""
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+    from hybrid_sanctions_search_engine_ray.stages.similarity import lsh_build, lsh_query
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    lsh_dir = f"/tmp/graft_lsh_cache/{_fmt}/{tag}"
+    lsh_build(path, lsh_dir, n_planes=8)
+    q_ids, q_mat = _load_query_vectors(path)
+    return lsh_query(lsh_dir, q_ids.tolist(), q_mat, k=_EMB_TOP_K, radius=3)
+
+
 # --- driver entry points ----------------------------------------------------
 
 
@@ -1555,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_docs": q_embed_docs,
         "media_features": q_media_features,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "topk_sketch": q_topk_sketch,
         "quantile_sketch": q_quantile_sketch,
         "distinct_sketch": q_distinct_sketch,

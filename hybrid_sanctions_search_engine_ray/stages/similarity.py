@@ -292,6 +292,170 @@ def ivf_query(ivf_dir: str, query_ids: list[int], query_matrix: np.ndarray,
     return brute_force_topk(ds, query_ids, qm, k=k, exclude_self=exclude_self)
 
 
+class HyperplaneLSH:
+    """Sign-random-projection (SimHash-for-vectors) LSH with MULTI-PROBE
+    querying: one persisted copy of the corpus (not the classic L-table
+    layout's L copies) bucketed by the packed sign bits of ``n_planes``
+    seeded Gaussian hyperplanes; a query probes every bucket within
+    Hamming radius ``r`` of its own signature. P[plane splits a pair at
+    angle θ] = θ/π (Charikar's SimHash bound), so tight neighbors
+    differ in few bits and radius 1-2 recovers them while scanning only
+    Σ_{i<=r} C(n_planes, i) / 2^n_planes of the corpus.
+
+    Planes are a pure function of (seed, ndim) — build and query sides
+    re-derive them independently; nothing model-sized is persisted.
+
+    Recall is REGIME-DEPENDENT (inherent to sign LSH, not an
+    implementation artifact): for near-duplicate-grade neighbors
+    (cos >= 0.9, p_flip <= 0.15) the 12-plane/radius-2 default recovers
+    ~0.9 of true neighbors while scanning ~2% of buckets; for weakly
+    similar corpora (cos ~ 0.3-0.4, p_flip ~ 0.4 — e.g. topically
+    related but non-duplicate embeddings) choose fewer planes / larger
+    radius (8 planes, radius 3 ≈ recall 0.6 at 36% scan) or use the IVF
+    path, which partitions by the data's own geometry instead.
+    """
+
+    def __init__(self, ndim: int, n_planes: int = 12, seed: int = 29):
+        if not 1 <= n_planes <= 30:
+            raise ValueError("n_planes must be in [1, 30] (bucket packs into int32)")
+        self.ndim, self.n_planes, self.seed = ndim, n_planes, seed
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, ndim))
+        self._weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (_normalize(m.astype(np.float64)) @ self.planes.T) >= 0.0
+        return (bits @ self._weights).astype(np.int32)
+
+    def probe(self, q: np.ndarray, radius: int = 1) -> np.ndarray:
+        """All bucket ids within Hamming distance <= radius of q's
+        signature, ascending (deterministic read order)."""
+        from itertools import combinations
+
+        base = int(self.bucket(q.reshape(1, -1))[0])
+        out = {base}
+        for r in range(1, radius + 1):
+            for flips in combinations(range(self.n_planes), r):
+                out.add(base ^ sum(1 << f for f in flips))
+        return np.array(sorted(out), dtype=np.int32)
+
+
+def lsh_build(embeddings_path: str, out_dir: str, n_planes: int = 12, seed: int = 29,
+              n_parts: int = 32, cols: tuple[str, str] = ("vec_id", "embedding")) -> str:
+    """Persist an LSH layout: parquet partitioned into ``part=P`` dirs
+    (P = bucket mod ``n_parts`` — coarse directories so tiny buckets
+    don't explode the file count) with the exact ``bucket`` kept as a
+    column; query-time reads open only matching parts and push a
+    ``bucket IN (...)`` filter into the parquet scan. One streaming
+    assignment pass; idempotent via the meta guard (same pattern as
+    :func:`ivf_build`)."""
+    import json
+
+    import ray.data as rd
+
+    meta_path = os.path.join(out_dir, "_LSH_META.json")
+    ds = rd.read_parquet(embeddings_path, columns=list(cols))
+    ndim = len(ds.take(1)[0][cols[1]])
+    meta = {"n_planes": n_planes, "seed": seed, "n_parts": n_parts,
+            "ndim": ndim, "source": embeddings_path}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == meta:
+                return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    lsh = HyperplaneLSH(ndim, n_planes=n_planes, seed=seed)
+
+    def assign(b: pa.Table) -> pa.Table:
+        bk = lsh.bucket(_batch_matrix(b, cols[1]))
+        return b.append_column("bucket", pa.array(bk)).append_column(
+            "part", pa.array((bk % n_parts).astype(np.int32))
+        )
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        p = int(g["part"].iloc[0])
+        pdir = os.path.join(out_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        # sort by bucket so row-group stats make the bucket filter prune
+        g = g.sort_values(["bucket", cols[0]], kind="mergesort").drop(columns=["part"])
+        tbl = pa.Table.from_pandas(g, preserve_index=False)
+        fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp, row_group_size=4096)
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        return pd.DataFrame({"part": [p], "n_rows": [len(g)]})
+
+    (ds.map_batches(assign, batch_format="pyarrow")
+       .groupby("part").map_groups(write_part, batch_format="pandas").take_all())
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+def lsh_query(lsh_dir: str, query_ids: list[int], query_matrix: np.ndarray,
+              k: int = 5, radius: int = 2, exclude_self: bool = True):
+    """Query a persisted LSH layout: union of every query's probed
+    buckets → matching ``part=P`` files only, ``bucket IN`` pushed into
+    the scan → exact cosine within the candidate set (multi-probe LSH:
+    recall is governed by (n_planes, radius), the scan fraction by
+    Σ C(n_planes, <=radius) / 2^n_planes)."""
+    import json
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    with open(os.path.join(lsh_dir, "_LSH_META.json")) as f:
+        meta = json.load(f)
+    lsh = HyperplaneLSH(meta["ndim"], n_planes=meta["n_planes"], seed=meta["seed"])
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    wanted: set[int] = set()
+    for i in range(len(query_ids)):
+        wanted.update(lsh.probe(qm[i], radius).tolist())
+    parts = sorted({b % meta["n_parts"] for b in wanted})
+    files = [
+        os.path.join(lsh_dir, f"part={p}", "data.parquet")
+        for p in parts
+        if os.path.exists(os.path.join(lsh_dir, f"part={p}", "data.parquet"))
+    ]
+    if not files:
+        return rd.from_items([]).map_batches(lambda b: b)  # empty result
+    ds = rd.read_parquet(
+        files,
+        filter=pads.field("bucket").isin(sorted(wanted)),
+    ).drop_columns(["bucket"])
+    return brute_force_topk(ds, query_ids, qm, k=k, exclude_self=exclude_self)
+
+
+def lsh_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int = 5,
+             n_planes: int = 12, seed: int = 29, radius: int = 2):
+    """In-memory multi-probe LSH over a Dataset (ad-hoc / test use; the
+    scale path is :func:`lsh_build` + :func:`lsh_query`): bucket per
+    batch, keep only rows in the union of all queries' probed buckets,
+    exact cosine within the survivors."""
+    import pyarrow.compute as pc
+
+    ndim = len(ds.take(1)[0]["embedding"])
+    lsh = HyperplaneLSH(ndim, n_planes=n_planes, seed=seed)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    wanted: set[int] = set()
+    for i in range(len(query_ids)):
+        wanted.update(lsh.probe(qm[i], radius).tolist())
+    value_set = pa.array(sorted(wanted), pa.int32())
+
+    def keep(b: pa.Table) -> pa.Table:
+        bk = lsh.bucket(_batch_matrix(b))
+        t = b.append_column("bucket", pa.array(bk))
+        return t.filter(pc.is_in(t["bucket"], value_set=value_set)).drop_columns(["bucket"])
+
+    return brute_force_topk(ds.map_batches(keep, batch_format="pyarrow"),
+                            query_ids, qm, k=k)
+
+
 def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int = 5,
              n_clusters: int = 16, nprobe: int = 4, sample_rows: int = 2048):
     """In-memory IVF over a Dataset (no persisted layout — for ad-hoc /

@@ -115,3 +115,108 @@ def test_sample_no_corpus_sort(ray_session, vectors):
     ds2 = rd.from_arrow([t.slice(0, 137), t.slice(137)])
     s2 = _sample_bottomk_by_hash(ds2, 50)
     assert np.array_equal(s1, s2)
+
+
+# --- multi-probe hyperplane LSH --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors():
+    """Tight clusters (cos ~0.99 within a cluster) — the regime LSH
+    bucketing is built for; true neighbors differ in few sign bits."""
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((20, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, 15, axis=0) + 0.05 * rng.standard_normal((300, 16))
+    return pts.astype(np.float32)
+
+
+def _recall(exact, approx, q_ids):
+    hits = total = 0
+    for qid in q_ids:
+        e = set(exact[exact.query_vec_id == qid]["vec_id"])
+        a = set(approx[approx.query_vec_id == qid]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    return hits / total
+
+
+def test_lsh_bucket_deterministic_and_probe_radius(clustered_vectors):
+    from hybrid_sanctions_search_engine_ray.stages.similarity import HyperplaneLSH
+
+    lsh = HyperplaneLSH(16, n_planes=12, seed=29)
+    b1 = lsh.bucket(clustered_vectors)
+    b2 = HyperplaneLSH(16, n_planes=12, seed=29).bucket(clustered_vectors)
+    assert np.array_equal(b1, b2)
+    probes = lsh.probe(clustered_vectors[0], radius=2)
+    assert len(probes) == 1 + 12 + 66  # C(12,0)+C(12,1)+C(12,2)
+    assert int(b1[0]) in probes
+    assert len(lsh.probe(clustered_vectors[0], radius=0)) == 1
+
+
+def test_lsh_topk_recall(ray_session, clustered_vectors):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import lsh_topk
+
+    ds = rd.from_arrow(_emb_table(clustered_vectors))
+    q_ids = [0, 45, 150]
+    qm = clustered_vectors[q_ids].astype(np.float64)
+    exact = brute_force_topk(ds, q_ids, qm, k=5).to_pandas()
+    approx = lsh_topk(ds, q_ids, qm, k=5, n_planes=12, radius=2).to_pandas()
+    r = _recall(exact, approx, q_ids)
+    assert r >= 0.8, f"LSH recall too low: {r}"
+
+
+def test_lsh_persisted_build_query_and_pruning(ray_session, clustered_vectors, tmp_path):
+    """lsh_build persists part=P dirs (idempotent); lsh_query reads only
+    matching parts with a bucket filter and reaches brute-force recall
+    on tight clusters."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import lsh_build, lsh_query
+
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(_emb_table(clustered_vectors), src)
+    out = str(tmp_path / "lsh")
+    lsh_build(src, out, n_planes=12, n_parts=8)
+    pdirs = [d for d in os.listdir(out) if d.startswith("part=")]
+    assert len(pdirs) >= 2
+    total_rows = sum(
+        pq.read_table(os.path.join(out, d, "data.parquet")).num_rows for d in pdirs
+    )
+    assert total_rows == 300  # every vector landed in exactly one part
+    mtime = os.path.getmtime(os.path.join(out, "_LSH_META.json"))
+    lsh_build(src, out, n_planes=12, n_parts=8)  # idempotent skip
+    assert os.path.getmtime(os.path.join(out, "_LSH_META.json")) == mtime
+
+    q_ids = [0, 45, 150]
+    qm = clustered_vectors[q_ids].astype(np.float64)
+    exact = brute_force_topk(rd.read_parquet(src), q_ids, qm, k=5).to_pandas()
+    approx = lsh_query(out, q_ids, qm, k=5, radius=2).to_pandas()
+    r = _recall(exact, approx, q_ids)
+    assert r >= 0.8, f"persisted-LSH recall too low: {r}"
+    # ranks within each query are exact-cosine ordered
+    for qid in q_ids:
+        g = approx[approx.query_vec_id == qid]
+        assert (np.diff(g.sort_values("rank")["cos_sim"].to_numpy()) <= 1e-12).all()
+
+
+def test_lsh_query_no_candidates(ray_session, clustered_vectors, tmp_path):
+    """A query probing only empty buckets returns an empty frame, not an
+    error (radius 0 on an orthogonal-ish vector may miss every part)."""
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import lsh_build, lsh_query
+
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(_emb_table(clustered_vectors[:4]), src)
+    out = str(tmp_path / "lsh_small")
+    lsh_build(src, out, n_planes=12, n_parts=8)
+    rng = np.random.default_rng(99)
+    stray = rng.standard_normal((1, 16))
+    res = lsh_query(out, [999], stray, k=5, radius=0).to_pandas()
+    assert len(res) <= 5  # empty or tiny — and no exception

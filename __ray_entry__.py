@@ -520,6 +520,23 @@ def q_curate_corpus(sf_dir: str):
 
 
 HL_TERMS = ["spark", "merge", "scan"]
+TFIDF_QUERY = "spark merge window"
+TFIDF_TOP_K = 10
+
+
+def q_tfidf_cosine(sf_dir: str):
+    """Char-3-gram TF-IDF cosine ranking (reference:
+    vector_index_service.py:29-66 CharTfidfVectorIndex — sublinear tf,
+    smooth idf, l2 norm, cosine): two streaming passes, zero corpus
+    shuffles — the bounded gram-vocabulary df table and the transformed
+    query vector broadcast once; every batch scores locally and emits a
+    4k partial."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.tfidf import tfidf_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return tfidf_topk(ds, TFIDF_QUERY, k=TFIDF_TOP_K)
 
 
 def q_highlight(sf_dir: str):
@@ -1553,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "curate_corpus": q_curate_corpus,
         "highlight": q_highlight,
+        "tfidf_cosine": q_tfidf_cosine,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1672,6 +1690,53 @@ WHERE {e['where']}
 """
 
 
+def _tfidf_sql() -> str:
+    """Oracle twin of q_tfidf_cosine: sublinear tf (1+ln tf), smooth idf
+    (ln((1+N)/(1+df))+1), per-doc l2 norm, cosine vs the query vector
+    transformed with the fitted idf (unseen grams dropped — the JOIN),
+    ranked (round(score,4) desc, doc_id asc). Query grams + counts come
+    from the SAME Python tokenizer the engine uses."""
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import char3_grams, tokenize_simple
+
+    qtf: dict[str, int] = {}
+    for tok in tokenize_simple(TFIDF_QUERY):
+        for g in char3_grams(tok):
+            qtf[g] = qtf.get(g, 0) + 1
+    qvals = ", ".join(f"('{g}', {c})" for g, c in sorted(qtf.items()))
+    return f"""
+WITH {TRANSCRIPTS_CTE},
+pos3 AS (
+  SELECT doc_id, term, unnest(generate_series(1, greatest(length(term)-2, 1))) AS g
+  FROM tok
+),
+g3 AS (SELECT doc_id, substring(term, g, 3) AS gram FROM pos3),
+gtf AS (SELECT doc_id, gram, count(*)::BIGINT AS tf FROM g3 GROUP BY doc_id, gram),
+gdf AS (SELECT gram, count(*)::BIGINT AS df FROM gtf GROUP BY gram),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+w AS (
+  SELECT t.doc_id, t.gram, (1 + ln(t.tf)) * (ln((1 + nn.n) / (1 + d.df)) + 1) AS wt
+  FROM gtf t JOIN gdf d USING (gram), nn
+),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+qg(gram, qtf) AS (VALUES {qvals}),
+qw AS (
+  SELECT q.gram, (1 + ln(q.qtf)) * (ln((1 + nn.n) / (1 + d.df)) + 1) AS wt
+  FROM qg q JOIN gdf d USING (gram), nn
+),
+qn AS (SELECT sqrt(sum(wt * wt)) AS qn FROM qw),
+dt AS (
+  SELECT w.doc_id, sum(w.wt * q.wt) AS dot
+  FROM w JOIN qw q USING (gram) GROUP BY w.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY round(dt.dot / (nrm.nrm * qn.qn), 4) DESC, dt.doc_id) AS rank,
+         dt.doc_id,
+         round(dt.dot / (nrm.nrm * qn.qn), 4) AS score
+  FROM dt JOIN nrm USING (doc_id), qn
+) WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     qterms = _qterms_values()
     return {
@@ -1764,6 +1829,7 @@ FROM marks
         "bpe_tokens": _bpe_tokens_sql(),
         "curate_corpus": _curate_corpus_sql(),
         "highlight": _highlight_sql(),
+        "tfidf_cosine": _tfidf_sql(),
         "quality_filter": f"""
 WITH {TRANSCRIPTS_CTE},
 per_doc AS (

@@ -58,13 +58,12 @@ def _lower_nfc(text: pa.Array) -> pa.Array:
 DOC_SENTINEL = "\x00__docs__"
 
 
-def _char3_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
-    """char3 mode, fully vectorized: simple-mode tokens → character
-    3-grams (whole token when len<3) via at most ``max_token_len`` Arrow
-    ``utf8_slice_codeunits`` sweeps over the flat token array → DISTINCT
-    (doc, gram) pairs via Arrow hash-group_by. Matches
-    ``functions.analyzer.tokenize_char3`` and the driver oracle's
-    ``substring + generate_series + DISTINCT`` SQL exactly."""
+def _char3_occurrences(text: pa.Array) -> pa.Table:
+    """simple-mode tokens → character 3-gram OCCURRENCES (d, t) with
+    multiplicities, via at most ``max_token_len`` Arrow
+    ``utf8_slice_codeunits`` sweeps over the flat token array. Shared by
+    the distinct-gram char3 index path (:func:`_char3_flat`) and the
+    counted tf-idf path (stages/tfidf.char3_tf)."""
     tokens = pc.split_pattern_regex(_lower_nfc(text), _SIMPLE_RE2)
     flat = pc.list_flatten(tokens)
     parent = pc.list_parent_indices(tokens)
@@ -72,7 +71,7 @@ def _char3_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
     flat = flat.filter(keep).combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat.filter(keep)
     parent = parent.filter(keep)
     if len(flat) == 0:
-        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+        return pa.table({"d": pa.array([], pa.int64()), "t": pa.array([], pa.string())})
     lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
     pnp = parent.to_numpy(zero_copy_only=False).astype(np.int64)
     max_len = int(lens.max())
@@ -89,12 +88,22 @@ def _char3_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
         sub = flat.filter(pa.array(sel))
         parts_p.append(pnp[sel])
         parts_g.append(pc.utf8_slice_codeunits(sub, i, i + 3))
-    occ = pa.table(
+    return pa.table(
         {
             "d": pa.array(np.concatenate(parts_p), pa.int64()),
             "t": pa.concat_arrays([g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g for g in parts_g]),
         }
     )
+
+
+def _char3_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """char3 mode, fully vectorized: gram occurrences → DISTINCT
+    (doc, gram) pairs via Arrow hash-group_by. Matches
+    ``functions.analyzer.tokenize_char3`` and the driver oracle's
+    ``substring + generate_series + DISTINCT`` SQL exactly."""
+    occ = _char3_occurrences(text)
+    if occ.num_rows == 0:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
     dist = occ.group_by(["d", "t"]).aggregate([])  # distinct (doc, gram)
     d = dist["d"].to_numpy(zero_copy_only=False)
     order = np.argsort(d, kind="stable")  # keep the nondecreasing-parent invariant

@@ -522,6 +522,27 @@ def q_curate_corpus(sf_dir: str):
 HL_TERMS = ["spark", "merge", "scan"]
 TFIDF_QUERY = "spark merge window"
 TFIDF_TOP_K = 10
+FACET_QUERY = "spark window"
+
+
+def q_search_facets(sf_dir: str):
+    """ES-aggregations parity: facet counts over the query's FULL
+    matching-doc set (OR over analyzed terms) — matching ids from
+    partition-pruned posting reads, facet values streamed with a
+    broadcast membership filter and partial counts (stages/facets.py)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import documents_batch_to_transcripts
+    from hybrid_sanctions_search_engine_ray.stages.facets import search_facets
+
+    index_dir = _ensure_index(sf_dir)
+    meta = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: documents_batch_to_transcripts(b).select(["doc_id", "role"]),
+        batch_format="pyarrow",
+    )
+    return search_facets(index_dir, FACET_QUERY, meta, facet_col="role")
 
 
 def q_tfidf_cosine(sf_dir: str):
@@ -1571,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q_curate_corpus,
         "highlight": q_highlight,
         "tfidf_cosine": q_tfidf_cosine,
+        "search_facets": q_search_facets,
         "cap_per_group": q_cap_per_group,
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
@@ -1830,6 +1852,14 @@ FROM marks
         "curate_corpus": _curate_corpus_sql(),
         "highlight": _highlight_sql(),
         "tfidf_cosine": _tfidf_sql(),
+        "search_facets": f"""
+WITH {TRANSCRIPTS_CTE},
+fq(term) AS (VALUES ('spark'), ('window')),
+matching AS (SELECT DISTINCT t.doc_id FROM tok t JOIN fq USING (term))
+SELECT tr.role AS facet, count(*)::BIGINT AS n_docs
+FROM transcripts tr JOIN matching USING (doc_id)
+GROUP BY tr.role
+""",
         "quality_filter": f"""
 WITH {TRANSCRIPTS_CTE},
 per_doc AS (

@@ -1,0 +1,100 @@
+"""Facet counts over a query's FULL matching-doc set — ES aggregations.
+
+The reference's search layer runs against Elasticsearch, whose ``aggs``
+block counts facet values across every document matching the query (not
+just the returned top-k); the repo previously covered only corpus-wide
+counts (G1/G7) and top-k post-filters. This stage fills the middle:
+
+* the matching set is the UNION of the query terms' posting doc-lists
+  (OR semantics — ES's default ``should`` match), read partition-pruned
+  from the index and tombstone-filtered;
+* facet values for those docs come from a metadata table scanned as a
+  streaming ``map_batches`` membership filter against the BROADCAST
+  doc-id set (``ray.put`` once), with per-batch partial counts and a
+  facet-cardinality-sized final merge — the corpus never shuffles and
+  the driver only ever holds doc-id arrays and facet totals.
+
+Scale note: |matching ids| is bounded by Σ df(term) of the query terms.
+For a query made of stop-word-grade terms that bound is corpus-sized —
+at that selectivity a facet is just a corpus groupby, so use the plain
+``groupby(facet)`` pipeline instead; this operator is for the selective
+queries a search engine actually serves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def matching_doc_ids(reader, query_text: str) -> np.ndarray:
+    """Union of the analyzed query terms' posting doc-lists (OR match),
+    tombstones excluded, sorted ascending."""
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import tombstone_mask
+
+    terms = sorted(set(reader.analyzer(query_text)))
+    if not terms:
+        return np.empty(0, dtype=np.int64)
+    postings = reader.load_postings(terms)
+    if not postings:
+        return np.empty(0, dtype=np.int64)
+    ids = np.unique(np.concatenate([p.doc_ids for p in postings.values()]))
+    if len(reader.tombstones):
+        ids = ids[~tombstone_mask(reader.tombstones, ids)]
+    return ids.astype(np.int64)
+
+
+def facet_counts_ds(meta_ds, ids: np.ndarray, facet_col: str,
+                    id_col: str = "doc_id") -> pd.DataFrame:
+    """(facet, n_docs) for the rows of ``meta_ds`` whose id is in
+    ``ids``: broadcast id set, per-batch vectorized membership filter +
+    partial value_counts, tiny pandas merge of facet-sized partials."""
+    ref = ray.put(np.asarray(ids, dtype=np.int64))
+
+    class PartialCounts:
+        def __init__(self):
+            self.ids = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            d = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            # membership via searchsorted on the sorted broadcast array —
+            # no Python set, no hash build per batch
+            pos = np.searchsorted(self.ids, d)
+            pos_safe = np.minimum(pos, self.ids.size - 1) if self.ids.size else pos
+            hit = (pos < self.ids.size) & (self.ids[pos_safe] == d) if self.ids.size \
+                else np.zeros(len(d), dtype=bool)
+            sub = b.filter(pa.array(hit))
+            agg = sub.group_by(facet_col).aggregate([([], "count_all")])
+            return pa.table({"facet": agg[facet_col], "n_part": agg["count_all"]})
+
+    parts = meta_ds.map_batches(PartialCounts, batch_format="pyarrow",
+                                concurrency=2).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"facet": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("facet", as_index=False)["n_part"].sum()
+    out = out.rename(columns={"n_part": "n_docs"})
+    out = out.sort_values(["n_docs", "facet"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
+def search_facets(index_dir: str, query_text: str, meta_ds, facet_col: str,
+                  reader=None, id_col: str = "doc_id") -> pd.DataFrame:
+    """ES-aggs-shaped facets: count ``facet_col`` values across EVERY
+    doc matching ``query_text`` (OR over analyzed terms). ``meta_ds`` is
+    a Dataset carrying (id_col, facet_col) — typically the source table
+    or a docmap read with ``columns=[id_col, facet_col]``."""
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    r = reader or IndexReader(index_dir)
+    ids = matching_doc_ids(r, query_text)
+    if ids.size == 0:
+        return pd.DataFrame({"facet": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    return facet_counts_ds(meta_ds, ids, facet_col, id_col=id_col)

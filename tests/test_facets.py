@@ -1,0 +1,85 @@
+"""Facet counts over the full matching set (ES aggregations shape)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+from hybrid_sanctions_search_engine_ray.stages.facets import (
+    facet_counts_ds,
+    matching_doc_ids,
+    search_facets,
+)
+
+TEXTS = [
+    ("alpha beta", "user"),
+    ("beta gamma", "assistant"),
+    ("gamma delta", "user"),
+    ("alpha alpha", "assistant"),
+    ("unrelated words", "tool"),
+]
+
+
+@pytest.fixture(scope="module")
+def facet_index(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"conv_id": f"c-{i:04d}", "turn_idx": 0, "role": role, "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+        for i, (t, role) in enumerate(TEXTS)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path_factory.mktemp("facet") / "idx")
+    build_index("mem", idx, EngineConfig(num_partitions=4,
+                analyzer=AnalyzerConfig(mode="simple")), transcripts_ds=ds)
+    return idx
+
+
+def _meta_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "role": pa.array([r for _, r in TEXTS], pa.string()),
+    }))
+
+
+def test_matching_is_or_union(facet_index):
+    r = IndexReader(facet_index)
+    assert matching_doc_ids(r, "alpha gamma").tolist() == [0, 1, 2, 3]
+    assert matching_doc_ids(r, "delta").tolist() == [2]
+    assert matching_doc_ids(r, "").size == 0
+    assert matching_doc_ids(r, "zzznope").size == 0
+
+
+def test_search_facets_counts(facet_index, ray_session):
+    out = search_facets(facet_index, "alpha gamma", _meta_ds(), facet_col="role")
+    assert dict(zip(out["facet"], out["n_docs"])) == {"user": 2, "assistant": 2}
+    # sorted count desc then facet asc
+    assert list(out["facet"]) == ["assistant", "user"]
+    empty = search_facets(facet_index, "zzznope", _meta_ds(), facet_col="role")
+    assert empty.empty and list(empty.columns) == ["facet", "n_docs"]
+
+
+def test_facets_exclude_tombstones(facet_index, ray_session, tmp_path):
+    import shutil
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import delete_docs
+
+    idx2 = str(tmp_path / "idx2")
+    shutil.copytree(facet_index, idx2)
+    delete_docs(idx2, [0, 3])  # both 'alpha' docs
+    out = search_facets(idx2, "alpha gamma", _meta_ds(), facet_col="role")
+    assert dict(zip(out["facet"], out["n_docs"])) == {"user": 1, "assistant": 1}
+
+
+def test_facet_counts_ds_membership(ray_session):
+    ids = np.array([1, 3], dtype=np.int64)
+    out = facet_counts_ds(_meta_ds(), ids, "role")
+    assert dict(zip(out["facet"], out["n_docs"])) == {"assistant": 2}
+    none = facet_counts_ds(_meta_ds(), np.empty(0, dtype=np.int64), "role")
+    assert none.empty

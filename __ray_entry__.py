@@ -519,6 +519,46 @@ def q_curate_corpus(sf_dir: str):
     return curated.select_columns(["doc_id", "uniq_ratio", "n_bpe_tokens"])
 
 
+DECONTAM_W = 4  # w-word shingle size for benchmark-overlap decontamination
+DECONTAM_BENCH_N = 5  # docs with doc_id < N play the "benchmark" (eval-set) role
+
+
+def _decontam_bench_texts(sf_dir: str) -> list[str]:
+    """The tiny benchmark side: pruned parquet read (row-group filters),
+    never a full-table scan."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text"],
+        filters=[("doc_id", "<", DECONTAM_BENCH_N)],
+    )["text"].to_pylist()
+
+
+def q_decontam_hits(sf_dir: str):
+    """Benchmark decontamination report: per contaminated doc, how many
+    DISTINCT benchmark w-shingles it contains. Benchmark shingle set is
+    built driver-side (it is tiny by nature), ray.put ONCE, probed by an
+    actor pool via Arrow is_in — the corpus streams, zero shuffles."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.decontam import contamination_hits
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return contamination_hits(ds, _decontam_bench_texts(sf_dir), w=DECONTAM_W)
+
+
+def q_decontam_clean(sf_dir: str):
+    """The decontaminated corpus (ids only): same streaming probe, filter
+    mode — what a training run would actually consume."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.decontam import decontaminate
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return decontaminate(ds, _decontam_bench_texts(sf_dir), w=DECONTAM_W).select_columns(["doc_id"])
+
+
 HL_TERMS = ["spark", "merge", "scan"]
 TFIDF_QUERY = "spark merge window"
 TFIDF_TOP_K = 10
@@ -1590,6 +1630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "bpe_tokens": q_bpe_tokens,
         "curate_corpus": q_curate_corpus,
+        "decontam_hits": q_decontam_hits,
+        "decontam_clean": q_decontam_clean,
         "highlight": q_highlight,
         "tfidf_cosine": q_tfidf_cosine,
         "search_facets": q_search_facets,
@@ -1693,6 +1735,41 @@ SELECT dd.doc_id, dd.uniq_ratio, dd.n_bpe_tokens
 FROM dedup dd, cut
 WHERE dd.uniq_ratio >= cut.c
   AND md5_number_upper(cast(dd.doc_id AS varchar) || '{CURATE_SALT}') % 100 < {CURATE_SAMPLE_PCT}
+"""
+
+
+def _decontam_cte() -> str:
+    """Shared shingle CTE for the decontam oracles: identical
+    tokenization (lower + NFC + [^\\p{L}\\p{N}]+ split, empties dropped)
+    and w-word windows as stages/decontam.word_wgrams."""
+    return f"""tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest([array_to_string(arr[g:g+{DECONTAM_W - 1}], ' ')
+                 for g in generate_series(1, len(arr) - {DECONTAM_W - 1})]) AS gram
+  FROM tokd
+),
+bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id < {DECONTAM_BENCH_N})"""
+
+
+def _decontam_hits_sql() -> str:
+    return f"""
+WITH {_decontam_cte()}
+SELECT s.doc_id, count(DISTINCT s.gram)::BIGINT AS n_hits
+FROM sh s JOIN bench b USING (gram)
+GROUP BY s.doc_id
+"""
+
+
+def _decontam_clean_sql() -> str:
+    return f"""
+WITH {_decontam_cte()}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (gram))
 """
 
 
@@ -1850,6 +1927,8 @@ FROM marks
         "smart_prefilter": _smart_prefilter_sql(),
         "bpe_tokens": _bpe_tokens_sql(),
         "curate_corpus": _curate_corpus_sql(),
+        "decontam_hits": _decontam_hits_sql(),
+        "decontam_clean": _decontam_clean_sql(),
         "highlight": _highlight_sql(),
         "tfidf_cosine": _tfidf_sql(),
         "search_facets": f"""

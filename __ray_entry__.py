@@ -1462,6 +1462,48 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
+_CLUSTER_DOCS = 200  # near-dup edges drawn from this doc prefix
+_CLUSTER_MIN = 0.02  # word-3-shingle Jaccard edge threshold
+
+
+def q_dup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment over the FULL corpus: near-dup PAIRS
+    (word-3-shingle Jaccard ≥ threshold on a doc prefix — the same exact
+    verifier as jaccard_pairs) become EDGES; distributed alternating
+    large-star/small-star connected components (stages/clusters.py)
+    collapse them transitively; every document gets cluster_id = min doc
+    of its component (own id for singletons) in one streaming attach.
+    SQL twin: recursive CTE reachability over the identical edge set."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.clusters import (
+        assign_clusters,
+        connected_components,
+    )
+    from hybrid_sanctions_search_engine_ray.stages.dedup import jaccard_verify
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", _CLUSTER_DOCS)],
+    )
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    ids = sorted(texts)
+    pairs = pd.DataFrame(
+        [(a, b) for a, b in itertools.combinations(ids, 2)], columns=["doc_a", "doc_b"]
+    )
+    ver = jaccard_verify(pairs, texts, shingle_k=3)
+    edges = ver[ver["jaccard"] >= _CLUSTER_MIN][["doc_a", "doc_b"]].rename(
+        columns={"doc_a": "a", "doc_b": "b"}
+    )
+    comps = connected_components(rd.from_pandas(edges.astype(np.int64).reset_index(drop=True)))
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return assign_clusters(corpus, comps)
+
+
 def q_minhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -1652,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "jaccard_pairs": q_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
@@ -2333,6 +2376,39 @@ j AS (
   FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
 )
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {_JACCARD_MIN}
+""",
+        # Transitive closure of the same exact-Jaccard edge relation the Ray
+        # path feeds to large-star/small-star connected components: recursive
+        # reachability, component id = min reachable node; singletons seed
+        # themselves so every document is covered.
+        "dup_clusters": f"""
+WITH RECURSIVE {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM tokpos a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.doc_id < {_CLUSTER_DOCS}
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM sh x JOIN sh y ON y.sh = x.sh AND y.doc_id > x.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+edges AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+  WHERE round(i.i * 1.0 / (ca.c + cb.c - i.i), 6) >= {_CLUSTER_MIN}
+),
+bidir AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id FROM reach GROUP BY src
 """,
         "events_window": """
 SELECT event_type,

@@ -56,6 +56,16 @@ NGRAM_QUERIES: dict[str, str] = {
 # Fuzzy vocabulary expansion inputs (typos of dictionary terms).
 FUZZY_TERMS: list[str] = ["sprak", "custmer", "fliter", "streem", "vektor"]
 
+# Bool-clause queries (ES bool/must/should/must_not semantics): doc must
+# contain every must term, no must_not term; score = BM25 over must∪should.
+BOOL_QUERIES: list[dict[str, str]] = [
+    {"query_id": "b01", "must": "spark join", "should": "filter", "must_not": "window"},
+    {"query_id": "b02", "must": "customer scan", "should": "", "must_not": ""},
+    {"query_id": "b03", "must": "the", "should": "data stream", "must_not": "merge sort"},
+    {"query_id": "b04", "must": "zzzmissing spark", "should": "", "must_not": ""},
+    {"query_id": "b05", "must": "window", "should": "stream vector", "must_not": "the"},
+]
+
 # Multi-word queries for the word-shingle field (reference
 # shingle_analyzer: 2-3 word shingles + unigrams) — adjacent-word
 # matches outrank scattered-word matches without a positional index.
@@ -122,6 +132,21 @@ def _qterms_values() -> str:
         for term in sorted(set(text.lower().split())):
             rows.append(f"('{qid}', '{term}')")
     return ", ".join(rows)
+
+
+def _bool_values(field: str, minus: str | None = None) -> str:
+    """VALUES rows for one bool-query clause; ``minus`` drops terms
+    already in that query's must clause (scoring dedup parity with
+    search_one_boolean). Clauses empty for every query never occur in
+    BOOL_QUERIES' schema use below."""
+    rows = []
+    for q in BOOL_QUERIES:
+        terms = set(q[field].lower().split())
+        if minus:
+            terms -= set(q[minus].lower().split())
+        for term in sorted(terms):
+            rows.append(f"('{q['query_id']}', '{term}')")
+    return ", ".join(rows) if rows else "(NULL, NULL)"
 
 
 # Trigram tokenization CTE (char3 analyzer twin): simple tokens → char
@@ -314,6 +339,27 @@ def q_bm25_topk(sf_dir: str):
         [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K} for qid, text in BM25_QUERIES.items()]
     )
     res = search(queries_ds, index_dir, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_finish, batch_format="pandas")
+
+
+def q_boolean_search(sf_dir: str):
+    """ES bool-clause retrieval over the BM25 index: conjunctive must,
+    optional should scoring, must_not exclusion (pipelines/query.py
+    BooleanScorer — same actor-pool/posting-pruning machinery as search)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import boolean_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in BOOL_QUERIES])
+    res = boolean_search(qs, index_dir, _engine_cfg())
 
     def _finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -1654,6 +1700,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "boolean_search": q_boolean_search,
         "term_dictionary": q_term_dictionary,
         "corpus_stats": q_corpus_stats,
         "role_doclen": q_role_doclen,
@@ -1895,6 +1942,50 @@ scores AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # Bool clauses: a candidate must match EVERY must term (count of
+        # distinct matched must terms == clause size), no must_not term;
+        # score sums BM25 over the distinct must ∪ should terms.
+        "boolean_search": f"""
+WITH {TRANSCRIPTS_CTE},
+mustq(query_id, term) AS (VALUES {_bool_values("must")}),
+notq(query_id, term) AS (VALUES {_bool_values("must_not")}),
+scoreq(query_id, term) AS (
+  VALUES {", ".join(x for x in [_bool_values("must"), _bool_values("should", minus="must")] if x != "(NULL, NULL)")}
+),
+nmust AS (SELECT query_id, count(*)::BIGINT AS n FROM mustq GROUP BY query_id),
+cand AS (
+  SELECT m.query_id, tf.doc_id, count(*)::BIGINT AS c
+  FROM mustq m JOIN tf ON tf.term = m.term
+  GROUP BY m.query_id, tf.doc_id
+),
+alive AS (
+  SELECT c.query_id, c.doc_id
+  FROM cand c JOIN nmust n ON n.query_id = c.query_id AND c.c = n.n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM notq nq JOIN tf t2 ON t2.term = nq.term AND t2.doc_id = c.doc_id
+    WHERE nq.query_id = c.query_id
+  )
+),
+scores AS (
+  SELECT a.query_id, a.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM alive a
+  JOIN scoreq q ON q.query_id = a.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = a.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = a.doc_id
+  CROSS JOIN stats s
+  GROUP BY a.query_id, a.doc_id
 ),
 ranked AS (
   SELECT query_id, doc_id, score,

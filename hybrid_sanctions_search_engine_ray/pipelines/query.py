@@ -219,6 +219,56 @@ class IndexReader:
         fn = score_maxscore if method == "maxscore" else score_taat
         return fn(postings, top_k)
 
+    def search_one_boolean(
+        self, must_text: str, should_text: str = "", not_text: str = "", top_k: int = 50
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES bool-query semantics (reference: the bool/must/should/must_not
+        clauses its adapters emit — elasticsearch_adapters.py search bodies):
+        a doc must contain EVERY must term and NO must_not term; score is
+        the BM25 sum over the distinct must ∪ should terms it matches.
+        With no must terms, should terms retrieve disjunctively (min 1).
+        Returns (doc_ids, scores) ranked (score desc, doc_id asc)."""
+        top_k = max(1, min(int(top_k), 1000))
+        must = sorted(set(self.analyzer(must_text)))
+        should = sorted(set(self.analyzer(should_text)) - set(must))
+        excl = sorted(set(self.analyzer(not_text)))
+        empty = np.empty(0, np.int64), np.empty(0, np.float64)
+        got_must = self.load_postings(must)
+        if len(got_must) < len(must):
+            return empty  # a required term matches nothing
+        postings = [got_must[t] for t in must]
+        if must:
+            cand = postings[0].doc_ids
+            for p in postings[1:]:
+                cand = cand[_sorted_member(p.doc_ids, cand)]
+                if cand.size == 0:
+                    return empty
+        else:
+            got_should = self.load_postings(should)
+            if not got_should:
+                return empty
+            cand = np.unique(np.concatenate([p.doc_ids for p in got_should.values()]))
+        for p in self.load_postings(excl).values():
+            cand = cand[~_sorted_member(p.doc_ids, cand)]
+            if cand.size == 0:
+                return empty
+        scores = np.zeros(cand.size, np.float64)
+        for p in list(self.load_postings(should).values()) + postings:
+            hit = _sorted_member(p.doc_ids, cand)
+            pos = np.searchsorted(p.doc_ids, cand[hit])
+            scores[hit] += p.idf * p.factors[pos]
+        k = min(top_k, cand.size)
+        order = np.lexsort((cand, -scores))[:k]
+        return cand[order], scores[order]
+
+
+def _sorted_member(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Boolean mask: which needles occur in the SORTED haystack."""
+    pos = np.searchsorted(haystack, needles)
+    ok = pos < haystack.size
+    ok[ok] = haystack[pos[ok]] == needles[ok]
+    return ok
+
 
 class BM25Scorer:
     """Actor-pool callable: a batch of query rows → top-k result rows."""
@@ -260,6 +310,61 @@ def search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, metho
     return queries_ds.map_batches(
         BM25Scorer,
         fn_constructor_args=(index_dir, cfg.top_k, method),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+class BooleanScorer:
+    """Actor-pool callable for bool queries: batch rows
+    (query_id, must[, should, must_not, top_k]) → top-k result rows."""
+
+    def __init__(self, index_dir: str, default_top_k: int = 50):
+        self.reader = IndexReader(index_dir)
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def col(name: str) -> list[str]:
+            return (
+                batch[name].fillna("").astype(str).tolist()
+                if name in batch.columns
+                else [""] * len(batch)
+            )
+
+        must, should, excl = col("must"), col("should"), col("must_not")
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        union: set[str] = set()
+        for texts in (must, should, excl):
+            for t in texts:
+                union.update(self.reader.analyzer(t))
+        self.reader.load_postings(sorted(union))
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        for i, qid in enumerate(batch["query_id"]):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            docs, scores = self.reader.search_one_boolean(must[i], should[i], excl[i], k)
+            n = docs.size
+            out["query_id"].extend([qid] * n)
+            out["rank"].extend(range(1, n + 1))
+            out["doc_id"].extend(docs.astype(np.int64).tolist())
+            out["score"].extend(scores.tolist())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="string[python]").astype(object),
+                "rank": pd.Series(out["rank"], dtype=np.int32),
+                "doc_id": pd.Series(out["doc_id"], dtype=np.int64),
+                "score": pd.Series(out["score"], dtype=np.float64),
+            }
+        )
+
+
+def boolean_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Queries Dataset (query_id, must[, should, must_not, top_k]) →
+    results Dataset with ES bool-clause semantics (see
+    :meth:`IndexReader.search_one_boolean`)."""
+    return queries_ds.map_batches(
+        BooleanScorer,
+        fn_constructor_args=(index_dir, cfg.top_k),
         batch_format="pandas",
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,

@@ -56,6 +56,17 @@ NGRAM_QUERIES: dict[str, str] = {
 # Fuzzy vocabulary expansion inputs (typos of dictionary terms).
 FUZZY_TERMS: list[str] = ["sprak", "custmer", "fliter", "streem", "vektor"]
 
+# Autocomplete (edge-ngram) queries: partially-typed words; EVERY token
+# must prefix-match some document word (reference edge_ngram field with
+# operator "and" — elasticsearch_adapters.py:247-256).
+PREFIX_QUERIES: dict[str, str] = {
+    "p01": "spar",
+    "p02": "custom tabl",
+    "p03": "win",
+    "p04": "zzzqq",          # zero-hit
+    "p05": "merg sor",
+}
+
 # Bool-clause queries (ES bool/must/should/must_not semantics): doc must
 # contain every must term, no must_not term; score = BM25 over must∪should.
 BOOL_QUERIES: list[dict[str, str]] = [
@@ -161,6 +172,30 @@ dl3 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM g3 GROUP BY doc_id),
 stats3 AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl3),
 df3 AS (SELECT gram, count(*)::BIGINT AS df FROM g3 GROUP BY gram)
 """
+
+
+# Edge-ngram tokenization CTE (edge analyzer twin): simple tokens →
+# prefixes length 2..min(len,20), whole token when shorter than 2 →
+# DISTINCT per doc; tf=1, dl=|prefix set|.
+EDGE_CTE = """
+egp AS (
+  SELECT doc_id, term,
+         unnest(generate_series(least(2, length(term)), least(length(term), 20))) AS g
+  FROM tok
+),
+edge AS (SELECT DISTINCT doc_id, substring(term, 1, g) AS gram FROM egp),
+dle AS (SELECT doc_id, count(*)::BIGINT AS dl FROM edge GROUP BY doc_id),
+statse AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dle),
+dfe AS (SELECT gram, count(*)::BIGINT AS df FROM edge GROUP BY gram)
+"""
+
+
+def _prefix_values() -> str:
+    rows = []
+    for qid, text in PREFIX_QUERIES.items():
+        for term in sorted(set(text.lower().split())):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
 
 
 # Word-shingle tokenization CTE (shingle analyzer twin): simple tokens +
@@ -347,6 +382,39 @@ def q_bm25_topk(sf_dir: str):
         return b
 
     return res.map_batches(_finish, batch_format="pandas")
+
+
+def q_prefix_search(sf_dir: str):
+    """Autocomplete tier: conjunctive prefix retrieval over the edge-ngram
+    index (reference edge_ngram tokenizer min 2 max 20 —
+    elasticsearch_index_manager.py:307-310), BM25-ranked on the prefix
+    field. tf=1 ties are rank-quantized exactly like the char3 tier."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import prefix_search
+
+    index_dir = _ensure_index(sf_dir, mode="edge")
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K * 4} for qid, t in PREFIX_QUERIES.items()]
+    )
+    res = prefix_search(qs, index_dir, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        return b
+
+    def _rerank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort").head(BM25_TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", "doc_id", "score"]]
+
+    return (
+        res.map_batches(_finish, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(_rerank, batch_format="pandas")
+    )
 
 
 def q_boolean_search(sf_dir: str):
@@ -1701,6 +1769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "boolean_search": q_boolean_search,
+        "prefix_search": q_prefix_search,
         "term_dictionary": q_term_dictionary,
         "corpus_stats": q_corpus_stats,
         "role_doclen": q_role_doclen,
@@ -1950,6 +2019,41 @@ ranked AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # Conjunctive prefix retrieval: candidate docs contain ALL query
+        # prefixes in their edge-gram set; BM25 with tf=1 over the prefix
+        # field; tf=1 ties rank on the quantized (rounded) score.
+        "prefix_search": f"""
+WITH {TRANSCRIPTS_CTE},
+{EDGE_CTE},
+pq(query_id, term) AS (VALUES {_prefix_values()}),
+npq AS (SELECT query_id, count(*)::BIGINT AS n FROM pq GROUP BY query_id),
+cand AS (
+  SELECT p.query_id, e.doc_id, count(*)::BIGINT AS c
+  FROM pq p JOIN edge e ON e.gram = p.term
+  GROUP BY p.query_id, e.doc_id
+),
+alive AS (
+  SELECT c.query_id, c.doc_id FROM cand c JOIN npq n ON n.query_id = c.query_id AND c.c = n.n
+),
+scorese AS (
+  SELECT a.query_id, a.doc_id,
+         sum( ln(1 + (s.n_docs - dfe.df + 0.5) / (dfe.df + 0.5))
+              * {_K1 + 1.0} / (1 + {_K1} * ({1.0 - _B} + {_B} * dle.dl / s.avgdl)) ) AS score
+  FROM alive a
+  JOIN pq q ON q.query_id = a.query_id
+  JOIN dfe ON dfe.gram = q.term
+  JOIN dle ON dle.doc_id = a.doc_id
+  CROSS JOIN statse s
+  GROUP BY a.query_id, a.doc_id
+),
+rankede AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scorese
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankede WHERE rnk <= {BM25_TOP_K}
 """,
         # Bool clauses: a candidate must match EVERY must term (count of
         # distinct matched must terms == clause size), no must_not term;

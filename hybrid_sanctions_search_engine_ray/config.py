@@ -43,7 +43,7 @@ class AnalyzerConfig:
     lexical tier phrase-proximity recall without positions.
     """
 
-    mode: str = "simple"  # "simple" | "full" | "char3" | "shingle"
+    mode: str = "simple"  # "simple" | "full" | "char3" | "edge" | "shingle"
     remove_stopwords: bool = False
     # suffix-stripping stemmer applied per token ("" = off; "ru" =
     # Snowball russian — the lightweight stand-in for the reference's

@@ -101,6 +101,36 @@ def tokenize_char3(text: str) -> list[str]:
     return sorted(grams)
 
 
+# --- edge-ngram (prefix) mode ------------------------------------------------
+# The reference's autocomplete field (reference: elasticsearch_index_manager
+# .py:307-310 edge_ngram tokenizer min_gram=2 max_gram=20; queried at
+# elasticsearch_adapters.py:247-256 with operator "and"): a document is
+# represented by the DISTINCT prefix set of its simple-mode tokens, so a
+# partially-typed query term matches every document containing a word that
+# starts with it. tf=1 per prefix, dl=|prefix set| (same set semantics as
+# the char3 field) — SQL-expressible via substring(term,1,g) + DISTINCT.
+
+EDGE_MIN_GRAM = 2
+EDGE_MAX_GRAM = 20
+
+
+def edge_grams(token: str) -> list[str]:
+    """Prefixes of one token, lengths EDGE_MIN..min(len, EDGE_MAX); the
+    whole token when shorter than EDGE_MIN (keeps 1-char tokens findable)."""
+    n = len(token)
+    if n < EDGE_MIN_GRAM:
+        return [token]
+    return [token[:g] for g in range(EDGE_MIN_GRAM, min(n, EDGE_MAX_GRAM) + 1)]
+
+
+def tokenize_edge(text: str) -> list[str]:
+    """simple-mode tokens → sorted distinct edge-ngram (prefix) set."""
+    grams: set[str] = set()
+    for tok in tokenize_simple(text):
+        grams.update(edge_grams(tok))
+    return sorted(grams)
+
+
 # --- shingle mode ------------------------------------------------------------
 # The word-shingle field of the reference's lexical tier (reference:
 # templates/elasticsearch/elasticsearch_component_template.json:20-29,47-52
@@ -261,6 +291,8 @@ def get_analyzer(cfg: AnalyzerConfig):
                 return [t for t in tokenize_simple(text) if t not in STOPWORDS]
     elif cfg.mode == "char3":
         base = tokenize_char3
+    elif cfg.mode == "edge":
+        base = tokenize_edge
     elif cfg.mode == "shingle":
         base = tokenize_shingle
     elif cfg.mode == "full":

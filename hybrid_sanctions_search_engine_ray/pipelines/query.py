@@ -54,7 +54,12 @@ RESULT_SCHEMA = pa.schema(
 class IndexReader:
     """Loads manifest once; reads + caches decoded postings on demand."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, search_mode: str | None = None):
+        """``search_mode`` overrides the QUERY-side analyzer only (ES
+        search_analyzer): the edge-ngram (autocomplete) field indexes
+        prefixes but queries with plain tokens — reference
+        elasticsearch_adapters.py:247-256 (match with operator "and"
+        against the edge_ngram subfield)."""
         self.index_dir = index_dir
         self.manifest = IndexManifest.load(index_dir)
         if self.manifest.status != "complete":
@@ -72,7 +77,9 @@ class IndexReader:
                 stem=self.manifest.stem,
             ),
         )
-        self.analyzer = get_analyzer(self.cfg.analyzer)
+        self.analyzer = get_analyzer(
+            AnalyzerConfig(mode=search_mode) if search_mode else self.cfg.analyzer
+        )
         # tombstoned docs are excluded from every result immediately;
         # corpus stats (N, avgdl, df) still count them until
         # compact_index runs — Lucene's deleted-until-merge semantics
@@ -320,8 +327,8 @@ class BooleanScorer:
     """Actor-pool callable for bool queries: batch rows
     (query_id, must[, should, must_not, top_k]) → top-k result rows."""
 
-    def __init__(self, index_dir: str, default_top_k: int = 50):
-        self.reader = IndexReader(index_dir)
+    def __init__(self, index_dir: str, default_top_k: int = 50, search_mode: str | None = None):
+        self.reader = IndexReader(index_dir, search_mode=search_mode)
         self.default_top_k = default_top_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -358,16 +365,38 @@ class BooleanScorer:
         )
 
 
-def boolean_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+def boolean_search(
+    queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, search_mode: str | None = None
+):
     """Queries Dataset (query_id, must[, should, must_not, top_k]) →
     results Dataset with ES bool-clause semantics (see
-    :meth:`IndexReader.search_one_boolean`)."""
+    :meth:`IndexReader.search_one_boolean`). ``search_mode`` overrides the
+    query-side analyzer (prefix search = plain tokens vs an edge index)."""
     return queries_ds.map_batches(
         BooleanScorer,
-        fn_constructor_args=(index_dir, cfg.top_k),
+        fn_constructor_args=(index_dir, cfg.top_k, search_mode),
         batch_format="pandas",
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
+    )
+
+
+def prefix_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Autocomplete retrieval against an edge-ngram index (built with
+    ``AnalyzerConfig(mode="edge")``): queries (query_id, query_text
+    [, top_k]); EVERY typed token must prefix-match some document word
+    (reference's match-with-operator-"and" on the edge_ngram subfield —
+    elasticsearch_adapters.py:247-256), ranked by BM25 over the prefix
+    field. Query tokens stay plain (search_mode="simple")."""
+
+    def _to_must(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"query_text": "must"})
+
+    return boolean_search(
+        queries_ds.map_batches(_to_must, batch_format="pandas"),
+        index_dir,
+        cfg,
+        search_mode="simple",
     )
 
 

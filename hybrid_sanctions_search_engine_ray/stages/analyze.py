@@ -110,6 +110,55 @@ def _char3_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
     return d[order], dist["t"].combine_chunks().take(pa.array(order))
 
 
+def _edge_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """edge mode, fully vectorized: simple-mode tokens → DISTINCT
+    per-document prefix set (reference edge_ngram tokenizer min 2 max 20 —
+    elasticsearch_index_manager.py:307-310). One ``utf8_slice_codeunits``
+    sweep per prefix length over the tokens still long enough; whole token
+    kept when shorter than the min gram. Matches
+    ``functions.analyzer.tokenize_edge`` and the driver oracle's
+    ``substring(term,1,g) + DISTINCT`` SQL exactly."""
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import EDGE_MAX_GRAM, EDGE_MIN_GRAM
+
+    tokens = pc.split_pattern_regex(_lower_nfc(text), _SIMPLE_RE2)
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = parent.filter(keep)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    pnp = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    parts_p: list[np.ndarray] = []
+    parts_g: list[pa.Array] = []
+    short = lens < EDGE_MIN_GRAM
+    if short.any():
+        parts_p.append(pnp[short])
+        parts_g.append(flat.filter(pa.array(short)))
+    hi = min(int(lens.max()), EDGE_MAX_GRAM)
+    for g in range(EDGE_MIN_GRAM, hi + 1):
+        sel = lens >= g
+        if not sel.any():
+            break
+        parts_p.append(pnp[sel])
+        parts_g.append(pc.utf8_slice_codeunits(flat.filter(pa.array(sel)), 0, g))
+    occ = pa.table(
+        {
+            "d": pa.array(np.concatenate(parts_p), pa.int64()),
+            "t": pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in parts_g]
+            ),
+        }
+    )
+    dist = occ.group_by(["d", "t"]).aggregate([])  # distinct (doc, prefix)
+    d = dist["d"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d, kind="stable")  # nondecreasing-parent invariant
+    return d[order], dist["t"].combine_chunks().take(pa.array(order))
+
+
 def _shingle_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
     """shingle mode, fully vectorized: simple-mode tokens + space-joined
     word 2-/3-shingles (reference shingle_analyzer, min 2 max 3,
@@ -181,6 +230,8 @@ def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Arr
         return parent.filter(keep).to_numpy(zero_copy_only=False), flat.filter(keep)
     if cfg.mode == "char3" and not cfg.stem:
         return _char3_flat(text)
+    if cfg.mode == "edge" and not cfg.stem:
+        return _edge_flat(text)
     if cfg.mode == "shingle" and not cfg.stem:
         return _shingle_flat(text)
     # full mode: per-row Python tokenizer, Arrow everything after

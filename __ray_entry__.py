@@ -1618,6 +1618,49 @@ def q_dup_clusters(sf_dir: str):
     return assign_clusters(corpus, comps)
 
 
+def q_vectors_jsonl(sf_dir: str):
+    """Vector JSON writer/reader (reference S4: scripts/
+    generate_vectors.py:134-136 vector JSON export) — the embeddings
+    table round-trips through sharded JSONL and comes back value-exact:
+    returns (vec_id, dim, l2 norm) computed from the RE-READ vectors, so
+    a lossy write/read would break the SQL oracle (which computes the
+    same from the original parquet)."""
+    import shutil
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import (
+        read_vectors_json,
+        write_vectors_json,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_vectors_jsonl_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    write_vectors_json(ds, out)
+    back = read_vectors_json(out)
+
+    def _norms(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        emb = batch["embedding"]
+        vals = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False).astype(np.int64)
+        assert (lens > 0).all(), "zero-length vector in embeddings table"
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sq = np.add.reduceat(vals * vals, offs) if len(vals) else np.empty(0)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "dim": pa.array(lens, pa.int64()),
+                "l2_norm": pa.array(_round4(np.sqrt(sq)), pa.float64()),
+            }
+        )
+
+    return back.map_batches(_norms, batch_format="pyarrow")
+
+
 def q_minhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -1811,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
+        "vectors_jsonl": q_vectors_jsonl,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
@@ -2604,6 +2648,14 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
 )
 SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id FROM reach GROUP BY src
+""",
+        # The JSONL roundtrip must be value-exact: norms computed from the
+        # re-read vectors (Ray side) equal norms from the original parquet.
+        "vectors_jsonl": """
+SELECT vec_id,
+       len(embedding)::BIGINT AS dim,
+       round(sqrt(list_sum([CAST(x AS DOUBLE) * x FOR x IN embedding])), 4) AS l2_norm
+FROM embeddings
 """,
         "events_window": """
 SELECT event_type,

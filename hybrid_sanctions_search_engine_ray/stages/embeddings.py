@@ -105,3 +105,30 @@ def write_embeddings(ds, out_path: str, dim: int = 64,
         concurrency=concurrency, batch_size=batch_size,
     ).write_parquet(out_path)
     return out_path
+
+
+def write_vectors_json(ds, out_dir: str) -> str:
+    """Vector JSON sink (reference parity: scripts/generate_vectors.py:
+    134-136 dumps ONE monolithic JSON array; SURVEY.md §2.1 S4). Here:
+    newline-delimited JSON, one shard per output block — streaming,
+    resumable, and parallel-readable, unlike a single json.dump file.
+    Any (id, list<float>) schema passes through unchanged."""
+    ds.write_json(out_dir)
+    return out_dir
+
+
+def read_vectors_json(path: str, vector_col: str = "embedding", dtype=pa.float32()):
+    """Read a JSONL vector directory back into a Dataset, restoring the
+    float32 list dtype JSON cannot carry (JSON numbers parse as float64)."""
+    import ray.data as rd
+
+    target = pa.list_(dtype)
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        col = batch[vector_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = batch.schema.get_field_index(vector_col)
+        return batch.set_column(idx, vector_col, col.cast(target))
+
+    return rd.read_json(path).map_batches(_cast, batch_format="pyarrow")

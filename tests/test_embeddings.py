@@ -84,3 +84,31 @@ def test_embed_documents_pipeline_and_sink(ray_session, tmp_path):
         top = res[res.query_vec_id == qid].sort_values("rank").iloc[0]
         assert top["vec_id"] == qid  # self is most similar
         assert top["cos_sim"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_vectors_jsonl_roundtrip_exact(ray_session, tmp_path):
+    """JSONL vector sink/source: sharded write, value-exact float32
+    roundtrip (reference S4 vector JSON export re-expressed)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import (
+        read_vectors_json,
+        write_vectors_json,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = str(tmp_path / "vecs_jsonl")
+    write_vectors_json(ds, out)
+    back = read_vectors_json(out).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert back["vec_id"].tolist() == list(range(40))
+    got = np.array(back["embedding"].tolist(), dtype=np.float32)
+    np.testing.assert_array_equal(got, vecs)  # bit-exact through JSON

@@ -1580,6 +1580,19 @@ _CLUSTER_DOCS = 200  # near-dup edges drawn from this doc prefix
 _CLUSTER_MIN = 0.02  # word-3-shingle Jaccard edge threshold
 
 
+def q_lm_fluency(sf_dir: str):
+    """Bigram-LM fluency (nll) per document — self-trained add-k
+    smoothed word-bigram model, the CCNet/KenLM-style perplexity quality
+    signal (stages/lm_score.py: bigram-key shuffle + broadcast unigram
+    table, no joins)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.lm_score import lm_score
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return lm_score(ds, k=0.5)
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate-cluster assignment over the FULL corpus: near-dup PAIRS
     (word-3-shingle Jaccard ≥ threshold on a doc prefix — the same exact
@@ -1854,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
+        "lm_fluency": q_lm_fluency,
         "vectors_jsonl": q_vectors_jsonl,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -2648,6 +2662,28 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
 )
 SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id FROM reach GROUP BY src
+""",
+        # Self-trained bigram LM: P(w2|w1) = (c12 + k)/(cf(w1) + k·V);
+        # nll = -avg ln P over the doc's bigram positions. Documents with
+        # <2 tokens have no bigram rows and drop out of both sides.
+        "lm_fluency": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+big AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+cb AS (SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY w1, w2),
+cu AS (SELECT term, count(*)::BIGINT AS c FROM tokpos GROUP BY term),
+v AS (SELECT count(*)::BIGINT AS v FROM cu)
+SELECT big.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       round(-avg(ln((cb.c + 0.5) / (cu.c + 0.5 * v.v))), 4) AS nll
+FROM big
+JOIN cb ON cb.w1 = big.w1 AND cb.w2 = big.w2
+JOIN cu ON cu.term = big.w1
+CROSS JOIN v
+GROUP BY big.doc_id
 """,
         # The JSONL roundtrip must be value-exact: norms computed from the
         # re-read vectors (Ray side) equal norms from the original parquet.

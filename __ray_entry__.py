@@ -1168,6 +1168,51 @@ def q_segment_revenue(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+def q_large_join(sf_dir: str):
+    """Large×large SHUFFLE hash join — the no-broadcast case (both sides
+    too big to ship): Ray Data's native hash-partitioned ``Dataset.join``
+    (each side hash-partitions on the key; partitions join
+    independently), revenue computed BEFORE the join so only (key, rev)
+    crosses the shuffle, then a tiny per-priority aggregate."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": _pc.multiply(b["l_extendedprice"], _pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    # num_partitions sizes the hash exchange: at real scale it tracks
+    # cluster width (× per-partition memory); 8 keeps the correctness-gate
+    # run from being dominated by aggregator-actor startup.
+    joined = line.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    agg = joined.groupby("o_orderpriority").aggregate(Sum("rev"), Count())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue": _round4(b["sum(rev)"].to_numpy(np.float64)),
+                "n_items": b["count()"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
 def q_semi_join_agg(sf_dir: str):
     """Broadcast semi-join (ray_guide "Semi / anti join": ship the key
     set once, filter inside map_batches — no shuffle) + partial-agg:
@@ -1853,6 +1898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "segment_revenue": q_segment_revenue,
         "semi_join_agg": q_semi_join_agg,
+        "large_join": q_large_join,
         "lineitem_agg": q_lineitem_agg,
         "bm25_confidence": q_bm25_confidence,
         "ngram_bm25": q_ngram_bm25,
@@ -2326,6 +2372,13 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, session_idx
+""",
+        "large_join": """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
 """,
         "semi_join_agg": """
 SELECT l_returnflag,

@@ -1213,6 +1213,191 @@ def q_large_join(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pandas")
 
 
+def q_anti_join(sf_dir: str):
+    """Broadcast ANTI-join (NOT EXISTS): customers with no URGENT order,
+    counted per segment. The urgent-custkey DISTINCT set is computed
+    distributed (per-batch dedup → distinct-value shuffle), broadcast
+    once via ray.put, and probed inside map_batches — the fact side
+    never shuffles (stages/relational.py::broadcast_anti_join)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import (
+        broadcast_anti_join,
+        distinct_keys,
+    )
+
+    urgent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(_pc.equal(b["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys = distinct_keys(urgent, "o_custkey")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    kept = broadcast_anti_join(cust, keys, on="c_custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"c_mktsegment": b["c_mktsegment"]}).group_by("c_mktsegment").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["c_mktsegment", "n_p"])
+
+    agg = kept.map_batches(partial, batch_format="pyarrow").groupby("c_mktsegment").aggregate(
+        Sum("n_p", alias_name="n_customers")
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_mktsegment": b["c_mktsegment"], "n_customers": b["n_customers"].astype(np.int64)}
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def q_count_distinct(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT user_id) per event_type: the
+    shuffle carries only the deduped (type, user) pairs, never raw rows
+    (stages/relational.py::exact_count_distinct)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import exact_count_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"])
+    res = exact_count_distinct(ev, key="event_type", distinct_col="user_id")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n_distinct": b["n_distinct"].astype(np.int64),
+                "n_rows": b["n_rows"].astype(np.int64),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def q_user_gaps(sf_dir: str):
+    """lag()-window family: per-user stats over gaps between consecutive
+    events (one key shuffle + vectorized per-group diff, integer-µs
+    exact until the final divide — stages/windows.py::gap_stats)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import gap_stats
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+    res = gap_stats(ev, key="user_id", ts="ts", order_break="event_id")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_gaps"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype(np.int64),
+                "n_gaps": b["n_gaps"].astype(np.int64),
+                "avg_gap_s": _round4(b["sum_gap_us"].to_numpy(np.float64) / (1_000_000.0 * n)),
+                "max_gap_s": b["max_gap_us"].to_numpy(np.float64) / 1_000_000.0,
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def q_moving_avg(sf_dir: str):
+    """Per-row windowed aggregate: trailing 3-row mean of value within
+    each user's ts-ordered stream (avg OVER (PARTITION BY ... ROWS 2
+    PRECEDING) — stages/windows.py::trailing_mean, order-exact shifted
+    adds so the float sum matches an in-order SQL window)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import trailing_mean
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    res = trailing_mean(ev, key="user_id", ts="ts", order_break="event_id", col="value", window_rows=3)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype(np.int64),
+                "event_id": b["event_id"].astype(np.int64),
+                "mavg": _round4(b["mavg"].to_numpy(np.float64)),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): one scan + one small
+    fine-level groupby; coarser levels re-aggregate the tiny fine table
+    (stages/relational.py::rollup) — the fact rows shuffle zero times."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import rollup
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "rev": _pc.multiply(b["l_extendedprice"], _pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    res = rollup(line, keys=["l_returnflag", "l_linestatus"], value_col="rev")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "revenue": _round4(b["sum_value"].to_numpy(np.float64)),
+                "n_rows": b["n_rows"].astype(np.int64),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+INTERP_QS = [0.25, 0.5, 0.9]
+
+
+def q_interp_quantiles(sf_dir: str):
+    """percentile_cont: exact interpolated quantiles per event_type via
+    the value-count-histogram shuffle (raw rows never move); bracketing
+    indices exact-rational, interpolation float64
+    (stages/quantiles.py::grouped_interp_quantiles)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import grouped_interp_quantiles
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"])
+    res = grouped_interp_quantiles(ev, key="event_type", col="value", qs=INTERP_QS)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "q": b["q"].astype(np.float64),
+                "value": _round4(b["value"].to_numpy(np.float64)),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
 def q_semi_join_agg(sf_dir: str):
     """Broadcast semi-join (ray_guide "Semi / anti join": ship the key
     set once, filter inside map_batches — no shuffle) + partial-agg:
@@ -1899,6 +2084,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "semi_join_agg": q_semi_join_agg,
         "large_join": q_large_join,
+        "anti_join": q_anti_join,
+        "count_distinct": q_count_distinct,
+        "user_gaps": q_user_gaps,
+        "moving_avg": q_moving_avg,
+        "rollup_revenue": q_rollup_revenue,
+        "interp_quantiles": q_interp_quantiles,
         "lineitem_agg": q_lineitem_agg,
         "bm25_confidence": q_bm25_confidence,
         "ngram_bm25": q_ngram_bm25,
@@ -2379,6 +2570,57 @@ SELECT o.o_orderpriority,
        count(*)::BIGINT AS n_items
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
+""",
+        "anti_join": """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+FROM customer c
+WHERE c.c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+        "count_distinct": """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_distinct,
+       count(*)::BIGINT AS n_rows
+FROM events GROUP BY event_type
+""",
+        "user_gaps": """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id,
+       count(gap)::BIGINT AS n_gaps,
+       round(sum(gap) / (1000000.0 * count(gap)), 4) AS avg_gap_s,
+       max(gap) / 1000000.0 AS max_gap_s
+FROM d WHERE gap IS NOT NULL
+GROUP BY user_id
+""",
+        "moving_avg": """
+SELECT user_id, event_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+FROM events
+""",
+        "rollup_revenue": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(rev), 4) AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM (SELECT l_returnflag, l_linestatus,
+             l_extendedprice * (1.0 - l_discount) AS rev
+      FROM lineitem)
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+        "interp_quantiles": """
+SELECT event_type, q, round(v, 4) AS value
+FROM (
+  SELECT event_type,
+         unnest([0.25, 0.5, 0.9]) AS q,
+         unnest(quantile_cont(value, [0.25, 0.5, 0.9])) AS v
+  FROM events GROUP BY event_type)
 """,
         "semi_join_agg": """
 SELECT l_returnflag,

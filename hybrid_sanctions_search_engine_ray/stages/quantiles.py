@@ -69,3 +69,54 @@ def grouped_exact_quantiles(ds, key: str, col: str, qs: list[float]):
         return pd.DataFrame(rows)
 
     return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def grouped_interp_quantiles(ds, key: str, col: str, qs: list[float]):
+    """Exact per-``key`` INTERPOLATED quantiles (``quantile_cont`` /
+    percentile_cont semantics: position ``q*(n-1)``, linear interpolation
+    between the two bracketing order statistics) over the same
+    value-count-histogram shuffle as :func:`grouped_exact_quantiles` —
+    raw rows never move, only the distinct-value histogram does.
+
+    Interpolation runs in float64 with the standard
+    ``lo*(ceil-rn) + hi*(rn-floor)`` formula (the rule DuckDB/Postgres
+    document for percentile_cont), with the bracketing INDICES derived
+    from exact rational arithmetic so float rounding of ``q*(n-1)`` can
+    never select the wrong neighbors.
+    """
+    from ray.data.aggregate import Sum
+
+    q_fracs = [(float(q), Fraction(str(q))) for q in qs]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], col: b[col]})
+        g = t.group_by([key, col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, col, "c_p"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, col])
+        .aggregate(Sum("c_p", alias_name="c"))
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="mergesort")
+        cum = g["c"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        vals = g[col].to_numpy(dtype=np.float64)
+        rows = []
+        for qf, frac in q_fracs:
+            rn = frac * (n - 1)  # exact rational position
+            f_idx = rn.numerator // rn.denominator
+            c_idx = -((-rn.numerator) // rn.denominator)
+            lo = vals[int(np.searchsorted(cum, f_idx + 1, side="left"))]
+            if c_idx == f_idx:
+                val = float(lo)
+            else:
+                hi = vals[int(np.searchsorted(cum, c_idx + 1, side="left"))]
+                fr = float(rn - f_idx)
+                val = float(lo) * (1.0 - fr) + float(hi) * fr
+            rows.append({key: g[key].iloc[0], "q": qf, "value": val})
+        return pd.DataFrame(rows)
+
+    return counts.groupby(key).map_groups(finish, batch_format="pandas")

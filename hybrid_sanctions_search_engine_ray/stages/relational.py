@@ -1,0 +1,172 @@
+"""Relational operators Ray Data lacks natively, re-expressed in the
+partial-agg / broadcast shapes that survive 100-TB inputs (SURVEY.md
+§2.4/§2.5 extras; reference analogue: the ad-hoc pandas/SQL analytics in
+its monitoring + screening-decision layers).
+
+* :func:`exact_count_distinct` — COUNT(DISTINCT x) BY key with ONE
+  shuffle over the distinct (key, x) pairs (per-batch dedup first, so
+  the exchange carries at most the distinct-pair cardinality, never the
+  raw rows).
+* :func:`broadcast_anti_join` — NOT EXISTS / anti-semi-join: ship the
+  key SET once via ``ray.put``, drop matching rows inside
+  ``map_batches``. No shuffle; mirrors ``joins.broadcast_join``'s
+  small-side assumption (the distinct key set fits a worker heap).
+* :func:`rollup` — GROUP BY ROLLUP(k1, k2, ...): the fact table is
+  aggregated ONCE at the finest level (partial-agg + small groupby);
+  every coarser level is re-aggregated from that already-small fine
+  table, so the raw rows shuffle zero times and scan once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+ROLLUP_ALL = "ALL"
+
+
+def exact_count_distinct(ds, key: str, distinct_col: str):
+    """Per-``key`` exact COUNT(DISTINCT distinct_col) + COUNT(*).
+
+    Two-level aggregation: per-batch (key, x) counts → groupby the pair
+    (the only shuffle, sized by distinct-pair cardinality) → tiny per-key
+    finisher. Exact for any skew; for set cardinalities too large even as
+    distinct pairs, use the HLL sketch (``functions/sketches.py``).
+    Returns a Dataset with (key, n_distinct:int64, n_rows:int64).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({key: b[key], distinct_col: b[distinct_col]}).group_by(
+            [key, distinct_col]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns([key, distinct_col, "c_p"])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, distinct_col])
+        .aggregate(Sum("c_p", alias_name="c"))
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({key: b[key], "c": b["c"]}).group_by(key).aggregate(
+            [("c", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([key, "rows_p", "dist_p"])
+
+    agg = (
+        pairs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("dist_p", alias_name="n_distinct"), Sum("rows_p", alias_name="n_rows"))
+    )
+    return agg
+
+
+class _AntiJoiner:
+    def __init__(self, keys_ref, on: str):
+        import pyarrow.compute as pc  # noqa: F401
+
+        self.keys = ray.get(keys_ref)  # pa.Array of distinct keys
+        self.on = on
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[self.on]
+        # Arrow is_in maps NULL probes to false; AND with validity so
+        # NULL rows are dropped (SQL NOT IN semantics, per docstring).
+        mask = pc.and_(pc.invert(pc.is_in(col, value_set=self.keys)), pc.is_valid(col))
+        return batch.filter(mask)
+
+
+def broadcast_anti_join(big_ds, keys: pa.Array, on: str, concurrency: int = 4):
+    """Keep rows of ``big_ds`` whose ``on`` value is NOT in ``keys``.
+
+    ``keys`` must be the small side's distinct key set (broadcast once
+    via the object store). NULL semantics: NULL probe values are dropped
+    — matching SQL ``NOT IN`` against a non-null key list (NULL NOT IN
+    (...) is never true).
+    """
+    ref = ray.put(keys)
+    return big_ds.map_batches(
+        _AntiJoiner,
+        fn_constructor_args=(ref, on),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def distinct_keys(ds, on: str) -> pa.Array:
+    """Distinct values of one column, computed distributed (per-batch
+    dedup partial → groupby shuffle over distinct values only) and
+    collected to the driver — the build side of
+    :func:`broadcast_anti_join`. Collection is safe exactly because the
+    result is the DISTINCT set, not the rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({on: b[on]}).group_by(on).aggregate([])
+        return g
+
+    dist = ds.map_batches(partial, batch_format="pyarrow").groupby(on).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in dist.to_arrow_refs()], promote_options="default"
+    )
+    return tbl[on].combine_chunks()
+
+
+def rollup(ds, keys: list[str], value_col: str, all_label: str = ROLLUP_ALL):
+    """GROUP BY ROLLUP(*keys): sum(value_col) + count(*) at every rollup
+    level (finest → grand total), with coarser levels' key columns filled
+    with ``all_label``.
+
+    The fact table is scanned once and aggregated at the finest level
+    (partial per batch → small groupby); coarser levels re-aggregate the
+    FINE table, which is already cardinality-bounded — so each extra
+    level costs a pandas groupby over a small frame, not another pass
+    over the data. Key columns must be strings (the fill label shares
+    the column type). Returns a Dataset with (keys..., sum_value:double,
+    n_rows:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {k: b[k] for k in keys}
+        cols[value_col] = b[value_col]
+        g = pa.table(cols).group_by(keys).aggregate([(value_col, "sum"), ([], "count_all")])
+        return g.rename_columns([*keys, "sum_p", "n_p"])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("sum_p", alias_name="sum_value"), Sum("n_p", alias_name="n_rows"))
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        levels = [df[[*keys, "sum_value", "n_rows"]]]
+        for depth in range(len(keys) - 1, -1, -1):
+            kept = keys[:depth]
+            if kept:
+                g = df.groupby(kept, sort=False, as_index=False).agg(
+                    sum_value=("sum_value", "sum"), n_rows=("n_rows", "sum")
+                )
+            else:
+                g = pd.DataFrame(
+                    {"sum_value": [df["sum_value"].sum()], "n_rows": [df["n_rows"].sum()]}
+                )
+            for k in keys[depth:]:
+                g[k] = all_label
+            levels.append(g[[*keys, "sum_value", "n_rows"]])
+        out = pd.concat(levels, ignore_index=True)
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return out
+
+    # The fine aggregate is small by construction; repartition(1) makes
+    # the rollup expansion see ALL fine rows (coarser levels must sum
+    # across every fine group, so this one stage is a deliberate barrier
+    # over the tiny aggregate — never over the fact table).
+    return fine.repartition(1).map_batches(expand, batch_format="pandas", batch_size=None)

@@ -84,3 +84,67 @@ def sessionize(events_ds, gap_s: int = 1800, concurrency: int | None = None):
     return events_ds.groupby("user_id").map_groups(
         lambda g: sessionize_group(g, gap_s), batch_format="pandas"
     )
+
+
+def gap_stats_group(g: pd.DataFrame, key: str, ts: str, order_break: str) -> pd.DataFrame:
+    """One key's events → a single row of consecutive-gap statistics
+    (``lag()``-window re-expression: sort by (ts, order_break), diff).
+    Emits nothing for single-event keys (no gaps — matches SQL where the
+    lag of the first row is NULL and aggregates ignore NULLs)."""
+    g = g.sort_values([ts, order_break], kind="mergesort")
+    t = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+    if t.size < 2:
+        return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype),
+                             "n_gaps": pd.Series([], dtype=np.int64),
+                             "sum_gap_us": pd.Series([], dtype=np.int64),
+                             "max_gap_us": pd.Series([], dtype=np.int64)})
+    gaps = np.diff(t)
+    # Integer microseconds (exact) — callers derive float seconds/means
+    # themselves so rounding happens once, at the edge.
+    return pd.DataFrame({key: [g[key].iloc[0]],
+                         "n_gaps": np.array([gaps.size], dtype=np.int64),
+                         "sum_gap_us": np.array([gaps.sum()], dtype=np.int64),
+                         "max_gap_us": np.array([gaps.max()], dtype=np.int64)})
+
+
+def gap_stats(events_ds, key: str = "user_id", ts: str = "ts", order_break: str = "event_id"):
+    """Per-key stats over the gaps between consecutive events — the
+    ``lag() OVER (PARTITION BY key ORDER BY ts)`` family as ONE key
+    shuffle + vectorized per-group diff. ``order_break`` disambiguates
+    equal timestamps so the ordering (hence the gap multiset) is
+    deterministic."""
+    return events_ds.groupby(key).map_groups(
+        lambda g: gap_stats_group(g, key, ts, order_break), batch_format="pandas"
+    )
+
+
+def trailing_mean_group(g: pd.DataFrame, key: str, ts: str, order_break: str,
+                        col: str, window_rows: int) -> pd.DataFrame:
+    """One key's events → per-event trailing mean of ``col`` over the
+    last ``window_rows`` rows (ROWS BETWEEN w-1 PRECEDING AND CURRENT
+    ROW), vectorized via a prefix-sum difference."""
+    g = g.sort_values([ts, order_break], kind="mergesort")
+    v = g[col].to_numpy(dtype=np.float64)
+    n = v.size
+    # Window sums via explicit shifted adds, earliest addend first —
+    # bit-identical to summing each window in row order (a prefix-sum
+    # difference would introduce cancellation error on long groups).
+    s = np.zeros(n, dtype=np.float64)
+    for off in range(window_rows - 1, -1, -1):
+        s[off:] += v[: n - off]
+    width = np.minimum(np.arange(1, n + 1), window_rows)
+    mavg = s / width
+    return pd.DataFrame({key: g[key].to_numpy(), order_break: g[order_break].to_numpy(),
+                         "mavg": mavg})
+
+
+def trailing_mean(events_ds, key: str = "user_id", ts: str = "ts",
+                  order_break: str = "event_id", col: str = "value", window_rows: int = 3):
+    """Per-row trailing moving average within each key — the
+    ``avg() OVER (PARTITION BY ... ORDER BY ... ROWS k PRECEDING)``
+    window as one key shuffle + per-group prefix sums. Output keeps
+    (key, order_break) so rows stay joinable back to the source."""
+    return events_ds.groupby(key).map_groups(
+        lambda g: trailing_mean_group(g, key, ts, order_break, col, window_rows),
+        batch_format="pandas",
+    )

@@ -1213,6 +1213,34 @@ def q_large_join(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pandas")
 
 
+MLT_SEEDS = [3, 57, 211]
+_MLT_MAX_TERMS, _MLT_MIN_DF, _MLT_TOP_K = 5, 2, 10
+
+
+def q_more_like_this(sf_dir: str):
+    """ES more_like_this: document-as-query. Seed text point-read with
+    doc_id pushdown, deterministic interesting-term pick (tf desc, df
+    asc, term asc; df>=min_df), BM25 MaxScore over the picked terms,
+    seed excluded (pipelines/query.py::more_like_this)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import more_like_this
+
+    index_dir = _ensure_index(sf_dir)
+    seeds = rd.from_items([{"seed_id": s} for s in MLT_SEEDS])
+    res = more_like_this(
+        seeds, index_dir, os.path.join(sf_dir, "documents.parquet"),
+        max_terms=_MLT_MAX_TERMS, min_df=_MLT_MIN_DF, top_k=_MLT_TOP_K,
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        return b
+
+    return res.map_batches(final, batch_format="pandas")
+
+
 def q_anti_join(sf_dir: str):
     """Broadcast ANTI-join (NOT EXISTS): customers with no URGENT order,
     counted per segment. The urgent-custkey DISTINCT set is computed
@@ -2084,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "semi_join_agg": q_semi_join_agg,
         "large_join": q_large_join,
+        "more_like_this": q_more_like_this,
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "user_gaps": q_user_gaps,
@@ -2570,6 +2599,40 @@ SELECT o.o_orderpriority,
        count(*)::BIGINT AS n_items
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
+""",
+        "more_like_this": f"""
+WITH {TRANSCRIPTS_CTE},
+seeds(seed_id) AS (VALUES {", ".join(f"({s})" for s in MLT_SEEDS)}),
+cand AS (
+  SELECT s.seed_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY s.seed_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+  FROM seeds s
+  JOIN tf ON tf.doc_id = s.seed_id
+  JOIN df ON df.term = tf.term
+  WHERE df.df >= {_MLT_MIN_DF}
+),
+sel AS (SELECT seed_id, term FROM cand WHERE rn <= {_MLT_MAX_TERMS}),
+scores AS (
+  SELECT c.seed_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM sel c
+  JOIN tf ON tf.term = c.term
+  JOIN df ON df.term = c.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> c.seed_id
+  GROUP BY c.seed_id, tf.doc_id
+),
+ranked AS (
+  SELECT seed_id, doc_id, score,
+         row_number() OVER (PARTITION BY seed_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT seed_id::BIGINT AS seed_id, cast(rnk AS int) AS rank, doc_id,
+       round(score, 4) AS score
+FROM ranked WHERE rnk <= {_MLT_TOP_K}
 """,
         "anti_join": """
 SELECT c_mktsegment, count(*)::BIGINT AS n_customers

@@ -512,3 +512,84 @@ def attach_docmap(results_df: pd.DataFrame, index_dir: str) -> pd.DataFrame:
         filter=pads.field("doc_id").isin(ids)
     ).to_pandas()
     return results_df.merge(dm, on="doc_id", how="left")
+
+
+class MLTScorer:
+    """Actor-pool callable for more-like-this: a batch of seed doc ids →
+    top-k similar docs. Per seed: point-read the seed text from the
+    source parquet (doc_id predicate pushdown — row-group pruned, never
+    a scan), analyze it with the index's analyzer, pick the
+    ``max_terms`` most interesting terms by the fully-integer key
+    (tf desc, df asc, term asc) with ``df >= min_df`` (ES more_like_this
+    min_doc_freq/max_query_terms analog, deterministic — no float-ulp
+    tie hazards in term selection), then BM25-score those terms through
+    the same MaxScore path as plain search, excluding the seed doc."""
+
+    def __init__(self, index_dir: str, source_path: str, max_terms: int = 5,
+                 min_df: int = 2, top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.source_path = source_path
+        self.max_terms = max_terms
+        self.min_df = min_df
+        self.top_k = top_k
+
+    def _seed_texts(self, seed_ids: list[int]) -> dict[int, str]:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.source_path, columns=["doc_id", "text"],
+                          filters=[("doc_id", "in", seed_ids)])
+        return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        r = self.reader
+        seeds = [int(s) for s in batch["seed_id"]]
+        texts = self._seed_texts(seeds)
+        out = {"seed_id": [], "rank": [], "doc_id": [], "score": []}
+        for seed in seeds:
+            toks = r.analyzer(texts.get(seed, ""))
+            if not toks:
+                continue
+            terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            postings = r.load_postings([str(t) for t in terms])
+            cand = [
+                (-int(tf_), int(postings[str(t)].doc_ids.size), str(t))
+                for t, tf_ in zip(terms, tfs)
+                if str(t) in postings and postings[str(t)].doc_ids.size >= self.min_df
+            ]
+            cand.sort()
+            sel = [t for _, _, t in cand[: self.max_terms]]
+            docs, scores = score_maxscore(
+                [postings[t] for t in sel], self.top_k + 1
+            )
+            keep = docs != seed
+            docs, scores = docs[keep][: self.top_k], scores[keep][: self.top_k]
+            n = docs.size
+            out["seed_id"].extend([seed] * n)
+            out["rank"].extend(range(1, n + 1))
+            out["doc_id"].extend(docs.astype(np.int64).tolist())
+            out["score"].extend(scores.tolist())
+        return pd.DataFrame(
+            {
+                "seed_id": pd.Series(out["seed_id"], dtype=np.int64),
+                "rank": pd.Series(out["rank"], dtype=np.int32),
+                "doc_id": pd.Series(out["doc_id"], dtype=np.int64),
+                "score": pd.Series(out["score"], dtype=np.float64),
+            }
+        )
+
+
+def more_like_this(seeds_ds, index_dir: str, source_path: str,
+                   cfg: EngineConfig = DEFAULT_CONFIG, max_terms: int = 5,
+                   min_df: int = 2, top_k: int = 10):
+    """Seeds Dataset (seed_id:int64) → Dataset of similar docs per seed
+    (seed_id, rank, doc_id, score). Reference analog: the "find similar
+    sanctioned entities" flow (hybrid_search_service.py escalation with a
+    document-as-query); ES more_like_this semantics with deterministic
+    term selection."""
+    return seeds_ds.map_batches(
+        MLTScorer,
+        fn_constructor_args=(index_dir, source_path, max_terms, min_df, top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

@@ -1213,6 +1213,53 @@ def q_large_join(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pandas")
 
 
+_PAGE_SIZE = 5
+
+
+def q_search_after(sf_dir: str):
+    """ES search_after cursor pagination: page 1 via plain top-k, page 2
+    via the (score, doc_id) cursor tuple filter — NOT an offset; page
+    boundaries are exact-float stable because scoring is deterministic
+    (pipelines/query.py::search_after). Output rank is GLOBAL."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search, search_after
+
+    index_dir = _ensure_index(sf_dir)
+    q1 = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": _PAGE_SIZE}
+         for qid, text in BM25_QUERIES.items()]
+    )
+    # page 1 MUST use the same exhaustive kernel as the cursor filter:
+    # MaxScore's different summation order drifts scores by 1 ulp, which
+    # breaks the exact-float cursor equality the tuple filter relies on.
+    page1 = search(q1, index_dir, method="taat").to_pandas()  # tiny: ≤ 5 rows/query
+    cursors = page1.loc[page1.groupby("query_id")["rank"].idxmax()]
+    q2 = rd.from_items(
+        [
+            {
+                "query_id": r.query_id,
+                "query_text": BM25_QUERIES[r.query_id],
+                "cursor_score": float(r.score),
+                "cursor_doc": int(r.doc_id),
+                "top_k": _PAGE_SIZE,
+            }
+            for r in cursors.itertuples(index=False)
+        ]
+    )
+    page2 = search_after(q2, index_dir).to_pandas()
+    offsets = page1.groupby("query_id")["rank"].max()
+    page1["page"] = 1
+    page2["page"] = 2
+    page2["rank"] = (
+        page2["rank"] + page2["query_id"].map(offsets).astype(np.int32)
+    ).astype(np.int32)
+    out = pd.concat([page1, page2], ignore_index=True)
+    out["score"] = _round4(out["score"].to_numpy())
+    out["page"] = out["page"].astype(np.int32)
+    return out[["query_id", "page", "rank", "doc_id", "score"]]
+
+
 MLT_SEEDS = [3, 57, 211]
 _MLT_MAX_TERMS, _MLT_MIN_DF, _MLT_TOP_K = 5, 2, 10
 
@@ -1420,6 +1467,34 @@ def q_interp_quantiles(sf_dir: str):
                 "event_type": b["event_type"],
                 "q": b["q"].astype(np.float64),
                 "value": _round4(b["value"].to_numpy(np.float64)),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def q_global_topn(sf_dir: str):
+    """Global top-100 by price WITHOUT a global sort: per-batch partial
+    top-N → one tiny merge (stages/relational.py::global_topn). The
+    all-to-all Sort exchange never happens."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import global_topn
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    res = global_topn(
+        line, by=[("l_extendedprice", False), ("l_orderkey", True), ("l_linenumber", True)], n=100
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype(np.int64),
+                "l_linenumber": b["l_linenumber"].astype(np.int32),
+                "l_extendedprice": b["l_extendedprice"].astype(np.float64),
             }
         )
 
@@ -2113,12 +2188,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_agg": q_semi_join_agg,
         "large_join": q_large_join,
         "more_like_this": q_more_like_this,
+        "search_after": q_search_after,
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "user_gaps": q_user_gaps,
         "moving_avg": q_moving_avg,
         "rollup_revenue": q_rollup_revenue,
         "interp_quantiles": q_interp_quantiles,
+        "global_topn": q_global_topn,
         "lineitem_agg": q_lineitem_agg,
         "bm25_confidence": q_bm25_confidence,
         "ngram_bm25": q_ngram_bm25,
@@ -2600,6 +2677,30 @@ SELECT o.o_orderpriority,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """,
+        "search_after": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id,
+       cast((rnk - 1) // {_PAGE_SIZE} + 1 AS int) AS page,
+       cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {2 * _PAGE_SIZE}
+""",
         "more_like_this": f"""
 WITH {TRANSCRIPTS_CTE},
 seeds(seed_id) AS (VALUES {", ".join(f"({s})" for s in MLT_SEEDS)}),
@@ -2676,6 +2777,12 @@ FROM (SELECT l_returnflag, l_linestatus,
              l_extendedprice * (1.0 - l_discount) AS rev
       FROM lineitem)
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+        "global_topn": """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
 """,
         "interp_quantiles": """
 SELECT event_type, q, round(v, 4) AS value

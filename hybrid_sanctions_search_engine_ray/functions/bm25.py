@@ -12,7 +12,10 @@ with k1 = 1.2, b = 0.75. Ties break (score desc, doc_id asc) — the
 explicit tie-break rule SURVEY.md §7.4 requires (Elasticsearch breaks
 ties by internal doc order; our rule is the deterministic analog).
 
-Two kernels, proven score-identical by tests/test_query.py:
+Two kernels, rank-identical with scores agreeing to ~1 ulp (their
+summation orders differ — tests/test_query.py verifies ranks exactly
+and scores to 1e-6; anything needing exact-float score equality across
+calls, e.g. search_after cursors, must stick to ONE kernel):
 
 * :func:`score_taat` — exhaustive term-at-a-time accumulation, fully
   vectorized (np.unique + bincount). The correctness baseline.
@@ -101,6 +104,14 @@ def score_taat(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.ndar
     ``_DENSE_MAX_SPACE_RATIO × total_postings`` floats, so a sparse
     billion-doc id space falls back to the sparse accumulator instead of
     allocating by id-space size."""
+    docs, scores = score_all(postings)
+    return topk_desc(docs, scores, k)
+
+
+def score_all(postings: list[TermPosting]) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive candidate scoring (every doc matching ≥1 term), the
+    shared accumulator behind :func:`score_taat` and cursor pagination
+    (:func:`topk_desc_after`). Returns (doc_ids, scores) unranked."""
     if not postings:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
     total = sum(p.doc_ids.size for p in postings)
@@ -111,12 +122,24 @@ def score_taat(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.ndar
             ids = p.doc_ids.astype(np.int64, copy=False)
             scores[ids] += p.factors * p.idf
         cand = np.flatnonzero(scores)
-        return topk_desc(cand.astype(np.uint64), scores[cand], k)
+        return cand.astype(np.uint64), scores[cand]
     all_docs = np.concatenate([p.doc_ids for p in postings])
     all_contrib = np.concatenate([p.factors * p.idf for p in postings])
     uniq, inv = np.unique(all_docs, return_inverse=True)
     sums = np.bincount(inv, weights=all_contrib, minlength=uniq.size)
-    return topk_desc(uniq, sums, k)
+    return uniq, sums
+
+
+def topk_desc_after(doc_ids: np.ndarray, scores: np.ndarray, k: int,
+                    cursor_score: float, cursor_doc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k of the rows STRICTLY AFTER the cursor in (score desc,
+    doc_id asc) order — the ES ``search_after`` tuple filter. The cursor
+    score must be the exact float previously returned (scoring is
+    deterministic, so page boundaries are stable across calls)."""
+    after = (scores < cursor_score) | (
+        (scores == cursor_score) & (doc_ids.astype(np.int64) > cursor_doc)
+    )
+    return topk_desc(doc_ids[after], scores[after], k)
 
 
 def score_maxscore(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -11,8 +11,8 @@ manifest + dictionary slices once (reference's load-once services,
 SURVEY.md §2.3 A4), reads only the term-partition segment files its
 query terms hash to (partition pruning + parquet row-group term
 filters), decodes and caches postings, and scores with MaxScore /
-block-max pruning (score-identical to exhaustive TAAT — verified in
-tests/test_query.py).
+block-max pruning (rank-identical to exhaustive TAAT, scores to ~1 ulp
+— verified in tests/test_query.py).
 
 Output: ``(query_id, rank:int32, doc_id:int64, score:float64)``, ties
 broken (score desc, doc_id asc); optional docmap join re-attaches
@@ -225,6 +225,27 @@ class IndexReader:
         postings = list(self.load_postings(terms).values())
         fn = score_maxscore if method == "maxscore" else score_taat
         return fn(postings, top_k)
+
+    def search_one_after(
+        self, query_text: str, top_k: int, cursor_score: float, cursor_doc: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``search_after`` cursor pagination: the top-k rows strictly
+        after the (score, doc_id) cursor in (score desc, doc_id asc)
+        order. Exhaustive (TAAT) scoring + tuple filter. The cursor must
+        come from a page scored with the SAME exhaustive kernel
+        (``search(..., method="taat")``): MaxScore's different summation
+        order drifts scores by 1 ulp, which breaks the exact-float
+        equality the tuple filter relies on."""
+        from hybrid_sanctions_search_engine_ray.functions.bm25 import (
+            score_all,
+            topk_desc_after,
+        )
+
+        top_k = max(1, min(int(top_k), 1000))
+        terms = sorted(set(self.analyzer(query_text)))
+        postings = list(self.load_postings(terms).values())
+        docs, scores = score_all(postings)
+        return topk_desc_after(docs, scores, top_k, cursor_score, cursor_doc)
 
     def search_one_boolean(
         self, must_text: str, should_text: str = "", not_text: str = "", top_k: int = 50
@@ -589,6 +610,54 @@ def more_like_this(seeds_ds, index_dir: str, source_path: str,
     return seeds_ds.map_batches(
         MLTScorer,
         fn_constructor_args=(index_dir, source_path, max_terms, min_df, top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+class PageScorer:
+    """Actor-pool callable for cursor pagination: batch rows (query_id,
+    query_text, cursor_score, cursor_doc[, top_k]) → the next page."""
+
+    def __init__(self, index_dir: str, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        for i, row in enumerate(batch.itertuples(index=False)):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            docs, scores = self.reader.search_one_after(
+                row.query_text, k, float(row.cursor_score), int(row.cursor_doc)
+            )
+            n = docs.size
+            out["query_id"].extend([row.query_id] * n)
+            out["rank"].extend(range(1, n + 1))
+            out["doc_id"].extend(docs.astype(np.int64).tolist())
+            out["score"].extend(scores.tolist())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="string[python]").astype(object),
+                "rank": pd.Series(out["rank"], dtype=np.int32),
+                "doc_id": pd.Series(out["doc_id"], dtype=np.int64),
+                "score": pd.Series(out["score"], dtype=np.float64),
+            }
+        )
+
+
+def search_after(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Cursor-paged search: queries Dataset (query_id, query_text,
+    cursor_score, cursor_doc[, top_k]) → next-page results. Rank is
+    1-based WITHIN the page; callers add their page offset."""
+    return queries_ds.map_batches(
+        PageScorer,
+        fn_constructor_args=(index_dir, cfg.top_k),
         batch_format="pandas",
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,

@@ -37,7 +37,7 @@ def exact_count_distinct(ds, key: str, distinct_col: str):
     distinct pairs, use the HLL sketch (``functions/sketches.py``).
     Returns a Dataset with (key, n_distinct:int64, n_rows:int64).
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         g = pa.table({key: b[key], distinct_col: b[distinct_col]}).group_by(
@@ -170,3 +170,24 @@ def rollup(ds, keys: list[str], value_col: str, all_label: str = ROLLUP_ALL):
     # across every fine group, so this one stage is a deliberate barrier
     # over the tiny aggregate — never over the fact table).
     return fine.repartition(1).map_batches(expand, batch_format="pandas", batch_size=None)
+
+
+def global_topn(ds, by: list[tuple[str, bool]], n: int):
+    """Global top-N WITHOUT a global sort: per-batch partial top-N (each
+    block contributes at most n rows) → one small merge task. ``by`` is
+    [(column, ascending)] and must define a total order (include
+    tie-breaker columns) for deterministic output. At extreme block
+    counts the merge input is blocks×n rows — still tiny next to the
+    data, but a two-level merge (repartition(16) → repartition(1)) is
+    the drop-in escalation if it ever isn't."""
+    cols = [c for c, _ in by]
+    asc = [a for _, a in by]
+
+    def take(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(cols, ascending=asc, kind="mergesort").head(n)
+
+    return (
+        ds.map_batches(take, batch_format="pandas")
+        .repartition(1)
+        .map_batches(take, batch_format="pandas", batch_size=None)
+    )

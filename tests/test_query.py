@@ -98,3 +98,36 @@ def test_search_dataset_pipeline(built_index, oracle):
     joined = attach_docmap(res, index_dir)
     assert {"conv_id", "turn_idx"} <= set(joined.columns)
     assert joined["conv_id"].notna().all()
+
+
+def test_search_after_pages_tile_the_full_ranking(built_index):
+    """Cursor pagination: pages 1..3 of size 4 concatenate to exactly the
+    TAAT top-12 (no gaps, no overlaps), for hot and mixed queries."""
+    index_dir, cfg, manifest = built_index
+    r = IndexReader(index_dir)
+    for q in ["payment transfer", "the", "tok00042 payment"]:
+        full_docs, full_scores = r.search_one(q, 12, method="taat")
+        pages, cursor = [], None
+        for _ in range(3):
+            if cursor is None:
+                d, s = r.search_one(q, 4, method="taat")
+            else:
+                d, s = r.search_one_after(q, 4, cursor[0], cursor[1])
+            if d.size == 0:
+                break
+            pages.append((d, s))
+            cursor = (float(s[-1]), int(d[-1]))
+        got_docs = np.concatenate([d for d, _ in pages])
+        got_scores = np.concatenate([s for _, s in pages])
+        assert got_docs.astype(np.int64).tolist() == full_docs.astype(np.int64).tolist()
+        assert got_scores.tolist() == full_scores.tolist()
+
+
+def test_search_after_beyond_end_is_empty(built_index):
+    index_dir, cfg, manifest = built_index
+    r = IndexReader(index_dir)
+    d, s = r.search_one("zzzznotaterm", 5, method="taat")
+    assert d.size == 0
+    # cursor below every score → empty page
+    d, s = r.search_one_after("payment", 5, -1.0, 0)
+    assert d.size == 0

@@ -131,3 +131,17 @@ def test_interp_quantiles_match_numpy(qs):
         for q in qs:
             exp = np.percentile(g["value"].to_numpy(), q * 100, method="linear")
             assert abs(got.loc[(et, q)] - exp) < 1e-9, (et, q)
+
+
+def test_global_topn_matches_full_sort():
+    from hybrid_sanctions_search_engine_ray.stages.relational import global_topn
+
+    df = _events_df(800)
+    got = global_topn(
+        rd.from_pandas(df).repartition(6),
+        by=[("value", False), ("event_id", True)],
+        n=25,
+    ).to_pandas()
+    exp = df.sort_values(["value", "event_id"], ascending=[False, True]).head(25)
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["value"].tolist() == exp["value"].tolist()

@@ -100,23 +100,23 @@ def broadcast_anti_join(big_ds, keys: pa.Array, on: str, concurrency: int = 4):
 
 
 def distinct_keys(ds, on: str) -> pa.Array:
-    """Distinct values of one column, computed distributed (per-batch
-    dedup partial → groupby shuffle over distinct values only) and
-    collected to the driver — the build side of
-    :func:`broadcast_anti_join`. Collection is safe exactly because the
-    result is the DISTINCT set, not the rows."""
+    """Distinct values of one column — the build side of
+    :func:`broadcast_anti_join`. Per-batch dedup partials stream back and
+    union on the driver with a final Arrow dedup: NO shuffle barrier.
+    Driver memory is bounded by Σ per-batch distinct counts, fine exactly
+    when the key set qualifies as a broadcast small side at all; if the
+    per-batch partials themselves are huge, a groupby-based distinct (one
+    shuffle) is the escalation."""
+    import pyarrow.compute as pc
 
     def partial(b: pa.Table) -> pa.Table:
-        g = pa.table({on: b[on]}).group_by(on).aggregate([])
-        return g
+        return pa.table({on: b[on]}).group_by(on).aggregate([])
 
-    dist = ds.map_batches(partial, batch_format="pyarrow").groupby(on).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    dist = ds.map_batches(partial, batch_format="pyarrow")
     tbl = pa.concat_tables(
         [ray.get(r) for r in dist.to_arrow_refs()], promote_options="default"
     )
-    return tbl[on].combine_chunks()
+    return pc.unique(tbl[on].combine_chunks())
 
 
 def rollup(ds, keys: list[str], value_col: str, all_label: str = ROLLUP_ALL):

@@ -1473,6 +1473,59 @@ def q_interp_quantiles(sf_dir: str):
     return res.map_batches(final, batch_format="pandas")
 
 
+def q_conv_stats(sf_dir: str):
+    """Per-conversation analytics over the transcript stream (exercises
+    the full input_hint schema incl. tool + ts): partial-agg per batch →
+    one small groupby(conv_id); raw turns never shuffle."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    ts_ds = transcripts_from_documents(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "is_tool": _pc.cast(_pc.not_equal(b["tool"], ""), pa.int64()),
+                "ts_us": _pc.cast(b["ts"], pa.int64()),
+                "chars": _pc.utf8_length(b["text"]),
+            }
+        )
+        g = t.group_by("conv_id").aggregate(
+            [([], "count_all"), ("is_tool", "sum"), ("ts_us", "min"), ("ts_us", "max"), ("chars", "sum")]
+        )
+        return g.rename_columns(["conv_id", "n_p", "tool_p", "min_ts", "max_ts", "chars_p"])
+
+    agg = (
+        ts_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_p", alias_name="n_turns"),
+            Sum("tool_p", alias_name="n_tool_turns"),
+            Min("min_ts", alias_name="min_ts"),
+            Max("max_ts", alias_name="max_ts"),
+            Sum("chars_p", alias_name="sum_chars"),
+        )
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"],
+                "n_turns": b["n_turns"].astype(np.int64),
+                "n_tool_turns": b["n_tool_turns"].astype(np.int64),
+                "span_s": (b["max_ts"].to_numpy(np.int64) - b["min_ts"].to_numpy(np.int64))
+                / 1_000_000.0,
+                "sum_chars": b["sum_chars"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 def q_global_topn(sf_dir: str):
     """Global top-100 by price WITHOUT a global sort: per-batch partial
     top-N → one tiny merge (stages/relational.py::global_topn). The
@@ -2196,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": q_rollup_revenue,
         "interp_quantiles": q_interp_quantiles,
         "global_topn": q_global_topn,
+        "conv_stats": q_conv_stats,
         "lineitem_agg": q_lineitem_agg,
         "bm25_confidence": q_bm25_confidence,
         "ngram_bm25": q_ngram_bm25,
@@ -2777,6 +2831,20 @@ FROM (SELECT l_returnflag, l_linestatus,
              l_extendedprice * (1.0 - l_discount) AS rev
       FROM lineitem)
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+        "conv_stats": """
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         ['','search','calculator','browser','python','sql','shell','editor'][cast(doc_id % 8 AS int) + 1] AS tool,
+         doc_id * 1000000 + 1767225600000000 AS ts_us,
+         text
+  FROM documents)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)::BIGINT AS n_tool_turns,
+       (max(ts_us) - min(ts_us)) / 1000000.0 AS span_s,
+       sum(length(text))::BIGINT AS sum_chars
+FROM t GROUP BY conv_id
 """,
         "global_topn": """
 SELECT l_orderkey, l_linenumber, l_extendedprice

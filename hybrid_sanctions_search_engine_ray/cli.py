@@ -6,6 +6,7 @@
     python -m hybrid_sanctions_search_engine_ray build-multi --input DIR --base DIR [--modes simple,shingle,char3]
     python -m hybrid_sanctions_search_engine_ray delete --index DIR --doc-ids 1,2,3
     python -m hybrid_sanctions_search_engine_ray compact --index DIR
+    python -m hybrid_sanctions_search_engine_ray merge  --indexes A,B --out DIR [--resume]
     python -m hybrid_sanctions_search_engine_ray stats  --index DIR
     python -m hybrid_sanctions_search_engine_ray generate --out DIR --n-convs N [--seed S]
 
@@ -81,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="physically purge tombstoned docs; exact stats correction")
     c.add_argument("--index", required=True)
 
+    mg = sub.add_parser("merge", help="physically merge complete indexes (query-identical to federation)")
+    mg.add_argument("--indexes", required=True, help="comma-separated source index dirs")
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--resume", action="store_true")
+
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
 
@@ -152,6 +158,12 @@ def main(argv: list[str] | None = None) -> int:
 
         m = compact_index(args.index)
         print(json.dumps({"status": m.status, "n_docs": m.n_docs, "avgdl": round(m.avgdl, 4)}))
+    elif args.cmd == "merge":
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import merge_indexes
+
+        m = merge_indexes(args.indexes.split(","), args.out, resume=args.resume)
+        print(json.dumps({"status": m.status, "n_docs": m.n_docs, "avgdl": round(m.avgdl, 4),
+                          "n_terms": m.n_terms, "parts": len(m.parts)}))
     elif args.cmd == "stats":
         from hybrid_sanctions_search_engine_ray.pipelines.index_build import index_stats
 

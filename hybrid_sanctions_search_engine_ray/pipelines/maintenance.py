@@ -260,3 +260,203 @@ def compact_index(index_dir: str) -> IndexManifest:
     }
     atomic_write_json(plan_path, plan)
     return _run_plan(index_dir, m, plan)
+
+
+# --- physical index merge -----------------------------------------------
+
+
+@ray.remote
+def _merge_part(out_dir: str, part: int, srcs: list[tuple[str, int]],
+                positional: bool, hot_terms: list[str]) -> dict:
+    """Merge one term-partition across source indexes into ``out_dir``.
+
+    Doc-id remapping is O(first delta) per posting row: the docs blob is
+    delta+varint with an absolute first value, so lifting a source into
+    its global id range only rewrites deltas[0] += offset. tfs/dls/poss
+    blobs are byte-copied untouched (positions are doc-internal).
+    Atomic write + meta.json last — the same resume contract as build.
+    """
+    import time
+
+    from hybrid_sanctions_search_engine_ray.functions.codec import varint_encode
+    from hybrid_sanctions_search_engine_ray.stages.postings import (
+        SEGMENT_SCHEMA,
+        SEGMENT_SCHEMA_POS,
+    )
+
+    t0 = time.monotonic()
+    tables = []
+    for src_dir, offset in srcs:
+        f = os.path.join(segment_dir(src_dir, part), "postings.parquet")
+        if not os.path.exists(f):
+            continue
+        tbl = pq.read_table(f)
+        if tbl.num_rows and offset:
+            shifted = []
+            for blob in tbl["docs"].to_pylist():
+                deltas = varint_decode(blob)
+                deltas[0] += np.uint64(offset)
+                shifted.append(varint_encode(deltas))
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("docs"), "docs", pa.array(shifted, pa.binary())
+            )
+        if tbl.num_rows:
+            tables.append(tbl)
+
+    sdir = segment_dir(out_dir, part)
+    os.makedirs(sdir, exist_ok=True)
+    if tables:
+        merged = pa.concat_tables(tables, promote_options="default")
+        # renumber seg_idx per term in source order (sources are appended
+        # in ascending doc-id range, so per-term sub-segment order stays
+        # doc-id-monotonic — the reader's stable re-sort then never moves
+        # bytes between sub-segments)
+        df = merged.to_pandas()
+        df["seg_idx"] = df.groupby("term", sort=False).cumcount().astype(np.int32)
+        merged = pa.Table.from_pandas(df, preserve_index=False)
+        n_terms = int(df["term"].nunique())
+        n_postings = int(df["n_docs"].sum())
+        terms_set = set(df["term"].tolist())
+    else:
+        merged = (SEGMENT_SCHEMA_POS if positional else SEGMENT_SCHEMA).empty_table()
+        n_terms = n_postings = 0
+        terms_set = set()
+
+    import tempfile
+    import zlib
+
+    fd, tmp = tempfile.mkstemp(dir=sdir, suffix=".parquet.tmp")
+    os.close(fd)
+    pq.write_table(merged, tmp, row_group_size=4096)
+    final = os.path.join(sdir, "postings.parquet")
+    os.replace(tmp, final)
+    with open(final, "rb") as f:
+        checksum = zlib.crc32(f.read(1 << 20))
+    meta = {
+        "part": part,
+        "n_terms": n_terms,
+        "n_rows": merged.num_rows,
+        "n_postings": n_postings,
+        "bytes": os.path.getsize(final),
+        "checksum_head_crc32": checksum,
+        "elapsed_s": round(time.monotonic() - t0, 3),
+        "input": ";".join(d for d, _ in srcs),
+        # hot (salted) terms present here — the only terms that can span
+        # partitions; recorded so the manifest's exact distinct-term count
+        # survives a resume (fresh and resumed parts contribute alike)
+        "hot_terms_present": sorted(t for t in hot_terms if t in terms_set),
+    }
+    atomic_write_json(os.path.join(sdir, "meta.json"), meta)
+    return {"meta": meta, "part": part}
+
+
+def merge_indexes(index_dirs: list[str], out_dir: str, resume: bool = False) -> IndexManifest:
+    """Physically merge complete indexes into ONE new index at
+    ``out_dir`` — the Lucene segment-merge analog across whole indexes
+    (reference: ES force-merge / the index-swap consolidation flow,
+    SURVEY.md §2.1 S8). Query results over the merged index are exactly
+    identical to ``FederatedReader(index_dirs)`` (tests/test_merge.py):
+    doc ids are lifted by cumulative docmap sizes, df/N/avgdl become the
+    global values, and factors are recomputed at read time from the
+    untouched (tf, dl) payloads.
+
+    Requirements: identical scoring/layout params across sources
+    (k1, b, analyzer, num_partitions, salt buckets, positions) and no
+    pending tombstones (run :func:`compact_index` first — merge does not
+    resurrect Lucene's purge-on-merge here because the compactor already
+    owns that logic with crash-safe stats correction).
+
+    One Ray task per partition (the natural parallel unit); resumable:
+    with ``resume=True`` finished partitions (meta.json present) are
+    skipped, manifest written last.
+    """
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    if len(index_dirs) < 2:
+        raise ValueError("need at least two indexes to merge")
+    ms = [IndexManifest.load(d) for d in index_dirs]
+    for m in ms:
+        if m.status != "complete":
+            raise ValueError("all source indexes must be complete")
+    key = lambda m: (m.k1, m.b, m.analyzer_mode, m.remove_stopwords, m.stem,  # noqa: E731
+                     m.num_partitions, m.hot_term_salt_buckets, m.block_size,
+                     m.store_positions)
+    if len({key(m) for m in ms}) != 1:
+        raise ValueError("source indexes disagree on scoring/layout parameters")
+    for d in index_dirs:
+        if load_tombstones(d).size:
+            raise ValueError(f"{d} has pending tombstones; compact_index() it before merging")
+
+    docmap_schemas = [
+        set(pads.dataset(os.path.join(d, "docmap.parquet")).schema.names) for d in index_dirs
+    ]
+    if len({frozenset(s) for s in docmap_schemas}) != 1:
+        raise ValueError("source docmaps disagree on stored columns (store_text mismatch)")
+
+    sizes = [pads.dataset(os.path.join(d, "docmap.parquet")).count_rows() for d in index_dirs]
+    offsets = np.concatenate(([0], np.cumsum(sizes[:-1]))).astype(np.int64)
+    srcs = [(d, int(o)) for d, o in zip(index_dirs, offsets)]
+
+    m0 = ms[0]
+    out = IndexManifest(
+        status="building",
+        n_docs=sum(m.n_docs for m in ms),
+        total_tokens=sum(m.total_tokens for m in ms),
+        k1=m0.k1, b=m0.b, block_size=m0.block_size,
+        num_partitions=m0.num_partitions,
+        analyzer_mode=m0.analyzer_mode, remove_stopwords=m0.remove_stopwords,
+        stem=m0.stem, store_positions=m0.store_positions,
+        hot_terms=sorted({t for m in ms for t in m.hot_terms}),
+        hot_term_salt_buckets=m0.hot_term_salt_buckets,
+        input_path=";".join(index_dirs),
+    )
+    out.avgdl = out.total_tokens / out.n_docs if out.n_docs else 0.0
+    os.makedirs(out_dir, exist_ok=True)
+
+    done = {}
+    if resume:
+        from hybrid_sanctions_search_engine_ray.state.manifest import completed_parts
+
+        done = completed_parts(out_dir)
+    todo = [p for p in range(m0.num_partitions) if p not in done]
+    results = ray.get(
+        [_merge_part.remote(out_dir, p, srcs, m0.store_positions, out.hot_terms) for p in todo]
+    )
+    parts_meta = {str(p): meta for p, meta in done.items()}
+    for r in results:
+        parts_meta[str(r["part"])] = r["meta"]
+    # exact distinct-term count: a non-hot term lives in exactly one
+    # partition (same hash placement in every source), so Σ per-part
+    # uniques only overcounts hot (salted) terms — subtract their extra
+    # placements using the per-part hot-presence lists in meta.json
+    # (present for fresh AND resumed parts alike).
+    n_terms_sum = sum(int(meta["n_terms"]) for meta in parts_meta.values())
+    hot_hits: dict[str, int] = {}
+    for meta in parts_meta.values():
+        for t in meta.get("hot_terms_present", []):
+            hot_hits[t] = hot_hits.get(t, 0) + 1
+    out.n_terms = n_terms_sum - sum(h - 1 for h in hot_hits.values() if h > 1)
+    out.parts = parts_meta
+
+    # docmap: stream each source's rows with its offset into the merged
+    # docmap directory (never materialized)
+    dm_out = os.path.join(out_dir, "docmap.parquet")
+    if not (resume and os.path.isdir(dm_out) and os.listdir(dm_out)):
+        for i, (d, off) in enumerate(srcs):
+            ds = rd.read_parquet(os.path.join(d, "docmap.parquet"))
+            if off:
+                ds = ds.map_batches(
+                    lambda b, _off=off: b.set_column(
+                        b.schema.get_field_index("doc_id"),
+                        "doc_id",
+                        pa.compute.add(b["doc_id"], _off),
+                    ),
+                    batch_format="pyarrow",
+                )
+            ds.write_parquet(dm_out)
+
+    out.status = "complete"
+    out.save(out_dir)
+    return out

@@ -145,6 +145,20 @@ def _qterms_values() -> str:
     return ", ".join(rows)
 
 
+def _syn_qterms_values() -> str:
+    """qterms VALUES with SYNONYMS expansion — mirrors
+    pipelines/query.py::expand_synonyms over the same constants."""
+    rows = []
+    for qid, text in BM25_QUERIES.items():
+        terms = set(text.lower().split())
+        expanded = set(terms)
+        for t in terms:
+            expanded.update(SYNONYMS.get(t, ()))
+        for term in sorted(expanded):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
 def _bool_values(field: str, minus: str | None = None) -> str:
     """VALUES rows for one bool-query clause; ``minus`` drops terms
     already in that query's must clause (scoring dedup parity with
@@ -1213,6 +1227,49 @@ def q_large_join(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pandas")
 
 
+SYNONYMS: dict[str, list[str]] = {
+    "join": ["merge"],
+    "filter": ["scan"],
+    "stream": ["window"],
+    "vektor": ["vector"],
+}
+
+
+def q_synonym_search(sf_dir: str):
+    """Query-time synonym expansion (ES synonym_graph at search time):
+    each query's analyzed terms pull in their synonym rows, the expanded
+    DISTINCT set ORs into one BM25 disjunction
+    (pipelines/query.py::synonym_search)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import synonym_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K}
+         for qid, text in BM25_QUERIES.items()]
+    )
+    res = synonym_search(qs, index_dir, SYNONYMS)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        return b
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def q_did_you_mean(sf_dir: str):
+    """ES term suggester: per typo term, the single best vocabulary
+    correction ranked (edit distance asc, df desc, term asc) — the
+    vocabulary streams through expander actors, one row per term returns
+    (functions/fuzzy.py::did_you_mean)."""
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import did_you_mean
+
+    vocab = q_term_dictionary(sf_dir)
+    return did_you_mean(vocab, FUZZY_TERMS, max_dist=2)
+
+
 _PAGE_SIZE = 5
 
 
@@ -2074,8 +2131,11 @@ def q_simhash(sf_dir: str):
 
     from hybrid_sanctions_search_engine_ray.stages.dedup import simhash64
 
+    # batch_size 1024: the kernel's (tokens × 64) bit matrix must stay
+    # allocator-resident — this host's first-touch page cost makes one
+    # giant batch ~10× slower than a few reused small ones
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return ds.map_batches(simhash64, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(simhash64, batch_format="pyarrow", batch_size=1024)
 
 
 def q_fingerprint(sf_dir: str):
@@ -2242,6 +2302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_join": q_large_join,
         "more_like_this": q_more_like_this,
         "search_after": q_search_after,
+        "synonym_search": q_synonym_search,
+        "did_you_mean": q_did_you_mean,
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "user_gaps": q_user_gaps,
@@ -2730,6 +2792,44 @@ SELECT o.o_orderpriority,
        count(*)::BIGINT AS n_items
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
+""",
+        "synonym_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_syn_qterms_values()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        "did_you_mean": f"""
+WITH {TRANSCRIPTS_CTE},
+qt(q_term) AS (VALUES {", ".join(f"('{t}')" for t in FUZZY_TERMS)}),
+cand AS (
+  SELECT qt.q_term, df.term, levenshtein(qt.q_term, df.term) AS dist, df.df
+  FROM qt CROSS JOIN df
+  WHERE levenshtein(qt.q_term, df.term) <= 2
+),
+best AS (
+  SELECT q_term, term, dist, df,
+         row_number() OVER (PARTITION BY q_term ORDER BY dist, df DESC, term) AS rn
+  FROM cand
+)
+SELECT q_term, term AS suggestion, cast(dist AS int) AS dist, df::BIGINT AS df
+FROM best WHERE rn = 1
 """,
         "search_after": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -136,3 +136,63 @@ def fuzzy_expand(vocab_ds, query_terms: list[str], max_dist: int = 2, topn: int 
         concurrency=2,
     )
     return cand.groupby("q_term").map_groups(topn_group, batch_format="pandas")
+
+
+class _SuggestExpander:
+    """Like :class:`FuzzyExpander` but keeps the vocabulary's df so the
+    ranking can prefer common words (the ES term-suggester signal)."""
+
+    def __init__(self, query_terms: list[str], max_dist: int):
+        self.q = [(t, t.encode("utf-8")) for t in query_terms]
+        self.max_dist = max_dist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        dfs = batch["df"].to_pylist()
+        out_q: list[str] = []
+        out_t: list[str] = []
+        out_d: list[int] = []
+        out_f: list[int] = []
+        md = self.max_dist
+        for term, df in zip(terms, dfs):
+            tb = term.encode("utf-8")
+            for qt, qb in self.q:
+                if abs(len(tb) - len(qb)) > md:
+                    continue
+                d = levenshtein(qb, tb, max_dist=md)
+                if d <= md:
+                    out_q.append(qt)
+                    out_t.append(term)
+                    out_d.append(d)
+                    out_f.append(int(df))
+        return pa.table(
+            {
+                "q_term": pa.array(out_q, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "dist": pa.array(out_d, pa.int32()),
+                "df": pa.array(out_f, pa.int64()),
+            }
+        )
+
+
+def did_you_mean(vocab_ds, query_terms: list[str], max_dist: int = 2):
+    """ES term-suggester ("did you mean"): per query term, the single
+    best correction from the vocabulary Dataset (term, df), ranked by
+    (edit distance asc, df DESC, term asc) — closest first, then the
+    more common word, then a deterministic lexicographic tie-break.
+    Terms with no candidate within ``max_dist`` produce no row. The
+    vocabulary streams through the expander actors; only one row per
+    query term returns."""
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "df", "term"], ascending=[True, False, True],
+                          kind="mergesort").head(1)
+        return g[["q_term", "term", "dist", "df"]].rename(columns={"term": "suggestion"})
+
+    cand = vocab_ds.map_batches(
+        _SuggestExpander,
+        fn_constructor_args=(query_terms, max_dist),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return cand.groupby("q_term").map_groups(best, batch_format="pandas")

@@ -662,3 +662,32 @@ def search_after(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG)
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+
+
+def expand_synonyms(query_text: str, synonyms: dict[str, list[str]], analyzer) -> str:
+    """Query-side synonym expansion (ES synonym_graph filter at SEARCH
+    time, the recommended deployment — index stays untouched): every
+    analyzed query token pulls in its synonym row; the expanded DISTINCT
+    term set ORs into one disjunctive match. Returns the rewritten
+    query text (terms space-joined, sorted for determinism)."""
+    terms = set(analyzer(query_text))
+    out = set(terms)
+    for t in terms:
+        out.update(synonyms.get(t, ()))
+    return " ".join(sorted(out))
+
+
+def synonym_search(queries_ds, index_dir: str, synonyms: dict[str, list[str]],
+                   cfg: EngineConfig = DEFAULT_CONFIG, method: str = "maxscore"):
+    """Search with query-time synonym expansion: the synonym table is a
+    driver-side constant (tiny, ships inside the rewrite closure); each
+    query row's text is rewritten, then the plain BM25 path scores the
+    expanded disjunction."""
+    r_analyzer = IndexReader(index_dir).analyzer
+
+    def rewrite(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["query_text"] = [expand_synonyms(t, synonyms, r_analyzer) for t in b["query_text"]]
+        return b
+
+    return search(queries_ds.map_batches(rewrite, batch_format="pandas"), index_dir, cfg, method)

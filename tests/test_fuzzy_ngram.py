@@ -159,3 +159,36 @@ def test_post_filter_rank_ties_doc_id_asc():
     )
     out = rank_filter_boost(res, top_k=2)
     assert list(out["doc_id"]) == [3, 4]  # ties → doc_id asc, truncated
+
+
+def test_did_you_mean_prefers_distance_then_df(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import did_you_mean
+
+    vocab = rd.from_items(
+        [
+            {"term": "vector", "df": 100},
+            {"term": "vektor22", "df": 500},  # dist 2, higher df
+            {"term": "vextors", "df": 900},   # dist 2, highest df
+            {"term": "zzz", "df": 9999},
+        ]
+    )
+    got = did_you_mean(vocab, ["vektor", "qqqq"], max_dist=2).to_pandas()
+    # vektor→vector wins on DISTANCE (1) despite lower df; qqqq → no row
+    assert got["q_term"].tolist() == ["vektor"]
+    assert got["suggestion"].iloc[0] == "vector"
+    assert int(got["dist"].iloc[0]) == 1
+
+
+def test_did_you_mean_df_breaks_distance_ties(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import did_you_mean
+
+    vocab = rd.from_items(
+        [{"term": "cat", "df": 5}, {"term": "car", "df": 50}, {"term": "can", "df": 50}]
+    )
+    got = did_you_mean(vocab, ["caq"], max_dist=1).to_pandas()
+    # dist all 1 → df desc → tie between car/can at df 50 → term asc = "can"
+    assert got["suggestion"].iloc[0] == "can"

@@ -145,6 +145,32 @@ def _qterms_values() -> str:
     return ", ".join(rows)
 
 
+def _pii_sql() -> str:
+    """pii_redact oracle: the SAME RE2 patterns applied in the SAME order
+    (counts taken per stage on the progressively masked text — mirrors
+    stages/redact.py::redact_pii exactly)."""
+    from hybrid_sanctions_search_engine_ray.stages.redact import PII_PATTERNS
+
+    cur = "t"
+    counts = []
+    for _, pat, repl in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || cast(doc_id AS varchar) || '@example.com ip 10.'
+              || cast(doc_id % 256 AS varchar) || '.0.1 +1-202-555-'
+              || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+              || CASE WHEN doc_id % 3 = 0 THEN ' 4111111111111111' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       {cur} AS clean,
+       ({" + ".join(counts)})::BIGINT AS n_pii
+FROM aug
+"""
+
+
 def _syn_qterms_values() -> str:
     """qterms VALUES with SYNONYMS expansion — mirrors
     pipelines/query.py::expand_synonyms over the same constants."""
@@ -1227,6 +1253,66 @@ def q_large_join(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pandas")
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub pass (pre-training redaction): deterministic PII-bearing
+    text synthesized from doc_id (identically in SQL), then sequential
+    RE2 masking — Arrow replace_substring_regex and DuckDB regexp_replace
+    share the patterns VERBATIM, so output is byte-identical
+    (stages/redact.py)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.redact import redact_pii
+
+    def synth(b: pa.Table) -> pa.Table:
+        did = b["doc_id"]
+        s = lambda col: _pc.cast(col, pa.string())  # noqa: E731
+        mod = lambda k: _pc.subtract(did, _pc.multiply(_pc.divide(did, k), k))  # noqa: E731
+        n = len(b)
+        aug = _pc.binary_join_element_wise(
+            b["text"],
+            pa.array([" contact user"] * n), s(did), pa.array(["@example.com ip 10."] * n),
+            s(mod(256)), pa.array([".0.1 +1-202-555-"] * n),
+            _pc.utf8_lpad(s(mod(10000)), 4, "0"),
+            _pc.if_else(_pc.equal(mod(3), 0),
+                        pa.array([" 4111111111111111"] * n), pa.array([""] * n)),
+            "",
+        )
+        return pa.table({"doc_id": did, "text": aug})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        redact_pii, batch_format="pyarrow", batch_size=8192
+    )
+    return out.select_columns(["doc_id", "clean", "n_pii"])
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate token / bigram
+    fractions) — degenerate-text detection for curation
+    (stages/textops.py::repetition_stats)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import repetition_stats
+
+    cfg = _engine_cfg().analyzer
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    res = ds.map_batches(lambda b: repetition_stats(b, cfg), batch_format="pyarrow", batch_size=8192)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype(np.int64),
+                "n_tokens": b["n_tokens"].astype(np.int64),
+                "n_distinct": b["n_distinct"].astype(np.int64),
+                "dup_token_frac": _round4(b["dup_token_frac"].to_numpy()),
+                "dup_bigram_frac": _round4(b["dup_bigram_frac"].to_numpy()),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
 SYNONYMS: dict[str, list[str]] = {
     "join": ["merge"],
     "filter": ["scan"],
@@ -2304,6 +2390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": q_search_after,
         "synonym_search": q_synonym_search,
         "did_you_mean": q_did_you_mean,
+        "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "user_gaps": q_user_gaps,
@@ -2792,6 +2880,27 @@ SELECT o.o_orderpriority,
        count(*)::BIGINT AS n_items
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
+""",
+        "pii_redact": _pii_sql(),
+        "repetition": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'),
+                     x -> x <> '') AS l
+  FROM documents),
+big AS (
+  SELECT doc_id, [l[i] || ' ' || l[i + 1] for i in generate_series(1, len(l) - 1)] AS bg
+  FROM toks)
+SELECT t.doc_id,
+       len(t.l)::BIGINT AS n_tokens,
+       len(list_distinct(t.l))::BIGINT AS n_distinct,
+       round(CASE WHEN len(t.l) > 0
+                  THEN 1.0 - len(list_distinct(t.l))::DOUBLE / len(t.l) ELSE 0.0 END, 4)
+         AS dup_token_frac,
+       round(CASE WHEN len(b.bg) > 0
+                  THEN 1.0 - len(list_distinct(b.bg))::DOUBLE / len(b.bg) ELSE 0.0 END, 4)
+         AS dup_bigram_frac
+FROM toks t JOIN big b USING (doc_id)
 """,
         "synonym_search": f"""
 WITH {TRANSCRIPTS_CTE},

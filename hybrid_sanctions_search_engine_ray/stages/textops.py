@@ -135,3 +135,51 @@ def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ``count_substring_regex`` sweep per batch (null text counts 0)."""
     n = pc.count_substring_regex(pc.fill_null(batch[text_col], ""), BPE_TOKEN_RE)
     return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
+def repetition_stats(batch: pa.Table, cfg: AnalyzerConfig) -> pa.Table:
+    """Gopher-style repetition quality signals per doc: token count,
+    distinct-token count, duplicate-token fraction and duplicate-BIGRAM
+    fraction (1 − distinct/total over adjacent word pairs — high values
+    flag degenerate/boilerplate text). Vectorized: one analyzer sweep,
+    shifted-array bigram join, pandas C-groupby nunique."""
+    import pandas as pd
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    parent, terms = flat_terms(batch, cfg)
+    n = batch.num_rows
+    n_tok = np.zeros(n, dtype=np.int64)
+    n_dist = np.zeros(n, dtype=np.int64)
+    n_bi = np.zeros(n, dtype=np.int64)
+    n_bi_dist = np.zeros(n, dtype=np.int64)
+    if len(terms):
+        t = terms.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"d": parent, "t": t})
+        g = df.groupby("d", sort=False)["t"].agg(["size", "nunique"])
+        n_tok[g.index.to_numpy()] = g["size"].to_numpy()
+        n_dist[g.index.to_numpy()] = g["nunique"].to_numpy()
+        same = parent[1:] == parent[:-1]
+        if same.any():
+            big = pd.DataFrame(
+                {
+                    "d": parent[1:][same],
+                    "g": np.char.add(np.char.add(t[:-1][same].astype(str), " "),
+                                     t[1:][same].astype(str)),
+                }
+            )
+            gb = big.groupby("d", sort=False)["g"].agg(["size", "nunique"])
+            n_bi[gb.index.to_numpy()] = gb["size"].to_numpy()
+            n_bi_dist[gb.index.to_numpy()] = gb["nunique"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_tok = np.where(n_tok > 0, 1.0 - n_dist / np.maximum(n_tok, 1), 0.0)
+        dup_bi = np.where(n_bi > 0, 1.0 - n_bi_dist / np.maximum(n_bi, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(n_dist),
+            "dup_token_frac": pa.array(dup_tok),
+            "dup_bigram_frac": pa.array(dup_bi),
+        }
+    )

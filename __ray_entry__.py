@@ -1253,6 +1253,44 @@ def q_large_join(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pandas")
 
 
+def q_json_props(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column with ONE vectorized RE2 extract per batch (no
+    per-row json.loads), then the partial-agg + small-groupby pattern.
+    SQL twin uses the same group regex via regexp_extract."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = _pc.cast(
+            _pc.struct_field(_pc.extract_regex(b["props"], r'"k": (?P<k>\d+)'), "k"),
+            pa.int64(),
+        )
+        g = pa.table({"event_type": b["event_type"], "k": k}).group_by("event_type").aggregate(
+            [("k", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "sum_p", "n_p"])
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("event_type")
+        .aggregate(Sum("sum_p", alias_name="sum_k"), Sum("n_p", alias_name="n_events"))
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "sum_k": b["sum_k"].astype(np.int64),
+                "n_events": b["n_events"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub pass (pre-training redaction): deterministic PII-bearing
     text synthesized from doc_id (identically in SQL), then sequential
@@ -2392,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "did_you_mean": q_did_you_mean,
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
+        "json_props": q_json_props,
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "user_gaps": q_user_gaps,
@@ -2880,6 +2919,12 @@ SELECT o.o_orderpriority,
        count(*)::BIGINT AS n_items
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
+""",
+        "json_props": """
+SELECT event_type,
+       sum(regexp_extract(props, '"k": (\\d+)', 1)::BIGINT)::BIGINT AS sum_k,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type
 """,
         "pii_redact": _pii_sql(),
         "repetition": """

@@ -1253,6 +1253,120 @@ def q_large_join(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pandas")
 
 
+_Q5_REGION = "ASIA"
+_Q5_LO, _Q5_HI = "1996-01-01", "1998-01-01"
+
+
+def q_nation_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the multi-way join pipeline: date filter pushed
+    into the orders read (row-group pruning), dimension chain
+    (nation→region, customer, supplier) broadcast as numpy lookup
+    arrays (`ray.put` once, searchsorted per batch — at real scale
+    customer would graduate to the native hash join like lineitem⋈orders
+    here), local-nation equality filter, tiny final groupby."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pads
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    # dimension chain (tiny): nation ⋈ region → the nation keys in ASIA
+    nat = _pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = _pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = {r["r_regionkey"]: r["r_name"] for r in reg.to_pylist()}
+    n_keys = np.array(sorted(
+        n["n_nationkey"] for n in nat.to_pylist() if rkey[n["n_regionkey"]] == _Q5_REGION
+    ), dtype=np.int64)
+    n_names = {n["n_nationkey"]: n["n_name"] for n in nat.to_pylist()}
+
+    cust = _pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"])
+    c_sorted = _pc.take(cust, _pc.sort_indices(cust, sort_keys=[("c_custkey", "ascending")]))
+    supp = _pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"])
+    s_sorted = _pc.take(supp, _pc.sort_indices(supp, sort_keys=[("s_suppkey", "ascending")]))
+    import ray as _ray
+
+    dims_ref = _ray.put({
+        "c_keys": c_sorted["c_custkey"].to_numpy(),
+        "c_nat": c_sorted["c_nationkey"].to_numpy().astype(np.int64),
+        "s_keys": s_sorted["s_suppkey"].to_numpy(),
+        "s_nat": s_sorted["s_nationkey"].to_numpy().astype(np.int64),
+        "asia": n_keys,
+    })
+
+    lo = np.datetime64(_Q5_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q5_HI).astype("datetime64[us]")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(_pads.field("o_orderdate") >= lo) & (_pads.field("o_orderdate") < hi),
+    )
+
+    class AttachCustNation:
+        def __init__(self, ref):
+            self.d = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.d["c_keys"], ck)
+            nat = self.d["c_nat"][np.minimum(pos, self.d["c_nat"].size - 1)]
+            keep = np.isin(nat, self.d["asia"])
+            return pa.table({
+                "o_orderkey": pa.array(b["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+                "c_nation": pa.array(nat[keep]),
+            })
+
+    o_nat = orders.map_batches(AttachCustNation, fn_constructor_args=(dims_ref,),
+                               batch_format="pyarrow", concurrency=2)
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class AttachSuppNation:
+        def __init__(self, ref):
+            self.d = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.d["s_keys"], sk)
+            nat = self.d["s_nat"][np.minimum(pos, self.d["s_nat"].size - 1)]
+            rev = _pc.multiply(b["l_extendedprice"],
+                               _pc.subtract(pa.scalar(1.0), b["l_discount"]))
+            return pa.table({"l_orderkey": b["l_orderkey"],
+                             "s_nation": pa.array(nat), "rev": rev})
+
+    l_nat = line.map_batches(AttachSuppNation, fn_constructor_args=(dims_ref,),
+                             batch_format="pyarrow", concurrency=2)
+
+    joined = l_nat.join(o_nat, join_type="inner", num_partitions=8,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_only(b: pa.Table) -> pa.Table:
+        keep = _pc.equal(b["s_nation"], b["c_nation"])
+        t = b.filter(keep)
+        return pa.table({"n_nationkey": t["c_nation"], "rev": t["rev"]})
+
+    agg = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("rev"), Count())
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": b["n_nationkey"].map(n_names),
+                "revenue": _round4(b["sum(rev)"].to_numpy(np.float64)),
+                "n_items": b["count()"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 def q_json_props(sf_dir: str):
     """Semi-structured extraction: pull the integer ``k`` out of the JSON
     ``props`` column with ONE vectorized RE2 extract per batch (no
@@ -2431,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "json_props": q_json_props,
+        "nation_revenue": q_nation_revenue,
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "user_gaps": q_user_gaps,
@@ -2919,6 +3034,22 @@ SELECT o.o_orderpriority,
        count(*)::BIGINT AS n_items
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
+""",
+        "nation_revenue": f"""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{_Q5_REGION}'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '{_Q5_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q5_HI}'
+GROUP BY n.n_name
 """,
         "json_props": """
 SELECT event_type,

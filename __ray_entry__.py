@@ -1253,6 +1253,62 @@ def q_large_join(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pandas")
 
 
+def q_merge_stats(sf_dir: str):
+    """Physical index merge evidence (rows-only): build two half-corpus
+    indexes (split on a conv boundary), physically merge them, and
+    compare merged search against the federated reader AND the merged
+    stats against the sum of parts. One row of booleans/counters — any
+    False fails tests/test_merge.py's stronger version too."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.federated import FederatedReader
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import merge_indexes
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/graft_idx_cache/{_fmt}/merge-{tag}"
+    halves = [os.path.join(base, "a"), os.path.join(base, "b")]
+    merged_dir = os.path.join(base, "merged")
+    try:
+        done = IndexManifest.load(merged_dir).status == "complete"
+    except FileNotFoundError:
+        done = False
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        full = transcripts_from_documents(sf_dir).to_pandas()
+        full = full.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        cut = len(full) // 2
+        while cut < len(full) and full["conv_id"][cut] == full["conv_id"][cut - 1]:
+            cut += 1
+        cfg = EngineConfig(num_partitions=8, analyzer=AnalyzerConfig(mode="simple"))
+        for d, part in zip(halves, (full.iloc[:cut], full.iloc[cut:])):
+            ds = rd.from_pandas(part.reset_index(drop=True))
+            build_index(d + "_src", d, cfg, transcripts_ds=ds)
+        merge_indexes(halves, merged_dir)
+    merged = IndexReader(merged_dir)
+    fed = FederatedReader(halves)
+    same = True
+    for q in ["spark join filter", "the data", "zzzmissing"]:
+        d1, s1 = merged.search_one(q, 10)
+        d2, s2 = fed.search_one(q, 10)
+        same = same and d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    return pd.DataFrame(
+        {
+            "n_docs": [int(merged.manifest.n_docs)],
+            "n_parts": [len(merged.manifest.parts)],
+            "stats_exact": [merged.manifest.n_docs == fed.n_docs
+                            and abs(merged.manifest.avgdl - fed.avgdl) < 1e-12],
+            "topk_identical_to_federated": [bool(same)],
+        }
+    )
+
+
 _Q5_REGION = "ASIA"
 _Q5_LO, _Q5_HI = "1996-01-01", "1998-01-01"
 
@@ -2546,6 +2602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "json_props": q_json_props,
         "nation_revenue": q_nation_revenue,
+        "merge_stats": q_merge_stats,
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "user_gaps": q_user_gaps,

@@ -131,3 +131,34 @@ def test_search_after_beyond_end_is_empty(built_index):
     # cursor below every score → empty page
     d, s = r.search_one_after("payment", 5, -1.0, 0)
     assert d.size == 0
+
+
+def test_synonym_search_expands_recall(built_index):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search, synonym_search
+
+    index_dir, cfg, manifest = built_index
+    qs = [{"query_id": "s1", "query_text": "payment", "top_k": 50}]
+    plain = search(rd.from_items(qs), index_dir).to_pandas()
+    syn = synonym_search(
+        rd.from_items(qs), index_dir, {"payment": ["transfer"]}
+    ).to_pandas()
+    r = IndexReader(index_dir)
+    expected_docs, expected_scores = r.search_one("payment transfer", 50)
+    assert syn["doc_id"].tolist() == expected_docs.astype("int64").tolist()
+    # expansion can only widen or rescore, never silently equal unless the
+    # synonym term is absent from the corpus
+    assert not syn.equals(plain)
+
+
+def test_synonym_search_noop_when_no_match(built_index):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search, synonym_search
+
+    index_dir, cfg, manifest = built_index
+    qs = [{"query_id": "s1", "query_text": "payment", "top_k": 10}]
+    plain = search(rd.from_items(qs), index_dir).to_pandas()
+    syn = synonym_search(rd.from_items(qs), index_dir, {"unrelated": ["word"]}).to_pandas()
+    assert syn.equals(plain)

@@ -1253,6 +1253,142 @@ def q_large_join(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pandas")
 
 
+def q_argmax_value(sf_dir: str):
+    """max_by/arg-max per group — an aggregate Ray Data lacks natively,
+    as a custom PARTIAL reduction: each batch keeps its per-key best row
+    (value desc, event_id asc), the groupby ships only one candidate row
+    per (key, batch), a tiny per-key finisher picks the global best.
+    Deterministic (unlike SQL max_by on ties — the oracle uses the
+    row_number rule)."""
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "event_id": b["event_id"].to_numpy(zero_copy_only=False),
+                "value": b["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        best = df.sort_values(["value", "event_id"], ascending=[False, True],
+                              kind="mergesort").groupby("event_type", sort=False).head(1)
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "event_id", "value"])
+    cand = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True], kind="mergesort").head(1)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "best_event_id": g["event_id"].astype(np.int64).to_numpy(),
+                "best_value": _round4(g["value"].to_numpy(np.float64)),
+            }
+        )
+
+    return cand.groupby("event_type").map_groups(finish, batch_format="pandas")
+
+
+_HIST_STEP = 100.0
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram per event_type: bucket = floor(value/step)
+    computed in the partial (ints thereafter), so the shuffle carries
+    only (key, bucket) partial counts — the streaming histogram shape."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bucket = np.floor(v / _HIST_STEP).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": b["event_type"].to_pandas(), "bucket": bucket})
+            .groupby(["event_type", "bucket"], sort=False)
+            .size()
+            .reset_index(name="n_p")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "bucket": b["bucket"].astype(np.int64),
+                "n": b["n"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+_OVERLAP_A, _OVERLAP_B = "click", "error"
+_OVERLAP_MIN_VALUE = 150.0
+
+
+def q_user_overlap(sf_dir: str):
+    """Set-op classification (INTERSECT / EXCEPT family): users with a
+    HIGH-VALUE event of BOTH types vs only one vs neither (the value
+    floor keeps membership rare enough to split) — per-user flags
+    as per-batch partials → one small groupby(Max) → classify → count.
+    The raw events never shuffle; the two per-type user SETS never
+    materialize."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas().to_numpy()
+        hi = b["value"].to_numpy(zero_copy_only=False) >= _OVERLAP_MIN_VALUE
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+                    "a_p": ((et == _OVERLAP_A) & hi).astype(np.int64),
+                    "b_p": ((et == _OVERLAP_B) & hi).astype(np.int64),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .agg(a_p=("a_p", "max"), b_p=("b_p", "max"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+    flags = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("user_id")
+        .aggregate(Max("a_p", alias_name="has_a"), Max("b_p", alias_name="has_b"))
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        a = b["has_a"].to_numpy(zero_copy_only=False) > 0
+        bb = b["has_b"].to_numpy(zero_copy_only=False) > 0
+        seg = np.where(a & bb, "both", np.where(a, "a_only", np.where(bb, "b_only", "neither")))
+        g = pd.DataFrame({"segment": seg}).groupby("segment", sort=False).size().reset_index(name="n_p")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = flags.map_batches(classify, batch_format="pyarrow").groupby("segment").aggregate(
+        Sum("n_p", alias_name="n_users")
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"segment": b["segment"], "n_users": b["n_users"].astype(np.int64)}
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 def q_merge_stats(sf_dir: str):
     """Physical index merge evidence (rows-only): build two half-corpus
     indexes (split on a conv boundary), physically merge them, and
@@ -2603,6 +2739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": q_json_props,
         "nation_revenue": q_nation_revenue,
         "merge_stats": q_merge_stats,
+        "argmax_value": q_argmax_value,
+        "value_histogram": q_value_histogram,
+        "user_overlap": q_user_overlap,
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "user_gaps": q_user_gaps,
@@ -3091,6 +3230,31 @@ SELECT o.o_orderpriority,
        count(*)::BIGINT AS n_items
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
+""",
+        "argmax_value": """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events)
+SELECT event_type, event_id::BIGINT AS best_event_id, round(value, 4) AS best_value
+FROM ranked WHERE rn = 1
+""",
+        "value_histogram": f"""
+SELECT event_type, floor(value / {_HIST_STEP})::BIGINT AS bucket, count(*)::BIGINT AS n
+FROM events GROUP BY event_type, bucket
+""",
+        "user_overlap": f"""
+WITH flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = '{_OVERLAP_A}' AND value >= {_OVERLAP_MIN_VALUE} THEN 1 ELSE 0 END) AS has_a,
+         max(CASE WHEN event_type = '{_OVERLAP_B}' AND value >= {_OVERLAP_MIN_VALUE} THEN 1 ELSE 0 END) AS has_b
+  FROM events GROUP BY user_id)
+SELECT CASE WHEN has_a = 1 AND has_b = 1 THEN 'both'
+            WHEN has_a = 1 THEN 'a_only'
+            WHEN has_b = 1 THEN 'b_only'
+            ELSE 'neither' END AS segment,
+       count(*)::BIGINT AS n_users
+FROM flags GROUP BY segment
 """,
         "nation_revenue": f"""
 SELECT n.n_name,

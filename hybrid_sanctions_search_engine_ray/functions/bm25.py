@@ -191,3 +191,127 @@ def score_maxscore(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.
         hit = (pos < p.doc_ids.size) & (p.doc_ids[safe] == cand)
         cand_scores[hit] += p.factors[pos[hit]] * p.idf
     return topk_desc(cand, cand_scores, k)
+
+
+def score_bmw(postings: list[TermPosting], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Block-Max WAND (Ding & Suel SIGIR'11) — the literal DAAT pivot
+    algorithm, kept as the REFERENCE kernel: rank-identical to
+    :func:`score_taat` (tests/test_bm25.py), it documents equivalence
+    with the classical formulation while :func:`score_maxscore` remains
+    the production path (its candidate generation and block skipping are
+    numpy-vectorized; BMW's pivot loop is inherently sequential and a
+    Python-level doc-at-a-time loop has no place in a hot stage).
+
+    Mechanics: cursors sorted by current doc id; the pivot is the first
+    doc where the running sum of term upper bounds exceeds θ (the k-th
+    best score so far) — the WAND invariant makes every doc before the
+    pivot unbeatable. The per-cursor BLOCK maxima then refine the pivot's
+    own bound: when even the block-local sum cannot beat θ the pivot is
+    skipped without scoring (the conservative skip — past the pivot doc
+    only — keeps the kernel obviously correct; deeper boundary skips are
+    an optimization this reference variant deliberately omits).
+    """
+    if not postings:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    import heapq
+
+    ps = [p for p in postings if p.doc_ids.size]
+    if not ps:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    pos = [0] * len(ps)
+    ubs = [p.max_score for p in ps]
+    heap: list[tuple[float, int]] = []  # (score, -doc): top-k min-heap
+
+    def drop_dead() -> bool:
+        nonlocal ps, pos, ubs
+        keep = [i for i in range(len(ps)) if pos[i] < ps[i].doc_ids.size]
+        if len(keep) != len(ps):
+            ps = [ps[i] for i in keep]
+            pos = [pos[i] for i in keep]
+            ubs = [ubs[i] for i in keep]
+        return bool(ps)
+
+    while ps:
+        theta = heap[0][0] if len(heap) >= k else -1.0
+        order = sorted(range(len(ps)), key=lambda i: int(ps[i].doc_ids[pos[i]]))
+        acc = 0.0
+        pivot_idx = -1
+        for j, i in enumerate(order):
+            acc += ubs[i]
+            # >= not >: a doc whose bound EQUALS θ can still tie the
+            # k-th score and win on the doc-id tie-break
+            if acc >= theta:
+                pivot_idx = j
+                break
+        if pivot_idx < 0:
+            break  # no remaining doc can beat θ
+        pivot_doc = int(ps[order[pivot_idx]].doc_ids[pos[order[pivot_idx]]])
+        # extend through ties: every cursor sitting ON the pivot doc can
+        # contribute to it and must count in the block bound below
+        while (pivot_idx + 1 < len(order)
+               and int(ps[order[pivot_idx + 1]].doc_ids[pos[order[pivot_idx + 1]]]) == pivot_doc):
+            pivot_idx += 1
+        first_doc = int(ps[order[0]].doc_ids[pos[order[0]]])
+
+        def block_max_for_pivot(i: int) -> float:
+            # SHALLOW advance: bound the pivot doc by the max of the
+            # block that would CONTAIN it in this cursor's list (the
+            # cursor's current block understates the bound when the
+            # pivot lies blocks ahead — the classic BMW refinement)
+            p = ps[i]
+            j = int(np.searchsorted(p.doc_ids, pivot_doc, side="left"))
+            if j >= p.doc_ids.size:
+                return 0.0  # no doc ≥ pivot: contributes nothing to it
+            b = int(np.searchsorted(p.block_starts, j, side="right")) - 1
+            return float(p.block_max[b])
+
+        block_sum = sum(block_max_for_pivot(i) for i in order[: pivot_idx + 1])
+        if block_sum < theta:  # strict: equal bound may tie and win on id
+            # block maxima prove the pivot can't win: skip it unscored —
+            # advance the largest-bound preceding cursor past the pivot
+            adv = max(order[: pivot_idx + 1], key=lambda i: ubs[i])
+            p = ps[adv]
+            pos[adv] = max(
+                int(np.searchsorted(p.doc_ids, pivot_doc + 1, side="left")), pos[adv] + 1
+            )
+            if not drop_dead():
+                break
+            continue
+        if first_doc == pivot_doc:
+            # all cursors before the pivot sit ON it: full evaluation
+            score = 0.0
+            for i in range(len(ps)):
+                p = ps[i]
+                j = int(np.searchsorted(p.doc_ids, pivot_doc, side="left"))
+                if j < p.doc_ids.size and int(p.doc_ids[j]) == pivot_doc:
+                    score += float(p.factors[j]) * p.idf
+            # tie rule (score desc, doc_id asc): with equal scores the
+            # SMALLER doc must win, so the heap orders by (score, -doc)
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            for i in range(len(ps)):
+                p = ps[i]
+                nxt = int(np.searchsorted(p.doc_ids, pivot_doc + 1, side="left"))
+                pos[i] = max(pos[i], nxt)
+            if not drop_dead():
+                break
+        else:
+            # move the largest-bound cursor STRICTLY BEFORE the pivot up
+            # to it (a cursor already ON the pivot doc must not advance —
+            # that would pass a live doc unevaluated and break the WAND
+            # invariant; one strictly-before cursor always exists here
+            # because first_doc != pivot_doc)
+            before = [i for i in order[:pivot_idx]
+                      if int(ps[i].doc_ids[pos[i]]) < pivot_doc]
+            adv = max(before, key=lambda i: ubs[i])
+            p = ps[adv]
+            pos[adv] = int(np.searchsorted(p.doc_ids, pivot_doc, side="left"))
+            if not drop_dead():
+                break
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    docs = np.array([-d for _, d in out], dtype=np.uint64)
+    scores = np.array([s for s, _ in out], dtype=np.float64)
+    return docs, scores

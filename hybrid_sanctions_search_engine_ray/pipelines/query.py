@@ -223,6 +223,10 @@ class IndexReader:
         top_k = max(1, min(int(top_k), 1000))
         terms = sorted(set(self.analyzer(query_text)))
         postings = list(self.load_postings(terms).values())
+        if method == "bmw":
+            from hybrid_sanctions_search_engine_ray.functions.bm25 import score_bmw
+
+            return score_bmw(postings, top_k)
         fn = score_maxscore if method == "maxscore" else score_taat
         return fn(postings, top_k)
 

@@ -124,3 +124,36 @@ def test_empty_postings():
     assert d.size == 0 and s.size == 0
     d, s = score_maxscore([], 10)
     assert d.size == 0
+
+
+def test_bmw_equals_taat_random():
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import score_bmw
+
+    rng = np.random.default_rng(11)
+    n_total = 2000
+    for trial in range(25):
+        n_terms = rng.integers(1, 6)
+        postings = []
+        for t in range(n_terms):
+            n = int(rng.integers(1, 400))
+            docs = np.sort(rng.choice(n_total, size=n, replace=False)).astype(np.uint64)
+            tfs = rng.integers(1, 8, size=n)
+            dls = rng.integers(5, 60, size=n)
+            postings.append(make_posting(f"t{t}", n_total, list(zip(docs.tolist(), tfs.tolist(), dls.tolist())), 30.0))
+        for k in (1, 5, 37):
+            d1, s1 = score_taat(postings, k)
+            d2, s2 = score_bmw(postings, k)
+            assert d1.tolist() == d2.tolist(), f"trial {trial} k={k}"
+            assert np.allclose(s1, s2, atol=1e-9)
+
+
+def test_bmw_tie_breaks_by_doc_id():
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import score_bmw
+
+    # identical tf/dl everywhere → exact score ties; smaller doc ids must win
+    rows = [(d, 1, 10) for d in range(50)]
+    p = make_posting("t", 1000, rows, 10.0)
+    d1, s1 = score_taat([p], 7)
+    d2, s2 = score_bmw([p], 7)
+    assert d1.tolist() == d2.tolist() == list(range(7))
+    assert s1.tolist() == s2.tolist()

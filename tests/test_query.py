@@ -162,3 +162,17 @@ def test_synonym_search_noop_when_no_match(built_index):
     plain = search(rd.from_items(qs), index_dir).to_pandas()
     syn = synonym_search(rd.from_items(qs), index_dir, {"unrelated": ["word"]}).to_pandas()
     assert syn.equals(plain)
+
+
+@pytest.mark.parametrize("method", ["bmw"])
+def test_bmw_rank_identity_on_index(built_index, method):
+    """The reference Block-Max WAND kernel must return the same ranking
+    as TAAT/MaxScore on the real index for the golden query mix."""
+    index_dir, cfg, manifest = built_index
+    r = IndexReader(index_dir)
+    for q in GOLDEN_QUERIES:
+        for k in (1, 10):
+            d1, s1 = r.search_one(q, k, method="taat")
+            d2, s2 = r.search_one(q, k, method=method)
+            assert d1.astype(np.int64).tolist() == d2.astype(np.int64).tolist(), (q, k)
+            assert np.allclose(s1, s2, atol=1e-9), (q, k)

@@ -12,10 +12,10 @@ with k1 = 1.2, b = 0.75. Ties break (score desc, doc_id asc) — the
 explicit tie-break rule SURVEY.md §7.4 requires (Elasticsearch breaks
 ties by internal doc order; our rule is the deterministic analog).
 
-Two kernels, rank-identical with scores agreeing to ~1 ulp (their
-summation orders differ — tests/test_query.py verifies ranks exactly
-and scores to 1e-6; anything needing exact-float score equality across
-calls, e.g. search_after cursors, must stick to ONE kernel):
+Three kernels, rank-identical with scores agreeing to ~1 ulp (their
+summation orders differ — tests verify ranks exactly and scores to
+1e-6; anything needing exact-float score equality across calls, e.g.
+search_after cursors, must stick to ONE kernel):
 
 * :func:`score_taat` — exhaustive term-at-a-time accumulation, fully
   vectorized (np.unique + bincount). The correctness baseline.
@@ -24,7 +24,12 @@ calls, e.g. search_after cursors, must stick to ONE kernel):
   SIGIR'11): non-essential terms (those whose summed upper bounds
   cannot lift a doc past the running top-k threshold) only contribute
   via direct lookups into candidate docs, and their posting blocks are
-  skipped entirely when the block max cannot matter.
+  skipped entirely when the block max cannot matter. The PRODUCTION
+  path (vectorized end-to-end).
+* :func:`score_bmw` — the literal Block-Max WAND pivot algorithm, kept
+  as the sequential REFERENCE kernel documenting equivalence with the
+  classical formulation (tie-safe pivot selection, shallow block
+  bounds at the pivot).
 """
 
 from __future__ import annotations

@@ -460,3 +460,44 @@ def merge_indexes(index_dirs: list[str], out_dir: str, resume: bool = False) -> 
     out.status = "complete"
     out.save(out_dir)
     return out
+
+
+def ingest_delta(main_index: str, delta_transcripts_ds, out_dir: str,
+                 delta_work_dir: str | None = None, resume: bool = False):
+    """Incremental ingestion with PHYSICAL consolidation: build a delta
+    index over the new transcripts (inheriting the main index's
+    scoring/layout parameters so the merge is legal), then
+    :func:`merge_indexes` main+delta into ``out_dir``. The main index is
+    never modified — callers swap directories when ready (manifest-last
+    gives the same atomic-snapshot semantics as a build).
+
+    The query-time alternative with zero consolidation cost is
+    ``FederatedReader([main, delta])`` (pipelines/federated.py) — score-
+    identical; this function is the "compact when convenient" half of
+    that workflow. Returns the merged IndexManifest.
+    """
+    import tempfile
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+
+    m = IndexManifest.load(main_index)
+    if m.status != "complete":
+        raise ValueError("main index must be complete")
+    cfg = EngineConfig(
+        k1=m.k1, b=m.b, block_size=m.block_size, num_partitions=m.num_partitions,
+        hot_term_salt_buckets=m.hot_term_salt_buckets,
+        analyzer=AnalyzerConfig(mode=m.analyzer_mode, remove_stopwords=m.remove_stopwords,
+                                stem=m.stem),
+    )
+    work = delta_work_dir or tempfile.mkdtemp(prefix="graft_delta_")
+    delta_manifest_done = False
+    if resume:
+        try:
+            delta_manifest_done = IndexManifest.load(work).status == "complete"
+        except FileNotFoundError:
+            pass
+    if not delta_manifest_done:
+        build_index(work + "_src", work, cfg, transcripts_ds=delta_transcripts_ds,
+                    resume=resume, store_positions=m.store_positions)
+    return merge_indexes([main_index, work], out_dir, resume=resume)

@@ -39,11 +39,11 @@ def merged_setup(tmp_path_factory, corpus_dir, ray_session):
         build_index(str(base / f"src_{name}"), idx[name], CFG, transcripts_ds=ds)
     out = str(base / "merged")
     manifest = merge_indexes([idx["a"], idx["b"]], out)
-    return idx, out, manifest
+    return idx, out, manifest, halves, base
 
 
 def test_merged_equals_federated(merged_setup):
-    idx, out, manifest = merged_setup
+    idx, out, manifest, halves, base = merged_setup
     fed = FederatedReader([idx["a"], idx["b"]])
     merged = IndexReader(out)
     assert manifest.status == "complete"
@@ -60,7 +60,7 @@ def test_merged_equals_federated(merged_setup):
 def test_merged_docmap_lifted(merged_setup):
     import pandas as pd
 
-    idx, out, _ = merged_setup
+    idx, out, _, halves, base = merged_setup
     merged = IndexReader(out)
     d, s = merged.search_one("payment", 10)
     res = pd.DataFrame({"doc_id": d.astype(np.int64)})
@@ -77,7 +77,7 @@ def test_merged_docmap_lifted(merged_setup):
 
 
 def test_merge_refuses_tombstones_and_mismatch(merged_setup, tmp_path):
-    idx, out, _ = merged_setup
+    idx, out, _, halves, base = merged_setup
     delete_docs(idx["a"], [0])
     with pytest.raises(ValueError, match="tombstones"):
         merge_indexes([idx["a"], idx["b"]], str(tmp_path / "m2"))
@@ -89,7 +89,7 @@ def test_merge_refuses_tombstones_and_mismatch(merged_setup, tmp_path):
 
 
 def test_merge_resume_skips_done_parts(merged_setup, tmp_path):
-    idx, out, _ = merged_setup
+    idx, out, _, halves, base = merged_setup
     out2 = str(tmp_path / "m4")
     m1 = merge_indexes([idx["a"], idx["b"]], out2)
     # re-run with resume: must succeed and give identical stats
@@ -98,3 +98,28 @@ def test_merge_resume_skips_done_parts(merged_setup, tmp_path):
     r = IndexReader(out2)
     d, s = r.search_one("payment transfer", 10)
     assert d.size > 0
+
+
+def test_ingest_delta_equals_merge(merged_setup, tmp_path):
+    """ingest_delta(main, new_docs) must score identically to the
+    explicit build+merge of the same halves (segment layouts may differ
+    — hot-term sets are re-derived — but stats and scores are exact)."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import ingest_delta
+
+    idx, out, _, halves, base = merged_setup
+    ds_b = rd.from_arrow(pa.Table.from_pandas(halves["b"].reset_index(drop=True), preserve_index=False))
+    out2 = str(tmp_path / "ingested")
+    m2 = ingest_delta(idx["a"], ds_b, out2, delta_work_dir=str(tmp_path / "delta"))
+    merged = IndexReader(out)
+    ingested = IndexReader(out2)
+    assert m2.n_docs == merged.manifest.n_docs
+    assert abs(m2.avgdl - merged.manifest.avgdl) < 1e-12
+    for q in QUERIES:
+        d1, s1 = merged.search_one(q, 10)
+        d2, s2 = ingested.search_one(q, 10)
+        assert d1.astype(np.int64).tolist() == d2.astype(np.int64).tolist(), q
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=1e-12)

@@ -77,6 +77,16 @@ BOOL_QUERIES: list[dict[str, str]] = [
     {"query_id": "b05", "must": "window", "should": "stream vector", "must_not": "the"},
 ]
 
+# minimum_should_match queries: should-only disjunctions with a
+# required distinct-match floor (the ES bool msm knob)
+MSM_QUERIES: list[dict] = [
+    {"query_id": "m01", "should": "spark join filter", "min_should_match": 2},
+    {"query_id": "m02", "should": "vector hash window stream", "min_should_match": 3},
+    {"query_id": "m03", "should": "customer scan", "min_should_match": 2},
+    {"query_id": "m04", "should": "zzzmissing data", "min_should_match": 2},
+]
+
+
 # Multi-word queries for the word-shingle field (reference
 # shingle_analyzer: 2-3 word shingles + unigrams) — adjacent-word
 # matches outrank scattered-word matches without a positional index.
@@ -143,6 +153,18 @@ def _qterms_values() -> str:
         for term in sorted(set(text.lower().split())):
             rows.append(f"('{qid}', '{term}')")
     return ", ".join(rows)
+
+
+def _msm_should_values() -> str:
+    rows = []
+    for q in MSM_QUERIES:
+        for term in sorted(set(q["should"].lower().split())):
+            rows.append(f"('{q['query_id']}', '{term}')")
+    return ", ".join(rows)
+
+
+def _msm_min_values() -> str:
+    return ", ".join(f"('{q['query_id']}', {q['min_should_match']})" for q in MSM_QUERIES)
 
 
 def _pii_sql() -> str:
@@ -467,6 +489,32 @@ def q_boolean_search(sf_dir: str):
 
     index_dir = _ensure_index(sf_dir)
     qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in BOOL_QUERIES])
+    res = boolean_search(qs, index_dir, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_finish, batch_format="pandas")
+
+
+def q_bool_msm(sf_dir: str):
+    """ES minimum_should_match: should-only disjunction where a doc must
+    match at least N DISTINCT should terms (pipelines/query.py
+    search_one_boolean msm path — counted via sorted-array membership,
+    never a per-row loop)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import boolean_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": q["query_id"], "must": "", "should": q["should"], "must_not": "",
+          "min_should_match": q["min_should_match"], "top_k": BM25_TOP_K}
+         for q in MSM_QUERIES]
+    )
     res = boolean_search(qs, index_dir, _engine_cfg())
 
     def _finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -2732,6 +2780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_join": q_large_join,
         "more_like_this": q_more_like_this,
         "search_after": q_search_after,
+        "bool_msm": q_bool_msm,
         "synonym_search": q_synonym_search,
         "did_you_mean": q_did_you_mean,
         "pii_redact": q_pii_redact,
@@ -3336,6 +3385,30 @@ best AS (
 )
 SELECT q_term, term AS suggestion, cast(dist AS int) AS dist, df::BIGINT AS df
 FROM best WHERE rn = 1
+""",
+        "bool_msm": f"""
+WITH {TRANSCRIPTS_CTE},
+sq(query_id, term) AS (VALUES {_msm_should_values()}),
+mq(query_id, m) AS (VALUES {_msm_min_values()}),
+scoresm AS (
+  SELECT q.query_id, tf.doc_id, count(DISTINCT q.term)::BIGINT AS nm,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM sq q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+rankedm AS (
+  SELECT sc.query_id, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.doc_id) AS rnk
+  FROM scoresm sc JOIN mq ON mq.query_id = sc.query_id
+  WHERE sc.nm >= mq.m
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedm WHERE rnk <= {BM25_TOP_K}
 """,
         "search_after": f"""
 WITH {TRANSCRIPTS_CTE},

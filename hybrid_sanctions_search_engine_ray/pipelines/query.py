@@ -252,13 +252,17 @@ class IndexReader:
         return topk_desc_after(docs, scores, top_k, cursor_score, cursor_doc)
 
     def search_one_boolean(
-        self, must_text: str, should_text: str = "", not_text: str = "", top_k: int = 50
+        self, must_text: str, should_text: str = "", not_text: str = "", top_k: int = 50,
+        min_should_match: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """ES bool-query semantics (reference: the bool/must/should/must_not
         clauses its adapters emit — elasticsearch_adapters.py search bodies):
         a doc must contain EVERY must term and NO must_not term; score is
         the BM25 sum over the distinct must ∪ should terms it matches.
         With no must terms, should terms retrieve disjunctively (min 1).
+        ``min_should_match`` is the ES knob: a candidate must match at
+        least that many DISTINCT should terms (with no must clause it is
+        effectively max(min_should_match, 1)).
         Returns (doc_ids, scores) ranked (score desc, doc_id asc)."""
         top_k = max(1, min(int(top_k), 1000))
         must = sorted(set(self.analyzer(must_text)))
@@ -280,6 +284,17 @@ class IndexReader:
             if not got_should:
                 return empty
             cand = np.unique(np.concatenate([p.doc_ids for p in got_should.values()]))
+            min_should_match = max(int(min_should_match), 1)
+        if min_should_match > 0 and should:
+            got_should = self.load_postings(should)
+            if len(got_should) < min_should_match:
+                return empty  # fewer live should terms than required matches
+            nm = np.zeros(cand.size, np.int64)
+            for p in got_should.values():
+                nm[_sorted_member(p.doc_ids, cand)] += 1
+            cand = cand[nm >= min_should_match]
+            if cand.size == 0:
+                return empty
         for p in self.load_postings(excl).values():
             cand = cand[~_sorted_member(p.doc_ids, cand)]
             if cand.size == 0:
@@ -366,6 +381,7 @@ class BooleanScorer:
 
         must, should, excl = col("must"), col("should"), col("must_not")
         top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        msms = batch["min_should_match"] if "min_should_match" in batch.columns else None
         union: set[str] = set()
         for texts in (must, should, excl):
             for t in texts:
@@ -374,7 +390,10 @@ class BooleanScorer:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for i, qid in enumerate(batch["query_id"]):
             k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
-            docs, scores = self.reader.search_one_boolean(must[i], should[i], excl[i], k)
+            msm = int(msms.iloc[i]) if msms is not None else 0
+            docs, scores = self.reader.search_one_boolean(
+                must[i], should[i], excl[i], k, min_should_match=msm
+            )
             n = docs.size
             out["query_id"].extend([qid] * n)
             out["rank"].extend(range(1, n + 1))

@@ -86,3 +86,20 @@ def test_boolean_search_dataset(built_index):
     assert set(out.columns) == {"query_id", "rank", "doc_id", "score"}
     assert (out["query_id"] == "b1").all() and len(out) <= 5  # b2 is empty
     assert (out.sort_values("rank")["score"].diff().dropna() <= 1e-12).all()
+
+
+def test_min_should_match_filters_candidates(built_index):
+    """msm=N keeps only docs matching ≥ N distinct should terms; msm
+    larger than the live should set returns empty."""
+    index_dir, cfg, _ = built_index
+    r = IndexReader(index_dir)
+    d1, s1 = r.search_one_boolean("", should_text="payment transfer", top_k=50)
+    d2, s2 = r.search_one_boolean("", should_text="payment transfer", top_k=50,
+                                  min_should_match=2)
+    # msm=2 results must be a subset of msm=1, each containing BOTH terms
+    assert set(d2.tolist()) <= set(d1.tolist())
+    oracle_both = r.search_one_boolean("payment transfer", top_k=50)[0]  # must-AND
+    assert sorted(d2.tolist()) == sorted(oracle_both.tolist())
+    d3, _ = r.search_one_boolean("", should_text="payment zzznothing", top_k=50,
+                                 min_should_match=2)
+    assert d3.size == 0

@@ -787,6 +787,22 @@ def q_search_facets(sf_dir: str):
     return search_facets(index_dir, FACET_QUERY, meta, facet_col="role")
 
 
+def q_sig_terms(sf_dir: str):
+    """ES significant_terms: terms overrepresented in the matching set
+    vs the corpus (JLH heuristic), both frequencies from ONE streaming
+    scan with a broadcast membership test (stages/facets.py)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import significant_terms
+
+    index_dir = _ensure_index(sf_dir)
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return significant_terms(index_dir, FACET_QUERY, corpus,
+                             analyzer_cfg=_engine_cfg().analyzer, top_n=10, min_fg=2)
+
+
 def q_tfidf_cosine(sf_dir: str):
     """Char-3-gram TF-IDF cosine ranking (reference:
     vector_index_service.py:29-66 CharTfidfVectorIndex — sublinear tf,
@@ -2781,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": q_more_like_this,
         "search_after": q_search_after,
         "bool_msm": q_bool_msm,
+        "sig_terms": q_sig_terms,
         "synonym_search": q_synonym_search,
         "did_you_mean": q_did_you_mean,
         "pii_redact": q_pii_redact,
@@ -3385,6 +3402,26 @@ best AS (
 )
 SELECT q_term, term AS suggestion, cast(dist AS int) AS dist, df::BIGINT AS df
 FROM best WHERE rn = 1
+""",
+        "sig_terms": f"""
+WITH {TRANSCRIPTS_CTE},
+qt(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(FACET_QUERY.lower().split())))}),
+fg AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qt ON tf.term = qt.term),
+fsz AS (SELECT count(*)::DOUBLE AS f FROM fg),
+fgdf AS (
+  SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS fg_df
+  FROM tf JOIN fg ON fg.doc_id = tf.doc_id GROUP BY tf.term),
+j AS (
+  SELECT f.term, f.fg_df, d.df AS bg_df,
+         round(((f.fg_df / fs.f) - (d.df::DOUBLE / s.n_docs))
+               * ((f.fg_df / fs.f) / (d.df::DOUBLE / s.n_docs)), 4) AS jlh
+  FROM fgdf f JOIN df d ON d.term = f.term CROSS JOIN fsz fs CROSS JOIN stats s
+  WHERE f.fg_df >= 2),
+rankedj AS (
+  SELECT term, fg_df, bg_df, jlh,
+         row_number() OVER (ORDER BY jlh DESC, term) AS rn
+  FROM j)
+SELECT term, fg_df, bg_df, jlh FROM rankedj WHERE rn <= 10
 """,
         "bool_msm": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -98,3 +98,78 @@ def search_facets(index_dir: str, query_text: str, meta_ds, facet_col: str,
         return pd.DataFrame({"facet": pd.Series([], dtype=object),
                              "n_docs": pd.Series([], dtype=np.int64)})
     return facet_counts_ds(meta_ds, ids, facet_col, id_col=id_col)
+
+
+def significant_terms(index_dir: str, query_text: str, corpus_ds,
+                      analyzer_cfg=None, top_n: int = 10, min_fg: int = 2,
+                      reader=None) -> pd.DataFrame:
+    """ES significant_terms aggregation: terms OVERREPRESENTED in the
+    query's matching-doc set vs the whole corpus, scored with the JLH
+    heuristic ``(fg% − bg%) · (fg% / bg%)``.
+
+    One streaming corpus scan computes BOTH frequencies: per batch the
+    tokenizer emits distinct (doc, term) pairs once, every pair counts
+    toward the background df and — via the broadcast matching-id
+    membership test — toward the foreground df. The shuffle carries only
+    (term, fg_p, bg_p) partials. Deterministic ranking: JLH rounded to 4
+    decimals desc, then term asc (the same quantized-tie rule the other
+    score-ranked tiers use). Returns (term, fg_df, bg_df, jlh)."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    cfg = analyzer_cfg or AnalyzerConfig()
+    r = reader or IndexReader(index_dir)
+    ids = matching_doc_ids(r, query_text)
+    n_docs = int(r.manifest.n_docs)
+    f_size = int(ids.size)
+    if f_size == 0:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "fg_df": pd.Series([], dtype=np.int64),
+                             "bg_df": pd.Series([], dtype=np.int64),
+                             "jlh": pd.Series([], dtype=np.float64)})
+    ref = ray.put(ids)
+
+    class Partial:
+        def __init__(self):
+            self.ids = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+            parent, terms = flat_terms(b, cfg)
+            if not len(terms):
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "fg_p": pa.array([], pa.int64()),
+                                 "bg_p": pa.array([], pa.int64())})
+            d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+            df = pd.DataFrame({"term": terms.to_numpy(zero_copy_only=False), "d": d})
+            df = df.drop_duplicates()  # distinct (doc, term) within the batch
+            dd = df["d"].to_numpy()
+            pos = np.searchsorted(self.ids, dd)
+            safe = np.minimum(pos, self.ids.size - 1)
+            fg = ((pos < self.ids.size) & (self.ids[safe] == dd)).astype(np.int64)
+            g = (
+                pd.DataFrame({"term": df["term"].to_numpy(), "fg_p": fg,
+                              "bg_p": np.ones(len(df), dtype=np.int64)})
+                .groupby("term", sort=False).sum().reset_index()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        corpus_ds.map_batches(Partial, batch_format="pyarrow", concurrency=2)
+        .groupby("term")
+        .aggregate(Sum("fg_p", alias_name="fg_df"), Sum("bg_p", alias_name="bg_df"))
+        .to_pandas()
+    )
+    agg = agg[agg["fg_df"] >= min_fg].copy()
+    fgp = agg["fg_df"].to_numpy(np.float64) / float(f_size)
+    bgp = agg["bg_df"].to_numpy(np.float64) / float(n_docs)
+    agg["jlh"] = round_half_away((fgp - bgp) * (fgp / bgp), 4)
+    agg = agg.sort_values(["jlh", "term"], ascending=[False, True],
+                          kind="mergesort").head(top_n).reset_index(drop=True)
+    agg["fg_df"] = agg["fg_df"].astype(np.int64)
+    agg["bg_df"] = agg["bg_df"].astype(np.int64)
+    return agg[["term", "fg_df", "bg_df", "jlh"]]

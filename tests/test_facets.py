@@ -83,3 +83,34 @@ def test_facet_counts_ds_membership(ray_session):
     assert dict(zip(out["facet"], out["n_docs"])) == {"assistant": 2}
     none = facet_counts_ds(_meta_ds(), np.empty(0, dtype=np.int64), "role")
     assert none.empty
+
+
+def test_significant_terms_query_terms_rank_top(facet_index):
+    """The query's own terms are maximally overrepresented in the
+    matching set (fg% == 1 for an OR match on themselves)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import significant_terms
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array([t for t, _ in TEXTS], pa.string()),
+    }))
+    out = significant_terms(facet_index, "alpha", corpus, top_n=5, min_fg=1)
+    assert not out.empty
+    assert out["term"].iloc[0] == "alpha"
+    # every fg_df ≤ bg_df and ≤ |matching set|
+    assert (out["fg_df"] <= out["bg_df"]).all()
+
+
+def test_significant_terms_zero_hit(facet_index):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import significant_terms
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array([t for t, _ in TEXTS], pa.string()),
+    }))
+    out = significant_terms(facet_index, "zzzznotaterm", corpus)
+    assert out.empty

@@ -526,6 +526,63 @@ def q_bool_msm(sf_dir: str):
     return res.map_batches(_finish, batch_format="pandas")
 
 
+def q_conv_search(sf_dir: str):
+    """Conversation-level retrieval (ES has_child, score_mode=max): rank
+    CONVERSATIONS by the best turn score; exhaustive candidates rolled
+    up with a vectorized groupby on the conv stride
+    (pipelines/query.py::conv_search)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import conv_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K}
+         for qid, text in BM25_QUERIES.items()]
+    )
+    res = conv_search(qs, index_dir, turns_per_conv=8, score_mode="max")
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        return b
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+_FS_PERIOD = 365
+
+
+def _recency_boost(doc_ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-doc recency factor shared with the SQL twin:
+    1 / (1 + age_days), age_days = doc_id % 365 (the synthetic ts grid
+    makes doc_id the age proxy)."""
+    return 1.0 / (1.0 + (doc_ids % _FS_PERIOD).astype(np.float64))
+
+
+def q_function_score(sf_dir: str):
+    """ES function_score: BM25 × recency factor applied over the FULL
+    candidate set before top-k (pipelines/query.py::function_score_search
+    — a post-truncation rescore could not surface boosted tail docs)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import function_score_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K}
+         for qid, text in BM25_QUERIES.items()]
+    )
+    res = function_score_search(qs, index_dir, _recency_boost)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        return b
+
+    return res.map_batches(final, batch_format="pandas")
+
+
 def q_term_dictionary(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -2798,6 +2855,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": q_search_after,
         "bool_msm": q_bool_msm,
         "sig_terms": q_sig_terms,
+        "conv_search": q_conv_search,
+        "function_score": q_function_score,
         "synonym_search": q_synonym_search,
         "did_you_mean": q_did_you_mean,
         "pii_redact": q_pii_redact,
@@ -3402,6 +3461,56 @@ best AS (
 )
 SELECT q_term, term AS suggestion, cast(dist AS int) AS dist, df::BIGINT AS df
 FROM best WHERE rn = 1
+""",
+        "conv_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+convs AS (
+  SELECT query_id, doc_id // 8 AS conv_num, max(score) AS score,
+         count(*)::BIGINT AS n_hit_turns
+  FROM scores GROUP BY query_id, conv_num
+),
+rankedc AS (
+  SELECT query_id, conv_num, score, n_hit_turns,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, conv_num) AS rnk
+  FROM convs
+)
+SELECT query_id, cast(rnk AS int) AS rank, conv_num, round(score, 4) AS score, n_hit_turns
+FROM rankedc WHERE rnk <= {BM25_TOP_K}
+""",
+        "function_score": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) )
+           * (1.0 / (1.0 + (tf.doc_id % {_FS_PERIOD}))) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         "sig_terms": f"""
 WITH {TRANSCRIPTS_CTE},

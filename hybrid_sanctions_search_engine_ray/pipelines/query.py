@@ -714,3 +714,138 @@ def synonym_search(queries_ds, index_dir: str, synonyms: dict[str, list[str]],
         return b
 
     return search(queries_ds.map_batches(rewrite, batch_format="pandas"), index_dir, cfg, method)
+
+
+class ConvScorer:
+    """Actor-pool callable: rank CONVERSATIONS by their turns' BM25
+    scores (ES parent-child ``has_child`` with score_mode max/sum — the
+    transcript-level retrieval a turn index serves). Exhaustive TAAT
+    over the full candidate set (no top-k truncation before the
+    conversation rollup), then a vectorized groupby on the derived
+    conv key."""
+
+    def __init__(self, index_dir: str, turns_per_conv: int, default_top_k: int = 10,
+                 score_mode: str = "max"):
+        self.reader = IndexReader(index_dir)
+        self.tpc = int(turns_per_conv)
+        self.default_top_k = default_top_k
+        if score_mode not in ("max", "sum"):
+            raise ValueError("score_mode must be max or sum")
+        self.score_mode = score_mode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
+
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        out = {"query_id": [], "rank": [], "conv_num": [], "score": [], "n_hit_turns": []}
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            conv = docs.astype(np.int64) // self.tpc
+            uniq, inv = np.unique(conv, return_inverse=True)
+            if self.score_mode == "max":
+                agg = np.zeros(uniq.size, np.float64)
+                np.maximum.at(agg, inv, scores)
+            else:
+                agg = np.bincount(inv, weights=scores, minlength=uniq.size)
+            hits = np.bincount(inv, minlength=uniq.size)
+            cs, ss = topk_desc(uniq.astype(np.uint64), agg, k)
+            pos = np.searchsorted(uniq, cs.astype(np.int64))
+            n = cs.size
+            out["query_id"].extend([qid] * n)
+            out["rank"].extend(range(1, n + 1))
+            out["conv_num"].extend(cs.astype(np.int64).tolist())
+            out["score"].extend(ss.tolist())
+            out["n_hit_turns"].extend(hits[pos].astype(np.int64).tolist())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="string[python]").astype(object),
+                "rank": pd.Series(out["rank"], dtype=np.int32),
+                "conv_num": pd.Series(out["conv_num"], dtype=np.int64),
+                "score": pd.Series(out["score"], dtype=np.float64),
+                "n_hit_turns": pd.Series(out["n_hit_turns"], dtype=np.int64),
+            }
+        )
+
+
+def conv_search(queries_ds, index_dir: str, turns_per_conv: int,
+                cfg: EngineConfig = DEFAULT_CONFIG, score_mode: str = "max"):
+    """Conversation-level retrieval: queries Dataset (query_id,
+    query_text[, top_k]) → top conversations per query with
+    (conv_num, score, n_hit_turns). ``turns_per_conv`` is the dense
+    doc-id→conv mapping stride (an explicit conv-id docmap join is the
+    general path; the stride avoids it when ids are conv-major)."""
+    return queries_ds.map_batches(
+        ConvScorer,
+        fn_constructor_args=(index_dir, turns_per_conv, cfg.top_k, score_mode),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+class FunctionScorer:
+    """Actor-pool callable for ES function_score: multiply each
+    candidate's BM25 score by a deterministic per-doc factor
+    (``boost_fn``: vectorized doc_ids → float64 factors) BEFORE top-k
+    selection — the boost sees the FULL candidate set, so low-raw-score
+    docs with strong boosts can still surface (a post-truncation rescore
+    could not do that)."""
+
+    def __init__(self, index_dir: str, boost_fn, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.boost_fn = boost_fn
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
+
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            boosted = scores * self.boost_fn(docs.astype(np.int64))
+            d, s = topk_desc(docs, boosted, k)
+            n = d.size
+            out["query_id"].extend([qid] * n)
+            out["rank"].extend(range(1, n + 1))
+            out["doc_id"].extend(d.astype(np.int64).tolist())
+            out["score"].extend(s.tolist())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="string[python]").astype(object),
+                "rank": pd.Series(out["rank"], dtype=np.int32),
+                "doc_id": pd.Series(out["doc_id"], dtype=np.int64),
+                "score": pd.Series(out["score"], dtype=np.float64),
+            }
+        )
+
+
+def function_score_search(queries_ds, index_dir: str, boost_fn,
+                          cfg: EngineConfig = DEFAULT_CONFIG):
+    """ES function_score: BM25 × per-doc factor over the full candidate
+    set. ``boost_fn`` must be a pure vectorized function of the doc-id
+    array (deterministic across workers — it ships inside the actor
+    constructor)."""
+    return queries_ds.map_batches(
+        FunctionScorer,
+        fn_constructor_args=(index_dir, boost_fn, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

@@ -176,3 +176,54 @@ def test_bmw_rank_identity_on_index(built_index, method):
             d2, s2 = r.search_one(q, k, method=method)
             assert d1.astype(np.int64).tolist() == d2.astype(np.int64).tolist(), (q, k)
             assert np.allclose(s1, s2, atol=1e-9), (q, k)
+
+
+def test_conv_search_rollup_consistent(built_index):
+    """Conversation max-score rollup: each returned conv's score equals
+    the best turn score among its member docs, and sum mode >= max."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import conv_search
+
+    index_dir, cfg, _ = built_index
+    r = IndexReader(index_dir)
+    qs = rd.from_items([{"query_id": "c1", "query_text": "payment transfer", "top_k": 5}])
+    tpc = 13  # arbitrary stride for the rollup consistency check
+    res_max = conv_search(qs, index_dir, turns_per_conv=tpc, score_mode="max").to_pandas()
+    res_sum = conv_search(qs, index_dir, turns_per_conv=tpc, score_mode="sum").to_pandas()
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all
+
+    terms = sorted(set(r.analyzer("payment transfer")))
+    docs, scores = score_all(list(r.load_postings(terms).values()))
+    conv = docs.astype(np.int64) // tpc
+    for row in res_max.itertuples(index=False):
+        members = scores[conv == row.conv_num]
+        assert abs(row.score - members.max()) < 1e-12
+        assert row.n_hit_turns == members.size
+    sums = {int(c): float(scores[conv == c].sum()) for c in res_sum["conv_num"]}
+    for row in res_sum.itertuples(index=False):
+        assert abs(row.score - sums[int(row.conv_num)]) < 1e-9
+
+
+def test_function_score_surfaces_boosted_tail(built_index):
+    """A boost that zeroes all but one doc must make that doc rank 1
+    even if its raw BM25 rank was low — proving the boost sees the FULL
+    candidate set, not a truncated top-k."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all
+    from hybrid_sanctions_search_engine_ray.pipelines.query import function_score_search
+
+    index_dir, cfg, _ = built_index
+    r = IndexReader(index_dir)
+    terms = sorted(set(r.analyzer("payment")))
+    docs, scores = score_all(list(r.load_postings(terms).values()))
+    # pick the WORST candidate and boost only it
+    worst = int(docs[np.argmin(scores)])
+
+    def only_worst(doc_ids: np.ndarray) -> np.ndarray:
+        return (doc_ids == worst).astype(np.float64)
+
+    qs = rd.from_items([{"query_id": "f1", "query_text": "payment", "top_k": 3}])
+    res = function_score_search(qs, index_dir, only_worst).to_pandas()
+    assert int(res[res["rank"] == 1]["doc_id"].iloc[0]) == worst

@@ -860,6 +860,34 @@ def q_sig_terms(sf_dir: str):
                              analyzer_cfg=_engine_cfg().analyzer, top_n=10, min_fg=2)
 
 
+PERC_QUERIES: list[tuple[str, str]] = [
+    ("p01", "spark join"),
+    ("p02", "customer scan table"),
+    ("p03", "vector hash"),
+    ("p04", "zzzmissing"),
+]
+
+
+def q_percolate(sf_dir: str):
+    """Reverse search (ES percolator): stored conjunctive queries
+    broadcast once, the document stream matched per batch with a
+    vectorized coverage matrix (stages/facets.py::percolate)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import percolate
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    res = percolate(docs, PERC_QUERIES, analyzer_cfg=_engine_cfg().analyzer)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype(np.int64), "query_id": b["query_id"]}
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
 def q_tfidf_cosine(sf_dir: str):
     """Char-3-gram TF-IDF cosine ranking (reference:
     vector_index_service.py:29-66 CharTfidfVectorIndex — sublinear tf,
@@ -2856,6 +2884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_msm": q_bool_msm,
         "sig_terms": q_sig_terms,
         "conv_search": q_conv_search,
+        "percolate": q_percolate,
         "function_score": q_function_score,
         "synonym_search": q_synonym_search,
         "did_you_mean": q_did_you_mean,
@@ -3461,6 +3490,17 @@ best AS (
 )
 SELECT q_term, term AS suggestion, cast(dist AS int) AS dist, df::BIGINT AS df
 FROM best WHERE rn = 1
+""",
+        "percolate": f"""
+WITH {TRANSCRIPTS_CTE},
+pqq(query_id, term) AS (VALUES {", ".join(f"('{qid}', '{t}')" for qid, text in PERC_QUERIES for t in sorted(set(text.lower().split())))}),
+need AS (SELECT query_id, count(*)::BIGINT AS n FROM pqq GROUP BY query_id),
+hits AS (
+  SELECT q.query_id, tf.doc_id, count(DISTINCT q.term)::BIGINT AS c
+  FROM pqq q JOIN tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id)
+SELECT h.doc_id, h.query_id
+FROM hits h JOIN need n ON n.query_id = h.query_id AND h.c = n.n
 """,
         "conv_search": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -173,3 +173,68 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
     agg["fg_df"] = agg["fg_df"].astype(np.int64)
     agg["bg_df"] = agg["bg_df"].astype(np.int64)
     return agg[["term", "fg_df", "bg_df", "jlh"]]
+
+
+class _Percolator:
+    """Actor-pool callable for reverse search (ES percolate): each
+    stored query is a conjunctive term set; a document matches when its
+    token set covers the query's terms. The (tiny) query table broadcasts
+    once; the document stream is tokenized per batch and matched with a
+    vectorized membership matrix — no per-(doc, query) Python loop."""
+
+    def __init__(self, queries_ref, analyzer_cfg):
+        self.queries = ray.get(queries_ref)  # list[(query_id, tuple(terms))]
+        self.cfg = analyzer_cfg
+        vocab = sorted({t for _, ts in self.queries for t in ts})
+        self.vocab = np.array(vocab, dtype=object)
+        # per-query indicator rows over the query vocabulary
+        self.need = np.zeros((len(self.queries), len(vocab)), dtype=bool)
+        vidx = {t: j for j, t in enumerate(vocab)}
+        for i, (_, ts) in enumerate(self.queries):
+            for t in ts:
+                self.need[i, vidx[t]] = True
+        self.need_counts = self.need.sum(axis=1)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+        parent, terms = flat_terms(b, self.cfg)
+        n = b.num_rows
+        have = np.zeros((n, self.vocab.size), dtype=bool)
+        if len(terms):
+            t = terms.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.vocab, t)
+            safe = np.minimum(pos, self.vocab.size - 1)
+            hit = (pos < self.vocab.size) & (self.vocab[safe] == t)
+            have[parent[hit], pos[hit]] = True
+        # doc × query coverage: every needed term present
+        matched = (have @ self.need.T.astype(np.int64)) >= self.need_counts[None, :]
+        di, qi = np.nonzero(matched)
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"].to_numpy(zero_copy_only=False)[di]),
+                "query_id": pa.array([self.queries[j][0] for j in qi], pa.string()),
+            }
+        )
+
+
+def percolate(docs_ds, stored_queries: list[tuple[str, str]], analyzer_cfg=None,
+              concurrency: int = 2):
+    """Reverse search (ES percolator): match a STREAM of documents
+    against a small table of stored conjunctive queries. Returns a
+    Dataset of (doc_id, query_id) matches. The stored queries ship once
+    (object store); documents never shuffle."""
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
+
+    cfg = analyzer_cfg or AnalyzerConfig()
+    an = get_analyzer(cfg)
+    parsed = [(qid, tuple(sorted(set(an(text))))) for qid, text in stored_queries]
+    parsed = [(qid, ts) for qid, ts in parsed if ts]
+    ref = ray.put(parsed)
+    return docs_ds.map_batches(
+        _Percolator,
+        fn_constructor_args=(ref, cfg),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

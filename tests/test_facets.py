@@ -114,3 +114,17 @@ def test_significant_terms_zero_hit(facet_index):
     }))
     out = significant_terms(facet_index, "zzzznotaterm", corpus)
     assert out.empty
+
+
+def test_percolate_matches_conjunctive(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import percolate
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["alpha beta gamma", "alpha", "beta alpha extra", ""],
+    }))
+    res = percolate(docs, [("q1", "alpha beta"), ("q2", "alpha"), ("q3", "zzz")]).to_pandas()
+    got = set(map(tuple, res[["doc_id", "query_id"]].itertuples(index=False)))
+    assert got == {(0, "q1"), (2, "q1"), (0, "q2"), (1, "q2"), (2, "q2")}

@@ -126,6 +126,57 @@ TIERED_QUERIES: dict[str, str] = {
 # weighted fusion params (reference: config/weights.json:41-50 shape)
 _FUSE_W_LEX, _FUSE_W_NGRAM, _FUSE_SHARED = 0.65, 0.35, 0.15
 
+# Wildcard queries (ES wildcard query, scoring_boolean rewrite): patterns
+# expand against the term dictionary; last is a deliberate zero-match.
+WILDCARD_QUERIES: dict[str, str] = {
+    "w01": "cust*",
+    "w02": "*ream",
+    "w03": "fil?er",
+    "w04": "sp*k",
+    "w05": "zzz*q",
+}
+
+# Boosting queries (ES boosting query): positive BM25, negative-clause
+# matches demoted by _NEG_BOOST; n04's negative never matches.
+BOOSTING_QUERIES: list[dict[str, str]] = [
+    {"query_id": "n01", "query_text": "customer table", "negative": "scan"},
+    {"query_id": "n02", "query_text": "spark join", "negative": "window"},
+    {"query_id": "n03", "query_text": "data", "negative": "the"},
+    {"query_id": "n04", "query_text": "merge sort", "negative": "zzzmissing"},
+]
+_NEG_BOOST = 0.5
+
+# Rescore queries (ES rescore): word-BM25 first pass, exact-phrase bonus
+# re-ranks only the top _RESCORE_WINDOW hits.
+RESCORE_QUERIES: dict[str, str] = {
+    "r01": "part filter",
+    "r02": "customer join",
+    "r03": "merge group",
+    "r04": "window stream",
+    "r05": "slow query order",
+}
+_RESCORE_WINDOW, _RESCORE_WEIGHT = 50, 2.0
+
+# Seeded random_score (boost_mode=replace) over the match candidates.
+RANDOM_SCORE_QUERIES: dict[str, str] = {"rs1": "vector", "rs2": "window stream"}
+_RANDOM_SEED = "42"
+
+# terms-agg + top_hits sub-agg queries (grouped by docmap turn_idx).
+TOP_HITS_QUERIES: dict[str, str] = {"th1": "customer table scan", "th2": "window stream"}
+_TOP_HITS_PER_GROUP = 3
+
+# term-vectors API sample docs (exist at every sf; doc_id < 500)
+TERM_VECTOR_DOCS: list[int] = [0, 3, 7, 42, 123, 321]
+
+# adjacency_matrix filters: name → analyzed term
+ADJACENCY_FILTERS: dict[str, str] = {"spark": "spark", "join": "join", "window": "window"}
+
+# composite agg paging / date-histogram pipeline / chunking params
+_COMPOSITE_PAGE = 7
+_BUCKET_S = 86400
+_CHUNK_WINDOW, _CHUNK_STRIDE = 32, 24
+_KNN_LABEL = 1
+
 TRANSCRIPTS_CTE = """
 transcripts AS (
   SELECT doc_id,
@@ -2846,6 +2897,221 @@ def entry() -> Any:
     return attach_docmap(res, _ensure_index(sf_dir))
 
 
+def _finish_scores(res, round_digits: int = 4):
+    """Common top-k finisher: round the score column, int32 rank."""
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round_half_away(b["score"].to_numpy(), round_digits)
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_f, batch_format="pandas")
+
+
+def q_wildcard_search(sf_dir: str):
+    """ES wildcard query with the scoring_boolean rewrite: the pattern
+    expands against the index's term dictionary (distributed column-
+    pruned scan of the segment term columns) and the expansion rides the
+    ordinary BM25 posting path (pipelines/search_features.py)."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import wildcard_search
+
+    index_dir = _ensure_index(sf_dir)
+    res = wildcard_search(WILDCARD_QUERIES, index_dir, _engine_cfg(), top_k=BM25_TOP_K)
+    return _finish_scores(res)
+
+
+def q_collapse_search(sf_dir: str):
+    """ES field collapsing on conv_id: rank conversations by their best
+    hit, one representative turn each — the full candidate set collapses
+    (not a top-window), keys come from the docmap loaded once per actor."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import collapse_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K} for qid, t in BM25_QUERIES.items()]
+    )
+    return _finish_scores(collapse_search(qs, index_dir, key="conv_id", cfg=_engine_cfg()))
+
+
+def q_top_hits(sf_dir: str):
+    """ES terms aggregation with a top_hits sub-aggregation: per
+    turn_idx group, the group's top-3 hits by BM25 (rank restarts per
+    group; groups keyed by the docmap attribute)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import top_hits_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items([{"query_id": qid, "query_text": t} for qid, t in TOP_HITS_QUERIES.items()])
+    res = top_hits_search(qs, index_dir, key="turn_idx",
+                          per_group=_TOP_HITS_PER_GROUP, cfg=_engine_cfg())
+    return _finish_scores(res)
+
+
+def q_boosting(sf_dir: str):
+    """ES boosting query: positive-clause BM25 with negative-clause
+    matches demoted ×0.5 over the FULL candidate set."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import boosting_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in BOOSTING_QUERIES])
+    return _finish_scores(boosting_search(qs, index_dir, _NEG_BOOST, _engine_cfg()))
+
+
+def q_rescore(sf_dir: str):
+    """ES rescore: word-BM25 first pass, exact-phrase bonus (positional
+    postings) re-ranks only the top-window; docs outside the window
+    never surface (contrast: function_score boosts all candidates)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import rescore_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K} for qid, t in RESCORE_QUERIES.items()]
+    )
+    res = rescore_search(qs, index_dir, window=_RESCORE_WINDOW,
+                         weight=_RESCORE_WEIGHT, cfg=_engine_cfg())
+    return _finish_scores(res)
+
+
+def q_random_score(sf_dir: str):
+    """ES function_score random_score (seeded, boost_mode=replace):
+    reproducible pseudo-random ranking of the match candidates —
+    md5_number_upper parity with the SQL oracle."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import random_score_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K}
+         for qid, t in RANDOM_SCORE_QUERIES.items()]
+    )
+    res = random_score_search(qs, index_dir, seed=_RANDOM_SEED, cfg=_engine_cfg())
+    return _finish_scores(res, round_digits=6)
+
+
+def q_explain(sf_dir: str):
+    """ES explain API: per-term additive BM25 contributions for each
+    query's top-3 docs (contributions sum to the TAAT score exactly)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import explain_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items([{"query_id": qid, "query_text": t} for qid, t in BM25_QUERIES.items()])
+    res = explain_search(qs, index_dir, top_k=3, cfg=_engine_cfg())
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["contrib"] = _round4(b["contrib"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_f, batch_format="pandas")
+
+
+def q_term_vectors(sf_dir: str):
+    """ES term-vectors API for a fixed doc sample: (doc_id, term, tf,
+    df) — tf from re-analysis with the index analyzer, df from pruned
+    posting reads."""
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import term_vectors
+
+    index_dir = _ensure_index(sf_dir)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", TERM_VECTOR_DOCS)],
+    )
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    return term_vectors(index_dir, TERM_VECTOR_DOCS, texts)
+
+
+def q_adjacency(sf_dir: str):
+    """ES adjacency_matrix aggregation: doc counts per named term filter
+    and per pairwise intersection, straight off the posting lists."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import adjacency_matrix
+
+    index_dir = _ensure_index(sf_dir)
+    return adjacency_matrix(index_dir, ADJACENCY_FILTERS)
+
+
+def q_composite_agg(sf_dir: str):
+    """ES composite aggregation with after-key paging over
+    (role, turn_idx): aggregate once (partial group_by → small shuffle),
+    page the ordered bucket list."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.relational import composite_pages
+
+    ds = transcripts_from_documents(sf_dir)
+    df = composite_pages(ds, ["role", "turn_idx"], _COMPOSITE_PAGE)
+    df["turn_idx"] = df["turn_idx"].astype(np.int64)
+    return df
+
+
+def q_date_histogram(sf_dir: str):
+    """ES date_histogram + pipeline aggs (derivative, cumulative_sum)
+    over the events log: one streaming pass, integer-exact."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import bucket_series
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    return bucket_series(ds, ts_col="ts", bucket_s=_BUCKET_S)
+
+
+def q_chunk_docs(sf_dir: str):
+    """Token-window chunking with overlap (RAG / training-sample prep):
+    pure vectorized flat-map, one chunk row per (doc, window)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textops import chunk_documents
+
+    cfg = _engine_cfg().analyzer
+    ds = transcripts_from_documents(sf_dir)
+    return ds.map_batches(
+        lambda b: chunk_documents(b, cfg, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+
+
+def q_knn_filtered(sf_dir: str):
+    """Filtered vector search (ES8 kNN with a metadata filter): cosine
+    top-k restricted to label==1, the filter pushed into the parquet
+    scan so non-matching vectors never leave storage."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(
+        path, columns=["vec_id", "embedding"], filter=pads.field("label") == _KNN_LABEL
+    )
+    q_ids, q_mat = _load_query_vectors(path)
+    res = brute_force_topk(ds, q_ids.tolist(), q_mat, k=_EMB_TOP_K, exclude_self=True)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_vec_id": b["query_vec_id"].astype(np.int64),
+                "rank": b["rank"].astype(np.int32),
+                "vec_id": b["vec_id"].astype(np.int64),
+                "cos_sim": _round4(b["cos_sim"].to_numpy()),
+            }
+        )
+
+    return res.map_batches(final, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -2930,6 +3196,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sketch": q_topk_sketch,
         "quantile_sketch": q_quantile_sketch,
         "distinct_sketch": q_distinct_sketch,
+        "wildcard_search": q_wildcard_search,
+        "collapse_search": q_collapse_search,
+        "top_hits": q_top_hits,
+        "boosting": q_boosting,
+        "rescore": q_rescore,
+        "random_score": q_random_score,
+        "explain": q_explain,
+        "term_vectors": q_term_vectors,
+        "adjacency": q_adjacency,
+        "composite_agg": q_composite_agg,
+        "date_histogram": q_date_histogram,
+        "chunk_docs": q_chunk_docs,
+        "knn_filtered": q_knn_filtered,
     }
 
 
@@ -3102,6 +3381,69 @@ SELECT rank, doc_id, score FROM (
   FROM dt JOIN nrm USING (doc_id), qn
 ) WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+def _values_from(queries: dict[str, str]) -> str:
+    """qterms VALUES rows from a {query_id: text} dict (distinct terms)."""
+    rows = []
+    for qid, text in queries.items():
+        for term in sorted(set(text.lower().split())):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
+def _wildcard_pat_values() -> str:
+    """(query_id, anchored RE2 regex) VALUES — the regex string is
+    produced by the SAME translator the engine matches with
+    (search_features.wildcard_to_regex), shared verbatim."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import wildcard_to_regex
+
+    return ", ".join(
+        f"('{qid}', '{wildcard_to_regex(p)}')" for qid, p in WILDCARD_QUERIES.items()
+    )
+
+
+def _boosting_values(field: str) -> str:
+    rows = []
+    for q in BOOSTING_QUERIES:
+        for term in sorted(set(q[field].lower().split())):
+            rows.append(f"('{q['query_id']}', '{term}')")
+    return ", ".join(rows)
+
+
+# The standard word-BM25 scores CTE (expects qterms/tf/df/dl/stats in scope).
+_BM25_SCORES_CTE = f"""
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)"""
+
+
+def _adjacency_sql() -> str:
+    """One SELECT per adjacency bucket (names sorted; pair keys 'a&b'),
+    counts straight off the tf pair table — INTERSECT of the two
+    filters' doc sets for pairs."""
+    names = sorted(ADJACENCY_FILTERS)
+    sel = []
+    for n in names:
+        sel.append(
+            f"SELECT '{n}' AS key, (SELECT count(*) FROM tf WHERE term = '{ADJACENCY_FILTERS[n]}')::BIGINT AS doc_count"
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            sel.append(
+                f"SELECT '{a}&{b}', (SELECT count(*) FROM "
+                f"(SELECT doc_id FROM tf WHERE term = '{ADJACENCY_FILTERS[a]}' "
+                f"INTERSECT SELECT doc_id FROM tf WHERE term = '{ADJACENCY_FILTERS[b]}'))::BIGINT"
+            )
+    return " UNION ALL ".join(sel)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4114,6 +4456,217 @@ sims AS (
          list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
   FROM q CROSS JOIN embeddings e
   WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
+FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # Wildcard rewrite: pattern → matching dictionary terms (RE2 regex
+        # shared verbatim with the engine's Arrow matcher) → BM25 OR query.
+        "wildcard_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qpat(query_id, pat) AS (VALUES {_wildcard_pat_values()}),
+qterms AS (SELECT DISTINCT p.query_id, df.term AS term FROM qpat p JOIN df ON regexp_matches(df.term, p.pat)),
+{_BM25_SCORES_CTE},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # Field collapse on conv_id: best hit per conversation, groups
+        # ranked by their representative (score desc, doc_id asc).
+        "collapse_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+{_BM25_SCORES_CTE},
+keyed AS (
+  SELECT s.query_id, s.doc_id, s.score, t.conv_id,
+         row_number() OVER (PARTITION BY s.query_id, t.conv_id ORDER BY s.score DESC, s.doc_id) AS grp_rn
+  FROM scores s JOIN transcripts t ON t.doc_id = s.doc_id
+),
+best AS (
+  SELECT query_id, conv_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM keyed WHERE grp_rn = 1
+)
+SELECT query_id, cast(rnk AS int) AS rank, conv_id, doc_id, round(score, 4) AS score
+FROM best WHERE rnk <= {BM25_TOP_K}
+""",
+        # terms agg + top_hits: per turn_idx group, top-N hits; rank
+        # restarts inside each group.
+        "top_hits": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_values_from(TOP_HITS_QUERIES)}),
+{_BM25_SCORES_CTE},
+keyed AS (
+  SELECT s.query_id, s.doc_id, s.score, t.turn_idx,
+         row_number() OVER (PARTITION BY s.query_id, t.turn_idx ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scores s JOIN transcripts t ON t.doc_id = s.doc_id
+)
+SELECT query_id, cast(turn_idx AS BIGINT) AS turn_idx, cast(rn AS int) AS rank, doc_id,
+       round(score, 4) AS score
+FROM keyed WHERE rn <= {_TOP_HITS_PER_GROUP}
+""",
+        # Boosting query: positive BM25 × negative_boost for docs matching
+        # ANY negative term (full candidate set).
+        "boosting": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_boosting_values("query_text")}),
+negterms(query_id, term) AS (VALUES {_boosting_values("negative")}),
+{_BM25_SCORES_CTE},
+neg AS (SELECT DISTINCT n.query_id, tf.doc_id FROM negterms n JOIN tf ON tf.term = n.term),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.score * CASE WHEN ng.doc_id IS NOT NULL THEN {_NEG_BOOST} ELSE 1.0 END AS score
+  FROM scores s LEFT JOIN neg ng ON ng.query_id = s.query_id AND ng.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM boosted
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # Rescore: top-window by first-pass BM25, exact-phrase bonus
+        # (positional containment), re-rank the window only.
+        "rescore": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+qterms(query_id, term) AS (VALUES {_phrase_qterms_values(RESCORE_QUERIES)}),
+{_BM25_SCORES_CTE},
+win AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+),
+matches AS ({_phrase_matches_sql(RESCORE_QUERIES)}),
+final AS (
+  SELECT w.query_id, w.doc_id,
+         w.score + {_RESCORE_WEIGHT} * (CASE WHEN m.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS score
+  FROM win w LEFT JOIN matches m ON m.query_id = w.query_id AND m.doc_id = w.doc_id
+  WHERE w.rnk <= {_RESCORE_WINDOW}
+),
+rankedf AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM final
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedf WHERE rnk <= {BM25_TOP_K}
+""",
+        # Seeded random_score (boost_mode=replace): md5_number_upper
+        # little-endian-first-8-bytes parity with the engine's hashing.
+        "random_score": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_values_from(RANDOM_SCORE_QUERIES)}),
+cand AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qterms q JOIN tf ON tf.term = q.term),
+scored AS (
+  SELECT query_id, doc_id,
+         (md5_number_upper(cast(doc_id AS varchar) || '{_RANDOM_SEED}') % 1000000) / 1000000.0 AS score
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # Explain: per-term additive BM25 contribution for each query's
+        # top-3 docs (only terms present in the doc produce rows).
+        "explain": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+{_BM25_SCORES_CTE},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT r.query_id, cast(r.rnk AS int) AS rank, r.doc_id, q.term,
+       round( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)), 4) AS contrib
+FROM ranked r
+JOIN qterms q ON q.query_id = r.query_id
+JOIN tf ON tf.term = q.term AND tf.doc_id = r.doc_id
+JOIN df ON df.term = q.term
+JOIN dl ON dl.doc_id = r.doc_id
+CROSS JOIN stats s
+WHERE r.rnk <= 3
+""",
+        "term_vectors": f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT tf.doc_id, tf.term, tf.tf, df.df
+FROM tf JOIN df ON df.term = tf.term
+WHERE tf.doc_id IN ({", ".join(str(d) for d in TERM_VECTOR_DOCS)})
+""",
+        "adjacency": f"""
+WITH {TRANSCRIPTS_CTE}
+{_adjacency_sql()}
+""",
+        # Composite agg with after-key paging: ordered buckets, pages of
+        # {_COMPOSITE_PAGE}.
+        "composite_agg": f"""
+WITH {TRANSCRIPTS_CTE},
+agg AS (
+  SELECT role, cast(turn_idx AS BIGINT) AS turn_idx,
+         count(*)::BIGINT AS n_rows,
+         sum(coalesce(length(text), 0))::BIGINT AS sum_chars
+  FROM transcripts GROUP BY role, turn_idx
+),
+ordered AS (SELECT *, row_number() OVER (ORDER BY role, turn_idx) AS rn FROM agg)
+SELECT role, turn_idx, n_rows, sum_chars, cast((rn - 1) // {_COMPOSITE_PAGE} + 1 AS int) AS page
+FROM ordered
+""",
+        # date_histogram + pipeline aggs: integer day buckets, derivative
+        # (0-seeded) and cumulative count.
+        "date_histogram": f"""
+WITH b AS (
+  SELECT epoch_us(ts) // {_BUCKET_S * 1_000_000} AS bucket, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+)
+SELECT bucket::BIGINT AS bucket, n_events,
+       (n_events - coalesce(lag(n_events) OVER (ORDER BY bucket), 0))::BIGINT AS deriv,
+       (sum(n_events) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+FROM b
+""",
+        # Token-window chunking with overlap: list_slice over the ordered
+        # filtered token array (same RE2 split as the engine analyzer).
+        "chunk_docs": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+chunks AS (
+  SELECT doc_id, len(arr) AS dl, arr,
+         unnest(generate_series(0,
+           CASE WHEN len(arr) <= {_CHUNK_WINDOW} THEN 0
+                ELSE cast(ceil((len(arr) - {_CHUNK_WINDOW}) / {_CHUNK_STRIDE}.0) AS INT) END)) AS chunk_idx
+  FROM arrs WHERE len(arr) > 0
+)
+SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
+       least({_CHUNK_WINDOW}, dl - chunk_idx * {_CHUNK_STRIDE})::BIGINT AS n_tokens,
+       array_to_string(list_slice(arr, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                  least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_WINDOW}, dl)), ' ') AS chunk_text
+FROM chunks
+""",
+        # Filtered kNN: cosine top-k restricted to label = {_KNN_LABEL}.
+        "knn_filtered": f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_EMB_QUERIES}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_vec_id AND e.label = {_KNN_LABEL}
 ),
 ranked AS (
   SELECT query_vec_id, vec_id, cos,

@@ -1,0 +1,615 @@
+"""Query-time search features over the BM25 index — the ES-API surface
+the reference's search layer exposes beyond plain match queries
+(reference: src/ai_service/layers/search/hybrid_search_service.py
+query assembly and elasticsearch_adapters.py:164-331 clause building):
+wildcard multi-term rewrite, field collapsing, grouped top-hits,
+boosting (negative-demotion) queries, top-window rescoring, per-hit
+score explanations, the term-vectors API, the adjacency-matrix filter
+aggregation, and seeded random scoring.
+
+Scale shape shared by every feature here:
+
+* dictionary-sized work (wildcard expansion) runs as a distributed
+  column-pruned scan over the segment term columns — never the corpus;
+* candidate-sized work runs inside scorer actors that load the manifest
+  and postings ONCE per actor (``map_batches`` actor pool, same
+  lifecycle as :class:`~.query.BM25Scorer`);
+* doc-attribute lookups (collapse keys, group keys) come from the
+  doc-id-sorted docmap loaded once per actor with only the needed
+  columns — never a shuffle join. On a multi-node cluster the docmap
+  key columns are O(8-16 bytes/doc); shard them with the index
+  partitions if a single worker heap cannot hold them.
+
+All scorers rank with the same TAAT accumulator (:func:`score_all` +
+:func:`topk_desc`) so scores are bit-identical to ``search(...,
+method="taat")`` and to the driver's SQL oracles.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from hybrid_sanctions_search_engine_ray.config import DEFAULT_CONFIG, EngineConfig
+from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
+from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader, _sorted_member
+from hybrid_sanctions_search_engine_ray.stages.analyze import DOC_SENTINEL
+
+_RESULT_SCHEMA = {
+    "query_id": pd.Series([], dtype=object),
+    "rank": pd.Series([], dtype=np.int32),
+    "doc_id": pd.Series([], dtype=np.int64),
+    "score": pd.Series([], dtype=np.float64),
+}
+
+
+def _result_frame(qids: list, ranks: list, docs: list, scores: list,
+                  extra: dict | None = None) -> pd.DataFrame:
+    cols = {
+        "query_id": pd.Series(qids, dtype="string[python]").astype(object),
+        "rank": pd.Series(ranks, dtype=np.int32),
+        "doc_id": pd.Series(docs, dtype=np.int64),
+        "score": pd.Series(scores, dtype=np.float64),
+    }
+    if extra:
+        for name, (vals, dtype) in extra.items():
+            cols[name] = pd.Series(vals, dtype=dtype)
+    return pd.DataFrame(cols)
+
+
+# --- wildcard / regexp queries ----------------------------------------------
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Wildcard pattern (``*`` any run, ``?`` one char) → anchored RE2
+    regex. Both the engine (Arrow ``match_substring_regex``) and the
+    driver's DuckDB oracle run RE2, so the translated pattern is shared
+    verbatim between them."""
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return "^" + "".join(parts) + "$"
+
+
+def expand_wildcards(index_dir: str, patterns: dict[str, str]) -> dict[str, list[str]]:
+    """Expand wildcard patterns against the index's term dictionary.
+
+    ES executes wildcard/prefix/regexp queries by rewriting against the
+    term dictionary, never the corpus. Here the dictionary is the union
+    of the segment files' ``term`` columns: a column-pruned distributed
+    read (one small column per partition), per-batch RE2 matching, and a
+    driver-side union of the (tiny) matched set. Terms can repeat across
+    sub-segments / salt partitions; the union dedups.
+    """
+    import ray.data as rd
+
+    rex = {qid: wildcard_to_regex(p) for qid, p in patterns.items()}
+    files = sorted(glob.glob(os.path.join(index_dir, "segments", "part=*", "postings.parquet")))
+    if not files:
+        return {qid: [] for qid in patterns}
+    ds = rd.read_parquet(files, columns=["term"])
+
+    def match(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        terms = pc.unique(b["term"])
+        out_q: list[str] = []
+        out_t: list[str] = []
+        for qid, rx in rex.items():
+            sel = terms.filter(pc.match_substring_regex(terms, rx))
+            out_q.extend([qid] * len(sel))
+            out_t.extend(sel.to_pylist())
+        return pa.table({"query_id": pa.array(out_q, pa.string()),
+                         "term": pa.array(out_t, pa.string())})
+
+    out: dict[str, set[str]] = {qid: set() for qid in patterns}
+    for row in ds.map_batches(match, batch_format="pyarrow").take_all():
+        if row["term"] != DOC_SENTINEL:
+            out[row["query_id"]].add(row["term"])
+    return {qid: sorted(ts) for qid, ts in out.items()}
+
+
+def wildcard_search(patterns: dict[str, str], index_dir: str,
+                    cfg: EngineConfig = DEFAULT_CONFIG, top_k: int = 10):
+    """ES wildcard query with the ``scoring_boolean`` rewrite: the
+    pattern expands to its matching dictionary terms and the expansion
+    rides the ordinary BM25 posting path as an OR query. Returns the
+    usual results Dataset (query_id, rank, doc_id, score); patterns with
+    zero dictionary matches yield no rows."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    expanded = expand_wildcards(index_dir, patterns)
+    items = [
+        {"query_id": qid, "query_text": " ".join(terms), "top_k": top_k}
+        for qid, terms in sorted(expanded.items())
+        if terms
+    ]
+    if not items:
+        return rd.from_pandas(pd.DataFrame(_RESULT_SCHEMA))
+    return search(rd.from_items(items), index_dir, cfg, method="taat")
+
+
+# --- field collapsing / grouped top hits -------------------------------------
+
+
+def _load_docmap_key(index_dir: str, key: str) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted doc_ids, key values aligned) from the docmap — only the
+    two needed columns leave disk."""
+    dm = pads.dataset(os.path.join(index_dir, "docmap.parquet")).to_table(
+        columns=["doc_id", key]
+    )
+    ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    keys = dm[key].take(pa.array(order)).to_numpy(zero_copy_only=False)
+    return ids[order], keys
+
+
+class CollapseScorer:
+    """ES field collapsing: rank GROUPS by their best-scoring hit and
+    return one representative doc per group. The collapse key for every
+    candidate comes from the docmap loaded once per actor (doc_id +
+    key column only); scoring sees the FULL candidate set, so a group
+    whose best hit is outside any fixed window still collapses
+    correctly (reference analogue: ES ``collapse`` on a keyword field).
+    """
+
+    def __init__(self, index_dir: str, key: str = "conv_id", default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.key = key
+        self.dm_ids, self.dm_keys = _load_docmap_key(index_dir, key)
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        keys_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            d64 = docs.astype(np.int64)
+            keys = self.dm_keys[np.searchsorted(self.dm_ids, d64)]
+            codes, _ = pd.factorize(keys)
+            order = np.lexsort((d64, -scores))          # global rank order
+            first = np.unique(codes[order], return_index=True)[1]
+            best = order[np.sort(first)][:k]            # best row per group, group-ranked
+            n = best.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            keys_out.extend(keys[best].tolist())
+            docs_out.extend(d64[best].tolist())
+            scores_out.extend(scores[best].tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out,
+                             extra={self.key: (keys_out, object)})
+
+
+def collapse_search(queries_ds, index_dir: str, key: str = "conv_id",
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """ES collapse: top-k groups by best hit, one representative each."""
+    return queries_ds.map_batches(
+        CollapseScorer,
+        fn_constructor_args=(index_dir, key, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+class GroupTopHitsScorer:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
+    for every distinct value of a docmap attribute, the group's top-N
+    hits by BM25 score. Groups are emitted in key-ascending order
+    (the ES ``order: {_key: asc}`` option) for determinism; hit rank
+    restarts inside each group."""
+
+    def __init__(self, index_dir: str, key: str = "turn_idx", per_group: int = 3):
+        self.reader = IndexReader(index_dir)
+        self.key = key
+        self.per_group = per_group
+        self.dm_ids, self.dm_keys = _load_docmap_key(index_dir, key)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        keys_out: list = []
+        for qid, qtext in zip(batch["query_id"], batch["query_text"]):
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            d64 = docs.astype(np.int64)
+            keys = self.dm_keys[np.searchsorted(self.dm_ids, d64)]
+            # order within each key block by (score desc, doc asc):
+            # lexsort most-significant-last
+            order = np.lexsort((d64, -scores, keys))
+            k_sorted = keys[order]
+            starts = np.flatnonzero(np.r_[True, k_sorted[1:] != k_sorted[:-1]])
+            within = np.arange(k_sorted.size) - np.repeat(starts, np.diff(np.r_[starts, k_sorted.size]))
+            keep = within < self.per_group
+            sel = order[keep]
+            n = sel.size
+            qids.extend([qid] * n)
+            keys_out.extend(keys[sel].tolist())
+            ranks.extend((within[keep] + 1).tolist())
+            docs_out.extend(d64[sel].tolist())
+            scores_out.extend(scores[sel].tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out,
+                             extra={self.key: (keys_out, np.int64)})
+
+
+def top_hits_search(queries_ds, index_dir: str, key: str = "turn_idx",
+                    per_group: int = 3, cfg: EngineConfig = DEFAULT_CONFIG):
+    """terms-agg + top_hits: per group, the top ``per_group`` hits."""
+    return queries_ds.map_batches(
+        GroupTopHitsScorer,
+        fn_constructor_args=(index_dir, key, per_group),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+# --- boosting (negative demotion) query ---------------------------------------
+
+
+class BoostingScorer:
+    """ES ``boosting`` query: positive-clause BM25 score, multiplied by
+    ``negative_boost`` for docs that match the negative clause (any
+    negative term). Demotion sees the full candidate set; membership is
+    a sorted-array probe against the union of the negative terms'
+    posting doc lists."""
+
+    def __init__(self, index_dir: str, negative_boost: float = 0.5,
+                 default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.negative_boost = negative_boost
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for col in ("query_text", "negative"):
+            for t in batch[col]:
+                union.update(self.reader.analyzer(t))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, qtext, neg) in enumerate(
+            zip(batch["query_id"], batch["query_text"], batch["negative"])
+        ):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            neg_terms = sorted(set(self.reader.analyzer(neg)))
+            neg_postings = self.reader.load_postings(neg_terms)
+            if neg_postings:
+                neg_docs = np.unique(np.concatenate([p.doc_ids for p in neg_postings.values()]))
+                hit = _sorted_member(neg_docs, docs)
+                scores = np.where(hit, scores * self.negative_boost, scores)
+            d, s = topk_desc(docs, scores, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def boosting_search(queries_ds, index_dir: str, negative_boost: float = 0.5,
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """ES boosting query: queries carry (query_id, query_text, negative)."""
+    return queries_ds.map_batches(
+        BoostingScorer,
+        fn_constructor_args=(index_dir, negative_boost, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+# --- top-window rescoring ------------------------------------------------------
+
+
+def _phrase_match_mask(reader: IndexReader, want: list[str], cand: np.ndarray) -> np.ndarray:
+    """Boolean mask over ``cand`` (int64 doc ids): does the doc contain
+    the exact token sequence ``want``? Positional-postings chain, same
+    semantics as query._phrase_positional but restricted to the given
+    candidates (the rescore window), so cost is O(window × terms)."""
+    uniq = sorted(set(want))
+    postings = reader.load_postings(uniq)
+    out = np.zeros(cand.size, dtype=bool)
+    if len(postings) < len(uniq):
+        return out
+    member = np.ones(cand.size, dtype=bool)
+    for t in uniq:
+        member &= _sorted_member(postings[t].doc_ids, cand.astype(np.uint64))
+    pos = {t: reader.load_positions(t) for t in uniq}
+    if any(p is None for p in pos.values()):
+        raise ValueError("rescoring requires an index built with store_positions=True")
+    for i in np.flatnonzero(member):
+        d = cand[i]
+        starts: np.ndarray | None = None
+        for j, t in enumerate(want):
+            doc_ids, offsets, flat = pos[t]
+            at = int(np.searchsorted(doc_ids, d))
+            p_t = flat[offsets[at] : offsets[at + 1]].astype(np.int64)
+            starts = p_t if starts is None else starts[np.isin(starts + j, p_t)]
+            if starts.size == 0:
+                break
+        else:
+            out[i] = True
+    return out
+
+
+class RescoreScorer:
+    """ES ``rescore``: re-rank only the top ``window`` first-pass BM25
+    hits with a secondary signal — here an exact-phrase bonus from the
+    positional postings (``final = bm25 + weight × phrase_match``) —
+    and return the top-k of the window. Docs outside the window keep
+    their first-pass fate (never surface), which is the documented ES
+    rescore contract (and the contrast with
+    :class:`~.query.FunctionScorer`, which boosts the full candidate
+    set)."""
+
+    def __init__(self, index_dir: str, window: int = 50, weight: float = 2.0,
+                 default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.window = window
+        self.weight = weight
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            want = self.reader.analyzer(qtext)
+            terms = sorted(set(want))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            wdocs, wscores = topk_desc(docs, scores, self.window)
+            w64 = wdocs.astype(np.int64)
+            bonus = _phrase_match_mask(self.reader, want, w64)
+            final = wscores + self.weight * bonus
+            d, s = topk_desc(wdocs, final, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def rescore_search(queries_ds, index_dir: str, window: int = 50, weight: float = 2.0,
+                   cfg: EngineConfig = DEFAULT_CONFIG):
+    """ES rescore over a positional index (store_positions=True)."""
+    return queries_ds.map_batches(
+        RescoreScorer,
+        fn_constructor_args=(index_dir, window, weight, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+# --- seeded random scoring -----------------------------------------------------
+
+
+def _random_bucket(doc_ids: np.ndarray, seed: str, mod: int = 1_000_000) -> np.ndarray:
+    """Deterministic per-doc bucket in [0, mod): little-endian first 8
+    md5 bytes of ``str(doc_id) + seed`` — DuckDB ``md5_number_upper``
+    parity, the same convention as stages/sampling (the per-row hashlib
+    loop is the price of the exact SQL oracle)."""
+    out = np.empty(doc_ids.size, dtype=np.uint64)
+    for i, d in enumerate(doc_ids):
+        h = hashlib.md5((str(int(d)) + seed).encode("utf-8")).digest()
+        out[i] = int.from_bytes(h[:8], "little")
+    return out % np.uint64(mod)
+
+
+class RandomScoreScorer:
+    """ES ``function_score`` with ``random_score`` (seeded) and
+    ``boost_mode: replace``: candidates come from the match query, the
+    returned score is a reproducible pseudo-random value in [0, 1) that
+    depends only on (doc_id, seed) — the standard way to draw a stable
+    random sample of matching docs for relevance labelling."""
+
+    def __init__(self, index_dir: str, seed: str = "42", default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.seed = seed
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, _ = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            d64 = docs.astype(np.int64)
+            rnd = _random_bucket(d64, self.seed).astype(np.float64) / 1_000_000.0
+            d, s = topk_desc(docs, rnd, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def random_score_search(queries_ds, index_dir: str, seed: str = "42",
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """Seeded random_score over the match candidate set."""
+    return queries_ds.map_batches(
+        RandomScoreScorer,
+        fn_constructor_args=(index_dir, seed, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+# --- explain / term vectors / adjacency matrix ----------------------------------
+
+
+class ExplainScorer:
+    """ES ``explain`` API: for each query's top-k docs, one row per
+    contributing term with its additive BM25 contribution
+    (idf × tf-factor). The per-term contributions sum to the TAAT score
+    exactly (same accumulator), so explanations are audit-grade."""
+
+    def __init__(self, index_dir: str, default_top_k: int = 3):
+        self.reader = IndexReader(index_dir)
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        rows: dict[str, list] = {"query_id": [], "rank": [], "doc_id": [], "term": [],
+                                 "contrib": []}
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            postings = self.reader.load_postings(terms)
+            docs, scores = score_all(list(postings.values()))
+            if docs.size == 0:
+                continue
+            d, _ = topk_desc(docs, scores, k)
+            for t in terms:
+                p = postings.get(t)
+                if p is None:
+                    continue
+                idx = np.searchsorted(p.doc_ids, d)
+                safe = np.minimum(idx, p.doc_ids.size - 1)
+                hit = (idx < p.doc_ids.size) & (p.doc_ids[safe] == d)
+                for j in np.flatnonzero(hit):
+                    rows["query_id"].append(qid)
+                    rows["rank"].append(j + 1)
+                    rows["doc_id"].append(int(d[j]))
+                    rows["term"].append(t)
+                    rows["contrib"].append(float(p.factors[idx[j]] * p.idf))
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(rows["query_id"], dtype="string[python]").astype(object),
+                "rank": pd.Series(rows["rank"], dtype=np.int32),
+                "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
+                "term": pd.Series(rows["term"], dtype="string[python]").astype(object),
+                "contrib": pd.Series(rows["contrib"], dtype=np.float64),
+            }
+        )
+
+
+def explain_search(queries_ds, index_dir: str, top_k: int = 3,
+                   cfg: EngineConfig = DEFAULT_CONFIG):
+    """Per-term BM25 score breakdown for each query's top-k docs."""
+    return queries_ds.map_batches(
+        ExplainScorer,
+        fn_constructor_args=(index_dir, top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+def term_vectors(index_dir: str, doc_ids: list[int], texts: dict[int, str]) -> pd.DataFrame:
+    """ES term-vectors API for a handful of docs: (doc_id, term, tf, df).
+
+    tf comes from re-analysis of the provided texts with the INDEX's
+    analyzer; df comes from the index's posting segments (partition- and
+    row-group-pruned reads of exactly these terms). API-shaped — callers
+    pass a few docs, not a corpus (per-corpus term stats are the
+    dictionary pipeline's job)."""
+    from collections import Counter
+
+    r = IndexReader(index_dir)
+    per_doc: dict[int, Counter] = {}
+    for d in doc_ids:
+        per_doc[int(d)] = Counter(r.analyzer(texts.get(int(d), "")))
+    all_terms = sorted({t for c in per_doc.values() for t in c})
+    r.load_postings(all_terms)
+    rows = []
+    for d in sorted(per_doc):
+        for t in sorted(per_doc[d]):
+            raw = r._raw.get(t)
+            df = int(raw[0].size) if raw is not None else 0
+            rows.append((d, t, int(per_doc[d][t]), df))
+    return pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df"]).astype(
+        {"doc_id": np.int64, "tf": np.int64, "df": np.int64}
+    )
+
+
+def adjacency_matrix(index_dir: str, filters: dict[str, str]) -> pd.DataFrame:
+    """ES ``adjacency_matrix`` aggregation: doc counts for each named
+    single-term filter and each pairwise intersection (key ``a&b``,
+    names sorted). Membership comes straight from the terms' posting
+    lists (pruned reads); intersections are sorted-array
+    ``intersect1d`` — never a corpus scan. Zero-count buckets are kept
+    (deterministic full matrix; ES hides them only for rendering)."""
+    r = IndexReader(index_dir)
+    names = sorted(filters)
+    postings = r.load_postings(sorted({filters[n] for n in names}))
+    sets = {
+        n: (postings[filters[n]].doc_ids if filters[n] in postings
+            else np.empty(0, dtype=np.uint64))
+        for n in names
+    }
+    rows = [(n, int(sets[n].size)) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            rows.append((f"{a}&{b}", int(np.intersect1d(sets[a], sets[b]).size)))
+    out = pd.DataFrame(rows, columns=["key", "doc_count"])
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out.sort_values("key", kind="mergesort").reset_index(drop=True)

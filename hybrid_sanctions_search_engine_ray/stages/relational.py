@@ -191,3 +191,37 @@ def global_topn(ds, by: list[tuple[str, bool]], n: int):
         .repartition(1)
         .map_batches(take, batch_format="pandas", batch_size=None)
     )
+
+
+def composite_pages(ds, keys: list[str], page_size: int, text_col: str = "text") -> pd.DataFrame:
+    """ES ``composite`` aggregation with after-key paging: buckets are
+    the distinct key tuples in ascending key order; each page of
+    ``page_size`` buckets starts right after the previous page's last
+    key (the ``after`` cursor). The engine aggregates ONCE — per-batch
+    Arrow group_by partials, one small shuffle over the bucket keys —
+    and pages the already-tiny ordered bucket list; a paging client
+    re-reading page N never re-scans the corpus. Per bucket: row count
+    and Σ codepoint length of ``text_col`` (both exact ints).
+    Returns a pandas frame (bucket-count-sized) with a ``page`` column.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {**{k: b[k] for k in keys},
+             "chars": pc.cast(pc.utf8_length(pc.fill_null(b[text_col], "")), pa.int64())}
+        )
+        g = t.group_by(keys).aggregate([("chars", "sum"), ([], "count_all")])
+        return g.rename_columns([*keys, "chars_p", "rows_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("rows_p", alias_name="n_rows"), Sum("chars_p", alias_name="sum_chars"))
+    )
+    df = agg.to_pandas().sort_values(keys, kind="mergesort").reset_index(drop=True)
+    df["page"] = (np.arange(len(df)) // page_size + 1).astype(np.int32)
+    df["n_rows"] = df["n_rows"].astype(np.int64)
+    df["sum_chars"] = df["sum_chars"].astype(np.int64)
+    return df

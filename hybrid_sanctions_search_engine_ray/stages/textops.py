@@ -183,3 +183,53 @@ def repetition_stats(batch: pa.Table, cfg: AnalyzerConfig) -> pa.Table:
             "dup_bigram_frac": pa.array(dup_bi),
         }
     )
+
+
+def chunk_documents(batch: pa.Table, cfg: AnalyzerConfig, window: int = 32,
+                    stride: int = 24) -> pa.Table:
+    """Token-window chunking with overlap — the RAG / training-sample
+    prep step: each doc becomes ⌈(dl−window)/stride⌉+1 chunks of up to
+    ``window`` tokens, consecutive chunks overlapping by
+    ``window − stride`` (docs at most ``window`` long give one chunk;
+    token-less docs give none). Fully vectorized: one analyzer sweep,
+    one flat-token gather (np.repeat offset arithmetic) and one Arrow
+    ``binary_join`` per batch — a pure flat-map that streams at any
+    scale. Output rows: (doc_id, chunk_idx, n_tokens, chunk_text)."""
+    if stride <= 0 or window < stride:
+        raise ValueError("need 0 < stride <= window")
+    parent, terms = flat_terms(batch, cfg)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int32()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+    if parent.size == 0:
+        return empty
+    doc_tok_start = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+    counts = np.diff(np.r_[doc_tok_start, parent.size])
+    rows_present = parent[doc_tok_start]  # batch row index per doc with >=1 token
+    n_chunks = np.where(counts <= window, 1, (counts - window + stride - 1) // stride + 1)
+    doc_rep = np.repeat(np.arange(rows_present.size), n_chunks)
+    chunk_starts_cum = np.r_[0, np.cumsum(n_chunks)]
+    chunk_idx = np.arange(doc_rep.size) - chunk_starts_cum[doc_rep]
+    tok_start = chunk_idx * stride
+    chunk_len = np.minimum(window, counts[doc_rep] - tok_start)
+    offsets = np.r_[0, np.cumsum(chunk_len)]
+    tok_idx = (
+        np.repeat(doc_tok_start[doc_rep] + tok_start, chunk_len)
+        + np.arange(offsets[-1])
+        - np.repeat(offsets[:-1], chunk_len)
+    )
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), terms.take(pa.array(tok_idx)))
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[rows_present[doc_rep]], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int32()),
+            "n_tokens": pa.array(chunk_len, pa.int64()),
+            "chunk_text": pc.binary_join(lists, " "),
+        }
+    )

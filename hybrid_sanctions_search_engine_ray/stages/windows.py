@@ -148,3 +148,40 @@ def trailing_mean(events_ds, key: str = "user_id", ts: str = "ts",
         lambda g: trailing_mean_group(g, key, ts, order_break, col, window_rows),
         batch_format="pandas",
     )
+
+
+def bucket_series(events_ds, ts_col: str = "ts", bucket_s: int = 86400) -> pd.DataFrame:
+    """Date-histogram + the ES *pipeline aggregations* over it:
+    per-bucket event count, ``derivative`` (count − previous bucket's
+    count, 0-seeded for the first bucket so the column stays non-null)
+    and ``cumulative_sum``. One streaming pass: per-batch Arrow group_by
+    partials on the integer bucket key (``epoch_us // bucket``), one
+    small shuffle over the bucket keys, then the pipeline stages run
+    vectorized on the driver-side bucket list (series-length-sized,
+    never corpus-sized). All-integer, so exact."""
+    from ray.data.aggregate import Sum
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({"bucket": pa.array(us // div, pa.int64())}).group_by("bucket").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["bucket", "c_p"])
+
+    agg = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_p", alias_name="n_events"))
+    )
+    df = agg.to_pandas().sort_values("bucket", kind="mergesort").reset_index(drop=True)
+    n = df["n_events"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "bucket": df["bucket"].astype(np.int64),
+            "n_events": n,
+            "deriv": np.diff(n, prepend=0).astype(np.int64),
+            "cum": np.cumsum(n).astype(np.int64),
+        }
+    )

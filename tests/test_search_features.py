@@ -1,0 +1,276 @@
+"""Search-feature operators (pipelines/search_features.py): wildcard
+expansion, field collapse, grouped top-hits, boosting, rescore, random
+score, explain, term vectors, adjacency matrix — plus the pipeline-side
+composite paging / bucket series / chunking operators."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
+from hybrid_sanctions_search_engine_ray.pipelines import search_features as sfeat
+from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+CFG = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="simple"))
+
+TEXTS = [
+    "alpha beta gamma delta",
+    "beta alpha gamma delta epsilon",
+    "the alpha beta gamma song",
+    "unrelated words entirely here",
+    "Beta, Gamma! alpha",
+    "beta beta gamma zeta",
+    "alpha alpha alpha",
+    "gamma delta epsilon zeta",
+    "alphabet soup beta",
+]
+
+
+@pytest.fixture(scope="module")
+def feat_index(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"conv_id": f"conv-{i // 3:08d}", "turn_idx": i % 3, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+        for i, t in enumerate(TEXTS)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path_factory.mktemp("featidx") / "idx")
+    build_index("mem", idx, CFG, transcripts_ds=ds, store_positions=True)
+    return idx
+
+
+def _brute_scores(index_dir: str, qtext: str) -> tuple[np.ndarray, np.ndarray]:
+    r = IndexReader(index_dir)
+    terms = sorted(set(r.analyzer(qtext)))
+    return score_all(list(r.load_postings(terms).values()))
+
+
+# --- wildcard ---------------------------------------------------------------
+
+
+def test_wildcard_to_regex():
+    assert sfeat.wildcard_to_regex("al*") == "^al.*$"
+    assert sfeat.wildcard_to_regex("?eta") == "^.eta$"
+    assert sfeat.wildcard_to_regex("a.b*") == r"^a\.b.*$"
+
+
+def test_expand_wildcards(feat_index):
+    out = sfeat.expand_wildcards(feat_index, {"a": "alph*", "b": "?eta", "z": "qqq*"})
+    assert out["a"] == ["alpha", "alphabet"]
+    assert out["b"] == ["beta", "zeta"]
+    assert out["z"] == []
+
+
+def test_wildcard_search_matches_expanded_or_query(feat_index, ray_session):
+    res = sfeat.wildcard_search({"a": "alph*"}, feat_index, CFG, top_k=20).to_pandas()
+    docs, scores = _brute_scores(feat_index, "alpha alphabet")
+    d, s = topk_desc(docs, scores, 20)
+    assert res["doc_id"].tolist() == d.astype(np.int64).tolist()
+    assert np.allclose(res["score"].to_numpy(), s, atol=1e-9)
+
+
+# --- collapse / top hits ----------------------------------------------------
+
+
+def test_collapse_best_per_conv(feat_index):
+    scorer = sfeat.CollapseScorer(feat_index, key="conv_id", default_top_k=10)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma"]}))
+    docs, scores = _brute_scores(feat_index, "beta gamma")
+    df = pd.DataFrame({"doc_id": docs.astype(np.int64), "score": scores})
+    df["conv"] = df["doc_id"] // 3
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    best = df.groupby("conv", sort=False).head(1)
+    assert out["doc_id"].tolist() == best["doc_id"].tolist()
+    assert out[out.columns[1]].is_monotonic_increasing  # rank 1..n
+    # one row per conversation
+    assert out["conv_id"].is_unique
+
+
+def test_top_hits_per_group(feat_index):
+    scorer = sfeat.GroupTopHitsScorer(feat_index, key="turn_idx", per_group=2)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma"]}))
+    docs, scores = _brute_scores(feat_index, "beta gamma")
+    df = pd.DataFrame({"doc_id": docs.astype(np.int64), "score": scores})
+    df["turn"] = df["doc_id"] % 3
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    want = df.groupby("turn", sort=True).head(2)
+    assert sorted(out["doc_id"].tolist()) == sorted(want["doc_id"].tolist())
+    assert (out.groupby("turn_idx")["rank"].max() <= 2).all()
+    # within each group the rank follows (score desc, doc asc)
+    for _, g in out.groupby("turn_idx"):
+        assert g.sort_values("rank")["score"].is_monotonic_decreasing or len(g) == 1
+
+
+# --- boosting ----------------------------------------------------------------
+
+
+def test_boosting_demotes_negative_matches(feat_index):
+    scorer = sfeat.BoostingScorer(feat_index, negative_boost=0.5, default_top_k=20)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha"],
+                               "negative": ["delta"]}))
+    docs, scores = _brute_scores(feat_index, "alpha")
+    base = dict(zip(docs.astype(np.int64).tolist(), scores.tolist()))
+    r = IndexReader(feat_index)
+    neg = set(r.load_postings(["delta"])["delta"].doc_ids.astype(np.int64).tolist())
+    for _, row in out.iterrows():
+        want = base[row["doc_id"]] * (0.5 if row["doc_id"] in neg else 1.0)
+        assert abs(row["score"] - want) < 1e-12
+    assert any(d in neg for d in out["doc_id"])  # demotion actually exercised
+
+
+def test_boosting_no_negative_matches_is_plain_bm25(feat_index):
+    scorer = sfeat.BoostingScorer(feat_index, negative_boost=0.5, default_top_k=20)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha"],
+                               "negative": ["qqqmissing"]}))
+    docs, scores = _brute_scores(feat_index, "alpha")
+    d, s = topk_desc(docs, scores, 20)
+    assert out["doc_id"].tolist() == d.astype(np.int64).tolist()
+    assert np.allclose(out["score"].to_numpy(), s, atol=0)
+
+
+# --- rescore ------------------------------------------------------------------
+
+
+def test_rescore_phrase_bonus_reranks_window(feat_index):
+    scorer = sfeat.RescoreScorer(feat_index, window=50, weight=2.0, default_top_k=10)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma"]}))
+    # docs with the contiguous phrase "beta gamma" (analyzer-folded)
+    phrase_docs = {0, 2, 4, 5}
+    got = out.set_index("doc_id")["score"]
+    docs, scores = _brute_scores(feat_index, "beta gamma")
+    base = dict(zip(docs.astype(np.int64).tolist(), scores.tolist()))
+    for d, s in got.items():
+        assert abs(s - (base[d] + (2.0 if d in phrase_docs else 0.0))) < 1e-12
+    # every phrase doc outranks every non-phrase doc (bonus dominates here)
+    ranks = out.set_index("doc_id")["rank"]
+    worst_phrase = max(ranks[d] for d in phrase_docs if d in ranks)
+    best_plain = min((ranks[d] for d in ranks.index if d not in phrase_docs), default=99)
+    assert worst_phrase < best_plain
+
+
+def test_rescore_window_excludes_tail(feat_index):
+    """Docs outside the first-pass window never surface, even with a
+    phrase bonus that would lift them past the window docs."""
+    full = sfeat.RescoreScorer(feat_index, window=50, weight=2.0, default_top_k=10)(
+        pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma"]})
+    )
+    narrow = sfeat.RescoreScorer(feat_index, window=2, weight=2.0, default_top_k=10)(
+        pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma"]})
+    )
+    assert len(narrow) == 2
+    docs, scores = _brute_scores(feat_index, "beta gamma")
+    w, _ = topk_desc(docs, scores, 2)
+    assert set(narrow["doc_id"]) == set(w.astype(np.int64).tolist())
+    assert len(full) > 2
+
+
+# --- random score --------------------------------------------------------------
+
+
+def test_random_score_deterministic_and_md5(feat_index):
+    scorer = sfeat.RandomScoreScorer(feat_index, seed="7", default_top_k=20)
+    q = pd.DataFrame({"query_id": ["q"], "query_text": ["alpha"]})
+    a, b = scorer(q), scorer(q)
+    pd.testing.assert_frame_equal(a, b)
+    for _, row in a.iterrows():
+        h = hashlib.md5((str(int(row["doc_id"])) + "7").encode()).digest()
+        want = (int.from_bytes(h[:8], "little") % 1_000_000) / 1_000_000.0
+        assert row["score"] == want
+    assert a["score"].is_monotonic_decreasing
+
+
+# --- explain / term vectors / adjacency -----------------------------------------
+
+
+def test_explain_contributions_sum_to_score(feat_index):
+    scorer = sfeat.ExplainScorer(feat_index, default_top_k=3)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma delta"]}))
+    docs, scores = _brute_scores(feat_index, "beta gamma delta")
+    base = dict(zip(docs.astype(np.int64).tolist(), scores.tolist()))
+    sums = out.groupby("doc_id")["contrib"].sum()
+    for d, s in sums.items():
+        assert abs(s - base[d]) < 1e-9
+    assert set(out["rank"]) == {1, 2, 3}
+
+
+def test_term_vectors(feat_index):
+    texts = {0: TEXTS[0], 5: TEXTS[5]}
+    out = sfeat.term_vectors(feat_index, [0, 5], texts)
+    row = out[(out.doc_id == 5) & (out.term == "beta")].iloc[0]
+    assert row["tf"] == 2
+    beta_df = sum("beta" in t.lower() for t in TEXTS)
+    assert row["df"] == beta_df
+    assert out[(out.doc_id == 0)]["term"].tolist() == ["alpha", "beta", "delta", "gamma"]
+    assert (out[out.doc_id == 0]["tf"] == 1).all()
+
+
+def test_adjacency_matrix(feat_index):
+    out = sfeat.adjacency_matrix(feat_index, {"a": "alpha", "b": "beta", "g": "gamma"})
+    toks = [set(t.lower().replace(",", " ").replace("!", " ").split()) for t in TEXTS]
+    n_a = sum("alpha" in s for s in toks)
+    n_ab = sum("alpha" in s and "beta" in s for s in toks)
+    got = dict(zip(out["key"], out["doc_count"]))
+    assert got["a"] == n_a
+    assert got["a&b"] == n_ab
+    assert set(out["key"]) == {"a", "b", "g", "a&b", "a&g", "b&g"}
+
+
+# --- pipeline-side operators ------------------------------------------------------
+
+
+def test_chunk_documents_edges():
+    from hybrid_sanctions_search_engine_ray.stages.textops import chunk_documents
+
+    cfg = AnalyzerConfig(mode="simple")
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["a b c d", "a b c d e", "", "x " * 9],  # dl 4, 5, 0, 9
+    })
+    t = chunk_documents(b, cfg, window=4, stride=3).to_pandas()
+    assert t[t.doc_id == 1]["chunk_text"].tolist() == ["a b c d"]       # dl == window
+    assert t[t.doc_id == 2]["chunk_text"].tolist() == ["a b c d", "d e"]
+    assert 3 not in set(t["doc_id"])                                     # empty doc
+    assert t[t.doc_id == 4]["n_tokens"].tolist() == [4, 4, 3]           # tail covered
+    with pytest.raises(ValueError):
+        chunk_documents(b, cfg, window=2, stride=3)
+
+
+def test_composite_pages(ray_session):
+    import ray.data as rd
+
+    rows = [{"role": r, "turn_idx": t, "text": "x" * (t + 1)}
+            for r in ("a", "b") for t in range(5) for _ in range(t + 1)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    from hybrid_sanctions_search_engine_ray.stages.relational import composite_pages
+
+    df = composite_pages(ds, ["role", "turn_idx"], page_size=3)
+    assert len(df) == 10
+    assert df["page"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 3, 4]
+    r = df[(df.role == "b") & (df.turn_idx == 4)].iloc[0]
+    assert r["n_rows"] == 5 and r["sum_chars"] == 25
+
+
+def test_bucket_series(ray_session):
+    import ray.data as rd
+
+    day = 86_400_000_000
+    ts = pa.array([0, 1, day, day + 5, day * 3], pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({"ts": ts}))
+    from hybrid_sanctions_search_engine_ray.stages.windows import bucket_series
+
+    df = bucket_series(ds, bucket_s=86400)
+    assert df["bucket"].tolist() == [0, 1, 3]
+    assert df["n_events"].tolist() == [2, 2, 1]
+    assert df["deriv"].tolist() == [2, 0, -1]
+    assert df["cum"].tolist() == [2, 4, 5]

@@ -177,6 +177,29 @@ _BUCKET_S = 86400
 _CHUNK_WINDOW, _CHUNK_STRIDE = 32, 24
 _KNN_LABEL = 1
 
+# span_near (in-order proximity) queries: 2-term, per-query slop
+SPAN_QUERIES: list[dict] = [
+    {"query_id": "sn1", "query_text": "customer scan", "slop": 2},
+    {"query_id": "sn2", "query_text": "merge batch", "slop": 1},
+    {"query_id": "sn3", "query_text": "window join", "slop": 3},
+    {"query_id": "sn4", "query_text": "slow order", "slop": 2},
+]
+
+# dis_max queries: two clauses, best-clause + tie_breaker × rest
+DISMAX_QUERIES: list[dict] = [
+    {"query_id": "dm1", "clause_a": "spark join", "clause_b": "customer table"},
+    {"query_id": "dm2", "clause_a": "window stream", "clause_b": "vector hash"},
+    {"query_id": "dm3", "clause_a": "the data", "clause_b": "zzzmissing"},
+]
+_DISMAX_TIE = 0.3
+
+# percentile_ranks thresholds over events.value (per event_type)
+_PR_THRESHOLDS = [1.0, 5.0]
+
+# keyword extraction / sequence packing params
+_KW_K = 3
+_PACK_BUDGET, _PACK_RANGE = 256, 64
+
 TRANSCRIPTS_CTE = """
 transcripts AS (
   SELECT doc_id,
@@ -3112,6 +3135,76 @@ def q_knn_filtered(sf_dir: str):
     return res.map_batches(final, batch_format="pandas")
 
 
+def q_span_near(sf_dir: str):
+    """ES span_near (in_order, per-gap slop) over the positional index:
+    contiguity relaxed to a proximity window; survivors rank by BM25."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import span_near_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in SPAN_QUERIES])
+    return _finish_scores(span_near_search(qs, index_dir, _engine_cfg()))
+
+
+def q_dis_max(sf_dir: str):
+    """ES dis_max: best clause score + tie_breaker × the others (the
+    multi_match best_fields combinator)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import dis_max_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in DISMAX_QUERIES])
+    return _finish_scores(dis_max_search(qs, index_dir, _DISMAX_TIE, _engine_cfg()))
+
+
+def q_percentile_ranks(sf_dir: str):
+    """ES percentile_ranks aggregation, exact: per event_type, the
+    fraction of values ≤ each threshold (integer partials, one tiny
+    shuffle, round-6 division on the bucket-sized result)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import percentile_ranks
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return percentile_ranks(ds, "event_type", "value", _PR_THRESHOLDS)
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-doc keyword extraction: top-3 terms by tf·idf (Lucene idf,
+    term-ascending ties) with the df table broadcast once."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.tfidf import word_doc_keywords
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    index_dir = _ensure_index(sf_dir)
+    n_docs = IndexManifest.load(index_dir).n_docs
+    vocab = q_term_dictionary(sf_dir).to_pandas()
+    df_map = dict(zip(vocab["term"], vocab["df"].astype(int)))
+    ds = transcripts_from_documents(sf_dir)
+    res = word_doc_keywords(ds, _engine_cfg().analyzer, df_map, n_docs, k=_KW_K)
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        return b
+
+    return res.map_batches(_f, batch_format="pandas")
+
+
+def q_pack_bins(sf_dir: str):
+    """Sequence packing (training-batch prep): pack_id = exclusive
+    prefix token count // budget in doc_id order — a distributed prefix
+    sum (per-range partials → broadcast offsets → in-range cumsum)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.relational import pack_bins
+
+    ds = transcripts_from_documents(sf_dir)
+    return pack_bins(ds, _engine_cfg().analyzer, budget=_PACK_BUDGET, range_size=_PACK_RANGE)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -3209,6 +3302,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram": q_date_histogram,
         "chunk_docs": q_chunk_docs,
         "knn_filtered": q_knn_filtered,
+        "span_near": q_span_near,
+        "dis_max": q_dis_max,
+        "percentile_ranks": q_percentile_ranks,
+        "doc_keywords": q_doc_keywords,
+        "pack_bins": q_pack_bins,
     }
 
 
@@ -3401,6 +3499,45 @@ def _wildcard_pat_values() -> str:
     return ", ".join(
         f"('{qid}', '{wildcard_to_regex(p)}')" for qid, p in WILDCARD_QUERIES.items()
     )
+
+
+def _span_matches_sql() -> str:
+    """Per-span-query proximity match: chain joins over the positional
+    token table with each consecutive gap in [1, slop+1] (the engine's
+    in-order span_near semantics), one SELECT per query, unioned."""
+    selects = []
+    for q in SPAN_QUERIES:
+        terms = q["query_text"].lower().split()
+        slop = q["slop"]
+        joins = " ".join(
+            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos BETWEEN p{i-1}.pos + 1 AND p{i-1}.pos + 1 + {slop} "
+            f"AND p{i}.term = '{t}'"
+            for i, t in enumerate(terms[1:], 1)
+        )
+        selects.append(
+            f"SELECT DISTINCT '{q['query_id']}' AS query_id, p0.doc_id AS doc_id "
+            f"FROM tokpos p0 {joins} WHERE p0.term = '{terms[0]}'"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _span_qterms_values() -> str:
+    rows = []
+    for q in SPAN_QUERIES:
+        for term in sorted(set(q["query_text"].lower().split())):
+            rows.append(f"('{q['query_id']}', '{term}')")
+    return ", ".join(rows)
+
+
+def _dismax_values() -> str:
+    """(query_id, clause, term) VALUES for the dis_max oracle."""
+    rows = []
+    for q in DISMAX_QUERIES:
+        for clause in ("clause_a", "clause_b"):
+            for term in sorted(set(q[clause].lower().split())):
+                rows.append(f"('{q['query_id']}', '{clause}', '{term}')")
+    return ", ".join(rows)
 
 
 def _boosting_values(field: str) -> str:
@@ -4675,5 +4812,83 @@ ranked AS (
 )
 SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
 FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # span_near: in-order positional chain with per-gap slop window;
+        # survivors ranked by the terms' BM25.
+        "span_near": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+qterms(query_id, term) AS (VALUES {_span_qterms_values()}),
+{_BM25_SCORES_CTE},
+matches AS ({_span_matches_sql()}),
+rankedp AS (
+  SELECT m.query_id, m.doc_id, s.score,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id) AS rnk
+  FROM matches m JOIN scores s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedp WHERE rnk <= {BM25_TOP_K}
+""",
+        # dis_max: best clause + tie_breaker × (sum − best).
+        "dis_max": f"""
+WITH {TRANSCRIPTS_CTE},
+qcl(query_id, clause, term) AS (VALUES {_dismax_values()}),
+scoresc AS (
+  SELECT q.query_id, q.clause, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qcl q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.clause, tf.doc_id
+),
+comb AS (
+  SELECT query_id, doc_id,
+         max(score) + {_DISMAX_TIE} * (sum(score) - max(score)) AS score
+  FROM scoresc GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM comb
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # percentile_ranks: exact fraction of values <= each threshold.
+        "percentile_ranks": f"""
+SELECT event_type, count(*)::BIGINT AS n_rows,
+       round(sum(CASE WHEN value <= {_PR_THRESHOLDS[0]} THEN 1 ELSE 0 END) / count(*), 6) AS pr_0,
+       round(sum(CASE WHEN value <= {_PR_THRESHOLDS[1]} THEN 1 ELSE 0 END) / count(*), 6) AS pr_1
+FROM events GROUP BY event_type
+""",
+        # doc keywords: top-k terms per doc by tf·idf, term-asc ties.
+        "doc_keywords": f"""
+WITH {TRANSCRIPTS_CTE},
+kw AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM kw
+)
+SELECT doc_id, cast(rnk AS int) AS rank, term, round(score, 4) AS score
+FROM ranked WHERE rnk <= {_KW_K}
+""",
+        # sequence packing: pack_id = exclusive prefix token sum // budget.
+        "pack_bins": f"""
+WITH {TRANSCRIPTS_CTE},
+cum AS (
+  SELECT doc_id, dl,
+         coalesce(sum(dl) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM dl
+)
+SELECT doc_id, dl::BIGINT AS n_tokens, (bef // {_PACK_BUDGET})::BIGINT AS pack_id
+FROM cum
 """,
     }

@@ -343,11 +343,15 @@ def boosting_search(queries_ds, index_dir: str, negative_boost: float = 0.5,
 # --- top-window rescoring ------------------------------------------------------
 
 
-def _phrase_match_mask(reader: IndexReader, want: list[str], cand: np.ndarray) -> np.ndarray:
+def _phrase_match_mask(reader: IndexReader, want: list[str], cand: np.ndarray,
+                       slop: int = 0) -> np.ndarray:
     """Boolean mask over ``cand`` (int64 doc ids): does the doc contain
-    the exact token sequence ``want``? Positional-postings chain, same
-    semantics as query._phrase_positional but restricted to the given
-    candidates (the rescore window), so cost is O(window × terms)."""
+    the token sequence ``want`` with every consecutive gap at most
+    ``slop`` (``slop=0`` = exact contiguous phrase)? Positional-postings
+    chain, same semantics as query._phrase_positional generalized to an
+    in-order proximity window (ES ``span_near`` with ``in_order: true``)
+    and restricted to the given candidates, so cost is
+    O(candidates × terms)."""
     uniq = sorted(set(want))
     postings = reader.load_postings(uniq)
     out = np.zeros(cand.size, dtype=bool)
@@ -358,18 +362,24 @@ def _phrase_match_mask(reader: IndexReader, want: list[str], cand: np.ndarray) -
         member &= _sorted_member(postings[t].doc_ids, cand.astype(np.uint64))
     pos = {t: reader.load_positions(t) for t in uniq}
     if any(p is None for p in pos.values()):
-        raise ValueError("rescoring requires an index built with store_positions=True")
+        raise ValueError("positional matching requires an index built with store_positions=True")
     for i in np.flatnonzero(member):
         d = cand[i]
-        starts: np.ndarray | None = None
-        for j, t in enumerate(want):
+        prev: np.ndarray | None = None
+        for t in want:
             doc_ids, offsets, flat = pos[t]
             at = int(np.searchsorted(doc_ids, d))
             p_t = flat[offsets[at] : offsets[at + 1]].astype(np.int64)
-            starts = p_t if starts is None else starts[np.isin(starts + j, p_t)]
-            if starts.size == 0:
+            if prev is not None:
+                # keep p with some previous position in [p - slop - 1, p - 1]
+                lo = np.searchsorted(prev, p_t - slop - 1, side="left")
+                hi = np.searchsorted(prev, p_t - 1, side="right")
+                p_t = p_t[hi > lo]
+            if p_t.size == 0:
+                prev = p_t
                 break
-        else:
+            prev = p_t
+        if prev is not None and prev.size:
             out[i] = True
     return out
 
@@ -613,3 +623,137 @@ def adjacency_matrix(index_dir: str, filters: dict[str, str]) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["key", "doc_count"])
     out["doc_count"] = out["doc_count"].astype(np.int64)
     return out.sort_values("key", kind="mergesort").reset_index(drop=True)
+
+
+# --- span_near (in-order proximity) ------------------------------------------
+
+
+class SpanNearScorer:
+    """ES ``span_near`` (``in_order: true``): docs containing every query
+    term in order with each consecutive positional gap ≤ ``slop``
+    (slop 0 = exact phrase). Candidates are the intersection of the
+    terms' posting doc lists; survivors rank by the BM25 score of the
+    terms — exactly the phrase tier's contract with a proximity window."""
+
+    def __init__(self, index_dir: str, default_slop: int = 2, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.default_slop = default_slop
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        slops = batch["slop"] if "slop" in batch.columns else None
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            slop = int(slops.iloc[i]) if slops is not None else self.default_slop
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            want = self.reader.analyzer(qtext)
+            uniq = sorted(set(want))
+            postings = self.reader.load_postings(uniq)
+            if len(postings) < len(uniq) or not uniq:
+                continue
+            from functools import reduce
+
+            cand = reduce(np.intersect1d, [postings[t].doc_ids for t in uniq]).astype(np.int64)
+            if cand.size == 0:
+                continue
+            hit = _phrase_match_mask(self.reader, want, cand, slop=slop)
+            m = cand[hit].astype(np.uint64)
+            if m.size == 0:
+                continue
+            scores = np.zeros(m.size, dtype=np.float64)
+            for p in postings.values():
+                at = np.searchsorted(p.doc_ids, m)
+                scores += p.factors[at] * p.idf  # every cand matches every term
+            d, s = topk_desc(m, scores, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def span_near_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """span_near over a positional index; queries carry (query_id,
+    query_text, slop[, top_k])."""
+    return queries_ds.map_batches(
+        SpanNearScorer,
+        fn_constructor_args=(index_dir, 2, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+# --- dis_max ------------------------------------------------------------------
+
+
+class DisMaxScorer:
+    """ES ``dis_max``: per doc, the BEST clause score plus
+    ``tie_breaker`` × the other clauses' scores — the multi-field /
+    multi-phrasing combinator (multi_match best_fields is dis_max over
+    per-field clauses). Candidates are the union of the clauses'
+    candidates; the combine is one np.unique + bincount/maximum.at."""
+
+    def __init__(self, index_dir: str, tie_breaker: float = 0.3, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.tie_breaker = tie_breaker
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for col in ("clause_a", "clause_b"):
+            for t in batch[col]:
+                union.update(self.reader.analyzer(t))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, ca, cb) in enumerate(
+            zip(batch["query_id"], batch["clause_a"], batch["clause_b"])
+        ):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            parts = []
+            for clause in (ca, cb):
+                terms = sorted(set(self.reader.analyzer(clause)))
+                d, s = score_all(list(self.reader.load_postings(terms).values()))
+                parts.append((d, s))
+            all_docs = np.concatenate([d for d, _ in parts])
+            all_scores = np.concatenate([s for _, s in parts])
+            if all_docs.size == 0:
+                continue
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            sums = np.bincount(inv, weights=all_scores, minlength=uniq.size)
+            maxs = np.zeros(uniq.size, dtype=np.float64)
+            np.maximum.at(maxs, inv, all_scores)
+            combined = maxs + self.tie_breaker * (sums - maxs)
+            d, s = topk_desc(uniq, combined, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def dis_max_search(queries_ds, index_dir: str, tie_breaker: float = 0.3,
+                   cfg: EngineConfig = DEFAULT_CONFIG):
+    """dis_max over two clauses; queries carry (query_id, clause_a,
+    clause_b[, top_k])."""
+    return queries_ds.map_batches(
+        DisMaxScorer,
+        fn_constructor_args=(index_dir, tie_breaker, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

@@ -225,3 +225,104 @@ def composite_pages(ds, keys: list[str], page_size: int, text_col: str = "text")
     df["n_rows"] = df["n_rows"].astype(np.int64)
     df["sum_chars"] = df["sum_chars"].astype(np.int64)
     return df
+
+
+def percentile_ranks(ds, key: str, value_col: str, thresholds: list[float]) -> pd.DataFrame:
+    """ES ``percentile_ranks`` aggregation, exact: per ``key``, the
+    fraction of rows with ``value <= threshold`` for each threshold.
+    One streaming pass — per-batch Arrow partials carry (key,
+    n_le_t..., n) integer counts, the only shuffle is the tiny per-key
+    groupby, and the division happens once on the bucket-sized result.
+    Returns a pandas frame: key, n_rows, pr_<i> (round-6 fractions)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    names = [f"le{i}" for i in range(len(thresholds))]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = {key: b[key]}
+        for nm, th in zip(names, thresholds):
+            cols[nm] = pc.cast(pc.less_equal(b[value_col], th), pa.int64())
+        t = pa.table(cols)
+        g = t.group_by([key]).aggregate([(nm, "sum") for nm in names] + [([], "count_all")])
+        return g.rename_columns([key, *[f"{nm}_p" for nm in names], "n_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(*[Sum(f"{nm}_p", alias_name=nm) for nm in names],
+                   Sum("n_p", alias_name="n_rows"))
+    )
+    df = agg.to_pandas().sort_values(key, kind="mergesort").reset_index(drop=True)
+    n = df["n_rows"].to_numpy(dtype=np.float64)
+    out = {key: df[key], "n_rows": df["n_rows"].astype(np.int64)}
+    for i, nm in enumerate(names):
+        out[f"pr_{i}"] = round_half_away(df[nm].to_numpy(dtype=np.float64) / n, 6)
+    return pd.DataFrame(out)
+
+
+def pack_bins(ds, cfg, budget: int = 256, range_size: int = 1024) -> "ray.data.Dataset":
+    """Sequence packing for training batches: assign each document (in
+    doc_id order) to the pack whose token budget its PRECEDING documents
+    fill — ``pack_id = tokens_before // budget`` — so packs are
+    contiguous doc runs of ≈``budget`` tokens (token-less docs are
+    skipped, as nothing of them reaches a sequence).
+
+    This is a DISTRIBUTED PREFIX SUM, the pattern every order-dependent
+    assignment needs at scale: (1) tokenize once into (doc_id, n_tokens)
+    pairs — ~16 bytes/doc, orders of magnitude under corpus bytes, so
+    materializing them is safe where the corpus itself never would be;
+    (2) per-range partial sums (range = doc_id // range_size) shuffle a
+    RANGE-count-sized table to the driver, which builds exclusive
+    offsets; (3) one groupby(range) pass cumsums within each range
+    against the broadcast offset. Raw text shuffles zero times.
+    Returns a Dataset of (doc_id, n_tokens, pack_id)."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    def counts(b: pa.Table) -> pa.Table:
+        parent, _terms = flat_terms(b, cfg)
+        if parent.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "rng": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        n = np.diff(np.r_[starts, parent.size])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)[parent[starts]]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "rng": pa.array(ids // range_size, pa.int64())})
+
+    pairs = ds.map_batches(counts, batch_format="pyarrow").materialize()
+
+    def rng_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"rng": b["rng"], "n": b["n_tokens"]}).group_by("rng").aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["rng", "n_p"])
+
+    totals = (
+        pairs.map_batches(rng_partial, batch_format="pyarrow")
+        .groupby("rng")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+        .sort_values("rng", kind="mergesort")
+    )
+    rngs = totals["rng"].to_numpy(dtype=np.int64)
+    offsets = np.r_[0, np.cumsum(totals["n"].to_numpy(dtype=np.int64))][:-1]
+    off_ref = ray.put({"rngs": rngs, "offsets": offsets})
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        base = o["offsets"][int(np.searchsorted(o["rngs"], int(g["rng"].iloc[0])))]
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        before = base + np.cumsum(n) - n
+        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
+                             "n_tokens": g["n_tokens"].astype(np.int64),
+                             "pack_id": (before // budget).astype(np.int64)})
+
+    return pairs.groupby("rng").map_groups(assign, batch_format="pandas")

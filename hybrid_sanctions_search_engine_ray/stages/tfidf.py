@@ -181,3 +181,70 @@ def tfidf_topk(ds, query_text: str, k: int = 10, round_digits: int = 4,
                             kind="mergesort").head(k).reset_index(drop=True)
     cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
     return cand
+
+
+def word_doc_keywords(ds, cfg, df_map: dict[str, int], n_docs: int, k: int = 3):
+    """Per-document keyword extraction: the top-``k`` word terms by
+    tf·idf (BM25's Lucene idf, ties broken term-ascending) — the
+    standard corpus-tagging step of an LLM-data pipeline.
+
+    Scale shape: the (term → df) table rides the object store ONCE
+    (``ray.put``) and every batch joins against it with one pandas hash
+    merge; per-doc top-k is one lexsort + block cumcount. The broadcast
+    is vocabulary-sized — fine for word vocabularies (≪ corpus);
+    for unbounded token spaces, pre-prune the df table to terms above a
+    df floor (rare terms are the keywords anyway, but a floor of 1 is
+    the honest default) before broadcasting.
+    Returns a Dataset of (doc_id, rank, term, score)."""
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import idf as bm25_idf
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    terms_arr = np.array(sorted(df_map), dtype=object)
+    idf_arr = bm25_idf(n_docs, np.array([df_map[t] for t in terms_arr], dtype=np.float64))
+    ref = ray.put({"terms": terms_arr, "idf": idf_arr})
+
+    class _Keywords:
+        def __init__(self):
+            d = ray.get(ref)
+            self.terms, self.idf = d["terms"], d["idf"]
+
+        def __call__(self, b: pa.Table) -> pd.DataFrame:
+            parent, toks = flat_terms(b, cfg)
+            empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                  "rank": pd.Series([], dtype=np.int32),
+                                  "term": pd.Series([], dtype=object),
+                                  "score": pd.Series([], dtype=np.float64)})
+            if parent.size == 0:
+                return empty
+            tf_tbl = pa.table({"d": pa.array(parent, pa.int64()), "t": toks}).group_by(
+                ["d", "t"]
+            ).aggregate([([], "count_all")])
+            rows = tf_tbl["d"].to_numpy(zero_copy_only=False)
+            t_np = tf_tbl["t"].to_numpy(zero_copy_only=False)
+            tf = tf_tbl["count_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+            at = np.searchsorted(self.terms, t_np)
+            at = np.minimum(at, self.terms.size - 1)
+            known = self.terms[at] == t_np
+            if not known.any():
+                return empty
+            rows, t_np, tf, at = rows[known], t_np[known], tf[known], at[known]
+            score = tf * self.idf[at]
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)[rows]
+            # lexicographic tie-break on the term via ordinal codes
+            # (np.unique returns sorted uniques, so inverse codes order
+            # exactly like the strings — ASCII == DuckDB binary collation)
+            _, t_codes = np.unique(t_np, return_inverse=True)
+            order = np.lexsort((t_codes, -score, ids))
+            ids_s = ids[order]
+            starts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+            within = np.arange(ids_s.size) - np.repeat(
+                starts, np.diff(np.r_[starts, ids_s.size])
+            )
+            keep = within < k
+            sel = order[keep]
+            return pd.DataFrame({"doc_id": ids[sel].astype(np.int64),
+                                 "rank": (within[keep] + 1).astype(np.int32),
+                                 "term": t_np[sel],
+                                 "score": score[sel]})
+
+    return ds.map_batches(_Keywords, batch_format="pyarrow", concurrency=2, batch_size=4096)

@@ -274,3 +274,119 @@ def test_bucket_series(ray_session):
     assert df["n_events"].tolist() == [2, 2, 1]
     assert df["deriv"].tolist() == [2, 0, -1]
     assert df["cum"].tolist() == [2, 4, 5]
+
+
+# --- span_near / dis_max -------------------------------------------------------
+
+
+def _positions(text: str, term: str) -> list[int]:
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
+
+    toks = get_analyzer(AnalyzerConfig(mode="simple"))(text)
+    return [i for i, t in enumerate(toks) if t == term]
+
+
+def test_span_near_slop_semantics(feat_index):
+    scorer = sfeat.SpanNearScorer(feat_index)
+    # slop 0: only doc 1 has "alpha gamma" contiguous; slop 1 also
+    # accepts one intervening token (docs 0 and 2); doc 4 has alpha
+    # AFTER gamma, so in-order matching must never accept it
+    for slop, want_docs in ((0, {1}), (1, {0, 1, 2})):
+        out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha gamma"],
+                                   "slop": [slop], "top_k": [10]}))
+        got = set(out["doc_id"].tolist())
+        # brute force: exists alpha at p, gamma at p' with 1 <= p'-p <= slop+1
+        brute = set()
+        for d, t in enumerate(TEXTS):
+            pa_, pg = _positions(t, "alpha"), _positions(t, "gamma")
+            if any(1 <= q - p <= slop + 1 for p in pa_ for q in pg):
+                brute.add(d)
+        assert got == brute == want_docs, (slop, got, brute)
+
+
+def test_span_near_scores_are_bm25(feat_index):
+    scorer = sfeat.SpanNearScorer(feat_index)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma"],
+                               "slop": [0], "top_k": [10]}))
+    docs, scores = _brute_scores(feat_index, "beta gamma")
+    base = dict(zip(docs.astype(np.int64).tolist(), scores.tolist()))
+    for _, row in out.iterrows():
+        assert abs(row["score"] - base[row["doc_id"]]) < 1e-12
+
+
+def test_dis_max_combines_clauses(feat_index):
+    scorer = sfeat.DisMaxScorer(feat_index, tie_breaker=0.3)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "clause_a": ["alpha"],
+                               "clause_b": ["gamma delta"], "top_k": [20]}))
+    da, sa = _brute_scores(feat_index, "alpha")
+    db, sb = _brute_scores(feat_index, "gamma delta")
+    a = dict(zip(da.astype(np.int64).tolist(), sa.tolist()))
+    b = dict(zip(db.astype(np.int64).tolist(), sb.tolist()))
+    for _, row in out.iterrows():
+        xs = [x for x in (a.get(row["doc_id"]), b.get(row["doc_id"])) if x is not None]
+        want = max(xs) + 0.3 * (sum(xs) - max(xs))
+        assert abs(row["score"] - want) < 1e-12
+    assert set(out["doc_id"]) == set(a) | set(b)
+
+
+def test_dis_max_single_clause_match_is_plain(feat_index):
+    scorer = sfeat.DisMaxScorer(feat_index, tie_breaker=0.3)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "clause_a": ["zeta"],
+                               "clause_b": ["qqqmissing"], "top_k": [20]}))
+    dz, sz = _brute_scores(feat_index, "zeta")
+    assert out["doc_id"].tolist() == dz.astype(np.int64).tolist()
+    assert np.allclose(out["score"], sz, atol=0)
+
+
+# --- percentile_ranks / doc keywords / pack bins ----------------------------------
+
+
+def test_percentile_ranks(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import percentile_ranks
+
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 5,
+                       "v": [0.5, 1.0, 2.0, 9.0, 1.5, 2.5, 3.5, 4.5, 5.5]})
+    out = percentile_ranks(rd.from_pandas(df), "k", "v", [1.0, 5.0])
+    a = out[out.k == "a"].iloc[0]
+    assert a["n_rows"] == 4 and a["pr_0"] == 0.5 and a["pr_1"] == 0.75
+    b = out[out.k == "b"].iloc[0]
+    assert b["pr_0"] == 0.0 and b["pr_1"] == 0.8
+
+
+def test_doc_keywords_topk(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import idf as bm25_idf
+    from hybrid_sanctions_search_engine_ray.stages.tfidf import word_doc_keywords
+
+    texts = ["rare rare common", "common other", "common rare"]
+    df_map = {"rare": 2, "common": 3, "other": 1}
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1, 2], "text": texts}))
+    out = word_doc_keywords(ds, AnalyzerConfig(mode="simple"), df_map, n_docs=3, k=2)
+    out = out.to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    d0 = out[out.doc_id == 0]
+    assert d0["term"].tolist() == ["rare", "common"]   # tf=2 × idf(2) beats tf=1 × idf(3)
+    assert abs(d0["score"].iloc[0] - 2 * bm25_idf(3, 2)) < 1e-12
+    d1 = out[out.doc_id == 1]
+    assert d1["term"].tolist() == ["other", "common"]  # rarest term wins
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+
+
+def test_pack_bins_prefix_sum(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import pack_bins
+
+    # doc i has i+1 tokens; budget 5 → packs from exclusive prefix sums
+    texts = [" ".join(["w"] * (i + 1)) for i in range(8)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(8), "text": texts}))
+    out = pack_bins(ds, AnalyzerConfig(mode="simple"), budget=5, range_size=3)
+    out = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = np.arange(1, 9)
+    before = np.cumsum(n) - n
+    assert out["n_tokens"].tolist() == n.tolist()
+    assert out["pack_id"].tolist() == (before // 5).tolist()
+    # packs are contiguous, nondecreasing runs
+    assert (np.diff(out["pack_id"]) >= 0).all()

@@ -200,6 +200,24 @@ _PR_THRESHOLDS = [1.0, 5.0]
 _KW_K = 3
 _PACK_BUDGET, _PACK_RANGE = 256, 64
 
+# ES match-with-fuzziness queries: every term typo'd; last has no
+# expansion within distance 2.
+FUZZY_MATCH_QUERIES: dict[str, str] = {
+    "fz1": "sprak jion",
+    "fz2": "custmer tabel",
+    "fz3": "windw streem",
+    "fz4": "qqqxyzqq",
+}
+_FUZZY_DIST, _FUZZY_TOPN = 2, 5
+
+# match_phrase_prefix queries: fixed tokens + a final prefix token.
+MPP_QUERIES: dict[str, str] = {
+    "mp1": "customer tab",
+    "mp2": "window str",
+    "mp3": "merge gro",
+    "mp4": "slow quer",
+}
+
 TRANSCRIPTS_CTE = """
 transcripts AS (
   SELECT doc_id,
@@ -3205,6 +3223,30 @@ def q_pack_bins(sf_dir: str):
     return pack_bins(ds, _engine_cfg().analyzer, budget=_PACK_BUDGET, range_size=_PACK_RANGE)
 
 
+def q_fuzzy_search(sf_dir: str):
+    """ES match with fuzziness, end-to-end: per-term top-5 Levenshtein
+    expansion against the vocabulary Dataset, distinct union rides the
+    BM25 OR path (search_features.fuzzy_search)."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import fuzzy_search
+
+    index_dir = _ensure_index(sf_dir)
+    vocab = q_term_dictionary(sf_dir)
+    res = fuzzy_search(FUZZY_MATCH_QUERIES, index_dir, vocab, _engine_cfg(),
+                       max_dist=_FUZZY_DIST, topn=_FUZZY_TOPN, top_k=BM25_TOP_K)
+    return _finish_scores(res)
+
+
+def q_match_phrase_prefix(sf_dir: str):
+    """ES match_phrase_prefix: positional chain over the fixed tokens
+    with an any-dictionary-expansion final position; OR-BM25 scoring
+    over fixed ∪ expansions, ranked on the matching docs."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import match_phrase_prefix
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    res = match_phrase_prefix(MPP_QUERIES, index_dir, _engine_cfg(), top_k=BM25_TOP_K)
+    return _finish_scores(res)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -3307,6 +3349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": q_percentile_ranks,
         "doc_keywords": q_doc_keywords,
         "pack_bins": q_pack_bins,
+        "fuzzy_search": q_fuzzy_search,
+        "match_phrase_prefix": q_match_phrase_prefix,
     }
 
 
@@ -3538,6 +3582,52 @@ def _dismax_values() -> str:
             for term in sorted(set(q[clause].lower().split())):
                 rows.append(f"('{q['query_id']}', '{clause}', '{term}')")
     return ", ".join(rows)
+
+
+def _fuzzy_match_values() -> str:
+    rows = []
+    for qid, text in FUZZY_MATCH_QUERIES.items():
+        for t in sorted(set(text.lower().split())):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def _mpp_matches_sql() -> str:
+    """Per-query phrase-prefix match: fixed-token contiguity chain, then
+    a final position holding ANY dictionary term with the prefix."""
+    selects = []
+    for qid, text in MPP_QUERIES.items():
+        toks = text.lower().split()
+        fixed, pre = toks[:-1], toks[-1]
+        joins = " ".join(
+            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{t}'"
+            for i, t in enumerate(fixed[1:], 1)
+        )
+        joins += (
+            f" JOIN tokpos pl ON pl.doc_id = p0.doc_id AND pl.pos = p0.pos + {len(fixed)} "
+            f"AND pl.term LIKE '{pre}%'"
+        )
+        selects.append(
+            f"SELECT DISTINCT '{qid}' AS query_id, p0.doc_id AS doc_id "
+            f"FROM tokpos p0 {joins} WHERE p0.term = '{fixed[0]}'"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _mpp_qterms_sql() -> str:
+    """qterms = fixed tokens ∪ dictionary expansions of each prefix."""
+    fixed_rows = []
+    pre_rows = []
+    for qid, text in MPP_QUERIES.items():
+        toks = text.lower().split()
+        for t in sorted(set(toks[:-1])):
+            fixed_rows.append(f"('{qid}', '{t}')")
+        pre_rows.append(f"('{qid}', '{toks[-1]}')")
+    return (
+        f"qterms AS (SELECT * FROM (VALUES {', '.join(fixed_rows)}) v(query_id, term) "
+        f"UNION SELECT q.query_id, df.term FROM (VALUES {', '.join(pre_rows)}) q(query_id, pre) "
+        f"JOIN df ON df.term LIKE q.pre || '%')"
+    )
 
 
 def _boosting_values(field: str) -> str:
@@ -4890,5 +4980,46 @@ cum AS (
 )
 SELECT doc_id, dl::BIGINT AS n_tokens, (bef // {_PACK_BUDGET})::BIGINT AS pack_id
 FROM cum
+""",
+        # fuzzy match: per-term top-n Levenshtein expansion (dist asc,
+        # term asc — the fuzzy_expand contract), distinct union → BM25.
+        "fuzzy_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qt(query_id, q_term) AS (VALUES {_fuzzy_match_values()}),
+cand AS (
+  SELECT qt.query_id, qt.q_term, df.term, levenshtein(qt.q_term, df.term) AS dist
+  FROM qt CROSS JOIN df
+  WHERE levenshtein(qt.q_term, df.term) <= {_FUZZY_DIST}
+),
+rankedf AS (
+  SELECT query_id, q_term, term, dist,
+         row_number() OVER (PARTITION BY query_id, q_term ORDER BY dist, term) AS rnk
+  FROM cand
+),
+qterms AS (SELECT DISTINCT query_id, term FROM rankedf WHERE rnk <= {_FUZZY_TOPN}),
+{_BM25_SCORES_CTE},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # match_phrase_prefix: fixed-token chain + any-prefix-expansion
+        # final position; OR-BM25 over fixed ∪ expansions on the matches.
+        "match_phrase_prefix": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+{_mpp_qterms_sql()},
+{_BM25_SCORES_CTE},
+matches AS ({_mpp_matches_sql()}),
+rankedp AS (
+  SELECT m.query_id, m.doc_id, s.score,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id) AS rnk
+  FROM matches m JOIN scores s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
     }

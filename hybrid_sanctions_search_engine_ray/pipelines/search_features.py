@@ -757,3 +757,153 @@ def dis_max_search(queries_ds, index_dir: str, tie_breaker: float = 0.3,
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+
+
+# --- fuzzy match query ---------------------------------------------------------
+
+
+def fuzzy_search(queries: dict[str, str], index_dir: str, vocab_ds,
+                 cfg: EngineConfig = DEFAULT_CONFIG, max_dist: int = 2,
+                 topn: int = 5, top_k: int = 10):
+    """ES ``match`` with ``fuzziness``: every query term expands to its
+    ``topn`` nearest dictionary terms (Levenshtein ≤ ``max_dist``, ranked
+    dist asc / term asc — the fuzzy_expand contract) and the DISTINCT
+    union of expansions rides the ordinary BM25 posting path as an OR
+    query. The expansion runs against the vocabulary Dataset (streamed
+    through the expander actors), never the corpus; queries with no
+    expansion in range return no rows."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import fuzzy_expand
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    all_terms = sorted({t for q in queries.values() for t in q.lower().split()})
+    exp = fuzzy_expand(vocab_ds, all_terms, max_dist=max_dist, topn=topn).to_pandas()
+    by_qterm: dict[str, list[str]] = (
+        {} if exp.empty else exp.groupby("q_term")["term"].apply(list).to_dict()
+    )
+    items = []
+    for qid, text in sorted(queries.items()):
+        terms = sorted({e for t in set(text.lower().split()) for e in by_qterm.get(t, ())})
+        if terms:
+            items.append({"query_id": qid, "query_text": " ".join(terms), "top_k": top_k})
+    if not items:
+        return rd.from_pandas(pd.DataFrame(_RESULT_SCHEMA))
+    return search(rd.from_items(items), index_dir, cfg, method="taat")
+
+
+# --- match_phrase_prefix ---------------------------------------------------------
+
+
+class PhrasePrefixScorer:
+    """ES ``match_phrase_prefix``: the phrase's last token is a prefix —
+    a doc matches when the fixed tokens occur contiguously and ANY
+    dictionary expansion of the prefix occupies the next position.
+    Scoring is the OR-BM25 over fixed terms ∪ all prefix expansions (a
+    doc scores whatever of those terms it contains); ranking is over the
+    phrase-matching docs only. Specs (fixed terms + expansion lists) are
+    computed once from the dictionary and ship in the constructor."""
+
+    def __init__(self, index_dir: str, specs: dict[str, tuple[list[str], list[str]]],
+                 default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.specs = specs
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from functools import reduce
+
+        union: set[str] = set()
+        for qid in batch["query_id"]:
+            fixed, alts = self.specs[qid]
+            union.update(fixed)
+            union.update(alts)
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, qid in enumerate(batch["query_id"]):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            fixed, alts = self.specs[qid]
+            fixed_postings = self.reader.load_postings(sorted(set(fixed)))
+            if len(fixed_postings) < len(set(fixed)) or not alts:
+                continue
+            alt_postings = self.reader.load_postings(sorted(set(alts)))
+            if not alt_postings:
+                continue
+            cand = reduce(np.intersect1d, [p.doc_ids for p in fixed_postings.values()])
+            alt_union = np.unique(np.concatenate([p.doc_ids for p in alt_postings.values()]))
+            cand = np.intersect1d(cand, alt_union).astype(np.int64)
+            if cand.size == 0:
+                continue
+            pos = {t: self.reader.load_positions(t) for t in set(fixed) | set(alt_postings)}
+            if any(p is None for p in pos.values()):
+                raise ValueError("match_phrase_prefix requires store_positions=True")
+            matched: list[int] = []
+            for d in cand:
+                prev: np.ndarray | None = None
+                ok = True
+                for t in fixed:
+                    doc_ids, offsets, flat = pos[t]
+                    at = int(np.searchsorted(doc_ids, d))
+                    p_t = flat[offsets[at] : offsets[at + 1]].astype(np.int64)
+                    if prev is not None:
+                        p_t = p_t[np.isin(p_t - 1, prev)]
+                    if p_t.size == 0:
+                        ok = False
+                        break
+                    prev = p_t
+                if not ok:
+                    continue
+                for t, pp in pos.items():
+                    if t in alt_postings and t not in fixed:
+                        doc_ids, offsets, flat = pp
+                        at = int(np.searchsorted(doc_ids, d))
+                        if at < doc_ids.size and doc_ids[at] == d:
+                            p_t = flat[offsets[at] : offsets[at + 1]].astype(np.int64)
+                            if np.isin(p_t - 1, prev).any():
+                                matched.append(int(d))
+                                break
+            if not matched:
+                continue
+            m = np.array(matched, dtype=np.uint64)
+            scores = np.zeros(m.size, dtype=np.float64)
+            for p in {**fixed_postings, **alt_postings}.values():
+                at = np.searchsorted(p.doc_ids, m)
+                safe = np.minimum(at, p.doc_ids.size - 1)
+                hit = (at < p.doc_ids.size) & (p.doc_ids[safe] == m)
+                scores[hit] += p.factors[at[hit]] * p.idf
+            d_top, s_top = topk_desc(m, scores, k)
+            n = d_top.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d_top.astype(np.int64).tolist())
+            scores_out.extend(s_top.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def match_phrase_prefix(queries: dict[str, str], index_dir: str,
+                        cfg: EngineConfig = DEFAULT_CONFIG, top_k: int = 10):
+    """match_phrase_prefix over a positional index: expand the last
+    token against the dictionary (same scan as wildcard), then run the
+    positional chain with an any-expansion final step."""
+    import ray.data as rd
+
+    specs: dict[str, tuple[list[str], list[str]]] = {}
+    prefixes = {}
+    for qid, text in queries.items():
+        toks = text.lower().split()
+        prefixes[qid] = toks[-1] + "*"
+        specs[qid] = (toks[:-1], [])
+    expanded = expand_wildcards(index_dir, prefixes)
+    specs = {qid: (fixed, expanded.get(qid, [])) for qid, (fixed, _) in specs.items()}
+    qs = rd.from_items([{"query_id": qid, "top_k": top_k} for qid in sorted(queries)])
+    return qs.map_batches(
+        PhrasePrefixScorer,
+        fn_constructor_args=(index_dir, specs, top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

@@ -390,3 +390,47 @@ def test_pack_bins_prefix_sum(ray_session):
     assert out["pack_id"].tolist() == (before // 5).tolist()
     # packs are contiguous, nondecreasing runs
     assert (np.diff(out["pack_id"]) >= 0).all()
+
+
+# --- fuzzy_search / match_phrase_prefix --------------------------------------------
+
+
+def test_fuzzy_search_expands_typos(feat_index, ray_session):
+    import ray.data as rd
+
+    vocab_terms = sorted({t for txt in TEXTS for t in
+                          txt.lower().replace(",", " ").replace("!", " ").split()})
+    vocab = rd.from_pandas(pd.DataFrame({"term": vocab_terms}))
+    out = sfeat.fuzzy_search({"f": "alpa"}, feat_index, vocab, CFG,
+                             max_dist=1, topn=5, top_k=20).to_pandas()
+    # within distance 1 only "alpha" matches "alpa"
+    docs, scores = _brute_scores(feat_index, "alpha")
+    d, s = topk_desc(docs, scores, 20)
+    assert out["doc_id"].tolist() == d.astype(np.int64).tolist()
+    assert np.allclose(out["score"], s, atol=0)
+
+
+def test_fuzzy_search_no_expansion_empty(feat_index, ray_session):
+    import ray.data as rd
+
+    vocab = rd.from_pandas(pd.DataFrame({"term": ["alpha", "beta"]}))
+    out = sfeat.fuzzy_search({"f": "zzzzzzzz"}, feat_index, vocab, CFG).to_pandas()
+    assert len(out) == 0
+
+
+def test_match_phrase_prefix(feat_index, ray_session):
+    out = sfeat.match_phrase_prefix({"m": "beta gam"}, feat_index, CFG, top_k=10).to_pandas()
+    # docs with contiguous "beta gamma" (gam* expands to gamma only)
+    assert set(out["doc_id"]) == {0, 2, 4, 5}
+    docs, scores = _brute_scores(feat_index, "beta gamma")
+    base = dict(zip(docs.astype(np.int64).tolist(), scores.tolist()))
+    for _, row in out.iterrows():
+        assert abs(row["score"] - base[row["doc_id"]]) < 1e-12
+
+
+def test_match_phrase_prefix_order_matters(feat_index, ray_session):
+    # "alphabet soup" exists; "soup alphab*" (reversed) must not match
+    out = sfeat.match_phrase_prefix({"m": "soup alphab"}, feat_index, CFG).to_pandas()
+    assert len(out) == 0
+    fwd = sfeat.match_phrase_prefix({"m": "alphabet sou"}, feat_index, CFG).to_pandas()
+    assert set(fwd["doc_id"]) == {8}

@@ -218,6 +218,18 @@ MPP_QUERIES: dict[str, str] = {
     "mp4": "slow quer",
 }
 
+# simple_query_string inputs (+must, -must_not, bare=should OR)
+QS_QUERIES: dict[str, str] = {
+    "qs1": "+customer +table scan -window",
+    "qs2": "spark join -merge",
+    "qs3": "-the data stream",
+    "qs4": "+zzzmissing spark",
+    "qs5": "+window stream vector",
+}
+
+# rare_terms / extended_stats params
+_RARE_DF_MAX, _RARE_LIMIT = 380, 100
+
 TRANSCRIPTS_CTE = """
 transcripts AS (
   SELECT doc_id,
@@ -3247,6 +3259,48 @@ def q_match_phrase_prefix(sf_dir: str):
     return _finish_scores(res)
 
 
+def q_query_string(sf_dir: str):
+    """ES simple_query_string: the +/-/bare mini-language parsed into
+    boolean clauses (search_features.parse_query_string — the parser is
+    the single source: the oracle consumes its output too) and run
+    through the bool scorer."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import query_string_search
+
+    index_dir = _ensure_index(sf_dir)
+    return _finish_scores(query_string_search(QS_QUERIES, index_dir, _engine_cfg(),
+                                              top_k=BM25_TOP_K))
+
+
+def q_extended_stats(sf_dir: str):
+    """ES extended_stats, exact: integer sufficient statistics per
+    l_returnflag (l_quantity is integral-valued), mean/variance derived
+    once from the exact integers."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import extended_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_quantity"])
+    return extended_stats(ds, "l_returnflag", "l_quantity")
+
+
+def q_rare_terms(sf_dir: str):
+    """ES rare_terms aggregation: dictionary terms with df ≤ 2, the
+    deterministic first 100 by (df asc, term asc) — a sort-free global
+    top-N over the vocabulary Dataset."""
+    from hybrid_sanctions_search_engine_ray.stages.relational import global_topn
+
+    vocab = q_term_dictionary(sf_dir)
+
+    def flt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.select(["term", "df"]).filter(pc.less_equal(b["df"], _RARE_DF_MAX))
+
+    rare = vocab.map_batches(flt, batch_format="pyarrow")
+    return global_topn(rare, by=[("df", True), ("term", True)], n=_RARE_LIMIT)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -3351,6 +3405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": q_pack_bins,
         "fuzzy_search": q_fuzzy_search,
         "match_phrase_prefix": q_match_phrase_prefix,
+        "query_string": q_query_string,
+        "extended_stats": q_extended_stats,
+        "rare_terms": q_rare_terms,
     }
 
 
@@ -3627,6 +3684,31 @@ def _mpp_qterms_sql() -> str:
         f"qterms AS (SELECT * FROM (VALUES {', '.join(fixed_rows)}) v(query_id, term) "
         f"UNION SELECT q.query_id, df.term FROM (VALUES {', '.join(pre_rows)}) q(query_id, pre) "
         f"JOIN df ON df.term LIKE q.pre || '%')"
+    )
+
+
+def _qs_parsed() -> list[dict]:
+    """QS_QUERIES through the ENGINE's parser — single source of truth
+    for both sides of the query_string oracle."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import parse_query_string
+
+    return [{"query_id": qid, **parse_query_string(q)} for qid, q in QS_QUERIES.items()]
+
+
+def _qs_values(field: str, minus: str | None = None) -> str:
+    rows = []
+    for q in _qs_parsed():
+        terms = set(q[field].lower().split())
+        if minus:
+            terms -= set(q[minus].lower().split())
+        for term in sorted(terms):
+            rows.append(f"('{q['query_id']}', '{term}')")
+    return ", ".join(rows) if rows else "(NULL, NULL)"
+
+
+def _qs_nmust_values() -> str:
+    return ", ".join(
+        f"('{q['query_id']}', {len(set(q['must'].lower().split()))})" for q in _qs_parsed()
     )
 
 
@@ -5021,5 +5103,74 @@ rankedp AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
+""",
+        # simple_query_string: clauses come from the ENGINE's parser;
+        # generalized bool SQL (must count may be zero → should-only OR).
+        "query_string": f"""
+WITH {TRANSCRIPTS_CTE},
+mustq(query_id, term) AS (VALUES {_qs_values("must")}),
+notq(query_id, term) AS (VALUES {_qs_values("must_not")}),
+scoreq(query_id, term) AS (
+  VALUES {", ".join(x for x in [_qs_values("must"), _qs_values("should", minus="must")] if x != "(NULL, NULL)")}
+),
+nmust(query_id, n) AS (VALUES {_qs_nmust_values()}),
+cand AS (SELECT DISTINCT s.query_id, tf.doc_id FROM scoreq s JOIN tf ON tf.term = s.term),
+mcnt AS (
+  SELECT m.query_id, tf.doc_id, count(*)::BIGINT AS c
+  FROM mustq m JOIN tf ON tf.term = m.term
+  GROUP BY m.query_id, tf.doc_id
+),
+alive AS (
+  SELECT c.query_id, c.doc_id
+  FROM cand c
+  JOIN nmust n ON n.query_id = c.query_id
+  LEFT JOIN mcnt mc ON mc.query_id = c.query_id AND mc.doc_id = c.doc_id
+  WHERE coalesce(mc.c, 0) = n.n AND NOT EXISTS (
+    SELECT 1 FROM notq nq JOIN tf t2 ON t2.term = nq.term AND t2.doc_id = c.doc_id
+    WHERE nq.query_id = c.query_id
+  )
+),
+scores AS (
+  SELECT a.query_id, a.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM alive a
+  JOIN scoreq q ON q.query_id = a.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = a.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = a.doc_id
+  CROSS JOIN stats s
+  GROUP BY a.query_id, a.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # extended_stats: exact integer sufficient statistics, one shared
+        # float expression for mean/variance.
+        "extended_stats": """
+WITH a AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS n_rows,
+         sum(cast(l_quantity AS BIGINT))::BIGINT AS sum_v,
+         sum(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT))::BIGINT AS sumsq,
+         min(cast(l_quantity AS BIGINT))::BIGINT AS min_v,
+         max(cast(l_quantity AS BIGINT))::BIGINT AS max_v
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows, sum_v, min_v, max_v,
+       round(sum_v / n_rows, 6) AS avg_v,
+       round((sumsq - sum_v * sum_v / n_rows) / n_rows, 6) AS var_v
+FROM a
+""",
+        # rare_terms: df <= cutoff, deterministic first N by (df, term).
+        "rare_terms": f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT term, df FROM df WHERE df <= {_RARE_DF_MAX}
+ORDER BY df, term LIMIT {_RARE_LIMIT}
 """,
     }

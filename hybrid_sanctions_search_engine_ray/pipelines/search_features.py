@@ -907,3 +907,41 @@ def match_phrase_prefix(queries: dict[str, str], index_dir: str,
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+
+
+# --- query_string mini-language ---------------------------------------------------
+
+
+def parse_query_string(q: str) -> dict[str, str]:
+    """ES ``simple_query_string`` subset: whitespace-separated tokens
+    where ``+term`` is a must clause, ``-term`` a must_not clause and a
+    bare term a should clause (default OR). Returns the clause texts the
+    boolean scorer consumes (``search_one_boolean`` semantics: every
+    must, no must_not, scored over distinct must ∪ should). A bare ``+``
+    or ``-`` token is kept as a should term after analysis drops the
+    sign (ES's lenient behavior)."""
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    for tok in q.split():
+        if tok.startswith("+") and len(tok) > 1:
+            must.append(tok[1:])
+        elif tok.startswith("-") and len(tok) > 1:
+            must_not.append(tok[1:])
+        else:
+            should.append(tok)
+    return {"must": " ".join(must), "should": " ".join(should),
+            "must_not": " ".join(must_not)}
+
+
+def query_string_search(queries: dict[str, str], index_dir: str,
+                        cfg: EngineConfig = DEFAULT_CONFIG, top_k: int = 10):
+    """Parse each query string and run it through the boolean clause
+    path — the ES ``simple_query_string`` endpoint."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import boolean_search
+
+    items = [{"query_id": qid, **parse_query_string(q), "top_k": top_k}
+             for qid, q in sorted(queries.items())]
+    return boolean_search(rd.from_items(items), index_dir, cfg)

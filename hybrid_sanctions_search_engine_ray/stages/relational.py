@@ -326,3 +326,53 @@ def pack_bins(ds, cfg, budget: int = 256, range_size: int = 1024) -> "ray.data.D
                              "pack_id": (before // budget).astype(np.int64)})
 
     return pairs.groupby("rng").map_groups(assign, batch_format="pandas")
+
+
+def extended_stats(ds, key: str, value_col: str) -> pd.DataFrame:
+    """ES ``extended_stats`` aggregation, EXACT: per ``key`` the count,
+    sum, min, max, mean and population variance of an integral-valued
+    column. The streaming pass carries only integer sufficient
+    statistics (n, Σx, Σx², min, max — cast to int64, so partial sums
+    are order-independent and exact); mean and variance derive from the
+    exact integers once, with one shared float expression
+    (``(Σx² − (Σx)²/n)/n``) — no float accumulation over rows, which is
+    what makes the result reproducible across any partitioning.
+    The caller guarantees values are integral (casting is checked)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[value_col], pa.int64())
+        if not pc.all(pc.equal(pc.cast(v, b[value_col].type), b[value_col])).as_py():
+            raise ValueError(f"{value_col} has non-integral values; extended_stats "
+                             "is exact only over integers")
+        t = pa.table({key: b[key], "x": v, "x2": pc.multiply(v, v)})
+        g = t.group_by([key]).aggregate(
+            [("x", "sum"), ("x2", "sum"), ("x", "min"), ("x", "max"), ([], "count_all")]
+        )
+        return g.rename_columns([key, "s_p", "sq_p", "mn_p", "mx_p", "n_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("s_p", alias_name="sum_v"), Sum("sq_p", alias_name="sumsq"),
+                   Min("mn_p", alias_name="min_v"), Max("mx_p", alias_name="max_v"),
+                   Sum("n_p", alias_name="n_rows"))
+    )
+    df = agg.to_pandas().sort_values(key, kind="mergesort").reset_index(drop=True)
+    n = df["n_rows"].to_numpy(dtype=np.int64)
+    s = df["sum_v"].to_numpy(dtype=np.int64)
+    sq = df["sumsq"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            key: df[key],
+            "n_rows": n,
+            "sum_v": s,
+            "min_v": df["min_v"].astype(np.int64),
+            "max_v": df["max_v"].astype(np.int64),
+            "avg_v": round_half_away(s / n, 6),
+            "var_v": round_half_away((sq - s * s / n) / n, 6),
+        }
+    )

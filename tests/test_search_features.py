@@ -434,3 +434,50 @@ def test_match_phrase_prefix_order_matters(feat_index, ray_session):
     assert len(out) == 0
     fwd = sfeat.match_phrase_prefix({"m": "alphabet sou"}, feat_index, CFG).to_pandas()
     assert set(fwd["doc_id"]) == {8}
+
+
+# --- query_string / extended_stats ---------------------------------------------
+
+
+def test_parse_query_string():
+    p = sfeat.parse_query_string("+customer +table scan -window")
+    assert p == {"must": "customer table", "should": "scan", "must_not": "window"}
+    assert sfeat.parse_query_string("-the data") == {"must": "", "should": "data",
+                                                     "must_not": "the"}
+    # bare signs are lenient should tokens
+    assert sfeat.parse_query_string("+ - x")["should"] == "+ - x"
+
+
+def test_query_string_matches_boolean(feat_index, ray_session):
+    out = sfeat.query_string_search({"q": "+beta gamma -zeta"}, feat_index, CFG,
+                                    top_k=10).to_pandas()
+    r = IndexReader(feat_index)
+    docs, scores = r.search_one_boolean("beta", "gamma", "zeta", top_k=10)
+    assert out["doc_id"].tolist() == docs.astype(np.int64).tolist()
+    assert np.allclose(out["score"], scores, atol=0)
+
+
+def test_extended_stats_exact(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import extended_stats
+
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 2, "v": [1.0, 2.0, 3.0, 6.0, 5.0, 5.0]})
+    out = extended_stats(rd.from_pandas(df), "k", "v")
+    a = out[out.k == "a"].iloc[0]
+    assert a["n_rows"] == 4 and a["sum_v"] == 12 and a["min_v"] == 1 and a["max_v"] == 6
+    assert a["avg_v"] == 3.0
+    # population variance of [1,2,3,6] = (50 - 144/4)/4 = 3.5
+    assert a["var_v"] == 3.5
+    b = out[out.k == "b"].iloc[0]
+    assert b["var_v"] == 0.0 and b["avg_v"] == 5.0
+
+
+def test_extended_stats_rejects_fractional(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import extended_stats
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [1.5]}))
+    with pytest.raises(Exception):
+        extended_stats(ds, "k", "v").to_string()

@@ -7,6 +7,7 @@
     python -m hybrid_sanctions_search_engine_ray delete --index DIR --doc-ids 1,2,3
     python -m hybrid_sanctions_search_engine_ray compact --index DIR
     python -m hybrid_sanctions_search_engine_ray merge  --indexes A,B --out DIR [--resume]
+    python -m hybrid_sanctions_search_engine_ray repartition --index DIR --out DIR2 --num-partitions P
     python -m hybrid_sanctions_search_engine_ray stats  --index DIR
     python -m hybrid_sanctions_search_engine_ray generate --out DIR --n-convs N [--seed S]
 
@@ -87,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--out", required=True)
     mg.add_argument("--resume", action="store_true")
 
+    rp = sub.add_parser("repartition",
+                        help="resize the term-partition layout (ES shrink/split analog; query-identical)")
+    rp.add_argument("--index", required=True)
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--num-partitions", type=int, required=True)
+
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
 
@@ -163,6 +170,12 @@ def main(argv: list[str] | None = None) -> int:
 
         m = merge_indexes(args.indexes.split(","), args.out, resume=args.resume)
         print(json.dumps({"status": m.status, "n_docs": m.n_docs, "avgdl": round(m.avgdl, 4),
+                          "n_terms": m.n_terms, "parts": len(m.parts)}))
+    elif args.cmd == "repartition":
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import repartition_index
+
+        m = repartition_index(args.index, args.out, args.num_partitions)
+        print(json.dumps({"status": m.status, "num_partitions": m.num_partitions,
                           "n_terms": m.n_terms, "parts": len(m.parts)}))
     elif args.cmd == "stats":
         from hybrid_sanctions_search_engine_ray.pipelines.index_build import index_stats

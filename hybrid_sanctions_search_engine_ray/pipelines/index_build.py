@@ -518,11 +518,11 @@ def build_index(
         def _seg_or_fail(g):
             if int(g["part"].iloc[0]) >= cut:
                 raise RuntimeError(f"fault injection at part {int(g['part'].iloc[0])}")
-            return _builder(g, index_dir, cfg, input_path)
+            return _builder(g, index_dir, cfg, input_path, hot)
 
         seg_fn = _seg_or_fail
     else:
-        seg_fn = lambda g: _builder(g, index_dir, cfg, input_path)  # noqa: E731
+        seg_fn = lambda g: _builder(g, index_dir, cfg, input_path, hot)  # noqa: E731
 
     lineage = postings.groupby("part").map_groups(
         seg_fn,
@@ -531,16 +531,19 @@ def build_index(
     lineage_rows = lineage.take_all()  # small: one row per partition
     _mark("segments")
 
+    import json as _json
+
     for r in lineage_rows:
         manifest.parts[str(int(r["part"]))] = {
             "n_terms": int(r["n_terms"]),
             "n_rows": int(r["n_rows"]),
             "n_postings": int(r["n_postings"]),
             "elapsed_s": float(r["elapsed_s"]),
+            "hot_terms_present": _json.loads(r["hot_terms_present"]) if "hot_terms_present" in r else [],
         }
     done_meta = completed_parts(index_dir)
     for p, meta in done_meta.items():
-        manifest.parts.setdefault(str(p), {k: meta[k] for k in ("n_terms", "n_rows", "n_postings", "elapsed_s") if k in meta})
+        manifest.parts.setdefault(str(p), {k: meta[k] for k in ("n_terms", "n_rows", "n_postings", "elapsed_s", "hot_terms_present") if k in meta})
 
     # exact corpus stats: sentinel partials summed across partition metas
     # (covers both freshly built and resumed-over partitions)
@@ -548,10 +551,16 @@ def build_index(
     manifest.total_tokens = sum(m.get("tokens_partial", 0) for m in done_meta.values())
     manifest.avgdl = (manifest.total_tokens / manifest.n_docs) if manifest.n_docs else 0.0
 
-    # n_terms: per-part term counts summed — an upper bound only for the
-    # (few) salted hot terms that span partitions; the query path never
-    # uses it (df comes from the segment rows themselves)
+    # EXACT distinct-term count: only salted hot terms span partitions;
+    # subtract their extra placements via the per-part hot-presence lists
+    # (the same correction merge_indexes / repartition_index apply). The
+    # query path never consults n_terms (df comes from segment rows).
     manifest.n_terms = sum(p.get("n_terms", 0) for p in manifest.parts.values())
+    _hot_hits: dict[str, int] = {}
+    for p in manifest.parts.values():
+        for t in p.get("hot_terms_present", []):
+            _hot_hits[t] = _hot_hits.get(t, 0) + 1
+    manifest.n_terms -= sum(h - 1 for h in _hot_hits.values() if h > 1)
 
     # the docmap side write must land (and any failure surface) BEFORE
     # the manifest flips to complete

@@ -501,3 +501,179 @@ def ingest_delta(main_index: str, delta_transcripts_ds, out_dir: str,
         build_index(work + "_src", work, cfg, transcripts_ds=delta_transcripts_ds,
                     resume=resume, store_positions=m.store_positions)
     return merge_indexes([main_index, work], out_dir, resume=resume)
+
+
+def _repart_write_group(g, out_dir: str, positional: bool, hot_terms: list[str]) -> "pd.DataFrame":
+    """Write one NEW term-partition from re-bucketed segment rows.
+
+    Rows arrive with their (old_part, seg_idx) provenance; they are
+    ordered by (term, old_part, seg_idx) and seg_idx renumbered per term
+    — the reader re-sorts decoded doc ids anyway (stable argsort in
+    load_postings), so any deterministic sub-segment order is
+    query-identical. Atomic write + meta.json last (build's resume
+    contract); if meta.json already exists the partition is complete
+    from a previous run and is returned as-is (resume)."""
+    import tempfile
+    import time
+    import zlib
+
+    import pandas as pd
+
+    from hybrid_sanctions_search_engine_ray.stages.postings import (
+        SEGMENT_SCHEMA,
+        SEGMENT_SCHEMA_POS,
+    )
+
+    t0 = time.monotonic()
+    part = int(g["new_part"].iloc[0])
+    sdir = segment_dir(out_dir, part)
+    meta_path = os.path.join(sdir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return pd.DataFrame({"part": [part], "meta": [json.dumps(meta)]})
+    os.makedirs(sdir, exist_ok=True)
+    g = g.sort_values(["term", "old_part", "seg_idx"], kind="mergesort").reset_index(drop=True)
+    g["seg_idx"] = g.groupby("term", sort=False).cumcount().astype(np.int32)
+    cols = [f.name for f in (SEGMENT_SCHEMA_POS if positional else SEGMENT_SCHEMA)]
+    tbl = pa.Table.from_pandas(g[cols], preserve_index=False).cast(
+        SEGMENT_SCHEMA_POS if positional else SEGMENT_SCHEMA
+    )
+    fd, tmp = tempfile.mkstemp(dir=sdir, suffix=".parquet.tmp")
+    os.close(fd)
+    pq.write_table(tbl, tmp, row_group_size=4096)
+    final = os.path.join(sdir, "postings.parquet")
+    os.replace(tmp, final)
+    with open(final, "rb") as f:
+        checksum = zlib.crc32(f.read(1 << 20))
+    terms_set = set(g["term"].tolist())
+    meta = {
+        "part": part,
+        "n_terms": int(g["term"].nunique()),
+        "n_rows": int(len(g)),
+        "n_postings": int(g["n_docs"].sum()),
+        "bytes": os.path.getsize(final),
+        "checksum_head_crc32": checksum,
+        "elapsed_s": round(time.monotonic() - t0, 3),
+        "input": "repartition",
+        "hot_terms_present": sorted(t for t in hot_terms if t in terms_set),
+    }
+    atomic_write_json(meta_path, meta)
+    return pd.DataFrame({"part": [part], "meta": [json.dumps(meta)]})
+
+
+def repartition_index(index_dir: str, out_dir: str, new_partitions: int) -> IndexManifest:
+    """Resize an index's term-partition layout — the ES shrink/split API
+    analog (and the cluster-resize move: partition count should track
+    core count, config.py num_partitions): re-bucket every ENCODED
+    posting row by ``crc32(term) % new_partitions`` without touching the
+    corpus or re-tokenizing anything.
+
+    Placement stays query-identical because every row (hot/salted terms
+    included) lands in its term's BASE partition under the new layout,
+    and the reader probes the base partition for every term
+    (IndexReader._parts_for always includes ``hash % P``); decoded
+    sub-segments are doc-id re-sorted at load time, so sub-segment
+    renumbering is invisible to scores.
+
+    Cost shape: ONE all-to-all over the segment bytes (≈ index size,
+    an order of magnitude under corpus bytes) via groupby(new_part);
+    the docmap streams through unchanged; one Ray Data job, resumable
+    per partition (meta.json presence).
+
+    Trade-off: a hot (salted) term's sub-segments COLOCATE in its base
+    partition afterwards — query-side pruning actually improves (one
+    file probed instead of base+salts), but the build-time salting
+    spread is gone; a rebuild is the way to re-salt for a new layout.
+    """
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.hashing import hash_string_array
+    from hybrid_sanctions_search_engine_ray.stages.postings import (
+        SEGMENT_SCHEMA,
+        SEGMENT_SCHEMA_POS,
+    )
+
+    m = IndexManifest.load(index_dir)
+    if m.status != "complete":
+        raise ValueError("source index must be complete")
+    if load_tombstones(index_dir).size:
+        raise ValueError("source has pending tombstones; compact_index() first")
+    if new_partitions < 1:
+        raise ValueError("new_partitions must be >= 1")
+
+    files = []
+    for p in range(m.num_partitions):
+        f = os.path.join(segment_dir(index_dir, p), "postings.parquet")
+        if os.path.exists(f):
+            files.append(f)
+    ds = rd.read_parquet(files, include_paths=True)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.drop_columns(["path"]).append_column(
+                "new_part", pa.array([], pa.int64())
+            ).append_column("old_part", pa.array([], pa.int64()))
+        new_part = hash_string_array(b["term"]).astype(np.int64) % new_partitions
+        old = [int(p.split("part=")[1].split("/")[0]) for p in b["path"].to_pylist()]
+        return (
+            b.drop_columns(["path"])
+            .append_column("new_part", pa.array(new_part, pa.int64()))
+            .append_column("old_part", pa.array(old, pa.int64()))
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("new_part")
+        .map_groups(
+            lambda g: _repart_write_group(g, out_dir, m.store_positions, m.hot_terms),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    parts_meta = {str(int(r["part"])): json.loads(r["meta"]) for _, r in lineage.iterrows()}
+    # partitions no term hashed to get an explicit empty segment (resume
+    # and lineage treat every partition uniformly)
+    schema = SEGMENT_SCHEMA_POS if m.store_positions else SEGMENT_SCHEMA
+    for p in range(new_partitions):
+        if str(p) not in parts_meta:
+            sdir = segment_dir(out_dir, p)
+            os.makedirs(sdir, exist_ok=True)
+            final = os.path.join(sdir, "postings.parquet")
+            if not os.path.exists(final):
+                pq.write_table(schema.empty_table(), final)
+            meta = {"part": p, "n_terms": 0, "n_rows": 0, "n_postings": 0,
+                    "bytes": os.path.getsize(final), "checksum_head_crc32": 0,
+                    "elapsed_s": 0.0, "input": "repartition", "hot_terms_present": []}
+            atomic_write_json(os.path.join(sdir, "meta.json"), meta)
+            parts_meta[str(p)] = meta
+
+    out = IndexManifest(
+        status="building",
+        n_docs=m.n_docs, avgdl=m.avgdl, total_tokens=m.total_tokens,
+        k1=m.k1, b=m.b, block_size=m.block_size,
+        num_partitions=new_partitions,
+        analyzer_mode=m.analyzer_mode, remove_stopwords=m.remove_stopwords,
+        stem=m.stem, store_positions=m.store_positions,
+        hot_terms=list(m.hot_terms), hot_term_salt_buckets=m.hot_term_salt_buckets,
+        input_path=index_dir,
+    )
+    # exact distinct-term count: same hot-overcount correction as merge
+    n_terms_sum = sum(int(meta["n_terms"]) for meta in parts_meta.values())
+    hot_hits: dict[str, int] = {}
+    for meta in parts_meta.values():
+        for t in meta.get("hot_terms_present", []):
+            hot_hits[t] = hot_hits.get(t, 0) + 1
+    out.n_terms = n_terms_sum - sum(h - 1 for h in hot_hits.values() if h > 1)
+    out.parts = parts_meta
+
+    dm_out = os.path.join(out_dir, "docmap.parquet")
+    if not (os.path.isdir(dm_out) and os.listdir(dm_out)):
+        rd.read_parquet(os.path.join(index_dir, "docmap.parquet")).write_parquet(dm_out)
+
+    out.status = "complete"
+    out.save(out_dir)
+    return out

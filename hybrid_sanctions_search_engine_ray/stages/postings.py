@@ -110,10 +110,11 @@ def build_segment_packed(
     index_dir: str,
     cfg: EngineConfig,
     input_path: str,
+    hot_terms: frozenset[str] = frozenset(),
 ) -> pd.DataFrame:
     """Reduce side of the packed shuffle: deserialize one partition's
     payloads and delegate to :func:`build_segment`."""
-    return build_segment(_unpack_group(group), index_dir, cfg, input_path)
+    return build_segment(_unpack_group(group), index_dir, cfg, input_path, hot_terms)
 
 
 def build_segment(
@@ -121,6 +122,7 @@ def build_segment(
     index_dir: str,
     cfg: EngineConfig,
     input_path: str,
+    hot_terms: frozenset[str] = frozenset(),
 ) -> pd.DataFrame:
     """Encode and atomically write one term-partition. Returns a one-row
     lineage DataFrame (the build pipeline's output dataset is the
@@ -157,6 +159,7 @@ def build_segment(
                 "n_docs_partial": n_docs_partial,
                 "tokens_partial": tokens_partial,
                 "input": input_path,
+                "hot_terms_present": [],
             },
         )
         return pd.DataFrame(
@@ -164,6 +167,7 @@ def build_segment(
                 "part": [part], "n_terms": [0], "n_rows": [0], "n_postings": [0],
                 "n_docs_partial": [n_docs_partial], "tokens_partial": [tokens_partial],
                 "elapsed_s": [round(time.monotonic() - t0, 3)],
+                "hot_terms_present": ["[]"],
             }
         )
 
@@ -236,6 +240,10 @@ def build_segment(
     os.replace(tmp, final)
     with open(final, "rb") as f:
         checksum = zlib.crc32(f.read(1 << 20))  # first-MiB crc: cheap integrity fingerprint
+    # hot (salted) terms present here — the only terms that can span
+    # partitions; recorded so the manifest's distinct-term count is
+    # EXACT (same correction rule as merge_indexes / repartition_index)
+    hot_present = sorted(hot_terms & set(terms)) if hot_terms else []
     atomic_write_json(
         os.path.join(sdir, "meta.json"),
         {
@@ -249,8 +257,11 @@ def build_segment(
             "n_docs_partial": n_docs_partial,
             "tokens_partial": tokens_partial,
             "input": input_path,
+            "hot_terms_present": hot_present,
         },
     )
+    import json as _json
+
     return pd.DataFrame(
         {
             "part": [part],
@@ -260,5 +271,6 @@ def build_segment(
             "n_docs_partial": [n_docs_partial],
             "tokens_partial": [tokens_partial],
             "elapsed_s": [round(time.monotonic() - t0, 3)],
+            "hot_terms_present": [_json.dumps(hot_present)],
         }
     )

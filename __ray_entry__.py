@@ -2757,6 +2757,59 @@ def q_dup_clusters(sf_dir: str):
     return assign_clusters(corpus, comps)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """End-to-end near-dedup KEEP rule — the curation step after
+    clustering: every duplicate cluster keeps its longest member
+    ('keep the best copy'). Cluster assignments (the dup_clusters
+    machinery) hash-join per-doc token counts (doc-sized × doc-sized →
+    native shuffle join, no broadcast), then the per-cluster
+    representative = (n_tokens desc, doc_id asc) via the partial-argmax
+    pattern; token-less docs count 0 (left-outer join)."""
+    import ray.data as rd  # noqa: F401
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    clusters = q_dup_clusters(sf_dir)
+    acfg = _engine_cfg().analyzer
+
+    def counts(b: pa.Table) -> pa.Table:
+        parent, _terms = flat_terms(b, acfg)
+        if parent.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        n = np.diff(np.r_[starts, parent.size])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)[parent[starts]]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    cnts = transcripts_from_documents(sf_dir).map_batches(counts, batch_format="pyarrow")
+    joined = clusters.join(cnts, join_type="left_outer", num_partitions=4, on=("doc_id",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["n_tokens"] = df["n_tokens"].fillna(0).astype(np.int64)
+        best = df.sort_values(["n_tokens", "doc_id"], ascending=[False, True],
+                              kind="mergesort").groupby("cluster_id", sort=False).head(1)
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    cand = joined.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(1)
+        return pd.DataFrame(
+            {
+                "cluster_id": g["cluster_id"].astype(np.int64).to_numpy(),
+                "doc_id": g["doc_id"].astype(np.int64).to_numpy(),
+                "n_tokens": g["n_tokens"].astype(np.int64).to_numpy(),
+            }
+        )
+
+    return cand.groupby("cluster_id").map_groups(finish, batch_format="pandas")
+
+
 def q_vectors_jsonl(sf_dir: str):
     """Vector JSON writer/reader (reference S4: scripts/
     generate_vectors.py:134-136 vector JSON export) — the embeddings
@@ -3408,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_string": q_query_string,
         "extended_stats": q_extended_stats,
         "rare_terms": q_rare_terms,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -3685,6 +3739,38 @@ def _mpp_qterms_sql() -> str:
         f"UNION SELECT q.query_id, df.term FROM (VALUES {', '.join(pre_rows)}) q(query_id, pre) "
         f"JOIN df ON df.term LIKE q.pre || '%')"
     )
+
+
+def _clusters_reach_sql() -> str:
+    """Shared near-dup cluster CTE chain (shingle Jaccard edges →
+    bidirectional closure via recursive reachability) — the SQL twin of
+    the jaccard_verify + connected_components machinery; used by the
+    dup_clusters AND dedup_keep_best oracles. Expects transcripts/tokpos
+    in scope."""
+    return f"""sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM tokpos a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.doc_id < {_CLUSTER_DOCS}
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM sh x JOIN sh y ON y.sh = x.sh AND y.doc_id > x.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+edges AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+  WHERE round(i.i * 1.0 / (ca.c + cb.c - i.i), 6) >= {_CLUSTER_MIN}
+),
+bidir AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
+)"""
 
 
 def _qs_parsed() -> list[dict]:
@@ -4686,31 +4772,23 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {_JACCARD_MIN}
         "dup_clusters": f"""
 WITH RECURSIVE {TRANSCRIPTS_CTE},
 {TOKPOS_CTE},
-sh AS (
-  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS sh
-  FROM tokpos a
-  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-  JOIN tokpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-  WHERE a.doc_id < {_CLUSTER_DOCS}
-),
-cnt AS (SELECT doc_id, count(*)::BIGINT AS c FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
-  FROM sh x JOIN sh y ON y.sh = x.sh AND y.doc_id > x.doc_id
-  GROUP BY x.doc_id, y.doc_id
-),
-edges AS (
-  SELECT i.a, i.b
-  FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
-  WHERE round(i.i * 1.0 / (ca.c + cb.c - i.i), 6) >= {_CLUSTER_MIN}
-),
-bidir AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN bidir e ON e.a = r.dst
-)
+{_clusters_reach_sql()}
 SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id FROM reach GROUP BY src
+""",
+        # keep-best representative per near-dup cluster: (n_tokens desc,
+        # doc_id asc), token-less docs count 0.
+        "dedup_keep_best": f"""
+WITH RECURSIVE {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+{_clusters_reach_sql()},
+clusters AS (SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id FROM reach GROUP BY src),
+rankedc AS (
+  SELECT c.cluster_id, c.doc_id, coalesce(dl.dl, 0)::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY coalesce(dl.dl, 0) DESC, c.doc_id) AS rn
+  FROM clusters c LEFT JOIN dl ON dl.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id, n_tokens FROM rankedc WHERE rn = 1
 """,
         # Self-trained bigram LM: P(w2|w1) = (c12 + k)/(cf(w1) + k·V);
         # nll = -avg ln P over the doc's bigram positions. Documents with

@@ -2810,6 +2810,54 @@ def q_dedup_keep_best(sf_dir: str):
     return cand.groupby("cluster_id").map_groups(finish, batch_format="pandas")
 
 
+def q_conv_enrich(sf_dir: str):
+    """Partition-window aggregates attached back to rows (SQL
+    ``count(*)/sum(...) OVER (PARTITION BY conv_id)``) without
+    materializing groups: conversation-level aggregates (turn count,
+    total chars) computed via the partial-agg pattern, then hash-joined
+    back to every turn — group table and row table are BOTH data-sized,
+    so the attach is a native shuffle join, never a broadcast."""
+    import pyarrow.compute as _pc
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    ts = transcripts_from_documents(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "conv_id": b["conv_id"],
+            "chars": _pc.cast(_pc.utf8_length(_pc.fill_null(b["text"], "")), pa.int64()),
+        })
+        g = t.group_by(["conv_id"]).aggregate([("chars", "sum"), ([], "count_all")])
+        return g.rename_columns(["conv_id", "chars_p", "rows_p"])
+
+    conv = (
+        ts.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("rows_p", alias_name="conv_n_turns"),
+                   Sum("chars_p", alias_name="conv_chars"))
+    )
+    rows = ts.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "conv_id": b["conv_id"]}),
+        batch_format="pyarrow",
+    )
+    joined = rows.join(conv, join_type="inner", num_partitions=4, on=("conv_id",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "conv_id": b["conv_id"],
+                "conv_n_turns": b["conv_n_turns"].cast(pa.int64()),
+                "conv_chars": b["conv_chars"].cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_vectors_jsonl(sf_dir: str):
     """Vector JSON writer/reader (reference S4: scripts/
     generate_vectors.py:134-136 vector JSON export) — the embeddings
@@ -3462,6 +3510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extended_stats": q_extended_stats,
         "rare_terms": q_rare_terms,
         "dedup_keep_best": q_dedup_keep_best,
+        "conv_enrich": q_conv_enrich,
     }
 
 
@@ -4789,6 +4838,14 @@ rankedc AS (
   FROM clusters c LEFT JOIN dl ON dl.doc_id = c.doc_id
 )
 SELECT cluster_id, doc_id, n_tokens FROM rankedc WHERE rn = 1
+""",
+        # partition-window aggregates attached to rows (OVER PARTITION BY).
+        "conv_enrich": f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT doc_id, conv_id,
+       (count(*) OVER (PARTITION BY conv_id))::BIGINT AS conv_n_turns,
+       (sum(coalesce(length(text), 0)) OVER (PARTITION BY conv_id))::BIGINT AS conv_chars
+FROM transcripts
 """,
         # Self-trained bigram LM: P(w2|w1) = (c12 + k)/(cf(w1) + k·V);
         # nll = -avg ln P over the doc's bigram positions. Documents with

@@ -2810,6 +2810,23 @@ def q_dedup_keep_best(sf_dir: str):
     return cand.groupby("cluster_id").map_groups(finish, batch_format="pandas")
 
 
+def q_has_parent(sf_dir: str):
+    """ES has_parent (score=true): top-3 conversations by best-turn
+    BM25, expanded to EVERY turn of those conversations with the parent
+    score inherited (search_features.HasParentScorer — docmap-keyed
+    general path, vs conv_search's dense id-stride)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import has_parent_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": 3} for qid, t in TOP_HITS_QUERIES.items()]
+    )
+    return _finish_scores(has_parent_search(qs, index_dir, key="conv_id",
+                                            top_parents=3, cfg=_engine_cfg()))
+
+
 def q_conv_enrich(sf_dir: str):
     """Partition-window aggregates attached back to rows (SQL
     ``count(*)/sum(...) OVER (PARTITION BY conv_id)``) without
@@ -3511,6 +3528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": q_rare_terms,
         "dedup_keep_best": q_dedup_keep_best,
         "conv_enrich": q_conv_enrich,
+        "has_parent": q_has_parent,
     }
 
 
@@ -4838,6 +4856,26 @@ rankedc AS (
   FROM clusters c LEFT JOIN dl ON dl.doc_id = c.doc_id
 )
 SELECT cluster_id, doc_id, n_tokens FROM rankedc WHERE rn = 1
+""",
+        # has_parent: conv score = max turn BM25; top-3 convs expanded to
+        # all their turns, parent score inherited.
+        "has_parent": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_values_from(TOP_HITS_QUERIES)}),
+{_BM25_SCORES_CTE},
+convs AS (
+  SELECT s.query_id, t.conv_id, max(s.score) AS score
+  FROM scores s JOIN transcripts t ON t.doc_id = s.doc_id
+  GROUP BY s.query_id, t.conv_id
+),
+rankedc AS (
+  SELECT query_id, conv_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, conv_id) AS rnk
+  FROM convs
+)
+SELECT r.query_id, cast(r.rnk AS int) AS rank, r.conv_id, t.doc_id, round(r.score, 4) AS score
+FROM rankedc r JOIN transcripts t ON t.conv_id = r.conv_id
+WHERE r.rnk <= 3
 """,
         # partition-window aggregates attached to rows (OVER PARTITION BY).
         "conv_enrich": f"""

@@ -945,3 +945,72 @@ def query_string_search(queries: dict[str, str], index_dir: str,
     items = [{"query_id": qid, **parse_query_string(q), "top_k": top_k}
              for qid, q in sorted(queries.items())]
     return boolean_search(rd.from_items(items), index_dir, cfg)
+
+
+# --- has_parent (parent match → child expansion) --------------------------------
+
+
+class HasParentScorer:
+    """ES ``has_parent`` (score=true): rank PARENTS (conversations) by
+    their children's best BM25 score, then return every CHILD (turn) of
+    the top parents with the parent's score inherited — the inverse of
+    conv_search's has_child rollup. Parent keys come from the docmap
+    loaded once per actor (the general path; conv_search's id-stride is
+    the dense shortcut), so the child expansion is a vectorized mask
+    over the in-actor key column — no extra reads."""
+
+    def __init__(self, index_dir: str, key: str = "conv_id", default_top_k: int = 3):
+        self.reader = IndexReader(index_dir)
+        self.key = key
+        self.dm_ids, self.dm_keys = _load_docmap_key(index_dir, key)
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        rows: dict[str, list] = {"query_id": [], "rank": [], "conv": [], "doc_id": [],
+                                 "score": []}
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            keys = self.dm_keys[np.searchsorted(self.dm_ids, docs.astype(np.int64))]
+            uniq, inv = np.unique(keys, return_inverse=True)
+            best = np.zeros(uniq.size, np.float64)
+            np.maximum.at(best, inv, scores)
+            order = np.lexsort((uniq, -best))[:k]  # (score desc, key asc)
+            for rank, gi in enumerate(order, start=1):
+                conv = uniq[gi]
+                members = self.dm_ids[self.dm_keys == conv]
+                n = members.size
+                rows["query_id"].extend([qid] * n)
+                rows["rank"].extend([rank] * n)
+                rows["conv"].extend([conv] * n)
+                rows["doc_id"].extend(members.tolist())
+                rows["score"].extend([float(best[gi])] * n)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(rows["query_id"], dtype="string[python]").astype(object),
+                "rank": pd.Series(rows["rank"], dtype=np.int32),
+                self.key: pd.Series(rows["conv"], dtype=object),
+                "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
+                "score": pd.Series(rows["score"], dtype=np.float64),
+            }
+        )
+
+
+def has_parent_search(queries_ds, index_dir: str, key: str = "conv_id",
+                      top_parents: int = 3, cfg: EngineConfig = DEFAULT_CONFIG):
+    """has_parent: every child of the top-N best-scoring parents."""
+    return queries_ds.map_batches(
+        HasParentScorer,
+        fn_constructor_args=(index_dir, key, top_parents),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

@@ -481,3 +481,20 @@ def test_extended_stats_rejects_fractional(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [1.5]}))
     with pytest.raises(Exception):
         extended_stats(ds, "k", "v").to_string()
+
+
+def test_has_parent_expands_top_convs(feat_index):
+    scorer = sfeat.HasParentScorer(feat_index, key="conv_id", default_top_k=2)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma"]}))
+    docs, scores = _brute_scores(feat_index, "beta gamma")
+    df = pd.DataFrame({"doc_id": docs.astype(np.int64), "score": scores})
+    df["conv"] = df["doc_id"] // 3
+    best = df.groupby("conv")["score"].max().sort_values(ascending=False)
+    top2 = list(best.index[:2])
+    # every turn of each top conv present, parent score inherited
+    for conv in top2:
+        got = out[out.conv_id == f"conv-{conv:08d}"]
+        members = {d for d in range(9) if d // 3 == conv}
+        assert set(got["doc_id"]) == members
+        assert np.allclose(got["score"], best[conv], atol=1e-12)
+    assert set(out["rank"]) == {1, 2}

@@ -230,6 +230,14 @@ QS_QUERIES: dict[str, str] = {
 # rare_terms / extended_stats params
 _RARE_DF_MAX, _RARE_LIMIT = 380, 100
 
+# ES regexp queries (anchored whole-term; RE2 shared verbatim with DuckDB)
+REGEXP_QUERIES: dict[str, str] = {
+    "re1": "cust.*",
+    "re2": ".*(?:eam|ine)",
+    "re3": "fil[a-z]er",
+    "re4": "zzz[0-9]+",
+}
+
 TRANSCRIPTS_CTE = """
 transcripts AS (
   SELECT doc_id,
@@ -2827,6 +2835,16 @@ def q_has_parent(sf_dir: str):
                                             top_parents=3, cfg=_engine_cfg()))
 
 
+def q_regexp_search(sf_dir: str):
+    """ES regexp query: anchored whole-term regex expanded against the
+    dictionary, scoring_boolean BM25 (search_features.regexp_search)."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import regexp_search
+
+    index_dir = _ensure_index(sf_dir)
+    return _finish_scores(regexp_search(REGEXP_QUERIES, index_dir, _engine_cfg(),
+                                        top_k=BM25_TOP_K))
+
+
 def q_conv_enrich(sf_dir: str):
     """Partition-window aggregates attached back to rows (SQL
     ``count(*)/sum(...) OVER (PARTITION BY conv_id)``) without
@@ -3529,6 +3547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "conv_enrich": q_conv_enrich,
         "has_parent": q_has_parent,
+        "regexp_search": q_regexp_search,
     }
 
 
@@ -3710,6 +3729,14 @@ def _values_from(queries: dict[str, str]) -> str:
         for term in sorted(set(text.lower().split())):
             rows.append(f"('{qid}', '{term}')")
     return ", ".join(rows)
+
+
+def _regexp_pat_values() -> str:
+    """(query_id, anchored RE2) VALUES — anchoring from the ENGINE's
+    anchor_regex (single source)."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import anchor_regex
+
+    return ", ".join(f"('{qid}', '{anchor_regex(p)}')" for qid, p in REGEXP_QUERIES.items())
 
 
 def _wildcard_pat_values() -> str:
@@ -4946,6 +4973,20 @@ ranked AS (
 )
 SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
 FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # ES regexp query: anchored whole-term RE2 shared verbatim.
+        "regexp_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qpat(query_id, pat) AS (VALUES {_regexp_pat_values()}),
+qterms AS (SELECT DISTINCT p.query_id, df.term AS term FROM qpat p JOIN df ON regexp_matches(df.term, p.pat)),
+{_BM25_SCORES_CTE},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # Wildcard rewrite: pattern → matching dictionary terms (RE2 regex
         # shared verbatim with the engine's Arrow matcher) → BM25 OR query.

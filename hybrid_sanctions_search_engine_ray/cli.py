@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--out", required=True)
     rp.add_argument("--num-partitions", type=int, required=True)
 
+    sn = sub.add_parser("snapshot", help="checksum-verified index backup (ES snapshot analog)")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
+
+    rs = sub.add_parser("restore", help="restore a snapshot (re-verifies checksums)")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--out", required=True)
+
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
 
@@ -177,6 +185,16 @@ def main(argv: list[str] | None = None) -> int:
         m = repartition_index(args.index, args.out, args.num_partitions)
         print(json.dumps({"status": m.status, "num_partitions": m.num_partitions,
                           "n_terms": m.n_terms, "parts": len(m.parts)}))
+    elif args.cmd == "snapshot":
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import snapshot_index
+
+        rec = snapshot_index(args.index, args.out)
+        print(json.dumps(rec))
+    elif args.cmd == "restore":
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import restore_index
+
+        m = restore_index(args.snapshot, args.out)
+        print(json.dumps({"status": m.status, "n_docs": m.n_docs, "parts": len(m.parts)}))
     elif args.cmd == "stats":
         from hybrid_sanctions_search_engine_ray.pipelines.index_build import index_stats
 

@@ -677,3 +677,86 @@ def repartition_index(index_dir: str, out_dir: str, new_partitions: int) -> Inde
     out.status = "complete"
     out.save(out_dir)
     return out
+
+
+def snapshot_index(index_dir: str, snap_dir: str) -> dict:
+    """ES snapshot API analog: back up a COMPLETE index directory,
+    verifying each partition's first-MiB crc32 against its meta.json on
+    the way out — corruption surfaces at backup time, not at restore.
+    The snapshot is a plain directory tree (portable to any object
+    store); ``snapshot.json`` records source + verification results and
+    is written LAST (same presence-implies-complete contract as build
+    metas). Returns the snapshot record."""
+    import shutil
+    import zlib
+
+    m = IndexManifest.load(index_dir)
+    if m.status != "complete":
+        raise ValueError("only complete indexes can be snapshotted")
+    os.makedirs(snap_dir, exist_ok=True)
+    verified = []
+    for p in range(m.num_partitions):
+        src = segment_dir(index_dir, p)
+        f = os.path.join(src, "postings.parquet")
+        meta_f = os.path.join(src, "meta.json")
+        if not os.path.exists(f):
+            continue
+        with open(meta_f) as fh:
+            meta = json.load(fh)
+        with open(f, "rb") as fh:
+            crc = zlib.crc32(fh.read(1 << 20))
+        if meta.get("checksum_head_crc32", crc) != crc:
+            raise ValueError(f"partition {p} checksum mismatch — refusing to snapshot corruption")
+        dst = segment_dir(snap_dir, p)
+        os.makedirs(dst, exist_ok=True)
+        shutil.copy2(f, os.path.join(dst, "postings.parquet"))
+        shutil.copy2(meta_f, os.path.join(dst, "meta.json"))
+        verified.append(p)
+    dm_src = os.path.join(index_dir, "docmap.parquet")
+    dm_dst = os.path.join(snap_dir, "docmap.parquet")
+    if os.path.isdir(dm_src) and not os.path.isdir(dm_dst):
+        shutil.copytree(dm_src, dm_dst)
+    tomb = os.path.join(index_dir, "tombstones.json")
+    if os.path.exists(tomb):
+        shutil.copy2(tomb, os.path.join(snap_dir, "tombstones.json"))
+    shutil.copy2(os.path.join(index_dir, "manifest.json"), os.path.join(snap_dir, "manifest.json"))
+    rec = {"source": index_dir, "parts_verified": verified, "n_docs": m.n_docs}
+    atomic_write_json(os.path.join(snap_dir, "snapshot.json"), rec)
+    return rec
+
+
+def restore_index(snap_dir: str, out_dir: str) -> IndexManifest:
+    """Restore a snapshot into a fresh index dir, re-verifying each
+    partition's checksum against its meta.json (bit-rot in the backup
+    store surfaces HERE, before the index goes live)."""
+    import shutil
+    import zlib
+
+    if not os.path.exists(os.path.join(snap_dir, "snapshot.json")):
+        raise ValueError("not a complete snapshot (snapshot.json missing)")
+    m = IndexManifest.load(snap_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    for p in range(m.num_partitions):
+        src = segment_dir(snap_dir, p)
+        f = os.path.join(src, "postings.parquet")
+        if not os.path.exists(f):
+            continue
+        with open(os.path.join(src, "meta.json")) as fh:
+            meta = json.load(fh)
+        with open(f, "rb") as fh:
+            crc = zlib.crc32(fh.read(1 << 20))
+        if meta.get("checksum_head_crc32", crc) != crc:
+            raise ValueError(f"snapshot partition {p} is corrupt — aborting restore")
+        dst = segment_dir(out_dir, p)
+        os.makedirs(dst, exist_ok=True)
+        shutil.copy2(f, os.path.join(dst, "postings.parquet"))
+        shutil.copy2(os.path.join(src, "meta.json"), os.path.join(dst, "meta.json"))
+    if os.path.isdir(os.path.join(snap_dir, "docmap.parquet")):
+        shutil.copytree(os.path.join(snap_dir, "docmap.parquet"),
+                        os.path.join(out_dir, "docmap.parquet"), dirs_exist_ok=True)
+    if os.path.exists(os.path.join(snap_dir, "tombstones.json")):
+        shutil.copy2(os.path.join(snap_dir, "tombstones.json"),
+                     os.path.join(out_dir, "tombstones.json"))
+    # manifest last: restore becomes visible only when complete
+    shutil.copy2(os.path.join(snap_dir, "manifest.json"), os.path.join(out_dir, "manifest.json"))
+    return IndexManifest.load(out_dir)

@@ -1014,3 +1014,48 @@ def has_parent_search(queries_ds, index_dir: str, key: str = "conv_id",
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+
+
+def anchor_regex(p: str) -> str:
+    """Whole-term anchoring for ES ``regexp`` semantics — the single
+    source shared by the engine matcher and the driver's SQL oracle."""
+    return p if p.startswith("^") else f"^(?:{p})$"
+
+
+def regexp_search(patterns: dict[str, str], index_dir: str,
+                  cfg: EngineConfig = DEFAULT_CONFIG, top_k: int = 10):
+    """ES ``regexp`` query: like :func:`wildcard_search` but the pattern
+    IS a regex (anchored here, matching ES's whole-term semantics); the
+    dictionary expansion rides the BM25 OR path. RE2 both engine-side
+    (Arrow) and oracle-side (DuckDB), so patterns are shared verbatim."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    rex = {qid: anchor_regex(p) for qid, p in patterns.items()}
+    files = sorted(glob.glob(os.path.join(index_dir, "segments", "part=*", "postings.parquet")))
+    out: dict[str, set[str]] = {qid: set() for qid in patterns}
+    if files:
+        ds = rd.read_parquet(files, columns=["term"])
+
+        def match(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            terms = pc.unique(b["term"])
+            oq: list[str] = []
+            ot: list[str] = []
+            for qid, rx in rex.items():
+                sel = terms.filter(pc.match_substring_regex(terms, rx))
+                oq.extend([qid] * len(sel))
+                ot.extend(sel.to_pylist())
+            return pa.table({"query_id": pa.array(oq, pa.string()),
+                             "term": pa.array(ot, pa.string())})
+
+        for row in ds.map_batches(match, batch_format="pyarrow").take_all():
+            if row["term"] != DOC_SENTINEL:
+                out[row["query_id"]].add(row["term"])
+    items = [{"query_id": qid, "query_text": " ".join(sorted(ts)), "top_k": top_k}
+             for qid, ts in sorted(out.items()) if ts]
+    if not items:
+        return rd.from_pandas(pd.DataFrame(_RESULT_SCHEMA))
+    return search(rd.from_items(items), index_dir, cfg, method="taat")

@@ -68,3 +68,57 @@ def test_repartition_refuses_tombstones(built_index, tmp_path):
     delete_docs(work, [0])
     with pytest.raises(ValueError, match="tombstones"):
         repartition_index(work, str(tmp_path / "repart_t"), 4)
+
+
+def test_snapshot_restore_roundtrip(built_index, tmp_path):
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        restore_index,
+        snapshot_index,
+    )
+
+    index_dir, cfg, manifest = built_index
+    snap = str(tmp_path / "snap")
+    rec = snapshot_index(index_dir, snap)
+    assert rec["n_docs"] == manifest.n_docs and rec["parts_verified"]
+    out = str(tmp_path / "restored")
+    m2 = restore_index(snap, out)
+    assert (m2.n_docs, m2.n_terms, m2.total_tokens) == (
+        manifest.n_docs, manifest.n_terms, manifest.total_tokens)
+    r1, r2 = IndexReader(index_dir), IndexReader(out)
+    for q in GOLDEN:
+        d1, s1 = r1.search_one(q, 10)
+        d2, s2 = r2.search_one(q, 10)
+        assert d1.tolist() == d2.tolist() and np.allclose(s1, s2, atol=0)
+
+
+def test_restore_detects_corruption(built_index, tmp_path):
+    import glob as _glob
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        restore_index,
+        snapshot_index,
+    )
+
+    index_dir, cfg, _ = built_index
+    snap = str(tmp_path / "snap_bad")
+    snapshot_index(index_dir, snap)
+    victim = sorted(_glob.glob(snap + "/segments/part=*/postings.parquet"))[0]
+    data = open(victim, "rb").read()
+    open(victim, "wb").write(b"\x00" * 64 + data[64:])  # flip head bytes
+    with pytest.raises(ValueError, match="corrupt"):
+        restore_index(snap, str(tmp_path / "restored_bad"))
+
+
+def test_snapshot_requires_complete(tmp_path):
+    import json as _json
+    import os as _os
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import snapshot_index
+
+    d = str(tmp_path / "halfidx")
+    _os.makedirs(d)
+    _json.dump({"status": "building"}, open(_os.path.join(d, "manifest.json"), "w"))
+    with pytest.raises(ValueError, match="complete"):
+        snapshot_index(d, str(tmp_path / "s"))

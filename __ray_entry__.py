@@ -2845,6 +2845,38 @@ def q_regexp_search(sf_dir: str):
                                         top_k=BM25_TOP_K))
 
 
+def q_mmr_rerank(sf_dir: str):
+    """Diversified retrieval (MMR) — RAG-stack rerank: BM25 top-20
+    window, greedy λ·rel − (1−λ)·trigram-Jaccard selection
+    (search_features.MMRScorer). Greedy selection is inherently
+    sequential → rows-only driver check; the pytest oracle replays the
+    greedy loop brute-force."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import mmr_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K}
+         for qid, t in BM25_QUERIES.items()]
+    )
+    res = mmr_search(qs, index_dir, os.path.join(sf_dir, "documents.parquet"),
+                     window=20, lam=0.7, cfg=_engine_cfg())
+    return _finish_scores(res)
+
+
+def q_match_count(sf_dir: str):
+    """ES _count API: per query, the OR-match doc count straight off the
+    posting lists (no scoring, no corpus scan)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import count_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items([{"query_id": qid, "query_text": t} for qid, t in BM25_QUERIES.items()])
+    return count_search(qs, index_dir, _engine_cfg())
+
+
 def q_conv_enrich(sf_dir: str):
     """Partition-window aggregates attached back to rows (SQL
     ``count(*)/sum(...) OVER (PARTITION BY conv_id)``) without
@@ -3548,6 +3580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_enrich": q_conv_enrich,
         "has_parent": q_has_parent,
         "regexp_search": q_regexp_search,
+        "mmr_rerank": q_mmr_rerank,
+        "match_count": q_match_count,
     }
 
 
@@ -4973,6 +5007,14 @@ ranked AS (
 )
 SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
 FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # _count: docs matching >=1 query term (no scoring).
+        "match_count": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms})
+SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matches
+FROM qterms q LEFT JOIN tf ON tf.term = q.term
+GROUP BY q.query_id
 """,
         # ES regexp query: anchored whole-term RE2 shared verbatim.
         "regexp_search": f"""

@@ -1059,3 +1059,145 @@ def regexp_search(patterns: dict[str, str], index_dir: str,
     if not items:
         return rd.from_pandas(pd.DataFrame(_RESULT_SCHEMA))
     return search(rd.from_items(items), index_dir, cfg, method="taat")
+
+
+# --- MMR diversified reranking ----------------------------------------------------
+
+
+def _char3_set(text: str) -> set:
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import char3_grams, tokenize_simple
+
+    out: set = set()
+    for tok in tokenize_simple(text):
+        out.update(char3_grams(tok))
+    return out
+
+
+class MMRScorer:
+    """Maximal Marginal Relevance reranking — the diversified-retrieval
+    step of a RAG stack: greedily pick
+    ``argmax λ·rel − (1−λ)·max_sim(selected)`` from the first-pass BM25
+    window, where rel is max-normalized BM25 and sim is trigram-set
+    Jaccard between candidate texts (the engine's char3 analyzer).
+    Candidate texts come from ONE row-group-pruned docmap/documents read
+    per query (window-sized, never corpus-sized). Deterministic: ties
+    break (gain desc, doc_id asc). Greedy selection is inherently
+    sequential, so this is a rows-only operator (pytest oracle)."""
+
+    def __init__(self, index_dir: str, source_path: str, window: int = 20,
+                 lam: float = 0.7, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.source_path = source_path
+        self.window = window
+        self.lam = lam
+        self.default_top_k = default_top_k
+
+    def _texts(self, doc_ids: np.ndarray) -> dict[int, str]:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(self.source_path, columns=["doc_id", "text"],
+                            filters=[("doc_id", "in", sorted(int(d) for d in doc_ids))])
+        return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            wdocs, wscores = topk_desc(docs, scores, self.window)
+            w64 = wdocs.astype(np.int64)
+            texts = self._texts(w64)
+            grams = [_char3_set(texts.get(int(d), "") or "") for d in w64]
+            rel = wscores / wscores[0] if wscores[0] > 0 else wscores
+            n = w64.size
+            selected: list[int] = []
+            chosen = np.zeros(n, dtype=bool)
+            max_sim = np.zeros(n, dtype=np.float64)
+            for _ in range(min(k, n)):
+                gain = self.lam * rel - (1.0 - self.lam) * max_sim
+                gain[chosen] = -np.inf
+                best = int(np.lexsort((w64, -gain))[0])
+                chosen[best] = True
+                selected.append(best)
+                gb = grams[best]
+                for j in range(n):
+                    if not chosen[j]:
+                        u = len(gb | grams[j])
+                        s = (len(gb & grams[j]) / u) if u else 0.0
+                        if s > max_sim[j]:
+                            max_sim[j] = s
+            m = len(selected)
+            qids.extend([qid] * m)
+            ranks.extend(range(1, m + 1))
+            docs_out.extend(w64[selected].tolist())
+            scores_out.extend(wscores[selected].tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def mmr_search(queries_ds, index_dir: str, source_path: str, window: int = 20,
+               lam: float = 0.7, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Diversified retrieval: BM25 window → greedy MMR rerank."""
+    return queries_ds.map_batches(
+        MMRScorer,
+        fn_constructor_args=(index_dir, source_path, window, lam, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+# --- match count (the ES _count API) -----------------------------------------------
+
+
+class CountScorer:
+    """ES ``_count``: number of docs matching ≥1 query term (the OR
+    candidate set), straight off the posting lists — no scoring, no
+    ranking, no corpus scan."""
+
+    def __init__(self, index_dir: str):
+        self.reader = IndexReader(index_dir)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        qids: list = []
+        counts: list = []
+        for qid, qtext in zip(batch["query_id"], batch["query_text"]):
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            postings = self.reader.load_postings(terms)
+            if postings:
+                n = int(np.unique(np.concatenate([p.doc_ids for p in postings.values()])).size)
+            else:
+                n = 0
+            qids.append(qid)
+            counts.append(n)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(qids, dtype="string[python]").astype(object),
+                "n_matches": pd.Series(counts, dtype=np.int64),
+            }
+        )
+
+
+def count_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """_count endpoint: per query, the OR-match doc count."""
+    return queries_ds.map_batches(
+        CountScorer,
+        fn_constructor_args=(index_dir,),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

@@ -498,3 +498,52 @@ def test_has_parent_expands_top_convs(feat_index):
         assert set(got["doc_id"]) == members
         assert np.allclose(got["score"], best[conv], atol=1e-12)
     assert set(out["rank"]) == {1, 2}
+
+
+# --- MMR / count ------------------------------------------------------------------
+
+
+def test_mmr_greedy_brute_force(feat_index, tmp_path):
+    import pyarrow.parquet as pq
+
+    # docs file for candidate text lookup
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+                             "text": TEXTS}), src)
+    scorer = sfeat.MMRScorer(feat_index, src, window=6, lam=0.7, default_top_k=4)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma"]}))
+    # brute-force replay
+    docs, scores = _brute_scores(feat_index, "beta gamma")
+    w, ws = topk_desc(docs, scores, 6)
+    w = w.astype(np.int64)
+    grams = [sfeat._char3_set(TEXTS[d]) for d in w]
+    rel = ws / ws[0]
+    chosen: list[int] = []
+    max_sim = np.zeros(w.size)
+    avail = set(range(w.size))
+    for _ in range(4):
+        best, best_gain = None, -np.inf
+        for j in sorted(avail, key=lambda j: (int(w[j]))):
+            g = 0.7 * rel[j] - 0.3 * max_sim[j]
+            if g > best_gain + 1e-15:
+                best, best_gain = j, g
+        avail.discard(best)
+        chosen.append(best)
+        gb = grams[best]
+        for j in avail:
+            u = len(gb | grams[j])
+            s = len(gb & grams[j]) / u if u else 0.0
+            max_sim[j] = max(max_sim[j], s)
+    assert out["doc_id"].tolist() == [int(w[j]) for j in chosen]
+    # first pick is always the top BM25 hit; later picks trade relevance
+    # for diversity
+    assert out["doc_id"].iloc[0] == int(w[0])
+
+
+def test_match_count(feat_index):
+    scorer = sfeat.CountScorer(feat_index)
+    out = scorer(pd.DataFrame({"query_id": ["a", "z"], "query_text": ["beta gamma", "qqq"]}))
+    n_docs_matching = sum(1 for t in TEXTS
+                          if "beta" in t.lower() or "gamma" in t.lower())
+    assert out[out.query_id == "a"]["n_matches"].iloc[0] == n_docs_matching
+    assert out[out.query_id == "z"]["n_matches"].iloc[0] == 0

@@ -242,8 +242,13 @@ def build_segment(
         checksum = zlib.crc32(f.read(1 << 20))  # first-MiB crc: cheap integrity fingerprint
     # hot (salted) terms present here — the only terms that can span
     # partitions; recorded so the manifest's distinct-term count is
-    # EXACT (same correction rule as merge_indexes / repartition_index)
-    hot_present = sorted(hot_terms & set(terms)) if hot_terms else []
+    # EXACT (same correction rule as merge_indexes / repartition_index).
+    # Membership is checked against the (already-computed) UNIQUE term
+    # set, never the row-level term array — a row-level set() here costs
+    # minutes at 10^8-posting scale.
+    hot_present = (
+        sorted(hot_terms.intersection(uniques.tolist())) if hot_terms else []
+    )
     atomic_write_json(
         os.path.join(sdir, "meta.json"),
         {

@@ -5192,17 +5192,24 @@ ordered AS (SELECT *, row_number() OVER (ORDER BY role, turn_idx) AS rn FROM agg
 SELECT role, turn_idx, n_rows, sum_chars, cast((rn - 1) // {_COMPOSITE_PAGE} + 1 AS int) AS page
 FROM ordered
 """,
-        # date_histogram + pipeline aggs: integer day buckets, derivative
-        # (0-seeded) and cumulative count.
+        # date_histogram + pipeline aggs: integer day buckets GAP-FILLED
+        # (ES min_doc_count 0), derivative (0-seeded) and cumulative count.
         "date_histogram": f"""
 WITH b AS (
   SELECT epoch_us(ts) // {_BUCKET_S * 1_000_000} AS bucket, count(*)::BIGINT AS n_events
   FROM events GROUP BY 1
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(bucket) FROM b), (SELECT max(bucket) FROM b))) AS bucket
+),
+filled AS (
+  SELECT g.bucket, coalesce(b.n_events, 0)::BIGINT AS n_events
+  FROM grid g LEFT JOIN b ON b.bucket = g.bucket
 )
 SELECT bucket::BIGINT AS bucket, n_events,
        (n_events - coalesce(lag(n_events) OVER (ORDER BY bucket), 0))::BIGINT AS deriv,
        (sum(n_events) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
-FROM b
+FROM filled
 """,
         # Token-window chunking with overlap: list_slice over the ordered
         # filtered token array (same RE2 split as the engine analyzer).

@@ -503,7 +503,8 @@ def ingest_delta(main_index: str, delta_transcripts_ds, out_dir: str,
     return merge_indexes([main_index, work], out_dir, resume=resume)
 
 
-def _repart_write_group(g, out_dir: str, positional: bool, hot_terms: list[str]) -> "pd.DataFrame":
+def _repart_write_group(g, out_dir: str, positional: bool, hot_terms: list[str],
+                        new_partitions: int, source: str) -> "pd.DataFrame":
     """Write one NEW term-partition from re-bucketed segment rows.
 
     Rows arrive with their (old_part, seg_idx) provenance; they are
@@ -531,6 +532,14 @@ def _repart_write_group(g, out_dir: str, positional: bool, hot_terms: list[str])
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+        # resume is only valid for the SAME layout and source — a stale
+        # meta from a different repartition run would silently drop this
+        # group's terms (the rows would never be written)
+        if meta.get("layout") != {"num_partitions": new_partitions, "source": source}:
+            raise ValueError(
+                f"{meta_path} is from a different repartition run "
+                "(layout/source mismatch) — use a fresh --out directory"
+            )
         return pd.DataFrame({"part": [part], "meta": [json.dumps(meta)]})
     os.makedirs(sdir, exist_ok=True)
     g = g.sort_values(["term", "old_part", "seg_idx"], kind="mergesort").reset_index(drop=True)
@@ -556,6 +565,7 @@ def _repart_write_group(g, out_dir: str, positional: bool, hot_terms: list[str])
         "checksum_head_crc32": checksum,
         "elapsed_s": round(time.monotonic() - t0, 3),
         "input": "repartition",
+        "layout": {"num_partitions": new_partitions, "source": source},
         "hot_terms_present": sorted(t for t in hot_terms if t in terms_set),
     }
     atomic_write_json(meta_path, meta)
@@ -629,7 +639,8 @@ def repartition_index(index_dir: str, out_dir: str, new_partitions: int) -> Inde
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby("new_part")
         .map_groups(
-            lambda g: _repart_write_group(g, out_dir, m.store_positions, m.hot_terms),
+            lambda g: _repart_write_group(g, out_dir, m.store_positions, m.hot_terms,
+                                          new_partitions, index_dir),
             batch_format="pandas",
         )
         .to_pandas()
@@ -647,7 +658,9 @@ def repartition_index(index_dir: str, out_dir: str, new_partitions: int) -> Inde
                 pq.write_table(schema.empty_table(), final)
             meta = {"part": p, "n_terms": 0, "n_rows": 0, "n_postings": 0,
                     "bytes": os.path.getsize(final), "checksum_head_crc32": 0,
-                    "elapsed_s": 0.0, "input": "repartition", "hot_terms_present": []}
+                    "elapsed_s": 0.0, "input": "repartition",
+                    "layout": {"num_partitions": new_partitions, "source": index_dir},
+                    "hot_terms_present": []}
             atomic_write_json(os.path.join(sdir, "meta.json"), meta)
             parts_meta[str(p)] = meta
 
@@ -705,7 +718,10 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
             meta = json.load(fh)
         with open(f, "rb") as fh:
             crc = zlib.crc32(fh.read(1 << 20))
-        if meta.get("checksum_head_crc32", crc) != crc:
+        # empty partitions record checksum 0 (no payload to fingerprint) —
+        # exempt from verification, like a missing checksum field
+        expected = meta.get("checksum_head_crc32")
+        if expected not in (None, 0) and expected != crc:
             raise ValueError(f"partition {p} checksum mismatch — refusing to snapshot corruption")
         dst = segment_dir(snap_dir, p)
         os.makedirs(dst, exist_ok=True)
@@ -745,7 +761,8 @@ def restore_index(snap_dir: str, out_dir: str) -> IndexManifest:
             meta = json.load(fh)
         with open(f, "rb") as fh:
             crc = zlib.crc32(fh.read(1 << 20))
-        if meta.get("checksum_head_crc32", crc) != crc:
+        expected = meta.get("checksum_head_crc32")
+        if expected not in (None, 0) and expected != crc:
             raise ValueError(f"snapshot partition {p} is corrupt — aborting restore")
         dst = segment_dir(out_dir, p)
         os.makedirs(dst, exist_ok=True)

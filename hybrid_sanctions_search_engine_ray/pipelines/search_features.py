@@ -83,8 +83,9 @@ def wildcard_to_regex(pattern: str) -> str:
     return "^" + "".join(parts) + "$"
 
 
-def expand_wildcards(index_dir: str, patterns: dict[str, str]) -> dict[str, list[str]]:
-    """Expand wildcard patterns against the index's term dictionary.
+def _expand_regex_map(index_dir: str, rex: dict[str, str]) -> dict[str, list[str]]:
+    """Expand pre-anchored RE2 regexes against the index's term
+    dictionary — the one scan both wildcard and regexp queries share.
 
     ES executes wildcard/prefix/regexp queries by rewriting against the
     term dictionary, never the corpus. Here the dictionary is the union
@@ -95,10 +96,10 @@ def expand_wildcards(index_dir: str, patterns: dict[str, str]) -> dict[str, list
     """
     import ray.data as rd
 
-    rex = {qid: wildcard_to_regex(p) for qid, p in patterns.items()}
     files = sorted(glob.glob(os.path.join(index_dir, "segments", "part=*", "postings.parquet")))
+    out: dict[str, set[str]] = {qid: set() for qid in rex}
     if not files:
-        return {qid: [] for qid in patterns}
+        return {qid: [] for qid in rex}
     ds = rd.read_parquet(files, columns=["term"])
 
     def match(b: pa.Table) -> pa.Table:
@@ -114,11 +115,16 @@ def expand_wildcards(index_dir: str, patterns: dict[str, str]) -> dict[str, list
         return pa.table({"query_id": pa.array(out_q, pa.string()),
                          "term": pa.array(out_t, pa.string())})
 
-    out: dict[str, set[str]] = {qid: set() for qid in patterns}
     for row in ds.map_batches(match, batch_format="pyarrow").take_all():
         if row["term"] != DOC_SENTINEL:
             out[row["query_id"]].add(row["term"])
     return {qid: sorted(ts) for qid, ts in out.items()}
+
+
+def expand_wildcards(index_dir: str, patterns: dict[str, str]) -> dict[str, list[str]]:
+    """Expand wildcard patterns against the index's term dictionary
+    (see :func:`_expand_regex_map` for the scan's shape)."""
+    return _expand_regex_map(index_dir, {qid: wildcard_to_regex(p) for qid, p in patterns.items()})
 
 
 def wildcard_search(patterns: dict[str, str], index_dir: str,
@@ -833,9 +839,13 @@ class PhrasePrefixScorer:
             alt_postings = self.reader.load_postings(sorted(set(alts)))
             if not alt_postings:
                 continue
-            cand = reduce(np.intersect1d, [p.doc_ids for p in fixed_postings.values()])
             alt_union = np.unique(np.concatenate([p.doc_ids for p in alt_postings.values()]))
-            cand = np.intersect1d(cand, alt_union).astype(np.int64)
+            if fixed_postings:
+                cand = reduce(np.intersect1d, [p.doc_ids for p in fixed_postings.values()])
+                cand = np.intersect1d(cand, alt_union).astype(np.int64)
+            else:
+                # single-token phrase prefix == plain prefix match
+                cand = alt_union.astype(np.int64)
             if cand.size == 0:
                 continue
             pos = {t: self.reader.load_positions(t) for t in set(fixed) | set(alt_postings)}
@@ -857,15 +867,19 @@ class PhrasePrefixScorer:
                     prev = p_t
                 if not ok:
                     continue
-                for t, pp in pos.items():
-                    if t in alt_postings and t not in fixed:
-                        doc_ids, offsets, flat = pp
-                        at = int(np.searchsorted(doc_ids, d))
-                        if at < doc_ids.size and doc_ids[at] == d:
-                            p_t = flat[offsets[at] : offsets[at + 1]].astype(np.int64)
-                            if np.isin(p_t - 1, prev).any():
-                                matched.append(int(d))
-                                break
+                if prev is None:  # no fixed tokens: any expansion position matches
+                    matched.append(int(d))
+                    continue
+                # an expansion term that ALSO appears in fixed still counts
+                # at the final position (oracle parity: pl.term LIKE 'pre%')
+                for t in alt_postings:
+                    doc_ids, offsets, flat = pos[t]
+                    at = int(np.searchsorted(doc_ids, d))
+                    if at < doc_ids.size and doc_ids[at] == d:
+                        p_t = flat[offsets[at] : offsets[at + 1]].astype(np.int64)
+                        if np.isin(p_t - 1, prev).any():
+                            matched.append(int(d))
+                            break
             if not matched:
                 continue
             m = np.array(matched, dtype=np.uint64)
@@ -963,6 +977,10 @@ class HasParentScorer:
         self.reader = IndexReader(index_dir)
         self.key = key
         self.dm_ids, self.dm_keys = _load_docmap_key(index_dir, key)
+        # key-sorted view for O(log n) member expansion (a per-parent
+        # boolean scan of the whole docmap would dominate at 10^7+ docs)
+        self._key_order = np.argsort(self.dm_keys, kind="stable")
+        self._keys_sorted = self.dm_keys[self._key_order]
         self.default_top_k = default_top_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -986,7 +1004,9 @@ class HasParentScorer:
             order = np.lexsort((uniq, -best))[:k]  # (score desc, key asc)
             for rank, gi in enumerate(order, start=1):
                 conv = uniq[gi]
-                members = self.dm_ids[self.dm_keys == conv]
+                lo = np.searchsorted(self._keys_sorted, conv, side="left")
+                hi = np.searchsorted(self._keys_sorted, conv, side="right")
+                members = self.dm_ids[self._key_order[lo:hi]]
                 n = members.size
                 rows["query_id"].extend([qid] * n)
                 rows["rank"].extend([rank] * n)
@@ -1032,30 +1052,9 @@ def regexp_search(patterns: dict[str, str], index_dir: str,
 
     from hybrid_sanctions_search_engine_ray.pipelines.query import search
 
-    rex = {qid: anchor_regex(p) for qid, p in patterns.items()}
-    files = sorted(glob.glob(os.path.join(index_dir, "segments", "part=*", "postings.parquet")))
-    out: dict[str, set[str]] = {qid: set() for qid in patterns}
-    if files:
-        ds = rd.read_parquet(files, columns=["term"])
-
-        def match(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            terms = pc.unique(b["term"])
-            oq: list[str] = []
-            ot: list[str] = []
-            for qid, rx in rex.items():
-                sel = terms.filter(pc.match_substring_regex(terms, rx))
-                oq.extend([qid] * len(sel))
-                ot.extend(sel.to_pylist())
-            return pa.table({"query_id": pa.array(oq, pa.string()),
-                             "term": pa.array(ot, pa.string())})
-
-        for row in ds.map_batches(match, batch_format="pyarrow").take_all():
-            if row["term"] != DOC_SENTINEL:
-                out[row["query_id"]].add(row["term"])
-    items = [{"query_id": qid, "query_text": " ".join(sorted(ts)), "top_k": top_k}
-             for qid, ts in sorted(out.items()) if ts]
+    expanded = _expand_regex_map(index_dir, {qid: anchor_regex(p) for qid, p in patterns.items()})
+    items = [{"query_id": qid, "query_text": " ".join(ts), "top_k": top_k}
+             for qid, ts in sorted(expanded.items()) if ts]
     if not items:
         return rd.from_pandas(pd.DataFrame(_RESULT_SCHEMA))
     return search(rd.from_items(items), index_dir, cfg, method="taat")

@@ -348,7 +348,8 @@ def extended_stats(ds, key: str, value_col: str) -> pd.DataFrame:
         if not pc.all(pc.equal(pc.cast(v, b[value_col].type), b[value_col])).as_py():
             raise ValueError(f"{value_col} has non-integral values; extended_stats "
                              "is exact only over integers")
-        t = pa.table({key: b[key], "x": v, "x2": pc.multiply(v, v)})
+        # checked multiply: x² overflow raises loudly instead of wrapping
+        t = pa.table({key: b[key], "x": v, "x2": pc.multiply_checked(v, v)})
         g = t.group_by([key]).aggregate(
             [("x", "sum"), ("x2", "sum"), ("x", "min"), ("x", "max"), ([], "count_all")]
         )
@@ -365,6 +366,11 @@ def extended_stats(ds, key: str, value_col: str) -> pd.DataFrame:
     n = df["n_rows"].to_numpy(dtype=np.int64)
     s = df["sum_v"].to_numpy(dtype=np.int64)
     sq = df["sumsq"].to_numpy(dtype=np.int64)
+    # s² via arbitrary-precision Python ints (bucket-count-sized loop):
+    # an int64 s*s would wrap silently past Σx ≈ 3e9, and DuckDB computes
+    # the exact wide product before its float division — this matches it
+    # bit-for-bit at any magnitude
+    s2 = np.array([float(int(x) * int(x)) for x in s], dtype=np.float64)
     return pd.DataFrame(
         {
             key: df[key],
@@ -373,6 +379,6 @@ def extended_stats(ds, key: str, value_col: str) -> pd.DataFrame:
             "min_v": df["min_v"].astype(np.int64),
             "max_v": df["max_v"].astype(np.int64),
             "avg_v": round_half_away(s / n, 6),
-            "var_v": round_half_away((sq - s * s / n) / n, 6),
+            "var_v": round_half_away((sq - s2 / n) / n, 6),
         }
     )

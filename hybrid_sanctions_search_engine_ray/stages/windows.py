@@ -176,10 +176,21 @@ def bucket_series(events_ds, ts_col: str = "ts", bucket_s: int = 86400) -> pd.Da
         .aggregate(Sum("c_p", alias_name="n_events"))
     )
     df = agg.to_pandas().sort_values("bucket", kind="mergesort").reset_index(drop=True)
-    n = df["n_events"].to_numpy(dtype=np.int64)
+    if df.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "deriv": pd.Series([], dtype=np.int64),
+                             "cum": pd.Series([], dtype=np.int64)})
+    # ES date_histogram emits EMPTY buckets too (min_doc_count 0) — the
+    # pipeline aggs are only meaningful over the gap-filled series
+    # (derivative across a gap is not a per-bucket delta otherwise)
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b[0], b[-1] + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    n[b - b[0]] = df["n_events"].to_numpy(dtype=np.int64)
     return pd.DataFrame(
         {
-            "bucket": df["bucket"].astype(np.int64),
+            "bucket": full,
             "n_events": n,
             "deriv": np.diff(n, prepend=0).astype(np.int64),
             "cum": np.cumsum(n).astype(np.int64),

@@ -122,3 +122,33 @@ def test_snapshot_requires_complete(tmp_path):
     _json.dump({"status": "building"}, open(_os.path.join(d, "manifest.json"), "w"))
     with pytest.raises(ValueError, match="complete"):
         snapshot_index(d, str(tmp_path / "s"))
+
+
+def test_snapshot_with_empty_partitions(built_index, tmp_path):
+    """Empty partitions (checksum 0 in meta) must not read as corruption
+    (review fix)."""
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        repartition_index,
+        restore_index,
+        snapshot_index,
+    )
+
+    index_dir, cfg, manifest = built_index
+    wide = str(tmp_path / "wide")
+    repartition_index(index_dir, wide, 64)  # >> vocab buckets → empty parts exist
+    snap = str(tmp_path / "snapw")
+    snapshot_index(wide, snap)
+    m2 = restore_index(snap, str(tmp_path / "restw"))
+    assert m2.n_docs == manifest.n_docs
+
+
+def test_repartition_stale_meta_refused(built_index, tmp_path):
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import repartition_index
+
+    index_dir, cfg, _ = built_index
+    out = str(tmp_path / "stale")
+    repartition_index(index_dir, out, 4)
+    import os
+    os.remove(os.path.join(out, "manifest.json"))  # simulate crashed later phase
+    with pytest.raises(Exception, match="different repartition run"):
+        repartition_index(index_dir, out, 8)  # different layout into same dir

@@ -270,10 +270,11 @@ def test_bucket_series(ray_session):
     from hybrid_sanctions_search_engine_ray.stages.windows import bucket_series
 
     df = bucket_series(ds, bucket_s=86400)
-    assert df["bucket"].tolist() == [0, 1, 3]
-    assert df["n_events"].tolist() == [2, 2, 1]
-    assert df["deriv"].tolist() == [2, 0, -1]
-    assert df["cum"].tolist() == [2, 4, 5]
+    # gap-filled (ES min_doc_count 0): bucket 2 exists with 0 events
+    assert df["bucket"].tolist() == [0, 1, 2, 3]
+    assert df["n_events"].tolist() == [2, 2, 0, 1]
+    assert df["deriv"].tolist() == [2, 0, -2, 1]
+    assert df["cum"].tolist() == [2, 4, 4, 5]
 
 
 # --- span_near / dis_max -------------------------------------------------------
@@ -547,3 +548,25 @@ def test_match_count(feat_index):
                           if "beta" in t.lower() or "gamma" in t.lower())
     assert out[out.query_id == "a"]["n_matches"].iloc[0] == n_docs_matching
     assert out[out.query_id == "z"]["n_matches"].iloc[0] == 0
+
+
+def test_match_phrase_prefix_single_token(feat_index, ray_session):
+    """Single-token phrase prefix == plain prefix match (review fix)."""
+    out = sfeat.match_phrase_prefix({"m": "alphab"}, feat_index, CFG).to_pandas()
+    assert set(out["doc_id"]) == {8}  # "alphabet soup beta"
+
+
+def test_match_phrase_prefix_expansion_overlaps_fixed(tmp_path_factory, ray_session):
+    """A prefix expansion that equals a fixed token still matches at the
+    final position (review fix: 'tab tab' over 'tab tab table')."""
+    import ray.data as rd
+
+    texts = ["tab tab table", "tab once", "table tab"]
+    rows = [{"conv_id": "c", "turn_idx": i, "role": "user", "text": t,
+             "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+            for i, t in enumerate(texts)]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path_factory.mktemp("mppidx") / "idx")
+    build_index("mem", idx, CFG, transcripts_ds=ds, store_positions=True)
+    out = sfeat.match_phrase_prefix({"m": "tab tab"}, idx, CFG).to_pandas()
+    assert set(out["doc_id"]) == {0}

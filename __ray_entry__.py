@@ -2877,6 +2877,74 @@ def q_match_count(sf_dir: str):
     return count_search(qs, index_dir, _engine_cfg())
 
 
+_HYBRID_ALL_W = [0.5, 0.3, 0.2]  # lexical, trigram, vector
+
+
+def q_hybrid_all(sf_dir: str):
+    """The reference's FULL hybrid retrieval in one call — lexical word
+    BM25 + fuzzy trigram BM25 + semantic vector cosine, max-normalized
+    3-way weighted fusion (hybrid_search_service.py find_candidates
+    tiers + _fuse_results, with the vector tier included). The vector
+    signal embeds the QUERY with the same deterministic feature-hash
+    embedder that embeds the corpus; cosine runs through the
+    broadcast-query brute-force path. Feature-hash embeddings are not
+    SQL-expressible → rows-only driver check; pytest validates the
+    fusion arithmetic and each tier is exact-oracle-checked on its own
+    (bm25_topk / ngram_bm25 / embed_docs)."""
+    import pyarrow.parquet as _pq  # noqa: F401
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.fusion import weighted_fusion_many
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import (
+        HashingEmbedder,
+        embed_documents,
+    )
+    from hybrid_sanctions_search_engine_ray.stages.similarity import brute_force_topk
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    lex = _search_rounded(sf_dir, BM25_QUERIES, mode="simple").to_pandas()
+    ngr = _search_rounded(sf_dir, BM25_QUERIES, mode="char3").to_pandas()
+
+    acfg = _engine_cfg().analyzer
+    doc_vecs = embed_documents(transcripts_from_documents(sf_dir), dim=64,
+                               analyzer_cfg=acfg).map_batches(
+        lambda b: b.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
+    )
+    qids_sorted = sorted(BM25_QUERIES)
+    q_tbl = pa.table({"doc_id": pa.array(range(len(qids_sorted)), pa.int64()),
+                      "text": [BM25_QUERIES[q] for q in qids_sorted]})
+    q_emb = HashingEmbedder(dim=64, analyzer_cfg=acfg)(q_tbl)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in q_emb["embedding"].to_pylist()])
+    pseudo_ids = [-(i + 1) for i in range(len(qids_sorted))]  # never collide with doc ids
+    vec = brute_force_topk(doc_vecs, pseudo_ids, q_mat, k=50, exclude_self=False).to_pandas()
+
+    rows = []
+    for i, qid in enumerate(qids_sorted):
+        a = lex[lex.query_id == qid].sort_values("rank")
+        b = ngr[ngr.query_id == qid].sort_values("rank")
+        v = vec[vec.query_vec_id == pseudo_ids[i]].sort_values("rank")
+        docs, fused = weighted_fusion_many(
+            [
+                (a["doc_id"].to_numpy(np.int64), a["score"].to_numpy(np.float64)),
+                (b["doc_id"].to_numpy(np.int64), b["score"].to_numpy(np.float64)),
+                (v["vec_id"].to_numpy(np.int64), v["cos_sim"].to_numpy(np.float64)),
+            ],
+            _HYBRID_ALL_W,
+            top_k=BM25_TOP_K,
+        )
+        for r, (d, f) in enumerate(zip(docs, fused), start=1):
+            rows.append((qid, r, int(d), f))
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "fused_score"])
+    return pd.DataFrame(
+        {
+            "query_id": out["query_id"],
+            "rank": out["rank"].astype(np.int32),
+            "doc_id": out["doc_id"].astype(np.int64),
+            "fused_score": _round_half_away(out["fused_score"].to_numpy(), 6),
+        }
+    )
+
+
 def q_conv_enrich(sf_dir: str):
     """Partition-window aggregates attached back to rows (SQL
     ``count(*)/sum(...) OVER (PARTITION BY conv_id)``) without
@@ -3582,6 +3650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_search": q_regexp_search,
         "mmr_rerank": q_mmr_rerank,
         "match_count": q_match_count,
+        "hybrid_all": q_hybrid_all,
     }
 
 

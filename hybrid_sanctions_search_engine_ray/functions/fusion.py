@@ -73,3 +73,37 @@ def rrf_fusion(
     kk = min(top_k, uniq.size)
     order = np.lexsort((uniq, -fused))[:kk]
     return uniq[order], fused[order]
+
+
+def weighted_fusion_many(
+    lists: list[tuple[np.ndarray, np.ndarray]],
+    weights: list[float],
+    top_k: int = 50,
+) -> tuple[np.ndarray, np.ndarray]:
+    """N-way max-normalized weighted fusion (the 2-way
+    :func:`weighted_fusion` generalized to the reference's full tier
+    set: lexical + fuzzy + vector): each ranked list is normalized by
+    its own max score, weighted, and summed per doc; ties
+    (score desc, doc_id asc). No shared-hit bonus — with 3+ signals the
+    weighted overlap itself is the agreement evidence."""
+    if len(lists) != len(weights) or not lists:
+        raise ValueError("need one weight per ranked list")
+    wsum = float(sum(weights))
+    parts_d: list[np.ndarray] = []
+    parts_c: list[np.ndarray] = []
+    for (docs, scores), w in zip(lists, weights):
+        docs = np.asarray(docs, dtype=np.int64)
+        scores = np.asarray(scores, dtype=np.float64)
+        if docs.size == 0:
+            continue
+        parts_d.append(docs)
+        parts_c.append((scores / scores.max() if scores.max() > 0 else scores) * (w / wsum))
+    if not parts_d:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    all_docs = np.concatenate(parts_d)
+    contrib = np.concatenate(parts_c)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    fused = np.bincount(inv, weights=contrib, minlength=uniq.size)
+    k = min(top_k, uniq.size)
+    order = np.lexsort((uniq, -fused))[:k]
+    return uniq[order], fused[order]

@@ -570,3 +570,29 @@ def test_match_phrase_prefix_expansion_overlaps_fixed(tmp_path_factory, ray_sess
     build_index("mem", idx, CFG, transcripts_ds=ds, store_positions=True)
     out = sfeat.match_phrase_prefix({"m": "tab tab"}, idx, CFG).to_pandas()
     assert set(out["doc_id"]) == {0}
+
+
+def test_weighted_fusion_many_arithmetic():
+    from hybrid_sanctions_search_engine_ray.functions.fusion import weighted_fusion_many
+
+    docs, fused = weighted_fusion_many(
+        [
+            (np.array([1, 2]), np.array([4.0, 2.0])),      # norm: 1.0, 0.5
+            (np.array([2, 3]), np.array([3.0, 3.0])),      # norm: 1.0, 1.0
+            (np.array([1]), np.array([0.8])),              # norm: 1.0
+        ],
+        [0.5, 0.3, 0.2],
+        top_k=10,
+    )
+    want = {1: 0.5 * 1.0 + 0.2 * 1.0, 2: 0.5 * 0.5 + 0.3 * 1.0, 3: 0.3 * 1.0}
+    got = dict(zip(docs.tolist(), fused.tolist()))
+    for d, w in want.items():
+        assert abs(got[d] - w) < 1e-12
+    # ranked by fused desc, doc asc
+    assert docs.tolist() == [1, 2, 3]
+    # empty lists are skipped, weights renormalize over ALL weights
+    d2, f2 = weighted_fusion_many(
+        [(np.array([], dtype=np.int64), np.array([])), (np.array([7]), np.array([2.0]))],
+        [0.5, 0.5],
+    )
+    assert d2.tolist() == [7] and abs(f2[0] - 0.5) < 1e-12

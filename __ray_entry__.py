@@ -2945,6 +2945,51 @@ def q_hybrid_all(sf_dir: str):
     )
 
 
+def q_brand_revenue(sf_dir: str):
+    """lineitem ⋈ part broadcast join (the part dimension ships once
+    via ray.put) → discounted revenue per brand: the last driver table
+    (part) exercised through the same small-side join + partial-agg
+    shape as segment_revenue."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.joins import broadcast_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).to_pandas().rename(columns={"p_partkey": "l_partkey"})
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_join(line, part, on="l_partkey", concurrency=2)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(rev=b["l_extendedprice"] * (1.0 - b["l_discount"]))
+        return b.groupby("p_brand", sort=False).agg(
+            n_p=("rev", "size"), sum_p=("rev", "sum")
+        ).reset_index()
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(Sum("n_p", alias_name="n_items"), Sum("sum_p", alias_name="revenue"))
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["revenue"].to_numpy()
+        return pd.DataFrame(
+            {
+                "brand": b["p_brand"],
+                "n_items": b["n_items"].astype(np.int64),
+                "revenue": np.sign(r) * np.floor(np.abs(r) * 100 + 0.5) / 100,
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 def q_conv_enrich(sf_dir: str):
     """Partition-window aggregates attached back to rows (SQL
     ``count(*)/sum(...) OVER (PARTITION BY conv_id)``) without
@@ -3651,6 +3696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": q_mmr_rerank,
         "match_count": q_match_count,
         "hybrid_all": q_hybrid_all,
+        "brand_revenue": q_brand_revenue,
     }
 
 
@@ -5076,6 +5122,13 @@ ranked AS (
 )
 SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
 FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # lineitem ⋈ part broadcast join → revenue per brand.
+        "brand_revenue": """
+SELECT p.p_brand AS brand, count(*)::BIGINT AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
 """,
         # _count: docs matching >=1 query term (no scoring).
         "match_count": f"""

@@ -98,6 +98,20 @@ SHINGLE_QUERIES: dict[str, str] = {
     "s05": "key value part",
 }
 
+# multi_match queries (ES cross-FIELD combinator): one text scored
+# against the word + shingle + char-trigram field indexes with per-field
+# boosts. mm2 is typo'd — only the trigram field retrieves it; mm4 has
+# adjacent words — the shingle field boosts contiguity.
+MULTI_MATCH_QUERIES: dict[str, str] = {
+    "mm1": "spark join filter",
+    "mm2": "custmer tabel scan",
+    "mm3": "window stream",
+    "mm4": "merge sort batch",
+    "mm5": "slow query order",
+}
+_MM_BOOSTS = (1.0, 0.6, 0.3)   # word, shingle, char3
+_MM_TIE = 0.3
+
 # Exact-phrase queries for the positional index (bigrams/trigrams drawn
 # from the documents vocabulary; last one is a deliberate near-certain miss).
 PHRASE_QUERIES: dict[str, str] = {
@@ -482,6 +496,85 @@ ranked3 AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk
   FROM scores3
+)
+"""
+
+
+def _mm_word_values() -> str:
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_simple
+
+    rows = []
+    for qid, text in MULTI_MATCH_QUERIES.items():
+        for term in sorted(set(tokenize_simple(text))):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
+def _mm_shingle_values() -> str:
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_shingle
+
+    rows = []
+    for qid, text in MULTI_MATCH_QUERIES.items():
+        for term in sorted(set(tokenize_shingle(text))):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
+def _mm_ranked_sql(combine: str) -> str:
+    """Cross-field multi_match SQL twin: per-field BM25 score subqueries
+    (each field's own tf/df/dl/stats CTEs; query terms generated by the
+    SAME Python analyzers the engine readers use), boosted, unioned and
+    combined per (query, doc). ``combine`` is the cross-field combinator
+    (dis_max for best_fields, plain sum for most_fields); ranking is
+    quantized (round4 + doc_id) because the trigram field produces exact
+    score ties."""
+    return f"""
+qmw(query_id, term) AS (VALUES {_mm_word_values()}),
+qmg(query_id, gram) AS (VALUES {_qgrams_values(MULTI_MATCH_QUERIES)}),
+qms(query_id, term) AS (VALUES {_mm_shingle_values()}),
+mmw AS (
+  SELECT q.query_id, tf.doc_id,
+         {_MM_BOOSTS[0]} * sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qmw q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+mms AS (
+  SELECT q.query_id, tf.doc_id,
+         {_MM_BOOSTS[1]} * sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qms q
+  JOIN shtf tf ON tf.term = q.term
+  JOIN shdf df ON df.term = q.term
+  JOIN shdl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN shstats s
+  GROUP BY q.query_id, tf.doc_id
+),
+mmg AS (
+  SELECT q.query_id, g.doc_id,
+         {_MM_BOOSTS[2]} * sum( ln(1 + (s.n_docs - df3.df + 0.5) / (df3.df + 0.5))
+              * {_K1 + 1.0} / (1 + {_K1} * ({1.0 - _B} + {_B} * dl3.dl / s.avgdl)) ) AS score
+  FROM qmg q
+  JOIN g3 g ON g.gram = q.gram
+  JOIN df3 ON df3.gram = q.gram
+  JOIN dl3 ON dl3.doc_id = g.doc_id
+  CROSS JOIN stats3 s
+  GROUP BY q.query_id, g.doc_id
+),
+mmall AS (
+  SELECT * FROM mmw UNION ALL SELECT * FROM mms UNION ALL SELECT * FROM mmg
+),
+mmcomb AS (
+  SELECT query_id, doc_id, {combine} AS score FROM mmall GROUP BY query_id, doc_id
+),
+mmranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM mmcomb
 )
 """
 
@@ -3470,6 +3563,55 @@ def q_dis_max(sf_dir: str):
     return _finish_scores(dis_max_search(qs, index_dir, _DISMAX_TIE, _engine_cfg()))
 
 
+def _q_multi_match(sf_dir: str, match_type: str):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import multi_match_search
+
+    dirs = [
+        _ensure_index(sf_dir),
+        _ensure_index(sf_dir, mode="shingle"),
+        _ensure_index(sf_dir, mode="char3"),
+    ]
+    qs = rd.from_items(
+        [
+            {"query_id": qid, "query_text": t, "top_k": BM25_TOP_K * 4}
+            for qid, t in MULTI_MATCH_QUERIES.items()
+        ]
+    )
+    res = _finish_scores(
+        multi_match_search(qs, dirs, list(_MM_BOOSTS), match_type, _MM_TIE, _engine_cfg())
+    )
+
+    # quantized re-rank (the trigram field produces exact score ties):
+    # over-fetched 4× above, keep top-k on (round4 score desc, doc_id asc)
+    def _rerank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort").head(BM25_TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", "doc_id", "score"]]
+
+    return res.groupby("query_id").map_groups(_rerank, batch_format="pandas")
+
+
+def q_multi_match_best(sf_dir: str):
+    """ES multi_match type=best_fields across the word/shingle/char3
+    field indexes: dis_max (max + tie_breaker × rest) over boosted
+    per-field BM25 scores — the reference's multi-subfield search shape
+    (elasticsearch_component_template.json:20-56 subfields queried from
+    hybrid_search_service.py:912-928). Typo'd queries retrieve through
+    the trigram field alone; adjacent-word queries get the shingle
+    field's contiguity boost."""
+    return _q_multi_match(sf_dir, "best_fields")
+
+
+def q_multi_match_most(sf_dir: str):
+    """ES multi_match type=most_fields: SUM of boosted per-field BM25
+    scores — rewards documents matching in EVERY field rather than the
+    single best one."""
+    return _q_multi_match(sf_dir, "most_fields")
+
+
 def q_percentile_ranks(sf_dir: str):
     """ES percentile_ranks aggregation, exact: per event_type, the
     fraction of values ≤ each threshold (integer partials, one tiny
@@ -3681,6 +3823,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": q_knn_filtered,
         "span_near": q_span_near,
         "dis_max": q_dis_max,
+        "multi_match_best": q_multi_match_best,
+        "multi_match_most": q_multi_match_most,
         "percentile_ranks": q_percentile_ranks,
         "doc_keywords": q_doc_keywords,
         "pack_bins": q_pack_bins,
@@ -5387,6 +5531,22 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        "multi_match_best": f"""
+WITH {TRANSCRIPTS_CTE},
+{TRIGRAM_CTE},
+{SHINGLE_CTE},
+{_mm_ranked_sql(f"max(score) + {_MM_TIE} * (sum(score) - max(score))")}
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM mmranked WHERE rnk <= {BM25_TOP_K}
+""",
+        "multi_match_most": f"""
+WITH {TRANSCRIPTS_CTE},
+{TRIGRAM_CTE},
+{SHINGLE_CTE},
+{_mm_ranked_sql("sum(score)")}
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM mmranked WHERE rnk <= {BM25_TOP_K}
+""",
         "dis_max": f"""
 WITH {TRANSCRIPTS_CTE},
 qcl(query_id, clause, term) AS (VALUES {_dismax_values()}),

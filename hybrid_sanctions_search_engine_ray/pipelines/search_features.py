@@ -765,6 +765,93 @@ def dis_max_search(queries_ds, index_dir: str, tie_breaker: float = 0.3,
     )
 
 
+# --- multi_match (cross-FIELD combinator) --------------------------------------
+
+
+class MultiMatchScorer:
+    """ES ``multi_match``: ONE query text scored against several FIELDS —
+    here separate field indexes built by the same machinery from the same
+    corpus (word / shingle / char-trigram, the reference's multi-subfield
+    mapping: templates/elasticsearch/elasticsearch_component_template.json:
+    20-56). Each field analyzes the query with ITS OWN analyzer (the
+    reader's manifest-recorded mode) and scores its FULL candidate list
+    (``score_all``), so the cross-field combine is exact — never a
+    fused-top-k approximation. Per-field ``boost`` multiplies before the
+    combine; ``best_fields`` combines as dis_max (max + tie_breaker ×
+    rest), ``most_fields`` sums.
+
+    Scale shape: one actor holds ALL field readers (each loads its
+    manifest once and caches postings); a batch of queries preloads each
+    field's posting union in one pruned segment read per field."""
+
+    def __init__(self, field_dirs: list[str], boosts: list[float],
+                 match_type: str = "best_fields", tie_breaker: float = 0.3,
+                 default_top_k: int = 10):
+        if match_type not in ("best_fields", "most_fields"):
+            raise ValueError(f"unknown multi_match type: {match_type}")
+        if len(field_dirs) != len(boosts):
+            raise ValueError("field_dirs and boosts must align")
+        self.readers = [IndexReader(d) for d in field_dirs]
+        self.boosts = [float(b) for b in boosts]
+        self.match_type = match_type
+        self.tie_breaker = float(tie_breaker)
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        for reader in self.readers:
+            union: set[str] = set()
+            for t in batch["query_text"]:
+                union.update(reader.analyzer(t))
+            reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, text) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            field_docs: list[np.ndarray] = []
+            field_scores: list[np.ndarray] = []
+            for reader, boost in zip(self.readers, self.boosts):
+                terms = sorted(set(reader.analyzer(text)))
+                d, s = score_all(list(reader.load_postings(terms).values()))
+                field_docs.append(d)
+                field_scores.append(s * boost)
+            all_docs = np.concatenate(field_docs)
+            if all_docs.size == 0:
+                continue
+            all_scores = np.concatenate(field_scores)
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            sums = np.bincount(inv, weights=all_scores, minlength=uniq.size)
+            if self.match_type == "most_fields":
+                combined = sums
+            else:
+                maxs = np.zeros(uniq.size, dtype=np.float64)
+                np.maximum.at(maxs, inv, all_scores)
+                combined = maxs + self.tie_breaker * (sums - maxs)
+            d, s = topk_desc(uniq, combined, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def multi_match_search(queries_ds, field_dirs: list[str], boosts: list[float],
+                       match_type: str = "best_fields", tie_breaker: float = 0.3,
+                       cfg: EngineConfig = DEFAULT_CONFIG):
+    """multi_match over field indexes; queries carry
+    (query_id, query_text[, top_k])."""
+    return queries_ds.map_batches(
+        MultiMatchScorer,
+        fn_constructor_args=(field_dirs, boosts, match_type, tie_breaker, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
 # --- fuzzy match query ---------------------------------------------------------
 
 

@@ -596,3 +596,79 @@ def test_weighted_fusion_many_arithmetic():
         [0.5, 0.5],
     )
     assert d2.tolist() == [7] and abs(f2[0] - 0.5) < 1e-12
+
+
+# --- multi_match (cross-field combinator) -----------------------------------
+
+
+@pytest.fixture(scope="module")
+def mm_field_dirs(tmp_path_factory, ray_session):
+    """Word + shingle + char3 field indexes over the SAME TEXTS corpus."""
+    import ray.data as rd
+
+    rows = [
+        {"conv_id": f"conv-{i // 3:08d}", "turn_idx": i % 3, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+        for i, t in enumerate(TEXTS)
+    ]
+    dirs = []
+    for mode in ("simple", "shingle", "char3"):
+        ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+        idx = str(tmp_path_factory.mktemp(f"mm_{mode}") / "idx")
+        build_index("mem", idx, EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode=mode)),
+                    transcripts_ds=ds)
+        dirs.append(idx)
+    return dirs
+
+
+def _field_scores(index_dir: str, qtext: str, boost: float) -> dict[int, float]:
+    r = IndexReader(index_dir)
+    terms = sorted(set(r.analyzer(qtext)))
+    d, s = score_all(list(r.load_postings(terms).values()))
+    return dict(zip(d.astype(np.int64).tolist(), (s * boost).tolist()))
+
+
+MM_BOOSTS = (1.0, 0.6, 0.3)
+
+
+def test_multi_match_best_fields_is_dismax_over_fields(mm_field_dirs):
+    scorer = sfeat.MultiMatchScorer(mm_field_dirs, list(MM_BOOSTS),
+                                    match_type="best_fields", tie_breaker=0.3)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha gamma"], "top_k": [50]}))
+    per_field = [_field_scores(d, "alpha gamma", b) for d, b in zip(mm_field_dirs, MM_BOOSTS)]
+    union = set().union(*per_field)
+    assert set(out["doc_id"]) == union
+    for _, row in out.iterrows():
+        xs = [f[row["doc_id"]] for f in per_field if row["doc_id"] in f]
+        want = max(xs) + 0.3 * (sum(xs) - max(xs))
+        assert abs(row["score"] - want) < 1e-12
+
+
+def test_multi_match_most_fields_is_sum(mm_field_dirs):
+    scorer = sfeat.MultiMatchScorer(mm_field_dirs, list(MM_BOOSTS),
+                                    match_type="most_fields")
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta delta"], "top_k": [50]}))
+    per_field = [_field_scores(d, "beta delta", b) for d, b in zip(mm_field_dirs, MM_BOOSTS)]
+    for _, row in out.iterrows():
+        want = sum(f.get(row["doc_id"], 0.0) for f in per_field)
+        assert abs(row["score"] - want) < 1e-12
+
+
+def test_multi_match_typo_retrieves_via_trigram_field(mm_field_dirs):
+    # "alpa" is not a corpus word: the word and shingle fields score
+    # nothing, but the char3 field shares grams with "alpha"/"alphabet"
+    scorer = sfeat.MultiMatchScorer(mm_field_dirs, list(MM_BOOSTS),
+                                    match_type="best_fields", tie_breaker=0.3)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpa"], "top_k": [50]}))
+    assert len(out) > 0
+    word_hits = _field_scores(mm_field_dirs[0], "alpa", 1.0)
+    assert not word_hits
+    gram_hits = _field_scores(mm_field_dirs[2], "alpa", MM_BOOSTS[2])
+    assert set(out["doc_id"]) == set(gram_hits)
+    for _, row in out.iterrows():
+        assert abs(row["score"] - gram_hits[row["doc_id"]]) < 1e-12
+
+
+def test_multi_match_rejects_bad_type(mm_field_dirs):
+    with pytest.raises(ValueError):
+        sfeat.MultiMatchScorer(mm_field_dirs, list(MM_BOOSTS), match_type="cross_fields")

@@ -3612,6 +3612,144 @@ def q_multi_match_most(sf_dir: str):
     return _q_multi_match(sf_dir, "most_fields")
 
 
+_RANGE_EDGES = (50.0, 150.0)
+_FILTER_PATTERNS = {          # RE2, shared VERBATIM with the DuckDB oracle
+    "has_spark": "spark",
+    "has_join_or_merge": "join|merge",
+    "has_digit": "[0-9]",
+}
+_BP_MIN_COUNT, _BP_TOP = 25, 5
+_TT_GROUPS = ("click", "error")
+
+
+def q_boxplot(sf_dir: str):
+    """ES boxplot aggregation, exact: per event_type the five-number
+    summary (min, q1, median, q3, max) with percentile_cont interpolation
+    — the deterministic twin of ES's TDigest approximation."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import boxplot
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    res = boxplot(ds, "event_type", "value")
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        for c in ("v_min", "q1", "q2", "q3", "v_max"):
+            b[c] = _round4(b[c].to_numpy())
+        return b
+
+    return res.map_batches(_f, batch_format="pandas")
+
+
+def q_mad_value(sf_dir: str):
+    """ES median_absolute_deviation, exact two-pass:
+    median(|x − median(x)|) per event_type."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import grouped_mad
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    res = grouped_mad(ds, "event_type", "value")
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["mad"] = _round4(b["mad"].to_numpy())
+        return b
+
+    return res.map_batches(_f, batch_format="pandas")
+
+
+def q_weighted_avg(sf_dir: str):
+    """ES weighted_avg: quantity-weighted mean extended price per return
+    flag — float partials, one tiny shuffle, division on buckets."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import weighted_avg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    res = weighted_avg(ds, "l_returnflag", "l_extendedprice", "l_quantity")
+
+    def _f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["weighted_avg"] = _round4(b["weighted_avg"].to_numpy())
+        return b
+
+    return res.map_batches(_f, batch_format="pandas")
+
+
+def q_t_test_welch(sf_dir: str):
+    """ES t_test (heteroscedastic/Welch) between two event types: one
+    streaming sufficient-stat scan, closed-form finisher. The oracle SQL
+    shares the explicit (Σx² − (Σx)²/n)/(n−1) variance form verbatim."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import welch_t_test
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    df = welch_t_test(ds, "event_type", "value", *_TT_GROUPS)
+    for c in ("mean_a", "mean_b", "t_stat", "dof"):
+        df[c] = _round_half_away(df[c].to_numpy(), 6)
+    df["n_a"] = df["n_a"].astype(np.int64)
+    df["n_b"] = df["n_b"].astype(np.int64)
+    return df
+
+
+def q_multi_terms(sf_dir: str):
+    """ES multi_terms: top compound-key (lang, source) buckets by doc
+    count, count-desc / keys-asc deterministic tie order."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import multi_terms
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source"])
+    return multi_terms(ds, ["lang", "source"], size=10)
+
+
+def q_range_buckets(sf_dir: str):
+    """ES range aggregation: half-open value buckets over events.value
+    with per-bucket count/sum/avg (np.digitize partials)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import range_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    df = range_agg(ds, "value", list(_RANGE_EDGES))
+    df = df[["bucket", "doc_count", "v_sum", "v_avg"]].copy()
+    df["bucket"] = df["bucket"].astype(np.int32)
+    df["v_sum"] = _round4(df["v_sum"].to_numpy())
+    df["v_avg"] = _round4(df["v_avg"].to_numpy())
+    return df
+
+
+def q_filters_buckets(sf_dir: str):
+    """ES filters aggregation: named RE2 predicate buckets over document
+    text (overlap allowed), patterns shared verbatim with the oracle."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import filters_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return filters_agg(ds, "text", _FILTER_PATTERNS)
+
+
+def q_bucket_pipeline(sf_dir: str):
+    """ES pipeline-agg trio over a date_histogram: bucket_script
+    (avg = sum/count), bucket_selector (count ≥ floor), bucket_sort
+    (quantized avg desc, bucket asc, top-N)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import bucket_pipeline
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"])
+    return bucket_pipeline(ds, "ts", 86400, "value", _BP_MIN_COUNT, _BP_TOP)
+
+
 def q_percentile_ranks(sf_dir: str):
     """ES percentile_ranks aggregation, exact: per event_type, the
     fraction of values ≤ each threshold (integer partials, one tiny
@@ -3825,6 +3963,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "boxplot": q_boxplot,
+        "mad_value": q_mad_value,
+        "weighted_avg": q_weighted_avg,
+        "t_test_welch": q_t_test_welch,
+        "multi_terms": q_multi_terms,
+        "range_buckets": q_range_buckets,
+        "filters_buckets": q_filters_buckets,
+        "bucket_pipeline": q_bucket_pipeline,
         "percentile_ranks": q_percentile_ranks,
         "doc_keywords": q_doc_keywords,
         "pack_bins": q_pack_bins,
@@ -5531,6 +5677,97 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # ES boxplot: exact five-number summary, percentile_cont rule.
+        "boxplot": """
+SELECT event_type,
+       round(min(value), 4) AS v_min,
+       round(quantile_cont(value, 0.25), 4) AS q1,
+       round(quantile_cont(value, 0.50), 4) AS q2,
+       round(quantile_cont(value, 0.75), 4) AS q3,
+       round(max(value), 4) AS v_max
+FROM events GROUP BY event_type
+""",
+        # median_absolute_deviation: median(|x - median(x)|), two-pass.
+        "mad_value": """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY event_type
+)
+SELECT e.event_type, round(quantile_cont(abs(e.value - med.m), 0.5), 4) AS mad
+FROM events e JOIN med ON e.event_type = med.event_type
+GROUP BY e.event_type
+""",
+        "weighted_avg": """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_avg
+FROM lineitem GROUP BY l_returnflag
+""",
+        # Welch t-test from the SAME explicit sufficient-stat formula the
+        # engine uses: var = (sumsq - sum^2/n) / (n-1).
+        "t_test_welch": f"""
+WITH st AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(value) AS s, sum(value * value) AS sq
+  FROM events WHERE event_type IN ('{_TT_GROUPS[0]}', '{_TT_GROUPS[1]}')
+  GROUP BY event_type
+),
+ab AS (
+  SELECT
+    (SELECT n  FROM st WHERE event_type = '{_TT_GROUPS[0]}') AS na,
+    (SELECT s  FROM st WHERE event_type = '{_TT_GROUPS[0]}') AS sa,
+    (SELECT sq FROM st WHERE event_type = '{_TT_GROUPS[0]}') AS qa,
+    (SELECT n  FROM st WHERE event_type = '{_TT_GROUPS[1]}') AS nb,
+    (SELECT s  FROM st WHERE event_type = '{_TT_GROUPS[1]}') AS sb,
+    (SELECT sq FROM st WHERE event_type = '{_TT_GROUPS[1]}') AS qb
+),
+v AS (
+  SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+         ((qa - sa * sa / na) / (na - 1)) / na AS sea,
+         ((qb - sb * sb / nb) / (nb - 1)) / nb AS seb
+  FROM ab
+)
+SELECT '{_TT_GROUPS[0]}' AS group_a, '{_TT_GROUPS[1]}' AS group_b,
+       na AS n_a, nb AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+       round(pow(sea + seb, 2) / (pow(sea, 2) / (na - 1) + pow(seb, 2) / (nb - 1)), 6) AS dof
+FROM v
+""",
+        # multi_terms: top compound-key buckets, count desc / keys asc.
+        "multi_terms": """
+SELECT lang, source, count(*)::BIGINT AS doc_count
+FROM documents GROUP BY lang, source
+ORDER BY doc_count DESC, lang, source LIMIT 10
+""",
+        # range agg: half-open buckets (-inf,50) [50,150) [150,inf).
+        "range_buckets": f"""
+SELECT CASE WHEN value < {_RANGE_EDGES[0]} THEN 0
+            WHEN value < {_RANGE_EDGES[1]} THEN 1 ELSE 2 END AS bucket,
+       count(*)::BIGINT AS doc_count,
+       round(sum(value), 4) AS v_sum,
+       round(sum(value) / count(*), 4) AS v_avg
+FROM events GROUP BY 1
+""",
+        # filters agg: named RE2 buckets (patterns shared verbatim).
+        "filters_buckets": f"""
+SELECT 'has_spark' AS filter_name, count(*)::BIGINT AS doc_count
+FROM documents WHERE regexp_matches(text, '{_FILTER_PATTERNS["has_spark"]}')
+UNION ALL
+SELECT 'has_join_or_merge', count(*)::BIGINT
+FROM documents WHERE regexp_matches(text, '{_FILTER_PATTERNS["has_join_or_merge"]}')
+UNION ALL
+SELECT 'has_digit', count(*)::BIGINT
+FROM documents WHERE regexp_matches(text, '{_FILTER_PATTERNS["has_digit"]}')
+""",
+        # bucket_script + bucket_selector + bucket_sort over a day histogram.
+        "bucket_pipeline": f"""
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket,
+         count(*)::BIGINT AS doc_count, sum(value) AS v_sum
+  FROM events GROUP BY 1
+)
+SELECT bucket, doc_count, round(v_sum / doc_count, 4) AS avg_value
+FROM b WHERE doc_count >= {_BP_MIN_COUNT}
+ORDER BY round(v_sum / doc_count, 4) DESC, bucket LIMIT {_BP_TOP}
+""",
         "multi_match_best": f"""
 WITH {TRANSCRIPTS_CTE},
 {TRIGRAM_CTE},

@@ -1,0 +1,306 @@
+"""ES aggregation family — the metric / bucket / pipeline aggregations
+the reference's ES tier exposes that were not yet first-class operators
+here (reference aggregation usage: elasticsearch_adapters.py query
+assembly; the ES agg names follow the public API): ``boxplot``,
+``median_absolute_deviation``, ``weighted_avg``, ``t_test`` (Welch),
+``multi_terms``, ``range``, ``filters``, and the
+``bucket_script`` / ``bucket_selector`` / ``bucket_sort`` pipeline aggs.
+
+Every operator follows the partial-aggregation shape that scales to a
+multi-node cluster: a vectorized per-batch partial inside
+``map_batches`` → ONE small shuffle over keys/buckets (never the raw
+rows) → a bucket-sized finisher. Nothing here materializes the corpus;
+driver-side work is O(#buckets).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hybrid_sanctions_search_engine_ray.stages.quantiles import hist_counts, interp_from_hist
+
+_Q_BOX = [
+    ("v_min", Fraction(0)),
+    ("q1", Fraction(1, 4)),
+    ("q2", Fraction(1, 2)),
+    ("q3", Fraction(3, 4)),
+    ("v_max", Fraction(1)),
+]
+
+
+def boxplot(ds, key: str, col: str):
+    """ES ``boxplot`` aggregation, exact: per key the five-number summary
+    (min, q1, median, q3, max) with percentile_cont interpolation — the
+    deterministic twin of ES's TDigest approximation. Same value-histogram
+    shuffle as the quantile operators; raw rows never move."""
+    counts = hist_counts(ds, key, col)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="mergesort")
+        cum = g["c"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        vals = g[col].to_numpy(dtype=np.float64)
+        row = {key: g[key].iloc[0]}
+        for name, frac in _Q_BOX:
+            row[name] = interp_from_hist(vals, cum, n, frac)
+        return pd.DataFrame([row])
+
+    return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def grouped_mad(ds, key: str, col: str):
+    """ES ``median_absolute_deviation``, exact two-pass:
+    ``median(|x - median(x)|)`` per key. Pass 1 computes per-key medians
+    (histogram shuffle); the key→median map (O(#keys), tiny) rides into a
+    second vectorized pass that derives ``|x - m|`` per row; pass 2 is the
+    same histogram shuffle over the deviations. ES approximates this with
+    TDigest — this is the deterministic exact form."""
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import grouped_interp_quantiles
+
+    med_df = grouped_interp_quantiles(ds, key, col, [0.5]).to_pandas()
+    med = dict(zip(med_df[key], med_df["value"]))
+
+    def dev(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = pd.Series(k).map(med).to_numpy(dtype=np.float64)
+        return pa.table({key: b[key], "absdev": pa.array(np.abs(v - m), pa.float64())})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow")
+    out = grouped_interp_quantiles(devs, key, "absdev", [0.5])
+    return out.map_batches(
+        lambda b: b.select([key, "value"]).rename_columns([key, "mad"]),
+        batch_format="pyarrow",
+    )
+
+
+def weighted_avg(ds, key: str, value_col: str, weight_col: str):
+    """ES ``weighted_avg``: sum(v·w)/sum(w) per key — per-batch float
+    partials, one tiny shuffle, one division on the bucket-sized result."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({key: b[key], "vw": pa.array(v * w), "w": pa.array(w)})
+        return t.group_by(key).aggregate([("vw", "sum"), ("w", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("vw_sum", alias_name="s_vw"), Sum("w_sum", alias_name="s_w"))
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key: b[key],
+                "weighted_avg": b["s_vw"].to_numpy() / b["s_w"].to_numpy(),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def welch_t_test(ds, key: str, col: str, group_a, group_b) -> pd.DataFrame:
+    """ES ``t_test`` (type=heteroscedastic / Welch): the t statistic
+    between two key groups from per-group sufficient statistics
+    (n, Σx, Σx²) — one streaming scan, a 2-row shuffle, the closed-form
+    finisher on the driver. Sample variance uses the explicit
+    ``(Σx² − (Σx)²/n)/(n−1)`` form (the oracle SQL shares it verbatim so
+    engine and SQL differ only by float summation order)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[key], value_set=pa.array([group_a, group_b]))
+        t = b.filter(mask)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = pa.table(
+            {key: t[key], "n": pa.array(np.ones(len(t), np.int64)),
+             "s": pa.array(v), "sq": pa.array(v * v)}
+        )
+        return g.group_by(key).aggregate([("n", "sum"), ("s", "sum"), ("sq", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("n_sum", alias_name="n"), Sum("s_sum", alias_name="s"),
+                   Sum("sq_sum", alias_name="sq"))
+        .to_pandas()
+    )
+    stats = {}
+    for _, r in agg.iterrows():
+        n, s, sq = int(r["n"]), float(r["s"]), float(r["sq"])
+        mean = s / n
+        var = (sq - s * s / n) / (n - 1)
+        stats[r[key]] = (n, mean, var)
+    na, ma, va = stats[group_a]
+    nb, mb, vb = stats[group_b]
+    se2 = va / na + vb / nb
+    t_stat = (ma - mb) / math.sqrt(se2)
+    # Welch–Satterthwaite degrees of freedom (reported, not rounded away)
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return pd.DataFrame(
+        [{
+            "group_a": group_a, "group_b": group_b,
+            "n_a": na, "n_b": nb,
+            "mean_a": ma, "mean_b": mb,
+            "t_stat": t_stat, "dof": dof,
+        }]
+    )
+
+
+def multi_terms(ds, keys: list[str], size: int):
+    """ES ``multi_terms``: top-``size`` compound-key buckets by doc count
+    (count desc, then keys ascending — ES's deterministic tie order).
+    Per-batch compound-key count partials → small shuffle → global top-N
+    on the bucket-sized result."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns([*keys, "c_p"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("c_p", alias_name="doc_count"))
+    )
+
+    def top(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["doc_count", *keys], ascending=[False] + [True] * len(keys),
+                          kind="mergesort").head(size)
+        return b.reset_index(drop=True)
+
+    # bucket-count-sized: one final take on the driver is fine
+    df = agg.to_pandas()
+    if df.empty:  # empty Dataset → to_pandas() drops columns; restore them
+        return pd.DataFrame({**{k: pd.Series([], dtype=object) for k in keys},
+                             "doc_count": pd.Series([], dtype=np.int64)})
+    out = top(df)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def range_agg(ds, col: str, edges: list[float], key: str | None = None):
+    """ES ``range`` aggregation: half-open value buckets
+    ``(-inf, e0), [e0, e1), ..., [e_last, inf)`` with per-bucket count /
+    sum / avg. One vectorized ``np.digitize`` partial per batch, a
+    buckets-sized shuffle."""
+    from ray.data.aggregate import Sum
+
+    e = np.asarray(edges, dtype=np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.digitize(v, e)  # 0 = below e0, len(e) = above last
+        t = pa.table(
+            {"bucket": pa.array(idx.astype(np.int32)),
+             "n": pa.array(np.ones(v.size, np.int64)),
+             "s": pa.array(v)}
+        )
+        return t.group_by("bucket").aggregate([("n", "sum"), ("s", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_sum", alias_name="doc_count"), Sum("s_sum", alias_name="v_sum"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int32),
+                             "range_from": pd.Series([], dtype=np.float64),
+                             "range_to": pd.Series([], dtype=np.float64),
+                             "doc_count": pd.Series([], dtype=np.int64),
+                             "v_sum": pd.Series([], dtype=np.float64),
+                             "v_avg": pd.Series([], dtype=np.float64)})
+    agg = agg.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+    lo = [None, *e.tolist()]
+    hi = [*e.tolist(), None]
+    agg["range_from"] = [lo[int(i)] for i in agg["bucket"]]
+    agg["range_to"] = [hi[int(i)] for i in agg["bucket"]]
+    agg["v_avg"] = agg["v_sum"].to_numpy() / agg["doc_count"].to_numpy()
+    agg["doc_count"] = agg["doc_count"].astype(np.int64)
+    return agg[["bucket", "range_from", "range_to", "doc_count", "v_sum", "v_avg"]]
+
+
+def filters_agg(ds, col: str, named_patterns: dict[str, str]):
+    """ES ``filters`` aggregation: one named bucket per predicate; a doc
+    can land in several buckets (overlap allowed). Patterns are RE2,
+    applied vectorized per batch; partial counts shuffle (#names rows)."""
+    from ray.data.aggregate import Sum
+
+    names = sorted(named_patterns)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows_n, rows_c = [], []
+        for name in names:
+            m = pc.match_substring_regex(b[col], named_patterns[name])
+            rows_n.append(name)
+            rows_c.append(int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0))
+        return pa.table({"filter_name": pa.array(rows_n, pa.string()),
+                         "doc_count": pa.array(rows_c, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("filter_name")
+        .aggregate(Sum("doc_count", alias_name="doc_count"))
+    )
+
+
+def bucket_pipeline(events_ds, ts_col: str = "ts", bucket_s: int = 86400,
+                    value_col: str = "value", min_count: int = 1,
+                    top: int = 5) -> pd.DataFrame:
+    """The ES pipeline-agg trio over a date_histogram:
+
+    * parent: per-bucket ``doc_count`` + ``sum(value)``;
+    * ``bucket_script``: ``avg_value = sum / doc_count``;
+    * ``bucket_selector``: keep buckets with ``doc_count >= min_count``;
+    * ``bucket_sort``: order by (round4 avg_value desc, bucket asc),
+      keep ``top``.
+
+    One streaming scan with integer/float partials; every pipeline stage
+    runs vectorized on the series-length-sized driver result. Ordering is
+    quantized (round4) so float summation order can never flip ranks
+    between engine and SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {"bucket": pa.array(us // div, pa.int64()),
+             "n": pa.array(np.ones(v.size, np.int64)),
+             "s": pa.array(v)}
+        )
+        return t.group_by("bucket").aggregate([("n", "sum"), ("s", "sum")])
+
+    df = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_sum", alias_name="doc_count"), Sum("s_sum", alias_name="v_sum"))
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "doc_count": pd.Series([], dtype=np.int64),
+                             "avg_value": pd.Series([], dtype=np.float64)})
+    df = df[df["doc_count"] >= min_count].copy()           # bucket_selector
+    df["avg_value"] = round_half_away(                      # bucket_script
+        df["v_sum"].to_numpy() / df["doc_count"].to_numpy(), 4
+    )
+    df = df.sort_values(["avg_value", "bucket"], ascending=[False, True],
+                        kind="mergesort").head(top)         # bucket_sort
+    df = df.reset_index(drop=True)
+    df["doc_count"] = df["doc_count"].astype(np.int64)
+    return df[["bucket", "doc_count", "avg_value"]]

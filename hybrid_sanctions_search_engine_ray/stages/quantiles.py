@@ -35,6 +35,41 @@ def _disc_index(q: Fraction, n: int) -> int:
     return max(-((-q.numerator * n) // q.denominator) - 1, 0)
 
 
+def hist_counts(ds, key: str, col: str):
+    """The shared quantile shuffle: per-batch (key, value) count partials
+    → one SMALL shuffle over distinct (key, value) pairs. Returns a
+    Dataset (key, col, c) — the per-key value histogram; raw rows never
+    move."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], col: b[col]})
+        g = t.group_by([key, col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, col, "c_p"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, col])
+        .aggregate(Sum("c_p", alias_name="c"))
+    )
+
+
+def interp_from_hist(vals: np.ndarray, cum: np.ndarray, n: int, frac: Fraction) -> float:
+    """percentile_cont at rational position ``frac*(n-1)`` from a sorted
+    value histogram (vals ascending, cum = cumulative counts): bracketing
+    indices from exact rational arithmetic, float64 linear interpolation
+    ``lo*(1-fr) + hi*fr`` (the documented DuckDB/Postgres rule)."""
+    rn = frac * (n - 1)
+    f_idx = rn.numerator // rn.denominator
+    c_idx = -((-rn.numerator) // rn.denominator)
+    lo = vals[int(np.searchsorted(cum, f_idx + 1, side="left"))]
+    if c_idx == f_idx:
+        return float(lo)
+    hi = vals[int(np.searchsorted(cum, c_idx + 1, side="left"))]
+    fr = float(rn - f_idx)
+    return float(lo) * (1.0 - fr) + float(hi) * fr
+
+
 def grouped_exact_quantiles(ds, key: str, col: str, qs: list[float]):
     """Exact per-``key`` quantiles of ``col`` over a Dataset.
 
@@ -84,39 +119,18 @@ def grouped_interp_quantiles(ds, key: str, col: str, qs: list[float]):
     from exact rational arithmetic so float rounding of ``q*(n-1)`` can
     never select the wrong neighbors.
     """
-    from ray.data.aggregate import Sum
-
     q_fracs = [(float(q), Fraction(str(q))) for q in qs]
-
-    def partial(b: pa.Table) -> pa.Table:
-        t = pa.table({key: b[key], col: b[col]})
-        g = t.group_by([key, col]).aggregate([([], "count_all")])
-        return g.rename_columns([key, col, "c_p"])
-
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([key, col])
-        .aggregate(Sum("c_p", alias_name="c"))
-    )
+    counts = hist_counts(ds, key, col)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(col, kind="mergesort")
         cum = g["c"].to_numpy(dtype=np.int64).cumsum()
         n = int(cum[-1])
         vals = g[col].to_numpy(dtype=np.float64)
-        rows = []
-        for qf, frac in q_fracs:
-            rn = frac * (n - 1)  # exact rational position
-            f_idx = rn.numerator // rn.denominator
-            c_idx = -((-rn.numerator) // rn.denominator)
-            lo = vals[int(np.searchsorted(cum, f_idx + 1, side="left"))]
-            if c_idx == f_idx:
-                val = float(lo)
-            else:
-                hi = vals[int(np.searchsorted(cum, c_idx + 1, side="left"))]
-                fr = float(rn - f_idx)
-                val = float(lo) * (1.0 - fr) + float(hi) * fr
-            rows.append({key: g[key].iloc[0], "q": qf, "value": val})
+        rows = [
+            {key: g[key].iloc[0], "q": qf, "value": interp_from_hist(vals, cum, n, frac)}
+            for qf, frac in q_fracs
+        ]
         return pd.DataFrame(rows)
 
     return counts.groupby(key).map_groups(finish, batch_format="pandas")

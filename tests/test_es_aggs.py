@@ -1,0 +1,119 @@
+"""ES aggregation operators (stages/es_aggs.py): boxplot, MAD,
+weighted_avg, Welch t_test, multi_terms, range, filters, and the
+bucket_script/selector/sort pipeline — checked against numpy/hand
+computations on small in-memory Datasets."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hybrid_sanctions_search_engine_ray.stages import es_aggs
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+@pytest.fixture(scope="module")
+def events_df(ray_session):
+    rng = np.random.RandomState(7)
+    n = 400
+    return pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b"], n),
+            "value": np.round(rng.uniform(0, 100, n), 3),
+            "ts": pd.to_datetime("2026-01-01") + pd.to_timedelta(rng.randint(0, 10, n), unit="D"),
+        }
+    )
+
+
+def test_boxplot_matches_numpy(events_df):
+    out = es_aggs.boxplot(_ds(events_df), "event_type", "value").to_pandas()
+    for _, r in out.iterrows():
+        v = events_df.loc[events_df.event_type == r["event_type"], "value"].to_numpy()
+        assert r["v_min"] == v.min() and r["v_max"] == v.max()
+        # numpy 'linear' interpolation == percentile_cont
+        for col, q in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+            assert abs(r[col] - np.quantile(v, q)) < 1e-9, (col, r[col], np.quantile(v, q))
+
+
+def test_mad_matches_two_pass_numpy(events_df):
+    out = es_aggs.grouped_mad(_ds(events_df), "event_type", "value").to_pandas()
+    for _, r in out.iterrows():
+        v = events_df.loc[events_df.event_type == r["event_type"], "value"].to_numpy()
+        want = np.quantile(np.abs(v - np.quantile(v, 0.5)), 0.5)
+        assert abs(r["mad"] - want) < 1e-9
+
+
+def test_weighted_avg_exact(ray_session):
+    df = pd.DataFrame({"k": ["x", "x", "y"], "v": [10.0, 20.0, 5.0], "w": [1.0, 3.0, 2.0]})
+    out = es_aggs.weighted_avg(_ds(df), "k", "v", "w").to_pandas().set_index("k")
+    assert abs(out.loc["x", "weighted_avg"] - (10 * 1 + 20 * 3) / 4) < 1e-12
+    assert abs(out.loc["y", "weighted_avg"] - 5.0) < 1e-12
+
+
+def test_welch_t_test_matches_closed_form(events_df):
+    out = es_aggs.welch_t_test(_ds(events_df), "event_type", "value", "a", "b")
+    a = events_df.loc[events_df.event_type == "a", "value"].to_numpy()
+    b = events_df.loc[events_df.event_type == "b", "value"].to_numpy()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / a.size + vb / b.size
+    want_t = (a.mean() - b.mean()) / math.sqrt(se2)
+    want_dof = se2**2 / ((va / a.size) ** 2 / (a.size - 1) + (vb / b.size) ** 2 / (b.size - 1))
+    r = out.iloc[0]
+    assert r["n_a"] == a.size and r["n_b"] == b.size
+    assert abs(r["t_stat"] - want_t) < 1e-9
+    assert abs(r["dof"] - want_dof) < 1e-6
+
+
+def test_multi_terms_order_and_limit(ray_session):
+    df = pd.DataFrame({"k1": ["a"] * 3 + ["b"] * 3 + ["c"] * 2,
+                       "k2": ["x", "x", "x", "y", "y", "y", "z", "z"]})
+    out = es_aggs.multi_terms(_ds(df), ["k1", "k2"], size=2)
+    # ties (a,x)=3 and (b,y)=3 break keys-ascending; (c,z)=2 cut by size
+    assert out[["k1", "k2", "doc_count"]].values.tolist() == [["a", "x", 3], ["b", "y", 3]]
+
+
+def test_range_agg_buckets(ray_session):
+    df = pd.DataFrame({"value": [5.0, 50.0, 100.0, 149.999, 150.0, 200.0]})
+    out = es_aggs.range_agg(_ds(df), "value", [50.0, 150.0])
+    got = out.set_index("bucket")
+    assert got.loc[0, "doc_count"] == 1          # < 50
+    assert got.loc[1, "doc_count"] == 3          # [50, 150): boundary 50 in, 150 out
+    assert got.loc[2, "doc_count"] == 2
+    assert got.loc[1, "range_from"] == 50.0 and got.loc[1, "range_to"] == 150.0
+    assert abs(got.loc[2, "v_avg"] - 175.0) < 1e-12
+
+
+def test_filters_agg_overlap(ray_session):
+    df = pd.DataFrame({"text": ["spark joins data", "merge 42 rows", "nothing here", "spark merge"]})
+    out = es_aggs.filters_agg(_ds(df), "text",
+                              {"s": "spark", "jm": "join|merge", "d": "[0-9]"}).to_pandas()
+    got = dict(zip(out["filter_name"], out["doc_count"]))
+    assert got == {"s": 2, "jm": 3, "d": 1}
+
+
+def test_bucket_pipeline_script_selector_sort(events_df):
+    out = es_aggs.bucket_pipeline(_ds(events_df), "ts", 86400, "value",
+                                  min_count=1, top=3)
+    # recompute by hand
+    us = events_df["ts"].astype("int64") // (86400 * 1_000_000)
+    g = events_df.assign(bucket=us).groupby("bucket")["value"].agg(["count", "sum"]).reset_index()
+    g["avg"] = (g["sum"] / g["count"]).round(4)
+    g = g.sort_values(["avg", "bucket"], ascending=[False, True]).head(3)
+    assert out["bucket"].tolist() == g["bucket"].tolist()
+    assert out["doc_count"].tolist() == g["count"].tolist()
+    np.testing.assert_allclose(out["avg_value"].to_numpy(), g["avg"].to_numpy(), atol=1e-9)
+
+
+def test_bucket_pipeline_selector_filters(events_df):
+    # min_count above the max per-day count: everything filtered
+    out = es_aggs.bucket_pipeline(_ds(events_df), "ts", 86400, "value",
+                                  min_count=10**9, top=3)
+    assert len(out) == 0

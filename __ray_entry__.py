@@ -3612,6 +3612,91 @@ def q_multi_match_most(sf_dir: str):
     return _q_multi_match(sf_dir, "most_fields")
 
 
+# Pinned (promoted-result) queries: (text, promoted doc_ids in order).
+PINNED_QUERIES: dict[str, tuple[str, list[int]]] = {
+    "pn1": ("spark join filter", [42, 7]),
+    "pn2": ("window stream", [3]),
+    "pn3": ("customer table scan", []),
+}
+_VR_MIN_COS = 0.3
+_ADH_TARGET = 10
+_SW_LAG, _SW_WINDOW = 7, 3
+
+
+def q_vector_range(sf_dir: str):
+    """Cosine radius (range) similarity search: every corpus vector with
+    cos ≥ threshold to each query vector — broadcast query matrix, one
+    matmul per batch, threshold filter in the task, NO merge stage."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import cosine_range_search
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    q_ids, q_mat = _load_query_vectors(path)
+    res = cosine_range_search(ds, q_ids, q_mat, threshold=_VR_MIN_COS, exclude_self=True)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cos_sim"] = _round4(b["cos_sim"].to_numpy())
+        return b
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def q_pinned(sf_dir: str):
+    """ES pinned query: promoted ids first in given order, organic BM25
+    fills the rest with promoted ids excluded."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import pinned_search
+
+    index_dir = _ensure_index(sf_dir)
+    out = pinned_search(PINNED_QUERIES, index_dir, _engine_cfg(), top_k=BM25_TOP_K)
+    out["score"] = _round4(out["score"].to_numpy())
+    return out
+
+
+def q_auto_date_histogram(sf_dir: str):
+    """ES auto_date_histogram: smallest ladder interval (hour/day/week/
+    30d) with bucket count ≤ target, then the integer-bucket histogram —
+    interval choice is all-integer and shared exactly with the SQL."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import auto_date_histogram
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    return auto_date_histogram(ds, "ts", target_buckets=_ADH_TARGET)
+
+
+def q_series_window(sf_dir: str):
+    """ES serial_diff (lag 7) + moving_fn (previous-3 mean) pipeline aggs
+    over the gap-filled day histogram."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import series_window
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    df = series_window(ds, "ts", 86400, lag=_SW_LAG, window=_SW_WINDOW)
+    df["mov_mean"] = _round4(df["mov_mean"].to_numpy())
+    return df
+
+
+def _pinned_values() -> tuple[str, str, str]:
+    """(qterms VALUES, pins VALUES, npins VALUES) for the pinned oracle."""
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_simple
+
+    qt, pv, nv = [], [], []
+    for qid, (text, pins) in PINNED_QUERIES.items():
+        for term in sorted(set(tokenize_simple(text))):
+            qt.append(f"('{qid}', '{term}')")
+        for i, d in enumerate(pins):
+            pv.append(f"('{qid}', {i + 1}, {d})")
+        nv.append(f"('{qid}', {len(pins)})")
+    # DuckDB VALUES cannot be empty: pad pins with an impossible row
+    if not pv:
+        pv.append("('__none__', 0, -1)")
+    return ", ".join(qt), ", ".join(pv), ", ".join(nv)
+
+
 _RANGE_EDGES = (50.0, 150.0)
 _FILTER_PATTERNS = {          # RE2, shared VERBATIM with the DuckDB oracle
     "has_spark": "spark",
@@ -3963,6 +4048,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "vector_range": q_vector_range,
+        "pinned": q_pinned,
+        "auto_date_histogram": q_auto_date_histogram,
+        "series_window": q_series_window,
         "boxplot": q_boxplot,
         "mad_value": q_mad_value,
         "weighted_avg": q_weighted_avg,
@@ -5677,6 +5766,79 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # cosine radius search: all pairs above the similarity floor.
+        "vector_range": f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_EMB_QUERIES}
+)
+SELECT q.query_vec_id, e.vec_id,
+       round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos_sim
+FROM q CROSS JOIN embeddings e
+WHERE e.vec_id <> q.query_vec_id
+  AND list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) >= {_VR_MIN_COS}
+""",
+        # pinned query: promoted ids first, organic BM25 fills the rest.
+        "pinned": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_pinned_values()[0]}),
+pins(query_id, prank, doc_id) AS (VALUES {_pinned_values()[1]}),
+npins(query_id, np) AS (VALUES {_pinned_values()[2]}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+organic AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rnk
+  FROM scores s
+  WHERE NOT EXISTS (SELECT 1 FROM pins p WHERE p.query_id = s.query_id AND p.doc_id = s.doc_id)
+)
+SELECT p.query_id, cast(p.prank AS int) AS rank, p.doc_id::BIGINT AS doc_id,
+       1::BIGINT AS pinned, 0.0 AS score
+FROM pins p WHERE p.query_id <> '__none__'
+UNION ALL
+SELECT o.query_id, cast(o.rnk + n.np AS int) AS rank, o.doc_id,
+       0::BIGINT AS pinned, round(o.score, 4) AS score
+FROM organic o JOIN npins n ON n.query_id = o.query_id
+WHERE o.rnk <= {BM25_TOP_K} - n.np
+""",
+        # auto_date_histogram: smallest ladder interval fitting the target.
+        "auto_date_histogram": f"""
+WITH bounds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+iv AS (
+  SELECT CASE
+    WHEN mx // 3600000000 - mn // 3600000000 + 1 <= {_ADH_TARGET} THEN 3600000000
+    WHEN mx // 86400000000 - mn // 86400000000 + 1 <= {_ADH_TARGET} THEN 86400000000
+    WHEN mx // 604800000000 - mn // 604800000000 + 1 <= {_ADH_TARGET} THEN 604800000000
+    ELSE 2592000000000 END AS d
+  FROM bounds
+)
+SELECT epoch_us(e.ts) // iv.d AS bucket, (iv.d // 1000000)::BIGINT AS interval_s,
+       count(*)::BIGINT AS doc_count
+FROM events e, iv GROUP BY 1, 2
+""",
+        # serial_diff(lag 7) + moving_fn(prev-3 mean) over gap-filled days.
+        "series_window": f"""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket, count(*)::BIGINT AS n FROM events GROUP BY 1
+),
+full_series AS (
+  SELECT g.bucket, coalesce(d.n, 0)::BIGINT AS n_events
+  FROM (SELECT unnest(generate_series((SELECT min(bucket) FROM d), (SELECT max(bucket) FROM d))) AS bucket) g
+  LEFT JOIN d ON d.bucket = g.bucket
+)
+SELECT bucket, n_events,
+       (n_events - coalesce(lag(n_events, {_SW_LAG}) OVER (ORDER BY bucket), 0))::BIGINT AS sdiff,
+       round(coalesce(avg(n_events) OVER (ORDER BY bucket ROWS BETWEEN {_SW_WINDOW} PRECEDING AND 1 PRECEDING), 0.0), 4) AS mov_mean
+FROM full_series
+""",
         # ES boxplot: exact five-number summary, percentile_cont rule.
         "boxplot": """
 SELECT event_type,

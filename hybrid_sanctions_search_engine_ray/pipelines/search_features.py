@@ -852,6 +852,56 @@ def multi_match_search(queries_ds, field_dirs: list[str], boosts: list[float],
     )
 
 
+# --- pinned query ---------------------------------------------------------------
+
+
+def pinned_search(queries: dict[str, tuple[str, list[int]]], index_dir: str,
+                  cfg: EngineConfig = DEFAULT_CONFIG, top_k: int = 10):
+    """ES ``pinned`` query: promoted document ids come first IN THE GIVEN
+    ORDER, then the organic BM25 ranking fills the remainder of ``top_k``
+    with the promoted ids excluded. Organic retrieval rides the ordinary
+    scorer-actor path (one over-fetched batch search); the pin/splice is
+    result-sized driver work. Output adds a ``pinned`` flag column;
+    pinned rows carry score 0.0 (ES substitutes a synthetic sort value
+    there too — the flag, not the score, is the contract)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    max_p = max((len(p) for _, p in queries.values()), default=0)
+    items = [
+        {"query_id": qid, "query_text": text, "top_k": top_k + max_p}
+        for qid, (text, _) in sorted(queries.items())
+    ]
+    res = search(rd.from_items(items), index_dir, cfg, method="taat").to_pandas()
+    frames = []
+    for qid, (text, pins) in sorted(queries.items()):
+        org = res[res.query_id == qid].sort_values("rank", kind="mergesort")
+        org = org[~org["doc_id"].isin(pins)].head(max(top_k - len(pins), 0))
+        rows = [
+            {"query_id": qid, "rank": i + 1, "doc_id": int(d), "pinned": 1, "score": 0.0}
+            for i, d in enumerate(pins)
+        ]
+        rows += [
+            {"query_id": qid, "rank": len(pins) + j + 1, "doc_id": int(r.doc_id),
+             "pinned": 0, "score": float(r.score)}
+            for j, r in enumerate(org.itertuples())
+        ]
+        if rows:
+            frames.append(pd.DataFrame(rows))
+    if not frames:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype=np.int32),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "pinned": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    out = pd.concat(frames, ignore_index=True)
+    out["rank"] = out["rank"].astype(np.int32)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["pinned"] = out["pinned"].astype(np.int64)
+    return out
+
+
 # --- fuzzy match query ---------------------------------------------------------
 
 

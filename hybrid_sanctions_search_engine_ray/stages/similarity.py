@@ -143,6 +143,55 @@ def cosine_neardup_pairs(ds, ids: np.ndarray, matrix: np.ndarray, threshold: flo
     )
 
 
+class _RangeSearch:
+    """Actor-pool body for cosine radius (range) search: each corpus
+    batch is scored against the broadcast query matrix in one matmul;
+    only (query, doc) pairs with sim >= threshold are emitted — output
+    is result-sized, never matrix-sized."""
+
+    def __init__(self, ref, threshold: float, exclude_self: bool):
+        q = ray.get(ref)
+        self.ids = q["ids"]
+        self.m = _normalize(q["matrix"])
+        self.threshold = threshold
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bm = _normalize(_batch_matrix(batch))
+        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.m @ bm.T  # (queries, batch)
+        keep = sims >= self.threshold
+        if self.exclude_self:
+            keep &= self.ids[:, None] != b_ids[None, :]
+        qi, bj = np.nonzero(keep)
+        return pa.table(
+            {
+                "query_vec_id": pa.array(self.ids[qi].astype(np.int64)),
+                "vec_id": pa.array(b_ids[bj].astype(np.int64)),
+                "cos_sim": pa.array(sims[qi, bj].astype(np.float64)),
+            }
+        )
+
+
+def cosine_range_search(ds, query_ids: np.ndarray, query_matrix: np.ndarray,
+                        threshold: float, exclude_self: bool = True,
+                        concurrency: int = 2):
+    """Radius similarity search: ALL corpus vectors with cosine ≥
+    ``threshold`` to each query vector (the ES kNN ``similarity``
+    threshold / range-query analog) — broadcast query matrix via
+    ``ray.put``, one matmul per corpus batch, threshold filter inside the
+    task so only qualifying pairs leave the worker. Unlike top-k search
+    there is no merge stage at all: the result streams out unordered."""
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "matrix": np.asarray(query_matrix, dtype=np.float64)})
+    return ds.map_batches(
+        _RangeSearch,
+        fn_constructor_args=(ref, threshold, exclude_self),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 class IVFIndex:
     """Deterministic IVF: k-means centroids + cluster assignment."""
 

@@ -196,3 +196,106 @@ def bucket_series(events_ds, ts_col: str = "ts", bucket_s: int = 86400) -> pd.Da
             "cum": np.cumsum(n).astype(np.int64),
         }
     )
+
+
+_AUTO_LADDER_S = (3600, 86400, 604800, 2592000)  # hour, day, week, 30d
+
+
+def auto_date_histogram(events_ds, ts_col: str = "ts", target_buckets: int = 10,
+                        ladder_s: tuple[int, ...] = _AUTO_LADDER_S) -> pd.DataFrame:
+    """ES ``auto_date_histogram``: pick the SMALLEST calendar interval
+    from the ladder whose bucket count stays ≤ ``target_buckets``, then
+    histogram on it. Two streaming passes: a min/max scan to choose the
+    interval (a 1-row aggregate), then the ordinary integer-bucket count
+    partials. Bucket count for interval d = floor(max/d) − floor(min/d)
+    + 1 — all-integer, so the interval choice is exactly reproducible in
+    SQL. Falls back to the coarsest ladder entry if none fits."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def mm(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64())
+        return pa.table({"mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    bounds = events_ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    mn, mx = int(bounds["mn"].min()), int(bounds["mx"].max())
+    div = np.int64(ladder_s[-1]) * 1_000_000
+    for s in ladder_s:
+        d = np.int64(s) * 1_000_000
+        if mx // d - mn // d + 1 <= target_buckets:
+            div = d
+            break
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({"bucket": pa.array(us // div, pa.int64())}).group_by("bucket").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["bucket", "c_p"])
+
+    df = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_p", alias_name="doc_count"))
+        .to_pandas()
+        .sort_values("bucket", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    df["interval_s"] = np.int64(div // 1_000_000)
+    df["doc_count"] = df["doc_count"].astype(np.int64)
+    return df[["bucket", "interval_s", "doc_count"]]
+
+
+def series_window(events_ds, ts_col: str = "ts", bucket_s: int = 86400,
+                  lag: int = 7, window: int = 3) -> pd.DataFrame:
+    """ES ``serial_diff`` + ``moving_fn`` pipeline aggs over a gap-filled
+    date histogram: per bucket, ``sdiff = n − n[t−lag]`` (0-seeded while
+    t < lag, matching the derivative convention) and ``mov_mean`` = mean
+    of the PREVIOUS ``window`` buckets (ES ``MovingFunctions.unweightedAvg``
+    with shift 0 — the current bucket excluded; 0.0 for the first bucket,
+    which has no history). Same single-scan integer partials as
+    ``bucket_series``; the pipeline math is series-length-sized."""
+    from ray.data.aggregate import Sum
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({"bucket": pa.array(us // div, pa.int64())}).group_by("bucket").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["bucket", "c_p"])
+
+    df = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_p", alias_name="n_events"))
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "sdiff": pd.Series([], dtype=np.int64),
+                             "mov_mean": pd.Series([], dtype=np.float64)})
+    df = df.sort_values("bucket", kind="mergesort")
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b[0], b[-1] + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    n[b - b[0]] = df["n_events"].to_numpy(dtype=np.int64)
+    lagged = np.zeros_like(n)
+    if lag < n.size:
+        lagged[lag:] = n[:-lag] if lag > 0 else n
+    cum = np.concatenate([[0], np.cumsum(n)])
+    lo = np.maximum(np.arange(full.size) - window, 0)
+    prev_sum = cum[np.arange(full.size)] - cum[lo]
+    prev_cnt = np.arange(full.size) - lo
+    mov = np.where(prev_cnt > 0, prev_sum / np.maximum(prev_cnt, 1), 0.0)
+    return pd.DataFrame(
+        {
+            "bucket": full,
+            "n_events": n,
+            "sdiff": (n - lagged).astype(np.int64),
+            "mov_mean": mov.astype(np.float64),
+        }
+    )

@@ -672,3 +672,30 @@ def test_multi_match_typo_retrieves_via_trigram_field(mm_field_dirs):
 def test_multi_match_rejects_bad_type(mm_field_dirs):
     with pytest.raises(ValueError):
         sfeat.MultiMatchScorer(mm_field_dirs, list(MM_BOOSTS), match_type="cross_fields")
+
+
+# --- pinned query -------------------------------------------------------------
+
+
+def test_pinned_promotes_and_excludes(feat_index):
+    out = sfeat.pinned_search({"q": ("alpha beta", [8, 3])}, feat_index,
+                              EngineConfig(num_partitions=4), top_k=5)
+    # promoted ids first, in the GIVEN order (8 before 3)
+    assert out.iloc[0][["doc_id", "rank", "pinned"]].tolist() == [8, 1, 1]
+    assert out.iloc[1][["doc_id", "rank", "pinned"]].tolist() == [3, 2, 1]
+    # organic fills the remainder, promoted ids excluded, ranks contiguous
+    organic = out[out["pinned"] == 0]
+    assert len(out) == 5 and organic["rank"].tolist() == [3, 4, 5]
+    assert not set(organic["doc_id"]) & {8, 3}
+    # organic order = plain BM25 order with pins removed
+    d, s = _brute_scores(feat_index, "alpha beta")
+    order = [int(x) for x in d[np.argsort(-s, kind="stable")] if int(x) not in (8, 3)]
+    assert organic["doc_id"].tolist() == order[:3]
+
+
+def test_pinned_no_pins_is_plain_search(feat_index):
+    out = sfeat.pinned_search({"q": ("gamma", [])}, feat_index,
+                              EngineConfig(num_partitions=4), top_k=4)
+    assert (out["pinned"] == 0).all()
+    d, s = _brute_scores(feat_index, "gamma")
+    assert out["doc_id"].tolist() == [int(x) for x in d[np.argsort(-s, kind="stable")]][:4]

@@ -220,3 +220,35 @@ def test_lsh_query_no_candidates(ray_session, clustered_vectors, tmp_path):
     stray = rng.standard_normal((1, 16))
     res = lsh_query(out, [999], stray, k=5, radius=0).to_pandas()
     assert len(res) <= 5  # empty or tiny — and no exception
+
+
+def test_cosine_range_search_matches_numpy(ray_session, vectors):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import cosine_range_search
+
+    ds = rd.from_arrow(_emb_table(vectors))
+    q_ids = np.array([0, 5], dtype=np.int64)
+    qm = vectors[q_ids].astype(np.float64)
+    thr = 0.3
+    res = cosine_range_search(ds, q_ids, qm, threshold=thr, exclude_self=True).to_pandas()
+    nm = _normalize(vectors.astype(np.float64))
+    sims = _normalize(qm) @ nm.T
+    want = {(int(q), int(v)) for qi, q in enumerate(q_ids) for v in np.nonzero(sims[qi] >= thr)[0]
+            if int(v) != int(q)}
+    got = set(zip(res["query_vec_id"].astype(int), res["vec_id"].astype(int)))
+    assert got == want and len(res) == len(want)
+    for _, r in res.iterrows():
+        qi = int(np.where(q_ids == r["query_vec_id"])[0][0])
+        assert abs(r["cos_sim"] - sims[qi, int(r["vec_id"])]) < 1e-12
+
+
+def test_cosine_range_search_keeps_self_when_asked(ray_session, vectors):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import cosine_range_search
+
+    ds = rd.from_arrow(_emb_table(vectors))
+    res = cosine_range_search(ds, np.array([4]), vectors[[4]].astype(np.float64),
+                              threshold=0.999, exclude_self=False).to_pandas()
+    assert 4 in set(res["vec_id"].astype(int))

@@ -76,3 +76,37 @@ def test_bucketed_join_matches_pandas(ray_session):
     a = out.sort_values(["k", "lv"]).reset_index(drop=True)
     b = expect.sort_values(["k", "lv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["k", "lv", "rv"]], b[["k", "lv", "rv"]], check_dtype=False)
+
+
+def test_auto_date_histogram_ladder_choice(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import auto_date_histogram
+
+    # 30 distinct days -> hour (720 buckets) and day (30) exceed target 10,
+    # week fits (<= 6 buckets)
+    ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(np.arange(30), unit="D")
+    ds = rd.from_pandas(pd.DataFrame({"ts": pd.Series(ts).astype("datetime64[us]")}))
+    out = auto_date_histogram(ds, "ts", target_buckets=10)
+    assert (out["interval_s"] == 604800).all()
+    assert out["doc_count"].sum() == 30 and len(out) <= 10
+    # generous target picks the finest (hour) rung
+    out2 = auto_date_histogram(ds, "ts", target_buckets=10**6)
+    assert (out2["interval_s"] == 3600).all()
+
+
+def test_series_window_math(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import series_window
+
+    # counts per day: day0:2, day1:0 (gap), day2:1, day3:3
+    days = [0, 0, 2, 3, 3, 3]
+    ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(days, unit="D")
+    ds = rd.from_pandas(pd.DataFrame({"ts": pd.Series(ts).astype("datetime64[us]")}))
+    out = series_window(ds, "ts", 86400, lag=2, window=2)
+    assert out["n_events"].tolist() == [2, 0, 1, 3]
+    # sdiff lag 2, 0-seeded: [2-0, 0-0, 1-2, 3-0]
+    assert out["sdiff"].tolist() == [2, 0, -1, 3]
+    # mov_mean of previous up-to-2 buckets, 0.0 for the first
+    assert out["mov_mean"].tolist() == [0.0, 2.0, 1.0, 0.5]

@@ -500,6 +500,23 @@ ranked3 AS (
 """
 
 
+def _simple_qterms_values(queries: dict[str, str]) -> str:
+    """(query_id, term) VALUES rows via the simple-mode analyzer."""
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_simple
+
+    rows = []
+    for qid, text in queries.items():
+        for term in sorted(set(tokenize_simple(text))):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
+def _sampler_qterms_values() -> str:
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_simple
+
+    return ", ".join(f"('{t}')" for t in sorted(set(tokenize_simple(_SAMPLER_QUERY))))
+
+
 def _mm_word_values() -> str:
     from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_simple
 
@@ -3612,6 +3629,55 @@ def q_multi_match_most(sf_dir: str):
     return _q_multi_match(sf_dir, "most_fields")
 
 
+# sort-by-field retrieval queries (ES "sort": [{field: asc}] mode).
+FIELD_SORT_QUERIES: dict[str, str] = {
+    "fs1": "spark filter",
+    "fs2": "window stream",
+    "fs3": "zzzmissing",
+}
+_MGET_IDS = [3, 42, 7, 999999999]      # last one is a guaranteed miss
+_SAMPLER_QUERY, _SAMPLER_SIZE, _SAMPLER_TOP = "spark join", 50, 20
+
+
+def q_field_sort(sf_dir: str):
+    """ES sort-by-field: docs matching ≥1 term ordered by doc fields
+    (conv_id, turn_idx) instead of relevance — track_scores=false."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import field_sort_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K}
+         for qid, t in FIELD_SORT_QUERIES.items()]
+    )
+    return field_sort_search(qs, index_dir, ("conv_id", "turn_idx"), _engine_cfg())
+
+
+def q_mget(sf_dir: str):
+    """ES multi-get: point-fetch by doc id (row-group-pruned docmap
+    reads); missing ids report found=0, never an error."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import mget
+
+    return mget(_ensure_index(sf_dir), _MGET_IDS)
+
+
+def q_sampler_terms(sf_dir: str):
+    """ES sampler aggregation + terms sub-agg: term doc-counts over only
+    the top-N BM25 hits (broadcast sampled-id membership, one scan)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import sampler_terms
+
+    index_dir = _ensure_index(sf_dir)
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return sampler_terms(index_dir, _SAMPLER_QUERY, corpus,
+                         analyzer_cfg=_engine_cfg().analyzer,
+                         sample_size=_SAMPLER_SIZE, top_n=_SAMPLER_TOP)
+
+
 # Pinned (promoted-result) queries: (text, promoted doc_ids in order).
 PINNED_QUERIES: dict[str, tuple[str, list[int]]] = {
     "pn1": ("spark join filter", [42, 7]),
@@ -4048,6 +4114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "field_sort": q_field_sort,
+        "mget": q_mget,
+        "sampler_terms": q_sampler_terms,
         "vector_range": q_vector_range,
         "pinned": q_pinned,
         "auto_date_histogram": q_auto_date_histogram,
@@ -5766,6 +5835,56 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # sort-by-field: OR-match candidates ordered by doc fields.
+        "field_sort": f"""
+WITH {TRANSCRIPTS_CTE},
+qfs(query_id, term) AS (VALUES {_simple_qterms_values(FIELD_SORT_QUERIES)}),
+cand AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qfs q JOIN tf ON tf.term = q.term),
+rankedfs AS (
+  SELECT c.query_id, t.conv_id, t.turn_idx, c.doc_id,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY t.conv_id, t.turn_idx, c.doc_id) AS rnk
+  FROM cand c JOIN transcripts t ON t.doc_id = c.doc_id
+)
+SELECT query_id, cast(rnk AS int) AS rank, conv_id, turn_idx, doc_id
+FROM rankedfs WHERE rnk <= {BM25_TOP_K}
+""",
+        # multi-get: id point lookups, absent ids report found=0.
+        "mget": f"""
+WITH {TRANSCRIPTS_CTE},
+req(doc_id) AS (VALUES {", ".join(f"({i})" for i in sorted(set(_MGET_IDS)))})
+SELECT r.doc_id::BIGINT AS doc_id,
+       (CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS found,
+       coalesce(t.conv_id, '') AS conv_id,
+       coalesce(t.turn_idx, -1)::BIGINT AS turn_idx
+FROM req r LEFT JOIN transcripts t ON t.doc_id = r.doc_id
+""",
+        # sampler agg: terms sub-agg over only the top-N BM25 hits.
+        "sampler_terms": f"""
+WITH {TRANSCRIPTS_CTE},
+qsam(term) AS (VALUES {_sampler_qterms_values()}),
+sscores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qsam q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+samp AS (SELECT doc_id FROM sscores ORDER BY score DESC, doc_id LIMIT {_SAMPLER_SIZE}),
+cnt AS (
+  SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS doc_count
+  FROM tok t JOIN samp ON samp.doc_id = t.doc_id GROUP BY t.term
+),
+rankedsam AS (
+  SELECT term, doc_count, row_number() OVER (ORDER BY doc_count DESC, term) AS rnk
+  FROM cnt
+)
+SELECT term, doc_count, cast(rnk AS int) AS rank FROM rankedsam WHERE rnk <= {_SAMPLER_TOP}
+""",
         # cosine radius search: all pairs above the similarity floor.
         "vector_range": f"""
 WITH q AS (

@@ -852,6 +852,91 @@ def multi_match_search(queries_ds, field_dirs: list[str], boosts: list[float],
     )
 
 
+# --- sort-by-field query ---------------------------------------------------------
+
+
+class FieldSortScorer:
+    """ES sort-by-field retrieval (``"sort": [{"conv_id": "asc"}, ...]``):
+    documents matching ≥1 query term ordered by DOC FIELDS instead of
+    relevance — scoring is skipped entirely (ES ``track_scores: false``).
+    Candidates come from the posting union; the sort keys come from the
+    docmap loaded once per actor (doc_id + the two key columns only).
+    The per-query sort is candidate-sized — the corpus never moves."""
+
+    def __init__(self, index_dir: str, keys: tuple[str, str] = ("conv_id", "turn_idx"),
+                 default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.keys = keys
+        self.dm_ids, self.dm_k1 = _load_docmap_key(index_dir, keys[0])
+        _, self.dm_k2 = _load_docmap_key(index_dir, keys[1])
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        frames: list[pd.DataFrame] = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            from hybrid_sanctions_search_engine_ray.stages.facets import matching_doc_ids
+
+            docs = matching_doc_ids(self.reader, qtext).astype(np.int64)
+            if docs.size == 0:
+                continue
+            pos = np.searchsorted(self.dm_ids, docs)
+            g = pd.DataFrame(
+                {self.keys[0]: self.dm_k1[pos], self.keys[1]: self.dm_k2[pos], "doc_id": docs}
+            )
+            g = g.sort_values([*self.keys, "doc_id"], kind="mergesort").head(k)
+            g = g.reset_index(drop=True)
+            g.insert(0, "query_id", qid)
+            g.insert(1, "rank", np.arange(1, len(g) + 1, dtype=np.int32))
+            frames.append(g)
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                                 "rank": pd.Series([], dtype=np.int32),
+                                 self.keys[0]: pd.Series([], dtype=object),
+                                 self.keys[1]: pd.Series([], dtype=np.int64),
+                                 "doc_id": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+
+def field_sort_search(queries_ds, index_dir: str, keys: tuple[str, str] = ("conv_id", "turn_idx"),
+                      cfg: EngineConfig = DEFAULT_CONFIG):
+    """sort-by-field retrieval; queries carry (query_id, query_text[, top_k])."""
+    return queries_ds.map_batches(
+        FieldSortScorer,
+        fn_constructor_args=(index_dir, keys, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+# --- multi-get (ids lookup) -------------------------------------------------------
+
+
+def mget(index_dir: str, ids: list[int]) -> pd.DataFrame:
+    """ES multi-get (``_mget`` / ``ids`` query): point-fetch documents by
+    id through row-group-pruned docmap reads (never a scan). Missing ids
+    are reported with ``found = 0`` (ES ``found: false``), empty conv_id
+    and turn_idx −1 — the request never errors on absent docs."""
+    want = sorted(set(int(i) for i in ids))
+    dm = pads.dataset(os.path.join(index_dir, "docmap.parquet")).to_table(
+        columns=["doc_id", "conv_id", "turn_idx"],
+        filter=pads.field("doc_id").isin(want),
+    ).to_pandas()
+    out = pd.DataFrame({"doc_id": pd.Series(want, dtype=np.int64)}).merge(
+        dm, on="doc_id", how="left"
+    )
+    out["found"] = out["conv_id"].notna().astype(np.int64)
+    out["conv_id"] = out["conv_id"].fillna("").astype(object)
+    out["turn_idx"] = out["turn_idx"].fillna(-1).astype(np.int64)
+    return out[["doc_id", "found", "conv_id", "turn_idx"]]
+
+
 # --- pinned query ---------------------------------------------------------------
 
 

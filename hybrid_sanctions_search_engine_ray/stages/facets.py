@@ -175,6 +175,77 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
     return agg[["term", "fg_df", "bg_df", "jlh"]]
 
 
+def sampler_terms(index_dir: str, query_text: str, corpus_ds,
+                  analyzer_cfg=None, sample_size: int = 50, top_n: int = 20,
+                  reader=None) -> pd.DataFrame:
+    """ES ``sampler`` aggregation with a ``terms`` sub-aggregation: the
+    aggregation scope is limited to the top-``sample_size`` BM25 hits
+    (ES ``shard_size`` analog), then term doc-counts are taken over the
+    sample only. The sampled-id set (O(sample_size)) is broadcast into
+    one streaming corpus scan that counts distinct (doc, term) pairs for
+    member docs; the shuffle carries (term, count) partials. Deterministic
+    order: doc_count desc, term asc."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    cfg = analyzer_cfg or AnalyzerConfig()
+    r = reader or IndexReader(index_dir)
+    terms = sorted(set(r.analyzer(query_text)))
+    d, s = score_all(list(r.load_postings(terms).values()))
+    empty = pd.DataFrame({"term": pd.Series([], dtype=object),
+                          "doc_count": pd.Series([], dtype=np.int64),
+                          "rank": pd.Series([], dtype=np.int32)})
+    if d.size == 0:
+        return empty
+    dk, _ = topk_desc(d, s, sample_size)
+    ids = np.sort(dk.astype(np.int64))
+    ref = ray.put(ids)
+
+    class Partial:
+        def __init__(self):
+            self.ids = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+            d_all = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.ids, d_all)
+            safe = np.minimum(pos, self.ids.size - 1)
+            member = (pos < self.ids.size) & (self.ids[safe] == d_all)
+            sub = b.filter(pa.array(member))
+            if len(sub) == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "c_p": pa.array([], pa.int64())})
+            parent, toks = flat_terms(sub, cfg)
+            if not len(toks):
+                return pa.table({"term": pa.array([], pa.string()),
+                                 "c_p": pa.array([], pa.int64())})
+            dd = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+            df = pd.DataFrame({"term": toks.to_numpy(zero_copy_only=False), "d": dd})
+            g = (
+                df.drop_duplicates()
+                .groupby("term", sort=False).size().rename("c_p").reset_index()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        corpus_ds.map_batches(Partial, batch_format="pyarrow", concurrency=2)
+        .groupby("term")
+        .aggregate(Sum("c_p", alias_name="doc_count"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return empty
+    agg = agg.sort_values(["doc_count", "term"], ascending=[False, True],
+                          kind="mergesort").head(top_n).reset_index(drop=True)
+    agg["doc_count"] = agg["doc_count"].astype(np.int64)
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int32)
+    return agg[["term", "doc_count", "rank"]]
+
+
 class _Percolator:
     """Actor-pool callable for reverse search (ES percolate): each
     stored query is a conjunctive term set; a document matches when its

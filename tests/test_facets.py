@@ -128,3 +128,28 @@ def test_percolate_matches_conjunctive(ray_session):
     res = percolate(docs, [("q1", "alpha beta"), ("q2", "alpha"), ("q3", "zzz")]).to_pandas()
     got = set(map(tuple, res[["doc_id", "query_id"]].itertuples(index=False)))
     assert got == {(0, "q1"), (2, "q1"), (0, "q2"), (1, "q2"), (2, "q2")}
+
+
+def test_sampler_terms_counts_only_sample(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.stages.facets import sampler_terms
+
+    texts = ["alpha beta", "alpha beta", "alpha gamma", "delta zzz", "delta zzz epsilon"]
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0, "role": "user", "text": t,
+             "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+            for i, t in enumerate(texts)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    idx = str(tmp_path / "idx")
+    build_index("mem", idx, EngineConfig(num_partitions=2), transcripts_ds=ds)
+    corpus = rd.from_pandas(pd.DataFrame({"doc_id": range(5), "text": texts}))
+    # sample_size 3 over query "alpha": only docs 0,1,2 sampled -> no delta/zzz
+    out = sampler_terms(idx, "alpha", corpus,
+                        analyzer_cfg=AnalyzerConfig(), sample_size=3, top_n=10)
+    got = dict(zip(out["term"], out["doc_count"]))
+    assert got == {"alpha": 3, "beta": 2, "gamma": 1}
+    # zero-hit query -> empty frame with schema
+    empty = sampler_terms(idx, "qqqmissing", corpus, analyzer_cfg=AnalyzerConfig())
+    assert len(empty) == 0 and list(empty.columns) == ["term", "doc_count", "rank"]

@@ -699,3 +699,32 @@ def test_pinned_no_pins_is_plain_search(feat_index):
     assert (out["pinned"] == 0).all()
     d, s = _brute_scores(feat_index, "gamma")
     assert out["doc_id"].tolist() == [int(x) for x in d[np.argsort(-s, kind="stable")]][:4]
+
+
+# --- field sort / mget ----------------------------------------------------------
+
+
+def test_field_sort_orders_by_docmap_keys(feat_index):
+    scorer = sfeat.FieldSortScorer(feat_index, ("conv_id", "turn_idx"))
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha"], "top_k": [20]}))
+    d, _ = _brute_scores(feat_index, "alpha")
+    # candidate set = OR match; order = (conv_id, turn_idx) == doc_id order here
+    assert out["doc_id"].tolist() == sorted(int(x) for x in d)
+    assert out["rank"].tolist() == list(range(1, len(d) + 1))
+    # conv-00000001 rows (docs 3-5) come after conv-00000000 (docs 0-2)
+    assert out["conv_id"].is_monotonic_increasing
+
+
+def test_field_sort_zero_hit(feat_index):
+    scorer = sfeat.FieldSortScorer(feat_index, ("conv_id", "turn_idx"))
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["qqqmissing"], "top_k": [5]}))
+    assert len(out) == 0
+
+
+def test_mget_found_and_missing(feat_index):
+    out = sfeat.mget(feat_index, [2, 10**9, 0])
+    got = out.set_index("doc_id")
+    assert got.loc[0, "found"] == 1 and got.loc[2, "found"] == 1
+    assert got.loc[10**9, "found"] == 0
+    assert got.loc[10**9, "conv_id"] == "" and got.loc[10**9, "turn_idx"] == -1
+    assert got.loc[2, "conv_id"] == "conv-00000000" and got.loc[2, "turn_idx"] == 2

@@ -511,6 +511,14 @@ def _simple_qterms_values(queries: dict[str, str]) -> str:
     return ", ".join(rows)
 
 
+def _phrase_suggest_values() -> str:
+    rows = []
+    for qid, phrase in PHRASE_SUGGEST_QUERIES.items():
+        for pos, term in enumerate(phrase.lower().split(), start=1):
+            rows.append(f"('{qid}', {pos}, '{term}')")
+    return ", ".join(rows)
+
+
 def _sampler_qterms_values() -> str:
     from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_simple
 
@@ -3678,6 +3686,36 @@ def q_sampler_terms(sf_dir: str):
                          sample_size=_SAMPLER_SIZE, top_n=_SAMPLER_TOP)
 
 
+_ENUM_PREFIX, _ENUM_SIZE = "s", 10
+# 2-token typo'd phrases; the corrected bigram must exist in the corpus
+# for the shingle-df collate signal to rank it first.
+PHRASE_SUGGEST_QUERIES: dict[str, str] = {
+    "ps1": "sprak jion",
+    "ps2": "custmer tabel",
+    "ps3": "windo streem",
+}
+_PS_DIST, _PS_TOPN, _PS_TOPK = 2, 3, 3
+
+
+def q_terms_enum(sf_dir: str):
+    """ES _terms_enum: first N index terms with a prefix, lexicographic,
+    via the shared column-pruned segment term scan."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import terms_enum
+
+    return terms_enum(_ensure_index(sf_dir), _ENUM_PREFIX, _ENUM_SIZE)
+
+
+def q_phrase_suggest(sf_dir: str):
+    """ES phrase suggester: typo'd bigrams → whole-phrase corrections
+    collated by the shingle field's real phrase frequency."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import phrase_suggest
+
+    shingle_idx = _ensure_index(sf_dir, mode="shingle")
+    vocab = q_term_dictionary(sf_dir)
+    return phrase_suggest(PHRASE_SUGGEST_QUERIES, shingle_idx, vocab,
+                          max_dist=_PS_DIST, topn=_PS_TOPN, top_k=_PS_TOPK)
+
+
 # Pinned (promoted-result) queries: (text, promoted doc_ids in order).
 PINNED_QUERIES: dict[str, tuple[str, list[int]]] = {
     "pn1": ("spark join filter", [42, 7]),
@@ -4114,6 +4152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "terms_enum": q_terms_enum,
+        "phrase_suggest": q_phrase_suggest,
         "field_sort": q_field_sort,
         "mget": q_mget,
         "sampler_terms": q_sampler_terms,
@@ -5835,6 +5875,45 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # terms enum: first N dictionary terms with a prefix.
+        "terms_enum": f"""
+WITH {TRANSCRIPTS_CTE},
+te AS (
+  SELECT DISTINCT term FROM tok WHERE term LIKE '{_ENUM_PREFIX}%'
+  ORDER BY term LIMIT {_ENUM_SIZE}
+)
+SELECT term, cast(row_number() OVER (ORDER BY term) AS int) AS rank FROM te
+""",
+        # phrase suggester: per-term fuzzy expansion cross product,
+        # collated by the shingle field's phrase document frequency.
+        "phrase_suggest": f"""
+WITH {TRANSCRIPTS_CTE},
+{SHINGLE_CTE},
+qp(query_id, pos, q_term) AS (VALUES {_phrase_suggest_values()}),
+expn AS (
+  SELECT qp.query_id, qp.pos, df.term,
+         row_number() OVER (PARTITION BY qp.query_id, qp.pos
+                            ORDER BY levenshtein(qp.q_term, df.term), df.term) AS rnk
+  FROM qp CROSS JOIN df
+  WHERE levenshtein(qp.q_term, df.term) <= {_PS_DIST}
+),
+kept AS (SELECT * FROM expn WHERE rnk <= {_PS_TOPN}),
+candps AS (
+  SELECT a.query_id, a.term || ' ' || b.term AS suggestion
+  FROM kept a JOIN kept b ON b.query_id = a.query_id AND a.pos = 1 AND b.pos = 2
+),
+scoredps AS (
+  SELECT c.query_id, c.suggestion, shdf.df AS df
+  FROM candps c JOIN shdf ON shdf.term = c.suggestion
+),
+rankedps AS (
+  SELECT query_id, suggestion, df,
+         row_number() OVER (PARTITION BY query_id ORDER BY df DESC, suggestion) AS rnk
+  FROM scoredps
+)
+SELECT query_id, cast(rnk AS int) AS rank, suggestion, df::BIGINT AS df
+FROM rankedps WHERE rnk <= {_PS_TOPK}
+""",
         # sort-by-field: OR-match candidates ordered by doc fields.
         "field_sort": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -915,6 +915,78 @@ def field_sort_search(queries_ds, index_dir: str, keys: tuple[str, str] = ("conv
     )
 
 
+# --- terms enum (dictionary paging) ------------------------------------------------
+
+
+def terms_enum(index_dir: str, prefix: str, size: int = 10) -> pd.DataFrame:
+    """ES ``_terms_enum`` API: the first ``size`` index terms with the
+    given prefix, lexicographic — the shared column-pruned dictionary
+    scan (segment term columns) with a pre-anchored prefix regex; only
+    the matched set (tiny) reaches the driver."""
+    m = _expand_regex_map(index_dir, {"_enum": "^" + re.escape(prefix)})
+    terms = m["_enum"][:size]
+    return pd.DataFrame({"term": pd.Series(terms, dtype=object),
+                         "rank": np.arange(1, len(terms) + 1, dtype=np.int32)})
+
+
+# --- phrase suggester ---------------------------------------------------------------
+
+
+def phrase_suggest(phrases: dict[str, str], shingle_index_dir: str, vocab_ds,
+                   max_dist: int = 2, topn: int = 3, top_k: int = 3) -> pd.DataFrame:
+    """ES phrase suggester: whole-phrase corrections for multi-word
+    typos. Per-term candidates come from the WORD vocabulary
+    (Levenshtein ≤ ``max_dist``, (dist asc, term asc) top-``topn`` — the
+    term-suggester contract); candidate PHRASES (the cross product of
+    per-term expansions) are then collated against the corpus by the
+    word-shingle field's document frequency — the real-phrase-frequency
+    signal ES's phrase suggester reads from its shingle subfield
+    (reference shingle_analyzer: elasticsearch_component_template.json:
+    20-29). Candidates whose shingle never occurs are pruned (ES
+    ``collate``); rank = shingle df desc, suggestion asc, top ``top_k``.
+
+    Scale shape: expansion streams the vocabulary Dataset; the shingle
+    df lookups are pruned posting point-reads for the (|candidates|)
+    cross-product terms — the corpus itself is never touched."""
+    from itertools import product
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import fuzzy_expand
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    all_terms = sorted({t for p in phrases.values() for t in p.lower().split()})
+    exp = fuzzy_expand(vocab_ds, all_terms, max_dist=max_dist, topn=topn).to_pandas()
+    by_term: dict[str, list[str]] = (
+        {} if exp.empty else exp.groupby("q_term")["term"].apply(list).to_dict()
+    )
+    cand_by_phrase: dict[str, list[str]] = {}
+    all_shingles: set[str] = set()
+    for qid, p in sorted(phrases.items()):
+        lists = [by_term.get(t, []) for t in p.lower().split()]
+        cands = [" ".join(c) for c in product(*lists)] if all(lists) else []
+        cand_by_phrase[qid] = cands
+        all_shingles.update(cands)
+    reader = IndexReader(shingle_index_dir)
+    postings = reader.load_postings(sorted(all_shingles))
+    df_map = {t: int(pp.doc_ids.size) for t, pp in postings.items()}
+    rows = []
+    for qid, cands in sorted(cand_by_phrase.items()):
+        scored = sorted(
+            ((c, df_map[c]) for c in set(cands) if df_map.get(c, 0) > 0),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for r, (c, d) in enumerate(scored[:top_k], 1):
+            rows.append({"query_id": qid, "rank": r, "suggestion": c, "df": d})
+    if not rows:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype=np.int32),
+                             "suggestion": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype=np.int64)})
+    out = pd.DataFrame(rows)
+    out["rank"] = out["rank"].astype(np.int32)
+    out["df"] = out["df"].astype(np.int64)
+    return out
+
+
 # --- multi-get (ids lookup) -------------------------------------------------------
 
 

@@ -728,3 +728,41 @@ def test_mget_found_and_missing(feat_index):
     assert got.loc[10**9, "found"] == 0
     assert got.loc[10**9, "conv_id"] == "" and got.loc[10**9, "turn_idx"] == -1
     assert got.loc[2, "conv_id"] == "conv-00000000" and got.loc[2, "turn_idx"] == 2
+
+
+# --- terms_enum / phrase_suggest --------------------------------------------------
+
+
+def test_terms_enum_prefix_and_order(feat_index):
+    out = sfeat.terms_enum(feat_index, "alpha", size=10)
+    # corpus words starting with "alpha": alpha, alphabet
+    assert out["term"].tolist() == ["alpha", "alphabet"]
+    assert out["rank"].tolist() == [1, 2]
+    assert len(sfeat.terms_enum(feat_index, "zzz", 5)) == 0
+    # size truncates the lexicographic head
+    one = sfeat.terms_enum(feat_index, "alpha", size=1)
+    assert one["term"].tolist() == ["alpha"]
+
+
+def test_phrase_suggest_collates_by_shingle_df(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+
+    texts = ["alpha beta song", "alpha beta dance", "alpha gamma once", "beta gamma"]
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0, "role": "user", "text": t,
+             "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+            for i, t in enumerate(texts)]
+    sh = str(tmp_path_factory.mktemp("ps") / "sh")
+    build_index("mem", sh, EngineConfig(num_partitions=2, analyzer=AnalyzerConfig(mode="shingle")),
+                transcripts_ds=rd.from_pandas(pd.DataFrame(rows)))
+    vocab = rd.from_pandas(pd.DataFrame(
+        {"term": ["alpha", "beta", "gamma", "song", "dance", "once"],
+         "df": [3, 3, 2, 1, 1, 1]}))
+    out = sfeat.phrase_suggest({"q": "alpah betta"}, sh, vocab, max_dist=2, topn=3, top_k=3)
+    # "alpha beta" occurs in 2 docs, "alpha gamma"/"beta gamma" in 1 each;
+    # expansion of "alpah"->{alpha}, "betta"->{beta, gamma? dist(betta,gamma)=4 no}
+    assert out.iloc[0]["suggestion"] == "alpha beta" and out.iloc[0]["df"] == 2
+    # a phrase with no expandable term yields nothing, not an error
+    none = sfeat.phrase_suggest({"q": "qqqqqqq zzzzzzz"}, sh, vocab)
+    assert len(none) == 0

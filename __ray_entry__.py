@@ -3697,6 +3697,19 @@ PHRASE_SUGGEST_QUERIES: dict[str, str] = {
 _PS_DIST, _PS_TOPN, _PS_TOPK = 2, 3, 3
 
 
+def q_temperature_mix(sf_dir: str):
+    """Training-data source mixing: inverse-sqrt (T=0.5) rebalancing
+    rates from per-source counts, one deterministic hash-sampling pass,
+    per-source audit (total, rate, sampled)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.sampling import temperature_mix
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return temperature_mix(ds, "doc_id", "source", salt="-mix")
+
+
 def q_terms_enum(sf_dir: str):
     """ES _terms_enum: first N index terms with a prefix, lexicographic,
     via the shared column-pruned segment term scan."""
@@ -4152,6 +4165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "temperature_mix": q_temperature_mix,
         "terms_enum": q_terms_enum,
         "phrase_suggest": q_phrase_suggest,
         "field_sort": q_field_sort,
@@ -5875,6 +5889,24 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # temperature source mix: inverse-sqrt rates + hash membership.
+        "temperature_mix": """
+WITH c AS (SELECT source, count(*)::BIGINT AS n_total FROM documents GROUP BY source),
+m AS (SELECT min(n_total) AS cmin FROM c),
+r AS (
+  SELECT c.source, c.n_total,
+         least(100, ceil(100.0 * sqrt(cast(m.cmin AS DOUBLE) / c.n_total)))::BIGINT AS rate_pct
+  FROM c, m
+),
+smp AS (
+  SELECT d.source, count(*)::BIGINT AS n_sampled
+  FROM documents d JOIN r ON r.source = d.source
+  WHERE md5_number_upper(cast(d.doc_id AS varchar) || '-mix') % 100 < r.rate_pct
+  GROUP BY d.source
+)
+SELECT r.source, r.n_total, r.rate_pct, coalesce(smp.n_sampled, 0)::BIGINT AS n_sampled
+FROM r LEFT JOIN smp ON smp.source = r.source
+""",
         # terms enum: first N dictionary terms with a prefix.
         "terms_enum": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -69,3 +69,65 @@ def stratified_hash_sample(ds, key: str, strata: str, rates: dict, salt: str = "
         return b.filter(pa.array(bucket < cut))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def inverse_sqrt_rates(counts: dict[str, int], max_pct: int = 100) -> dict[str, int]:
+    """Temperature-style source rebalancing rates (T = 0.5): the rarest
+    stratum keeps 100%, a stratum k× larger keeps ~100/sqrt(k)% — the
+    standard training-mix upweighting of rare sources, with integer
+    percent rates so membership stays hash-sampling exact. The formula
+    ``min(max, ceil(100 · sqrt(cmin / c)))`` uses only correctly-rounded
+    IEEE ops on the same inputs, so a SQL twin computes bit-identical
+    rates (no cross-source float sum whose order could flip a floor)."""
+    import math
+
+    if not counts:
+        return {}
+    cmin = min(counts.values())
+    return {
+        s: min(max_pct, math.ceil(100.0 * math.sqrt(cmin / c)))
+        for s, c in counts.items()
+    }
+
+
+def temperature_mix(ds, key: str, strata: str, salt: str = "") -> "object":
+    """End-to-end source mixing: per-stratum counts (tiny shuffle) →
+    inverse-sqrt rates → one deterministic hash-sampling pass → per-
+    stratum audit rows (stratum, n_total, rate_pct, n_sampled). The
+    corpus streams twice and never shuffles; the audit result is
+    strata-sized."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cpartial(b: pa.Table) -> pa.Table:
+        g = b.select([strata]).group_by(strata).aggregate([([], "count_all")])
+        return g.rename_columns([strata, "c_p"])
+
+    totals = (
+        ds.map_batches(cpartial, batch_format="pyarrow")
+        .groupby(strata)
+        .aggregate(Sum("c_p", alias_name="n_total"))
+        .to_pandas()
+    )
+    if totals.empty:  # empty Dataset loses columns on to_pandas
+        return pd.DataFrame({strata: pd.Series([], dtype=object),
+                             "n_total": pd.Series([], dtype=np.int64),
+                             "rate_pct": pd.Series([], dtype=np.int64),
+                             "n_sampled": pd.Series([], dtype=np.int64)})
+    counts = dict(zip(totals[strata], totals["n_total"].astype(int)))
+    rates = inverse_sqrt_rates(counts)
+    sampled = stratified_hash_sample(ds, key, strata, rates, salt=salt)
+    got = (
+        sampled.map_batches(cpartial, batch_format="pyarrow")
+        .groupby(strata)
+        .aggregate(Sum("c_p", alias_name="n_sampled"))
+        .to_pandas()
+    )
+    if got.empty:  # empty Dataset loses columns on to_pandas
+        got = pd.DataFrame({strata: pd.Series([], dtype=object),
+                            "n_sampled": pd.Series([], dtype=np.int64)})
+    out = totals.merge(got, on=strata, how="left")
+    out["n_sampled"] = out["n_sampled"].fillna(0).astype(np.int64)
+    out["n_total"] = out["n_total"].astype(np.int64)
+    out["rate_pct"] = out[strata].map(rates).astype(np.int64)
+    return out[[strata, "n_total", "rate_pct", "n_sampled"]]

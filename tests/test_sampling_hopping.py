@@ -78,3 +78,39 @@ def test_hopping_window_keys_vector_shape():
         assert s <= t_s[r] < s + 1000
     with pytest.raises(ValueError):
         hopping_window_keys(ts_us, window_s=1000, hop_s=300)
+
+
+def test_inverse_sqrt_rates_formula():
+    from hybrid_sanctions_search_engine_ray.stages.sampling import inverse_sqrt_rates
+
+    rates = inverse_sqrt_rates({"a": 100, "b": 400, "c": 10000})
+    # rarest keeps 100%; 4x larger -> ceil(50); 100x larger -> ceil(10)
+    assert rates == {"a": 100, "b": 50, "c": 10}
+    assert inverse_sqrt_rates({}) == {}
+    # a single stratum keeps everything
+    assert inverse_sqrt_rates({"only": 7}) == {"only": 100}
+
+
+def test_temperature_mix_counts(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.sampling import (
+        _bucket100,
+        inverse_sqrt_rates,
+        temperature_mix,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "source": ["rare"] * 20 + ["big"] * 480,
+    })
+    out = temperature_mix(rd.from_pandas(df), "doc_id", "source", salt="-t")
+    got = out.set_index("source")
+    rates = inverse_sqrt_rates({"rare": 20, "big": 480})
+    assert got.loc["rare", "rate_pct"] == rates["rare"] == 100
+    assert got.loc["big", "rate_pct"] == rates["big"]
+    assert got.loc["rare", "n_sampled"] == 20      # 100% of the rare stratum
+    # brute-force the hash membership for the big stratum
+    big_ids = df.loc[df.source == "big", "doc_id"].tolist()
+    want = int((_bucket100(big_ids, "-t") < rates["big"]).sum())
+    assert got.loc["big", "n_sampled"] == want

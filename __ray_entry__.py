@@ -3697,6 +3697,23 @@ PHRASE_SUGGEST_QUERIES: dict[str, str] = {
 _PS_DIST, _PS_TOPN, _PS_TOPK = 2, 3, 3
 
 
+def q_sig_text(sf_dir: str):
+    """ES significant_text under a sampler: JLH-overrepresented terms
+    with the FOREGROUND limited to the top-N BM25 hits (the canonical
+    ES pairing — significant_text inside a sampler agg)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import significant_terms
+
+    index_dir = _ensure_index(sf_dir)
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return significant_terms(index_dir, _SAMPLER_QUERY, corpus,
+                             analyzer_cfg=_engine_cfg().analyzer, top_n=10, min_fg=2,
+                             sample_size=_SAMPLER_SIZE)
+
+
 def q_temperature_mix(sf_dir: str):
     """Training-data source mixing: inverse-sqrt (T=0.5) rebalancing
     rates from per-source counts, one deterministic hash-sampling pass,
@@ -4165,6 +4182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "sig_text": q_sig_text,
         "temperature_mix": q_temperature_mix,
         "terms_enum": q_terms_enum,
         "phrase_suggest": q_phrase_suggest,
@@ -5889,6 +5907,38 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # significant_text under a sampler: JLH with fg = top-N BM25 hits.
+        "sig_text": f"""
+WITH {TRANSCRIPTS_CTE},
+qsam(term) AS (VALUES {_sampler_qterms_values()}),
+sscores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qsam q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+fg AS (SELECT doc_id FROM sscores ORDER BY score DESC, doc_id LIMIT {_SAMPLER_SIZE}),
+fsz AS (SELECT count(*)::DOUBLE AS f FROM fg),
+fgdf AS (
+  SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS fg_df
+  FROM tf JOIN fg ON fg.doc_id = tf.doc_id GROUP BY tf.term),
+j AS (
+  SELECT f.term, f.fg_df, d.df AS bg_df,
+         round(((f.fg_df / fs.f) - (d.df::DOUBLE / s.n_docs))
+               * ((f.fg_df / fs.f) / (d.df::DOUBLE / s.n_docs)), 4) AS jlh
+  FROM fgdf f JOIN df d ON d.term = f.term CROSS JOIN fsz fs CROSS JOIN stats s
+  WHERE f.fg_df >= 2),
+rankedj AS (
+  SELECT term, fg_df, bg_df, jlh,
+         row_number() OVER (ORDER BY jlh DESC, term) AS rn
+  FROM j)
+SELECT term, fg_df, bg_df, jlh FROM rankedj WHERE rn <= 10
+""",
         # temperature source mix: inverse-sqrt rates + hash membership.
         "temperature_mix": """
 WITH c AS (SELECT source, count(*)::BIGINT AS n_total FROM documents GROUP BY source),

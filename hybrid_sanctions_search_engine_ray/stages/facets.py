@@ -102,7 +102,7 @@ def search_facets(index_dir: str, query_text: str, meta_ds, facet_col: str,
 
 def significant_terms(index_dir: str, query_text: str, corpus_ds,
                       analyzer_cfg=None, top_n: int = 10, min_fg: int = 2,
-                      reader=None) -> pd.DataFrame:
+                      reader=None, sample_size: int | None = None) -> pd.DataFrame:
     """ES significant_terms aggregation: terms OVERREPRESENTED in the
     query's matching-doc set vs the whole corpus, scored with the JLH
     heuristic ``(fg% − bg%) · (fg% / bg%)``.
@@ -122,7 +122,17 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
 
     cfg = analyzer_cfg or AnalyzerConfig()
     r = reader or IndexReader(index_dir)
-    ids = matching_doc_ids(r, query_text)
+    if sample_size is not None:
+        # ES significant_text-under-sampler shape: the foreground is the
+        # top-``sample_size`` BM25 hits, not the full matching set
+        from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
+
+        terms = sorted(set(r.analyzer(query_text)))
+        d, s = score_all(list(r.load_postings(terms).values()))
+        dk, _ = topk_desc(d, s, sample_size)
+        ids = np.sort(dk.astype(np.int64))
+    else:
+        ids = matching_doc_ids(r, query_text)
     n_docs = int(r.manifest.n_docs)
     f_size = int(ids.size)
     if f_size == 0:

@@ -153,3 +153,32 @@ def test_sampler_terms_counts_only_sample(ray_session, tmp_path):
     # zero-hit query -> empty frame with schema
     empty = sampler_terms(idx, "qqqmissing", corpus, analyzer_cfg=AnalyzerConfig())
     assert len(empty) == 0 and list(empty.columns) == ["term", "doc_count", "rank"]
+
+
+def test_significant_terms_sampled_foreground(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.stages.facets import significant_terms
+
+    # docs 0-3 match "alpha"; doc 0-1 carry the marker term "special"
+    texts = ["alpha special", "alpha special", "alpha plain", "alpha plain plain",
+             "other words", "other stuff"]
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0, "role": "user", "text": t,
+             "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+            for i, t in enumerate(texts)]
+    idx = str(tmp_path / "idx")
+    build_index("mem", idx, EngineConfig(num_partitions=2),
+                transcripts_ds=rd.from_pandas(pd.DataFrame(rows)))
+    corpus = rd.from_pandas(pd.DataFrame({"doc_id": range(6), "text": texts}))
+    # sample_size=2: fg = the 2 best "alpha" hits = the shortest alpha docs
+    # (highest BM25 for equal tf) -> docs 0,1 -> "special" has fg_df 2
+    out = significant_terms(idx, "alpha", corpus, analyzer_cfg=AnalyzerConfig(),
+                            top_n=5, min_fg=2, sample_size=2)
+    got = out.set_index("term")
+    assert got.loc["special", "fg_df"] == 2 and got.loc["special", "bg_df"] == 2
+    # full-candidate mode still sees all 4 alpha docs
+    full = significant_terms(idx, "alpha", corpus, analyzer_cfg=AnalyzerConfig(),
+                             top_n=5, min_fg=2)
+    assert full.set_index("term").loc["alpha", "fg_df"] == 4

@@ -3697,6 +3697,50 @@ PHRASE_SUGGEST_QUERIES: dict[str, str] = {
 _PS_DIST, _PS_TOPN, _PS_TOPK = 2, 3, 3
 
 
+def q_geo_mean(sf_dir: str):
+    """ES scripted_metric aggregation instantiated as a geometric mean
+    per event_type: map script emits (Σln v, n) partial state, declared
+    sum-mergeable, reduce script computes exp(Σln/n)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import scripted_metric
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    def map_script(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({"event_type": b["event_type"],
+                      "s_ln": pa.array(np.log(v)),
+                      "n": pa.array(np.ones(v.size, np.int64))})
+        g = t.group_by("event_type").aggregate([("s_ln", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "s_ln", "n"])
+
+    def reduce_script(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n": b["n"].astype(np.int64),
+            "geo_mean": _round4(np.exp(b["s_ln"].to_numpy() / b["n"].to_numpy())),
+        })
+
+    return scripted_metric(ds, "event_type", map_script,
+                           {"s_ln": "sum", "n": "sum"}, reduce_script)
+
+
+def q_cum_cardinality(sf_dir: str):
+    """ES cumulative_cardinality pipeline agg, exact: running distinct
+    users per day bucket (first-seen shuffle over distinct keys only)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import cumulative_cardinality
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return cumulative_cardinality(ds, "user_id", "ts", 86400)
+
+
 def q_sig_text(sf_dir: str):
     """ES significant_text under a sampler: JLH-overrepresented terms
     with the FOREGROUND limited to the top-N BM25 hits (the canonical
@@ -4182,6 +4226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "geo_mean": q_geo_mean,
+        "cum_cardinality": q_cum_cardinality,
         "sig_text": q_sig_text,
         "temperature_mix": q_temperature_mix,
         "terms_enum": q_terms_enum,
@@ -5907,6 +5953,29 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # scripted_metric instance: geometric mean via exp(sum(ln)/n).
+        "geo_mean": """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(exp(sum(ln(value)) / count(*)), 4) AS geo_mean
+FROM events GROUP BY event_type
+""",
+        # cumulative_cardinality: running distinct users per day bucket.
+        "cum_cardinality": """
+WITH fu AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS b FROM events GROUP BY user_id
+),
+nb AS (SELECT b AS bucket, count(*)::BIGINT AS new_keys FROM fu GROUP BY b),
+bounds AS (SELECT min(epoch_us(ts) // 86400000000) AS mn,
+                  max(epoch_us(ts) // 86400000000) AS mx FROM events),
+fs AS (
+  SELECT g.bucket, coalesce(nb.new_keys, 0)::BIGINT AS new_keys
+  FROM (SELECT unnest(generate_series((SELECT mn FROM bounds), (SELECT mx FROM bounds))) AS bucket) g
+  LEFT JOIN nb ON nb.bucket = g.bucket
+)
+SELECT bucket, new_keys,
+       (sum(new_keys) OVER (ORDER BY bucket))::BIGINT AS cum_keys
+FROM fs
+""",
         # significant_text under a sampler: JLH with fg = top-N BM25 hits.
         "sig_text": f"""
 WITH {TRANSCRIPTS_CTE},

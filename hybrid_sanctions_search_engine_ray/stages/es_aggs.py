@@ -304,3 +304,87 @@ def bucket_pipeline(events_ds, ts_col: str = "ts", bucket_s: int = 86400,
     df = df.reset_index(drop=True)
     df["doc_count"] = df["doc_count"].astype(np.int64)
     return df[["bucket", "doc_count", "avg_value"]]
+
+
+def scripted_metric(ds, key: str, map_script, state: dict[str, str], reduce_script):
+    """ES ``scripted_metric`` aggregation: user code at both ends of the
+    partial-aggregation contract. ``map_script(batch: pa.Table) ->
+    pa.Table`` emits per-batch partial state rows ``[key, *state]``;
+    ``state`` declares how each column merges across batches/partitions
+    ('sum' | 'min' | 'max' — the mergeable-state requirement ES's
+    combine_script fills with user code; here it is declared so the
+    merge can run as a Ray groupby aggregate, never on the driver);
+    ``reduce_script(df: pd.DataFrame) -> pd.DataFrame`` turns merged
+    state into result columns. The shuffle carries only state rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    mk = {"sum": Sum, "min": Min, "max": Max}
+    aggs = []
+    for col, how in state.items():
+        if how not in mk:
+            raise ValueError(f"unknown merge '{how}' for state column '{col}'")
+        aggs.append(mk[how](col, alias_name=col))
+    combined = (
+        ds.map_batches(map_script, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(*aggs)
+    )
+    return combined.map_batches(reduce_script, batch_format="pandas")
+
+
+def cumulative_cardinality(events_ds, key: str = "user_id", ts_col: str = "ts",
+                           bucket_s: int = 86400) -> pd.DataFrame:
+    """ES ``cumulative_cardinality`` pipeline agg, EXACT: per date bucket
+    the running count of distinct keys ever seen. Shape: per-batch
+    (key, min bucket) partials → one narrow shuffle over distinct keys
+    (groupby Min — the unavoidable exact-distinct exchange, carrying two
+    ints per key) → bucket-sized first-seen counts → driver gap-fill +
+    cumsum. ES computes this approximately from per-bucket HLL sketches;
+    this is the deterministic exact form (`functions/sketches.py` HLL is
+    the approximate alternative when keys don't fit a shuffle)."""
+    from ray.data.aggregate import Min, Sum
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({key: b[key], "b": pa.array(us // div, pa.int64())})
+        return t.group_by(key).aggregate([("b", "min")]).rename_columns([key, "b"])
+
+    first_seen = (
+        events_ds.map_batches(first_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Min("b", alias_name="first_b"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["first_b"]).group_by("first_b").aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "c_p"])
+
+    nb = (
+        first_seen.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_p", alias_name="new_keys"))
+        .to_pandas()
+    )
+    if nb.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "new_keys": pd.Series([], dtype=np.int64),
+                             "cum_keys": pd.Series([], dtype=np.int64)})
+
+    # the series spans the parent date_histogram's FULL bucket range
+    # (ES emits every histogram bucket, flat cum across no-new-key days)
+    def mm(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64())
+        return pa.table({"mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    bounds = events_ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo, hi = int(bounds["mn"].min()) // int(div), int(bounds["mx"].max()) // int(div)
+    nb = nb.sort_values("bucket", kind="mergesort")
+    b = nb["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(lo, hi + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    n[b - lo] = nb["new_keys"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"bucket": full, "new_keys": n,
+                         "cum_keys": np.cumsum(n).astype(np.int64)})

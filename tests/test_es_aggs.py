@@ -117,3 +117,40 @@ def test_bucket_pipeline_selector_filters(events_df):
     out = es_aggs.bucket_pipeline(_ds(events_df), "ts", 86400, "value",
                                   min_count=10**9, top=3)
     assert len(out) == 0
+
+
+def test_scripted_metric_geo_mean(events_df):
+    import pyarrow as pa
+
+    def map_script(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({"event_type": b["event_type"],
+                      "s_ln": pa.array(np.log(v + 1.0)),
+                      "n": pa.array(np.ones(v.size, np.int64))})
+        return t.group_by("event_type").aggregate([("s_ln", "sum"), ("n", "sum")]
+                                                  ).rename_columns(["event_type", "s_ln", "n"])
+
+    def reduce_script(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "gm": np.exp(b["s_ln"].to_numpy() / b["n"].to_numpy())})
+
+    out = es_aggs.scripted_metric(_ds(events_df), "event_type", map_script,
+                                  {"s_ln": "sum", "n": "sum"}, reduce_script).to_pandas()
+    for _, r in out.iterrows():
+        v = events_df.loc[events_df.event_type == r["event_type"], "value"].to_numpy()
+        want = np.exp(np.log(v + 1.0).mean())
+        assert abs(r["gm"] - want) < 1e-9
+    with pytest.raises(ValueError):
+        es_aggs.scripted_metric(_ds(events_df), "event_type", map_script,
+                                {"s_ln": "avg"}, reduce_script)
+
+
+def test_cumulative_cardinality_exact(ray_session):
+    # user 1 first on day0, user 2 on day0, user 3 on day2; events span day0-3
+    days = [0, 0, 1, 2, 3]
+    users = [1, 2, 1, 3, 2]
+    ts = (pd.to_datetime("2026-01-01") + pd.to_timedelta(days, unit="D")).astype("datetime64[us]")
+    ds = _ds(pd.DataFrame({"user_id": np.array(users, np.int64), "ts": ts}))
+    out = es_aggs.cumulative_cardinality(ds, "user_id", "ts", 86400)
+    assert out["new_keys"].tolist() == [2, 0, 1, 0]
+    assert out["cum_keys"].tolist() == [2, 2, 3, 3]

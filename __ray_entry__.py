@@ -199,6 +199,14 @@ SPAN_QUERIES: list[dict] = [
     {"query_id": "sn4", "query_text": "slow order", "slop": 2},
 ]
 
+# unordered span_near queries: term pairs given in REVERSED document
+# order, so in_order matching would miss what unordered must find.
+SPANU_QUERIES: list[dict] = [
+    {"query_id": "su1", "query_text": "join window", "slop": 1},
+    {"query_id": "su2", "query_text": "scan customer", "slop": 0},
+    {"query_id": "su3", "query_text": "batch merge", "slop": 2},
+]
+
 # dis_max queries: two clauses, best-clause + tie_breaker × rest
 DISMAX_QUERIES: list[dict] = [
     {"query_id": "dm1", "clause_a": "spark join", "clause_b": "customer table"},
@@ -3576,6 +3584,19 @@ def q_span_near(sf_dir: str):
     return _finish_scores(span_near_search(qs, index_dir, _engine_cfg()))
 
 
+def q_span_near_unordered(sf_dir: str):
+    """ES span_near with in_order=false: minimal covering window width
+    − n_terms ≤ slop (Lucene's unordered rule); pairs are given in
+    reversed document order so ordered matching would miss them."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import span_near_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in SPANU_QUERIES])
+    return _finish_scores(span_near_search(qs, index_dir, _engine_cfg(), in_order=False))
+
+
 def q_dis_max(sf_dir: str):
     """ES dis_max: best clause score + tie_breaker × the others (the
     multi_match best_fields combinator)."""
@@ -4223,6 +4244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "knn_filtered": q_knn_filtered,
         "span_near": q_span_near,
+        "span_near_unordered": q_span_near_unordered,
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
@@ -4489,6 +4511,29 @@ def _span_matches_sql() -> str:
 def _span_qterms_values() -> str:
     rows = []
     for q in SPAN_QUERIES:
+        for term in sorted(set(q["query_text"].lower().split())):
+            rows.append(f"('{q['query_id']}', '{term}')")
+    return ", ".join(rows)
+
+
+def _spanu_matches_sql() -> str:
+    """Per-query unordered pair match: |pos_a − pos_b| ≤ slop + 1 (the
+    2-term form of width − n ≤ slop), one SELECT per query, unioned."""
+    selects = []
+    for q in SPANU_QUERIES:
+        t1, t2 = q["query_text"].lower().split()
+        selects.append(
+            f"SELECT DISTINCT '{q['query_id']}' AS query_id, a.doc_id AS doc_id "
+            f"FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id "
+            f"WHERE a.term = '{t1}' AND b.term = '{t2}' "
+            f"AND abs(a.pos - b.pos) <= {q['slop']} + 1"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _spanu_qterms_values() -> str:
+    rows = []
+    for q in SPANU_QUERIES:
         for term in sorted(set(q["query_text"].lower().split())):
             rows.append(f"('{q['query_id']}', '{term}')")
     return ", ".join(rows)
@@ -5944,6 +5989,21 @@ WITH {TRANSCRIPTS_CTE},
 qterms(query_id, term) AS (VALUES {_span_qterms_values()}),
 {_BM25_SCORES_CTE},
 matches AS ({_span_matches_sql()}),
+rankedp AS (
+  SELECT m.query_id, m.doc_id, s.score,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id) AS rnk
+  FROM matches m JOIN scores s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedp WHERE rnk <= {BM25_TOP_K}
+""",
+        # unordered span_near: |pos_a − pos_b| ≤ slop + 1 for 2-term spans.
+        "span_near_unordered": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+qterms(query_id, term) AS (VALUES {_spanu_qterms_values()}),
+{_BM25_SCORES_CTE},
+matches AS ({_spanu_matches_sql()}),
 rankedp AS (
   SELECT m.query_id, m.doc_id, s.score,
          row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id) AS rnk

@@ -634,17 +634,74 @@ def adjacency_matrix(index_dir: str, filters: dict[str, str]) -> pd.DataFrame:
 # --- span_near (in-order proximity) ------------------------------------------
 
 
-class SpanNearScorer:
-    """ES ``span_near`` (``in_order: true``): docs containing every query
-    term in order with each consecutive positional gap ≤ ``slop``
-    (slop 0 = exact phrase). Candidates are the intersection of the
-    terms' posting doc lists; survivors rank by the BM25 score of the
-    terms — exactly the phrase tier's contract with a proximity window."""
+def _unordered_match_mask(reader: IndexReader, want: list[str], cand: np.ndarray,
+                          slop: int) -> np.ndarray:
+    """ES ``span_near`` with ``in_order: false``: the doc matches iff its
+    MINIMAL position window containing one occurrence of every distinct
+    term satisfies ``width − n_terms ≤ slop`` (Lucene's unordered-span
+    slop rule). Classic minimum-covering-window sweep over the merged
+    per-term position lists of each candidate — O(positions) per doc,
+    candidates only."""
+    uniq = sorted(set(want))
+    postings = reader.load_postings(uniq)
+    out = np.zeros(cand.size, dtype=bool)
+    if len(postings) < len(uniq) or not uniq:
+        return out
+    member = np.ones(cand.size, dtype=bool)
+    for t in uniq:
+        member &= _sorted_member(postings[t].doc_ids, cand.astype(np.uint64))
+    pos = {t: reader.load_positions(t) for t in uniq}
+    if any(p is None for p in pos.values()):
+        raise ValueError("positional matching requires an index built with store_positions=True")
+    nt = len(uniq)
+    for i in np.flatnonzero(member):
+        d = cand[i]
+        arrs: list[np.ndarray] = []
+        codes: list[np.ndarray] = []
+        for ci, t in enumerate(uniq):
+            doc_ids, offsets, flat = pos[t]
+            at = int(np.searchsorted(doc_ids, d))
+            p_t = flat[offsets[at]: offsets[at + 1]].astype(np.int64)
+            arrs.append(p_t)
+            codes.append(np.full(p_t.size, ci, dtype=np.int64))
+        ps = np.concatenate(arrs)
+        cs = np.concatenate(codes)
+        order = np.argsort(ps, kind="mergesort")
+        ps, cs = ps[order], cs[order]
+        counts = np.zeros(nt, dtype=np.int64)
+        covered, lo, best = 0, 0, None
+        for hi in range(ps.size):
+            counts[cs[hi]] += 1
+            if counts[cs[hi]] == 1:
+                covered += 1
+            while covered == nt:
+                w = int(ps[hi] - ps[lo] + 1)
+                best = w if best is None or w < best else best
+                counts[cs[lo]] -= 1
+                if counts[cs[lo]] == 0:
+                    covered -= 1
+                lo += 1
+        if best is not None and best - nt <= slop:
+            out[i] = True
+    return out
 
-    def __init__(self, index_dir: str, default_slop: int = 2, default_top_k: int = 10):
+
+class SpanNearScorer:
+    """ES ``span_near``: docs containing every query term within a
+    proximity window. ``in_order=True`` (default) requires the terms in
+    order with each consecutive positional gap ≤ ``slop`` (slop 0 =
+    exact phrase); ``in_order=False`` uses Lucene's unordered rule —
+    minimal covering window width − n_terms ≤ ``slop``. Candidates are
+    the intersection of the terms' posting doc lists; survivors rank by
+    the BM25 score of the terms — exactly the phrase tier's contract
+    with a proximity window."""
+
+    def __init__(self, index_dir: str, default_slop: int = 2, default_top_k: int = 10,
+                 in_order: bool = True):
         self.reader = IndexReader(index_dir)
         self.default_slop = default_slop
         self.default_top_k = default_top_k
+        self.in_order = in_order
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         union: set[str] = set()
@@ -670,7 +727,10 @@ class SpanNearScorer:
             cand = reduce(np.intersect1d, [postings[t].doc_ids for t in uniq]).astype(np.int64)
             if cand.size == 0:
                 continue
-            hit = _phrase_match_mask(self.reader, want, cand, slop=slop)
+            if self.in_order:
+                hit = _phrase_match_mask(self.reader, want, cand, slop=slop)
+            else:
+                hit = _unordered_match_mask(self.reader, want, cand, slop=slop)
             m = cand[hit].astype(np.uint64)
             if m.size == 0:
                 continue
@@ -687,12 +747,13 @@ class SpanNearScorer:
         return _result_frame(qids, ranks, docs_out, scores_out)
 
 
-def span_near_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+def span_near_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG,
+                     in_order: bool = True):
     """span_near over a positional index; queries carry (query_id,
     query_text, slop[, top_k])."""
     return queries_ds.map_batches(
         SpanNearScorer,
-        fn_constructor_args=(index_dir, 2, cfg.top_k),
+        fn_constructor_args=(index_dir, 2, cfg.top_k, in_order),
         batch_format="pandas",
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,

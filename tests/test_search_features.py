@@ -766,3 +766,36 @@ def test_phrase_suggest_collates_by_shingle_df(tmp_path_factory, ray_session):
     # a phrase with no expandable term yields nothing, not an error
     none = sfeat.phrase_suggest({"q": "qqqqqqq zzzzzzz"}, sh, vocab)
     assert len(none) == 0
+
+
+def test_span_near_unordered_semantics(feat_index):
+    scorer = sfeat.SpanNearScorer(feat_index, in_order=False)
+    # "gamma alpha": in REVERSED doc order everywhere; unordered must match
+    # wherever the minimal window width - 2 <= slop
+    for slop, want_docs in ((0, {1, 4}), (1, {0, 1, 2, 4})):
+        out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["gamma alpha"],
+                                   "slop": [slop], "top_k": [10]}))
+        brute = set()
+        for d, t in enumerate(TEXTS):
+            pa_, pg = _positions(t, "alpha"), _positions(t, "gamma")
+            if pa_ and pg and min(abs(p - q) for p in pa_ for q in pg) - 1 <= slop:
+                brute.add(d)
+        assert set(out["doc_id"].tolist()) == brute == want_docs, (slop, brute)
+
+
+def test_span_near_unordered_three_terms_window(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    texts = ["alpha xx beta gamma", "gamma yy alpha zz zz beta"]
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0, "role": "user", "text": t,
+             "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+            for i, t in enumerate(texts)]
+    idx = str(tmp_path_factory.mktemp("spu") / "idx")
+    build_index("mem", idx, CFG, transcripts_ds=rd.from_pandas(pd.DataFrame(rows)),
+                store_positions=True)
+    scorer = sfeat.SpanNearScorer(idx, in_order=False)
+    # doc0 window [0,3] width 4 -> slack 1; doc1 window [0,5] width 6 -> slack 3
+    for slop, want in ((0, set()), (1, {0}), (3, {0, 1})):
+        out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma alpha"],
+                                   "slop": [slop], "top_k": [10]}))
+        assert set(out["doc_id"].tolist()) == want, (slop, set(out["doc_id"]))

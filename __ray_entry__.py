@@ -534,13 +534,7 @@ def _sampler_qterms_values() -> str:
 
 
 def _mm_word_values() -> str:
-    from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_simple
-
-    rows = []
-    for qid, text in MULTI_MATCH_QUERIES.items():
-        for term in sorted(set(tokenize_simple(text))):
-            rows.append(f"('{qid}', '{term}')")
-    return ", ".join(rows)
+    return _simple_qterms_values(MULTI_MATCH_QUERIES)
 
 
 def _mm_shingle_values() -> str:

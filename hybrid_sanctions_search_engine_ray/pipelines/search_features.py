@@ -637,12 +637,17 @@ def adjacency_matrix(index_dir: str, filters: dict[str, str]) -> pd.DataFrame:
 def _unordered_match_mask(reader: IndexReader, want: list[str], cand: np.ndarray,
                           slop: int) -> np.ndarray:
     """ES ``span_near`` with ``in_order: false``: the doc matches iff its
-    MINIMAL position window containing one occurrence of every distinct
-    term satisfies ``width − n_terms ≤ slop`` (Lucene's unordered-span
-    slop rule). Classic minimum-covering-window sweep over the merged
-    per-term position lists of each candidate — O(positions) per doc,
+    MINIMAL position window containing one occurrence of EVERY span
+    clause satisfies ``width − n_clauses ≤ slop`` (Lucene's
+    unordered-span slop rule). A repeated query term is a repeated
+    clause: it needs that many DISTINCT positions inside the window.
+    Classic minimum-covering-window sweep with multiplicities over the
+    merged per-term position lists of each candidate — O(positions) per doc,
     candidates only."""
+    from collections import Counter
+
     uniq = sorted(set(want))
+    need_by_term = Counter(want)
     postings = reader.load_postings(uniq)
     out = np.zeros(cand.size, dtype=bool)
     if len(postings) < len(uniq) or not uniq:
@@ -654,6 +659,8 @@ def _unordered_match_mask(reader: IndexReader, want: list[str], cand: np.ndarray
     if any(p is None for p in pos.values()):
         raise ValueError("positional matching requires an index built with store_positions=True")
     nt = len(uniq)
+    need = np.array([need_by_term[t] for t in uniq], dtype=np.int64)
+    n_clauses = len(want)
     for i in np.flatnonzero(member):
         d = cand[i]
         arrs: list[np.ndarray] = []
@@ -672,16 +679,16 @@ def _unordered_match_mask(reader: IndexReader, want: list[str], cand: np.ndarray
         covered, lo, best = 0, 0, None
         for hi in range(ps.size):
             counts[cs[hi]] += 1
-            if counts[cs[hi]] == 1:
+            if counts[cs[hi]] == need[cs[hi]]:
                 covered += 1
             while covered == nt:
                 w = int(ps[hi] - ps[lo] + 1)
                 best = w if best is None or w < best else best
                 counts[cs[lo]] -= 1
-                if counts[cs[lo]] == 0:
+                if counts[cs[lo]] == need[cs[lo]] - 1:
                     covered -= 1
                 lo += 1
-        if best is not None and best - nt <= slop:
+        if best is not None and best - n_clauses <= slop:
             out[i] = True
     return out
 
@@ -928,8 +935,15 @@ class FieldSortScorer:
                  default_top_k: int = 10):
         self.reader = IndexReader(index_dir)
         self.keys = keys
-        self.dm_ids, self.dm_k1 = _load_docmap_key(index_dir, keys[0])
-        _, self.dm_k2 = _load_docmap_key(index_dir, keys[1])
+        # one docmap read for doc_id + both sort-key columns
+        dm = pads.dataset(os.path.join(index_dir, "docmap.parquet")).to_table(
+            columns=["doc_id", *keys]
+        )
+        ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        self.dm_ids = ids[order]
+        self.dm_k1 = dm[keys[0]].take(pa.array(order)).to_numpy(zero_copy_only=False)
+        self.dm_k2 = dm[keys[1]].take(pa.array(order)).to_numpy(zero_copy_only=False)
         self.default_top_k = default_top_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -939,10 +953,10 @@ class FieldSortScorer:
         self.reader.load_postings(sorted(union))
         top_ks = batch["top_k"] if "top_k" in batch.columns else None
         frames: list[pd.DataFrame] = []
+        from hybrid_sanctions_search_engine_ray.stages.facets import matching_doc_ids
+
         for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
             k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
-            from hybrid_sanctions_search_engine_ray.stages.facets import matching_doc_ids
-
             docs = matching_doc_ids(self.reader, qtext).astype(np.int64)
             if docs.size == 0:
                 continue
@@ -1062,9 +1076,9 @@ def mget(index_dir: str, ids: list[int]) -> pd.DataFrame:
         filter=pads.field("doc_id").isin(want),
     ).to_pandas()
     out = pd.DataFrame({"doc_id": pd.Series(want, dtype=np.int64)}).merge(
-        dm, on="doc_id", how="left"
+        dm, on="doc_id", how="left", indicator=True
     )
-    out["found"] = out["conv_id"].notna().astype(np.int64)
+    out["found"] = (out["_merge"] == "both").astype(np.int64)
     out["conv_id"] = out["conv_id"].fillna("").astype(object)
     out["turn_idx"] = out["turn_idx"].fillna(-1).astype(np.int64)
     return out[["doc_id", "found", "conv_id", "turn_idx"]]
@@ -1086,6 +1100,13 @@ def pinned_search(queries: dict[str, tuple[str, list[int]]], index_dir: str,
 
     from hybrid_sanctions_search_engine_ray.pipelines.query import search
 
+    # ES can only promote documents that exist: drop unknown pinned ids
+    # (one pruned docmap point-read over the tiny union of pins)
+    all_pins = sorted({int(d) for _, pins in queries.values() for d in pins})
+    if all_pins:
+        known = set(mget(index_dir, all_pins).query("found == 1")["doc_id"].tolist())
+        queries = {qid: (text, [d for d in pins if int(d) in known])
+                   for qid, (text, pins) in queries.items()}
     max_p = max((len(p) for _, p in queries.values()), default=0)
     items = [
         {"query_id": qid, "query_text": text, "top_k": top_k + max_p}

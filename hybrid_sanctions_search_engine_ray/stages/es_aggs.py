@@ -137,9 +137,14 @@ def welch_t_test(ds, key: str, col: str, group_a, group_b) -> pd.DataFrame:
     stats = {}
     for _, r in agg.iterrows():
         n, s, sq = int(r["n"]), float(r["s"]), float(r["sq"])
+        if n < 2:
+            raise ValueError(f"t_test group {r[key]!r} has {n} row(s); needs >= 2")
         mean = s / n
         var = (sq - s * s / n) / (n - 1)
         stats[r[key]] = (n, mean, var)
+    for g in (group_a, group_b):
+        if g not in stats:
+            raise ValueError(f"t_test group {g!r} not present in column {key!r}")
     na, ma, va = stats[group_a]
     nb, mb, vb = stats[group_b]
     se2 = va / na + vb / nb
@@ -342,20 +347,23 @@ def cumulative_cardinality(events_ds, key: str = "user_id", ts_col: str = "ts",
     cumsum. ES computes this approximately from per-bucket HLL sketches;
     this is the deterministic exact form (`functions/sketches.py` HLL is
     the approximate alternative when keys don't fit a shuffle)."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     div = np.int64(bucket_s) * 1_000_000
 
     def first_partial(b: pa.Table) -> pa.Table:
         us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        t = pa.table({key: b[key], "b": pa.array(us // div, pa.int64())})
-        return t.group_by(key).aggregate([("b", "min")]).rename_columns([key, "b"])
+        t = pa.table({key: b[key],
+                      "b": pa.array(us // div, pa.int64()),
+                      "b2": pa.array(us // div, pa.int64())})
+        g = t.group_by(key).aggregate([("b", "min"), ("b2", "max")])
+        return g.rename_columns([key, "b", "b2"])
 
     first_seen = (
         events_ds.map_batches(first_partial, batch_format="pyarrow")
         .groupby(key)
-        .aggregate(Min("b", alias_name="first_b"))
-    )
+        .aggregate(Min("b", alias_name="first_b"), Max("b2", alias_name="last_b"))
+    ).materialize()  # consumed twice below (counts + bounds); key-sized, not corpus-sized
 
     def count_partial(b: pa.Table) -> pa.Table:
         g = b.select(["first_b"]).group_by("first_b").aggregate([([], "count_all")])
@@ -373,14 +381,11 @@ def cumulative_cardinality(events_ds, key: str = "user_id", ts_col: str = "ts",
                              "cum_keys": pd.Series([], dtype=np.int64)})
 
     # the series spans the parent date_histogram's FULL bucket range
-    # (ES emits every histogram bucket, flat cum across no-new-key days)
-    def mm(b: pa.Table) -> pa.Table:
-        us = b[ts_col].cast(pa.int64())
-        return pa.table({"mn": pa.array([pc.min(us).as_py()], pa.int64()),
-                         "mx": pa.array([pc.max(us).as_py()], pa.int64())})
-
-    bounds = events_ds.map_batches(mm, batch_format="pyarrow").to_pandas()
-    lo, hi = int(bounds["mn"].min()) // int(div), int(bounds["mx"].max()) // int(div)
+    # (ES emits every histogram bucket, flat cum across no-new-key days);
+    # bounds ride the first-seen shuffle: min(first_b) IS the earliest
+    # event bucket and max(last_b) the latest — no second corpus scan
+    lo = int(nb["bucket"].min())
+    hi = int(first_seen.max("last_b"))
     nb = nb.sort_values("bucket", kind="mergesort")
     b = nb["bucket"].to_numpy(dtype=np.int64)
     full = np.arange(lo, hi + 1, dtype=np.int64)

@@ -125,12 +125,7 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
     if sample_size is not None:
         # ES significant_text-under-sampler shape: the foreground is the
         # top-``sample_size`` BM25 hits, not the full matching set
-        from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
-
-        terms = sorted(set(r.analyzer(query_text)))
-        d, s = score_all(list(r.load_postings(terms).values()))
-        dk, _ = topk_desc(d, s, sample_size)
-        ids = np.sort(dk.astype(np.int64))
+        ids = _topn_sample_ids(r, query_text, sample_size)
     else:
         ids = matching_doc_ids(r, query_text)
     n_docs = int(r.manifest.n_docs)
@@ -185,6 +180,20 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
     return agg[["term", "fg_df", "bg_df", "jlh"]]
 
 
+def _topn_sample_ids(reader, query_text: str, sample_size: int) -> np.ndarray:
+    """Sorted doc ids of the top-``sample_size`` BM25 hits — the shared
+    'sampler scope' contract of sampler_terms and significant_text
+    (score desc, doc asc selection via topk_desc)."""
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
+
+    terms = sorted(set(reader.analyzer(query_text)))
+    d, s = score_all(list(reader.load_postings(terms).values()))
+    if d.size == 0:
+        return np.empty(0, dtype=np.int64)
+    dk, _ = topk_desc(d, s, sample_size)
+    return np.sort(dk.astype(np.int64))
+
+
 def sampler_terms(index_dir: str, query_text: str, corpus_ds,
                   analyzer_cfg=None, sample_size: int = 50, top_n: int = 20,
                   reader=None) -> pd.DataFrame:
@@ -198,20 +207,16 @@ def sampler_terms(index_dir: str, query_text: str, corpus_ds,
     from ray.data.aggregate import Sum
 
     from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
-    from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
     from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
 
     cfg = analyzer_cfg or AnalyzerConfig()
     r = reader or IndexReader(index_dir)
-    terms = sorted(set(r.analyzer(query_text)))
-    d, s = score_all(list(r.load_postings(terms).values()))
+    ids = _topn_sample_ids(r, query_text, sample_size)
     empty = pd.DataFrame({"term": pd.Series([], dtype=object),
                           "doc_count": pd.Series([], dtype=np.int64),
                           "rank": pd.Series([], dtype=np.int32)})
-    if d.size == 0:
+    if ids.size == 0:
         return empty
-    dk, _ = topk_desc(d, s, sample_size)
-    ids = np.sort(dk.astype(np.int64))
     ref = ray.put(ids)
 
     class Partial:

@@ -219,6 +219,10 @@ def auto_date_histogram(events_ds, ts_col: str = "ts", target_buckets: int = 10,
                          "mx": pa.array([pc.max(us).as_py()], pa.int64())})
 
     bounds = events_ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    if bounds.empty:  # empty Dataset loses columns on to_pandas
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "interval_s": pd.Series([], dtype=np.int64),
+                             "doc_count": pd.Series([], dtype=np.int64)})
     mn, mx = int(bounds["mn"].min()), int(bounds["mx"].max())
     div = np.int64(ladder_s[-1]) * 1_000_000
     for s in ladder_s:

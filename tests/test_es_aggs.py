@@ -154,3 +154,11 @@ def test_cumulative_cardinality_exact(ray_session):
     out = es_aggs.cumulative_cardinality(ds, "user_id", "ts", 86400)
     assert out["new_keys"].tolist() == [2, 0, 1, 0]
     assert out["cum_keys"].tolist() == [2, 2, 3, 3]
+
+
+def test_welch_t_test_clear_errors(events_df):
+    with pytest.raises(ValueError, match="not present"):
+        es_aggs.welch_t_test(_ds(events_df), "event_type", "value", "a", "zzz")
+    one = pd.DataFrame({"event_type": ["a", "b", "b"], "value": [1.0, 2.0, 3.0]})
+    with pytest.raises(ValueError, match="needs >= 2"):
+        es_aggs.welch_t_test(_ds(one), "event_type", "value", "a", "b")

@@ -799,3 +799,26 @@ def test_span_near_unordered_three_terms_window(tmp_path_factory, ray_session):
         out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta gamma alpha"],
                                    "slop": [slop], "top_k": [10]}))
         assert set(out["doc_id"].tolist()) == want, (slop, set(out["doc_id"]))
+
+
+def test_span_near_unordered_repeated_term_needs_two_positions(feat_index):
+    scorer = sfeat.SpanNearScorer(feat_index, in_order=False)
+    # "alpha alpha": two clauses of the same term need TWO distinct
+    # positions within the window; doc 6 ("alpha alpha alpha") matches at
+    # slop 0, docs with a single "alpha" never do
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha alpha"],
+                               "slop": [0], "top_k": [10]}))
+    brute = {d for d, t in enumerate(TEXTS)
+             if len(_positions(t, "alpha")) >= 2
+             and min(np.diff(_positions(t, "alpha"))) <= 1}
+    assert set(out["doc_id"].tolist()) == brute
+    assert 6 in brute and 0 not in set(out["doc_id"].tolist())
+
+
+def test_pinned_skips_unknown_doc_ids(feat_index):
+    out = sfeat.pinned_search({"q": ("alpha", [10**9, 5])}, feat_index,
+                              EngineConfig(num_partitions=4), top_k=4)
+    # the phantom id is dropped; the surviving pin leads, organic shifts up
+    assert 10**9 not in set(out["doc_id"])
+    assert out.iloc[0][["doc_id", "pinned", "rank"]].tolist() == [5, 1, 1]
+    assert len(out) == 4

@@ -110,3 +110,13 @@ def test_series_window_math(ray_session):
     assert out["sdiff"].tolist() == [2, 0, -1, 3]
     # mov_mean of previous up-to-2 buckets, 0.0 for the first
     assert out["mov_mean"].tolist() == [0.0, 2.0, 1.0, 0.5]
+
+
+def test_auto_date_histogram_empty_input(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import auto_date_histogram
+
+    empty = rd.from_pandas(pd.DataFrame({"ts": pd.Series([], dtype="datetime64[us]")}))
+    out = auto_date_histogram(empty, "ts", 10)
+    assert len(out) == 0 and list(out.columns) == ["bucket", "interval_s", "doc_count"]

@@ -3756,6 +3756,38 @@ def q_cum_cardinality(sf_dir: str):
     return cumulative_cardinality(ds, "user_id", "ts", 86400)
 
 
+_SPLITS = {"train": 90, "val": 5, "test": 5}
+
+
+def q_dataset_split(sf_dir: str):
+    """Training-data split assignment: deterministic hash buckets →
+    train/val/test column in one streaming pass; audited per split."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.sampling import dataset_split
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    tagged = dataset_split(ds, "doc_id", _SPLITS, salt="-sp")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"split": b["split"],
+                      "n": pa.array(np.ones(len(b), np.int64)),
+                      "ch": b["n_chars"]})
+        return t.group_by("split").aggregate([("n", "sum"), ("ch", "sum")])
+
+    out = (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("n_sum", alias_name="n_docs"), Sum("ch_sum", alias_name="n_chars_sum"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_chars_sum"] = out["n_chars_sum"].astype(np.int64)
+    return out
+
+
 def q_sig_text(sf_dir: str):
     """ES significant_text under a sampler: JLH-overrepresented terms
     with the FOREGROUND limited to the top-N BM25 hits (the canonical
@@ -4242,6 +4274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "dataset_split": q_dataset_split,
         "geo_mean": q_geo_mean,
         "cum_cardinality": q_cum_cardinality,
         "sig_text": q_sig_text,
@@ -6007,6 +6040,16 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # dataset split: sorted-name cumulative hash intervals.
+        "dataset_split": f"""
+SELECT CASE
+         WHEN md5_number_upper(cast(doc_id AS varchar) || '-sp') % 100 < {_SPLITS["test"]} THEN 'test'
+         WHEN md5_number_upper(cast(doc_id AS varchar) || '-sp') % 100 < {_SPLITS["test"] + _SPLITS["train"]} THEN 'train'
+         ELSE 'val' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars_sum
+FROM documents GROUP BY 1
+""",
         # scripted_metric instance: geometric mean via exp(sum(ln)/n).
         "geo_mean": """
 SELECT event_type, count(*)::BIGINT AS n,

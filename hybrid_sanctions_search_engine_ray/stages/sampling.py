@@ -131,3 +131,26 @@ def temperature_mix(ds, key: str, strata: str, salt: str = "") -> "object":
     out["n_total"] = out["n_total"].astype(np.int64)
     out["rate_pct"] = out[strata].map(rates).astype(np.int64)
     return out[[strata, "n_total", "rate_pct", "n_sampled"]]
+
+
+def dataset_split(ds, key: str, splits: dict[str, int], salt: str = ""):
+    """Deterministic train/val/test assignment: ``splits`` maps split
+    name → percent (must sum to 100); a row lands in the split whose
+    cumulative-percent interval contains its key bucket. Same
+    hash-membership contract as the samplers — assignment is a property
+    of the row (reproducible across runs, retries and resumes; rows with
+    equal keys land together), and the split column is added in ONE
+    streaming pass with no shuffle. Split boundaries follow the SORTED
+    split names so engine and SQL twin agree on interval order."""
+    if sum(splits.values()) != 100:
+        raise ValueError("split percents must sum to 100")
+    names = sorted(splits)
+    edges = np.cumsum([splits[n] for n in names]).astype(np.uint64)
+
+    def f(b: pa.Table) -> pa.Table:
+        bucket = _bucket100(b[key].to_pylist(), salt)
+        idx = np.searchsorted(edges, bucket, side="right")
+        col = pa.array(np.array(names, dtype=object)[idx], pa.string())
+        return b.append_column("split", col)
+
+    return ds.map_batches(f, batch_format="pyarrow")

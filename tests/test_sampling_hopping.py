@@ -114,3 +114,25 @@ def test_temperature_mix_counts(ray_session):
     big_ids = df.loc[df.source == "big", "doc_id"].tolist()
     want = int((_bucket100(big_ids, "-t") < rates["big"]).sum())
     assert got.loc["big", "n_sampled"] == want
+
+
+def test_dataset_split_deterministic_and_complete(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.sampling import _bucket100, dataset_split
+
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64)})
+    out = dataset_split(rd.from_pandas(df), "doc_id", {"train": 90, "val": 5, "test": 5},
+                        salt="-x").to_pandas()
+    assert len(out) == 300 and set(out["split"]) <= {"train", "val", "test"}
+    # brute-force the interval rule: sorted names [test, train, val],
+    # cumulative edges [5, 95, 100]
+    b = _bucket100(df["doc_id"].tolist(), "-x")
+    want = np.where(b < 5, "test", np.where(b < 95, "train", "val"))
+    assert (out.sort_values("doc_id")["split"].to_numpy() == want).all()
+    # same key + salt -> same split on a rerun (retry/resume contract)
+    again = dataset_split(rd.from_pandas(df), "doc_id", {"train": 90, "val": 5, "test": 5},
+                          salt="-x").to_pandas()
+    assert (again.sort_values("doc_id")["split"].to_numpy() == want).all()
+    with pytest.raises(ValueError):
+        dataset_split(rd.from_pandas(df), "doc_id", {"train": 90, "val": 5})

@@ -3756,6 +3756,25 @@ def q_cum_cardinality(sf_dir: str):
     return cumulative_cardinality(ds, "user_id", "ts", 86400)
 
 
+_MP_WINDOW, _MP_QS = 3, (0.5, 0.9)
+
+
+def q_moving_percentiles(sf_dir: str):
+    """ES moving_percentiles, exact: per day bucket the percentile_cont
+    quantiles of the trailing-3-bucket value window (per-bucket value
+    histograms fanned out to their windows — never the raw rows)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import moving_percentiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"])
+    df = moving_percentiles(ds, "ts", 86400, "value", window=_MP_WINDOW, qs=_MP_QS)
+    for q in _MP_QS:
+        c = f"p{int(q * 100)}"
+        df[c] = _round4(df[c].to_numpy())
+    return df
+
+
 _SPLITS = {"train": 90, "val": 5, "test": 5}
 
 
@@ -4274,6 +4293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "moving_percentiles": q_moving_percentiles,
         "dataset_split": q_dataset_split,
         "geo_mean": q_geo_mean,
         "cum_cardinality": q_cum_cardinality,
@@ -6040,6 +6060,16 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # moving percentiles: trailing-window quantiles via range self-join.
+        "moving_percentiles": f"""
+WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS bucket FROM events)
+SELECT d.bucket,
+       round(quantile_cont(e.value, 0.5), 4) AS p50,
+       round(quantile_cont(e.value, 0.9), 4) AS p90
+FROM d JOIN events e
+  ON epoch_us(e.ts) // 86400000000 BETWEEN d.bucket - {_MP_WINDOW - 1} AND d.bucket
+GROUP BY d.bucket
+""",
         # dataset split: sorted-name cumulative hash intervals.
         "dataset_split": f"""
 SELECT CASE

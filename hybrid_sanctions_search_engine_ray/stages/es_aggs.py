@@ -393,3 +393,85 @@ def cumulative_cardinality(events_ds, key: str = "user_id", ts_col: str = "ts",
     n[b - lo] = nb["new_keys"].to_numpy(dtype=np.int64)
     return pd.DataFrame({"bucket": full, "new_keys": n,
                          "cum_keys": np.cumsum(n).astype(np.int64)})
+
+
+def moving_percentiles(events_ds, ts_col: str = "ts", bucket_s: int = 86400,
+                       value_col: str = "value", window: int = 3,
+                       qs: tuple[float, ...] = (0.5, 0.9)) -> pd.DataFrame:
+    """ES ``moving_percentiles`` pipeline agg, EXACT (inclusive-window
+    variant): for every bucket that has events, the percentile_cont
+    quantiles of all values in the trailing ``window`` buckets
+    ``[b−window+1, b]``. ES merges per-bucket TDigests; this is the
+    deterministic exact form over per-bucket VALUE HISTOGRAMS:
+
+    1. one streaming pass → distinct (bucket, value) counts (the same
+       histogram shuffle the quantile operators use);
+    2. each histogram row fans out to the ≤``window`` buckets it
+       contributes to (shuffle volume = window × histogram — still
+       value-cardinality, never raw rows);
+    3. a per-bucket finisher merges counts and interpolates with the
+       exact-rational bracketing rule shared with the SQL twin.
+
+    Escalation: for value cardinalities that outgrow a reducer, swap the
+    exact histogram for a mergeable TDigest/KLL sketch."""
+    from fractions import Fraction
+
+    import ray
+
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import hist_counts, interp_from_hist
+
+    div = np.int64(bucket_s) * 1_000_000
+    q_fracs = [(float(q), Fraction(str(q))) for q in qs]
+
+    def addb(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(us // div, pa.int64()), value_col: b[value_col]})
+
+    withb = events_ds.map_batches(addb, batch_format="pyarrow")
+    hist = hist_counts(withb, "bucket", value_col).materialize()
+    existing = hist.groupby("bucket").count().to_pandas()
+    if existing.empty:
+        cols = {"bucket": pd.Series([], dtype=np.int64)}
+        cols.update({f"p{int(q * 100)}": pd.Series([], dtype=np.float64) for q, _ in q_fracs})
+        return pd.DataFrame(cols)
+    present = np.sort(existing["bucket"].to_numpy(dtype=np.int64))
+    present_ref = ray.put(present)
+
+    def expand(b: pa.Table) -> pa.Table:
+        keep = ray.get(present_ref)
+        bk = b["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for k in range(window):
+            ob = bk + k
+            pos = np.searchsorted(keep, ob)
+            safe = np.minimum(pos, keep.size - 1)
+            ok = (pos < keep.size) & (keep[safe] == ob)
+            outs.append(pa.table({"out_bucket": pa.array(ob[ok]),
+                                  "v": pa.array(v[ok]),
+                                  "c": pa.array(c[ok])}))
+        return pa.concat_tables(outs)
+
+    exp = hist.map_batches(expand, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("v", as_index=False)["c"].sum().sort_values("v", kind="mergesort")
+        cum = g["c"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        vals = g["v"].to_numpy(dtype=np.float64)
+        row = {"bucket": None}
+        for qf, frac in q_fracs:
+            row[f"p{int(qf * 100)}"] = interp_from_hist(vals, cum, n, frac)
+        return pd.DataFrame([row])
+
+    def finish_with_key(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["out_bucket"].iloc[0])
+        out = finish(g[["v", "c"]].copy())
+        out["bucket"] = np.int64(b)
+        return out
+
+    res = exp.groupby("out_bucket").map_groups(finish_with_key, batch_format="pandas").to_pandas()
+    res = res.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+    res["bucket"] = res["bucket"].astype(np.int64)
+    return res[["bucket", *(f"p{int(q * 100)}" for q, _ in q_fracs)]]

@@ -162,3 +162,25 @@ def test_welch_t_test_clear_errors(events_df):
     one = pd.DataFrame({"event_type": ["a", "b", "b"], "value": [1.0, 2.0, 3.0]})
     with pytest.raises(ValueError, match="needs >= 2"):
         es_aggs.welch_t_test(_ds(one), "event_type", "value", "a", "b")
+
+
+def test_moving_percentiles_matches_numpy(events_df):
+    df = events_df.copy()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = es_aggs.moving_percentiles(_ds(df), "ts", 86400, "value", window=3, qs=(0.5, 0.9))
+    us = df["ts"].astype("int64") // (86400 * 1_000_000)
+    days = np.sort(us.unique())
+    assert out["bucket"].tolist() == days.tolist()
+    for _, r in out.iterrows():
+        v = df.loc[(us >= r["bucket"] - 2) & (us <= r["bucket"]), "value"].to_numpy()
+        assert abs(r["p50"] - np.quantile(v, 0.5)) < 1e-9
+        assert abs(r["p90"] - np.quantile(v, 0.9)) < 1e-9
+
+
+def test_moving_percentiles_empty(ray_session):
+    import ray.data as rd
+
+    empty = rd.from_pandas(pd.DataFrame({"ts": pd.Series([], dtype="datetime64[us]"),
+                                         "value": pd.Series([], dtype=np.float64)}))
+    out = es_aggs.moving_percentiles(empty, "ts", 86400, "value", window=2, qs=(0.5,))
+    assert len(out) == 0 and list(out.columns) == ["bucket", "p50"]

@@ -3756,6 +3756,30 @@ def q_cum_cardinality(sf_dir: str):
     return cumulative_cardinality(ds, "user_id", "ts", 86400)
 
 
+RAG_QUERIES: dict[str, str] = {
+    "rq1": "spark join performance",
+    "rq2": "customer table scan",
+    "rq3": "window stream data",
+}
+
+
+def q_rag_retrieve(sf_dir: str):
+    """End-to-end RAG retrieval: chunk → actor-pool embed → brute-force
+    cosine top-k chunks per query. Rows-only (hash embeddings are not
+    SQL-expressible; every stage is exact-oracle-checked alone:
+    chunk_docs, embed_docs, embedding_topk)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import rag_retrieve
+
+    ds = transcripts_from_documents(sf_dir)
+    out = rag_retrieve(ds, RAG_QUERIES, dim=32, window=_CHUNK_WINDOW,
+                       stride=_CHUNK_STRIDE, k=5, analyzer_cfg=_engine_cfg().analyzer)
+    out["cos_sim"] = _round4(out["cos_sim"].to_numpy())
+    return out
+
+
 _MP_WINDOW, _MP_QS = 3, (0.5, 0.9)
 
 
@@ -4293,6 +4317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "rag_retrieve": q_rag_retrieve,
         "moving_percentiles": q_moving_percentiles,
         "dataset_split": q_dataset_split,
         "geo_mean": q_geo_mean,

@@ -132,3 +132,56 @@ def read_vectors_json(path: str, vector_col: str = "embedding", dtype=pa.float32
         return batch.set_column(idx, vector_col, col.cast(target))
 
     return rd.read_json(path).map_batches(_cast, batch_format="pyarrow")
+
+
+def rag_retrieve(docs_ds, queries: dict[str, str], dim: int = 32,
+                 window: int = 32, stride: int = 24, k: int = 5,
+                 analyzer_cfg: AnalyzerConfig | None = None,
+                 chunk_id_base: int = 1_000_000):
+    """End-to-end RAG retrieval composition — the flow a user of the
+    reference's vector tier runs for retrieval-augmented prompting:
+
+    1. token-window CHUNK the corpus (pure flat-map, overlap-preserving);
+    2. EMBED every chunk with the load-once actor-pool embedder;
+    3. embed the query texts (same hasher, driver-side — query-count-sized);
+    4. brute-force cosine TOP-K chunks per query (broadcast query matrix,
+       per-batch matmul + partial top-k, tiny merge).
+
+    Every stage streams; nothing corpus-sized is pinned. Returns a pandas
+    DataFrame (query_id, rank, doc_id, chunk_idx, cos_sim) — chunk vector
+    ids are ``doc_id * chunk_id_base + chunk_idx`` (asserted non-colliding)
+    and decomposed back before returning."""
+    import pandas as pd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import brute_force_topk
+    from hybrid_sanctions_search_engine_ray.stages.textops import chunk_documents
+
+    cfg = analyzer_cfg or AnalyzerConfig()
+
+    def to_chunks(b: pa.Table) -> pa.Table:
+        t = chunk_documents(b, cfg, window=window, stride=stride)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = t["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ci.size and int(ci.max()) >= chunk_id_base:
+            raise ValueError("chunk_idx exceeds chunk_id_base; raise the base")
+        return pa.table({"doc_id": pa.array(d * chunk_id_base + ci, pa.int64()),
+                         "text": t["chunk_text"]})
+
+    emb = embed_documents(docs_ds.map_batches(to_chunks, batch_format="pyarrow"),
+                          dim=dim, analyzer_cfg=cfg).map_batches(
+        lambda b: b.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
+    )
+
+    qids = sorted(queries)
+    hasher = HashingEmbedder(dim=dim, analyzer_cfg=cfg)
+    qtab = hasher(pa.table({"doc_id": pa.array(range(len(qids)), pa.int64()),
+                            "text": pa.array([queries[q] for q in qids], pa.string())}))
+    qmat = np.stack(qtab["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    # query ids live in a disjoint NEGATIVE id space so exclude_self never fires
+    res = brute_force_topk(emb, [-(i + 1) for i in range(len(qids))], qmat,
+                           k=k, exclude_self=False).to_pandas()
+    res["query_id"] = res["query_vec_id"].map({-(i + 1): q for i, q in enumerate(qids)})
+    res["doc_id"] = (res["vec_id"] // chunk_id_base).astype(np.int64)
+    res["chunk_idx"] = (res["vec_id"] % chunk_id_base).astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int32)
+    return res[["query_id", "rank", "doc_id", "chunk_idx", "cos_sim"]]

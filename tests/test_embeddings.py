@@ -112,3 +112,27 @@ def test_vectors_jsonl_roundtrip_exact(ray_session, tmp_path):
     assert back["vec_id"].tolist() == list(range(40))
     got = np.array(back["embedding"].tolist(), dtype=np.float32)
     np.testing.assert_array_equal(got, vecs)  # bit-exact through JSON
+
+
+def test_rag_retrieve_end_to_end(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import rag_retrieve
+
+    # doc 0 is about alpha topics, doc 1 about omega topics; long enough
+    # to produce multiple chunks with window 4 / stride 2
+    texts = ["alpha beta alpha gamma alpha beta gamma alpha",
+             "omega psi omega chi omega psi chi omega"]
+    rows = [{"doc_id": i, "text": t, "conv_id": f"c{i}", "turn_idx": 0,
+             "role": "user", "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+            for i, t in enumerate(texts)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = rag_retrieve(ds, {"qa": "alpha beta", "qo": "omega psi"},
+                       dim=32, window=4, stride=2, k=3)
+    assert set(out["query_id"]) == {"qa", "qo"}
+    # the alpha query's best chunks come from doc 0, omega's from doc 1
+    assert (out.loc[out.query_id == "qa"].iloc[0]["doc_id"]) == 0
+    assert (out.loc[out.query_id == "qo"].iloc[0]["doc_id"]) == 1
+    assert (out.groupby("query_id")["rank"].apply(lambda r: r.tolist() == [1, 2, 3])).all()
+    # chunk ids decompose to real chunk indexes
+    assert (out["chunk_idx"] >= 0).all() and (out["chunk_idx"] < 10).all()

@@ -3768,8 +3768,6 @@ def q_rag_retrieve(sf_dir: str):
     cosine top-k chunks per query. Rows-only (hash embeddings are not
     SQL-expressible; every stage is exact-oracle-checked alone:
     chunk_docs, embed_docs, embedding_topk)."""
-    import ray.data as rd
-
     from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
     from hybrid_sanctions_search_engine_ray.stages.embeddings import rag_retrieve
 

@@ -149,8 +149,11 @@ def rag_retrieve(docs_ds, queries: dict[str, str], dim: int = 32,
 
     Every stage streams; nothing corpus-sized is pinned. Returns a pandas
     DataFrame (query_id, rank, doc_id, chunk_idx, cos_sim) — chunk vector
-    ids are ``doc_id * chunk_id_base + chunk_idx`` (asserted non-colliding)
-    and decomposed back before returning."""
+    ids are ``doc_id * chunk_id_base + chunk_idx`` and decomposed back
+    before returning. Each batch checks chunk_idx < chunk_id_base and
+    0 ≤ doc_id < 2⁶²/chunk_id_base (keeps ids positive and clear of the
+    reserved negative query-id space). Feed ONE row per document: rows
+    sharing a doc_id would emit colliding chunk ids."""
     import pandas as pd
 
     from hybrid_sanctions_search_engine_ray.stages.similarity import brute_force_topk
@@ -164,6 +167,8 @@ def rag_retrieve(docs_ds, queries: dict[str, str], dim: int = 32,
         ci = t["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         if ci.size and int(ci.max()) >= chunk_id_base:
             raise ValueError("chunk_idx exceeds chunk_id_base; raise the base")
+        if d.size and (int(d.min()) < 0 or int(d.max()) >= (2**62) // chunk_id_base):
+            raise ValueError("doc_id out of the encodable non-negative range")
         return pa.table({"doc_id": pa.array(d * chunk_id_base + ci, pa.int64()),
                          "text": t["chunk_text"]})
 

@@ -420,6 +420,8 @@ def moving_percentiles(events_ds, ts_col: str = "ts", bucket_s: int = 86400,
 
     from hybrid_sanctions_search_engine_ray.stages.quantiles import hist_counts, interp_from_hist
 
+    if window < 1:
+        raise ValueError("window must be >= 1")
     div = np.int64(bucket_s) * 1_000_000
     q_fracs = [(float(q), Fraction(str(q))) for q in qs]
 

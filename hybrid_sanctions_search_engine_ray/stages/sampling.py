@@ -142,6 +142,9 @@ def dataset_split(ds, key: str, splits: dict[str, int], salt: str = ""):
     equal keys land together), and the split column is added in ONE
     streaming pass with no shuffle. Split boundaries follow the SORTED
     split names so engine and SQL twin agree on interval order."""
+    for name, pct in splits.items():
+        if not (isinstance(pct, (int, np.integer)) and 0 <= pct <= 100):
+            raise ValueError(f"split {name!r} percent must be an int in [0, 100]")
     if sum(splits.values()) != 100:
         raise ValueError("split percents must sum to 100")
     names = sorted(splits)

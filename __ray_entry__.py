@@ -3756,6 +3756,24 @@ def q_cum_cardinality(sf_dir: str):
     return cumulative_cardinality(ds, "user_id", "ts", 86400)
 
 
+_FP_TOP_ITEMS, _FP_MIN_SUPPORT, _FP_TOP_N = 50, 100, 20
+
+
+def q_frequent_pairs(sf_dir: str):
+    """ES frequent_item_sets (size-2) with apriori pruning: top-df items
+    broadcast, per-doc pair counts among them, support floor + top-N."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import frequent_pairs
+
+    vocab = q_term_dictionary(sf_dir).to_pandas()
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+    return frequent_pairs(corpus, analyzer_cfg=_engine_cfg().analyzer,
+                          top_items=_FP_TOP_ITEMS, min_support=_FP_MIN_SUPPORT,
+                          top_n=_FP_TOP_N, vocab_df=vocab)
+
+
 RAG_QUERIES: dict[str, str] = {
     "rq1": "spark join performance",
     "rq2": "customer table scan",
@@ -4315,6 +4333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dis_max": q_dis_max,
         "multi_match_best": q_multi_match_best,
         "multi_match_most": q_multi_match_most,
+        "frequent_pairs": q_frequent_pairs,
         "rag_retrieve": q_rag_retrieve,
         "moving_percentiles": q_moving_percentiles,
         "dataset_split": q_dataset_split,
@@ -6083,6 +6102,24 @@ SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # dis_max: best clause + tie_breaker × (sum − best).
+        # frequent item pairs: apriori top-items, co-occurrence support.
+        "frequent_pairs": f"""
+WITH {TRANSCRIPTS_CTE},
+items AS (SELECT term FROM df ORDER BY df DESC, term LIMIT {_FP_TOP_ITEMS}),
+dt AS (SELECT DISTINCT t.doc_id, t.term FROM tok t JOIN items i ON i.term = t.term),
+fpairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS support
+  FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+),
+rankedfp AS (
+  SELECT term_a, term_b, support,
+         row_number() OVER (ORDER BY support DESC, term_a, term_b) AS rnk
+  FROM fpairs WHERE support >= {_FP_MIN_SUPPORT}
+)
+SELECT term_a, term_b, support, cast(rnk AS int) AS rank
+FROM rankedfp WHERE rnk <= {_FP_TOP_N}
+""",
         # moving percentiles: trailing-window quantiles via range self-join.
         "moving_percentiles": f"""
 WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS bucket FROM events)

@@ -324,3 +324,88 @@ def percolate(docs_ds, stored_queries: list[tuple[str, str]], analyzer_cfg=None,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def frequent_pairs(corpus_ds, analyzer_cfg=None, top_items: int = 50,
+                   min_support: int = 5, top_n: int = 20,
+                   vocab_df: pd.DataFrame | None = None) -> pd.DataFrame:
+    """ES ``frequent_item_sets`` (size-2) analog over document term sets,
+    with APRIORI pruning — the move that keeps pair mining feasible at
+    corpus scale: pass 1 computes term document frequencies and keeps the
+    ``top_items`` most frequent terms (df desc, term asc — every pair's
+    items must each be frequent); pass 2 streams the corpus once more,
+    intersects each doc's distinct terms with the broadcast item set and
+    counts co-occurring pairs (a < b) via partial aggregation. The pair
+    key space is bounded by top_items², never vocabulary². Returns pairs
+    with support ≥ ``min_support`` ranked (support desc, pair asc), top
+    ``top_n``. ``vocab_df`` (term, df) skips pass 1 when the caller
+    already has the dictionary."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+
+    cfg = analyzer_cfg or AnalyzerConfig()
+    if vocab_df is None:
+        raise ValueError("frequent_pairs needs vocab_df (term, df) — pass the dictionary")
+    vocab_df = vocab_df.sort_values(["df", "term"], ascending=[False, True],
+                                    kind="mergesort").head(top_items)
+    items = np.sort(vocab_df["term"].to_numpy(dtype=object))
+    ref = ray.put(items)
+
+    class Partial:
+        def __init__(self):
+            self.items = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+            parent, terms = flat_terms(b, cfg)
+            empty = pa.table({"term_a": pa.array([], pa.string()),
+                              "term_b": pa.array([], pa.string()),
+                              "s_p": pa.array([], pa.int64())})
+            if not len(terms):
+                return empty
+            t = terms.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.items, t)
+            safe = np.minimum(pos, self.items.size - 1)
+            keep = (pos < self.items.size) & (self.items[safe] == t)
+            if not keep.any():
+                return empty
+            df = pd.DataFrame({"d": np.asarray(parent)[keep], "t": t[keep]}).drop_duplicates()
+            # per-doc sorted item lists → all (a < b) pairs, vectorized per doc group
+            rows_a, rows_b = [], []
+            for _, g in df.groupby("d", sort=False):
+                ts = np.sort(g["t"].to_numpy(dtype=object))
+                if ts.size < 2:
+                    continue
+                ia, ib = np.triu_indices(ts.size, k=1)
+                rows_a.append(ts[ia])
+                rows_b.append(ts[ib])
+            if not rows_a:
+                return empty
+            pdf = pd.DataFrame({"term_a": np.concatenate(rows_a),
+                                "term_b": np.concatenate(rows_b)})
+            g = pdf.groupby(["term_a", "term_b"], sort=False).size().rename("s_p").reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        corpus_ds.map_batches(Partial, batch_format="pyarrow", concurrency=2)
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("s_p", alias_name="support"))
+        .to_pandas()
+    )
+    empty = pd.DataFrame({"term_a": pd.Series([], dtype=object),
+                          "term_b": pd.Series([], dtype=object),
+                          "support": pd.Series([], dtype=np.int64),
+                          "rank": pd.Series([], dtype=np.int32)})
+    if agg.empty:
+        return empty
+    agg = agg[agg["support"] >= min_support]
+    if agg.empty:
+        return empty
+    agg = agg.sort_values(["support", "term_a", "term_b"],
+                          ascending=[False, True, True], kind="mergesort").head(top_n)
+    agg = agg.reset_index(drop=True)
+    agg["support"] = agg["support"].astype(np.int64)
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int32)
+    return agg[["term_a", "term_b", "support", "rank"]]

@@ -182,3 +182,26 @@ def test_significant_terms_sampled_foreground(ray_session, tmp_path):
     full = significant_terms(idx, "alpha", corpus, analyzer_cfg=AnalyzerConfig(),
                              top_n=5, min_fg=2)
     assert full.set_index("term").loc["alpha", "fg_df"] == 4
+
+
+def test_frequent_pairs_apriori_and_order(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.stages.facets import frequent_pairs
+
+    texts = ["a b c", "a b", "a b d", "c d", "a c", "rare1 rare2"]
+    corpus = rd.from_pandas(pd.DataFrame({"doc_id": range(6), "text": texts}))
+    vocab = pd.DataFrame({"term": ["a", "b", "c", "d", "rare1", "rare2"],
+                          "df": [4, 3, 3, 2, 1, 1]})
+    out = frequent_pairs(corpus, AnalyzerConfig(), top_items=4, min_support=2,
+                         top_n=10, vocab_df=vocab)
+    got = {(r.term_a, r.term_b): r.support for r in out.itertuples()}
+    # (a,b)=3, (a,c)=2; (a,d)/(b,c)/(b,d)/(c,d)=1 below floor;
+    # rare1/rare2 pruned by top_items=4 despite co-occurring
+    assert got == {("a", "b"): 3, ("a", "c"): 2}
+    assert out["rank"].tolist() == [1, 2]
+    # support floor above everything -> typed empty frame
+    none = frequent_pairs(corpus, AnalyzerConfig(), top_items=4, min_support=99,
+                          vocab_df=vocab)
+    assert len(none) == 0 and list(none.columns) == ["term_a", "term_b", "support", "rank"]

@@ -94,6 +94,16 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--out", required=True)
     rp.add_argument("--num-partitions", type=int, required=True)
 
+    ri = sub.add_parser("reindex",
+                        help="rebuild from STORED docs with a new analyzer/layout (ES _reindex analog)")
+    ri.add_argument("--index", required=True)
+    ri.add_argument("--out", required=True)
+    ri.add_argument("--mode", default="simple",
+                    choices=["simple", "char3", "edge", "shingle", "full"])
+    ri.add_argument("--num-partitions", type=int, default=16)
+    ri.add_argument("--store-positions", action="store_true")
+    ri.add_argument("--no-store-text", action="store_true")
+
     sn = sub.add_parser("snapshot", help="checksum-verified index backup (ES snapshot analog)")
     sn.add_argument("--index", required=True)
     sn.add_argument("--out", required=True)
@@ -185,6 +195,17 @@ def main(argv: list[str] | None = None) -> int:
         m = repartition_index(args.index, args.out, args.num_partitions)
         print(json.dumps({"status": m.status, "num_partitions": m.num_partitions,
                           "n_terms": m.n_terms, "parts": len(m.parts)}))
+    elif args.cmd == "reindex":
+        from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import reindex
+
+        cfg = EngineConfig(num_partitions=args.num_partitions,
+                           analyzer=AnalyzerConfig(mode=args.mode))
+        m = reindex(args.index, args.out, cfg,
+                    store_positions=args.store_positions,
+                    store_text=not args.no_store_text)
+        print(json.dumps({"status": m.status, "n_docs": m.n_docs,
+                          "analyzer": args.mode, "parts": len(m.parts)}))
     elif args.cmd == "snapshot":
         from hybrid_sanctions_search_engine_ray.pipelines.maintenance import snapshot_index
 

@@ -777,3 +777,39 @@ def restore_index(snap_dir: str, out_dir: str) -> IndexManifest:
     # manifest last: restore becomes visible only when complete
     shutil.copy2(os.path.join(snap_dir, "manifest.json"), os.path.join(out_dir, "manifest.json"))
     return IndexManifest.load(out_dir)
+
+
+def reindex(src_index_dir: str, out_dir: str, cfg=None,
+            store_positions: bool = False, store_text: bool = True):
+    """ES ``_reindex``: rebuild an index from its own STORED documents
+    with a new analyzer / partition layout — no access to the original
+    corpus needed. Requires the source built with ``store_text=True``
+    (refused otherwise, like the phrase path). Doc ids are PRESERVED:
+    the source docmap already carries them, so unchanged-analyzer
+    rebuilds are query-identical and cross-index doc references (pins,
+    mget, stored percolator matches) stay valid. One streaming read of
+    the source docmap feeds the ordinary build pipeline; the docmap is
+    doc_id-sorted on disk, so the global sort is skipped
+    (``assume_sorted``). Refuses pending tombstones (compact first) —
+    same contract as ``merge_indexes``."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import DEFAULT_CONFIG
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+
+    cfg = cfg or DEFAULT_CONFIG
+    src = IndexManifest.load(src_index_dir)
+    if src.status != "complete":
+        raise ValueError(f"source index at {src_index_dir} is not complete")
+    if load_tombstones(src_index_dir).size:
+        raise ValueError("source index has pending deletes; compact_index first")
+    dm_path = os.path.join(src_index_dir, "docmap.parquet")
+    schema_names = pads.dataset(dm_path).schema.names
+    if "text" not in schema_names:
+        raise ValueError("source index was not built with store_text=True; "
+                         "reindex needs the stored documents")
+    ds = rd.read_parquet(dm_path)
+    return build_index(f"reindex:{src_index_dir}", out_dir, cfg, transcripts_ds=ds,
+                       assume_sorted=True, store_text=store_text,
+                       store_positions=store_positions)

@@ -182,3 +182,70 @@ def test_compact_crash_resume_exact_stats(ray_session, tmp_path):
     assert m1.total_tokens == m_ref.total_tokens
     assert not os.path.exists(os.path.join(idx, "compaction.json"))
     assert not os.path.exists(os.path.join(idx, "tombstones.json"))
+
+
+def test_reindex_preserves_query_results(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import reindex
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    texts = ["alpha beta gamma", "beta gamma delta", "alpha alpha", "delta epsilon",
+             "gamma beta alpha", "epsilon zeta"]
+    rows = [{"conv_id": f"c{i:03d}", "turn_idx": 0, "role": "user", "text": t,
+             "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+            for i, t in enumerate(texts)]
+    src = str(tmp_path / "src")
+    cfg = EngineConfig(num_partitions=4)
+    build_index("mem", src, cfg, transcripts_ds=rd.from_pandas(pd.DataFrame(rows)),
+                store_text=True)
+
+    # same analyzer, different partition count: query-identical
+    dst = str(tmp_path / "dst")
+    m = reindex(src, dst, EngineConfig(num_partitions=2))
+    assert m.status == "complete" and m.n_docs == 6
+    qs = rd.from_items([{"query_id": "q", "query_text": "alpha gamma", "top_k": 10}])
+    a = search(qs, src, cfg).to_pandas()
+    qs2 = rd.from_items([{"query_id": "q", "query_text": "alpha gamma", "top_k": 10}])
+    b = search(qs2, dst, EngineConfig(num_partitions=2)).to_pandas()
+    assert a[["doc_id", "score"]].values.tolist() == b[["doc_id", "score"]].values.tolist()
+
+    # analyzer upgrade: word -> char3 equals a direct char3 build
+    dst3 = str(tmp_path / "dst3")
+    reindex(src, dst3, EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="char3")))
+    direct = str(tmp_path / "direct3")
+    build_index("mem", direct, EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="char3")),
+                transcripts_ds=rd.from_pandas(pd.DataFrame(rows)))
+    qf = rd.from_items([{"query_id": "f", "query_text": "alpa", "top_k": 10}])
+    r1 = search(qf, dst3, EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="char3"))).to_pandas()
+    qf2 = rd.from_items([{"query_id": "f", "query_text": "alpa", "top_k": 10}])
+    r2 = search(qf2, direct, EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="char3"))).to_pandas()
+    assert r1[["doc_id", "score"]].values.tolist() == r2[["doc_id", "score"]].values.tolist()
+    assert len(r1) > 0
+
+
+def test_reindex_refusals(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import delete_docs, reindex
+
+    rows = [{"conv_id": "c0", "turn_idx": i, "role": "user", "text": t,
+             "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+            for i, t in enumerate(["alpha beta", "beta gamma"])]
+    # built WITHOUT store_text -> refused
+    bare = str(tmp_path / "bare")
+    build_index("mem", bare, EngineConfig(num_partitions=2),
+                transcripts_ds=rd.from_pandas(pd.DataFrame(rows)))
+    with pytest.raises(ValueError, match="store_text"):
+        reindex(bare, str(tmp_path / "x"))
+    # pending tombstones -> refused
+    full = str(tmp_path / "full")
+    build_index("mem", full, EngineConfig(num_partitions=2),
+                transcripts_ds=rd.from_pandas(pd.DataFrame(rows)), store_text=True)
+    delete_docs(full, [0])
+    with pytest.raises(ValueError, match="compact"):
+        reindex(full, str(tmp_path / "y"))

@@ -55,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep text in the docmap (phrase search via retrieve-verify)")
     b.add_argument("--store-positions", action="store_true",
                    help="build positional postings (exact phrase search, no stored text)")
+    b.add_argument("--documents", action="store_true",
+                   help="input is a documents table (doc_id, text) — map it to the "
+                        "transcript schema instead of expecting transcript columns")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -132,7 +135,18 @@ def main(argv: list[str] | None = None) -> int:
             analyzer=AnalyzerConfig(mode=args.analyzer, remove_stopwords=args.stopwords,
                                     stem=args.stem),
         )
-        m = build_index(args.input, args.index, cfg, resume=args.resume,
+        ts = None
+        if args.documents:
+            import ray.data as rd
+
+            from hybrid_sanctions_search_engine_ray.sources.transcripts import (
+                documents_batch_to_transcripts,
+            )
+
+            ts = rd.read_parquet(args.input, columns=["doc_id", "text"]).map_batches(
+                documents_batch_to_transcripts, batch_format="pyarrow"
+            )
+        m = build_index(args.input, args.index, cfg, transcripts_ds=ts, resume=args.resume,
                         assume_sorted=args.assume_sorted, store_text=args.store_text,
                         store_positions=args.store_positions)
         print(json.dumps({"status": m.status, "n_docs": m.n_docs, "avgdl": round(m.avgdl, 4),

@@ -57,3 +57,23 @@ def test_cli_build_multi(ray_session, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["simple"]["n_docs"] == 40 and out["shingle"]["n_docs"] == 40
     assert os.path.isdir(os.path.join(base, "field=shingle"))
+
+
+def test_cli_build_from_documents_and_reindex(ray_session, tmp_path, capsys):
+    import json
+
+    from hybrid_sanctions_search_engine_ray.cli import main
+
+    idx = str(tmp_path / "didx")
+    assert main(["build", "--input", "/root/testdata/sf0.001/documents.parquet",
+                 "--index", idx, "--num-partitions", "4", "--documents",
+                 "--store-text"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "complete" and out["n_docs"] == 500
+    ridx = str(tmp_path / "ridx")
+    assert main(["reindex", "--index", idx, "--out", ridx,
+                 "--mode", "char3", "--num-partitions", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "complete" and out["analyzer"] == "char3"
+    assert main(["query", "--index", ridx, "--query", "sprak", "--top-k", "3"]) == 0
+    assert "doc_id" in capsys.readouterr().out

@@ -4231,6 +4231,68 @@ def q_rare_terms(sf_dir: str):
     return global_topn(rare, by=[("df", True), ("term", True)], n=_RARE_LIMIT)
 
 
+_HIST_INTERVAL = 25.0
+_HIST_OFFSET = 0.0
+
+
+def q_numeric_histogram(sf_dir: str):
+    """ES numeric ``histogram`` agg over events.value: bucket
+    k = floor((value - offset)/interval) (expression shared verbatim
+    with the SQL twin), gap-filled between min and max observed bucket
+    (min_doc_count=0, the ES default). Raw rows never shuffle — only
+    per-batch (count, sum) partials move."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import histogram
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    return histogram(ds, "value", interval=_HIST_INTERVAL, offset=_HIST_OFFSET,
+                     min_doc_count=0)
+
+
+def q_top_metrics(sf_dir: str):
+    """ES ``top_metrics``: per event_type the metric columns of the row
+    with the largest value (ties broken by event_id desc — ES leaves
+    sort ties unspecified; we make them deterministic and share the
+    rule with the SQL twin's row_number order). Per-batch argmax
+    partials; at most one row per (batch, key) leaves a worker."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import top_metrics
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value", "event_id", "user_id"])
+    return top_metrics(ds, key="event_type", sort_col="value",
+                       tiebreak_col="event_id", metric_cols=["user_id"])
+
+
+def q_stats_bucket(sf_dir: str):
+    """ES sibling pipeline aggs (``stats_bucket`` = min/max/avg/sum
+    _bucket in one pass) over the day histogram of events, plus the
+    FIRST bucket achieving each extreme (deterministic tie rule shared
+    with the SQL twin). Integer partials only; one tiny result row."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import sibling_bucket_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    return sibling_bucket_stats(ds, "ts", bucket_s=86400)
+
+
+def q_normalize_series(sf_dir: str):
+    """ES ``normalize`` pipeline agg (rescale_0_1) over the gap-filled
+    day histogram: norm = (n − min)/(max − min), flat series → 0.0.
+    Exact-integer inputs make the one float division IEEE-identical in
+    DuckDB."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import normalize_series
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    return normalize_series(ds, "ts", bucket_s=86400)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -4374,6 +4436,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_count": q_match_count,
         "hybrid_all": q_hybrid_all,
         "brand_revenue": q_brand_revenue,
+        "numeric_histogram": q_numeric_histogram,
+        "top_metrics": q_top_metrics,
+        "stats_bucket": q_stats_bucket,
+        "normalize_series": q_normalize_series,
     }
 
 
@@ -6652,5 +6718,66 @@ FROM a
 WITH {TRANSCRIPTS_CTE}
 SELECT term, df FROM df WHERE df <= {_RARE_DF_MAX}
 ORDER BY df, term LIMIT {_RARE_LIMIT}
+""",
+        # numeric histogram: shared floor((x-off)/interval) bucket rule,
+        # gap-filled between min and max observed bucket (min_doc_count=0).
+        "numeric_histogram": f"""
+WITH b AS (
+  SELECT floor((value - {_HIST_OFFSET}) / {_HIST_INTERVAL})::BIGINT AS k,
+         count(*)::BIGINT AS c, sum(value) AS s
+  FROM events GROUP BY 1
+),
+ext AS (SELECT min(k) AS k0, max(k) AS k1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT k0 FROM ext), (SELECT k1 FROM ext))) AS k)
+SELECT {_HIST_OFFSET} + grid.k * {_HIST_INTERVAL} AS bucket_key,
+       coalesce(b.c, 0)::BIGINT AS doc_count,
+       round(coalesce(b.s, 0.0), 4) AS v_sum,
+       round(CASE WHEN coalesce(b.c, 0) > 0 THEN b.s / b.c ELSE 0.0 END, 4) AS v_avg
+FROM grid LEFT JOIN b ON grid.k = b.k
+""",
+        # top_metrics: row with the largest sort value per bucket,
+        # deterministic tiebreak event_id desc (shared with the engine).
+        "top_metrics": """
+SELECT event_type, value, event_id, user_id FROM (
+  SELECT event_type, value, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        # stats_bucket sibling pipeline agg: stats over the per-day doc
+        # counts + first bucket achieving each extreme.
+        "stats_bucket": """
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets,
+       sum(n)::BIGINT AS sum_count,
+       min(n)::BIGINT AS min_count,
+       max(n)::BIGINT AS max_count,
+       round(sum(n)::DOUBLE / count(*), 6) AS avg_count,
+       (SELECT min(bucket) FROM b WHERE n = (SELECT min(n) FROM b))::BIGINT AS min_bucket,
+       (SELECT min(bucket) FROM b WHERE n = (SELECT max(n) FROM b))::BIGINT AS max_bucket
+FROM b
+""",
+        # normalize (rescale_0_1) over the gap-filled day histogram;
+        # exact-integer inputs, one shared float division.
+        "normalize_series": """
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+ext AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT b0 FROM ext), (SELECT b1 FROM ext))) AS bucket),
+g AS (
+  SELECT grid.bucket, coalesce(b.n, 0)::BIGINT AS n_events
+  FROM grid LEFT JOIN b ON grid.bucket = b.bucket
+),
+mm AS (SELECT min(n_events) AS mn, max(n_events) AS mx FROM g)
+SELECT bucket, n_events,
+       round(CASE WHEN mm.mx = mm.mn THEN 0.0
+                  ELSE (n_events - mm.mn)::DOUBLE / (mm.mx - mm.mn) END, 6) AS norm
+FROM g, mm
 """,
     }

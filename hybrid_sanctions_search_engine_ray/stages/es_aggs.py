@@ -477,3 +477,161 @@ def moving_percentiles(events_ds, ts_col: str = "ts", bucket_s: int = 86400,
     res = res.sort_values("bucket", kind="mergesort").reset_index(drop=True)
     res["bucket"] = res["bucket"].astype(np.int64)
     return res[["bucket", *(f"p{int(q * 100)}" for q, _ in q_fracs)]]
+
+
+def histogram(ds, col: str, interval: float, offset: float = 0.0,
+              min_doc_count: int = 0) -> pd.DataFrame:
+    """ES numeric ``histogram`` aggregation, exact: bucket index
+    ``k = floor((x - offset) / interval)`` (the IEEE-double expression is
+    shared verbatim with the SQL twin), bucket key ``offset + k*interval``.
+    With ``min_doc_count == 0`` the series is gap-filled between the min
+    and max observed bucket (ES's default empty-bucket emission); higher
+    values filter the bucket list. Per-batch (count, sum) partials →
+    ONE bucket-keyed shuffle → a series-sized finisher; raw rows never
+    move (reference ES-tier agg assembly: elasticsearch_adapters.py)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = np.floor((x - offset) / interval).astype(np.int64)
+        t = pa.table({"k": pa.array(k), "v": pa.array(x)})
+        g = t.group_by("k").aggregate([("v", "sum"), ([], "count_all")])
+        return g.rename_columns(["k", "s_p", "c_p"])
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("c_p", alias_name="doc_count"), Sum("s_p", alias_name="v_sum"))
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({"bucket_key": pd.Series([], dtype=np.float64),
+                             "doc_count": pd.Series([], dtype=np.int64),
+                             "v_sum": pd.Series([], dtype=np.float64),
+                             "v_avg": pd.Series([], dtype=np.float64)})
+    df = df.sort_values("k", kind="mergesort")
+    k = df["k"].to_numpy(dtype=np.int64)
+    if min_doc_count == 0:
+        full = np.arange(k[0], k[-1] + 1, dtype=np.int64)
+        cnt = np.zeros(full.size, dtype=np.int64)
+        s = np.zeros(full.size, dtype=np.float64)
+        cnt[k - k[0]] = df["doc_count"].to_numpy(dtype=np.int64)
+        s[k - k[0]] = df["v_sum"].to_numpy(dtype=np.float64)
+    else:
+        m = df["doc_count"].to_numpy(dtype=np.int64) >= min_doc_count
+        full, cnt, s = k[m], df["doc_count"].to_numpy(dtype=np.int64)[m], df["v_sum"].to_numpy(dtype=np.float64)[m]
+    avg = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    return pd.DataFrame({
+        "bucket_key": offset + full * float(interval),
+        "doc_count": cnt,
+        "v_sum": np.round(s, 4),
+        "v_avg": np.round(avg, 4),
+    })
+
+
+def top_metrics(ds, key: str, sort_col: str, tiebreak_col: str,
+                metric_cols: list[str]) -> pd.DataFrame:
+    """ES ``top_metrics`` aggregation: per bucket the metric values of
+    the row with the LARGEST sort value (ES leaves sort ties unspecified;
+    we make them deterministic with ``tiebreak_col`` desc — documented
+    and shared with the SQL twin's ``row_number`` order). Per-batch
+    argmax partial (one lexsort, ≤ #keys rows survive per batch) → the
+    tiny per-batch winners reduce on the driver with the same rule."""
+    cols = [key, sort_col, tiebreak_col, *metric_cols]
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
+        kv = b[key].to_numpy(zero_copy_only=False)
+        sv = b[sort_col].to_numpy(zero_copy_only=False)
+        tv = b[tiebreak_col].to_numpy(zero_copy_only=False)
+        # last row per key in (key asc, sort asc, tiebreak asc) order = winner
+        order = np.lexsort((tv, sv, kv))
+        kk = kv[order]
+        last = np.nonzero(np.append(kk[1:] != kk[:-1], True))[0]
+        return b.take(pa.array(order[last]))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    parts = parts.sort_values([key, sort_col, tiebreak_col], kind="mergesort")
+    out = parts.drop_duplicates(subset=[key], keep="last")
+    return out[cols].reset_index(drop=True)
+
+
+def sibling_bucket_stats(events_ds, ts_col: str = "ts", bucket_s: int = 86400) -> pd.DataFrame:
+    """The ES sibling pipeline aggs (``stats_bucket`` ≡ min_bucket +
+    max_bucket + avg_bucket + sum_bucket in one pass) over a day
+    histogram, ``gap_policy: skip`` semantics (empty buckets do not
+    participate — ES's default for sibling aggs). Returns ONE row:
+    bucket count / sum / min / max / avg of the per-day doc counts plus
+    the FIRST bucket id achieving each extreme (deterministic tie rule,
+    shared with the SQL twin). Integer partials; driver work is O(#days)."""
+    from ray.data.aggregate import Sum
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({"bucket": pa.array(us // div, pa.int64())}).group_by("bucket").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["bucket", "c_p"])
+
+    df = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_p", alias_name="n"))
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame([{"n_buckets": 0, "sum_count": 0, "min_count": 0,
+                              "max_count": 0, "avg_count": 0.0,
+                              "min_bucket": -1, "max_bucket": -1}])
+    df = df.sort_values("bucket", kind="mergesort")
+    n = df["n"].to_numpy(dtype=np.int64)
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    return pd.DataFrame([{
+        "n_buckets": np.int64(n.size),
+        "sum_count": np.int64(n.sum()),
+        "min_count": np.int64(n.min()),
+        "max_count": np.int64(n.max()),
+        "avg_count": round(float(n.sum()) / n.size, 6),
+        "min_bucket": np.int64(b[n == n.min()][0]),
+        "max_bucket": np.int64(b[n == n.max()][0]),
+    }])
+
+
+def normalize_series(events_ds, ts_col: str = "ts", bucket_s: int = 86400) -> pd.DataFrame:
+    """ES ``normalize`` pipeline agg (method ``rescale_0_1``) over the
+    gap-filled day histogram: ``norm = (n − min) / (max − min)`` with a
+    flat series (max == min) mapping to 0.0 — the rule is shared
+    verbatim with the SQL twin (all inputs are exact integers, so the
+    one float division is IEEE-identical on both sides). Same integer
+    partial/shuffle shape as ``bucket_series``."""
+    from ray.data.aggregate import Sum
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({"bucket": pa.array(us // div, pa.int64())}).group_by("bucket").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["bucket", "c_p"])
+
+    df = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_p", alias_name="n_events"))
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "norm": pd.Series([], dtype=np.float64)})
+    df = df.sort_values("bucket", kind="mergesort")
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b[0], b[-1] + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    n[b - b[0]] = df["n_events"].to_numpy(dtype=np.int64)
+    mn, mx = int(n.min()), int(n.max())
+    norm = np.zeros(full.size, dtype=np.float64) if mx == mn else (n - mn) / float(mx - mn)
+    return pd.DataFrame({"bucket": full, "n_events": n, "norm": np.round(norm, 6)})

@@ -184,3 +184,65 @@ def test_moving_percentiles_empty(ray_session):
                                          "value": pd.Series([], dtype=np.float64)}))
     out = es_aggs.moving_percentiles(empty, "ts", 86400, "value", window=2, qs=(0.5,))
     assert len(out) == 0 and list(out.columns) == ["bucket", "p50"]
+
+
+def test_histogram_gap_fill(events_df):
+    out = es_aggs.histogram(_ds(events_df), "value", interval=10.0)
+    k = np.floor(events_df["value"].to_numpy() / 10.0).astype(np.int64)
+    want = pd.Series(k).value_counts().reindex(
+        np.arange(k.min(), k.max() + 1), fill_value=0)
+    assert out["doc_count"].tolist() == want.tolist()
+    assert out["bucket_key"].tolist() == (want.index * 10.0).tolist()
+    # min_doc_count filters instead of gap-filling
+    out2 = es_aggs.histogram(_ds(events_df), "value", interval=10.0, min_doc_count=5)
+    assert (out2["doc_count"] >= 5).all()
+
+
+def test_histogram_empty(ray_session):
+    import ray.data as rd
+
+    empty = rd.from_pandas(pd.DataFrame({"value": pd.Series([], dtype=np.float64)}))
+    out = es_aggs.histogram(empty, "value", interval=10.0)
+    assert len(out) == 0 and "bucket_key" in out.columns
+
+
+def test_top_metrics_argmax_with_tiebreak(ray_session):
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "sortv": [5.0, 9.0, 9.0, 1.0, 1.0],
+        "tid": np.array([1, 2, 3, 7, 4], np.int64),
+        "m": np.array([10, 20, 30, 70, 40], np.int64),
+    })
+    out = es_aggs.top_metrics(_ds(df), "k", "sortv", "tid", ["m"])
+    got = out.set_index("k")
+    # a: max sortv 9.0 tie -> larger tid (3, m=30); b: tie -> tid 7 (m=70)
+    assert got.loc["a", "m"] == 30 and got.loc["a", "tid"] == 3
+    assert got.loc["b", "m"] == 70 and got.loc["b", "tid"] == 7
+
+
+def test_sibling_bucket_stats(events_df):
+    df = events_df.copy()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = es_aggs.sibling_bucket_stats(_ds(df), "ts", 86400)
+    us = df["ts"].astype("int64") // (86400 * 1_000_000)
+    n = us.value_counts().sort_index()
+    r = out.iloc[0]
+    assert r["n_buckets"] == len(n) and r["sum_count"] == len(df)
+    assert r["min_count"] == n.min() and r["max_count"] == n.max()
+    assert r["min_bucket"] == n.index[np.argmax(n.to_numpy() == n.min())]
+    assert r["max_bucket"] == n.index[np.argmax(n.to_numpy() == n.max())]
+    assert abs(r["avg_count"] - round(len(df) / len(n), 6)) < 1e-12
+
+
+def test_normalize_series_rescale(events_df):
+    df = events_df.copy()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = es_aggs.normalize_series(_ds(df), "ts", 86400)
+    n = out["n_events"].to_numpy()
+    mn, mx = n.min(), n.max()
+    np.testing.assert_allclose(out["norm"].to_numpy(),
+                               np.round((n - mn) / (mx - mn), 6), atol=0)
+    # flat series -> all zeros
+    flat = pd.DataFrame({"ts": pd.to_datetime(["2026-01-01", "2026-01-02"]).astype("datetime64[us]")})
+    out2 = es_aggs.normalize_series(_ds(flat), "ts", 86400)
+    assert out2["norm"].tolist() == [0.0, 0.0]

@@ -2955,6 +2955,43 @@ def q_has_parent(sf_dir: str):
                                             top_parents=3, cfg=_engine_cfg()))
 
 
+def q_has_child(sf_dir: str):
+    """ES has_child with score_mode=avg and min_children=2: rank
+    CONVERSATIONS by the MEAN BM25 of their matching turns, keeping only
+    parents with ≥2 matching children (the child-count constraint the
+    plain conv_search max-rollup doesn't exercise). Over-fetch 4× then
+    quantized re-rank on (round4 score desc, conv_num asc) — the avg is
+    a float division whose 4-decimal quantization is shared with the
+    SQL twin."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import conv_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K * 4}
+         for qid, t in BM25_QUERIES.items()]
+    )
+    res = conv_search(qs, index_dir, turns_per_conv=8, score_mode="avg",
+                      min_children=2)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        return b
+
+    res = res.map_batches(final, batch_format="pandas")
+
+    def _rerank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "conv_num"], ascending=[False, True],
+                          kind="mergesort").head(BM25_TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", "conv_num", "score", "n_hit_turns"]]
+
+    return res.groupby("query_id").map_groups(_rerank, batch_format="pandas")
+
+
 def q_regexp_search(sf_dir: str):
     """ES regexp query: anchored whole-term regex expanded against the
     dictionary, scoring_boolean BM25 (search_features.regexp_search)."""
@@ -4293,6 +4330,75 @@ def q_normalize_series(sf_dir: str):
     return normalize_series(ds, "ts", bucket_s=86400)
 
 
+_BC_KEYS = ("click", "purchase")
+
+
+def q_percentiles_bucket(sf_dir: str):
+    """ES percentiles_bucket sibling pipeline agg: percentile_cont of the
+    gap-filled per-day event counts — exact-rational interpolation
+    matching DuckDB quantile_cont bit-for-bit on the integer series."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import percentiles_bucket
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    res = percentiles_bucket(ds, "ts", 86400, qs=(0.25, 0.5, 0.75, 0.95))
+    for c in res.columns:
+        res[c] = _round4(res[c].to_numpy())
+    return res
+
+
+def q_matrix_stats(sf_dir: str):
+    """ES matrix_stats over integer-valued lineitem columns (quantity,
+    discount%, tax%): count/means/variances/covariance/correlation per
+    field pair from exact int64 sufficient statistics, one shared float
+    expression per derived value."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import matrix_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_quantity", "l_discount", "l_tax"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "qty": b["l_quantity"].cast(pa.int64()),
+            "disc_pct": pc.round(pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()),
+            "tax_pct": pc.round(pc.multiply(b["l_tax"], 100.0)).cast(pa.int64()),
+        })
+
+    return matrix_stats(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["qty", "disc_pct", "tax_pct"])
+
+
+def q_bucket_correlation(sf_dir: str):
+    """ES bucket_correlation pipeline agg: Pearson correlation between
+    the gap-filled per-day count series of two event types — exact int64
+    sufficient stats, one shared float formula."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import bucket_correlation
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    return bucket_correlation(ds, "event_type", *_BC_KEYS, ts_col="ts", bucket_s=86400)
+
+
+def q_string_stats(sf_dir: str):
+    """ES string_stats (show_distribution): doc count, min/max/avg
+    codepoint length and Shannon entropy of the corpus character
+    distribution — sentinel-row scalar partials + a codepoint-keyed
+    count shuffle, entropy from the exact merged integer counts."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import string_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return string_stats(ds, "text")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -4431,6 +4537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "conv_enrich": q_conv_enrich,
         "has_parent": q_has_parent,
+        "has_child": q_has_child,
         "regexp_search": q_regexp_search,
         "mmr_rerank": q_mmr_rerank,
         "match_count": q_match_count,
@@ -4440,6 +4547,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_metrics": q_top_metrics,
         "stats_bucket": q_stats_bucket,
         "normalize_series": q_normalize_series,
+        "percentiles_bucket": q_percentiles_bucket,
+        "matrix_stats": q_matrix_stats,
+        "bucket_correlation": q_bucket_correlation,
+        "string_stats": q_string_stats,
     }
 
 
@@ -5819,6 +5930,37 @@ SELECT r.query_id, cast(r.rnk AS int) AS rank, r.conv_id, t.doc_id, round(r.scor
 FROM rankedc r JOIN transcripts t ON t.conv_id = r.conv_id
 WHERE r.rnk <= 3
 """,
+        # has_child score_mode=avg + min_children=2: mean matching-turn
+        # BM25 per conversation, child-count constraint, quantized rank.
+        "has_child": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+convs AS (
+  SELECT query_id, doc_id // 8 AS conv_num,
+         round(sum(score) / count(*), 4) AS score,
+         count(*)::BIGINT AS n_hit_turns
+  FROM scores GROUP BY query_id, conv_num
+  HAVING count(*) >= 2
+),
+rankedc AS (
+  SELECT query_id, conv_num, score, n_hit_turns,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, conv_num) AS rnk
+  FROM convs
+)
+SELECT query_id, cast(rnk AS int) AS rank, conv_num, score, n_hit_turns
+FROM rankedc WHERE rnk <= {BM25_TOP_K}
+""",
         # partition-window aggregates attached to rows (OVER PARTITION BY).
         "conv_enrich": f"""
 WITH {TRANSCRIPTS_CTE}
@@ -6779,5 +6921,104 @@ SELECT bucket, n_events,
        round(CASE WHEN mm.mx = mm.mn THEN 0.0
                   ELSE (n_events - mm.mn)::DOUBLE / (mm.mx - mm.mn) END, 6) AS norm
 FROM g, mm
+""",
+        # percentiles_bucket: quantile_cont of the gap-filled day counts.
+        "percentiles_bucket": """
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+ext AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT b0 FROM ext), (SELECT b1 FROM ext))) AS bucket),
+g AS (
+  SELECT coalesce(b.n, 0)::BIGINT AS n FROM grid LEFT JOIN b ON grid.bucket = b.bucket
+)
+SELECT round(quantile_cont(n, 0.25), 4) AS p25,
+       round(quantile_cont(n, 0.50), 4) AS p50,
+       round(quantile_cont(n, 0.75), 4) AS p75,
+       round(quantile_cont(n, 0.95), 4) AS p95
+FROM g
+""",
+        # matrix_stats: exact int64 sufficient statistics per pair, one
+        # shared float expression per derived value.
+        "matrix_stats": """
+WITH v AS (
+  SELECT cast(l_quantity AS BIGINT) AS qty,
+         cast(round(l_discount * 100.0) AS BIGINT) AS disc_pct,
+         cast(round(l_tax * 100.0) AS BIGINT) AS tax_pct
+  FROM lineitem
+),
+st AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(qty)::BIGINT AS s_qty, sum(qty * qty)::BIGINT AS q_qty,
+         sum(disc_pct)::BIGINT AS s_disc, sum(disc_pct * disc_pct)::BIGINT AS q_disc,
+         sum(tax_pct)::BIGINT AS s_tax, sum(tax_pct * tax_pct)::BIGINT AS q_tax,
+         sum(qty * disc_pct)::BIGINT AS p_qd,
+         sum(qty * tax_pct)::BIGINT AS p_qt,
+         sum(disc_pct * tax_pct)::BIGINT AS p_dt
+  FROM v
+),
+pairs AS (
+  SELECT 'qty' AS field_x, 'disc_pct' AS field_y, n,
+         s_qty AS sx, q_qty AS qx, s_disc AS sy, q_disc AS qy, p_qd AS pxy FROM st
+  UNION ALL
+  SELECT 'qty', 'tax_pct', n, s_qty, q_qty, s_tax, q_tax, p_qt FROM st
+  UNION ALL
+  SELECT 'disc_pct', 'tax_pct', n, s_disc, q_disc, s_tax, q_tax, p_dt FROM st
+)
+SELECT field_x, field_y, n AS n_rows,
+       round(sx::DOUBLE / n, 6) AS mean_x,
+       round(sy::DOUBLE / n, 6) AS mean_y,
+       round((qx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1), 6) AS var_x,
+       round((qy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1), 6) AS var_y,
+       round((pxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1), 6) AS cov,
+       round(((pxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1))
+             / sqrt(((qx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1))
+                    * ((qy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1))), 6) AS corr
+FROM pairs
+""",
+        # bucket_correlation: Pearson over two gap-filled integer count
+        # series, exact int sufficient stats, shared float formula.
+        "bucket_correlation": f"""
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket, event_type, count(*)::BIGINT AS n
+  FROM events WHERE event_type IN ('{_BC_KEYS[0]}', '{_BC_KEYS[1]}')
+  GROUP BY 1, 2
+),
+ext AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT b0 FROM ext), (SELECT b1 FROM ext))) AS bucket),
+g AS (
+  SELECT grid.bucket,
+         coalesce((SELECT n FROM b WHERE b.bucket = grid.bucket AND b.event_type = '{_BC_KEYS[0]}'), 0)::BIGINT AS a,
+         coalesce((SELECT n FROM b WHERE b.bucket = grid.bucket AND b.event_type = '{_BC_KEYS[1]}'), 0)::BIGINT AS bb
+  FROM grid
+),
+st AS (
+  SELECT count(*)::BIGINT AS n, sum(a)::BIGINT AS sa, sum(bb)::BIGINT AS sb,
+         sum(a * a)::BIGINT AS saa, sum(bb * bb)::BIGINT AS sbb, sum(a * bb)::BIGINT AS sab
+  FROM g
+)
+SELECT '{_BC_KEYS[0]}' AS key_a, '{_BC_KEYS[1]}' AS key_b, n AS n_buckets,
+       round((sab::DOUBLE - sa::DOUBLE * sb::DOUBLE / n::DOUBLE)
+             / sqrt((saa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n::DOUBLE)
+                    * (sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n::DOUBLE)), 6) AS corr
+FROM st
+""",
+        # string_stats: codepoint distribution entropy + length stats;
+        # null text ≡ '' on both sides.
+        "string_stats": """
+WITH t AS (SELECT coalesce(text, '') AS text FROM documents),
+chars AS (SELECT unnest(regexp_extract_all(text, '(?s).')) AS ch FROM t),
+cc AS (SELECT ch, count(*)::BIGINT AS c FROM chars GROUP BY ch),
+tot AS (SELECT sum(c)::DOUBLE AS total, count(*)::BIGINT AS k,
+               sum(c * log2(c)) AS slc FROM cc),
+lens AS (SELECT count(*)::BIGINT AS n_docs, min(length(text))::BIGINT AS mn,
+                max(length(text))::BIGINT AS mx, sum(length(text))::BIGINT AS sl
+         FROM t)
+SELECT n_docs, mn AS min_len, mx AS max_len,
+       round(sl::DOUBLE / n_docs, 6) AS avg_len,
+       k AS n_distinct_chars,
+       round(log2(total) - slc / total, 4) AS entropy
+FROM lens, tot
 """,
     }

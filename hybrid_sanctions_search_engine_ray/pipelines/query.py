@@ -725,13 +725,18 @@ class ConvScorer:
     conv key."""
 
     def __init__(self, index_dir: str, turns_per_conv: int, default_top_k: int = 10,
-                 score_mode: str = "max"):
+                 score_mode: str = "max", min_children: int = 0,
+                 max_children: int | None = None):
+        if score_mode not in ("max", "sum", "avg"):
+            raise ValueError("score_mode must be max, sum or avg")
         self.reader = IndexReader(index_dir)
         self.tpc = int(turns_per_conv)
         self.default_top_k = default_top_k
-        if score_mode not in ("max", "sum"):
-            raise ValueError("score_mode must be max or sum")
         self.score_mode = score_mode
+        # ES has_child min_children/max_children: parents qualify only
+        # with a matching-child count in [min_children, max_children]
+        self.min_children = int(min_children)
+        self.max_children = None if max_children is None else int(max_children)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all, topk_desc
@@ -750,12 +755,21 @@ class ConvScorer:
                 continue
             conv = docs.astype(np.int64) // self.tpc
             uniq, inv = np.unique(conv, return_inverse=True)
+            hits = np.bincount(inv, minlength=uniq.size)
             if self.score_mode == "max":
                 agg = np.zeros(uniq.size, np.float64)
                 np.maximum.at(agg, inv, scores)
             else:
                 agg = np.bincount(inv, weights=scores, minlength=uniq.size)
-            hits = np.bincount(inv, minlength=uniq.size)
+                if self.score_mode == "avg":
+                    agg = agg / hits
+            if self.min_children > 0 or self.max_children is not None:
+                keep = hits >= self.min_children
+                if self.max_children is not None:
+                    keep &= hits <= self.max_children
+                uniq, agg, hits = uniq[keep], agg[keep], hits[keep]
+                if uniq.size == 0:
+                    continue
             cs, ss = topk_desc(uniq.astype(np.uint64), agg, k)
             pos = np.searchsorted(uniq, cs.astype(np.int64))
             n = cs.size
@@ -776,15 +790,19 @@ class ConvScorer:
 
 
 def conv_search(queries_ds, index_dir: str, turns_per_conv: int,
-                cfg: EngineConfig = DEFAULT_CONFIG, score_mode: str = "max"):
+                cfg: EngineConfig = DEFAULT_CONFIG, score_mode: str = "max",
+                min_children: int = 0, max_children: int | None = None):
     """Conversation-level retrieval: queries Dataset (query_id,
     query_text[, top_k]) → top conversations per query with
     (conv_num, score, n_hit_turns). ``turns_per_conv`` is the dense
     doc-id→conv mapping stride (an explicit conv-id docmap join is the
-    general path; the stride avoids it when ids are conv-major)."""
+    general path; the stride avoids it when ids are conv-major).
+    ``score_mode``/``min_children``/``max_children`` give the full ES
+    has_child surface (max/sum/avg rollup + child-count constraints)."""
     return queries_ds.map_batches(
         ConvScorer,
-        fn_constructor_args=(index_dir, turns_per_conv, cfg.top_k, score_mode),
+        fn_constructor_args=(index_dir, turns_per_conv, cfg.top_k, score_mode,
+                             min_children, max_children),
         batch_format="pandas",
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,

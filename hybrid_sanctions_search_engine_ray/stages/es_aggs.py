@@ -635,3 +635,213 @@ def normalize_series(events_ds, ts_col: str = "ts", bucket_s: int = 86400) -> pd
     mn, mx = int(n.min()), int(n.max())
     norm = np.zeros(full.size, dtype=np.float64) if mx == mn else (n - mn) / float(mx - mn)
     return pd.DataFrame({"bucket": full, "n_events": n, "norm": np.round(norm, 6)})
+
+
+def _day_counts(events_ds, ts_col: str, bucket_s: int) -> pd.DataFrame:
+    """Shared integer day-histogram shuffle: (bucket, n) sorted by bucket."""
+    from ray.data.aggregate import Sum
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({"bucket": pa.array(us // div, pa.int64())}).group_by("bucket").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["bucket", "c_p"])
+
+    df = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_p", alias_name="n"))
+        .to_pandas()
+    )
+    return df.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+
+
+def percentiles_bucket(events_ds, ts_col: str = "ts", bucket_s: int = 86400,
+                       qs: tuple = (0.25, 0.5, 0.75, 0.95)) -> pd.DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline agg: percentile_cont of
+    the per-day doc counts over the GAP-FILLED day histogram (empty days
+    participate as 0 — date_histogram's min_doc_count=0 default). The
+    interpolation is the exact-rational bracketing rule shared with the
+    other quantile operators (:func:`interp_from_hist`), so values match
+    DuckDB ``quantile_cont`` bit-for-bit on the integer series. One
+    integer bucket shuffle; driver work is O(#days)."""
+    df = _day_counts(events_ds, ts_col, bucket_s)
+    if df.empty:
+        return pd.DataFrame({f"p{int(q * 100)}": pd.Series([], dtype=np.float64) for q in qs})
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b[0], b[-1] + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    n[b - b[0]] = df["n"].to_numpy(dtype=np.int64)
+    vals = np.sort(n)
+    cum = np.arange(1, vals.size + 1, dtype=np.int64)
+    row = {}
+    for q in qs:
+        row[f"p{int(q * 100)}"] = interp_from_hist(vals, cum, vals.size, Fraction(str(q)))
+    return pd.DataFrame([row])
+
+
+def matrix_stats(ds, cols: list[str]) -> pd.DataFrame:
+    """ES ``matrix_stats`` agg over integer-valued columns: per ordered
+    pair (x, y) the count, means, sample variances, covariance and
+    Pearson correlation — all derived from EXACT int64 sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) accumulated in one streaming
+    pass, with ONE shared float expression per derived value (verbatim
+    in the SQL twin):
+      mean = s/n ;  var = (sq − s·s/n)/(n−1) ;
+      cov = (sxy − sx·sy/n)/(n−1) ;  corr = cov/sqrt(var_x·var_y).
+    Columns must be integer-valued (caller pre-rounds floats); raises on
+    non-integral input rather than silently losing exactness."""
+    names = list(cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        arrs = []
+        for c in names:
+            x = b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            xi = x.astype(np.int64)
+            if not np.array_equal(xi.astype(np.float64), x):
+                raise ValueError(f"matrix_stats: column {c!r} is not integer-valued")
+            arrs.append(xi)
+        row: dict = {"n": [np.int64(len(b))]}
+        for c, x in zip(names, arrs):
+            row[f"s_{c}"] = [np.int64(x.sum())]
+            row[f"q_{c}"] = [np.int64((x * x).sum())]
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                row[f"p_{names[i]}_{names[j]}"] = [np.int64((arrs[i] * arrs[j]).sum())]
+        return pa.table(row)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or parts["n"].sum() < 2:
+        raise ValueError("matrix_stats needs >= 2 rows")
+    tot = parts.sum()
+    n = float(tot["n"])
+    out = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            cx, cy = names[i], names[j]
+            sx, sy = float(tot[f"s_{cx}"]), float(tot[f"s_{cy}"])
+            var_x = (float(tot[f"q_{cx}"]) - sx * sx / n) / (n - 1.0)
+            var_y = (float(tot[f"q_{cy}"]) - sy * sy / n) / (n - 1.0)
+            cov = (float(tot[f"p_{cx}_{cy}"]) - sx * sy / n) / (n - 1.0)
+            out.append({
+                "field_x": cx, "field_y": cy, "n_rows": np.int64(tot["n"]),
+                "mean_x": round(sx / n, 6), "mean_y": round(sy / n, 6),
+                "var_x": round(var_x, 6), "var_y": round(var_y, 6),
+                "cov": round(cov, 6),
+                "corr": round(cov / math.sqrt(var_x * var_y), 6),
+            })
+    return pd.DataFrame(out)
+
+
+def bucket_correlation(events_ds, key_col: str, key_a: str, key_b: str,
+                       ts_col: str = "ts", bucket_s: int = 86400) -> pd.DataFrame:
+    """ES ``bucket_correlation`` pipeline agg: Pearson correlation
+    between the per-day count series of two key values (e.g. do 'click'
+    and 'purchase' days co-move?). Both series are gap-filled integer
+    counts over the union day range, so the sufficient statistics are
+    exact int64 and the final expression (shared verbatim with SQL) is
+    the only float math. One (bucket, key) shuffle; driver O(#days)."""
+    from ray.data.aggregate import Sum
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b[key_col]
+        mask = pc.is_in(k, value_set=pa.array([key_a, key_b]))
+        t = b.filter(mask)
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "bucket": pa.array(us // div, pa.int64()),
+            "k": t[key_col],
+        }).group_by(["bucket", "k"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "k", "c_p"])
+
+    df = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "k"])
+        .aggregate(Sum("c_p", alias_name="n"))
+        .to_pandas()
+    )
+    if df.empty:
+        raise ValueError("bucket_correlation: no rows for either key")
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b.min(), b.max() + 1, dtype=np.int64)
+    a_cnt = np.zeros(full.size, dtype=np.int64)
+    b_cnt = np.zeros(full.size, dtype=np.int64)
+    for key, dest in ((key_a, a_cnt), (key_b, b_cnt)):
+        sub = df[df["k"] == key]
+        dest[sub["bucket"].to_numpy(dtype=np.int64) - full[0]] = sub["n"].to_numpy(dtype=np.int64)
+    n = float(full.size)
+    sa, sb = float(a_cnt.sum()), float(b_cnt.sum())
+    saa = float((a_cnt * a_cnt).sum())
+    sbb = float((b_cnt * b_cnt).sum())
+    sab = float((a_cnt * b_cnt).sum())
+    denom = math.sqrt((saa - sa * sa / n) * (sbb - sb * sb / n))
+    if denom == 0.0:
+        raise ValueError("bucket_correlation: a series is constant")
+    return pd.DataFrame([{
+        "key_a": key_a, "key_b": key_b, "n_buckets": np.int64(full.size),
+        "corr": round((sab - sa * sb / n) / denom, 6),
+    }])
+
+
+def string_stats(ds, col: str) -> pd.DataFrame:
+    """ES ``string_stats`` agg (with show_distribution's entropy): doc
+    count, min/max/avg codepoint length and the Shannon entropy of the
+    field's character distribution. Each batch emits an alphabet-sized
+    codepoint→count table plus ONE sentinel row (cp = −1) carrying the
+    scalar partials (doc count, Σlen, min len, max len) — the same
+    sentinel-through-the-shuffle trick as the corpus stats build. One
+    small shuffle keyed by codepoint; entropy derives from the EXACT
+    merged integer counts as ``log2(N) − (Σ c·log2 c)/N`` (alphabet-sized
+    sum — float error orders below the shared round-4 quantum). Lengths
+    are vectorized Arrow ``utf8_length``; codepoints come from ONE
+    utf-32 encode of the batch-joined text (no per-char Python loop)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    BIG = np.int64(2**62)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b[col], "")  # null ≡ empty string (documented; SQL: coalesce)
+        lens = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+        joined = "".join(s.to_pylist())
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+        uniq, cnt = np.unique(codes, return_counts=True)
+        k = uniq.size
+        return pa.table({
+            "cp": pa.array(np.r_[uniq.astype(np.int64), [-1]]),
+            "c": pa.array(np.r_[cnt.astype(np.int64), [0]]),
+            "nd": pa.array(np.r_[np.zeros(k, np.int64), [len(b)]]),
+            "sl": pa.array(np.r_[np.zeros(k, np.int64), [lens.sum() if lens.size else 0]]),
+            "mn": pa.array(np.r_[np.full(k, BIG), [lens.min() if lens.size else BIG]]),
+            "mx": pa.array(np.r_[np.full(k, np.int64(-1)), [lens.max() if lens.size else -1]]),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cp")
+        .aggregate(Sum("c", alias_name="c"), Sum("nd", alias_name="nd"),
+                   Sum("sl", alias_name="sl"), Min("mn", alias_name="mn"),
+                   Max("mx", alias_name="mx"))
+        .to_pandas()
+    )
+    sent = agg[agg["cp"] == -1]
+    chars = agg[agg["cp"] != -1]
+    n_docs = int(sent["nd"].iloc[0]) if len(sent) else 0
+    if n_docs == 0 or len(chars) == 0:
+        return pd.DataFrame([{"n_docs": np.int64(n_docs), "min_len": np.int64(0),
+                              "max_len": np.int64(0), "avg_len": 0.0,
+                              "n_distinct_chars": np.int64(0), "entropy": 0.0}])
+    c = np.sort(chars["c"].to_numpy(dtype=np.int64))  # deterministic sum order
+    total = float(c.sum())
+    entropy = math.log2(total) - float((c * np.log2(c)).sum()) / total
+    return pd.DataFrame([{
+        "n_docs": np.int64(n_docs),
+        "min_len": np.int64(sent["mn"].iloc[0]),
+        "max_len": np.int64(sent["mx"].iloc[0]),
+        "avg_len": round(float(sent["sl"].iloc[0]) / n_docs, 6),
+        "n_distinct_chars": np.int64(len(chars)),
+        "entropy": round(entropy, 4),
+    }])

@@ -246,3 +246,62 @@ def test_normalize_series_rescale(events_df):
     flat = pd.DataFrame({"ts": pd.to_datetime(["2026-01-01", "2026-01-02"]).astype("datetime64[us]")})
     out2 = es_aggs.normalize_series(_ds(flat), "ts", 86400)
     assert out2["norm"].tolist() == [0.0, 0.0]
+
+
+def test_percentiles_bucket_matches_numpy(events_df):
+    df = events_df.copy()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = es_aggs.percentiles_bucket(_ds(df), "ts", 86400, qs=(0.5, 0.9))
+    us = df["ts"].astype("int64") // (86400 * 1_000_000)
+    n = us.value_counts().reindex(np.arange(us.min(), us.max() + 1), fill_value=0).to_numpy()
+    assert abs(out["p50"].iloc[0] - np.quantile(n, 0.5)) < 1e-12
+    assert abs(out["p90"].iloc[0] - np.quantile(n, 0.9)) < 1e-12
+
+
+def test_matrix_stats_matches_numpy(ray_session):
+    rng = np.random.RandomState(3)
+    x = rng.randint(1, 50, 300).astype(np.int64)
+    y = (x // 2 + rng.randint(0, 10, 300)).astype(np.int64)
+    out = es_aggs.matrix_stats(_ds(pd.DataFrame({"x": x, "y": y})), ["x", "y"])
+    r = out.iloc[0]
+    assert r["n_rows"] == 300
+    assert abs(r["cov"] - round(float(np.cov(x, y, ddof=1)[0, 1]), 6)) < 1e-6
+    assert abs(r["corr"] - round(float(np.corrcoef(x, y)[0, 1]), 6)) < 1e-6
+    with pytest.raises(Exception, match="integer-valued"):  # Ray wraps the ValueError
+        es_aggs.matrix_stats(_ds(pd.DataFrame({"x": [1.5, 2.0], "y": [1.0, 2.0]})), ["x", "y"])
+
+
+def test_bucket_correlation_matches_numpy(events_df):
+    df = events_df.copy()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = es_aggs.bucket_correlation(_ds(df), "event_type", "a", "b", "ts", 86400)
+    us = df["ts"].astype("int64") // (86400 * 1_000_000)
+    grid = np.arange(us.min(), us.max() + 1)
+    a = us[df.event_type == "a"].value_counts().reindex(grid, fill_value=0).to_numpy()
+    b = us[df.event_type == "b"].value_counts().reindex(grid, fill_value=0).to_numpy()
+    assert abs(out["corr"].iloc[0] - round(float(np.corrcoef(a, b)[0, 1]), 6)) < 1e-6
+    with pytest.raises(ValueError, match="no rows"):
+        es_aggs.bucket_correlation(_ds(df), "event_type", "zz1", "zz2", "ts", 86400)
+
+
+def test_string_stats_entropy(ray_session):
+    texts = ["aab", "b", "", "ccc"]
+    out = es_aggs.string_stats(_ds(pd.DataFrame({"t": texts})), "t")
+    r = out.iloc[0]
+    assert r["n_docs"] == 4 and r["min_len"] == 0 and r["max_len"] == 3
+    assert r["n_distinct_chars"] == 3
+    # counts: a=2, b=2, c=3, N=7
+    c = np.array([2, 2, 3], dtype=np.float64)
+    want = np.log2(7) - (c * np.log2(c)).sum() / 7
+    assert abs(r["entropy"] - round(want, 4)) < 1e-9
+    assert abs(r["avg_len"] - round(7 / 4, 6)) < 1e-12
+
+
+def test_has_child_avg_min_children(ray_session, tmp_path):
+    # via ConvScorer directly on a tiny index built from fixtures
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import ConvScorer
+
+    with pytest.raises(ValueError, match="score_mode"):
+        ConvScorer("/nonexistent", 8, score_mode="median")

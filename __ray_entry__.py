@@ -4399,6 +4399,80 @@ def q_string_stats(sf_dir: str):
     return string_stats(ds, "text")
 
 
+def q_cumulative_sum(sf_dir: str):
+    """ES cumulative_sum pipeline agg under a date_histogram: running
+    total of the gap-filled per-day event counts — pure integer math."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import cumulative_sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    return cumulative_sum(ds, "ts", bucket_s=86400)
+
+
+def q_rate_agg(sf_dir: str):
+    """ES rate agg (day buckets, per-hour unit): doc rate n/24 and value
+    rate from exact integer cents — the divisions are the only float
+    math, shared verbatim with the SQL twin."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import rate_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+    return rate_agg(ds, "ts", "value", bucket_s=86400, unit_s=3600)
+
+
+def q_categorize_text(sf_dir: str):
+    """ES categorize_text, deterministic twin: top token-pattern
+    templates (lowercase, digits→<num>, first 4 tokens) by doc count —
+    RE2-identical normalization on both sides."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import categorize_text
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return categorize_text(ds, "text", n_tokens=4, top_n=15)
+
+
+def q_change_point(sf_dir: str):
+    """ES change_point agg, deterministic twin: the split of the
+    gap-filled day-count series maximizing the segment-mean gap, exact
+    integer prefix sums + one shared float objective."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import change_point
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    return change_point(ds, "ts", bucket_s=86400)
+
+
+def q_ks_test(sf_dir: str):
+    """ES bucket_count_ks_test: two-sample KS statistic between the
+    day-of-occurrence distributions of two event types, exact integer
+    cumulative counts, one shared ECDF-difference formula."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import ks_test
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    return ks_test(ds, "event_type", *_BC_KEYS, ts_col="ts", bucket_s=86400)
+
+
+def q_global_agg(sf_dir: str):
+    """ES global agg: corpus-wide count/revenue metrics alongside one
+    event_type bucket's, in one row — single streaming pass, integer
+    cents partials, no shuffle."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import global_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return global_agg(ds, "value", "event_type", "click")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -4551,6 +4625,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats": q_matrix_stats,
         "bucket_correlation": q_bucket_correlation,
         "string_stats": q_string_stats,
+        "cumulative_sum": q_cumulative_sum,
+        "rate_agg": q_rate_agg,
+        "categorize_text": q_categorize_text,
+        "change_point": q_change_point,
+        "ks_test": q_ks_test,
+        "global_agg": q_global_agg,
     }
 
 
@@ -7020,5 +7100,137 @@ SELECT n_docs, mn AS min_len, mx AS max_len,
        k AS n_distinct_chars,
        round(log2(total) - slc / total, 4) AS entropy
 FROM lens, tot
+""",
+        # cumulative_sum: running total over the gap-filled day grid.
+        "cumulative_sum": """
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+ext AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT b0 FROM ext), (SELECT b1 FROM ext))) AS bucket),
+g AS (
+  SELECT grid.bucket, coalesce(b.n, 0)::BIGINT AS n
+  FROM grid LEFT JOIN b ON grid.bucket = b.bucket
+)
+SELECT bucket, n AS n_events,
+       cast(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n
+FROM g
+""",
+        # rate: day buckets normalized to per-hour; exact integer cents.
+        "rate_agg": """
+WITH v AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket,
+         cast(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+b AS (SELECT bucket, count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents FROM v GROUP BY 1),
+ext AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT b0 FROM ext), (SELECT b1 FROM ext))) AS bucket),
+g AS (
+  SELECT grid.bucket, coalesce(b.n, 0)::BIGINT AS n, coalesce(b.cents, 0)::BIGINT AS cents
+  FROM grid LEFT JOIN b ON grid.bucket = b.bucket
+)
+SELECT bucket,
+       round(n::DOUBLE / 24.0, 6) AS doc_rate,
+       round((cents::DOUBLE / 100.0) / 24.0, 6) AS value_rate
+FROM g
+""",
+        # categorize_text: RE2-identical token-template normalization.
+        "categorize_text": """
+WITH t AS (
+  SELECT trim(regexp_replace(lower(coalesce(text, '')), '[0-9]+', '<num>', 'g')) AS s
+  FROM documents
+),
+k AS (
+  SELECT array_to_string(list_slice(regexp_split_to_array(s, '\\s+'), 1, 4), ' ') AS category
+  FROM t
+),
+c AS (SELECT category, count(*)::BIGINT AS n_docs FROM k GROUP BY 1)
+SELECT category, n_docs FROM c ORDER BY n_docs DESC, category LIMIT 15
+""",
+        # change_point: max segment-mean gap split over the day grid,
+        # exact prefix sums, one shared float objective.
+        "change_point": """
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+ext AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT b0 FROM ext), (SELECT b1 FROM ext))) AS bucket),
+g AS (
+  SELECT grid.bucket, coalesce(b.n, 0)::BIGINT AS n
+  FROM grid LEFT JOIN b ON grid.bucket = b.bucket
+),
+s AS (
+  SELECT bucket, n,
+         cast(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS sl,
+         row_number() OVER (ORDER BY bucket) AS i,
+         lead(bucket) OVER (ORDER BY bucket) AS nxt,
+         count(*) OVER () AS m,
+         cast(sum(n) OVER () AS BIGINT) AS total
+  FROM g
+),
+d AS (
+  SELECT nxt AS change_bucket, i,
+         sl::DOUBLE / i::DOUBLE AS mean_before,
+         (total - sl)::DOUBLE / (m - i)::DOUBLE AS mean_after,
+         abs(sl::DOUBLE / i::DOUBLE - (total - sl)::DOUBLE / (m - i)::DOUBLE) AS gap
+  FROM s WHERE i < m
+)
+SELECT change_bucket, round(mean_before, 6) AS mean_before,
+       round(mean_after, 6) AS mean_after, round(gap, 6) AS gap
+FROM d ORDER BY gap DESC, i ASC LIMIT 1
+""",
+        # ks_test: max ECDF gap between two per-day count distributions.
+        "ks_test": f"""
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket, event_type, count(*)::BIGINT AS n
+  FROM events WHERE event_type IN ('{_BC_KEYS[0]}', '{_BC_KEYS[1]}')
+  GROUP BY 1, 2
+),
+ext AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT b0 FROM ext), (SELECT b1 FROM ext))) AS bucket),
+g AS (
+  SELECT grid.bucket,
+         coalesce((SELECT n FROM b WHERE b.bucket = grid.bucket AND b.event_type = '{_BC_KEYS[0]}'), 0)::BIGINT AS a,
+         coalesce((SELECT n FROM b WHERE b.bucket = grid.bucket AND b.event_type = '{_BC_KEYS[1]}'), 0)::BIGINT AS bb
+  FROM grid
+),
+s AS (
+  SELECT bucket,
+         cast(sum(a) OVER (ORDER BY bucket) AS BIGINT) AS ca,
+         cast(sum(bb) OVER (ORDER BY bucket) AS BIGINT) AS cb,
+         cast(sum(a) OVER () AS BIGINT) AS na,
+         cast(sum(bb) OVER () AS BIGINT) AS nb
+  FROM g
+)
+SELECT '{_BC_KEYS[0]}' AS key_a, '{_BC_KEYS[1]}' AS key_b, na AS n_a, nb AS n_b,
+       round(abs(ca::DOUBLE / na::DOUBLE - cb::DOUBLE / nb::DOUBLE), 6) AS d_stat,
+       bucket AS at_bucket
+FROM s
+ORDER BY abs(ca::DOUBLE / na::DOUBLE - cb::DOUBLE / nb::DOUBLE) DESC, bucket ASC
+LIMIT 1
+""",
+        # global agg: corpus-wide metrics next to one filter bucket's,
+        # exact integer cents, one row.
+        "global_agg": """
+WITH v AS (
+  SELECT event_type, cast(round(value * 100) AS BIGINT) AS cents FROM events
+),
+st AS (
+  SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS c,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+         sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)::BIGINT AS c_f
+  FROM v
+)
+SELECT n AS n_total,
+       round(c::DOUBLE / 100.0, 2) AS sum_value_total,
+       round(c::DOUBLE / 100.0 / n::DOUBLE, 6) AS avg_value_total,
+       'click' AS filter_key,
+       n_f AS n_filtered,
+       round(c_f::DOUBLE / 100.0, 2) AS sum_value_filtered,
+       round(c_f::DOUBLE / 100.0 / n_f::DOUBLE, 6) AS avg_value_filtered
+FROM st
 """,
     }

@@ -735,21 +735,17 @@ def matrix_stats(ds, cols: list[str]) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def bucket_correlation(events_ds, key_col: str, key_a: str, key_b: str,
-                       ts_col: str = "ts", bucket_s: int = 86400) -> pd.DataFrame:
-    """ES ``bucket_correlation`` pipeline agg: Pearson correlation
-    between the per-day count series of two key values (e.g. do 'click'
-    and 'purchase' days co-move?). Both series are gap-filled integer
-    counts over the union day range, so the sufficient statistics are
-    exact int64 and the final expression (shared verbatim with SQL) is
-    the only float math. One (bucket, key) shuffle; driver O(#days)."""
+def _day_key_counts(events_ds, key_col: str, keys: tuple, ts_col: str,
+                    bucket_s: int) -> pd.DataFrame:
+    """Shared (bucket, key) integer day-histogram shuffle restricted to
+    ``keys``: returns (bucket, k, n)."""
     from ray.data.aggregate import Sum
 
     div = np.int64(bucket_s) * 1_000_000
 
     def partial(b: pa.Table) -> pa.Table:
         k = b[key_col]
-        mask = pc.is_in(k, value_set=pa.array([key_a, key_b]))
+        mask = pc.is_in(k, value_set=pa.array(list(keys)))
         t = b.filter(mask)
         us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         g = pa.table({
@@ -758,14 +754,17 @@ def bucket_correlation(events_ds, key_col: str, key_a: str, key_b: str,
         }).group_by(["bucket", "k"]).aggregate([([], "count_all")])
         return g.rename_columns(["bucket", "k", "c_p"])
 
-    df = (
+    return (
         events_ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["bucket", "k"])
         .aggregate(Sum("c_p", alias_name="n"))
         .to_pandas()
     )
-    if df.empty:
-        raise ValueError("bucket_correlation: no rows for either key")
+
+
+def _gap_filled_pair(df: pd.DataFrame, key_a: str, key_b: str):
+    """Gap-fill two per-day count series over the union day range:
+    (full bucket grid, counts_a, counts_b) as int64 arrays."""
     b = df["bucket"].to_numpy(dtype=np.int64)
     full = np.arange(b.min(), b.max() + 1, dtype=np.int64)
     a_cnt = np.zeros(full.size, dtype=np.int64)
@@ -773,6 +772,21 @@ def bucket_correlation(events_ds, key_col: str, key_a: str, key_b: str,
     for key, dest in ((key_a, a_cnt), (key_b, b_cnt)):
         sub = df[df["k"] == key]
         dest[sub["bucket"].to_numpy(dtype=np.int64) - full[0]] = sub["n"].to_numpy(dtype=np.int64)
+    return full, a_cnt, b_cnt
+
+
+def bucket_correlation(events_ds, key_col: str, key_a: str, key_b: str,
+                       ts_col: str = "ts", bucket_s: int = 86400) -> pd.DataFrame:
+    """ES ``bucket_correlation`` pipeline agg: Pearson correlation
+    between the per-day count series of two key values (e.g. do 'click'
+    and 'purchase' days co-move?). Both series are gap-filled integer
+    counts over the union day range, so the sufficient statistics are
+    exact int64 and the final expression (shared verbatim with SQL) is
+    the only float math. One (bucket, key) shuffle; driver O(#days)."""
+    df = _day_key_counts(events_ds, key_col, (key_a, key_b), ts_col, bucket_s)
+    if df.empty:
+        raise ValueError("bucket_correlation: no rows for either key")
+    full, a_cnt, b_cnt = _gap_filled_pair(df, key_a, key_b)
     n = float(full.size)
     sa, sb = float(a_cnt.sum()), float(b_cnt.sum())
     saa = float((a_cnt * a_cnt).sum())
@@ -844,4 +858,195 @@ def string_stats(ds, col: str) -> pd.DataFrame:
         "avg_len": round(float(sent["sl"].iloc[0]) / n_docs, 6),
         "n_distinct_chars": np.int64(len(chars)),
         "entropy": round(entropy, 4),
+    }])
+
+
+def cumulative_sum(events_ds, ts_col: str = "ts", bucket_s: int = 86400) -> pd.DataFrame:
+    """ES ``cumulative_sum`` pipeline agg under a date_histogram: the
+    running total of the per-day doc counts over the GAP-FILLED day grid
+    (min_doc_count=0 — empty days carry the previous total forward).
+    Pure integer math end-to-end: one bucket shuffle, an O(#days)
+    driver cumsum."""
+    df = _day_counts(events_ds, ts_col, bucket_s)
+    if df.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "cum_n": pd.Series([], dtype=np.int64)})
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b[0], b[-1] + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    n[b - b[0]] = df["n"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"bucket": full, "n_events": n, "cum_n": np.cumsum(n)})
+
+
+def rate_agg(events_ds, ts_col: str = "ts", value_col: str = "value",
+             bucket_s: int = 86400, unit_s: int = 3600) -> pd.DataFrame:
+    """ES ``rate`` agg under a date_histogram: per day bucket, the doc
+    rate and the value-sum rate normalized to ``unit_s`` (day→hour by
+    default: rate = bucket_total / (bucket_s/unit_s)). Values are summed
+    as EXACT integer cents (round-half-away ``floor(|v|·100+0.5)·sign``,
+    the repo-wide money convention) so the only float math is the two
+    final divisions, shared verbatim with the SQL twin. Gap-filled days
+    rate 0. One bucket shuffle carrying (count, cents) partials."""
+    from ray.data.aggregate import Sum
+
+    div = np.int64(bucket_s) * 1_000_000
+    factor = float(bucket_s) / float(unit_s)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+        g = pa.table({
+            "bucket": pa.array(us // div, pa.int64()),
+            "cents": pa.array(cents),
+        }).group_by("bucket").aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["bucket", "cents_p", "c_p"])
+
+    df = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_p", alias_name="n"), Sum("cents_p", alias_name="cents"))
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "doc_rate": pd.Series([], dtype=np.float64),
+                             "value_rate": pd.Series([], dtype=np.float64)})
+    df = df.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b[0], b[-1] + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    cents = np.zeros(full.size, dtype=np.int64)
+    n[b - b[0]] = df["n"].to_numpy(dtype=np.int64)
+    cents[b - b[0]] = df["cents"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "bucket": full,
+        "doc_rate": np.round(n / factor, 6),
+        "value_rate": np.round(cents / 100.0 / factor, 6),
+    })
+
+
+def categorize_text(ds, col: str, n_tokens: int = 4, top_n: int = 15) -> pd.DataFrame:
+    """ES ``categorize_text`` agg, deterministic twin: group documents by
+    a token-pattern template — lowercase, digit-runs collapsed to
+    ``<num>``, whitespace-trimmed, first ``n_tokens`` whitespace tokens
+    joined by one space — then the top-N templates by (count desc,
+    template asc). The normalization is ALL vectorized Arrow RE2
+    (``utf8_lower`` → ``replace_substring_regex`` → trim →
+    ``split_pattern_regex`` → ``list_slice`` → ``binary_join``), the
+    same RE2 semantics DuckDB's regexp functions use, so the SQL twin is
+    character-identical. Per-batch template counts pre-aggregate before
+    ONE template-keyed shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b[col], "")
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, pattern="[0-9]+", replacement="<num>")
+        s = pc.utf8_trim_whitespace(s)
+        toks = pc.list_slice(pc.split_pattern_regex(s, pattern="\\s+"), 0, n_tokens)
+        key = pc.binary_join(toks.cast(pa.list_(pa.string())), " ")
+        g = pa.table({"category": key}).group_by("category").aggregate([([], "count_all")])
+        return g.rename_columns(["category", "c_p"])
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("category")
+        .aggregate(Sum("c_p", alias_name="n_docs"))
+        .to_pandas()
+    )
+    df = df.sort_values(["n_docs", "category"], ascending=[False, True],
+                        kind="mergesort").head(top_n).reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df
+
+
+def change_point(events_ds, ts_col: str = "ts", bucket_s: int = 86400) -> pd.DataFrame:
+    """ES ``change_point`` agg, deterministic twin: over the gap-filled
+    per-day count series, the split k (1 ≤ k < m) maximizing the
+    absolute difference of segment means |mean(n[:k]) − mean(n[k:])| —
+    a two-segment step-change detector. The prefix sums are exact
+    integers; the objective ``abs(sl/k − (S−sl)/(m−k))`` is ONE float
+    expression evaluated identically on both sides, so the argmax (ties
+    → smallest k) is IEEE-reproducible. Returns the first bucket of the
+    right segment, both means and the gap. Raises on <2 buckets."""
+    df = _day_counts(events_ds, ts_col, bucket_s)
+    if df.empty or df["bucket"].iloc[-1] == df["bucket"].iloc[0]:
+        raise ValueError("change_point needs >= 2 day buckets")
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b[0], b[-1] + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    n[b - b[0]] = df["n"].to_numpy(dtype=np.int64)
+    m = full.size
+    total = int(n.sum())
+    sl = np.cumsum(n)[:-1].astype(np.float64)  # prefix sums at k = 1..m-1
+    k = np.arange(1, m, dtype=np.float64)
+    d = np.abs(sl / k - (total - sl) / (m - k))
+    best = int(np.argmax(d))  # first max = smallest k tiebreak
+    return pd.DataFrame([{
+        "change_bucket": np.int64(full[best + 1]),
+        "mean_before": round(float(sl[best]) / float(k[best]), 6),
+        "mean_after": round((total - float(sl[best])) / float(m - k[best]), 6),
+        "gap": round(float(d[best]), 6),
+    }])
+
+
+def ks_test(events_ds, key_col: str, key_a: str, key_b: str,
+            ts_col: str = "ts", bucket_s: int = 86400) -> pd.DataFrame:
+    """ES ``bucket_count_ks_test`` pipeline agg: the two-sample
+    Kolmogorov–Smirnov statistic between the day-of-occurrence
+    distributions of two key values — D = max over the union day grid of
+    |ECDF_a − ECDF_b|, with the ECDFs built from exact integer
+    cumulative counts so the per-bucket expression ``ca/Na − cb/Nb`` is
+    ONE float formula shared with SQL and the argmax (ties → smallest
+    bucket) is IEEE-reproducible. One (bucket, key) shuffle."""
+    df = _day_key_counts(events_ds, key_col, (key_a, key_b), ts_col, bucket_s)
+    if df.empty:
+        raise ValueError("ks_test: no rows for either key")
+    full, a_cnt, b_cnt = _gap_filled_pair(df, key_a, key_b)
+    na, nb = float(a_cnt.sum()), float(b_cnt.sum())
+    if na == 0.0 or nb == 0.0:
+        raise ValueError("ks_test: one key has no rows")
+    diff = np.abs(np.cumsum(a_cnt) / na - np.cumsum(b_cnt) / nb)
+    best = int(np.argmax(diff))
+    return pd.DataFrame([{
+        "key_a": key_a, "key_b": key_b, "n_a": np.int64(a_cnt.sum()),
+        "n_b": np.int64(b_cnt.sum()),
+        "d_stat": round(float(diff[best]), 6),
+        "at_bucket": np.int64(full[best]),
+    }])
+
+
+def global_agg(events_ds, value_col: str, key_col: str, key_val: str) -> pd.DataFrame:
+    """ES ``global`` agg: metrics over ALL docs side-by-side with a
+    filtered bucket's, in one row — the escape hatch from query scope
+    (here: total event count/revenue next to one event_type's). ONE
+    streaming pass, block-sized partials (count + exact integer cents,
+    total and filtered), no shuffle at all; sums are integers so block
+    merge order can't change the result. Averages are the only float
+    math, shared verbatim with SQL."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+        m = pc.equal(b[key_col], key_val).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": [np.int64(len(b))], "cents": [np.int64(cents.sum())],
+            "n_f": [np.int64(m.sum())], "cents_f": [np.int64(cents[m].sum())],
+        })
+
+    parts = events_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tot = parts.sum()
+    n, n_f = int(tot["n"]), int(tot["n_f"])
+    if n == 0 or n_f == 0:
+        raise ValueError("global_agg: empty input or empty filter bucket")
+    return pd.DataFrame([{
+        "n_total": np.int64(n),
+        "sum_value_total": round(float(tot["cents"]) / 100.0, 2),
+        "avg_value_total": round(float(tot["cents"]) / 100.0 / n, 6),
+        "filter_key": key_val,
+        "n_filtered": np.int64(n_f),
+        "sum_value_filtered": round(float(tot["cents_f"]) / 100.0, 2),
+        "avg_value_filtered": round(float(tot["cents_f"]) / 100.0 / n_f, 6),
     }])

@@ -305,3 +305,74 @@ def test_has_child_avg_min_children(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="score_mode"):
         ConvScorer("/nonexistent", 8, score_mode="median")
+
+
+def test_cumulative_sum_gap_fill(events_df):
+    df = events_df.copy()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = es_aggs.cumulative_sum(_ds(df), "ts", 86400)
+    assert (np.diff(out["cum_n"]) == out["n_events"].to_numpy()[1:]).all()
+    assert out["cum_n"].iloc[-1] == len(df)
+    assert (np.diff(out["bucket"]) == 1).all()  # gap-filled grid
+
+
+def test_rate_agg_units(ray_session):
+    ts = pd.to_datetime(["2026-01-01", "2026-01-01", "2026-01-03"]).astype("datetime64[us]")
+    df = pd.DataFrame({"ts": ts, "value": [10.00, 14.00, 2.405]})
+    out = es_aggs.rate_agg(_ds(df), "ts", "value", 86400, 3600)
+    assert len(out) == 3  # gap-filled middle day
+    assert abs(out["doc_rate"].iloc[0] - round(2 / 24.0, 6)) < 1e-12
+    assert out["doc_rate"].iloc[1] == 0.0 and out["value_rate"].iloc[1] == 0.0
+    # 2.405 is 2.40499… in binary → 240 cents on BOTH sides, /100/24
+    assert abs(out["value_rate"].iloc[2] - round(2.40 / 24.0, 6)) < 1e-9
+
+
+def test_categorize_text_templates(ray_session):
+    texts = ["Error 42 in module 7", "error 9 in module 12", "ok done", None]
+    out = es_aggs.categorize_text(_ds(pd.DataFrame({"text": texts})), "text",
+                                  n_tokens=4, top_n=10)
+    m = dict(zip(out["category"], out["n_docs"]))
+    assert m["error <num> in module"] == 2
+    assert m["ok done"] == 1 and m[""] == 1
+    # (count desc, category asc) ordering
+    assert out["category"].iloc[0] == "error <num> in module"
+
+
+def test_change_point_step(ray_session):
+    # 5 quiet days then 5 busy days → split after day 5
+    days, counts = [], []
+    for d in range(10):
+        c = 2 if d < 5 else 20
+        days += [f"2026-01-{d+1:02d}"] * c
+    df = pd.DataFrame({"ts": pd.to_datetime(days).astype("datetime64[us]")})
+    out = es_aggs.change_point(_ds(df), "ts", 86400)
+    r = out.iloc[0]
+    base = pd.Timestamp("2026-01-06").value // 1000 // 86400000000
+    assert r["change_bucket"] == base
+    assert r["mean_before"] == 2.0 and r["mean_after"] == 20.0 and r["gap"] == 18.0
+    with pytest.raises(ValueError, match=">= 2"):
+        es_aggs.change_point(_ds(df.head(2)), "ts", 86400)
+
+
+def test_ks_test_identical_and_disjoint(ray_session):
+    ts = pd.to_datetime(["2026-01-01"] * 4 + ["2026-01-02"] * 4).astype("datetime64[us]")
+    same = pd.DataFrame({"ts": ts, "event_type": ["a", "b"] * 4})
+    out = es_aggs.ks_test(_ds(same), "event_type", "a", "b", "ts", 86400)
+    assert out["d_stat"].iloc[0] == 0.0
+    dis = pd.DataFrame({"ts": ts, "event_type": ["a"] * 4 + ["b"] * 4})
+    out2 = es_aggs.ks_test(_ds(dis), "event_type", "a", "b", "ts", 86400)
+    assert out2["d_stat"].iloc[0] == 1.0  # fully separated distributions
+    with pytest.raises(ValueError, match="no rows"):
+        es_aggs.ks_test(_ds(dis), "event_type", "zz", "zy", "ts", 86400)
+
+
+def test_global_agg_hand_math(ray_session):
+    df = pd.DataFrame({"event_type": ["click", "view", "click"],
+                       "value": [1.00, 2.00, 0.50]})
+    out = es_aggs.global_agg(_ds(df), "value", "event_type", "click")
+    r = out.iloc[0]
+    assert r["n_total"] == 3 and r["sum_value_total"] == 3.5
+    assert r["n_filtered"] == 2 and r["sum_value_filtered"] == 1.5
+    assert abs(r["avg_value_filtered"] - 0.75) < 1e-12
+    with pytest.raises(ValueError, match="empty"):
+        es_aggs.global_agg(_ds(df), "value", "event_type", "nope")

@@ -4399,6 +4399,125 @@ def q_string_stats(sf_dir: str):
     return string_stats(ds, "text")
 
 
+_RF_BOOST, _RF_PIVOT = 1.5, 2.0
+_DF_BOOST, _DF_PIVOT = 2.0, 1.0
+SPAN_FIRST_QUERIES = [
+    {"query_id": "sp1", "query_text": "spark", "end": 2},
+    {"query_id": "sp2", "query_text": "data", "end": 1},
+    {"query_id": "sp3", "query_text": "window", "end": 3},
+]
+MBP_QUERIES: dict[str, str] = {
+    "mbp1": "spark jo",
+    "mbp2": "stream filter wind",
+    "mbp3": "vector sc",
+}
+_DIV_QUERY, _DIV_SIZE, _DIV_TOP, _DIV_STRIDE = "spark join", 30, 20, 8
+
+
+def _rerank_topk(res, cols=("query_id", "rank", "doc_id", "score")):
+    """Shared over-fetch finisher: quantized (round4 score desc, doc_id
+    asc) re-rank to top-k — removes cross-side float-sum-order rank
+    jitter for scorers that ADD terms from multiple float sources."""
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        return b
+
+    res = res.map_batches(final, batch_format="pandas")
+
+    def _rr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(BM25_TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[list(cols)]
+
+    return res.groupby("query_id").map_groups(_rr, batch_format="pandas")
+
+
+def q_rank_feature(sf_dir: str):
+    """ES rank_feature query (saturation): BM25 + boost·f/(f+pivot) on
+    the docmap turn_idx feature, applied over the FULL candidate set.
+    Over-fetch 4× then quantized re-rank (the feature term is a second
+    float source)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import rank_feature_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K * 4}
+         for qid, t in BM25_QUERIES.items()]
+    )
+    return _rerank_topk(rank_feature_search(qs, index_dir, "turn_idx", "saturation",
+                                            boost=_RF_BOOST, pivot=_RF_PIVOT,
+                                            cfg=_engine_cfg()))
+
+
+def q_distance_feature(sf_dir: str):
+    """ES distance_feature query: BM25 + boost·pivot/(pivot+|f−origin|)
+    on turn_idx with origin 0 — boosts conversation openings."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import rank_feature_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K * 4}
+         for qid, t in BM25_QUERIES.items()]
+    )
+    return _rerank_topk(rank_feature_search(qs, index_dir, "turn_idx", "distance",
+                                            boost=_DF_BOOST, pivot=_DF_PIVOT,
+                                            origin=0.0, cfg=_engine_cfg()))
+
+
+def q_span_first(sf_dir: str):
+    """ES span_first: the term's FIRST occurrence must fall before
+    position `end`; survivors score as the plain term query. One
+    vectorized first-position gather per query — no per-doc loop."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import span_first_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in SPAN_FIRST_QUERIES])
+    return _finish_scores(span_first_search(qs, index_dir, _engine_cfg()))
+
+
+def q_match_bool_prefix(sf_dir: str):
+    """ES match_bool_prefix: bool-OR BM25 over the complete tokens plus
+    a CONSTANT-SCORE (+1.0, Lucene's MultiTermQuery rewrite) prefix
+    clause on the last token, dictionary-expanded once."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import match_bool_prefix
+
+    index_dir = _ensure_index(sf_dir)
+    res = match_bool_prefix(MBP_QUERIES, index_dir, _engine_cfg(), top_k=BM25_TOP_K * 4)
+    return _rerank_topk(res)
+
+
+def q_diversified_sampler(sf_dir: str):
+    """ES diversified_sampler + terms sub-agg: the sample walks the BM25
+    ranking taking at most ONE doc per conversation (max_docs_per_value),
+    then term doc-counts are taken over the diversified sample only."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+    from hybrid_sanctions_search_engine_ray.stages.facets import (
+        diversified_sample_ids, sampler_terms)
+
+    index_dir = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    ids = diversified_sample_ids(r, _DIV_QUERY, _DIV_SIZE, _DIV_STRIDE, max_per_value=1)
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return sampler_terms(index_dir, _DIV_QUERY, corpus,
+                         analyzer_cfg=_engine_cfg().analyzer,
+                         sample_size=_DIV_SIZE, top_n=_DIV_TOP,
+                         reader=r, sample_ids=ids)
+
+
 def q_cumulative_sum(sf_dir: str):
     """ES cumulative_sum pipeline agg under a date_histogram: running
     total of the gap-filled per-day event counts — pure integer math."""
@@ -4631,6 +4750,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_point": q_change_point,
         "ks_test": q_ks_test,
         "global_agg": q_global_agg,
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
+        "span_first": q_span_first,
+        "match_bool_prefix": q_match_bool_prefix,
+        "diversified_sampler": q_diversified_sampler,
     }
 
 
@@ -4852,6 +4976,27 @@ def _span_matches_sql() -> str:
             f"FROM tokpos p0 {joins} WHERE p0.term = '{terms[0]}'"
         )
     return " UNION ALL ".join(selects)
+
+
+def _span_first_values() -> str:
+    return ", ".join(
+        f"('{q['query_id']}', '{q['query_text'].lower()}', {q['end']})"
+        for q in SPAN_FIRST_QUERIES
+    )
+
+
+def _mbp_values() -> tuple[str, str]:
+    comp_rows, pre_rows = [], []
+    for qid, text in MBP_QUERIES.items():
+        toks = text.lower().split()
+        for t in sorted(set(toks[:-1])):
+            comp_rows.append(f"('{qid}', '{t}')")
+        pre_rows.append(f"('{qid}', '{toks[-1]}')")
+    return ", ".join(comp_rows), ", ".join(pre_rows)
+
+
+def _div_qterms_values() -> str:
+    return ", ".join(f"('{t}')" for t in sorted(set(_DIV_QUERY.lower().split())))
 
 
 def _span_qterms_values() -> str:
@@ -7232,5 +7377,148 @@ SELECT n AS n_total,
        round(c_f::DOUBLE / 100.0, 2) AS sum_value_filtered,
        round(c_f::DOUBLE / 100.0 / n_f::DOUBLE, 6) AS avg_value_filtered
 FROM st
+""",
+        # rank_feature (saturation): BM25 + boost·f/(f+pivot) on
+        # turn_idx; quantized rank shared with the engine's re-rank.
+        "rank_feature": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+{_BM25_SCORES_CTE},
+final AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score + {_RF_BOOST} * (t.turn_idx::DOUBLE / (t.turn_idx::DOUBLE + {_RF_PIVOT})), 4) AS score
+  FROM scores s JOIN transcripts t ON t.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM final
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # distance_feature: BM25 + boost·pivot/(pivot+|f−origin|).
+        "distance_feature": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+{_BM25_SCORES_CTE},
+final AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score + {_DF_BOOST} * ({_DF_PIVOT} / ({_DF_PIVOT} + abs(t.turn_idx::DOUBLE - 0.0))), 4) AS score
+  FROM scores s JOIN transcripts t ON t.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM final
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # span_first: term's first occurrence strictly before `end`,
+        # scored as the plain term query (single-term BM25).
+        "span_first": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+q(query_id, term, endp) AS (VALUES {_span_first_values()}),
+matches AS (
+  SELECT q.query_id, p.doc_id, q.term
+  FROM q JOIN tokpos p ON p.term = q.term
+  GROUP BY q.query_id, p.doc_id, q.term, q.endp
+  HAVING min(p.pos) < q.endp
+),
+sscore AS (
+  SELECT m.query_id, m.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) AS score
+  FROM matches m
+  JOIN tf ON tf.term = m.term AND tf.doc_id = m.doc_id
+  JOIN df ON df.term = m.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM sscore
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # match_bool_prefix: bool-OR BM25 over complete tokens + a
+        # constant-score (+1.0) dictionary-expanded prefix clause.
+        "match_bool_prefix": f"""
+WITH {TRANSCRIPTS_CTE},
+compq(query_id, term) AS (VALUES {_mbp_values()[0]}),
+preq(query_id, pre) AS (VALUES {_mbp_values()[1]}),
+expd AS (
+  SELECT DISTINCT p.query_id, tf.doc_id
+  FROM preq p JOIN df ON df.term LIKE p.pre || '%' JOIN tf ON tf.term = df.term
+),
+cscore AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM compq q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+allc AS (
+  SELECT query_id, doc_id FROM cscore
+  UNION SELECT query_id, doc_id FROM expd
+),
+final AS (
+  SELECT a.query_id, a.doc_id,
+         round(coalesce(c.score, 0.0)
+               + CASE WHEN e.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 4) AS score
+  FROM allc a
+  LEFT JOIN cscore c ON c.query_id = a.query_id AND c.doc_id = a.doc_id
+  LEFT JOIN expd e ON e.query_id = a.query_id AND e.doc_id = a.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM final
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # diversified_sampler + terms: at most one doc per conversation
+        # in the sample, walked in BM25 rank order.
+        "diversified_sampler": f"""
+WITH {TRANSCRIPTS_CTE},
+qsam(term) AS (VALUES {_div_qterms_values()}),
+sscores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qsam q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+rankedall AS (
+  SELECT doc_id, score,
+         row_number() OVER (PARTITION BY doc_id // {_DIV_STRIDE} ORDER BY score DESC, doc_id) AS within
+  FROM sscores
+),
+samp AS (
+  SELECT doc_id FROM rankedall WHERE within = 1
+  ORDER BY score DESC, doc_id LIMIT {_DIV_SIZE}
+),
+cnt AS (
+  SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS doc_count
+  FROM tok t JOIN samp ON samp.doc_id = t.doc_id GROUP BY t.term
+),
+rankedsam AS (
+  SELECT term, doc_count, row_number() OVER (ORDER BY doc_count DESC, term) AS rnk
+  FROM cnt
+)
+SELECT term, doc_count, cast(rnk AS int) AS rank FROM rankedsam WHERE rnk <= {_DIV_TOP}
 """,
     }

@@ -1576,3 +1576,235 @@ def count_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG)
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+
+
+# --- rank_feature / distance_feature ------------------------------------------
+
+
+class FeatureScorer:
+    """ES ``rank_feature`` / ``distance_feature`` queries: BM25 over the
+    FULL candidate set plus a per-doc feature term — ``boost·f/(f+pivot)``
+    (saturation), ``boost·ln(scaling+f)`` (log) or
+    ``boost·pivot/(pivot+|f−origin|)`` (distance_feature). The feature
+    column (e.g. ``turn_idx``) comes from ONE doc-id-sorted docmap read
+    in ``__init__`` — per-query work is a vectorized searchsorted gather,
+    never a shuffle join (reference feature boosting:
+    elasticsearch_adapters.py function-score assembly)."""
+
+    MODES = ("saturation", "log", "distance")
+
+    def __init__(self, index_dir: str, feature_key: str = "turn_idx",
+                 mode: str = "saturation", boost: float = 1.0,
+                 pivot: float = 2.0, origin: float = 0.0,
+                 scaling: float = 1.0, default_top_k: int = 10):
+        if mode not in self.MODES:
+            raise ValueError(f"mode must be one of {self.MODES}")
+        self.reader = IndexReader(index_dir)
+        dm = pads.dataset(os.path.join(index_dir, "docmap.parquet")).to_table(
+            columns=["doc_id", feature_key]
+        )
+        ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        self.dm_ids = ids[order]
+        self.feature = (
+            dm[feature_key].take(pa.array(order)).to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        self.mode, self.boost = mode, float(boost)
+        self.pivot, self.origin, self.scaling = float(pivot), float(origin), float(scaling)
+        self.default_top_k = default_top_k
+
+    def _feature_term(self, f: np.ndarray) -> np.ndarray:
+        if self.mode == "saturation":
+            return self.boost * (f / (f + self.pivot))
+        if self.mode == "log":
+            return self.boost * np.log(self.scaling + f)
+        return self.boost * (self.pivot / (self.pivot + np.abs(f - self.origin)))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            at = np.searchsorted(self.dm_ids, docs.astype(np.int64))
+            scores = scores + self._feature_term(self.feature[at])
+            d, s = topk_desc(docs, scores, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def rank_feature_search(queries_ds, index_dir: str, feature_key: str = "turn_idx",
+                        mode: str = "saturation", boost: float = 1.0,
+                        pivot: float = 2.0, origin: float = 0.0,
+                        scaling: float = 1.0, cfg: EngineConfig = DEFAULT_CONFIG):
+    """rank_feature (saturation/log) or distance_feature (mode
+    'distance') additive boosting over a docmap feature column."""
+    return queries_ds.map_batches(
+        FeatureScorer,
+        fn_constructor_args=(index_dir, feature_key, mode, boost, pivot,
+                             origin, scaling, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+# --- span_first ----------------------------------------------------------------
+
+
+class SpanFirstScorer:
+    """ES ``span_first``: the wrapped span (a single term here — the
+    canonical span_term form) must occur STRICTLY before position
+    ``end``. Positions are stored sorted per doc, so the check is one
+    vectorized gather of each candidate's FIRST occurrence — no per-doc
+    loop. Survivors score as the plain term query (BM25)."""
+
+    def __init__(self, index_dir: str, default_end: int = 2, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.default_end = default_end
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        ends = batch["end"] if "end" in batch.columns else None
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            end = int(ends.iloc[i]) if ends is not None else self.default_end
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = self.reader.analyzer(qtext)
+            if len(terms) != 1:
+                raise ValueError("span_first wraps a single span_term")
+            p = self.reader.load_postings(terms).get(terms[0])
+            if p is None or p.doc_ids.size == 0:
+                continue
+            loaded = self.reader.load_positions(terms[0])
+            if loaded is None:
+                raise ValueError("span_first requires store_positions=True")
+            pos_docs, offsets, flat = loaded
+            at = np.searchsorted(pos_docs, p.doc_ids.astype(pos_docs.dtype))
+            first_pos = flat[offsets[at]]  # positions sorted per doc
+            hit = first_pos < end
+            if not hit.any():
+                continue
+            d, s = topk_desc(p.doc_ids[hit], (p.factors * p.idf)[hit], k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def span_first_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """span_first over a positional index; queries carry (query_id,
+    query_text, end[, top_k])."""
+    return queries_ds.map_batches(
+        SpanFirstScorer,
+        fn_constructor_args=(index_dir, 2, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
+# --- match_bool_prefix -----------------------------------------------------------
+
+
+class BoolPrefixScorer:
+    """ES ``match_bool_prefix``: every token is a ``should`` term query
+    except the LAST, which becomes a prefix query. Lucene rewrites the
+    prefix clause constant-score (MultiTermQuery CONSTANT_SCORE rewrite),
+    so a doc scores Σ BM25 over the complete terms it contains + 1.0 if
+    it matches ANY dictionary expansion of the prefix; candidates are the
+    union of both clause sets. Specs (complete terms + expansion lists)
+    ship in the constructor — the dictionary scan happens once."""
+
+    def __init__(self, index_dir: str, specs: dict[str, tuple[list[str], list[str]]],
+                 default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.specs = specs
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qid in batch["query_id"]:
+            comp, alts = self.specs[qid]
+            union.update(comp)
+            union.update(alts)
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, qid in enumerate(batch["query_id"]):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            comp, alts = self.specs[qid]
+            comp_postings = self.reader.load_postings(sorted(set(comp)))
+            alt_postings = self.reader.load_postings(sorted(set(alts)))
+            docs, scores = score_all(list(comp_postings.values()))
+            if alt_postings:
+                alt_union = np.unique(
+                    np.concatenate([p.doc_ids for p in alt_postings.values()])
+                )
+                both = np.union1d(docs, alt_union)
+                new_scores = np.zeros(both.size, dtype=np.float64)
+                new_scores[np.searchsorted(both, docs)] = scores
+                new_scores[np.searchsorted(both, alt_union)] += 1.0
+                docs, scores = both, new_scores
+            if docs.size == 0:
+                continue
+            d, s = topk_desc(docs, scores, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def match_bool_prefix(queries: dict[str, str], index_dir: str,
+                      cfg: EngineConfig = DEFAULT_CONFIG, top_k: int = 10):
+    """match_bool_prefix: bool-OR term scoring with a constant-score
+    prefix clause on the last token (expanded against the dictionary
+    once, the same scan as wildcard)."""
+    import ray.data as rd
+
+    specs: dict[str, tuple[list[str], list[str]]] = {}
+    prefixes = {}
+    for qid, text in queries.items():
+        toks = text.lower().split()
+        prefixes[qid] = toks[-1] + "*"
+        specs[qid] = (toks[:-1], [])
+    expanded = expand_wildcards(index_dir, prefixes)
+    specs = {qid: (comp, expanded.get(qid, [])) for qid, (comp, _) in specs.items()}
+    qs = rd.from_items([{"query_id": qid, "top_k": top_k} for qid in sorted(queries)])
+    return qs.map_batches(
+        BoolPrefixScorer,
+        fn_constructor_args=(index_dir, specs, top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

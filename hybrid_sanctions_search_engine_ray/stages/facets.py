@@ -194,9 +194,33 @@ def _topn_sample_ids(reader, query_text: str, sample_size: int) -> np.ndarray:
     return np.sort(dk.astype(np.int64))
 
 
+def diversified_sample_ids(reader, query_text: str, sample_size: int,
+                           stride: int, max_per_value: int = 1) -> np.ndarray:
+    """ES ``diversified_sampler`` id selection: walk the BM25 ranking
+    (score desc, doc_id asc) skipping docs whose de-dup value (here the
+    conversation, ``doc_id // stride``) already used its
+    ``max_docs_per_value`` quota, until ``sample_size`` ids are taken.
+    Candidate-sized and fully vectorized (stable sort + cumulative
+    per-value counter); returns sorted doc ids."""
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import score_all
+
+    terms = sorted(set(reader.analyzer(query_text)))
+    d, s = score_all(list(reader.load_postings(terms).values()))
+    if d.size == 0:
+        return np.empty(0, dtype=np.int64)
+    # rank order: score desc, doc_id asc (d is sorted asc already)
+    order = np.argsort(-s, kind="mergesort")
+    ranked = d[order].astype(np.int64)
+    conv = ranked // stride
+    df = pd.DataFrame({"conv": conv})
+    nth = df.groupby("conv", sort=False).cumcount().to_numpy()
+    keep = ranked[nth < max_per_value][:sample_size]
+    return np.sort(keep)
+
+
 def sampler_terms(index_dir: str, query_text: str, corpus_ds,
                   analyzer_cfg=None, sample_size: int = 50, top_n: int = 20,
-                  reader=None) -> pd.DataFrame:
+                  reader=None, sample_ids: np.ndarray | None = None) -> pd.DataFrame:
     """ES ``sampler`` aggregation with a ``terms`` sub-aggregation: the
     aggregation scope is limited to the top-``sample_size`` BM25 hits
     (ES ``shard_size`` analog), then term doc-counts are taken over the
@@ -211,7 +235,7 @@ def sampler_terms(index_dir: str, query_text: str, corpus_ds,
 
     cfg = analyzer_cfg or AnalyzerConfig()
     r = reader or IndexReader(index_dir)
-    ids = _topn_sample_ids(r, query_text, sample_size)
+    ids = sample_ids if sample_ids is not None else _topn_sample_ids(r, query_text, sample_size)
     empty = pd.DataFrame({"term": pd.Series([], dtype=object),
                           "doc_count": pd.Series([], dtype=np.int64),
                           "rank": pd.Series([], dtype=np.int32)})

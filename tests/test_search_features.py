@@ -822,3 +822,85 @@ def test_pinned_skips_unknown_doc_ids(feat_index):
     assert 10**9 not in set(out["doc_id"])
     assert out.iloc[0][["doc_id", "pinned", "rank"]].tolist() == [5, 1, 1]
     assert len(out) == 4
+
+
+def test_rank_feature_saturation_boost(feat_index):
+    scorer = sfeat.FeatureScorer(feat_index, "turn_idx", "saturation",
+                                 boost=1.5, pivot=2.0, default_top_k=10)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha"], "top_k": [10]}))
+    docs, scores = _brute_scores(feat_index, "alpha")
+    r = IndexReader(feat_index)
+    want = {int(d): s + 1.5 * ((d % 3) / ((d % 3) + 2.0))
+            for d, s in zip(docs.astype(np.int64), scores)}
+    got = dict(zip(out["doc_id"], out["score"]))
+    assert got.keys() == want.keys()
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-12
+    with pytest.raises(ValueError, match="mode"):
+        sfeat.FeatureScorer(feat_index, mode="quadratic")
+
+
+def test_distance_feature_prefers_origin(feat_index):
+    scorer = sfeat.FeatureScorer(feat_index, "turn_idx", "distance",
+                                 boost=2.0, pivot=1.0, origin=0.0, default_top_k=10)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["gamma"], "top_k": [10]}))
+    got = dict(zip(out["doc_id"], out["score"]))
+    docs, scores = _brute_scores(feat_index, "gamma")
+    base = dict(zip(docs.astype(np.int64), scores))
+    for d, s in got.items():
+        assert abs(s - (base[d] + 2.0 / (1.0 + (d % 3)))) < 1e-12
+
+
+def test_span_first_position_gate(feat_index):
+    scorer = sfeat.SpanFirstScorer(feat_index, default_top_k=10)
+    # "beta" first positions: doc0@1 doc1@0 doc2@2 doc4@0 doc5@0 doc8@2
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta"],
+                               "end": [1], "top_k": [10]}))
+    assert set(out["doc_id"].tolist()) == {1, 4, 5}
+    out2 = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["beta"],
+                                "end": [3], "top_k": [10]}))
+    assert set(out2["doc_id"].tolist()) == {0, 1, 2, 4, 5, 8}
+    with pytest.raises(Exception, match="single span_term"):
+        scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha beta"],
+                             "end": [1], "top_k": [10]}))
+
+
+def test_match_bool_prefix_constant_score(feat_index, ray_session):
+    # complete term "delta" scored BM25; prefix "alph*" adds +1.0 constant
+    out = sfeat.match_bool_prefix({"q": "delta alph"}, feat_index, CFG, top_k=20).to_pandas()
+    docs, scores = _brute_scores(feat_index, "delta")
+    base = dict(zip(docs.astype(np.int64), scores))
+    exp = sfeat.expand_wildcards(feat_index, {"q": "alph*"})["q"]
+    r = IndexReader(feat_index)
+    alt_docs = set()
+    for t in exp:
+        alt_docs.update(r.load_postings([t])[t].doc_ids.astype(np.int64).tolist())
+    got = dict(zip(out["doc_id"], out["score"]))
+    assert set(got) == set(base) | alt_docs
+    for d, s in got.items():
+        want = base.get(d, 0.0) + (1.0 if d in alt_docs else 0.0)
+        assert abs(s - want) < 1e-12
+    # doc 8 ("alphabet soup beta") matches only via the prefix → exactly 1.0
+    assert abs(got[8] - 1.0) < 1e-15
+
+
+def test_diversified_sample_ids_one_per_conv():
+    from hybrid_sanctions_search_engine_ray.stages import facets
+
+    class FakeReader:
+        def analyzer(self, q):
+            return q.split()
+
+        def load_postings(self, terms):
+            class P:
+                doc_ids = np.array([0, 1, 2, 3, 6, 7], dtype=np.uint64)
+                factors = np.array([1.0, 5.0, 4.0, 3.0, 2.0, 2.5])
+                idf = 1.0
+            return {terms[0]: P()}
+
+    # rank order: 1(5.0) 2(4.0) 3(3.0) 7(2.5) 6(2.0) 0(1.0); stride 3 convs:
+    # 1→c0, 2→c0(skip), 3→c1, 7→c2, 6→c2(skip), 0→c0(skip)
+    ids = facets.diversified_sample_ids(FakeReader(), "x", 10, stride=3)
+    assert ids.tolist() == [1, 3, 7]
+    ids2 = facets.diversified_sample_ids(FakeReader(), "x", 2, stride=3)
+    assert ids2.tolist() == [1, 3]

@@ -25,6 +25,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # --- BM25 golden query set (terms drawn from the documents vocabulary) ------
 
@@ -4399,6 +4400,281 @@ def q_string_stats(sf_dir: str):
     return string_stats(ds, "text")
 
 
+_Q18_MIN_QTY = 250
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+SPAN_NOT_QUERIES = [
+    {"query_id": "spn1", "query_text": "data", "exclude": "the", "dist": 1},
+    {"query_id": "spn2", "query_text": "join", "exclude": "slow", "dist": 2},
+    {"query_id": "spn3", "query_text": "window", "exclude": "stream", "dist": 1},
+]
+
+
+def _ucents(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """Exact discounted revenue in integer 1/10000-dollars:
+    price_cents × (100 − disc_pct) — both factors are exact ints (the
+    repo-wide money convention), so partial sums merge exactly in any
+    order. revenue_dollars = ucents / 10000."""
+    pc_ = np.floor(np.abs(price) * 100.0 + 0.5).astype(np.int64)
+    dp = np.floor(np.abs(disc) * 100.0 + 0.5).astype(np.int64)
+    return pc_ * (100 - dp)
+
+
+def q_custdist(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): per-customer
+    order counts via the partial-agg custkey shuffle, a SECOND
+    distributed partial-agg over the counts, and the zero-order bucket
+    from customer-table row count minus customers seen — the LEFT JOIN
+    expressed without ever joining (orders never meets customer)."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def per_cust(b: pa.Table) -> pa.Table:
+        g = b.select(["o_custkey"]).group_by("o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "c_p"])
+
+    counts = (
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+        .map_batches(per_cust, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("c_p", alias_name="c_count"))
+    )
+
+    def per_count(b: pa.Table) -> pa.Table:
+        g = b.select(["c_count"]).group_by("c_count").aggregate([([], "count_all")])
+        return g.rename_columns(["c_count", "d_p"])
+
+    dist = (
+        counts.map_batches(per_count, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("d_p", alias_name="custdist"))
+        .to_pandas()
+    )
+    n_cust = _pq.ParquetFile(os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    zero = int(n_cust - dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame([{"c_count": 0, "custdist": zero}])], ignore_index=True
+        )
+    dist = dist.sort_values(["custdist", "c_count"], ascending=[False, False],
+                            kind="mergesort").reset_index(drop=True)
+    dist["c_count"] = dist["c_count"].astype(np.int64)
+    dist["custdist"] = dist["custdist"].astype(np.int64)
+    return dist
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): per-order quantity sums via
+    the partial-agg orderkey shuffle, HAVING > threshold (result is
+    tiny), then the qualifying keys BROADCAST into pruned orders and
+    customer scans — no large-side join ever materializes. Ranked by
+    exact total-price cents."""
+    import ray as _ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def per_order(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        qi = q.astype(np.int64)
+        assert np.array_equal(qi.astype(np.float64), q), "l_quantity must be integral"
+        g = pa.table({"l_orderkey": b["l_orderkey"], "q": pa.array(qi)}).group_by(
+            "l_orderkey").aggregate([("q", "sum")])
+        return g.rename_columns(["l_orderkey", "q_p"])
+
+    qual = (
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_quantity"])
+        .map_batches(per_order, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q_p", alias_name="sum_qty"))
+        .map_batches(lambda b: b.filter(pc.greater(b["sum_qty"], _Q18_MIN_QTY)),
+                     batch_format="pyarrow")
+        .to_pandas()  # HAVING survivors only — tiny by construction
+    )
+    if qual.empty:
+        return pd.DataFrame({"c_name": pd.Series([], dtype=object),
+                             "o_custkey": pd.Series([], dtype=np.int64),
+                             "o_orderkey": pd.Series([], dtype=np.int64),
+                             "od_day": pd.Series([], dtype=np.int64),
+                             "o_totalprice": pd.Series([], dtype=np.float64),
+                             "sum_qty": pd.Series([], dtype=np.int64)})
+    keys_ref = _ray.put(np.sort(qual["l_orderkey"].to_numpy(dtype=np.int64)))
+
+    class KeepQual:
+        def __init__(self, ref, col):
+            self.keys = _ray.get(ref)
+            self.col = col
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = b[self.col].to_numpy(zero_copy_only=False).astype(np.int64)
+            at = np.searchsorted(self.keys, v)
+            safe = np.minimum(at, self.keys.size - 1)
+            return b.filter(pa.array((at < self.keys.size) & (self.keys[safe] == v)))
+
+    ords = (
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(KeepQual, fn_constructor_args=(keys_ref, "o_orderkey"),
+                     batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    ck_ref = _ray.put(np.sort(np.unique(ords["o_custkey"].to_numpy(dtype=np.int64))))
+    cust = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_name"])
+        .map_batches(KeepQual, fn_constructor_args=(ck_ref, "c_custkey"),
+                     batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    out = ords.merge(qual, left_on="o_orderkey", right_on="l_orderkey")
+    out = out.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    cents = np.floor(np.abs(out["o_totalprice"].to_numpy()) * 100.0 + 0.5).astype(np.int64)
+    out["_cents"] = cents
+    out["od_day"] = out["o_orderdate"].astype("int64") // 86_400_000_000
+    out = out.sort_values(["_cents", "o_orderkey"], ascending=[False, True],
+                          kind="mergesort").head(100).reset_index(drop=True)
+    out["o_totalprice"] = np.round(out["_cents"] / 100.0, 2)
+    out["o_custkey"] = out["o_custkey"].astype(np.int64)
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    return out[["c_name", "o_custkey", "o_orderkey", "od_day", "o_totalprice", "sum_qty"]]
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 shape (promotion revenue share by ship month): promo
+    part keys collected once from a pruned part scan and broadcast as a
+    sorted array; lineitem streams ONE pass emitting exact integer
+    1/10000-dollar revenue partials per (month, promo) — the share
+    division is the only float math, shared verbatim with SQL."""
+    import ray as _ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    promo = (
+        rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                        columns=["p_partkey", "p_type"])
+        .map_batches(lambda b: b.filter(pc.equal(b["p_type"], "PROMO")),
+                     batch_format="pyarrow")
+        .to_pandas()  # qualifying keys only — a fraction of part
+    )
+    pk_ref = _ray.put(np.sort(promo["p_partkey"].to_numpy(dtype=np.int64)))
+
+    class Partial:
+        def __init__(self, ref):
+            self.keys = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            month = (
+                b["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[M]").astype(np.int64)
+            )
+            u = _ucents(b["l_extendedprice"].to_numpy(zero_copy_only=False),
+                        b["l_discount"].to_numpy(zero_copy_only=False))
+            pkey = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            at = np.searchsorted(self.keys, pkey)
+            safe = np.minimum(at, max(self.keys.size - 1, 0))
+            is_promo = (self.keys.size > 0) & (at < self.keys.size) & (self.keys[safe] == pkey)
+            g = pa.table({
+                "month": pa.array(month),
+                "promo_u": pa.array(np.where(is_promo, u, 0)),
+                "total_u": pa.array(u),
+            }).group_by("month").aggregate([("promo_u", "sum"), ("total_u", "sum")])
+            return g.rename_columns(["month", "p_p", "t_p"])
+
+    agg = (
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(Partial, fn_constructor_args=(pk_ref,),
+                     batch_format="pyarrow", concurrency=2)
+        .groupby("month")
+        .aggregate(Sum("p_p", alias_name="promo_u"), Sum("t_p", alias_name="total_u"))
+        .to_pandas()
+    )
+    agg = agg.sort_values("month", kind="mergesort").reset_index(drop=True)
+    p = agg["promo_u"].to_numpy(dtype=np.int64)
+    t = agg["total_u"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "month": agg["month"].astype(np.int64),
+        "promo_revenue": np.round(p / 10000.0, 2),
+        "total_revenue": np.round(t / 10000.0, 2),
+        "promo_share_pct": np.round(100.0 * p / t, 6),
+    })
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier by revenue in a quarter): the date
+    filter pushes into the lineitem read; exact integer revenue partials
+    shuffle by suppkey (supplier-count-sized result); ALL max-revenue
+    ties are returned, names attached from a pruned supplier read."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(_Q15_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q15_HI).astype("datetime64[us]")
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = _ucents(b["l_extendedprice"].to_numpy(zero_copy_only=False),
+                    b["l_discount"].to_numpy(zero_copy_only=False))
+        g = pa.table({"s_suppkey": b["l_suppkey"], "u": pa.array(u)}).group_by(
+            "s_suppkey").aggregate([("u", "sum")])
+        return g.rename_columns(["s_suppkey", "u_p"])
+
+    rev = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            filter=(_pads.field("l_shipdate") >= lo) & (_pads.field("l_shipdate") < hi),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("u_p", alias_name="u"))
+        .to_pandas()  # supplier-count-sized
+    )
+    best = rev[rev["u"] == rev["u"].max()].copy()
+    import pyarrow.parquet as _pq
+
+    supp = _pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_name"]).to_pandas()
+    best = best.merge(supp, on="s_suppkey").sort_values("s_suppkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "s_suppkey": best["s_suppkey"].astype(np.int64),
+        "s_name": best["s_name"],
+        "total_revenue": np.round(best["u"].to_numpy(dtype=np.int64) / 10000.0, 2),
+    })
+
+
+def q_pivot_events(sf_dir: str):
+    """Wide reshape: event_type × day-of-week count pivot (dow =
+    epoch_days % 7, shared with SQL) — (row, col) count partials, one
+    small shuffle, bucket-sized driver pivot."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import pivot_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+
+    def dow(b: pa.Table) -> np.ndarray:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (us // 86_400_000_000) % 7
+
+    return pivot_table(ds, "event_type", dow, [str(i) for i in range(7)], prefix="dow")
+
+
+def q_span_not(sf_dir: str):
+    """ES span_not (symmetric dist): docs where SOME include-term
+    occurrence has no exclude term within `dist` positions; plain-term
+    BM25 scoring."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import span_not_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in SPAN_NOT_QUERIES])
+    return _finish_scores(span_not_search(qs, index_dir, _engine_cfg()))
+
+
 _RF_BOOST, _RF_PIVOT = 1.5, 2.0
 _DF_BOOST, _DF_PIVOT = 2.0, 1.0
 SPAN_FIRST_QUERIES = [
@@ -4755,6 +5031,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first": q_span_first,
         "match_bool_prefix": q_match_bool_prefix,
         "diversified_sampler": q_diversified_sampler,
+        "custdist": q_custdist,
+        "large_orders": q_large_orders,
+        "promo_share": q_promo_share,
+        "top_supplier": q_top_supplier,
+        "pivot_events": q_pivot_events,
+        "span_not": q_span_not,
     }
 
 
@@ -4997,6 +5279,13 @@ def _mbp_values() -> tuple[str, str]:
 
 def _div_qterms_values() -> str:
     return ", ".join(f"('{t}')" for t in sorted(set(_DIV_QUERY.lower().split())))
+
+
+def _span_not_values() -> str:
+    return ", ".join(
+        f"('{q['query_id']}', '{q['query_text'].lower()}', '{q['exclude'].lower()}', {q['dist']})"
+        for q in SPAN_NOT_QUERIES
+    )
 
 
 def _span_qterms_values() -> str:
@@ -7520,5 +7809,112 @@ rankedsam AS (
   FROM cnt
 )
 SELECT term, doc_count, cast(rnk AS int) AS rank FROM rankedsam WHERE rnk <= {_DIV_TOP}
+""",
+        # TPC-H Q13: order-count distribution incl. the zero bucket.
+        "custdist": """
+WITH oc AS (SELECT o_custkey, count(*)::BIGINT AS c FROM orders GROUP BY 1),
+allc AS (
+  SELECT c.c_custkey, coalesce(oc.c, 0)::BIGINT AS c_count
+  FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM allc GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+""",
+        # TPC-H Q18: large-volume orders, exact-cents ranking.
+        "large_orders": f"""
+WITH oq AS (
+  SELECT l_orderkey, sum(cast(l_quantity AS BIGINT))::BIGINT AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(cast(l_quantity AS BIGINT)) > {_Q18_MIN_QTY}
+),
+j AS (
+  SELECT c.c_name, o.o_custkey, o.o_orderkey,
+         epoch_us(o.o_orderdate) // 86400000000 AS od_day,
+         cast(round(o.o_totalprice * 100) AS BIGINT) AS cents, oq.sum_qty
+  FROM oq JOIN orders o ON o.o_orderkey = oq.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT c_name, o_custkey, o_orderkey, od_day,
+       round(cents::DOUBLE / 100.0, 2) AS o_totalprice, sum_qty
+FROM j ORDER BY cents DESC, o_orderkey LIMIT 100
+""",
+        # TPC-H Q14: promotion revenue share per ship month; exact
+        # integer 1/10000-dollar revenue = cents × (100 − disc_pct).
+        "promo_share": """
+WITH v AS (
+  SELECT (date_part('year', l_shipdate)::BIGINT - 1970) * 12
+         + date_part('month', l_shipdate)::BIGINT - 1 AS month,
+         cast(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - cast(round(l_discount * 100) AS BIGINT)) AS u,
+         l_partkey
+  FROM lineitem
+),
+p AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+g AS (
+  SELECT month,
+         sum(CASE WHEN v.l_partkey IN (SELECT p_partkey FROM p) THEN u ELSE 0 END)::BIGINT AS promo_u,
+         sum(u)::BIGINT AS total_u
+  FROM v GROUP BY 1
+)
+SELECT month, round(promo_u::DOUBLE / 10000.0, 2) AS promo_revenue,
+       round(total_u::DOUBLE / 10000.0, 2) AS total_revenue,
+       round(100.0 * promo_u::DOUBLE / total_u::DOUBLE, 6) AS promo_share_pct
+FROM g
+""",
+        # TPC-H Q15: max-revenue supplier(s) in the quarter, exact ints.
+        "top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(cast(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - cast(round(l_discount * 100) AS BIGINT)))::BIGINT AS u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}' AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, s.s_name, round(r.u::DOUBLE / 10000.0, 2) AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.u = (SELECT max(u) FROM rev)
+""",
+        # event_type × day-of-week count pivot (dow = epoch_days % 7).
+        "pivot_events": """
+SELECT event_type,
+       sum(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS dow_0,
+       sum(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = 1 THEN 1 ELSE 0 END)::BIGINT AS dow_1,
+       sum(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = 2 THEN 1 ELSE 0 END)::BIGINT AS dow_2,
+       sum(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = 3 THEN 1 ELSE 0 END)::BIGINT AS dow_3,
+       sum(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = 4 THEN 1 ELSE 0 END)::BIGINT AS dow_4,
+       sum(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = 5 THEN 1 ELSE 0 END)::BIGINT AS dow_5,
+       sum(CASE WHEN (epoch_us(ts) // 86400000000) % 7 = 6 THEN 1 ELSE 0 END)::BIGINT AS dow_6
+FROM events GROUP BY event_type
+""",
+        # span_not: some include occurrence with no exclude within dist.
+        "span_not": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+q(query_id, inc, exc, dist) AS (VALUES {_span_not_values()}),
+good AS (
+  SELECT DISTINCT q.query_id, p.doc_id, q.inc
+  FROM q JOIN tokpos p ON p.term = q.inc
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tokpos e
+    WHERE e.doc_id = p.doc_id AND e.term = q.exc AND abs(e.pos - p.pos) <= q.dist
+  )
+),
+sscore AS (
+  SELECT g.query_id, g.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) AS score
+  FROM good g
+  JOIN tf ON tf.term = g.inc AND tf.doc_id = g.doc_id
+  JOIN df ON df.term = g.inc
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM sscore
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
     }

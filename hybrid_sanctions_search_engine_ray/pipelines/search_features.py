@@ -1808,3 +1808,92 @@ def match_bool_prefix(queries: dict[str, str], index_dir: str,
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+
+
+# --- span_not ----------------------------------------------------------------
+
+
+class SpanNotScorer:
+    """ES ``span_not`` (symmetric dist form): the doc matches when SOME
+    occurrence of the include term has NO exclude-term occurrence within
+    ``dist`` positions (``pre = post = dist``). Docs without the exclude
+    term at all pass with one vectorized membership probe; only docs
+    containing BOTH terms walk their (tiny, per-doc) position lists.
+    Survivors score as the plain include-term query (BM25)."""
+
+    def __init__(self, index_dir: str, default_dist: int = 1, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.default_dist = default_dist
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for col in ("query_text", "exclude"):
+            for t in batch[col]:
+                union.update(self.reader.analyzer(t))
+        self.reader.load_postings(sorted(union))
+        dists = batch["dist"] if "dist" in batch.columns else None
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, inc_t, exc_t) in enumerate(
+            zip(batch["query_id"], batch["query_text"], batch["exclude"])
+        ):
+            dist = int(dists.iloc[i]) if dists is not None else self.default_dist
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            inc = self.reader.analyzer(inc_t)
+            exc = self.reader.analyzer(exc_t)
+            if len(inc) != 1 or len(exc) != 1:
+                raise ValueError("span_not wraps single include/exclude span_terms")
+            p = self.reader.load_postings(inc).get(inc[0])
+            if p is None or p.doc_ids.size == 0:
+                continue
+            pe = self.reader.load_postings(exc).get(exc[0])
+            cand = p.doc_ids
+            scores = p.factors * p.idf
+            if pe is None or pe.doc_ids.size == 0:
+                hit = np.ones(cand.size, dtype=bool)
+            else:
+                both = _sorted_member(pe.doc_ids, cand)
+                hit = ~both  # no exclude term anywhere → clean match
+                li = self.reader.load_positions(inc[0])
+                le = self.reader.load_positions(exc[0])
+                if li is None or le is None:
+                    raise ValueError("span_not requires store_positions=True")
+                for j in np.flatnonzero(both):
+                    d = cand[j]
+                    di, oi, fi = li
+                    de, oe, fe = le
+                    ai = int(np.searchsorted(di, d))
+                    ae = int(np.searchsorted(de, d))
+                    pos_i = fi[oi[ai]: oi[ai + 1]].astype(np.int64)
+                    pos_e = fe[oe[ae]: oe[ae + 1]].astype(np.int64)
+                    # nearest exclude occurrence per include position
+                    at = np.searchsorted(pos_e, pos_i)
+                    lo = pos_e[np.maximum(at - 1, 0)]
+                    hi = pos_e[np.minimum(at, pos_e.size - 1)]
+                    near = np.minimum(np.abs(pos_i - lo), np.abs(pos_i - hi))
+                    hit[j] = bool((near > dist).any())
+            if not hit.any():
+                continue
+            d, s = topk_desc(cand[hit], scores[hit], k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def span_not_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """span_not over a positional index; queries carry (query_id,
+    query_text, exclude, dist[, top_k])."""
+    return queries_ds.map_batches(
+        SpanNotScorer,
+        fn_constructor_args=(index_dir, 1, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

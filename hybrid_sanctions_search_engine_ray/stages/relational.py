@@ -382,3 +382,40 @@ def extended_stats(ds, key: str, value_col: str) -> pd.DataFrame:
             "var_v": round_half_away((sq - s2 / n) / n, 6),
         }
     )
+
+
+def pivot_table(ds, row_key: str, col_expr, col_names: list[str],
+                prefix: str = "c") -> pd.DataFrame:
+    """Wide reshape: count pivot of ``row_key`` × a derived integer
+    column index (``col_expr``: pyarrow.Table → int64 numpy array in
+    ``[0, len(col_names))``). Per-batch (row, col) count partials →
+    ONE small shuffle → a bucket-sized driver pivot; the corpus never
+    moves. Output columns: ``row_key, {prefix}_<name>...`` — absent
+    cells are 0."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = col_expr(b)
+        g = pa.table({row_key: b[row_key], "col": pa.array(col, pa.int64())}).group_by(
+            [row_key, "col"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns([row_key, "col", "c_p"])
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([row_key, "col"])
+        .aggregate(Sum("c_p", alias_name="n"))
+        .to_pandas()
+    )
+    cols = [f"{prefix}_{n}" for n in col_names]
+    if df.empty:
+        return pd.DataFrame({row_key: pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64) for c in cols}})
+    wide = df.pivot_table(index=row_key, columns="col", values="n",
+                          aggfunc="sum", fill_value=0)
+    wide = wide.reindex(columns=range(len(col_names)), fill_value=0)
+    wide.columns = cols
+    wide = wide.reset_index().sort_values(row_key, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        wide[c] = wide[c].astype(np.int64)
+    return wide

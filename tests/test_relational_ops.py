@@ -145,3 +145,17 @@ def test_global_topn_matches_full_sort():
     exp = df.sort_values(["value", "event_id"], ascending=[False, True]).head(25)
     assert got["event_id"].tolist() == exp["event_id"].tolist()
     assert got["value"].tolist() == exp["value"].tolist()
+
+
+def test_pivot_table_counts_and_gaps(ray_session):
+    from hybrid_sanctions_search_engine_ray.stages.relational import pivot_table
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "a"], "col": [0, 2, 1, 0]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = pivot_table(ds, "k", lambda b: b["col"].to_numpy(zero_copy_only=False),
+                      ["x", "y", "z"], prefix="p")
+    assert list(out.columns) == ["k", "p_x", "p_y", "p_z"]
+    a = out[out["k"] == "a"].iloc[0]
+    assert a[["p_x", "p_y", "p_z"]].tolist() == [2, 0, 1]  # absent cell is 0
+    b = out[out["k"] == "b"].iloc[0]
+    assert b[["p_x", "p_y", "p_z"]].tolist() == [0, 1, 0]

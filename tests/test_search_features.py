@@ -904,3 +904,24 @@ def test_diversified_sample_ids_one_per_conv():
     assert ids.tolist() == [1, 3, 7]
     ids2 = facets.diversified_sample_ids(FakeReader(), "x", 2, stride=3)
     assert ids2.tolist() == [1, 3]
+
+
+def test_span_not_distance_gate(feat_index):
+    scorer = sfeat.SpanNotScorer(feat_index, default_top_k=10)
+    # include "gamma", exclude "beta": doc7 has gamma and no beta → clean.
+    # doc0 "alpha beta gamma delta": gamma@2, beta@1 → dist1 kills it,
+    # dist0 keeps it (|2-1|=1 > 0 fails... adjacent IS within dist 1).
+    out1 = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["gamma"],
+                                "exclude": ["beta"], "dist": [1], "top_k": [10]}))
+    assert 7 in set(out1["doc_id"]) and 0 not in set(out1["doc_id"])
+    out0 = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["gamma"],
+                                "exclude": ["beta"], "dist": [0], "top_k": [10]}))
+    assert 0 in set(out0["doc_id"])  # adjacency allowed at dist 0
+    # exclude term absent from corpus → every include doc matches
+    outz = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["gamma"],
+                                "exclude": ["qqqq"], "dist": [5], "top_k": [10]}))
+    docs, _ = _brute_scores(feat_index, "gamma")
+    assert set(outz["doc_id"]) == set(docs.astype(np.int64).tolist())
+    with pytest.raises(Exception, match="single include"):
+        scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha beta"],
+                             "exclude": ["gamma"], "dist": [1], "top_k": [10]}))

@@ -4400,6 +4400,58 @@ def q_string_stats(sf_dir: str):
     return string_stats(ds, "text")
 
 
+COMPLETION_PREFIXES: dict[str, str] = {
+    "cp1": "spa",     # exact prefix
+    "cp2": "wimdow",  # typo'd prefix — fuzzy completion
+    "cp3": "qu",
+}
+_COMPLETION_SIZE, _COMPLETION_FUZZ = 5, 1
+_ANALYZE_TEXT = "Spark-Join: the QUICK data café 42!"
+
+
+def q_sig_chi2(sf_dir: str):
+    """ES significant_terms with the chi_square heuristic
+    (include_negatives=false): 2x2 contingency statistic from exact
+    integer counts, one float division at the end — same single-scan
+    foreground/background pipeline as the JLH variant."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import significant_terms
+
+    index_dir = _ensure_index(sf_dir)
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return significant_terms(index_dir, FACET_QUERY, corpus,
+                             analyzer_cfg=_engine_cfg().analyzer, top_n=10, min_fg=2,
+                             heuristic="chi_square")
+
+
+def q_completion_suggest(sf_dir: str):
+    """ES completion suggester with fuzzy prefix (fuzziness 1): top
+    vocabulary completions per typed prefix, ranked (edit distance asc,
+    df weight desc, term asc) — one distributed vocabulary scan."""
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import completion_suggest
+
+    vocab = q_term_dictionary(sf_dir)
+    return completion_suggest(vocab, COMPLETION_PREFIXES,
+                              size=_COMPLETION_SIZE, fuzziness=_COMPLETION_FUZZ)
+
+
+def q_analyze_api(sf_dir: str):
+    """ES _analyze API: run the index analyzer over a literal and return
+    (position, token) — the tokenization contract made directly
+    inspectable (and oracle-checked against the SQL twin's regexp
+    pipeline, which every BM25 oracle depends on)."""
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
+
+    toks = get_analyzer(_engine_cfg().analyzer)(_ANALYZE_TEXT)
+    return pd.DataFrame({
+        "position": pd.Series(range(len(toks)), dtype=np.int64),
+        "token": pd.Series(toks, dtype=object),
+    })
+
+
 _Q18_MIN_QTY = 250
 _Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
 SPAN_NOT_QUERIES = [
@@ -5037,6 +5089,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": q_top_supplier,
         "pivot_events": q_pivot_events,
         "span_not": q_span_not,
+        "sig_chi2": q_sig_chi2,
+        "completion_suggest": q_completion_suggest,
+        "analyze_api": q_analyze_api,
     }
 
 
@@ -7916,5 +7971,64 @@ ranked AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # significant_terms chi_square heuristic: exact-int 2×2
+        # contingency statistic, overrepresented terms only.
+        "sig_chi2": f"""
+WITH {TRANSCRIPTS_CTE},
+qt(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(FACET_QUERY.lower().split())))}),
+fg AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qt ON tf.term = qt.term),
+fsz AS (SELECT count(*)::BIGINT AS fi FROM fg),
+fgdf AS (
+  SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS fg_df
+  FROM tf JOIN fg ON fg.doc_id = tf.doc_id GROUP BY tf.term),
+j AS (
+  SELECT f.term, f.fg_df, d.df AS bg_df,
+         f.fg_df::HUGEINT AS a, (d.df - f.fg_df)::HUGEINT AS b,
+         (fs.fi - f.fg_df)::HUGEINT AS c,
+         (s.n_docs - fs.fi - (d.df - f.fg_df))::HUGEINT AS dd,
+         s.n_docs::HUGEINT AS nn
+  FROM fgdf f JOIN df d ON d.term = f.term CROSS JOIN fsz fs CROSS JOIN stats s
+  WHERE f.fg_df >= 2 AND f.fg_df * s.n_docs > d.df * fs.fi),
+sc AS (
+  SELECT term, fg_df, bg_df,
+         round((nn * (a * dd - b * c) * (a * dd - b * c))::DOUBLE
+               / ((a + b) * (c + dd) * (a + c) * (b + dd))::DOUBLE, 4) AS chi2
+  FROM j),
+rankedc AS (
+  SELECT term, fg_df, bg_df, chi2, row_number() OVER (ORDER BY chi2 DESC, term) AS rn
+  FROM sc)
+SELECT term, fg_df, bg_df, chi2 FROM rankedc WHERE rn <= 10
+""",
+        # completion suggester (fuzzy prefix, fuzziness 1): edit distance
+        # between the prefix and the TERM'S OWN PREFIX of equal length.
+        "completion_suggest": f"""
+WITH {TRANSCRIPTS_CTE},
+qp(query_id, pre) AS (VALUES {", ".join(f"('{k}', '{v}')" for k, v in sorted(COMPLETION_PREFIXES.items()))}),
+cand AS (
+  SELECT qp.query_id, df.term,
+         levenshtein(qp.pre, substr(df.term, 1, length(qp.pre))) AS dist,
+         df.df AS weight
+  FROM qp JOIN df ON levenshtein(qp.pre, substr(df.term, 1, length(qp.pre))) <= {_COMPLETION_FUZZ}
+),
+ranked AS (
+  SELECT query_id, term, dist, weight,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, weight DESC, term) AS rnk
+  FROM cand
+)
+SELECT query_id, cast(rnk AS int) AS rank, term, cast(dist AS int) AS dist, weight
+FROM ranked WHERE rnk <= {_COMPLETION_SIZE}
+""",
+        # _analyze API: the tokenization contract on a literal — the
+        # exact regexp pipeline every BM25 oracle already depends on.
+        "analyze_api": f"""
+WITH t(s) AS (VALUES ('{_ANALYZE_TEXT}')),
+arr AS (
+  SELECT list_filter(regexp_split_to_array(lower(nfc_normalize(s)), '[^\\p{{L}}\\p{{N}}]+'),
+                     x -> x <> '') AS a
+  FROM t
+)
+SELECT unnest(generate_series(0, len(a) - 1))::BIGINT AS position, unnest(a) AS token
+FROM arr
 """,
     }

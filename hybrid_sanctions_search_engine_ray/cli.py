@@ -123,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--n-convs", type=int, required=True)
     g.add_argument("--seed", type=int, default=42)
 
+    al = sub.add_parser("alias", help="alias registry: atomic name→index mapping "
+                                      "(zero-downtime rebuild swap)")
+    al.add_argument("action", choices=["set", "delete", "list", "resolve"])
+    al.add_argument("--registry", required=True)
+    al.add_argument("--name", default=None)
+    al.add_argument("--index", default=None)
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -242,6 +249,25 @@ def main(argv: list[str] | None = None) -> int:
 
         out = generate_transcripts(args.out, n_convs=args.n_convs, seed=args.seed)
         print(json.dumps({"generated": out}))
+    elif args.cmd == "alias":
+        from hybrid_sanctions_search_engine_ray.state import aliases as al_mod
+
+        if args.action == "set":
+            if not (args.name and args.index):
+                p.error("alias set requires --name and --index")
+            al_mod.set_alias(args.registry, args.name, args.index)
+            print(json.dumps({args.name: al_mod.resolve_alias(args.registry, args.name)}))
+        elif args.action == "delete":
+            if not args.name:
+                p.error("alias delete requires --name")
+            al_mod.delete_alias(args.registry, args.name)
+            print(json.dumps(al_mod.list_aliases(args.registry)))
+        elif args.action == "list":
+            print(json.dumps(al_mod.list_aliases(args.registry)))
+        else:
+            if not args.name:
+                p.error("alias resolve requires --name")
+            print(json.dumps({args.name: al_mod.resolve_alias(args.registry, args.name)}))
     return 0
 
 

@@ -196,3 +196,65 @@ def did_you_mean(vocab_ds, query_terms: list[str], max_dist: int = 2):
         concurrency=2,
     )
     return cand.groupby("q_term").map_groups(best, batch_format="pandas")
+
+
+class _CompletionExpander:
+    """ES completion suggester candidate scan: a vocabulary term matches
+    a suggest prefix when the edit distance between the prefix and the
+    TERM'S OWN PREFIX of the same character length is ≤ ``fuzziness``
+    (ES fuzzy completion semantics: typos in the typed prefix, not in
+    the tail). Distance over UTF-8 bytes — DuckDB ``levenshtein(pre,
+    substr(term,1,len(pre)))`` parity; slicing is by CODEPOINTS on both
+    sides (Python str slice / SQL substr)."""
+
+    def __init__(self, prefixes: dict[str, str], fuzziness: int):
+        self.p = [(qid, pre, len(pre)) for qid, pre in sorted(prefixes.items())]
+        self.fz = int(fuzziness)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        dfs = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q: list[str] = []
+        out_t: list[str] = []
+        out_d: list[int] = []
+        out_w: list[int] = []
+        for term, w in zip(terms, dfs):
+            for qid, pre, lp in self.p:
+                d = levenshtein(pre, term[:lp], max_dist=self.fz)
+                if d <= self.fz:
+                    out_q.append(qid)
+                    out_t.append(term)
+                    out_d.append(d)
+                    out_w.append(int(w))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.string()),
+            "term": pa.array(out_t, pa.string()),
+            "dist": pa.array(out_d, pa.int32()),
+            "weight": pa.array(out_w, pa.int64()),
+        })
+
+
+def completion_suggest(vocab_ds, prefixes: dict[str, str], size: int = 5,
+                       fuzziness: int = 1):
+    """ES completion suggester with fuzzy prefix support: per suggest
+    prefix, the top-``size`` vocabulary completions ranked (edit
+    distance asc — exact-prefix hits first, the ES fuzzy-completion
+    order — then weight desc, term asc), weight = document frequency.
+    One distributed scan over the vocabulary Dataset; only
+    ≤ |prefixes|·size rows return. Returns a Dataset of
+    (query_id, rank, term, dist, weight)."""
+
+    def topn_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "weight", "term"],
+                          ascending=[True, False, True], kind="mergesort").head(size)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", "term", "dist", "weight"]]
+
+    cand = vocab_ds.map_batches(
+        _CompletionExpander,
+        fn_constructor_args=(prefixes, fuzziness),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return cand.groupby("query_id").map_groups(topn_group, batch_format="pandas")

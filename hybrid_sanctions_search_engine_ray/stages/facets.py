@@ -102,10 +102,18 @@ def search_facets(index_dir: str, query_text: str, meta_ds, facet_col: str,
 
 def significant_terms(index_dir: str, query_text: str, corpus_ds,
                       analyzer_cfg=None, top_n: int = 10, min_fg: int = 2,
-                      reader=None, sample_size: int | None = None) -> pd.DataFrame:
+                      reader=None, sample_size: int | None = None,
+                      heuristic: str = "jlh") -> pd.DataFrame:
     """ES significant_terms aggregation: terms OVERREPRESENTED in the
     query's matching-doc set vs the whole corpus, scored with the JLH
-    heuristic ``(fg% − bg%) · (fg% / bg%)``.
+    heuristic ``(fg% − bg%) · (fg% / bg%)`` or — ``heuristic=
+    "chi_square"`` — the ES chi_square heuristic (include_negatives=
+    false, background_is_superset=true): the 2×2 contingency statistic
+    ``N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`` with a=fg_df, b=bg_df−fg_df,
+    c=F−fg_df, d=N−F−b, computed in EXACT arbitrary-precision integers
+    (one float division at the end, shared with SQL), restricted to
+    overrepresented terms via the integer cross-multiply
+    ``fg_df·N > bg_df·F``.
 
     One streaming corpus scan computes BOTH frequencies: per batch the
     tokenizer emits distinct (doc, term) pairs once, every pair counts
@@ -131,10 +139,11 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
     n_docs = int(r.manifest.n_docs)
     f_size = int(ids.size)
     if f_size == 0:
+        score_col = "chi2" if heuristic == "chi_square" else "jlh"
         return pd.DataFrame({"term": pd.Series([], dtype=object),
                              "fg_df": pd.Series([], dtype=np.int64),
                              "bg_df": pd.Series([], dtype=np.int64),
-                             "jlh": pd.Series([], dtype=np.float64)})
+                             score_col: pd.Series([], dtype=np.float64)})
     ref = ray.put(ids)
 
     class Partial:
@@ -170,6 +179,24 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
         .to_pandas()
     )
     agg = agg[agg["fg_df"] >= min_fg].copy()
+    if heuristic == "chi_square":
+        # overrepresented only (include_negatives=false), exact int test
+        agg = agg[agg["fg_df"] * n_docs > agg["bg_df"] * f_size].copy()
+        scores = []
+        for fg, bg in zip(agg["fg_df"].tolist(), agg["bg_df"].tolist()):
+            a, b = int(fg), int(bg) - int(fg)
+            c, d = f_size - int(fg), n_docs - f_size - (int(bg) - int(fg))
+            num = n_docs * (a * d - b * c) ** 2          # exact Python ints
+            den = (a + b) * (c + d) * (a + c) * (b + d)
+            scores.append(float(num) / float(den))
+        agg["chi2"] = round_half_away(np.array(scores, dtype=np.float64), 4)
+        agg = agg.sort_values(["chi2", "term"], ascending=[False, True],
+                              kind="mergesort").head(top_n).reset_index(drop=True)
+        agg["fg_df"] = agg["fg_df"].astype(np.int64)
+        agg["bg_df"] = agg["bg_df"].astype(np.int64)
+        return agg[["term", "fg_df", "bg_df", "chi2"]]
+    if heuristic != "jlh":
+        raise ValueError("heuristic must be 'jlh' or 'chi_square'")
     fgp = agg["fg_df"].to_numpy(np.float64) / float(f_size)
     bgp = agg["bg_df"].to_numpy(np.float64) / float(n_docs)
     agg["jlh"] = round_half_away((fgp - bgp) * (fgp / bgp), 4)

@@ -77,3 +77,47 @@ def test_cli_build_from_documents_and_reindex(ray_session, tmp_path, capsys):
     assert out["status"] == "complete" and out["analyzer"] == "char3"
     assert main(["query", "--index", ridx, "--query", "sprak", "--top-k", "3"]) == 0
     assert "doc_id" in capsys.readouterr().out
+
+
+def test_alias_registry_atomic_swap(ray_session, tmp_path, capsys):
+    import pytest
+
+    from hybrid_sanctions_search_engine_ray.state import aliases as al
+
+    corpus = _write_corpus(tmp_path)
+    idx1, idx2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    reg = str(tmp_path / "reg")
+    assert main(["build", "--input", corpus, "--index", idx1, "--num-partitions", "4"]) == 0
+    assert main(["build", "--input", corpus, "--index", idx2, "--num-partitions", "4"]) == 0
+    capsys.readouterr()
+
+    # set → resolve → swap → delete, through the CLI surface
+    assert main(["alias", "set", "--registry", reg, "--name", "live", "--index", idx1]) == 0
+    assert json.loads(capsys.readouterr().out)["live"] == os.path.abspath(idx1)
+    assert al.resolve_alias(reg, "live") == os.path.abspath(idx1)
+    assert al.resolve_alias(reg, "not-an-alias") == "not-an-alias"  # pass-through
+    assert main(["alias", "set", "--registry", reg, "--name", "live", "--index", idx2]) == 0
+    capsys.readouterr()
+    assert al.resolve_alias(reg, "live") == os.path.abspath(idx2)
+    assert main(["alias", "list", "--registry", reg]) == 0
+    assert json.loads(capsys.readouterr().out) == {"live": os.path.abspath(idx2)}
+
+    # an alias must never expose an incomplete index
+    broken = str(tmp_path / "broken")
+    os.makedirs(broken)
+    with open(os.path.join(broken, "manifest.json"), "w") as f:
+        json.dump({"status": "building"}, f)
+    with pytest.raises(Exception):
+        al.set_alias(reg, "live", broken)
+    assert al.resolve_alias(reg, "live") == os.path.abspath(idx2)  # unchanged
+
+    # the resolved alias actually serves queries
+    assert main(["query", "--index", al.resolve_alias(reg, "live"),
+                 "--query", "spark join", "--top-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) >= 1
+
+    assert main(["alias", "delete", "--registry", reg, "--name", "live"]) == 0
+    assert json.loads(capsys.readouterr().out) == {}
+    with pytest.raises(KeyError):
+        al.delete_alias(reg, "live")

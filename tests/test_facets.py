@@ -205,3 +205,33 @@ def test_frequent_pairs_apriori_and_order(ray_session):
     none = frequent_pairs(corpus, AnalyzerConfig(), top_items=4, min_support=99,
                           vocab_df=vocab)
     assert len(none) == 0 and list(none.columns) == ["term_a", "term_b", "support", "rank"]
+
+
+def test_sig_terms_chi_square_hand_math(facet_index):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import (
+        matching_doc_ids, significant_terms)
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array([t for t, _ in TEXTS], pa.string()),
+    }))
+    jlh = significant_terms(facet_index, "alpha", corpus, top_n=50, min_fg=1)
+    chi = significant_terms(facet_index, "alpha", corpus, top_n=50, min_fg=1,
+                            heuristic="chi_square")
+    assert "chi2" in chi.columns and (chi["chi2"] > 0).all()
+    # chi_square keeps only overrepresented terms; counts agree with jlh
+    m = jlh.merge(chi, on="term", suffixes=("_j", "_c"))
+    assert (m["fg_df_j"] == m["fg_df_c"]).all() and (m["bg_df_j"] == m["bg_df_c"]).all()
+    # hand-check one row against the explicit 2x2 formula
+    r = IndexReader(facet_index)
+    F = int(matching_doc_ids(r, "alpha").size)
+    N = int(r.manifest.n_docs)
+    row = chi.iloc[0]
+    a = int(row["fg_df"]); b = int(row["bg_df"]) - a
+    c = F - a; d = N - F - b
+    want = N * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert abs(row["chi2"] - round(want, 4)) < 1e-9
+    with pytest.raises(ValueError, match="heuristic"):
+        significant_terms(facet_index, "alpha", corpus, heuristic="gnd")

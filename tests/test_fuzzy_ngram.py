@@ -192,3 +192,24 @@ def test_did_you_mean_df_breaks_distance_ties(ray_session):
     got = did_you_mean(vocab, ["caq"], max_dist=1).to_pandas()
     # dist all 1 → df desc → tie between car/can at df 50 → term asc = "can"
     assert got["suggestion"].iloc[0] == "can"
+
+
+def test_completion_suggest_fuzzy_prefix(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import completion_suggest
+
+    vocab = rd.from_arrow(pa.table({
+        "term": pa.array(["spark", "sparse", "spam", "window", "windows", "zebra"]),
+        "df": pa.array([50, 10, 10, 40, 5, 1], pa.int64()),
+    }))
+    out = completion_suggest(vocab, {"a": "spa", "b": "wimdo"}, size=3,
+                             fuzziness=1).to_pandas()
+    a = out[out["query_id"] == "a"]
+    # exact-prefix matches (dist 0) rank before fuzzy, then weight desc
+    assert a["term"].tolist() == ["spark", "spam", "sparse"]
+    assert a["dist"].tolist() == [0, 0, 0]
+    b = out[out["query_id"] == "b"]
+    # "wimdo" vs "windo"/"windo" — one substitution
+    assert b["term"].tolist() == ["window", "windows"]
+    assert set(b["dist"]) == {1}

@@ -4452,6 +4452,22 @@ def q_analyze_api(sf_dir: str):
     })
 
 
+def q_rank_eval(sf_dir: str):
+    """ES _rank_eval API: precision@10, MRR@10 and binary nDCG@10 of the
+    BM25 ranking against AND-semantics judgments (relevant = contains
+    EVERY query term) — the evaluation harness as a first-class
+    operator; one metrics row per query, zero-relevant queries score 0."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import rank_eval
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t} for qid, t in BM25_QUERIES.items()]
+    )
+    return rank_eval(qs, index_dir, k=BM25_TOP_K, cfg=_engine_cfg())
+
+
 _Q18_MIN_QTY = 250
 _Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
 SPAN_NOT_QUERIES = [
@@ -5092,6 +5108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sig_chi2": q_sig_chi2,
         "completion_suggest": q_completion_suggest,
         "analyze_api": q_analyze_api,
+        "rank_eval": q_rank_eval,
     }
 
 
@@ -8030,5 +8047,48 @@ arr AS (
 )
 SELECT unnest(generate_series(0, len(a) - 1))::BIGINT AS position, unnest(a) AS token
 FROM arr
+""",
+        # _rank_eval: precision@10 / MRR@10 / binary nDCG@10 of the BM25
+        # ranking vs AND-semantics judgments (doc has EVERY query term).
+        "rank_eval": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+nt AS (SELECT query_id, count(DISTINCT term)::BIGINT AS n FROM qterms GROUP BY 1),
+{_BM25_SCORES_CTE},
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= {BM25_TOP_K}),
+rel AS (
+  SELECT q.query_id, tf.doc_id
+  FROM qterms q JOIN tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id
+  HAVING count(DISTINCT tf.term) = (SELECT n FROM nt WHERE nt.query_id = q.query_id)
+),
+relcnt AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+hits AS (
+  SELECT t.query_id, t.rnk
+  FROM topk t JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+met AS (
+  SELECT q.query_id,
+         coalesce(rc.n_rel, 0)::BIGINT AS n_relevant,
+         coalesce((SELECT count(*) FROM hits h WHERE h.query_id = q.query_id), 0)::DOUBLE
+           / {BM25_TOP_K}.0 AS prec,
+         coalesce((SELECT 1.0 / min(h.rnk) FROM hits h WHERE h.query_id = q.query_id), 0.0) AS mrr,
+         coalesce((SELECT sum(1.0 / log2(h.rnk + 1.0)) FROM hits h WHERE h.query_id = q.query_id), 0.0) AS dcg,
+         coalesce((SELECT sum(1.0 / log2(u.i + 1.0))
+                   FROM unnest(generate_series(1, least(coalesce(rc.n_rel, 0), {BM25_TOP_K}))) AS u(i)),
+                  0.0) AS idcg
+  FROM (SELECT DISTINCT query_id FROM qterms) q
+  LEFT JOIN relcnt rc ON rc.query_id = q.query_id
+)
+SELECT query_id, n_relevant,
+       round(prec, 4) AS precision_at_k,
+       round(mrr, 4) AS mrr,
+       CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) ELSE 0.0 END AS ndcg
+FROM met
 """,
     }

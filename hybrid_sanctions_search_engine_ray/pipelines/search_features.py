@@ -1897,3 +1897,67 @@ def span_not_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONF
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+
+
+# --- rank_eval ---------------------------------------------------------------
+
+
+class RankEvalScorer:
+    """ES ``_rank_eval`` API: run each query through the standard BM25
+    ranking and score the top-``k`` against a deterministic relevance
+    judgment — here a doc is RELEVANT iff it contains EVERY query term
+    (AND semantics; the judgment set is the intersection of the terms'
+    posting doc lists, so both engine and oracle derive it exactly).
+    Emits one metrics row per query: precision@k, MRR@k (reciprocal rank
+    of the first relevant hit in the window, 0 when none) and binary
+    nDCG@k (DCG = Σ 1/log2(rank+1) over relevant top-k hits, IDCG over
+    min(|relevant|, k) ideal slots). Queries with no relevant docs score
+    0 everywhere — never an error."""
+
+    def __init__(self, index_dir: str, k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.k = int(k)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from functools import reduce
+
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        rows = []
+        for qid, qtext in zip(batch["query_id"], batch["query_text"]):
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            postings = self.reader.load_postings(terms)
+            docs, scores = score_all(list(postings.values()))
+            top, _ = topk_desc(docs, scores, self.k)
+            if len(postings) == len(terms) and terms:
+                rel = reduce(np.intersect1d, [postings[t].doc_ids for t in terms])
+            else:
+                rel = np.empty(0, dtype=np.uint64)
+            n_rel = int(rel.size)
+            hit_ranks = 1 + np.flatnonzero(_sorted_member(rel, top))  # 1-based
+            prec = hit_ranks.size / float(self.k)
+            mrr = 1.0 / float(hit_ranks[0]) if hit_ranks.size else 0.0
+            dcg = float((1.0 / np.log2(hit_ranks + 1.0)).sum()) if hit_ranks.size else 0.0
+            ideal = np.arange(1, min(n_rel, self.k) + 1, dtype=np.float64)
+            idcg = float((1.0 / np.log2(ideal + 1.0)).sum()) if ideal.size else 0.0
+            rows.append({
+                "query_id": qid, "n_relevant": np.int64(n_rel),
+                "precision_at_k": round(prec, 4),
+                "mrr": round(mrr, 4),
+                "ndcg": round(dcg / idcg, 4) if idcg > 0.0 else 0.0,
+            })
+        return pd.DataFrame(rows)
+
+
+def rank_eval(queries_ds, index_dir: str, k: int = 10,
+              cfg: EngineConfig = DEFAULT_CONFIG):
+    """_rank_eval over (query_id, query_text): one metrics row per query."""
+    return queries_ds.map_batches(
+        RankEvalScorer,
+        fn_constructor_args=(index_dir, k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

@@ -925,3 +925,26 @@ def test_span_not_distance_gate(feat_index):
     with pytest.raises(Exception, match="single include"):
         scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha beta"],
                              "exclude": ["gamma"], "dist": [1], "top_k": [10]}))
+
+
+def test_rank_eval_metrics_hand_math(feat_index):
+    scorer = sfeat.RankEvalScorer(feat_index, k=3)
+    # "alpha beta": relevant = docs containing BOTH (0,1,2,4)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha beta"]}))
+    r = out.iloc[0]
+    assert r["n_relevant"] == 4
+    docs, scores = _brute_scores(feat_index, "alpha beta")
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import topk_desc
+
+    top, _ = topk_desc(docs, scores, 3)
+    rel = {0, 1, 2, 4}
+    hits = [i + 1 for i, d in enumerate(top.astype(np.int64)) if int(d) in rel]
+    assert abs(r["precision_at_k"] - round(len(hits) / 3.0, 4)) < 1e-12
+    assert abs(r["mrr"] - round(1.0 / hits[0], 4)) < 1e-12
+    dcg = sum(1.0 / np.log2(h + 1.0) for h in hits)
+    idcg = sum(1.0 / np.log2(i + 1.0) for i in range(1, 4))  # min(4, 3) slots
+    assert abs(r["ndcg"] - round(dcg / idcg, 4)) < 1e-12
+    # zero-relevant query scores 0 everywhere, never errors
+    z = scorer(pd.DataFrame({"query_id": ["z"], "query_text": ["qqqq wwww"]})).iloc[0]
+    assert z["n_relevant"] == 0 and z["precision_at_k"] == 0.0
+    assert z["mrr"] == 0.0 and z["ndcg"] == 0.0

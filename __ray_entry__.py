@@ -4468,6 +4468,38 @@ def q_rank_eval(sf_dir: str):
     return rank_eval(qs, index_dir, k=BM25_TOP_K, cfg=_engine_cfg())
 
 
+LUCENE_QUERIES: dict[str, str] = {
+    "lq1": "(spark OR join) AND NOT slow",
+    "lq2": "customer AND (table OR scan)",
+    "lq3": '"window stream" OR vector',
+}
+# positive (scoring) terms per query — shared with the SQL twin
+_LUCENE_POS = {
+    "lq1": ["join", "spark"],
+    "lq2": ["customer", "scan", "table"],
+    "lq3": ["stream", "vector", "window"],
+}
+
+
+def q_lucene_query(sf_dir: str):
+    """Lucene boolean query grammar: AND / OR / NOT, parentheses and
+    quoted phrases parsed to an AST (search_features.parse_lucene — the
+    parser is the single source) and evaluated by set algebra over
+    posting doc-id arrays; NOT is a set difference inside AND (a purely
+    negative clause raises, the Lucene rule). Matching docs score the
+    BM25 sum of the positive leaf terms they contain."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import lucene_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K * 4}
+         for qid, t in LUCENE_QUERIES.items()]
+    )
+    return _rerank_topk(lucene_search(qs, index_dir, _engine_cfg()))
+
+
 _Q18_MIN_QTY = 250
 _Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
 SPAN_NOT_QUERIES = [
@@ -5109,6 +5141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completion_suggest": q_completion_suggest,
         "analyze_api": q_analyze_api,
         "rank_eval": q_rank_eval,
+        "lucene_query": q_lucene_query,
     }
 
 
@@ -5351,6 +5384,12 @@ def _mbp_values() -> tuple[str, str]:
 
 def _div_qterms_values() -> str:
     return ", ".join(f"('{t}')" for t in sorted(set(_DIV_QUERY.lower().split())))
+
+
+def _lucene_pos_values() -> str:
+    return ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in sorted(_LUCENE_POS.items()) for t in terms
+    )
 
 
 def _span_not_values() -> str:
@@ -8090,5 +8129,51 @@ SELECT query_id, n_relevant,
        round(mrr, 4) AS mrr,
        CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) ELSE 0.0 END AS ndcg
 FROM met
+""",
+        # Lucene boolean grammar: hand-compiled set algebra per test
+        # query (the engine's parser output, translated clause-for-clause).
+        "lucene_query": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+qpos(query_id, term) AS (VALUES {_lucene_pos_values()}),
+matches AS (
+  -- lq1: (spark OR join) AND NOT slow
+  SELECT DISTINCT 'lq1' AS query_id, doc_id FROM tf
+  WHERE term IN ('spark', 'join')
+    AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'slow')
+  UNION ALL
+  -- lq2: customer AND (table OR scan)
+  SELECT DISTINCT 'lq2', doc_id FROM tf
+  WHERE term = 'customer'
+    AND doc_id IN (SELECT doc_id FROM tf WHERE term IN ('table', 'scan'))
+  UNION ALL
+  -- lq3: "window stream" OR vector   (UNION dedups the two branches)
+  SELECT 'lq3', doc_id FROM (
+    SELECT DISTINCT p1.doc_id FROM tokpos p1
+    JOIN tokpos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+    WHERE p1.term = 'window' AND p2.term = 'stream'
+    UNION
+    SELECT DISTINCT doc_id FROM tf WHERE term = 'vector'
+  )
+),
+lscore AS (
+  SELECT m.query_id, m.doc_id,
+         round(sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ), 4) AS score
+  FROM matches m
+  JOIN qpos q ON q.query_id = m.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = m.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM lscore
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
     }

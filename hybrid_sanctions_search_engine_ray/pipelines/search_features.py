@@ -1961,3 +1961,216 @@ def rank_eval(queries_ds, index_dir: str, k: int = 10,
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+
+
+# --- Lucene boolean query grammar ------------------------------------------------
+
+
+def parse_lucene(q: str):
+    """Recursive-descent parser for the Lucene boolean query subset the
+    reference's query assembler emits (AND / OR / NOT, parentheses,
+    "quoted phrases", bare terms; reference clause building:
+    elasticsearch_adapters.py bool-query assembly):
+
+        expr    := and_expr (OR and_expr)*
+        and_expr:= unary (AND unary)*
+        unary   := NOT unary | primary
+        primary := '(' expr ')' | '"phrase words"' | term
+
+    Returns a nested AST of ('or', [..]) / ('and', [..]) / ('not', x) /
+    ('phrase', [tokens]) / ('term', token). Raises on dangling
+    operators or unbalanced parens."""
+    toks: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch.isspace():
+            i += 1
+        elif ch in "()":
+            toks.append(ch)
+            i += 1
+        elif ch == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise ValueError("unterminated phrase quote")
+            toks.append('"' + q[i + 1: j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            toks.append(q[i:j])
+            i = j
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat(t=None):
+        nonlocal pos
+        if pos >= len(toks) or (t is not None and toks[pos] != t):
+            raise ValueError(f"expected {t!r} at token {pos} of {q!r}")
+        pos += 1
+        return toks[pos - 1]
+
+    def primary():
+        t = peek()
+        if t is None:
+            raise ValueError(f"unexpected end of query {q!r}")
+        if t == "(":
+            eat("(")
+            node = expr()
+            eat(")")
+            return node
+        if t.startswith('"'):
+            eat()
+            return ("phrase", t[1:].lower().split())
+        if t in ("AND", "OR", "NOT", ")"):
+            raise ValueError(f"unexpected {t!r} in {q!r}")
+        eat()
+        return ("term", t.lower())
+
+    def unary():
+        if peek() == "NOT":
+            eat("NOT")
+            return ("not", unary())
+        return primary()
+
+    def and_expr():
+        parts = [unary()]
+        while peek() == "AND":
+            eat("AND")
+            parts.append(unary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def expr():
+        parts = [and_expr()]
+        while peek() == "OR":
+            eat("OR")
+            parts.append(and_expr())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    node = expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {q!r}")
+    return node
+
+
+def _ast_terms(node, positive: bool = True) -> set[str]:
+    """All leaf terms under the node that are in POSITIVE (non-negated)
+    position — the Lucene scoring set."""
+    kind = node[0]
+    if kind == "term":
+        return {node[1]} if positive else set()
+    if kind == "phrase":
+        return set(node[1]) if positive else set()
+    if kind == "not":
+        return _ast_terms(node[1], not positive) if not positive else set()
+    return set().union(*(_ast_terms(c, positive) for c in node[1]))
+
+
+def _ast_all_terms(node) -> set[str]:
+    kind = node[0]
+    if kind == "term":
+        return {node[1]}
+    if kind == "phrase":
+        return set(node[1])
+    if kind == "not":
+        return _ast_all_terms(node[1])
+    return set().union(*(_ast_all_terms(c) for c in node[1]))
+
+
+class LuceneScorer:
+    """Evaluate a parsed Lucene boolean AST by SET ALGEBRA over sorted
+    posting doc-id arrays: term → postings, phrase → positional
+    adjacency, OR → union, AND → intersection with NOT children applied
+    as set DIFFERENCE (`a AND NOT b` never materializes a complement —
+    the Lucene rule that a query cannot be purely negative falls out:
+    top-level / OR-context NOT raises). Matching docs score the BM25 sum
+    of every positive leaf term they contain (Lucene: matched clauses
+    contribute)."""
+
+    def __init__(self, index_dir: str, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.default_top_k = default_top_k
+
+    def _docs(self, node) -> np.ndarray:
+        kind = node[0]
+        if kind == "term":
+            p = self.reader.load_postings([node[1]]).get(node[1])
+            return p.doc_ids if p is not None else np.empty(0, dtype=np.uint64)
+        if kind == "phrase":
+            from functools import reduce
+
+            want = node[1]
+            uniq = sorted(set(want))
+            postings = self.reader.load_postings(uniq)
+            if len(postings) < len(uniq) or not uniq:
+                return np.empty(0, dtype=np.uint64)
+            cand = reduce(np.intersect1d, [postings[t].doc_ids for t in uniq]).astype(np.int64)
+            if cand.size == 0:
+                return np.empty(0, dtype=np.uint64)
+            hit = _phrase_match_mask(self.reader, want, cand, slop=0)
+            return cand[hit].astype(np.uint64)
+        if kind == "or":
+            out = np.empty(0, dtype=np.uint64)
+            for c in node[1]:
+                if c[0] == "not":
+                    raise ValueError("purely negative OR clause is not satisfiable")
+                out = np.union1d(out, self._docs(c))
+            return out
+        if kind == "and":
+            pos = [c for c in node[1] if c[0] != "not"]
+            neg = [c[1] for c in node[1] if c[0] == "not"]
+            if not pos:
+                raise ValueError("purely negative AND clause is not satisfiable")
+            acc = self._docs(pos[0])
+            for c in pos[1:]:
+                acc = np.intersect1d(acc, self._docs(c))
+            for c in neg:
+                acc = np.setdiff1d(acc, self._docs(c))
+            return acc
+        raise ValueError("top-level NOT is not satisfiable")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        asts = {qid: parse_lucene(q) for qid, q in zip(batch["query_id"], batch["query_text"])}
+        union: set[str] = set()
+        for a in asts.values():
+            union.update(_ast_all_terms(a))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, qid in enumerate(batch["query_id"]):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            ast = asts[qid]
+            m = np.asarray(self._docs(ast), dtype=np.uint64)
+            if m.size == 0:
+                continue
+            scores = np.zeros(m.size, dtype=np.float64)
+            pos_terms = sorted(_ast_terms(ast))
+            for p in self.reader.load_postings(pos_terms).values():
+                at = np.searchsorted(p.doc_ids, m)
+                safe = np.minimum(at, max(p.doc_ids.size - 1, 0))
+                hit = (at < p.doc_ids.size) & (p.doc_ids[safe] == m)
+                scores[hit] += p.factors[at[hit]] * p.idf
+            d, s = topk_desc(m, scores, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def lucene_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Boolean-grammar search; queries carry (query_id, query_text[, top_k])."""
+    return queries_ds.map_batches(
+        LuceneScorer,
+        fn_constructor_args=(index_dir, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

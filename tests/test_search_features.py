@@ -948,3 +948,38 @@ def test_rank_eval_metrics_hand_math(feat_index):
     z = scorer(pd.DataFrame({"query_id": ["z"], "query_text": ["qqqq wwww"]})).iloc[0]
     assert z["n_relevant"] == 0 and z["precision_at_k"] == 0.0
     assert z["mrr"] == 0.0 and z["ndcg"] == 0.0
+
+
+def test_parse_lucene_ast_and_errors():
+    ast = sfeat.parse_lucene('(Alpha OR beta) AND NOT "gamma delta"')
+    assert ast == ("and", [("or", [("term", "alpha"), ("term", "beta")]),
+                           ("not", ("phrase", ["gamma", "delta"]))])
+    assert sfeat._ast_terms(ast) == {"alpha", "beta"}  # negated phrase not scored
+    for bad in ["AND alpha", "alpha OR", "(alpha", 'alpha "unterminated', "alpha beta)"]:
+        with pytest.raises(ValueError):
+            sfeat.parse_lucene(bad)
+
+
+def test_lucene_scorer_set_algebra(feat_index):
+    scorer = sfeat.LuceneScorer(feat_index, default_top_k=10)
+    # (alpha OR epsilon) AND NOT beta — docs with alpha/epsilon minus beta docs
+    out = scorer(pd.DataFrame({"query_id": ["q"],
+                               "query_text": ["(alpha OR epsilon) AND NOT beta"],
+                               "top_k": [10]}))
+    import re as _re
+
+    has = lambda t: {i for i, x in enumerate(TEXTS)
+                     if t in _re.split(r"[^a-z]+", x.lower())}
+    want = (has("alpha") | has("epsilon")) - has("beta")
+    assert set(out["doc_id"].tolist()) == want
+    # phrase branch: "beta gamma" adjacency OR zeta
+    out2 = scorer(pd.DataFrame({"query_id": ["q"],
+                                "query_text": ['"beta gamma" OR zeta'],
+                                "top_k": [10]}))
+    adj = {i for i, x in enumerate(TEXTS)
+           if "beta gamma" in " ".join(x.lower().replace(",", " ").replace("!", " ").split())}
+    assert set(out2["doc_id"].tolist()) == adj | has("zeta")
+    # purely negative queries raise
+    for bad in ["NOT alpha", "NOT alpha AND NOT beta", "alpha OR NOT beta"]:
+        with pytest.raises(Exception, match="negative|satisfiable"):
+            scorer(pd.DataFrame({"query_id": ["q"], "query_text": [bad], "top_k": [5]}))

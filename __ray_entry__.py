@@ -4468,6 +4468,60 @@ def q_rank_eval(sf_dir: str):
     return rank_eval(qs, index_dir, k=BM25_TOP_K, cfg=_engine_cfg())
 
 
+def q_ann_int8(sf_dir: str):
+    """int8 scalar-quantized kNN with exact rescoring (the ES int8
+    quantization shape): the full scan is an int32-accumulated int8
+    matmul; float cosine touches only the per-batch approx-top-(k·4)
+    candidates. At the rescore window used here the result is
+    brute-force-identical (oracle-checked); the window is the documented
+    speed/recall dial."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import int8_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    q_ids, q_mat = _load_query_vectors(path)
+    res = int8_topk(ds, q_ids.tolist(), q_mat, k=_EMB_TOP_K, rescore=4,
+                    exclude_self=True)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "query_vec_id": b["query_vec_id"].astype(np.int64),
+            "rank": b["rank"].astype(np.int32),
+            "vec_id": b["vec_id"].astype(np.int64),
+            "cos_sim": _round4(b["cos_sim"].to_numpy()),
+        })
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def q_ann_eval(sf_dir: str):
+    """ANN quality harness: recall@k of every approximate index (IVF,
+    LSH, int8-rescore) against the exact brute-force top-k, one row per
+    (method, query) plus the per-method mean — the evaluation loop a
+    production ANN deployment runs before flipping an alias. Rows-only
+    check (IVF/LSH assignment is not SQL-expressible)."""
+    exact = q_embedding_topk(sf_dir).to_pandas()
+    truth = {qid: set(g["vec_id"]) for qid, g in exact.groupby("query_vec_id")}
+    rows = []
+    for method, fn in (("ivf", q_ann_ivf), ("lsh", q_ann_lsh), ("int8", q_ann_int8)):
+        got = fn(sf_dir)
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        for qid, g in got.groupby("query_vec_id"):
+            t = truth.get(qid, set())
+            hits = len(set(g["vec_id"]) & t)
+            rows.append({"method": method, "query_vec_id": np.int64(qid),
+                         "recall_at_k": round(hits / max(len(t), 1), 4)})
+    out = pd.DataFrame(rows)
+    means = (out.groupby("method")["recall_at_k"].mean().round(4)
+             .rename("recall_at_k").reset_index())
+    means["query_vec_id"] = np.int64(-1)  # the summary rows
+    return pd.concat([out, means[["method", "query_vec_id", "recall_at_k"]]],
+                     ignore_index=True).sort_values(
+        ["method", "query_vec_id"]).reset_index(drop=True)
+
+
 LUCENE_QUERIES: dict[str, str] = {
     "lq1": "(spark OR join) AND NOT slow",
     "lq2": "customer AND (table OR scan)",
@@ -5142,6 +5196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze_api": q_analyze_api,
         "rank_eval": q_rank_eval,
         "lucene_query": q_lucene_query,
+        "ann_int8": q_ann_int8,
+        "ann_eval": q_ann_eval,
     }
 
 
@@ -6639,6 +6695,26 @@ FROM s a JOIN s b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_NEARDUP_MIN_COS}
 """,
         "embedding_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_EMB_QUERIES}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
+FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # int8-rescore kNN is brute-force-identical at this window:
+        # the oracle is the same exact-cosine ranking.
+        "ann_int8": f"""
 WITH q AS (
   SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_EMB_QUERIES}
 ),

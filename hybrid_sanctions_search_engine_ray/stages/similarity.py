@@ -530,3 +530,78 @@ def ivf_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int = 5,
         batch_format="pyarrow",
     )
     return brute_force_topk(filtered, query_ids, qm, k=k)
+
+
+class _Int8TopK:
+    """Scalar-quantized (int8) brute-force scan with exact rescoring —
+    the ES ``int8`` kNN quantization shape: the full scan runs in int8
+    (per-vector symmetric scale s = max|x|/127 over the NORMALIZED
+    vector, int32-accumulated matmul), then ONLY the per-batch
+    approx-top-(k·rescore) candidates get exact float cosine. The float
+    work drops from O(batch·dim) to O(k·rescore·dim) per batch; the
+    exact rescore restores brute-force top-k whenever the true
+    neighbors sit inside the quantized candidate window (documented
+    rescore-window caveat; widen ``rescore`` to trade speed for
+    certainty)."""
+
+    def __init__(self, queries_ref, k: int, rescore: int, exclude_self: bool):
+        d = ray.get(queries_ref)
+        self.q_ids = d["ids"]
+        self.q = _normalize(d["matrix"])
+        qs = np.abs(self.q).max(axis=1, keepdims=True) / 127.0
+        qs[qs == 0.0] = 1.0
+        self.q_int = np.rint(self.q / qs).astype(np.int32)
+        self.k = k
+        self.window = k * rescore
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ds_ = np.abs(m).max(axis=1, keepdims=True) / 127.0
+        ds_[ds_ == 0.0] = 1.0
+        d_int = np.rint(m / ds_).astype(np.int32)
+        approx = self.q_int @ d_int.T  # int32 accumulate — the hot kernel
+        out_q: list[int] = []
+        out_v: list[int] = []
+        out_s: list[float] = []
+        w = min(self.window, ids.size)
+        dsv = ds_.ravel()
+        for qi in range(self.q_ids.size):
+            # query-side scale is rank-invariant per row; the DOC-side
+            # scale varies per vector and must weight the estimate
+            a = approx[qi].astype(np.float64) * dsv
+            if self.exclude_self:
+                a = np.where(ids == self.q_ids[qi], -np.inf, a)
+            cand = np.argpartition(-a, w - 1)[:w] if ids.size > w else np.arange(ids.size)
+            exact = m[cand] @ self.q[qi]  # float math on candidates ONLY
+            if self.exclude_self:
+                exact = np.where(ids[cand] == self.q_ids[qi], -np.inf, exact)
+            top = np.argsort(-exact, kind="mergesort")[: self.k]
+            sel = cand[top]
+            keep = np.isfinite(exact[top])
+            out_q.extend([int(self.q_ids[qi])] * int(keep.sum()))
+            out_v.extend(ids[sel][keep].tolist())
+            out_s.extend(exact[top][keep].tolist())
+        return pa.table({
+            "query_vec_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos_sim": pa.array(out_s, pa.float64()),
+        })
+
+
+def int8_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int = 5,
+              rescore: int = 4, exclude_self: bool = True):
+    """int8-quantized cosine top-k with exact rescoring: Dataset(vec_id,
+    embedding) → (query_vec_id, rank, vec_id, cos_sim)."""
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "matrix": np.asarray(query_matrix, dtype=np.float64)})
+    partial = ds.map_batches(
+        _Int8TopK,
+        fn_constructor_args=(ref, k, rescore, exclude_self),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return partial.groupby("query_vec_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )

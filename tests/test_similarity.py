@@ -252,3 +252,29 @@ def test_cosine_range_search_keeps_self_when_asked(ray_session, vectors):
     res = cosine_range_search(ds, np.array([4]), vectors[[4]].astype(np.float64),
                               threshold=0.999, exclude_self=False).to_pandas()
     assert 4 in set(res["vec_id"].astype(int))
+
+
+def test_int8_topk_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        brute_force_topk, int8_topk)
+
+    rng = np.random.RandomState(7)
+    n, d = 400, 32
+    mat = rng.randn(n, d).astype(np.float64)
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in mat],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    q_ids = [0, 1, 2]
+    q = mat[:3]
+    bf = brute_force_topk(ds, q_ids, q, k=5).to_pandas()
+    i8 = int8_topk(ds, q_ids, q, k=5, rescore=4).to_pandas()
+    key = ["query_vec_id", "rank"]
+    bf = bf.sort_values(key).reset_index(drop=True)
+    i8 = i8.sort_values(key).reset_index(drop=True)
+    assert bf["vec_id"].tolist() == i8["vec_id"].tolist()
+    assert np.allclose(bf["cos_sim"], i8["cos_sim"], atol=1e-9)
+    # self is excluded
+    assert not ((i8["query_vec_id"] == i8["vec_id"]).any())

@@ -123,6 +123,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--n-convs", type=int, required=True)
     g.add_argument("--seed", type=int, default=42)
 
+    ap = sub.add_parser("append", help="incremental ingest: delta build + physical "
+                                       "merge + optional alias swap; live index untouched")
+    ap.add_argument("--index", required=True, help="live index dir")
+    ap.add_argument("--input", required=True, help="new transcript parquet dir/file")
+    ap.add_argument("--out", required=True, help="merged output index dir")
+    ap.add_argument("--registry", default=None)
+    ap.add_argument("--alias", default=None)
+
     al = sub.add_parser("alias", help="alias registry: atomic name→index mapping "
                                       "(zero-downtime rebuild swap)")
     al.add_argument("action", choices=["set", "delete", "list", "resolve"])
@@ -249,6 +257,15 @@ def main(argv: list[str] | None = None) -> int:
 
         out = generate_transcripts(args.out, n_convs=args.n_convs, seed=args.seed)
         print(json.dumps({"generated": out}))
+    elif args.cmd == "append":
+        import ray.data as rd
+
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import append_documents
+
+        new_ds = rd.read_parquet(args.input)
+        m = append_documents(args.index, new_ds, args.out,
+                             registry=args.registry, alias=args.alias)
+        print(json.dumps({"status": m.status, "n_docs": m.n_docs, "out": args.out}))
     elif args.cmd == "alias":
         from hybrid_sanctions_search_engine_ray.state import aliases as al_mod
 

@@ -813,3 +813,45 @@ def reindex(src_index_dir: str, out_dir: str, cfg=None,
     return build_index(f"reindex:{src_index_dir}", out_dir, cfg, transcripts_ds=ds,
                        assume_sorted=True, store_text=store_text,
                        store_positions=store_positions)
+
+
+def append_documents(index_dir: str, new_transcripts_ds, out_dir: str,
+                     registry: str | None = None, alias: str | None = None) -> IndexManifest:
+    """Incremental ingest — the ES index-new-batch-then-rollover flow:
+    build a DELTA index from the new transcripts with the live index's
+    exact scoring/layout parameters, physically merge [live, delta] into
+    ``out_dir`` (delta doc ids lift by the live doc count — global ids
+    stay append-ordered), and optionally swap an alias to the merged
+    result atomically. The live index is never touched; a crash leaves
+    it serving. Cost is O(new docs) for the delta build plus the
+    partition-parallel merge pass — the full corpus is never re-analyzed
+    (reference flow: the sanctions pipeline's rebuild-and-swap cycle,
+    docs/DATA_PIPELINE.md index rotation)."""
+    import shutil as _sh
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+
+    m = IndexManifest.load(index_dir)
+    if m.status != "complete":
+        raise ValueError(f"live index at {index_dir} is not complete")
+    cfg = EngineConfig(
+        k1=m.k1, b=m.b, block_size=m.block_size, num_partitions=m.num_partitions,
+        hot_term_salt_buckets=m.hot_term_salt_buckets,
+        analyzer=AnalyzerConfig(mode=m.analyzer_mode,
+                                remove_stopwords=m.remove_stopwords, stem=m.stem),
+    )
+    import pyarrow.dataset as pads
+
+    store_text = "text" in pads.dataset(os.path.join(index_dir, "docmap.parquet")).schema.names
+    delta_dir = out_dir.rstrip("/") + ".delta"
+    _sh.rmtree(delta_dir, ignore_errors=True)
+    build_index("mem", delta_dir, cfg, transcripts_ds=new_transcripts_ds,
+                store_text=store_text, store_positions=m.store_positions)
+    merged = merge_indexes([index_dir, delta_dir], out_dir)
+    _sh.rmtree(delta_dir, ignore_errors=True)
+    if registry is not None and alias is not None:
+        from hybrid_sanctions_search_engine_ray.state.aliases import set_alias
+
+        set_alias(registry, alias, out_dir)
+    return merged

@@ -249,3 +249,44 @@ def test_reindex_refusals(ray_session, tmp_path):
     delete_docs(full, [0])
     with pytest.raises(ValueError, match="compact"):
         reindex(full, str(tmp_path / "y"))
+
+
+def test_append_documents_equals_full_rebuild(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import append_documents
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+    from hybrid_sanctions_search_engine_ray.state.aliases import resolve_alias
+
+    cfg = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="simple"))
+    texts1 = [f"alpha beta doc {i}" for i in range(6)] + ["gamma delta special"]
+    texts2 = ["alpha gamma fresh arrival", "beta beta appended text"]
+
+    def mk_ds(texts, start):
+        rows = [{"conv_id": f"c-{start + i:06d}", "turn_idx": 0, "role": "user",
+                 "text": t, "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+                for i, t in enumerate(texts)]
+        return rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+
+    live = str(tmp_path / "live")
+    build_index("mem", live, cfg, transcripts_ds=mk_ds(texts1, 0))
+    merged_dir = str(tmp_path / "gen2")
+    reg = str(tmp_path / "reg")
+    m = append_documents(live, mk_ds(texts2, len(texts1)), merged_dir,
+                         registry=reg, alias="live")
+    assert m.status == "complete" and m.n_docs == len(texts1) + len(texts2)
+    assert resolve_alias(reg, "live") == os.path.abspath(merged_dir)
+
+    # merged index ≡ a full rebuild over the concatenated corpus
+    full = str(tmp_path / "full")
+    build_index("mem", full, cfg, transcripts_ds=mk_ds(texts1 + texts2, 0))
+    qs = rd.from_items([{"query_id": "q", "query_text": "alpha gamma", "top_k": 20}])
+    a = search(qs, merged_dir, cfg).to_pandas().sort_values("rank").reset_index(drop=True)
+    qs2 = rd.from_items([{"query_id": "q", "query_text": "alpha gamma", "top_k": 20}])
+    b = search(qs2, full, cfg).to_pandas().sort_values("rank").reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert np.allclose(a["score"], b["score"], atol=1e-12)
+    # the appended doc is retrievable
+    assert len(texts1) in set(a["doc_id"])  # "alpha gamma fresh arrival" = doc 7

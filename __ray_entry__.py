@@ -4522,6 +4522,34 @@ def q_ann_eval(sf_dir: str):
         ["method", "query_vec_id"]).reset_index(drop=True)
 
 
+_LANG_NAMES = {"en": "English", "de": "German", "fr": "French",
+               "es": "Spanish", "zh": "Chinese"}
+
+
+def q_ingest_pipeline(sf_dir: str):
+    """ES ingest pipeline (+ enrich processor): a declarative processor
+    chain — set / uppercase / gsub / script / enrich lookup — compiled
+    once into a single vectorized Arrow stage and streamed over the
+    documents table."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.ingest import ingest
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    out = ingest(ds, [
+        {"set": {"field": "pipeline", "value": "v1"}},
+        {"uppercase": {"field": "lang", "target_field": "lang_uc"}},
+        {"gsub": {"field": "source", "pattern": "^src", "replacement": "origin-"}},
+        {"script": {"target_field": "len_bucket",
+                    "expr": ("n_chars", "floordiv", 100)}},
+        {"enrich": {"field": "lang", "target_field": "language_name",
+                    "map": _LANG_NAMES, "default": "Unknown"}},
+        {"remove": {"field": "n_chars"}},
+    ])
+    return out
+
+
 LUCENE_QUERIES: dict[str, str] = {
     "lq1": "(spark OR join) AND NOT slow",
     "lq2": "customer AND (table OR scan)",
@@ -5198,6 +5226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lucene_query": q_lucene_query,
         "ann_int8": q_ann_int8,
         "ann_eval": q_ann_eval,
+        "ingest_pipeline": q_ingest_pipeline,
     }
 
 
@@ -6731,6 +6760,18 @@ ranked AS (
 )
 SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
 FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # ingest pipeline: each processor's SQL twin applied in order.
+        "ingest_pipeline": """
+SELECT doc_id, lang,
+       regexp_replace(source, '^src', 'origin-') AS source,
+       'v1' AS pipeline,
+       upper(lang) AS lang_uc,
+       n_chars // 100 AS len_bucket,
+       CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+                 WHEN 'fr' THEN 'French' WHEN 'es' THEN 'Spanish'
+                 WHEN 'zh' THEN 'Chinese' ELSE 'Unknown' END AS language_name
+FROM documents
 """,
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """

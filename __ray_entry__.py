@@ -4526,6 +4526,18 @@ _LANG_NAMES = {"en": "English", "de": "German", "fr": "French",
                "es": "Spanish", "zh": "Chinese"}
 
 
+def q_extended_stats_bucket(sf_dir: str):
+    """ES extended_stats_bucket sibling agg: population variance / std
+    deviation / ±2sigma bounds of the gap-filled per-day event counts,
+    exact integer sufficient statistics."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import extended_stats_bucket
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    return extended_stats_bucket(ds, "ts", 86400, sigma=2.0)
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5227,6 +5239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_int8": q_ann_int8,
         "ann_eval": q_ann_eval,
         "ingest_pipeline": q_ingest_pipeline,
+        "extended_stats_bucket": q_extended_stats_bucket,
     }
 
 
@@ -6772,6 +6785,32 @@ SELECT doc_id, lang,
                  WHEN 'fr' THEN 'French' WHEN 'es' THEN 'Spanish'
                  WHEN 'zh' THEN 'Chinese' ELSE 'Unknown' END AS language_name
 FROM documents
+""",
+        # extended_stats_bucket: population variance over gap-filled
+        # day counts, shared float formula.
+        "extended_stats_bucket": """
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+ext AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT b0 FROM ext), (SELECT b1 FROM ext))) AS bucket),
+g AS (
+  SELECT grid.bucket, coalesce(b.n, 0)::BIGINT AS n
+  FROM grid LEFT JOIN b ON grid.bucket = b.bucket
+),
+st AS (
+  SELECT count(*)::BIGINT AS m, sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS q,
+         min(n)::BIGINT AS mn, max(n)::BIGINT AS mx
+  FROM g
+)
+SELECT m AS n_buckets, mn AS min_count, mx AS max_count, s AS sum_count,
+       round(s::DOUBLE / m::DOUBLE, 6) AS mean,
+       round((q::DOUBLE - s::DOUBLE * s::DOUBLE / m::DOUBLE) / m::DOUBLE, 6) AS variance,
+       round(sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / m::DOUBLE) / m::DOUBLE), 6) AS std_dev,
+       round(s::DOUBLE / m::DOUBLE + 2.0 * sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / m::DOUBLE) / m::DOUBLE), 6) AS upper_bound,
+       round(s::DOUBLE / m::DOUBLE - 2.0 * sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / m::DOUBLE) / m::DOUBLE), 6) AS lower_bound
+FROM st
 """,
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """

@@ -855,3 +855,46 @@ def append_documents(index_dir: str, new_transcripts_ds, out_dir: str,
 
         set_alias(registry, alias, out_dir)
     return merged
+
+
+_PIT_DIR = "pits"
+
+
+def open_point_in_time(index_dir: str) -> str:
+    """ES point-in-time API: freeze the CURRENT visibility state (the
+    tombstone set — the only mutable query-time state this engine has;
+    segments are immutable) under ``pits/pit-<n>.json``. A reader opened
+    with this pit id keeps serving that snapshot no matter how many
+    deletes land afterwards. Returns the pit id. Deterministic naming
+    (max existing + 1) — no clock, safe to replay."""
+    d = os.path.join(index_dir, _PIT_DIR)
+    os.makedirs(d, exist_ok=True)
+    # monotonic counter file — ids are NEVER reused after close, so a
+    # stale pit_id can only error, never silently read a newer snapshot
+    counter = os.path.join(d, "last_id.json")
+    last = 0
+    if os.path.exists(counter):
+        with open(counter) as f:
+            last = json.load(f)["last"]
+    pit_id = f"pit-{last + 1}"
+    atomic_write_json(counter, {"last": last + 1})
+    ids = load_tombstones(index_dir)
+    atomic_write_json(os.path.join(d, pit_id + ".json"),
+                      {"doc_ids": [int(x) for x in ids]})
+    return pit_id
+
+
+def load_pit_tombstones(index_dir: str, pit_id: str) -> np.ndarray:
+    p = os.path.join(index_dir, _PIT_DIR, pit_id + ".json")
+    if not os.path.exists(p):
+        raise KeyError(f"point in time {pit_id!r} does not exist (closed or never opened)")
+    with open(p) as f:
+        ids = json.load(f)["doc_ids"]
+    return np.array(sorted(set(ids)), dtype=np.int64)
+
+
+def close_point_in_time(index_dir: str, pit_id: str) -> None:
+    p = os.path.join(index_dir, _PIT_DIR, pit_id + ".json")
+    if not os.path.exists(p):
+        raise KeyError(f"point in time {pit_id!r} does not exist")
+    os.unlink(p)

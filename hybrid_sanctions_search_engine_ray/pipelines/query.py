@@ -54,12 +54,16 @@ RESULT_SCHEMA = pa.schema(
 class IndexReader:
     """Loads manifest once; reads + caches decoded postings on demand."""
 
-    def __init__(self, index_dir: str, search_mode: str | None = None):
+    def __init__(self, index_dir: str, search_mode: str | None = None,
+                 pit_id: str | None = None):
         """``search_mode`` overrides the QUERY-side analyzer only (ES
         search_analyzer): the edge-ngram (autocomplete) field indexes
         prefixes but queries with plain tokens — reference
         elasticsearch_adapters.py:247-256 (match with operator "and"
-        against the edge_ngram subfield)."""
+        against the edge_ngram subfield). ``pit_id`` pins visibility to
+        a point-in-time snapshot (maintenance.open_point_in_time):
+        deletes issued after the pit was opened stay visible to this
+        reader — the ES PIT consistency contract."""
         self.index_dir = index_dir
         self.manifest = IndexManifest.load(index_dir)
         if self.manifest.status != "complete":
@@ -84,9 +88,13 @@ class IndexReader:
         # corpus stats (N, avgdl, df) still count them until
         # compact_index runs — Lucene's deleted-until-merge semantics
         # (pipelines/maintenance.py)
-        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import load_tombstones
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+            load_pit_tombstones, load_tombstones)
 
-        self.tombstones = load_tombstones(index_dir)
+        self.tombstones = (
+            load_pit_tombstones(index_dir, pit_id) if pit_id is not None
+            else load_tombstones(index_dir)
+        )
         self._postings: dict[str, TermPosting | None] = {}
         self._raw: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray] | None] = {}
 

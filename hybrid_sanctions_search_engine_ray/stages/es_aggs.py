@@ -1050,3 +1050,36 @@ def global_agg(events_ds, value_col: str, key_col: str, key_val: str) -> pd.Data
         "sum_value_filtered": round(float(tot["cents_f"]) / 100.0, 2),
         "avg_value_filtered": round(float(tot["cents_f"]) / 100.0 / n_f, 6),
     }])
+
+
+def extended_stats_bucket(events_ds, ts_col: str = "ts",
+                          bucket_s: int = 86400, sigma: float = 2.0) -> pd.DataFrame:
+    """ES ``extended_stats_bucket`` sibling pipeline agg over the
+    gap-filled per-day doc counts: count/min/max/sum/mean, POPULATION
+    variance (ES's definition: ``(Σx² − (Σx)²/n)/n``), std deviation and
+    the ±sigma bounds. Sufficient statistics are exact int64; the
+    variance expression is ONE float formula shared verbatim with SQL."""
+    df = _day_counts(events_ds, ts_col, bucket_s)
+    if df.empty:
+        raise ValueError("extended_stats_bucket needs at least one bucket")
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b[0], b[-1] + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    n[b - b[0]] = df["n"].to_numpy(dtype=np.int64)
+    m = full.size
+    s = int(n.sum())
+    q = int((n * n).sum())
+    mean = s / m
+    var = (q - s * s / m) / m
+    std = math.sqrt(var)
+    return pd.DataFrame([{
+        "n_buckets": np.int64(m),
+        "min_count": np.int64(n.min()),
+        "max_count": np.int64(n.max()),
+        "sum_count": np.int64(s),
+        "mean": round(mean, 6),
+        "variance": round(var, 6),
+        "std_dev": round(std, 6),
+        "upper_bound": round(mean + sigma * std, 6),
+        "lower_bound": round(mean - sigma * std, 6),
+    }])

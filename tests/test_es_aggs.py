@@ -376,3 +376,15 @@ def test_global_agg_hand_math(ray_session):
     assert abs(r["avg_value_filtered"] - 0.75) < 1e-12
     with pytest.raises(ValueError, match="empty"):
         es_aggs.global_agg(_ds(df), "value", "event_type", "nope")
+
+
+def test_extended_stats_bucket_population_variance(events_df):
+    df = events_df.copy()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = es_aggs.extended_stats_bucket(_ds(df), "ts", 86400, sigma=2.0)
+    r = out.iloc[0]
+    us = df["ts"].astype("int64") // (86400 * 1_000_000)
+    n = us.value_counts().reindex(np.arange(us.min(), us.max() + 1), fill_value=0).to_numpy()
+    assert r["n_buckets"] == n.size and r["sum_count"] == n.sum()
+    assert abs(r["variance"] - round(float(np.var(n)), 6)) < 1e-6  # population var
+    assert abs(r["upper_bound"] - round(n.mean() + 2 * np.std(n), 6)) < 1e-6

@@ -290,3 +290,40 @@ def test_append_documents_equals_full_rebuild(ray_session, tmp_path):
     assert np.allclose(a["score"], b["score"], atol=1e-12)
     # the appended doc is retrievable
     assert len(texts1) in set(a["doc_id"])  # "alpha gamma fresh arrival" = doc 7
+
+
+def test_point_in_time_pins_visibility(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        close_point_in_time, delete_docs, open_point_in_time)
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader, search
+
+    cfg = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="simple"))
+    rows = [{"conv_id": f"c-{i:04d}", "turn_idx": 0, "role": "user",
+             "text": f"alpha doc {i}", "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+            for i in range(6)]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path / "pitidx")
+    build_index("mem", idx, cfg, transcripts_ds=ds)
+
+    pit = open_point_in_time(idx)
+    delete_docs(idx, [0, 1])  # deletes AFTER the pit opened
+
+    live = IndexReader(idx)
+    pinned = IndexReader(idx, pit_id=pit)
+    assert set(live.tombstones.tolist()) == {0, 1}
+    assert pinned.tombstones.size == 0  # the snapshot still sees everything
+
+    qs = rd.from_items([{"query_id": "q", "query_text": "alpha", "top_k": 10}])
+    live_docs = set(search(qs, idx, cfg).to_pandas()["doc_id"])
+    assert live_docs == {2, 3, 4, 5}
+
+    close_point_in_time(idx, pit)
+    with pytest.raises(KeyError):
+        IndexReader(idx, pit_id=pit)
+    with pytest.raises(KeyError):
+        close_point_in_time(idx, pit)
+    # pit ids are deterministic counters
+    assert open_point_in_time(idx) == "pit-2"

@@ -4538,6 +4538,50 @@ def q_extended_stats_bucket(sf_dir: str):
     return extended_stats_bucket(ds, "ts", 86400, sigma=2.0)
 
 
+_WS_N = 25
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES with a
+    hash-derived uniform): top-N docs by ln(u)/w sample keys, w =
+    n_chars — heavier docs systematically favored, membership a pure
+    row property (reproducible across runs/retries)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.sampling import weighted_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", n=_WS_N, salt="-ws")
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (class prototypes for diversity
+    pruning): scatter-add partials, O(labels × dims) shuffle rows,
+    long-format output."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import label_centroids
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+    return label_centroids(ds, "label", "embedding")
+
+
+def q_bpe_train(sf_dir: str):
+    """BPE merge training: ONE corpus scan builds the word-frequency
+    table (vocab ≪ corpus), then every merge iteration runs on the
+    vocabulary only — the production trainer shape; deterministic merge
+    order (count desc, pair asc). Rows-only check (iterative state is
+    not SQL-expressible)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.bpe_train import bpe_train
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return bpe_train(ds, "text", n_merges=8)
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5240,6 +5284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_eval": q_ann_eval,
         "ingest_pipeline": q_ingest_pipeline,
         "extended_stats_bucket": q_extended_stats_bucket,
+        "weighted_sample": q_weighted_sample,
+        "label_centroids": q_label_centroids,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -6811,6 +6858,33 @@ SELECT m AS n_buckets, mn AS min_count, mx AS max_count, s AS sum_count,
        round(s::DOUBLE / m::DOUBLE + 2.0 * sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / m::DOUBLE) / m::DOUBLE), 6) AS upper_bound,
        round(s::DOUBLE / m::DOUBLE - 2.0 * sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / m::DOUBLE) / m::DOUBLE), 6) AS lower_bound
 FROM st
+""",
+        # A-ES weighted sample: hash-uniform, ln(u)/w keys, top-N.
+        "weighted_sample": f"""
+WITH u AS (
+  SELECT doc_id, n_chars::DOUBLE AS w,
+         ((md5_number_upper(cast(doc_id AS varchar) || '-ws') % 1000000) + 1)::DOUBLE
+           / 1000001.0 AS u
+  FROM documents
+),
+k AS (SELECT doc_id, ln(u) / w AS sk, w FROM u),
+ranked AS (
+  SELECT doc_id, sk, w, row_number() OVER (ORDER BY sk DESC, doc_id) AS rnk FROM k
+)
+SELECT doc_id, cast(rnk AS int) AS rank, round(sk, 6) AS sample_key, w AS n_chars
+FROM ranked WHERE rnk <= {_WS_N}
+""",
+        # per-label centroid: parallel unnest zips value with position.
+        "label_centroids": """
+WITH u AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT label, dim::BIGINT AS dim,
+       round(sum(v) / count(*), 6) AS centroid,
+       count(*)::BIGINT AS n_vectors
+FROM u GROUP BY label, dim
 """,
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """

@@ -190,3 +190,45 @@ def rag_retrieve(docs_ds, queries: dict[str, str], dim: int = 32,
     res["chunk_idx"] = (res["vec_id"] % chunk_id_base).astype(np.int64)
     res["rank"] = res["rank"].astype(np.int32)
     return res[["query_id", "rank", "doc_id", "chunk_idx", "cos_sim"]]
+
+
+def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
+    """Per-label embedding centroid — the class-prototype aggregation a
+    curation pipeline uses for diversity pruning / outlier scoring.
+    Per batch, vectors scatter-add into label-local float64 sums
+    (``np.add.at`` — one pass, no per-row loop); the shuffle carries
+    (label, dim, partial_sum) plus a dim=-1 count sentinel, so only
+    O(labels × dims) rows ever move. Returns long-format
+    (label, dim, centroid, n_vectors)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = b[label_col].to_numpy(zero_copy_only=False)
+        m = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((uniq.size, m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=uniq.size)
+        k, d = uniq.size, m.shape[1]
+        return pa.table({
+            label_col: pa.array(np.r_[np.repeat(uniq, d), uniq]),
+            "dim": pa.array(np.r_[np.tile(np.arange(d, dtype=np.int64), k),
+                                  np.full(k, -1, dtype=np.int64)]),
+            "s": pa.array(np.r_[sums.ravel(), counts.astype(np.float64)]),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([label_col, "dim"])
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    cnt = agg[agg["dim"] == -1].set_index(label_col)["s"]
+    out = agg[agg["dim"] != -1].copy()
+    n = out[label_col].map(cnt).to_numpy(dtype=np.float64)
+    out["centroid"] = np.round(out["s"].to_numpy() / n, 6)
+    out["n_vectors"] = out[label_col].map(cnt).astype(np.int64)
+    out = out.sort_values([label_col, "dim"], kind="mergesort").reset_index(drop=True)
+    out["dim"] = out["dim"].astype(np.int64)
+    return out[[label_col, "dim", "centroid", "n_vectors"]]

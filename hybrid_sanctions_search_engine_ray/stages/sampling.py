@@ -157,3 +157,43 @@ def dataset_split(ds, key: str, splits: dict[str, int], salt: str = ""):
         return b.append_column("split", col)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def weighted_sample(ds, key: str, weight_col: str, n: int, salt: str = "-ws"):
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis (A-ES) scheme with a HASH-derived uniform, so
+    membership is again a pure property of the row (reproducible across
+    runs/retries, no RNG state, SQL-checkable): per row
+    ``u = (md5_bucket(key+salt) % 1e6 + 1) / (1e6 + 1)`` ∈ (0,1),
+    sample key ``k = ln(u) / w`` (order-equivalent to the classic
+    ``u^(1/w)``), keep the global top-``n`` by (k desc, key asc).
+    Heavier rows draw systematically larger keys. Per-batch top-``n``
+    partials stream to ONE driver-side merge of O(#batches·n) rows.
+    Weights must be > 0."""
+    import pandas as pd
+
+    def partial(b):
+        import pyarrow as pa
+
+        keys = b[key].to_numpy(zero_copy_only=False)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if (w <= 0).any():
+            raise ValueError("weighted_sample requires strictly positive weights")
+        buckets = np.empty(len(keys), dtype=np.uint64)
+        for i, kv in enumerate(keys):
+            d = hashlib.md5((str(kv) + salt).encode("utf-8")).digest()
+            buckets[i] = int.from_bytes(d[:8], "little")
+        u = ((buckets % np.uint64(1_000_000)).astype(np.float64) + 1.0) / 1_000_001.0
+        sk = np.log(u) / w
+        top = np.argsort(-sk, kind="mergesort")[:n]
+        return pa.table({key: pa.array(keys[top]),
+                         "sample_key": pa.array(sk[top]),
+                         weight_col: pa.array(w[top])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["sample_key", key], ascending=[False, True],
+                              kind="mergesort").head(n).reset_index(drop=True)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int32)
+    return pd.DataFrame({key: parts[key], "rank": parts["rank"],
+                         "sample_key": np.round(parts["sample_key"].to_numpy(), 6),
+                         weight_col: parts[weight_col]})

@@ -136,3 +136,50 @@ def test_dataset_split_deterministic_and_complete(ray_session):
     assert (again.sort_values("doc_id")["split"].to_numpy() == want).all()
     with pytest.raises(ValueError):
         dataset_split(rd.from_pandas(df), "doc_id", {"train": 90, "val": 5})
+
+
+def test_weighted_sample_deterministic_and_weight_biased(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.sampling import weighted_sample
+
+    n = 400
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "w": np.where(np.arange(n) < 200, 100.0, 1.0)})
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    a = weighted_sample(ds, "doc_id", "w", n=50, salt="-t")
+    b = weighted_sample(ds, "doc_id", "w", n=50, salt="-t")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()  # reproducible
+    # heavy half (w=100) should dominate the sample overwhelmingly
+    heavy = (a["doc_id"] < 200).sum()
+    assert heavy >= 45
+    # a different salt draws a different sample
+    c = weighted_sample(ds, "doc_id", "w", n=50, salt="-other")
+    assert c["doc_id"].tolist() != a["doc_id"].tolist()
+    import pytest
+
+    bad = pd.DataFrame({"doc_id": [1], "w": [0.0]})
+    with pytest.raises(Exception, match="positive"):
+        weighted_sample(rd.from_pandas(bad), "doc_id", "w", n=1)
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import label_centroids
+
+    rng = np.random.RandomState(5)
+    m = rng.randn(60, 4).astype(np.float32)
+    labels = np.array([0, 1, 2] * 20, dtype=np.int32)
+    tbl = pa.table({"label": pa.array(labels),
+                    "embedding": pa.array([list(map(float, r)) for r in m],
+                                          pa.list_(pa.float32()))})
+    out = label_centroids(rd.from_arrow(tbl), "label", "embedding")
+    for lab in (0, 1, 2):
+        want = m[labels == lab].astype(np.float64).mean(axis=0)
+        got = out[out["label"] == lab].sort_values("dim")["centroid"].to_numpy()
+        assert np.allclose(got, np.round(want, 6), atol=1e-6)
+        assert (out[out["label"] == lab]["n_vectors"] == 20).all()

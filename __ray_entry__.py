@@ -4582,6 +4582,44 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(ds, "text", n_merges=8)
 
 
+def q_phonetic_buckets(sf_dir: str):
+    """Phonetic blocking (simplified American Soundex): dictionary terms
+    grouped by sound code — the name-screening recall signal of the
+    reference's sanctions domain. Top collision buckets by (distinct
+    terms desc, code asc); the digit table is shared verbatim with the
+    SQL twin (translate + chained collapse replaces)."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.functions.phonetic import soundex
+
+    vocab = q_term_dictionary(sf_dir)
+
+    def code(b: pa.Table) -> pa.Table:
+        terms = b["term"].to_pylist()
+        dfs = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep_t, keep_c, keep_d = [], [], []
+        for t, d in zip(terms, dfs):
+            if t and t.isascii() and t.isalpha():
+                keep_t.append(t)
+                keep_c.append(soundex(t))
+                keep_d.append(int(d))
+        return pa.table({"code": pa.array(keep_c, pa.string()),
+                         "n_terms": pa.array(np.ones(len(keep_t), np.int64)),
+                         "sum_df": pa.array(keep_d, pa.int64())})
+
+    agg = (
+        vocab.map_batches(code, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("n_terms", alias_name="n_terms"), Sum("sum_df", alias_name="sum_df"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n_terms", "code"], ascending=[False, True],
+                          kind="mergesort").head(15).reset_index(drop=True)
+    agg["n_terms"] = agg["n_terms"].astype(np.int64)
+    agg["sum_df"] = agg["sum_df"].astype(np.int64)
+    return agg[["code", "n_terms", "sum_df"]]
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5287,6 +5325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "label_centroids": q_label_centroids,
         "bpe_train": q_bpe_train,
+        "phonetic_buckets": q_phonetic_buckets,
     }
 
 
@@ -6886,6 +6925,32 @@ SELECT label, dim::BIGINT AS dim,
        count(*)::BIGINT AS n_vectors
 FROM u GROUP BY label, dim
 """,
+        # simplified Soundex blocking: translate table shared verbatim,
+        # adjacent-digit collapse as chained replaces (RE2: no backrefs).
+        "phonetic_buckets": """
+WITH {TRANSCRIPTS_CTE},
+alpha AS (
+  SELECT df.term, df.df,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(df.term, 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202'), '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS collapsed
+  FROM df WHERE regexp_matches(df.term, '^[a-z]+$')
+),
+coded AS (
+  SELECT term, df,
+         substr(term, 1, 1)
+         || substr(rpad(replace(substr(collapsed, 2), '0', ''), 3, '0'), 1, 3) AS code
+  FROM alpha
+),
+agg AS (
+  SELECT code, count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS sum_df
+  FROM coded GROUP BY code
+),
+ranked AS (
+  SELECT code, n_terms, sum_df,
+         row_number() OVER (ORDER BY n_terms DESC, code) AS rnk
+  FROM agg
+)
+SELECT code, n_terms, sum_df FROM ranked WHERE rnk <= 15
+""".format(TRANSCRIPTS_CTE=TRANSCRIPTS_CTE),
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """
 SELECT p.p_brand AS brand, count(*)::BIGINT AS n_items,

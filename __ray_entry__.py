@@ -4620,6 +4620,31 @@ def q_phonetic_buckets(sf_dir: str):
     return agg[["code", "n_terms", "sum_df"]]
 
 
+_SNM_W = 3
+
+
+def q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking: candidate dup pairs within a
+    3-row window over docs sorted by a normalized 8-char text-prefix
+    key — ONE range sort, per-block vectorized windows, O(blocks·w)
+    boundary stitching."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def key(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.fill_null(b["text"], ""))
+        s = pc.replace_substring_regex(s, pattern="[^a-z0-9]", replacement="")
+        return pa.table({"doc_id": b["doc_id"],
+                         "key": pc.utf8_slice_codeunits(s, 0, 8)})
+
+    return sorted_neighborhood_pairs(ds.map_batches(key, batch_format="pyarrow"),
+                                     "doc_id", "key", window=_SNM_W)
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5326,6 +5351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "bpe_train": q_bpe_train,
         "phonetic_buckets": q_phonetic_buckets,
+        "snm_pairs": q_snm_pairs,
     }
 
 
@@ -6951,6 +6977,23 @@ ranked AS (
 )
 SELECT code, n_terms, sum_df FROM ranked WHERE rnk <= 15
 """.format(TRANSCRIPTS_CTE=TRANSCRIPTS_CTE),
+        # sorted-neighborhood blocking: rank self-join, window dist ≤ w−1.
+        "snm_pairs": f"""
+WITH k AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g'), 1, 8) AS key
+  FROM documents
+),
+r AS (SELECT doc_id, key, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.key AS ka, b.key AS kb
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_W - 1}
+)
+SELECT DISTINCT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+       CASE WHEN da < db THEN ka ELSE kb END AS key_a,
+       CASE WHEN da < db THEN kb ELSE ka END AS key_b
+FROM p
+""",
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """
 SELECT p.p_brand AS brand, count(*)::BIGINT AS n_items,

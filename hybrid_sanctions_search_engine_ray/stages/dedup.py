@@ -328,3 +328,89 @@ def simhash64(batch: pa.Table, cfg: AnalyzerConfig | None = None) -> pa.Table:
         )
         out[present] = packed
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out.view(np.int64))})
+
+
+def sorted_neighborhood_pairs(ds, id_col: str, key_col: str, window: int = 4):
+    """Sorted-neighborhood blocking (Hernández–Stolfo record linkage):
+    sort by a normalized blocking key, slide a ``window``-row window,
+    emit every in-window candidate pair — the O(n·w) alternative to
+    LSH when a meaningful sort key exists (names, here a text prefix).
+
+    Distribution shape: ONE range-partitioning sort on (key, id); each
+    sorted block emits its internal window pairs vectorized, PLUS its
+    first/last ``window−1`` rows as tagged boundary rows. The driver
+    stitches ADJACENT blocks only: with tail rows t_i (i=0..w−2) and
+    next block's head rows h_j, global rank distance is w−1+j−i, so the
+    cross-boundary pairs are exactly {(t_i, h_j): j ≤ i} — no global
+    rank materialization. Boundary traffic is O(#blocks · w).
+    ASSUMPTION (checked, clear error): every sorted block holds ≥
+    ``window`` rows, so pairs never span three blocks — true whenever
+    block size ≫ w, the only regime the method makes sense in.
+    Returns (doc_a, doc_b, key_a, key_b) with doc_a < doc_b."""
+    import pandas as pd
+
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be >= 2")
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.asarray(b[key_col].to_pylist(), dtype=object)
+        n = ids.size
+        if 0 < n < w:
+            raise ValueError(
+                f"sorted_neighborhood_pairs: a sorted block has {n} < window={w} rows; "
+                "lower the window or repartition to fewer, larger blocks"
+            )
+        a_idx, b_idx = [], []
+        for d in range(1, w):
+            a_idx.append(np.arange(0, n - d))
+            b_idx.append(np.arange(d, n))
+        ai = np.concatenate(a_idx) if a_idx and n > 1 else np.empty(0, np.int64)
+        bi = np.concatenate(b_idx) if b_idx and n > 1 else np.empty(0, np.int64)
+        head = min(w - 1, n)
+        rows = {
+            "kind": ["pair"] * ai.size + ["head"] * head + ["tail"] * head,
+            "doc_a": np.r_[ids[ai], ids[:head], ids[n - head:]],
+            "doc_b": np.r_[ids[bi], np.zeros(2 * head, np.int64)],
+            "key_a": np.r_[keys[ai], keys[:head], keys[n - head:]],
+            "key_b": np.r_[keys[bi], np.array([""] * (2 * head), dtype=object)],
+            "pos": np.r_[np.zeros(ai.size, np.int64),
+                         np.arange(head), np.arange(head)],
+            "block_key": ([""] * ai.size
+                          + [str(keys[0]) + "|" + str(ids[0])] * (2 * head)),
+        }
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    out = (
+        ds.sort([key_col, id_col])
+        .map_batches(block_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    pairs = out[out["kind"] == "pair"][["doc_a", "doc_b", "key_a", "key_b"]]
+    bnd = out[out["kind"] != "pair"]
+    stitched = []
+    blocks = sorted(bnd["block_key"].unique())
+    for prev, nxt in zip(blocks, blocks[1:]):
+        tail = bnd[(bnd["block_key"] == prev) & (bnd["kind"] == "tail")].sort_values("pos")
+        head = bnd[(bnd["block_key"] == nxt) & (bnd["kind"] == "head")].sort_values("pos")
+        for i, (_, t) in enumerate(tail.iterrows()):
+            for j, (_, h) in enumerate(head.iterrows()):
+                if j <= i:
+                    stitched.append({"doc_a": t["doc_a"], "doc_b": h["doc_a"],
+                                     "key_a": t["key_a"], "key_b": h["key_a"]})
+    if stitched:
+        pairs = pd.concat([pairs, pd.DataFrame(stitched)], ignore_index=True)
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    ka = pairs["key_a"].to_numpy(dtype=object)
+    kb = pairs["key_b"].to_numpy(dtype=object)
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    ka2 = np.where(swap, kb, ka)
+    kb2 = np.where(swap, ka, kb)
+    res = pd.DataFrame({"doc_a": a2, "doc_b": b2, "key_a": ka2, "key_b": kb2})
+    res = res.drop_duplicates(["doc_a", "doc_b"]).sort_values(
+        ["doc_a", "doc_b"], kind="mergesort").reset_index(drop=True)
+    return res

@@ -113,3 +113,26 @@ def test_lsh_small_bucket_all_pairs():
     out = _pairs_from_partition(g, max_bucket=100)
     got = set(zip(out["doc_a"], out["doc_b"]))
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_sorted_neighborhood_pairs_window_and_boundary(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import sorted_neighborhood_pairs
+
+    # ids deliberately NOT in key order; keys force the sort c<k<m<s<z
+    df = pd.DataFrame({"doc_id": np.array([10, 3, 7, 1, 5], np.int64),
+                       "key": ["mmm", "ccc", "sss", "kkk", "zzz"]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = sorted_neighborhood_pairs(ds, "doc_id", "key", window=2)
+    # sorted order: ccc(3) kkk(1) mmm(10) sss(7) zzz(5); adjacent pairs only
+    want = {(1, 3), (1, 10), (7, 10), (5, 7)}
+    assert set(zip(out["doc_a"], out["doc_b"])) == want
+    # window 3 adds rank-distance-2 pairs
+    out3 = sorted_neighborhood_pairs(ds, "doc_id", "key", window=3)
+    assert set(zip(out3["doc_a"], out3["doc_b"])) == want | {(3, 10), (1, 7), (5, 10)}
+    # keys travel with the normalized (doc_a < doc_b) orientation
+    row = out3[(out3.doc_a == 3) & (out3.doc_b == 10)].iloc[0]
+    assert row["key_a"] == "ccc" and row["key_b"] == "mmm"
+    with pytest.raises(Exception, match="window must be"):
+        sorted_neighborhood_pairs(ds, "doc_id", "key", window=1)

@@ -4645,6 +4645,20 @@ def q_snm_pairs(sf_dir: str):
                                      "doc_id", "key", window=_SNM_W)
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher quality-filter rules (Rae et al. 2021): per-doc word
+    count / mean word length / symbol ratio / alphabetic-word fraction
+    / distinct-stopword rules with per-rule booleans and the keep
+    conjunction — one vectorized Arrow pass."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import gopher_rules
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(gopher_rules, batch_format="pyarrow")
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5352,6 +5366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "phonetic_buckets": q_phonetic_buckets,
         "snm_pairs": q_snm_pairs,
+        "gopher_filter": q_gopher_filter,
     }
 
 
@@ -6993,6 +7008,47 @@ SELECT DISTINCT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
        CASE WHEN da < db THEN ka ELSE kb END AS key_a,
        CASE WHEN da < db THEN kb ELSE ka END AS key_b
 FROM p
+""",
+        # Gopher rules: list_transform/aggregate per-doc word stats.
+        "gopher_filter": """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+w AS (
+  SELECT doc_id, s,
+         list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> '') AS words
+  FROM t
+),
+m AS (
+  SELECT doc_id, s, words,
+         len(words)::BIGINT AS n_words,
+         greatest(len(words), 1)::DOUBLE AS nw,
+         coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0)::DOUBLE AS sum_wl,
+         len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE AS n_alpha,
+         ((length(s) - length(replace(s, '#', '')))
+          + (length(s) - length(replace(s, '...', ''))) / 3)::DOUBLE AS n_sym,
+         list_transform(words, x -> lower(x)) AS lw
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_words,
+         sum_wl / nw AS mwl,
+         n_sym / nw AS sym,
+         n_alpha / nw AS awf,
+         (CASE WHEN list_contains(lw, 'the') THEN 1 ELSE 0 END\n         + CASE WHEN list_contains(lw, 'be') THEN 1 ELSE 0 END\n         + CASE WHEN list_contains(lw, 'to') THEN 1 ELSE 0 END\n         + CASE WHEN list_contains(lw, 'of') THEN 1 ELSE 0 END\n         + CASE WHEN list_contains(lw, 'and') THEN 1 ELSE 0 END\n         + CASE WHEN list_contains(lw, 'that') THEN 1 ELSE 0 END\n         + CASE WHEN list_contains(lw, 'have') THEN 1 ELSE 0 END\n         + CASE WHEN list_contains(lw, 'with') THEN 1 ELSE 0 END)::BIGINT AS n_stopwords_present
+  FROM m
+)
+SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+       round(sym, 4) AS symbol_ratio, round(awf, 4) AS alpha_word_frac,
+       n_stopwords_present,
+       (n_words >= 5 AND n_words <= 100000) AS pass_words,
+       (mwl >= 3.0 AND mwl <= 10.0) AS pass_mean_len,
+       (sym <= 0.1) AS pass_symbols,
+       (awf >= 0.8) AS pass_alpha,
+       (n_stopwords_present >= 2) AS pass_stopwords,
+       (n_words >= 5 AND n_words <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0
+        AND sym <= 0.1 AND awf >= 0.8
+        AND n_stopwords_present >= 2) AS keep
+FROM r
 """,
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """

@@ -233,3 +233,72 @@ def chunk_documents(batch: pa.Table, cfg: AnalyzerConfig, window: int = 32,
             "chunk_text": pc.binary_join(lists, " "),
         }
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(batch: pa.Table, text_col: str = "text",
+                 min_words: int = 5, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1, min_alpha_word_frac: float = 0.8,
+                 min_stopwords: int = 2) -> pa.Table:
+    """The Gopher quality-filter rules (Rae et al. 2021, table A1 —
+    public paper), per document, fully vectorized:
+
+    * word count in [min_words, max_words] (whitespace tokens);
+    * mean word length (codepoints) in [min, max];
+    * symbol-to-word ratio ≤ max: symbols = '#' chars + non-overlapping
+      '...' occurrences;
+    * fraction of words containing an ASCII letter ≥ min;
+    * ≥ min_stopwords DISTINCT stopwords from the canonical 8-word list
+      present (lowercased token equality).
+
+    Emits the metrics AND per-rule booleans AND the conjunction
+    ``keep`` so downstream filters stay explainable. One Arrow pass:
+    list-split + flatten + bincount-by-parent — no per-row Python."""
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(batch[text_col], "")
+    trimmed = pc.utf8_trim_whitespace(s)
+    toks = pc.split_pattern_regex(trimmed, pattern="\\s+")
+    n_words = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # empty text → [''] — count it as zero words
+    first_empty = pc.equal(pc.list_element(toks, 0), "").to_numpy(zero_copy_only=False)
+    n_words = np.where((n_words == 1) & first_empty, 0, n_words)
+    flat = pc.list_flatten(toks)
+    parents = np.repeat(np.arange(len(batch), dtype=np.int64),
+                        pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+    n = len(batch)
+    wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    sum_wl = np.bincount(parents, weights=wl, minlength=n)
+    nw_safe = np.maximum(n_words, 1).astype(np.float64)
+    mean_wl = sum_wl / nw_safe
+    alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(zero_copy_only=False)
+    alpha_frac = np.bincount(parents, weights=alpha.astype(np.float64), minlength=n) / nw_safe
+    hashes = np.asarray([t.count("#") + t.count("...") for t in s.to_pylist()],
+                        dtype=np.int64)  # tiny per-doc str.count, C-level
+    symbol_ratio = hashes / nw_safe
+    low = pc.utf8_lower(flat)
+    sw_present = np.zeros(n, dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        hit = pc.equal(low, w).to_numpy(zero_copy_only=False)
+        sw_present += np.bincount(parents, weights=hit.astype(np.float64),
+                                  minlength=n).astype(bool).astype(np.int64)
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_sym = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_word_frac
+    r_sw = sw_present >= min_stopwords
+    keep = r_words & r_mwl & r_sym & r_alpha & r_sw
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words),
+        "mean_word_len": pa.array(round_half_away(mean_wl, 4)),
+        "symbol_ratio": pa.array(round_half_away(symbol_ratio, 4)),
+        "alpha_word_frac": pa.array(round_half_away(alpha_frac, 4)),
+        "n_stopwords_present": pa.array(sw_present),
+        "pass_words": pa.array(r_words), "pass_mean_len": pa.array(r_mwl),
+        "pass_symbols": pa.array(r_sym), "pass_alpha": pa.array(r_alpha),
+        "pass_stopwords": pa.array(r_sw), "keep": pa.array(keep),
+    })

@@ -87,3 +87,28 @@ def test_bpe_token_count_cases():
     ])})
     out = bpe_token_count(b).to_pandas()
     assert out["n_bpe_tokens"].tolist() == [7, 0, 0, 1, 0, 5]
+
+
+def test_gopher_rules_hand_checked(ray_session):
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import gopher_rules
+
+    texts = [
+        "the data have moved to and that be done with care today",  # clean → keep
+        "aa bb cc",                                      # too few words, short words
+        "### ### the of and #...",                       # symbol-heavy
+        "12 34 56 78 90 11 22",                          # no alphabetic words
+        "",                                              # empty
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)})
+    out = gopher_rules(t).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"])
+    assert out.loc[1, "n_words"] == 3 and not out.loc[1, "pass_words"]
+    assert not out.loc[2, "pass_symbols"]
+    # '### ### ... #...': 7 '#' chars + one '...' = 8 symbols / 6 words
+    assert abs(out.loc[2, "symbol_ratio"] - round(8 / 6, 4)) < 1e-9
+    assert out.loc[3, "alpha_word_frac"] == 0.0 and not out.loc[3, "pass_alpha"]
+    assert out.loc[4, "n_words"] == 0 and not out.loc[4, "keep"]
+    # stopword rule counts DISTINCT stopwords
+    assert out.loc[0, "n_stopwords_present"] >= 2

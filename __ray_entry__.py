@@ -4659,6 +4659,32 @@ def q_gopher_filter(sf_dir: str):
     return ds.map_batches(gopher_rules, batch_format="pyarrow")
 
 
+_TL_DOC = 42
+
+
+def q_terms_lookup(sf_dir: str):
+    """ES terms-lookup query: the term set comes from ANOTHER document
+    (terms: {field, index, id}) — doc 42's distinct tokens become an
+    OR-BM25 query. The lookup is one pruned point read; the terms then
+    ride the ordinary posting path."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader, search
+
+    index_dir = _ensure_index(sf_dir)
+    src = _pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "text"],
+        filter=_pads.field("doc_id") == _TL_DOC,
+    )
+    text = src["text"][0].as_py() or ""
+    r = IndexReader(index_dir)
+    terms = sorted(set(r.analyzer(text)))
+    qs = rd.from_items([{"query_id": "tl1", "query_text": " ".join(terms),
+                         "top_k": BM25_TOP_K}])
+    return _finish_scores(search(qs, index_dir, _engine_cfg()))
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5367,6 +5393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_buckets": q_phonetic_buckets,
         "snm_pairs": q_snm_pairs,
         "gopher_filter": q_gopher_filter,
+        "terms_lookup": q_terms_lookup,
     }
 
 
@@ -7049,6 +7076,19 @@ SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
         AND sym <= 0.1 AND awf >= 0.8
         AND n_stopwords_present >= 2) AS keep
 FROM r
+""",
+        # terms lookup: the query's term set IS another doc's tokens.
+        "terms_lookup": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms AS (SELECT DISTINCT 'tl1' AS query_id, term FROM tok WHERE doc_id = {_TL_DOC}),
+{_BM25_SCORES_CTE},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """

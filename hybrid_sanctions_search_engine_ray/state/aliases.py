@@ -36,23 +36,30 @@ def list_aliases(registry_dir: str) -> dict[str, str]:
         return json.load(f)
 
 
-def set_alias(registry_dir: str, alias: str, index_dir: str,
+def set_alias(registry_dir: str, alias: str, index_dir: str | list[str],
               require_complete: bool = True) -> None:
-    """Point ``alias`` at ``index_dir`` (atomic). By default refuses to
-    publish an alias to an index whose manifest is not ``complete`` —
-    an alias must never expose a half-built index."""
+    """Point ``alias`` at one index dir OR a LIST of them (the ES
+    multi-index alias — one name fanning out to several indices, served
+    federated). Atomic either way. By default refuses to publish an
+    alias to any index whose manifest is not ``complete`` — an alias
+    must never expose a half-built index."""
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    if not dirs:
+        raise ValueError("alias needs at least one index dir")
     if require_complete:
         from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
 
-        m = IndexManifest.load(index_dir)
-        if m.status != "complete":
-            raise ValueError(
-                f"refusing to alias {alias!r} to incomplete index {index_dir} "
-                f"(status={m.status})"
-            )
+        for d in dirs:
+            m = IndexManifest.load(d)
+            if m.status != "complete":
+                raise ValueError(
+                    f"refusing to alias {alias!r} to incomplete index {d} "
+                    f"(status={m.status})"
+                )
     os.makedirs(registry_dir, exist_ok=True)
     aliases = list_aliases(registry_dir)
-    aliases[alias] = os.path.abspath(index_dir)
+    aliases[alias] = (os.path.abspath(dirs[0]) if isinstance(index_dir, str)
+                      else [os.path.abspath(d) for d in dirs])
     atomic_write_json(_path(registry_dir), aliases)
 
 
@@ -64,8 +71,10 @@ def delete_alias(registry_dir: str, alias: str) -> None:
     atomic_write_json(_path(registry_dir), aliases)
 
 
-def resolve_alias(registry_dir: str, name: str) -> str:
+def resolve_alias(registry_dir: str, name: str) -> str | list[str]:
     """Resolve ``name`` through the registry; a name that is not an
     alias passes through unchanged (the ES convention: APIs accept
-    either a concrete index or an alias)."""
+    either a concrete index or an alias). Multi-index aliases resolve
+    to a LIST — feed it to ``federated.FederatedReader`` /
+    ``federated_search`` for one-name fan-out search."""
     return list_aliases(registry_dir).get(name, name)

@@ -99,3 +99,25 @@ def test_federated_single(split_indexes):
     d2, s2 = fed.search_one("payment", 10)
     assert d1.tolist() == d2.tolist()
     assert np.allclose(s1, s2)
+
+
+def test_multi_index_alias_serves_federated(ray_session, tmp_path, split_indexes):
+    """A multi-index alias resolves to a LIST; searching it through the
+    FederatedReader equals searching both indexes federated directly."""
+    import os
+
+    from hybrid_sanctions_search_engine_ray.state.aliases import resolve_alias, set_alias
+
+    idx_a, idx_b = split_indexes["a"], split_indexes["b"]
+    reg = str(tmp_path / "reg")
+    set_alias(reg, "all", [idx_a, idx_b])
+    got = resolve_alias(reg, "all")
+    assert got == [os.path.abspath(idx_a), os.path.abspath(idx_b)]
+    r = FederatedReader(got)
+    r2 = FederatedReader([idx_a, idx_b])
+    d1, s1 = r.search_one("alpha beta", top_k=10)
+    d2, s2 = r2.search_one("alpha beta", top_k=10)
+    assert np.array_equal(d1, d2) and np.allclose(s1, s2, atol=0)
+    # single-dir aliases still resolve to a plain string
+    set_alias(reg, "one", idx_a)
+    assert resolve_alias(reg, "one") == os.path.abspath(idx_a)

@@ -4685,6 +4685,24 @@ def q_terms_lookup(sf_dir: str):
     return _finish_scores(search(qs, index_dir, _engine_cfg()))
 
 
+_FUZZY_PL = 2
+
+
+def q_fuzzy_prefix(sf_dir: str):
+    """ES fuzzy with prefix_length=2: expansions must share the first 2
+    characters with the query term exactly — the precision/cost dial
+    ('jion' no longer reaches 'join'; 'custmer' still reaches
+    'customer'). Same expansion→BM25 path as fuzzy_search."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import fuzzy_search
+
+    index_dir = _ensure_index(sf_dir)
+    vocab = q_term_dictionary(sf_dir)
+    res = fuzzy_search(FUZZY_MATCH_QUERIES, index_dir, vocab, _engine_cfg(),
+                       max_dist=_FUZZY_DIST, topn=_FUZZY_TOPN, top_k=BM25_TOP_K,
+                       prefix_length=_FUZZY_PL)
+    return _finish_scores(res)
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5394,6 +5412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": q_snm_pairs,
         "gopher_filter": q_gopher_filter,
         "terms_lookup": q_terms_lookup,
+        "fuzzy_prefix": q_fuzzy_prefix,
     }
 
 
@@ -7081,6 +7100,31 @@ FROM r
         "terms_lookup": f"""
 WITH {TRANSCRIPTS_CTE},
 qterms AS (SELECT DISTINCT 'tl1' AS query_id, term FROM tok WHERE doc_id = {_TL_DOC}),
+{_BM25_SCORES_CTE},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # fuzzy with prefix_length: first-2-chars exact-match pruner.
+        "fuzzy_prefix": f"""
+WITH {TRANSCRIPTS_CTE},
+qt(query_id, q_term) AS (VALUES {_fuzzy_match_values()}),
+cand AS (
+  SELECT qt.query_id, qt.q_term, df.term, levenshtein(qt.q_term, df.term) AS dist
+  FROM qt CROSS JOIN df
+  WHERE substr(df.term, 1, {_FUZZY_PL}) = substr(qt.q_term, 1, {_FUZZY_PL})
+    AND levenshtein(qt.q_term, df.term) <= {_FUZZY_DIST}
+),
+rankedf AS (
+  SELECT query_id, q_term, term, dist,
+         row_number() OVER (PARTITION BY query_id, q_term ORDER BY dist, term) AS rnk
+  FROM cand
+),
+qterms AS (SELECT DISTINCT query_id, term FROM rankedf WHERE rnk <= {_FUZZY_TOPN}),
 {_BM25_SCORES_CTE},
 ranked AS (
   SELECT query_id, doc_id, score,

@@ -88,9 +88,14 @@ class FuzzyExpander:
     this module's byte-window stands in for at test scale.
     """
 
-    def __init__(self, query_terms: list[str], max_dist: int = 2):
+    def __init__(self, query_terms: list[str], max_dist: int = 2,
+                 prefix_len: int = 0):
         self.q = [(t, t.encode("utf-8")) for t in query_terms]
         self.max_dist = max_dist
+        # ES fuzzy prefix_length: the first N characters must match
+        # EXACTLY — the standard expansion-cost / precision dial (typos
+        # rarely hit the word onset); also the dictionary-scan pruner.
+        self.prefix_len = int(prefix_len)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms = batch["term"].to_pylist()
@@ -98,10 +103,13 @@ class FuzzyExpander:
         out_t: list[str] = []
         out_d: list[int] = []
         md = self.max_dist
+        pl = self.prefix_len
         for term in terms:
             tb = term.encode("utf-8")
             for qt, qb in self.q:
                 if abs(len(tb) - len(qb)) > md:
+                    continue
+                if pl and term[:pl] != qt[:pl]:
                     continue
                 d = levenshtein(qb, tb, max_dist=md)
                 if d <= md:
@@ -117,7 +125,8 @@ class FuzzyExpander:
         )
 
 
-def fuzzy_expand(vocab_ds, query_terms: list[str], max_dist: int = 2, topn: int = 5):
+def fuzzy_expand(vocab_ds, query_terms: list[str], max_dist: int = 2, topn: int = 5,
+                 prefix_len: int = 0):
     """Vocabulary Dataset (term[, df]) → per-query-term expansion table
     (q_term, rnk, term, dist), ranked (dist asc, term asc), top ``topn``.
     The vocabulary never leaves the cluster; only ≤ |q|·topn rows come
@@ -131,7 +140,7 @@ def fuzzy_expand(vocab_ds, query_terms: list[str], max_dist: int = 2, topn: int 
 
     cand = vocab_ds.map_batches(
         FuzzyExpander,
-        fn_constructor_args=(query_terms, max_dist),
+        fn_constructor_args=(query_terms, max_dist, prefix_len),
         batch_format="pyarrow",
         concurrency=2,
     )

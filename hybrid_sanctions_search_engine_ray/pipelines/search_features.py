@@ -1029,7 +1029,8 @@ def phrase_suggest(phrases: dict[str, str], shingle_index_dir: str, vocab_ds,
     from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
 
     all_terms = sorted({t for p in phrases.values() for t in p.lower().split()})
-    exp = fuzzy_expand(vocab_ds, all_terms, max_dist=max_dist, topn=topn).to_pandas()
+    exp = fuzzy_expand(vocab_ds, all_terms, max_dist=max_dist, topn=topn,
+                       prefix_len=prefix_length).to_pandas()
     by_term: dict[str, list[str]] = (
         {} if exp.empty else exp.groupby("q_term")["term"].apply(list).to_dict()
     )
@@ -1146,7 +1147,7 @@ def pinned_search(queries: dict[str, tuple[str, list[int]]], index_dir: str,
 
 def fuzzy_search(queries: dict[str, str], index_dir: str, vocab_ds,
                  cfg: EngineConfig = DEFAULT_CONFIG, max_dist: int = 2,
-                 topn: int = 5, top_k: int = 10):
+                 topn: int = 5, top_k: int = 10, prefix_length: int = 0):
     """ES ``match`` with ``fuzziness``: every query term expands to its
     ``topn`` nearest dictionary terms (Levenshtein ≤ ``max_dist``, ranked
     dist asc / term asc — the fuzzy_expand contract) and the DISTINCT
@@ -1160,7 +1161,8 @@ def fuzzy_search(queries: dict[str, str], index_dir: str, vocab_ds,
     from hybrid_sanctions_search_engine_ray.pipelines.query import search
 
     all_terms = sorted({t for q in queries.values() for t in q.lower().split()})
-    exp = fuzzy_expand(vocab_ds, all_terms, max_dist=max_dist, topn=topn).to_pandas()
+    exp = fuzzy_expand(vocab_ds, all_terms, max_dist=max_dist, topn=topn,
+                       prefix_len=prefix_length).to_pandas()
     by_qterm: dict[str, list[str]] = (
         {} if exp.empty else exp.groupby("q_term")["term"].apply(list).to_dict()
     )

@@ -213,3 +213,21 @@ def test_completion_suggest_fuzzy_prefix(ray_session):
     # "wimdo" vs "windo"/"windo" — one substitution
     assert b["term"].tolist() == ["window", "windows"]
     assert set(b["dist"]) == {1}
+
+
+def test_fuzzy_expand_prefix_length(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import fuzzy_expand
+
+    vocab = rd.from_arrow(pa.table({
+        "term": pa.array(["join", "jion", "lion", "coin", "joins"]),
+        "df": pa.array([10, 1, 5, 5, 3], pa.int64()),
+    }))
+    free = fuzzy_expand(vocab, ["jion"], max_dist=2, topn=10).to_pandas()
+    # plain Levenshtein (no transposition): join=2 (i<->o as two subs),
+    # lion=2, jion=0; coin/joins are 3 ops away
+    assert set(free["term"]) == {"join", "jion", "lion"}
+    pl2 = fuzzy_expand(vocab, ["jion"], max_dist=2, topn=10, prefix_len=2).to_pandas()
+    # only terms sharing the exact 'ji' onset survive
+    assert set(pl2["term"]) == {"jion"}

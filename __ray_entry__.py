@@ -4703,6 +4703,31 @@ def q_fuzzy_prefix(sf_dir: str):
     return _finish_scores(res)
 
 
+def q_daily_cardinality(sf_dir: str):
+    """ES date_histogram + cardinality sub-agg, exact: distinct users
+    per day via local dedup → one (bucket, key) shuffle → bucket counts;
+    gap-filled zeros."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import daily_cardinality
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+    return daily_cardinality(ds, "user_id", "ts", 86400)
+
+
+def q_date_histogram_terms(sf_dir: str):
+    """ES date_histogram + terms sub-agg: per-day counts per event_type,
+    long format, one (bucket, key) shuffle."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import date_histogram_terms
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    return date_histogram_terms(ds, "event_type", "ts", 86400)
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5413,6 +5438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": q_gopher_filter,
         "terms_lookup": q_terms_lookup,
         "fuzzy_prefix": q_fuzzy_prefix,
+        "daily_cardinality": q_daily_cardinality,
+        "date_histogram_terms": q_date_histogram_terms,
     }
 
 
@@ -7133,6 +7160,24 @@ ranked AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # date_histogram + cardinality sub-agg (exact distinct/day).
+        "daily_cardinality": """
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS bucket,
+         count(DISTINCT user_id)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+ext AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(generate_series((SELECT b0 FROM ext), (SELECT b1 FROM ext))) AS bucket)
+SELECT grid.bucket, coalesce(b.n, 0)::BIGINT AS n_distinct
+FROM grid LEFT JOIN b ON grid.bucket = b.bucket
+""",
+        # date_histogram + terms sub-agg: long-format daily type counts.
+        "date_histogram_terms": """
+SELECT epoch_us(ts) // 86400000000 AS bucket, event_type AS k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
 """,
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """

@@ -1083,3 +1083,77 @@ def extended_stats_bucket(events_ds, ts_col: str = "ts",
         "upper_bound": round(mean + sigma * std, 6),
         "lower_bound": round(mean - sigma * std, 6),
     }])
+
+
+def daily_cardinality(events_ds, key_col: str, ts_col: str = "ts",
+                      bucket_s: int = 86400) -> pd.DataFrame:
+    """ES ``date_histogram`` with a ``cardinality`` sub-aggregation,
+    EXACT: distinct keys per day. Per batch the (bucket, key) pairs
+    dedup locally, then ONE (bucket, key) shuffle dedups globally (count
+    distinct without ever moving raw rows twice); the per-bucket count
+    is a second vocabulary-sized pass. Empty days report 0."""
+    from ray.data.aggregate import Count
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"bucket": pa.array(us // div, pa.int64()), "k": b[key_col]})
+        return t.group_by(["bucket", "k"]).aggregate([]).select(["bucket", "k"])
+
+    uniq = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "k"])
+        .aggregate(Count())
+        .select_columns(["bucket"])
+    )
+
+    def per_bucket(b: pa.Table) -> pa.Table:
+        g = b.group_by("bucket").aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "c_p"])
+
+    from ray.data.aggregate import Sum
+
+    df = (
+        uniq.map_batches(per_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_p", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "n_distinct": pd.Series([], dtype=np.int64)})
+    df = df.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+    b = df["bucket"].to_numpy(dtype=np.int64)
+    full = np.arange(b[0], b[-1] + 1, dtype=np.int64)
+    n = np.zeros(full.size, dtype=np.int64)
+    n[b - b[0]] = df["n_distinct"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"bucket": full, "n_distinct": n})
+
+
+def date_histogram_terms(events_ds, key_col: str, ts_col: str = "ts",
+                         bucket_s: int = 86400) -> pd.DataFrame:
+    """ES ``date_histogram`` with a ``terms`` sub-aggregation: per-day
+    doc counts per key value, long format (bucket, key, n) — one
+    (bucket, key) count shuffle, no gap filling (ES sub-buckets exist
+    only where docs do)."""
+    from ray.data.aggregate import Sum
+
+    div = np.int64(bucket_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"bucket": pa.array(us // div, pa.int64()), "k": b[key_col]})
+        g = t.group_by(["bucket", "k"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "k", "c_p"])
+
+    df = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "k"])
+        .aggregate(Sum("c_p", alias_name="n"))
+        .to_pandas()
+    )
+    df = df.sort_values(["bucket", "k"], kind="mergesort").reset_index(drop=True)
+    df["n"] = df["n"].astype(np.int64)
+    df["bucket"] = df["bucket"].astype(np.int64)
+    return df[["bucket", "k", "n"]]

@@ -388,3 +388,22 @@ def test_extended_stats_bucket_population_variance(events_df):
     assert r["n_buckets"] == n.size and r["sum_count"] == n.sum()
     assert abs(r["variance"] - round(float(np.var(n)), 6)) < 1e-6  # population var
     assert abs(r["upper_bound"] - round(n.mean() + 2 * np.std(n), 6)) < 1e-6
+
+
+def test_daily_cardinality_exact(ray_session):
+    days = [0, 0, 0, 2, 2]
+    users = [1, 1, 2, 3, 3]
+    ts = (pd.to_datetime("2026-01-01") + pd.to_timedelta(days, unit="D")).astype("datetime64[us]")
+    ds = _ds(pd.DataFrame({"user_id": np.array(users, np.int64), "ts": ts}))
+    out = es_aggs.daily_cardinality(ds, "user_id", "ts", 86400)
+    assert out["n_distinct"].tolist() == [2, 0, 1]  # gap day reports 0
+
+
+def test_date_histogram_terms_long_format(events_df):
+    df = events_df.copy()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = es_aggs.date_histogram_terms(_ds(df), "event_type", "ts", 86400)
+    us = df["ts"].astype("int64") // (86400 * 1_000_000)
+    want = df.assign(bucket=us).groupby(["bucket", "event_type"]).size()
+    got = out.set_index(["bucket", "k"])["n"]
+    assert got.to_dict() == want.to_dict()

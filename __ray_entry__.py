@@ -4728,6 +4728,20 @@ def q_date_histogram_terms(sf_dir: str):
     return date_histogram_terms(ds, "event_type", "ts", 86400)
 
 
+SUGGEST_POP_TERMS: list[str] = FUZZY_TERMS + ["spark", "the"]
+
+
+def q_suggest_popular(sf_dir: str):
+    """ES term suggester suggest_mode=popular: a correction is offered
+    only when MORE FREQUENT than the input itself — common words never
+    'correct' to rarer neighbors ('the' and 'spark' produce no row;
+    the typos still do)."""
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import suggest_popular
+
+    vocab = q_term_dictionary(sf_dir)
+    return suggest_popular(vocab, SUGGEST_POP_TERMS, max_dist=2)
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5440,6 +5454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_prefix": q_fuzzy_prefix,
         "daily_cardinality": q_daily_cardinality,
         "date_histogram_terms": q_date_histogram_terms,
+        "suggest_popular": q_suggest_popular,
     }
 
 
@@ -7178,6 +7193,34 @@ FROM grid LEFT JOIN b ON grid.bucket = b.bucket
 SELECT epoch_us(ts) // 86400000000 AS bucket, event_type AS k,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2
+""",
+        # term suggester suggest_mode=popular: candidate df must beat
+        # the input term's own df (0 when absent).
+        "suggest_popular": f"""
+WITH {TRANSCRIPTS_CTE},
+qt(q_term) AS (VALUES {", ".join(f"('{t}')" for t in SUGGEST_POP_TERMS)}),
+cand AS (
+  SELECT qt.q_term, df.term, levenshtein(qt.q_term, df.term) AS dist, df.df
+  FROM qt CROSS JOIN df
+  WHERE levenshtein(qt.q_term, df.term) <= 2
+),
+own AS (
+  SELECT qt.q_term, coalesce(max(CASE WHEN c.term = c.q_term THEN c.df END), 0) AS od
+  FROM qt LEFT JOIN cand c ON c.q_term = qt.q_term
+  GROUP BY qt.q_term
+),
+filt AS (
+  SELECT c.q_term, c.term, c.dist, c.df
+  FROM cand c JOIN own o ON o.q_term = c.q_term
+  WHERE c.term <> c.q_term AND c.df > o.od
+),
+best AS (
+  SELECT q_term, term, dist, df,
+         row_number() OVER (PARTITION BY q_term ORDER BY dist, df DESC, term) AS rn
+  FROM filt
+)
+SELECT q_term, term AS suggestion, cast(dist AS int) AS dist, df::BIGINT AS df
+FROM best WHERE rn = 1
 """,
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """

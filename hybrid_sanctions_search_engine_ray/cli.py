@@ -79,6 +79,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated analyzer modes; first build's checkpoint feeds the rest")
     bm.add_argument("--num-partitions", type=int, default=64)
 
+    dq = sub.add_parser("delete-by-query", help="tombstone every doc matching a query "
+                                                "(ES _delete_by_query)")
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--query", required=True)
+
     d = sub.add_parser("delete", help="tombstone doc ids (hidden at query, purged at compact)")
     d.add_argument("--index", required=True)
     d.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
@@ -207,6 +212,11 @@ def main(argv: list[str] | None = None) -> int:
         ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
         total = delete_docs(args.index, ids)
         print(json.dumps({"tombstones_pending": total}))
+    elif args.cmd == "delete-by-query":
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import delete_by_query
+
+        n = delete_by_query(args.index, args.query)
+        print(json.dumps({"newly_tombstoned": n}))
     elif args.cmd == "compact":
         from hybrid_sanctions_search_engine_ray.pipelines.maintenance import compact_index
 

@@ -267,3 +267,36 @@ def completion_suggest(vocab_ds, prefixes: dict[str, str], size: int = 5,
         concurrency=2,
     )
     return cand.groupby("query_id").map_groups(topn_group, batch_format="pandas")
+
+
+def suggest_popular(vocab_ds, query_terms: list[str], max_dist: int = 2):
+    """ES term suggester with ``suggest_mode=popular``: a correction is
+    offered ONLY when it is MORE FREQUENT than the input term itself
+    (df_candidate > df_input; an absent input has df 0) — the mode that
+    never "corrects" a common word into a rarer one. Same vocabulary
+    scan as :func:`did_you_mean`; the input term's own df is discovered
+    inside its candidate group (its dist-0 row), so no extra pass.
+    Ranked (dist asc, df desc, term asc), one row per input with any
+    qualifying candidate."""
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        qt = g["q_term"].iloc[0]
+        own = g.loc[g["term"] == qt, "df"]
+        own_df = int(own.iloc[0]) if len(own) else 0
+        g = g[(g["term"] != qt) & (g["df"] > own_df)]
+        if g.empty:
+            return pd.DataFrame({"q_term": pd.Series([], dtype=object),
+                                 "suggestion": pd.Series([], dtype=object),
+                                 "dist": pd.Series([], dtype=np.int32),
+                                 "df": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["dist", "df", "term"], ascending=[True, False, True],
+                          kind="mergesort").head(1)
+        return g[["q_term", "term", "dist", "df"]].rename(columns={"term": "suggestion"})
+
+    cand = vocab_ds.map_batches(
+        _SuggestExpander,
+        fn_constructor_args=(query_terms, max_dist),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return cand.groupby("q_term").map_groups(best, batch_format="pandas")

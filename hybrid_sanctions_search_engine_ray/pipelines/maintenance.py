@@ -898,3 +898,21 @@ def close_point_in_time(index_dir: str, pit_id: str) -> None:
     if not os.path.exists(p):
         raise KeyError(f"point in time {pit_id!r} does not exist")
     os.unlink(p)
+
+
+def delete_by_query(index_dir: str, query_text: str) -> int:
+    """ES ``_delete_by_query``: tombstone every doc matching the query
+    (OR over analyzed terms — the same matching-set contract as the
+    facet operators). Returns the number of NEWLY tombstoned docs.
+    Deletes are visibility-only until :func:`compact_index` purges them
+    — identical lifecycle to id-based :func:`delete_docs`."""
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+    from hybrid_sanctions_search_engine_ray.stages.facets import matching_doc_ids
+
+    r = IndexReader(index_dir)
+    ids = matching_doc_ids(r, query_text)
+    if ids.size == 0:
+        return 0
+    before = load_tombstones(index_dir).size
+    delete_docs(index_dir, ids.tolist())
+    return int(load_tombstones(index_dir).size - before)

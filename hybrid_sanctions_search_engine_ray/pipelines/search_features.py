@@ -1029,8 +1029,7 @@ def phrase_suggest(phrases: dict[str, str], shingle_index_dir: str, vocab_ds,
     from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
 
     all_terms = sorted({t for p in phrases.values() for t in p.lower().split()})
-    exp = fuzzy_expand(vocab_ds, all_terms, max_dist=max_dist, topn=topn,
-                       prefix_len=prefix_length).to_pandas()
+    exp = fuzzy_expand(vocab_ds, all_terms, max_dist=max_dist, topn=topn).to_pandas()
     by_term: dict[str, list[str]] = (
         {} if exp.empty else exp.groupby("q_term")["term"].apply(list).to_dict()
     )

@@ -327,3 +327,31 @@ def test_point_in_time_pins_visibility(ray_session, tmp_path):
         close_point_in_time(idx, pit)
     # pit ids are deterministic counters
     assert open_point_in_time(idx) == "pit-2"
+
+
+def test_delete_by_query_tombstones_matching_set(ray_session, tmp_path):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        delete_by_query, load_tombstones)
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    cfg = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="simple"))
+    texts = ["alpha beta", "beta gamma", "alpha delta", "gamma delta", "epsilon"]
+    rows = [{"conv_id": f"c-{i:04d}", "turn_idx": 0, "role": "user",
+             "text": t, "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+            for i, t in enumerate(texts)]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path / "dbq")
+    build_index("mem", idx, cfg, transcripts_ds=ds)
+
+    n = delete_by_query(idx, "alpha")
+    assert n == 2 and set(load_tombstones(idx).tolist()) == {0, 2}
+    # the survivors still serve; deleted docs are invisible
+    qs = rd.from_items([{"query_id": "q", "query_text": "beta gamma delta", "top_k": 10}])
+    got = set(search(qs, idx, cfg).to_pandas()["doc_id"])
+    assert got == {1, 3}
+    # idempotent / no-match
+    assert delete_by_query(idx, "alpha") == 0
+    assert delete_by_query(idx, "zzznothing") == 0

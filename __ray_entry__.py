@@ -4742,6 +4742,287 @@ def q_suggest_popular(sf_dir: str):
     return suggest_popular(vocab, SUGGEST_POP_TERMS, max_dist=2)
 
 
+_Q3_SEG, _Q3_DATE = "BUILDING", "1997-01-01"
+_Q22_CUT = "2000-01-01"
+_Q10_LO, _Q10_HI = "1996-01-01", "1996-07-01"
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    broadcast into a date-pruned orders scan; the orders⋈lineitem edge
+    uses the NATIVE hash join (both sides large at scale); per-order
+    exact-cents revenue partials, distributed per-batch top-10 merge,
+    order metadata attached to the 10 survivors only."""
+    import pyarrow.dataset as _pads
+    import ray as _ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_mktsegment"])
+        .map_batches(lambda b: b.filter(pc.equal(b["c_mktsegment"], _Q3_SEG)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    ck_ref = _ray.put(np.sort(cust["c_custkey"].to_numpy(dtype=np.int64)))
+    cutoff = np.datetime64(_Q3_DATE).astype("datetime64[us]")
+
+    class KeepCust:
+        def __init__(self, ref):
+            self.keys = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            at = np.searchsorted(self.keys, v)
+            safe = np.minimum(at, max(self.keys.size - 1, 0))
+            keep = (self.keys.size > 0) & (at < self.keys.size) & (self.keys[safe] == v)
+            return b.filter(pa.array(keep)).select(["o_orderkey"])
+
+    ords = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=_pads.field("o_orderdate") < cutoff,
+        )
+        .map_batches(KeepCust, fn_constructor_args=(ck_ref,),
+                     batch_format="pyarrow", concurrency=2)
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship > cutoff
+        t = b.filter(pa.array(keep))
+        u = _ucents(t["l_extendedprice"].to_numpy(zero_copy_only=False),
+                    t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": t["l_orderkey"], "u": pa.array(u)})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = line.join(ords, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    rev = (
+        joined.groupby("l_orderkey").aggregate(Sum("u", alias_name="u"))
+    )
+
+    def part_top(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((k, -u))[:10]
+        return pa.table({"l_orderkey": pa.array(k[order]), "u": pa.array(u[order])})
+
+    top = rev.map_batches(part_top, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["u", "l_orderkey"], ascending=[False, True],
+                          kind="mergesort").head(10).reset_index(drop=True)
+    meta = _pads.dataset(os.path.join(sf_dir, "orders.parquet")).to_table(
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=_pads.field("o_orderkey").isin(top["l_orderkey"].tolist()),
+    ).to_pandas()
+    out = top.merge(meta, left_on="l_orderkey", right_on="o_orderkey")
+    out = out.sort_values(["u", "l_orderkey"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "o_orderkey": out["l_orderkey"].astype(np.int64),
+        "revenue": np.round(out["u"].to_numpy(dtype=np.int64) / 10000.0, 2),
+        "od_day": out["o_orderdate"].astype("int64") // 86_400_000_000,
+        "o_orderpriority": out["o_orderpriority"],
+    })
+
+
+def q_returned_items(sf_dir: str):
+    """TPC-H Q10 shape (returned-item losses): returnflag-filtered
+    lineitem ⋈ date-windowed orders via the native hash join, exact
+    cents by custkey, top 20 customers, names + nations attached to the
+    survivors only."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(_Q10_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q10_HI).astype("datetime64[us]")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        u = _ucents(t["l_extendedprice"].to_numpy(zero_copy_only=False),
+                    t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": t["l_orderkey"], "u": pa.array(u)})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    ords = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(_pads.field("o_orderdate") >= lo) & (_pads.field("o_orderdate") < hi),
+    ).select_columns(["o_orderkey", "o_custkey"])
+
+    joined = line.join(ords, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    rev = joined.groupby("o_custkey").aggregate(Sum("u", alias_name="u")).to_pandas()
+    rev = rev.sort_values(["u", "o_custkey"], ascending=[False, True],
+                          kind="mergesort").head(20).reset_index(drop=True)
+    cust = _pads.dataset(os.path.join(sf_dir, "customer.parquet")).to_table(
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=_pads.field("c_custkey").isin(rev["o_custkey"].tolist()),
+    ).to_pandas()
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name"]).to_pandas()
+    out = rev.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["u", "o_custkey"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "c_custkey": out["o_custkey"].astype(np.int64),
+        "c_name": out["c_name"],
+        "n_name": out["n_name"],
+        "revenue": np.round(out["u"].to_numpy(dtype=np.int64) / 10000.0, 2),
+    })
+
+
+_Q19_BRACKETS = (
+    ("Brand#1", 1, 15, 1, 20),    # (brand, qty_lo, qty_hi, size_lo, size_hi)
+    ("Brand#7", 10, 30, 5, 40),
+)
+
+
+def q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape (OR-bracket discounted revenue): part attributes
+    broadcast as sorted key-aligned arrays; ONE lineitem pass evaluates
+    the OR of (brand, qty range, size range) brackets vectorized; a
+    single exact-cents scalar comes back."""
+    import ray as _ray
+    import ray.data as rd
+
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part.sort_values("p_partkey").reset_index(drop=True)
+    ref = _ray.put({
+        "keys": part["p_partkey"].to_numpy(dtype=np.int64),
+        "brand": part["p_brand"].to_numpy(dtype=object),
+        "size": part["p_size"].to_numpy(dtype=np.int64),
+    })
+
+    class Partial:
+        def __init__(self, r):
+            self.d = _ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            at = np.searchsorted(self.d["keys"], pk)
+            brand = self.d["brand"][at]
+            size = self.d["size"][at]
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = np.zeros(len(b), dtype=bool)
+            for br, qlo, qhi, slo, shi in _Q19_BRACKETS:
+                mask |= ((brand == br) & (qty >= qlo) & (qty <= qhi)
+                         & (size >= slo) & (size <= shi))
+            u = _ucents(b["l_extendedprice"].to_numpy(zero_copy_only=False),
+                        b["l_discount"].to_numpy(zero_copy_only=False))
+            return pa.table({"u": [np.int64(u[mask].sum())],
+                             "n": [np.int64(mask.sum())]})
+
+    parts = (
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(Partial, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    return pd.DataFrame([{
+        "n_items": np.int64(parts["n"].sum()),
+        "revenue": round(float(parts["u"].sum()) / 10000.0, 2),
+    }])
+
+
+def q_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape (idle high-balance customers): customers with
+    account balance above the mean POSITIVE balance and NO RECENT orders
+    (the Q22 window) — scalar-subquery threshold from exact cents,
+    anti-join via the recent-orders custkey set (date filter pushed into
+    the read), counts + balance sums per nation."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as _pq
+
+    import pyarrow.dataset as _pads
+
+    cutoff = np.datetime64(_Q22_CUT).astype("datetime64[us]")
+    ocust = (
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_custkey", "o_orderdate"],
+                        filter=_pads.field("o_orderdate") >= cutoff)
+        .map_batches(lambda b: b.group_by("o_custkey").aggregate([]).select(["o_custkey"]),
+                     batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("o_custkey", alias_name="_x"))
+        .select_columns(["o_custkey"]).to_pandas()
+    )
+    has_orders = np.sort(ocust["o_custkey"].to_numpy(dtype=np.int64))
+
+    # pass 1 (streaming): exact positive-balance sufficient statistics
+    def thr_partial(b: pa.Table) -> pa.Table:
+        v = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        c = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+        p = c[c > 0]
+        return pa.table({"n": [np.int64(p.size)], "s": [np.int64(p.sum())]})
+
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    tp = rd.read_parquet(cust_path, columns=["c_acctbal"]).map_batches(
+        thr_partial, batch_format="pyarrow").to_pandas()
+    thr_n, thr_s = int(tp["n"].sum()), int(tp["s"].sum())
+    import ray as _ray
+
+    ref = _ray.put((has_orders, thr_n, thr_s))
+
+    # pass 2 (streaming): anti-join + integer threshold + nation partials
+    class Partial:
+        def __init__(self, r):
+            self.has_orders, self.n, self.s = _ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = b["c_acctbal"].to_numpy(zero_copy_only=False)
+            cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+            ho = self.has_orders
+            at = np.searchsorted(ho, ck)
+            safe = np.minimum(at, max(ho.size - 1, 0))
+            ordered = (ho.size > 0) & (at < ho.size) & (ho[safe] == ck)
+            # threshold in exact integers: cents·n > Σ  (mean of positives)
+            keep = (~ordered) & (cents * self.n > self.s)
+            g = pa.table({
+                "c_nationkey": b["c_nationkey"].to_numpy(zero_copy_only=False)[keep],
+                "cents": pa.array(cents[keep]),
+            }).group_by("c_nationkey").aggregate([("cents", "sum"), ([], "count_all")])
+            return g.rename_columns(["c_nationkey", "cents_p", "n_p"])
+
+    g = (
+        rd.read_parquet(cust_path, columns=["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(Partial, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", concurrency=2)
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_p", alias_name="n_cust"), Sum("cents_p", alias_name="cents"))
+        .to_pandas()
+    )
+    if g.empty:  # empty Dataset → to_pandas() drops columns
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype=np.int64),
+                             "n_cust": pd.Series([], dtype=np.int64),
+                             "total_acctbal": pd.Series([], dtype=np.float64)})
+    g = g.sort_values("c_nationkey", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "c_nationkey": g["c_nationkey"].astype(np.int64),
+        "n_cust": g["n_cust"].astype(np.int64),
+        "total_acctbal": np.round(g["cents"].to_numpy(dtype=np.int64) / 100.0, 2),
+    })
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5455,6 +5736,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_cardinality": q_daily_cardinality,
         "date_histogram_terms": q_date_histogram_terms,
         "suggest_popular": q_suggest_popular,
+        "shipping_priority": q_shipping_priority,
+        "returned_items": q_returned_items,
+        "bracket_revenue": q_bracket_revenue,
+        "idle_customers": q_idle_customers,
     }
 
 
@@ -7221,6 +7506,96 @@ best AS (
 )
 SELECT q_term, term AS suggestion, cast(dist AS int) AS dist, df::BIGINT AS df
 FROM best WHERE rn = 1
+""",
+        # TPC-H Q3: segment + date filters, hash join, top-10 by cents.
+        "shipping_priority": f"""
+WITH li AS (
+  SELECT l_orderkey,
+         cast(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - cast(round(l_discount * 100) AS BIGINT)) AS u
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{_Q3_DATE}'
+),
+o AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_Q3_DATE}'
+    AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = '{_Q3_SEG}')
+),
+rev AS (
+  SELECT li.l_orderkey, sum(li.u)::BIGINT AS u
+  FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+  GROUP BY li.l_orderkey
+),
+top AS (
+  SELECT l_orderkey, u, row_number() OVER (ORDER BY u DESC, l_orderkey) AS rnk
+  FROM rev
+)
+SELECT t.l_orderkey AS o_orderkey, round(t.u::DOUBLE / 10000.0, 2) AS revenue,
+       epoch_us(o.o_orderdate) // 86400000000 AS od_day, o.o_orderpriority
+FROM top t JOIN o ON o.o_orderkey = t.l_orderkey
+WHERE t.rnk <= 10
+""",
+        # TPC-H Q10: returned-item revenue by customer, top 20.
+        "returned_items": f"""
+WITH li AS (
+  SELECT l_orderkey,
+         cast(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - cast(round(l_discount * 100) AS BIGINT)) AS u
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_Q10_LO}' AND o_orderdate < TIMESTAMP '{_Q10_HI}'
+),
+rev AS (
+  SELECT o.o_custkey, sum(li.u)::BIGINT AS u
+  FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+  GROUP BY o.o_custkey
+),
+top AS (
+  SELECT o_custkey, u, row_number() OVER (ORDER BY u DESC, o_custkey) AS rnk
+  FROM rev
+)
+SELECT t.o_custkey AS c_custkey, c.c_name, n.n_name,
+       round(t.u::DOUBLE / 10000.0, 2) AS revenue
+FROM top t
+JOIN customer c ON c.c_custkey = t.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE t.rnk <= 20
+""",
+        # TPC-H Q19: OR-bracket predicate, one exact-cents scalar.
+        "bracket_revenue": f"""
+WITH j AS (
+  SELECT cast(l.l_quantity AS BIGINT) AS qty, p.p_brand, p.p_size,
+         cast(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - cast(round(l.l_discount * 100) AS BIGINT)) AS u
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+m AS (
+  SELECT u FROM j
+  WHERE {" OR ".join(f"(p_brand = '{br}' AND qty BETWEEN {qlo} AND {qhi} AND p_size BETWEEN {slo} AND {shi})" for br, qlo, qhi, slo, shi in _Q19_BRACKETS)}
+)
+SELECT count(*)::BIGINT AS n_items, round(sum(u)::DOUBLE / 10000.0, 2) AS revenue
+FROM m
+""",
+        # TPC-H Q22: above-mean-positive-balance customers with no
+        # orders; integer cross-multiply threshold.
+        "idle_customers": """
+WITH thr AS (
+  SELECT count(*)::BIGINT AS n, sum(cast(round(c_acctbal * 100) AS BIGINT))::BIGINT AS s
+  FROM customer WHERE cast(round(c_acctbal * 100) AS BIGINT) > 0
+),
+idle AS (
+  SELECT c.c_nationkey, cast(round(c.c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer c, thr
+  WHERE cast(round(c.c_acctbal * 100) AS BIGINT) * thr.n > thr.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+)
+SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+       round(sum(cents)::DOUBLE / 100.0, 2) AS total_acctbal
+FROM idle GROUP BY c_nationkey
 """,
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """

@@ -5023,6 +5023,27 @@ def q_idle_customers(sf_dir: str):
     })
 
 
+INTERVALS_SPECS = {
+    "iv1": (2, [["spark"], ["join", "filter"]]),
+    "iv2": (3, [["customer"], ["table"], ["scan", "order"]]),
+    "iv3": (0, [["window"], ["stream"]]),
+}
+
+
+def q_intervals(sf_dir: str):
+    """ES intervals query: ordered all_of with a TOTAL max_gaps budget
+    and nested any_of leaves — greedy minimal ordered window per
+    candidate; survivors score the BM25 sum of present clause terms."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import intervals_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items([{"query_id": qid, "top_k": BM25_TOP_K}
+                        for qid in sorted(INTERVALS_SPECS)])
+    return _finish_scores(intervals_search(qs, index_dir, INTERVALS_SPECS, _engine_cfg()))
+
+
 def q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (+ enrich processor): a declarative processor
     chain — set / uppercase / gsub / script / enrich lookup — compiled
@@ -5740,6 +5761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items": q_returned_items,
         "bracket_revenue": q_bracket_revenue,
         "idle_customers": q_idle_customers,
+        "intervals": q_intervals,
     }
 
 
@@ -7596,6 +7618,39 @@ idle AS (
 SELECT c_nationkey, count(*)::BIGINT AS n_cust,
        round(sum(cents)::DOUBLE / 100.0, 2) AS total_acctbal
 FROM idle GROUP BY c_nationkey
+""",
+        # intervals: ordered chains with a TOTAL gap budget; any_of =
+        # IN-lists; scores over present clause terms.
+        "intervals": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+qiterms(query_id, term) AS (VALUES ('iv1', 'filter'), ('iv1', 'join'), ('iv1', 'spark'), ('iv2', 'customer'), ('iv2', 'order'), ('iv2', 'scan'), ('iv2', 'table'), ('iv3', 'stream'), ('iv3', 'window')),
+matches AS (
+  SELECT DISTINCT 'iv1' AS query_id, p0.doc_id AS doc_id FROM tokpos p0 JOIN tokpos p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos AND p1.term IN ('join', 'filter') WHERE p0.term IN ('spark') AND p1.pos - p0.pos + 1 - 2 <= 2
+  UNION ALL
+  SELECT DISTINCT 'iv2' AS query_id, p0.doc_id AS doc_id FROM tokpos p0 JOIN tokpos p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos AND p1.term IN ('table') JOIN tokpos p2 ON p2.doc_id = p0.doc_id AND p2.pos > p1.pos AND p2.term IN ('scan', 'order') WHERE p0.term IN ('customer') AND p2.pos - p0.pos + 1 - 3 <= 3
+  UNION ALL
+  SELECT DISTINCT 'iv3' AS query_id, p0.doc_id AS doc_id FROM tokpos p0 JOIN tokpos p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos AND p1.term IN ('stream') WHERE p0.term IN ('window') AND p1.pos - p0.pos + 1 - 2 <= 0
+),
+iscore AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM matches m
+  JOIN qiterms q ON q.query_id = m.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = m.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM iscore
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # lineitem ⋈ part broadcast join → revenue per brand.
         "brand_revenue": """

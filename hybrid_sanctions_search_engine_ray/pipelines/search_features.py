@@ -2175,3 +2175,121 @@ def lucene_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,
     )
+
+
+# --- intervals query ---------------------------------------------------------
+
+
+class IntervalsScorer:
+    """ES ``intervals`` query, the ordered ``all_of`` form with nested
+    ``any_of`` leaves: the doc matches iff there exist positions
+    p1 < p2 < … < pn, one per clause IN ORDER (an ``any_of`` clause
+    matches at any of its terms' positions), with TOTAL slack
+    ``pn − p1 + 1 − n ≤ max_gaps`` (the ES all_of gap rule — a budget
+    over the whole interval, unlike span_near's per-step slop).
+    Minimality: for each start p1 the greedy smallest-next chain gives
+    the narrowest interval, so scanning p1 ascending decides existence
+    in O(total positions · n) per candidate. Survivors score the BM25
+    sum of the clause terms they contain. Specs ship in the
+    constructor: ``{query_id: (max_gaps, [clause, ...])}`` where a
+    clause is a list of alternative terms (len 1 = plain term)."""
+
+    def __init__(self, index_dir: str, specs: dict, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.specs = specs
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from functools import reduce
+
+        union: set[str] = set()
+        for qid in batch["query_id"]:
+            _, clauses = self.specs[qid]
+            for c in clauses:
+                union.update(c)
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, qid in enumerate(batch["query_id"]):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            max_gaps, clauses = self.specs[qid]
+            n = len(clauses)
+            # candidates: docs matching ≥1 term of EVERY clause
+            clause_docs = []
+            for c in clauses:
+                ps = self.reader.load_postings(sorted(set(c)))
+                if not ps:
+                    clause_docs.append(np.empty(0, dtype=np.uint64))
+                else:
+                    clause_docs.append(
+                        np.unique(np.concatenate([p.doc_ids for p in ps.values()]))
+                    )
+            cand = reduce(np.intersect1d, clause_docs).astype(np.int64)
+            if cand.size == 0:
+                continue
+            pos = {t: self.reader.load_positions(t) for c in clauses for t in c}
+            if any(p is None for p in pos.values()):
+                raise ValueError("intervals requires store_positions=True")
+
+            def clause_positions(c: list, d: int) -> np.ndarray:
+                arrs = []
+                for t in c:
+                    di, oi, fi = pos[t]
+                    at = int(np.searchsorted(di, d))
+                    if at < di.size and di[at] == d:
+                        arrs.append(fi[oi[at]: oi[at + 1]].astype(np.int64))
+                return np.sort(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+
+            hit = np.zeros(cand.size, dtype=bool)
+            for j, d in enumerate(cand):
+                plists = [clause_positions(c, int(d)) for c in clauses]
+                if any(p.size == 0 for p in plists):
+                    continue
+                best = None
+                for p1 in plists[0]:
+                    prev = p1
+                    ok = True
+                    for ci in range(1, n):
+                        nxt_at = int(np.searchsorted(plists[ci], prev + 1))
+                        if nxt_at >= plists[ci].size:
+                            ok = False
+                            break
+                        prev = int(plists[ci][nxt_at])  # greedy smallest next
+                    if not ok:
+                        break  # later p1 only start later — no chain can complete
+                    w = prev - int(p1) + 1
+                    best = w if best is None or w < best else best
+                if best is not None and best - n <= max_gaps:
+                    hit[j] = True
+            m = cand[hit].astype(np.uint64)
+            if m.size == 0:
+                continue
+            scores = np.zeros(m.size, dtype=np.float64)
+            terms = sorted({t for c in clauses for t in c})
+            for p in self.reader.load_postings(terms).values():
+                at = np.searchsorted(p.doc_ids, m)
+                safe = np.minimum(at, max(p.doc_ids.size - 1, 0))
+                ok = (at < p.doc_ids.size) & (p.doc_ids[safe] == m)
+                scores[ok] += p.factors[at[ok]] * p.idf
+            d_top, s_top = topk_desc(m, scores, k)
+            nn = d_top.size
+            qids.extend([qid] * nn)
+            ranks.extend(range(1, nn + 1))
+            docs_out.extend(d_top.astype(np.int64).tolist())
+            scores_out.extend(s_top.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def intervals_search(queries_ds, index_dir: str, specs: dict,
+                     cfg: EngineConfig = DEFAULT_CONFIG):
+    """intervals all_of(ordered, max_gaps) with any_of leaves."""
+    return queries_ds.map_batches(
+        IntervalsScorer,
+        fn_constructor_args=(index_dir, specs, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )

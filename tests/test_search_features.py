@@ -983,3 +983,23 @@ def test_lucene_scorer_set_algebra(feat_index):
     for bad in ["NOT alpha", "NOT alpha AND NOT beta", "alpha OR NOT beta"]:
         with pytest.raises(Exception, match="negative|satisfiable"):
             scorer(pd.DataFrame({"query_id": ["q"], "query_text": [bad], "top_k": [5]}))
+
+
+def test_intervals_gap_budget_and_any_of(feat_index):
+    # TEXTS[0] = "alpha beta gamma delta": alpha..delta ordered, width 4
+    specs = {
+        "tight": (0, [["alpha"], ["beta"]]),            # adjacent only
+        "budget": (2, [["alpha"], ["delta"]]),          # width 4 - 2 = 2 ≤ 2
+        "anyof": (0, [["beta"], ["gamma", "alpha"]]),   # beta then gamma|alpha
+        "over": (1, [["alpha"], ["delta"]]),            # 2 > 1 → no match in doc0
+    }
+    scorer = sfeat.IntervalsScorer(feat_index, specs, default_top_k=10)
+    out = scorer(pd.DataFrame({"query_id": list(specs), "top_k": [10] * len(specs)}))
+    by = {qid: set(g["doc_id"]) for qid, g in out.groupby("query_id")}
+    assert 0 in by["tight"]          # "alpha beta" adjacent
+    assert 0 in by["budget"]
+    assert 0 not in by.get("over", set())
+    # doc1 "beta alpha gamma delta epsilon": beta then alpha (any_of) adjacent
+    assert 1 in by["anyof"] and 0 in by["anyof"]  # doc0: beta gamma adjacent
+    # ordered: doc4 "Beta, Gamma! alpha" has beta→gamma so anyof matches too
+    assert 4 in by["anyof"]

@@ -5568,6 +5568,479 @@ def q_global_agg(sf_dir: str):
     return global_agg(ds, "value", "event_type", "click")
 
 
+_Q17_BRAND = "Brand#23"
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part avg-quantity subquery becomes ONE partial-agg pass over the
+    brand-filtered lineitem (partkey → Σqty, count) broadcast back into
+    a second filtered pass — no correlated rescan, no join shuffle. The
+    threshold qty < 0.2·avg is evaluated as exact ints
+    (5·qty·cnt < Σqty), shared verbatim with the SQL twin; money stays
+    integer cents until the single final division."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    bp = _pads.dataset(os.path.join(sf_dir, "part.parquet")).to_table(
+        columns=["p_partkey", "p_brand"],
+        filter=_pads.field("p_brand") == _Q17_BRAND,
+    )
+    keys = np.sort(bp["p_partkey"].to_numpy().astype(np.int64))
+
+    def member(col: pa.ChunkedArray) -> np.ndarray:
+        pk = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        at = np.searchsorted(keys, pk)
+        safe = np.minimum(at, max(keys.size - 1, 0))
+        return (keys.size > 0) & (at < keys.size) & (keys[safe] == pk)
+
+    def pass1(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.array(member(b["l_partkey"])))
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({"l_partkey": t["l_partkey"], "q": pa.array(q)}) \
+            .group_by(["l_partkey"]).aggregate([("q", "sum"), ([], "count_all")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "sq_p": pc.cast(g["q_sum"], pa.int64()),
+                         "n_p": pc.cast(g["count_all"], pa.int64())})
+
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    st = (
+        rd.read_parquet(li_path, columns=["l_partkey", "l_quantity"])
+        .map_batches(pass1, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sq_p", alias_name="sq"), Sum("n_p", alias_name="cnt"))
+        .to_pandas()  # one-brand part stats: |part|/|brands| rows, tiny
+    )
+    st = st.sort_values("l_partkey", kind="mergesort")
+    st_keys = st["l_partkey"].to_numpy(dtype=np.int64)
+    st_sq = st["sq"].to_numpy(dtype=np.int64)
+    st_cnt = st["cnt"].to_numpy(dtype=np.int64)
+
+    def pass2(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.array(member(b["l_partkey"])))
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        at = np.searchsorted(st_keys, pk)  # every filtered key is present
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = 5 * q * st_cnt[at] < st_sq[at]
+        cents = np.floor(np.abs(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"c_p": pa.array([int(cents[keep].sum())], pa.int64())})
+
+    tot = (
+        rd.read_parquet(li_path,
+                        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(pass2, batch_format="pyarrow")
+        .sum("c_p")
+    )
+    return pd.DataFrame({"avg_yearly": [round(float(tot) / 100.0 / 7.0, 2)]})
+
+
+_Q7_NATIONS = ("NATION_3", "NATION_8")
+_Q7_LO, _Q7_HI = "1996-01-01", "1998-01-01"
+
+
+def _keyed_nation_lookup(sf_dir: str, tbl: str, key: str, natkey: str,
+                         nations: tuple[str, ...]):
+    """(sorted keys, nation-index array) for rows of ``tbl`` whose nation
+    is in ``nations`` — the broadcast small side of Q7/Q8."""
+    import pyarrow.dataset as _pads
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = nat[nat["n_name"].isin(nations)]
+    rows = _pads.dataset(os.path.join(sf_dir, f"{tbl}.parquet")).to_table(
+        columns=[key, natkey],
+        filter=_pads.field(natkey).isin(nat["n_nationkey"].tolist()),
+    ).to_pandas()
+    m = rows.merge(nat, left_on=natkey, right_on="n_nationkey")
+    m = m.sort_values(key, kind="mergesort")
+    name_idx = {n: i for i, n in enumerate(nations)}
+    return (m[key].to_numpy(dtype=np.int64),
+            m["n_name"].map(name_idx).to_numpy(dtype=np.int64))
+
+
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
+                   miss: int = -1) -> np.ndarray:
+    """Vectorized sorted-array join: vals[probe] with ``miss`` for absent
+    keys — the broadcast-side lookup primitive."""
+    if keys.size == 0:
+        return np.full(probe.size, miss, dtype=np.int64)
+    at = np.searchsorted(keys, probe)
+    safe = np.minimum(at, keys.size - 1)
+    hit = (at < keys.size) & (keys[safe] == probe)
+    return np.where(hit, vals[safe], miss)
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (two-nation trade volume by year): the supplier-
+    and customer-side nation maps are nation-filtered BROADCAST lookups
+    (sorted key arrays — fractions of their tables); orders annotates
+    its customer nation in a streaming pass; the only big exchange is
+    the lineitem ⋈ orders native hash join. Revenue stays exact integer
+    1/10000-dollars until the final division."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sk, sn = _keyed_nation_lookup(sf_dir, "supplier", "s_suppkey", "s_nationkey",
+                                  _Q7_NATIONS)
+    ck, cn = _keyed_nation_lookup(sf_dir, "customer", "c_custkey", "c_nationkey",
+                                  _Q7_NATIONS)
+    if sk.size == 0 or ck.size == 0:
+        # degenerate nation pair — no row can qualify, and Ray's hash
+        # join chokes on an all-empty side; exit before the big scan
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype=np.int64),
+                             "revenue": pd.Series([], dtype=np.float64)})
+    lo = np.datetime64(_Q7_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q7_HI).astype("datetime64[us]")
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        nat = _sorted_lookup(ck, cn, b["o_custkey"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+        t = pa.table({"o_orderkey": b["o_orderkey"], "cust_nat": pa.array(nat)})
+        return t.filter(pc.greater_equal(t["cust_nat"], 0))
+
+    ords = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        nat = _sorted_lookup(sk, sn, b["l_suppkey"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+        t = b.append_column("supp_nat", pa.array(nat))
+        t = t.filter(pc.greater_equal(t["supp_nat"], 0))
+        year = (t["l_shipdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        u = _ucents(t["l_extendedprice"].to_numpy(zero_copy_only=False),
+                    t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "supp_nat": t["supp_nat"],
+                         "l_year": pa.array(year), "u": pa.array(u)})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+        filter=(_pads.field("l_shipdate") >= lo) & (_pads.field("l_shipdate") < hi),
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = line.join(ords, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["supp_nat"], b["cust_nat"]))
+        g = t.select(["supp_nat", "cust_nat", "l_year", "u"]) \
+            .group_by(["supp_nat", "cust_nat", "l_year"]).aggregate([("u", "sum")])
+        return pa.table({"supp_nat": g["supp_nat"], "cust_nat": g["cust_nat"],
+                         "l_year": g["l_year"],
+                         "u_p": pc.cast(g["u_sum"], pa.int64())})
+
+    agg = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["supp_nat", "cust_nat", "l_year"])
+        .aggregate(Sum("u_p", alias_name="u"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype=np.int64),
+                             "revenue": pd.Series([], dtype=np.float64)})
+    names = np.array(_Q7_NATIONS)
+    agg = agg.assign(supp_nation=names[agg["supp_nat"].to_numpy(dtype=np.int64)],
+                     cust_nation=names[agg["cust_nat"].to_numpy(dtype=np.int64)])
+    agg = agg.sort_values(["supp_nation", "cust_nation", "l_year"],
+                          kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "supp_nation": agg["supp_nation"], "cust_nation": agg["cust_nation"],
+        "l_year": agg["l_year"].astype(np.int64),
+        "revenue": np.round(agg["u"].to_numpy(dtype=np.int64) / 10000.0, 2),
+    })
+
+
+_Q8_REGION, _Q8_TYPE, _Q8_NATION = "ASIA", "ECONOMY", "NATION_3"
+_Q8_LO, _Q8_HI = "1996-01-01", "1998-01-01"
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): ECONOMY part keys, ASIA
+    customer keys and the target nation's supplier keys are three
+    broadcast sorted arrays; orders streams once (date window + ASIA
+    membership) into the single lineitem ⋈ orders hash join. Share =
+    Σu(target)/Σu per order year — the division is the only float."""
+    import pyarrow.dataset as _pads
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pk = _pads.dataset(os.path.join(sf_dir, "part.parquet")).to_table(
+        columns=["p_partkey"], filter=_pads.field("p_type") == _Q8_TYPE,
+    )["p_partkey"].to_numpy().astype(np.int64)
+    pk = np.sort(pk)
+
+    nat = _pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = _pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    asia_nk = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia_nk = asia_nk[asia_nk["r_name"] == _Q8_REGION]["n_nationkey"].tolist()
+    ck = np.sort(_pads.dataset(os.path.join(sf_dir, "customer.parquet")).to_table(
+        columns=["c_custkey"], filter=_pads.field("c_nationkey").isin(asia_nk),
+    )["c_custkey"].to_numpy().astype(np.int64))
+    tgt_nk = nat[nat["n_name"] == _Q8_NATION]["n_nationkey"].tolist()
+    sk = np.sort(_pads.dataset(os.path.join(sf_dir, "supplier.parquet")).to_table(
+        columns=["s_suppkey"], filter=_pads.field("s_nationkey").isin(tgt_nk),
+    )["s_suppkey"].to_numpy().astype(np.int64))
+
+    lo = np.datetime64(_Q8_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q8_HI).astype("datetime64[us]")
+
+    def in_sorted(keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+        return _sorted_lookup(keys, np.zeros(keys.size, dtype=np.int64), probe) == 0
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        ckeys = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(in_sorted(ck, ckeys)))
+        year = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({"o_orderkey": t["o_orderkey"], "o_year": pa.array(year)})
+
+    ords = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(_pads.field("o_orderdate") >= lo) & (_pads.field("o_orderdate") < hi),
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        pkeys = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(in_sorted(pk, pkeys)))
+        u = _ucents(t["l_extendedprice"].to_numpy(zero_copy_only=False),
+                    t["l_discount"].to_numpy(zero_copy_only=False))
+        skeys = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = in_sorted(sk, skeys)
+        return pa.table({"l_orderkey": t["l_orderkey"], "u": pa.array(u),
+                         "tgt_u": pa.array(np.where(tgt, u, 0))})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = line.join(ords, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["o_year", "u", "tgt_u"]).group_by(["o_year"]) \
+            .aggregate([("u", "sum"), ("tgt_u", "sum")])
+        return pa.table({"o_year": g["o_year"],
+                         "u_p": pc.cast(g["u_sum"], pa.int64()),
+                         "t_p": pc.cast(g["tgt_u_sum"], pa.int64())})
+
+    agg = (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("u_p", alias_name="u"), Sum("t_p", alias_name="t"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
+                             "mkt_share": pd.Series([], dtype=np.float64)})
+    agg = agg.sort_values("o_year", kind="mergesort").reset_index(drop=True)
+    share = agg["t"].to_numpy(dtype=np.int64) / agg["u"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"o_year": agg["o_year"].astype(np.int64),
+                         "mkt_share": np.round(share, 6)})
+
+
+_Q21_TOP = 10
+
+
+def q_waiting_supplier(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who alone failed a multi-supplier
+    order; l_returnflag='R' stands in for the missing receipt>commit
+    columns): the exists / not-exists pair folds into per-order
+    aggregates — distinct suppliers, distinct FAILING suppliers, and
+    (when unique) the failing suppkey — computed with two orderkey-keyed
+    partial-agg shuffles after the lineitem ⋈ 'F'-orders hash join;
+    per-supplier counts are a third, supplier-sized shuffle. Names
+    attach to the top-10 survivors only."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ords = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=_pads.field("o_orderstatus") == "F",
+    ).select_columns(["o_orderkey"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        fail = pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "fail": fail})
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = line.join(ords, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["l_orderkey", "l_suppkey", "fail"]) \
+            .group_by(["l_orderkey", "l_suppkey"]).aggregate([("fail", "max")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "f_p": pc.cast(g["fail_max"], pa.int64())})
+
+    pairs = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("f_p", alias_name="fail"))
+    )
+
+    _NOKEY = np.iinfo(np.int64).max
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        f = b["fail"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "one": pa.array(np.ones(len(f), dtype=np.int64)),
+            "f": pa.array(f),
+            "fk": pa.array(np.where(f == 1, sk, _NOKEY)),
+        })
+        g = t.group_by(["l_orderkey"]).aggregate(
+            [("one", "sum"), ("f", "sum"), ("fk", "min")]
+        )
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "ns_p": pc.cast(g["one_sum"], pa.int64()),
+                         "nf_p": pc.cast(g["f_sum"], pa.int64()),
+                         "fk_p": pc.cast(g["fk_min"], pa.int64())})
+
+    orders_agg = (
+        pairs.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("ns_p", alias_name="nsupp"),
+                   Sum("nf_p", alias_name="nfail"),
+                   Min("fk_p", alias_name="failkey"))
+    )
+
+    def wait_partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["nsupp"], 2), pc.equal(b["nfail"], 1))
+        t = b.filter(keep)
+        g = t.select(["failkey"]).group_by(["failkey"]).aggregate([([], "count_all")])
+        return pa.table({"s_suppkey": g["failkey"],
+                         "w_p": pc.cast(g["count_all"], pa.int64())})
+
+    waits = (
+        orders_agg.map_batches(wait_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("w_p", alias_name="numwait"))
+        .to_pandas()
+    )
+    if waits.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype=np.int64)})
+    sup = _pads.dataset(os.path.join(sf_dir, "supplier.parquet")).to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=_pads.field("s_suppkey").isin(waits["s_suppkey"].tolist()),
+    ).to_pandas()
+    out = waits.merge(sup, on="s_suppkey")
+    out = out.sort_values(["numwait", "s_name"], ascending=[False, True],
+                          kind="mergesort").head(_Q21_TOP).reset_index(drop=True)
+    return pd.DataFrame({"s_name": out["s_name"],
+                         "numwait": out["numwait"].astype(np.int64)})
+
+
+def q_fuzzy_damerau(sf_dir: str):
+    """ES match with fuzziness under the Lucene DEFAULT edit semantics —
+    transpositions cost one edit (true Damerau-Levenshtein, DuckDB
+    ``damerau_levenshtein`` parity): the transposed typos in the fuzzy
+    query set (sprak→spark, jion→join, tabel→table) drop from distance
+    2 to 1, re-ranking the per-term expansion before the BM25 OR path."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import fuzzy_search
+
+    index_dir = _ensure_index(sf_dir)
+    vocab = q_term_dictionary(sf_dir)
+    res = fuzzy_search(FUZZY_MATCH_QUERIES, index_dir, vocab, _engine_cfg(),
+                       max_dist=_FUZZY_DIST, topn=_FUZZY_TOPN, top_k=BM25_TOP_K,
+                       metric="damerau")
+    return _finish_scores(res)
+
+
+_SLICE_MAX = 4
+
+
+def q_sliced_scroll(sf_dir: str):
+    """ES sliced scroll: the corpus split into disjoint hash slices for
+    coordination-free parallel export; returns the per-slice manifest
+    (count, min/max/sum of doc_id) — membership is a pure row property
+    (md5 parity), so a retried slice re-selects exactly the same rows."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.sampling import sliced_scan
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return sliced_scan(ds, "doc_id", _SLICE_MAX, salt="-sl")
+
+
+def q_missing_agg(sf_dir: str):
+    """ES ``terms(role)`` + ``missing(tool)`` sub-agg over the
+    transcripts: per role, how many turns carry no tool annotation
+    (the generator's empty-string marker). Partial-agg per batch, one
+    buckets-sized shuffle."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import missing_agg
+
+    ds = transcripts_from_documents(sf_dir)
+    return missing_agg(ds, "role", "tool", missing_value="")
+
+
+_DUPSPAN_N, _DUPSPAN_MIN_DOCS, _DUPSPAN_TOP = 8, 2, 50
+
+
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-substring detection (Lee et al. 2022): word
+    8-grams recurring across ≥2 distinct documents, top-50 by total
+    occurrences — the memorization/boilerplate signal doc-level dedup
+    misses. One streaming pass + one gram-keyed shuffle."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import dup_ngram_spans
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return dup_ngram_spans(ds, "text", "doc_id", n=_DUPSPAN_N,
+                           min_docs=_DUPSPAN_MIN_DOCS, top=_DUPSPAN_TOP)
+
+
+_TSB_SHARDS, _TSB_SHARD_SIZE, _TSB_SIZE = 8, 5, 5
+
+
+def q_terms_shard_bounds(sf_dir: str):
+    """ES terms agg with distributed-error accounting: each md5 shard
+    contributes its local top-``shard_size`` source counts; the merge
+    reports summed returned counts + doc_count_error_upper_bound (sum of
+    the last returned count from shards missing the term, 0 for
+    exhaustive shards — the ES rule)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import terms_shard_bounds
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return terms_shard_bounds(ds, "source", "doc_id", n_shards=_TSB_SHARDS,
+                              shard_size=_TSB_SHARD_SIZE, size=_TSB_SIZE,
+                              salt="-sh")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -5762,6 +6235,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bracket_revenue": q_bracket_revenue,
         "idle_customers": q_idle_customers,
         "intervals": q_intervals,
+        "fuzzy_damerau": q_fuzzy_damerau,
+        "small_qty_revenue": q_small_qty_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "waiting_supplier": q_waiting_supplier,
+        "sliced_scroll": q_sliced_scroll,
+        "missing_agg": q_missing_agg,
+        "dup_spans": q_dup_spans,
+        "terms_shard_bounds": q_terms_shard_bounds,
     }
 
 
@@ -6058,6 +6540,18 @@ def _dismax_values() -> str:
             for term in sorted(set(q[clause].lower().split())):
                 rows.append(f"('{q['query_id']}', '{clause}', '{term}')")
     return ", ".join(rows)
+
+
+def _tool_case_sql() -> str:
+    """Tool-column derivation shared with documents_batch_to_transcripts
+    (tool = _TOOLS[doc_id % 8]) — imported, not copied, so the two stay
+    in lockstep."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import _TOOLS
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(_TOOLS) if t
+    )
+    return f"CASE cast(doc_id % 8 AS int) {whens} ELSE '' END"
 
 
 def _fuzzy_match_values() -> str:
@@ -9171,5 +9665,199 @@ ranked AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
 FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # fuzzy with transpositions: identical pipeline to fuzzy_search,
+        # expansion distance = true Damerau-Levenshtein (DuckDB builtin).
+        "fuzzy_damerau": f"""
+WITH {TRANSCRIPTS_CTE},
+qt(query_id, q_term) AS (VALUES {_fuzzy_match_values()}),
+cand AS (
+  SELECT qt.query_id, qt.q_term, df.term,
+         damerau_levenshtein(qt.q_term, df.term) AS dist
+  FROM qt CROSS JOIN df
+  WHERE damerau_levenshtein(qt.q_term, df.term) <= {_FUZZY_DIST}
+),
+rankedf AS (
+  SELECT query_id, q_term, term, dist,
+         row_number() OVER (PARTITION BY query_id, q_term ORDER BY dist, term) AS rnk
+  FROM cand
+),
+qterms AS (SELECT DISTINCT query_id, term FROM rankedf WHERE rnk <= {_FUZZY_TOPN}),
+{_BM25_SCORES_CTE},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # sliced scroll manifest: md5 little-endian-first-8 parity.
+        "sliced_scroll": f"""
+SELECT cast(md5_number_upper(cast(doc_id AS varchar) || '-sl') % {_SLICE_MAX} AS BIGINT) AS slice_id,
+       count(*)::BIGINT AS doc_count,
+       min(doc_id)::BIGINT AS min_id,
+       max(doc_id)::BIGINT AS max_id,
+       sum(doc_id)::BIGINT AS sum_id
+FROM documents GROUP BY 1 ORDER BY 1
+""",
+        # terms(role) + missing(tool): tool derivation shared with
+        # sources/transcripts.documents_batch_to_transcripts.
+        "missing_agg": f"""
+WITH tr AS (
+  SELECT CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         {_tool_case_sql()} AS tool
+  FROM documents
+)
+SELECT role, count(*)::BIGINT AS doc_count,
+       (count(*) FILTER (WHERE tool = ''))::BIGINT AS missing_count
+FROM tr GROUP BY role ORDER BY role
+""",
+        # duplicated word-8-gram spans across >= 2 docs, top-50 by
+        # (total occurrences desc, gram asc) — a total order, so the
+        # row SET is deterministic without a rank column.
+        "dup_spans": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(arr[i.g+1:i.g+{_DUPSPAN_N}], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(0, len(arr) - {_DUPSPAN_N})) AS g) i
+),
+agg AS (
+  SELECT gram, count(*)::BIGINT AS n_occ, count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= {_DUPSPAN_MIN_DOCS}
+)
+SELECT gram, n_occ, n_docs FROM agg ORDER BY n_occ DESC, gram LIMIT {_DUPSPAN_TOP}
+""",
+        # terms agg with shard_size error bounds: per-shard top lists,
+        # error contribution = last returned count for TRUNCATED shards
+        # only (an exhaustive shard proves absence = count 0).
+        "terms_shard_bounds": f"""
+WITH base AS (
+  SELECT source AS term,
+         cast(md5_number_upper(cast(doc_id AS varchar) || '-sh') % {_TSB_SHARDS} AS BIGINT) AS shard
+  FROM documents
+),
+sc AS (SELECT shard, term, count(*)::BIGINT AS c FROM base GROUP BY shard, term),
+rk AS (
+  SELECT shard, term, c,
+         row_number() OVER (PARTITION BY shard ORDER BY c DESC, term) AS r
+  FROM sc
+),
+kept AS (SELECT shard, term, c FROM rk WHERE r <= {_TSB_SHARD_SIZE}),
+smin AS (
+  SELECT shard,
+         CASE WHEN count(*) = {_TSB_SHARD_SIZE} THEN min(c) ELSE 0 END AS err
+  FROM kept GROUP BY shard
+),
+grid AS (
+  SELECT s.shard, s.err, t.term
+  FROM smin s CROSS JOIN (SELECT DISTINCT term FROM kept) t
+),
+merged AS (
+  SELECT g.term,
+         sum(coalesce(k.c, 0))::BIGINT AS doc_count,
+         sum(CASE WHEN k.c IS NULL THEN g.err ELSE 0 END)::BIGINT AS err_bound
+  FROM grid g LEFT JOIN kept k ON k.shard = g.shard AND k.term = g.term
+  GROUP BY g.term
+)
+SELECT term, doc_count, err_bound FROM merged
+ORDER BY doc_count DESC, term LIMIT {_TSB_SIZE}
+""",
+        # TPC-H Q17: the 0.2·avg threshold as exact ints
+        # (5·qty·cnt < Σqty), money in integer cents until the end.
+        "small_qty_revenue": f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{_Q17_BRAND}'),
+li AS (
+  SELECT l_partkey, cast(l_quantity AS BIGINT) AS q,
+         cast(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM bp)
+),
+st AS (SELECT l_partkey, sum(q)::BIGINT AS sq, count(*)::BIGINT AS cnt
+       FROM li GROUP BY 1)
+SELECT round(coalesce(sum(li.cents), 0)::DOUBLE / 100.0 / 7.0, 2) AS avg_yearly
+FROM li JOIN st USING (l_partkey)
+WHERE 5 * li.q * st.cnt < st.sq
+""",
+        # TPC-H Q7: two-nation trade volume by ship year, exact ucents.
+        "volume_shipping": f"""
+WITH sn AS (
+  SELECT s_suppkey, n_name FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')
+),
+cn AS (
+  SELECT c_custkey, n_name FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  WHERE n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')
+),
+v AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         date_part('year', l_shipdate)::BIGINT AS l_year,
+         cast(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - cast(round(l_discount * 100) AS BIGINT)) AS u
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN sn ON sn.s_suppkey = l_suppkey
+  JOIN cn ON cn.c_custkey = o_custkey
+  WHERE l_shipdate >= TIMESTAMP '{_Q7_LO}' AND l_shipdate < TIMESTAMP '{_Q7_HI}'
+    AND sn.n_name <> cn.n_name
+)
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(u)::DOUBLE / 10000.0, 2) AS revenue
+FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+        # TPC-H Q8: target-nation market share by order year.
+        "market_share": f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_type = '{_Q8_TYPE}'),
+ck AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{_Q8_REGION}'
+),
+sk AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = '{_Q8_NATION}'
+),
+v AS (
+  SELECT date_part('year', o_orderdate)::BIGINT AS o_year,
+         cast(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - cast(round(l_discount * 100) AS BIGINT)) AS u,
+         (l_suppkey IN (SELECT s_suppkey FROM sk)) AS tgt
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_partkey IN (SELECT p_partkey FROM pk)
+    AND o_custkey IN (SELECT c_custkey FROM ck)
+    AND o_orderdate >= TIMESTAMP '{_Q8_LO}' AND o_orderdate < TIMESTAMP '{_Q8_HI}'
+)
+SELECT o_year,
+       round(sum(CASE WHEN tgt THEN u ELSE 0 END)::DOUBLE / sum(u)::DOUBLE, 6)
+         AS mkt_share
+FROM v GROUP BY 1 ORDER BY 1
+""",
+        # TPC-H Q21 shape: the exists/not-exists pair folded into
+        # per-order distinct-supplier aggregates (returnflag='R' stands
+        # in for receipt>commit).
+        "waiting_supplier": f"""
+WITH fl AS (
+  SELECT DISTINCT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey, l_suppkey) AS fail
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+agg AS (
+  SELECT l_orderkey, count(*)::BIGINT AS nsupp, sum(fail)::BIGINT AS nfail,
+         min(CASE WHEN fail = 1 THEN l_suppkey END) AS failkey
+  FROM fl GROUP BY 1
+),
+w AS (
+  SELECT failkey AS s_suppkey, count(*)::BIGINT AS numwait
+  FROM agg WHERE nsupp >= 2 AND nfail = 1 GROUP BY 1
+)
+SELECT s.s_name, w.numwait
+FROM w JOIN supplier s USING (s_suppkey)
+ORDER BY numwait DESC, s_name LIMIT {_Q21_TOP}
 """,
     }

@@ -63,6 +63,55 @@ def levenshtein(a: str | bytes, b: str | bytes, max_dist: int | None = None) -> 
     return d if max_dist is None else min(d, max_dist + 1)
 
 
+def damerau_levenshtein(a: str | bytes, b: str | bytes) -> int:
+    """True (unrestricted) Damerau–Levenshtein distance — the
+    Lowrance–Wagner DP with the last-occurrence table, so a
+    transposition costs 1 even when later edits touch the swapped pair
+    (e.g. d("CA","ABC") = 2, where the restricted/OSA variant gives 3).
+    This is the transposition semantics of ES ``fuzziness`` (Lucene
+    counts adjacent swaps as one edit) and matches DuckDB's
+    ``damerau_levenshtein`` exactly — verified property-test-vs-DuckDB —
+    so the SQL oracle twin is exact. Over UTF-8 bytes when given
+    ``str``s (DuckDB parity, same convention as :func:`levenshtein`)."""
+    if isinstance(a, str):
+        a = a.encode("utf-8")
+    if isinstance(b, str):
+        b = b.encode("utf-8")
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    inf = la + lb
+    # d is (la+2) x (lb+2); row/col 0 hold the `inf` sentinel frame
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    da: dict[int, int] = {}  # byte -> last row in a where it occurred
+    for i in range(1, la + 1):
+        db = 0  # last column in b matching a[i-1] so far in this row
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            bj = b[j - 1]
+            i1 = da.get(bj, 0)
+            j1 = db
+            if ai == bj:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitute / match
+                d[i + 1][j] + 1,           # insert
+                d[i][j + 1] + 1,           # delete
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transpose
+            )
+        da[ai] = i
+    return d[la + 1][lb + 1]
+
+
 def similarity_ratio(a: str, b: str) -> float:
     """Normalized edit similarity 1 - dist/max(len) over UTF-8 bytes
     (the rapidfuzz ``ratio``-style score the reference's fuzzy tier
@@ -89,13 +138,19 @@ class FuzzyExpander:
     """
 
     def __init__(self, query_terms: list[str], max_dist: int = 2,
-                 prefix_len: int = 0):
+                 prefix_len: int = 0, metric: str = "levenshtein"):
         self.q = [(t, t.encode("utf-8")) for t in query_terms]
         self.max_dist = max_dist
         # ES fuzzy prefix_length: the first N characters must match
         # EXACTLY — the standard expansion-cost / precision dial (typos
         # rarely hit the word onset); also the dictionary-scan pruner.
         self.prefix_len = int(prefix_len)
+        # "damerau" = ES/Lucene default (transpositions cost 1 edit);
+        # the byte-length window prune below stays valid: every DL edit
+        # changes length by at most 1, so dist >= |len(a) - len(b)|.
+        if metric not in ("levenshtein", "damerau"):
+            raise ValueError(f"unknown fuzzy metric: {metric!r}")
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms = batch["term"].to_pylist()
@@ -111,7 +166,10 @@ class FuzzyExpander:
                     continue
                 if pl and term[:pl] != qt[:pl]:
                     continue
-                d = levenshtein(qb, tb, max_dist=md)
+                if self.metric == "damerau":
+                    d = damerau_levenshtein(qb, tb)
+                else:
+                    d = levenshtein(qb, tb, max_dist=md)
                 if d <= md:
                     out_q.append(qt)
                     out_t.append(term)
@@ -126,7 +184,7 @@ class FuzzyExpander:
 
 
 def fuzzy_expand(vocab_ds, query_terms: list[str], max_dist: int = 2, topn: int = 5,
-                 prefix_len: int = 0):
+                 prefix_len: int = 0, metric: str = "levenshtein"):
     """Vocabulary Dataset (term[, df]) → per-query-term expansion table
     (q_term, rnk, term, dist), ranked (dist asc, term asc), top ``topn``.
     The vocabulary never leaves the cluster; only ≤ |q|·topn rows come
@@ -140,7 +198,7 @@ def fuzzy_expand(vocab_ds, query_terms: list[str], max_dist: int = 2, topn: int 
 
     cand = vocab_ds.map_batches(
         FuzzyExpander,
-        fn_constructor_args=(query_terms, max_dist, prefix_len),
+        fn_constructor_args=(query_terms, max_dist, prefix_len, metric),
         batch_format="pyarrow",
         concurrency=2,
     )

@@ -1146,7 +1146,8 @@ def pinned_search(queries: dict[str, tuple[str, list[int]]], index_dir: str,
 
 def fuzzy_search(queries: dict[str, str], index_dir: str, vocab_ds,
                  cfg: EngineConfig = DEFAULT_CONFIG, max_dist: int = 2,
-                 topn: int = 5, top_k: int = 10, prefix_length: int = 0):
+                 topn: int = 5, top_k: int = 10, prefix_length: int = 0,
+                 metric: str = "levenshtein"):
     """ES ``match`` with ``fuzziness``: every query term expands to its
     ``topn`` nearest dictionary terms (Levenshtein ≤ ``max_dist``, ranked
     dist asc / term asc — the fuzzy_expand contract) and the DISTINCT
@@ -1161,7 +1162,7 @@ def fuzzy_search(queries: dict[str, str], index_dir: str, vocab_ds,
 
     all_terms = sorted({t for q in queries.values() for t in q.lower().split()})
     exp = fuzzy_expand(vocab_ds, all_terms, max_dist=max_dist, topn=topn,
-                       prefix_len=prefix_length).to_pandas()
+                       prefix_len=prefix_length, metric=metric).to_pandas()
     by_qterm: dict[str, list[str]] = (
         {} if exp.empty else exp.groupby("q_term")["term"].apply(list).to_dict()
     )

@@ -414,3 +414,72 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str, window: int = 4):
     res = res.drop_duplicates(["doc_a", "doc_b"]).sort_values(
         ["doc_a", "doc_b"], kind="mergesort").reset_index(drop=True)
     return res
+
+
+def dup_ngram_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 8, min_docs: int = 2, top: int = 50):
+    """Exact duplicated-substring detection à la "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al., 2022): find word
+    ``n``-grams that recur across ≥ ``min_docs`` distinct documents —
+    the training-data memorization/boilerplate signal that exact
+    doc-level dedup misses (Lee et al. use suffix arrays over 50-token
+    spans; the n-gram-keyed shuffle below is the distributed-friendly
+    equivalent at fixed span length).
+
+    Engine shape: one streaming pass — per batch, each doc emits its
+    distinct n-grams with (occurrences-in-doc, 1-doc) partials — then
+    ONE shuffle keyed on the gram (the posting-build shuffle shape),
+    a dataset-side ``min_docs`` filter, and a sort-free global top-N.
+    Raw rows never shuffle. At 100 TB the gram key would be a 64-bit
+    rolling hash (functions/hashing) with strings resolved only for the
+    surviving top-N; the string key here keeps the SQL twin exact.
+
+    Tokenization is a bare single-space split (DuckDB
+    ``string_split(text, ' ')`` parity). Returns the top ``top`` grams
+    by (n_occ desc, gram asc) as a Dataset of (gram, n_occ, n_docs).
+    """
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.relational import global_topn
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        grams: dict[str, list[int]] = {}
+        for txt in texts:
+            toks = (txt or "").split(" ")
+            if len(toks) < n:
+                continue
+            seen: dict[str, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                seen[g] = seen.get(g, 0) + 1
+            for g, c in seen.items():
+                e = grams.get(g)
+                if e is None:
+                    grams[g] = [c, 1]
+                else:
+                    e[0] += c
+                    e[1] += 1
+        return pa.table({
+            "gram": pa.array(list(grams.keys()), pa.string()),
+            "occ_p": pa.array([v[0] for v in grams.values()], pa.int64()),
+            "docs_p": pa.array([v[1] for v in grams.values()], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("occ_p", alias_name="n_occ"),
+                   Sum("docs_p", alias_name="n_docs"))
+    )
+
+    def flt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.greater_equal(b["n_docs"], min_docs))
+        return pa.table({"gram": b["gram"],
+                         "n_occ": pc.cast(b["n_occ"], pa.int64()),
+                         "n_docs": pc.cast(b["n_docs"], pa.int64())})
+
+    survivors = agg.map_batches(flt, batch_format="pyarrow")
+    return global_topn(survivors, by=[("n_occ", False), ("gram", True)], n=top)

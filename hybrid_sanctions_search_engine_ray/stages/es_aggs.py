@@ -1157,3 +1157,119 @@ def date_histogram_terms(events_ds, key_col: str, ts_col: str = "ts",
     df["n"] = df["n"].astype(np.int64)
     df["bucket"] = df["bucket"].astype(np.int64)
     return df[["bucket", "k", "n"]]
+
+
+def missing_agg(ds, group_key: str, col: str, missing_value: str = ""):
+    """ES ``terms(group_key)`` with a ``missing`` sub-agg on ``col``:
+    per bucket, how many docs lack the field (here the generator's
+    empty-string marker, plus genuine nulls). One vectorized equality
+    per batch, (key → missing, total) partials, a buckets-sized shuffle.
+    Returns (group_key, doc_count, missing_count) sorted by key."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        miss = pc.cast(
+            pc.equal(pc.fill_null(b[col], missing_value), missing_value), pa.int64()
+        )
+        t = pa.table({group_key: b[group_key], "m": miss})
+        g = t.group_by([group_key]).aggregate([("m", "sum"), ([], "count_all")])
+        return pa.table({
+            group_key: g[group_key],
+            "m_p": pc.cast(g["m_sum"], pa.int64()),
+            "c_p": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_key)
+        .aggregate(Sum("c_p", alias_name="doc_count"),
+                   Sum("m_p", alias_name="missing_count"))
+    )
+    df = agg.to_pandas()
+    if df.empty:
+        return pd.DataFrame({group_key: pd.Series([], dtype=object),
+                             "doc_count": pd.Series([], dtype=np.int64),
+                             "missing_count": pd.Series([], dtype=np.int64)})
+    df = df.sort_values(group_key, kind="mergesort").reset_index(drop=True)
+    df["doc_count"] = df["doc_count"].astype(np.int64)
+    df["missing_count"] = df["missing_count"].astype(np.int64)
+    return df[[group_key, "doc_count", "missing_count"]]
+
+
+def terms_shard_bounds(ds, col: str, id_col: str, n_shards: int = 8,
+                       shard_size: int = 5, size: int = 5, salt: str = "-sh"):
+    """ES ``terms`` aggregation WITH its distributed-error accounting:
+    each of ``n_shards`` shards contributes only its local top
+    ``shard_size`` terms, and the coordinator reports, per merged term,
+    the summed returned count plus ``doc_count_error_upper_bound`` — the
+    sum over shards that did NOT return the term of that shard's last
+    (smallest) returned count, 0 for shards that returned their whole
+    term list (the ES rule). This is the semantics that makes a terms
+    agg feasible on a 256-node cluster without shipping every (shard,
+    term) pair; the bound is what tells the user when ``shard_size``
+    must grow.
+
+    Sharding is a stable md5 bucket of ``id_col`` (DuckDB
+    ``md5_number_upper`` parity) so the result is deterministic and
+    SQL-checkable. Engine shape: per-batch (shard, term) count partials
+    → ONE small shuffle keyed on (shard, term) — never the raw rows —
+    → an O(n_shards × shard_size) coordinator merge.
+    Returns (term, doc_count, err_bound) top ``size`` by
+    (doc_count desc, term asc)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        buckets = np.empty(len(ids), dtype=np.uint64)
+        for i, kv in enumerate(ids):
+            d = hashlib.md5((str(kv) + salt).encode("utf-8")).digest()
+            buckets[i] = int.from_bytes(d[:8], "little")
+        shard = (buckets % np.uint64(n_shards)).astype(np.int64)
+        t = pa.table({"shard": pa.array(shard), "term": b[col]})
+        g = t.group_by(["shard", "term"]).aggregate([([], "count_all")])
+        return pa.table({
+            "shard": g["shard"], "term": g["term"],
+            "c_p": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["shard", "term"])
+        .aggregate(Sum("c_p", alias_name="c"))
+    )
+    df = agg.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "doc_count": pd.Series([], dtype=np.int64),
+                             "err_bound": pd.Series([], dtype=np.int64)})
+
+    # coordinator merge — O(shards × shard_size), pure pandas
+    df = df.sort_values(["shard", "c", "term"], ascending=[True, False, True],
+                        kind="mergesort")
+    df["r"] = df.groupby("shard").cumcount() + 1
+    kept = df[df["r"] <= shard_size]
+    # a shard that returned fewer than shard_size terms was exhaustive:
+    # a term it didn't return has true count 0 there → error 0 (ES rule)
+    per_shard = kept.groupby("shard").agg(mn=("c", "min"), k=("c", "size"))
+    per_shard["err"] = np.where(per_shard["k"] == shard_size, per_shard["mn"], 0)
+    terms = sorted(kept["term"].unique())
+    have = kept.set_index(["shard", "term"])["c"]
+    rows = []
+    for t in terms:
+        dc = 0
+        eb = 0
+        for sh, err in per_shard["err"].items():
+            c = have.get((sh, t))
+            if c is None or (isinstance(c, float) and np.isnan(c)):
+                eb += int(err)
+            else:
+                dc += int(c)
+        rows.append((t, dc, eb))
+    out = pd.DataFrame(rows, columns=["term", "doc_count", "err_bound"])
+    out = out.sort_values(["doc_count", "term"], ascending=[False, True],
+                          kind="mergesort").head(size).reset_index(drop=True)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    out["err_bound"] = out["err_bound"].astype(np.int64)
+    return out

@@ -23,6 +23,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _bucket100(keys: list, salt: str) -> np.ndarray:
@@ -197,3 +198,68 @@ def weighted_sample(ds, key: str, weight_col: str, n: int, salt: str = "-ws"):
     return pd.DataFrame({key: parts[key], "rank": parts["rank"],
                          "sample_key": np.round(parts["sample_key"].to_numpy(), 6),
                          weight_col: parts[weight_col]})
+
+
+def sliced_scan(ds, key: str, n_slices: int, salt: str = "-sl") -> "pd.DataFrame":
+    """ES sliced scroll (``slice: {id, max}``): a scan is split into
+    ``n_slices`` disjoint, collectively-exhaustive slices by a stable
+    hash of ``key`` so independent clients (or cluster nodes) can export
+    a corpus in parallel without coordination — the canonical parallel
+    reindex/export primitive (ES ``_search?scroll`` slicing).
+
+    Membership is a pure row property (md5 bucket % n_slices — the same
+    DuckDB ``md5_number_upper`` parity as hash_sample), so a retried or
+    resumed slice re-selects exactly the same rows. This function
+    returns the per-slice manifest — (slice_id, doc_count, min/max/sum
+    of ``key``) — computed as per-batch partials + one slices-sized
+    shuffle; a consumer materializes a single slice with the same
+    predicate as a map_batches filter (never a shuffle).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    if n_slices < 1:
+        raise ValueError("n_slices must be >= 1")
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key].to_pylist()
+        buckets = np.empty(len(keys), dtype=np.uint64)
+        for i, kv in enumerate(keys):
+            d = hashlib.md5((str(kv) + salt).encode("utf-8")).digest()
+            buckets[i] = int.from_bytes(d[:8], "little")
+        sl = (buckets % np.uint64(n_slices)).astype(np.int64)
+        kv = np.asarray(keys, dtype=np.int64)
+        t = pa.table({"slice_id": pa.array(sl), "k": pa.array(kv)})
+        g = t.group_by(["slice_id"]).aggregate(
+            [("k", "min"), ("k", "max"), ("k", "sum"), ([], "count_all")]
+        )
+        return pa.table({
+            "slice_id": g["slice_id"],
+            "mn_p": g["k_min"], "mx_p": g["k_max"],
+            "sum_p": g["k_sum"],
+            "c_p": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("slice_id")
+        .aggregate(Min("mn_p", alias_name="min_id"),
+                   Max("mx_p", alias_name="max_id"),
+                   Sum("sum_p", alias_name="sum_id"),
+                   Sum("c_p", alias_name="doc_count"))
+    )
+    df = agg.to_pandas()
+    if df.empty:  # empty Dataset → to_pandas() drops columns; restore
+        return pd.DataFrame({"slice_id": pd.Series([], dtype=np.int64),
+                             "doc_count": pd.Series([], dtype=np.int64),
+                             "min_id": pd.Series([], dtype=np.int64),
+                             "max_id": pd.Series([], dtype=np.int64),
+                             "sum_id": pd.Series([], dtype=np.int64)})
+    df = df.sort_values("slice_id", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "slice_id": df["slice_id"].astype(np.int64),
+        "doc_count": df["doc_count"].astype(np.int64),
+        "min_id": df["min_id"].astype(np.int64),
+        "max_id": df["max_id"].astype(np.int64),
+        "sum_id": df["sum_id"].astype(np.int64),
+    })

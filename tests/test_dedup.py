@@ -136,3 +136,52 @@ def test_sorted_neighborhood_pairs_window_and_boundary(ray_session):
     assert row["key_a"] == "ccc" and row["key_b"] == "mmm"
     with pytest.raises(Exception, match="window must be"):
         sorted_neighborhood_pairs(ds, "doc_id", "key", window=1)
+
+
+# --- dup_ngram_spans ---------------------------------------------------------
+
+
+def test_dup_ngram_spans_handmath(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import dup_ngram_spans
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c d e",        # grams: "a b c", "b c d", "c d e"
+            "x a b c y",        # "x a b", "a b c", "b c y"
+            "a b c a b c",      # "a b c"×2, "b c a", "c a b"
+            "q r s",            # "q r s" — unique, must not appear
+        ],
+    })
+    out = dup_ngram_spans(rd.from_pandas(docs), n=3, min_docs=2, top=10).to_pandas()
+    # only "a b c" recurs across >= 2 docs: 1 + 1 + 2 occurrences, 3 docs
+    assert out[["gram", "n_occ", "n_docs"]].values.tolist() == [["a b c", 4, 3]]
+
+
+def test_dup_ngram_spans_order_and_top(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import dup_ngram_spans
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["p q p q", "p q z w", "z w p q"],
+    })
+    out = dup_ngram_spans(rd.from_pandas(docs), n=2, min_docs=2, top=2).to_pandas()
+    # "p q": docs {0×2, 1, 2} → occ 4; "z w": docs {1, 2} → occ 2; "q p"
+    # only in doc 0 → excluded. top=2 keeps both, occ-desc order.
+    assert out["gram"].tolist() == ["p q", "z w"]
+    assert out["n_occ"].tolist() == [4, 2]
+    assert out["n_docs"].tolist() == [3, 2]
+
+
+def test_dup_ngram_spans_short_docs_skipped(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import dup_ngram_spans
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "a b"]})
+    out = dup_ngram_spans(rd.from_pandas(docs), n=3, min_docs=2, top=5).to_pandas()
+    assert out.empty

@@ -407,3 +407,79 @@ def test_date_histogram_terms_long_format(events_df):
     want = df.assign(bucket=us).groupby(["bucket", "event_type"]).size()
     got = out.set_index(["bucket", "k"])["n"]
     assert got.to_dict() == want.to_dict()
+
+
+# --- missing_agg ------------------------------------------------------------
+
+
+def test_missing_agg_counts(ray_session):
+    df = pd.DataFrame({"role": ["user", "user", "assistant", "tool", "tool"],
+                       "tool": ["", "search", "", "sql", None]})
+    out = es_aggs.missing_agg(_ds(df), "role", "tool")
+    got = out.set_index("role")
+    assert got.loc["user", "doc_count"] == 2 and got.loc["user", "missing_count"] == 1
+    assert got.loc["assistant", "missing_count"] == 1
+    # None counts as missing (fill_null to the marker)
+    assert got.loc["tool", "doc_count"] == 2 and got.loc["tool", "missing_count"] == 1
+    assert list(out["role"]) == sorted(out["role"])
+
+
+def test_missing_agg_empty(ray_session):
+    import ray.data as rd
+
+    empty = rd.from_pandas(pd.DataFrame({"role": pd.Series([], dtype=object),
+                                         "tool": pd.Series([], dtype=object)}))
+    out = es_aggs.missing_agg(empty, "role", "tool")
+    assert out.empty and list(out.columns) == ["role", "doc_count", "missing_count"]
+
+
+# --- terms_shard_bounds -----------------------------------------------------
+
+
+def _tsb_reference(df, n_shards, shard_size, size, salt):
+    """Independent brute-force of the ES shard-merge rule."""
+    import hashlib
+
+    def shard_of(i):
+        d = hashlib.md5((str(i) + salt).encode()).digest()
+        return int.from_bytes(d[:8], "little") % n_shards
+
+    df = df.assign(shard=[shard_of(i) for i in df["id"]])
+    counts = df.groupby(["shard", "term"]).size()
+    kept = {}
+    err = {}
+    for sh in sorted({s for s, _ in counts.index}):
+        sub = counts[sh].sort_index()
+        ordered = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:shard_size]
+        kept[sh] = dict(ordered)
+        err[sh] = min(kept[sh].values()) if len(ordered) == shard_size else 0
+    cands = sorted({t for k in kept.values() for t in k})
+    rows = []
+    for t in cands:
+        dc = sum(k.get(t, 0) for k in kept.values())
+        eb = sum(err[sh] for sh, k in kept.items() if t not in k)
+        rows.append((t, dc, eb))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:size]
+
+
+def test_terms_shard_bounds_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    terms = [f"t{int(x)}" for x in rng.integers(0, 12, size=400)]
+    df = pd.DataFrame({"id": np.arange(400), "term": terms})
+    out = es_aggs.terms_shard_bounds(_ds(df.rename(columns={"term": "src"})), "src", "id",
+                                     n_shards=4, shard_size=3, size=5, salt="-x")
+    expect = _tsb_reference(df, 4, 3, 5, "-x")
+    got = [tuple(r) for r in out[["term", "doc_count", "err_bound"]].itertuples(index=False)]
+    assert got == expect
+    # the bound is nonzero somewhere: 12 terms > shard_size 3 forces truncation
+    assert out["err_bound"].max() > 0
+
+
+def test_terms_shard_bounds_exhaustive_shard_zero_error(ray_session):
+    # 2 distinct terms < shard_size → every shard exhaustive → zero bounds
+    df = pd.DataFrame({"id": np.arange(60), "src": ["a", "b"] * 30})
+    out = es_aggs.terms_shard_bounds(_ds(df), "src", "id",
+                                     n_shards=4, shard_size=5, size=5, salt="-x")
+    assert (out["err_bound"] == 0).all()
+    assert int(out["doc_count"].sum()) == 60

@@ -231,3 +231,60 @@ def test_fuzzy_expand_prefix_length(ray_session):
     pl2 = fuzzy_expand(vocab, ["jion"], max_dist=2, topn=10, prefix_len=2).to_pandas()
     # only terms sharing the exact 'ji' onset survive
     assert set(pl2["term"]) == {"jion"}
+
+
+# --- Damerau-Levenshtein (true / unrestricted) -------------------------------
+
+
+def test_damerau_classic_vectors():
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import (
+        damerau_levenshtein,
+        levenshtein,
+    )
+
+    # adjacent swap costs 1 (vs 2 plain)
+    assert damerau_levenshtein("ab", "ba") == 1 and levenshtein("ab", "ba") == 2
+    assert damerau_levenshtein("tabel", "table") == 1
+    assert damerau_levenshtein("sprak", "spark") == 1
+    # TRUE DL, not OSA: edits may touch the transposed pair
+    assert damerau_levenshtein("CA", "ABC") == 2
+    assert damerau_levenshtein("", "abc") == 3
+    assert damerau_levenshtein("abc", "abc") == 0
+
+
+def test_damerau_duckdb_parity_random():
+    """The oracle contract: the Python kernel IS DuckDB's
+    damerau_levenshtein (true DL over UTF-8 bytes)."""
+    import random
+
+    import duckdb
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import damerau_levenshtein
+
+    con = duckdb.connect()
+    rng = random.Random(3)
+    for _ in range(300):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 6)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 6)))
+        want = con.execute("select damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+    # multi-byte: over UTF-8 bytes, exactly like DuckDB
+    assert damerau_levenshtein("café", "cafe") == con.execute(
+        "select damerau_levenshtein('café', 'cafe')").fetchone()[0]
+
+
+def test_fuzzy_expand_damerau_metric(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import fuzzy_expand
+
+    vocab = rd.from_arrow(pa.table({
+        "term": pa.array(["join", "jion", "lion", "coin"]),
+        "df": pa.array([10, 1, 5, 5], pa.int64()),
+    }))
+    dl = fuzzy_expand(vocab, ["jion"], max_dist=1, topn=10,
+                      metric="damerau").to_pandas()
+    # transposition brings 'join' inside distance 1; plain metric can't
+    assert set(dl["term"]) == {"jion", "join", "lion"}
+    lev = fuzzy_expand(vocab, ["jion"], max_dist=1, topn=10).to_pandas()
+    assert set(lev["term"]) == {"jion", "lion"}

@@ -183,3 +183,33 @@ def test_label_centroids_matches_numpy(ray_session):
         got = out[out["label"] == lab].sort_values("dim")["centroid"].to_numpy()
         assert np.allclose(got, np.round(want, 6), atol=1e-6)
         assert (out[out["label"] == lab]["n_vectors"] == 20).all()
+
+
+# --- sliced_scan -------------------------------------------------------------
+
+
+def test_sliced_scan_partitions_exhaustively(ray_session):
+    from hybrid_sanctions_search_engine_ray.stages.sampling import sliced_scan
+
+    ids = np.arange(500, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids}))
+    out = sliced_scan(ds, "doc_id", 4, salt="-sl")
+    # disjoint + collectively exhaustive: counts and id-sums partition
+    assert int(out["doc_count"].sum()) == 500
+    assert int(out["sum_id"].sum()) == int(ids.sum())
+    assert sorted(out["slice_id"]) == list(out["slice_id"])
+    assert out["min_id"].min() == 0 and out["max_id"].max() == 499
+    # deterministic: same salt → identical manifest
+    again = sliced_scan(rd.from_pandas(pd.DataFrame({"doc_id": ids})), "doc_id", 4,
+                        salt="-sl")
+    assert out.values.tolist() == again.values.tolist()
+
+
+def test_sliced_scan_single_slice_and_validation(ray_session):
+    from hybrid_sanctions_search_engine_ray.stages.sampling import sliced_scan
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64)}))
+    out = sliced_scan(ds, "doc_id", 1)
+    assert out["doc_count"].tolist() == [10]
+    with pytest.raises(ValueError):
+        sliced_scan(ds, "doc_id", 0)

@@ -6041,6 +6041,249 @@ def q_terms_shard_bounds(sf_dir: str):
                               salt="-sh")
 
 
+_Q6_LO, _Q6_HI = "1996-01-01", "1997-01-01"
+_Q6_DMIN, _Q6_DMAX, _Q6_QTY = 5, 7, 24  # disc_pct bounds, qty threshold
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): predicates pushed into
+    the parquet read (date window + row-group stats), revenue =
+    Σ price_cents × disc_pct as exact integer 1/10000-dollars per batch
+    — the whole query is one pruned streaming scan + a scalar sum."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
+
+    lo = np.datetime64(_Q6_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q6_HI).astype("datetime64[us]")
+
+    def partial(b: pa.Table) -> pa.Table:
+        dp = np.floor(np.abs(b["l_discount"].to_numpy(zero_copy_only=False))
+                      * 100.0 + 0.5).astype(np.int64)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (dp >= _Q6_DMIN) & (dp <= _Q6_DMAX) & (q < _Q6_QTY)
+        cents = np.floor(np.abs(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])
+            * 100.0 + 0.5).astype(np.int64)
+        u = int((cents * dp[keep]).sum())
+        return pa.table({"u_p": pa.array([u], pa.int64())})
+
+    tot = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+            filter=(_pads.field("l_shipdate") >= lo)
+                   & (_pads.field("l_shipdate") < hi),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .sum("u_p")
+    )
+    return pd.DataFrame({"revenue": [round(float(tot) / 10000.0, 2)]})
+
+
+_Q4_LO, _Q4_HI = "1996-07-01", "1996-10-01"
+
+
+def q_priority_count(sf_dir: str):
+    """TPC-H Q4 shape (order priority checking; l_returnflag='R' stands
+    in for the missing receipt>commit lateness columns): the EXISTS
+    becomes distinct late orderkeys (per-batch unique → one keyed
+    shuffle) hash-joined to the date-pruned quarter of orders; priority
+    counts come out of a 5-row groupby of per-batch partials."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(_Q4_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q4_HI).astype("datetime64[us]")
+
+    ords = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(_pads.field("o_orderdate") >= lo)
+               & (_pads.field("o_orderdate") < hi),
+    ).select_columns(["o_orderkey", "o_orderpriority"])
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        g = t.select(["l_orderkey"]).group_by(["l_orderkey"]).aggregate([])
+        return g
+
+    from ray.data.aggregate import Count
+
+    late = (
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_returnflag"])
+        .map_batches(late_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_n"))  # distinct late orderkeys
+        .select_columns(["l_orderkey"])
+    )
+
+    joined = ords.join(late, join_type="inner", num_partitions=8,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["o_orderpriority"]).group_by(["o_orderpriority"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "c_p": pc.cast(g["count_all"], pa.int64())})
+
+    out = (
+        joined.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("c_p", alias_name="order_count"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                             "order_count": pd.Series([], dtype=np.int64)})
+    out = out.sort_values("o_orderpriority", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"o_orderpriority": out["o_orderpriority"],
+                         "order_count": out["order_count"].astype(np.int64)})
+
+
+_Q12_LO, _Q12_HI = "1996-01-01", "1997-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_shipmode_priority(sf_dir: str):
+    """TPC-H Q12 shape (shipping-mode priority; l_linestatus stands in
+    for the missing l_shipmode): per mode, how many lineitems in the
+    ship-year belong to high- vs low-priority orders. The order-priority
+    flag rides the lineitem ⋈ orders hash join; the final groupby is
+    2 rows of summed per-batch partials."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(_Q12_LO).astype("datetime64[us]")
+    hi = np.datetime64(_Q12_HI).astype("datetime64[us]")
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        hi_flag = pc.is_in(b["o_orderpriority"],
+                           value_set=pa.array(list(_Q12_HIGH)))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "high": pc.cast(hi_flag, pa.int64())})
+
+    ords = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(ord_prep, batch_format="pyarrow")
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(_pads.field("l_shipdate") >= lo)
+               & (_pads.field("l_shipdate") < hi),
+    ).select_columns(["l_orderkey", "l_linestatus"])
+
+    joined = line.join(ords, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def mode_partial(b: pa.Table) -> pa.Table:
+        low = pc.subtract(pa.scalar(1, pa.int64()), pc.cast(b["high"], pa.int64()))
+        t = pa.table({"l_shipmode": b["l_linestatus"],
+                      "h": pc.cast(b["high"], pa.int64()), "l": low})
+        g = t.group_by(["l_shipmode"]).aggregate([("h", "sum"), ("l", "sum")])
+        return pa.table({"l_shipmode": g["l_shipmode"],
+                         "h_p": pc.cast(g["h_sum"], pa.int64()),
+                         "l_p": pc.cast(g["l_sum"], pa.int64())})
+
+    out = (
+        joined.map_batches(mode_partial, batch_format="pyarrow")
+        .groupby("l_shipmode")
+        .aggregate(Sum("h_p", alias_name="high_line_count"),
+                   Sum("l_p", alias_name="low_line_count"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"l_shipmode": pd.Series([], dtype=object),
+                             "high_line_count": pd.Series([], dtype=np.int64),
+                             "low_line_count": pd.Series([], dtype=np.int64)})
+    out = out.sort_values("l_shipmode", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"l_shipmode": out["l_shipmode"],
+                         "high_line_count": out["high_line_count"].astype(np.int64),
+                         "low_line_count": out["low_line_count"].astype(np.int64)})
+
+
+SPAN_CONTAIN_QUERIES: list[dict] = [
+    {"query_id": "sc1", "query_text": "slow scan", "little": "table", "slop": 2},
+    {"query_id": "sc2", "query_text": "join window", "little": "the", "slop": 3},
+    {"query_id": "sc3", "query_text": "merge batch", "little": "sort", "slop": 2},
+    {"query_id": "sc4", "query_text": "hash join", "little": "a", "slop": 2},
+]
+
+SPAN_WITHIN_QUERIES: list[dict] = [
+    {"query_id": "sw1", "query_text": "slow scan", "little": "table", "slop": 2},
+    {"query_id": "sw2", "query_text": "fast merge", "little": "a", "slop": 2},
+    {"query_id": "sw3", "query_text": "big table", "little": "a", "slop": 3},
+    {"query_id": "sw4", "query_text": "join window", "little": "the", "slop": 3},
+]
+
+
+def _span_contain_matches_sql(queries_list: list[dict]) -> str:
+    """Containment match: an ordered big window [p0, p1] (per-gap slop —
+    the repo's 2-term span_near rule) enclosing a little occurrence,
+    boundaries inclusive; one SELECT per query, unioned."""
+    selects = []
+    for q in queries_list:
+        a, b = q["query_text"].lower().split()
+        c = q["little"].lower()
+        slop = q["slop"]
+        selects.append(
+            f"SELECT DISTINCT '{q['query_id']}' AS query_id, p0.doc_id AS doc_id "
+            f"FROM tokpos p0 "
+            f"JOIN tokpos p1 ON p1.doc_id = p0.doc_id "
+            f"AND p1.pos BETWEEN p0.pos + 1 AND p0.pos + 1 + {slop} "
+            f"AND p1.term = '{b}' "
+            f"JOIN tokpos pl ON pl.doc_id = p0.doc_id "
+            f"AND pl.pos BETWEEN p0.pos AND p1.pos AND pl.term = '{c}' "
+            f"WHERE p0.term = '{a}'"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _span_contain_qterms(queries_list: list[dict], use_little: bool) -> str:
+    """Scoring-term rows: the BIG pair for span_containing, the LITTLE
+    term for span_within (which span emits is the only difference)."""
+    rows = []
+    for q in queries_list:
+        terms = ([q["little"].lower()] if use_little
+                 else q["query_text"].lower().split())
+        for t in sorted(set(terms)):
+            rows.append(f"('{q['query_id']}', '{t}')")
+    return ", ".join(rows)
+
+
+def q_span_containing(sf_dir: str):
+    """ES span_containing: big (2-term ordered span_near) must enclose a
+    little span_term occurrence; survivors score as the BIG span (BM25
+    over the pair)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import span_contain_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in SPAN_CONTAIN_QUERIES])
+    return _finish_scores(span_contain_search(qs, index_dir, "containing",
+                                              _engine_cfg()))
+
+
+def q_span_within(sf_dir: str):
+    """ES span_within: the same enclosure predicate as span_containing
+    but the LITTLE span emits — survivors score as the single little
+    term (so the ranking differs from span_containing on the same
+    match set)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import span_contain_search
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in SPAN_WITHIN_QUERIES])
+    return _finish_scores(span_contain_search(qs, index_dir, "within",
+                                              _engine_cfg()))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -6244,6 +6487,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "missing_agg": q_missing_agg,
         "dup_spans": q_dup_spans,
         "terms_shard_bounds": q_terms_shard_bounds,
+        "forecast_revenue": q_forecast_revenue,
+        "priority_count": q_priority_count,
+        "shipmode_priority": q_shipmode_priority,
+        "span_containing": q_span_containing,
+        "span_within": q_span_within,
     }
 
 
@@ -9859,5 +10107,68 @@ w AS (
 SELECT s.s_name, w.numwait
 FROM w JOIN supplier s USING (s_suppkey)
 ORDER BY numwait DESC, s_name LIMIT {_Q21_TOP}
+""",
+        # TPC-H Q6: one pruned scan, exact 1/10000-dollar ints.
+        "forecast_revenue": f"""
+SELECT round(coalesce(sum(
+         cast(round(l_extendedprice * 100) AS BIGINT)
+         * cast(round(l_discount * 100) AS BIGINT)), 0)::DOUBLE / 10000.0, 2)
+       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}' AND l_shipdate < TIMESTAMP '{_Q6_HI}'
+  AND cast(round(l_discount * 100) AS BIGINT) BETWEEN {_Q6_DMIN} AND {_Q6_DMAX}
+  AND l_quantity < {_Q6_QTY}
+""",
+        # TPC-H Q4 shape: EXISTS late lineitem (returnflag='R' stand-in)
+        # per quarter order, counted by priority.
+        "priority_count": f"""
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_LO}' AND o_orderdate < TIMESTAMP '{_Q4_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+""",
+        # TPC-H Q12 shape: l_linestatus stands in for shipmode.
+        "shipmode_priority": f"""
+SELECT l_linestatus AS l_shipmode,
+       sum(CASE WHEN o_orderpriority IN ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '{_Q12_LO}' AND l_shipdate < TIMESTAMP '{_Q12_HI}'
+GROUP BY 1 ORDER BY 1
+""",
+        # span_containing: big [p0,p1] window encloses the little term;
+        # scores = BM25 over the big pair.
+        "span_containing": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+qterms(query_id, term) AS (VALUES {_span_contain_qterms(SPAN_CONTAIN_QUERIES, False)}),
+{_BM25_SCORES_CTE},
+matches AS ({_span_contain_matches_sql(SPAN_CONTAIN_QUERIES)}),
+rankedp AS (
+  SELECT m.query_id, m.doc_id, s.score,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id) AS rnk
+  FROM matches m JOIN scores s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedp WHERE rnk <= {BM25_TOP_K}
+""",
+        # span_within: same enclosure predicate, the LITTLE term scores.
+        "span_within": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+qterms(query_id, term) AS (VALUES {_span_contain_qterms(SPAN_WITHIN_QUERIES, True)}),
+{_BM25_SCORES_CTE},
+matches AS ({_span_contain_matches_sql(SPAN_WITHIN_QUERIES)}),
+rankedp AS (
+  SELECT m.query_id, m.doc_id, s.score,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY s.score DESC, m.doc_id) AS rnk
+  FROM matches m JOIN scores s ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
     }

@@ -1901,6 +1901,126 @@ def span_not_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CONF
     )
 
 
+# --- span_containing / span_within ---------------------------------------------
+
+
+class SpanContainScorer:
+    """ES ``span_containing`` / ``span_within``: big = a 2-term ordered
+    span_near (per-gap slop, this repo's in-order rule), little = a
+    single span_term; the doc matches iff SOME big window [pa, pb]
+    encloses a little occurrence (boundaries inclusive — Lucene's
+    within()/containing() contract, the same predicate both ways).
+    The two variants differ only in which span SCORES: containing
+    emits the big span (BM25 over the pair), within emits the little
+    span (BM25 over the single term). Candidates are the 3-way posting
+    intersection; only they walk their per-doc position lists, and the
+    per-``pa`` window test is vectorized (largest in-window ``pb``
+    maximizes the enclosure, so one searchsorted pair decides)."""
+
+    def __init__(self, index_dir: str, mode: str = "containing",
+                 default_slop: int = 2, default_top_k: int = 10):
+        if mode not in ("containing", "within"):
+            raise ValueError("mode must be 'containing' or 'within'")
+        self.reader = IndexReader(index_dir)
+        self.mode = mode
+        self.default_slop = default_slop
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for col in ("query_text", "little"):
+            for t in batch[col]:
+                union.update(self.reader.analyzer(t))
+        self.reader.load_postings(sorted(union))
+        slops = batch["slop"] if "slop" in batch.columns else None
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, big_t, lit_t) in enumerate(
+            zip(batch["query_id"], batch["query_text"], batch["little"])
+        ):
+            slop = int(slops.iloc[i]) if slops is not None else self.default_slop
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            big = self.reader.analyzer(big_t)
+            lit = self.reader.analyzer(lit_t)
+            if len(big) != 2 or len(lit) != 1:
+                raise ValueError(
+                    "span_containing/within: big is a 2-term span_near, "
+                    "little a single span_term"
+                )
+            terms = [big[0], big[1], lit[0]]
+            postings = self.reader.load_postings(sorted(set(terms)))
+            if any(t not in postings for t in terms):
+                continue
+            from functools import reduce
+
+            cand = reduce(
+                np.intersect1d,
+                [postings[t].doc_ids for t in sorted(set(terms))],
+            ).astype(np.int64)
+            if cand.size == 0:
+                continue
+            pos = {t: self.reader.load_positions(t) for t in set(terms)}
+            if any(p is None for p in pos.values()):
+                raise ValueError(
+                    "span_containing/within requires store_positions=True")
+            hit = np.zeros(cand.size, dtype=bool)
+            for j, d in enumerate(cand):
+                pa, pb, pc = (
+                    _doc_positions(pos[t], int(d)) for t in terms
+                )
+                if pa.size == 0 or pb.size == 0 or pc.size == 0:
+                    continue
+                # largest in-window pb per pa: pb in [pa+1, pa+slop+1]
+                hi_at = np.searchsorted(pb, pa + slop + 1, side="right") - 1
+                safe = np.maximum(hi_at, 0)
+                pb_max = pb[safe]
+                valid = (hi_at >= 0) & (pb_max > pa)
+                c_in = (
+                    np.searchsorted(pc, pb_max, side="right")
+                    - np.searchsorted(pc, pa, side="left")
+                ) > 0
+                hit[j] = bool((valid & c_in).any())
+            m = cand[hit].astype(np.uint64)
+            if m.size == 0:
+                continue
+            score_terms = big if self.mode == "containing" else lit
+            scores = np.zeros(m.size, dtype=np.float64)
+            for t in score_terms:
+                p = postings[t]
+                at = np.searchsorted(p.doc_ids, m)
+                scores += p.factors[at] * p.idf
+            d_out, s_out = topk_desc(m, scores, k)
+            n = d_out.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d_out.astype(np.int64).tolist())
+            scores_out.extend(s_out.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def _doc_positions(loaded, doc_id: int) -> np.ndarray:
+    """Sorted position list of one doc from a loaded positions triple."""
+    doc_ids, offsets, flat = loaded
+    at = int(np.searchsorted(doc_ids, doc_id))
+    return flat[offsets[at]: offsets[at + 1]].astype(np.int64)
+
+
+def span_contain_search(queries_ds, index_dir: str, mode: str = "containing",
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """span_containing/span_within over a positional index; queries carry
+    (query_id, query_text = the 2-term big span, little, slop[, top_k])."""
+    return queries_ds.map_batches(
+        SpanContainScorer,
+        fn_constructor_args=(index_dir, mode, 2, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
 # --- rank_eval ---------------------------------------------------------------
 
 

@@ -906,6 +906,48 @@ def test_diversified_sample_ids_one_per_conv():
     assert ids2.tolist() == [1, 3]
 
 
+def test_span_containing_enclosure(feat_index):
+    # doc0 "alpha beta gamma delta": alpha@0 delta@3; doc1 "beta alpha
+    # gamma delta epsilon": alpha@1 delta@3.
+    scorer = sfeat.SpanContainScorer(feat_index, mode="containing")
+
+    def run(little, slop):
+        out = scorer(pd.DataFrame({"query_id": ["q"],
+                                   "query_text": ["alpha delta"],
+                                   "little": [little], "slop": [slop],
+                                   "top_k": [10]}))
+        return set(out["doc_id"])
+
+    assert run("gamma", 2) == {0, 1}          # gamma inside both windows
+    assert run("beta", 2) == {0}              # doc1's beta@0 is OUTSIDE [1,3]
+    assert run("gamma", 1) == {1}             # slop 1: doc0's gap 3 too wide
+    assert run("alpha", 2) == {0, 1}          # boundary-INCLUSIVE (pc == pa)
+    assert run("zeta", 2) == set()            # little never inside
+    with pytest.raises(Exception, match="2-term"):
+        scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha"],
+                             "little": ["beta"], "slop": [2], "top_k": [10]}))
+
+
+def test_span_within_scores_little_span(feat_index):
+    # same predicate, little span emits: score == brute BM25 of "gamma".
+    win = sfeat.SpanContainScorer(feat_index, mode="within")
+    out = win(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha delta"],
+                            "little": ["gamma"], "slop": [2], "top_k": [10]}))
+    assert set(out["doc_id"]) == {0, 1}
+    docs, scores = _brute_scores(feat_index, "gamma")
+    brute = dict(zip(docs.astype(np.int64).tolist(), scores.tolist()))
+    for _, r in out.iterrows():
+        assert abs(r["score"] - brute[int(r["doc_id"])]) < 1e-9
+    # containing on the same spec ranks by the PAIR's BM25 instead
+    con = sfeat.SpanContainScorer(feat_index, mode="containing")
+    out_c = con(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha delta"],
+                              "little": ["gamma"], "slop": [2], "top_k": [10]}))
+    docs_p, scores_p = _brute_scores(feat_index, "alpha delta")
+    brute_p = dict(zip(docs_p.astype(np.int64).tolist(), scores_p.tolist()))
+    for _, r in out_c.iterrows():
+        assert abs(r["score"] - brute_p[int(r["doc_id"])]) < 1e-9
+
+
 def test_span_not_distance_gate(feat_index):
     scorer = sfeat.SpanNotScorer(feat_index, default_top_k=10)
     # include "gamma", exclude "beta": doc7 has gamma and no beta → clean.

@@ -6255,6 +6255,75 @@ def _span_contain_qterms(queries_list: list[dict], use_little: bool) -> str:
     return ", ".join(rows)
 
 
+CROSS_FIELDS_QUERIES = {
+    "cf1": "assistant merge batch",
+    "cf2": "tool scan",
+    "cf3": "user join window",
+    "cf4": "customer order",
+}
+_CF_BOOSTS = (1.0, 1.0)  # (text field, role field)
+
+
+def _ensure_role_field_index(sf_dir: str) -> str:
+    """Role-FIELD index: the same simple-analyzer build machinery over
+    the transcripts with ``text`` := ``role`` — the second member of the
+    cross_fields analyzer group (ES's 'fields sharing one analyzer'
+    precondition). One token per doc, so dl=1 and avgdl=1.0 exactly."""
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) + "-rolefield"
+    index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}"
+    try:
+        if IndexManifest.load(index_dir).status == "complete":
+            return index_dir
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    def role_as_text(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("text"), "text", b["role"])
+
+    ts = transcripts_from_documents(sf_dir).map_batches(
+        role_as_text, batch_format="pyarrow")
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+
+    cfg = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="simple"))
+    build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, cfg,
+                transcripts_ds=ts)
+    return index_dir
+
+
+def q_cross_fields(sf_dir: str):
+    """ES multi_match type=cross_fields over the (text, role) field
+    group: TERM-centric — each term takes its best field's BM25
+    (tie_breaker 0.0, the ES default), term scores sum per doc. 'merge'
+    scores from the body, 'assistant' from the role field; best_fields
+    would force whole-query dis_max instead."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import cross_fields_search
+
+    dirs = [_ensure_index(sf_dir), _ensure_role_field_index(sf_dir)]
+    qs = rd.from_items([
+        {"query_id": qid, "query_text": t, "top_k": BM25_TOP_K * 4}
+        for qid, t in CROSS_FIELDS_QUERIES.items()
+    ])
+    return _rerank_topk(
+        cross_fields_search(qs, dirs, list(_CF_BOOSTS), 0.0, _engine_cfg()))
+
+
+def _cf_qterms_values() -> str:
+    rows = []
+    for qid, text in CROSS_FIELDS_QUERIES.items():
+        for t in sorted(set(text.lower().split())):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
 def q_span_containing(sf_dir: str):
     """ES span_containing: big (2-term ordered span_near) must enclose a
     little span_term occurrence; survivors score as the BIG span (BM25
@@ -6492,6 +6561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipmode_priority": q_shipmode_priority,
         "span_containing": q_span_containing,
         "span_within": q_span_within,
+        "cross_fields": q_cross_fields,
     }
 
 
@@ -10170,5 +10240,49 @@ rankedp AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM rankedp WHERE rnk <= {BM25_TOP_K}
+""",
+        # multi_match cross_fields: per-TERM max across the (text, role)
+        # field group, term maxes summed per doc; role field has tf=1,
+        # dl=1, avgdl=1.0 exactly (one token per doc).
+        "cross_fields": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_cf_qterms_values()}),
+wsc AS (
+  SELECT q.query_id, q.term, tf.doc_id,
+         {_CF_BOOSTS[0]} * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+rtok AS (SELECT doc_id, role AS term FROM transcripts),
+rdf AS (SELECT term, count(*)::BIGINT AS df FROM rtok GROUP BY term),
+rstats AS (SELECT count(*)::BIGINT AS n_docs FROM transcripts),
+rsc AS (
+  SELECT q.query_id, q.term, r.doc_id,
+         {_CF_BOOSTS[1]} * ln(1 + (s.n_docs - rdf.df + 0.5) / (rdf.df + 0.5))
+           * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 1.0 / 1.0)) AS score
+  FROM qterms q
+  JOIN rtok r ON r.term = q.term
+  JOIN rdf ON rdf.term = q.term
+  CROSS JOIN rstats s
+),
+cfu AS (SELECT * FROM wsc UNION ALL SELECT * FROM rsc),
+cfterm AS (
+  SELECT query_id, term, doc_id, max(score) AS tscore
+  FROM cfu GROUP BY 1, 2, 3
+),
+cftot AS (
+  SELECT query_id, doc_id, sum(tscore) AS score FROM cfterm GROUP BY 1, 2
+),
+cfranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM cftot
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM cfranked WHERE rnk <= {BM25_TOP_K}
 """,
     }

@@ -906,6 +906,99 @@ class MultiMatchScorer:
         return _result_frame(qids, ranks, docs_out, scores_out)
 
 
+class CrossFieldsScorer:
+    """ES ``multi_match`` type=``cross_fields``: TERM-centric — each
+    query term looks for its best field (dis_max per term, default
+    ``tie_breaker=0.0`` = pure max, the ES default), then term scores
+    SUM per doc. Contrast best_fields (field-centric: dis_max over
+    whole-field scores) — cross_fields lets a query like "assistant
+    merge" match docs where 'assistant' lives in the role field and
+    'merge' in the body, scoring each term where it is strongest.
+    Requires the fields to share one analyzer group (ES's own
+    precondition); asserted from the manifests. Lucene's blended-df
+    rewrite is approximated by per-field BM25 inside the per-term max —
+    the documented, deterministic contract here."""
+
+    def __init__(self, field_dirs: list[str], boosts: list[float],
+                 tie_breaker: float = 0.0, default_top_k: int = 10):
+        if len(field_dirs) != len(boosts):
+            raise ValueError("field_dirs and boosts must align")
+        self.readers = [IndexReader(d) for d in field_dirs]
+        modes = {r.manifest.analyzer_mode for r in self.readers}
+        if len(modes) > 1:
+            raise ValueError(
+                f"cross_fields requires one analyzer group, got {sorted(modes)}")
+        self.boosts = [float(b) for b in boosts]
+        self.tie_breaker = float(tie_breaker)
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for t in batch["query_text"]:
+            union.update(self.readers[0].analyzer(t))
+        for reader in self.readers:
+            reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, text) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.readers[0].analyzer(text)))
+            term_docs: list[np.ndarray] = []
+            term_scores: list[np.ndarray] = []
+            for t in terms:
+                f_docs: list[np.ndarray] = []
+                f_scores: list[np.ndarray] = []
+                for reader, boost in zip(self.readers, self.boosts):
+                    p = reader.load_postings([t]).get(t)
+                    if p is not None and p.doc_ids.size:
+                        f_docs.append(p.doc_ids.astype(np.int64))
+                        f_scores.append(p.factors * p.idf * boost)
+                if not f_docs:
+                    continue
+                d_all = np.concatenate(f_docs)
+                s_all = np.concatenate(f_scores)
+                uniq, inv = np.unique(d_all, return_inverse=True)
+                maxs = np.zeros(uniq.size, dtype=np.float64)
+                np.maximum.at(maxs, inv, s_all)
+                if self.tie_breaker:
+                    sums = np.bincount(inv, weights=s_all, minlength=uniq.size)
+                    tsc = maxs + self.tie_breaker * (sums - maxs)
+                else:
+                    tsc = maxs
+                term_docs.append(uniq)
+                term_scores.append(tsc)
+            if not term_docs:
+                continue
+            d_all = np.concatenate(term_docs)
+            s_all = np.concatenate(term_scores)
+            uniq, inv = np.unique(d_all, return_inverse=True)
+            combined = np.bincount(inv, weights=s_all, minlength=uniq.size)
+            d, s = topk_desc(uniq.astype(np.uint64), combined, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def cross_fields_search(queries_ds, field_dirs: list[str], boosts: list[float],
+                        tie_breaker: float = 0.0,
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """multi_match cross_fields over same-analyzer field indexes; queries
+    carry (query_id, query_text[, top_k])."""
+    return queries_ds.map_batches(
+        CrossFieldsScorer,
+        fn_constructor_args=(field_dirs, boosts, tie_breaker, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
 def multi_match_search(queries_ds, field_dirs: list[str], boosts: list[float],
                        match_type: str = "best_fields", tie_breaker: float = 0.3,
                        cfg: EngineConfig = DEFAULT_CONFIG):

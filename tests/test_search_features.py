@@ -906,6 +906,52 @@ def test_diversified_sample_ids_one_per_conv():
     assert ids2.tolist() == [1, 3]
 
 
+@pytest.fixture(scope="module")
+def role_field_index(tmp_path_factory, ray_session, feat_index):
+    """Second member of a cross_fields analyzer group: same corpus, the
+    'field' text is a single category token per doc (docs 0-4 'red',
+    5-8 'blue')."""
+    import ray.data as rd
+
+    rows = [
+        {"conv_id": f"conv-{i // 3:08d}", "turn_idx": i % 3, "role": "user",
+         "text": "red" if i < 5 else "blue",
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+        for i in range(len(TEXTS))
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path_factory.mktemp("rolefield") / "idx")
+    build_index("mem", idx, CFG, transcripts_ds=ds)
+    return idx
+
+
+def test_cross_fields_term_centric(feat_index, role_field_index):
+    scorer = sfeat.CrossFieldsScorer([feat_index, role_field_index], [1.0, 1.0])
+    out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": ["red alpha"],
+                               "top_k": [10]}))
+    # per-term max: 'alpha' only in the body field, 'red' only in the
+    # category field → score = brute('alpha') + brute('red').
+    da, sa = _brute_scores(feat_index, "alpha")
+    dr, sr = _brute_scores(role_field_index, "red")
+    alpha = dict(zip(da.astype(np.int64).tolist(), sa.tolist()))
+    red = dict(zip(dr.astype(np.int64).tolist(), sr.tolist()))
+    for _, r in out.iterrows():
+        d = int(r["doc_id"])
+        assert abs(r["score"] - (alpha.get(d, 0.0) + red.get(d, 0.0))) < 1e-9
+    # candidates = union of both term posting lists
+    assert set(out["doc_id"]) == set(alpha) | set(red)
+    # duplicate fields: per-term max picks ONE copy (boost 1.0 beats 0.5)
+    dup = sfeat.CrossFieldsScorer([feat_index, feat_index], [1.0, 0.5])
+    out_d = dup(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha beta"],
+                              "top_k": [10]}))
+    db, sb = _brute_scores(feat_index, "alpha beta")
+    brute = dict(zip(db.astype(np.int64).tolist(), sb.tolist()))
+    for _, r in out_d.iterrows():
+        assert abs(r["score"] - brute[int(r["doc_id"])]) < 1e-9
+    with pytest.raises(Exception, match="align"):
+        sfeat.CrossFieldsScorer([feat_index], [1.0, 2.0])
+
+
 def test_span_containing_enclosure(feat_index):
     # doc0 "alpha beta gamma delta": alpha@0 delta@3; doc1 "beta alpha
     # gamma delta epsilon": alpha@1 delta@3.

@@ -183,9 +183,28 @@ def run_bench() -> dict:
         "n_results": int(n_results),
         "query_p50_ms": query_p50_ms,
         "query_p95_ms": query_p95_ms,
+        "calib_matmul_sec": _cpu_calibration(),
     }
     ray.shutdown()
     return result
+
+
+def _cpu_calibration() -> float:
+    """Single-core numpy matmul probe (median of 3 × 2000² f64 matmul,
+    ~16 GFLOP each). The sandbox host's deliverable CPU varies up to
+    ~5-7× between runs with identical code (observed 2026-08-18:
+    6.1 s vs 38.5 s index builds, probe 0.3 s vs 1.9 s) — this field
+    lets a reader NORMALIZE wall-times across rounds instead of
+    mistaking host contention for a code regression."""
+    import numpy as _np
+
+    a = _np.random.default_rng(0).random((2000, 2000))
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        a @ a
+        times.append(time.monotonic() - t0)
+    return round(sorted(times)[1], 3)
 
 
 def _subprocess_run(ncpu: int, build_only: bool = False) -> dict:
@@ -269,6 +288,7 @@ def run_scaling(trials: int | None = None) -> dict:
         "scaling_efficiency_total": round(eff_total, 3),
         "per_round_efficiency": [round(e, 3) for e in pair_effs],
         "scaling_efficiency_paired_median": round(eff_paired, 3),
+        "calib_matmul_sec": _cpu_calibration(),
     }
 
 

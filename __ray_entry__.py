@@ -6324,6 +6324,37 @@ def _cf_qterms_values() -> str:
     return ", ".join(rows)
 
 
+_DR_EDGES = ("2024-01-08", "2024-01-15", "2024-01-22")
+_RS_MOD = 7
+
+
+def q_date_range(sf_dir: str):
+    """ES date_range agg over the events stream: half-open timestamp
+    buckets with count + value sum/avg; membership decided on exact
+    int64 epoch-microseconds."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import date_range_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+    return date_range_agg(ds, "ts", list(_DR_EDGES), "value")
+
+
+def q_random_sampler(sf_dir: str):
+    """ES random_sampler agg (probability 1/7) over events: the child
+    metric (avg value) runs on a deterministic md5 sample; totals scale
+    back by 1/p. Unlike ES's per-shard RNG, membership is a pure row
+    property — retries and the SQL twin select identical rows."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import random_sampler_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    return random_sampler_agg(ds, "event_id", "value", mod=_RS_MOD, salt="-rs")
+
+
 def q_span_containing(sf_dir: str):
     """ES span_containing: big (2-term ordered span_near) must enclose a
     little span_term occurrence; survivors score as the BIG span (BM25
@@ -6562,6 +6593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_containing": q_span_containing,
         "span_within": q_span_within,
         "cross_fields": q_cross_fields,
+        "date_range": q_date_range,
+        "random_sampler": q_random_sampler,
     }
 
 
@@ -10284,5 +10317,41 @@ cfranked AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM cfranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # date_range agg: bucket index = #edges <= ts (digitize parity).
+        "date_range": f"""
+WITH b AS (
+  SELECT cast((ts >= TIMESTAMP '{_DR_EDGES[0]}')::int
+            + (ts >= TIMESTAMP '{_DR_EDGES[1]}')::int
+            + (ts >= TIMESTAMP '{_DR_EDGES[2]}')::int AS int) AS bucket,
+         value
+  FROM events
+),
+a AS (
+  SELECT bucket, count(*)::BIGINT AS doc_count, sum(value) AS v_sum
+  FROM b GROUP BY bucket
+),
+edges(bucket, range_from, range_to) AS (VALUES
+  (0, '', '{_DR_EDGES[0]}'),
+  (1, '{_DR_EDGES[0]}', '{_DR_EDGES[1]}'),
+  (2, '{_DR_EDGES[1]}', '{_DR_EDGES[2]}'),
+  (3, '{_DR_EDGES[2]}', ''))
+SELECT a.bucket, e.range_from, e.range_to, a.doc_count, a.v_sum,
+       a.v_sum / a.doc_count AS v_avg
+FROM a JOIN edges e ON e.bucket = a.bucket
+ORDER BY a.bucket
+""",
+        # random_sampler agg: md5 little-endian-first-8 parity sample.
+        "random_sampler": f"""
+WITH s AS (
+  SELECT value
+  FROM events
+  WHERE md5_number_upper(cast(event_id AS varchar) || '-rs') % {_RS_MOD} = 0
+)
+SELECT 1.0 / {_RS_MOD} AS probability,
+       count(*)::BIGINT AS sampled_count,
+       (count(*) * {_RS_MOD})::BIGINT AS est_doc_count,
+       coalesce(sum(value) / count(*), 0.0) AS v_avg_sample
+FROM s
 """,
     }

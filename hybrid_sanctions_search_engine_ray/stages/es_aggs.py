@@ -1273,3 +1273,96 @@ def terms_shard_bounds(ds, col: str, id_col: str, n_shards: int = 8,
     out["doc_count"] = out["doc_count"].astype(np.int64)
     out["err_bound"] = out["err_bound"].astype(np.int64)
     return out
+
+
+def date_range_agg(ds, ts_col: str, edges: list[str], value_col: str):
+    """ES ``date_range`` aggregation: half-open TIMESTAMP buckets
+    ``(-inf, e0), [e0, e1), ..., [e_last, inf)`` with per-bucket count
+    and value sum/avg. Edges are ISO dates; comparisons run on exact
+    int64 epoch-microseconds (the repo's timestamp convention), so
+    bucket membership is integer-exact — one vectorized ``np.digitize``
+    partial per batch, a buckets-sized shuffle."""
+    from ray.data.aggregate import Sum
+
+    e_us = np.array([np.datetime64(e).astype("datetime64[us]").astype(np.int64)
+                     for e in edges], dtype=np.int64)
+    if not (np.diff(e_us) > 0).all():
+        raise ValueError("date_range edges must be strictly increasing")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.digitize(ts, e_us)
+        t = pa.table({"bucket": pa.array(idx.astype(np.int32)),
+                      "n": pa.array(np.ones(ts.size, np.int64)),
+                      "s": pa.array(v)})
+        return t.group_by("bucket").aggregate([("n", "sum"), ("s", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_sum", alias_name="doc_count"),
+                   Sum("s_sum", alias_name="v_sum"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int32),
+                             "range_from": pd.Series([], dtype=object),
+                             "range_to": pd.Series([], dtype=object),
+                             "doc_count": pd.Series([], dtype=np.int64),
+                             "v_sum": pd.Series([], dtype=np.float64),
+                             "v_avg": pd.Series([], dtype=np.float64)})
+    agg = agg.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+    lo = ["", *edges]
+    hi = [*edges, ""]
+    agg["range_from"] = [lo[int(i)] for i in agg["bucket"]]
+    agg["range_to"] = [hi[int(i)] for i in agg["bucket"]]
+    agg["v_avg"] = agg["v_sum"].to_numpy() / agg["doc_count"].to_numpy()
+    agg["doc_count"] = agg["doc_count"].astype(np.int64)
+    agg["bucket"] = agg["bucket"].astype(np.int32)
+    return agg[["bucket", "range_from", "range_to", "doc_count", "v_sum", "v_avg"]]
+
+
+def random_sampler_agg(ds, id_col: str, value_col: str, mod: int = 10,
+                       salt: str = "-rs") -> pd.DataFrame:
+    """ES ``random_sampler`` aggregation (probability = 1/``mod``):
+    child aggregates run over a cheap deterministic sample and totals
+    scale back up by 1/p. Membership is the repo's stable md5 rule
+    (``md5(id+salt) % mod == 0`` — DuckDB ``md5_number_upper`` parity),
+    a pure row property: retried tasks and the SQL twin select exactly
+    the same rows, unlike ES's per-shard RNG. One streaming pass;
+    driver sees one row."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    if mod < 1:
+        raise ValueError("mod must be >= 1")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        h = np.empty(len(ids), dtype=np.uint64)
+        for i, kv in enumerate(ids):
+            d = hashlib.md5((str(kv) + salt).encode("utf-8")).digest()
+            h[i] = int.from_bytes(d[:8], "little")
+        keep = (h % np.uint64(mod)) == 0
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        return pa.table({"n_p": pa.array([int(keep.sum())], pa.int64()),
+                         "s_p": pa.array([float(v.sum())], pa.float64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_p", alias_name="sampled_count"),
+                   Sum("s_p", alias_name="v_sum"))
+        .to_pandas()
+    )
+    n = int(agg["sampled_count"].iloc[0]) if len(agg) else 0
+    s = float(agg["v_sum"].iloc[0]) if len(agg) else 0.0
+    return pd.DataFrame({
+        "probability": [1.0 / mod],
+        "sampled_count": pd.Series([n], dtype=np.int64),
+        "est_doc_count": pd.Series([n * mod], dtype=np.int64),
+        "v_avg_sample": [s / n if n else 0.0],
+    })

@@ -483,3 +483,46 @@ def test_terms_shard_bounds_exhaustive_shard_zero_error(ray_session):
                                      n_shards=4, shard_size=5, size=5, salt="-x")
     assert (out["err_bound"] == 0).all()
     assert int(out["doc_count"].sum()) == 60
+
+
+def test_date_range_agg_buckets(ray_session):
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2023-12-31", "2024-01-08", "2024-01-10",
+                              "2024-01-15", "2024-01-30"]).astype("datetime64[us]"),
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+    out = es_aggs.date_range_agg(_ds(df), "ts",
+                                 ["2024-01-08", "2024-01-15", "2024-01-22"],
+                                 "value")
+    by = out.set_index("bucket")
+    # edge rows land in the bucket they OPEN (half-open [from, to))
+    assert by.loc[0, "doc_count"] == 1 and by.loc[0, "v_sum"] == 1.0
+    assert by.loc[1, "doc_count"] == 2 and by.loc[1, "v_sum"] == 6.0
+    assert by.loc[2, "doc_count"] == 1 and by.loc[2, "v_sum"] == 8.0
+    assert by.loc[3, "doc_count"] == 1 and by.loc[3, "v_sum"] == 16.0
+    assert by.loc[1, "range_from"] == "2024-01-08"
+    assert by.loc[0, "range_from"] == "" and by.loc[3, "range_to"] == ""
+    with pytest.raises(ValueError, match="increasing"):
+        es_aggs.date_range_agg(_ds(df), "ts", ["2024-01-15", "2024-01-08"], "value")
+
+
+def test_random_sampler_agg_deterministic(ray_session):
+    import hashlib
+
+    df = pd.DataFrame({"event_id": np.arange(200, dtype=np.int64),
+                       "value": np.arange(200, dtype=np.float64) * 0.5})
+    out = es_aggs.random_sampler_agg(_ds(df), "event_id", "value",
+                                     mod=5, salt="-t")
+    keep = np.array([
+        int.from_bytes(hashlib.md5((str(i) + "-t").encode()).digest()[:8],
+                       "little") % 5 == 0
+        for i in df["event_id"]
+    ])
+    assert int(out["sampled_count"].iloc[0]) == int(keep.sum())
+    assert int(out["est_doc_count"].iloc[0]) == int(keep.sum()) * 5
+    assert abs(out["v_avg_sample"].iloc[0]
+               - df.loc[keep, "value"].mean()) < 1e-9
+    # identical rows on a rerun — membership is a pure row property
+    out2 = es_aggs.random_sampler_agg(_ds(df), "event_id", "value",
+                                      mod=5, salt="-t")
+    assert out.equals(out2)

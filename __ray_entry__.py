@@ -6355,6 +6355,52 @@ def q_random_sampler(sf_dir: str):
     return random_sampler_agg(ds, "event_id", "value", mod=_RS_MOD, salt="-rs")
 
 
+_TP_PARTS, _TP_PART, _TP_SIZE = 3, 1, 10
+
+
+def q_terms_partition(sf_dir: str):
+    """ES terms agg with include.partition/num_partitions: enumerate
+    only the sources hashing into partition 1 of 3 — the bounded-page
+    walk over an unbounded term set; non-member terms never shuffle."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import terms_partition
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source"])
+    return terms_partition(ds, "source", _TP_PARTS, _TP_PART,
+                           size=_TP_SIZE, salt="-tp")
+
+
+_QS_N = 25
+
+
+def q_quality_sample(sf_dir: str):
+    """Quality-weighted corpus sampling — the curation composition a
+    training-data pipeline runs end-to-end: bigram-LM fluency (nll,
+    quantized round4 so both sides share the weight bit-for-bit) →
+    weight 1/nll (fluent docs systematically favored) → deterministic
+    A-ES top-N (hash-uniform, membership a pure row property). One
+    corpus scan for the LM signal, one vocabulary-sized shuffle, then
+    per-batch top-N partials — the corpus never re-shuffles for the
+    sample."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.lm_score import lm_score
+    from hybrid_sanctions_search_engine_ray.stages.sampling import weighted_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    lm = lm_score(ds, k=0.5)
+
+    def add_w(b: pa.Table) -> pa.Table:
+        w = 1.0 / b["nll"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"doc_id": b["doc_id"], "w": pa.array(w)})
+
+    return weighted_sample(lm.map_batches(add_w, batch_format="pyarrow"),
+                           "doc_id", "w", n=_QS_N, salt="-qs")
+
+
 def q_span_containing(sf_dir: str):
     """ES span_containing: big (2-term ordered span_near) must enclose a
     little span_term occurrence; survivors score as the BIG span (BM25
@@ -6595,6 +6641,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_fields": q_cross_fields,
         "date_range": q_date_range,
         "random_sampler": q_random_sampler,
+        "terms_partition": q_terms_partition,
+        "quality_sample": q_quality_sample,
     }
 
 
@@ -10353,5 +10401,49 @@ SELECT 1.0 / {_RS_MOD} AS probability,
        (count(*) * {_RS_MOD})::BIGINT AS est_doc_count,
        coalesce(sum(value) / count(*), 0.0) AS v_avg_sample
 FROM s
+""",
+        # terms partition walk: md5-of-TERM membership, top by count.
+        "terms_partition": f"""
+WITH c AS (
+  SELECT source AS term, count(*)::BIGINT AS doc_count
+  FROM documents GROUP BY source
+)
+SELECT term, doc_count FROM c
+WHERE md5_number_upper(term || '-tp') % {_TP_PARTS} = {_TP_PART}
+ORDER BY doc_count DESC, term LIMIT {_TP_SIZE}
+""",
+        # quality-weighted A-ES sample: weight = 1/round4(bigram nll) —
+        # the round4 quantization is what both sides share bit-for-bit.
+        "quality_sample": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+qbig AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+qcb AS (SELECT w1, w2, count(*)::BIGINT AS c FROM qbig GROUP BY w1, w2),
+qcu AS (SELECT term, count(*)::BIGINT AS c FROM tokpos GROUP BY term),
+qv AS (SELECT count(*)::BIGINT AS v FROM qcu),
+qlm AS (
+  SELECT qbig.doc_id,
+         round(-avg(ln((qcb.c + 0.5) / (qcu.c + 0.5 * qv.v))), 4) AS nll
+  FROM qbig
+  JOIN qcb ON qcb.w1 = qbig.w1 AND qcb.w2 = qbig.w2
+  JOIN qcu ON qcu.term = qbig.w1
+  CROSS JOIN qv
+  GROUP BY qbig.doc_id
+),
+qsu AS (
+  SELECT doc_id, 1.0 / nll AS w,
+         ((md5_number_upper(cast(doc_id AS varchar) || '-qs') % 1000000) + 1)::DOUBLE
+           / 1000001.0 AS u
+  FROM qlm
+),
+qsk AS (SELECT doc_id, ln(u) / w AS sk, w FROM qsu),
+qsr AS (
+  SELECT doc_id, sk, w, row_number() OVER (ORDER BY sk DESC, doc_id) AS rnk FROM qsk
+)
+SELECT doc_id, cast(rnk AS int) AS rank, round(sk, 6) AS sample_key, w
+FROM qsr WHERE rnk <= {_QS_N}
 """,
     }

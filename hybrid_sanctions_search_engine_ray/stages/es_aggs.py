@@ -1366,3 +1366,45 @@ def random_sampler_agg(ds, id_col: str, value_col: str, mod: int = 10,
         "est_doc_count": pd.Series([n * mod], dtype=np.int64),
         "v_avg_sample": [s / n if n else 0.0],
     })
+
+
+def terms_partition(ds, col: str, num_partitions: int, partition: int,
+                    size: int = 10, salt: str = "-tp") -> pd.DataFrame:
+    """ES ``terms`` agg with ``include: {partition, num_partitions}`` —
+    the huge-cardinality paging primitive: each request enumerates only
+    the terms hashing into one partition, so a client can walk an
+    unbounded term set in bounded pages. Partition membership is the
+    repo's stable md5 rule over the TERM (DuckDB parity), applied inside
+    the per-batch partial — non-member terms never enter the shuffle, so
+    the exchange is 1/P of the vocabulary regardless of corpus size."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    if not (0 <= partition < num_partitions):
+        raise ValueError("partition must be in [0, num_partitions)")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([col]).group_by([col]).aggregate([([], "count_all")])
+        terms = g[col].to_pylist()
+        keep = np.array([
+            int.from_bytes(hashlib.md5((str(t) + salt).encode("utf-8"))
+                           .digest()[:8], "little") % num_partitions == partition
+            for t in terms
+        ], dtype=bool) if terms else np.zeros(0, dtype=bool)
+        t = pa.table({"term": g[col], "c_p": pc.cast(g["count_all"], pa.int64())})
+        return t.filter(pa.array(keep))
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_p", alias_name="doc_count"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "doc_count": pd.Series([], dtype=np.int64)})
+    agg = agg.sort_values(["doc_count", "term"], ascending=[False, True],
+                          kind="mergesort").head(size).reset_index(drop=True)
+    agg["doc_count"] = agg["doc_count"].astype(np.int64)
+    return agg[["term", "doc_count"]]

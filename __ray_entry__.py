@@ -616,6 +616,25 @@ def _engine_cfg():
     return EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode="simple"))
 
 
+def _join_parts() -> int:
+    """Hash-join partition count for the big⋈big exchanges: scales with
+    the cluster (cpus, or GRAFT_JOIN_PARTS) instead of a constant — at
+    100 TB the join exchange must fan out to every node, while at test
+    scale a handful of partitions avoids tiny-block overhead. Partition
+    count never changes RESULTS (hash-partitioned equality join), only
+    parallelism, so the oracle contract is unaffected."""
+    import ray
+
+    env = os.environ.get("GRAFT_JOIN_PARTS")
+    if env:
+        return max(1, int(env))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus)
+
+
 def _ensure_index(sf_dir: str, mode: str = "simple", positional: bool = False) -> str:
     """Build (once, cached under /tmp) the BM25 index for an sf dir.
     ``mode="char3"`` builds the character-trigram (fuzzy lexical tier)
@@ -1619,7 +1638,7 @@ def q_large_join(sf_dir: str):
     # cluster width (× per-partition memory); 8 keeps the correctness-gate
     # run from being dominated by aggregator-actor startup.
     joined = line.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=_join_parts(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
     agg = joined.groupby("o_orderpriority").aggregate(Sum("rev"), Count())
 
@@ -1915,7 +1934,7 @@ def q_nation_revenue(sf_dir: str):
     l_nat = line.map_batches(AttachSuppNation, fn_constructor_args=(dims_ref,),
                              batch_format="pyarrow", concurrency=2)
 
-    joined = l_nat.join(o_nat, join_type="inner", num_partitions=8,
+    joined = l_nat.join(o_nat, join_type="inner", num_partitions=_join_parts(),
                         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def local_only(b: pa.Table) -> pa.Table:
@@ -2914,7 +2933,7 @@ def q_dedup_keep_best(sf_dir: str):
                          "n_tokens": pa.array(n, pa.int64())})
 
     cnts = transcripts_from_documents(sf_dir).map_batches(counts, batch_format="pyarrow")
-    joined = clusters.join(cnts, join_type="left_outer", num_partitions=4, on=("doc_id",))
+    joined = clusters.join(cnts, join_type="left_outer", num_partitions=_join_parts(), on=("doc_id",))
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -3181,7 +3200,7 @@ def q_conv_enrich(sf_dir: str):
         lambda b: pa.table({"doc_id": b["doc_id"], "conv_id": b["conv_id"]}),
         batch_format="pyarrow",
     )
-    joined = rows.join(conv, join_type="inner", num_partitions=4, on=("conv_id",))
+    joined = rows.join(conv, join_type="inner", num_partitions=_join_parts(), on=("conv_id",))
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -4802,7 +4821,7 @@ def q_shipping_priority(sf_dir: str):
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
     ).map_batches(li_prep, batch_format="pyarrow")
 
-    joined = line.join(ords, join_type="inner", num_partitions=8,
+    joined = line.join(ords, join_type="inner", num_partitions=_join_parts(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
     rev = (
         joined.groupby("l_orderkey").aggregate(Sum("u", alias_name="u"))
@@ -4860,7 +4879,7 @@ def q_returned_items(sf_dir: str):
         filter=(_pads.field("o_orderdate") >= lo) & (_pads.field("o_orderdate") < hi),
     ).select_columns(["o_orderkey", "o_custkey"])
 
-    joined = line.join(ords, join_type="inner", num_partitions=8,
+    joined = line.join(ords, join_type="inner", num_partitions=_join_parts(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
     rev = joined.groupby("o_custkey").aggregate(Sum("u", alias_name="u")).to_pandas()
     rev = rev.sort_values(["u", "o_custkey"], ascending=[False, True],
@@ -5730,7 +5749,7 @@ def q_volume_shipping(sf_dir: str):
         filter=(_pads.field("l_shipdate") >= lo) & (_pads.field("l_shipdate") < hi),
     ).map_batches(li_prep, batch_format="pyarrow")
 
-    joined = line.join(ords, join_type="inner", num_partitions=8,
+    joined = line.join(ords, join_type="inner", num_partitions=_join_parts(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pair_partial(b: pa.Table) -> pa.Table:
@@ -5831,7 +5850,7 @@ def q_market_share(sf_dir: str):
                  "l_discount"],
     ).map_batches(li_prep, batch_format="pyarrow")
 
-    joined = line.join(ords, join_type="inner", num_partitions=8,
+    joined = line.join(ords, join_type="inner", num_partitions=_join_parts(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def year_partial(b: pa.Table) -> pa.Table:
@@ -5888,7 +5907,7 @@ def q_waiting_supplier(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_returnflag"],
     ).map_batches(li_prep, batch_format="pyarrow")
 
-    joined = line.join(ords, join_type="inner", num_partitions=8,
+    joined = line.join(ords, join_type="inner", num_partitions=_join_parts(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pair_partial(b: pa.Table) -> pa.Table:
@@ -6119,7 +6138,7 @@ def q_priority_count(sf_dir: str):
         .select_columns(["l_orderkey"])
     )
 
-    joined = ords.join(late, join_type="inner", num_partitions=8,
+    joined = ords.join(late, join_type="inner", num_partitions=_join_parts(),
                        on=("o_orderkey",), right_on=("l_orderkey",))
 
     def cnt_partial(b: pa.Table) -> pa.Table:
@@ -6177,7 +6196,7 @@ def q_shipmode_priority(sf_dir: str):
                & (_pads.field("l_shipdate") < hi),
     ).select_columns(["l_orderkey", "l_linestatus"])
 
-    joined = line.join(ords, join_type="inner", num_partitions=8,
+    joined = line.join(ords, join_type="inner", num_partitions=_join_parts(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def mode_partial(b: pa.Table) -> pa.Table:

@@ -6391,6 +6391,45 @@ def q_terms_partition(sf_dir: str):
                            size=_TP_SIZE, salt="-tp")
 
 
+SPARSE_VECTOR_QUERIES: dict[str, dict[str, int]] = {
+    "sv1": {"spark": 3, "join": 2},
+    "sv2": {"merge": 2, "batch": 2, "slow": 1},
+    "sv3": {"vector": 3, "hash": 1},
+    "sv4": {"customer": 2, "scan": 1},
+}
+
+
+def q_sparse_vector(sf_dir: str):
+    """ES sparse_vector query (ELSER-style learned-sparse retrieval):
+    {token: weight} query against per-doc sparse token weights (tf as
+    the deterministic stand-in) — the score is an exact int64 dot
+    product, rank (score desc, doc_id asc)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import sparse_vector_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items([{"query_id": qid, "top_k": BM25_TOP_K}
+                        for qid in SPARSE_VECTOR_QUERIES])
+    res = sparse_vector_search(qs, index_dir, SPARSE_VECTOR_QUERIES, _engine_cfg())
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rank"] = b["rank"].astype(np.int32)
+        b["score"] = b["score"].astype(np.int64)
+        return b[["query_id", "rank", "doc_id", "score"]]
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def _sv_qterms_values() -> str:
+    rows = []
+    for qid, spec in SPARSE_VECTOR_QUERIES.items():
+        for t in sorted(spec):
+            rows.append(f"('{qid}', '{t}', {spec[t]})")
+    return ", ".join(rows)
+
+
 _QS_N = 25
 
 
@@ -6662,6 +6701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_sampler": q_random_sampler,
         "terms_partition": q_terms_partition,
         "quality_sample": q_quality_sample,
+        "sparse_vector": q_sparse_vector,
     }
 
 
@@ -10464,5 +10504,23 @@ qsr AS (
 )
 SELECT doc_id, cast(rnk AS int) AS rank, round(sk, 6) AS sample_key, w
 FROM qsr WHERE rnk <= {_QS_N}
+""",
+        # sparse_vector: exact int64 dot product of {token: weight}
+        # against per-doc tf (the deterministic learned-weight stand-in).
+        "sparse_vector": f"""
+WITH {TRANSCRIPTS_CTE},
+svq(query_id, term, w) AS (VALUES {_sv_qterms_values()}),
+svs AS (
+  SELECT q.query_id, tf.doc_id, sum(q.w * tf.tf)::BIGINT AS score
+  FROM svq q JOIN tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id
+),
+svr AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM svs
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
+FROM svr WHERE rnk <= {BM25_TOP_K}
 """,
     }

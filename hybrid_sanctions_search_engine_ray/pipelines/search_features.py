@@ -906,6 +906,89 @@ class MultiMatchScorer:
         return _result_frame(qids, ranks, docs_out, scores_out)
 
 
+class SparseVectorScorer:
+    """ES ``sparse_vector`` query (the ELSER / learned-sparse retrieval
+    shape): the query is a {token: weight} map, the document side a
+    sparse token→weight vector, score = the sparse dot product. The
+    deterministic stand-in for learned doc weights is raw tf (what a
+    real deployment would replace with model-emitted weights at ingest);
+    with integer query weights the whole score is EXACT int64 — no
+    float order anywhere. Candidates are the union of the query tokens'
+    posting lists; tombstone-aware doc sets come from the filtered
+    postings, tf values from the raw decode."""
+
+    def __init__(self, index_dir: str, specs: dict[str, dict[str, int]],
+                 default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.specs = {qid: {t: int(w) for t, w in m.items()}
+                      for qid, m in specs.items()}
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qid in batch["query_id"]:
+            union.update(self.specs[qid])
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, qid in enumerate(batch["query_id"]):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            spec = self.specs[qid]
+            postings = self.reader.load_postings(sorted(spec))
+            t_docs: list[np.ndarray] = []
+            t_scores: list[np.ndarray] = []
+            for t, w in spec.items():
+                p = postings.get(t)
+                if p is None or p.doc_ids.size == 0:
+                    continue
+                raw = self.reader.load_raw(t)
+                docs = p.doc_ids.astype(np.int64)
+                at = np.searchsorted(raw[0].astype(np.int64), docs)
+                tf = raw[1][at].astype(np.int64)
+                t_docs.append(docs)
+                t_scores.append(w * tf)
+            if not t_docs:
+                continue
+            d_all = np.concatenate(t_docs)
+            s_all = np.concatenate(t_scores)
+            uniq, inv = np.unique(d_all, return_inverse=True)
+            tot = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(tot, inv, s_all)
+            order = np.lexsort((uniq, -tot))[:k]
+            n = order.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(uniq[order].tolist())
+            scores_out.extend(tot[order].tolist())
+        if not qids:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                                 "rank": pd.Series([], dtype=np.int32),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"query_id": qids,
+                             "rank": pd.Series(ranks, dtype=np.int32),
+                             "doc_id": pd.Series(docs_out, dtype=np.int64),
+                             "score": pd.Series(scores_out, dtype=np.int64)})
+
+
+def sparse_vector_search(queries_ds, index_dir: str,
+                         specs: dict[str, dict[str, int]],
+                         cfg: EngineConfig = DEFAULT_CONFIG):
+    """sparse_vector retrieval; queries carry (query_id[, top_k]), the
+    {token: weight} maps ship in the constructor (one dictionary scan
+    per actor)."""
+    return queries_ds.map_batches(
+        SparseVectorScorer,
+        fn_constructor_args=(index_dir, specs, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
 class CrossFieldsScorer:
     """ES ``multi_match`` type=``cross_fields``: TERM-centric — each
     query term looks for its best field (dis_max per term, default

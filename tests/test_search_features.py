@@ -1091,3 +1091,18 @@ def test_intervals_gap_budget_and_any_of(feat_index):
     assert 1 in by["anyof"] and 0 in by["anyof"]  # doc0: beta gamma adjacent
     # ordered: doc4 "Beta, Gamma! alpha" has beta→gamma so anyof matches too
     assert 4 in by["anyof"]
+
+
+def test_sparse_vector_exact_dot_product(feat_index):
+    scorer = sfeat.SparseVectorScorer(
+        feat_index, {"q": {"alpha": 2, "beta": 1}}, default_top_k=10)
+    out = scorer(pd.DataFrame({"query_id": ["q"], "top_k": [10]}))
+    # doc6 "alpha alpha alpha" → 2·3 = 6 beats every mixed doc (score 3)
+    assert int(out.iloc[0]["doc_id"]) == 6 and int(out.iloc[0]["score"]) == 6
+    got = dict(zip(out["doc_id"].astype(int), out["score"].astype(int)))
+    assert got[0] == 3 and got[5] == 2 and got[8] == 1  # tf-weighted sums
+    assert out["score"].dtype == np.int64  # exact integer contract
+    # unknown-token query → empty frame, no error
+    z = sfeat.SparseVectorScorer(feat_index, {"z": {"qqqq": 5}})(
+        pd.DataFrame({"query_id": ["z"], "top_k": [10]}))
+    assert len(z) == 0

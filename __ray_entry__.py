@@ -6391,6 +6391,30 @@ def q_terms_partition(sf_dir: str):
                            size=_TP_SIZE, salt="-tp")
 
 
+_MAXSIM_Q, _MAXSIM_GROUP, _MAXSIM_K = 2, 8, 10
+
+
+def q_maxsim(sf_dir: str):
+    """Late-interaction maxsim retrieval (ColBERT scoring / ES
+    rank_vectors shape): a conversation is a GROUP of its turns' vectors
+    (vec_id // 8); score = Σ over 2 query vectors of the max cosine
+    against any group member. Broadcast query matrix, per-batch matmul
+    partial maxima, one groups×queries max-shuffle."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import maxsim_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = _pq.read_table(path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", _MAXSIM_Q)])
+    q_ids = head["vec_id"].to_numpy(zero_copy_only=False)
+    q_mat = np.stack(head["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return maxsim_topk(ds, q_ids.tolist(), q_mat, group_size=_MAXSIM_GROUP,
+                       k=_MAXSIM_K)
+
+
 SPARSE_VECTOR_QUERIES: dict[str, dict[str, int]] = {
     "sv1": {"spark": 3, "join": 2},
     "sv2": {"merge": 2, "batch": 2, "slow": 1},
@@ -6702,6 +6726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_partition": q_terms_partition,
         "quality_sample": q_quality_sample,
         "sparse_vector": q_sparse_vector,
+        "maxsim": q_maxsim,
     }
 
 
@@ -10522,5 +10547,26 @@ svr AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
 FROM svr WHERE rnk <= {BM25_TOP_K}
+""",
+        # maxsim late interaction: per-group max cosine per query vector,
+        # summed over the (fixed, tiny) query axis; round4-quantized rank.
+        "maxsim": f"""
+WITH mq AS (
+  SELECT vec_id AS qv, embedding AS qe FROM embeddings WHERE vec_id < {_MAXSIM_Q}
+),
+msims AS (
+  SELECT mq.qv, e.vec_id // {_MAXSIM_GROUP} AS group_id,
+         list_cosine_similarity(mq.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM mq CROSS JOIN embeddings e
+),
+mmx AS (SELECT group_id, qv, max(cos) AS m FROM msims GROUP BY 1, 2),
+mtot AS (SELECT group_id, sum(m) AS s FROM mmx GROUP BY 1),
+mr AS (
+  SELECT group_id, round(s, 4) AS maxsim,
+         row_number() OVER (ORDER BY round(s, 4) DESC, group_id) AS rnk
+  FROM mtot
+)
+SELECT group_id, cast(rnk AS int) AS rank, maxsim
+FROM mr WHERE rnk <= {_MAXSIM_K}
 """,
     }

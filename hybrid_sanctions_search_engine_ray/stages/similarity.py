@@ -605,3 +605,77 @@ def int8_topk(ds, query_ids: list[int], query_matrix: np.ndarray, k: int = 5,
     return partial.groupby("query_vec_id").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas"
     )
+
+
+class _MaxSimPartial:
+    """Actor body for late-interaction maxsim: each batch is scored
+    against the broadcast query matrix in one matmul, then reduced to
+    per-(group, query) partial maxima — the batch output is
+    groups×queries-sized, never matrix-sized."""
+
+    def __init__(self, ref, group_size: int):
+        q = ray.get(ref)
+        self.ids = q["ids"]
+        self.m = _normalize(q["matrix"])
+        self.group_size = int(group_size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bm = _normalize(_batch_matrix(batch))
+        v_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = v_ids // self.group_size
+        sims = bm @ self.m.T  # (batch, n_queries)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        out_g, out_q, out_m = [], [], []
+        for j, qid in enumerate(self.ids):
+            mx = np.full(uniq.size, -np.inf, dtype=np.float64)
+            np.maximum.at(mx, inv, sims[:, j])
+            out_g.append(uniq)
+            out_q.append(np.full(uniq.size, qid, dtype=np.int64))
+            out_m.append(mx)
+        return pa.table({
+            "group_id": pa.array(np.concatenate(out_g)),
+            "query_vec_id": pa.array(np.concatenate(out_q)),
+            "m_p": pa.array(np.concatenate(out_m)),
+        })
+
+
+def maxsim_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
+                group_size: int = 8, k: int = 10, round_digits: int = 4):
+    """Late-interaction (ColBERT-style) maxsim retrieval — ES
+    ``rank_vectors`` shape: a GROUP of vectors represents one document
+    (here group = vec_id // group_size, the conversation grouping);
+    score(group) = Σ over query vectors of max cosine against any group
+    member. Broadcast query matrix, one matmul per batch, per-(group,
+    query) partial maxima → ONE groups×queries-sized max-shuffle → a
+    driver-side sum over the (tiny, fixed-count) query axis. Scores are
+    quantized (round4) before ranking — the repo's multi-float-source
+    tie rule."""
+    from ray.data.aggregate import Max
+
+    import pandas as pd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "matrix": np.asarray(query_matrix, dtype=np.float64)})
+    agg = (
+        ds.map_batches(_MaxSimPartial, fn_constructor_args=(ref, group_size),
+                       batch_format="pyarrow", concurrency=2)
+        .groupby(["group_id", "query_vec_id"])
+        .aggregate(Max("m_p", alias_name="m"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"group_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int32),
+                             "maxsim": pd.Series([], dtype=np.float64)})
+    # fixed query order: sum q0 + q1 + ... identically on both sides
+    agg = agg.sort_values(["group_id", "query_vec_id"], kind="mergesort")
+    tot = agg.groupby("group_id", sort=True)["m"].sum()
+    s = round_half_away(tot.to_numpy(np.float64), round_digits)
+    out = pd.DataFrame({"group_id": tot.index.to_numpy(np.int64), "s": s})
+    out = out.sort_values(["s", "group_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    return pd.DataFrame({"group_id": out["group_id"].astype(np.int64),
+                         "rank": np.arange(1, len(out) + 1, dtype=np.int32),
+                         "maxsim": out["s"]})

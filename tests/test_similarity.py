@@ -278,3 +278,35 @@ def test_int8_topk_matches_brute_force(ray_session):
     assert np.allclose(bf["cos_sim"], i8["cos_sim"], atol=1e-9)
     # self is excluded
     assert not ((i8["query_vec_id"] == i8["vec_id"]).any())
+
+
+def test_maxsim_topk_hand_math(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import maxsim_topk
+
+    rng = np.random.RandomState(11)
+    n, d, gs = 40, 16, 4  # 10 groups of 4 vectors
+    mat = rng.randn(n, d).astype(np.float64)
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in mat],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    q = mat[:2]
+    out = maxsim_topk(ds, [0, 1], q, group_size=gs, k=10)
+    # brute reference: note float32 storage — compare against the
+    # round-tripped matrix exactly as the stage reads it
+    m32 = mat.astype(np.float32).astype(np.float64)
+    mn = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    qn = mat[:2] / np.linalg.norm(mat[:2], axis=1, keepdims=True)
+    sims = mn @ qn.T  # (n, 2)
+    want = np.zeros(n // gs)
+    for g in range(n // gs):
+        want[g] = sims[g*gs:(g+1)*gs].max(axis=0).sum()
+    order = np.lexsort((np.arange(n // gs), -np.round(want, 4)))
+    assert out["group_id"].tolist() == order[:10].tolist()
+    got = out.set_index("group_id")["maxsim"]
+    for g in range(n // gs):
+        assert abs(got[g] - round(float(want[g]), 4)) < 2e-4
+    # group containing a query vector itself scores that query at ~1.0
+    assert got[0] > 1.0  # cos(q0, v0)=1 and cos(q1, v1)=1 both in group 0

@@ -163,7 +163,8 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
-    for name in ("exact_dedup", "minhash_pairs", "simhash", "embedding_topk", "text_quality"):
+    for name in ("exact_dedup", "minhash_pairs", "simhash", "embedding_topk",
+                 "text_quality", "dup_spans"):
         t0 = time.monotonic()
         out = entrymod.queries()[name](SF_DIR)
         if hasattr(out, "count"):

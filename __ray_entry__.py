@@ -6391,6 +6391,45 @@ def q_terms_partition(sf_dir: str):
                            size=_TP_SIZE, salt="-tp")
 
 
+_RFF_BOOST, _RFF_SCALING, _RFF_PIVOT, _RFF_EXP = 1.5, 1.0, 3.0, 2.0
+
+
+def q_rank_feature_fns(sf_dir: str):
+    """The remaining ES rank_feature functions — log
+    (boost·ln(scaling+f)) and sigmoid (boost·f^exp/(f^exp+pivot^exp)) —
+    over the turn_idx feature; the same docmap-gather scorer as
+    saturation/distance, one actor pool per function, results unioned
+    under rflog_/rfsig_ query ids."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import rank_feature_search
+
+    index_dir = _ensure_index(sf_dir)
+
+    def _qs(prefix: str):
+        return rd.from_items(
+            [{"query_id": f"{prefix}{qid}", "query_text": t, "top_k": BM25_TOP_K * 4}
+             for qid, t in BM25_QUERIES.items()]
+        )
+
+    lg = rank_feature_search(_qs("rflog_"), index_dir, "turn_idx", "log",
+                             boost=_RFF_BOOST, scaling=_RFF_SCALING,
+                             cfg=_engine_cfg())
+    sg = rank_feature_search(_qs("rfsig_"), index_dir, "turn_idx", "sigmoid",
+                             boost=_RFF_BOOST, pivot=_RFF_PIVOT,
+                             exponent=_RFF_EXP, cfg=_engine_cfg())
+    return _rerank_topk(lg.union(sg))
+
+
+def _rff_qterms_values() -> str:
+    rows = []
+    for prefix in ("rflog_", "rfsig_"):
+        for qid, text in BM25_QUERIES.items():
+            for t in sorted(set(text.lower().split())):
+                rows.append(f"('{prefix}{qid}', '{t}')")
+    return ", ".join(rows)
+
+
 _MAXSIM_Q, _MAXSIM_GROUP, _MAXSIM_K = 2, 8, 10
 
 
@@ -6727,6 +6766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_sample": q_quality_sample,
         "sparse_vector": q_sparse_vector,
         "maxsim": q_maxsim,
+        "rank_feature_fns": q_rank_feature_fns,
     }
 
 
@@ -10568,5 +10608,28 @@ mr AS (
 )
 SELECT group_id, cast(rnk AS int) AS rank, maxsim
 FROM mr WHERE rnk <= {_MAXSIM_K}
+""",
+        # rank_feature log + sigmoid functions over turn_idx.
+        "rank_feature_fns": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_rff_qterms_values()}),
+{_BM25_SCORES_CTE},
+rffinal AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score + CASE WHEN s.query_id LIKE 'rflog%'
+           THEN {_RFF_BOOST} * ln({_RFF_SCALING} + t.turn_idx::DOUBLE)
+           ELSE {_RFF_BOOST} * (power(t.turn_idx::DOUBLE, {_RFF_EXP})
+                 / (power(t.turn_idx::DOUBLE, {_RFF_EXP})
+                    + power({_RFF_PIVOT}, {_RFF_EXP})))
+         END, 4) AS score
+  FROM scores s JOIN transcripts t ON t.doc_id = s.doc_id
+),
+rfranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM rffinal
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
+FROM rfranked WHERE rnk <= {BM25_TOP_K}
 """,
     }

@@ -1763,18 +1763,20 @@ class FeatureScorer:
     """ES ``rank_feature`` / ``distance_feature`` queries: BM25 over the
     FULL candidate set plus a per-doc feature term — ``boost·f/(f+pivot)``
     (saturation), ``boost·ln(scaling+f)`` (log) or
+    ``boost·f^exp/(f^exp+pivot^exp)`` (sigmoid) or
     ``boost·pivot/(pivot+|f−origin|)`` (distance_feature). The feature
     column (e.g. ``turn_idx``) comes from ONE doc-id-sorted docmap read
     in ``__init__`` — per-query work is a vectorized searchsorted gather,
     never a shuffle join (reference feature boosting:
     elasticsearch_adapters.py function-score assembly)."""
 
-    MODES = ("saturation", "log", "distance")
+    MODES = ("saturation", "log", "sigmoid", "distance")
 
     def __init__(self, index_dir: str, feature_key: str = "turn_idx",
                  mode: str = "saturation", boost: float = 1.0,
                  pivot: float = 2.0, origin: float = 0.0,
-                 scaling: float = 1.0, default_top_k: int = 10):
+                 scaling: float = 1.0, exponent: float = 1.0,
+                 default_top_k: int = 10):
         if mode not in self.MODES:
             raise ValueError(f"mode must be one of {self.MODES}")
         self.reader = IndexReader(index_dir)
@@ -1790,6 +1792,7 @@ class FeatureScorer:
         )
         self.mode, self.boost = mode, float(boost)
         self.pivot, self.origin, self.scaling = float(pivot), float(origin), float(scaling)
+        self.exponent = float(exponent)
         self.default_top_k = default_top_k
 
     def _feature_term(self, f: np.ndarray) -> np.ndarray:
@@ -1797,6 +1800,9 @@ class FeatureScorer:
             return self.boost * (f / (f + self.pivot))
         if self.mode == "log":
             return self.boost * np.log(self.scaling + f)
+        if self.mode == "sigmoid":
+            fe = f ** self.exponent
+            return self.boost * (fe / (fe + self.pivot ** self.exponent))
         return self.boost * (self.pivot / (self.pivot + np.abs(f - self.origin)))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -1829,13 +1835,14 @@ class FeatureScorer:
 def rank_feature_search(queries_ds, index_dir: str, feature_key: str = "turn_idx",
                         mode: str = "saturation", boost: float = 1.0,
                         pivot: float = 2.0, origin: float = 0.0,
-                        scaling: float = 1.0, cfg: EngineConfig = DEFAULT_CONFIG):
-    """rank_feature (saturation/log) or distance_feature (mode
+                        scaling: float = 1.0, exponent: float = 1.0,
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """rank_feature (saturation/log/sigmoid) or distance_feature (mode
     'distance') additive boosting over a docmap feature column."""
     return queries_ds.map_batches(
         FeatureScorer,
         fn_constructor_args=(index_dir, feature_key, mode, boost, pivot,
-                             origin, scaling, cfg.top_k),
+                             origin, scaling, exponent, cfg.top_k),
         batch_format="pandas",
         batch_size=cfg.score_batch_size,
         concurrency=cfg.scorer_concurrency,

@@ -6421,6 +6421,46 @@ def q_rank_feature_fns(sf_dir: str):
     return _rerank_topk(lg.union(sg))
 
 
+_GEO_BOX = (10.0, 60.0, -30.0, 40.0)  # lat_min, lat_max, lon_min, lon_max
+_GEO_CELL, _GEO_TOP = 22.5, 10
+
+
+def q_geo_bbox(sf_dir: str):
+    """ES geo_bounding_box filter + stats over customers with derived
+    deterministic coordinates (exact int64 arithmetic, one division —
+    no transcendentals): count + exact-cents balance sum inside the
+    box. One streaming pass."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_bounding_box
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal"])
+    return geo_bounding_box(ds, "c_custkey", "c_acctbal", *_GEO_BOX)
+
+
+def q_geo_grid(sf_dir: str):
+    """ES geohash_grid-style cell aggregation (equal-degree cells — the
+    arithmetic-only grid, keeping every cell assignment bit-exact):
+    top-10 cells by customer count."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_grid
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    return geo_grid(ds, "c_custkey", cell_deg=_GEO_CELL, size=_GEO_TOP)
+
+
+_GEO_COORDS_SQL = """
+  SELECT c_custkey,
+         ((c_custkey * 7919) % 180000) / 1000.0 - 90.0 AS lat,
+         ((c_custkey * 104729) % 360000) / 1000.0 - 180.0 AS lon,
+         c_acctbal
+  FROM customer
+"""
+
+
 def _rff_qterms_values() -> str:
     rows = []
     for prefix in ("rflog_", "rfsig_"):
@@ -6767,6 +6807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparse_vector": q_sparse_vector,
         "maxsim": q_maxsim,
         "rank_feature_fns": q_rank_feature_fns,
+        "geo_bbox": q_geo_bbox,
+        "geo_grid": q_geo_grid,
     }
 
 
@@ -10631,5 +10673,27 @@ rfranked AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
 FROM rfranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # geo_bounding_box over derived coords: exact-cents stats.
+        "geo_bbox": f"""
+WITH g AS ({_GEO_COORDS_SQL})
+SELECT count(*)::BIGINT AS doc_count,
+       round(coalesce(sum(cast(round(c_acctbal * 100) AS BIGINT)), 0)::DOUBLE
+             / 100.0, 2) AS value_sum
+FROM g
+WHERE lat >= {_GEO_BOX[0]} AND lat <= {_GEO_BOX[1]}
+  AND lon >= {_GEO_BOX[2]} AND lon <= {_GEO_BOX[3]}
+""",
+        # geohash_grid analog: equal-degree cells, top by count.
+        "geo_grid": f"""
+WITH g AS ({_GEO_COORDS_SQL}),
+cells AS (
+  SELECT cast(floor((lat + 90.0) / {_GEO_CELL}) AS BIGINT) AS cell_y,
+         cast(floor((lon + 180.0) / {_GEO_CELL}) AS BIGINT) AS cell_x
+  FROM g
+)
+SELECT cell_y, cell_x, count(*)::BIGINT AS doc_count
+FROM cells GROUP BY 1, 2
+ORDER BY doc_count DESC, cell_y, cell_x LIMIT {_GEO_TOP}
 """,
     }

@@ -1,0 +1,102 @@
+"""ES geo-query family (geo_bounding_box filter, geohash_grid-style
+cell aggregation) over DERIVED deterministic coordinates.
+
+The test tables carry no geo columns, so coordinates derive from an
+integer key by pure int64 arithmetic (``(key·P) mod R`` scaled into
+degree ranges) — the derivation is part of the operator contract and
+is shared verbatim with the SQL twin, making every comparison and cell
+assignment bit-exact (no transcendentals anywhere: the grid uses
+equal-DEGREE cells, the geohash_grid analog, rather than Web-Mercator
+geotiles whose ln/tan would put a 1-ulp libm difference under a floor).
+
+Reference surface: the ES geo queries (`geo_bounding_box`,
+`geohash_grid`) in the public query DSL; the reference itself is
+text-only, so this family is part of the engine-completeness axis, not
+reference parity.
+
+Scale shape: both operators are pure per-batch map work; only the grid
+shuffles, and only (cell, partial-count) rows — cells, never rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_LAT_P, _LON_P = 7919, 104729  # primes; spread keys over the globe
+
+
+def derive_coords(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(lat, lon) doubles from an int64 key — exact int64 arithmetic
+    then ONE division, identical op-for-op with the SQL twin."""
+    k = keys.astype(np.int64)
+    lat = ((k * _LAT_P) % 180000) / 1000.0 - 90.0
+    lon = ((k * _LON_P) % 360000) / 1000.0 - 180.0
+    return lat, lon
+
+
+def geo_bounding_box(ds, key_col: str, value_col: str,
+                     lat_min: float, lat_max: float,
+                     lon_min: float, lon_max: float) -> pd.DataFrame:
+    """ES ``geo_bounding_box`` (as a filter + stats): rows whose derived
+    point falls inside the box; returns count + exact integer cent-sum
+    of ``value_col``. One streaming pass, scalar result."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_coords(b[key_col].to_numpy(zero_copy_only=False))
+        keep = (lat >= lat_min) & (lat <= lat_max) & \
+               (lon >= lon_min) & (lon <= lon_max)
+        v = b[value_col].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(np.abs(v) * 100.0 + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        return pa.table({"n_p": pa.array([int(keep.sum())], pa.int64()),
+                         "c_p": pa.array([int(cents.sum())], pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_p", alias_name="doc_count"),
+                   Sum("c_p", alias_name="cents"))
+        .to_pandas()
+    )
+    n = int(agg["doc_count"].iloc[0]) if len(agg) else 0
+    c = int(agg["cents"].iloc[0]) if len(agg) else 0
+    return pd.DataFrame({"doc_count": pd.Series([n], dtype=np.int64),
+                         "value_sum": [round(c / 100.0, 2)]})
+
+
+def geo_grid(ds, key_col: str, cell_deg: float = 22.5,
+             size: int = 10) -> pd.DataFrame:
+    """ES ``geohash_grid``-style aggregation with equal-degree cells:
+    cell = (floor((lat+90)/cell_deg), floor((lon+180)/cell_deg)), count
+    per cell, top ``size`` by (count desc, cell asc). Per-batch partial
+    counts → a cells-sized shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lat, lon = derive_coords(b[key_col].to_numpy(zero_copy_only=False))
+        cy = np.floor((lat + 90.0) / cell_deg).astype(np.int64)
+        cx = np.floor((lon + 180.0) / cell_deg).astype(np.int64)
+        t = pa.table({"cell_y": pa.array(cy), "cell_x": pa.array(cx)})
+        g = t.group_by(["cell_y", "cell_x"]).aggregate([([], "count_all")])
+        return pa.table({"cell_y": g["cell_y"], "cell_x": g["cell_x"],
+                         "c_p": pc.cast(g["count_all"], pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cell_y", "cell_x"])
+        .aggregate(Sum("c_p", alias_name="doc_count"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"cell_y": pd.Series([], dtype=np.int64),
+                             "cell_x": pd.Series([], dtype=np.int64),
+                             "doc_count": pd.Series([], dtype=np.int64)})
+    agg = agg.sort_values(["doc_count", "cell_y", "cell_x"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(size).reset_index(drop=True)
+    return pd.DataFrame({"cell_y": agg["cell_y"].astype(np.int64),
+                         "cell_x": agg["cell_x"].astype(np.int64),
+                         "doc_count": agg["doc_count"].astype(np.int64)})

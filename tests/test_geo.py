@@ -1,0 +1,55 @@
+"""Geo family (stages/geo.py): derived-coordinate bounding box and
+equal-degree grid — hand-math on a tiny in-memory Dataset."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from hybrid_sanctions_search_engine_ray.stages import geo
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_derive_coords_ranges_and_determinism():
+    k = np.arange(1000, dtype=np.int64)
+    lat, lon = geo.derive_coords(k)
+    assert (lat >= -90).all() and (lat < 90).all()
+    assert (lon >= -180).all() and (lon < 180).all()
+    lat2, lon2 = geo.derive_coords(k)
+    assert (lat == lat2).all() and (lon == lon2).all()
+
+
+def test_geo_bbox_counts_and_cents(ray_session):
+    df = pd.DataFrame({"c_custkey": np.arange(1, 501, dtype=np.int64),
+                       "c_acctbal": np.round(np.linspace(-100, 400, 500), 2)})
+    lat, lon = geo.derive_coords(df["c_custkey"].to_numpy())
+    box = (0.0, 45.0, -90.0, 90.0)
+    keep = (lat >= box[0]) & (lat <= box[1]) & (lon >= box[2]) & (lon <= box[3])
+    out = geo.geo_bounding_box(_ds(df), "c_custkey", "c_acctbal", *box)
+    assert int(out["doc_count"].iloc[0]) == int(keep.sum())
+    v = df["c_acctbal"].to_numpy()[keep]
+    cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+    assert abs(out["value_sum"].iloc[0] - round(cents.sum() / 100.0, 2)) < 1e-9
+    # empty box
+    z = geo.geo_bounding_box(_ds(df), "c_custkey", "c_acctbal", 89.9, 89.99, 0, 0.01)
+    assert int(z["doc_count"].iloc[0]) == 0 and z["value_sum"].iloc[0] == 0.0
+
+
+def test_geo_grid_cells_hand_math(ray_session):
+    df = pd.DataFrame({"c_custkey": np.arange(1, 201, dtype=np.int64)})
+    lat, lon = geo.derive_coords(df["c_custkey"].to_numpy())
+    cy = np.floor((lat + 90.0) / 45.0).astype(np.int64)
+    cx = np.floor((lon + 180.0) / 45.0).astype(np.int64)
+    want = pd.DataFrame({"cell_y": cy, "cell_x": cx}).value_counts().reset_index(name="n")
+    out = geo.geo_grid(_ds(df), "c_custkey", cell_deg=45.0, size=1000)
+    got = {(r.cell_y, r.cell_x): r.doc_count for r in out.itertuples()}
+    for r in want.itertuples():
+        assert got[(r.cell_y, r.cell_x)] == r.n
+    assert out["doc_count"].sum() == 200  # exhaustive, no row lost
+    # ordering: count desc then (cell_y, cell_x) asc
+    assert out["doc_count"].is_monotonic_decreasing or len(out) <= 1

@@ -6421,6 +6421,46 @@ def q_rank_feature_fns(sf_dir: str):
     return _rerank_topk(lg.union(sg))
 
 
+_UBQ_QUERY = "spark join"
+
+
+def q_update_by_query(sf_dir: str):
+    """ES _update_by_query (metadata path): flag every doc matching
+    'spark join' (OR semantics, the delete_by_query matching contract)
+    in a rewritten docmap — segments untouched, exactly ES's
+    immutable-analyzed-field rule — then report per-turn_idx totals and
+    flagged counts from the UPDATED docmap (proving the rewrite, not
+    the match set, is what's read back)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import update_by_query
+
+    index_dir = _ensure_index(sf_dir)
+    out = os.path.join("/tmp/graft_idx_cache",
+                       "ubq-" + os.path.basename(os.path.normpath(sf_dir)))
+    update_by_query(index_dir, _UBQ_QUERY, out, set_col="flag", set_value=1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"turn_idx": pc.cast(b["turn_idx"], pa.int64()),
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "f": pc.cast(b["flag"], pa.int64())})
+        return t.group_by("turn_idx").aggregate([("one", "sum"), ("f", "sum")])
+
+    agg = (
+        rd.read_parquet(out)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("turn_idx")
+        .aggregate(Sum("one_sum", alias_name="n_docs"),
+                   Sum("f_sum", alias_name="n_flagged"))
+        .to_pandas()
+    )
+    agg = agg.sort_values("turn_idx", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"turn_idx": agg["turn_idx"].astype(np.int64),
+                         "n_docs": agg["n_docs"].astype(np.int64),
+                         "n_flagged": agg["n_flagged"].astype(np.int64)})
+
+
 _GEO_BOX = (10.0, 60.0, -30.0, 40.0)  # lat_min, lat_max, lon_min, lon_max
 _GEO_CELL, _GEO_TOP = 22.5, 10
 
@@ -6809,6 +6849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_feature_fns": q_rank_feature_fns,
         "geo_bbox": q_geo_bbox,
         "geo_grid": q_geo_grid,
+        "update_by_query": q_update_by_query,
     }
 
 
@@ -10695,5 +10736,18 @@ cells AS (
 SELECT cell_y, cell_x, count(*)::BIGINT AS doc_count
 FROM cells GROUP BY 1, 2
 ORDER BY doc_count DESC, cell_y, cell_x LIMIT {_GEO_TOP}
+""",
+        # update_by_query: OR-match flag riding the rewritten docmap.
+        "update_by_query": f"""
+WITH {TRANSCRIPTS_CTE},
+ubq_terms(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(_UBQ_QUERY.split())))}),
+ubq_hit AS (
+  SELECT DISTINCT tok.doc_id FROM tok JOIN ubq_terms u ON u.term = tok.term
+)
+SELECT t.turn_idx::BIGINT AS turn_idx,
+       count(*)::BIGINT AS n_docs,
+       (count(*) FILTER (WHERE h.doc_id IS NOT NULL))::BIGINT AS n_flagged
+FROM transcripts t LEFT JOIN ubq_hit h ON h.doc_id = t.doc_id
+GROUP BY 1 ORDER BY 1
 """,
     }

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Iterable
 
 import numpy as np
@@ -916,3 +917,52 @@ def delete_by_query(index_dir: str, query_text: str) -> int:
     before = load_tombstones(index_dir).size
     delete_docs(index_dir, ids.tolist())
     return int(load_tombstones(index_dir).size - before)
+
+
+def update_by_query(index_dir: str, query_text: str, out_docmap_dir: str,
+                    set_col: str = "flag", set_value: int = 1) -> dict:
+    """ES ``_update_by_query`` — the metadata-update path: docs matching
+    the query (OR over analyzed terms, tombstone-aware — the same
+    matching-set contract as ``delete_by_query``) get ``set_col`` set to
+    ``set_value`` in a NEW docmap written to ``out_docmap_dir``; all
+    other rows carry 0. The posting segments are untouched: indexed
+    text is immutable here exactly as in ES, where analyzed-field
+    changes require a reindex (see :func:`reindex`).
+
+    Scale shape: the match set ships as ONE broadcast sorted id array
+    (matches ≪ corpus); the docmap rewrite is a streaming map_batches →
+    write_parquet pass — nothing corpus-sized materializes, and the
+    write is resumable at parquet-file granularity (finished files are
+    complete; rerun overwrites the directory atomically from the
+    caller's perspective because readers only use it after this
+    function returns the stats dict)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+    from hybrid_sanctions_search_engine_ray.stages.facets import matching_doc_ids
+
+    r = IndexReader(index_dir)
+    ids = np.sort(matching_doc_ids(r, query_text).astype(np.int64))
+    ids_ref = ray.put(ids)
+
+    def upd(b: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if want.size:
+            at = np.searchsorted(want, d)
+            safe = np.minimum(at, want.size - 1)
+            hit = (at < want.size) & (want[safe] == d)
+        else:
+            hit = np.zeros(d.size, dtype=bool)
+        return b.append_column(
+            set_col, pa.array(hit.astype(np.int64) * int(set_value)))
+
+    if os.path.isdir(out_docmap_dir):
+        shutil.rmtree(out_docmap_dir)
+    (
+        rd.read_parquet(os.path.join(index_dir, "docmap.parquet"))
+        .map_batches(upd, batch_format="pyarrow")
+        .write_parquet(out_docmap_dir)
+    )
+    return {"updated": int(ids.size), "total": int(r.manifest.n_docs),
+            "docmap_dir": out_docmap_dir}

@@ -355,3 +355,36 @@ def test_delete_by_query_tombstones_matching_set(ray_session, tmp_path):
     # idempotent / no-match
     assert delete_by_query(idx, "alpha") == 0
     assert delete_by_query(idx, "zzznothing") == 0
+
+
+def test_update_by_query_rewrites_docmap_only(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import update_by_query
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    cfg = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="simple"))
+    texts = ["alpha beta", "beta gamma", "alpha delta", "gamma delta", "epsilon"]
+    rows = [{"conv_id": f"c-{i:04d}", "turn_idx": 0, "role": "user",
+             "text": t, "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+            for i, t in enumerate(texts)]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path / "ubq")
+    build_index("mem", idx, cfg, transcripts_ds=ds)
+
+    out_dm = str(tmp_path / "ubq_docmap")
+    stats = update_by_query(idx, "alpha gamma", out_dm, set_col="flag", set_value=1)
+    assert stats["updated"] == 4 and stats["total"] == 5
+    dm = pads.dataset(out_dm).to_table().to_pandas().sort_values("doc_id")
+    assert dm["flag"].tolist() == [1, 1, 1, 1, 0]  # OR over terms; only 'epsilon' clean
+    assert set(dm.columns) >= {"doc_id", "conv_id", "turn_idx", "flag"}
+    # segments untouched: search through the ORIGINAL index is unchanged
+    res = search(rd.from_items([{"query_id": "q", "query_text": "beta", "top_k": 5}]),
+                 idx, cfg).to_pandas()
+    assert set(res["doc_id"]) == {0, 1}
+    # zero-match query flags nothing
+    stats0 = update_by_query(idx, "zzzz", str(tmp_path / "ubq0"), set_col="flag")
+    dm0 = pads.dataset(str(tmp_path / "ubq0")).to_table().to_pandas()
+    assert stats0["updated"] == 0 and dm0["flag"].sum() == 0

@@ -84,6 +84,14 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("--index", required=True)
     dq.add_argument("--query", required=True)
 
+    uq = sub.add_parser("update-by-query", help="flag matching docs in a rewritten "
+                                                "docmap (ES _update_by_query, metadata path)")
+    uq.add_argument("--index", required=True)
+    uq.add_argument("--query", required=True)
+    uq.add_argument("--out", required=True, help="directory for the updated docmap")
+    uq.add_argument("--set-col", default="flag")
+    uq.add_argument("--set-value", type=int, default=1)
+
     d = sub.add_parser("delete", help="tombstone doc ids (hidden at query, purged at compact)")
     d.add_argument("--index", required=True)
     d.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
@@ -217,6 +225,12 @@ def main(argv: list[str] | None = None) -> int:
 
         n = delete_by_query(args.index, args.query)
         print(json.dumps({"newly_tombstoned": n}))
+    elif args.cmd == "update-by-query":
+        from hybrid_sanctions_search_engine_ray.pipelines.maintenance import update_by_query
+
+        stats = update_by_query(args.index, args.query, args.out,
+                                set_col=args.set_col, set_value=args.set_value)
+        print(json.dumps(stats))
     elif args.cmd == "compact":
         from hybrid_sanctions_search_engine_ray.pipelines.maintenance import compact_index
 

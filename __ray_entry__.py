@@ -3279,6 +3279,24 @@ def q_simhash(sf_dir: str):
     return ds.map_batches(simhash64, batch_format="pyarrow", batch_size=1024)
 
 
+def q_simhash_exact(sf_dir: str):
+    """SimHash with the DuckDB-parity md5 token hash — the SQL-checkable
+    twin of q_simhash: per doc, per bit, majority vote over token
+    OCCURRENCES of bit b of md5_number_upper(term); signature emitted as
+    two's-complement int64. Same vectorized reduceat kernel, different
+    hash — the exact-oracle upgrade for the SimHash family."""
+    from functools import partial as _partial
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import simhash64
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(_partial(simhash64, hasher="md5"),
+                          batch_format="pyarrow", batch_size=1024)
+
+
 def q_fingerprint(sf_dir: str):
     import ray.data as rd
 
@@ -6850,6 +6868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox": q_geo_bbox,
         "geo_grid": q_geo_grid,
         "update_by_query": q_update_by_query,
+        "simhash_exact": q_simhash_exact,
     }
 
 
@@ -10749,5 +10768,27 @@ SELECT t.turn_idx::BIGINT AS turn_idx,
        (count(*) FILTER (WHERE h.doc_id IS NOT NULL))::BIGINT AS n_flagged
 FROM transcripts t LEFT JOIN ubq_hit h ON h.doc_id = t.doc_id
 GROUP BY 1 ORDER BY 1
+""",
+        # SimHash (md5-parity hash): per-bit majority over token
+        # occurrences, packed to a two's-complement int64.
+        "simhash_exact": f"""
+WITH {TRANSCRIPTS_CTE},
+sth AS (SELECT doc_id, md5_number_upper(term) AS h FROM tok),
+sbits AS (
+  SELECT doc_id, b.b,
+         CASE WHEN 2 * sum(((h >> b.b) & 1)::BIGINT) > count(*)
+              THEN 1::HUGEINT ELSE 0::HUGEINT END AS s
+  FROM sth CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+spack AS (
+  SELECT doc_id, sum(s * (1::HUGEINT << b))::HUGEINT AS v FROM sbits GROUP BY doc_id
+)
+SELECT t.doc_id,
+       cast(CASE WHEN coalesce(p.v, 0) >= 9223372036854775808::HUGEINT
+                 THEN coalesce(p.v, 0) - 18446744073709551616::HUGEINT
+                 ELSE coalesce(p.v, 0) END AS BIGINT) AS simhash
+FROM transcripts t LEFT JOIN spack p ON p.doc_id = t.doc_id
+ORDER BY t.doc_id
 """,
     }

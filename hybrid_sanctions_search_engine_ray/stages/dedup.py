@@ -301,16 +301,36 @@ def jaccard_verify(pairs_df: pd.DataFrame, texts: dict[int, str], shingle_k: int
 # --- SimHash ---------------------------------------------------------------
 
 
-def simhash64(batch: pa.Table, cfg: AnalyzerConfig | None = None) -> pa.Table:
+def _token_hashes_md5(tokens: np.ndarray) -> np.ndarray:
+    """64-bit token hashes with DuckDB ``md5_number_upper`` parity
+    (little-endian int of the digest's FIRST 8 bytes — the repo-wide
+    SQL-checkable hash convention); per-batch factorize so each unique
+    token is hashed once."""
+    import pandas as pd
+
+    codes, uniques = pd.factorize(pd.Series(tokens), use_na_sentinel=False)
+    uh = np.empty(len(uniques), dtype=np.uint64)
+    for i, u in enumerate(uniques):
+        b = u.encode("utf-8") if isinstance(u, str) else b""
+        uh[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "little")
+    return uh[codes]
+
+
+def simhash64(batch: pa.Table, cfg: AnalyzerConfig | None = None,
+              hasher: str = "crc") -> pa.Table:
     """doc_id → 64-bit SimHash of token hashes, vectorized: ±1 bit
     weights summed per doc with ``np.add.reduceat`` (parent indices are
-    nondecreasing), sign bits packed back — no per-doc Python loop."""
+    nondecreasing), sign bits packed back — no per-doc Python loop.
+    ``hasher="md5"`` swaps in the DuckDB-parity token hash, making the
+    whole signature SQL-checkable (the exact-oracle variant); "crc" is
+    the faster default shared with the MinHash machinery."""
     cfg = cfg or AnalyzerConfig()
     parent, terms = flat_terms(batch, cfg)
     n = batch.num_rows
     out = np.zeros(n, dtype=np.uint64)
     if len(terms):
-        th = _token_hashes(terms.to_numpy(zero_copy_only=False))
+        hash_fn = _token_hashes_md5 if hasher == "md5" else _token_hashes
+        th = hash_fn(terms.to_numpy(zero_copy_only=False))
         starts = np.flatnonzero(np.concatenate(([True], parent[1:] != parent[:-1])))
         present = parent[starts]
         # bit matrix via unpackbits (C-speed), per-doc ONES counts via

@@ -3297,6 +3297,73 @@ def q_simhash_exact(sf_dir: str):
                           batch_format="pyarrow", batch_size=1024)
 
 
+_MHX_PERMS, _MHX_K = 8, 3
+
+
+def q_minhash_exact(sf_dir: str):
+    """MinHash signatures with full SQL checkability — the exact-oracle
+    upgrade for the LSH family: md5-parity token hashes → polynomial
+    word-3-gram hashes (each uint64 step = mod 2^64, replicated in SQL
+    with HUGEINT arithmetic) → per-permutation min of (a·x+b) mod
+    Mersenne-61 over the doc's grams, for the first 8 seed-7
+    permutations (the same `_perm_params` the production MinHasher
+    draws from). Docs shorter than k tokens are excluded on both sides
+    (the SQL triple-join contract). Same vectorized reduceat kernel as
+    the banded MinHasher — no per-doc loop."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+    from hybrid_sanctions_search_engine_ray.stages.dedup import (
+        _MERSENNE,
+        _gram_hashes,
+        _perm_params,
+        _token_hashes_md5,
+    )
+
+    a, b = _perm_params(_MHX_PERMS)
+    cfg = AnalyzerConfig()
+
+    def sig(batch: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(batch, cfg)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(terms) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "perm": pa.array([], pa.int32()),
+                             "sig": pa.array([], pa.int64())})
+        th = _token_hashes_md5(terms.to_numpy(zero_copy_only=False))
+        grams_all = _gram_hashes(th, _MHX_K)
+        valid = parent[: grams_all.size] == parent[_MHX_K - 1: _MHX_K - 1 + grams_all.size]
+        grams = grams_all[valid]
+        gdoc = parent[: grams_all.size][valid]
+        if grams.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "perm": pa.array([], pa.int32()),
+                             "sig": pa.array([], pa.int64())})
+        vals = (grams.reshape(-1, 1) * a + b) % np.uint64(_MERSENNE)
+        starts = np.flatnonzero(np.concatenate(([True], gdoc[1:] != gdoc[:-1])))
+        present = gdoc[starts]
+        mins = np.minimum.reduceat(vals, starts, axis=0)  # (docs, perms)
+        n_docs, n_perm = mins.shape
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids[present], n_perm)),
+            "perm": pa.array(np.tile(np.arange(n_perm, dtype=np.int32), n_docs)),
+            "sig": pa.array(mins.reshape(-1).astype(np.int64)),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(sig, batch_format="pyarrow", batch_size=1024)
+
+
+def _mhx_perm_values() -> str:
+    from hybrid_sanctions_search_engine_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(_MHX_PERMS)
+    return ", ".join(f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+                     for i in range(_MHX_PERMS))
+
+
 def q_fingerprint(sf_dir: str):
     import ray.data as rd
 
@@ -6869,6 +6936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_grid": q_geo_grid,
         "update_by_query": q_update_by_query,
         "simhash_exact": q_simhash_exact,
+        "minhash_exact": q_minhash_exact,
     }
 
 
@@ -10790,5 +10858,33 @@ SELECT t.doc_id,
                  ELSE coalesce(p.v, 0) END AS BIGINT) AS simhash
 FROM transcripts t LEFT JOIN spack p ON p.doc_id = t.doc_id
 ORDER BY t.doc_id
+""",
+        # MinHash signatures: md5 token hashes → uint64-wrapped poly
+        # 3-grams → min (a·x+b) mod M61 per permutation.
+        "minhash_exact": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+mth AS (SELECT doc_id, pos, md5_number_upper(term)::HUGEINT AS h FROM tokpos),
+mgr AS (
+  SELECT t1.doc_id,
+         (((t1.h * 1000003) % 18446744073709551616::HUGEINT + t2.h)
+            % 18446744073709551616::HUGEINT * 1000003
+            % 18446744073709551616::HUGEINT + t3.h)
+           % 18446744073709551616::HUGEINT AS gram
+  FROM mth t1
+  JOIN mth t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN mth t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+),
+mperm(perm, pa, pb) AS (VALUES {_mhx_perm_values()}),
+msig AS (
+  SELECT g.doc_id, p.perm,
+         min(((g.gram * p.pa) % 18446744073709551616::HUGEINT + p.pb)
+             % 18446744073709551616::HUGEINT
+             % 2305843009213693951::HUGEINT)::BIGINT AS sig
+  FROM mgr g CROSS JOIN mperm p
+  GROUP BY g.doc_id, p.perm
+)
+SELECT doc_id, cast(perm AS int) AS perm, sig
+FROM msig ORDER BY doc_id, perm
 """,
     }

@@ -6577,6 +6577,23 @@ def q_geo_grid(sf_dir: str):
     return geo_grid(ds, "c_custkey", cell_deg=_GEO_CELL, size=_GEO_TOP)
 
 
+_GD_LAT, _GD_LON, _GD_K = 45000, 10000, 10  # origin in milli-degrees
+
+
+def q_geo_distance(sf_dir: str):
+    """ES geo_distance sort, planar-but-EXACT: squared euclidean
+    distance in integer milli-degrees (int64 end-to-end; haversine's
+    sin/asin would put libm ulp into the sort key) — top-10 customers
+    nearest the origin point."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_distance_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    return geo_distance_topk(ds, "c_custkey", _GD_LAT, _GD_LON, k=_GD_K)
+
+
 _GEO_COORDS_SQL = """
   SELECT c_custkey,
          ((c_custkey * 7919) % 180000) / 1000.0 - 90.0 AS lat,
@@ -6937,6 +6954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_by_query": q_update_by_query,
         "simhash_exact": q_simhash_exact,
         "minhash_exact": q_minhash_exact,
+        "geo_distance": q_geo_distance,
     }
 
 
@@ -10886,5 +10904,27 @@ msig AS (
 )
 SELECT doc_id, cast(perm AS int) AS perm, sig
 FROM msig ORDER BY doc_id, perm
+""",
+        # geo_distance: integer milli-degree squared euclidean, top-k.
+        "geo_distance": f"""
+WITH md AS (
+  SELECT c_custkey,
+         (c_custkey * 7919) % 180000 - 90000 AS la,
+         (c_custkey * 104729) % 360000 - 180000 AS lo
+  FROM customer
+),
+gd AS (
+  SELECT c_custkey,
+         (la - {_GD_LAT}) * (la - {_GD_LAT})
+         + (lo - {_GD_LON}) * (lo - {_GD_LON}) AS dist2_mdeg
+  FROM md
+),
+gr AS (
+  SELECT c_custkey, dist2_mdeg,
+         row_number() OVER (ORDER BY dist2_mdeg, c_custkey) AS rnk
+  FROM gd
+)
+SELECT c_custkey, cast(rnk AS int) AS rank, dist2_mdeg::BIGINT AS dist2_mdeg
+FROM gr WHERE rnk <= {_GD_K}
 """,
     }

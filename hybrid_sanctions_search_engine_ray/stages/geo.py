@@ -100,3 +100,31 @@ def geo_grid(ds, key_col: str, cell_deg: float = 22.5,
     return pd.DataFrame({"cell_y": agg["cell_y"].astype(np.int64),
                          "cell_x": agg["cell_x"].astype(np.int64),
                          "doc_count": agg["doc_count"].astype(np.int64)})
+
+
+def geo_distance_topk(ds, key_col: str, lat_md: int, lon_md: int,
+                      k: int = 10) -> pd.DataFrame:
+    """ES ``geo_distance`` sort (planar small-region approximation kept
+    EXACT: squared euclidean distance in integer milli-degrees — int64
+    arithmetic end-to-end, where true haversine's sin/asin would put a
+    libm ulp into the sort key): top-``k`` rows nearest the origin
+    point, ties by key. Per-batch partial top-k → one tiny driver merge
+    (the brute-force-topk pattern)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = (keys * _LAT_P) % 180000 - 90000
+        lo = (keys * _LON_P) % 360000 - 180000
+        d2 = (la - lat_md) ** 2 + (lo - lon_md) ** 2
+        top = np.lexsort((keys, d2))[:k]
+        return pa.table({key_col: pa.array(keys[top]),
+                         "dist2_mdeg": pa.array(d2[top])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["dist2_mdeg", key_col],
+                              kind="mergesort").head(k).reset_index(drop=True)
+    return pd.DataFrame({
+        key_col: parts[key_col].astype(np.int64),
+        "rank": np.arange(1, len(parts) + 1, dtype=np.int32),
+        "dist2_mdeg": parts["dist2_mdeg"].astype(np.int64),
+    })

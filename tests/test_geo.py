@@ -53,3 +53,16 @@ def test_geo_grid_cells_hand_math(ray_session):
     assert out["doc_count"].sum() == 200  # exhaustive, no row lost
     # ordering: count desc then (cell_y, cell_x) asc
     assert out["doc_count"].is_monotonic_decreasing or len(out) <= 1
+
+
+def test_geo_distance_topk_brute(ray_session):
+    df = pd.DataFrame({"c_custkey": np.arange(1, 301, dtype=np.int64)})
+    k = df["c_custkey"].to_numpy()
+    la = (k * 7919) % 180000 - 90000
+    lo = (k * 104729) % 360000 - 180000
+    d2 = (la - 45000) ** 2 + (lo - 10000) ** 2
+    order = np.lexsort((k, d2))[:10]
+    out = geo.geo_distance_topk(_ds(df), "c_custkey", 45000, 10000, k=10)
+    assert out["c_custkey"].tolist() == k[order].tolist()
+    assert out["dist2_mdeg"].tolist() == d2[order].tolist()
+    assert out["rank"].tolist() == list(range(1, 11))

@@ -6577,6 +6577,75 @@ def q_geo_grid(sf_dir: str):
     return geo_grid(ds, "c_custkey", cell_deg=_GEO_CELL, size=_GEO_TOP)
 
 
+FUZZY_RATIO_QUERIES = {
+    "fr1": "join hash",     # transposed word order → token_sort wins
+    "fr2": "tabel scan",    # in-word typo → plain ratio wins
+    "fr3": "slow merge",
+    "fr4": "spark the",
+}
+_FR_TOP = 5
+
+
+def q_fuzzy_ratios(sf_dir: str):
+    """The reference's rapidfuzz escalation tier
+    (fuzzy_search_service.py:38-63): ratio + token_sort_ratio +
+    token_set_ratio combined with the documented RATIO_WEIGHTS, scored
+    against the corpus's distinct word-bigram phrases. Distribution
+    shape: per-batch distinct-phrase partials → one phrase-keyed
+    shuffle → broadcast queries score each phrase batch vectorized-ish
+    (tiny query set × phrase batch) with per-batch top-k partials —
+    the corpus itself never re-shuffles."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import weighted_ratio
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    _cfg = AnalyzerConfig()
+
+    def phrases(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, _cfg)  # the analyzer's tokens
+        t = terms.to_pylist()
+        out = {f"{t[i]} {t[i + 1]}"
+               for i in range(len(t) - 1) if parent[i] == parent[i + 1]}
+        return pa.table({"phrase": pa.array(sorted(out), pa.string())})
+
+    ph = (
+        transcripts_from_documents(sf_dir)
+        .map_batches(phrases, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["phrase"])
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        ps = b["phrase"].to_pylist()
+        qids, phs, scs = [], [], []
+        for qid, q in FUZZY_RATIO_QUERIES.items():
+            sc = np.array([weighted_ratio(q, p) for p in ps])
+            sc4 = _round4(sc)
+            top = np.lexsort((np.array(ps, dtype=object), -sc4))[:_FR_TOP]
+            qids.extend([qid] * top.size)
+            phs.extend([ps[i] for i in top])
+            scs.extend(sc4[top].tolist())
+        return pa.table({"query_id": pa.array(qids, pa.string()),
+                         "phrase": pa.array(phs, pa.string()),
+                         "score": pa.array(scs, pa.float64())})
+
+    parts = ph.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["query_id", "score", "phrase"],
+                              ascending=[True, False, True], kind="mergesort")
+    parts = parts.groupby("query_id", sort=True).head(_FR_TOP).reset_index(drop=True)
+    parts["rank"] = parts.groupby("query_id").cumcount().to_numpy() + 1
+    return pd.DataFrame({"query_id": parts["query_id"],
+                         "rank": parts["rank"].astype(np.int32),
+                         "phrase": parts["phrase"],
+                         "score": parts["score"]})
+
+
 _GD_LAT, _GD_LON, _GD_K = 45000, 10000, 10  # origin in milli-degrees
 
 
@@ -6955,6 +7024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_exact": q_simhash_exact,
         "minhash_exact": q_minhash_exact,
         "geo_distance": q_geo_distance,
+        "fuzzy_ratios": q_fuzzy_ratios,
     }
 
 
@@ -10926,5 +10996,51 @@ gr AS (
 )
 SELECT c_custkey, cast(rnk AS int) AS rank, dist2_mdeg::BIGINT AS dist2_mdeg
 FROM gr WHERE rnk <= {_GD_K}
+""",
+        # rapidfuzz escalation tier: ratio + token_sort + token_set with
+        # the RATIO_WEIGHTS contract, over distinct corpus bigrams.
+        "fuzzy_ratios": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+frp AS (
+  SELECT DISTINCT a.term || ' ' || b.term AS p
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+frq(query_id, q) AS (VALUES {", ".join(f"('{k}', '{v}')" for k, v in FUZZY_RATIO_QUERIES.items())}),
+frl AS (
+  SELECT query_id, q, p,
+         list_sort(list_distinct(string_split(q, ' '))) AS qs,
+         list_sort(list_distinct(string_split(p, ' '))) AS ps
+  FROM frq CROSS JOIN frp
+),
+frt AS (
+  SELECT query_id, q, p,
+         array_to_string(list_sort(string_split(q, ' ')), ' ') AS sq,
+         array_to_string(list_sort(string_split(p, ' ')), ' ') AS sp,
+         array_to_string(list_sort(list_intersect(qs, ps)), ' ') AS t0,
+         array_to_string(list_concat(list_sort(list_intersect(qs, ps)),
+           list_sort(list_filter(qs, x -> NOT list_contains(ps, x)))), ' ') AS t1,
+         array_to_string(list_concat(list_sort(list_intersect(qs, ps)),
+           list_sort(list_filter(ps, x -> NOT list_contains(qs, x)))), ' ') AS t2
+  FROM frl
+),
+frs AS (
+  SELECT query_id, p,
+      0.4 * (100.0 * (1.0 - levenshtein(q, p) / greatest(length(q), length(p), 1)))
+    + 0.35 * (100.0 * (1.0 - levenshtein(sq, sp) / greatest(length(sq), length(sp), 1)))
+    + 0.25 * greatest(
+        100.0 * (1.0 - levenshtein(t0, t1) / greatest(length(t0), length(t1), 1)),
+        100.0 * (1.0 - levenshtein(t0, t2) / greatest(length(t0), length(t2), 1)),
+        100.0 * (1.0 - levenshtein(t1, t2) / greatest(length(t1), length(t2), 1))
+      ) AS s
+  FROM frt
+),
+frr AS (
+  SELECT query_id, p AS phrase, round(s, 4) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(s, 4) DESC, p) AS rnk
+  FROM frs
+)
+SELECT query_id, cast(rnk AS int) AS rank, phrase, score
+FROM frr WHERE rnk <= {_FR_TOP}
 """,
     }

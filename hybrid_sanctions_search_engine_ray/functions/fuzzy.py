@@ -123,6 +123,67 @@ def similarity_ratio(a: str, b: str) -> float:
     return 1.0 - levenshtein(ab, bb) / m
 
 
+def ratio100(a: str, b: str) -> float:
+    """100·(1 − lev/max(len)) over characters — the SQL-checkable
+    normalization of the rapidfuzz ``ratio`` (DuckDB ``levenshtein``
+    parity; rapidfuzz's own ratio uses indel distance, which SQL
+    lacks — the deviation is documented here and in the oracle)."""
+    m = max(len(a), len(b), 1)
+    return 100.0 * (1.0 - levenshtein(a, b) / m)
+
+
+def token_sort_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``token_sort_ratio``: ratio over the space-joined
+    SORTED token multisets — word-order-invariant matching
+    (reference escalation: fuzzy_search_service.py:38-63)."""
+    sa = " ".join(sorted(a.split()))
+    sb = " ".join(sorted(b.split()))
+    return ratio100(sa, sb)
+
+
+def token_set_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``token_set_ratio``: with t0 = sorted intersection,
+    t1 = t0 + sorted(a−b), t2 = t0 + sorted(b−a), the max of the three
+    pairwise ratios — subset queries score ~100 against supersets."""
+    ta, tb = set(a.split()), set(b.split())
+    t0 = " ".join(sorted(ta & tb))
+    t1 = " ".join(sorted(ta & tb) + sorted(ta - tb)).strip()
+    t2 = " ".join(sorted(ta & tb) + sorted(tb - ta)).strip()
+    return max(ratio100(t0, t1), ratio100(t0, t2), ratio100(t1, t2))
+
+
+def partial_ratio(a: str, b: str) -> float:
+    """rapidfuzz ``partial_ratio`` (word-boundary form): the best ratio
+    of the SHORTER string against every same-token-count window of the
+    longer — substring matches score ~100. Window set is word-aligned
+    (not every char offset), keeping the kernel O(words); used by the
+    Python escalation path and pytest-verified (not in the SQL twin)."""
+    if len(a.split()) > len(b.split()):
+        a, b = b, a
+    wa, wb = a.split(), b.split()
+    if not wa:
+        return 100.0 if not wb else 0.0
+    best = 0.0
+    for i in range(len(wb) - len(wa) + 1):
+        best = max(best, ratio100(a, " ".join(wb[i: i + len(wa)])))
+    return best
+
+
+#: the reference's per-algorithm escalation weights
+#: (fuzzy_search_service.py:38-63 shape; values are this engine's
+#: documented contract, shared verbatim with the SQL twin)
+RATIO_WEIGHTS = (0.4, 0.35, 0.25)  # (ratio, token_sort, token_set)
+
+
+def weighted_ratio(a: str, b: str) -> float:
+    """The escalation combination: w1·ratio + w2·token_sort +
+    w3·token_set with :data:`RATIO_WEIGHTS` (left-to-right sum — the
+    FP-order contract the SQL twin replicates)."""
+    w1, w2, w3 = RATIO_WEIGHTS
+    return w1 * ratio100(a, b) + w2 * token_sort_ratio(a, b) \
+        + w3 * token_set_ratio(a, b)
+
+
 class FuzzyExpander:
     """Actor-pool callable: vocabulary batch → (q_term, term, dist)
     candidate rows for every query term within ``max_dist`` edits.

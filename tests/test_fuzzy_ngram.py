@@ -288,3 +288,23 @@ def test_fuzzy_expand_damerau_metric(ray_session):
     assert set(dl["term"]) == {"jion", "join", "lion"}
     lev = fuzzy_expand(vocab, ["jion"], max_dist=1, topn=10).to_pandas()
     assert set(lev["term"]) == {"jion", "lion"}
+
+
+def test_ratio_family_hand_math():
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import (
+        partial_ratio, ratio100, token_set_ratio, token_sort_ratio, weighted_ratio)
+
+    assert ratio100("abc", "abc") == 100.0
+    assert ratio100("abc", "abd") == 100.0 * (1 - 1 / 3)
+    # word transposition: plain ratio low, token_sort exact
+    assert token_sort_ratio("hash join", "join hash") == 100.0
+    assert ratio100("hash join", "join hash") < 100.0
+    # subset vs superset: token_set forgives the extra token
+    assert token_set_ratio("hash join", "hash join fast") == 100.0
+    # word-boundary partial: substring window scores 100
+    assert partial_ratio("hash join", "the hash join runs") == 100.0
+    assert partial_ratio("", "") == 100.0
+    # weighted combination respects the documented left-to-right order
+    w = weighted_ratio("hash join", "join hash")
+    assert abs(w - (0.4 * ratio100("hash join", "join hash")
+                    + 0.35 * 100.0 + 0.25 * 100.0)) < 1e-12

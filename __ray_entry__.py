@@ -3436,6 +3436,28 @@ def q_topk_sketch(sf_dir: str):
     return top_terms_sketch(transcripts_from_documents(sf_dir), _engine_cfg().analyzer, k=20)
 
 
+_TKX_K = 15
+
+
+def q_topk_sketch_exact(sf_dir: str):
+    """The SpaceSaving sketch run where its own error bound PROVES
+    exactness: capacity ≥ vocabulary ⇒ every counter is exact
+    (max_error 0), so the sketch pipeline — per-batch sketch partials →
+    tree merge — must equal plain counting, and the oracle checks it
+    value-for-value. The query asserts the bound (raises if any
+    max_error ≠ 0) before dropping the error column, so a capacity
+    regression fails loudly rather than drifting."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.sketch_ops import top_terms_sketch
+
+    out = top_terms_sketch(transcripts_from_documents(sf_dir),
+                           _engine_cfg().analyzer, capacity=4096, k=_TKX_K)
+    if len(out) and int(out["max_error"].abs().max()) != 0:
+        raise AssertionError("capacity < vocabulary: sketch no longer exact")
+    return pd.DataFrame({"term": out["term"],
+                         "est_count": out["est_count"].astype(np.int64)})
+
+
 def q_distinct_sketch(sf_dir: str):
     from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
     from hybrid_sanctions_search_engine_ray.stages.sketch_ops import distinct_terms_hll
@@ -7025,6 +7047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_exact": q_minhash_exact,
         "geo_distance": q_geo_distance,
         "fuzzy_ratios": q_fuzzy_ratios,
+        "topk_sketch_exact": q_topk_sketch_exact,
     }
 
 
@@ -11042,5 +11065,13 @@ frr AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, phrase, score
 FROM frr WHERE rnk <= {_FR_TOP}
+""",
+        # SpaceSaving at capacity >= vocabulary: the sketch IS exact
+        # counting, and the engine asserts its own error bound says so.
+        "topk_sketch_exact": f"""
+WITH {TRANSCRIPTS_CTE},
+tkc AS (SELECT term, count(*)::BIGINT AS est_count FROM tok GROUP BY term)
+SELECT term, est_count FROM tkc
+ORDER BY est_count DESC, term LIMIT {_TKX_K}
 """,
     }

@@ -110,3 +110,80 @@ def test_quantiles_match_numpy_selection(ray_session, vals, nparts):
     for q in qs:
         want = s[_disc_index(Fraction(str(q)), len(vals))]
         assert float(got.loc[got["q"] == q, "value"].iloc[0]) == float(want)
+
+
+# --- session-8 kernels: Damerau, ratio family, grid cells ---------------------
+
+from hybrid_sanctions_search_engine_ray.functions.fuzzy import (  # noqa: E402
+    damerau_levenshtein,
+    levenshtein,
+    ratio100,
+    token_set_ratio,
+    token_sort_ratio,
+)
+
+_W = st.text(alphabet="abcde", max_size=7)
+
+
+def _dl_brute(a: str, b: str) -> int:
+    """Reference unrestricted Damerau-Levenshtein (textbook DP with the
+    last-seen-character table), independent of the production kernel."""
+    da = {}
+    maxd = len(a) + len(b)
+    d = [[maxd] * (len(b) + 2) for _ in range(len(a) + 2)]
+    for i in range(len(a) + 1):
+        d[i + 1][1] = i
+    for j in range(len(b) + 1):
+        d[1][j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            k, l = da.get(b[j - 1], 0), db
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                db = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost, d[i + 1][j] + 1, d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1))
+        da[a[i - 1]] = i
+    return d[len(a) + 1][len(b) + 1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(_W, _W)
+def test_damerau_matches_textbook_dp(a, b):
+    got = damerau_levenshtein(a, b)
+    assert got == _dl_brute(a, b)
+    assert got == damerau_levenshtein(b, a)            # symmetry
+    assert got <= levenshtein(a, b)                    # transpositions only help
+    assert got >= abs(len(a) - len(b))                 # length lower bound
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=4),
+                min_size=1, max_size=5),
+       st.lists(st.text(alphabet="abcd", min_size=1, max_size=4),
+                min_size=1, max_size=5))
+def test_ratio_family_properties(wa, wb):
+    a, b = " ".join(wa), " ".join(wb)
+    for fn in (ratio100, token_sort_ratio, token_set_ratio):
+        v = fn(a, b)
+        assert 0.0 <= v <= 100.0
+        assert fn(a, b) == fn(b, a)                    # symmetry
+        assert fn(a, a) == 100.0                       # identity
+    # token_sort is word-order invariant
+    assert token_sort_ratio(a, " ".join(reversed(wb))) == token_sort_ratio(a, b)
+    # token_set forgives pure-subset differences entirely
+    assert token_set_ratio(a, a + " " + a.split()[0]) == 100.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=50))
+def test_geo_grid_cells_in_range(keys):
+    from hybrid_sanctions_search_engine_ray.stages.geo import derive_coords
+
+    lat, lon = derive_coords(np.asarray(keys, dtype=np.int64))
+    cy = np.floor((lat + 90.0) / 22.5)
+    cx = np.floor((lon + 180.0) / 22.5)
+    assert ((cy >= 0) & (cy < 8)).all() and ((cx >= 0) & (cx < 16)).all()

@@ -6630,10 +6630,15 @@ def q_fuzzy_ratios(sf_dir: str):
 
     def phrases(b: pa.Table) -> pa.Table:
         parent, terms = flat_terms(b, _cfg)  # the analyzer's tokens
-        t = terms.to_pylist()
-        out = {f"{t[i]} {t[i + 1]}"
-               for i in range(len(t) - 1) if parent[i] == parent[i + 1]}
-        return pa.table({"phrase": pa.array(sorted(out), pa.string())})
+        if len(terms) < 2:
+            return pa.table({"phrase": pa.array([], pa.string())})
+        # vectorized adjacent-pair join (numpy str kernel), doc-boundary
+        # masked — no per-token Python loop in this corpus-sized stage
+        t = terms.to_numpy(zero_copy_only=False).astype(object)
+        mask = parent[:-1] == parent[1:]
+        pairs = np.char.add(np.char.add(t[:-1][mask].astype(str), " "),
+                            t[1:][mask].astype(str))
+        return pa.table({"phrase": pa.array(np.unique(pairs))})
 
     ph = (
         transcripts_from_documents(sf_dir)

@@ -6481,6 +6481,48 @@ def q_random_sampler(sf_dir: str):
     return random_sampler_agg(ds, "event_id", "value", mod=_RS_MOD, salt="-rs")
 
 
+_TI_INCLUDE, _TI_EXCLUDE, _TI_SIZE = "^src[0-9]*[02468]$", "^src4$", 10
+
+
+def q_terms_include(sf_dir: str):
+    """ES terms agg with include/exclude REGEX filtering: only terms
+    matching ``include`` and not ``exclude`` enter the buckets (the
+    value-filtering knob next to include.partition). RE2 applied to the
+    per-batch DISTINCT terms inside the partial — non-members never
+    shuffle."""
+    import re as _re
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    inc, exc = _re.compile(_TI_INCLUDE), _re.compile(_TI_EXCLUDE)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["source"]).group_by(["source"]).aggregate([([], "count_all")])
+        terms = g["source"].to_pylist()
+        keep = np.array([bool(inc.search(t)) and not exc.search(t)
+                         for t in terms], dtype=bool) if terms else np.zeros(0, bool)
+        t = pa.table({"term": g["source"],
+                      "c_p": pc.cast(g["count_all"], pa.int64())})
+        return t.filter(pa.array(keep))
+
+    agg = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_p", alias_name="doc_count"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "doc_count": pd.Series([], dtype=np.int64)})
+    agg = agg.sort_values(["doc_count", "term"], ascending=[False, True],
+                          kind="mergesort").head(_TI_SIZE).reset_index(drop=True)
+    return pd.DataFrame({"term": agg["term"],
+                         "doc_count": agg["doc_count"].astype(np.int64)})
+
+
 _TP_PARTS, _TP_PART, _TP_SIZE = 3, 1, 10
 
 
@@ -7053,6 +7095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance": q_geo_distance,
         "fuzzy_ratios": q_fuzzy_ratios,
         "topk_sketch_exact": q_topk_sketch_exact,
+        "terms_include": q_terms_include,
     }
 
 
@@ -11078,5 +11121,16 @@ WITH {TRANSCRIPTS_CTE},
 tkc AS (SELECT term, count(*)::BIGINT AS est_count FROM tok GROUP BY term)
 SELECT term, est_count FROM tkc
 ORDER BY est_count DESC, term LIMIT {_TKX_K}
+""",
+        # terms agg include/exclude regex (RE2 verbatim both sides).
+        "terms_include": f"""
+WITH c AS (
+  SELECT source AS term, count(*)::BIGINT AS doc_count
+  FROM documents GROUP BY source
+)
+SELECT term, doc_count FROM c
+WHERE regexp_matches(term, '{_TI_INCLUDE}')
+  AND NOT regexp_matches(term, '{_TI_EXCLUDE}')
+ORDER BY doc_count DESC, term LIMIT {_TI_SIZE}
 """,
     }

@@ -6715,6 +6715,29 @@ def q_fuzzy_ratios(sf_dir: str):
                          "score": parts["score"]})
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Incremental-backup changed-set (ES snapshot-diff analog): two
+    snapshots of the live index compared partition-by-partition via the
+    stored checksums — O(partitions) metadata reads, the primitive that
+    lets a 100-TB backup re-ship only changed partitions. Rows-only
+    check (pure manifest metadata, no SQL surface); the status logic is
+    pytest-verified incl. changed/added/removed simulation."""
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        snapshot_diff,
+        snapshot_index,
+    )
+
+    index_dir = _ensure_index(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    a = f"/tmp/graft_idx_cache/snapdiff-{tag}-a"
+    b = f"/tmp/graft_idx_cache/snapdiff-{tag}-b"
+    for d in (a, b):
+        if not os.path.exists(os.path.join(d, "snapshot.json")):
+            shutil.rmtree(d, ignore_errors=True)
+            snapshot_index(index_dir, d)
+    return snapshot_diff(a, b)
+
+
 _GD_LAT, _GD_LON, _GD_K = 45000, 10000, 10  # origin in milli-degrees
 
 
@@ -7096,6 +7119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_ratios": q_fuzzy_ratios,
         "topk_sketch_exact": q_topk_sketch_exact,
         "terms_include": q_terms_include,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 

@@ -388,3 +388,46 @@ def test_update_by_query_rewrites_docmap_only(ray_session, tmp_path):
     stats0 = update_by_query(idx, "zzzz", str(tmp_path / "ubq0"), set_col="flag")
     dm0 = pads.dataset(str(tmp_path / "ubq0")).to_table().to_pandas()
     assert stats0["updated"] == 0 and dm0["flag"].sum() == 0
+
+
+def test_snapshot_diff_statuses(ray_session, tmp_path):
+    import json
+    import shutil
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        snapshot_diff, snapshot_index)
+    from hybrid_sanctions_search_engine_ray.state.manifest import segment_dir
+
+    cfg = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="simple"))
+    rows = [{"conv_id": f"c-{i:04d}", "turn_idx": 0, "role": "user",
+             "text": t, "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+            for i, t in enumerate(["alpha beta", "gamma delta", "epsilon zeta",
+                                   "eta theta", "iota kappa"])]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path / "sd_idx")
+    build_index("mem", idx, cfg, transcripts_ds=ds)
+    a, b = str(tmp_path / "snap_a"), str(tmp_path / "snap_b")
+    snapshot_index(idx, a)
+    snapshot_index(idx, b)
+
+    d0 = snapshot_diff(a, b)
+    assert (d0["status"] == "unchanged").all() and len(d0) > 0
+
+    # simulate one changed + one removed partition in snapshot b
+    parts = sorted(d0["partition"])
+    ch, rm = parts[0], parts[-1]
+    mf = f"{segment_dir(b, ch)}/meta.json"
+    meta = json.load(open(mf))
+    meta["checksum_head_crc32"] = (meta.get("checksum_head_crc32") or 0) + 1
+    json.dump(meta, open(mf, "w"))
+    shutil.rmtree(segment_dir(b, rm))
+
+    d1 = snapshot_diff(a, b).set_index("partition")["status"]
+    assert d1[ch] == "changed" and d1[rm] == "removed"
+    assert (d1.drop([ch, rm]) == "unchanged").all()
+    # symmetric view: the dropped partition reads as added from b→a
+    d2 = snapshot_diff(b, a).set_index("partition")["status"]
+    assert d2[rm] == "added"

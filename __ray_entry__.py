@@ -6715,6 +6715,24 @@ def q_fuzzy_ratios(sf_dir: str):
                          "score": parts["score"]})
 
 
+_EMX_DIM = 16
+
+
+def q_embed_exact(sf_dir: str):
+    """Feature-hash embedding generation, exact-oracle: every coordinate
+    of every document's unit vector checked against the SQL twin
+    (md5-parity token hashes, UHUGEINT-replicated uint64 mix, signed
+    bucket counts, one round4 L2 normalization) — the SQL-checkable
+    upgrade of the rows-only embed_docs pipeline."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import embed_documents_exact
+
+    return embed_documents_exact(transcripts_from_documents(sf_dir),
+                                 dim=_EMX_DIM, analyzer_cfg=_engine_cfg().analyzer)
+
+
 def q_snapshot_diff(sf_dir: str):
     """Incremental-backup changed-set (ES snapshot-diff analog): two
     snapshots of the live index compared partition-by-partition via the
@@ -7120,6 +7138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sketch_exact": q_topk_sketch_exact,
         "terms_include": q_terms_include,
         "snapshot_diff": q_snapshot_diff,
+        "embed_exact": q_embed_exact,
     }
 
 
@@ -11156,5 +11175,37 @@ SELECT term, doc_count FROM c
 WHERE regexp_matches(term, '{_TI_INCLUDE}')
   AND NOT regexp_matches(term, '{_TI_EXCLUDE}')
 ORDER BY doc_count DESC, term LIMIT {_TI_SIZE}
+""",
+        # exact feature-hash embeddings: md5 hashes, UHUGEINT mod-2^64
+        # mix, signed bucket counts, round4 L2 normalization.
+        "embed_exact": f"""
+WITH {TRANSCRIPTS_CTE},
+eth AS (
+  SELECT doc_id,
+         (md5_number_upper(term)::UHUGEINT * 11400714819323198485::UHUGEINT
+          + 9172280023384029625::UHUGEINT) % 18446744073709551616::UHUGEINT AS m
+  FROM tok
+),
+ev AS (
+  SELECT doc_id, (m % {_EMX_DIM})::BIGINT AS dim,
+         sum(CASE WHEN (m >> 63) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS v
+  FROM eth GROUP BY 1, 2
+),
+egrid AS (
+  SELECT t.doc_id, d.dim
+  FROM transcripts t
+  CROSS JOIN (SELECT unnest(generate_series(0, {_EMX_DIM - 1}))::BIGINT AS dim) d
+),
+evf AS (
+  SELECT g.doc_id, g.dim, coalesce(ev.v, 0)::BIGINT AS v
+  FROM egrid g LEFT JOIN ev ON ev.doc_id = g.doc_id AND ev.dim = g.dim
+),
+enrm AS (
+  SELECT doc_id, sqrt(sum(v * v)::DOUBLE) AS n FROM evf GROUP BY doc_id
+)
+SELECT f.doc_id, f.dim,
+       round(CASE WHEN m.n = 0 THEN 0.0 ELSE f.v / m.n END, 4) AS val
+FROM evf f JOIN enrm m ON m.doc_id = f.doc_id
+ORDER BY f.doc_id, f.dim
 """,
     }

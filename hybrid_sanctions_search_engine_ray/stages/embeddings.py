@@ -232,3 +232,49 @@ def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
     out = out.sort_values([label_col, "dim"], kind="mergesort").reset_index(drop=True)
     out["dim"] = out["dim"].astype(np.int64)
     return out[[label_col, "dim", "centroid", "n_vectors"]]
+
+
+_EXA_MIX_A = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-ratio odd constant
+_EXA_MIX_B = np.uint64(0x7F4A7C159E3779B9)
+
+
+def embed_documents_exact(ds, dim: int = 16,
+                          analyzer_cfg: AnalyzerConfig | None = None):
+    """Feature-hash embeddings with FULL SQL checkability — the
+    exact-oracle twin of :func:`embed_documents`: md5-parity token
+    hashes, one uint64 wrap-mix (``h·A + B`` — mod-2^64 replicated with
+    UHUGEINT in the SQL twin), bucket = ``mix % dim``, sign = bit 63,
+    per-doc signed integer counts, then ONE L2 normalization (the only
+    float; emitted round4). Long format (doc_id, dim, val) with zero
+    buckets materialized, so the oracle compares every coordinate of
+    every document's vector. Same streaming shape as the production
+    embedder: tokenize → scatter-add per batch, nothing corpus-sized."""
+    import pandas as pd
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+    from hybrid_sanctions_search_engine_ray.stages.dedup import _token_hashes_md5
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    cfg = analyzer_cfg or AnalyzerConfig()
+
+    def embed(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg)
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.num_rows
+        vec = np.zeros((n, dim), dtype=np.int64)
+        if len(terms):
+            h = _token_hashes_md5(terms.to_numpy(zero_copy_only=False))
+            m = h * _EXA_MIX_A + _EXA_MIX_B  # uint64 wrap = the mix
+            bucket = (m % np.uint64(dim)).astype(np.int64)
+            sign = np.where((m >> np.uint64(63)) & np.uint64(1), -1, 1)
+            np.add.at(vec, (parent, bucket), sign)
+        norm = np.sqrt((vec.astype(np.float64) ** 2).sum(axis=1))
+        norm = np.where(norm == 0.0, 1.0, norm)
+        vals = round_half_away(vec / norm[:, None], 4)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+            "val": pa.array(vals.ravel()),
+        })
+
+    return ds.map_batches(embed, batch_format="pyarrow")

@@ -3364,6 +3364,53 @@ def _mhx_perm_values() -> str:
                      for i in range(_MHX_PERMS))
 
 
+_FPX_K = 4
+
+
+def q_fingerprint_exact(sf_dir: str):
+    """Winnowing-style fingerprint with the md5-parity hash — the
+    SQL-checkable twin of q_fingerprint: per doc, min over word-4-gram
+    polynomial hashes (uint64 wrap chain = HUGEINT mod-2^64 in SQL),
+    emitted as two's-complement int64. Docs shorter than k tokens are
+    excluded on both sides (the SQL join contract; none exist in this
+    corpus)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+    from hybrid_sanctions_search_engine_ray.stages.dedup import (
+        _gram_hashes,
+        _token_hashes_md5,
+    )
+
+    cfg = AnalyzerConfig()
+
+    def fp(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg)
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(terms) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fingerprint": pa.array([], pa.int64())})
+        th = _token_hashes_md5(terms.to_numpy(zero_copy_only=False))
+        grams_all = _gram_hashes(th, _FPX_K)
+        valid = parent[: grams_all.size] == parent[_FPX_K - 1: _FPX_K - 1 + grams_all.size]
+        grams = grams_all[valid]
+        gdoc = parent[: grams_all.size][valid]
+        if grams.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fingerprint": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.concatenate(([True], gdoc[1:] != gdoc[:-1])))
+        mins = np.minimum.reduceat(grams, starts)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[gdoc[starts]]),
+            "fingerprint": pa.array(mins.view(np.int64)),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=1024)
+
+
 def q_fingerprint(sf_dir: str):
     import ray.data as rd
 
@@ -7139,6 +7186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_include": q_terms_include,
         "snapshot_diff": q_snapshot_diff,
         "embed_exact": q_embed_exact,
+        "fingerprint_exact": q_fingerprint_exact,
     }
 
 
@@ -11207,5 +11255,31 @@ SELECT f.doc_id, f.dim,
        round(CASE WHEN m.n = 0 THEN 0.0 ELSE f.v / m.n END, 4) AS val
 FROM evf f JOIN enrm m ON m.doc_id = f.doc_id
 ORDER BY f.doc_id, f.dim
+""",
+        # fingerprint: min word-4-gram polynomial hash (md5 parity,
+        # uint64 wrap chain in UHUGEINT), unsigned min → int64.
+        "fingerprint_exact": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+fth AS (SELECT doc_id, pos, md5_number_upper(term)::UHUGEINT AS h FROM tokpos),
+fgr AS (
+  SELECT t1.doc_id,
+         ((((((t1.h * 1000003) % 18446744073709551616::UHUGEINT + t2.h)
+             % 18446744073709551616::UHUGEINT) * 1000003
+             % 18446744073709551616::UHUGEINT + t3.h)
+             % 18446744073709551616::UHUGEINT) * 1000003
+             % 18446744073709551616::UHUGEINT + t4.h)
+           % 18446744073709551616::UHUGEINT AS gram
+  FROM fth t1
+  JOIN fth t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN fth t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+  JOIN fth t4 ON t4.doc_id = t1.doc_id AND t4.pos = t1.pos + 3
+),
+fmn AS (SELECT doc_id, min(gram) AS v FROM fgr GROUP BY doc_id)
+SELECT doc_id,
+       cast(CASE WHEN v >= 9223372036854775808::UHUGEINT
+                 THEN v::HUGEINT - 18446744073709551616::HUGEINT
+                 ELSE v::HUGEINT END AS BIGINT) AS fingerprint
+FROM fmn ORDER BY doc_id
 """,
     }

@@ -6762,6 +6762,44 @@ def q_fuzzy_ratios(sf_dir: str):
                          "score": parts["score"]})
 
 
+TERMS_SET_QUERIES = {
+    "ts1": "spark join filter",
+    "ts2": "merge sort batch group",
+    "ts3": "vector hash",
+}
+
+
+def q_terms_set(sf_dir: str):
+    """ES terms_set query: minimum match count comes from each DOC's
+    own field (minimum_should_match_field = turn_idx, clamped to
+    [1, n_terms]) — late turns demand more of the query's terms. One
+    concat+unique over posting lists per query, field via the docmap
+    gather; survivors score as bool-should BM25."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import terms_set_search
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items([{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K * 4}
+                        for qid, t in TERMS_SET_QUERIES.items()])
+    return _rerank_topk(terms_set_search(qs, index_dir, "turn_idx", _engine_cfg()))
+
+
+def _ts_qterms_values() -> str:
+    rows = []
+    for qid, text in TERMS_SET_QUERIES.items():
+        for t in sorted(set(text.lower().split())):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def _ts_nterms_values() -> str:
+    return ", ".join(
+        f"('{qid}', {len(set(text.lower().split()))})"
+        for qid, text in TERMS_SET_QUERIES.items()
+    )
+
+
 _EMX_DIM = 16
 
 
@@ -7187,6 +7225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "embed_exact": q_embed_exact,
         "fingerprint_exact": q_fingerprint_exact,
+        "terms_set": q_terms_set,
     }
 
 
@@ -11281,5 +11320,38 @@ SELECT doc_id,
                  THEN v::HUGEINT - 18446744073709551616::HUGEINT
                  ELSE v::HUGEINT END AS BIGINT) AS fingerprint
 FROM fmn ORDER BY doc_id
+""",
+        # terms_set: per-doc minimum_should_match_field = turn_idx,
+        # clamped to [1, n_terms]; survivors score bool-should BM25.
+        "terms_set": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_ts_qterms_values()}),
+tsn(query_id, n_terms) AS (VALUES {_ts_nterms_values()}),
+tsm AS (
+  SELECT q.query_id, tf.doc_id,
+         count(DISTINCT tf.term)::BIGINT AS matched,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+tsk AS (
+  SELECT m.query_id, m.doc_id, m.score
+  FROM tsm m
+  JOIN transcripts t ON t.doc_id = m.doc_id
+  JOIN tsn n ON n.query_id = m.query_id
+  WHERE m.matched >= least(greatest(t.turn_idx, 1), n.n_terms)
+),
+tsr AS (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM tsk
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
+FROM tsr WHERE rnk <= {BM25_TOP_K}
 """,
     }

@@ -989,6 +989,80 @@ def sparse_vector_search(queries_ds, index_dir: str,
     )
 
 
+class TermsSetScorer:
+    """ES ``terms_set`` query: a should-style term disjunction whose
+    minimum match count comes from a PER-DOCUMENT field
+    (``minimum_should_match_field``) — doc d qualifies iff it contains
+    at least ``clamp(field(d), 1, n_terms)`` distinct query terms.
+    The field rides the docmap (one doc-id-sorted read in ``__init__``,
+    the FeatureScorer pattern); per query the matched-term counts come
+    from one concat+unique over the terms' posting lists — no per-doc
+    loop. Survivors score as the BM25 sum of their matched terms (the
+    ES bool-should contract)."""
+
+    def __init__(self, index_dir: str, field_key: str = "turn_idx",
+                 default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        dm = pads.dataset(os.path.join(index_dir, "docmap.parquet")).to_table(
+            columns=["doc_id", field_key])
+        ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        self.dm_ids = ids[order]
+        self.field = (dm[field_key].take(pa.array(order))
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for t in batch["query_text"]:
+            union.update(self.reader.analyzer(t))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, text) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(text)))
+            postings = self.reader.load_postings(terms)
+            present = [t for t in terms if t in postings and postings[t].doc_ids.size]
+            if not present:
+                continue
+            d_all = np.concatenate([postings[t].doc_ids.astype(np.int64)
+                                    for t in present])
+            s_all = np.concatenate([postings[t].factors * postings[t].idf
+                                    for t in present])
+            uniq, inv = np.unique(d_all, return_inverse=True)
+            matched = np.bincount(inv, minlength=uniq.size)
+            scores = np.bincount(inv, weights=s_all, minlength=uniq.size)
+            at = np.searchsorted(self.dm_ids, uniq)
+            need = np.clip(self.field[at], 1, len(terms))
+            hit = matched >= need
+            if not hit.any():
+                continue
+            d, s = topk_desc(uniq[hit].astype(np.uint64), scores[hit], k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def terms_set_search(queries_ds, index_dir: str, field_key: str = "turn_idx",
+                     cfg: EngineConfig = DEFAULT_CONFIG):
+    """terms_set with minimum_should_match_field; queries carry
+    (query_id, query_text[, top_k])."""
+    return queries_ds.map_batches(
+        TermsSetScorer,
+        fn_constructor_args=(index_dir, field_key, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
 class CrossFieldsScorer:
     """ES ``multi_match`` type=``cross_fields``: TERM-centric — each
     query term looks for its best field (dis_max per term, default

@@ -1106,3 +1106,24 @@ def test_sparse_vector_exact_dot_product(feat_index):
     z = sfeat.SparseVectorScorer(feat_index, {"z": {"qqqq": 5}})(
         pd.DataFrame({"query_id": ["z"], "top_k": [10]}))
     assert len(z) == 0
+
+
+def test_terms_set_per_doc_threshold(feat_index):
+    # turn_idx = doc_id % 3 in the fixture; required = clamp(turn_idx, 1, n)
+    scorer = sfeat.TermsSetScorer(feat_index, field_key="turn_idx")
+    out = scorer(pd.DataFrame({"query_id": ["q"],
+                               "query_text": ["alpha beta gamma"],
+                               "top_k": [20]}))
+    r = IndexReader(feat_index)
+    posts = r.load_postings(["alpha", "beta", "gamma"])
+    import numpy as np  # noqa: F811
+    want = set()
+    for d in range(9):
+        matched = sum(1 for t in posts
+                      if d in posts[t].doc_ids.astype(np.int64).tolist())
+        need = min(max(d % 3, 1), 3)
+        if matched >= need:
+            want.add(d)
+    assert set(out["doc_id"]) == want
+    # doc 5 "beta beta gamma zeta": turn 2, matches only beta+gamma = 2 >= 2 ✓
+    assert 5 in want

@@ -6800,6 +6800,76 @@ def _ts_nterms_values() -> str:
     )
 
 
+def q_dataset_card(sf_dir: str):
+    """The dataset-card stats block a curation pipeline publishes with a
+    corpus: doc/token/vocab/source cardinalities, exact-duplicate count
+    (md5 of text — the exact_dedup rule), and mean doc length — every
+    number exact. ONE tokenize pass feeds tokens+vocab partials; dup
+    counts ride the md5 groupby; everything else is per-batch partials
+    + scalar merges."""
+    import hashlib as _hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    cfg = AnalyzerConfig()
+    ts = transcripts_from_documents(sf_dir)
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg)
+        g = pa.table({"term": terms}).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"],
+                         "c_p": pc.cast(g["count_all"], pa.int64())})
+
+    vocab = (
+        ts.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_p", alias_name="cf"))
+        .to_pandas()  # vocabulary-sized, not corpus-sized
+    )
+    n_tokens = int(vocab["cf"].sum()) if len(vocab) else 0
+    vocab_size = int(len(vocab))
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "source"])
+
+    def dup_partial(b: pa.Table) -> pa.Table:
+        h = [_hashlib.md5((t or "").encode("utf-8")).hexdigest()
+             for t in b["text"].to_pylist()]
+        g = pa.table({"h": pa.array(h), "src": b["source"]})
+        gg = g.group_by("h").aggregate([([], "count_all")])
+        s = g.group_by("src").aggregate([([], "count_all")])
+        return pa.table({
+            "key": pa.array(["h:" + x for x in gg["h"].to_pylist()]
+                            + ["s:" + x for x in s["src"].to_pylist()]),
+            "c_p": pa.concat_arrays([pc.cast(gg["count_all"], pa.int64()).combine_chunks(),
+                                     pc.cast(s["count_all"], pa.int64()).combine_chunks()]),
+        })
+
+    keys = (
+        docs.map_batches(dup_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c_p", alias_name="n"))
+        .to_pandas()
+    )
+    hmask = keys["key"].str.startswith("h:")
+    n_docs = int(keys.loc[hmask, "n"].sum())
+    dup_docs = int((keys.loc[hmask, "n"] - 1).sum())  # extra copies beyond first
+    n_sources = int((~hmask).sum())
+    return pd.DataFrame({
+        "n_docs": pd.Series([n_docs], dtype=np.int64),
+        "n_tokens": pd.Series([n_tokens], dtype=np.int64),
+        "vocab_size": pd.Series([vocab_size], dtype=np.int64),
+        "n_sources": pd.Series([n_sources], dtype=np.int64),
+        "exact_dup_docs": pd.Series([dup_docs], dtype=np.int64),
+        "avg_doclen": [round(n_tokens / n_docs, 4) if n_docs else 0.0],
+    })
+
+
 _EMX_DIM = 16
 
 
@@ -7226,6 +7296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_exact": q_embed_exact,
         "fingerprint_exact": q_fingerprint_exact,
         "terms_set": q_terms_set,
+        "dataset_card": q_dataset_card,
     }
 
 
@@ -11353,5 +11424,17 @@ tsr AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, score
 FROM tsr WHERE rnk <= {BM25_TOP_K}
+""",
+        # dataset card: every number exact (counts + one final division).
+        "dataset_card": f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM tok)::BIGINT AS n_tokens,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS vocab_size,
+       (SELECT count(DISTINCT source) FROM documents)::BIGINT AS n_sources,
+       (SELECT count(*) - count(DISTINCT md5(text)) FROM documents)::BIGINT
+         AS exact_dup_docs,
+       round((SELECT count(*) FROM tok)::DOUBLE
+             / (SELECT count(*) FROM documents), 4) AS avg_doclen
 """,
     }

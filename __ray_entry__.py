@@ -6800,6 +6800,29 @@ def _ts_nterms_values() -> str:
     )
 
 
+_SBF_BG = "table"
+
+
+def q_sig_terms_bgfilter(sf_dir: str):
+    """ES significant_terms with background_filter: the background is
+    the FILTER's matching set (docs containing 'table'), not the whole
+    corpus, and the foreground ('spark window' matches) is intersected
+    into it (background_is_superset). Rows outside the filter count to
+    NEITHER frequency — the same single streaming scan, now with two
+    broadcast membership tests."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import significant_terms
+
+    index_dir = _ensure_index(sf_dir)
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+    return significant_terms(index_dir, FACET_QUERY, corpus,
+                             analyzer_cfg=_engine_cfg().analyzer,
+                             top_n=10, min_fg=2,
+                             background_query=_SBF_BG)
+
+
 def q_dataset_card(sf_dir: str):
     """The dataset-card stats block a curation pipeline publishes with a
     corpus: doc/token/vocab/source cardinalities, exact-duplicate count
@@ -7297,6 +7320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_exact": q_fingerprint_exact,
         "terms_set": q_terms_set,
         "dataset_card": q_dataset_card,
+        "sig_terms_bgfilter": q_sig_terms_bgfilter,
     }
 
 
@@ -11436,5 +11460,42 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
          AS exact_dup_docs,
        round((SELECT count(*) FROM tok)::DOUBLE
              / (SELECT count(*) FROM documents), 4) AS avg_doclen
+""",
+        # significant_terms + background_filter: both dfs restricted to
+        # the filter's matching set; fg ⊆ bg (background_is_superset).
+        "sig_terms_bgfilter": f"""
+WITH {TRANSCRIPTS_CTE},
+sqt(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(FACET_QUERY.split())))}),
+sbq(term) AS (VALUES ('{_SBF_BG}')),
+sbg AS (SELECT DISTINCT tf.doc_id FROM tf JOIN sbq ON tf.term = sbq.term),
+sbsz AS (SELECT count(*)::DOUBLE AS n FROM sbg),
+sfg AS (
+  SELECT DISTINCT tf.doc_id FROM tf
+  JOIN sqt ON tf.term = sqt.term
+  JOIN sbg ON sbg.doc_id = tf.doc_id
+),
+sfsz AS (SELECT count(*)::DOUBLE AS f FROM sfg),
+sfgdf AS (
+  SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS fg_df
+  FROM tf JOIN sfg ON sfg.doc_id = tf.doc_id GROUP BY tf.term
+),
+sbgdf AS (
+  SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS bg_df
+  FROM tf JOIN sbg ON sbg.doc_id = tf.doc_id GROUP BY tf.term
+),
+sj AS (
+  SELECT f.term, f.fg_df, b.bg_df,
+         round(((f.fg_df / fs.f) - (b.bg_df::DOUBLE / bs.n))
+               * ((f.fg_df / fs.f) / (b.bg_df::DOUBLE / bs.n)), 4) AS jlh
+  FROM sfgdf f JOIN sbgdf b ON b.term = f.term
+  CROSS JOIN sfsz fs CROSS JOIN sbsz bs
+  WHERE f.fg_df >= 2
+),
+sjr AS (
+  SELECT term, fg_df, bg_df, jlh,
+         row_number() OVER (ORDER BY jlh DESC, term) AS rn
+  FROM sj
+)
+SELECT term, fg_df, bg_df, jlh FROM sjr WHERE rn <= 10
 """,
     }

@@ -103,7 +103,8 @@ def search_facets(index_dir: str, query_text: str, meta_ds, facet_col: str,
 def significant_terms(index_dir: str, query_text: str, corpus_ds,
                       analyzer_cfg=None, top_n: int = 10, min_fg: int = 2,
                       reader=None, sample_size: int | None = None,
-                      heuristic: str = "jlh") -> pd.DataFrame:
+                      heuristic: str = "jlh",
+                      background_query: str | None = None) -> pd.DataFrame:
     """ES significant_terms aggregation: terms OVERREPRESENTED in the
     query's matching-doc set vs the whole corpus, scored with the JLH
     heuristic ``(fg% − bg%) · (fg% / bg%)`` or — ``heuristic=
@@ -136,7 +137,16 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
         ids = _topn_sample_ids(r, query_text, sample_size)
     else:
         ids = matching_doc_ids(r, query_text)
-    n_docs = int(r.manifest.n_docs)
+    if background_query is not None:
+        # ES background_filter: the background is the FILTER's matching
+        # set, not the corpus; the foreground must live inside it
+        # (background_is_superset) — restrict fg by sorted intersection.
+        bg_ids = matching_doc_ids(r, background_query)
+        ids = np.intersect1d(ids, bg_ids)
+        n_docs = int(bg_ids.size)
+    else:
+        bg_ids = None
+        n_docs = int(r.manifest.n_docs)
     f_size = int(ids.size)
     if f_size == 0:
         score_col = "chi2" if heuristic == "chi_square" else "jlh"
@@ -145,10 +155,12 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
                              "bg_df": pd.Series([], dtype=np.int64),
                              score_col: pd.Series([], dtype=np.float64)})
     ref = ray.put(ids)
+    bg_ref = ray.put(bg_ids)
 
     class Partial:
         def __init__(self):
             self.ids = ray.get(ref)
+            self.bg_ids = ray.get(bg_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
@@ -162,8 +174,16 @@ def significant_terms(index_dir: str, query_text: str, corpus_ds,
             df = pd.DataFrame({"term": terms.to_numpy(zero_copy_only=False), "d": d})
             df = df.drop_duplicates()  # distinct (doc, term) within the batch
             dd = df["d"].to_numpy()
+            if self.bg_ids is not None:
+                # rows outside the background filter count to NEITHER df
+                bpos = np.searchsorted(self.bg_ids, dd)
+                bsafe = np.minimum(bpos, max(self.bg_ids.size - 1, 0))
+                inbg = (self.bg_ids.size > 0) & (bpos < self.bg_ids.size) \
+                    & (self.bg_ids[bsafe] == dd)
+                df = df[inbg]
+                dd = df["d"].to_numpy()
             pos = np.searchsorted(self.ids, dd)
-            safe = np.minimum(pos, self.ids.size - 1)
+            safe = np.minimum(pos, max(self.ids.size - 1, 0))
             fg = ((pos < self.ids.size) & (self.ids[safe] == dd)).astype(np.int64)
             g = (
                 pd.DataFrame({"term": df["term"].to_numpy(), "fg_p": fg,
@@ -269,10 +289,12 @@ def sampler_terms(index_dir: str, query_text: str, corpus_ds,
     if ids.size == 0:
         return empty
     ref = ray.put(ids)
+    bg_ref = ray.put(bg_ids)
 
     class Partial:
         def __init__(self):
             self.ids = ray.get(ref)
+            self.bg_ids = ray.get(bg_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms

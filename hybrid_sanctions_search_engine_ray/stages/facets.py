@@ -289,12 +289,10 @@ def sampler_terms(index_dir: str, query_text: str, corpus_ds,
     if ids.size == 0:
         return empty
     ref = ray.put(ids)
-    bg_ref = ray.put(bg_ids)
 
     class Partial:
         def __init__(self):
             self.ids = ray.get(ref)
-            self.bg_ids = ray.get(bg_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms

@@ -1791,25 +1791,33 @@ def q_user_overlap(sf_dir: str):
 
 
 def q_merge_stats(sf_dir: str):
-    """Physical index merge evidence (rows-only): build two half-corpus
-    indexes (split on a conv boundary), physically merge them, and
-    compare merged search against the federated reader AND the merged
-    stats against the sum of parts. One row of booleans/counters — any
-    False fails tests/test_merge.py's stronger version too."""
-    import ray.data as rd
-
+    """Physical index merge with an EXACT DuckDB twin: split the corpus
+    dataset-side on conversation parity ((doc_id // 8) % 2 — whole convs
+    stay together, nothing ever materializes on the driver), build a
+    half-corpus index per parity, physically merge them, and report the
+    merged index's global stats (n_docs / avgdl / total_tokens /
+    n_terms) plus the per-half doc counts. Every numeric column is
+    SQL-expressible over the same parquet; `merge_consistent` is
+    computed engine-side (merged top-k ≡ FederatedReader top-k AND
+    merged stats ≡ sum of halves) and compared against literal TRUE in
+    the oracle — a regression in the merge path flips it and fails the
+    hash gate (reference: ES force-merge consolidation, SURVEY.md §2.1
+    S8 / §2.7 D2)."""
     from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
     from hybrid_sanctions_search_engine_ray.pipelines.federated import FederatedReader
     from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
     from hybrid_sanctions_search_engine_ray.pipelines.maintenance import merge_indexes
     from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
-    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import (
+        TURNS_PER_CONV,
+        transcripts_from_documents,
+    )
     from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
 
     from hybrid_sanctions_search_engine_ray import __version__ as _fmt
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/graft_idx_cache/{_fmt}/merge-{tag}"
+    base = f"/tmp/graft_idx_cache/{_fmt}/merge-parity-{tag}"
     halves = [os.path.join(base, "a"), os.path.join(base, "b")]
     merged_dir = os.path.join(base, "merged")
     try:
@@ -1818,14 +1826,17 @@ def q_merge_stats(sf_dir: str):
         done = False
     if not done:
         shutil.rmtree(base, ignore_errors=True)
-        full = transcripts_from_documents(sf_dir).to_pandas()
-        full = full.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-        cut = len(full) // 2
-        while cut < len(full) and full["conv_id"][cut] == full["conv_id"][cut - 1]:
-            cut += 1
         cfg = EngineConfig(num_partitions=8, analyzer=AnalyzerConfig(mode="simple"))
-        for d, part in zip(halves, (full.iloc[:cut], full.iloc[cut:])):
-            ds = rd.from_pandas(part.reset_index(drop=True))
+
+        def _parity_half(b: pa.Table, parity: int) -> pa.Table:
+            conv = pc.divide(b["doc_id"], TURNS_PER_CONV)
+            keep = pc.equal(pc.bit_wise_and(conv, 1), parity)
+            return b.filter(keep)
+
+        for d, parity in zip(halves, (0, 1)):
+            ds = transcripts_from_documents(sf_dir).map_batches(
+                _parity_half, batch_format="pyarrow", fn_kwargs={"parity": parity}
+            )
             build_index(d + "_src", d, cfg, transcripts_ds=ds)
         merge_indexes(halves, merged_dir)
     merged = IndexReader(merged_dir)
@@ -1835,13 +1846,23 @@ def q_merge_stats(sf_dir: str):
         d1, s1 = merged.search_one(q, 10)
         d2, s2 = fed.search_one(q, 10)
         same = same and d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    m_a = IndexManifest.load(halves[0])
+    m_b = IndexManifest.load(halves[1])
+    consistent = bool(
+        same
+        and merged.manifest.n_docs == fed.n_docs == m_a.n_docs + m_b.n_docs
+        and abs(merged.manifest.avgdl - fed.avgdl) < 1e-12
+        and merged.manifest.total_tokens == m_a.total_tokens + m_b.total_tokens
+    )
     return pd.DataFrame(
         {
-            "n_docs": [int(merged.manifest.n_docs)],
-            "n_parts": [len(merged.manifest.parts)],
-            "stats_exact": [merged.manifest.n_docs == fed.n_docs
-                            and abs(merged.manifest.avgdl - fed.avgdl) < 1e-12],
-            "topk_identical_to_federated": [bool(same)],
+            "n_docs": pd.Series([merged.manifest.n_docs], dtype=np.int64),
+            "n_docs_a": pd.Series([m_a.n_docs], dtype=np.int64),
+            "n_docs_b": pd.Series([m_b.n_docs], dtype=np.int64),
+            "avgdl": _round4([merged.manifest.avgdl]),
+            "total_tokens": pd.Series([merged.manifest.total_tokens], dtype=np.int64),
+            "n_terms": pd.Series([merged.manifest.n_terms], dtype=np.int64),
+            "merge_consistent": [consistent],
         }
     )
 
@@ -8082,6 +8103,18 @@ SELECT CASE WHEN has_a = 1 AND has_b = 1 THEN 'both'
             ELSE 'neither' END AS segment,
        count(*)::BIGINT AS n_users
 FROM flags GROUP BY segment
+""",
+        "merge_stats": f"""
+WITH {TRANSCRIPTS_CTE},
+parity AS (SELECT doc_id, cast((doc_id // 8) % 2 AS int) AS h FROM transcripts)
+SELECT s.n_docs AS n_docs,
+       (SELECT count(*) FROM dl JOIN parity USING (doc_id) WHERE h = 0)::BIGINT AS n_docs_a,
+       (SELECT count(*) FROM dl JOIN parity USING (doc_id) WHERE h = 1)::BIGINT AS n_docs_b,
+       round(s.avgdl, 4) AS avgdl,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_tokens,
+       (SELECT count(*) FROM df)::BIGINT AS n_terms,
+       TRUE AS merge_consistent
+FROM stats s
 """,
         "nation_revenue": f"""
 SELECT n.n_name,

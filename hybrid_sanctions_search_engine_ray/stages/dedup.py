@@ -24,6 +24,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
 from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
@@ -446,60 +447,187 @@ def dup_ngram_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     spans; the n-gram-keyed shuffle below is the distributed-friendly
     equivalent at fixed span length).
 
-    Engine shape: one streaming pass — per batch, each doc emits its
-    distinct n-grams with (occurrences-in-doc, 1-doc) partials — then
-    ONE shuffle keyed on the gram (the posting-build shuffle shape),
-    a dataset-side ``min_docs`` filter, and a sort-free global top-N.
-    Raw rows never shuffle. At 100 TB the gram key would be a 64-bit
-    rolling hash (functions/hashing) with strings resolved only for the
-    surviving top-N; the string key here keeps the SQL twin exact.
+    Engine shape (two map-only corpus passes, ONE small shuffle — raw
+    strings never shuffle):
+
+    1. **Hash pass** — per batch, fully vectorized: Arrow
+       ``split_pattern`` → per-unique-token 64-bit hash (factorized, so
+       each distinct token hashes once per batch) → gram keys as a
+       rolling polynomial over shifted uint64 arrays (n−1 vectorized
+       multiply-adds, wraparound mod 2^64) → per-(doc, gram) counts via
+       one C-speed pandas groupby. Only (gram_h, occ_p, docs_p) int64
+       partials leave the task; the shuffle is keyed on the 64-bit hash.
+    2. ``min_docs`` filter + sort-free global top-N over the
+       (duplicated-gram-count-sized) aggregate → an exact occurrence
+       cutoff; every gram at-or-above the cutoff is a candidate (so
+       string tie-breaks at the boundary stay exact).
+    3. **Resolve pass** — candidate hashes broadcast once (``ray.put``);
+       a second map-only corpus scan materializes gram STRINGS only for
+       candidate hits (searchsorted membership, then a join over the
+       handful of matching positions). Driver-side work is bounded by
+       the candidate count, never the corpus.
+
+    Hash collisions (64-bit, corpus-distinct-gram scale) are
+    birthday-bounded far below any realistic gram count; a collision
+    would merge two grams' counts — the same trade Lee et al.'s hashed
+    variants make.
 
     Tokenization is a bare single-space split (DuckDB
-    ``string_split(text, ' ')`` parity). Returns the top ``top`` grams
+    ``string_split(text, ' ')`` parity; empty tokens from runs of
+    spaces are preserved on both sides). Returns the top ``top`` grams
     by (n_occ desc, gram asc) as a Dataset of (gram, n_occ, n_docs).
     """
-    from ray.data.aggregate import Sum
+    import zlib
+
+    import ray
+    import ray.data as rd
 
     from hybrid_sanctions_search_engine_ray.stages.relational import global_topn
 
-    def partial(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        grams: dict[str, list[int]] = {}
-        for txt in texts:
-            toks = (txt or "").split(" ")
-            if len(toks) < n:
-                continue
-            seen: dict[str, int] = {}
-            for i in range(len(toks) - n + 1):
-                g = " ".join(toks[i:i + n])
-                seen[g] = seen.get(g, 0) + 1
-            for g, c in seen.items():
-                e = grams.get(g)
-                if e is None:
-                    grams[g] = [c, 1]
-                else:
-                    e[0] += c
-                    e[1] += 1
-        return pa.table({
-            "gram": pa.array(list(grams.keys()), pa.string()),
-            "occ_p": pa.array([v[0] for v in grams.values()], pa.int64()),
-            "docs_p": pa.array([v[1] for v in grams.values()], pa.int64()),
-        })
+    K = np.uint64(0x9E3779B97F4A7C15)
+    _EMPTY_TOKS = (None, None, None, None)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("occ_p", alias_name="n_occ"),
-                   Sum("docs_p", alias_name="n_docs"))
+    def _gram_hashes(b: pa.Table):
+        """(flat_tokens Arrow array, gram_hash uint64 per valid start,
+        flat start positions, doc index per valid start). Token → hash
+        goes through Arrow ``dictionary_encode`` so the 10M+ flat token
+        strings never become Python objects — only the (small) per-batch
+        vocabulary is hashed in Python."""
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(pc.coalesce(texts, ""), " ")
+        flat = toks.values
+        L = len(flat)
+        if L < n:
+            return _EMPTY_TOKS
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy()
+        uniques = denc.dictionary.to_pylist()
+        uh = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):
+            bts = u.encode("utf-8") if isinstance(u, str) else b""
+            uh[i] = (np.uint64(zlib.crc32(bts)) << np.uint64(32)) | np.uint64(
+                zlib.crc32(bts[::-1])
+            )
+        th = uh[codes]
+        m = L - n + 1
+        g = th[:m].copy()
+        for j in range(1, n):
+            g = g * K + th[j:j + m]
+        lens = np.diff(toks.offsets.to_numpy())
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        valid = doc_idx[:m] == doc_idx[n - 1:]
+        starts = np.nonzero(valid)[0]
+        if not len(starts):
+            return _EMPTY_TOKS
+        return flat, g[starts], starts, doc_idx[starts]
+
+    from hybrid_sanctions_search_engine_ray.stages.postings import (
+        _unpack_group,
+        pack_postings_by_part,
     )
 
-    def flt(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    P = 16  # gram-hash partitions for the packed combine shuffle
+    _packed_schema = pa.schema([("part", pa.int32()), ("payload", pa.binary())])
 
-        b = b.filter(pc.greater_equal(b["n_docs"], min_docs))
-        return pa.table({"gram": b["gram"],
-                         "n_occ": pc.cast(b["n_occ"], pa.int64()),
-                         "n_docs": pc.cast(b["n_docs"], pa.int64())})
+    def partial(b: pa.Table) -> pa.Table:
+        _, gh, _, didx = _gram_hashes(b)
+        if gh is None:
+            return _packed_schema.empty_table()
+        per = (
+            pd.DataFrame({"d": didx, "g": gh.view(np.int64)})
+            .groupby(["d", "g"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        agg_b = per.groupby("g", sort=False).agg(
+            occ_p=("c", "sum"), docs_p=("c", "size")
+        ).reset_index()
+        gvals = agg_b["g"].to_numpy(np.int64)
+        t = pa.table({
+            "gram_h": pa.array(gvals, pa.int64()),
+            "occ_p": pa.array(agg_b["occ_p"].to_numpy(np.int64), pa.int64()),
+            "docs_p": pa.array(agg_b["docs_p"].to_numpy(np.int64), pa.int64()),
+            "part": pa.array((gvals % P).astype(np.int32)),
+        })
+        # packed map-side combine (stages/postings pattern): the shuffle
+        # moves tasks × P IPC blobs, not one row per distinct gram
+        return pack_postings_by_part(t)
 
-    survivors = agg.map_batches(flt, batch_format="pyarrow")
-    return global_topn(survivors, by=[("n_occ", False), ("gram", True)], n=top)
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = _unpack_group(g)
+        agg = tbl.groupby("gram_h", sort=False).agg(
+            n_occ=("occ_p", "sum"), n_docs=("docs_p", "sum")
+        ).reset_index()
+        agg = agg[agg["n_docs"] >= min_docs]
+        return agg.astype({"n_occ": np.int64, "n_docs": np.int64})
+
+    _empty_out = pd.DataFrame({
+        "gram": pd.Series([], dtype=str),
+        "n_occ": pd.Series([], dtype=np.int64),
+        "n_docs": pd.Series([], dtype=np.int64),
+    })
+    # duplicated-gram-count-sized (min_docs prunes the unique-gram mass);
+    # pinned so the cutoff probe and the candidate filter don't re-run
+    # the corpus pass
+    survivors = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pandas")
+        .materialize()
+    )
+    topn = global_topn(
+        survivors, by=[("n_occ", False), ("gram_h", True)], n=top
+    ).to_pandas()
+    if topn.empty:
+        return rd.from_pandas(_empty_out)
+    if len(topn) >= top:
+        cutoff = int(topn["n_occ"].min())
+        cands = survivors.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n_occ"], cutoff)),
+            batch_format="pyarrow",
+        ).to_pandas()
+    else:
+        cands = survivors.to_pandas()
+
+    cand_h = np.sort(cands["gram_h"].to_numpy(np.int64))
+    ref = ray.put(cand_h)
+    _pair_schema = pa.schema([("gram_h", pa.int64()), ("gram", pa.string())])
+
+    def resolve(b: pa.Table, cand_ref) -> pa.Table:
+        ch = ray.get(cand_ref)
+        flat_toks, gh, starts, _ = _gram_hashes(b)
+        if gh is None:
+            return _pair_schema.empty_table()
+        ghs = gh.view(np.int64)
+        idx = np.searchsorted(ch, ghs)
+        idx[idx == len(ch)] = 0
+        hit = ch[idx] == ghs
+        if not hit.any():
+            return _pair_schema.empty_table()
+        sub = pd.DataFrame({"h": ghs[hit], "p": starts[hit]}).drop_duplicates("h")
+        grams = [
+            " ".join(flat_toks.slice(p, n).to_pylist())
+            for p in sub["p"].to_numpy()
+        ]
+        return pa.table({"gram_h": pa.array(sub["h"].to_numpy(), pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+
+    pairs = (
+        ds.map_batches(resolve, batch_format="pyarrow", fn_kwargs={"cand_ref": ref})
+        .to_pandas()
+    )
+    # candidate-count × block bounded; min() guards the (negligible)
+    # collision case deterministically
+    strings = pairs.groupby("gram_h", sort=False)["gram"].min().reset_index()
+    out = (
+        cands.merge(strings, on="gram_h", how="inner")
+        .sort_values(["n_occ", "gram"], ascending=[False, True], kind="mergesort")
+        .head(top)
+        .reset_index(drop=True)
+    )
+    out = out[["gram", "n_occ", "n_docs"]].astype(
+        {"n_occ": np.int64, "n_docs": np.int64}
+    )
+    return rd.from_pandas(out if len(out) else _empty_out)

@@ -635,11 +635,13 @@ def _join_parts() -> int:
     return max(8, cpus)
 
 
-def _ensure_index(sf_dir: str, mode: str = "simple", positional: bool = False) -> str:
+def _ensure_index(sf_dir: str, mode: str = "simple", positional: bool = False,
+                  stem: str = "") -> str:
     """Build (once, cached under /tmp) the BM25 index for an sf dir.
     ``mode="char3"`` builds the character-trigram (fuzzy lexical tier)
     variant through the SAME shuffle/segment machinery; ``positional``
-    adds in-document position postings (exact phrase search)."""
+    adds in-document position postings (exact phrase search); ``stem``
+    builds the morphologically-normalized variant (functions/stemmer)."""
     from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
     from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
     from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
@@ -649,6 +651,7 @@ def _ensure_index(sf_dir: str, mode: str = "simple", positional: bool = False) -
     tag = os.path.basename(os.path.normpath(sf_dir))
     tag += "" if mode == "simple" else f"-{mode}"
     tag += "-pos" if positional else ""
+    tag += f"-stem{stem}" if stem else ""
     index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}"
     try:
         if IndexManifest.load(index_dir).status == "complete":
@@ -659,7 +662,7 @@ def _ensure_index(sf_dir: str, mode: str = "simple", positional: bool = False) -
     ts = transcripts_from_documents(sf_dir)
     from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
 
-    cfg = EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode=mode))
+    cfg = EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode=mode, stem=stem))
     build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, cfg, transcripts_ds=ts,
                 store_positions=positional)
     return index_dir
@@ -696,6 +699,181 @@ def q_bm25_topk(sf_dir: str):
         return b
 
     return res.map_batches(_finish, batch_format="pandas")
+
+
+# stemmed-BM25 gate. The testdata corpus vocabulary is Latin-only (no
+# inflection), so — following the pii_redact augmentation precedent —
+# both the engine and the SQL twin append ONE deterministic inflected
+# Cyrillic form per doc (doc_id % 10 picks it). Different docs carry
+# DIFFERENT inflections of the same lexeme; their df only merges if
+# index-side stemming conflates them, and the query only hits if
+# query-side stemming maps the query inflection to the same stem — the
+# morphology recall lever, value-gated end to end (reference:
+# morphology_adapter.py:74-258). дітей/дети rows exercise the
+# suppletive exception table.
+_CYR_FORMS_RU = [
+    "иванова", "иванову", "ивановым", "пушкина", "пушкину",
+    "мария", "марию", "детям", "петрова", "петровой",
+]
+_CYR_FORMS_UK = [
+    "олени", "олену", "оленою", "шевченка", "шевченку",
+    "ковальського", "ковальському", "бондаренка", "бондаренком", "дітей",
+]
+# queries in yet other inflections; no two terms in one query share a stem
+_STEM_QUERIES_RU = {
+    "r01": "ивановым пушкину",
+    "r02": "марии петровым",
+    "r03": "дети иванова",
+}
+_STEM_QUERIES_UK = {
+    "u01": "олену шевченком",
+    "u02": "ковальським дитина",
+    "u03": "бондаренку олена",
+}
+
+
+def _aug_cyr_transcripts(sf_dir: str, forms: list[str]):
+    """Transcripts with the deterministic per-doc Cyrillic form appended
+    (dataset-side, vectorized; SQL twin does the same in its aug CTE)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    n = len(forms)
+    farr = pa.array(forms)
+
+    def aug(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"]
+        idx = pc.subtract(doc_id, pc.multiply(pc.divide(doc_id, n), n))
+        form = pc.take(farr, idx)
+        text = pc.binary_join_element_wise(b["text"], form, " ")
+        return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+    return transcripts_from_documents(sf_dir).map_batches(aug, batch_format="pyarrow")
+
+
+def _stem_search_impl(sf_dir: str, stem: str, forms: list[str], queries: dict[str, str]):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}-aug-stem{stem}"
+    try:
+        done = IndexManifest.load(index_dir).status == "complete"
+    except FileNotFoundError:
+        done = False
+    if not done:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        cfg = EngineConfig(num_partitions=16,
+                           analyzer=AnalyzerConfig(mode="simple", stem=stem))
+        build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, cfg,
+                    transcripts_ds=_aug_cyr_transcripts(sf_dir, forms))
+    queries_ds = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K}
+         for qid, text in queries.items()]
+    )
+    res = search(queries_ds, index_dir, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_finish, batch_format="pandas")
+
+
+def q_stem_search(sf_dir: str):
+    """BM25 over a Snowball-ru-stemmed index: query-side and index-side
+    morphology through the SAME analyzer (the manifest round-trips the
+    stem setting into the scorer pool). The DuckDB twin maps tokens
+    through an embedded (token → stem) table — exact because the
+    Cyrillic token set is the closed augmentation form list, so the
+    whole stemmed index/query/rank pipeline is value-gated (the stem
+    algorithm itself is oracled by tests/test_stemmer.py)."""
+    return _stem_search_impl(sf_dir, "ru", _CYR_FORMS_RU, _STEM_QUERIES_RU)
+
+
+def q_stem_search_uk(sf_dir: str):
+    """Ukrainian variant of :func:`q_stem_search` (functions/stemmer
+    stem_uk; reference morphology is ru+uk via pymorphy), including the
+    suppletive дітей/дитина conflation through the exception table."""
+    return _stem_search_impl(sf_dir, "uk", _CYR_FORMS_UK, _STEM_QUERIES_UK)
+
+
+def _stem_map_values(stem: str, forms: list[str]) -> str:
+    """(token, stem) VALUES rows for the closed Cyrillic token set (the
+    augmentation forms; Latin corpus tokens are stem-identity)."""
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import stem_ru, stem_uk
+
+    fn = stem_ru if stem == "ru" else stem_uk
+    return ", ".join(f"('{t}', '{fn(t)}')" for t in sorted(set(forms)) if fn(t) != t)
+
+
+def _stem_qterms_values(stem: str, queries: dict[str, str]) -> str:
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import tokenize_simple
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import stem_ru, stem_uk
+
+    fn = stem_ru if stem == "ru" else stem_uk
+    rows = []
+    for qid, text in queries.items():
+        for term in sorted({fn(t) for t in tokenize_simple(text)}):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
+def _stem_search_sql(stem: str, forms: list[str], queries: dict[str, str]) -> str:
+    """Exact DuckDB twin of the stemmed BM25 pipeline: the same
+    deterministic per-doc Cyrillic-form augmentation (aug CTE), tokens
+    mapped through the embedded stem table (closed Cyrillic token set),
+    then the standard BM25 ranking over the stemmed tf/df/dl."""
+    case = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(forms)
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' ' || CASE cast(doc_id % {len(forms)} AS int) {case} END AS text
+  FROM documents
+),
+atoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{{L}}\\p{{N}}]+')) AS term
+  FROM aug
+),
+atok AS (SELECT doc_id, term FROM atoks WHERE term <> ''),
+smap(term, stem) AS (VALUES {_stem_map_values(stem, forms)}),
+stok AS (
+  SELECT t.doc_id, COALESCE(m.stem, t.term) AS term
+  FROM atok t LEFT JOIN smap m ON m.term = t.term
+),
+stf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM stok GROUP BY term, doc_id),
+sdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM stok GROUP BY doc_id),
+sstats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM sdl),
+sdf AS (SELECT term, count(*)::BIGINT AS df FROM stf GROUP BY term),
+qterms(query_id, term) AS (VALUES {_stem_qterms_values(stem, queries)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN stf tf ON tf.term = q.term
+  JOIN sdf df ON df.term = q.term
+  JOIN sdl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN sstats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+"""
 
 
 def q_prefix_search(sf_dir: str):
@@ -7313,6 +7491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliced_scroll": q_sliced_scroll,
         "missing_agg": q_missing_agg,
         "dup_spans": q_dup_spans,
+        "stem_search": q_stem_search,
+        "stem_search_uk": q_stem_search_uk,
         "terms_shard_bounds": q_terms_shard_bounds,
         "forecast_revenue": q_forecast_revenue,
         "priority_count": q_priority_count,
@@ -8104,6 +8284,8 @@ SELECT CASE WHEN has_a = 1 AND has_b = 1 THEN 'both'
        count(*)::BIGINT AS n_users
 FROM flags GROUP BY segment
 """,
+        "stem_search": _stem_search_sql("ru", _CYR_FORMS_RU, _STEM_QUERIES_RU),
+        "stem_search_uk": _stem_search_sql("uk", _CYR_FORMS_UK, _STEM_QUERIES_UK),
         "merge_stats": f"""
 WITH {TRANSCRIPTS_CTE},
 parity AS (SELECT doc_id, cast((doc_id // 8) % 2 AS int) AS h FROM transcripts)

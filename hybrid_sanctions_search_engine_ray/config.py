@@ -46,8 +46,9 @@ class AnalyzerConfig:
     mode: str = "simple"  # "simple" | "full" | "char3" | "edge" | "shingle"
     remove_stopwords: bool = False
     # suffix-stripping stemmer applied per token ("" = off; "ru" =
-    # Snowball russian — the lightweight stand-in for the reference's
-    # pymorphy morphology layer, functions/stemmer.py)
+    # Snowball russian; "uk" = Ukrainian Porter-style — the lightweight
+    # stand-ins for the reference's pymorphy ru+uk morphology layer,
+    # functions/stemmer.py)
     stem: str = ""
     min_token_len: int = 1
     max_token_len: int = 64

@@ -301,13 +301,14 @@ def get_analyzer(cfg: AnalyzerConfig):
     else:
         raise ValueError(f"unknown analyzer mode: {cfg.mode}")
 
-    if cfg.stem == "ru":
-        from hybrid_sanctions_search_engine_ray.functions.stemmer import stem_ru
+    if cfg.stem in ("ru", "uk"):
+        from hybrid_sanctions_search_engine_ray.functions.stemmer import stem_ru, stem_uk
 
+        stem_fn = stem_ru if cfg.stem == "ru" else stem_uk
         inner = base
 
         def base(text: str) -> list[str]:  # noqa: F811
-            return [stem_ru(t) for t in inner(text)]
+            return [stem_fn(t) for t in inner(text)]
     elif cfg.stem:
         raise ValueError(f"unknown stemmer: {cfg.stem}")
 

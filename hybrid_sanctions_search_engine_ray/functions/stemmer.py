@@ -1,22 +1,52 @@
-"""Russian suffix-stripping stemmer — a from-scratch implementation of
-the published Snowball "russian" algorithm (Porter-style; snowballstem
-.org algorithm description, public knowledge). This is the lightweight
-stand-in for the reference's morphology layer (reference:
+"""Russian + Ukrainian suffix-stripping stemmers — from-scratch
+Porter-style implementations. ``stem_ru`` follows the published
+Snowball "russian" algorithm (snowballstem.org algorithm description,
+public knowledge); ``stem_uk`` applies the same RV/R2 region machinery
+with Ukrainian inflection classes (standard public grammar: case
+endings incl. -ові/-еві/-ів, verb endings incl. -ти/-ємо/-ує, gerunds
+in -чи/-вши, comparative -іш-), since no official Snowball Ukrainian
+exists. These are the lightweight stand-ins for the reference's
+morphology layer (reference:
 src/ai_service/layers/normalization/morphology_adapter.py:74-258 uses
-pymorphy3 lemmatization — unavailable here): suffix stripping conflates
-the bulk of Russian/Ukrainian-ish inflection classes (case endings,
-verb forms, participles), which is the recall lever the reference's
+pymorphy3 ru+uk lemmatization — unavailable here): suffix stripping
+conflates the bulk of the inflection classes (case endings, verb
+forms, participles), which is the recall lever the reference's
 morphology provides for name/text matching, at a fraction of the cost
 and with zero dictionaries.
 
+A small table of genuinely suppletive forms (plural stems unrelated to
+the singular: люди/людина, діти/дитина, …) is consulted before the
+algorithmic pass — the one class of paradigm no suffix-stripper can
+conflate (the reference covers these through pymorphy's dictionary).
+
 Exactness caveat (stated, not hidden): a stemmer is NOT a lemmatizer —
-irregular paradigms (人 suppletive forms, е/ё alternations already
-folded by the analyzer) won't conflate, and distinct lemmas can
-collide. For BM25 recall that tradeoff is the standard one (Snowball
-is what Elasticsearch's ``russian`` analyzer uses too).
+irregular paradigms beyond the exception table (е/ё alternations
+already folded by the analyzer) won't conflate, and distinct lemmas
+can collide. For BM25 recall that tradeoff is the standard one
+(Snowball is what Elasticsearch's ``russian`` analyzer uses too).
 """
 
 from __future__ import annotations
+
+# suppletive paradigms: algorithmically unreachable conflations, applied
+# before suffix stripping (keys are analyzer-normalized lowercase forms;
+# values chosen to coincide with what the singular paradigm's oblique
+# forms stem to, so plural and singular meet at one stem)
+_SUPPLETIVE_RU: dict[str, str] = {
+    # люди → человек(а→"человек"); дети → ребенк(а→"ребенк"; ё folded)
+    "люди": "человек", "людей": "человек", "людям": "человек",
+    "людьми": "человек", "людях": "человек",
+    "дети": "ребенк", "детей": "ребенк", "детям": "ребенк",
+    "детьми": "ребенк", "детях": "ребенк",
+}
+
+_SUPPLETIVE_UK: dict[str, str] = {
+    # люди → людин(а→"людин"); діти → дитин(а→"дитин")
+    "люди": "людин", "людей": "людин", "людям": "людин",
+    "людьми": "людин", "людях": "людин",
+    "діти": "дитин", "дітей": "дитин", "дітям": "дитин",
+    "дітьми": "дитин", "дітях": "дитин",
+}
 
 _VOWELS = "аеиоуыэюя"
 
@@ -87,6 +117,9 @@ def stem_ru(word: str) -> str:
     if not word or not ("а" <= word[0] <= "я" or word[0] == "ё"):
         return word
     word = word.replace("ё", "е")
+    exc = _SUPPLETIVE_RU.get(word)
+    if exc is not None:
+        return exc
     rv, r2 = _regions(word)
 
     # Step 1: perfective gerund, else [reflexive] + adjectival|verb|noun
@@ -121,6 +154,119 @@ def stem_ru(word: str) -> str:
         word = word[:-1]
     else:
         sup = _strip(word, rv, _SUPERLATIVE)
+        if sup is not None:
+            word = sup
+            if word.endswith("нн") and len(word) - 1 >= rv:
+                word = word[:-1]
+        if word.endswith("ь") and len(word) - 1 >= rv:
+            word = word[:-1]
+    return word
+
+
+# --- Ukrainian ---------------------------------------------------------------
+
+_VOWELS_UK = "аеиоуіїєюя"
+
+# gerunds: -вши(сь) after а/я (прочитавши), -ивши/-івші/-ївши, past-stem
+# -ив/-ів/-їв (зробив, купив) and the -чи adverbial forms (читаючи)
+_PG_UK_1 = ("вшись", "вши", "в")                      # must follow а/я
+_PG_UK_2 = ("ившись", "івшись", "ївшись", "ивши", "івши", "ївши",
+            "учи", "ючи", "ачи", "ячи", "ив", "ів", "їв")
+_REFLEXIVE_UK = ("ся", "сь")
+_ADJECTIVE_UK = (
+    "ього", "ьому", "ьої", "ьою", "іший", "ішої", "ішому", "ішим",
+    "ими", "іми", "ого", "ому", "ої", "ою", "их", "іх",
+    "ій", "ий", "им", "ім", "єє", "єю", "яя", "юю",
+)
+_PARTICIPLE_UK_1 = ("вш", "нн")                        # must follow а/я
+_PARTICIPLE_UK_2 = ("івш", "ївш", "уюч", "ююч", "ач", "яч", "уч", "юч")
+_VERB_UK_1 = (
+    "ти", "ла", "на", "ли", "ло", "но", "ємо", "єте", "єш", "є",
+    "ють", "йте", "й", "л", "н",
+)  # must follow а/я
+_VERB_UK_2 = (
+    "ила", "іла", "їла", "ило", "іло", "їло", "или", "іли", "їли",
+    "имо", "імо", "ите", "іте", "ить", "іть", "ять", "ать",
+    "уть", "усь", "ує", "ують", "уєш", "уємо", "уєте", "ував", "увала",
+    "увати", "иш", "їш",
+)
+_NOUN_UK = (
+    "іями", "ями", "ами", "іях", "ях", "ах", "іям", "ям", "ам",
+    "ією", "ею", "ою", "ові", "еві", "єві", "ії", "ій", "ів", "їв",
+    "ем", "єм", "ом", "ей",
+    "а", "е", "є", "и", "і", "ї", "й", "о", "у", "ь", "ю", "я",
+)
+_SUPERLATIVE_UK = ("іш", "ійш")
+_DERIVATIONAL_UK = ("ість", "іст")
+
+_UK_EXTRA = set("іїєґ")
+
+
+def _regions_uk(word: str) -> tuple[int, int]:
+    rv = len(word)
+    for i, c in enumerate(word):
+        if c in _VOWELS_UK:
+            rv = i + 1
+            break
+
+    def _r(start: int) -> int:
+        for i in range(start, len(word) - 1):
+            if word[i] in _VOWELS_UK and word[i + 1] not in _VOWELS_UK:
+                return i + 2
+        return len(word)
+
+    r1 = _r(0)
+    r2 = _r(r1)
+    return rv, r2
+
+
+def stem_uk(word: str) -> str:
+    """Ukrainian stem of a lowercase word (Porter/Snowball-russian
+    structure over Ukrainian suffix classes). Non-Cyrillic input is
+    returned unchanged; Russian-only letters (ы/э/ё) pass through the
+    Ukrainian vowel set unharmed (they just never match a suffix)."""
+    if not word or not (
+        "а" <= word[0] <= "я" or word[0] == "ё" or word[0] in _UK_EXTRA
+    ):
+        return word
+    exc = _SUPPLETIVE_UK.get(word)
+    if exc is not None:
+        return exc
+    rv, r2 = _regions_uk(word)
+
+    # Step 1: gerund, else [reflexive] + adjectival|verb|noun
+    out = _strip(word, rv, _PG_UK_2) or _strip(word, rv, _PG_UK_1, need_ay=True)
+    if out is None:
+        w = _strip(word, rv, _REFLEXIVE_UK) or word
+        adj = _strip(w, rv, _ADJECTIVE_UK)
+        if adj is not None:
+            part = _strip(adj, rv, _PARTICIPLE_UK_2) or _strip(
+                adj, rv, _PARTICIPLE_UK_1, need_ay=True
+            )
+            out = part if part is not None else adj
+        else:
+            out = _strip(w, rv, _VERB_UK_2) or _strip(w, rv, _VERB_UK_1, need_ay=True)
+            if out is None:
+                out = _strip(w, rv, _NOUN_UK)
+            if out is None:
+                out = w
+    word = out
+
+    # Step 2: trailing и
+    if word.endswith("и") and len(word) - 1 >= rv:
+        word = word[:-1]
+
+    # Step 3: derivational ending in R2
+    for e in _DERIVATIONAL_UK:
+        if word.endswith(e) and len(word) - len(e) >= r2:
+            word = word[: -len(e)]
+            break
+
+    # Step 4: нн → н | comparative/superlative -іш- (+ нн → н) | trailing ь
+    if word.endswith("нн") and len(word) - 1 >= rv:
+        word = word[:-1]
+    else:
+        sup = _strip(word, rv, _SUPERLATIVE_UK)
         if sup is not None:
             word = sup
             if word.endswith("нн") and len(word) - 1 >= rv:

@@ -79,3 +79,89 @@ def test_stemmed_index_recall(ray_session, tmp_path):
     r = IndexReader(idx)
     docs, _ = r.search_one("книгу иванова", 3)   # different case forms
     assert docs.size and int(docs[0]) == 0
+
+
+# --- Ukrainian ---------------------------------------------------------------
+
+from hybrid_sanctions_search_engine_ray.functions.stemmer import stem_uk  # noqa: E402
+
+# inflection families must conflate to ONE stem each (oblique-form groups,
+# same convention as the ru suite: some nominatives strip further — a known
+# Porter/Snowball property, e.g. світлана → світла like ru светлана)
+UK_CONFLATION_GROUPS = [
+    ["книги", "книгу", "книгою"],                      # noun, case endings
+    ["світлани", "світлані", "світлану"],              # given name, oblique
+    ["ковальський", "ковальського", "ковальському"],   # -ський surname
+    ["читати", "читала", "читали", "читаємо"],         # verb paradigm
+    ["зробив", "зробила", "зробили", "зробивши"],      # past + gerund
+    ["новий", "нова", "нові", "новіший"],              # adjective + comparative
+    ["столи", "стола", "столу", "столів", "столами"],  # noun, full paradigm
+    ["олена", "олени", "олені"],                       # given name
+    ["шевченко", "шевченка", "шевченку"],              # -ко surname
+    ["люди", "людина", "людини", "людей"],             # suppletive (exception table)
+    ["діти", "дитина", "дітей"],                       # suppletive (exception table)
+]
+
+
+@pytest.mark.parametrize("group", UK_CONFLATION_GROUPS, ids=[g[0] for g in UK_CONFLATION_GROUPS])
+def test_uk_conflation_groups(group):
+    stems = {stem_uk(w) for w in group}
+    assert len(stems) == 1, f"{group} → {stems}"
+
+
+def test_uk_distinct_words_stay_distinct():
+    assert stem_uk("книга") != stem_uk("новий")
+    assert stem_uk("шевченко") != stem_uk("ковальський")
+
+
+def test_uk_non_cyrillic_untouched():
+    for w in ["spark", "join", "x1", "", "123"]:
+        assert stem_uk(w) == w
+
+
+def test_uk_specific_letters_accepted():
+    # і/ї/є-initial words must reach the stemmer (outside the а-я range)
+    assert stem_uk("іграшки") == stem_uk("іграшку")
+    assert stem_uk("їжаки") == stem_uk("їжака")
+
+
+def test_uk_short_words_survive():
+    for w in ["в", "з", "як", "мгл"]:
+        assert stem_uk(w) != ""
+
+
+def test_ru_suppletive_exceptions():
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import stem_ru as _ru
+
+    assert _ru("люди") == _ru("человека") == _ru("людям")
+    assert _ru("дети") == _ru("ребенка") == _ru("детям")
+
+
+def test_uk_analyzer_integration():
+    cfg = AnalyzerConfig(mode="full", stem="uk")
+    assert analyze("Книги Олени", cfg) == [stem_uk("книги"), stem_uk("олени")]
+    assert analyze("Spark JOIN", cfg) == ["spark", "join"]
+
+
+def test_uk_stemmed_index_recall(ray_session, tmp_path):
+    """uk query in a different inflection than the document must match
+    with stem="uk" on, and the manifest round-trips the setting."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    texts = ["олена купила книги", "петро продав дім", "unrelated latin text"]
+    rows = [
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+        for i, t in enumerate(texts)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    cfg = EngineConfig(num_partitions=4, analyzer=AnalyzerConfig(mode="full", stem="uk"))
+    idx = str(tmp_path / "ukstemidx")
+    m = build_index("mem", idx, cfg, transcripts_ds=ds)
+    assert m.stem == "uk"
+    r = IndexReader(idx)
+    docs, _ = r.search_one("книгу олені", 3)     # different case forms
+    assert docs.size and int(docs[0]) == 0

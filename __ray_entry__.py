@@ -3748,6 +3748,26 @@ def q_ann_lsh(sf_dir: str):
     return lsh_query(lsh_dir, q_ids.tolist(), q_mat, k=_EMB_TOP_K, radius=3)
 
 
+def q_ann_nsw(sf_dir: str):
+    """Sharded-NSW graph ANN (HNSW-class; reference's optional FAISS-HNSW
+    mode, vector_index_service.py:42-53) over a PERSISTED layout: vectors
+    hash-split into shard graphs (part=P/ adjacency parquet), every shard
+    beam-searched per query, tiny global merge. Unlike IVF/LSH there is no
+    probe-miss regime — recall is governed by (m, ef) graph quality, the
+    recall-at-low-latency point the other two modes can't reach on weakly
+    similar corpora (see ann_eval). Rows-only check (graph construction is
+    not SQL-expressible)."""
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+    from hybrid_sanctions_search_engine_ray.stages.similarity import nsw_build, nsw_query
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    nsw_dir = f"/tmp/graft_nsw_cache/{_fmt}/{tag}"
+    nsw_build(path, nsw_dir, n_parts=8, m=8, ef_construction=48)
+    q_ids, q_mat = _load_query_vectors(path)
+    return nsw_query(nsw_dir, q_ids.tolist(), q_mat, k=_EMB_TOP_K, ef=48)
+
+
 # --- driver entry points ----------------------------------------------------
 
 
@@ -4870,14 +4890,16 @@ def q_ann_int8(sf_dir: str):
 
 def q_ann_eval(sf_dir: str):
     """ANN quality harness: recall@k of every approximate index (IVF,
-    LSH, int8-rescore) against the exact brute-force top-k, one row per
-    (method, query) plus the per-method mean — the evaluation loop a
-    production ANN deployment runs before flipping an alias. Rows-only
-    check (IVF/LSH assignment is not SQL-expressible)."""
+    LSH, int8-rescore, sharded-NSW graph) against the exact brute-force
+    top-k, one row per (method, query) plus the per-method mean — the
+    evaluation loop a production ANN deployment runs before flipping an
+    alias. Rows-only check (IVF/LSH/NSW assignment is not
+    SQL-expressible)."""
     exact = q_embedding_topk(sf_dir).to_pandas()
     truth = {qid: set(g["vec_id"]) for qid, g in exact.groupby("query_vec_id")}
     rows = []
-    for method, fn in (("ivf", q_ann_ivf), ("lsh", q_ann_lsh), ("int8", q_ann_int8)):
+    for method, fn in (("ivf", q_ann_ivf), ("lsh", q_ann_lsh),
+                       ("int8", q_ann_int8), ("nsw", q_ann_nsw)):
         got = fn(sf_dir)
         got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
         for qid, g in got.groupby("query_vec_id"):
@@ -7370,6 +7392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
+        "ann_nsw": q_ann_nsw,
         "topk_sketch": q_topk_sketch,
         "quantile_sketch": q_quantile_sketch,
         "distinct_sketch": q_distinct_sketch,

@@ -85,10 +85,29 @@ def bench_queries(n: int = 200) -> list[dict]:
     return out
 
 
+#: quiet-host reference for the calibration probe (median single-core
+#: 2000² f64 matmul on an uncontended window of this sandbox, measured
+#: repeatedly across rounds) — `queries_calib_normalized` rescales wall
+#: times by (this / calib_matmul_sec) so cross-round numbers compare.
+CALIB_REF_SEC = 0.30
+
+
+def _quiet_ray_logs() -> None:
+    """Keep the bench JSON line clean: Ray Data emits a cosmetic
+    'Failed to hash the schemas (for deduplication): unhashable type'
+    warning through its own loggers even at logging_level=ERROR."""
+    import logging
+
+    for name in ("ray", "ray.data", "ray.air", "ray._private"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def run_bench() -> dict:
     import ray
 
+    _quiet_ray_logs()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    _quiet_ray_logs()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -186,6 +205,16 @@ def run_bench() -> dict:
         "query_p95_ms": query_p95_ms,
         "calib_matmul_sec": _cpu_calibration(),
     }
+    # host-speed-normalized per-pipeline figures: sec × (quiet-host probe /
+    # this run's probe), so a 3×-slow hypervisor window reads as ~the same
+    # normalized number as a quiet one (VERDICT r02 asked for this column)
+    scale = CALIB_REF_SEC / max(result["calib_matmul_sec"], 1e-9)
+    result["calib_ref_sec"] = CALIB_REF_SEC
+    result["queries_calib_normalized"] = {
+        k: round(v * scale, 3) for k, v in timings.items()
+    }
+    result["turns_per_sec_calib_normalized"] = round(
+        result["turns_per_sec"] / scale, 1) if scale else None
     ray.shutdown()
     return result
 

@@ -235,7 +235,18 @@ def recover_encoding(text: str) -> str:
 
 
 def normalize_full(text: str) -> str:
-    """The canonical normalization (pre-tokenization) for ``full`` mode."""
+    """The canonical normalization (pre-tokenization) for ``full`` mode.
+
+    Case rule: uniform ``casefold()``. The reference splits by language
+    — ``lower()`` for ru/uk, ``casefold()`` for en (reference:
+    high_recall_ac_generator.py:174-181 ``normalize_for_ac``) — but the
+    two are IDENTICAL on every Cyrillic codepoint (Unicode defines no
+    full case foldings there), so the split only diverges on Latin
+    specials like ``ß``→``ss`` / ``ﬁ``→``fi`` appearing inside text the
+    reference would route to the ru/uk branch; there casefold is the
+    strictly more recall-friendly choice for an index analyzer (both
+    sides of a query/doc pair fold the same way). Deliberate, uniform,
+    and cheaper than per-string language routing."""
     t = recover_encoding(text).translate(_INVISIBLE)
     t = unicodedata.normalize("NFKC", t)
     t = t.translate(_APOSTROPHES).translate(_HYPHENS)

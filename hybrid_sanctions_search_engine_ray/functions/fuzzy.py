@@ -63,7 +63,8 @@ def levenshtein(a: str | bytes, b: str | bytes, max_dist: int | None = None) -> 
     return d if max_dist is None else min(d, max_dist + 1)
 
 
-def damerau_levenshtein(a: str | bytes, b: str | bytes) -> int:
+def damerau_levenshtein(a: str | bytes, b: str | bytes,
+                        max_dist: int | None = None) -> int:
     """True (unrestricted) Damerau–Levenshtein distance — the
     Lowrance–Wagner DP with the last-occurrence table, so a
     transposition costs 1 even when later edits touch the swapped pair
@@ -72,12 +73,24 @@ def damerau_levenshtein(a: str | bytes, b: str | bytes) -> int:
     counts adjacent swaps as one edit) and matches DuckDB's
     ``damerau_levenshtein`` exactly — verified property-test-vs-DuckDB —
     so the SQL oracle twin is exact. Over UTF-8 bytes when given
-    ``str``s (DuckDB parity, same convention as :func:`levenshtein`)."""
+    ``str``s (DuckDB parity, same convention as :func:`levenshtein`).
+
+    With ``max_dist`` set, returns ``max_dist + 1`` as soon as the
+    distance provably exceeds it, computing only the Ukkonen band
+    ``|i - j| <= max_dist`` — exact for any answer ≤ ``max_dist``
+    because every DL edit (incl. a transposition, which consumes one
+    char of each string) moves ``i - j`` by at most 1 at cost ≥ 1, so
+    any state on a ≤ ``max_dist``-cost path lies inside the band and
+    out-of-band cells (left as the ``inf`` sentinel) can never feed a
+    surviving path. O(max_dist · max(len)) instead of O(len²) — the
+    expansion-hot-path cap the levenshtein kernel already had."""
     if isinstance(a, str):
         a = a.encode("utf-8")
     if isinstance(b, str):
         b = b.encode("utf-8")
     la, lb = len(a), len(b)
+    if max_dist is not None and abs(la - lb) > max_dist:
+        return max_dist + 1
     if la == 0:
         return lb
     if lb == 0:
@@ -93,7 +106,9 @@ def damerau_levenshtein(a: str | bytes, b: str | bytes) -> int:
     for i in range(1, la + 1):
         db = 0  # last column in b matching a[i-1] so far in this row
         ai = a[i - 1]
-        for j in range(1, lb + 1):
+        j_lo = 1 if max_dist is None else max(1, i - max_dist)
+        j_hi = lb if max_dist is None else min(lb, i + max_dist)
+        for j in range(j_lo, j_hi + 1):
             bj = b[j - 1]
             i1 = da.get(bj, 0)
             j1 = db
@@ -109,7 +124,8 @@ def damerau_levenshtein(a: str | bytes, b: str | bytes) -> int:
                 d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transpose
             )
         da[ai] = i
-    return d[la + 1][lb + 1]
+    out = d[la + 1][lb + 1]
+    return out if max_dist is None else min(out, max_dist + 1)
 
 
 def similarity_ratio(a: str, b: str) -> float:
@@ -228,7 +244,7 @@ class FuzzyExpander:
                 if pl and term[:pl] != qt[:pl]:
                     continue
                 if self.metric == "damerau":
-                    d = damerau_levenshtein(qb, tb)
+                    d = damerau_levenshtein(qb, tb, max_dist=md)
                 else:
                     d = levenshtein(qb, tb, max_dist=md)
                 if d <= md:

@@ -957,13 +957,31 @@ def update_by_query(index_dir: str, query_text: str, out_docmap_dir: str,
         return b.append_column(
             set_col, pa.array(hit.astype(np.int64) * int(set_value)))
 
+    # destructive-output guard (this is CLI-reachable via --out): never
+    # rmtree the index itself or a pre-existing directory this function
+    # didn't produce — only an empty dir or a prior update_by_query output
+    # (identified by its _UBQ_META.json marker) may be replaced.
+    out_real = os.path.realpath(out_docmap_dir)
+    idx_real = os.path.realpath(index_dir)
+    if out_real == idx_real or out_real.startswith(idx_real + os.sep) \
+            or idx_real.startswith(out_real + os.sep):
+        raise ValueError(
+            f"out_docmap_dir {out_docmap_dir!r} overlaps index_dir {index_dir!r}")
     if os.path.isdir(out_docmap_dir):
+        entries = os.listdir(out_docmap_dir)
+        if entries and "_UBQ_META.json" not in entries:
+            raise ValueError(
+                f"out_docmap_dir {out_docmap_dir!r} exists, is non-empty and was "
+                "not produced by update_by_query — refusing to delete it")
         shutil.rmtree(out_docmap_dir)
     (
         rd.read_parquet(os.path.join(index_dir, "docmap.parquet"))
         .map_batches(upd, batch_format="pyarrow")
         .write_parquet(out_docmap_dir)
     )
+    with open(os.path.join(out_docmap_dir, "_UBQ_META.json"), "w") as f:
+        json.dump({"index_dir": index_dir, "query_text": query_text,
+                   "set_col": set_col, "set_value": int(set_value)}, f)
     return {"updated": int(ids.size), "total": int(r.manifest.n_docs),
             "docmap_dir": out_docmap_dir}
 

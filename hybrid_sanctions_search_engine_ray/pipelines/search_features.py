@@ -2225,19 +2225,19 @@ class SpanContainScorer:
                     "span_containing/within requires store_positions=True")
             hit = np.zeros(cand.size, dtype=bool)
             for j, d in enumerate(cand):
-                pa, pb, pc = (
+                pos_a, pos_b, pos_lit = (
                     _doc_positions(pos[t], int(d)) for t in terms
                 )
-                if pa.size == 0 or pb.size == 0 or pc.size == 0:
+                if pos_a.size == 0 or pos_b.size == 0 or pos_lit.size == 0:
                     continue
-                # largest in-window pb per pa: pb in [pa+1, pa+slop+1]
-                hi_at = np.searchsorted(pb, pa + slop + 1, side="right") - 1
+                # largest in-window pos_b per pos_a: pos_b in [pos_a+1, pos_a+slop+1]
+                hi_at = np.searchsorted(pos_b, pos_a + slop + 1, side="right") - 1
                 safe = np.maximum(hi_at, 0)
-                pb_max = pb[safe]
-                valid = (hi_at >= 0) & (pb_max > pa)
+                pb_max = pos_b[safe]
+                valid = (hi_at >= 0) & (pb_max > pos_a)
                 c_in = (
-                    np.searchsorted(pc, pb_max, side="right")
-                    - np.searchsorted(pc, pa, side="left")
+                    np.searchsorted(pos_lit, pb_max, side="right")
+                    - np.searchsorted(pos_lit, pos_a, side="left")
                 ) > 0
                 hit[j] = bool((valid & c_in).any())
             m = cand[hit].astype(np.uint64)

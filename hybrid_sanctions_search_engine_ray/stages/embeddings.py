@@ -81,14 +81,71 @@ class HashingEmbedder:
         )
 
 
+class Embedder:
+    """Actor-pool callable with a PLUGGABLE encoder backend — the exact
+    seam the reference's embedding service exposes (reference:
+    embedding_service.py:108-150 loads
+    ``sentence-transformers/paraphrase-multilingual-MiniLM-L12-v2`` once
+    per worker, then batch-encodes). ``backend_factory`` is a zero-arg
+    callable run ONCE per actor in ``__init__`` (the load-model-once
+    contract) returning ``encode(texts: list[str]) -> array (n, dim)``
+    — e.g. a closure that opens an ONNX session or a sentence-
+    transformers model where those exist:
+
+        def factory():
+            import onnxruntime  # loaded per actor, never per batch
+            sess = onnxruntime.InferenceSession("model.onnx")
+            return lambda texts: sess.run(...)
+
+    With no factory it falls back to the deterministic
+    :class:`HashingEmbedder` (same output schema), so pipelines are
+    backend-agnostic and tests stay exact. Output rows are L2-normalized
+    float32 unless ``normalize=False``.
+    """
+
+    def __init__(self, dim: int = 64, analyzer_cfg: AnalyzerConfig | None = None,
+                 backend_factory=None, normalize: bool = True):
+        self.dim = dim
+        self.normalize = normalize
+        if backend_factory is None:
+            self._hash = HashingEmbedder(dim=dim, analyzer_cfg=analyzer_cfg)
+            self._encode = None
+        else:
+            self._hash = None
+            self._encode = backend_factory()   # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._encode is None:
+            return self._hash(batch)
+        texts = [(t or "") for t in batch["text"].to_pylist()]
+        mat = np.asarray(self._encode(texts), dtype=np.float32)
+        if mat.shape != (len(texts), self.dim):
+            raise ValueError(
+                f"backend returned shape {mat.shape}, expected ({len(texts)}, {self.dim})"
+            )
+        if self.normalize:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = (mat / np.maximum(norms, 1e-12)).astype(np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel(), pa.float32()), self.dim)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "embedding": emb.cast(pa.list_(pa.float32())),
+            }
+        )
+
+
 def embed_documents(ds, dim: int = 64, analyzer_cfg: AnalyzerConfig | None = None,
-                    concurrency: int = 4, batch_size: int = 2048):
+                    concurrency: int = 4, batch_size: int = 2048,
+                    backend_factory=None):
     """Dataset(doc_id, text) → Dataset(doc_id, embedding) via the
     actor-pool embedder. ``batch_size`` bounds per-actor memory
-    (batch × dim float32 + token scratch); size down for huge dims."""
+    (batch × dim float32 + token scratch); size down for huge dims.
+    ``backend_factory`` swaps in a real model per :class:`Embedder`."""
     return ds.map_batches(
-        HashingEmbedder,
-        fn_constructor_kwargs={"dim": dim, "analyzer_cfg": analyzer_cfg},
+        Embedder,
+        fn_constructor_kwargs={"dim": dim, "analyzer_cfg": analyzer_cfg,
+                               "backend_factory": backend_factory},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

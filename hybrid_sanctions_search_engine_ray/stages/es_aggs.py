@@ -1254,20 +1254,16 @@ def terms_shard_bounds(ds, col: str, id_col: str, n_shards: int = 8,
     # a term it didn't return has true count 0 there → error 0 (ES rule)
     per_shard = kept.groupby("shard").agg(mn=("c", "min"), k=("c", "size"))
     per_shard["err"] = np.where(per_shard["k"] == shard_size, per_shard["mn"], 0)
-    terms = sorted(kept["term"].unique())
-    have = kept.set_index(["shard", "term"])["c"]
-    rows = []
-    for t in terms:
-        dc = 0
-        eb = 0
-        for sh, err in per_shard["err"].items():
-            c = have.get((sh, t))
-            if c is None or (isinstance(c, float) and np.isnan(c)):
-                eb += int(err)
-            else:
-                dc += int(c)
-        rows.append((t, dc, eb))
-    out = pd.DataFrame(rows, columns=["term", "doc_count", "err_bound"])
+    # vectorized shard × term merge: pivot to a (shard, term) count grid;
+    # a missing cell contributes the shard's err to the term's bound
+    grid = kept.pivot(index="shard", columns="term", values="c") \
+               .reindex(per_shard.index)
+    miss = grid.isna().to_numpy()
+    counts = np.where(miss, 0, grid.to_numpy(dtype=np.float64)).sum(axis=0)
+    errs = (miss * per_shard["err"].to_numpy(np.int64)[:, None]).sum(axis=0)
+    out = pd.DataFrame({"term": grid.columns.to_numpy(),
+                        "doc_count": counts.astype(np.int64),
+                        "err_bound": errs.astype(np.int64)})
     out = out.sort_values(["doc_count", "term"], ascending=[False, True],
                           kind="mergesort").head(size).reset_index(drop=True)
     out["doc_count"] = out["doc_count"].astype(np.int64)

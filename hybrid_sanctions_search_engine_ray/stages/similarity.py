@@ -679,3 +679,232 @@ def maxsim_topk(ds, query_ids: list[int], query_matrix: np.ndarray,
     return pd.DataFrame({"group_id": out["group_id"].astype(np.int64),
                          "rank": np.arange(1, len(out) + 1, dtype=np.int32),
                          "maxsim": out["s"]})
+
+
+# ---------------------------------------------------------------------------
+# NSW graph ANN (HNSW-class, SURVEY.md §2.3 A3): hash-partitioned navigable-
+# small-world graphs with persisted adjacency + beam-search querying.
+# Reference analog: the optional FAISS HNSW local vector index (reference:
+# src/ai_service/layers/embeddings/indexing/vector_index_service.py:42-111),
+# re-expressed as independent per-partition graphs so build parallelism and
+# per-worker memory stay bounded at corpus scale: vectors are hash-split by
+# splitmix64(vec_id) into n_parts shards, each shard builds its own graph in
+# one map_groups task (at 100 TB, n_parts grows with the corpus so a shard
+# always fits a worker), and a query beam-searches every shard independently
+# (one task per shard, the classic distributed-HNSW layout) before a tiny
+# global top-k merge. Unlike IVF there is no geometry-dependent probe miss:
+# every shard is searched, and recall is governed by (m, ef) graph quality
+# alone — the recall-at-low-latency regime IVF's nprobe can't reach when
+# clusters are unbalanced.
+# ---------------------------------------------------------------------------
+
+
+def _nsw_search(mat: np.ndarray, nbrs: list, q: np.ndarray, ef: int,
+                entry: int = 0, visited: np.ndarray | None = None):
+    """Greedy best-first beam search over one NSW graph (the HNSW layer-0
+    search): ``mat`` is (n, d) L2-normalized, ``nbrs`` a list of int arrays
+    (local indices), ``q`` a normalized query. Returns (indices, sims) of
+    the ``ef`` best found, sorted by (-sim, index) — fully deterministic
+    (ties broken by local index on both heaps)."""
+    import heapq
+
+    n = len(nbrs)
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+    if visited is None:
+        visited = np.zeros(n, dtype=bool)
+    else:
+        visited[:n] = False
+    visited[entry] = True
+    s0 = float(mat[entry] @ q)
+    cand = [(-s0, entry)]            # max-heap on sim (ties: smaller index first)
+    best = [(s0, -entry)]            # min-heap: worst-of-best at root (ties: larger index evicts first)
+    while cand:
+        neg, u = heapq.heappop(cand)
+        if len(best) >= ef and -neg < best[0][0]:
+            break
+        nb = [v for v in nbrs[u] if not visited[v]]
+        if not nb:
+            continue
+        visited[list(nb)] = True
+        sims = mat[nb] @ q           # one gather-matmul per hop, no per-edge python math
+        for v, sv in zip(nb, sims.tolist()):
+            if len(best) < ef or sv > best[0][0] or (sv == best[0][0] and -v > best[0][1]):
+                heapq.heappush(best, (sv, -v))
+                heapq.heappush(cand, (-sv, v))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    out = sorted(((s, -ni) for s, ni in best), key=lambda t: (-t[0], t[1]))
+    idx = np.array([i for _, i in out], dtype=np.int64)
+    sims = np.array([s for s, _ in out], dtype=np.float64)
+    return idx, sims
+
+
+def _nsw_build_graph(mat: np.ndarray, m: int = 8, ef_construction: int = 48) -> list:
+    """Incremental NSW construction over an L2-normalized (n, d) matrix in
+    a FIXED insertion order (the caller sorts by vec_id, so the graph is a
+    pure function of the shard's id set — reproducible across runs, block
+    layouts and cluster sizes). Each new point links to its ``m`` nearest
+    among already-inserted points (found by beam search, exact for the
+    first ``ef_construction`` points); reverse edges are added and pruned
+    back to ``2m`` by similarity so degree — and query cost — stays
+    bounded."""
+    n = mat.shape[0]
+    nbrs: list = [np.array([], dtype=np.int32)]
+    if n <= 1:
+        return nbrs[:n]
+    m_max = 2 * m
+    visited = np.zeros(n, dtype=bool)
+    for i in range(1, n):
+        if i <= ef_construction:
+            sims = mat[:i] @ mat[i]
+            order = np.lexsort((np.arange(i), -sims))[:m]
+        else:
+            order, _ = _nsw_search(mat[:i], nbrs, mat[i], ef_construction,
+                                   visited=visited)
+            order = order[:m]
+        links = np.sort(order).astype(np.int32)
+        nbrs.append(links)
+        for j in links:
+            cur = nbrs[j]
+            cur = np.append(cur, np.int32(i))
+            if cur.size > m_max:
+                s = mat[cur] @ mat[j]
+                keep = np.lexsort((cur, -s))[:m_max]
+                cur = np.sort(cur[keep])
+            nbrs[j] = cur
+    return nbrs
+
+
+def nsw_build(embeddings_path: str, out_dir: str, n_parts: int = 8, m: int = 8,
+              ef_construction: int = 48,
+              cols: tuple[str, str] = ("vec_id", "embedding")) -> str:
+    """Build a PERSISTED sharded-NSW layout: vectors hash-partitioned by
+    splitmix64(vec_id) % n_parts (layout-independent), each shard's graph
+    built independently inside groupby().map_groups (parallel across
+    shards; insertion order = sorted vec_id within the shard) and written
+    as ``part=P/data.parquet`` with rows in local-index order and a
+    ``neighbors: list<int32>`` adjacency column. Idempotent via the same
+    meta-guard pattern as :func:`ivf_build`."""
+    import json
+
+    import ray.data as rd
+
+    meta_path = os.path.join(out_dir, "_NSW_META.json")
+    meta = {"n_parts": n_parts, "m": m, "ef_construction": ef_construction,
+            "source": embeddings_path}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == meta:
+                return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ds = rd.read_parquet(embeddings_path, columns=list(cols))
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[cols[0]].to_numpy(zero_copy_only=False)
+        part = (_splitmix64(ids) % np.uint64(n_parts)).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def build_part(g: pd.DataFrame) -> pd.DataFrame:
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        p = int(g["part"].iloc[0])
+        g = g.sort_values(cols[0], kind="mergesort").reset_index(drop=True)
+        mat = _normalize(np.stack(g[cols[1]].to_numpy()).astype(np.float64))
+        nbrs = _nsw_build_graph(mat, m=m, ef_construction=ef_construction)
+        tbl = pa.table({
+            cols[0]: pa.array(g[cols[0]].to_numpy(np.int64)),
+            cols[1]: pa.array(list(g[cols[1]].to_numpy())),
+            "neighbors": pa.array([a.tolist() for a in nbrs],
+                                  pa.list_(pa.int32())),
+        })
+        pdir = os.path.join(out_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        return pd.DataFrame({"part": [p], "n_rows": [len(g)]})
+
+    (ds.map_batches(assign, batch_format="pyarrow")
+       .groupby("part").map_groups(build_part, batch_format="pandas").take_all())
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+class _NSWShardSearch:
+    """One task per shard file: load the shard's vectors + adjacency once,
+    beam-search every query against it, emit per-shard candidates. The
+    whole-shard read is the point — adjacency indices are local row
+    positions, so a shard must stay one unit (and is sized by n_parts to
+    fit a worker's heap)."""
+
+    def __init__(self, queries_ref, ef: int, exclude_self: bool):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.qm = _normalize(q["matrix"])
+        self.ef = ef
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out_q, out_v, out_s = [], [], []
+        for path in batch["path"].to_pylist():
+            tbl = pq.read_table(path)
+            mat = _normalize(_batch_matrix(tbl))
+            vec_ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+            nb_col = tbl["neighbors"].combine_chunks()
+            flat = nb_col.flatten().to_numpy(zero_copy_only=False)
+            offs = nb_col.offsets.to_numpy(zero_copy_only=False)
+            nbrs = [flat[offs[i]:offs[i + 1]] for i in range(len(tbl))]
+            visited = np.zeros(len(tbl), dtype=bool)
+            for qi, qid in enumerate(self.q_ids):
+                idx, sims = _nsw_search(mat, nbrs, self.qm[qi], self.ef,
+                                        visited=visited)
+                for j, s in zip(idx, sims):
+                    if self.exclude_self and vec_ids[j] == qid:
+                        continue
+                    out_q.append(int(qid))
+                    out_v.append(int(vec_ids[j]))
+                    out_s.append(float(s))
+        return pa.table({
+            "query_vec_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos_sim": pa.array(out_s, pa.float64()),
+        })
+
+
+def nsw_query(nsw_dir: str, query_ids: list[int], query_matrix: np.ndarray,
+              k: int = 5, ef: int = 32, exclude_self: bool = True):
+    """Query a persisted sharded-NSW layout: every shard is beam-searched
+    independently (one task per ``part=P`` file, queries broadcast once via
+    ``ray.put``), then a tiny global groupby merges the per-shard
+    candidates into the exact top-k of the union. Per-query work is
+    O(n_parts · ef · avg_degree) distance evals — independent of corpus
+    size within a shard — vs IVF's nprobe-of-nclusters scan."""
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(nsw_dir, d, "data.parquet")
+        for d in os.listdir(nsw_dir)
+        if d.startswith("part=") and os.path.exists(os.path.join(nsw_dir, d, "data.parquet"))
+    )
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": qm})
+    shards = rd.from_items([{"path": f} for f in files])
+    partial = shards.map_batches(
+        _NSWShardSearch,
+        fn_constructor_args=(ref, max(ef, k + 1 if exclude_self else k), exclude_self),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=2,
+    )
+    return partial.groupby("query_vec_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )

@@ -159,6 +159,15 @@ def test_damerau_matches_textbook_dp(a, b):
     assert got >= abs(len(a) - len(b))                 # length lower bound
 
 
+@settings(max_examples=300, deadline=None)
+@given(_W, _W, st.integers(min_value=0, max_value=4))
+def test_damerau_banded_matches_unbanded(a, b, md):
+    """The Ukkonen-banded Damerau kernel (the expansion hot path) is
+    exact: min(d, md+1) for every (pair, cap)."""
+    full = damerau_levenshtein(a, b)
+    assert damerau_levenshtein(a, b, max_dist=md) == min(full, md + 1)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=4),
                 min_size=1, max_size=5),

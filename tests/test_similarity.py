@@ -310,3 +310,82 @@ def test_maxsim_topk_hand_math(ray_session):
         assert abs(got[g] - round(float(want[g]), 4)) < 2e-4
     # group containing a query vector itself scores that query at ~1.0
     assert got[0] > 1.0  # cos(q0, v0)=1 and cos(q1, v1)=1 both in group 0
+
+
+# --- NSW graph ANN (HNSW-class) ----------------------------------------------
+
+
+def test_nsw_graph_deterministic(vectors):
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _normalize,
+        _nsw_build_graph,
+    )
+
+    mn = _normalize(vectors.astype(np.float64))
+    g1 = _nsw_build_graph(mn, m=6, ef_construction=24)
+    g2 = _nsw_build_graph(mn, m=6, ef_construction=24)
+    assert len(g1) == len(vectors)
+    assert all(np.array_equal(a, b) for a, b in zip(g1, g2))
+    # bounded degree: reverse-edge pruning keeps every node at <= 2m
+    assert max(len(a) for a in g1) <= 12
+    # connected enough to navigate: no isolated nodes past the entry point
+    assert all(len(a) > 0 for a in g1[1:])
+
+
+def test_nsw_search_exact_on_full_beam(vectors):
+    """With ef >= n the beam search degenerates to exact ranking — the
+    graph cannot hide a neighbor from a full-width beam (navigability
+    sanity check on the constructed graph)."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _normalize,
+        _nsw_build_graph,
+        _nsw_search,
+    )
+
+    mn = _normalize(vectors.astype(np.float64))
+    g = _nsw_build_graph(mn, m=6, ef_construction=24)
+    q = mn[7]
+    idx, sims = _nsw_search(mn, g, q, ef=len(mn))
+    want = np.lexsort((np.arange(len(mn)), -(mn @ q)))
+    assert list(idx) == list(want)
+    assert np.allclose(sims, (mn @ q)[idx])
+
+
+def test_nsw_persisted_build_and_query(ray_session, vectors, tmp_path):
+    """nsw_build persists part=P shard graphs (idempotent); nsw_query
+    beam-searches every shard and meets/beats the IVF recall bar at the
+    same k."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import nsw_build, nsw_query
+
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(_emb_table(vectors), src)
+    out = str(tmp_path / "nsw")
+    nsw_build(src, out, n_parts=4, m=8, ef_construction=48)
+    pdirs = [d for d in os.listdir(out) if d.startswith("part=")]
+    assert len(pdirs) == 4
+    mtime = os.path.getmtime(os.path.join(out, "_NSW_META.json"))
+    nsw_build(src, out, n_parts=4, m=8, ef_construction=48)  # idempotent skip
+    assert os.path.getmtime(os.path.join(out, "_NSW_META.json")) == mtime
+    # adjacency is local row indices: every neighbor id < shard row count
+    for d in pdirs:
+        t = pq.read_table(os.path.join(out, d, "data.parquet"))
+        flat = t["neighbors"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        assert flat.size == 0 or (flat.min() >= 0 and flat.max() < len(t))
+
+    q_ids = [0, 5, 9]
+    qm = vectors[q_ids].astype(np.float64)
+    exact = brute_force_topk(rd.read_parquet(src), q_ids, qm, k=5).to_pandas()
+    approx = nsw_query(out, q_ids, qm, k=5, ef=32).to_pandas()
+    hits = total = 0
+    for qid in q_ids:
+        e = set(exact[exact.query_vec_id == qid]["vec_id"])
+        a = set(approx[approx.query_vec_id == qid]["vec_id"])
+        assert qid not in a, "exclude_self must drop the query's own vector"
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.8, f"NSW recall too low: {hits}/{total}"

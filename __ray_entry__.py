@@ -636,12 +636,13 @@ def _join_parts() -> int:
 
 
 def _ensure_index(sf_dir: str, mode: str = "simple", positional: bool = False,
-                  stem: str = "") -> str:
+                  stem: str = "", dedup: bool = False) -> str:
     """Build (once, cached under /tmp) the BM25 index for an sf dir.
     ``mode="char3"`` builds the character-trigram (fuzzy lexical tier)
     variant through the SAME shuffle/segment machinery; ``positional``
     adds in-document position postings (exact phrase search); ``stem``
-    builds the morphologically-normalized variant (functions/stemmer)."""
+    builds the morphologically-normalized variant (functions/stemmer);
+    ``dedup`` the duplicate-token-removal variant (D5)."""
     from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
     from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
     from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
@@ -652,6 +653,7 @@ def _ensure_index(sf_dir: str, mode: str = "simple", positional: bool = False,
     tag += "" if mode == "simple" else f"-{mode}"
     tag += "-pos" if positional else ""
     tag += f"-stem{stem}" if stem else ""
+    tag += "-dedup" if dedup else ""
     index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}"
     try:
         if IndexManifest.load(index_dir).status == "complete":
@@ -662,7 +664,8 @@ def _ensure_index(sf_dir: str, mode: str = "simple", positional: bool = False,
     ts = transcripts_from_documents(sf_dir)
     from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
 
-    cfg = EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode=mode, stem=stem))
+    cfg = EngineConfig(num_partitions=16,
+                       analyzer=AnalyzerConfig(mode=mode, stem=stem, dedup_tokens=dedup))
     build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, cfg, transcripts_ds=ts,
                 store_positions=positional)
     return index_dir
@@ -803,6 +806,34 @@ def q_stem_search_uk(sf_dir: str):
     stem_uk; reference morphology is ru+uk via pymorphy), including the
     suppletive дітей/дитина conflation through the exception table."""
     return _stem_search_impl(sf_dir, "uk", _CYR_FORMS_UK, _STEM_QUERIES_UK)
+
+
+def q_dedup_search(sf_dir: str):
+    """BM25 over the duplicate-token-removal analyzer (SURVEY §2 D5;
+    reference: normalization_factory.py:940-998): every repeated
+    multi-letter token in a document collapses to its first occurrence
+    (tf=1), single-letter (initial-form) tokens keep their counts, and
+    dl/avgdl/df are recomputed over the deduped stream. Same queries as
+    ``bm25_topk`` so the rank shift is directly inspectable; the DuckDB
+    twin rebuilds tf/dl/stats with the same CASE rule."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+
+    index_dir = _ensure_index(sf_dir, dedup=True)
+    queries_ds = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K}
+         for qid, text in BM25_QUERIES.items()]
+    )
+    res = search(queries_ds, index_dir, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_finish, batch_format="pandas")
 
 
 def _stem_map_values(stem: str, forms: list[str]) -> str:
@@ -7516,6 +7547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "stem_search": q_stem_search,
         "stem_search_uk": q_stem_search_uk,
+        "dedup_search": q_dedup_search,
         "terms_shard_bounds": q_terms_shard_bounds,
         "forecast_revenue": q_forecast_revenue,
         "priority_count": q_priority_count,
@@ -8309,6 +8341,41 @@ FROM flags GROUP BY segment
 """,
         "stem_search": _stem_search_sql("ru", _CYR_FORMS_RU, _STEM_QUERIES_RU),
         "stem_search_uk": _stem_search_sql("uk", _CYR_FORMS_UK, _STEM_QUERIES_UK),
+        # D5 dedup analyzer: tf collapses to 1 per (doc, multi-letter term),
+        # single-letter alpha tokens (initial forms) keep multiplicity;
+        # dl/avgdl/df recomputed over the deduped stream — the exact CASE
+        # twin of stages/analyze._dedup_occurrences.
+        "dedup_search": f"""
+WITH {TRANSCRIPTS_CTE},
+tfd AS (
+  SELECT term, doc_id,
+         CASE WHEN length(term) = 1 AND regexp_matches(term, '^\\p{{L}}$')
+              THEN count(*)::BIGINT ELSE 1::BIGINT END AS tf
+  FROM tok GROUP BY term, doc_id
+),
+dld AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tfd GROUP BY doc_id),
+statsd AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dld),
+dfd AS (SELECT term, count(*)::BIGINT AS df FROM tfd GROUP BY term),
+qterms(query_id, term) AS (VALUES {qterms}),
+scoresd AS (
+  SELECT q.query_id, t.doc_id,
+         sum( ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+              * t.tf * {_K1 + 1.0} / (t.tf + {_K1} * ({1.0 - _B} + {_B} * d.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tfd t ON t.term = q.term
+  JOIN dfd f ON f.term = q.term
+  JOIN dld d ON d.doc_id = t.doc_id
+  CROSS JOIN statsd s
+  GROUP BY q.query_id, t.doc_id
+),
+rankedd AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scoresd
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedd WHERE rnk <= {BM25_TOP_K}
+""",
         "merge_stats": f"""
 WITH {TRANSCRIPTS_CTE},
 parity AS (SELECT doc_id, cast((doc_id // 8) % 2 AS int) AS h FROM transcripts)

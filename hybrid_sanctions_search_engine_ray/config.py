@@ -45,6 +45,12 @@ class AnalyzerConfig:
 
     mode: str = "simple"  # "simple" | "full" | "char3" | "edge" | "shingle"
     remove_stopwords: bool = False
+    # duplicate-token removal (SURVEY §2 D5; reference:
+    # normalization_factory.py:940-998): first occurrence kept under
+    # casefold comparison, single-letter (initial-form) tokens exempt.
+    # Incompatible with positional indexing (positions of dropped
+    # occurrences are undefined — same caveat as an ES dedup filter).
+    dedup_tokens: bool = False
     # suffix-stripping stemmer applied per token ("" = off; "ru" =
     # Snowball russian; "uk" = Ukrainian Porter-style — the lightweight
     # stand-ins for the reference's pymorphy ru+uk morphology layer,

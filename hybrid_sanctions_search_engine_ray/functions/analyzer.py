@@ -214,6 +214,14 @@ _INVISIBLE = dict.fromkeys(
     map(ord, "​‌‍⁠﻿­‎‏"), None
 )
 
+# Edge-character "ignored_special_char" rule (reference:
+# token_processor.py:228-243 _apply_edge_character_rules): ordinal
+# indicators / degree / typographic marks are REMOVED (→ space), never
+# normalized into letters. Applied BEFORE NFKC on purpose: NFKC maps
+# ª→a / º→o, which would leak a spurious letter into tokens like "3ª"
+# (the reference emits "3", not "3a").
+_SPECIAL_IGNORED = dict.fromkeys(map(ord, "ªº°§¶†‡•‰′″‴※"), " ")
+
 # Mojibake markers: UTF-8 bytes mis-decoded as cp1252 render as 'Ã©',
 # 'Ð¸', 'Ñ\x82', 'â€¦' — lead bytes 0xC3/0xD0/0xD1/0xE2 seen as letters.
 _MOJIBAKE_MARKERS = ("Ã", "Ð", "Ñ", "â€")
@@ -247,7 +255,7 @@ def normalize_full(text: str) -> str:
     strictly more recall-friendly choice for an index analyzer (both
     sides of a query/doc pair fold the same way). Deliberate, uniform,
     and cheaper than per-string language routing."""
-    t = recover_encoding(text).translate(_INVISIBLE)
+    t = recover_encoding(text).translate(_INVISIBLE).translate(_SPECIAL_IGNORED)
     t = unicodedata.normalize("NFKC", t)
     t = t.translate(_APOSTROPHES).translate(_HYPHENS)
     for src, dst in _TRANSLIT.items():
@@ -288,6 +296,27 @@ def tokenize_full(text: str, remove_stopwords: bool = False) -> list[str]:
     return out
 
 
+def dedup_tokens(toks: list[str]) -> list[str]:
+    """Duplicate-token removal (SURVEY §2 D5; reference:
+    normalization_factory.py:940-998
+    ``_deduplicate_consecutive_person_tokens``): keep the FIRST
+    occurrence of each token under casefold comparison, except
+    single-letter tokens (the post-edge-strip form of initials — the
+    reference exempts ``X.``-style initials, which this analyzer's
+    ``.-'`` strip reduces to one letter) which always pass through."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for t in toks:
+        if len(t) == 1 and t.isalpha():
+            out.append(t)
+            continue
+        k = t.casefold()
+        if k not in seen:
+            seen.add(k)
+            out.append(t)
+    return out
+
+
 # --- public API ------------------------------------------------------------
 
 
@@ -322,6 +351,12 @@ def get_analyzer(cfg: AnalyzerConfig):
             return [stem_fn(t) for t in inner(text)]
     elif cfg.stem:
         raise ValueError(f"unknown stemmer: {cfg.stem}")
+
+    if cfg.dedup_tokens:
+        inner_d = base
+
+        def base(text: str) -> list[str]:  # noqa: F811
+            return dedup_tokens(inner_d(text))
 
     if lo <= 1 and hi >= 64:
         return base

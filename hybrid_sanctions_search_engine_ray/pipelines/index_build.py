@@ -473,6 +473,7 @@ def build_index(
             analyzer_mode=cfg.analyzer.mode,
             remove_stopwords=cfg.analyzer.remove_stopwords,
             stem=cfg.analyzer.stem,
+            dedup_tokens=cfg.analyzer.dedup_tokens,
             store_positions=store_positions,
             hot_terms=hot_terms,
             hot_term_salt_buckets=cfg.hot_term_salt_buckets,

@@ -79,6 +79,7 @@ class IndexReader:
                 mode=self.manifest.analyzer_mode,
                 remove_stopwords=self.manifest.remove_stopwords,
                 stem=self.manifest.stem,
+                dedup_tokens=self.manifest.dedup_tokens,
             ),
         )
         self.analyzer = get_analyzer(

@@ -209,6 +209,36 @@ def _shingle_flat(text: pa.Array) -> tuple[np.ndarray, pa.Array]:
     return parent_all[order], terms_all.take(pa.array(order))
 
 
+def _dedup_occurrences(parent: np.ndarray, flat: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """Vectorized D5 dedup over a flat (doc_row, token) occurrence stream
+    (the Arrow twin of ``functions.analyzer.dedup_tokens``): multi-letter
+    tokens collapse to DISTINCT (doc, token) pairs via one hash-group_by;
+    single-letter alpha tokens (initial forms) keep every occurrence.
+    Occurrence ORDER within a doc is not preserved (the tf/dl consumers
+    are order-free; the positional emit refuses dedup configs)."""
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return parent, flat
+    is_initial = pc.and_(
+        pc.equal(pc.utf8_length(flat), 1),
+        pc.match_substring_regex(flat, r"^\p{L}$"),
+    )
+    occ = pa.table({"d": pa.array(parent, pa.int64()), "t": flat})
+    keep_all = occ.filter(is_initial)
+    rest = occ.filter(pc.invert(is_initial)).group_by(["d", "t"]).aggregate([])
+    d_all = np.concatenate([
+        keep_all["d"].to_numpy(zero_copy_only=False),
+        rest["d"].to_numpy(zero_copy_only=False),
+    ])
+    t_all = pa.concat_arrays([
+        keep_all["t"].combine_chunks() if isinstance(keep_all["t"], pa.ChunkedArray) else keep_all["t"],
+        rest["t"].combine_chunks() if isinstance(rest["t"], pa.ChunkedArray) else rest["t"],
+    ])
+    order = np.argsort(d_all, kind="stable")  # nondecreasing-parent invariant
+    return d_all[order], t_all.take(pa.array(order))
+
+
 def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Array]:
     """Tokenize a batch → flat (doc_row_index, term) pairs.
 
@@ -227,12 +257,16 @@ def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Arr
         keep = pc.greater(pc.utf8_length(flat), 0)
         if cfg.remove_stopwords:
             keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))))
-        return parent.filter(keep).to_numpy(zero_copy_only=False), flat.filter(keep)
-    if cfg.mode == "char3" and not cfg.stem:
+        parent_np = parent.filter(keep).to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        if cfg.dedup_tokens:
+            return _dedup_occurrences(parent_np, flat)
+        return parent_np, flat
+    if cfg.mode == "char3" and not cfg.stem and not cfg.dedup_tokens:
         return _char3_flat(text)
-    if cfg.mode == "edge" and not cfg.stem:
+    if cfg.mode == "edge" and not cfg.stem and not cfg.dedup_tokens:
         return _edge_flat(text)
-    if cfg.mode == "shingle" and not cfg.stem:
+    if cfg.mode == "shingle" and not cfg.stem and not cfg.dedup_tokens:
         return _shingle_flat(text)
     # full mode: per-row Python tokenizer, Arrow everything after
     analyzer = get_analyzer(cfg)
@@ -299,6 +333,11 @@ def emit_postings_positional(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     positions are a segmented arange over the flat token stream, groups
     come from one lexsort over (doc, term-code) with positions as the
     inner order."""
+    if cfg.analyzer.dedup_tokens:
+        raise ValueError(
+            "positional indexing is incompatible with dedup_tokens: the "
+            "positions of dropped duplicate occurrences are undefined "
+            "(same caveat as an ES dedup token filter)")
     parent, terms = flat_terms(batch, cfg.analyzer)
     if len(terms) == 0:
         return pa.table(

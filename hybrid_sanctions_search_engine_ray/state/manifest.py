@@ -62,6 +62,7 @@ class IndexManifest:
     analyzer_mode: str = "simple"
     remove_stopwords: bool = False
     stem: str = ""
+    dedup_tokens: bool = False
     store_positions: bool = False
     # skew handling
     hot_terms: list[str] = field(default_factory=list)

@@ -83,3 +83,95 @@ def test_idempotence_full(text):
 
 def test_stopwords_are_lowercase():
     assert all(w == w.lower() for w in STOPWORDS)
+
+
+# --- M10 edge-char ignored_special_char rule ---------------------------------
+
+
+def test_special_chars_removed_not_normalized():
+    """ª/º/° etc. are REMOVED before NFKC (reference token_processor
+    _apply_edge_character_rules) — NFKC alone would leak them into
+    tokens as letters (ª→a)."""
+    assert tokenize_full("Dona 3ª casa") == ["dona", "3", "casa"]
+    assert tokenize_full("sala nº 7") == ["sala", "n", "7"]
+    assert tokenize_full("25° outside") == ["25", "outside"]
+    # the full trace set splits tokens where it appears
+    assert tokenize_full("a§b c¶d e†f g•h i‰j") == \
+        ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"]
+    # primes (′ ″ ‴) and the reference mark ※ vanish too
+    assert tokenize_full("45′12″ mark※note") == ["45", "12", "mark", "note"]
+
+
+def test_special_chars_simple_mode_untouched():
+    """simple mode is the SQL-parity tokenizer — it must keep splitting
+    on these chars exactly as DuckDB's regexp does (no pre-strip)."""
+    assert tokenize_simple("Dona 3ª casa") == ["dona", "3ª", "casa"]
+
+
+# --- D5 duplicate-token removal ----------------------------------------------
+
+
+def test_dedup_tokens_rule():
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import dedup_tokens
+
+    # first occurrence kept, casefold comparison
+    assert dedup_tokens(["Anna", "anna", "maria", "ANNA"]) == ["Anna", "maria"]
+    # single-letter (initial-form) tokens always pass through
+    assert dedup_tokens(["и", "и", "иванов", "иванов"]) == ["и", "и", "иванов"]
+    # digits are NOT initials — they dedup normally
+    assert dedup_tokens(["7", "7", "x"]) == ["7", "x"]
+    assert dedup_tokens([]) == []
+
+
+def test_dedup_analyzer_wiring():
+    cfg = AnalyzerConfig(mode="simple", dedup_tokens=True)
+    assert analyze("spark spark join spark", cfg) == ["spark", "join"]
+    # full mode: initials survive the dedup (post-strip single letters)
+    cfg_full = AnalyzerConfig(mode="full", dedup_tokens=True)
+    assert analyze("И. И. Иванов Иванов", cfg_full) == ["и", "и", "иванов"]
+
+
+def test_dedup_arrow_python_parity():
+    """The vectorized simple-mode dedup path emits the same per-doc
+    (term → tf) multiset as the Python analyzer (order-free contract)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    texts = [
+        "spark spark join filter join spark",
+        "a a b 7 7 A",          # single letters keep counts (casefold 'A'→'a' too)
+        "",
+        "unique terms only here",
+    ]
+    cfg = AnalyzerConfig(mode="simple", dedup_tokens=True)
+    parent, terms = flat_terms(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        cfg,
+    )
+    got = {}
+    for d, t in zip(parent.tolist(), terms.to_pylist()):
+        got.setdefault(d, Counter())[t] += 1
+    want = {}
+    for i, s in enumerate(texts):
+        toks = analyze(s, cfg)
+        if toks:
+            want[i] = Counter(toks)
+    assert got == want
+
+
+def test_dedup_positional_refused():
+    import pyarrow as pa
+    import pytest
+
+    from hybrid_sanctions_search_engine_ray.config import EngineConfig
+    from hybrid_sanctions_search_engine_ray.stages.analyze import emit_postings_positional
+
+    cfg = EngineConfig(analyzer=AnalyzerConfig(dedup_tokens=True))
+    with pytest.raises(ValueError, match="dedup_tokens"):
+        emit_postings_positional(
+            pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["x y x"], pa.string())}), cfg)

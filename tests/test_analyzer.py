@@ -175,3 +175,57 @@ def test_dedup_positional_refused():
         emit_postings_positional(
             pa.table({"doc_id": pa.array([0], pa.int64()),
                       "text": pa.array(["x y x"], pa.string())}), cfg)
+
+
+# --- full-mode vectorized plain-row fast path ---------------------------------
+
+_PLAIN_AL = string.ascii_letters + " ,;:!?()\"\t"
+_MESSY_AL = _PLAIN_AL + "0123456789.-'ё߯ª°Ñ"
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.text(alphabet=_MESSY_AL, max_size=60), min_size=1, max_size=12))
+def test_full_mode_fast_path_parity(texts):
+    """flat_terms full-mode (plain-row Arrow fast path + Python rest)
+    equals the per-row Python analyzer on every row, for any mix of
+    plain-ASCII and messy rows."""
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    parent, terms = flat_terms(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        FULL,
+    )
+    got: dict[int, list[str]] = {}
+    for d, t in zip(parent.tolist(), terms.to_pylist()):
+        got.setdefault(d, []).append(t)
+    want = {i: tokenize_full(s) for i, s in enumerate(texts) if tokenize_full(s)}
+    assert got == want
+
+
+def test_full_mode_fast_path_stopwords_and_dedup():
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    texts = ["The THE quick quick fox", "Ёлка ёлка 3ª test test"]
+    for cfg in (AnalyzerConfig(mode="full", remove_stopwords=True),
+                AnalyzerConfig(mode="full", dedup_tokens=True),
+                AnalyzerConfig(mode="full", remove_stopwords=True, dedup_tokens=True)):
+        parent, terms = flat_terms(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            cfg,
+        )
+        got: dict[int, dict] = {}
+        for d, t in zip(parent.tolist(), terms.to_pylist()):
+            got.setdefault(d, {})
+            got[d][t] = got[d].get(t, 0) + 1
+        for i, s in enumerate(texts):
+            toks = analyze(s, cfg)
+            want = {}
+            for t in toks:
+                want[t] = want.get(t, 0) + 1
+            assert got.get(i, {}) == want, (cfg, s)

@@ -3135,6 +3135,82 @@ def q_dup_clusters(sf_dir: str):
     return assign_clusters(corpus, comps)
 
 
+_DEDUP_EVAL_DOCS = 120        # all-pairs ground truth over this doc prefix
+_DEDUP_EVAL_JACCARD = 0.5     # near-dup threshold ≈ the 64/16 LSH s-curve midpoint
+_DEDUP_EVAL_HAMMING = 6       # SimHash near-dup radius (bits of 64)
+
+
+def q_dedup_eval(sf_dir: str):
+    """Near-dup detector quality harness — the dedup twin of ann_eval:
+    precision/recall of the MinHash-LSH candidate generator and the
+    SimHash Hamming-radius rule against the EXACT word-3-shingle Jaccard
+    ground truth (all pairs of a doc prefix), at the threshold the 64/16
+    banding is tuned for ((1/bands)^(1/rows_per_band) ≈ 0.5). One row per
+    method with hit counts + both metrics — the evaluation a production
+    dedup deployment runs before choosing banding. Rows-only check
+    (sketch assignment is not SQL-expressible; the exact side IS
+    SQL-checked separately via jaccard_pairs/minhash_exact)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import (
+        jaccard_verify,
+        minhash_candidate_pairs,
+        simhash64,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", _DEDUP_EVAL_DOCS)],
+    )
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    ids = sorted(texts)
+    all_pairs = pd.DataFrame(
+        [(a, b) for a, b in itertools.combinations(ids, 2)], columns=["doc_a", "doc_b"]
+    )
+    ver = jaccard_verify(all_pairs, texts, shingle_k=3)
+    truth = {(int(a), int(b)) for a, b, j in
+             zip(ver["doc_a"], ver["doc_b"], ver["jaccard"]) if j >= _DEDUP_EVAL_JACCARD}
+    jmap = {(int(a), int(b)): float(j) for a, b, j in
+            zip(ver["doc_a"], ver["doc_b"], ver["jaccard"])}
+
+    prefix = rd.from_arrow(docs)
+    cand_mh = minhash_candidate_pairs(prefix).to_pandas()
+    mh_pairs = {tuple(sorted((int(a), int(b)))) for a, b in
+                zip(cand_mh["doc_a"], cand_mh["doc_b"])}
+
+    sigs = prefix.map_batches(simhash64, batch_format="pyarrow").to_pandas()
+    sigs = sigs.sort_values("doc_id").reset_index(drop=True)
+    s = sigs["simhash"].to_numpy(np.int64).view(np.uint64)
+    d_ids = sigs["doc_id"].to_numpy(np.int64)
+    xor = s[:, None] ^ s[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for _ in range(64):
+        ham += (xor & np.uint64(1)).astype(np.int64)
+        xor >>= np.uint64(1)
+    ai, bi = np.triu_indices(len(s), k=1)
+    sh_pairs = {(int(d_ids[a]), int(d_ids[b]))
+                for a, b in zip(ai[ham[ai, bi] <= _DEDUP_EVAL_HAMMING],
+                                bi[ham[ai, bi] <= _DEDUP_EVAL_HAMMING])}
+
+    rows = []
+    for method, cand in (("minhash_lsh", mh_pairs), ("simhash_h6", sh_pairs)):
+        hits = cand & truth
+        true_cand = sum(1 for p in cand if jmap.get(p, 0.0) >= _DEDUP_EVAL_JACCARD)
+        rows.append({
+            "method": method,
+            "n_truth": np.int64(len(truth)),
+            "n_candidates": np.int64(len(cand)),
+            "n_hits": np.int64(len(hits)),
+            "precision": round(true_cand / len(cand), 4) if cand else 1.0,
+            "recall": round(len(hits) / len(truth), 4) if truth else 1.0,
+        })
+    return pd.DataFrame(rows)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """End-to-end near-dedup KEEP rule — the curation step after
     clustering: every duplicate cluster keeps its longest member
@@ -7414,6 +7490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
+        "dedup_eval": q_dedup_eval,
         "lm_fluency": q_lm_fluency,
         "vectors_jsonl": q_vectors_jsonl,
         "minhash_pairs": q_minhash_pairs,

@@ -6522,6 +6522,23 @@ def q_dup_spans(sf_dir: str):
                            min_docs=_DUPSPAN_MIN_DOCS, top=_DUPSPAN_TOP)
 
 
+def q_line_dedup(sf_dir: str):
+    """C4/RefinedWeb-style line-level exact dedup: every later copy of a
+    repeated line (non-overlapping 8-token chunk of the simple-analyzer
+    stream — the corpus has no newlines) is dropped, keeping the
+    smallest (doc_id, chunk_idx) occurrence corpus-wide. One corpus
+    scan, one line-keyed Min exchange (winners ARE the kept lines, so
+    no join back), one doc-keyed sum. Returns per-doc retained-line
+    accounting."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import line_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return line_dedup(ds, "text", "doc_id", line_len=8)
+
+
 _TSB_SHARDS, _TSB_SHARD_SIZE, _TSB_SIZE = 8, 5, 5
 
 
@@ -7622,6 +7639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliced_scroll": q_sliced_scroll,
         "missing_agg": q_missing_agg,
         "dup_spans": q_dup_spans,
+        "line_dedup": q_line_dedup,
         "stem_search": q_stem_search,
         "stem_search_uk": q_stem_search_uk,
         "dedup_search": q_dedup_search,
@@ -11186,6 +11204,40 @@ agg AS (
   FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= {_DUPSPAN_MIN_DOCS}
 )
 SELECT gram, n_occ, n_docs FROM agg ORDER BY n_occ DESC, gram LIMIT {_DUPSPAN_TOP}
+""",
+        # C4/RefinedWeb line-level dedup: keep-first over non-overlapping
+        # 8-token chunks; winners (min packed key) ARE the kept lines.
+        "line_dedup": """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+  FROM documents
+),
+ch0 AS (
+  SELECT doc_id, toks,
+         unnest(range(CAST(ceil(len(toks)/8.0) AS BIGINT))) AS i
+  FROM arr WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(toks[i*8+1 : i*8+8], ' ') AS line,
+         least(8, len(toks) - i*8) AS n_toks
+  FROM ch0
+),
+win AS (
+  SELECT line, min(doc_id * 1048576 + chunk_idx) AS packed, min(n_toks) AS n_toks
+  FROM chunks GROUP BY line
+),
+kept AS (
+  SELECT packed // 1048576 AS doc_id, count(*)::BIGINT AS n_kept,
+         sum(n_toks)::BIGINT AS kept_tokens
+  FROM win GROUP BY 1
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM chunks GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines, coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens
+FROM tot t LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
 """,
         # terms agg with shard_size error bounds: per-shard top lists,
         # error contribution = last returned count for TRUNCATED shards

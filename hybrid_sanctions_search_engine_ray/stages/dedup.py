@@ -631,3 +631,140 @@ def dup_ngram_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         {"n_occ": np.int64, "n_docs": np.int64}
     )
     return rd.from_pandas(out if len(out) else _empty_out)
+
+
+# --- line-level dedup (C4 / RefinedWeb) -------------------------------------
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               line_len: int = 8):
+    """C4/RefinedWeb-style line-level exact dedup: drop every later copy
+    of a repeated *line*, keeping only its first occurrence corpus-wide
+    (C4 keeps one of each three-sentence span; RefinedWeb/Dolma dedup at
+    line granularity). This corpus carries no newlines, so the
+    deterministic "line" unit is the non-overlapping ``line_len``-token
+    chunk of the simple-analyzer token stream; first = smallest
+    ``(doc_id, chunk_idx)``.
+
+    Scale shape — ONE corpus scan, two exchanges, no joins, no
+    broadcast:
+
+    1. map: vectorized tokenize (Arrow ``split_pattern_regex``), chunk
+       lines joined per length class via ``binary_join_element_wise``
+       (≤ ``line_len`` C++ calls per batch), map-side combine collapses
+       within-batch copies; each doc also emits ONE sentinel row
+       (``\\x00``-prefixed — real tokens are letter/digit only, so no
+       collision) carrying its total line count.
+    2. ``groupby(line)`` with ``Min(packed)`` — the keep-first winner —
+       where ``packed = doc_id * 2^20 + chunk_idx`` (turn length is
+       capped far below 2^20 chunks). Winner rows ARE the kept lines,
+       so per-doc kept counts need no join back to the corpus.
+    3. one doc-keyed sum over (winner + sentinel) rows — doc-count-sized.
+
+    Returns a Dataset of ``(doc_id, n_lines, n_kept, kept_tokens)`` per
+    document with ≥1 token. Exact DuckDB twin in ``__ray_entry__``
+    (``line_dedup``).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import (
+        _SIMPLE_RE2,
+        _lower_nfc,
+    )
+
+    PACK = np.int64(1) << np.int64(20)
+    _schema = pa.schema([
+        ("line", pa.string()),
+        ("packed", pa.int64()),
+        ("n_toks", pa.int64()),
+        ("cnt", pa.int64()),
+    ])
+
+    def emit_lines(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = b[id_col].to_numpy().astype(np.int64)
+        tokens = pc.split_pattern_regex(_lower_nfc(texts), _SIMPLE_RE2)
+        flat = pc.list_flatten(tokens)
+        parent = pc.list_parent_indices(tokens)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat = flat.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = parent.filter(keep)
+        if len(flat) == 0:
+            return _schema.empty_table()
+        p = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = p.size
+        # position within doc over the nondecreasing parent index
+        seg_start = np.r_[0, np.flatnonzero(np.diff(p)) + 1]
+        seg_len = np.diff(np.r_[seg_start, n])
+        pos = np.arange(n, dtype=np.int64) - np.repeat(seg_start, seg_len)
+        starts = np.flatnonzero(pos % line_len == 0)
+        seg_end = np.repeat(seg_start + seg_len, seg_len)  # per flat token
+        k = np.minimum(line_len, seg_end[starts] - starts)
+        # join each length class in one Arrow C++ call
+        lines = np.empty(starts.size, dtype=object)
+        for kk in range(1, line_len + 1):
+            sel = np.flatnonzero(k == kk)
+            if not sel.size:
+                continue
+            s = starts[sel]
+            parts = [flat.take(pa.array(s + j)) for j in range(kk)]
+            joined = (parts[0] if kk == 1
+                      else pc.binary_join_element_wise(*parts, " "))
+            lines[sel] = joined.to_numpy(zero_copy_only=False)
+        packed = ids[p[starts]] * PACK + (pos[starts] // line_len)
+        per = (
+            pd.DataFrame({"line": lines, "packed": packed,
+                          "n_toks": k.astype(np.int64)})
+            .groupby("line", sort=False)
+            .agg(packed=("packed", "min"), n_toks=("n_toks", "min"))
+            .reset_index()
+        )
+        per["cnt"] = np.int64(0)
+        # one sentinel per doc: cnt = its line count (docs are whole rows,
+        # so each appears in exactly one batch)
+        docs_here = np.unique(p)
+        n_lines_doc = np.bincount(p[starts], minlength=int(p.max()) + 1)[docs_here]
+        sent = pd.DataFrame({
+            "line": ["\x00" + str(ids[d]) for d in docs_here],
+            "packed": ids[docs_here] * PACK,
+            "n_toks": np.int64(0),
+            "cnt": n_lines_doc.astype(np.int64),
+        })
+        out = pd.concat([per, sent], ignore_index=True)
+        return pa.Table.from_pandas(out, schema=_schema, preserve_index=False)
+
+    agg = (
+        ds.map_batches(emit_lines, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(
+            Min("packed", alias_name="win"),
+            Min("n_toks", alias_name="toks"),
+            Sum("cnt", alias_name="cnt_sum"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        win = b["win"].to_numpy().astype(np.int64)
+        cnt = b["cnt_sum"].to_numpy().astype(np.int64)
+        toks = b["toks"].to_numpy().astype(np.int64)
+        is_sent = cnt > 0  # real lines always carry cnt 0
+        return pa.table({
+            "doc_id": pa.array(win // PACK, pa.int64()),
+            "n_lines": pa.array(np.where(is_sent, cnt, 0), pa.int64()),
+            "n_kept": pa.array(np.where(is_sent, 0, 1), pa.int64()),
+            "kept_tokens": pa.array(np.where(is_sent, 0, toks), pa.int64()),
+        })
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("kept_tokens", alias_name="kept_tokens"),
+        )
+    )

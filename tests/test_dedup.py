@@ -185,3 +185,87 @@ def test_dup_ngram_spans_short_docs_skipped(ray_session):
     docs = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "a b"]})
     out = dup_ngram_spans(rd.from_pandas(docs), n=3, min_docs=2, top=5).to_pandas()
     assert out.empty
+
+
+# --- line-level dedup (C4 / RefinedWeb) -------------------------------------
+
+
+def _line_dedup_brute(texts, line_len=8):
+    """Reference keep-first over non-overlapping token chunks."""
+    import re
+    import unicodedata
+
+    seen = {}
+    per_doc = {}
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in re.split(r"[^\w]+", unicodedata.normalize("NFC", text).lower()) if t]
+        n_lines = 0
+        kept = []
+        for i in range(0, len(toks), line_len):
+            chunk = toks[i : i + line_len]
+            line = " ".join(chunk)
+            n_lines += 1
+            key = (doc_id, i // line_len)
+            if line not in seen:
+                seen[line] = key
+                kept.append(len(chunk))
+        if toks:
+            per_doc[doc_id] = (n_lines, len(kept), sum(kept))
+    return per_doc
+
+
+def test_line_dedup_keep_first(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import line_dedup
+
+    texts = [
+        # doc 0: two identical 8-token lines + a 3-token tail
+        "a b c d e f g h a b c d e f g h x y z",
+        # doc 1: repeats doc 0's first line, then its own
+        "a b c d e f g h q r s t u v w x",
+        # doc 2: unique content + repeats doc 1's second line
+        "m n o p q r s t q r s t u v w x",
+        # doc 3: the 3-token tail of doc 0 as a full short doc
+        "x y z",
+        # doc 4: empty after tokenization (dropped from output)
+        "!!! ...",
+    ]
+    out = (
+        line_dedup(rd.from_arrow(_docs_table(texts)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _line_dedup_brute(texts)
+    assert list(out["doc_id"]) == sorted(exp)
+    for _, r in out.iterrows():
+        assert (r["n_lines"], r["n_kept"], r["kept_tokens"]) == exp[r["doc_id"]], r["doc_id"]
+    # the duplicate line in doc 0 collapses within the doc too
+    assert out.loc[0, "n_lines"] == 3 and out.loc[0, "n_kept"] == 2
+    # doc 1 lost its first line to doc 0
+    assert out.loc[1, "n_kept"] == 1
+    # doc 3's short line already appeared as doc 0's tail chunk
+    assert out.loc[3, "n_kept"] == 0 and out.loc[3, "n_lines"] == 1
+
+
+def test_line_dedup_random_vs_brute(ray_session):
+    import random
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import line_dedup
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))) for _ in range(60)]
+    out = (
+        line_dedup(rd.from_arrow(_docs_table(texts)), line_len=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _line_dedup_brute(texts, line_len=4)
+    assert list(out["doc_id"]) == sorted(exp)
+    for _, r in out.iterrows():
+        assert (r["n_lines"], r["n_kept"], r["kept_tokens"]) == exp[r["doc_id"]]

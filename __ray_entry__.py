@@ -7020,6 +7020,35 @@ def q_geo_bbox(sf_dir: str):
     return geo_bounding_box(ds, "c_custkey", "c_acctbal", *_GEO_BOX)
 
 
+# convex CCW pentagon in (lon, lat) integer milli-degrees
+_GEO_POLY = [(-120000, -40000), (-20000, -70000), (90000, -20000),
+             (60000, 55000), (-80000, 60000)]
+
+
+def q_geo_polygon(sf_dir: str):
+    """ES geo_polygon filter + stats: convex point-in-polygon as the
+    all-edges int64 half-plane test over derived milli-degree
+    coordinates — no trigonometry, bit-exact, one streaming pass."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_polygon
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal"])
+    return geo_polygon(ds, "c_custkey", "c_acctbal", _GEO_POLY)
+
+
+def _geo_poly_pred() -> str:
+    """The engine's per-edge cross-product conjunction as SQL text."""
+    terms = []
+    n = len(_GEO_POLY)
+    for i in range(n):
+        x1, y1 = _GEO_POLY[i]
+        x2, y2 = _GEO_POLY[(i + 1) % n]
+        terms.append(f"({x2 - x1}) * (la - ({y1})) - ({y2 - y1}) * (lo - ({x1})) >= 0")
+    return "\n  AND ".join(terms)
+
+
 def q_geo_grid(sf_dir: str):
     """ES geohash_grid-style cell aggregation (equal-degree cells — the
     arithmetic-only grid, keeping every cell assignment bit-exact):
@@ -7658,6 +7687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maxsim": q_maxsim,
         "rank_feature_fns": q_rank_feature_fns,
         "geo_bbox": q_geo_bbox,
+        "geo_polygon": q_geo_polygon,
         "geo_grid": q_geo_grid,
         "update_by_query": q_update_by_query,
         "simhash_exact": q_simhash_exact,
@@ -11629,6 +11659,21 @@ SELECT count(*)::BIGINT AS doc_count,
 FROM g
 WHERE lat >= {_GEO_BOX[0]} AND lat <= {_GEO_BOX[1]}
   AND lon >= {_GEO_BOX[2]} AND lon <= {_GEO_BOX[3]}
+""",
+        # geo_polygon: the SAME int64 half-plane conjunction the engine
+        # evaluates, in integer milli-degrees end-to-end.
+        "geo_polygon": f"""
+WITH p AS (
+  SELECT c_acctbal,
+         (c_custkey * 7919) % 180000 - 90000 AS la,
+         (c_custkey * 104729) % 360000 - 180000 AS lo
+  FROM customer
+)
+SELECT count(*)::BIGINT AS doc_count,
+       round(coalesce(sum(cast(round(c_acctbal * 100) AS BIGINT)), 0)::DOUBLE
+             / 100.0, 2) AS value_sum
+FROM p
+WHERE {_geo_poly_pred()}
 """,
         # geohash_grid analog: equal-degree cells, top by count.
         "geo_grid": f"""

@@ -128,3 +128,49 @@ def geo_distance_topk(ds, key_col: str, lat_md: int, lon_md: int,
         "rank": np.arange(1, len(parts) + 1, dtype=np.int32),
         "dist2_mdeg": parts["dist2_mdeg"].astype(np.int64),
     })
+
+
+def geo_polygon(ds, key_col: str, value_col: str,
+                vertices_md: list[tuple[int, int]]) -> pd.DataFrame:
+    """ES ``geo_polygon`` filter (+ stats), kept bit-exact: the polygon
+    is CONVEX with vertices in (lon, lat) integer milli-degrees, CCW
+    order, and membership is the all-edges half-plane test
+    ``cross(v2-v1, p-v1) >= 0`` (boundary inclusive) — pure int64
+    arithmetic (|cross| < 360000² ≪ 2^63), no trigonometry, shared
+    op-for-op with the SQL twin. One streaming pass, scalar partials,
+    no shuffle beyond the global sum."""
+    from ray.data.aggregate import Sum
+
+    vx = np.array([v[0] for v in vertices_md], dtype=np.int64)
+    vy = np.array([v[1] for v in vertices_md], dtype=np.int64)
+    ex, ey = np.roll(vx, -1) - vx, np.roll(vy, -1) - vy
+    # refuse non-convex/clockwise input up front: every consecutive
+    # edge turn must be a left turn
+    turns = ex * np.roll(ey, -1) - ey * np.roll(ex, -1)
+    if (turns <= 0).any():
+        raise ValueError("vertices_md must be a convex polygon in CCW order")
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = (keys * _LAT_P) % 180000 - 90000
+        lo = (keys * _LON_P) % 360000 - 180000
+        inside = np.ones(keys.size, dtype=bool)
+        for i in range(vx.size):
+            cross = ex[i] * (la - vy[i]) - ey[i] * (lo - vx[i])
+            inside &= cross >= 0
+        v = b[value_col].to_numpy(zero_copy_only=False)[inside]
+        cents = np.floor(np.abs(v) * 100.0 + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        return pa.table({"n_p": pa.array([int(inside.sum())], pa.int64()),
+                         "c_p": pa.array([int(cents.sum())], pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_p", alias_name="doc_count"),
+                   Sum("c_p", alias_name="cents"))
+        .to_pandas()
+    )
+    n = int(agg["doc_count"].iloc[0]) if len(agg) else 0
+    c = int(agg["cents"].iloc[0]) if len(agg) else 0
+    return pd.DataFrame({"doc_count": pd.Series([n], dtype=np.int64),
+                         "value_sum": [round(c / 100.0, 2)]})

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pytest
 
 from hybrid_sanctions_search_engine_ray.stages import geo
 
@@ -66,3 +68,39 @@ def test_geo_distance_topk_brute(ray_session):
     assert out["c_custkey"].tolist() == k[order].tolist()
     assert out["dist2_mdeg"].tolist() == d2[order].tolist()
     assert out["rank"].tolist() == list(range(1, 11))
+
+
+def test_geo_polygon_matches_brute(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import derive_coords, geo_polygon
+
+    poly = [(-120000, -40000), (-20000, -70000), (90000, -20000),
+            (60000, 55000), (-80000, 60000)]
+    keys = np.arange(1, 400, dtype=np.int64)
+    vals = (keys % 97).astype(np.float64) + 0.25
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    out = geo_polygon(rd.from_arrow(tbl), "k", "v", poly)
+
+    la = (keys * 7919) % 180000 - 90000
+    lo = (keys * 104729) % 360000 - 180000
+    inside = np.ones(keys.size, dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        inside &= (x2 - x1) * (la - y1) - (y2 - y1) * (lo - x1) >= 0
+    assert int(out["doc_count"].iloc[0]) == int(inside.sum()) > 0
+    cents = np.floor(np.abs(vals[inside]) * 100.0 + 0.5).astype(np.int64)
+    assert out["value_sum"].iloc[0] == round(int(cents.sum()) / 100.0, 2)
+
+
+def test_geo_polygon_rejects_nonconvex():
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_polygon
+
+    cw = [(-80000, 60000), (60000, 55000), (90000, -20000),
+          (-20000, -70000), (-120000, -40000)]  # clockwise
+    with pytest.raises(ValueError):
+        geo_polygon(None, "k", "v", cw)

@@ -1710,6 +1710,37 @@ _NEARDUP_MAX_ID = 400
 _NEARDUP_MIN_COS = 0.35
 
 
+_SEMDEDUP_TAU = 0.35  # embedding_neardup's corpus-calibrated threshold
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embeddings,
+    then keep only one member per within-cluster cosine>τ duplicate
+    component — the member least similar to its centroid (the paper's
+    keep rule). Deterministic hash-sampled centroids, one assignment
+    map, one cluster-keyed exchange; all-pairs work stays inside
+    clusters. Rows-only (k-means is not SQL-expressible); the keep
+    rule and component logic are brute-force-verified in
+    tests/test_similarity.py."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import semdedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = semdedup(ds, threshold=_SEMDEDUP_TAU)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["keep"] = b["keep"].astype(bool)
+        b["vec_id"] = b["vec_id"].astype(np.int64)
+        b["rep_id"] = b["rep_id"].astype(np.int64)
+        b["cluster"] = b["cluster"].astype(np.int32)
+        return b
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (the training-data near-dup
     family's vector member): broadcast subset matrix, one matmul per
@@ -7534,6 +7565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_weighted": q_hybrid_weighted,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup": q_semdedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "dedup_eval": q_dedup_eval,

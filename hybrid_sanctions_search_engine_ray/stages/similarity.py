@@ -908,3 +908,86 @@ def nsw_query(nsw_dir: str, query_ids: list[int], query_matrix: np.ndarray,
     return partial.groupby("query_vec_id").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas"
     )
+
+
+# --- SemDeDup (semantic deduplication) ---------------------------------------
+
+
+def semdedup(ds, threshold: float = 0.97, n_clusters: int = 16,
+             n_iter: int = 5, seed: int = 11, sample_rows: int = 2048,
+             id_col: str = "vec_id", emb_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then inside each cluster drop all but one
+    member of every connected component of the cosine-similarity>τ
+    graph. The kept representative is the component member LEAST
+    similar to its cluster centroid (the paper's keep rule — low
+    centroid similarity ≈ most informative example), ties broken by
+    smallest id.
+
+    Scale shape: centroids fit once on a deterministic hash-sample
+    (``_sample_bottomk_by_hash`` — no global sort), one assignment
+    map over the corpus, then ONE cluster-keyed exchange
+    (``groupby(cluster).map_groups``). All-pairs similarity happens
+    only INSIDE a cluster — the SemDeDup contract is that
+    ``n_clusters`` grows with the corpus so cluster sizes stay bounded
+    (the paper runs 50k clusters at web scale); at this harness scale
+    16 clusters keep groups at a few dozen vectors.
+
+    Deterministic end-to-end (sample, init, argmax assignment, keep
+    rule), so results are stable across batching, block order and
+    cluster size. Returns a Dataset of
+    ``(vec_id, cluster, keep, rep_id, centroid_sim_r6)`` — one row per
+    input vector; ``rep_id`` is the surviving representative of the
+    vector's duplicate component (its own id for singletons/keepers).
+    """
+    ivf = IVFIndex(n_clusters=n_clusters, n_iter=n_iter, seed=seed)
+    ivf.fit(_sample_bottomk_by_hash(ds, sample_rows))
+    cent = ivf.centroids
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")  # batch-order independence
+        ids = ids[order]
+        m = _normalize(np.stack(g[emb_col].to_numpy())[order].astype(np.float64))
+        cl = int(g["cluster"].iloc[0])
+        csim = m @ cent[cl]
+        n = len(ids)
+        # union-find over the τ-graph edges (cluster-bounded all-pairs)
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        parent = np.arange(n)
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in zip(ii, jj):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        root = np.array([find(int(i)) for i in range(n)])
+        # keep rule: per component argmin centroid-sim, tie smallest id
+        # (ids are sorted ascending, so lexsort order index == id order)
+        rank = np.lexsort((ids, np.round(csim, 12), root))
+        first = np.unique(root[rank], return_index=True)[1]
+        keeper_row = rank[first]  # one row index per component, the keeper
+        rep_of_root = np.full(n, -1, dtype=np.int64)
+        rep_of_root[root[keeper_row]] = ids[keeper_row]
+        rep = rep_of_root[root]
+        keep = np.zeros(n, dtype=bool)
+        keep[keeper_row] = True
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": np.full(n, cl, dtype=np.int32),
+            "keep": keep,
+            "rep_id": rep,
+            "centroid_sim_r6": np.round(csim, 6),
+        })
+
+    return (
+        ds.map_batches(ivf.assign_batch, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )

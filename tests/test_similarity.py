@@ -389,3 +389,91 @@ def test_nsw_persisted_build_and_query(ray_session, vectors, tmp_path):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.8, f"NSW recall too low: {hits}/{total}"
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+
+def _semdedup_brute(m, ids, centroids, threshold):
+    """Reference SemDeDup: same clustering, per-cluster τ-components,
+    keep the member least similar to the centroid (tie: smallest id)."""
+    mn = _normalize(m.astype(np.float64))
+    assign = (mn @ centroids.T).argmax(axis=1)
+    out = {}
+    for cl in np.unique(assign):
+        rows = np.flatnonzero(assign == cl)
+        rows = rows[np.argsort(ids[rows])]
+        sub = mn[rows]
+        csim = sub @ centroids[cl]
+        sims = sub @ sub.T
+        n = len(rows)
+        comp = list(range(n))
+
+        def find(a):
+            while comp[a] != a:
+                comp[a] = comp[comp[a]]
+                a = comp[a]
+            return a
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        comp[max(ra, rb)] = min(ra, rb)
+        roots = [find(i) for i in range(n)]
+        for r in set(roots):
+            members = [i for i in range(n) if roots[i] == r]
+            keeper = min(members, key=lambda i: (round(csim[i], 12), ids[rows[i]]))
+            for i in members:
+                out[int(ids[rows[i]])] = (int(cl), i == keeper,
+                                          int(ids[rows[keeper]]))
+    return out
+
+
+def test_semdedup_matches_brute(ray_session, vectors):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _sample_bottomk_by_hash,
+        semdedup,
+    )
+
+    # plant near-duplicate groups: rows 10/11/12 ≈ row 10, rows 40/41 ≈ row 40
+    m = vectors.copy()
+    rng = np.random.default_rng(8)
+    for src, dst in [(10, 11), (10, 12), (40, 41)]:
+        m[dst] = m[src] + 0.01 * rng.standard_normal(m.shape[1]).astype(np.float32)
+
+    ds = rd.from_arrow(_emb_table(m))
+    out = (
+        semdedup(ds, threshold=0.9, n_clusters=8, sample_rows=128)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(m)
+
+    ivf = IVFIndex(n_clusters=8, n_iter=5, seed=11)
+    ivf.fit(_sample_bottomk_by_hash(ds, 128))
+    exp = _semdedup_brute(m, np.arange(len(m), dtype=np.int64), ivf.centroids, 0.9)
+    for _, r in out.iterrows():
+        cl, keep, rep = exp[int(r["vec_id"])]
+        assert (int(r["cluster"]), bool(r["keep"]), int(r["rep_id"])) == (cl, keep, rep), r["vec_id"]
+    # the planted duplicates actually deduplicate (when co-clustered)
+    dup_rows = out[out["vec_id"].isin([10, 11, 12])]
+    if dup_rows["cluster"].nunique() == 1:
+        assert int(dup_rows["keep"].sum()) == 1
+        assert dup_rows["rep_id"].nunique() == 1
+    assert int(out["keep"].sum()) < len(m)  # something was removed
+
+
+def test_semdedup_no_dups_is_identity(ray_session, vectors):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import semdedup
+
+    out = semdedup(rd.from_arrow(_emb_table(vectors)), threshold=0.999,
+                   n_clusters=4, sample_rows=64).to_pandas()
+    assert bool(out["keep"].all())
+    assert (out["rep_id"] == out["vec_id"]).all()

@@ -1710,6 +1710,87 @@ _NEARDUP_MAX_ID = 400
 _NEARDUP_MIN_COS = 0.35
 
 
+_HNEG_QUERIES, _HNEG_K = 8, 3  # hard-negative mining window
+_KNN_QUERIES, _KNN_K = 12, 5   # kNN classification window
+
+
+def _load_query_vectors_labeled(path: str, n: int):
+    """Pushdown-pruned query fetch including the label column."""
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding", "label"],
+                         filters=[("vec_id", "<", n)])
+    ids = head["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(head["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    labels = head["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, mat, labels
+
+
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: for each query vector the top-k
+    most-similar corpus vectors with a DIFFERENT label — the metric-
+    learning batch-construction primitive. Broadcast query matrix,
+    per-batch matmul with same-label masking, partial top-k, tiny
+    query-keyed merge."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import hard_negatives
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+    q_ids, q_mat, q_labels = _load_query_vectors_labeled(path, _HNEG_QUERIES)
+    res = hard_negatives(ds, q_ids, q_mat, q_labels, k=_HNEG_K)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "query_vec_id": b["query_vec_id"].astype(np.int64),
+            "rank": b["rank"].astype(np.int64),
+            "vec_id": b["vec_id"].astype(np.int64),
+            "neg_label": b["neg_label"].astype(np.int64),
+            "cos_sim": _round4(b["cos_sim"].to_numpy()),
+        })
+
+    return res.map_batches(final, batch_format="pandas")
+
+
+def q_knn_classify(sf_dir: str):
+    """kNN label prediction (training-data audit primitive): majority
+    label of the k nearest neighbours (self excluded), ties by smaller
+    label; reuses the streaming brute-force top-k, then a bounded
+    pushdown point-read attaches neighbour labels (k×Q rows)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    q_ids, q_mat, q_labels = _load_query_vectors_labeled(path, _KNN_QUERIES)
+    nn = brute_force_topk(ds, q_ids.tolist(), q_mat, k=_KNN_K,
+                          exclude_self=True).to_pandas()
+    lab = pq.read_table(path, columns=["vec_id", "label"],
+                        filters=[("vec_id", "in", sorted(set(nn["vec_id"])))]
+                        ).to_pandas()
+    nn = nn.merge(lab, on="vec_id", how="left")
+    votes = (
+        nn.groupby(["query_vec_id", "label"], sort=False).size()
+        .reset_index(name="votes")
+        .sort_values(["query_vec_id", "votes", "label"],
+                     ascending=[True, False, True], kind="mergesort")
+        .groupby("query_vec_id", sort=True).head(1).reset_index(drop=True)
+    )
+    truth = pd.DataFrame({"query_vec_id": q_ids.astype(np.int64),
+                          "true_label": q_labels})
+    out = votes.merge(truth, on="query_vec_id")
+    return pd.DataFrame({
+        "query_vec_id": out["query_vec_id"].astype(np.int64),
+        "pred_label": out["label"].astype(np.int64),
+        "votes": out["votes"].astype(np.int64),
+        "true_label": out["true_label"].astype(np.int64),
+        "correct": (out["label"] == out["true_label"]).astype(np.int64),
+    })
+
+
 _SEMDEDUP_TAU = 0.35  # embedding_neardup's corpus-calibrated threshold
 
 
@@ -7566,6 +7647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
+        "hard_negatives": q_hard_negatives,
+        "knn_classify": q_knn_classify,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "dedup_eval": q_dedup_eval,
@@ -9308,6 +9391,57 @@ ranked AS (
 )
 SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
 FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # hard-negative mining: top-k most-similar DIFFERENT-label
+        # vectors per query (the contrastive batch-construction rule).
+        "hard_negatives": f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < {_HNEG_QUERIES}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id, e.label AS neg_label,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label <> q.ql
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, neg_label, cos,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT query_vec_id, rnk::BIGINT AS rank, vec_id, neg_label::BIGINT AS neg_label,
+       round(cos, 4) AS cos_sim
+FROM ranked WHERE rnk <= {_HNEG_K}
+""",
+        # kNN classification: majority label over the exact top-k
+        # neighbour set (ties by smaller label).
+        "knn_classify": f"""
+WITH q AS (
+  SELECT vec_id AS qv, embedding AS qe, label AS tl
+  FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+),
+sims AS (
+  SELECT q.qv, q.tl, e.vec_id, e.label,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qv
+),
+knn AS (
+  SELECT * FROM (
+    SELECT qv, tl, vec_id, label, cos,
+           row_number() OVER (PARTITION BY qv ORDER BY cos DESC, vec_id) AS rnk
+    FROM sims
+  ) WHERE rnk <= {_KNN_K}
+),
+v AS (SELECT qv, tl, label, count(*)::BIGINT AS votes FROM knn GROUP BY 1, 2, 3),
+best AS (
+  SELECT qv, tl, label, votes,
+         row_number() OVER (PARTITION BY qv ORDER BY votes DESC, label) AS r
+  FROM v
+)
+SELECT qv AS query_vec_id, label::BIGINT AS pred_label, votes,
+       tl::BIGINT AS true_label, (label = tl)::BIGINT AS correct
+FROM best WHERE r = 1 ORDER BY query_vec_id
 """,
         # int8-rescore kNN is brute-force-identical at this window:
         # the oracle is the same exact-cosine ranking.

@@ -991,3 +991,69 @@ def semdedup(ds, threshold: float = 0.97, n_clusters: int = 16,
         .groupby("cluster")
         .map_groups(dedup_cluster, batch_format="pandas")
     )
+
+
+# --- contrastive hard-negative mining ----------------------------------------
+
+
+class _PartialHardNeg:
+    """map_batches body: cos against the broadcast query matrix with
+    SAME-label columns masked out, emit batch-local top-k per query —
+    the metric-learning hard-negative rule (most similar example of a
+    different class)."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.qm = _normalize(q["matrix"])
+        self.q_labels = q["labels"]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = self.qm @ m.T  # (nq, batch)
+        sims = np.where(labels[None, :] == self.q_labels[:, None], -np.inf, sims)
+        out_q, out_v, out_l, out_s = [], [], [], []
+        for qi, qid in enumerate(self.q_ids):  # ≤ query-count iterations
+            s = sims[qi]
+            order = np.lexsort((vec_ids, -s))[: self.k]
+            order = order[np.isfinite(s[order])]
+            out_q.append(np.full(order.size, qid, dtype=np.int64))
+            out_v.append(vec_ids[order])
+            out_l.append(labels[order])
+            out_s.append(s[order])
+        return pa.table({
+            "query_vec_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "neg_label": pa.array(np.concatenate(out_l), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def hard_negatives(ds, query_ids: np.ndarray, query_matrix: np.ndarray,
+                   query_labels: np.ndarray, k: int = 1):
+    """Hard-negative mining for contrastive/metric training: for each
+    query vector, the ``k`` most-similar corpus vectors with a DIFFERENT
+    label (ties by vec_id). Broadcast query matrix, one matmul + partial
+    top-k per batch, one tiny query-keyed merge — the corpus streams."""
+    ref = ray.put({
+        "ids": np.asarray(query_ids, dtype=np.int64),
+        "matrix": np.asarray(query_matrix, dtype=np.float64),
+        "labels": np.asarray(query_labels, dtype=np.int64),
+    })
+    partial = ds.map_batches(
+        _PartialHardNeg,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_vec_id").map_groups(final, batch_format="pandas")

@@ -477,3 +477,27 @@ def test_semdedup_no_dups_is_identity(ray_session, vectors):
                    n_clusters=4, sample_rows=64).to_pandas()
     assert bool(out["keep"].all())
     assert (out["rep_id"] == out["vec_id"]).all()
+
+
+def test_hard_negatives_masks_same_label(ray_session, vectors):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import hard_negatives
+
+    labels = (np.arange(len(vectors)) % 4).astype(np.int64)
+    tbl = _emb_table(vectors).append_column("label", pa.array(labels))
+    q_ids = np.array([0, 7, 21], dtype=np.int64)
+    out = (
+        hard_negatives(rd.from_arrow(tbl), q_ids, vectors[q_ids].astype(np.float64),
+                       labels[q_ids], k=4)
+        .to_pandas()
+    )
+    mn = _normalize(vectors.astype(np.float64))
+    for qid in q_ids:
+        sims = mn @ mn[qid]
+        sims[labels == labels[qid]] = -np.inf  # mask the whole class (incl. self)
+        order = np.lexsort((np.arange(len(sims)), -sims))[:4]
+        got = out[out["query_vec_id"] == qid].sort_values("rank")
+        assert list(got["vec_id"]) == list(order)
+        assert (got["neg_label"].to_numpy() != labels[qid]).all()
+        np.testing.assert_allclose(got["cos_sim"].to_numpy(), sims[order], rtol=1e-12)

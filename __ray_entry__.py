@@ -1621,6 +1621,37 @@ def q_smart_prefilter(sf_dir: str):
     )
 
 
+_DOWNSAMPLE_US = 3_600_000_000  # 1-hour rollup interval
+
+
+def q_downsample(sf_dir: str):
+    """ES TSDB downsampling: roll raw events up to (hour bucket,
+    event_type) with count / exact-cents sum / min / max, WRITE the
+    rollup as a new parquet dataset and answer from the read-back —
+    the sink round-trip is inside the verified path."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import downsample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = downsample(ds, f"/tmp/graft_downsample_{tag}",
+                     interval_us=_DOWNSAMPLE_US)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": b["bucket"].astype(np.int64),
+            "event_type": b["event_type"],
+            "n": b["n"].astype(np.int64),
+            "value_sum": np.round(b["cents_sum"].to_numpy(np.int64) / 100.0, 2),
+            "value_min": b["value_min"].astype(np.float64),
+            "value_max": b["value_max"].astype(np.float64),
+        })
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type: partial-agg per batch →
     small groupby (streaming-shaped workload per ray_guide)."""
@@ -7590,6 +7621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "validate": q_validate,
         "events_window": q_events_window,
+        "downsample": q_downsample,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "value_quantiles": q_value_quantiles,
@@ -9359,6 +9391,17 @@ SELECT vec_id,
        len(embedding)::BIGINT AS dim,
        round(sqrt(list_sum([CAST(x AS DOUBLE) * x FOR x IN embedding])), 4) AS l2_norm
 FROM embeddings
+""",
+        # TSDB downsample rollup: the SAME epoch_us // interval bucket
+        # and exact-cents sum the engine writes to the rollup dataset.
+        "downsample": f"""
+SELECT (epoch_us(ts) // {_DOWNSAMPLE_US}) AS bucket,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(cast(round(value * 100) AS BIGINT))::DOUBLE / 100.0, 2) AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "events_window": """
 SELECT event_type,

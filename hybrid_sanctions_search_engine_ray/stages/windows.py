@@ -303,3 +303,50 @@ def series_window(events_ds, ts_col: str = "ts", bucket_s: int = 86400,
             "mov_mean": mov.astype(np.float64),
         }
     )
+
+
+def downsample(events_ds, out_dir: str, interval_us: int = 3_600_000_000,
+               key_col: str = "event_type", ts_col: str = "ts",
+               value_col: str = "value"):
+    """ES TSDB-style downsampling: roll raw events up to one row per
+    (time bucket, key) carrying count / exact-cents sum / min / max of
+    the metric, WRITE the rollup as a partitioned parquet dataset (the
+    new downsampled index), then return the read-back Dataset — the
+    round-trip is part of the contract (a failed write can't pass).
+
+    Scale shape: one streaming pass adds (bucket, cents); the only
+    exchange is the bucket×key-sized groupby; the write is the standard
+    atomic partitioned sink. bucket = epoch_us // interval (shared
+    verbatim with the SQL twin)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts_us = b[ts_col].cast(pa.int64())
+        bucket = pc.divide(ts_us, interval_us)
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(v) * 100.0 + 0.5).astype(np.int64)
+                 * np.sign(v).astype(np.int64))
+        return pa.table({
+            "bucket": bucket.cast(pa.int64()),
+            key_col: b[key_col],
+            "cents": pa.array(cents, pa.int64()),
+            value_col: b[value_col],
+        })
+
+    rolled = (
+        events_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["bucket", key_col])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("cents", alias_name="cents_sum"),
+            Min(value_col, alias_name="value_min"),
+            Max(value_col, alias_name="value_max"),
+        )
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    rolled.write_parquet(out_dir)
+    return rd.read_parquet(out_dir)

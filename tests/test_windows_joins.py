@@ -120,3 +120,43 @@ def test_auto_date_histogram_empty_input(ray_session):
     empty = rd.from_pandas(pd.DataFrame({"ts": pd.Series([], dtype="datetime64[us]")}))
     out = auto_date_histogram(empty, "ts", 10)
     assert len(out) == 0 and list(out.columns) == ["bucket", "interval_s", "doc_count"]
+
+
+def test_downsample_roundtrip(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import downsample
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # two buckets, two keys, values with cent rounding cases
+        (base + dt.timedelta(minutes=5), "a", 1.005),
+        (base + dt.timedelta(minutes=50), "a", 2.0),
+        (base + dt.timedelta(minutes=20), "b", -3.555),
+        (base + dt.timedelta(hours=1, minutes=1), "a", 10.0),
+    ]
+    tbl = pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    out_dir = str(tmp_path / "rollup")
+    out = downsample(rd.from_arrow(tbl), out_dir).to_pandas().sort_values(
+        ["bucket", "event_type"]).reset_index(drop=True)
+    b0 = int(base.timestamp() * 1_000_000) // 3_600_000_000
+    assert list(out["bucket"]) == [b0, b0, b0 + 1]
+    assert list(out["event_type"]) == ["a", "b", "a"]
+    assert list(out["n"]) == [2, 1, 1]
+    # exact cents: floor(|v|*100+.5)*sign — 1.005 is 1.00499… in binary
+    # so it floors to 100 (the repo-wide cents convention, both sides agree)
+    assert list(out["cents_sum"]) == [300, -356, 1000]
+    assert out["value_min"].tolist() == [1.005, -3.555, 10.0]
+    assert out["value_max"].tolist() == [2.0, -3.555, 10.0]
+    # the answer really is the read-back files, and a re-run overwrites
+    import os
+    assert any(f.endswith(".parquet") for f in os.listdir(out_dir))
+    again = downsample(rd.from_arrow(tbl), out_dir).to_pandas()
+    assert len(again) == 3

@@ -2371,6 +2371,87 @@ def q_json_props(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+def _synth_identifier_text(b: pa.Table) -> pa.Table:
+    """Deterministic identifier-bearing text from doc_id (testdata holds
+    no real identifiers — same device as pii_redact), built with the
+    exact arithmetic the SQL twin uses."""
+    d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = d % 4
+    b1 = pd.Series(d * 48271 + 12345)
+    b2 = pd.Series(d * 69621 + 7)
+    inn = (b1 % 10**10).astype(str).str.zfill(10)
+    edr = (b1 % 10**8).astype(str).str.zfill(8)
+    ogr = (b1 % 10**13).astype(str).str.zfill(13)
+    iba = "UA" + (b1 % 10**13).astype(str).str.zfill(13) + \
+        (b2 % 10**14).astype(str).str.zfill(14)
+    text = np.select(
+        [t == 0, t == 1, t == 2],
+        ["account inn: " + inn + " verified",
+         "company edrpou: " + edr + " registry",
+         "entity ogrn: " + ogr + " record"],
+        default="payment iban " + iba + " transfer",
+    )
+    return pa.table({"doc_id": pa.array(d, pa.int64()),
+                     "text": pa.array(text, pa.string())})
+
+
+def q_extract_ids(sf_dir: str):
+    """Identifier extraction + checksum validation (the reference's
+    ID-pattern family, identifiers.py): RE2 detection of INN / EDRPOU /
+    OGRN / IBAN tokens, each hit validated with the published checksum
+    (RU weighted mod-11 OR UA digit-sum for INN-10, two-stage EDRPOU
+    mod-11, OGRN leading-12 mod-11, ISO-13616 IBAN mod-97). Pure
+    streaming map — extraction is C++ RE2, validation numpy digit
+    arithmetic; no shuffle."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.identifiers import (
+        extract_identifiers,
+    )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    out = extract_identifiers(ds.map_batches(_synth_identifier_text,
+                                             batch_format="pyarrow"))
+    return out
+
+
+def _ids_inn10_sql(v: str) -> str:
+    """validate_inn(10): RU weighted mod-11 (>9 → mod 10) OR UA digit
+    sum mod 10 — same algorithm as stages/identifiers.py."""
+    ru_w = [2, 4, 10, 3, 5, 9, 4, 6, 8]
+    ru = " + ".join(f"{w} * cast(substr({v}, {i + 1}, 1) AS BIGINT)"
+                    for i, w in enumerate(ru_w))
+    ua = " + ".join(f"cast(substr({v}, {i + 1}, 1) AS BIGINT)" for i in range(9))
+    ru_check = (f"(CASE WHEN ({ru}) % 11 > 9 THEN (({ru}) % 11) % 10 "
+                f"ELSE ({ru}) % 11 END)")
+    return (f"(cast(substr({v}, 10, 1) AS BIGINT) = {ru_check} "
+            f"OR cast(substr({v}, 10, 1) AS BIGINT) = ({ua}) % 10)")
+
+
+def _ids_edrpou_sql(v: str) -> str:
+    c1 = " + ".join(f"{i + 1} * cast(substr({v}, {i + 1}, 1) AS BIGINT)"
+                    for i in range(7))
+    c2 = " + ".join(f"{i + 3} * cast(substr({v}, {i + 1}, 1) AS BIGINT)"
+                    for i in range(7))
+    check = (f"(CASE WHEN ({c1}) % 11 > 9 THEN "
+             f"(CASE WHEN ({c2}) % 11 > 9 THEN 0 ELSE ({c2}) % 11 END) "
+             f"ELSE ({c1}) % 11 END)")
+    return f"(cast(substr({v}, 8, 1) AS BIGINT) = {check})"
+
+
+def _ids_ogrn_sql(v: str) -> str:
+    m = f"(cast(substr({v}, 1, 12) AS BIGINT) % 11)"
+    return (f"(cast(substr({v}, 13, 1) AS BIGINT) = "
+            f"(CASE WHEN {m} = 10 THEN 0 ELSE {m} END))")
+
+
+def _ids_iban_sql(v: str) -> str:
+    """ISO-13616 rearranged mod-97 — the 31-digit number fits HUGEINT."""
+    return (f"(cast(substr({v}, 5, 25) || '3010' || substr({v}, 3, 2) "
+            f"AS HUGEINT) % 97 = 1)")
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub pass (pre-training redaction): deterministic PII-bearing
     text synthesized from doc_id (identically in SQL), then sequential
@@ -7651,6 +7732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_search": q_synonym_search,
         "did_you_mean": q_did_you_mean,
         "pii_redact": q_pii_redact,
+        "extract_ids": q_extract_ids,
         "repetition": q_repetition,
         "json_props": q_json_props,
         "nation_revenue": q_nation_revenue,
@@ -8683,6 +8765,45 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "pii_redact": _pii_sql(),
+        # identifier extraction + checksum validation: same synth text,
+        # same RE2 patterns, same published checksum algorithms.
+        "extract_ids": f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 4 AS t,
+         (doc_id * 48271 + 12345) AS b1,
+         (doc_id * 69621 + 7) AS b2
+  FROM documents
+),
+synth AS (
+  SELECT doc_id,
+    CASE t
+      WHEN 0 THEN 'account inn: ' || lpad(cast(b1 % 10000000000 AS varchar), 10, '0') || ' verified'
+      WHEN 1 THEN 'company edrpou: ' || lpad(cast(b1 % 100000000 AS varchar), 8, '0') || ' registry'
+      WHEN 2 THEN 'entity ogrn: ' || lpad(cast(b1 % 10000000000000 AS varchar), 13, '0') || ' record'
+      ELSE 'payment iban UA' || lpad(cast(b1 % 10000000000000 AS varchar), 13, '0')
+           || lpad(cast(b2 % 100000000000000 AS varchar), 14, '0') || ' transfer'
+    END AS text
+  FROM base
+),
+hits AS (
+  SELECT doc_id, 'inn10' AS id_type, regexp_extract(text, '\\binn[:\\s]+(\\d{{10}})\\b', 1) AS v FROM synth
+  UNION ALL
+  SELECT doc_id, 'edrpou', regexp_extract(text, '\\bedrpou[:\\s]+(\\d{{8}})\\b', 1) FROM synth
+  UNION ALL
+  SELECT doc_id, 'ogrn', regexp_extract(text, '\\bogrn[:\\s]+(\\d{{13}})\\b', 1) FROM synth
+  UNION ALL
+  SELECT doc_id, 'iban', regexp_extract(text, '\\b(UA\\d{{27}})\\b', 1) FROM synth
+),
+h AS (SELECT doc_id, id_type, v AS id_value FROM hits WHERE v <> '')
+SELECT doc_id, id_type, id_value,
+  (CASE id_type
+     WHEN 'inn10' THEN {_ids_inn10_sql("id_value")}
+     WHEN 'edrpou' THEN {_ids_edrpou_sql("id_value")}
+     WHEN 'ogrn' THEN {_ids_ogrn_sql("id_value")}
+     ELSE {_ids_iban_sql("id_value")}
+   END)::BIGINT AS valid
+FROM h ORDER BY doc_id, id_type
+""",
         "repetition": """
 WITH toks AS (
   SELECT doc_id,

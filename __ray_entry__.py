@@ -3403,6 +3403,9 @@ def q_dedup_eval(sf_dir: str):
 
     prefix = rd.from_arrow(docs)
     cand_mh = minhash_candidate_pairs(prefix).to_pandas()
+    if "doc_a" not in cand_mh.columns:  # empty Dataset loses its schema
+        cand_mh = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                "doc_b": pd.Series([], dtype=np.int64)})
     mh_pairs = {tuple(sorted((int(a), int(b)))) for a, b in
                 zip(cand_mh["doc_a"], cand_mh["doc_b"])}
 
@@ -7204,6 +7207,13 @@ def q_update_by_query(sf_dir: str):
     index_dir = _ensure_index(sf_dir)
     out = os.path.join("/tmp/graft_idx_cache",
                        "ubq-" + os.path.basename(os.path.normpath(sf_dir)))
+    # this query OWNS its scratch path: clear it up front so the
+    # overwrite guard (which protects arbitrary CLI --out targets, and
+    # refuses dirs lacking the _UBQ_META marker — e.g. pre-guard runs'
+    # leftovers) never trips on our own stale cache
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     update_by_query(index_dir, _UBQ_QUERY, out, set_col="flag", set_value=1)
 
     def partial(b: pa.Table) -> pa.Table:

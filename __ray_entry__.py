@@ -2371,6 +2371,25 @@ def q_json_props(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+_MLM_RATE = 15  # percent of token positions masked
+
+
+def q_mlm_mask(sf_dir: str):
+    """MLM masking-plan construction (BERT-style pre-training prep):
+    deterministic 15% token-position masking via the splitmix64
+    wrap-mix of (doc_id·2²⁰ + pos) — retry/resume-stable, independent
+    of batching — with per-doc position/char checksums of the plan.
+    Pure streaming map, zero exchanges."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import mlm_mask_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: mlm_mask_stats(b, rate_pct=_MLM_RATE),
+                          batch_format="pyarrow")
+
+
 def _synth_identifier_text(b: pa.Table) -> pa.Table:
     """Deterministic identifier-bearing text from doc_id (testdata holds
     no real identifiers — same device as pii_redact), built with the
@@ -7743,6 +7762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "did_you_mean": q_did_you_mean,
         "pii_redact": q_pii_redact,
         "extract_ids": q_extract_ids,
+        "mlm_mask": q_mlm_mask,
         "repetition": q_repetition,
         "json_props": q_json_props,
         "nation_revenue": q_nation_revenue,
@@ -8775,6 +8795,25 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "pii_redact": _pii_sql(),
+        # MLM mask plan: same splitmix64 wrap-mix key in UHUGEINT.
+        "mlm_mask": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+mh AS (
+  SELECT doc_id, pos, length(term) AS tl,
+         ((doc_id::UHUGEINT * 1048576::UHUGEINT + pos::UHUGEINT)
+          * 11400714819323198485::UHUGEINT
+          + 9172280023384029625::UHUGEINT)
+         % 18446744073709551616::UHUGEINT AS h
+  FROM tokpos
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       (count(*) FILTER (WHERE h % 100 < {_MLM_RATE}))::BIGINT AS n_masked,
+       coalesce(sum(pos) FILTER (WHERE h % 100 < {_MLM_RATE}), 0)::BIGINT AS mask_pos_sum,
+       coalesce(sum(tl) FILTER (WHERE h % 100 < {_MLM_RATE}), 0)::BIGINT AS masked_chars
+FROM mh GROUP BY doc_id ORDER BY doc_id
+""",
         # identifier extraction + checksum validation: same synth text,
         # same RE2 patterns, same published checksum algorithms.
         "extract_ids": f"""

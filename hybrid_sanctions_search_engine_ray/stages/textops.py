@@ -302,3 +302,59 @@ def gopher_rules(batch: pa.Table, text_col: str = "text",
         "pass_symbols": pa.array(r_sym), "pass_alpha": pa.array(r_alpha),
         "pass_stopwords": pa.array(r_sw), "keep": pa.array(keep),
     })
+
+
+def mlm_mask_stats(batch: pa.Table, rate_pct: int = 15,
+                   text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Deterministic MLM masking-plan construction (BERT-style
+    pre-training example prep): token (doc, pos) is masked iff
+    ``hash(doc_id·2²⁰ + pos) mod 100 < rate_pct`` where hash is the
+    splitmix64 wrap-mix (multiply-add mod 2⁶⁴ — the embed_exact device,
+    SQL-replicable in UHUGEINT without xor-shifts). Retry/resume-stable:
+    the mask is a pure function of (doc_id, pos), independent of
+    batching and cluster size.
+
+    Emits one row per non-empty doc straight from its batch — no
+    exchange at all: (doc_id, n_tokens, n_masked, mask_pos_sum,
+    masked_chars). The position-sum and char-sum act as value
+    checksums of the mask plan."""
+    from hybrid_sanctions_search_engine_ray.stages.analyze import (
+        _SIMPLE_RE2,
+        _lower_nfc,
+    )
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    tokens = pc.split_pattern_regex(_lower_nfc(text), _SIMPLE_RE2)
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    parent_np = parent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    if parent_np.size == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_masked": pa.array([], pa.int64()),
+            "mask_pos_sum": pa.array([], pa.int64()),
+            "masked_chars": pa.array([], pa.int64()),
+        })
+    n = parent_np.size
+    seg_start = np.r_[0, np.flatnonzero(np.diff(parent_np)) + 1]
+    seg_len = np.diff(np.r_[seg_start, n])
+    pos = np.arange(n, dtype=np.int64) - np.repeat(seg_start, seg_len)
+    key = (ids[parent_np].astype(np.uint64) << np.uint64(20)) + pos.astype(np.uint64)
+    h = key * np.uint64(11400714819323198485) + np.uint64(9172280023384029625)
+    masked = (h % np.uint64(100)) < np.uint64(rate_pct)
+    tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    docs_here = np.unique(parent_np)
+    minl = int(parent_np.max()) + 1
+    return pa.table({
+        "doc_id": pa.array(ids[docs_here], pa.int64()),
+        "n_tokens": pa.array(np.bincount(parent_np, minlength=minl)[docs_here], pa.int64()),
+        "n_masked": pa.array(np.bincount(parent_np, weights=masked, minlength=minl)[docs_here].astype(np.int64)),
+        "mask_pos_sum": pa.array(np.bincount(parent_np, weights=pos * masked, minlength=minl)[docs_here].astype(np.int64)),
+        "masked_chars": pa.array(np.bincount(parent_np, weights=tlen * masked, minlength=minl)[docs_here].astype(np.int64)),
+    })

@@ -112,3 +112,25 @@ def test_gopher_rules_hand_checked(ray_session):
     assert out.loc[4, "n_words"] == 0 and not out.loc[4, "keep"]
     # stopword rule counts DISTINCT stopwords
     assert out.loc[0, "n_stopwords_present"] >= 2
+
+
+def test_mlm_mask_deterministic_and_batch_invariant():
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import mlm_mask_stats
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 5,
+             "alpha beta gamma delta", ""]
+    tbl = pa.table({"doc_id": pa.array([7, 8, 9], pa.int64()),
+                    "text": pa.array(texts)})
+    out = mlm_mask_stats(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # empty doc 9 is absent; masks are a pure function of (doc_id, pos)
+    assert list(out["doc_id"]) == [7, 8]
+    assert out.loc[0, "n_tokens"] == 45 and out.loc[1, "n_tokens"] == 4
+    again = mlm_mask_stats(tbl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(again)
+    # batch-split invariance: each doc alone gives the same row
+    solo = mlm_mask_stats(tbl.slice(0, 1)).to_pandas()
+    assert solo.iloc[0].tolist() == out.iloc[0].tolist()
+    # the rate lands near 15% on a long doc
+    assert 0 < out.loc[0, "n_masked"] < 20

@@ -177,6 +177,7 @@ def run_bench() -> dict:
     lat.sort()
     query_p50_ms = round(lat[len(lat) // 2], 2)
     query_p95_ms = round(lat[int(len(lat) * 0.95)], 2)
+    query_p99_ms = round(lat[min(int(len(lat) * 0.99), len(lat) - 1)], 2)
 
     # training-data ops over the driver tables at $GRAFT_SF_DIR
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -203,6 +204,7 @@ def run_bench() -> dict:
         "n_results": int(n_results),
         "query_p50_ms": query_p50_ms,
         "query_p95_ms": query_p95_ms,
+        "query_p99_ms": query_p99_ms,
         "calib_matmul_sec": _cpu_calibration(),
     }
     # host-speed-normalized per-pipeline figures: sec × (quiet-host probe /

@@ -3410,7 +3410,23 @@ def q_dedup_eval(sf_dir: str):
         filters=[("doc_id", "<", _DEDUP_EVAL_DOCS)],
     )
     texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    # plant deterministic near-duplicate variants (every 3rd doc gets a
+    # copy with every 7th token rewritten) so the ground-truth positive
+    # set is non-empty at EVERY scale — real cross-doc near-dups are
+    # corpus luck; a detector-quality harness needs guaranteed
+    # positives. The truth side is still the EXACT shingle-Jaccard of
+    # the augmented set, not the construction.
+    for d in sorted(texts):
+        if d % 3 == 0:
+            toks = texts[d].split(" ")
+            # every 12th token: ~8% token edits ≈ 25% shingle churn →
+            # Jaccard ≈ 0.6, safely above the 0.5 truth threshold
+            for p in range(3, len(toks), 12):
+                toks[p] = f"znq{p}"
+            texts[d + 1_000_000] = " ".join(toks)
     ids = sorted(texts)
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array([texts[i] for i in ids], pa.string())})
     all_pairs = pd.DataFrame(
         [(a, b) for a, b in itertools.combinations(ids, 2)], columns=["doc_a", "doc_b"]
     )

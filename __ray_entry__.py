@@ -7318,6 +7318,33 @@ def _geo_poly_pred() -> str:
     return "\n  AND ".join(terms)
 
 
+def q_geo_centroid(sf_dir: str):
+    """ES geo_centroid: integer milli-degree sums divided once at the
+    end — exact, one streaming pass."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_centroid
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    return geo_centroid(ds, "c_custkey")
+
+
+_GDA_RINGS = [2_000_000_000, 20_000_000_000, 80_000_000_000]  # d² bounds
+
+
+def q_geo_distance_agg(sf_dir: str):
+    """ES geo_distance aggregation (concentric ring buckets, from ≤ d <
+    to): integer milli-degree d² digitize, ring-count-sized exchange."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_distance_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    return geo_distance_agg(ds, "c_custkey", _GD_LAT, _GD_LON, _GDA_RINGS)
+
+
 def q_geo_grid(sf_dir: str):
     """ES geohash_grid-style cell aggregation (equal-degree cells — the
     arithmetic-only grid, keeping every cell assignment bit-exact):
@@ -7963,6 +7990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_feature_fns": q_rank_feature_fns,
         "geo_bbox": q_geo_bbox,
         "geo_polygon": q_geo_polygon,
+        "geo_centroid": q_geo_centroid,
+        "geo_distance_agg": q_geo_distance_agg,
         "geo_grid": q_geo_grid,
         "update_by_query": q_update_by_query,
         "simhash_exact": q_simhash_exact,
@@ -12069,6 +12098,39 @@ SELECT count(*)::BIGINT AS doc_count,
              / 100.0, 2) AS value_sum
 FROM p
 WHERE {_geo_poly_pred()}
+""",
+        # geo_centroid: integer milli-degree sums, ONE division at the end.
+        "geo_centroid": """
+WITH p AS (
+  SELECT (c_custkey * 7919) % 180000 - 90000 AS la,
+         (c_custkey * 104729) % 360000 - 180000 AS lo
+  FROM customer
+)
+SELECT count(*)::BIGINT AS doc_count,
+       round(sum(la)::DOUBLE / count(*) / 1000.0, 6) AS centroid_lat,
+       round(sum(lo)::DOUBLE / count(*) / 1000.0, 6) AS centroid_lon
+FROM p
+""",
+        # geo_distance rings: ring index = number of bounds <= d²
+        # (from-inclusive / to-exclusive, the ES rule).
+        "geo_distance_agg": f"""
+WITH p AS (
+  SELECT (c_custkey * 7919) % 180000 - 90000 AS la,
+         (c_custkey * 104729) % 360000 - 180000 AS lo
+  FROM customer
+),
+d AS (
+  SELECT (la - {_GD_LAT}) * (la - {_GD_LAT}) + (lo - {_GD_LON}) * (lo - {_GD_LON}) AS d2
+  FROM p
+),
+r AS (
+  SELECT ({" + ".join(f"(d2 >= {b})::BIGINT" for b in _GDA_RINGS)}) AS ring
+  FROM d
+),
+counted AS (SELECT ring, count(*)::BIGINT AS c FROM r GROUP BY ring),
+spine AS (SELECT unnest(generate_series(0, {len(_GDA_RINGS)}))::BIGINT AS ring)
+SELECT spine.ring, coalesce(counted.c, 0)::BIGINT AS doc_count
+FROM spine LEFT JOIN counted USING (ring) ORDER BY spine.ring
 """,
         # geohash_grid analog: equal-degree cells, top by count.
         "geo_grid": f"""

@@ -174,3 +174,68 @@ def geo_polygon(ds, key_col: str, value_col: str,
     c = int(agg["cents"].iloc[0]) if len(agg) else 0
     return pd.DataFrame({"doc_count": pd.Series([n], dtype=np.int64),
                          "value_sum": [round(c / 100.0, 2)]})
+
+
+def geo_centroid(ds, key_col: str) -> pd.DataFrame:
+    """ES ``geo_centroid``: arithmetic mean of the derived points,
+    kept exact by summing integer milli-degrees and dividing ONCE at
+    the end (matching the SQL twin op-for-op). One streaming pass,
+    scalar partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = (keys * _LAT_P) % 180000 - 90000
+        lo = (keys * _LON_P) % 360000 - 180000
+        return pa.table({"n_p": pa.array([keys.size], pa.int64()),
+                         "la_p": pa.array([int(la.sum())], pa.int64()),
+                         "lo_p": pa.array([int(lo.sum())], pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_p", alias_name="n"),
+                   Sum("la_p", alias_name="la"),
+                   Sum("lo_p", alias_name="lo"))
+        .to_pandas()
+    )
+    n = int(agg["n"].iloc[0])
+    return pd.DataFrame({
+        "doc_count": pd.Series([n], dtype=np.int64),
+        "centroid_lat": [round(int(agg["la"].iloc[0]) / n / 1000.0, 6)],
+        "centroid_lon": [round(int(agg["lo"].iloc[0]) / n / 1000.0, 6)],
+    })
+
+
+def geo_distance_agg(ds, key_col: str, lat_md: int, lon_md: int,
+                     rings_mdeg2: list[int]) -> pd.DataFrame:
+    """ES ``geo_distance`` aggregation (concentric ring buckets): counts
+    per squared-planar-distance ring, integer milli-degree d² end-to-end
+    (the geo family's no-libm rule — true haversine's sin/asin would put
+    an ulp under the bucket boundary). ``rings_mdeg2`` are the ring
+    upper bounds; a final unbounded ring collects the rest. Per-batch
+    digitize partials → ring-count-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    bounds = np.asarray(rings_mdeg2, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = (keys * _LAT_P) % 180000 - 90000
+        lo = (keys * _LON_P) % 360000 - 180000
+        d2 = (la - lat_md) ** 2 + (lo - lon_md) ** 2
+        ring = np.searchsorted(bounds, d2, side="right").astype(np.int64)
+        cnt = np.bincount(ring, minlength=bounds.size + 1)
+        return pa.table({"ring": pa.array(np.arange(bounds.size + 1, dtype=np.int64)),
+                         "c_p": pa.array(cnt.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ring")
+        .aggregate(Sum("c_p", alias_name="doc_count"))
+        .to_pandas()
+        .sort_values("ring")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame({"ring": agg["ring"].astype(np.int64),
+                         "doc_count": agg["doc_count"].astype(np.int64)})

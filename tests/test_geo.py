@@ -104,3 +104,36 @@ def test_geo_polygon_rejects_nonconvex():
           (-20000, -70000), (-120000, -40000)]  # clockwise
     with pytest.raises(ValueError):
         geo_polygon(None, "k", "v", cw)
+
+
+def test_geo_centroid_exact_mean(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_centroid
+
+    keys = np.arange(1, 200, dtype=np.int64)
+    out = geo_centroid(rd.from_arrow(pa.table({"k": pa.array(keys)})), "k")
+    la = (keys * 7919) % 180000 - 90000
+    lo = (keys * 104729) % 360000 - 180000
+    assert int(out["doc_count"].iloc[0]) == keys.size
+    assert out["centroid_lat"].iloc[0] == round(la.sum() / keys.size / 1000.0, 6)
+    assert out["centroid_lon"].iloc[0] == round(lo.sum() / keys.size / 1000.0, 6)
+
+
+def test_geo_distance_agg_ring_boundaries(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_distance_agg
+
+    keys = np.arange(1, 300, dtype=np.int64)
+    rings = [1_000_000_000, 10_000_000_000]
+    out = geo_distance_agg(rd.from_arrow(pa.table({"k": pa.array(keys)})),
+                           "k", 0, 0, rings)
+    la = (keys * 7919) % 180000 - 90000
+    lo = (keys * 104729) % 360000 - 180000
+    d2 = la * la + lo * lo
+    exp = np.bincount(np.searchsorted(np.array(rings), d2, side="right"),
+                      minlength=3)
+    assert list(out["ring"]) == [0, 1, 2]
+    assert list(out["doc_count"]) == exp.tolist()
+    assert int(out["doc_count"].sum()) == keys.size  # rings partition everything

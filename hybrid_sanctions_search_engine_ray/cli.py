@@ -151,6 +151,17 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--name", default=None)
     al.add_argument("--index", default=None)
 
+    dd = sub.add_parser("dedup", help="training-data dedup over a documents parquet "
+                                      "(exact / MinHash-LSH / SimHash / line-level / SemDeDup)")
+    dd.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    dd.add_argument("--out", required=True, help="output parquet directory")
+    dd.add_argument("--mode", choices=["exact", "minhash", "simhash", "line", "semdedup"],
+                    default="exact")
+    dd.add_argument("--embeddings", default=None,
+                    help="embeddings parquet (vec_id, embedding) — required for semdedup")
+    dd.add_argument("--threshold", type=float, default=0.35,
+                    help="cosine threshold for semdedup")
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -290,6 +301,46 @@ def main(argv: list[str] | None = None) -> int:
         m = append_documents(args.index, new_ds, args.out,
                              registry=args.registry, alias=args.alias)
         print(json.dumps({"status": m.status, "n_docs": m.n_docs, "out": args.out}))
+    elif args.cmd == "dedup":
+        import shutil
+
+        import ray.data as rd
+
+        if args.mode == "semdedup":
+            if not args.embeddings:
+                p.error("--embeddings is required for --mode semdedup")
+            from hybrid_sanctions_search_engine_ray.stages.similarity import semdedup
+
+            out_ds = semdedup(
+                rd.read_parquet(args.embeddings, columns=["vec_id", "embedding"]),
+                threshold=args.threshold,
+            )
+        else:
+            ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+            if args.mode == "exact":
+                from hybrid_sanctions_search_engine_ray.stages.dedup import (
+                    exact_dedup_groups,
+                )
+
+                out_ds = exact_dedup_groups(ds)
+            elif args.mode == "minhash":
+                from hybrid_sanctions_search_engine_ray.stages.dedup import (
+                    minhash_candidate_pairs,
+                )
+
+                out_ds = minhash_candidate_pairs(ds)
+            elif args.mode == "simhash":
+                from hybrid_sanctions_search_engine_ray.stages.dedup import simhash64
+
+                out_ds = ds.map_batches(simhash64, batch_format="pyarrow")
+            else:  # line
+                from hybrid_sanctions_search_engine_ray.stages.dedup import line_dedup
+
+                out_ds = line_dedup(ds)
+        shutil.rmtree(args.out, ignore_errors=True)
+        out_ds.write_parquet(args.out)
+        n = rd.read_parquet(args.out).count()
+        print(json.dumps({"mode": args.mode, "rows": int(n), "out": args.out}))
     elif args.cmd == "alias":
         from hybrid_sanctions_search_engine_ray.state import aliases as al_mod
 

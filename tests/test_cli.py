@@ -121,3 +121,43 @@ def test_alias_registry_atomic_swap(ray_session, tmp_path, capsys):
     assert json.loads(capsys.readouterr().out) == {}
     with pytest.raises(KeyError):
         al.delete_alias(reg, "live")
+
+
+def test_cli_dedup_modes(ray_session, tmp_path, capsys):
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["a b c d e f g h"] * 2 +            # exact dups
+                         ["w x y z " * 4,
+                          "p q r s t u v w x y z one two three",
+                          "completely different text here now",
+                          "another unique document body text"]),
+    })
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(docs, str(src / "d.parquet"))
+
+    for mode, minrows in (("exact", 5), ("line", 6), ("simhash", 6)):
+        out = str(tmp_path / f"out_{mode}")
+        assert main(["dedup", "--input", str(src), "--out", out, "--mode", mode]) == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["mode"] == mode and rec["rows"] >= minrows - 1
+
+    # semdedup route (embeddings input)
+    import numpy as np
+
+    m = np.random.default_rng(4).standard_normal((40, 8)).astype(np.float32)
+    m[1] = m[0] + 0.001  # planted near-dup
+    emb = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([r for r in m.tolist()], pa.list_(pa.float32())),
+    })
+    esrc = tmp_path / "emb"
+    esrc.mkdir()
+    pq.write_table(emb, str(esrc / "e.parquet"))
+    out = str(tmp_path / "out_sd")
+    assert main(["dedup", "--input", str(src), "--embeddings", str(esrc),
+                 "--out", out, "--mode", "semdedup", "--threshold", "0.95"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == 40
+    got = pq.read_table(out).to_pandas()
+    assert int(got["keep"].sum()) < 40  # the planted pair collapsed

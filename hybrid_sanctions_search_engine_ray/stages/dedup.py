@@ -715,7 +715,12 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             joined = (parts[0] if kk == 1
                       else pc.binary_join_element_wise(*parts, " "))
             lines[sel] = joined.to_numpy(zero_copy_only=False)
-        packed = ids[p[starts]] * PACK + (pos[starts] // line_len)
+        chunk_idx = pos[starts] // line_len
+        if chunk_idx.size and int(chunk_idx.max()) >= int(PACK):
+            raise ValueError(
+                f"document exceeds {int(PACK)} chunks — raise the packed-key "
+                f"shift (doc length cap is far below this by contract)")
+        packed = ids[p[starts]] * PACK + chunk_idx
         per = (
             pd.DataFrame({"line": lines, "packed": packed,
                           "n_toks": k.astype(np.int64)})

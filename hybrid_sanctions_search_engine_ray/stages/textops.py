@@ -345,6 +345,9 @@ def mlm_mask_stats(batch: pa.Table, rate_pct: int = 15,
     seg_start = np.r_[0, np.flatnonzero(np.diff(parent_np)) + 1]
     seg_len = np.diff(np.r_[seg_start, n])
     pos = np.arange(n, dtype=np.int64) - np.repeat(seg_start, seg_len)
+    if int(pos.max()) >= (1 << 20):
+        raise ValueError("document exceeds 2^20 token positions — raise the "
+                         "mask-key shift (input cap is far below this)")
     key = (ids[parent_np].astype(np.uint64) << np.uint64(20)) + pos.astype(np.uint64)
     h = key * np.uint64(11400714819323198485) + np.uint64(9172280023384029625)
     masked = (h % np.uint64(100)) < np.uint64(rate_pct)

@@ -2371,6 +2371,21 @@ def q_json_props(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+def q_compress_ratio(sf_dir: str):
+    """Compression-ratio redundancy signal (CCNet/Dolma quality family):
+    deflate_bytes / utf8_bytes per doc at fixed zlib level — rows-only
+    (no zlib in SQL); the kernel is pytest-verified and the byte counts
+    are internally consistent (ratio recomputable from the two integer
+    columns)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import compression_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(compression_stats, batch_format="pyarrow")
+
+
 _MLM_RATE = 15  # percent of token positions masked
 
 
@@ -7806,6 +7821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "extract_ids": q_extract_ids,
         "mlm_mask": q_mlm_mask,
+        "compress_ratio": q_compress_ratio,
         "repetition": q_repetition,
         "json_props": q_json_props,
         "nation_revenue": q_nation_revenue,

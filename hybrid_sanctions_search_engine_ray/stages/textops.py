@@ -361,3 +361,30 @@ def mlm_mask_stats(batch: pa.Table, rate_pct: int = 15,
         "mask_pos_sum": pa.array(np.bincount(parent_np, weights=pos * masked, minlength=minl)[docs_here].astype(np.int64)),
         "masked_chars": pa.array(np.bincount(parent_np, weights=tlen * masked, minlength=minl)[docs_here].astype(np.int64)),
     })
+
+
+def compression_stats(batch: pa.Table, level: int = 6,
+                      text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Compression-ratio quality signal (CCNet/Dolma-style redundancy
+    proxy: highly repetitive boilerplate compresses far below prose):
+    per-doc ``deflate_bytes / utf8_bytes`` at a fixed zlib level. The
+    compressor is per-row C code (stdlib zlib) — the one stage in the
+    quality family whose kernel cannot be Arrow-vectorized; it stays a
+    streaming map with no exchange, and the ratio is deterministic for
+    a given zlib version (pinned by the container)."""
+    import zlib
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    raw = [(v or "").encode("utf-8") for v in text.to_pylist()]
+    comp = np.array([len(zlib.compress(b, level)) for b in raw], dtype=np.int64)
+    size = np.array([len(b) for b in raw], dtype=np.int64)
+    ratio = np.where(size > 0, comp / np.maximum(size, 1), 1.0)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "utf8_bytes": pa.array(size, pa.int64()),
+        "deflate_bytes": pa.array(comp, pa.int64()),
+        "compression_ratio": pa.array(np.round(ratio, 6), pa.float64()),
+    })

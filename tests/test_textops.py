@@ -134,3 +134,24 @@ def test_mlm_mask_deterministic_and_batch_invariant():
     assert solo.iloc[0].tolist() == out.iloc[0].tolist()
     # the rate lands near 15% on a long doc
     assert 0 < out.loc[0, "n_masked"] < 20
+
+
+def test_compression_stats_signal():
+    import zlib
+
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import compression_stats
+
+    rep = "spam spam spam spam " * 50
+    prose = ("the committee reviewed seventeen distinct proposals before "
+             "narrowing the field to a shortlist of three finalists today")
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array([rep, prose, ""])})
+    out = compression_stats(tbl).to_pandas()
+    assert out.loc[0, "deflate_bytes"] == len(zlib.compress(rep.encode(), 6))
+    assert out.loc[0, "utf8_bytes"] == len(rep.encode())
+    # repetitive text compresses much harder than prose; empty → ratio 1
+    assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
+    assert out.loc[0, "compression_ratio"] < 0.1
+    assert out.loc[2, "compression_ratio"] == 1.0 and out.loc[2, "utf8_bytes"] == 0

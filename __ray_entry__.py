@@ -704,6 +704,32 @@ def q_bm25_topk(sf_dir: str):
     return res.map_batches(_finish, batch_format="pandas")
 
 
+_LMD_MU = 2000.0  # Lucene LMDirichletSimilarity default
+
+
+def q_lmd_search(sf_dir: str):
+    """LM-Dirichlet similarity (the ES similarity-module alternative to
+    BM25; Lucene LMDirichletSimilarity, Zhai & Lafferty 2001): same
+    postings, per-term max(0, ln(1+tf/(μ·P(t|C))) + ln(μ/(dl+μ)))
+    TAAT sum, round4-quantized rank. Value-gates the scoring-module
+    seam — a user switching similarity per field gets exact parity."""
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = IndexReader(index_dir)
+    rows = []
+    for qid, text in BM25_QUERIES.items():
+        docs, scores = reader.search_one_lmd(text, BM25_TOP_K, mu=_LMD_MU)
+        for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), 1):
+            rows.append({"query_id": qid, "rank": r, "doc_id": d,
+                         "score": float(s)})
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    out["rank"] = out["rank"].astype(np.int32)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score"] = _round4(out["score"].to_numpy())
+    return out
+
+
 # stemmed-BM25 gate. The testdata corpus vocabulary is Latin-only (no
 # inflection), so — following the pii_redact augmentation precedent —
 # both the engine and the SQL twin append ONE deterministic inflected
@@ -7778,6 +7804,7 @@ def q_span_within(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "lmd_search": q_lmd_search,
         "boolean_search": q_boolean_search,
         "prefix_search": q_prefix_search,
         "term_dictionary": q_term_dictionary,
@@ -8499,6 +8526,35 @@ ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
   FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # LM-Dirichlet similarity module: collection LM p = cttf/Σdl,
+        # per-term clamp at 0, round4-quantized rank (multi-float-sum
+        # convention).
+        "lmd_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS cttf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl)::DOUBLE AS total FROM dl),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(greatest(0.0,
+             ln(1 + tf.tf / ({_LMD_MU} * (c.cttf / t.total)))
+             + ln({_LMD_MU} / (dl.dl + {_LMD_MU})))) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN ctf c ON c.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot t
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores WHERE score > 0
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM ranked WHERE rnk <= {BM25_TOP_K}

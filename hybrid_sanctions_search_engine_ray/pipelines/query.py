@@ -239,6 +239,39 @@ class IndexReader:
         fn = score_maxscore if method == "maxscore" else score_taat
         return fn(postings, top_k)
 
+    def search_one_lmd(self, query_text: str, top_k: int,
+                       mu: float = 2000.0) -> tuple[np.ndarray, np.ndarray]:
+        """LM-Dirichlet similarity (Lucene ``LMDirichletSimilarity`` —
+        the ES similarity-module alternative to BM25; Zhai & Lafferty
+        2001): per matched term,
+        ``max(0, ln(1 + tf/(μ·P(t|C))) + ln(μ/(dl+μ)))`` where
+        ``P(t|C) = cttf / total_tokens`` (collection language model).
+        Same postings, same TAAT accumulation as BM25 — only the
+        per-posting kernel changes. Exact SQL twin in the driver."""
+        top_k = max(1, min(int(top_k), 1000))
+        terms = sorted(set(self.analyzer(query_text)))
+        total = float(self.manifest.total_tokens)
+        d_parts: list[np.ndarray] = []
+        s_parts: list[np.ndarray] = []
+        for term in terms:  # query-term count, not posting count
+            raw = self.load_raw(term)
+            if raw is None:
+                continue
+            doc_ids, tfs, dls = raw
+            p = float(tfs.sum()) / total
+            s = np.log(1.0 + tfs / (mu * p)) + np.log(mu / (dls + mu))
+            keep = s > 0.0  # Lucene clamps per-term scores at 0
+            d_parts.append(doc_ids[keep])
+            s_parts.append(s[keep])
+        if not d_parts or not sum(x.size for x in d_parts):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        alld = np.concatenate(d_parts)
+        alls = np.concatenate(s_parts)
+        docs, inv = np.unique(alld, return_inverse=True)
+        scores = np.bincount(inv, weights=alls)
+        order = np.lexsort((docs, -np.round(scores, 4)))[:top_k]
+        return docs[order], scores[order]
+
     def search_one_after(
         self, query_text: str, top_k: int, cursor_score: float, cursor_doc: int
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -227,3 +227,36 @@ def test_function_score_surfaces_boosted_tail(built_index):
     qs = rd.from_items([{"query_id": "f1", "query_text": "payment", "top_k": 3}])
     res = function_score_search(qs, index_dir, only_worst).to_pandas()
     assert int(res[res["rank"] == 1]["doc_id"].iloc[0]) == worst
+
+
+def test_lmd_rank_matches_direct_formula(built_index):
+    """search_one_lmd equals a direct per-term computation from the
+    index's own raw postings (Lucene LMDirichletSimilarity formula)."""
+    index_dir = built_index[0]
+    reader = IndexReader(index_dir)
+    mu = 2000.0
+    total = float(reader.manifest.total_tokens)
+    for q in GOLDEN_QUERIES[:6]:
+        docs, scores = reader.search_one_lmd(q, 10, mu=mu)
+        acc = {}
+        for term in sorted(set(reader.analyzer(q))):
+            raw = reader.load_raw(term)
+            if raw is None:
+                continue
+            d, tf, dl = raw
+            p = float(tf.sum()) / total
+            s = np.log(1.0 + tf / (mu * p)) + np.log(mu / (dl + mu))
+            for di, si in zip(d.tolist(), s.tolist()):
+                if si > 0:
+                    acc[di] = acc.get(di, 0.0) + si
+        exp = sorted(acc.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:10]
+        assert list(docs) == [d for d, _ in exp], q
+        np.testing.assert_allclose(scores, [s for _, s in exp], rtol=1e-12)
+        assert (scores > 0).all()
+
+
+def test_lmd_zero_hit_and_clamp(built_index):
+    index_dir = built_index[0]
+    reader = IndexReader(index_dir)
+    docs, scores = reader.search_one_lmd("zzzznotaterm", 5)
+    assert docs.size == 0 and scores.size == 0

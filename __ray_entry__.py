@@ -713,13 +713,25 @@ def q_lmd_search(sf_dir: str):
     postings, per-term max(0, ln(1+tf/(μ·P(t|C))) + ln(μ/(dl+μ)))
     TAAT sum, round4-quantized rank. Value-gates the scoring-module
     seam — a user switching similarity per field gets exact parity."""
+    return _similarity_rows(sf_dir, "lmd", mu=_LMD_MU)
+
+
+_LMJM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity short-query default
+_DFR_C = 1.0        # DFR normalization H2 default c
+
+
+def _similarity_rows(sf_dir: str, method: str, **kw) -> pd.DataFrame:
+    """Shared driver for the pluggable similarity-module queries: run
+    every BM25 benchmark query through one IndexReader kernel and
+    emit the standard (query_id, rank, doc_id, score-round4) frame."""
     from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
 
     index_dir = _ensure_index(sf_dir)
     reader = IndexReader(index_dir)
+    fn = getattr(reader, f"search_one_{method}")
     rows = []
     for qid, text in BM25_QUERIES.items():
-        docs, scores = reader.search_one_lmd(text, BM25_TOP_K, mu=_LMD_MU)
+        docs, scores = fn(text, BM25_TOP_K, **kw)
         for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), 1):
             rows.append({"query_id": qid, "rank": r, "doc_id": d,
                          "score": float(s)})
@@ -728,6 +740,30 @@ def q_lmd_search(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["score"] = _round4(out["score"].to_numpy())
     return out
+
+
+def q_lmjm_search(sf_dir: str):
+    """LM Jelinek-Mercer similarity (Lucene LMJelinekMercerSimilarity,
+    Zhai & Lafferty 2001 linear interpolation): per-term
+    ln(1 + ((1-λ)·tf/dl)/(λ·P(t|C))), λ=0.1, same postings/TAAT/rank
+    machinery as BM25 (pipelines/query.py::search_one_lmjm)."""
+    return _similarity_rows(sf_dir, "lmjm", lam=_LMJM_LAMBDA)
+
+
+def q_classic_search(sf_dir: str):
+    """Lucene classic TF-IDF similarity (ClassicSimilarity with exact
+    norms): per-term sqrt(tf)·(1+ln((N+1)/(df+1)))²/sqrt(dl)
+    (pipelines/query.py::search_one_classic)."""
+    return _similarity_rows(sf_dir, "classic")
+
+
+def q_dfr_search(sf_dir: str):
+    """DFR GB2 similarity (Amati & van Rijsbergen 2002; the ES dfr
+    similarity module with basic_model=g/after_effect=b/
+    normalization=h2): tfn = tf·log2(1+c·avgdl/dl), λ = F/N,
+    score = (F+1)/(df·(tfn+1)) · (log2(1+λ)+tfn·log2((1+λ)/λ))
+    (pipelines/query.py::search_one_dfr)."""
+    return _similarity_rows(sf_dir, "dfr", c=_DFR_C)
 
 
 # stemmed-BM25 gate. The testdata corpus vocabulary is Latin-only (no
@@ -7805,6 +7841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "lmd_search": q_lmd_search,
+        "lmjm_search": q_lmjm_search,
+        "classic_search": q_classic_search,
+        "dfr_search": q_dfr_search,
         "boolean_search": q_boolean_search,
         "prefix_search": q_prefix_search,
         "term_dictionary": q_term_dictionary,
@@ -8555,6 +8594,94 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 4) DESC, doc_id) AS rnk
   FROM scores WHERE score > 0
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # LM Jelinek-Mercer similarity: linear interpolation smoothing,
+        # same collection-LM convention as lmd_search; strictly positive.
+        "lmjm_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS cttf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl)::DOUBLE AS total FROM dl),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + ((1.0 - {_LMJM_LAMBDA}) * tf.tf / dl.dl)
+                      / ({_LMJM_LAMBDA} * (c.cttf / t.total)))) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN ctf c ON c.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot t
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # Lucene classic TF-IDF similarity with exact norms:
+        # sqrt(tf) · idf² · 1/sqrt(dl), idf = 1+ln((N+1)/(df+1)).
+        "classic_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+idfc AS (
+  SELECT df.term, 1.0 + ln((s.n_docs + 1.0) / (df.df + 1.0)) AS i
+  FROM df CROSS JOIN stats s
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( sqrt(tf.tf) * (i.i * i.i) / sqrt(dl.dl) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN idfc i ON i.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # DFR GB2 (Amati & van Rijsbergen 2002): tfn = H2 length
+        # normalization, λ = F/N geometric prior, after-effect B.
+        "dfr_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS cttf FROM tf GROUP BY term),
+base AS (
+  SELECT q.query_id, tf.doc_id,
+         (tf.tf * ln(1.0 + {_DFR_C} * s.avgdl / dl.dl)) / ln(2.0) AS tfn,
+         c.cttf AS f, df.df AS df, s.n_docs AS nd
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN ctf c ON c.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id,
+         sum( ((f + 1.0) / (df * (tfn + 1.0)))
+              * ((ln(1.0 + f / nd)
+                  + tfn * ln((1.0 + f / nd) / (f / nd))) / ln(2.0)) ) AS score
+  FROM base
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM ranked WHERE rnk <= {BM25_TOP_K}

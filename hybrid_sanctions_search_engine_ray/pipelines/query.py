@@ -239,18 +239,16 @@ class IndexReader:
         fn = score_maxscore if method == "maxscore" else score_taat
         return fn(postings, top_k)
 
-    def search_one_lmd(self, query_text: str, top_k: int,
-                       mu: float = 2000.0) -> tuple[np.ndarray, np.ndarray]:
-        """LM-Dirichlet similarity (Lucene ``LMDirichletSimilarity`` —
-        the ES similarity-module alternative to BM25; Zhai & Lafferty
-        2001): per matched term,
-        ``max(0, ln(1 + tf/(μ·P(t|C))) + ln(μ/(dl+μ)))`` where
-        ``P(t|C) = cttf / total_tokens`` (collection language model).
-        Same postings, same TAAT accumulation as BM25 — only the
-        per-posting kernel changes. Exact SQL twin in the driver."""
+    def _search_one_kernel(self, query_text: str, top_k: int, kernel) -> tuple[np.ndarray, np.ndarray]:
+        """Shared scan for the pluggable similarity modules (the ES
+        per-field ``similarity`` setting): same postings, same TAAT
+        accumulation and (round4 desc, doc_id asc) rank as BM25 — only
+        the per-posting score kernel changes. ``kernel(tfs, dls)`` gets
+        one term's decoded posting arrays and returns per-posting
+        scores; non-positive per-term scores are dropped (the Lucene
+        clamp — a no-op for kernels that are strictly positive)."""
         top_k = max(1, min(int(top_k), 1000))
         terms = sorted(set(self.analyzer(query_text)))
-        total = float(self.manifest.total_tokens)
         d_parts: list[np.ndarray] = []
         s_parts: list[np.ndarray] = []
         for term in terms:  # query-term count, not posting count
@@ -258,9 +256,8 @@ class IndexReader:
             if raw is None:
                 continue
             doc_ids, tfs, dls = raw
-            p = float(tfs.sum()) / total
-            s = np.log(1.0 + tfs / (mu * p)) + np.log(mu / (dls + mu))
-            keep = s > 0.0  # Lucene clamps per-term scores at 0
+            s = kernel(tfs.astype(np.float64), dls.astype(np.float64))
+            keep = s > 0.0
             d_parts.append(doc_ids[keep])
             s_parts.append(s[keep])
         if not d_parts or not sum(x.size for x in d_parts):
@@ -271,6 +268,84 @@ class IndexReader:
         scores = np.bincount(inv, weights=alls)
         order = np.lexsort((docs, -np.round(scores, 4)))[:top_k]
         return docs[order], scores[order]
+
+    def search_one_lmd(self, query_text: str, top_k: int,
+                       mu: float = 2000.0) -> tuple[np.ndarray, np.ndarray]:
+        """LM-Dirichlet similarity (Lucene ``LMDirichletSimilarity`` —
+        the ES similarity-module alternative to BM25; Zhai & Lafferty
+        2001): per matched term,
+        ``max(0, ln(1 + tf/(μ·P(t|C))) + ln(μ/(dl+μ)))`` where
+        ``P(t|C) = cttf / total_tokens`` (collection language model).
+        Exact SQL twin in the driver."""
+        total = float(self.manifest.total_tokens)
+
+        def kernel(tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+            p = tfs.sum() / total
+            return np.log(1.0 + tfs / (mu * p)) + np.log(mu / (dls + mu))
+
+        return self._search_one_kernel(query_text, top_k, kernel)
+
+    def search_one_lmjm(self, query_text: str, top_k: int,
+                        lam: float = 0.1) -> tuple[np.ndarray, np.ndarray]:
+        """LM Jelinek-Mercer similarity (Lucene
+        ``LMJelinekMercerSimilarity``; Zhai & Lafferty 2001 linear
+        interpolation smoothing): per matched term,
+        ``ln(1 + ((1-λ)·tf/dl) / (λ·P(t|C)))`` with the same collection
+        LM ``P(t|C) = cttf / total_tokens`` convention as the Dirichlet
+        sibling (strictly positive for tf>0, so the clamp never fires).
+        λ = 0.1 is Lucene's short-query default. Exact SQL twin."""
+        total = float(self.manifest.total_tokens)
+
+        def kernel(tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+            p = tfs.sum() / total
+            # np.log(1+x), not log1p: the SQL twin computes ln(1+x) and
+            # the two must agree to the same libm call
+            return np.log(1.0 + ((1.0 - lam) * tfs / dls) / (lam * p))
+
+        return self._search_one_kernel(query_text, top_k, kernel)
+
+    def search_one_classic(self, query_text: str, top_k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene classic TF-IDF similarity (``ClassicSimilarity``, the
+        pre-BM25 Lucene default) with EXACT norms (Lucene's lossy
+        1-byte norm encoding deliberately not reproduced): per matched
+        term ``sqrt(tf) · idf² · (1/sqrt(dl))`` where
+        ``idf = 1 + ln((N+1)/(df+1))`` — idf appears squared because it
+        enters both the query weight and the doc weight. df counts
+        every posting (pre-tombstone), matching BM25's df convention
+        (load_postings). Exact SQL twin."""
+        n_docs = float(self.manifest.n_docs)
+
+        def kernel(tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+            i = 1.0 + np.log((n_docs + 1.0) / (tfs.size + 1.0))
+            return np.sqrt(tfs) * (i * i) / np.sqrt(dls)
+
+        return self._search_one_kernel(query_text, top_k, kernel)
+
+    def search_one_dfr(self, query_text: str, top_k: int,
+                       c: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
+        """DFR similarity, configuration GB2 (divergence from
+        randomness, Amati & van Rijsbergen 2002 — the ES similarity
+        module's ``dfr`` with basic_model=g / after_effect=b /
+        normalization=h2): per matched term with
+        ``tfn = tf·log2(1 + c·avgdl/dl)`` (H2 length normalization) and
+        collection prior ``λ = F/N`` (total term freq over doc count),
+        score = ``(F+1)/(df·(tfn+1))  ·  (log2(1+λ) + tfn·log2((1+λ)/λ))``
+        (after-effect B × geometric basic model). Strictly positive.
+        Exact SQL twin."""
+        n_docs = float(self.manifest.n_docs)
+        avgdl = float(self.manifest.avgdl)
+        ln2 = np.log(2.0)
+
+        def kernel(tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+            big_f = tfs.sum()
+            lam = big_f / n_docs
+            # ln(1+x) spelled as in the SQL twin (not log1p) for parity
+            tfn = tfs * np.log(1.0 + c * avgdl / dls) / ln2
+            inf1 = (np.log(1.0 + lam) + tfn * np.log((1.0 + lam) / lam)) / ln2
+            prise = (big_f + 1.0) / (tfs.size * (tfn + 1.0))
+            return prise * inf1
+
+        return self._search_one_kernel(query_text, top_k, kernel)
 
     def search_one_after(
         self, query_text: str, top_k: int, cursor_score: float, cursor_doc: int

@@ -260,3 +260,52 @@ def test_lmd_zero_hit_and_clamp(built_index):
     reader = IndexReader(index_dir)
     docs, scores = reader.search_one_lmd("zzzznotaterm", 5)
     assert docs.size == 0 and scores.size == 0
+
+
+def test_similarity_modules_match_direct_formulas(built_index):
+    """Each pluggable similarity kernel (JM, classic TF-IDF, DFR GB2)
+    equals a direct per-term computation from the index's own raw
+    postings — the published formulas spelled out independently."""
+    index_dir = built_index[0]
+    reader = IndexReader(index_dir)
+    total = float(reader.manifest.total_tokens)
+    n_docs = float(reader.manifest.n_docs)
+    avgdl = float(reader.manifest.avgdl)
+    lam_jm = 0.1
+    ln2 = np.log(2.0)
+
+    def jm(tf, dl, df):
+        p = float(tf.sum()) / total
+        return np.log(1.0 + ((1.0 - lam_jm) * tf / dl) / (lam_jm * p))
+
+    def classic(tf, dl, df):
+        i = 1.0 + np.log((n_docs + 1.0) / (df + 1.0))
+        return np.sqrt(tf) * (i * i) / np.sqrt(dl)
+
+    def dfr(tf, dl, df):
+        big_f = float(tf.sum())
+        lam = big_f / n_docs
+        tfn = tf * np.log(1.0 + avgdl / dl) / ln2
+        inf1 = (np.log(1.0 + lam) + tfn * np.log((1.0 + lam) / lam)) / ln2
+        return (big_f + 1.0) / (df * (tfn + 1.0)) * inf1
+
+    for method, formula in [("lmjm", jm), ("classic", classic), ("dfr", dfr)]:
+        for q in GOLDEN_QUERIES[:6]:
+            docs, scores = getattr(reader, f"search_one_{method}")(q, 10)
+            acc = {}
+            for term in sorted(set(reader.analyzer(q))):
+                raw = reader.load_raw(term)
+                if raw is None:
+                    continue
+                d, tf, dl = raw
+                s = formula(tf.astype(np.float64), dl.astype(np.float64), d.size)
+                for di, si in zip(d.tolist(), s.tolist()):
+                    if si > 0:
+                        acc[di] = acc.get(di, 0.0) + si
+            exp = sorted(acc.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:10]
+            assert list(docs) == [d for d, _ in exp], (method, q)
+            np.testing.assert_allclose(scores, [s for _, s in exp], rtol=1e-12)
+            assert (scores > 0).all()
+
+        empty_d, empty_s = getattr(reader, f"search_one_{method}")("zzzznotaterm", 5)
+        assert empty_d.size == 0 and empty_s.size == 0

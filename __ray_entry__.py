@@ -766,6 +766,46 @@ def q_dfr_search(sf_dir: str):
     return _similarity_rows(sf_dir, "dfr", c=_DFR_C)
 
 
+def q_dfi_search(sf_dir: str):
+    """DFI similarity (Kocabaş, Dinçer & Karaoğlan 2014; the ES ``DFI``
+    similarity module, independence_measure=standardized): expected
+    frequency under independence e = (F+1)·dl/(T+1); postings with
+    tf ≤ e are dropped (the published clamp), else
+    log2(1 + (tf−e)/√e). Same postings/TAAT/rank machinery
+    (pipelines/query.py::search_one_dfi)."""
+    return _similarity_rows(sf_dir, "dfi")
+
+
+def q_ib_search(sf_dir: str):
+    """IB similarity (Clinchant & Gaussier 2010; the ES ``IB``
+    similarity module, distribution=ll/lambda=df/normalization=h2):
+    tfn = tf·log2(1+avgdl/dl), λ = (df+1)/(N+1), score =
+    −log2(λ/(tfn+λ)) (pipelines/query.py::search_one_ib)."""
+    return _similarity_rows(sf_dir, "ib")
+
+
+def _pivoted_script(tfs: np.ndarray, dls: np.ndarray, ctx: dict) -> np.ndarray:
+    """The scripted-similarity demo script: pivoted length-normalized
+    TF-IDF (Singhal, Buckley & Mitra 1996) —
+    ln(1 + N/df) · tf / (tf + 0.5 + 1.5·dl/avgdl). Spelled identically
+    in the SQL twin."""
+    return (
+        np.log(1.0 + ctx["n_docs"] / ctx["df"])
+        * tfs
+        / (tfs + 0.5 + 1.5 * dls / ctx["avgdl"])
+    )
+
+
+def q_scripted_search(sf_dir: str):
+    """Scripted similarity (the ES ``scripted`` similarity module — a
+    user-supplied formula over the Painless-exposed stats tf/dl/df/
+    cttf/N/avgdl/total_tokens), instanced here as pivoted TF-IDF.
+    Value-gates the extension seam end to end: a custom kernel flows
+    through the SAME load/accumulate/rank machinery as every built-in
+    module (pipelines/query.py::search_one_scripted)."""
+    return _similarity_rows(sf_dir, "scripted", script=_pivoted_script)
+
+
 # stemmed-BM25 gate. The testdata corpus vocabulary is Latin-only (no
 # inflection), so — following the pii_redact augmentation precedent —
 # both the engine and the SQL twin append ONE deterministic inflected
@@ -7844,6 +7884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmjm_search": q_lmjm_search,
         "classic_search": q_classic_search,
         "dfr_search": q_dfr_search,
+        "dfi_search": q_dfi_search,
+        "ib_search": q_ib_search,
+        "scripted_search": q_scripted_search,
         "boolean_search": q_boolean_search,
         "prefix_search": q_prefix_search,
         "term_dictionary": q_term_dictionary,
@@ -8676,6 +8719,92 @@ scores AS (
                   + tfn * ln((1.0 + f / nd) / (f / nd))) / ln(2.0)) ) AS score
   FROM base
   GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # DFI standardized (Kocabaş et al. 2014): e = (F+1)·dl/(T+1),
+        # clamp tf ≤ e, score = log2(1 + (tf−e)/√e).
+        "dfi_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS cttf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl)::DOUBLE AS total FROM dl),
+base AS (
+  SELECT q.query_id, tf.doc_id, tf.tf::DOUBLE AS tf,
+         (c.cttf + 1.0) * dl.dl / (t.total + 1.0) AS e
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN ctf c ON c.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot t
+),
+scores AS (
+  SELECT query_id, doc_id,
+         sum( ln(1.0 + (tf - e) / sqrt(e)) / ln(2.0) ) AS score
+  FROM base WHERE tf > e
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # IB log-logistic (Clinchant & Gaussier 2010): tfn = H2,
+        # λ = (df+1)/(N+1), score = −log2(λ/(tfn+λ)).
+        "ib_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+base AS (
+  SELECT q.query_id, tf.doc_id,
+         (tf.tf * ln(1.0 + s.avgdl / dl.dl)) / ln(2.0) AS tfn,
+         (df.df + 1.0) / (s.n_docs + 1.0) AS lam
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id,
+         sum( ln((tfn + lam) / lam) / ln(2.0) ) AS score
+  FROM base
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # Scripted similarity instanced as pivoted TF-IDF (Singhal et
+        # al. 1996): ln(1 + N/df) · tf / (tf + 0.5 + 1.5·dl/avgdl).
+        "scripted_search": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + 1.0 * s.n_docs / df.df) * tf.tf
+              / (tf.tf + 0.5 + 1.5 * dl.dl / s.avgdl) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (
   SELECT query_id, doc_id, score,

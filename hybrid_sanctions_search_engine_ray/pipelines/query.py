@@ -347,6 +347,74 @@ class IndexReader:
 
         return self._search_one_kernel(query_text, top_k, kernel)
 
+    def search_one_dfi(self, query_text: str, top_k: int) -> tuple[np.ndarray, np.ndarray]:
+        """DFI similarity (divergence from independence; Kocabaş, Dinçer
+        & Karaoğlan 2014 — the ES ``DFI`` similarity module,
+        ``independence_measure=standardized``, Lucene
+        ``DFISimilarity``): per matched term the expected frequency
+        under independence is ``e = (F+1)·dl/(T+1)`` (F = collection
+        term frequency, T = total tokens); postings with ``tf ≤ e``
+        contribute NOTHING (the published DFI clamp — observed at or
+        below chance is no evidence), otherwise
+        ``score = log2(1 + (tf − e)/√e)``. Exact SQL twin."""
+        total = float(self.manifest.total_tokens)
+        ln2 = np.log(2.0)
+
+        def kernel(tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+            e = (tfs.sum() + 1.0) * dls / (total + 1.0)
+            ok = tfs > e
+            m = np.zeros_like(tfs)
+            m[ok] = (tfs[ok] - e[ok]) / np.sqrt(e[ok])
+            out = np.zeros_like(tfs)
+            out[ok] = np.log(1.0 + m[ok]) / ln2
+            return out
+
+        return self._search_one_kernel(query_text, top_k, kernel)
+
+    def search_one_ib(self, query_text: str, top_k: int,
+                      c: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
+        """IB similarity (information-based model, Clinchant & Gaussier
+        2010 — the ES ``IB`` similarity module with
+        ``distribution=ll, lambda=df, normalization=h2``; Lucene
+        ``IBSimilarity``): per matched term with H2-normalized
+        frequency ``tfn = tf·log2(1 + c·avgdl/dl)`` and document-ratio
+        prior ``λ = (df+1)/(N+1)``, score = ``−log2(λ/(tfn+λ))``
+        (the log-logistic information content). Strictly positive for
+        tf > 0. Exact SQL twin."""
+        n_docs = float(self.manifest.n_docs)
+        avgdl = float(self.manifest.avgdl)
+        ln2 = np.log(2.0)
+
+        def kernel(tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+            lam = (tfs.size + 1.0) / (n_docs + 1.0)
+            tfn = tfs * np.log(1.0 + c * avgdl / dls) / ln2
+            return np.log((tfn + lam) / lam) / ln2
+
+        return self._search_one_kernel(query_text, top_k, kernel)
+
+    def search_one_scripted(self, query_text: str, top_k: int,
+                            script) -> tuple[np.ndarray, np.ndarray]:
+        """Scripted similarity (the ES ``scripted`` similarity module:
+        a user-supplied script over the same per-term statistics
+        Painless exposes — tf, dl, df, cttf, N, avgdl, total_tokens).
+        ``script(tfs, dls, ctx)`` receives one term's decoded posting
+        arrays (float64) plus a stats dict with keys ``df``, ``cttf``,
+        ``n_docs``, ``avgdl``, ``total_tokens``; it returns per-posting
+        scores. Non-positive scores are dropped (the shared Lucene
+        clamp), accumulation/ranking identical to every other module
+        (``_search_one_kernel``)."""
+        base = {
+            "n_docs": float(self.manifest.n_docs),
+            "avgdl": float(self.manifest.avgdl),
+            "total_tokens": float(self.manifest.total_tokens),
+        }
+
+        def kernel(tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+            ctx = dict(base, df=float(tfs.size), cttf=float(tfs.sum()))
+            return script(tfs, dls, ctx)
+
+        return self._search_one_kernel(query_text, top_k, kernel)
+
     def search_one_after(
         self, query_text: str, top_k: int, cursor_score: float, cursor_doc: int
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -289,9 +289,32 @@ def test_similarity_modules_match_direct_formulas(built_index):
         inf1 = (np.log(1.0 + lam) + tfn * np.log((1.0 + lam) / lam)) / ln2
         return (big_f + 1.0) / (df * (tfn + 1.0)) * inf1
 
-    for method, formula in [("lmjm", jm), ("classic", classic), ("dfr", dfr)]:
+    def dfi(tf, dl, df):
+        e = (float(tf.sum()) + 1.0) * dl / (total + 1.0)
+        with np.errstate(invalid="ignore"):
+            s = np.log(1.0 + (tf - e) / np.sqrt(e)) / ln2
+        return np.where(tf > e, s, 0.0)
+
+    def ib(tf, dl, df):
+        lam = (df + 1.0) / (n_docs + 1.0)
+        tfn = tf * np.log(1.0 + avgdl / dl) / ln2
+        return np.log((tfn + lam) / lam) / ln2
+
+    def scripted(tf, dl, df):
+        return np.log(1.0 + n_docs / df) * tf / (tf + 0.5 + 1.5 * dl / avgdl)
+
+    for method, formula in [("lmjm", jm), ("classic", classic), ("dfr", dfr),
+                            ("dfi", dfi), ("ib", ib), ("scripted", scripted)]:
+        def _run(qtext, k):
+            if method == "scripted":
+                def script(tfs, dls, ctx):
+                    return (np.log(1.0 + ctx["n_docs"] / ctx["df"]) * tfs
+                            / (tfs + 0.5 + 1.5 * dls / ctx["avgdl"]))
+                return reader.search_one_scripted(qtext, k, script)
+            return getattr(reader, f"search_one_{method}")(qtext, k)
+
         for q in GOLDEN_QUERIES[:6]:
-            docs, scores = getattr(reader, f"search_one_{method}")(q, 10)
+            docs, scores = _run(q, 10)
             acc = {}
             for term in sorted(set(reader.analyzer(q))):
                 raw = reader.load_raw(term)
@@ -307,5 +330,5 @@ def test_similarity_modules_match_direct_formulas(built_index):
             np.testing.assert_allclose(scores, [s for _, s in exp], rtol=1e-12)
             assert (scores > 0).all()
 
-        empty_d, empty_s = getattr(reader, f"search_one_{method}")("zzzznotaterm", 5)
+        empty_d, empty_s = _run("zzzznotaterm", 5)
         assert empty_d.size == 0 and empty_s.size == 0

@@ -17,6 +17,7 @@ twin is ``TRANSCRIPTS_CTE`` below. Keep the two in lockstep.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 from collections.abc import Callable
@@ -7213,6 +7214,59 @@ def q_cross_fields(sf_dir: str):
         cross_fields_search(qs, dirs, list(_CF_BOOSTS), 0.0, _engine_cfg()))
 
 
+_CF2_WEIGHTS = (1.0, 2.0)  # combined_fields (text, role) field weights
+
+
+def _ensure_field_norms(sf_dir: str, role: bool = False) -> str:
+    """Cached doc_lengths norms sidecar (doc_id, dl) for one field of
+    the combined_fields group — same analyzer scan as the build, written
+    once per (sf_dir, field) and reused."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import doc_lengths
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) + ("-norms-role" if role else "-norms-text")
+    out = f"/tmp/graft_idx_cache/{_fmt}/{tag}"
+    if os.path.isdir(out) and glob.glob(os.path.join(out, "*.parquet")):
+        return out
+    ts = transcripts_from_documents(sf_dir)
+    if role:
+        def role_as_text(b: pa.Table) -> pa.Table:
+            return b.set_column(b.schema.get_field_index("text"), "text", b["role"])
+        ts = ts.map_batches(role_as_text, batch_format="pyarrow")
+    tmp = f"{out}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    doc_lengths(ts, _engine_cfg().analyzer).write_parquet(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost a concurrent race; the other writer's copy is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_combined_fields(sf_dir: str):
+    """ES combined_fields query (Lucene CombinedFieldQuery / simplified
+    BM25F, Robertson et al. 2004) over the (text, role) same-analyzer
+    group with weights (1.0, 2.0): weighted term freqs and field
+    lengths merge into ONE synthetic field, df counts docs matching in
+    ANY field, then a single BM25 — a term in both fields stacks
+    (contrast cross_fields' per-term max). Norms come from the
+    doc_lengths sidecar; exact DuckDB twin."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import combined_fields_search
+
+    dirs = [_ensure_index(sf_dir), _ensure_role_field_index(sf_dir)]
+    norms = [_ensure_field_norms(sf_dir), _ensure_field_norms(sf_dir, role=True)]
+    qs = rd.from_items([
+        {"query_id": qid, "query_text": t, "top_k": BM25_TOP_K * 4}
+        for qid, t in CROSS_FIELDS_QUERIES.items()
+    ])
+    return _rerank_topk(
+        combined_fields_search(qs, dirs, list(_CF2_WEIGHTS), norms, _engine_cfg()))
+
+
 def _cf_qterms_values() -> str:
     rows = []
     for qid, text in CROSS_FIELDS_QUERIES.items():
@@ -8106,6 +8160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_containing": q_span_containing,
         "span_within": q_span_within,
         "cross_fields": q_cross_fields,
+        "combined_fields": q_combined_fields,
         "date_range": q_date_range,
         "random_sampler": q_random_sampler,
         "terms_partition": q_terms_partition,
@@ -12259,6 +12314,48 @@ cfranked AS (
 )
 SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
 FROM cfranked WHERE rnk <= {BM25_TOP_K}
+""",
+        # combined_fields (BM25F simplification): weighted tf/dl merge
+        # into ONE synthetic field, df = docs matching in ANY field,
+        # single BM25 over the combined stats.
+        "combined_fields": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {_cf_qterms_values()}),
+rtf AS (SELECT doc_id, role AS term, 1::BIGINT AS tf FROM transcripts),
+cmtf AS (
+  SELECT term, doc_id, sum(wtf) AS ctf FROM (
+    SELECT term, doc_id, {_CF2_WEIGHTS[0]} * tf AS wtf FROM tf
+    UNION ALL
+    SELECT term, doc_id, {_CF2_WEIGHTS[1]} * tf AS wtf FROM rtf
+  ) u GROUP BY term, doc_id
+),
+cdl AS (
+  SELECT t.doc_id,
+         {_CF2_WEIGHTS[0]} * coalesce(d.dl, 0) + {_CF2_WEIGHTS[1]} * 1 AS cdl
+  FROM transcripts t LEFT JOIN dl d ON d.doc_id = t.doc_id
+),
+cstats AS (SELECT count(*)::BIGINT AS n_docs, avg(cdl) AS avgdl FROM cdl),
+cdf AS (SELECT term, count(*)::BIGINT AS df FROM cmtf GROUP BY term),
+scores AS (
+  SELECT q.query_id, c.doc_id,
+         sum( ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+              * c.ctf * {_K1 + 1.0}
+              / (c.ctf + {_K1} * ({1.0 - _B} + {_B} * l.cdl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN cmtf c ON c.term = q.term
+  JOIN cdf f ON f.term = q.term
+  JOIN cdl l ON l.doc_id = c.doc_id
+  CROSS JOIN cstats s
+  GROUP BY q.query_id, c.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 4) DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # date_range agg: bucket index = #edges <= ts (digitize parity).
         "date_range": f"""

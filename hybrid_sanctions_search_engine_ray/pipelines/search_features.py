@@ -1156,6 +1156,128 @@ def cross_fields_search(queries_ds, field_dirs: list[str], boosts: list[float],
     )
 
 
+def doc_lengths(transcripts_ds, analyzer_cfg):
+    """Per-document analyzed token count (the Lucene field NORM, exact
+    integers instead of the lossy 1-byte encoding): one streaming
+    vectorized pass with the same analyzer as the index build — the
+    sidecar input ``CombinedFieldsScorer`` needs for per-field dl.
+    Rows with zero tokens are kept (dl=0) so the doc universe matches
+    the corpus exactly. Returns a Dataset of (doc_id, dl)."""
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    def f(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, analyzer_cfg)
+        dl = np.zeros(b.num_rows, dtype=np.int64)
+        if len(terms):
+            np.add.at(dl, parent, 1)
+        return pa.table({"doc_id": b["doc_id"], "dl": pa.array(dl)})
+
+    return transcripts_ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+class CombinedFieldsScorer:
+    """ES ``combined_fields`` query (Lucene ``CombinedFieldQuery``, the
+    BM25F simplification of Robertson et al. 2004): same-analyzer
+    fields are merged into ONE synthetic field before scoring —
+    ``tf'(d,t) = Σ_f w_f·tf_f``, ``dl'(d) = Σ_f w_f·dl_f``,
+    ``df'(t) = |{d : tf' > 0}|`` (docs matching in ANY field), then a
+    single BM25 over (tf', dl', avgdl', df'). Contrast cross_fields
+    (per-term best-FIELD dis_max): combined_fields rewards a term
+    appearing in several fields at once instead of taking the max.
+    Per-field dl comes from ``doc_lengths`` sidecar parquets loaded
+    once per actor (norms_paths aligns with field_dirs); df is the
+    pre-tombstone posting count, the module-wide convention."""
+
+    def __init__(self, field_dirs: list[str], weights: list[float],
+                 norms_paths: list[str], default_top_k: int = 10):
+        if not (len(field_dirs) == len(weights) == len(norms_paths)):
+            raise ValueError("field_dirs, weights, norms_paths must align")
+        if any(w < 1.0 for w in weights):
+            raise ValueError("combined_fields weights must be >= 1.0 (the ES rule)")
+        self.readers = [IndexReader(d) for d in field_dirs]
+        modes = {r.manifest.analyzer_mode for r in self.readers}
+        if len(modes) > 1:
+            raise ValueError(
+                f"combined_fields requires one analyzer group, got {sorted(modes)}")
+        self.weights = [float(w) for w in weights]
+        ids_parts: list[np.ndarray] = []
+        dl_parts: list[np.ndarray] = []
+        for path, w in zip(norms_paths, self.weights):
+            t = pads.dataset(path).to_table(columns=["doc_id", "dl"])
+            ids_parts.append(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+            dl_parts.append(w * t["dl"].to_numpy(zero_copy_only=False).astype(np.float64))
+        allids = np.concatenate(ids_parts)
+        self.norm_ids, inv = np.unique(allids, return_inverse=True)
+        self.norm_cdl = np.bincount(inv, weights=np.concatenate(dl_parts))
+        self.n_docs = float(self.norm_ids.size)
+        self.avgdl = float(self.norm_cdl.sum() / self.n_docs)
+        m = self.readers[0].manifest
+        self.k1, self.b = float(m.k1), float(m.b)
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for t in batch["query_text"]:
+            union.update(self.readers[0].analyzer(t))
+        for reader in self.readers:
+            reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, text) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.readers[0].analyzer(text)))
+            d_parts: list[np.ndarray] = []
+            s_parts: list[np.ndarray] = []
+            for t in terms:
+                f_ids: list[np.ndarray] = []
+                f_tfs: list[np.ndarray] = []
+                for reader, w in zip(self.readers, self.weights):
+                    raw = reader.load_raw(t)
+                    if raw is not None and raw[0].size:
+                        f_ids.append(raw[0].astype(np.int64))
+                        f_tfs.append(w * raw[1].astype(np.float64))
+                if not f_ids:
+                    continue
+                alld = np.concatenate(f_ids)
+                uniq, inv = np.unique(alld, return_inverse=True)
+                ctf = np.bincount(inv, weights=np.concatenate(f_tfs))
+                df = float(uniq.size)
+                idf = np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                cdl = self.norm_cdl[np.searchsorted(self.norm_ids, uniq)]
+                s = (idf * ctf * (self.k1 + 1.0)
+                     / (ctf + self.k1 * ((1.0 - self.b) + self.b * cdl / self.avgdl)))
+                d_parts.append(uniq)
+                s_parts.append(s)
+            if not d_parts:
+                continue
+            alld = np.concatenate(d_parts)
+            uniq, inv = np.unique(alld, return_inverse=True)
+            combined = np.bincount(inv, weights=np.concatenate(s_parts))
+            d, s = topk_desc(uniq.astype(np.uint64), combined, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def combined_fields_search(queries_ds, field_dirs: list[str], weights: list[float],
+                           norms_paths: list[str], cfg: EngineConfig = DEFAULT_CONFIG):
+    """ES combined_fields over same-analyzer field indexes with
+    doc_lengths norms sidecars; queries carry (query_id, query_text[, top_k])."""
+    return queries_ds.map_batches(
+        CombinedFieldsScorer,
+        fn_constructor_args=(field_dirs, weights, norms_paths, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
 def multi_match_search(queries_ds, field_dirs: list[str], boosts: list[float],
                        match_type: str = "best_fields", tie_breaker: float = 0.3,
                        cfg: EngineConfig = DEFAULT_CONFIG):

@@ -1127,3 +1127,99 @@ def test_terms_set_per_doc_threshold(feat_index):
     assert set(out["doc_id"]) == want
     # doc 5 "beta beta gamma zeta": turn 2, matches only beta+gamma = 2 >= 2 ✓
     assert 5 in want
+
+
+# --- combined_fields (BM25F) --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cf_norms(tmp_path_factory, ray_session):
+    """doc_lengths sidecars for the (body, role-category) field group."""
+    import ray.data as rd
+
+    body_rows = [
+        {"conv_id": f"conv-{i // 3:08d}", "turn_idx": i % 3, "role": "user",
+         "text": t, "tool": "", "ts": pd.Timestamp(2026, 1, 1), "doc_id": i}
+        for i, t in enumerate(TEXTS)
+    ]
+    cat_rows = [dict(r, text=("red" if r["doc_id"] < 5 else "blue"))
+                for r in body_rows]
+    root = tmp_path_factory.mktemp("cfnorms")
+    paths = []
+    for name, rows in [("body", body_rows), ("cat", cat_rows)]:
+        ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+        p = str(root / name)
+        sfeat.doc_lengths(ds, CFG.analyzer).write_parquet(p)
+        paths.append(p)
+    return paths
+
+
+def _combined_ref(dirs, weights, norms_paths, qtext, k1=1.2, b=0.75):
+    import math
+
+    readers = [IndexReader(d) for d in dirs]
+    ids_parts, dl_parts = [], []
+    for p, w in zip(norms_paths, weights):
+        t = pads.dataset(p).to_table(columns=["doc_id", "dl"])
+        ids_parts.append(t["doc_id"].to_numpy().astype(np.int64))
+        dl_parts.append(w * t["dl"].to_numpy(zero_copy_only=False).astype(np.float64))
+    nid, inv = np.unique(np.concatenate(ids_parts), return_inverse=True)
+    ncdl = np.bincount(inv, weights=np.concatenate(dl_parts))
+    n_docs = float(nid.size)
+    avgdl = float(ncdl.sum() / n_docs)
+    acc: dict[int, float] = {}
+    for t in sorted(set(readers[0].analyzer(qtext))):
+        per: dict[int, float] = {}
+        for r, w in zip(readers, weights):
+            raw = r.load_raw(t)
+            if raw is None:
+                continue
+            for d, tf in zip(raw[0].tolist(), raw[1].tolist()):
+                per[d] = per.get(d, 0.0) + w * float(tf)
+        if not per:
+            continue
+        df = float(len(per))
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for d, ctf in per.items():
+            cdl = float(ncdl[np.searchsorted(nid, d)])
+            s = idf * ctf * (k1 + 1.0) / (ctf + k1 * ((1.0 - b) + b * cdl / avgdl))
+            acc[d] = acc.get(d, 0.0) + s
+    return acc
+
+
+def test_doc_lengths_sidecar_values(cf_norms):
+    body, cat = cf_norms
+    t = pads.dataset(body).to_table().to_pandas().set_index("doc_id")["dl"]
+    assert t.loc[6] == 3        # "alpha alpha alpha"
+    assert t.loc[0] == 4        # "alpha beta gamma delta"
+    assert len(t) == len(TEXTS)  # zero-token docs would still be present
+    c = pads.dataset(cat).to_table().to_pandas()["dl"]
+    assert (c == 1).all()       # single category token per doc
+
+
+def test_combined_fields_matches_reference(feat_index, role_field_index, cf_norms):
+    dirs = [feat_index, role_field_index]
+    weights = [1.0, 2.0]
+    scorer = sfeat.CombinedFieldsScorer(dirs, weights, cf_norms)
+    for qtext in ["red alpha", "beta blue gamma", "alpha"]:
+        out = scorer(pd.DataFrame({"query_id": ["q"], "query_text": [qtext],
+                                   "top_k": [20]}))
+        ref = _combined_ref(dirs, weights, cf_norms, qtext)
+        assert set(out["doc_id"]) == set(ref), qtext
+        for _, r in out.iterrows():
+            assert abs(r["score"] - ref[int(r["doc_id"])]) < 1e-9, qtext
+    # stacking: duplicating the SAME field doubles tf' and dl' (plus the
+    # original), df/ratio unchanged — still equals the direct reference
+    dup = sfeat.CombinedFieldsScorer([feat_index, feat_index], [1.0, 2.0],
+                                     [cf_norms[0], cf_norms[0]])
+    out_d = dup(pd.DataFrame({"query_id": ["q"], "query_text": ["alpha beta"],
+                              "top_k": [20]}))
+    ref_d = _combined_ref([feat_index, feat_index], [1.0, 2.0],
+                          [cf_norms[0], cf_norms[0]], "alpha beta")
+    for _, r in out_d.iterrows():
+        assert abs(r["score"] - ref_d[int(r["doc_id"])]) < 1e-9
+    # validation: ES requires per-field weights >= 1.0; lists must align
+    with pytest.raises(ValueError, match=">= 1.0"):
+        sfeat.CombinedFieldsScorer(dirs, [1.0, 0.5], cf_norms)
+    with pytest.raises(ValueError, match="align"):
+        sfeat.CombinedFieldsScorer(dirs, [1.0], cf_norms)

@@ -7931,9 +7931,49 @@ def q_span_within(sf_dir: str):
                                               _engine_cfg()))
 
 
+# nested query: per-nested-doc conjunction parameters
+_NESTED_TYPE, _NESTED_LO, _NESTED_HI, _NESTED_MINCH = "purchase", 50.0, 200.0, 2
+# nested terms agg + reverse_nested: value floor for the nested scope
+_NESTED_AGG_MIN = 150.0
+
+
+def q_nested_query(sf_dir: str):
+    """ES nested query (min_children=2): users having >=2 events where
+    event_type AND a value range hold on the SAME event row — the
+    per-nested-doc conjunction flattened fields cannot express
+    (stages/nested_docs.nested_query). Deterministic score analogs:
+    matching-child count + exact-cents max/sum of matched values."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.nested_docs import nested_query
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+    return nested_query(ds, "user_id", "event_type", _NESTED_TYPE,
+                        "value", _NESTED_LO, _NESTED_HI,
+                        min_children=_NESTED_MINCH)
+
+
+def q_nested_agg(sf_dir: str):
+    """ES nested terms agg + reverse_nested: among events with
+    value >= floor, per event_type report the nested doc_count AND the
+    distinct-parent (user) count — the canonical nested/reverse_nested
+    pairing (stages/nested_docs.nested_terms_agg)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.nested_docs import nested_terms_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+    return nested_terms_agg(ds, "user_id", "event_type", "value",
+                            _NESTED_AGG_MIN)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "nested_query": q_nested_query,
+        "nested_agg": q_nested_agg,
         "lmd_search": q_lmd_search,
         "lmjm_search": q_lmjm_search,
         "classic_search": q_classic_search,
@@ -10000,6 +10040,28 @@ SELECT (epoch_us(ts) // {_DOWNSAMPLE_US}) AS bucket,
        min(value) AS value_min,
        max(value) AS value_max
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # nested query: per-nested-doc conjunction, exact-cents stats.
+        "nested_query": f"""
+WITH m AS (
+  SELECT user_id, cast(round(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = '{_NESTED_TYPE}' AND value >= {_NESTED_LO} AND value < {_NESTED_HI}
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_matched,
+       max(c)::DOUBLE / 100.0 AS max_value,
+       sum(c)::DOUBLE / 100.0 AS sum_value
+FROM m GROUP BY user_id HAVING count(*) >= {_NESTED_MINCH}
+ORDER BY n_matched DESC, user_id
+""",
+        # nested terms agg + reverse_nested distinct-parent counts.
+        "nested_agg": f"""
+SELECT event_type,
+       count(*)::BIGINT AS doc_count,
+       count(DISTINCT user_id)::BIGINT AS parent_count
+FROM events WHERE value >= {_NESTED_AGG_MIN}
+GROUP BY event_type ORDER BY doc_count DESC, event_type
 """,
         "events_window": """
 SELECT event_type,

@@ -7969,11 +7969,44 @@ def q_nested_agg(sf_dir: str):
                             _NESTED_AGG_MIN)
 
 
+# ip_range bucket boundaries (uint32, from-inclusive / to-exclusive)
+_IP_RANGES = [(None, 0x40000000), (0x40000000, 0xC0000000), (0xC0000000, None)]
+_IP_PREFIX_LEN, _IP_PREFIX_TOP = 8, 10
+
+
+def q_ip_range(sf_dir: str):
+    """ES ip_range agg over derived deterministic IPv4s (Knuth
+    multiplicative hash of event_id — stages/ip.derive_ip): doc counts
+    per [from, to) range, open ends allowed."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.ip import ip_range_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+    return ip_range_agg(ds, "event_id", _IP_RANGES)
+
+
+def q_ip_prefix(sf_dir: str):
+    """ES ip_prefix agg (/8) over the same derived IPv4s: top subnets by
+    doc count, dotted "a.0.0.0/8" keys (stages/ip.ip_prefix_agg)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.ip import ip_prefix_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+    return ip_prefix_agg(ds, "event_id", prefix_len=_IP_PREFIX_LEN,
+                         size=_IP_PREFIX_TOP)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "nested_query": q_nested_query,
         "nested_agg": q_nested_agg,
+        "ip_range": q_ip_range,
+        "ip_prefix": q_ip_prefix,
         "lmd_search": q_lmd_search,
         "lmjm_search": q_lmjm_search,
         "classic_search": q_classic_search,
@@ -10040,6 +10073,30 @@ SELECT (epoch_us(ts) // {_DOWNSAMPLE_US}) AS bucket,
        min(value) AS value_min,
        max(value) AS value_max
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # ip_range: derived uint32 IPs, [from, to) buckets in config order.
+        "ip_range": f"""
+WITH ips AS (
+  SELECT (event_id * 2654435761) % 4294967296 AS ip FROM events
+),
+r(key, lo, hi) AS (VALUES {", ".join(
+    f"('{('*' if lo is None else f'{(lo>>24)&255}.{(lo>>16)&255}.{(lo>>8)&255}.{lo&255}')}-"
+    f"{('*' if hi is None else f'{(hi>>24)&255}.{(hi>>16)&255}.{(hi>>8)&255}.{hi&255}')}', "
+    f"{-1 if lo is None else lo}, {4294967296 if hi is None else hi})"
+    for lo, hi in _IP_RANGES)})
+SELECT r.key, (SELECT count(*) FROM ips WHERE ip >= r.lo AND ip < r.hi)::BIGINT AS doc_count
+FROM r
+""",
+        # ip_prefix (/8): first-octet subnets, top by count.
+        "ip_prefix": f"""
+WITH nets AS (
+  SELECT ((event_id * 2654435761) % 4294967296) // {1 << (32 - _IP_PREFIX_LEN)} AS net
+  FROM events
+)
+SELECT cast(net AS varchar) || '.0.0.0/{_IP_PREFIX_LEN}' AS subnet,
+       count(*)::BIGINT AS doc_count
+FROM nets GROUP BY net
+ORDER BY doc_count DESC, net LIMIT {_IP_PREFIX_TOP}
 """,
         # nested query: per-nested-doc conjunction, exact-cents stats.
         "nested_query": f"""

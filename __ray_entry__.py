@@ -7937,6 +7937,24 @@ _NESTED_TYPE, _NESTED_LO, _NESTED_HI, _NESTED_MINCH = "purchase", 50.0, 200.0, 2
 _NESTED_AGG_MIN = 150.0
 
 
+_GEO_LINE_SIZE = 20
+
+
+def q_geo_line(sf_dir: str):
+    """ES geo_line agg: per user the ts-ordered track of derived
+    milli-degree points, truncated at the size cap, rendered as a
+    bit-exact "lonmd latmd;…" string (stages/geo.geo_line_agg —
+    bounded partial-min-k exchange, ≤ groups × size point rows move)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_line_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id"])
+    return geo_line_agg(ds, "user_id", "ts", "event_id",
+                        size=_GEO_LINE_SIZE)
+
+
 def q_nested_query(sf_dir: str):
     """ES nested query (min_children=2): users having >=2 events where
     event_type AND a value range hold on the SAME event row — the
@@ -8004,6 +8022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "nested_query": q_nested_query,
+        "geo_line": q_geo_line,
         "nested_agg": q_nested_agg,
         "ip_range": q_ip_range,
         "ip_prefix": q_ip_prefix,
@@ -10097,6 +10116,24 @@ SELECT cast(net AS varchar) || '.0.0.0/{_IP_PREFIX_LEN}' AS subnet,
        count(*)::BIGINT AS doc_count
 FROM nets GROUP BY net
 ORDER BY doc_count DESC, net LIMIT {_IP_PREFIX_TOP}
+""",
+        # geo_line: ts-ordered derived-point track per user, size-capped.
+        "geo_line": f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919) % 180000 - 90000 AS lat_md,
+         (event_id * 104729) % 360000 - 180000 AS lon_md,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS total
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_points,
+       max(total)::BIGINT AS total_points,
+       max(total) <= {_GEO_LINE_SIZE} AS complete,
+       string_agg(cast(lon_md AS varchar) || ' ' || cast(lat_md AS varchar), ';' ORDER BY ts, event_id) AS line
+FROM pts WHERE rn <= {_GEO_LINE_SIZE}
+GROUP BY user_id ORDER BY user_id
 """,
         # nested query: per-nested-doc conjunction, exact-cents stats.
         "nested_query": f"""

@@ -239,3 +239,72 @@ def geo_distance_agg(ds, key_col: str, lat_md: int, lon_md: int,
     )
     return pd.DataFrame({"ring": agg["ring"].astype(np.int64),
                          "doc_count": agg["doc_count"].astype(np.int64)})
+
+
+def geo_line_agg(ds, group_col: str, ts_col: str, key_col: str,
+                 size: int = 25) -> pd.DataFrame:
+    """ES ``geo_line`` aggregation: per group, the track of derived
+    points ordered by timestamp, truncated to the first ``size`` points
+    (the ES ``size`` cap; ``include_sort`` order asc). Coordinates are
+    integer milli-degrees (the geo family's no-libm rule) rendered as
+    "lonmd latmd" pairs joined with ";" so the line string is bit-exact
+    against the SQL twin.
+
+    Returns (group, n_points, total_points, complete, line) ordered by
+    group. Scale shape: ES caps ``size`` ≤ 10k and so do we — a
+    per-batch partial keeps only the ``size`` earliest (ts, key) rows
+    per group, so the ONE exchange carries ≤ groups × size point rows
+    plus a per-group count sentinel, never the raw table. The final
+    per-group merge re-sorts ≤ n_blocks × size rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # earliest `size` rows per group within the batch
+        order = np.lexsort((keys, ts, g))
+        gs, tss, ks = g[order], ts[order], keys[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        rank = np.arange(gs.size) - np.repeat(starts, np.diff(np.r_[starts, gs.size]))
+        keep = rank < size
+        la = (ks[keep] * _LAT_P) % 180000 - 90000
+        lo = (ks[keep] * _LON_P) % 360000 - 180000
+        # per-group total counts ride along as sentinel rows (ts = -1)
+        u, c = gs[starts], np.diff(np.r_[starts, gs.size])
+        return pa.table({
+            group_col: pa.array(np.r_[gs[keep], u]),
+            "ts_us": pa.array(np.r_[tss[keep], np.full(u.size, -1, dtype=np.int64)]),
+            "k": pa.array(np.r_[ks[keep], np.zeros(u.size, dtype=np.int64)]),
+            "lat_md": pa.array(np.r_[la, np.zeros(u.size, dtype=np.int64)]),
+            "lon_md": pa.array(np.r_[lo, np.zeros(u.size, dtype=np.int64)]),
+            "cnt": pa.array(np.r_[np.zeros(int(keep.sum()), dtype=np.int64), c.astype(np.int64)]),
+        })
+
+    def finish(gdf: pd.DataFrame) -> pd.DataFrame:
+        total = int(gdf["cnt"].sum())
+        pts = gdf[gdf["ts_us"] >= 0].sort_values(["ts_us", "k"], kind="mergesort").head(size)
+        line = ";".join(f"{int(lo)} {int(la)}"
+                        for lo, la in zip(pts["lon_md"], pts["lat_md"]))
+        return pd.DataFrame({group_col: [int(gdf[group_col].iloc[0])],
+                             "n_points": [len(pts)],
+                             "total_points": [total],
+                             "complete": [total <= size],
+                             "line": [line]})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(group_col)
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype=np.int64),
+                             "n_points": pd.Series([], dtype=np.int64),
+                             "total_points": pd.Series([], dtype=np.int64),
+                             "complete": pd.Series([], dtype=bool),
+                             "line": pd.Series([], dtype=object)})
+    out = out.sort_values(group_col, kind="mergesort").reset_index(drop=True)
+    out["n_points"] = out["n_points"].astype(np.int64)
+    out["total_points"] = out["total_points"].astype(np.int64)
+    return out

@@ -137,3 +137,35 @@ def test_geo_distance_agg_ring_boundaries(ray_session):
     assert list(out["ring"]) == [0, 1, 2]
     assert list(out["doc_count"]) == exp.tolist()
     assert int(out["doc_count"].sum()) == keys.size  # rings partition everything
+
+
+def test_geo_line_truncation_and_multiblock_totals(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_line_agg
+
+    rng = np.random.RandomState(3)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 7, n).astype(np.int64),
+        "ts": pd.to_datetime("2026-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    size = 5
+    # repartition forces several partial blocks so the min-k partial +
+    # sentinel-count merge path is actually exercised
+    out = geo_line_agg(rd.from_pandas(df).repartition(6), "user_id", "ts",
+                       "event_id", size=size)
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").head(size)
+        keys = g.event_id.to_numpy()
+        la = (keys * 7919) % 180000 - 90000
+        lo = (keys * 104729) % 360000 - 180000
+        exp_line = ";".join(f"{o} {a}" for o, a in zip(lo, la))
+        row = out[out.user_id == uid].iloc[0]
+        assert row.line == exp_line
+        assert row.n_points == len(g)
+        assert row.total_points == (df.user_id == uid).sum()
+        assert bool(row.complete) == (row.total_points <= size)
+    assert list(out.user_id) == sorted(out.user_id)

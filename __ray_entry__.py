@@ -7937,6 +7937,24 @@ _NESTED_TYPE, _NESTED_LO, _NESTED_HI, _NESTED_MINCH = "purchase", 50.0, 200.0, 2
 _NESTED_AGG_MIN = 150.0
 
 
+_VWH_BUCKETS = 8
+
+
+def q_variable_width_histogram(sf_dir: str):
+    """ES variable_width_histogram (deterministic equal-depth
+    instantiation — ES's own clusterer is documented order-dependent /
+    approximate): K data-adaptive buckets over event value with exact
+    cent-cut boundaries; per bucket count/min/max/mean
+    (es_aggs.variable_width_histogram)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import variable_width_histogram
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    return variable_width_histogram(ds, "value", _VWH_BUCKETS)
+
+
 _GEO_LINE_SIZE = 20
 
 
@@ -8023,6 +8041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "nested_query": q_nested_query,
         "geo_line": q_geo_line,
+        "variable_width_histogram": q_variable_width_histogram,
         "nested_agg": q_nested_agg,
         "ip_range": q_ip_range,
         "ip_prefix": q_ip_prefix,
@@ -10116,6 +10135,31 @@ SELECT cast(net AS varchar) || '.0.0.0/{_IP_PREFIX_LEN}' AS subnet,
        count(*)::BIGINT AS doc_count
 FROM nets GROUP BY net
 ORDER BY doc_count DESC, net LIMIT {_IP_PREFIX_TOP}
+""",
+        # variable_width_histogram: equal-depth cent-cut buckets.
+        "variable_width_histogram": f"""
+WITH h AS (
+  SELECT cast(round(value * 100) AS BIGINT) AS cent, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT cent, c, sum(c) OVER (ORDER BY cent) AS cum FROM h
+),
+n AS (SELECT sum(c)::BIGINT AS n FROM h),
+cuts AS (
+  SELECT DISTINCT
+         (SELECT min(cent) FROM cum WHERE cum >= ((i.i * n.n + {_VWH_BUCKETS} - 1) // {_VWH_BUCKETS})) AS cut
+  FROM (SELECT unnest(generate_series(1, {_VWH_BUCKETS - 1})) AS i) i, n
+),
+b AS (
+  SELECT (SELECT count(*) FROM cuts WHERE cut < cum.cent)::BIGINT AS bucket, cent, c FROM cum
+)
+SELECT bucket,
+       sum(c)::BIGINT AS doc_count,
+       min(cent) / 100.0 AS v_min,
+       max(cent) / 100.0 AS v_max,
+       round(sum(cent * c) / sum(c) / 100.0, 4) AS v_avg
+FROM b GROUP BY bucket ORDER BY bucket
 """,
         # geo_line: ts-ordered derived-point track per user, size-capped.
         "geo_line": f"""

@@ -1404,3 +1404,69 @@ def terms_partition(ds, col: str, num_partitions: int, partition: int,
                           kind="mergesort").head(size).reset_index(drop=True)
     agg["doc_count"] = agg["doc_count"].astype(np.int64)
     return agg[["term", "doc_count"]]
+
+
+def variable_width_histogram(ds, col: str, buckets: int) -> pd.DataFrame:
+    """ES ``variable_width_histogram``: buckets whose widths adapt to the
+    data distribution. ES's version is a heuristic online clusterer
+    (order-dependent, explicitly approximate); this engine instantiates
+    the deterministic equal-depth spec instead: boundaries at the exact
+    cent-quantized value cuts ``cut_i = min{v : cumcount(v) >= ceil(i*N/K)}``
+    and every tie of a cent stays in one bucket, so the result is
+    reproducible and SQL-twinnable. Per bucket: doc_count, v_min, v_max
+    and the exact-cents mean (round4).
+
+    Scale shape: one streaming pass of per-batch (cent, count) partials
+    → a distinct-cents-sized shuffle (the bounded-cardinality histogram
+    assumption shared with stages/quantiles.py — cent-quantized domains
+    are bounded by the value range, not the row count); cuts, assignment
+    and the per-bucket stats all come off that histogram — raw rows
+    never move and there is no second pass."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(v) * 100.0 + 0.5) * np.sign(v)).astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"cent": pa.array(u), "c_p": pa.array(c.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("cent")
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+    )
+    if hist.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "doc_count": pd.Series([], dtype=np.int64),
+                             "v_min": pd.Series([], dtype=float),
+                             "v_max": pd.Series([], dtype=float),
+                             "v_avg": pd.Series([], dtype=float)})
+    hist = hist.sort_values("cent", kind="mergesort").reset_index(drop=True)
+    cents = hist["cent"].to_numpy(dtype=np.int64)
+    counts = hist["c"].to_numpy(dtype=np.int64)
+    cum = counts.cumsum()
+    n = int(cum[-1])
+    # exact integer ceil thresholds; duplicate cuts collapse (skew)
+    cut_pos = np.searchsorted(cum, [-(-i * n // buckets) for i in range(1, buckets)],
+                              side="left")
+    cuts = np.unique(cents[cut_pos])
+    bucket = np.searchsorted(cuts, cents, side="left")  # count of cuts < cent
+    df = pd.DataFrame({"bucket": bucket, "cent": cents, "c": counts,
+                       "prod": cents * counts})
+    g = df.groupby("bucket", sort=True).agg(
+        doc_count=("c", "sum"),
+        min_cent=("cent", "min"),
+        max_cent=("cent", "max"),
+        sum_cent=("prod", "sum"),
+    ).reset_index()
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+    return pd.DataFrame({
+        "bucket": g["bucket"].astype(np.int64),
+        "doc_count": g["doc_count"].astype(np.int64),
+        "v_min": g["min_cent"].to_numpy(dtype=np.int64) / 100.0,
+        "v_max": g["max_cent"].to_numpy(dtype=np.int64) / 100.0,
+        "v_avg": round_half_away(
+            g["sum_cent"].to_numpy(dtype=np.float64)
+            / g["doc_count"].to_numpy(dtype=np.float64) / 100.0, 4),
+    })

@@ -526,3 +526,33 @@ def test_random_sampler_agg_deterministic(ray_session):
     out2 = es_aggs.random_sampler_agg(_ds(df), "event_id", "value",
                                       mod=5, salt="-t")
     assert out.equals(out2)
+
+
+def test_variable_width_histogram_equal_depth(events_df):
+    out = es_aggs.variable_width_histogram(_ds(events_df), "value", 4).reset_index(drop=True)
+    cents = np.floor(np.abs(events_df.value.to_numpy()) * 100.0 + 0.5).astype(np.int64) \
+        * np.sign(events_df.value.to_numpy()).astype(np.int64)
+    n = cents.size
+    assert int(out.doc_count.sum()) == n
+    # equal depth within one boundary-tie: every cut lands at ceil(i*n/4)
+    u, c = np.unique(cents, return_counts=True)
+    cum = c.cumsum()
+    cuts = np.unique(u[np.searchsorted(cum, [-(-i * n // 4) for i in (1, 2, 3)], "left")])
+    bucket = np.searchsorted(cuts, u, side="left")
+    for b_idx in range(len(out)):
+        m = bucket == b_idx
+        row = out.iloc[b_idx]
+        assert row.doc_count == c[m].sum()
+        assert row.v_min == u[m].min() / 100.0
+        assert row.v_max == u[m].max() / 100.0
+    # buckets tile the value range without overlap
+    assert all(out.v_min.iloc[i + 1] > out.v_max.iloc[i] for i in range(len(out) - 1))
+
+
+def test_variable_width_histogram_skew_collapses_cuts(ray_session):
+    # one dominant value swallows several quantile cuts → fewer buckets
+    df = pd.DataFrame({"value": np.r_[np.full(97, 5.0), [1.0, 2.0, 9.0]]})
+    out = es_aggs.variable_width_histogram(_ds(df), "value", 5)
+    assert int(out.doc_count.sum()) == 100
+    assert len(out) <= 3  # duplicate cuts collapsed
+    assert (out.v_min <= out.v_max).all()

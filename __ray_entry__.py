@@ -7937,6 +7937,32 @@ _NESTED_TYPE, _NESTED_LO, _NESTED_HI, _NESTED_MINCH = "purchase", 50.0, 200.0, 2
 _NESTED_AGG_MIN = 150.0
 
 
+_DSIR_N, _DSIR_B, _DSIR_TARGET_LANG = 50, 4096, "en"
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): top-N non-English
+    docs whose hashed-unigram distribution is most English-like — the
+    published hashed-bucket log-ratio weights with add-one smoothing,
+    deterministic top-N selection (stages/dsir.dsir_select; two
+    streaming passes, B-sized bucket shuffle + broadcast log-ratio
+    scoring)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dsir import dsir_select
+
+    def label(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return b.append_column(
+            "is_target", _pc.equal(b["lang"], _DSIR_TARGET_LANG))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"]) \
+           .map_batches(label, batch_format="pyarrow")
+    return dsir_select(ds, "is_target", n_select=_DSIR_N,
+                       n_buckets=_DSIR_B)
+
+
 _VWH_BUCKETS = 8
 
 
@@ -8042,6 +8068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_query": q_nested_query,
         "geo_line": q_geo_line,
         "variable_width_histogram": q_variable_width_histogram,
+        "dsir_select": q_dsir_select,
         "nested_agg": q_nested_agg,
         "ip_range": q_ip_range,
         "ip_prefix": q_ip_prefix,
@@ -10135,6 +10162,35 @@ SELECT cast(net AS varchar) || '.0.0.0/{_IP_PREFIX_LEN}' AS subnet,
        count(*)::BIGINT AS doc_count
 FROM nets GROUP BY net
 ORDER BY doc_count DESC, net LIMIT {_IP_PREFIX_TOP}
+""",
+        # DSIR: hashed-unigram log-ratio importance weights, top-N raw docs.
+        "dsir_select": f"""
+WITH {TRANSCRIPTS_CTE},
+lab AS (SELECT doc_id, (lang = '{_DSIR_TARGET_LANG}') AS is_t FROM documents),
+tb AS (
+  SELECT t.doc_id, cast(md5_number_upper(t.term) % {_DSIR_B} AS BIGINT) AS b, l.is_t
+  FROM tok t JOIN lab l USING (doc_id)
+),
+ct AS (SELECT b, count(*)::BIGINT AS c FROM tb WHERE is_t GROUP BY b),
+cr AS (SELECT b, count(*)::BIGINT AS c FROM tb WHERE NOT is_t GROUP BY b),
+nt AS (SELECT count(*)::BIGINT AS n FROM tb WHERE is_t),
+nr AS (SELECT count(*)::BIGINT AS n FROM tb WHERE NOT is_t),
+lr AS (
+  SELECT bk.b,
+         ln((coalesce(ct.c, 0) + 1)::DOUBLE / (nt.n + {_DSIR_B}))
+         - ln((coalesce(cr.c, 0) + 1)::DOUBLE / (nr.n + {_DSIR_B})) AS lr
+  FROM (SELECT unnest(generate_series(0, {_DSIR_B - 1}))::BIGINT AS b) bk
+  LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN nt CROSS JOIN nr
+),
+w AS (
+  SELECT l.doc_id, round(coalesce(sum(lr.lr), 0.0), 4) AS logw
+  FROM lab l
+  LEFT JOIN tb ON tb.doc_id = l.doc_id
+  LEFT JOIN lr ON lr.b = tb.b
+  WHERE NOT l.is_t
+  GROUP BY l.doc_id
+)
+SELECT doc_id, logw FROM w ORDER BY logw DESC, doc_id LIMIT {_DSIR_N}
 """,
         # variable_width_histogram: equal-depth cent-cut buckets.
         "variable_width_histogram": f"""

@@ -7937,6 +7937,21 @@ _NESTED_TYPE, _NESTED_LO, _NESTED_HI, _NESTED_MINCH = "purchase", 50.0, 200.0, 2
 _NESTED_AGG_MIN = 150.0
 
 
+def q_ngram_diversity(sf_dir: str):
+    """Lexical-diversity profile per source (the dedup/curation
+    effectiveness signal): token/type counts, TTR, within-doc word
+    trigram counts and the distinct-trigram diversity ratio
+    (stages/textops.ngram_diversity — distinct-pair exchange, raw rows
+    never shuffle)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import ngram_diversity
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text", "source"])
+    return ngram_diversity(ds, "source", n=3)
+
+
 _DSIR_N, _DSIR_B, _DSIR_TARGET_LANG = 50, 4096, "en"
 
 
@@ -8069,6 +8084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_line": q_geo_line,
         "variable_width_histogram": q_variable_width_histogram,
         "dsir_select": q_dsir_select,
+        "ngram_diversity": q_ngram_diversity,
         "nested_agg": q_nested_agg,
         "ip_range": q_ip_range,
         "ip_prefix": q_ip_prefix,
@@ -10162,6 +10178,34 @@ SELECT cast(net AS varchar) || '.0.0.0/{_IP_PREFIX_LEN}' AS subnet,
        count(*)::BIGINT AS doc_count
 FROM nets GROUP BY net
 ORDER BY doc_count DESC, net LIMIT {_IP_PREFIX_TOP}
+""",
+        # lexical diversity per source: TTR + trigram diversity ratio.
+        "ngram_diversity": """
+WITH arrs AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS arr
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, source, unnest(arr) AS term,
+         unnest(generate_series(0, len(arr) - 1)) AS pos
+  FROM arrs
+),
+tri AS (
+  SELECT a.doc_id, a.source, a.term || ' ' || b.term || ' ' || c.term AS gram
+  FROM tokpos a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+tot AS (SELECT source, count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS n_types FROM tokpos GROUP BY source),
+gt AS (SELECT source, count(*)::BIGINT AS n_grams, count(DISTINCT gram)::BIGINT AS n_distinct_grams FROM tri GROUP BY source)
+SELECT t.source, t.n_tokens, t.n_types,
+       round(t.n_types::DOUBLE / greatest(t.n_tokens, 1), 4) AS ttr,
+       coalesce(g.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(g.n_distinct_grams, 0)::BIGINT AS n_distinct_grams,
+       round(CASE WHEN coalesce(g.n_grams, 0) > 0
+                  THEN g.n_distinct_grams::DOUBLE / g.n_grams ELSE 1.0 END, 4) AS gram_diversity
+FROM tot t LEFT JOIN gt g USING (source) ORDER BY t.source
 """,
         # DSIR: hashed-unigram log-ratio importance weights, top-N raw docs.
         "dsir_select": f"""

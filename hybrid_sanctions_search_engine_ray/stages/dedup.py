@@ -398,8 +398,14 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str, window: int = 4):
             "key_b": np.r_[keys[bi], np.array([""] * (2 * head), dtype=object)],
             "pos": np.r_[np.zeros(ai.size, np.int64),
                          np.arange(head), np.arange(head)],
-            "block_key": ([""] * ai.size
-                          + [str(keys[0]) + "|" + str(ids[0])] * (2 * head)),
+            # block identity = the first row's (key, id), kept as two
+            # typed columns: a concatenated string would need padding
+            # and a separator below the key alphabet to sort like the
+            # (key, id) tuple ("9" > "10" as strings mis-stitched
+            # adjacent blocks before this was split out).
+            "block_key0": ([""] * ai.size + [str(keys[0])] * (2 * head)),
+            "block_id0": np.r_[np.zeros(ai.size, np.int64),
+                               np.full(2 * head, ids[0], np.int64)],
         }
         return pa.table({k: pa.array(v) for k, v in rows.items()})
 
@@ -411,10 +417,15 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str, window: int = 4):
     pairs = out[out["kind"] == "pair"][["doc_a", "doc_b", "key_a", "key_b"]]
     bnd = out[out["kind"] != "pair"]
     stitched = []
-    blocks = sorted(bnd["block_key"].unique())
+    blocks = list(
+        bnd[["block_key0", "block_id0"]].drop_duplicates()
+        .sort_values(["block_key0", "block_id0"], kind="mergesort")
+        .itertuples(index=False, name=None))
     for prev, nxt in zip(blocks, blocks[1:]):
-        tail = bnd[(bnd["block_key"] == prev) & (bnd["kind"] == "tail")].sort_values("pos")
-        head = bnd[(bnd["block_key"] == nxt) & (bnd["kind"] == "head")].sort_values("pos")
+        tail = bnd[(bnd["block_key0"] == prev[0]) & (bnd["block_id0"] == prev[1])
+                   & (bnd["kind"] == "tail")].sort_values("pos")
+        head = bnd[(bnd["block_key0"] == nxt[0]) & (bnd["block_id0"] == nxt[1])
+                   & (bnd["kind"] == "head")].sort_values("pos")
         for i, (_, t) in enumerate(tail.iterrows()):
             for j, (_, h) in enumerate(head.iterrows()):
                 if j <= i:

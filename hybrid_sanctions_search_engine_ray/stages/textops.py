@@ -388,3 +388,119 @@ def compression_stats(batch: pa.Table, level: int = 6,
         "deflate_bytes": pa.array(comp, pa.int64()),
         "compression_ratio": pa.array(np.round(ratio, 6), pa.float64()),
     })
+
+
+def ngram_diversity(ds, key_col: str, cfg=None, n: int = 3):
+    """Corpus lexical-diversity profile per ``key_col`` (the
+    dedup/curation-effectiveness signal a training-data pipeline tracks
+    next to its quality filters): per key the token count, distinct
+    token count (types), type-token ratio, within-doc word ``n``-gram
+    count, distinct ``n``-gram count and the n-gram diversity ratio
+    (distinct/total — 1.0 means no repeated n-gram anywhere).
+
+    Scale shape: one streaming tokenize pass emits (a) per-batch
+    (key, token/gram totals) partial sums — keys-sized — and (b)
+    per-batch DISTINCT (key, gram) / (key, term) pairs; the ONE real
+    exchange carries those distinct pairs (the same phrase-pair pattern
+    as fuzzy_ratios), then a per-key count. Raw rows never shuffle.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    cfg = cfg or AnalyzerConfig()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg)
+        keys = b[key_col].to_pandas().to_numpy(dtype=object)
+        t = terms.to_numpy(zero_copy_only=False).astype(object)
+        k = keys[parent]
+        # within-doc n-grams: shifted join, doc-boundary masked
+        if t.size >= n:
+            mask = np.ones(t.size - (n - 1), dtype=bool)
+            for i in range(1, n):
+                mask &= parent[: t.size - (n - 1)] == parent[i: t.size - (n - 1) + i]
+            gram = t[: t.size - (n - 1)].astype(str)
+            for i in range(1, n):
+                gram = np.char.add(np.char.add(gram, " "),
+                                   t[i: t.size - (n - 1) + i].astype(str))
+            gk, gv = k[: t.size - (n - 1)][mask], gram[mask]
+        else:
+            gk = np.array([], dtype=object)
+            gv = np.array([], dtype=object)
+        uni = pd.DataFrame({"key": k, "item": t}).drop_duplicates()
+        tri = pd.DataFrame({"key": gk, "item": gv}).drop_duplicates()
+        uni["kind"], tri["kind"] = "t", "g"
+        both = pd.concat([uni, tri], ignore_index=True)
+        return pa.Table.from_pandas(both, preserve_index=False)
+
+    def totals(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg)
+        keys = b[key_col].to_pandas().to_numpy(dtype=object)
+        k = keys[parent]
+        cnt = pd.DataFrame({"key": k}).groupby("key", sort=False).size()
+        if parent.size >= n:
+            mask = np.ones(parent.size - (n - 1), dtype=bool)
+            for i in range(1, n):
+                mask &= parent[: parent.size - (n - 1)] == parent[i: parent.size - (n - 1) + i]
+            gcnt = pd.DataFrame({"key": k[: parent.size - (n - 1)][mask]}) \
+                .groupby("key", sort=False).size()
+        else:
+            gcnt = pd.Series(dtype=np.int64)
+        out = pd.DataFrame({"key": cnt.index, "tok_p": cnt.to_numpy(dtype=np.int64)})
+        out["gram_p"] = gcnt.reindex(cnt.index).fillna(0).to_numpy(dtype=np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tot = (
+        ds.map_batches(totals, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("tok_p", alias_name="n_tokens"),
+                   Sum("gram_p", alias_name="n_grams"))
+        .to_pandas()
+    )
+
+    from ray.data.aggregate import Count
+
+    def dcount_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"key": b["key"].to_pandas(),
+                           "kind": b["kind"].to_pandas()})
+        g = df.groupby(["key", "kind"], sort=False).size().reset_index(name="c_p")
+        g["c_p"] = g["c_p"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dist = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["key", "kind", "item"])
+        .aggregate(Count(alias_name="_n"))           # unique triples
+        .map_batches(dcount_partial, batch_format="pyarrow")
+        .groupby(["key", "kind"])
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+    )
+    types = dist[dist["kind"] == "t"].set_index("key")["c"] if not dist.empty else pd.Series(dtype=np.int64)
+    dgrams = dist[dist["kind"] == "g"].set_index("key")["c"] if not dist.empty else pd.Series(dtype=np.int64)
+    if tot.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             "n_tokens": pd.Series([], dtype=np.int64),
+                             "n_types": pd.Series([], dtype=np.int64),
+                             "ttr": pd.Series([], dtype=float),
+                             "n_grams": pd.Series([], dtype=np.int64),
+                             "n_distinct_grams": pd.Series([], dtype=np.int64),
+                             "gram_diversity": pd.Series([], dtype=float)})
+    tot = tot.sort_values("key", kind="mergesort").reset_index(drop=True)
+    n_types = types.reindex(tot["key"]).fillna(0).to_numpy(dtype=np.int64)
+    n_dg = dgrams.reindex(tot["key"]).fillna(0).to_numpy(dtype=np.int64)
+    n_tok = tot["n_tokens"].to_numpy(dtype=np.int64)
+    n_gr = tot["n_grams"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        key_col: tot["key"],
+        "n_tokens": n_tok,
+        "n_types": n_types,
+        "ttr": round_half_away(n_types / np.maximum(n_tok, 1), 4),
+        "n_grams": n_gr,
+        "n_distinct_grams": n_dg,
+        "gram_diversity": round_half_away(
+            np.where(n_gr > 0, n_dg / np.maximum(n_gr, 1), 1.0), 4),
+    })

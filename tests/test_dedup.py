@@ -269,3 +269,23 @@ def test_line_dedup_random_vs_brute(ray_session):
     assert list(out["doc_id"]) == sorted(exp)
     for _, r in out.iterrows():
         assert (r["n_lines"], r["n_kept"], r["kept_tokens"]) == exp[r["doc_id"]]
+
+
+def test_sorted_neighborhood_block_order_is_numeric(ray_session):
+    """Regression: block adjacency must order blocks by the (key, id)
+    TUPLE, not by a concatenated string — with a shared key and ids
+    whose string order differs from numeric order ("9" > "10"), the old
+    stitch emitted wrong cross-boundary pairs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import sorted_neighborhood_pairs
+
+    n = 60
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "key": ["k"] * n})
+    out = sorted_neighborhood_pairs(rd.from_pandas(df).repartition(6),
+                                    "doc_id", "key", window=3)
+    # ground truth: ids sorted 0..n-1, every pair at rank distance 1 or 2
+    exp = {(i, i + d) for d in (1, 2) for i in range(n - d)}
+    got = set(zip(out.doc_a, out.doc_b))
+    assert got == exp

@@ -155,3 +155,25 @@ def test_compression_stats_signal():
     assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
     assert out.loc[0, "compression_ratio"] < 0.1
     assert out.loc[2, "compression_ratio"] == 1.0 and out.loc[2, "utf8_bytes"] == 0
+
+
+def test_ngram_diversity_brute(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import ngram_diversity
+
+    df = pd.DataFrame({
+        "source": ["a", "a", "b", "b"],
+        "text": ["x y z x y z", "x y q", "w w w w", ""],
+    })
+    out = ngram_diversity(rd.from_pandas(df).repartition(3), "source", n=3)
+    out = out.set_index("source")
+    # source a: tokens 9, types 4 (x y z q); trigrams: doc1 has 4 ("x y z","y z x","z x y","x y z") -> distinct 3; doc2 has 1
+    assert out.loc["a", "n_tokens"] == 9 and out.loc["a", "n_types"] == 4
+    assert out.loc["a", "n_grams"] == 5 and out.loc["a", "n_distinct_grams"] == 4
+    assert out.loc["a", "ttr"] == round(4 / 9, 4)
+    assert out.loc["a", "gram_diversity"] == round(4 / 5, 4)
+    # source b: "w w w w" -> 4 tokens 1 type, 2 trigrams 1 distinct; empty doc adds nothing
+    assert out.loc["b", "n_tokens"] == 4 and out.loc["b", "n_types"] == 1
+    assert out.loc["b", "n_grams"] == 2 and out.loc["b", "n_distinct_grams"] == 1

@@ -7937,6 +7937,43 @@ _NESTED_TYPE, _NESTED_LO, _NESTED_HI, _NESTED_MINCH = "purchase", 50.0, 200.0, 2
 _NESTED_AGG_MIN = 150.0
 
 
+def q_geo_bounds(sf_dir: str):
+    """ES geo_bounds agg: per event_type, the integer milli-degree
+    bounding box of the derived points (ES top-left/bottom-right corner
+    convention; stages/geo.geo_bounds_agg — keys-sized shuffle)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_bounds_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "event_id"])
+    return geo_bounds_agg(ds, "event_type", "event_id")
+
+
+_INNER_HITS_M = 2
+
+
+def q_collapse_inner(sf_dir: str):
+    """ES collapse + inner_hits: conversations ranked by best turn
+    (exactly the collapse_search ladder) and each top conversation
+    carries its own top-M member turns with a restarting inner rank
+    (search_features.CollapseInnerHitsScorer)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import (
+        collapse_inner_hits_search,
+    )
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K}
+         for qid, t in BM25_QUERIES.items()]
+    )
+    return _finish_scores(collapse_inner_hits_search(
+        qs, index_dir, key="conv_id", per_group=_INNER_HITS_M,
+        cfg=_engine_cfg()))
+
+
 def q_ngram_diversity(sf_dir: str):
     """Lexical-diversity profile per source (the dedup/curation
     effectiveness signal): token/type counts, TTR, within-doc word
@@ -8085,6 +8122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variable_width_histogram": q_variable_width_histogram,
         "dsir_select": q_dsir_select,
         "ngram_diversity": q_ngram_diversity,
+        "collapse_inner": q_collapse_inner,
+        "geo_bounds": q_geo_bounds,
         "nested_agg": q_nested_agg,
         "ip_range": q_ip_range,
         "ip_prefix": q_ip_prefix,
@@ -10178,6 +10217,41 @@ SELECT cast(net AS varchar) || '.0.0.0/{_IP_PREFIX_LEN}' AS subnet,
        count(*)::BIGINT AS doc_count
 FROM nets GROUP BY net
 ORDER BY doc_count DESC, net LIMIT {_IP_PREFIX_TOP}
+""",
+        # geo_bounds: per-type milli-degree envelope of derived points.
+        "geo_bounds": """
+WITH pts AS (
+  SELECT event_type,
+         (event_id * 7919) % 180000 - 90000 AS lat_md,
+         (event_id * 104729) % 360000 - 180000 AS lon_md
+  FROM events
+)
+SELECT event_type,
+       max(lat_md)::BIGINT AS top_lat,
+       min(lon_md)::BIGINT AS left_lon,
+       min(lat_md)::BIGINT AS bottom_lat,
+       max(lon_md)::BIGINT AS right_lon
+FROM pts GROUP BY event_type ORDER BY event_type
+""",
+        # collapse + inner_hits: group rank by best hit, per-group top-M members.
+        "collapse_inner": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+{_BM25_SCORES_CTE},
+keyed AS (
+  SELECT s.query_id, s.doc_id, s.score, t.conv_id,
+         row_number() OVER (PARTITION BY s.query_id, t.conv_id ORDER BY s.score DESC, s.doc_id) AS grp_rn
+  FROM scores s JOIN transcripts t ON t.doc_id = s.doc_id
+),
+best AS (
+  SELECT query_id, conv_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS grank
+  FROM keyed WHERE grp_rn = 1
+)
+SELECT k.query_id, cast(b.grank AS int) AS rank, k.conv_id,
+       cast(k.grp_rn AS int) AS inner_rank, k.doc_id, round(k.score, 4) AS score
+FROM keyed k JOIN best b ON b.query_id = k.query_id AND b.conv_id = k.conv_id
+WHERE b.grank <= {BM25_TOP_K} AND k.grp_rn <= {_INNER_HITS_M}
 """,
         # lexical diversity per source: TTR + trigram diversity ratio.
         "ngram_diversity": """

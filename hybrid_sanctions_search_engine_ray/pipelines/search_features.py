@@ -284,6 +284,82 @@ def top_hits_search(queries_ds, index_dir: str, key: str = "turn_idx",
     )
 
 
+class CollapseInnerHitsScorer:
+    """ES ``collapse`` with ``inner_hits``: groups ranked by their best
+    hit exactly as CollapseScorer, but each of the top-k groups also
+    returns its own top ``per_group`` member hits (inner rank restarts
+    per group). One scoring pass; group selection and member windows are
+    both vectorized off the same global (score desc, doc asc) order."""
+
+    def __init__(self, index_dir: str, key: str = "conv_id",
+                 per_group: int = 2, default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.key = key
+        self.per_group = per_group
+        self.default_top_k = default_top_k
+        self.dm_ids, self.dm_keys = _load_docmap_key(index_dir, key)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        granks: list = []
+        iranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        keys_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            terms = sorted(set(self.reader.analyzer(qtext)))
+            docs, scores = score_all(list(self.reader.load_postings(terms).values()))
+            if docs.size == 0:
+                continue
+            d64 = docs.astype(np.int64)
+            keys = self.dm_keys[np.searchsorted(self.dm_ids, d64)]
+            codes, _ = pd.factorize(keys)
+            order = np.lexsort((d64, -scores))              # global rank order
+            first = np.unique(codes[order], return_index=True)[1]
+            best = order[np.sort(first)][:k]                # reps, group-ranked
+            grank_of = np.full(codes.max() + 1, 0, dtype=np.int64)
+            grank_of[codes[best]] = np.arange(1, best.size + 1)
+            g = grank_of[codes]
+            keep = g > 0
+            sel = np.flatnonzero(keep)
+            morder = sel[np.lexsort((d64[keep], -scores[keep], g[keep]))]
+            gs = g[morder]
+            starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+            within = np.arange(gs.size) - np.repeat(starts, np.diff(np.r_[starts, gs.size]))
+            win = within < self.per_group
+            mm = morder[win]
+            n = mm.size
+            qids.extend([qid] * n)
+            granks.extend(gs[win].tolist())
+            iranks.extend((within[win] + 1).tolist())
+            keys_out.extend(keys[mm].tolist())
+            docs_out.extend(d64[mm].tolist())
+            scores_out.extend(scores[mm].tolist())
+        return _result_frame(qids, granks, docs_out, scores_out,
+                             extra={self.key: (keys_out, object),
+                                    "inner_rank": (iranks, np.int32)})
+
+
+def collapse_inner_hits_search(queries_ds, index_dir: str, key: str = "conv_id",
+                               per_group: int = 2,
+                               cfg: EngineConfig = DEFAULT_CONFIG):
+    """collapse + inner_hits: top-k groups by best hit, each with its
+    own top ``per_group`` member hits."""
+    return queries_ds.map_batches(
+        CollapseInnerHitsScorer,
+        fn_constructor_args=(index_dir, key, per_group),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
 # --- boosting (negative demotion) query ---------------------------------------
 
 

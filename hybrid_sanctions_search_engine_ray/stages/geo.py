@@ -308,3 +308,44 @@ def geo_line_agg(ds, group_col: str, ts_col: str, key_col: str,
     out["n_points"] = out["n_points"].astype(np.int64)
     out["total_points"] = out["total_points"].astype(np.int64)
     return out
+
+
+def geo_bounds_agg(ds, key_col: str, point_key_col: str) -> pd.DataFrame:
+    """ES ``geo_bounds``: per ``key_col`` bucket, the smallest bounding
+    box enclosing every derived point — integer milli-degree min/max
+    (top-left = max lat / min lon, bottom-right = min lat / max lon, the
+    ES corner convention). Per-batch partial extrema → keys-sized
+    shuffle."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[point_key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = (keys * _LAT_P) % 180000 - 90000
+        lo = (keys * _LON_P) % 360000 - 180000
+        df = pd.DataFrame({key_col: b[key_col].to_pandas(), "la": la, "lo": lo})
+        g = df.groupby(key_col, sort=False).agg(
+            la_min=("la", "min"), la_max=("la", "max"),
+            lo_min=("lo", "min"), lo_max=("lo", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby(key_col)
+        .aggregate(Min("la_min", alias_name="bottom_lat"),
+                   Max("la_max", alias_name="top_lat"),
+                   Min("lo_min", alias_name="left_lon"),
+                   Max("lo_max", alias_name="right_lon"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             "top_lat": pd.Series([], dtype=np.int64),
+                             "left_lon": pd.Series([], dtype=np.int64),
+                             "bottom_lat": pd.Series([], dtype=np.int64),
+                             "right_lon": pd.Series([], dtype=np.int64)})
+    agg = agg.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({key_col: agg[key_col],
+                         "top_lat": agg["top_lat"].astype(np.int64),
+                         "left_lon": agg["left_lon"].astype(np.int64),
+                         "bottom_lat": agg["bottom_lat"].astype(np.int64),
+                         "right_lon": agg["right_lon"].astype(np.int64)})

@@ -169,3 +169,21 @@ def test_geo_line_truncation_and_multiblock_totals(ray_session):
         assert row.total_points == (df.user_id == uid).sum()
         assert bool(row.complete) == (row.total_points <= size)
     assert list(out.user_id) == sorted(out.user_id)
+
+
+def test_geo_bounds_envelope(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_bounds_agg
+
+    keys = np.arange(1, 200, dtype=np.int64)
+    df = pd.DataFrame({"t": np.where(keys % 2 == 0, "a", "b"), "k": keys})
+    out = geo_bounds_agg(rd.from_pandas(df), "t", "k").set_index("t")
+    la = (keys * 7919) % 180000 - 90000
+    lo = (keys * 104729) % 360000 - 180000
+    for t in ("a", "b"):
+        m = df.t.to_numpy() == t
+        assert out.loc[t, "top_lat"] == la[m].max()
+        assert out.loc[t, "bottom_lat"] == la[m].min()
+        assert out.loc[t, "left_lon"] == lo[m].min()
+        assert out.loc[t, "right_lon"] == lo[m].max()

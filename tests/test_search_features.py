@@ -1223,3 +1223,28 @@ def test_combined_fields_matches_reference(feat_index, role_field_index, cf_norm
         sfeat.CombinedFieldsScorer(dirs, [1.0, 0.5], cf_norms)
     with pytest.raises(ValueError, match="align"):
         sfeat.CombinedFieldsScorer(dirs, [1.0], cf_norms)
+
+
+def test_collapse_inner_hits_consistency(ray_session, feat_index):
+    """inner_hits rank-1 rows must reproduce the plain collapse ranking
+    exactly; inner ranks restart per group and never exceed per_group."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import (
+        collapse_inner_hits_search,
+        collapse_search,
+    )
+
+    qs = [{"query_id": "q1", "query_text": "alpha gamma", "top_k": 3}]
+    inner = collapse_inner_hits_search(rd.from_items(qs), feat_index,
+                                       per_group=2).to_pandas()
+    plain = collapse_search(rd.from_items(qs), feat_index).to_pandas()
+    plain = plain[plain["rank"] <= 3]
+    reps = inner[inner.inner_rank == 1].sort_values("rank")
+    assert list(reps.doc_id) == list(plain.sort_values("rank").doc_id)
+    assert list(reps.conv_id) == list(plain.sort_values("rank").conv_id)
+    assert (inner.groupby("rank")["inner_rank"].max() <= 2).all()
+    # within a group scores are non-increasing with inner rank
+    for _, g in inner.groupby("rank"):
+        s = g.sort_values("inner_rank")["score"].to_numpy()
+        assert (np.diff(s) <= 1e-12).all()

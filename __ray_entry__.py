@@ -1956,6 +1956,34 @@ def q_semdedup(sf_dir: str):
     return out.map_batches(final, batch_format="pandas")
 
 
+_PROTO_KEEP_FRAC = 0.75
+
+
+def q_prototype_prune(sf_dir: str):
+    """SSL-prototype data pruning (Sorscher et al. 2022): rank vectors
+    by cosine to their k-means centroid, prune the most prototypical
+    quarter (keep-hard rule), exact quantile_disc cutoff with ties kept
+    (stages/similarity.prototype_prune). Rows-only (k-means is not
+    SQL-expressible); keep rule brute-force-verified in
+    tests/test_similarity.py."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import prototype_prune
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = prototype_prune(ds, keep_frac=_PROTO_KEEP_FRAC)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["vec_id"] = b["vec_id"].astype(np.int64)
+        b["cluster"] = b["cluster"].astype(np.int32)
+        b["keep"] = b["keep"].astype(bool)
+        return b[["vec_id", "cluster", "centroid_sim_r6", "keep"]]
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (the training-data near-dup
     family's vector member): broadcast subset matrix, one matmul per
@@ -8206,6 +8234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
+        "prototype_prune": q_prototype_prune,
         "hard_negatives": q_hard_negatives,
         "knn_classify": q_knn_classify,
         "jaccard_pairs": q_jaccard_pairs,

@@ -184,7 +184,8 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
 
     for name in ("exact_dedup", "minhash_pairs", "simhash", "embedding_topk",
-                 "text_quality", "dup_spans", "line_dedup", "semdedup"):
+                 "text_quality", "dup_spans", "line_dedup", "semdedup",
+                 "dsir_select"):
         t0 = time.monotonic()
         out = entrymod.queries()[name](SF_DIR)
         if hasattr(out, "count"):

@@ -993,6 +993,64 @@ def semdedup(ds, threshold: float = 0.97, n_clusters: int = 16,
     )
 
 
+def prototype_prune(ds, keep_frac: float = 0.75, n_clusters: int = 16,
+                    n_iter: int = 5, seed: int = 11, sample_rows: int = 2048,
+                    id_col: str = "vec_id", emb_col: str = "embedding"):
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws", arXiv:2206.14486): rank every example by its cosine
+    similarity to its k-means cluster centroid ("prototypicality") and
+    PRUNE the most prototypical (easiest) examples, keeping the hard
+    tail — the paper's keep-hard rule for the abundant-data regime.
+
+    Deterministic instantiation: centroids fit once on the same
+    deterministic hash-sample as SemDeDup/IVF; the keep cutoff is the
+    EXACT ``keep_frac`` quantile (quantile_disc) of the rounded
+    centroid similarity, ties at the cutoff all keep (so the kept count
+    can exceed ``keep_frac·N`` by the tie multiplicity — documented,
+    deterministic). Returns one row per vector:
+    ``(vec_id, cluster, centroid_sim_r6, keep)``.
+
+    Scale shape: one assignment/similarity map over the corpus, ONE
+    distinct-value histogram shuffle for the exact quantile (bounded
+    cardinality at 6-decimal rounding), one broadcast-scalar filter
+    map. No cluster-keyed exchange at all — unlike SemDeDup there is
+    no within-cluster pair work."""
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import grouped_exact_quantiles
+
+    ivf = IVFIndex(n_clusters=n_clusters, n_iter=n_iter, seed=seed)
+    ivf.fit(_sample_bottomk_by_hash(ds, sample_rows))
+    cent = ivf.centroids  # unit-normalized by fit()
+
+    def sim_batch(b: pa.Table) -> pa.Table:
+        b = ivf.assign_batch(b)
+        m = _normalize(_batch_matrix(b, emb_col).astype(np.float64))
+        cl = b["cluster"].to_numpy(zero_copy_only=False)
+        csim = np.einsum("ij,ij->i", m, cent[cl])
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": b["cluster"],
+            "centroid_sim_r6": pa.array(np.round(csim, 6)),
+        })
+
+    scored = ds.map_batches(sim_batch, batch_format="pyarrow")
+    tagged = scored.map_batches(
+        lambda b: b.append_column("g", pa.array(["all"] * len(b), pa.string())),
+        batch_format="pyarrow",
+    )
+    cut = float(
+        grouped_exact_quantiles(tagged, key="g", col="centroid_sim_r6",
+                                qs=[keep_frac]).take(1)[0]["value"]
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less_equal(b["centroid_sim_r6"], cut)
+        return b.append_column("keep", keep)
+
+    return scored.map_batches(flag, batch_format="pyarrow")
+
+
 # --- contrastive hard-negative mining ----------------------------------------
 
 

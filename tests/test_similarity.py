@@ -501,3 +501,39 @@ def test_hard_negatives_masks_same_label(ray_session, vectors):
         assert list(got["vec_id"]) == list(order)
         assert (got["neg_label"].to_numpy() != labels[qid]).all()
         np.testing.assert_allclose(got["cos_sim"].to_numpy(), sims[order], rtol=1e-12)
+
+
+def test_prototype_prune_matches_brute(ray_session, vectors):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _normalize,
+        _sample_bottomk_by_hash,
+        prototype_prune,
+    )
+
+    ds = rd.from_arrow(_emb_table(vectors))
+    out = (
+        prototype_prune(ds, keep_frac=0.75, n_clusters=8, sample_rows=128)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(vectors)
+
+    ivf = IVFIndex(n_clusters=8, n_iter=5, seed=11)
+    ivf.fit(_sample_bottomk_by_hash(ds, 128))
+    m = _normalize(vectors.astype(np.float64))
+    cl = (m @ ivf.centroids.T).argmax(axis=1)
+    sim = np.round(np.einsum("ij,ij->i", m, ivf.centroids[cl]), 6)
+    # exact quantile_disc cutoff: 0-based index max(ceil(q*n)-1, 0)
+    srt = np.sort(sim)
+    cut = srt[max(-(-3 * len(sim) // 4) - 1, 0)]
+    np.testing.assert_array_equal(out.cluster.to_numpy(), cl.astype(np.int32))
+    np.testing.assert_allclose(out.centroid_sim_r6.to_numpy(), sim, atol=0)
+    np.testing.assert_array_equal(out.keep.to_numpy(), sim <= cut)
+    # keep-hard rule: everything pruned is MORE prototypical than
+    # everything kept, and the kept fraction is >= keep_frac (ties keep)
+    if (~out.keep).any():
+        assert out[~out.keep].centroid_sim_r6.min() > cut
+    assert out.keep.mean() >= 0.75

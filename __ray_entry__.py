@@ -1956,6 +1956,43 @@ def q_semdedup(sf_dir: str):
     return out.map_batches(final, batch_format="pandas")
 
 
+# span_or-within-span_near: "a|b c d|e" clause syntax, ordered chain
+SPAN_OR_QUERIES = [
+    {"query_id": "so1", "query_text": "fast|slow hash|merge join", "slop": 3},
+    {"query_id": "so2", "query_text": "table|key scan|sort order|window", "slop": 3},
+    {"query_id": "so3", "query_text": "spark stream|batch window|dup", "slop": 4},
+]
+
+
+def q_span_or_near(sf_dir: str):
+    """Lucene span_or leaves inside an ordered span_near: alternative
+    terms per clause, positions chained over the per-clause position
+    UNION, per-clause best-member BM25 scoring
+    (search_features.SpanOrNearScorer)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import (
+        span_or_near_search,
+    )
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = rd.from_items([{**q, "top_k": BM25_TOP_K} for q in SPAN_OR_QUERIES])
+    return _finish_scores(span_or_near_search(qs, index_dir, _engine_cfg()))
+
+
+def _span_or_clause_values() -> str:
+    rows = []
+    for q in SPAN_OR_QUERIES:
+        for ci, clause in enumerate(q["query_text"].split()):
+            for term in sorted(set(clause.split("|"))):
+                rows.append(f"('{q['query_id']}', {ci}, '{term}')")
+    return ", ".join(rows)
+
+
+def _span_or_slop_values() -> str:
+    return ", ".join(f"('{q['query_id']}', {q['slop']})" for q in SPAN_OR_QUERIES)
+
+
 _PROTO_KEEP_FRAC = 0.75
 
 
@@ -8235,6 +8272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
         "prototype_prune": q_prototype_prune,
+        "span_or_near": q_span_or_near,
         "hard_negatives": q_hard_negatives,
         "knn_classify": q_knn_classify,
         "jaccard_pairs": q_jaccard_pairs,
@@ -10363,6 +10401,49 @@ SELECT bucket,
        max(cent) / 100.0 AS v_max,
        round(sum(cent * c) / sum(c) / 100.0, 4) AS v_avg
 FROM b GROUP BY bucket ORDER BY bucket
+""",
+        # span_or within ordered span_near: 3-clause positional chain,
+        # per-clause best-member BM25 scoring.
+        "span_or_near": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+socl(query_id, clause, term) AS (VALUES {_span_or_clause_values()}),
+soslop(query_id, slop) AS (VALUES {_span_or_slop_values()}),
+p1 AS (SELECT s.query_id, t.doc_id, t.pos FROM tokpos t JOIN socl s ON s.clause = 0 AND s.term = t.term),
+p2 AS (SELECT s.query_id, t.doc_id, t.pos FROM tokpos t JOIN socl s ON s.clause = 1 AND s.term = t.term),
+p3 AS (SELECT s.query_id, t.doc_id, t.pos FROM tokpos t JOIN socl s ON s.clause = 2 AND s.term = t.term),
+hit AS (
+  SELECT DISTINCT a.query_id, a.doc_id
+  FROM p1 a
+  JOIN soslop sl ON sl.query_id = a.query_id
+  JOIN p2 b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+           AND b.pos > a.pos AND b.pos <= a.pos + sl.slop + 1
+  JOIN p3 c ON c.query_id = a.query_id AND c.doc_id = a.doc_id
+           AND c.pos > b.pos AND c.pos <= b.pos + sl.slop + 1
+),
+tsc AS (
+  SELECT s.query_id, s.clause, tf.doc_id,
+         max( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / st.avgdl)) ) AS sc
+  FROM socl s
+  JOIN tf ON tf.term = s.term
+  JOIN df ON df.term = s.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  GROUP BY s.query_id, s.clause, tf.doc_id
+),
+sums AS (
+  SELECT h.query_id, h.doc_id, sum(t.sc) AS score
+  FROM hit h JOIN tsc t ON t.query_id = h.query_id AND t.doc_id = h.doc_id
+  GROUP BY h.query_id, h.doc_id
+),
+rankedp AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM sums
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedp WHERE rnk <= {BM25_TOP_K}
 """,
         # geo_line: ts-ordered derived-point track per user, size-capped.
         "geo_line": f"""

@@ -843,6 +843,125 @@ def span_near_search(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT_CON
     )
 
 
+class SpanOrNearScorer:
+    """Lucene ``span_or`` leaves inside an ordered ``span_near``: each
+    clause is a SET of alternative terms (``"fast|slow hash|merge join"``
+    → 3 clauses); a doc matches when positions p₁ < p₂ < … (pᵢ drawn
+    from the UNION of clause i's member positions) chain with every
+    consecutive gap ≤ slop — the same forward full-feasible-set chain
+    as the plain span_near, run over merged position lists. Candidates
+    are docs holding ≥1 member of EVERY clause; survivors rank by the
+    sum over clauses of the best member BM25 contribution (dis_max per
+    clause — deterministic and twinnable, where Lucene's sloppy-freq
+    span scoring is traversal-order-defined)."""
+
+    def __init__(self, index_dir: str, default_slop: int = 2,
+                 default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.default_slop = default_slop
+        self.default_top_k = default_top_k
+
+    @staticmethod
+    def _parse(qtext: str) -> list[list[str]]:
+        return [sorted(set(c.split("|"))) for c in qtext.split()]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            for clause in self._parse(qtext):
+                union.update(clause)
+        self.reader.load_postings(sorted(union))
+        slops = batch["slop"] if "slop" in batch.columns else None
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            slop = int(slops.iloc[i]) if slops is not None else self.default_slop
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            clauses = self._parse(qtext)
+            postings = self.reader.load_postings(
+                sorted({t for c in clauses for t in c}))
+            # candidates: docs with >=1 member of every clause
+            cand = None
+            clause_terms: list[list[str]] = []
+            for c in clauses:
+                have = [t for t in c if t in postings]
+                if not have:
+                    cand = np.empty(0, np.int64)
+                    clause_terms.append([])
+                    continue
+                clause_terms.append(have)
+                u = np.unique(np.concatenate(
+                    [postings[t].doc_ids.astype(np.int64) for t in have]))
+                cand = u if cand is None else np.intersect1d(cand, u)
+            if cand is None or cand.size == 0:
+                continue
+            pos = {t: self.reader.load_positions(t)
+                   for c in clause_terms for t in c}
+            if any(p is None for p in pos.values()):
+                raise ValueError(
+                    "span_or/near requires an index built with store_positions=True")
+            hit = np.zeros(cand.size, dtype=bool)
+            for ci in range(cand.size):
+                d = cand[ci]
+                prev: np.ndarray | None = None
+                ok = True
+                for c in clause_terms:
+                    plists = []
+                    for t in c:
+                        doc_ids, offsets, flat = pos[t]
+                        at = int(np.searchsorted(doc_ids, d))
+                        if at < doc_ids.size and doc_ids[at] == d:
+                            plists.append(flat[offsets[at]: offsets[at + 1]].astype(np.int64))
+                    p_t = (np.unique(np.concatenate(plists))
+                           if plists else np.empty(0, np.int64))
+                    if prev is not None and p_t.size:
+                        lo = np.searchsorted(prev, p_t - slop - 1, side="left")
+                        hi = np.searchsorted(prev, p_t - 1, side="right")
+                        p_t = p_t[hi > lo]
+                    if p_t.size == 0:
+                        ok = False
+                        break
+                    prev = p_t
+                hit[ci] = ok
+            m = cand[hit].astype(np.uint64)
+            if m.size == 0:
+                continue
+            scores = np.zeros(m.size, dtype=np.float64)
+            for c in clause_terms:
+                best = np.full(m.size, -np.inf)
+                for t in c:
+                    p = postings[t]
+                    at = np.searchsorted(p.doc_ids, m)
+                    safe = np.minimum(at, p.doc_ids.size - 1)
+                    present = (at < p.doc_ids.size) & (p.doc_ids[safe] == m)
+                    sc = np.where(present, p.factors[safe] * p.idf, -np.inf)
+                    best = np.maximum(best, sc)
+                scores += best
+            d, s = topk_desc(m, scores, k)
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.astype(np.int64).tolist())
+            scores_out.extend(s.tolist())
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def span_or_near_search(queries_ds, index_dir: str,
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """span_near over span_or clauses; query_text clause syntax
+    ``"a|b c d|e"`` with per-row slop/top_k."""
+    return queries_ds.map_batches(
+        SpanOrNearScorer,
+        fn_constructor_args=(index_dir, 2, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
 # --- dis_max ------------------------------------------------------------------
 
 

@@ -123,3 +123,35 @@ def test_phrase_positional_matches_text_verify(ray_session, tmp_path):
 def test_positional_repeated_term_phrase(pos_index):
     out = phrase_search(pos_index, "beta beta gamma", top_k=10)
     assert set(out["doc_id"]) == {5}
+
+
+def test_span_or_near_union_semantics(ray_session, pos_index):
+    """A doc matching via EITHER alternative of a clause must match;
+    chain feasibility uses the union of clause positions; scoring takes
+    the best member per clause."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import (
+        span_near_search,
+        span_or_near_search,
+    )
+
+    # single-alternative clauses == plain ordered span_near
+    qs = [{"query_id": "q", "query_text": "alpha beta", "slop": 1, "top_k": 10}]
+    a = span_or_near_search(rd.from_items(qs), pos_index).to_pandas()
+    b = span_near_search(rd.from_items(qs), pos_index).to_pandas()
+    assert list(a.doc_id) == list(b.doc_id)
+    np.testing.assert_allclose(a.score, b.score, atol=1e-12)
+
+    # or-clause widens the match set (superset of either single chain)
+    qs_or = [{"query_id": "q", "query_text": "beta gamma|delta", "slop": 1,
+              "top_k": 10}]
+    c = span_or_near_search(rd.from_items(qs_or), pos_index).to_pandas()
+    bg = span_near_search(rd.from_items(
+        [{"query_id": "q", "query_text": "beta gamma", "slop": 1, "top_k": 10}]),
+        pos_index).to_pandas()
+    bd = span_near_search(rd.from_items(
+        [{"query_id": "q", "query_text": "beta delta", "slop": 1, "top_k": 10}]),
+        pos_index).to_pandas()
+    assert set(c.doc_id) >= set(bg.doc_id) | set(bd.doc_id)
+    assert len(c) >= max(len(bg), len(bd)) >= 1

@@ -1956,6 +1956,84 @@ def q_semdedup(sf_dir: str):
     return out.map_batches(final, batch_format="pandas")
 
 
+_ROLLOVER_GENS = 3
+
+
+def q_rollover(sf_dir: str):
+    """ES rollover / ILM generations: the corpus is written as
+    ``_ROLLOVER_GENS`` size-capped index generations split on CONTIGUOUS
+    conversation ranges (dataset-side filters — whole convs stay
+    together, nothing materializes on the driver), an alias registry
+    points at the generation list (state/aliases.py — the ES
+    ``logs-active`` write-alias pattern), and queries resolve the alias
+    into a FederatedReader whose cumulative doc-id offsets restore the
+    ORIGINAL global doc ids exactly. The oracle is therefore the plain
+    whole-corpus BM25 twin: any drift in the split, the alias
+    resolution, the per-generation builds or the federated merge breaks
+    the hash."""
+    import ray.data as rd  # noqa: F401
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.federated import FederatedReader
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import (
+        TURNS_PER_CONV,
+        transcripts_from_documents,
+    )
+    from hybrid_sanctions_search_engine_ray.state.aliases import resolve_alias, set_alias
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/graft_idx_cache/{_fmt}/rollover-{tag}"
+    gen_dirs = [os.path.join(base, f"gen-{g:06d}") for g in range(_ROLLOVER_GENS)]
+    registry = os.path.join(base, "aliases")
+    try:
+        done = all(IndexManifest.load(d).status == "complete" for d in gen_dirs)
+    except FileNotFoundError:
+        done = False
+    if not done:
+        shutil.rmtree(base, ignore_errors=True)
+        cfg = EngineConfig(num_partitions=8, analyzer=AnalyzerConfig(mode="simple"))
+        import pyarrow.parquet as _pq
+
+        n_docs = _pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")).num_rows
+        n_convs = -(-n_docs // TURNS_PER_CONV)
+        per_gen = -(-n_convs // _ROLLOVER_GENS)  # the rollover size cap
+
+        def _gen_slice(b: pa.Table, g: int) -> pa.Table:
+            conv = pc.divide(b["doc_id"], TURNS_PER_CONV)
+            keep = pc.equal(pc.divide(conv, per_gen), g)
+            return b.filter(keep)
+
+        for g, d in enumerate(gen_dirs):
+            ds = transcripts_from_documents(sf_dir).map_batches(
+                _gen_slice, batch_format="pyarrow", fn_kwargs={"g": g})
+            build_index(d + "_src", d, cfg, transcripts_ds=ds)
+        os.makedirs(registry, exist_ok=True)
+        set_alias(registry, "logs-active", gen_dirs)
+    dirs = list(resolve_alias(registry, "logs-active"))
+    # the per-generation builds keep the ORIGINAL global doc ids (the
+    # input doc_id column is the stable (conv, turn) rank), so the
+    # federation needs NO id lift — offsets are explicitly zero
+    fed = FederatedReader(dirs, doc_id_offsets=[0] * len(dirs))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, qtext in BM25_QUERIES.items():
+        d, s = fed.search_one(qtext, BM25_TOP_K)
+        qids.extend([qid] * d.size)
+        ranks.extend(range(1, d.size + 1))
+        docs.extend(d.astype(np.int64).tolist())
+        scores.extend(_round4(s).tolist())
+    return pd.DataFrame({
+        "query_id": pd.Series(qids, dtype=object),
+        "rank": pd.Series(ranks, dtype=np.int32),
+        "doc_id": pd.Series(docs, dtype=np.int64),
+        "score": pd.Series(scores, dtype=np.float64),
+    })
+
+
 # span_or-within-span_near: "a|b c d|e" clause syntax, ordered chain
 SPAN_OR_QUERIES = [
     {"query_id": "so1", "query_text": "fast|slow hash|merge join", "slop": 3},
@@ -8273,6 +8351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "prototype_prune": q_prototype_prune,
         "span_or_near": q_span_or_near,
+        "rollover": q_rollover,
         "hard_negatives": q_hard_negatives,
         "knn_classify": q_knn_classify,
         "jaccard_pairs": q_jaccard_pairs,
@@ -10401,6 +10480,19 @@ SELECT bucket,
        max(cent) / 100.0 AS v_max,
        round(sum(cent * c) / sum(c) / 100.0, 4) AS v_avg
 FROM b GROUP BY bucket ORDER BY bucket
+""",
+        # rollover generations + alias + federated read ≡ whole-corpus BM25.
+        "rollover": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+{_BM25_SCORES_CTE},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # span_or within ordered span_near: 3-clause positional chain,
         # per-clause best-member BM25 scoring.

@@ -1956,6 +1956,28 @@ def q_semdedup(sf_dir: str):
     return out.map_batches(final, batch_format="pandas")
 
 
+_CONST_BOOST = 1.2
+
+
+def q_constant_score(sf_dir: str):
+    """ES constant_score: filter-context AND of the query terms, every
+    match scores exactly the boost, deterministic doc-order rank
+    (search_features.ConstantScoreScorer)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import (
+        constant_score_search,
+    )
+
+    index_dir = _ensure_index(sf_dir)
+    qs = rd.from_items(
+        [{"query_id": qid, "query_text": t, "top_k": BM25_TOP_K}
+         for qid, t in BM25_QUERIES.items()]
+    )
+    return _finish_scores(constant_score_search(qs, index_dir, _CONST_BOOST,
+                                                _engine_cfg()))
+
+
 _ROLLOVER_GENS = 3
 
 
@@ -8352,6 +8374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prototype_prune": q_prototype_prune,
         "span_or_near": q_span_or_near,
         "rollover": q_rollover,
+        "constant_score": q_constant_score,
         "hard_negatives": q_hard_negatives,
         "knn_classify": q_knn_classify,
         "jaccard_pairs": q_jaccard_pairs,
@@ -10480,6 +10503,25 @@ SELECT bucket,
        max(cent) / 100.0 AS v_max,
        round(sum(cent * c) / sum(c) / 100.0, 4) AS v_avg
 FROM b GROUP BY bucket ORDER BY bucket
+""",
+        # constant_score: AND-filter matches, fixed boost, doc-order rank.
+        "constant_score": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+need AS (SELECT query_id, count(DISTINCT term) AS n FROM qterms GROUP BY query_id),
+hit AS (
+  SELECT q.query_id, tf.doc_id
+  FROM qterms q JOIN tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id
+  HAVING count(DISTINCT tf.term) = (SELECT n FROM need WHERE need.query_id = q.query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rnk
+  FROM hit
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, {_CONST_BOOST} AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # rollover generations + alias + federated read ≡ whole-corpus BM25.
         "rollover": f"""

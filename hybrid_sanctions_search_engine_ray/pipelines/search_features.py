@@ -962,6 +962,61 @@ def span_or_near_search(queries_ds, index_dir: str,
     )
 
 
+class ConstantScoreScorer:
+    """ES ``constant_score``: a filter-context clause (here the AND of
+    the query's terms) whose every match scores exactly ``boost`` — no
+    BM25, no norms, the documented escape hatch from scoring. Matches
+    rank by doc_id asc (ES returns arbitrary-but-stable order at equal
+    score; doc order is the deterministic choice) and truncate at
+    top_k."""
+
+    def __init__(self, index_dir: str, boost: float = 1.2,
+                 default_top_k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.boost = boost
+        self.default_top_k = default_top_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        union: set[str] = set()
+        for qtext in batch["query_text"]:
+            union.update(self.reader.analyzer(qtext))
+        self.reader.load_postings(sorted(union))
+        top_ks = batch["top_k"] if "top_k" in batch.columns else None
+        qids: list = []
+        ranks: list = []
+        docs_out: list = []
+        scores_out: list = []
+        for i, (qid, qtext) in enumerate(zip(batch["query_id"], batch["query_text"])):
+            k = int(top_ks.iloc[i]) if top_ks is not None else self.default_top_k
+            uniq = sorted(set(self.reader.analyzer(qtext)))
+            postings = self.reader.load_postings(uniq)
+            if len(postings) < len(uniq) or not uniq:
+                continue
+            from functools import reduce
+
+            cand = reduce(np.intersect1d,
+                          [postings[t].doc_ids for t in uniq]).astype(np.int64)
+            d = np.sort(cand)[:k]
+            n = d.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(d.tolist())
+            scores_out.extend([self.boost] * n)
+        return _result_frame(qids, ranks, docs_out, scores_out)
+
+
+def constant_score_search(queries_ds, index_dir: str, boost: float = 1.2,
+                          cfg: EngineConfig = DEFAULT_CONFIG):
+    """constant_score filter query: every AND-match scores ``boost``."""
+    return queries_ds.map_batches(
+        ConstantScoreScorer,
+        fn_constructor_args=(index_dir, boost, cfg.top_k),
+        batch_format="pandas",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.scorer_concurrency,
+    )
+
+
 # --- dis_max ------------------------------------------------------------------
 
 

@@ -86,3 +86,24 @@ def test_dsir_empty_raw(ray_session):
     out = dsir_select(rd.from_pandas(df), "is_target", n_select=5,
                       n_buckets=B)
     assert len(out) == 0 and list(out.columns) == ["doc_id", "logw"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=24), min_size=1, max_size=20))
+def test_bucket_hash_matches_duckdb_md5(tokens):
+    """_buckets must be bit-parity with DuckDB md5_number_upper % B for
+    ARBITRARY unicode tokens (the SQL-twin contract)."""
+    import duckdb
+
+    from hybrid_sanctions_search_engine_ray.stages.dsir import _buckets
+
+    got = _buckets(np.array(tokens, dtype=object), 4096)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"s": tokens}))
+    exp = con.execute(
+        "SELECT cast(md5_number_upper(s) % 4096 AS BIGINT) FROM t").df().iloc[:, 0]
+    assert got.tolist() == exp.tolist()

@@ -162,6 +162,20 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--threshold", type=float, default=0.35,
                     help="cosine threshold for semdedup")
 
+    sel = sub.add_parser("select", help="training-data selection: DSIR importance "
+                                        "resampling (docs parquet) or SSL-prototype "
+                                        "pruning (embeddings parquet)")
+    sel.add_argument("--mode", choices=["dsir", "prototype"], default="dsir")
+    sel.add_argument("--input", required=True,
+                     help="dsir: documents parquet (doc_id, text, <target col>); "
+                          "prototype: embeddings parquet (vec_id, embedding)")
+    sel.add_argument("--out", required=True, help="output parquet directory")
+    sel.add_argument("--target-lang", default="en",
+                     help="dsir: lang value defining the target distribution")
+    sel.add_argument("--n", type=int, default=1000, help="dsir: docs to select")
+    sel.add_argument("--keep-frac", type=float, default=0.75,
+                     help="prototype: fraction kept (hardest examples)")
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -341,6 +355,30 @@ def main(argv: list[str] | None = None) -> int:
         out_ds.write_parquet(args.out)
         n = rd.read_parquet(args.out).count()
         print(json.dumps({"mode": args.mode, "rows": int(n), "out": args.out}))
+    elif args.cmd == "select":
+        import shutil
+
+        import pyarrow.compute as _pc
+        import ray.data as rd
+
+        if args.mode == "dsir":
+            from hybrid_sanctions_search_engine_ray.stages.dsir import dsir_select
+
+            ds = rd.read_parquet(args.input, columns=["doc_id", "text", "lang"]) \
+                   .map_batches(lambda b: b.append_column(
+                       "is_target", _pc.equal(b["lang"], args.target_lang)),
+                       batch_format="pyarrow")
+            out_df = dsir_select(ds, "is_target", n_select=args.n)
+        else:
+            from hybrid_sanctions_search_engine_ray.stages.similarity import prototype_prune
+
+            out_df = prototype_prune(
+                rd.read_parquet(args.input, columns=["vec_id", "embedding"]),
+                keep_frac=args.keep_frac,
+            ).to_pandas()
+        shutil.rmtree(args.out, ignore_errors=True)
+        rd.from_pandas(out_df).write_parquet(args.out)
+        print(json.dumps({"mode": args.mode, "rows": int(len(out_df)), "out": args.out}))
     elif args.cmd == "alias":
         from hybrid_sanctions_search_engine_ray.state import aliases as al_mod
 

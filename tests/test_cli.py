@@ -161,3 +161,45 @@ def test_cli_dedup_modes(ray_session, tmp_path, capsys):
     assert rec["rows"] == 40
     got = pq.read_table(out).to_pandas()
     assert int(got["keep"].sum()) < 40  # the planted pair collapsed
+
+
+def test_cli_select_modes(ray_session, tmp_path, capsys):
+    docs = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(["the quick brown fox", "a dog in the house",
+                          "der hund ist hier", "el gato esta aqui",
+                          "le chien est la", "the cat is the best",
+                          "und die katze auch", "is a the of and"]),
+        "lang": pa.array(["en", "en", "de", "es", "fr", "en", "de", "fr"]),
+    })
+    src = tmp_path / "docs_sel"
+    src.mkdir()
+    pq.write_table(docs, str(src / "d.parquet"))
+    out = str(tmp_path / "sel_dsir")
+    assert main(["select", "--mode", "dsir", "--input", str(src),
+                 "--out", out, "--target-lang", "en", "--n", "3"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == 3
+    got = pq.read_table(out).to_pandas()
+    assert set(got.columns) == {"doc_id", "logw"}
+    # only non-English docs are candidates
+    assert set(got.doc_id) <= {2, 3, 4, 6, 7}
+
+    import numpy as np
+
+    emb = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array(
+            np.random.RandomState(0).randn(40, 8).astype(np.float32).tolist(),
+            pa.list_(pa.float32())),
+    })
+    esrc = tmp_path / "emb_sel"
+    esrc.mkdir()
+    pq.write_table(emb, str(esrc / "e.parquet"))
+    out2 = str(tmp_path / "sel_proto")
+    assert main(["select", "--mode", "prototype", "--input", str(esrc),
+                 "--out", out2, "--keep-frac", "0.5"]) == 0
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["rows"] == 40
+    got2 = pq.read_table(out2).to_pandas()
+    assert got2.keep.mean() >= 0.5

@@ -8279,9 +8279,39 @@ def q_ip_prefix(sf_dir: str):
                          size=_IP_PREFIX_TOP)
 
 
+_EQL_STEPS = ["signup", "purchase", "error"]
+_EQL_MAXSPAN_S = 172800  # 48 h
+
+
+def q_eql_sequence(sf_dir: str):
+    """ES EQL `sequence by user_id with maxspan=48h [signup] [purchase]
+    [error]` — earliest-follower deterministic chaining (documented
+    non-consuming simplification of ES's state machine), one key
+    shuffle with per-group vectorized searchsorted hops, candidate rows
+    pre-filtered before the shuffle (stages/eql.eql_sequence).
+    Reference analog: the ES EQL search API the service's cluster
+    exposes; no Python-layer counterpart in the reference repo."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.eql import eql_sequence
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts", "event_type"])
+    res = eql_sequence(ds, _EQL_STEPS, maxspan_s=_EQL_MAXSPAN_S)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        for c in ("user_id", "e1_id", "e2_id", "e3_id", "start_us", "end_us", "span_us"):
+            b[c] = b[c].astype(np.int64)
+        return b
+
+    return res.map_batches(final, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "eql_sequence": q_eql_sequence,
         "nested_query": q_nested_query,
         "geo_line": q_geo_line,
         "variable_width_histogram": q_variable_width_histogram,
@@ -9007,6 +9037,31 @@ def _adjacency_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     qterms = _qterms_values()
     return {
+        # EQL sequence: each hop is LEFT JOIN LATERAL earliest-follower.
+        "eql_sequence": f"""
+WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = '{_EQL_STEPS[0]}'),
+bb AS (SELECT user_id, event_id, ts FROM events WHERE event_type = '{_EQL_STEPS[1]}'),
+cc AS (SELECT user_id, event_id, ts FROM events WHERE event_type = '{_EQL_STEPS[2]}'),
+ab AS (
+  SELECT a.user_id, a.event_id AS e1_id, a.ts AS t1, f.event_id AS e2_id, f.ts AS t2
+  FROM a LEFT JOIN LATERAL (
+    SELECT event_id, ts FROM bb WHERE bb.user_id = a.user_id AND bb.ts > a.ts
+    ORDER BY ts, event_id LIMIT 1) f ON true
+),
+abc AS (
+  SELECT ab.user_id, ab.e1_id, ab.t1, ab.e2_id, g.event_id AS e3_id, g.ts AS t3
+  FROM ab LEFT JOIN LATERAL (
+    SELECT event_id, ts FROM cc WHERE cc.user_id = ab.user_id AND cc.ts > ab.t2
+    ORDER BY ts, event_id LIMIT 1) g ON true
+  WHERE ab.e2_id IS NOT NULL
+)
+SELECT user_id, e1_id, e2_id, e3_id,
+       epoch_us(t1) AS start_us, epoch_us(t3) AS end_us,
+       epoch_us(t3) - epoch_us(t1) AS span_us
+FROM abc
+WHERE e3_id IS NOT NULL
+  AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
         "bm25_topk": f"""
 WITH {TRANSCRIPTS_CTE},
 qterms(query_id, term) AS (VALUES {qterms}),

@@ -8279,6 +8279,36 @@ def q_ip_prefix(sf_dir: str):
                          size=_IP_PREFIX_TOP)
 
 
+_NB_B = 4096
+
+
+def q_nb_classify(sf_dir: str):
+    """Distributed multinomial Naive Bayes language classifier (the
+    count-based ancestor of the fastText-style corpus-curation
+    classifiers): train on doc_id %% 5 != 0, score the held-out fifth.
+    (The synthetic corpus's lang label is text-independent, so
+    predictions here sit at the majority prior — the gate verifies the
+    exact distributed train+score computation; learnability is covered
+    by tests/test_nb_classify.py's separable-corpus case.)
+    Hashed-unigram features (md5_number_upper %% B, the DSIR-shared SQL
+    contract), add-one smoothing, and an int64 ×10⁴ log-prob table so
+    per-doc scores are INTEGER sums — argmax deterministic with no
+    float comparison (stages/nb_classify.nb_train_score; one C×B-row
+    train shuffle + one broadcast scoring pass)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.nb_classify import nb_train_score
+
+    def split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("is_test", pa.array(ids % 5 == 0))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"]) \
+           .map_batches(split, batch_format="pyarrow")
+    return nb_train_score(ds, "lang", "is_test", n_buckets=_NB_B)
+
+
 _EQL_STEPS = ["signup", "purchase", "error"]
 _EQL_MAXSPAN_S = 172800  # 48 h
 
@@ -8312,6 +8342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "eql_sequence": q_eql_sequence,
+        "nb_classify": q_nb_classify,
         "nested_query": q_nested_query,
         "geo_line": q_geo_line,
         "variable_width_histogram": q_variable_width_histogram,
@@ -9037,6 +9068,48 @@ def _adjacency_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     qterms = _qterms_values()
     return {
+        # NB classifier: integer ×10⁴ log-prob sums, argmax by (s desc, cls).
+        "nb_classify": f"""
+WITH {TRANSCRIPTS_CTE},
+lab AS (SELECT doc_id, lang, (doc_id % 5 = 0) AS is_test FROM documents),
+tb AS (
+  SELECT t.doc_id, cast(md5_number_upper(t.term) % {_NB_B} AS BIGINT) AS b,
+         l.lang, l.is_test
+  FROM tok t JOIN lab l USING (doc_id)
+),
+nd AS (SELECT lang, count(*)::BIGINT AS nd FROM lab WHERE NOT is_test GROUP BY lang),
+ntr AS (SELECT sum(nd)::BIGINT AS n FROM nd),
+cnt AS (SELECT lang, b, count(*)::BIGINT AS c FROM tb WHERE NOT is_test GROUP BY lang, b),
+tot AS (SELECT lang, sum(c)::BIGINT AS t FROM cnt GROUP BY lang),
+lp AS (
+  SELECT n.lang, bk.b,
+         cast(round(ln((coalesce(c.c, 0) + 1)::DOUBLE
+                       / (coalesce(t.t, 0) + {_NB_B})) * 10000) AS BIGINT) AS v
+  FROM nd n
+  CROSS JOIN (SELECT unnest(generate_series(0, {_NB_B - 1}))::BIGINT AS b) bk
+  LEFT JOIN cnt c ON c.lang = n.lang AND c.b = bk.b
+  LEFT JOIN tot t ON t.lang = n.lang
+),
+pri AS (
+  SELECT n.lang, cast(round(ln(n.nd::DOUBLE / ntr.n) * 10000) AS BIGINT) AS pi
+  FROM nd n CROSS JOIN ntr
+),
+scores AS (
+  SELECT d.doc_id, p.lang AS cls, p.pi + coalesce(sum(lp.v), 0) AS s
+  FROM (SELECT doc_id FROM lab WHERE is_test) d
+  CROSS JOIN pri p
+  LEFT JOIN tb ON tb.doc_id = d.doc_id AND tb.is_test
+  LEFT JOIN lp ON lp.lang = p.lang AND lp.b = tb.b
+  GROUP BY d.doc_id, p.lang, p.pi
+),
+pred AS (
+  SELECT doc_id, cls, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
+  FROM scores
+)
+SELECT p.doc_id, l.lang AS true_label, p.cls AS pred_label, p.s AS score_x1e4
+FROM pred p JOIN lab l USING (doc_id) WHERE p.rn = 1
+""",
         # EQL sequence: each hop is LEFT JOIN LATERAL earliest-follower.
         "eql_sequence": f"""
 WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = '{_EQL_STEPS[0]}'),

@@ -2080,6 +2080,49 @@ def q_span_or_near(sf_dir: str):
     return _finish_scores(span_or_near_search(qs, index_dir, _engine_cfg()))
 
 
+# span_multi-within-span_near: trailing-* clause tokens are prefix
+# multi-term queries rewritten against the term dictionary.
+SPAN_MULTI_QUERIES = [
+    {"query_id": "sm1", "query_text": "s* hash|merge join", "slop": 3},
+    {"query_id": "sm2", "query_text": "b* f* merge", "slop": 3},
+    {"query_id": "sm3", "query_text": "qu* w* d*", "slop": 4},
+]
+
+
+def q_span_multi(sf_dir: str):
+    """Lucene span_multi: prefix multi-term queries as span clauses in
+    an ordered span_near — the dictionary rewrite runs ONCE for all
+    queries (the shared wildcard/regexp scan), then the expanded
+    alternatives chain through the span_or/near positions machinery
+    with per-clause best-member BM25 scoring
+    (search_features.span_multi_near_search)."""
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import (
+        span_multi_near_search,
+    )
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    qs = [{**q, "top_k": BM25_TOP_K} for q in SPAN_MULTI_QUERIES]
+    return _finish_scores(span_multi_near_search(qs, index_dir, _engine_cfg()))
+
+
+def _span_multi_clause_values() -> str:
+    """(query_id, clause, pat, lit) rows: prefix clauses carry a LIKE
+    pattern, literal clauses the term list (span_or members)."""
+    rows = []
+    for q in SPAN_MULTI_QUERIES:
+        for ci, clause in enumerate(q["query_text"].split()):
+            if clause.endswith("*"):
+                rows.append(f"('{q['query_id']}', {ci}, '{clause[:-1]}%', NULL)")
+            else:
+                for term in sorted(set(clause.split("|"))):
+                    rows.append(f"('{q['query_id']}', {ci}, NULL, '{term}')")
+    return ", ".join(rows)
+
+
+def _span_multi_slop_values() -> str:
+    return ", ".join(f"('{q['query_id']}', {q['slop']})" for q in SPAN_MULTI_QUERIES)
+
+
 def _span_or_clause_values() -> str:
     rows = []
     for q in SPAN_OR_QUERIES:
@@ -8343,6 +8386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "eql_sequence": q_eql_sequence,
         "nb_classify": q_nb_classify,
+        "span_multi": q_span_multi,
         "nested_query": q_nested_query,
         "geo_line": q_geo_line,
         "variable_width_histogram": q_variable_width_histogram,
@@ -10666,6 +10710,55 @@ FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # span_or within ordered span_near: 3-clause positional chain,
         # per-clause best-member BM25 scoring.
+        # span_multi: prefix clauses expand against the term dictionary.
+        "span_multi": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+vocab AS (SELECT DISTINCT term FROM tok),
+smspec(query_id, clause, pat, lit) AS (VALUES {_span_multi_clause_values()}),
+socl AS (
+  SELECT s.query_id, s.clause, v.term
+  FROM smspec s JOIN vocab v
+    ON (s.pat IS NOT NULL AND v.term LIKE s.pat)
+    OR (s.lit IS NOT NULL AND v.term = s.lit)
+),
+soslop(query_id, slop) AS (VALUES {_span_multi_slop_values()}),
+p1 AS (SELECT s.query_id, t.doc_id, t.pos FROM tokpos t JOIN socl s ON s.clause = 0 AND s.term = t.term),
+p2 AS (SELECT s.query_id, t.doc_id, t.pos FROM tokpos t JOIN socl s ON s.clause = 1 AND s.term = t.term),
+p3 AS (SELECT s.query_id, t.doc_id, t.pos FROM tokpos t JOIN socl s ON s.clause = 2 AND s.term = t.term),
+hit AS (
+  SELECT DISTINCT a.query_id, a.doc_id
+  FROM p1 a
+  JOIN soslop sl ON sl.query_id = a.query_id
+  JOIN p2 b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+           AND b.pos > a.pos AND b.pos <= a.pos + sl.slop + 1
+  JOIN p3 c ON c.query_id = a.query_id AND c.doc_id = a.doc_id
+           AND c.pos > b.pos AND c.pos <= b.pos + sl.slop + 1
+),
+tsc AS (
+  SELECT s.query_id, s.clause, tf.doc_id,
+         max( ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / st.avgdl)) ) AS sc
+  FROM socl s
+  JOIN tf ON tf.term = s.term
+  JOIN df ON df.term = s.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  GROUP BY s.query_id, s.clause, tf.doc_id
+),
+sums AS (
+  SELECT h.query_id, h.doc_id, sum(t.sc) AS score
+  FROM hit h JOIN tsc t ON t.query_id = h.query_id AND t.doc_id = h.doc_id
+  GROUP BY h.query_id, h.doc_id
+),
+rankedp AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM sums
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM rankedp WHERE rnk <= {BM25_TOP_K}
+""",
         "span_or_near": f"""
 WITH {TRANSCRIPTS_CTE},
 {TOKPOS_CTE},

@@ -962,6 +962,47 @@ def span_or_near_search(queries_ds, index_dir: str,
     )
 
 
+_SPAN_MULTI_NO_MATCH = "\x00span-multi-no-match"
+
+
+def span_multi_near_search(queries: list[dict], index_dir: str,
+                           cfg: EngineConfig = DEFAULT_CONFIG):
+    """Lucene ``span_multi``: a multi-term query wrapped as a span
+    clause inside an ordered ``span_near``. Clause tokens ending in
+    ``*`` are prefix queries rewritten against the term dictionary
+    (Lucene's span-rewrite of MultiTermQuery — the same one
+    column-pruned distributed dictionary scan wildcard/regexp share,
+    run ONCE for all queries' prefixes); the expanded alternatives then
+    run the span_or/near position chain (SpanOrNearScorer), so scoring
+    is the per-clause best-member BM25 contract. A prefix with zero
+    dictionary matches makes its whole query unmatchable (Lucene: an
+    empty span clause matches nothing).
+
+    ``queries``: [{query_id, query_text, slop, top_k}] with clause
+    syntax ``"pre* literal oth*"``.
+    """
+    import ray.data as rd
+
+    rex = {}
+    for q in queries:
+        for tok in q["query_text"].split():
+            if tok.endswith("*") and tok not in rex:
+                rex[tok] = wildcard_to_regex(tok)
+    expanded = _expand_regex_map(index_dir, rex) if rex else {}
+
+    rewritten = []
+    for q in queries:
+        clauses = []
+        for tok in q["query_text"].split():
+            if tok.endswith("*"):
+                members = expanded.get(tok, [])
+                clauses.append("|".join(members) if members else _SPAN_MULTI_NO_MATCH)
+            else:
+                clauses.append(tok)
+        rewritten.append({**q, "query_text": " ".join(clauses)})
+    return span_or_near_search(rd.from_items(rewritten), index_dir, cfg)
+
+
 class ConstantScoreScorer:
     """ES ``constant_score``: a filter-context clause (here the AND of
     the query's terms) whose every match scores exactly ``boost`` — no

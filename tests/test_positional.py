@@ -155,3 +155,37 @@ def test_span_or_near_union_semantics(ray_session, pos_index):
         pos_index).to_pandas()
     assert set(c.doc_id) >= set(bg.doc_id) | set(bd.doc_id)
     assert len(c) >= max(len(bg), len(bd)) >= 1
+
+
+def test_span_multi_prefix_expansion_equivalence(ray_session, pos_index):
+    """span_multi's prefix clause must equal the hand-expanded span_or
+    clause; an unmatched prefix makes the query unmatchable."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.search_features import (
+        span_multi_near_search,
+        span_or_near_search,
+    )
+
+    # "bet*" expands to {beta}; "gamm*" to {gamma} in this vocab
+    got = span_multi_near_search(
+        [{"query_id": "q", "query_text": "bet* gamm*", "slop": 1, "top_k": 10}],
+        pos_index).to_pandas()
+    want = span_or_near_search(rd.from_items(
+        [{"query_id": "q", "query_text": "beta gamma", "slop": 1, "top_k": 10}]),
+        pos_index).to_pandas()
+    assert list(got.doc_id) == list(want.doc_id) and len(got) >= 1
+    np.testing.assert_allclose(got.score, want.score, atol=1e-12)
+
+    # a prefix matching several dictionary terms widens the clause:
+    # "b*"/"g*" covers at least everything "beta gamma" matched
+    wide = span_multi_near_search(
+        [{"query_id": "q", "query_text": "b* g*", "slop": 1, "top_k": 10}],
+        pos_index).to_pandas()
+    assert set(wide.doc_id) >= set(want.doc_id)
+
+    # unmatched prefix -> empty span clause -> no rows
+    none = span_multi_near_search(
+        [{"query_id": "q", "query_text": "zzz* gamma", "slop": 1, "top_k": 10}],
+        pos_index).to_pandas()
+    assert len(none) == 0

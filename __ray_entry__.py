@@ -3666,6 +3666,22 @@ def q_lm_fluency(sf_dir: str):
     return lm_score(ds, k=0.5)
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing per language (Wenzek
+    et al. 2020): bigram-LM nll per doc, exact per-language discrete
+    quantile cutoffs off a bounded (lang × cent) histogram shuffle, one
+    streaming labelling pass (stages/lm_score.ccnet_buckets)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.lm_score import ccnet_buckets
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    langs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang"])
+    return ccnet_buckets(docs, langs, k=0.5, num_partitions=_join_parts())
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate-cluster assignment over the FULL corpus: near-dup PAIRS
     (word-3-shingle Jaccard ≥ threshold on a doc prefix — the same exact
@@ -8387,6 +8403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence": q_eql_sequence,
         "nb_classify": q_nb_classify,
         "span_multi": q_span_multi,
+        "ccnet_buckets": q_ccnet_buckets,
         "nested_query": q_nested_query,
         "geo_line": q_geo_line,
         "variable_width_histogram": q_variable_width_histogram,
@@ -10497,6 +10514,49 @@ FROM transcripts
         # Self-trained bigram LM: P(w2|w1) = (c12 + k)/(cf(w1) + k·V);
         # nll = -avg ln P over the doc's bigram positions. Documents with
         # <2 tokens have no bigram rows and drop out of both sides.
+        # CCNet bucketing: per-lang discrete-quantile cuts over the same
+        # bigram-LM nll as lm_fluency (k = 0.5).
+        "ccnet_buckets": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+big AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+cb AS (SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY w1, w2),
+cu AS (SELECT term, count(*)::BIGINT AS c FROM tokpos GROUP BY term),
+v AS (SELECT count(*)::BIGINT AS v FROM cu),
+lmn AS (
+  SELECT big.doc_id, round(-avg(ln((cb.c + 0.5) / (cu.c + 0.5 * v.v))), 4) AS nll
+  FROM big
+  JOIN cb ON cb.w1 = big.w1 AND cb.w2 = big.w2
+  JOIN cu ON cu.term = big.w1
+  CROSS JOIN v
+  GROUP BY big.doc_id
+),
+l AS (
+  SELECT m.doc_id, d.lang, m.nll, cast(round(m.nll * 10000) AS BIGINT) AS cent
+  FROM lmn m JOIN documents d USING (doc_id)
+),
+h AS (SELECT lang, cent, count(*)::BIGINT AS c FROM l GROUP BY lang, cent),
+cumh AS (
+  SELECT lang, cent, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY cent) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM h
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN cum >= (n + 2) // 3 THEN cent END) AS c1,
+         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN cent END) AS c2
+  FROM cumh GROUP BY lang
+)
+SELECT l.doc_id, l.lang, l.nll,
+       CASE WHEN l.cent <= c.c1 THEN 'head'
+            WHEN l.cent <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM l JOIN cuts c USING (lang)
+""",
         "lm_fluency": f"""
 WITH {TRANSCRIPTS_CTE},
 {TOKPOS_CTE},

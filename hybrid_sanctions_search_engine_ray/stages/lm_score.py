@@ -169,3 +169,78 @@ def lm_score(ds, k: float = 0.5, concurrency: int = 4, round_digits: int = 4):
         )
 
     return agg.map_batches(_finish, batch_format="pandas")
+
+
+def ccnet_buckets(ds, lang_ds, k: float = 0.5, n_buckets: int = 3,
+                  num_partitions: int = 8):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359 — the head/middle/tail split LLM corpora
+    inherit from CCNet): score every document with the self-trained
+    bigram LM, then cut each language's nll distribution at exact
+    discrete quantile thresholds and label docs head/middle/.../tail.
+
+    CCNet's published method is THRESHOLD-based (all docs at or below
+    the per-language 33rd/66th-percentile perplexity go to head/middle),
+    not ntile-based — ties share a bucket, which is also what makes the
+    assignment deterministic and batching-invariant. Cutoff i is the
+    smallest rounded-nll value whose cumulative count reaches
+    ``ceil(i·n/n_buckets)`` (DuckDB ``quantile_disc`` semantics over the
+    ×10⁴ integer cents).
+
+    Scale shape: one narrow hash join (doc_id → lang; both sides are
+    two-column), one bounded (lang × distinct-cent) histogram shuffle —
+    cutoffs are a langs×(n_buckets−1) table broadcast back implicitly
+    through the driver (tiny) — and one streaming labelling pass.
+    Documents with <2 tokens have no LM score and are absent, matching
+    the SQL twin's inner joins.
+    """
+    scored = lm_score(ds, k=k)
+    joined = scored.join(lang_ds, join_type="inner",
+                         num_partitions=num_partitions, on=("doc_id",))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            b["nll"].to_numpy(zero_copy_only=False) * 1e4, 0).astype(np.int64)
+        df = (pd.DataFrame({"lang": b["lang"].to_pylist(), "cent": cents})
+              .groupby(["lang", "cent"], sort=False).size().reset_index(name="c_p"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        joined.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "cent"])
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+        .sort_values(["lang", "cent"], kind="mergesort")
+    )
+    cuts: dict[str, np.ndarray] = {}
+    names = (["head", "middle", "tail"] if n_buckets == 3
+             else [f"b{i}" for i in range(n_buckets)])
+    for lang, g in hist.groupby("lang", sort=False):
+        cum = g["c"].to_numpy().cumsum()
+        n = int(cum[-1])
+        cents = g["cent"].to_numpy()
+        # cutoff i = smallest cent with cum >= ceil(i*n/n_buckets)
+        targets = [-(-i * n // n_buckets) for i in range(1, n_buckets)]
+        cuts[lang] = cents[np.searchsorted(cum, targets, side="left")]
+
+    import ray as _ray
+    cuts_ref = _ray.put((cuts, names))
+
+    def label(b: pa.Table) -> pa.Table:
+        cts, nms = _ray.get(cuts_ref)
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        cents = round_half_away(
+            b["nll"].to_numpy(zero_copy_only=False) * 1e4, 0).astype(np.int64)
+        bucket = np.empty(len(langs), dtype=object)
+        for lang in np.unique(langs):
+            m = langs == lang
+            bucket[m] = np.asarray(nms, dtype=object)[
+                np.searchsorted(cts[lang], cents[m], side="left")]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+            "nll": b["nll"],
+            "bucket": pa.array(bucket.tolist(), pa.string()),
+        })
+
+    return joined.map_batches(label, batch_format="pyarrow")

@@ -19,6 +19,32 @@ def term_hash(term: str) -> int:
     return zlib.crc32(term.encode("utf-8"))
 
 
+def factorize_exact(values) -> tuple[np.ndarray, np.ndarray]:
+    """NUL-exact string factorization: (codes, uniques) like
+    ``pd.factorize(..., use_na_sentinel=False)`` but via Arrow
+    ``dictionary_encode`` (length-prefixed strings). pandas' fast-path
+    StringHashTable hashes object-dtype strings as C strings, so values
+    that differ only in embedded/trailing NUL bytes (``''`` vs
+    ``'\\x00'``) silently merge — fatal for any factorize that feeds a
+    hash contract (DuckDB md5 parity, dedup signatures, shuffle keys).
+    Nulls factorize as ``""`` (the convention every hash site here uses).
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values
+    else:
+        arr = pa.array(np.asarray(values, dtype=object), type=pa.string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    enc = arr.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    return codes, uniques
+
+
 def term_partition(term: str, num_partitions: int) -> int:
     return term_hash(term) % num_partitions
 
@@ -27,10 +53,7 @@ def hash_string_array(arr: pa.Array | list[str]) -> np.ndarray:
     """crc32 per string, de-duplicated via factorization so each distinct
     string is hashed once per batch (cheap even for high-cardinality
     batches; the vocabulary per batch is far smaller than the row count)."""
-    import pandas as pd
-
-    s = arr.to_pandas() if isinstance(arr, (pa.Array, pa.ChunkedArray)) else pd.Series(arr)
-    codes, uniques = pd.factorize(s, use_na_sentinel=False)
+    codes, uniques = factorize_exact(arr)
     uh = np.fromiter(
         (zlib.crc32(u.encode("utf-8")) if isinstance(u, str) else 0 for u in uniques),
         dtype=np.uint32,

@@ -408,7 +408,9 @@ def emit_postings_positional(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     doc_counts = np.diff(np.append(doc_starts, parent.size))
     occ_pos = np.arange(parent.size, dtype=np.int64) - np.repeat(doc_starts, doc_counts)
 
-    codes, uniques = pd.factorize(pd.Series(terms.to_numpy(zero_copy_only=False)), use_na_sentinel=False)
+    from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
+
+    codes, uniques = factorize_exact(terms)
     order = np.lexsort((occ_pos, codes, parent))
     sp, sc, spos = parent[order], codes[order], occ_pos[order]
     run_start = np.flatnonzero(np.concatenate(([True], (sp[1:] != sp[:-1]) | (sc[1:] != sc[:-1]))))

@@ -71,9 +71,9 @@ def _token_hashes(tokens: np.ndarray) -> np.ndarray:
     (crc32 of the token and of its reverse, combined)."""
     import zlib
 
-    import pandas as pd
+    from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
 
-    codes, uniques = pd.factorize(pd.Series(tokens), use_na_sentinel=False)
+    codes, uniques = factorize_exact(tokens)
     uh = np.empty(len(uniques), dtype=np.uint64)
     for i, u in enumerate(uniques):
         b = u.encode("utf-8") if isinstance(u, str) else b""
@@ -307,9 +307,9 @@ def _token_hashes_md5(tokens: np.ndarray) -> np.ndarray:
     (little-endian int of the digest's FIRST 8 bytes — the repo-wide
     SQL-checkable hash convention); per-batch factorize so each unique
     token is hashed once."""
-    import pandas as pd
+    from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
 
-    codes, uniques = pd.factorize(pd.Series(tokens), use_na_sentinel=False)
+    codes, uniques = factorize_exact(tokens)
     uh = np.empty(len(uniques), dtype=np.uint64)
     for i, u in enumerate(uniques):
         b = u.encode("utf-8") if isinstance(u, str) else b""

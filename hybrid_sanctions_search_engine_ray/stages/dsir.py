@@ -34,15 +34,14 @@ import pandas as pd
 import pyarrow as pa
 
 from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
 from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
 from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
 
 
 def _buckets(terms, n_buckets: int) -> np.ndarray:
     """md5_number_upper-parity bucket per token (factorized per batch)."""
-    codes, uniques = pd.factorize(
-        pd.Series(terms.to_pandas() if hasattr(terms, "to_pandas") else terms),
-        use_na_sentinel=False)
+    codes, uniques = factorize_exact(terms)
     uh = np.empty(len(uniques), dtype=np.uint64)
     for i, u in enumerate(uniques):
         b = u.encode("utf-8") if isinstance(u, str) else b""

@@ -175,7 +175,9 @@ def build_segment(
     # rank the (small) unique-term set lexicographically, lexsort on codes
     # — ~2× faster than a pandas object-dtype sort at 500k+ rows/part
     raw_terms = group["term"].to_numpy()
-    codes, uniques = pd.factorize(group["term"], use_na_sentinel=False)
+    from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
+
+    codes, uniques = factorize_exact(raw_terms)
     rank = np.empty(len(uniques), dtype=np.int64)
     rank[np.argsort(uniques)] = np.arange(len(uniques))
     order = np.lexsort((group["doc_id"].to_numpy(), rank[codes]))

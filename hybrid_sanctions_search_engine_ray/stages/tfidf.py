@@ -123,8 +123,9 @@ class _TfidfPartialTopK:
         tf = char3_tf(batch)
         if tf.num_rows == 0:
             return empty
-        grams = tf["gram"].to_pandas().to_numpy()
-        codes, uniq = pd.factorize(grams)
+        from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
+
+        codes, uniq = factorize_exact(tf["gram"])
         u_idf = np.array([self.idf.get(g, 0.0) for g in uniq])
         u_qw = np.array([self.qw.get(g, 0.0) for g in uniq])
         w = (1.0 + np.log(tf["tf"].to_numpy(zero_copy_only=False).astype(np.float64))) * u_idf[codes]

@@ -8397,9 +8397,70 @@ def q_eql_sequence(sf_dir: str):
     return res.map_batches(final, batch_format="pandas")
 
 
+def q_sft_pairs(sf_dir: str):
+    """Single-turn SFT pair extraction from the transcript stream: every
+    assistant turn directly preceded (turn_idx − 1, same conv) by a user
+    turn → (prompt, response). One coarse conv-bucket shuffle, all
+    pairing vectorized (stages/chatprep.sft_pairs)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import sft_pairs
+
+    return sft_pairs(transcripts_from_documents(sf_dir))
+
+
+def q_sft_examples(sf_dir: str):
+    """Multi-turn SFT example expansion: every assistant turn with ≥1
+    preceding turn → (context = full rendered history, target). Context
+    strings assembled with ONE pyarrow binary_join over an offset-built
+    ListArray — no per-conversation Python (stages/chatprep.sft_examples)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import sft_examples
+
+    return sft_examples(transcripts_from_documents(sf_dir))
+
+
+def q_chat_render(sf_dir: str):
+    """Chat-template flattening: one training document per conversation,
+    turns rendered ``<|role|>text`` newline-joined in turn order
+    (stages/chatprep.chat_render). SQL twin: string_agg ORDER BY."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import chat_render
+
+    return chat_render(transcripts_from_documents(sf_dir))
+
+
+def q_chat_lint(sf_dir: str):
+    """Per-conversation structural lint for chat corpora: role counts,
+    first/last role, empty turns, adjacent same-role violations,
+    alternation flag (stages/chatprep.chat_lint)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import chat_lint
+
+    return chat_lint(transcripts_from_documents(sf_dir))
+
+
+def q_fim_split(sf_dir: str):
+    """Fill-in-the-middle transform (Bavarian et al. 2022): deterministic
+    md5-derived split points, PSM rendering — zero-exchange map stage
+    (stages/textops.fim_split); split arithmetic is md5_number_upper-
+    parity so the twin is exact including the slices."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import fim_split
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return docs.map_batches(fim_split, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "sft_pairs": q_sft_pairs,
+        "sft_examples": q_sft_examples,
+        "chat_render": q_chat_render,
+        "chat_lint": q_chat_lint,
+        "fim_split": q_fim_split,
         "eql_sequence": q_eql_sequence,
         "nb_classify": q_nb_classify,
         "span_multi": q_span_multi,
@@ -13757,5 +13818,95 @@ sjr AS (
   FROM sj
 )
 SELECT term, fg_df, bg_df, jlh FROM sjr WHERE rn <= 10
+""",
+        "sft_pairs": """
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         cast(doc_id % 8 AS int) AS turn_idx,
+         CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents),
+p AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prev_text,
+         lag(turn_idx) OVER w AS prev_ti
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx, prev_text AS prompt, text AS response
+FROM p
+WHERE role = 'assistant' AND prev_role = 'user' AND prev_ti = turn_idx - 1
+""",
+        "sft_examples": """
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         cast(doc_id % 8 AS int) AS turn_idx,
+         CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents),
+r AS (
+  SELECT conv_id, turn_idx, role, text,
+         row_number() OVER w AS rn,
+         string_agg('<|' || role || '|>' || text, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS context
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx, context, text AS target
+FROM r WHERE role = 'assistant' AND rn > 1
+""",
+        "chat_render": """
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         cast(doc_id % 8 AS int) AS turn_idx,
+         CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx) AS rendered,
+       length(string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx))::BIGINT AS n_chars
+FROM t GROUP BY conv_id
+""",
+        "chat_lint": """
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         cast(doc_id % 8 AS int) AS turn_idx,
+         CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents),
+l AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER w AS prev_role,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS nt
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       max(CASE WHEN rn = 1 THEN role END) AS first_role,
+       max(CASE WHEN rn = nt THEN role END) AS last_role,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_tool,
+       sum(CASE WHEN text = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+       sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)::BIGINT AS n_same_role_adj,
+       (sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+        AND max(CASE WHEN rn = 1 THEN role END) = 'user') AS alternation_ok
+FROM l GROUP BY conv_id
+""",
+        "fim_split": """
+WITH f AS (
+  SELECT doc_id, text, length(text) AS L,
+         md5_number_upper(cast(doc_id AS varchar)) AS h
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         cast(h % (L + 1) AS BIGINT) AS a,
+         cast(h % (L + 1) AS BIGINT)
+           + cast((h // (L + 1)) % (L - cast(h % (L + 1) AS BIGINT) + 1) AS BIGINT) AS b
+  FROM f)
+SELECT doc_id, a, b,
+       '<PRE>' || substr(text, 1, a)
+         || '<SUF>' || substr(text, b + 1)
+         || '<MID>' || substr(text, a + 1, b - a) AS fim_text
+FROM s
 """,
     }

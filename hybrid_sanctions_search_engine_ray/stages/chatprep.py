@@ -1,0 +1,271 @@
+"""Chat-training-data preparation over the transcript stream.
+
+The input_hint table IS a chat corpus — (conv_id, turn_idx, role, text,
+tool, ts) — so the standard LLM-SFT preprocessing steps are first-class
+operators here, the way C4/Dolma text ops are for the documents table:
+
+- ``sft_pairs``      — (prompt, response) extraction: every assistant
+  turn whose IMMEDIATELY preceding turn (turn_idx − 1, same conv) is a
+  user turn becomes one supervised pair. The standard single-turn SFT
+  projection of multi-turn logs.
+- ``sft_examples``   — full-history examples: every assistant turn with
+  at least one preceding turn becomes (context, target) where context
+  renders ALL preceding turns of the conversation in order (the
+  multi-turn SFT expansion; context is the chat template below).
+- ``chat_render``    — one training document per conversation: turns
+  rendered ``<|role|>text`` and joined with newlines in turn order (the
+  chat-template flattening used before tokenization/packing).
+- ``chat_lint``      — per-conversation structural quality report
+  (first/last role, per-role turn counts, empty-text count, adjacent
+  same-role violations, alternation flag) — the validation gate a chat
+  corpus passes before training.
+
+Scale shape (shared): conversations must be reunited, so there is
+exactly ONE hash exchange keyed by a coarsened bucket
+``crc32(conv_id) % num_buckets`` — NOT per-conversation groups. Each
+``map_groups`` call then handles thousands of conversations at once
+with vectorized kernels (factorize + lexsort + run-boundary numpy,
+``pyarrow.compute.binary_join`` over offset-built ListArrays for the
+string assembly); there is no per-conversation Python call and no
+per-row Python loop. Only the columns a step needs are shuffled.
+Skew: conversations are bounded (turns per conv is small by
+construction of the corpus); a pathological million-turn conv would sit
+inside one bucket with its neighbours — salt by turn-range if that ever
+holds at 100 TB.
+
+Determinism: output depends only on (conv_id, turn_idx) order — batch/
+retry/repartition invariant, so every op is exactly SQL-twinnable
+(LAG / string_agg-over-window / string_agg-group twins).
+
+Reference analog: none (the reference indexes sanction entities, not
+chat logs); these are the transcript-native members of the brief's
+training-data operator family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hybrid_sanctions_search_engine_ray.functions.hashing import (
+    factorize_exact,
+    hash_string_array,
+)
+
+_NUM_BUCKETS = 256
+
+
+def _with_bucket(ds, num_buckets: int, columns: list[str]):
+    """Project to ``columns`` and attach the coarse shuffle bucket."""
+
+    def add(b: pa.Table) -> pa.Table:
+        t = b.select(columns)
+        bk = hash_string_array(b["conv_id"]).astype(np.int64) % num_buckets
+        return t.append_column("bucket", pa.array(bk, pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _sorted_runs(g: pd.DataFrame):
+    """(order, codes, starts) for a bucket: rows lexsorted by
+    (conv_id, turn_idx), conv run starts. All vectorized."""
+    codes, _ = factorize_exact(g["conv_id"].to_numpy())
+    turn = g["turn_idx"].to_numpy().astype(np.int64)
+    order = np.lexsort((turn, codes))
+    c = codes[order]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]]) if c.size else np.empty(0, np.int64)
+    return order, c, starts
+
+
+def _render_pieces(role: np.ndarray, text: np.ndarray) -> pa.Array:
+    """``<|role|>text`` per row (one Arrow kernel, no Python concat)."""
+    n = len(role)
+    return pc.binary_join_element_wise(
+        pa.array(["<|"] * n, pa.string()),
+        pa.array(role, pa.string()),
+        pa.array(["|>"] * n, pa.string()),
+        pa.array(text, pa.string()),
+        "",
+    )
+
+
+def sft_pairs(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
+    """(conv_id, turn_idx, prompt, response) — one row per assistant
+    turn directly preceded (turn_idx − 1) by a user turn. ``turn_idx``
+    is the RESPONSE turn's index. SQL twin: LAG over
+    (PARTITION BY conv_id ORDER BY turn_idx)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "turn_idx": pd.Series([], dtype=np.int32),
+                                 "prompt": pd.Series([], dtype=object),
+                                 "response": pd.Series([], dtype=object)})
+        order, c, _ = _sorted_runs(g)
+        conv = g["conv_id"].to_numpy()[order]
+        turn = g["turn_idx"].to_numpy().astype(np.int64)[order]
+        role = g["role"].to_numpy()[order]
+        text = g["text"].to_numpy()[order]
+        ok = (
+            (c[1:] == c[:-1])
+            & (turn[1:] == turn[:-1] + 1)
+            & (role[:-1] == "user")
+            & (role[1:] == "assistant")
+        )
+        at = np.flatnonzero(ok)
+        return pd.DataFrame({
+            "conv_id": conv[at + 1],
+            "turn_idx": turn[at + 1].astype(np.int32),
+            "prompt": text[at],
+            "response": text[at + 1],
+        })
+
+    return (
+        _with_bucket(transcripts_ds, num_buckets, ["conv_id", "turn_idx", "role", "text"])
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def sft_examples(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
+    """(conv_id, turn_idx, context, target) — one row per assistant turn
+    with ≥1 preceding turn; ``context`` is every preceding turn rendered
+    ``<|role|>text`` and newline-joined in turn order. SQL twin:
+    string_agg(...) OVER (... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)."""
+
+    def examples(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                              "turn_idx": pd.Series([], dtype=np.int32),
+                              "context": pd.Series([], dtype=object),
+                              "target": pd.Series([], dtype=object)})
+        if len(g) == 0:
+            return empty
+        order, c, starts = _sorted_runs(g)
+        conv = g["conv_id"].to_numpy()[order]
+        turn = g["turn_idx"].to_numpy().astype(np.int64)[order]
+        role = g["role"].to_numpy()[order]
+        text = g["text"].to_numpy()[order]
+        pieces = _render_pieces(role, text)
+
+        run_of = np.cumsum(np.r_[False, c[1:] != c[:-1]])  # run index per row
+        run_start = starts[run_of]                          # conv start per row
+        pos = np.arange(c.size, dtype=np.int64)
+        at = np.flatnonzero((role == "assistant") & (pos > run_start))
+        if at.size == 0:
+            return empty
+        # context rows for example i: run_start[i] .. at[i]-1  — build the
+        # flat gather index with one repeat/arange trick, then ONE
+        # binary_join over an offset-built ListArray.
+        s = run_start[at]
+        lens = at - s
+        off = np.r_[0, np.cumsum(lens)]
+        idx = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens) + np.repeat(s, lens)
+        ctx_list = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pieces.take(pa.array(idx, pa.int64()))
+        )
+        ctx = pc.binary_join(ctx_list, "\n")
+        return pd.DataFrame({
+            "conv_id": conv[at],
+            "turn_idx": turn[at].astype(np.int32),
+            "context": ctx.to_pandas().to_numpy(dtype=object),
+            "target": text[at],
+        })
+
+    return (
+        _with_bucket(transcripts_ds, num_buckets, ["conv_id", "turn_idx", "role", "text"])
+        .groupby("bucket")
+        .map_groups(examples, batch_format="pandas")
+    )
+
+
+def chat_render(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
+    """(conv_id, n_turns, rendered, n_chars) — the whole conversation as
+    one training document: ``<|role|>text`` turns newline-joined in turn
+    order. SQL twin: string_agg(..., chr(10) ORDER BY turn_idx)."""
+
+    def render(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "n_turns": pd.Series([], dtype=np.int64),
+                                 "rendered": pd.Series([], dtype=object),
+                                 "n_chars": pd.Series([], dtype=np.int64)})
+        order, c, starts = _sorted_runs(g)
+        conv = g["conv_id"].to_numpy()[order]
+        role = g["role"].to_numpy()[order]
+        text = g["text"].to_numpy()[order]
+        pieces = _render_pieces(role, text)
+        off = np.r_[starts, c.size]
+        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()), pieces)
+        rendered = pc.binary_join(la, "\n")
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "n_turns": np.diff(off).astype(np.int64),
+            "rendered": rendered.to_pandas().to_numpy(dtype=object),
+            "n_chars": pc.utf8_length(rendered).to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+
+    return (
+        _with_bucket(transcripts_ds, num_buckets, ["conv_id", "turn_idx", "role", "text"])
+        .groupby("bucket")
+        .map_groups(render, batch_format="pandas")
+    )
+
+
+def chat_lint(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
+    """Per-conversation structural report: (conv_id, n_turns, first_role,
+    last_role, n_user, n_assistant, n_tool, n_empty, n_same_role_adj,
+    alternation_ok). ``n_same_role_adj`` counts adjacent turns with the
+    same role (ordered by turn_idx); ``alternation_ok`` = no such pair
+    AND the conversation opens with a user turn."""
+
+    def lint(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "n_turns": pd.Series([], dtype=np.int64),
+                "first_role": pd.Series([], dtype=object),
+                "last_role": pd.Series([], dtype=object),
+                "n_user": pd.Series([], dtype=np.int64),
+                "n_assistant": pd.Series([], dtype=np.int64),
+                "n_tool": pd.Series([], dtype=np.int64),
+                "n_empty": pd.Series([], dtype=np.int64),
+                "n_same_role_adj": pd.Series([], dtype=np.int64),
+                "alternation_ok": pd.Series([], dtype=bool),
+            })
+        order, c, starts = _sorted_runs(g)
+        conv = g["conv_id"].to_numpy()[order]
+        role = g["role"].to_numpy()[order]
+        text = g["text"].to_numpy()[order]
+        off = np.r_[starts, c.size]
+        ends = off[1:] - 1
+        same_adj = np.r_[(c[1:] == c[:-1]) & (role[1:] == role[:-1]), False]
+
+        def per_run(vals: np.ndarray) -> np.ndarray:
+            return np.add.reduceat(vals.astype(np.int64), starts)
+
+        n_same = per_run(same_adj)
+        n_user = per_run(role == "user")
+        n_assistant = per_run(role == "assistant")
+        n_tool = per_run(role == "tool")
+        n_empty = per_run(text == "")
+        first_role = role[starts]
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "n_turns": np.diff(off).astype(np.int64),
+            "first_role": first_role,
+            "last_role": role[ends],
+            "n_user": n_user,
+            "n_assistant": n_assistant,
+            "n_tool": n_tool,
+            "n_empty": n_empty,
+            "n_same_role_adj": n_same,
+            "alternation_ok": (n_same == 0) & (first_role == "user"),
+        })
+
+    return (
+        _with_bucket(transcripts_ds, num_buckets, ["conv_id", "turn_idx", "role", "text"])
+        .groupby("bucket")
+        .map_groups(lint, batch_format="pandas")
+    )

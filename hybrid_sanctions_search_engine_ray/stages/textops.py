@@ -504,3 +504,56 @@ def ngram_diversity(ds, key_col: str, cfg=None, n: int = 3):
         "gram_diversity": round_half_away(
             np.where(n_gr > 0, n_dg / np.maximum(n_gr, 1), 1.0), 4),
     })
+
+
+def fim_split(batch: pa.Table, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, the code-LM
+    pretraining augmentation): split each document at two deterministic
+    character positions and emit the PSM rendering
+    ``<PRE>prefix<SUF>suffix<MID>middle``.
+
+    Split points derive from the doc id, NOT a RNG — retry/batching
+    invariant and exactly SQL-twinnable: with
+    ``h = md5_number_upper(cast(doc_id AS varchar))`` (the repo-wide
+    DuckDB-parity 64-bit hash) and ``L = length(text)`` in characters,
+
+    - ``a = h % (L + 1)``                        (prefix end, 0..L)
+    - ``b = a + (h // (L + 1)) % (L − a + 1)``   (middle end, a..L)
+
+    Zero-exchange pure map stage. The 3-way character slicing is a
+    per-row Python loop over the batch (string surgery has no Arrow
+    kernel with per-row offsets); at 3 slices/doc it is allocation-bound
+    and far off any hot path — the md5 is computed once per row, not per
+    char.
+    """
+    import hashlib
+
+    text = batch[text_col].to_pandas().to_numpy(dtype=object)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    n = len(text)
+    pre = np.empty(n, dtype=object)
+    mid = np.empty(n, dtype=object)
+    suf = np.empty(n, dtype=object)
+    a_out = np.empty(n, dtype=np.int64)
+    b_out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        s = text[i] or ""
+        h = int.from_bytes(hashlib.md5(str(ids[i]).encode()).digest()[:8], "little")
+        L = len(s)
+        a = h % (L + 1)
+        b = a + (h // (L + 1)) % (L - a + 1)
+        pre[i], mid[i], suf[i] = s[:a], s[a:b], s[b:]
+        a_out[i], b_out[i] = a, b
+    fim = pc.binary_join_element_wise(
+        pa.array(["<PRE>"] * n, pa.string()), pa.array(pre, pa.string()),
+        pa.array(["<SUF>"] * n, pa.string()), pa.array(suf, pa.string()),
+        pa.array(["<MID>"] * n, pa.string()), pa.array(mid, pa.string()),
+        "",
+    )
+    return pa.table({
+        id_col: batch[id_col],
+        "a": pa.array(a_out, pa.int64()),
+        "b": pa.array(b_out, pa.int64()),
+        "fim_text": fim,
+    })

@@ -8453,9 +8453,34 @@ def q_fim_split(sf_dir: str):
     return docs.map_batches(fim_split, batch_format="pyarrow")
 
 
+def q_loss_mask_spans(sf_dir: str):
+    """Assistant-only loss-mask char spans inside each conversation's
+    chat_render string (train-on-assistant-tokens masking companion op;
+    stages/chatprep.loss_mask_spans). SQL twin: windowed piece-length sum."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import loss_mask_spans
+
+    return loss_mask_spans(transcripts_from_documents(sf_dir))
+
+
+def q_textrank(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): integer-
+    arithmetic PageRank over the corpus word-adjacency graph — one
+    corpus tokenize pass into a bigram-vocab edge shuffle, then K=4
+    broadcast-rank iterations touching only edges
+    (stages/textrank.textrank_keywords). Exact BIGINT SQL twin (one CTE
+    per iteration)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textrank import textrank_keywords
+
+    return textrank_keywords(transcripts_from_documents(sf_dir), n_iter=4, top_n=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "loss_mask_spans": q_loss_mask_spans,
+        "textrank": q_textrank,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -13891,6 +13916,51 @@ SELECT conv_id,
        (sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
         AND max(CASE WHEN rn = 1 THEN role END) = 'user') AS alternation_ok
 FROM l GROUP BY conv_id
+""",
+        "loss_mask_spans": """
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         cast(doc_id % 8 AS int) AS turn_idx,
+         CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents),
+o AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(sum(length('<|' || role || '|>' || text) + 1) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + 2 + length(role) + 2 AS start_off
+  FROM t)
+SELECT conv_id, turn_idx,
+       cast(start_off AS BIGINT) AS start_off,
+       cast(start_off + length(text) AS BIGINT) AS end_off
+FROM o WHERE role = 'assistant'
+""",
+        "textrank": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+adj AS (
+  SELECT a.term AS s, b.term AS t
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> b.term),
+ed AS (SELECT s, t FROM adj UNION ALL SELECT t AS s, s AS t FROM adj),
+ew AS (SELECT s, t, count(*)::BIGINT AS w FROM ed GROUP BY s, t),
+wout AS (SELECT s, sum(w)::BIGINT AS wt FROM ew GROUP BY s),
+r0 AS (SELECT s AS term, 1000000000::BIGINT AS r FROM wout),
+r1 AS (
+  SELECT e.t AS term, 150000000 + (85 * sum((r.r * e.w) // w2.wt)) // 100 AS r
+  FROM ew e JOIN r0 r ON r.term = e.s JOIN wout w2 ON w2.s = e.s GROUP BY e.t),
+r2 AS (
+  SELECT e.t AS term, 150000000 + (85 * sum((r.r * e.w) // w2.wt)) // 100 AS r
+  FROM ew e JOIN r1 r ON r.term = e.s JOIN wout w2 ON w2.s = e.s GROUP BY e.t),
+r3 AS (
+  SELECT e.t AS term, 150000000 + (85 * sum((r.r * e.w) // w2.wt)) // 100 AS r
+  FROM ew e JOIN r2 r ON r.term = e.s JOIN wout w2 ON w2.s = e.s GROUP BY e.t),
+r4 AS (
+  SELECT e.t AS term, 150000000 + (85 * sum((r.r * e.w) // w2.wt)) // 100 AS r
+  FROM ew e JOIN r3 r ON r.term = e.s JOIN wout w2 ON w2.s = e.s GROUP BY e.t)
+SELECT term, cast(r AS BIGINT) AS rank FROM r4
+ORDER BY r DESC, term LIMIT 20
 """,
         "fim_split": """
 WITH f AS (

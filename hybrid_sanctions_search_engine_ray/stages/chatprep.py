@@ -269,3 +269,51 @@ def chat_lint(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
         .groupby("bucket")
         .map_groups(lint, batch_format="pandas")
     )
+
+
+def loss_mask_spans(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
+    """Assistant-only loss-mask offsets: for each assistant turn, the
+    [start_off, end_off) CHARACTER span its raw text occupies inside the
+    conversation's ``chat_render`` string (train-on-assistant-tokens-only
+    masking — the companion op to ``chat_render``; a tokenizer maps char
+    spans to token spans downstream).
+
+    start = Σ_{preceding turns} (len(piece) + 1)  [the newline]
+            + len("<|role|>"), end = start + len(text). Same single
+    bucket exchange + vectorized run kernels as the rest of the family.
+    SQL twin: windowed sum of rendered piece lengths."""
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "turn_idx": pd.Series([], dtype=np.int32),
+                                 "start_off": pd.Series([], dtype=np.int64),
+                                 "end_off": pd.Series([], dtype=np.int64)})
+        order, c, starts = _sorted_runs(g)
+        conv = g["conv_id"].to_numpy()[order]
+        turn = g["turn_idx"].to_numpy().astype(np.int64)[order]
+        role = g["role"].to_numpy()[order]
+        text = g["text"].to_numpy()[order]
+        pieces = _render_pieces(role, text)
+        plen = pc.utf8_length(pieces).to_numpy(zero_copy_only=False).astype(np.int64)
+        tlen = pc.utf8_length(pa.array(text, pa.string())).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rlen = plen - tlen  # len("<|role|>")
+        cum = np.cumsum(plen + 1)
+        abs_start = np.r_[0, cum[:-1]]                # piece start if one string
+        run_of = np.cumsum(np.r_[False, c[1:] != c[:-1]])
+        piece_start = abs_start - abs_start[starts][run_of]  # within-conv offset
+        at = np.flatnonzero(role == "assistant")
+        start = piece_start[at] + rlen[at]
+        return pd.DataFrame({
+            "conv_id": conv[at],
+            "turn_idx": turn[at].astype(np.int32),
+            "start_off": start,
+            "end_off": start + tlen[at],
+        })
+
+    return (
+        _with_bucket(transcripts_ds, num_buckets, ["conv_id", "turn_idx", "role", "text"])
+        .groupby("bucket")
+        .map_groups(spans, batch_format="pandas")
+    )

@@ -1,0 +1,138 @@
+"""TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+PageRank over the corpus-wide word-adjacency graph.
+
+Graph: nodes are analyzed terms; a directed edge u→v with weight
+``w(u,v)`` = number of times v appears immediately after u (or u after
+v — adjacency is symmetrized by emitting both directions) inside a
+document, self-loops dropped. The PageRank update with damping d:
+
+    r_{t+1}(v) = (1 − d) + d · Σ_{u→v} r_t(u) · w(u,v) / W(u)
+
+with ``W(u) = Σ_v w(u,v)`` the total out-weight.
+
+Determinism contract: all rank arithmetic is INTEGER — ranks live at
+scale 1e9 and each edge contribution is ``(r_u * w) // W_u`` (floor),
+the damped update is ``150_000_000 + (85 * Σ contrib) // 100``. No
+float ever enters, so the result is independent of summation order,
+batching, retries and cluster size, and every iteration is exactly
+replicable in DuckDB BIGINT arithmetic (the SQL twin chains one CTE
+per iteration). Published TextRank uses float PageRank; the integer
+quantization (9 decimal digits) changes ranks by <1e-9·K and is the
+price of an exact distributed contract — the repo-wide rule.
+
+Scale shape:
+- Edge building is the corpus-sized pass: one streaming tokenize
+  (``flat_terms``), vectorized shifted-array adjacency per batch,
+  per-batch partial counts (Arrow group_by), then ONE (u,v)-keyed
+  shuffle to total weights — bigram-vocabulary-sized, the same class
+  as the shingle index build.
+- Iterations touch only the EDGE table: ranks and out-weights are
+  node-(vocabulary-)sized and are broadcast via ``ray.put`` once per
+  iteration (the established idf-broadcast pattern); each iteration is
+  one map over edge blocks + one node-sized groupby-sum. K iterations
+  = K small shuffles; the corpus is never re-read.
+- Terms that never sit adjacent to a different term (single-token
+  documents) have no node — standard TextRank ranks graph nodes only.
+
+Reference analog: none (keyword extraction is adjacent to the
+doc_keywords TF-IDF op); this is the catalog's iterative-algorithm
+representative alongside connected components (stages/clusters.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+SCALE = 1_000_000_000  # initial rank; 0.15/0.85 damping in integers
+_BASE = 150_000_000
+_D_NUM, _D_DEN = 85, 100
+
+
+def _adjacency_partial(batch: pa.Table, cfg: AnalyzerConfig) -> pa.Table:
+    """Per-batch symmetrized adjacency counts: (s, t, c_p)."""
+    parent, terms = flat_terms(batch, cfg)
+    empty = pa.table({"s": pa.array([], pa.string()),
+                      "t": pa.array([], pa.string()),
+                      "c_p": pa.array([], pa.int64())})
+    if parent.size < 2:
+        return empty
+    tarr = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+    same_doc = parent[1:] == parent[:-1]
+    a = tarr.slice(0, len(tarr) - 1)
+    b = tarr.slice(1)
+    keep = same_doc & (a.to_numpy(zero_copy_only=False) != b.to_numpy(zero_copy_only=False))
+    at = np.flatnonzero(keep)
+    if at.size == 0:
+        return empty
+    ai = pa.array(at, pa.int64())
+    bi = pa.array(at + 1, pa.int64())
+    s = pa.concat_arrays([tarr.take(ai), tarr.take(bi)])
+    t = pa.concat_arrays([tarr.take(bi), tarr.take(ai)])
+    g = pa.table({"s": s, "t": t}).group_by(["s", "t"]).aggregate([([], "count_all")])
+    return pa.table({"s": g["s"], "t": g["t"],
+                     "c_p": g["count_all"].cast(pa.int64())})
+
+
+def build_adjacency(transcripts_ds, cfg: AnalyzerConfig | None = None):
+    """Corpus → edge Dataset (s, t, w) with symmetrized adjacency counts."""
+    from ray.data.aggregate import Sum
+
+    cfg = cfg or AnalyzerConfig()
+    return (
+        transcripts_ds.map_batches(lambda b: _adjacency_partial(b, cfg),
+                                   batch_format="pyarrow")
+        .groupby(["s", "t"])
+        .aggregate(Sum("c_p", alias_name="w"))
+    )
+
+
+def textrank_keywords(transcripts_ds, n_iter: int = 4, top_n: int = 20,
+                      cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+    """Top-``top_n`` terms by integer PageRank after ``n_iter`` damped
+    iterations; returns (term, rank) ordered by (rank desc, term)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = build_adjacency(transcripts_ds, cfg).materialize()
+
+    # node-sized out-weights, broadcast once
+    wout = edges.groupby("s").aggregate(Sum("w", alias_name="W")).to_pandas()
+    nodes = wout["s"].to_numpy(dtype=object)
+    w_of = dict(zip(nodes, wout["W"].astype(np.int64)))
+    w_ref = ray.put(w_of)
+    ranks = {n: SCALE for n in nodes}
+
+    for _ in range(n_iter):
+        r_ref = ray.put(ranks)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            r = ray.get(r_ref)
+            w_map = ray.get(w_ref)
+            s = b["s"].to_numpy(dtype=object)
+            ru = np.array([r[x] for x in s], dtype=np.int64)
+            wu = np.array([w_map[x] for x in s], dtype=np.int64)
+            w = b["w"].to_numpy().astype(np.int64)
+            return pd.DataFrame({"t": b["t"], "c": (ru * w) // wu})
+
+        new = (
+            edges.map_batches(contrib, batch_format="pandas")
+            .groupby("t")
+            .aggregate(Sum("c", alias_name="sc"))
+            .to_pandas()
+        )
+        ranks = {n: _BASE for n in nodes}  # nodes with no in-flow keep the base
+        t_arr = new["t"].to_numpy(dtype=object)
+        sc = new["sc"].astype(np.int64).to_numpy()
+        for i in range(len(t_arr)):
+            ranks[t_arr[i]] = _BASE + (_D_NUM * int(sc[i])) // _D_DEN
+
+    out = pd.DataFrame({"term": list(ranks), "rank": list(ranks.values())})
+    out["rank"] = out["rank"].astype(np.int64)
+    out = out.sort_values(["rank", "term"], ascending=[False, True],
+                          kind="mergesort").head(top_n)
+    return out.reset_index(drop=True)

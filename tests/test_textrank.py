@@ -1,0 +1,102 @@
+"""TextRank (stages/textrank.py) vs a brute-force integer-PageRank
+replay, plus loss_mask_spans ↔ chat_render consistency."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hybrid_sanctions_search_engine_ray.stages.chatprep import chat_render, loss_mask_spans
+from hybrid_sanctions_search_engine_ray.stages.textrank import SCALE, textrank_keywords
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick red fox",
+    "lazy dog sleeps",
+    "quick quick quick",          # self-adjacency only → contributes no edges
+    "singleton",                  # single token → no node
+    "fox and dog and fox",
+]
+
+
+def _brute(texts: list[str], n_iter: int, top_n: int) -> pd.DataFrame:
+    ew: Counter = Counter()
+    for s in texts:
+        toks = [t for t in s.lower().split() if t]
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                ew[(a, b)] += 1
+                ew[(b, a)] += 1
+    wout: dict[str, int] = defaultdict(int)
+    for (a, _), w in ew.items():
+        wout[a] += w
+    r = {n: SCALE for n in wout}
+    for _ in range(n_iter):
+        inflow: dict[str, int] = defaultdict(int)
+        for (a, b), w in ew.items():
+            inflow[b] += (r[a] * w) // wout[a]
+        r = {n: 150_000_000 + (85 * inflow[n]) // 100 for n in wout}
+    out = pd.DataFrame({"term": list(r), "rank": list(r.values())})
+    return (out.sort_values(["rank", "term"], ascending=[False, True],
+                            kind="mergesort").head(top_n).reset_index(drop=True))
+
+
+def _ts(texts, ray_session, blocks=3):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": np.zeros(len(texts), dtype=np.int32),
+        "role": ["user"] * len(texts),
+        "text": texts,
+        "tool": [""] * len(texts),
+    })
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_textrank_matches_bruteforce(ray_session):
+    out = textrank_keywords(_ts(DOCS, ray_session), n_iter=4, top_n=50)
+    exp = _brute(DOCS, 4, 50)
+    pd.testing.assert_frame_equal(out, exp)
+    assert "singleton" not in set(out.term)      # no adjacency → no node
+    # hubs outrank leaves
+    ranks = dict(zip(out.term, out["rank"]))
+    assert ranks["fox"] > ranks["red"]
+
+
+def test_textrank_partition_invariance(ray_session):
+    a = textrank_keywords(_ts(DOCS, ray_session, blocks=1), n_iter=3, top_n=10)
+    b = textrank_keywords(_ts(DOCS, ray_session, blocks=6), n_iter=3, top_n=10)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_textrank_two_node_closed_form(ray_session):
+    # a↔b only: symmetric, each iteration r = 0.15 + 0.85·r (mass conserved)
+    out = textrank_keywords(_ts(["alpha beta"], ray_session), n_iter=4, top_n=10)
+    assert len(out) == 2
+    assert out["rank"].nunique() == 1            # symmetry → equal ranks
+    assert abs(int(out["rank"].iloc[0]) - SCALE) <= 4   # fixed point of the update
+
+
+def test_loss_mask_spans_slice_matches_render(ray_session):
+    import ray.data as rd
+
+    rows = [
+        ("A", 0, "user", "hi"),
+        ("A", 1, "assistant", "hello пётр"),
+        ("A", 2, "user", "ok"),
+        ("A", 3, "assistant", ""),
+        ("B", 0, "assistant", "first"),
+    ]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    ds = rd.from_pandas(df).repartition(2)
+    rendered = chat_render(ds, num_buckets=4).to_pandas().set_index("conv_id")["rendered"]
+    spans = loss_mask_spans(ds, num_buckets=4).to_pandas()
+    assert len(spans) == 3
+    for _, r in spans.iterrows():
+        src = df[(df.conv_id == r.conv_id) & (df.turn_idx == r.turn_idx)].iloc[0]
+        assert rendered[r.conv_id][r.start_off:r.end_off] == src.text

@@ -8453,6 +8453,47 @@ def q_fim_split(sf_dir: str):
     return docs.map_batches(fim_split, batch_format="pyarrow")
 
 
+_GP_DIST = 6000  # milli-degrees; cell size == radius (one-ring coverage)
+_CM_DEPTH, _CM_WIDTH = 4, 2048
+_CM_TERMS = ["the", "payment", "и", "done", "tok00042", "tok00777",
+             "zzznotaterm"]
+
+
+def q_geo_pairs(sf_dir: str):
+    """Spatial distance self-join: all point pairs within 3° (planar
+    integer milli-degrees) via grid-bucket + neighbor-cell replication —
+    the bounded-fan-out spatial-join shuffle pattern; never an all-pairs
+    exchange (stages/geo.geo_pairs). Exact brute self-join twin."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.geo import geo_pairs
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    out = geo_pairs(cust, "c_custkey", max_dist_milli=_GP_DIST).to_pandas()
+    if "key_a" not in out.columns:  # all-cells-empty Dataset loses schema
+        out = pd.DataFrame({"key_a": pd.Series([], dtype=np.int64),
+                            "key_b": pd.Series([], dtype=np.int64),
+                            "d2": pd.Series([], dtype=np.int64)})
+    return out
+
+
+def q_cm_sketch(sf_dir: str):
+    """Count-Min sketch term-frequency estimates for a fixed probe set:
+    per-batch d×W partials → ONE bounded (row,bucket) exchange; the
+    md5-parity salted hash family makes the estimate — collisions
+    included — exactly SQL-twinnable (stages/sketch_ops.cm_sketch_counts).
+    Completes the sketch family beside SpaceSaving/HLL/KLL."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.sketch_ops import cm_sketch_counts
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+
+    return cm_sketch_counts(transcripts_from_documents(sf_dir),
+                            AnalyzerConfig(mode="simple"),
+                            _CM_TERMS, depth=_CM_DEPTH, width=_CM_WIDTH)
+
+
 def q_loss_mask_spans(sf_dir: str):
     """Assistant-only loss-mask char spans inside each conversation's
     chat_render string (train-on-assistant-tokens masking companion op;
@@ -8481,6 +8522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
+        "geo_pairs": q_geo_pairs,
+        "cm_sketch": q_cm_sketch,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -13916,6 +13959,41 @@ SELECT conv_id,
        (sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
         AND max(CASE WHEN rn = 1 THEN role END) = 'user') AS alternation_ok
 FROM l GROUP BY conv_id
+""",
+        "geo_pairs": f"""
+WITH p AS (
+  SELECT c_custkey AS k,
+         (c_custkey * 7919) % 180000 AS la,
+         (c_custkey * 104729) % 360000 AS lo
+  FROM customer)
+SELECT a.k AS key_a, b.k AS key_b,
+       cast((a.la - b.la) * (a.la - b.la)
+            + (a.lo - b.lo) * (a.lo - b.lo) AS BIGINT) AS d2
+FROM p a JOIN p b
+  ON b.k > a.k
+ AND (a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo)
+     <= {_GP_DIST * _GP_DIST}
+""",
+        "cm_sketch": f"""
+WITH {TRANSCRIPTS_CTE},
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY term),
+rws(r) AS (VALUES (0), (1), (2), (3)),
+bk AS (
+  SELECT rws.r,
+         cast(md5_number_upper(cast(rws.r AS varchar) || ':' || cf.term)
+              % {_CM_WIDTH} AS BIGINT) AS bucket,
+         cf.cf
+  FROM cf CROSS JOIN rws),
+rowsum AS (SELECT r, bucket, sum(cf)::BIGINT AS c FROM bk GROUP BY r, bucket),
+qt(term) AS (VALUES {", ".join(f"('{t}')" for t in _CM_TERMS)}),
+qb AS (
+  SELECT qt.term, rws.r,
+         cast(md5_number_upper(cast(rws.r AS varchar) || ':' || qt.term)
+              % {_CM_WIDTH} AS BIGINT) AS bucket
+  FROM qt CROSS JOIN rws)
+SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
+FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
+GROUP BY q.term ORDER BY q.term
 """,
         "loss_mask_spans": """
 WITH t AS (

@@ -349,3 +349,81 @@ def geo_bounds_agg(ds, key_col: str, point_key_col: str) -> pd.DataFrame:
                          "left_lon": agg["left_lon"].astype(np.int64),
                          "bottom_lat": agg["bottom_lat"].astype(np.int64),
                          "right_lon": agg["right_lon"].astype(np.int64)})
+
+
+def geo_pairs(ds, key_col: str, max_dist_milli: int = 3000):
+    """Distance self-join: all point pairs within ``max_dist_milli``
+    (planar squared euclidean in integer milli-degrees — int64
+    end-to-end, bit-exact; no wraparound at the ±180° seam, documented
+    like the rest of the integer-geo family).
+
+    This is the catalog's SPATIAL-JOIN shuffle pattern: grid-bucket +
+    neighbor-cell replication. Each point lands in cell
+    ``(la // C, lo // C)`` with C = max_dist and is REPLICATED into the
+    8 neighbor cells (9 rows per point — the bounded fan-out that makes
+    the join local); a pair (a, b), a < b, is emitted exactly once: in
+    a's home cell, where b is guaranteed present because |Δcell| ≤ 1
+    when dist ≤ C. One (cell)-keyed exchange of 9× the point rows —
+    never an all-pairs shuffle; within a cell the candidate test is one
+    vectorized home×visitors distance matrix. Skew: a cell holds only
+    points within one C-box; a pathological hot box would salt by key
+    range with anchor-side replication.
+
+    Returns (key_a, key_b, d2) with key_a < key_b.
+    """
+    import pyarrow as _pa
+
+    C = int(max_dist_milli)
+    D2 = C * C
+
+    def replicate(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = (k * _LAT_P) % 180000   # keep the non-negative shifted plane
+        lo = (k * _LON_P) % 360000
+        cy, cx = la // C, lo // C
+        n = k.size
+        reps = 9
+        kk = np.tile(k, reps)
+        laa = np.tile(la, reps)
+        loo = np.tile(lo, reps)
+        cyy = np.empty(n * reps, dtype=np.int64)
+        cxx = np.empty(n * reps, dtype=np.int64)
+        home = np.zeros(n * reps, dtype=bool)
+        i = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                cyy[i * n:(i + 1) * n] = cy + dy
+                cxx[i * n:(i + 1) * n] = cx + dx
+                if dy == 0 and dx == 0:
+                    home[i * n:(i + 1) * n] = True
+                i += 1
+        return _pa.table({
+            "cy": _pa.array(cyy), "cx": _pa.array(cxx),
+            "k": _pa.array(kk), "la": _pa.array(laa), "lo": _pa.array(loo),
+            "home": _pa.array(home),
+        })
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"key_a": pd.Series([], dtype=np.int64),
+                              "key_b": pd.Series([], dtype=np.int64),
+                              "d2": pd.Series([], dtype=np.int64)})
+        h = g[g["home"].to_numpy()]
+        if len(h) == 0 or len(g) < 2:
+            return empty
+        ka = h["k"].to_numpy().astype(np.int64)
+        kb = g["k"].to_numpy().astype(np.int64)
+        dla = h["la"].to_numpy().astype(np.int64)[:, None] - g["la"].to_numpy().astype(np.int64)[None, :]
+        dlo = h["lo"].to_numpy().astype(np.int64)[:, None] - g["lo"].to_numpy().astype(np.int64)[None, :]
+        d2 = dla * dla + dlo * dlo
+        ok = (d2 <= D2) & (ka[:, None] < kb[None, :])
+        ai, bi = np.nonzero(ok)
+        if ai.size == 0:
+            return empty
+        return pd.DataFrame({"key_a": ka[ai], "key_b": kb[bi],
+                             "d2": d2[ai, bi].astype(np.int64)})
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby(["cy", "cx"])
+        .map_groups(cell_pairs, batch_format="pandas")
+    )

@@ -102,3 +102,79 @@ def approx_quantiles_sketch(ds, col: str, qs: list[float], k: int = 256):
         return pd.DataFrame({"q": [], "value": []})
     return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
                          "value": [merged.quantile(q) for q in qs]})
+
+
+def cm_sketch_counts(ds, cfg: AnalyzerConfig, query_terms: list[str],
+                     depth: int = 4, width: int = 2048) -> "pd.DataFrame":
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of corpus term
+    frequencies, answered for ``query_terms``: est(t) = min over the
+    ``depth`` rows of the counter at bucket
+    ``md5_number_upper(r || ':' || t) % width`` (the repo-wide DuckDB-
+    parity hash, salted per row).
+
+    Unlike SpaceSaving there is no capacity-exactness gate — CM
+    OVERCOUNTS on collisions by design — but the whole sketch is
+    deterministic given the hash family, so the estimate itself
+    (collisions included) is exactly SQL-twinnable: the oracle rebuilds
+    every row's bucket sums from the tf CTE and takes the same min.
+
+    Scale shape: per-batch local d×W partial counters → ONE bounded
+    (row, bucket)-keyed exchange (≤ d·W rows per batch, never
+    token-sized); the queried lookup touches ``depth`` counters per
+    term. Returns (term, est) with est ≥ the true count (CM guarantee,
+    property-tested).
+    """
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    def _bucket_all(terms_np: np.ndarray, r: int) -> np.ndarray:
+        from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
+
+        codes, uniques = factorize_exact(terms_np)
+        uh = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):
+            s = f"{r}:{u if isinstance(u, str) else ''}".encode("utf-8")
+            uh[i] = int.from_bytes(hashlib.md5(s).digest()[:8], "little")
+        return (uh % np.uint64(width)).astype(np.int64)[codes]
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, terms = flat_terms(b, cfg)
+        t_np = terms.to_numpy(zero_copy_only=False) if hasattr(terms, "to_numpy") else np.asarray(terms)
+        rows, buckets, counts = [], [], []
+        for r in range(depth):
+            bk = _bucket_all(t_np, r)
+            cnt = np.bincount(bk, minlength=width).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            rows.append(np.full(nz.size, r, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            counts.append(cnt[nz])
+        return pa.table({
+            "r": pa.array(np.concatenate(rows) if rows else np.empty(0, np.int64)),
+            "bucket": pa.array(np.concatenate(buckets) if buckets else np.empty(0, np.int64)),
+            "c_p": pa.array(np.concatenate(counts) if counts else np.empty(0, np.int64)),
+        })
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r", "bucket"])
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+    )
+    cm = np.zeros((depth, width), dtype=np.int64)
+    if len(grid):
+        cm[grid["r"].to_numpy(), grid["bucket"].to_numpy()] = grid["c"].to_numpy()
+    ests = []
+    for t in query_terms:
+        vals = []
+        for r in range(depth):
+            h = int.from_bytes(hashlib.md5(f"{r}:{t}".encode()).digest()[:8], "little")
+            vals.append(cm[r, h % width])
+        ests.append(int(min(vals)))
+    import pandas as pd  # noqa: F811
+
+    return pd.DataFrame({"term": query_terms, "est": np.array(ests, dtype=np.int64)}
+                        ).sort_values("term", kind="mergesort").reset_index(drop=True)

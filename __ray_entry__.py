@@ -4438,6 +4438,24 @@ def q_ann_ivf(sf_dir: str):
     return ivf_query(ivf_dir, q_ids.tolist(), q_mat, k=_EMB_TOP_K)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011): ADC scan over the
+    m-byte/vector persisted code table + exact cosine rescore of the
+    merged candidates — vector quantization completes the ANN family
+    beside IVF/LSH/NSW/int8 (stages/similarity.pq_build/pq_query).
+    Rows-only (k-means float iterations are not SQL-expressible);
+    recall vs brute force is gated in ann_eval."""
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+    from hybrid_sanctions_search_engine_ray.stages.similarity import pq_build, pq_query
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    pq_dir = f"/tmp/graft_pq_cache/{_fmt}/{tag}"
+    pq_build(path, pq_dir)
+    q_ids, q_mat = _load_query_vectors(path)
+    return pq_query(pq_dir, path, q_ids.tolist(), q_mat, k=_EMB_TOP_K, rerank=100)
+
+
 def q_ann_lsh(sf_dir: str):
     """Multi-probe hyperplane-LSH ANN over a PERSISTED part-partitioned
     layout (the second scale path beside IVF): one stored corpus copy
@@ -5610,7 +5628,8 @@ def q_ann_eval(sf_dir: str):
     truth = {qid: set(g["vec_id"]) for qid, g in exact.groupby("query_vec_id")}
     rows = []
     for method, fn in (("ivf", q_ann_ivf), ("lsh", q_ann_lsh),
-                       ("int8", q_ann_int8), ("nsw", q_ann_nsw)):
+                       ("int8", q_ann_int8), ("nsw", q_ann_nsw),
+                       ("pq", q_ann_pq)):
         got = fn(sf_dir)
         got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
         for qid, g in got.groupby("query_vec_id"):
@@ -8524,6 +8543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
         "cm_sketch": q_cm_sketch,
+        "ann_pq": q_ann_pq,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,

@@ -1115,3 +1115,202 @@ def hard_negatives(ds, query_ids: np.ndarray, query_matrix: np.ndarray,
         return g
 
     return partial.groupby("query_vec_id").map_groups(final, batch_format="pandas")
+
+
+# --- Product quantization (Jégou, Douze & Schmid, TPAMI 2011) --------------
+
+
+class PQCodebook:
+    """Deterministic product-quantization codebooks: the (normalized)
+    vector is split into ``m`` contiguous subspaces; each subspace gets
+    its own L2 k-means codebook of ``n_codes`` centroids. Same
+    determinism regime as IVFIndex (seeded init on a hash-sample,
+    fixed Lloyd iterations, argmin tie → lowest centroid index)."""
+
+    def __init__(self, m: int = 16, n_codes: int = 16, n_iter: int = 8, seed: int = 13):
+        self.m, self.n_codes, self.n_iter, self.seed = m, n_codes, n_iter, seed
+        self.codebooks: np.ndarray | None = None  # (m, n_codes, subdim)
+
+    def fit(self, sample: np.ndarray) -> "PQCodebook":
+        x = _normalize(sample.astype(np.float64))
+        d = x.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        sub = d // self.m
+        rng = np.random.default_rng(self.seed)
+        books = np.empty((self.m, self.n_codes, sub), dtype=np.float64)
+        for j in range(self.m):
+            xj = x[:, j * sub:(j + 1) * sub]
+            idx = rng.choice(xj.shape[0], size=min(self.n_codes, xj.shape[0]),
+                             replace=False)
+            c = xj[np.sort(idx)].copy()
+            if c.shape[0] < self.n_codes:  # degenerate tiny sample: pad by repeat
+                c = np.resize(c, (self.n_codes, sub))
+            for _ in range(self.n_iter):
+                d2 = ((xj[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for q in range(self.n_codes):
+                    pts = xj[assign == q]
+                    if len(pts):
+                        c[q] = pts.mean(axis=0)
+            books[j] = c
+        self.codebooks = books
+        return self
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        """(n, d) normalized matrix → (n, m) uint8 codes."""
+        n, d = mat.shape
+        sub = d // self.m
+        codes = np.empty((n, self.m), dtype=np.uint8)
+        for j in range(self.m):
+            xj = mat[:, j * sub:(j + 1) * sub]
+            c = self.codebooks[j]
+            # argmin ||x − c||² = argmin (‖c‖² − 2 x·c); ties → lowest index
+            d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (xj @ c.T)
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return codes
+
+    def adc_table(self, q: np.ndarray) -> np.ndarray:
+        """(m, n_codes) squared-L2 table for one normalized query."""
+        sub = q.size // self.m
+        t = np.empty((self.m, self.n_codes), dtype=np.float64)
+        for j in range(self.m):
+            qj = q[j * sub:(j + 1) * sub]
+            t[j] = ((self.codebooks[j] - qj[None, :]) ** 2).sum(axis=1)
+        return t
+
+
+def pq_build(embeddings_path: str, out_dir: str, m: int = 16, n_codes: int = 16,
+             sample_rows: int = 2048, n_iter: int = 8, seed: int = 13,
+             cols: tuple[str, str] = ("vec_id", "embedding")) -> str:
+    """Build a PERSISTED PQ layout: ``codebooks.npy`` + sharded
+    ``codes/`` parquet of (vec_id, code_0..code_{m-1}) — the corpus
+    compressed m bytes/vector (64× at dim 16 float32 → 4 uint8). One
+    streaming encode pass; queries scan CODES, not vectors, and only
+    the top-``rerank`` candidates ever touch the raw embeddings
+    (ADC + exact-rescore, the production PQ serving shape). Completes
+    the ANN family: IVF (partition pruning), LSH (bucket probing),
+    NSW (graph walk), int8 (scalar quantization), PQ (vector
+    quantization). Skips work if ``out_dir`` is already complete."""
+    import json
+
+    import ray.data as rd
+
+    meta_path = os.path.join(out_dir, "_PQ_META.json")
+    meta = {"m": m, "n_codes": n_codes, "sample_rows": sample_rows,
+            "n_iter": n_iter, "seed": seed, "source": embeddings_path}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f) == meta:
+                return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ds = rd.read_parquet(embeddings_path, columns=list(cols))
+    pq_ = PQCodebook(m=m, n_codes=n_codes, n_iter=n_iter, seed=seed)
+    pq_.fit(_sample_bottomk_by_hash(ds, sample_rows))
+    np.save(os.path.join(out_dir, "codebooks.npy"), pq_.codebooks)
+
+    books_ref = ray.put(pq_.codebooks)
+
+    class Encode:
+        def __init__(self, ref, m_, n_codes_):
+            self.pq = PQCodebook(m=m_, n_codes=n_codes_)
+            self.pq.codebooks = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mat = _normalize(_batch_matrix(b))
+            codes = self.pq.encode(mat)
+            out = {"vec_id": b["vec_id"]}
+            for j in range(codes.shape[1]):
+                out[f"code_{j}"] = pa.array(codes[:, j], pa.uint8())
+            return pa.table(out)
+
+    (ds.map_batches(Encode, fn_constructor_args=(books_ref, m, n_codes),
+                    batch_format="pyarrow", concurrency=2)
+       .write_parquet(os.path.join(out_dir, "codes")))
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+class _PQScan:
+    """Actor body: ADC tables built once per actor, per-batch code-table
+    lookups (pure fancy indexing, no per-row Python), emit batch-local
+    top-``rerank`` candidates per query."""
+
+    def __init__(self, state_ref, rerank: int):
+        st = ray.get(state_ref)
+        self.q_ids = st["ids"]
+        self.tables = st["tables"]  # (nq, m, n_codes)
+        self.rerank = rerank
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        m = self.tables.shape[1]
+        codes = np.stack([b[f"code_{j}"].to_numpy(zero_copy_only=False)
+                          for j in range(m)], axis=1)  # (n, m)
+        vec_ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        j_idx = np.arange(m)
+        out_q, out_v, out_d = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            d = self.tables[qi][j_idx[None, :], codes].sum(axis=1)  # (n,)
+            take = min(self.rerank, d.size)
+            part = np.argpartition(d, take - 1)[:take]
+            part = part[np.lexsort((vec_ids[part], d[part]))]
+            out_q.extend([int(qid)] * take)
+            out_v.extend(vec_ids[part].astype(np.int64).tolist())
+            out_d.extend(d[part].tolist())
+        return pa.table({"query_vec_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "adc_d2": pa.array(out_d, pa.float64())})
+
+
+def pq_query(pq_dir: str, embeddings_path: str, query_ids: list[int],
+             query_matrix: np.ndarray, k: int = 5, rerank: int = 100,
+             exclude_self: bool = True):
+    """ADC scan over the codes + exact cosine rescore of the merged
+    top-``rerank`` candidate ids (point-filtered embedding read; the raw
+    corpus is touched only for candidates)."""
+    import ray.data as rd
+
+    books = np.load(os.path.join(pq_dir, "codebooks.npy"))
+    pq_ = PQCodebook(m=books.shape[0], n_codes=books.shape[1])
+    pq_.codebooks = books
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    tables = np.stack([pq_.adc_table(qm[i]) for i in range(qm.shape[0])])
+    state = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                     "tables": tables})
+
+    cand = (
+        rd.read_parquet(os.path.join(pq_dir, "codes"))
+        .map_batches(_PQScan, fn_constructor_args=(state, rerank),
+                     batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    merged: dict[int, np.ndarray] = {}
+    for qid, g in cand.groupby("query_vec_id"):
+        g = g.sort_values(["adc_d2", "vec_id"], kind="mergesort").head(rerank)
+        ids = g["vec_id"].to_numpy(np.int64)
+        merged[int(qid)] = ids[ids != qid] if exclude_self else ids
+    import pyarrow.parquet as _pqt
+
+    all_ids = sorted({int(v) for ids in merged.values() for v in ids})
+    emb = _pqt.read_table(embeddings_path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "in", all_ids)]) if all_ids else None
+    rows = []
+    if emb is not None and emb.num_rows:
+        eid = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(np.stack(emb["embedding"].to_pandas().to_numpy()).astype(np.float64))
+        pos = {int(v): i for i, v in enumerate(eid)}
+        for qi, qid in enumerate(np.asarray(query_ids, dtype=np.int64)):
+            ids = merged.get(int(qid), np.empty(0, np.int64))
+            if ids.size == 0:
+                continue
+            sel = np.array([pos[int(v)] for v in ids], dtype=np.int64)
+            sims = mat[sel] @ qm[qi]
+            order = np.lexsort((ids, -sims))[:k]
+            for r, oi in enumerate(order, 1):
+                rows.append((int(qid), int(ids[oi]), float(sims[oi]), r))
+    import pandas as pd  # noqa: F811
+
+    return pd.DataFrame(rows, columns=["query_vec_id", "vec_id", "cos_sim", "rank"])

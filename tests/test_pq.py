@@ -1,0 +1,95 @@
+"""Product-quantization ANN (stages/similarity.py PQ family):
+codebook determinism, encode/ADC consistency, build+query recall on a
+clustered corpus, persisted-layout idempotence."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hybrid_sanctions_search_engine_ray.stages.similarity import (
+    PQCodebook,
+    _normalize,
+    pq_build,
+    pq_query,
+)
+
+
+def _clustered(n=400, dim=16, n_clusters=8, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 4
+    X = centers[np.arange(n) % n_clusters] + rng.randn(n, dim) * 0.3
+    return X.astype(np.float32)
+
+
+def _write(tmpdir, X):
+    path = os.path.join(tmpdir, "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(X)), pa.int64()),
+        "embedding": pa.array(list(X), pa.list_(pa.float32())),
+    }), path)
+    return path
+
+
+def test_codebook_deterministic_and_consistent():
+    X = _normalize(_clustered().astype(np.float64))
+    a = PQCodebook(m=8, n_codes=16).fit(X)
+    b = PQCodebook(m=8, n_codes=16).fit(X)
+    np.testing.assert_array_equal(a.codebooks, b.codebooks)
+    codes = a.encode(X)
+    assert codes.shape == (len(X), 8) and codes.dtype == np.uint8
+    # ADC of a vector against ITS OWN code equals the true sub-distance sum
+    q = X[5]
+    t = a.adc_table(q)
+    adc = t[np.arange(8), codes[5]].sum()
+    recon = np.concatenate([a.codebooks[j, codes[5, j]] for j in range(8)])
+    assert adc == pytest.approx(((q - recon) ** 2).sum())
+
+
+def test_codebook_rejects_bad_m():
+    with pytest.raises(ValueError):
+        PQCodebook(m=5).fit(np.zeros((10, 16)))
+
+
+def test_pq_build_query_recall(ray_session, tmp_path):
+    X = _clustered()
+    path = _write(str(tmp_path), X)
+    out = os.path.join(str(tmp_path), "pq")
+    pq_build(path, out, m=16, n_codes=16)
+    # brute-force truth (cosine, exclude self)
+    Xn = _normalize(X.astype(np.float64))
+    qids = [3, 77, 200]
+    sims = Xn[qids] @ Xn.T
+    got = pq_query(out, path, qids, X[qids], k=5, rerank=80)
+    rec = []
+    for i, qid in enumerate(qids):
+        s = sims[i].copy()
+        s[qid] = -np.inf
+        truth = set(np.argsort(-s, kind="stable")[:5].tolist())
+        mine = set(got[got.query_vec_id == qid]["vec_id"].astype(int))
+        rec.append(len(truth & mine) / 5)
+    assert np.mean(rec) >= 0.9
+    # ranks are 1..5 and scores descending per query
+    for qid, g in got.groupby("query_vec_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert list(g.cos_sim) == sorted(g.cos_sim, reverse=True)
+
+
+def test_pq_build_idempotent(ray_session, tmp_path):
+    X = _clustered(n=100)
+    path = _write(str(tmp_path), X)
+    out = os.path.join(str(tmp_path), "pq")
+    pq_build(path, out, m=8, n_codes=8)
+    books1 = np.load(os.path.join(out, "codebooks.npy"))
+    mtime = os.path.getmtime(os.path.join(out, "codebooks.npy"))
+    pq_build(path, out, m=8, n_codes=8)          # meta matches → no rebuild
+    assert os.path.getmtime(os.path.join(out, "codebooks.npy")) == mtime
+    pq_build(path, out, m=8, n_codes=16)         # meta differs → rebuild
+    books2 = np.load(os.path.join(out, "codebooks.npy"))
+    assert books2.shape[1] == 16 and books1.shape[1] == 8

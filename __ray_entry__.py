@@ -8513,6 +8513,17 @@ def q_cm_sketch(sf_dir: str):
                             _CM_TERMS, depth=_CM_DEPTH, width=_CM_WIDTH)
 
 
+def q_triangles(sf_dir: str):
+    """Distributed triangle counting (Suri & Vassilvitskii 2011) over
+    the word-adjacency graph: degree-orientation bounds wedge fan-out
+    (the hub-skew defence), coarse-bucket wedge + close exchanges, all
+    integer — exact a<b<c self-join twin (stages/graph.triangle_stats)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.graph import triangle_stats
+
+    return triangle_stats(transcripts_from_documents(sf_dir))
+
+
 def q_loss_mask_spans(sf_dir: str):
     """Assistant-only loss-mask char spans inside each conversation's
     chat_render string (train-on-assistant-tokens masking companion op;
@@ -8544,6 +8555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pairs": q_geo_pairs,
         "cm_sketch": q_cm_sketch,
         "ann_pq": q_ann_pq,
+        "triangles": q_triangles,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14014,6 +14026,27 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "triangles": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+adj AS (
+  SELECT DISTINCT least(a.term, b.term) AS s, greatest(a.term, b.term) AS t
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> b.term),
+nodes AS (SELECT s AS u FROM adj UNION ALL SELECT t AS u FROM adj),
+degs AS (SELECT u, count(*)::BIGINT AS d FROM nodes GROUP BY u),
+tri AS (
+  SELECT count(*)::BIGINT AS ntri
+  FROM adj e1
+  JOIN adj e2 ON e2.s = e1.s AND e2.t > e1.t
+  JOIN adj e3 ON e3.s = e1.t AND e3.t = e2.t)
+SELECT (SELECT count(*)::BIGINT FROM degs) AS n_nodes,
+       (SELECT count(*)::BIGINT FROM adj) AS n_edges,
+       (SELECT sum(d * (d - 1) // 2)::BIGINT FROM degs) AS n_wedges,
+       tri.ntri AS n_triangles,
+       round(3.0 * tri.ntri / (SELECT sum(d * (d - 1) // 2) FROM degs), 4) AS clustering
+FROM tri
 """,
         "loss_mask_spans": """
 WITH t AS (

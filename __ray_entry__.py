@@ -8513,6 +8513,20 @@ def q_cm_sketch(sf_dir: str):
                             _CM_TERMS, depth=_CM_DEPTH, width=_CM_WIDTH)
 
 
+_LP_K, _LP_ITER, _LP_SEED_MOD = 5, 3, 5
+
+
+def q_label_prop(sf_dir: str):
+    """Semi-supervised label propagation over the cosine kNN graph:
+    20% clamped seeds, synchronous majority-vote iterations, integer
+    votes only (stages/similarity.label_propagation). Exact twin: the
+    same kNN rank CTE + one vote/argmax CTE pair per iteration."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import label_propagation
+
+    return label_propagation(os.path.join(sf_dir, "embeddings.parquet"),
+                             k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
+
+
 def q_triangles(sf_dir: str):
     """Distributed triangle counting (Suri & Vassilvitskii 2011) over
     the word-adjacency graph: degree-orientation bounds wedge fan-out
@@ -8556,6 +8570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_sketch": q_cm_sketch,
         "ann_pq": q_ann_pq,
         "triangles": q_triangles,
+        "label_prop": q_label_prop,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14026,6 +14041,47 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "label_prop": f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS u, b.vec_id AS v,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+  FROM q a JOIN q b ON b.vec_id <> a.vec_id),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY cos DESC, v) AS rn
+    FROM sims) WHERE rn <= {_LP_K}),
+l0 AS (SELECT vec_id, CASE WHEN vec_id % {_LP_SEED_MOD} = 0
+                           THEN label::BIGINT ELSE -1 END AS lab FROM q),
+v1 AS (SELECT e.u, l.lab, count(*)::BIGINT AS c
+       FROM edges e JOIN l0 l ON l.vec_id = e.v WHERE l.lab >= 0
+       GROUP BY e.u, l.lab),
+a1 AS (SELECT u, lab FROM (
+         SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn
+         FROM v1) WHERE rn = 1),
+l1 AS (SELECT q.vec_id, CASE WHEN q.vec_id % {_LP_SEED_MOD} = 0
+                             THEN q.label::BIGINT ELSE coalesce(a1.lab, -1) END AS lab
+       FROM q LEFT JOIN a1 ON a1.u = q.vec_id),
+v2 AS (SELECT e.u, l.lab, count(*)::BIGINT AS c
+       FROM edges e JOIN l1 l ON l.vec_id = e.v WHERE l.lab >= 0
+       GROUP BY e.u, l.lab),
+a2 AS (SELECT u, lab FROM (
+         SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn
+         FROM v2) WHERE rn = 1),
+l2 AS (SELECT q.vec_id, CASE WHEN q.vec_id % {_LP_SEED_MOD} = 0
+                             THEN q.label::BIGINT ELSE coalesce(a2.lab, -1) END AS lab
+       FROM q LEFT JOIN a2 ON a2.u = q.vec_id),
+v3 AS (SELECT e.u, l.lab, count(*)::BIGINT AS c
+       FROM edges e JOIN l2 l ON l.vec_id = e.v WHERE l.lab >= 0
+       GROUP BY e.u, l.lab),
+a3 AS (SELECT u, lab FROM (
+         SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn
+         FROM v3) WHERE rn = 1),
+l3 AS (SELECT q.vec_id, CASE WHEN q.vec_id % {_LP_SEED_MOD} = 0
+                             THEN q.label::BIGINT ELSE coalesce(a3.lab, -1) END AS lab
+       FROM q LEFT JOIN a3 ON a3.u = q.vec_id)
+SELECT vec_id, lab::BIGINT AS label FROM l3 ORDER BY vec_id
 """,
         "triangles": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -1314,3 +1314,78 @@ def pq_query(pq_dir: str, embeddings_path: str, query_ids: list[int],
     import pandas as pd  # noqa: F811
 
     return pd.DataFrame(rows, columns=["query_vec_id", "vec_id", "cos_sim", "rank"])
+
+
+def label_propagation(embeddings_path: str, k: int = 5, n_iter: int = 3,
+                      seed_mod: int = 5,
+                      cols: tuple[str, str, str] = ("vec_id", "embedding", "label")):
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002) over
+    the cosine kNN graph: vectors with ``vec_id % seed_mod == 0`` keep
+    their true label (clamped seeds); every other vector starts
+    unlabeled (−1) and, each synchronous iteration, takes the MAJORITY
+    label of its k nearest neighbours' previous labels (unlabeled
+    neighbours don't vote; ties → smallest label; no labeled neighbour
+    → stays −1). The weak-supervision bootstrapping step of a
+    training-data labelling pipeline.
+
+    Scale shape: the expensive part — the kNN graph (all-pairs flops) —
+    is the distributed streaming brute-force top-k (broadcast query
+    matrix, per-batch matmul, partial top-k; at 100 TB swap in the
+    IVF-bucketed construction). The graph is node×k-sized; iterations
+    mirror TextRank: labels broadcast per iteration, ONE map over edge
+    blocks emitting (u, label) partial votes, one node-sized
+    groupby-sum, driver argmax. All votes are integers — deterministic
+    and exactly SQL-twinnable (one CTE pair per iteration).
+
+    Returns (vec_id, label) for every vector, int64, −1 = never reached.
+    """
+    import pyarrow.parquet as _pqt
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    tbl = _pqt.read_table(embeddings_path, columns=list(cols))
+    ids = tbl[cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+    true_lab = tbl[cols[2]].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.stack(tbl[cols[1]].to_pandas().to_numpy()).astype(np.float64)
+
+    ds = rd.read_parquet(embeddings_path, columns=[cols[0], cols[1]])
+    edges = brute_force_topk(ds, ids.tolist(), mat, k=k,
+                             exclude_self=True).materialize()
+
+    pos = {int(v): i for i, v in enumerate(ids)}
+    seed_mask = ids % seed_mod == 0
+    lab = np.where(seed_mask, true_lab, -1).astype(np.int64)
+
+    for _ in range(n_iter):
+        lab_ref = ray.put({"pos": pos, "lab": lab})
+
+        def votes(b: pd.DataFrame) -> pd.DataFrame:
+            st = ray.get(lab_ref)
+            p, lv = st["pos"], st["lab"]
+            u = b["query_vec_id"].to_numpy(np.int64)
+            v = b["vec_id"].to_numpy(np.int64)
+            nl = lv[np.array([p[int(x)] for x in v], dtype=np.int64)]
+            keep = nl >= 0
+            return pd.DataFrame({"u": u[keep], "lab": nl[keep],
+                                 "c": np.ones(int(keep.sum()), dtype=np.int64)})
+
+        agg = (
+            edges.map_batches(votes, batch_format="pandas")
+            .groupby(["u", "lab"])
+            .aggregate(Sum("c", alias_name="n"))
+            .to_pandas()
+        )
+        new_lab = np.where(seed_mask, true_lab, -1).astype(np.int64)
+        if len(agg):
+            a = agg.sort_values(["u", "n", "lab"],
+                                ascending=[True, False, True], kind="mergesort")
+            first = a.groupby("u", sort=True).head(1)
+            uu = first["u"].to_numpy(np.int64)
+            ll = first["lab"].to_numpy(np.int64)
+            sel = np.array([pos[int(x)] for x in uu], dtype=np.int64)
+            upd = ~seed_mask[sel]
+            new_lab[sel[upd]] = ll[upd]
+        lab = new_lab
+
+    return pd.DataFrame({"vec_id": ids, "label": lab}).sort_values(
+        "vec_id", kind="mergesort").reset_index(drop=True)

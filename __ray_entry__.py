@@ -8513,6 +8513,48 @@ def q_cm_sketch(sf_dir: str):
                             _CM_TERMS, depth=_CM_DEPTH, width=_CM_WIDTH)
 
 
+_CONV_SPLITS = {"train": 80, "val": 10, "test": 10}
+
+
+def q_conv_split(sf_dir: str):
+    """Leakage-safe train/val/test split of the CHAT corpus: assignment
+    is a pure md5 property of conv_id (not doc_id), so a conversation's
+    turns can never straddle splits — the conversation-level analog of
+    dataset_split, preventing multi-turn leakage between train and
+    eval. Output verifies the guarantee FROM THE DATA: n_leaked counts
+    conversations observed under more than one split (must be 0).
+    One streaming assignment pass + conv-sized aggs."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.sampling import dataset_split
+
+    ts = transcripts_from_documents(sf_dir)
+    tagged = dataset_split(ts, "conv_id", _CONV_SPLITS, salt="-cs")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"split": b["split"], "conv_id": b["conv_id"]})
+        g = t.group_by(["split", "conv_id"]).aggregate([([], "count_all")])
+        return pa.table({"split": g["split"], "conv_id": g["conv_id"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    per_conv = (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "conv_id"])
+        .aggregate(Sum("n_p", alias_name="n_turns"))
+        .to_pandas()
+    )
+    leaked = int((per_conv.groupby("conv_id")["split"].nunique() > 1).sum())
+    out = (per_conv.groupby("split", sort=True)
+           .agg(n_convs=("conv_id", "nunique"), n_turns=("n_turns", "sum"))
+           .reset_index())
+    out["n_convs"] = out["n_convs"].astype(np.int64)
+    out["n_turns"] = out["n_turns"].astype(np.int64)
+    out["n_leaked"] = np.int64(leaked)
+    return out
+
+
 _LP_K, _LP_ITER, _LP_SEED_MOD = 5, 3, 5
 
 
@@ -8571,6 +8613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": q_ann_pq,
         "triangles": q_triangles,
         "label_prop": q_label_prop,
+        "conv_split": q_conv_split,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14041,6 +14084,25 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "conv_split": f"""
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id
+  FROM documents),
+a AS (
+  SELECT conv_id,
+         CASE
+           WHEN md5_number_upper(conv_id || '-cs') % 100 < {_CONV_SPLITS["test"]} THEN 'test'
+           WHEN md5_number_upper(conv_id || '-cs') % 100 < {_CONV_SPLITS["test"] + _CONV_SPLITS["train"]} THEN 'train'
+           ELSE 'val' END AS split
+  FROM t),
+leak AS (
+  SELECT count(*)::BIGINT AS n FROM (
+    SELECT conv_id FROM a GROUP BY conv_id HAVING count(DISTINCT split) > 1))
+SELECT split, count(DISTINCT conv_id)::BIGINT AS n_convs,
+       count(*)::BIGINT AS n_turns,
+       (SELECT n FROM leak) AS n_leaked
+FROM a GROUP BY split
 """,
         "label_prop": f"""
 WITH q AS (SELECT vec_id, embedding, label FROM embeddings),

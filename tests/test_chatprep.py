@@ -128,3 +128,15 @@ def test_fim_split_positions_in_range():
     out = fim_split(pa.table({"doc_id": ids, "text": texts})).to_pandas()
     lens = np.array([len(t) for t in texts.to_pylist()])
     assert ((0 <= out.a) & (out.a <= out.b) & (out.b <= lens)).all()
+
+
+def test_conv_split_no_leakage(ray_session):
+    """conv-keyed split: every conversation's turns land in ONE split."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = e.q_conv_split("/root/testdata/sf0.001")
+    assert int(out["n_leaked"].iloc[0]) == 0
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert out["n_turns"].sum() == 500 and out["n_convs"].sum() == 63

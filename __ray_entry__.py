@@ -8513,6 +8513,44 @@ def q_cm_sketch(sf_dir: str):
                             _CM_TERMS, depth=_CM_DEPTH, width=_CM_WIDTH)
 
 
+_SKEWJ_HOT = 70  # events/user threshold: some users hot, some cold, at every sf
+
+
+def q_skew_join(sf_dir: str):
+    """Skew-aware large×large join (the 'salt hot keys' pattern as an
+    operator): events ⋈ per-user totals on user_id; exact left counts
+    route hot users through a broadcast path (their rows never enter the
+    shuffle) and cold users through the bucketed hash join — row-identical
+    to a plain join (stages/joins.skew_join). Both paths engage at every
+    scale (~67 events/user, max ~99, threshold 70)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.joins import skew_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": b["user_id"]}).group_by("user_id").aggregate(
+            [([], "count_all")])
+        return pa.table({"user_id": g["user_id"],
+                         "n_p": g["count_all"].cast(pa.int64())})
+
+    totals = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id").aggregate(Sum("n_p", alias_name="n_user_events")))
+    joined = skew_join(ev, totals, on="user_id", hot_threshold=_SKEWJ_HOT)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype(np.int64),
+            "user_id": b["user_id"].astype(np.int64),
+            "n_user_events": b["n_user_events"].astype(np.int64),
+        })
+
+    return joined.map_batches(final, batch_format="pandas")
+
+
 _CONV_SPLITS = {"train": 80, "val": 10, "test": 10}
 
 
@@ -8614,6 +8652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "label_prop": q_label_prop,
         "conv_split": q_conv_split,
+        "skew_join": q_skew_join,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14084,6 +14123,12 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "skew_join": """
+WITH u AS (SELECT user_id, count(*)::BIGINT AS n_user_events
+           FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, u.n_user_events
+FROM events e JOIN u USING (user_id)
 """,
         "conv_split": f"""
 WITH t AS (

@@ -207,3 +207,71 @@ def range_join(big_ds, ranges_df: pd.DataFrame, on: str, lo: str = "lo", hi: str
         batch_format="pandas",
         concurrency=concurrency,
     )
+
+
+def skew_join(left_ds, right_ds, on: str, hot_threshold: int = 10_000,
+              num_buckets: int = 32):
+    """Skew-aware inner equality join: the brief's "salt hot keys"
+    pattern as a reusable operator. A plain hash join sends EVERY row of
+    a hot key to one reducer — the curse-of-the-last-reducer straggler.
+    Here:
+
+    1. EXACT left-side key counts (per-batch Arrow partials → one
+       key-cardinality-sized groupby) pick the hot set
+       ``{k : count(k) > hot_threshold}``. Deterministic — no sampling
+       noise in the plan, so results and even the split are
+       retry/batching stable. (At 100 TB swap in the hash-sampled
+       estimator; the hot SET only affects routing, never results.)
+    2. Hot keys take the BROADCAST path: their right-side rows (bounded:
+       a hot key must be dimension-like on the right, documented
+       contract) ship once via ``ray.put``; hot left rows join inside
+       their own map task and NEVER enter the shuffle.
+    3. Cold keys take the normal bucketed hash join.
+
+    The union is row-identical to a plain inner join (pytest-asserted
+    against ``bucketed_join``), only the partitioning differs.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    right_cols = list(right_ds.schema().names)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({on: b[on]}).group_by(on).aggregate([([], "count_all")])
+        return pa.table({on: g[on], "c_p": g["count_all"].cast(pa.int64())})
+
+    counts = (
+        left_ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(on).aggregate(Sum("c_p", alias_name="c")).to_pandas()
+    )
+    hot = set(counts[counts["c"] > hot_threshold][on].tolist())
+
+    if hot:
+        hot_right = right_ds.map_batches(
+            lambda b: b.filter(pa.array(np.isin(
+                b[on].to_numpy(zero_copy_only=False), list(hot)))),
+            batch_format="pyarrow").to_pandas()
+        hr_ref = ray.put(hot_right)
+
+        def join_hot(b: pa.Table) -> pd.DataFrame:
+            keys = b[on].to_numpy(zero_copy_only=False)
+            m = np.isin(keys, list(hot))
+            lf = b.filter(pa.array(m)).to_pandas()
+            return lf.merge(ray.get(hr_ref), on=on, how="inner")
+
+        hot_joined = left_ds.map_batches(join_hot, batch_format="pyarrow")
+        cold_left = left_ds.map_batches(
+            lambda b: b.filter(pa.array(~np.isin(
+                b[on].to_numpy(zero_copy_only=False), list(hot)))),
+            batch_format="pyarrow")
+        cold_right = right_ds.map_batches(
+            lambda b: b.filter(pa.array(~np.isin(
+                b[on].to_numpy(zero_copy_only=False), list(hot)))),
+            batch_format="pyarrow")
+    else:
+        hot_joined = None
+        cold_left, cold_right = left_ds, right_ds
+
+    cold_joined = bucketed_join(cold_left, cold_right, on=on,
+                                num_buckets=num_buckets, how="inner")
+    return cold_joined.union(hot_joined) if hot_joined is not None else cold_joined

@@ -8513,6 +8513,24 @@ def q_cm_sketch(sf_dir: str):
                             _CM_TERMS, depth=_CM_DEPTH, width=_CM_WIDTH)
 
 
+_WM_DELAY_S = 1_209_600  # 14 days: ~half the ~30-day event span → both classes
+
+
+def q_watermark(sf_dir: str):
+    """Streaming watermark / allowed-lateness accounting (Beam/Flink
+    semantics): replay events in deterministic md5-arrival order,
+    watermark = max event time seen − delay, per tumbling day count
+    on-time vs late arrivals — a distributed PREFIX MAX on the pack_bins
+    range-carry pattern (stages/windows.watermark_lateness)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import watermark_lateness
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"])
+    return watermark_lateness(ev, delay_s=_WM_DELAY_S)
+
+
 _SKEWJ_HOT = 70  # events/user threshold: some users hot, some cold, at every sf
 
 
@@ -8653,6 +8671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop": q_label_prop,
         "conv_split": q_conv_split,
         "skew_join": q_skew_join,
+        "watermark": q_watermark,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14123,6 +14142,18 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "watermark": f"""
+WITH w AS (
+  SELECT epoch_us(ts) AS tsu,
+         max(epoch_us(ts)) OVER (
+           ORDER BY md5_number_upper(cast(event_id AS varchar)), event_id
+           ROWS UNBOUNDED PRECEDING) AS wm
+  FROM events)
+SELECT tsu // 86400000000 AS window_id,
+       sum(CASE WHEN tsu >= wm - {_WM_DELAY_S}::BIGINT * 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_ontime,
+       sum(CASE WHEN tsu <  wm - {_WM_DELAY_S}::BIGINT * 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_late
+FROM w GROUP BY 1
 """,
         "skew_join": """
 WITH u AS (SELECT user_id, count(*)::BIGINT AS n_user_events

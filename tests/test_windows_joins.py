@@ -160,3 +160,45 @@ def test_downsample_roundtrip(ray_session, tmp_path):
     assert any(f.endswith(".parquet") for f in os.listdir(out_dir))
     again = downsample(rd.from_arrow(tbl), out_dir).to_pandas()
     assert len(again) == 3
+
+
+def test_watermark_lateness_brute(ray_session):
+    """watermark_lateness vs a sequential replay on synthetic
+    out-of-order events (arrival = md5 order, event time scrambled)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import watermark_lateness
+
+    rng = np.random.RandomState(4)
+    n = 500
+    eid = np.arange(n, dtype=np.int64)
+    tsu = np.int64(1_700_000_000_000_000) + rng.permutation(n).astype(np.int64) * 7_200_000_000
+    df = pd.DataFrame({"event_id": eid, "ts": pd.to_datetime(tsu, unit="us")})
+    delay_s = 3600 * 24 * 5
+
+    out = watermark_lateness(rd.from_pandas(df).repartition(4),
+                             delay_s=delay_s, n_ranges=16)
+
+    # brute sequential replay in md5-arrival order
+    h = np.array([int.from_bytes(hashlib.md5(str(e).encode()).digest()[:8], "little")
+                  for e in eid], dtype=np.uint64)
+    order = np.lexsort((eid, h))
+    wm = -np.inf
+    late = np.zeros(n, dtype=bool)
+    for i in order:
+        wm = max(wm, tsu[i])
+        late[i] = tsu[i] < wm - delay_s * 1_000_000
+    win = tsu // (86400 * 1_000_000)
+    exp = (pd.DataFrame({"window_id": win, "late": late})
+           .groupby("window_id").agg(n_ontime=("late", lambda s: int((~s).sum())),
+                                     n_late=("late", "sum")).reset_index())
+    exp["n_late"] = exp["n_late"].astype(np.int64)
+    exp["n_ontime"] = exp["n_ontime"].astype(np.int64)
+    got = out.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"window_id": np.int64}), check_dtype=False)
+    assert got["n_late"].sum() > 0 and got["n_ontime"].sum() > 0

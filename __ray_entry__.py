@@ -8625,6 +8625,17 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    word-adjacency graph — all-integer re-normalized iterations on the
+    TextRank broadcast-scores loop (stages/textrank.hits_scores);
+    completes the link-analysis trio (PageRank / HITS / components)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textrank import hits_scores
+
+    return hits_scores(transcripts_from_documents(sf_dir), n_iter=2, top_n=10)
+
+
 def q_triangles(sf_dir: str):
     """Distributed triangle counting (Suri & Vassilvitskii 2011) over
     the word-adjacency graph: degree-orientation bounds wedge fan-out
@@ -8672,6 +8683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_split": q_conv_split,
         "skew_join": q_skew_join,
         "watermark": q_watermark,
+        "hits": q_hits,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14142,6 +14154,35 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "hits": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+ew AS (
+  SELECT a.term AS s, b.term AS t, count(*)::BIGINT AS w
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> b.term GROUP BY a.term, b.term),
+nds AS (SELECT s AS n FROM ew UNION SELECT t AS n FROM ew),
+h0 AS (SELECT n, 1000000000::HUGEINT AS v FROM nds),
+a1r AS (SELECT e.t AS n, sum(h.v * e.w) AS r FROM ew e JOIN h0 h ON h.n = e.s GROUP BY e.t),
+a1 AS (SELECT nds.n, coalesce((a1r.r * 1000000000) // (SELECT max(r) FROM a1r), 0) AS v
+       FROM nds LEFT JOIN a1r ON a1r.n = nds.n),
+h1r AS (SELECT e.s AS n, sum(a.v * e.w) AS r FROM ew e JOIN a1 a ON a.n = e.t GROUP BY e.s),
+h1 AS (SELECT nds.n, coalesce((h1r.r * 1000000000) // (SELECT max(r) FROM h1r), 0) AS v
+       FROM nds LEFT JOIN h1r ON h1r.n = nds.n),
+a2r AS (SELECT e.t AS n, sum(h.v * e.w) AS r FROM ew e JOIN h1 h ON h.n = e.s GROUP BY e.t),
+a2 AS (SELECT nds.n, coalesce((a2r.r * 1000000000) // (SELECT max(r) FROM a2r), 0) AS v
+       FROM nds LEFT JOIN a2r ON a2r.n = nds.n),
+h2r AS (SELECT e.s AS n, sum(a.v * e.w) AS r FROM ew e JOIN a2 a ON a.n = e.t GROUP BY e.s),
+h2 AS (SELECT nds.n, coalesce((h2r.r * 1000000000) // (SELECT max(r) FROM h2r), 0) AS v
+       FROM nds LEFT JOIN h2r ON h2r.n = nds.n),
+th AS (SELECT 'hub' AS kind, n AS term, v::BIGINT AS score,
+              row_number() OVER (ORDER BY v DESC, n) AS rn FROM h2),
+ta AS (SELECT 'authority' AS kind, n AS term, v::BIGINT AS score,
+              row_number() OVER (ORDER BY v DESC, n) AS rn FROM a2)
+SELECT kind, term, score FROM th WHERE rn <= 10
+UNION ALL
+SELECT kind, term, score FROM ta WHERE rn <= 10
 """,
         "watermark": f"""
 WITH w AS (

@@ -53,8 +53,11 @@ _BASE = 150_000_000
 _D_NUM, _D_DEN = 85, 100
 
 
-def _adjacency_partial(batch: pa.Table, cfg: AnalyzerConfig) -> pa.Table:
-    """Per-batch symmetrized adjacency counts: (s, t, c_p)."""
+def _adjacency_partial(batch: pa.Table, cfg: AnalyzerConfig,
+                       symmetric: bool = True) -> pa.Table:
+    """Per-batch adjacency counts (s, t, c_p); ``symmetric=False`` keeps
+    only the forward (s precedes t) direction — the directed graph HITS
+    runs on."""
     parent, terms = flat_terms(batch, cfg)
     empty = pa.table({"s": pa.array([], pa.string()),
                       "t": pa.array([], pa.string()),
@@ -71,20 +74,24 @@ def _adjacency_partial(batch: pa.Table, cfg: AnalyzerConfig) -> pa.Table:
         return empty
     ai = pa.array(at, pa.int64())
     bi = pa.array(at + 1, pa.int64())
-    s = pa.concat_arrays([tarr.take(ai), tarr.take(bi)])
-    t = pa.concat_arrays([tarr.take(bi), tarr.take(ai)])
+    if symmetric:
+        s = pa.concat_arrays([tarr.take(ai), tarr.take(bi)])
+        t = pa.concat_arrays([tarr.take(bi), tarr.take(ai)])
+    else:
+        s, t = tarr.take(ai), tarr.take(bi)
     g = pa.table({"s": s, "t": t}).group_by(["s", "t"]).aggregate([([], "count_all")])
     return pa.table({"s": g["s"], "t": g["t"],
                      "c_p": g["count_all"].cast(pa.int64())})
 
 
-def build_adjacency(transcripts_ds, cfg: AnalyzerConfig | None = None):
-    """Corpus → edge Dataset (s, t, w) with symmetrized adjacency counts."""
+def build_adjacency(transcripts_ds, cfg: AnalyzerConfig | None = None,
+                    symmetric: bool = True):
+    """Corpus → edge Dataset (s, t, w); symmetrized by default."""
     from ray.data.aggregate import Sum
 
     cfg = cfg or AnalyzerConfig()
     return (
-        transcripts_ds.map_batches(lambda b: _adjacency_partial(b, cfg),
+        transcripts_ds.map_batches(lambda b: _adjacency_partial(b, cfg, symmetric),
                                    batch_format="pyarrow")
         .groupby(["s", "t"])
         .aggregate(Sum("c_p", alias_name="w"))
@@ -136,3 +143,70 @@ def textrank_keywords(transcripts_ds, n_iter: int = 4, top_n: int = 20,
     out = out.sort_values(["rank", "term"], ascending=[False, True],
                           kind="mergesort").head(top_n)
     return out.reset_index(drop=True)
+
+
+def hits_scores(transcripts_ds, n_iter: int = 2, top_n: int = 10,
+                cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over the DIRECTED
+    word-adjacency graph (s → t iff t ever immediately follows s):
+    per iteration ``a(v) = Σ_{u→v} w·h(u)`` then ``h(u) = Σ_{u→v} w·a(v)``,
+    each re-normalized to max = SCALE (1e9) with integer floor division — the
+    same all-integer determinism contract as TextRank, so every step is
+    exactly replicable in SQL (a/h/max CTE triple per iteration).
+
+    Scale shape: identical to TextRank — the directed edge table is the
+    only corpus-derived state; scores are node-sized broadcasts; each
+    half-iteration is one map over edge blocks + one node-sized
+    groupby-sum. Returns the top-``top_n`` rows per kind:
+    (kind ∈ {hub, authority}, term, score)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = build_adjacency(transcripts_ds, cfg, symmetric=False).materialize()
+    # distinct node set (node-sized): one groupby over both endpoints
+    both = edges.map_batches(
+        lambda b: pa.table({"n": pa.concat_arrays(
+            [pa.array(b["s"].to_numpy(zero_copy_only=False), pa.string()),
+             pa.array(b["t"].to_numpy(zero_copy_only=False), pa.string())]),
+            "one": pa.array(np.ones(2 * len(b), np.int64))}),
+        batch_format="pyarrow").groupby("n").aggregate(Sum("one", alias_name="c")).to_pandas()
+    nodes = both["n"].to_numpy(dtype=object)
+
+    a = {n: SCALE for n in nodes}
+    h = {n: SCALE for n in nodes}
+
+    def _push(scores: dict, src_col: str, dst_col: str) -> dict:
+        ref = ray.put(scores)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            sc = ray.get(ref)
+            src = b[src_col].to_numpy(dtype=object)
+            w = b["w"].to_numpy().astype(np.int64)
+            val = np.array([sc[x] for x in src], dtype=np.int64)
+            return pd.DataFrame({"t": b[dst_col], "c": val * w})
+
+        agg = (edges.map_batches(contrib, batch_format="pandas")
+               .groupby("t").aggregate(Sum("c", alias_name="sc")).to_pandas())
+        out = {n: 0 for n in nodes}
+        for t_, v in zip(agg["t"].to_numpy(dtype=object),
+                         agg["sc"].astype(np.int64).to_numpy()):
+            out[t_] = int(v)
+        mx = max(out.values()) if out else 0
+        if mx > 0:
+            out = {k: (v * SCALE) // mx for k, v in out.items()}
+        return out
+
+    for _ in range(n_iter):
+        a = _push(h, "s", "t")   # authorities gather from hubs
+        h = _push(a, "t", "s")   # hubs gather from authorities
+
+    def _top(scores: dict, kind: str) -> pd.DataFrame:
+        df = pd.DataFrame({"term": list(scores), "score": list(scores.values())})
+        df["score"] = df["score"].astype(np.int64)
+        df = df.sort_values(["score", "term"], ascending=[False, True],
+                            kind="mergesort").head(top_n)
+        df.insert(0, "kind", kind)
+        return df
+
+    return pd.concat([_top(h, "hub"), _top(a, "authority")],
+                     ignore_index=True)

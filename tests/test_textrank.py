@@ -100,3 +100,56 @@ def test_loss_mask_spans_slice_matches_render(ray_session):
     for _, r in spans.iterrows():
         src = df[(df.conv_id == r.conv_id) & (df.turn_idx == r.turn_idx)].iloc[0]
         assert rendered[r.conv_id][r.start_off:r.end_off] == src.text
+
+
+def test_hits_brute_and_shape(ray_session):
+    """hits_scores vs a brute replay of the integer HITS recipe on a
+    small directed graph with an obvious hub."""
+    from collections import Counter, defaultdict
+
+    from hybrid_sanctions_search_engine_ray.stages.textrank import hits_scores
+
+    texts = [
+        "hub a", "hub b", "hub c", "hub d",     # hub points at many
+        "x a", "y a", "z a",                    # a is an authority
+        "a b c",
+    ]
+    out = hits_scores(_ts(texts, ray_session), n_iter=2, top_n=50)
+
+    ew: Counter = Counter()
+    for s in texts:
+        toks = s.split()
+        for u, v in zip(toks, toks[1:]):
+            if u != v:
+                ew[(u, v)] += 1
+    nodes = sorted({u for e in ew for u in e})
+    h = {n: SCALE for n in nodes}
+    a = {}
+
+    def push(scores, rev):
+        raw = defaultdict(int)
+        for (u, v), w in ew.items():
+            if rev:
+                raw[u] += scores[v] * w
+            else:
+                raw[v] += scores[u] * w
+        out_ = {n: 0 for n in nodes}
+        mx = max(raw.values()) if raw else 0
+        for n, r in raw.items():
+            out_[n] = (r * SCALE) // mx if mx else 0
+        return out_
+
+    for _ in range(2):
+        a = push(h, rev=False)
+        h = push(a, rev=True)
+
+    got_h = dict(zip(out[out.kind == "hub"].term, out[out.kind == "hub"].score))
+    got_a = dict(zip(out[out.kind == "authority"].term,
+                     out[out.kind == "authority"].score))
+    for n in got_h:
+        assert got_h[n] == h[n]
+    for n in got_a:
+        assert got_a[n] == a[n]
+    # structure: 'hub' tops the hub list, 'a' tops the authorities
+    assert out[out.kind == "hub"].iloc[0].term == "hub"
+    assert out[out.kind == "authority"].iloc[0].term == "a"

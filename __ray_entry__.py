@@ -8625,6 +8625,48 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+_WDS_PER_SHARD = 100
+
+
+def q_wds_export(sf_dir: str):
+    """WebDataset tar-shard export round-trip: write shard-%06d.tar
+    files (deterministic key-derived sharding, resumable per shard),
+    READ THEM BACK, and aggregate per shard — the verified path runs
+    through the tar bytes, so the oracle checks the sink end-to-end
+    (sources/webdataset.py)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.webdataset import (
+        export_webdataset,
+        read_webdataset,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_wds/{tag}"
+    export_webdataset(docs, out, samples_per_shard=_WDS_PER_SHARD)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        sh = _pc.divide(b["doc_id"], _WDS_PER_SHARD)
+        t = pa.table({"shard": sh, "chars": _pc.utf8_length(b["text"])})
+        g = t.group_by("shard").aggregate([([], "count_all"), ("chars", "sum")])
+        return pa.table({"shard": g["shard"].cast(pa.int64()),
+                         "n_p": g["count_all"].cast(pa.int64()),
+                         "ch_p": g["chars_sum"].cast(pa.int64())})
+
+    return (
+        read_webdataset(out)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("n_p", alias_name="n_samples"),
+                   Sum("ch_p", alias_name="n_chars"))
+    )
+
+
 def q_hits(sf_dir: str):
     """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
     word-adjacency graph — all-integer re-normalized iterations on the
@@ -8684,6 +8726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": q_skew_join,
         "watermark": q_watermark,
         "hits": q_hits,
+        "wds_export": q_wds_export,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14154,6 +14197,12 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "wds_export": f"""
+SELECT doc_id // {_WDS_PER_SHARD} AS shard,
+       count(*)::BIGINT AS n_samples,
+       sum(length(text))::BIGINT AS n_chars
+FROM documents GROUP BY 1
 """,
         "hits": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -8625,6 +8625,54 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source round-trip (§2.1 format coverage): write the
+    events table as sharded CSV with ray.data.write_csv, read it back
+    with read_csv, aggregate FROM THE READ-BACK — the oracle twin runs
+    on the original parquet, so CSV serialization fidelity (timestamps,
+    floats-as-cents, quoting) is what's being checked."""
+    import shutil as _sh
+
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_csv/{tag}"
+    _sh.rmtree(out, ignore_errors=True)
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "event_type", "value"])
+    ev.write_csv(out)
+
+    back = rd.read_csv(out)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _pc.round(_pc.multiply(b["value"], 100)).cast(pa.int64())
+        day = _pc.divide(_pc.cast(_pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                         86_400_000_000)
+        t = pa.table({"event_type": b["event_type"], "day": day, "cents": cents})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "n_p": g["count_all"].cast(pa.int64()),
+                         "c_p": g["cents_sum"].cast(pa.int64())})
+
+    agg = (back.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("n_p", alias_name="n_events"),
+                      Sum("c_p", alias_name="sum_cents")))
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["day"].astype(np.int64),
+            "n_events": b["n_events"].astype(np.int64),
+            "value_sum": (b["sum_cents"].to_numpy(np.int64) / 100.0).round(2),
+        })
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 _WDS_PER_SHARD = 100
 
 
@@ -8727,6 +8775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark": q_watermark,
         "hits": q_hits,
         "wds_export": q_wds_export,
+        "csv_roundtrip": q_csv_roundtrip,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14197,6 +14246,13 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "csv_roundtrip": """
+SELECT event_type,
+       epoch_us(ts) // 86400000000 AS day,
+       count(*)::BIGINT AS n_events,
+       round(sum(cast(round(value * 100) AS BIGINT)) / 100.0, 2) AS value_sum
+FROM events GROUP BY 1, 2
 """,
         "wds_export": f"""
 SELECT doc_id // {_WDS_PER_SHARD} AS shard,

@@ -8625,6 +8625,18 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """PMI collocation extraction (Church & Hanks 1990): top ordered
+    term bigrams by ln(N·c(u,v)/(c_left(u)·c_right(v))), min count 5 —
+    the multi-word-unit / tokenizer-vocab-curation signal; one directed
+    adjacency shuffle + broadcast marginals
+    (stages/textrank.pmi_bigrams)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textrank import pmi_bigrams
+
+    return pmi_bigrams(transcripts_from_documents(sf_dir), min_count=5, top_n=20)
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV sink + source round-trip (§2.1 format coverage): write the
     events table as sharded CSV with ray.data.write_csv, read it back
@@ -8776,6 +8788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "wds_export": q_wds_export,
         "csv_roundtrip": q_csv_roundtrip,
+        "pmi_bigrams": q_pmi_bigrams,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14246,6 +14259,26 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "pmi_bigrams": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+ew AS (
+  SELECT a.term AS s, b.term AS t, count(*)::BIGINT AS w
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> b.term GROUP BY a.term, b.term),
+lm AS (SELECT s, sum(w)::BIGINT AS cl FROM ew GROUP BY s),
+rm AS (SELECT t, sum(w)::BIGINT AS cr FROM ew GROUP BY t),
+nt AS (SELECT sum(w)::BIGINT AS n FROM ew),
+scored AS (
+  SELECT e.s, e.t, e.w AS n_pair,
+         round(ln(nt.n * e.w / (lm.cl::DOUBLE * rm.cr)), 4) AS pmi
+  FROM ew e JOIN lm ON lm.s = e.s JOIN rm ON rm.t = e.t CROSS JOIN nt
+  WHERE e.w >= 5),
+rk AS (SELECT s, t, n_pair, pmi,
+              row_number() OVER (ORDER BY pmi DESC, s, t) AS rn
+       FROM scored)
+SELECT s, t, n_pair, pmi FROM rk WHERE rn <= 20
 """,
         "csv_roundtrip": """
 SELECT event_type,

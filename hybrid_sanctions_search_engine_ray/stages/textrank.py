@@ -210,3 +210,54 @@ def hits_scores(transcripts_ds, n_iter: int = 2, top_n: int = 10,
 
     return pd.concat([_top(h, "hub"), _top(a, "authority")],
                      ignore_index=True)
+
+
+def pmi_bigrams(transcripts_ds, min_count: int = 5, top_n: int = 20,
+                cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990) over ORDERED adjacent term pairs:
+    ``pmi(u,v) = ln(N · c(u,v) / (c_left(u) · c_right(v)))`` with the
+    marginals counted in the matching slot (u as left element, v as
+    right) and N = total bigram occurrences — the classic multi-word-
+    unit signal feeding tokenizer-vocab curation.
+
+    Scale shape: ONE directed-adjacency edge shuffle (shared with
+    TextRank/HITS), two node-sized marginal groupbys broadcast once, a
+    scoring map over edge blocks with batch-local top-n partials, tiny
+    driver merge. Returns (s, t, n_pair, pmi round4) by (pmi desc, s, t).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = build_adjacency(transcripts_ds, cfg, symmetric=False).materialize()
+    left = edges.groupby("s").aggregate(Sum("w", alias_name="cl")).to_pandas()
+    right = edges.groupby("t").aggregate(Sum("w", alias_name="cr")).to_pandas()
+    n_total = int(left["cl"].sum())
+    cl = dict(zip(left["s"].to_numpy(dtype=object), left["cl"].astype(np.int64)))
+    cr = dict(zip(right["t"].to_numpy(dtype=object), right["cr"].astype(np.int64)))
+    ref = ray.put({"cl": cl, "cr": cr, "n": n_total})
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        w = b["w"].to_numpy().astype(np.int64)
+        keep = w >= min_count
+        if not keep.any():
+            return pd.DataFrame({"s": pd.Series([], dtype=object),
+                                 "t": pd.Series([], dtype=object),
+                                 "n_pair": pd.Series([], dtype=np.int64),
+                                 "pmi": pd.Series([], dtype=float)})
+        s = b["s"].to_numpy(dtype=object)[keep]
+        t = b["t"].to_numpy(dtype=object)[keep]
+        w = w[keep]
+        a = np.array([st["cl"][x] for x in s], dtype=np.float64)
+        c = np.array([st["cr"][x] for x in t], dtype=np.float64)
+        pmi = np.log(st["n"] * w.astype(np.float64) / (a * c))
+        pmi = np.sign(pmi) * np.floor(np.abs(pmi) * 1e4 + 0.5) / 1e4
+        out = pd.DataFrame({"s": s, "t": t, "n_pair": w, "pmi": pmi})
+        return out.sort_values(["pmi", "s", "t"],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(top_n)
+
+    cand = edges.map_batches(score, batch_format="pandas").to_pandas()
+    return (cand.sort_values(["pmi", "s", "t"], ascending=[False, True, True],
+                             kind="mergesort").head(top_n).reset_index(drop=True))

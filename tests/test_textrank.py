@@ -153,3 +153,37 @@ def test_hits_brute_and_shape(ray_session):
     # structure: 'hub' tops the hub list, 'a' tops the authorities
     assert out[out.kind == "hub"].iloc[0].term == "hub"
     assert out[out.kind == "authority"].iloc[0].term == "a"
+
+
+def test_pmi_bigrams_brute(ray_session):
+    from collections import Counter, defaultdict
+
+    from hybrid_sanctions_search_engine_ray.stages.textrank import pmi_bigrams
+
+    texts = (["strong coffee"] * 8 + ["strong tea"] * 2
+             + ["black coffee"] * 3 + ["black tea"] * 6 + ["tea strong"] * 5)
+    out = pmi_bigrams(_ts(texts, ray_session), min_count=2, top_n=10)
+
+    ew: Counter = Counter()
+    for s in texts:
+        toks = s.split()
+        for u, v in zip(toks, toks[1:]):
+            if u != v:
+                ew[(u, v)] += 1
+    cl, cr = defaultdict(int), defaultdict(int)
+    for (u, v), w in ew.items():
+        cl[u] += w
+        cr[v] += w
+    n = sum(ew.values())
+    rows = []
+    for (u, v), w in ew.items():
+        if w >= 2:
+            pmi = np.log(n * w / (cl[u] * cr[v]))
+            rows.append((u, v, w, np.sign(pmi) * np.floor(abs(pmi) * 1e4 + 0.5) / 1e4))
+    exp = (pd.DataFrame(rows, columns=["s", "t", "n_pair", "pmi"])
+           .sort_values(["pmi", "s", "t"], ascending=[False, True, True],
+                        kind="mergesort").head(10).reset_index(drop=True))
+    exp["n_pair"] = exp["n_pair"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, exp)
+    # the dominant collocation ranks first
+    assert tuple(out.iloc[0][["s", "t"]]) in {("strong", "coffee"), ("tea", "strong"), ("black", "tea")}

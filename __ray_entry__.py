@@ -8625,6 +8625,26 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+_SFTDS_BUDGET = 512
+
+
+def q_sft_dataset(sf_dir: str):
+    """The full SFT assembly line composed end-to-end: chat_render
+    (conv → template string) → analyzer token counts → distributed-
+    prefix-sum packing into ≈512-token training packs
+    (stages/chatprep.chat_render + pack_conversations). The oracle
+    re-derives the rendered strings, their token counts AND the pack
+    assignment in SQL, so the whole composition is value-checked."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import (
+        chat_render,
+        pack_conversations,
+    )
+
+    rendered = chat_render(transcripts_from_documents(sf_dir))
+    return pack_conversations(rendered, budget=_SFTDS_BUDGET)
+
+
 def q_pmi_bigrams(sf_dir: str):
     """PMI collocation extraction (Church & Hanks 1990): top ordered
     term bigrams by ln(N·c(u,v)/(c_left(u)·c_right(v))), min count 5 —
@@ -8789,6 +8809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wds_export": q_wds_export,
         "csv_roundtrip": q_csv_roundtrip,
         "pmi_bigrams": q_pmi_bigrams,
+        "sft_dataset": q_sft_dataset,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14259,6 +14280,30 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "sft_dataset": f"""
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         cast(doc_id // 8 AS BIGINT) AS ordinal,
+         cast(doc_id % 8 AS int) AS turn_idx,
+         CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents),
+rendered AS (
+  SELECT conv_id, ordinal,
+         string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx) AS r
+  FROM t GROUP BY conv_id, ordinal),
+ntok AS (
+  SELECT conv_id, ordinal,
+         len(list_filter(regexp_split_to_array(lower(nfc_normalize(r)),
+             '[^\\p{{L}}\\p{{N}}]+'), x -> x <> ''))::BIGINT AS n_tokens
+  FROM rendered),
+packed AS (
+  SELECT conv_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY ordinal ROWS UNBOUNDED PRECEDING)
+          - n_tokens) // {_SFTDS_BUDGET} AS pack_id
+  FROM ntok)
+SELECT conv_id, n_tokens, cast(pack_id AS BIGINT) AS pack_id FROM packed
 """,
         "pmi_bigrams": f"""
 WITH {TRANSCRIPTS_CTE},

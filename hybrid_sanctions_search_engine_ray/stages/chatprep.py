@@ -317,3 +317,74 @@ def loss_mask_spans(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
         .groupby("bucket")
         .map_groups(spans, batch_format="pandas")
     )
+
+
+def pack_conversations(rendered_ds, cfg=None, budget: int = 512,
+                       range_size: int = 1024):
+    """Chat-corpus packing: assign each RENDERED conversation (in
+    conv_id order) to the training pack whose token budget its
+    predecessors fill — ``pack_id = tokens_before // budget``. The
+    final step of the SFT assembly line (chat_render → tokenize →
+    pack); packs are contiguous conversation runs of ≈``budget``
+    analyzer tokens.
+
+    Same distributed-prefix-sum shape as relational.pack_bins: token
+    counts are one streaming analyzer pass ((conv, n_tokens) pairs,
+    ~tens of bytes each); per-range partial sums (range = conv ordinal
+    // range_size, the ordinal parsed from the conv-%08d id) ship a
+    range-count-sized table to the driver for exclusive offsets; one
+    groupby(range) pass cumsums within ranges. Rendered text shuffles
+    zero times after the render itself.
+
+    Returns (conv_id, n_tokens, pack_id)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    cfg = cfg or AnalyzerConfig()
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": pa.array(np.arange(len(b)), pa.int64()),
+                      "text": b["rendered"]})
+        parent, _terms = flat_terms(t, cfg)
+        n = np.zeros(len(b), dtype=np.int64)
+        if parent.size:
+            starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+            n[parent[starts]] = np.diff(np.r_[starts, parent.size])
+        conv = b["conv_id"].to_numpy(zero_copy_only=False)
+        ordinal = np.array([int(str(c).rsplit("-", 1)[-1]) for c in conv],
+                           dtype=np.int64)
+        return pa.table({"conv_id": pa.array(conv, pa.string()),
+                         "ordinal": pa.array(ordinal),
+                         "n_tokens": pa.array(n),
+                         "rng": pa.array(ordinal // range_size)})
+
+    pairs = rendered_ds.map_batches(counts, batch_format="pyarrow").materialize()
+
+    def rng_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"rng": b["rng"], "n": b["n_tokens"]}).group_by("rng").aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["rng", "n_p"])
+
+    totals = (
+        pairs.map_batches(rng_partial, batch_format="pyarrow")
+        .groupby("rng").aggregate(Sum("n_p", alias_name="n")).to_pandas()
+        .sort_values("rng", kind="mergesort")
+    )
+    rngs = totals["rng"].to_numpy(np.int64)
+    offsets = np.r_[0, np.cumsum(totals["n"].to_numpy(np.int64))][:-1]
+    off_ref = ray.put({"rngs": rngs, "offsets": offsets})
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(off_ref)
+        g = g.sort_values("ordinal", kind="mergesort").reset_index(drop=True)
+        base = o["offsets"][int(np.searchsorted(o["rngs"], int(g["rng"].iloc[0])))]
+        n = g["n_tokens"].to_numpy(np.int64)
+        before = base + np.cumsum(n) - n
+        return pd.DataFrame({"conv_id": g["conv_id"],
+                             "n_tokens": g["n_tokens"].astype(np.int64),
+                             "pack_id": (before // budget).astype(np.int64)})
+
+    return pairs.groupby("rng").map_groups(assign, batch_format="pandas")

@@ -140,3 +140,23 @@ def test_conv_split_no_leakage(ray_session):
     assert int(out["n_leaked"].iloc[0]) == 0
     assert set(out["split"]) <= {"train", "val", "test"}
     assert out["n_turns"].sum() == 500 and out["n_convs"].sum() == 63
+
+
+def test_pack_conversations_contiguous_budget(ray_session):
+    """Packs are contiguous conv runs; every pack except possibly the
+    last stops only once the budget is crossed."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import pack_conversations
+
+    df = pd.DataFrame({
+        "conv_id": [f"conv-{i:08d}" for i in range(40)],
+        "rendered": ["tok " * (7 + i % 11) for i in range(40)],
+    })
+    out = (pack_conversations(rd.from_pandas(df).repartition(4), budget=50)
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    n = out["n_tokens"].to_numpy()
+    before = np.cumsum(n) - n
+    np.testing.assert_array_equal(out["pack_id"].to_numpy(), before // 50)
+    # contiguity: pack ids are nondecreasing in conv order
+    assert (np.diff(out["pack_id"].to_numpy()) >= 0).all()

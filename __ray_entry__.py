@@ -8625,6 +8625,19 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+def q_term_dispersion(sf_dir: str):
+    """Term burstiness (Church & Gale): index of dispersion of per-doc
+    tf over containing docs, integer sufficient statistics, top 20 with
+    df ≥ 50 — the topical-vs-function-word separation signal
+    (stages/textops.term_dispersion)."""
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textops import term_dispersion
+
+    return term_dispersion(transcripts_from_documents(sf_dir),
+                           AnalyzerConfig(mode="simple"), min_df=50, top_n=20)
+
+
 _SFTDS_BUDGET = 512
 
 
@@ -8810,6 +8823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": q_csv_roundtrip,
         "pmi_bigrams": q_pmi_bigrams,
         "sft_dataset": q_sft_dataset,
+        "term_dispersion": q_term_dispersion,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14280,6 +14294,21 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "term_dispersion": f"""
+WITH {TRANSCRIPTS_CTE},
+stats2 AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS s1,
+         sum(tf * tf)::BIGINT AS s2
+  FROM tf GROUP BY term),
+scored AS (
+  SELECT term, df, s1,
+         round((df * s2 - s1 * s1) / (df * s1::DOUBLE), 4) AS dispersion
+  FROM stats2 WHERE df >= 50),
+rk AS (SELECT term, df, s1, dispersion,
+              row_number() OVER (ORDER BY dispersion DESC, term) AS rn
+       FROM scored)
+SELECT term, df, s1, dispersion FROM rk WHERE rn <= 20
 """,
         "sft_dataset": f"""
 WITH t AS (

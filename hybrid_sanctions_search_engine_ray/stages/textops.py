@@ -557,3 +557,63 @@ def fim_split(batch: pa.Table, text_col: str = "text",
         "b": pa.array(b_out, pa.int64()),
         "fim_text": fim,
     })
+
+
+def term_dispersion(ds, cfg: AnalyzerConfig | None = None,
+                    min_df: int = 50, top_n: int = 20):
+    """Term burstiness: the index of dispersion (population variance /
+    mean) of a term's per-document tf, over the documents containing it
+    — Church & Gale's burstiness signal separating topical terms
+    (bursty: a doc that mentions them mentions them often) from
+    function words (evenly sprinkled). With integer sufficient
+    statistics ``df, s1 = Σtf, s2 = Σtf²``:
+
+        D = (df·s2 − s1²) / (df·s1)      (round4)
+
+    One tokenize scan → per-batch (term, df/s1/s2) partials (per-doc tf
+    is in-batch: a document's tokens never split) → ONE vocab-sized
+    3-sum groupby; top-``top_n`` by (D desc, term) among df ≥ min_df.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cfg = cfg or AnalyzerConfig()
+
+    def partial(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg)
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df_p": pa.array([], pa.int64()),
+                          "s1_p": pa.array([], pa.int64()),
+                          "s2_p": pa.array([], pa.int64())})
+        if parent.size == 0:
+            return empty
+        t = pa.table({"d": pa.array(parent), "term": terms})
+        g = t.group_by(["d", "term"]).aggregate([([], "count_all")])
+        tf = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t2 = pa.table({"term": g["term"], "one": pa.array(np.ones(len(g), np.int64)),
+                       "s1": pa.array(tf), "s2": pa.array(tf * tf)})
+        gg = t2.group_by("term").aggregate([("one", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return pa.table({"term": gg["term"],
+                         "df_p": gg["one_sum"].cast(pa.int64()),
+                         "s1_p": gg["s1_sum"].cast(pa.int64()),
+                         "s2_p": gg["s2_sum"].cast(pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_p", alias_name="df"),
+                   Sum("s1_p", alias_name="s1"),
+                   Sum("s2_p", alias_name="s2"))
+        .to_pandas()
+    )
+    agg = agg[agg["df"] >= min_df].copy()
+    df_ = agg["df"].to_numpy(np.int64).astype(np.float64)
+    s1 = agg["s1"].to_numpy(np.int64).astype(np.float64)
+    s2 = agg["s2"].to_numpy(np.int64).astype(np.float64)
+    d = (df_ * s2 - s1 * s1) / (df_ * s1)
+    agg["dispersion"] = np.sign(d) * np.floor(np.abs(d) * 1e4 + 0.5) / 1e4
+    agg["df"] = agg["df"].astype(np.int64)
+    agg["s1"] = agg["s1"].astype(np.int64)
+    out = agg.sort_values(["dispersion", "term"], ascending=[False, True],
+                          kind="mergesort").head(top_n)
+    return out[["term", "df", "s1", "dispersion"]].reset_index(drop=True)

@@ -177,3 +177,28 @@ def test_ngram_diversity_brute(ray_session):
     # source b: "w w w w" -> 4 tokens 1 type, 2 trigrams 1 distinct; empty doc adds nothing
     assert out.loc["b", "n_tokens"] == 4 and out.loc["b", "n_types"] == 1
     assert out.loc["b", "n_grams"] == 2 and out.loc["b", "n_distinct_grams"] == 1
+
+
+def test_term_dispersion_bursty_vs_even(ray_session):
+    """A term concentrated in few docs (bursty) must out-score a term
+    sprinkled once-per-doc (D == 0); values match the closed form."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.stages.textops import term_dispersion
+
+    texts = (["even filler"] * 12                       # even: tf=1 in 12 docs
+             + ["bursty " * 6 + "pad"] * 2              # bursty: tf=6 in 2 docs
+             + ["bursty pad"] * 10)                     # plus tf=1 in 10 docs
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )).repartition(3)
+    out = term_dispersion(ds, AnalyzerConfig(mode="simple"), min_df=10, top_n=10)
+    row = out.set_index("term")
+    assert row.loc["even", "dispersion"] == 0.0
+    # bursty: df=12, s1=2*6+10=22, s2=2*36+10=82 → D=(12*82-484)/(12*22)
+    exp = (12 * 82 - 22 * 22) / (12 * 22)
+    assert row.loc["bursty", "dispersion"] == np.floor(exp * 1e4 + 0.5) / 1e4
+    assert out.iloc[0].term == "bursty"

@@ -8625,6 +8625,21 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (LBFS/restic Rabin split): polynomial
+    rolling-hash boundaries (8-codepoint window, H%64==0), cross-doc
+    distinct-chunk dedup count — the dedup-STORAGE primitive
+    (stages/dedup.cdc_chunk_stats). Exact twin: the 8-term hash as a
+    literal SQL expression over generate_series positions."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import cdc_chunk_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return cdc_chunk_stats(docs)
+
+
 def q_term_dispersion(sf_dir: str):
     """Term burstiness (Church & Gale): index of dispersion of per-doc
     tf over containing docs, integer sufficient statistics, top 20 with
@@ -8824,6 +8839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q_pmi_bigrams,
         "sft_dataset": q_sft_dataset,
         "term_dispersion": q_term_dispersion,
+        "cdc_chunks": q_cdc_chunks,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14294,6 +14310,42 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "cdc_chunks": """
+WITH pos AS (
+  SELECT doc_id, text, length(text) AS L,
+         unnest(generate_series(8, length(text) - 1)) AS p
+  FROM documents WHERE length(text) >= 9),
+hb AS (
+  SELECT doc_id, p,
+         ( unicode(substr(text, p,     1))::BIGINT
+         + unicode(substr(text, p - 1, 1))::BIGINT * 37
+         + unicode(substr(text, p - 2, 1))::BIGINT * 1369
+         + unicode(substr(text, p - 3, 1))::BIGINT * 50653
+         + unicode(substr(text, p - 4, 1))::BIGINT * 1874161
+         + unicode(substr(text, p - 5, 1))::BIGINT * 69343957
+         + unicode(substr(text, p - 6, 1))::BIGINT * 2565726409
+         + unicode(substr(text, p - 7, 1))::BIGINT * 94931877133 ) AS h
+  FROM pos),
+bnd AS (SELECT doc_id, p FROM hb WHERE h % 64 = 0),
+ends AS (
+  SELECT doc_id, p AS e FROM bnd
+  UNION ALL
+  SELECT doc_id, length(text) AS e FROM documents WHERE length(text) > 0),
+spans AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+         e
+  FROM ends),
+chunks AS (
+  SELECT sp.doc_id, substr(d.text, sp.s, sp.e - sp.s + 1) AS ch,
+         sp.e - sp.s + 1 AS clen
+  FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id)
+SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_chunks,
+       count(DISTINCT ch)::BIGINT AS n_distinct_chunks,
+       round(sum(clen) / count(*)::DOUBLE, 4) AS mean_chunk_len
+FROM chunks
 """,
         "term_dispersion": f"""
 WITH {TRANSCRIPTS_CTE},

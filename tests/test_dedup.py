@@ -289,3 +289,51 @@ def test_sorted_neighborhood_block_order_is_numeric(ray_session):
     exp = {(i, i + d) for d in (1, 2) for i in range(n - d)}
     got = set(zip(out.doc_a, out.doc_b))
     assert got == exp
+
+
+def test_cdc_chunks_properties(ray_session):
+    """CDC boundaries are content-defined: identical docs produce
+    identical chunk sets (distinct count collapses), and an edit far
+    from a boundary leaves other chunks intact (brute replay)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import (
+        _CDC_A,
+        _CDC_MASK,
+        _CDC_W,
+        cdc_chunk_stats,
+    )
+
+    def brute_chunks(s: str) -> list[str]:
+        cp = [ord(c) for c in s]
+        L = len(cp)
+        bps = []
+        for p in range(_CDC_W, L):            # 1-based p in [8, L-1]
+            h = sum(cp[p - 1 - k] * int(_CDC_A) ** k for k in range(_CDC_W))
+            if h % int(_CDC_MASK) == 0:
+                bps.append(p)
+        ends = bps + [L]
+        starts = [0] + bps
+        return [s[a:e] for a, e in zip(starts, ends)]
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    texts = [base, base, base[:500] + "X" + base[500:], "short", ""]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )).repartition(2)
+    out = cdc_chunk_stats(ds).iloc[0]
+
+    all_chunks = [c for t in texts if t for c in brute_chunks(t)]
+    assert int(out.n_docs) == 4                      # empty doc excluded
+    assert int(out.n_chunks) == len(all_chunks)
+    assert int(out.n_distinct_chunks) == len(set(all_chunks))
+    # duplication: the two identical docs share every chunk
+    assert int(out.n_distinct_chunks) < int(out.n_chunks)
+    exp_mean = sum(len(c) for c in all_chunks) / len(all_chunks)
+    assert out.mean_chunk_len == np.floor(exp_mean * 1e4 + 0.5) / 1e4
+    # content-defined: the edited copy still shares most chunks with base
+    base_distinct = set(brute_chunks(base))
+    shared = base_distinct & set(brute_chunks(texts[2]))
+    assert len(shared) >= 0.6 * len(base_distinct)

@@ -8625,6 +8625,41 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+_CONT_MIN = 0.05
+
+
+def q_containment_pairs(sf_dir: str):
+    """Broder containment (the asymmetric companion to Jaccard): for
+    the same doc-prefix pair set, cont = |A∩B|/min-side size — detects a
+    short doc embedded in a long one, which resemblance dilutes
+    (stages/dedup.containment_verify)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import containment_verify
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", _JACCARD_DOCS)],
+    )
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    ids = sorted(texts)
+    pairs = pd.DataFrame(
+        [(a, b) for a, b in itertools.combinations(ids, 2)],
+        columns=["doc_a", "doc_b"])
+    out = containment_verify(pairs, texts, shingle_k=3)
+    out = out[out["containment"] >= _CONT_MIN].reset_index(drop=True)
+    return pd.DataFrame({
+        "doc_a": out["doc_a"].astype(np.int64),
+        "doc_b": out["doc_b"].astype(np.int64),
+        "cont_a": out["cont_a"].astype(float),
+        "cont_b": out["cont_b"].astype(float),
+        "containment": out["containment"].astype(float),
+    })
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (LBFS/restic Rabin split): polynomial
     rolling-hash boundaries (8-codepoint window, H%64==0), cross-doc
@@ -8840,6 +8875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_dataset": q_sft_dataset,
         "term_dispersion": q_term_dispersion,
         "cdc_chunks": q_cdc_chunks,
+        "containment_pairs": q_containment_pairs,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14310,6 +14346,32 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "containment_pairs": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM tokpos a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.doc_id < {_JACCARD_DOCS}
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM sh x JOIN sh y ON y.sh = x.sh AND y.doc_id > x.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+co AS (
+  SELECT i.a AS doc_a, i.b AS doc_b,
+         round(i.i * 1.0 / ca.c, 6) AS cont_a,
+         round(i.i * 1.0 / cb.c, 6) AS cont_b
+  FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+)
+SELECT doc_a, doc_b, cont_a, cont_b,
+       greatest(cont_a, cont_b) AS containment
+FROM co WHERE greatest(cont_a, cont_b) >= {_CONT_MIN}
 """,
         "cdc_chunks": """
 WITH pos AS (

@@ -875,3 +875,37 @@ def cdc_chunk_stats(ds, text_col: str = "text"):
         "n_distinct_chunks": [np.int64(n_distinct)],
         "mean_chunk_len": [mean_len],
     })
+
+
+def containment_verify(pairs_df: pd.DataFrame, texts: dict[int, str],
+                       shingle_k: int = 3,
+                       cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+    """Exact shingle CONTAINMENT for candidate pairs (Broder '97's
+    asymmetric companion to resemblance): ``cont_a = |A∩B| / |A|``,
+    ``cont_b = |A∩B| / |B|``, ``containment = max`` — catches a short
+    document embedded verbatim in a long one, which Jaccard dilutes
+    toward 0 (the quote / boilerplate-inclusion dedup case). Same
+    broadcast-candidate-subset shape as jaccard_verify."""
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    analyzer = get_analyzer(cfg or AnalyzerConfig())
+    cache: dict[int, set] = {}
+
+    def sh(doc: int) -> set:
+        if doc not in cache:
+            toks = np.array(analyzer(texts.get(doc, "")), dtype=object)
+            cache[doc] = set(_shingle_hashes(toks, shingle_k).tolist())
+        return cache[doc]
+
+    ca, cb = [], []
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        sa, sb = sh(int(a)), sh(int(b))
+        inter = len(sa & sb)
+        ca.append(inter / len(sa) if sa else 0.0)
+        cb.append(inter / len(sb) if sb else 0.0)
+    out = pairs_df.copy()
+    out["cont_a"] = round_half_away(np.asarray(ca, dtype=np.float64), 6)
+    out["cont_b"] = round_half_away(np.asarray(cb, dtype=np.float64), 6)
+    out["containment"] = np.maximum(out["cont_a"], out["cont_b"])
+    return out

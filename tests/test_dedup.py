@@ -337,3 +337,25 @@ def test_cdc_chunks_properties(ray_session):
     base_distinct = set(brute_chunks(base))
     shared = base_distinct & set(brute_chunks(texts[2]))
     assert len(shared) >= 0.6 * len(base_distinct)
+
+
+def test_containment_embedded_doc():
+    """A short doc embedded verbatim in a long one: containment ≈ 1
+    while Jaccard is small — the signal containment exists for."""
+    import pandas as pd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import (
+        containment_verify,
+        jaccard_verify,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = "intro words here " + short + " plus a very long tail " + \
+        " ".join(f"tok{i}" for i in range(60))
+    texts = {0: short, 1: long_}
+    pairs = pd.DataFrame({"doc_a": [0], "doc_b": [1]})
+    cont = containment_verify(pairs, texts).iloc[0]
+    jac = jaccard_verify(pairs, texts).iloc[0]
+    assert cont.cont_a == 1.0                 # every short-shingle is in long
+    assert cont.containment == 1.0
+    assert jac.jaccard < 0.2                  # resemblance dilutes it

@@ -8625,6 +8625,23 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+_KANON_KS = [2, 5, 10]
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (Sweeney 2002) on the (lang, source) quasi-
+    identifier: classes below k are re-identifiable — the governance
+    gate complementing content-level PII redaction
+    (stages/validate.k_anonymity_audit)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.validate import k_anonymity_audit
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "source"])
+    return k_anonymity_audit(docs, ["lang", "source"], _KANON_KS)
+
+
 _CONT_MIN = 0.05
 
 
@@ -8876,6 +8893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_dispersion": q_term_dispersion,
         "cdc_chunks": q_cdc_chunks,
         "containment_pairs": q_containment_pairs,
+        "k_anonymity": q_k_anonymity,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14346,6 +14364,20 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "k_anonymity": f"""
+WITH cls AS (
+  SELECT lang, source, count(*)::BIGINT AS c
+  FROM documents GROUP BY lang, source),
+tot AS (SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS nc FROM cls),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in _KANON_KS)})
+SELECT ks.k::BIGINT AS k,
+       tot.nc AS n_classes,
+       sum(CASE WHEN cls.c < ks.k THEN 1 ELSE 0 END)::BIGINT AS n_classes_at_risk,
+       sum(CASE WHEN cls.c < ks.k THEN cls.c ELSE 0 END)::BIGINT AS n_rows_at_risk,
+       round(sum(CASE WHEN cls.c < ks.k THEN cls.c ELSE 0 END) / tot.t::DOUBLE, 4) AS risk_frac
+FROM ks CROSS JOIN cls CROSS JOIN tot
+GROUP BY ks.k, tot.nc, tot.t
 """,
         "containment_pairs": f"""
 WITH {TRANSCRIPTS_CTE},

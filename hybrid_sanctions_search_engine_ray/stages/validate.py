@@ -115,3 +115,45 @@ def smart_prefilter(batch: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("confidence", pa.array(conf, pa.float64()))
         .append_column("should_process", pa.array(should))
     )
+
+
+def k_anonymity_audit(ds, quasi_cols: list[str], ks: list[int]):
+    """k-anonymity audit (Sweeney 2002) over a quasi-identifier
+    combination: rows whose equivalence class (identical quasi-id
+    tuple) has fewer than k members are re-identifiable at that k. The
+    data-governance gate a corpus passes before release — the
+    structural complement of content-level PII redaction
+    (stages/redact.py).
+
+    One class-keyed exchange of per-batch partial counts (classes-sized,
+    never row-sized); the per-k report is computed on the driver from
+    the class table. Returns one row per k:
+    (k, n_classes, n_classes_at_risk, n_rows_at_risk, risk_frac round4).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(quasi_cols)
+        g = t.group_by(quasi_cols).aggregate([([], "count_all")])
+        return g.rename_columns(quasi_cols + ["c_p"])
+
+    classes = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(quasi_cols)
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+    )
+    c = classes["c"].to_numpy(np.int64)
+    total = int(c.sum())
+    rows = []
+    for k in ks:
+        risk = c < k
+        n_rows = int(c[risk].sum())
+        frac = 0.0 if total == 0 else \
+            float(np.floor(n_rows / total * 1e4 + 0.5) / 1e4)
+        rows.append((int(k), len(c), int(risk.sum()), n_rows, frac))
+    return pd.DataFrame(rows, columns=["k", "n_classes", "n_classes_at_risk",
+                                       "n_rows_at_risk", "risk_frac"]).astype(
+        {"k": np.int64, "n_classes": np.int64, "n_classes_at_risk": np.int64,
+         "n_rows_at_risk": np.int64})

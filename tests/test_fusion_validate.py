@@ -109,3 +109,24 @@ def test_smart_prefilter_cyrillic_markers():
     out2 = smart_prefilter(pa.table({"text": pa.array(["оплатах", "balance"])})).to_pandas()
     assert not out2["context_signal"].any()
     assert not out2["company_signal"].any()
+
+
+def test_k_anonymity_audit(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.validate import k_anonymity_audit
+
+    # classes: (a,x)=6 rows, (a,y)=3, (b,x)=1
+    df = pd.DataFrame({"lang": ["a"] * 9 + ["b"],
+                       "source": ["x"] * 6 + ["y"] * 3 + ["x"]})
+    out = k_anonymity_audit(rd.from_pandas(df).repartition(3),
+                            ["lang", "source"], [2, 4, 10]).set_index("k")
+    assert int(out.loc[2, "n_classes_at_risk"]) == 1          # the singleton
+    assert int(out.loc[2, "n_rows_at_risk"]) == 1
+    assert int(out.loc[4, "n_classes_at_risk"]) == 2          # +(a,y)
+    assert int(out.loc[4, "n_rows_at_risk"]) == 4
+    assert int(out.loc[10, "n_classes_at_risk"]) == 3         # everything
+    assert out.loc[10, "risk_frac"] == 1.0
+    assert (out["n_classes"] == 3).all()

@@ -8625,6 +8625,48 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+_LDIV_LS = [2, 3]
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit (Machanavajjhala et al. 2007): classes of the
+    source quasi-identifier with < l distinct lang values leak the
+    sensitive attribute even when k-anonymous
+    (stages/validate.l_diversity_audit)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.validate import l_diversity_audit
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "source"])
+    return l_diversity_audit(docs, ["source"], "lang", _LDIV_LS)
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit on the monetary column: leading digit
+    of integer cents (no float log10 in the digit path) vs the Benford
+    expectation with per-digit chi-square terms
+    (stages/es_aggs.benford_audit)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import benford_audit
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    return benford_audit(ev)
+
+
+def q_vocab_gini(sf_dir: str):
+    """Gini coefficient of the term-frequency distribution — the
+    Zipf-skew inequality summary (stages/textops.vocab_gini)."""
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textops import vocab_gini
+
+    return vocab_gini(transcripts_from_documents(sf_dir),
+                      AnalyzerConfig(mode="simple"))
+
+
 _KANON_KS = [2, 5, 10]
 
 
@@ -8894,6 +8936,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q_cdc_chunks,
         "containment_pairs": q_containment_pairs,
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "benford": q_benford,
+        "vocab_gini": q_vocab_gini,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14364,6 +14409,50 @@ qb AS (
 SELECT q.term, cast(min(coalesce(rs.c, 0)) AS BIGINT) AS est
 FROM qb q LEFT JOIN rowsum rs ON rs.r = q.r AND rs.bucket = q.bucket
 GROUP BY q.term ORDER BY q.term
+""",
+        "l_diversity": f"""
+WITH pairsld AS (
+  SELECT source, lang, count(*)::BIGINT AS c
+  FROM documents GROUP BY source, lang),
+cls AS (
+  SELECT source, count(DISTINCT lang)::BIGINT AS nd, sum(c)::BIGINT AS nr
+  FROM pairsld GROUP BY source),
+tot AS (SELECT sum(nr)::BIGINT AS t, count(*)::BIGINT AS nc FROM cls),
+ls(l) AS (VALUES {", ".join(f"({l})" for l in _LDIV_LS)})
+SELECT ls.l::BIGINT AS l,
+       tot.nc AS n_classes,
+       sum(CASE WHEN cls.nd < ls.l THEN 1 ELSE 0 END)::BIGINT AS n_classes_at_risk,
+       sum(CASE WHEN cls.nd < ls.l THEN cls.nr ELSE 0 END)::BIGINT AS n_rows_at_risk,
+       round(sum(CASE WHEN cls.nd < ls.l THEN cls.nr ELSE 0 END) / tot.t::DOUBLE, 4) AS risk_frac
+FROM ls CROSS JOIN cls CROSS JOIN tot
+GROUP BY ls.l, tot.nc, tot.t
+""",
+        "benford": """
+WITH cents AS (
+  SELECT cast(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE cast(round(value * 100) AS BIGINT) > 0),
+dg AS (SELECT cast(substr(cast(v AS varchar), 1, 1) AS BIGINT) AS digit FROM cents),
+cnt AS (SELECT digit, count(*)::BIGINT AS n FROM dg GROUP BY digit),
+spine AS (SELECT unnest(generate_series(1, 9))::BIGINT AS digit),
+tot AS (SELECT sum(n)::BIGINT AS t FROM cnt),
+j AS (
+  SELECT spine.digit, coalesce(cnt.n, 0)::BIGINT AS n,
+         tot.t AS t, log10(1.0 + 1.0 / spine.digit) AS bp
+  FROM spine LEFT JOIN cnt USING (digit) CROSS JOIN tot)
+SELECT digit, n,
+       round(n / t::DOUBLE, 4) AS observed_p,
+       round(bp, 4) AS benford_p,
+       round((n - t * bp) * (n - t * bp) / (t * bp), 4) AS chi2_term
+FROM j
+""",
+        "vocab_gini": f"""
+WITH {TRANSCRIPTS_CTE},
+cfg2 AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+rk AS (SELECT c, row_number() OVER (ORDER BY c, term) AS rn FROM cfg2)
+SELECT count(*)::BIGINT AS n_terms,
+       sum(c)::BIGINT AS total_tokens,
+       round(2.0 * sum(rn * c) / (count(*) * sum(c)) - (count(*) + 1.0) / count(*), 4) AS gini
+FROM rk
 """,
         "k_anonymity": f"""
 WITH cls AS (

@@ -617,3 +617,41 @@ def term_dispersion(ds, cfg: AnalyzerConfig | None = None,
     out = agg.sort_values(["dispersion", "term"], ascending=[False, True],
                           kind="mergesort").head(top_n)
     return out[["term", "df", "s1", "dispersion"]].reset_index(drop=True)
+
+
+def vocab_gini(ds, cfg: AnalyzerConfig | None = None):
+    """Gini coefficient of the corpus term-frequency distribution — the
+    inequality summary of Zipfian skew (0 = uniform vocabulary use,
+    →1 = a few stop words carry everything): with counts c_(1) ≤ … ≤
+    c_(n), ``G = 2·Σ i·c_(i) / (n·Σc) − (n+1)/n``. Tie order cannot
+    change the sum (equal values × a fixed position block), so the
+    statistic is deterministic. One tokenize scan → vocab-sized count
+    exchange → driver sort of the (small) vocabulary."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cfg = cfg or AnalyzerConfig()
+
+    def partial(b: pa.Table) -> pa.Table:
+        _parent, terms = flat_terms(b, cfg)
+        if len(terms) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        g = pa.table({"term": terms}).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "c_p": g["count_all"].cast(pa.int64())})
+
+    cf = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("c_p", alias_name="c")).to_pandas())
+    cf = cf.sort_values(["c", "term"], kind="mergesort").reset_index(drop=True)
+    c = cf["c"].to_numpy(np.int64)
+    n = c.size
+    tot = int(c.sum())
+    if n == 0 or tot == 0:
+        g = 0.0
+    else:
+        i = np.arange(1, n + 1, dtype=np.float64)
+        g = 2.0 * float((i * c).sum()) / (n * tot) - (n + 1.0) / n
+    g = float(np.sign(g) * np.floor(abs(g) * 1e4 + 0.5) / 1e4)
+    return pd.DataFrame({"n_terms": [np.int64(n)],
+                         "total_tokens": [np.int64(tot)],
+                         "gini": [g]})

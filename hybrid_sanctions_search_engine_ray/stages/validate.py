@@ -157,3 +157,42 @@ def k_anonymity_audit(ds, quasi_cols: list[str], ks: list[int]):
                                        "n_rows_at_risk", "risk_frac"]).astype(
         {"k": np.int64, "n_classes": np.int64, "n_classes_at_risk": np.int64,
          "n_rows_at_risk": np.int64})
+
+
+def l_diversity_audit(ds, quasi_cols: list[str], sensitive_col: str,
+                      ls: list[int]):
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    companion: an equivalence class is l-diverse if it contains at
+    least l DISTINCT sensitive values; homogeneous classes leak the
+    sensitive attribute even when k-anonymous. One (class, sensitive)-
+    keyed exchange of distinct pairs; per-l report like the k-audit."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(quasi_cols + [sensitive_col])
+        g = t.group_by(quasi_cols + [sensitive_col]).aggregate([([], "count_all")])
+        return g.rename_columns(quasi_cols + [sensitive_col, "c_p"])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(quasi_cols + [sensitive_col])
+        .aggregate(Sum("c_p", alias_name="c"))
+        .to_pandas()
+    )
+    grp = pairs.groupby(quasi_cols, sort=False).agg(
+        n_distinct=(sensitive_col, "nunique"), n_rows=("c", "sum"))
+    nd = grp["n_distinct"].to_numpy(np.int64)
+    nr = grp["n_rows"].to_numpy(np.int64)
+    total = int(nr.sum())
+    rows = []
+    for l in ls:
+        risk = nd < l
+        n_rows = int(nr[risk].sum())
+        frac = 0.0 if total == 0 else \
+            float(np.floor(n_rows / total * 1e4 + 0.5) / 1e4)
+        rows.append((int(l), len(nd), int(risk.sum()), n_rows, frac))
+    return pd.DataFrame(rows, columns=["l", "n_classes", "n_classes_at_risk",
+                                       "n_rows_at_risk", "risk_frac"]).astype(
+        {"l": np.int64, "n_classes": np.int64, "n_classes_at_risk": np.int64,
+         "n_rows_at_risk": np.int64})

@@ -130,3 +130,48 @@ def test_k_anonymity_audit(ray_session):
     assert int(out.loc[10, "n_classes_at_risk"]) == 3         # everything
     assert out.loc[10, "risk_frac"] == 1.0
     assert (out["n_classes"] == 3).all()
+
+
+def test_l_diversity_audit(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.validate import l_diversity_audit
+
+    # class x: langs {a,b,c}; class y: lang {a} only (homogeneous, 4 rows)
+    df = pd.DataFrame({"source": ["x"] * 6 + ["y"] * 4,
+                       "lang": ["a", "a", "b", "b", "c", "c"] + ["a"] * 4})
+    out = l_diversity_audit(rd.from_pandas(df).repartition(3),
+                            ["source"], "lang", [2, 4]).set_index("l")
+    assert int(out.loc[2, "n_classes_at_risk"]) == 1
+    assert int(out.loc[2, "n_rows_at_risk"]) == 4
+    assert int(out.loc[4, "n_classes_at_risk"]) == 2   # x has only 3 distinct
+    assert out.loc[4, "risk_frac"] == 1.0
+
+
+def test_benford_and_gini(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import benford_audit
+    from hybrid_sanctions_search_engine_ray.stages.textops import vocab_gini
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+
+    # exact digit counts: values 1.00..9.00 once each → every digit n=1
+    ev = rd.from_pandas(pd.DataFrame({"value": [float(d) for d in range(1, 10)]
+                                      + [0.0, -3.0]}))  # nonpositive excluded
+    out = benford_audit(ev)
+    assert (out["n"] == 1).all() and len(out) == 9
+    assert abs(out["benford_p"].sum() - 1.0) < 1e-3
+
+    # gini: uniform counts → 0; maximally skewed → near 1
+    uni = vocab_gini(rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b c d"] * 4})), AnalyzerConfig(mode="simple"))
+    assert uni["gini"].iloc[0] == 0.0
+    skew = vocab_gini(rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(1, dtype=np.int64),
+        "text": ["rare " + "common " * 99]})), AnalyzerConfig(mode="simple"))
+    assert skew["gini"].iloc[0] > 0.45

@@ -8625,6 +8625,29 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+def q_zipf_fit(sf_dir: str):
+    """Zipf-law OLS fit of ln(count) on ln(rank) for terms with
+    count ≥ 5 — the corpus-health diagnostic
+    (stages/textops.zipf_fit)."""
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textops import zipf_fit
+
+    return zipf_fit(transcripts_from_documents(sf_dir),
+                    AnalyzerConfig(mode="simple"), min_count=5)
+
+
+def q_vocab_entropy(sf_dir: str):
+    """Shannon entropy (bits) + unigram perplexity of the term
+    distribution (stages/textops.vocab_entropy)."""
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textops import vocab_entropy
+
+    return vocab_entropy(transcripts_from_documents(sf_dir),
+                         AnalyzerConfig(mode="simple"))
+
+
 _LDIV_LS = [2, 3]
 
 
@@ -8939,6 +8962,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": q_l_diversity,
         "benford": q_benford,
         "vocab_gini": q_vocab_gini,
+        "zipf_fit": q_zipf_fit,
+        "vocab_entropy": q_vocab_entropy,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
         "chat_render": q_chat_render,
@@ -14444,6 +14469,31 @@ SELECT digit, n,
        round(bp, 4) AS benford_p,
        round((n - t * bp) * (n - t * bp) / (t * bp), 4) AS chi2_term
 FROM j
+""",
+        "zipf_fit": f"""
+WITH {TRANSCRIPTS_CTE},
+cfz AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term HAVING count(*) >= 5),
+rkz AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn FROM cfz),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(ln(rn)) AS sx, sum(ln(c)) AS sy,
+         sum(ln(rn) * ln(c)) AS sxy, sum(ln(rn) * ln(rn)) AS sxx
+  FROM rkz)
+SELECT n AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
+FROM m
+""",
+        "vocab_entropy": f"""
+WITH {TRANSCRIPTS_CTE},
+cfe AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+tote AS (SELECT sum(c)::DOUBLE AS t FROM cfe),
+h AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         -sum((c / tote.t) * log2(c / tote.t)) AS hb
+  FROM cfe CROSS JOIN tote GROUP BY tote.t)
+SELECT n_terms, round(hb, 4) AS entropy_bits, round(pow(2.0, hb), 4) AS perplexity
+FROM h
 """,
         "vocab_gini": f"""
 WITH {TRANSCRIPTS_CTE},

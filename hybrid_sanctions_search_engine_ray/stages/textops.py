@@ -655,3 +655,73 @@ def vocab_gini(ds, cfg: AnalyzerConfig | None = None):
     return pd.DataFrame({"n_terms": [np.int64(n)],
                          "total_tokens": [np.int64(tot)],
                          "gini": [g]})
+
+
+def zipf_fit(ds, cfg: AnalyzerConfig | None = None, min_count: int = 5):
+    """Zipf-law fit: OLS slope/intercept of ln(count) on ln(rank) over
+    terms with count ≥ min_count (rank by count desc, term) — the
+    corpus-health diagnostic (natural text sits near slope −1; synthetic
+    or templated corpora deviate). Closed-form OLS with the identical
+    moment formula on both engines; one vocab-sized count exchange."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cfg = cfg or AnalyzerConfig()
+
+    def partial(b: pa.Table) -> pa.Table:
+        _parent, terms = flat_terms(b, cfg)
+        if len(terms) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        g = pa.table({"term": terms}).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "c_p": g["count_all"].cast(pa.int64())})
+
+    cf = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("c_p", alias_name="c")).to_pandas())
+    cf = cf[cf["c"] >= min_count]
+    cf = cf.sort_values(["c", "term"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    n = len(cf)
+    r4 = lambda x: float(np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4)  # noqa: E731
+    if n < 2:
+        return pd.DataFrame({"n_points": [np.int64(n)], "slope": [0.0],
+                             "intercept": [0.0]})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(cf["c"].to_numpy(np.int64).astype(np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({"n_points": [np.int64(n)],
+                         "slope": [r4(slope)], "intercept": [r4(intercept)]})
+
+
+def vocab_entropy(ds, cfg: AnalyzerConfig | None = None):
+    """Shannon entropy (bits) + perplexity of the unigram term
+    distribution — the diversity summary beside the Gini/Zipf pair."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cfg = cfg or AnalyzerConfig()
+
+    def partial(b: pa.Table) -> pa.Table:
+        _parent, terms = flat_terms(b, cfg)
+        if len(terms) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c_p": pa.array([], pa.int64())})
+        g = pa.table({"term": terms}).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "c_p": g["count_all"].cast(pa.int64())})
+
+    cf = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("c_p", alias_name="c")).to_pandas())
+    c = cf["c"].to_numpy(np.int64).astype(np.float64)
+    tot = c.sum()
+    r4 = lambda x: float(np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4)  # noqa: E731
+    if tot == 0:
+        return pd.DataFrame({"n_terms": [np.int64(0)], "entropy_bits": [0.0],
+                             "perplexity": [0.0]})
+    p = c / tot
+    h = float(-(p * np.log2(p)).sum())
+    return pd.DataFrame({"n_terms": [np.int64(len(c))],
+                         "entropy_bits": [r4(h)],
+                         "perplexity": [r4(2.0 ** h)]})

@@ -202,3 +202,24 @@ def test_term_dispersion_bursty_vs_even(ray_session):
     exp = (12 * 82 - 22 * 22) / (12 * 22)
     assert row.loc["bursty", "dispersion"] == np.floor(exp * 1e4 + 0.5) / 1e4
     assert out.iloc[0].term == "bursty"
+
+
+def test_zipf_and_entropy_closed_forms(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.stages.textops import vocab_entropy, zipf_fit
+
+    cfg = AnalyzerConfig(mode="simple")
+    # perfect Zipf: counts 100, 50, 33, 25 ≈ 100/rank → slope ≈ -1
+    text = " ".join(["w1"] * 100 + ["w2"] * 50 + ["w3"] * 33 + ["w4"] * 25)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    fit = zipf_fit(ds, cfg, min_count=1).iloc[0]
+    assert int(fit.n_points) == 4 and -1.05 < fit.slope < -0.95
+
+    # uniform 4 symbols: H = 2 bits, perplexity 4
+    ds2 = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a b c d " * 5]}))
+    ent = vocab_entropy(ds2, cfg).iloc[0]
+    assert ent.entropy_bits == 2.0 and ent.perplexity == 4.0

@@ -8625,6 +8625,20 @@ def q_label_prop(sf_dir: str):
                              k=_LP_K, n_iter=_LP_ITER, seed_mod=_LP_SEED_MOD)
 
 
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index drift monitor: reference-half exact
+    integer-cents deciles, both halves histogrammed on those cuts,
+    per-bin (p−q)·ln(p/q) + PSI total — the training-serving drift gate
+    (stages/quantiles.psi_drift)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import psi_drift
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value", "ts"])
+    return psi_drift(ev, "value", "ts", n_bins=10)
+
+
 def q_zipf_fit(sf_dir: str):
     """Zipf-law OLS fit of ln(count) on ln(rank) for terms with
     count ≥ 5 — the corpus-health diagnostic
@@ -8963,6 +8977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford": q_benford,
         "vocab_gini": q_vocab_gini,
         "zipf_fit": q_zipf_fit,
+        "psi_drift": q_psi_drift,
         "vocab_entropy": q_vocab_entropy,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
@@ -14469,6 +14484,47 @@ SELECT digit, n,
        round(bp, 4) AS benford_p,
        round((n - t * bp) * (n - t * bp) / (t * bp), 4) AS chi2_term
 FROM j
+""",
+        "psi_drift": """
+WITH cvt AS (
+  SELECT cast(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS tsu
+  FROM events),
+mm AS (SELECT (min(tsu) + max(tsu)) // 2 AS mid FROM cvt),
+hist AS (
+  SELECT cents, count(*)::BIGINT AS c
+  FROM cvt CROSS JOIN mm WHERE tsu <= mid GROUP BY cents),
+cumh AS (
+  SELECT cents, sum(c) OVER (ORDER BY cents) AS cum, sum(c) OVER () AS n
+  FROM hist),
+ksp(k) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)),
+cuts AS (
+  SELECT ksp.k,
+         min(CASE WHEN cumh.cum >= (ksp.k * cumh.n + 9) // 10 THEN cumh.cents END) AS cut
+  FROM ksp CROSS JOIN cumh GROUP BY ksp.k),
+lab AS (
+  SELECT c.cents, CASE WHEN c.tsu <= mm.mid THEN 0 ELSE 1 END AS half,
+         (SELECT count(*) FROM cuts WHERE cuts.cut < c.cents)::BIGINT AS bin
+  FROM cvt c CROSS JOIN mm),
+bc AS (SELECT bin, half, count(*)::BIGINT AS c FROM lab GROUP BY bin, half),
+spine AS (SELECT unnest(generate_series(0, 9))::BIGINT AS bin),
+tot AS (
+  SELECT sum(CASE WHEN half = 0 THEN c ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN half = 1 THEN c ELSE 0 END)::BIGINT AS n1
+  FROM bc),
+jp AS (
+  SELECT spine.bin,
+         coalesce(max(CASE WHEN bc.half = 0 THEN bc.c END), 0)::BIGINT AS n_ref,
+         coalesce(max(CASE WHEN bc.half = 1 THEN bc.c END), 0)::BIGINT AS n_cur
+  FROM spine LEFT JOIN bc USING (bin) GROUP BY spine.bin),
+t2 AS (
+  SELECT bin, n_ref, n_cur,
+         greatest(n_ref / tot.n0::DOUBLE, 1e-6) AS p,
+         greatest(n_cur / tot.n1::DOUBLE, 1e-6) AS q
+  FROM jp CROSS JOIN tot)
+SELECT bin, n_ref, n_cur,
+       round((p - q) * ln(p / q), 4) AS psi_term,
+       round((SELECT sum((p2.p - p2.q) * ln(p2.p / p2.q)) FROM t2 p2), 4) AS psi_total
+FROM t2
 """,
         "zipf_fit": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -134,3 +134,81 @@ def grouped_interp_quantiles(ds, key: str, col: str, qs: list[float]):
         return pd.DataFrame(rows)
 
     return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def psi_drift(ds, value_col: str, ts_col: str, n_bins: int = 10,
+              split_us: int | None = None):
+    """Population Stability Index drift monitor (the credit-scoring /
+    MLOps training-serving drift metric): split the stream at the time
+    midpoint (or ``split_us``), cut the REFERENCE half's exact integer-
+    cents deciles, histogram both halves on those cuts, and report per
+    bin ``(p_i − q_i)·ln(p_i/q_i)`` plus the PSI total (<0.1 stable,
+    >0.25 drifted — the published rule of thumb).
+
+    Scale shape: min/max ts via one scalar agg; decile cuts from ONE
+    bounded (cents-value histogram) exchange over the reference half
+    (the exact-quantile pattern shared with curate_corpus); one
+    streaming labelling pass → bins×2 partial counts. Zero-count bins
+    take the standard ε=1e-6 smoothing (deterministic, shared with the
+    twin)."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Max, Min, Sum
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cents": pc_.round(pc_.multiply(b[value_col], 100)).cast(pa.int64()),
+            "tsu": pc_.cast(pc_.cast(b[ts_col], pa.timestamp("us")), pa.int64()),
+        })
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    mm = cents.aggregate(Min("tsu"), Max("tsu"))
+    mid = split_us if split_us is not None else (mm["min(tsu)"] + mm["max(tsu)"]) // 2
+
+    # exact reference-half deciles from a bounded value histogram
+    ref_hist = (
+        cents.map_batches(
+            lambda b: pa.table({"cents": b["cents"]}).filter(
+                pc_.less_equal(b["tsu"], mid)).group_by("cents").aggregate(
+                [([], "count_all")]).rename_columns(["cents", "c_p"]),
+            batch_format="pyarrow")
+        .groupby("cents").aggregate(Sum("c_p", alias_name="c")).to_pandas()
+        .sort_values("cents", kind="mergesort")
+    )
+    vals = ref_hist["cents"].to_numpy(np.int64)
+    cnts = ref_hist["c"].to_numpy(np.int64)
+    n_ref = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    # quantile_disc cut k/n_bins: smallest value with cum ≥ ceil(q·n)
+    cuts = np.array([vals[np.searchsorted(cum, -(-n_ref * k // n_bins))]
+                     for k in range(1, n_bins)], dtype=np.int64)
+
+    def label(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        half = np.where(b["tsu"].to_numpy(zero_copy_only=False) <= mid, 0, 1)
+        bin_ = np.searchsorted(cuts, c, side="left")
+        t = pa.table({"bin": pa.array(bin_.astype(np.int64)),
+                      "half": pa.array(half.astype(np.int64))})
+        g = t.group_by(["bin", "half"]).aggregate([([], "count_all")])
+        return pa.table({"bin": g["bin"], "half": g["half"],
+                         "c_p": g["count_all"].cast(pa.int64())})
+
+    counts = (cents.map_batches(label, batch_format="pyarrow")
+              .groupby(["bin", "half"]).aggregate(Sum("c_p", alias_name="c"))
+              .to_pandas())
+    full = np.zeros((n_bins, 2), dtype=np.int64)
+    for _, r in counts.iterrows():
+        full[int(r["bin"]), int(r["half"])] = int(r["c"])
+    n0, n1 = full[:, 0].sum(), full[:, 1].sum()
+    eps = 1e-6
+    p = np.maximum(full[:, 0] / max(n0, 1), eps)
+    q = np.maximum(full[:, 1] / max(n1, 1), eps)
+    term = (p - q) * np.log(p / q)
+    r4 = lambda x: np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4  # noqa: E731
+    out = pd.DataFrame({
+        "bin": np.arange(n_bins, dtype=np.int64),
+        "n_ref": full[:, 0], "n_cur": full[:, 1],
+        "psi_term": r4(term),
+    })
+    out["psi_total"] = r4(float(term.sum()))
+    return out

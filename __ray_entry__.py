@@ -8960,6 +8960,21 @@ def q_wds_export(sf_dir: str):
     )
 
 
+_PPR_SEEDS = ["join", "merge"]
+
+
+def q_ppr_related(sf_dir: str):
+    """Topic-sensitive PageRank (Haveliwala 2002): restart mass only on
+    the seed terms → vocabulary ranked by topical proximity — the
+    related-term expansion primitive on the TextRank integer contract
+    (stages/textrank.personalized_pagerank)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textrank import personalized_pagerank
+
+    return personalized_pagerank(transcripts_from_documents(sf_dir),
+                                 _PPR_SEEDS, n_iter=4, top_n=20)
+
+
 def q_hits(sf_dir: str):
     """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
     word-adjacency graph — all-integer re-normalized iterations on the
@@ -9034,6 +9049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": q_psi_drift,
         "frequent_triples": q_frequent_triples,
         "jaro_expand": q_jaro_expand,
+        "ppr_related": q_ppr_related,
         "vocab_entropy": q_vocab_entropy,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
@@ -14540,6 +14556,60 @@ SELECT digit, n,
        round(bp, 4) AS benford_p,
        round((n - t * bp) * (n - t * bp) / (t * bp), 4) AS chi2_term
 FROM j
+""",
+        "ppr_related": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+adjp AS (
+  SELECT a.term AS s, b.term AS t
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> b.term),
+edp AS (SELECT s, t FROM adjp UNION ALL SELECT t AS s, s AS t FROM adjp),
+ewp AS (SELECT s, t, count(*)::BIGINT AS w FROM edp GROUP BY s, t),
+wop AS (SELECT s, sum(w)::BIGINT AS wt FROM ewp GROUP BY s),
+sd(term) AS (VALUES {", ".join(f"('{t}')" for t in _PPR_SEEDS)}),
+p0 AS (SELECT wop.s AS term,
+              CASE WHEN sd.term IS NOT NULL THEN 150000000 ELSE 0 END::BIGINT AS r
+       FROM wop LEFT JOIN sd ON sd.term = wop.s),
+p1 AS (
+  SELECT n.term,
+         (CASE WHEN s2.term IS NOT NULL THEN 150000000 ELSE 0 END
+          + coalesce((85 * f.sc) // 100, 0))::BIGINT AS r
+  FROM p0 n
+  LEFT JOIN sd s2 ON s2.term = n.term
+  LEFT JOIN (SELECT e.t AS term, sum((r.r * e.w) // w2.wt) AS sc
+             FROM ewp e JOIN p0 r ON r.term = e.s JOIN wop w2 ON w2.s = e.s
+             GROUP BY e.t) f ON f.term = n.term),
+p2 AS (
+  SELECT n.term,
+         (CASE WHEN s2.term IS NOT NULL THEN 150000000 ELSE 0 END
+          + coalesce((85 * f.sc) // 100, 0))::BIGINT AS r
+  FROM p1 n
+  LEFT JOIN sd s2 ON s2.term = n.term
+  LEFT JOIN (SELECT e.t AS term, sum((r.r * e.w) // w2.wt) AS sc
+             FROM ewp e JOIN p1 r ON r.term = e.s JOIN wop w2 ON w2.s = e.s
+             GROUP BY e.t) f ON f.term = n.term),
+p3 AS (
+  SELECT n.term,
+         (CASE WHEN s2.term IS NOT NULL THEN 150000000 ELSE 0 END
+          + coalesce((85 * f.sc) // 100, 0))::BIGINT AS r
+  FROM p2 n
+  LEFT JOIN sd s2 ON s2.term = n.term
+  LEFT JOIN (SELECT e.t AS term, sum((r.r * e.w) // w2.wt) AS sc
+             FROM ewp e JOIN p2 r ON r.term = e.s JOIN wop w2 ON w2.s = e.s
+             GROUP BY e.t) f ON f.term = n.term),
+p4 AS (
+  SELECT n.term,
+         (CASE WHEN s2.term IS NOT NULL THEN 150000000 ELSE 0 END
+          + coalesce((85 * f.sc) // 100, 0))::BIGINT AS r
+  FROM p3 n
+  LEFT JOIN sd s2 ON s2.term = n.term
+  LEFT JOIN (SELECT e.t AS term, sum((r.r * e.w) // w2.wt) AS sc
+             FROM ewp e JOIN p3 r ON r.term = e.s JOIN wop w2 ON w2.s = e.s
+             GROUP BY e.t) f ON f.term = n.term),
+rkp AS (SELECT term, r, row_number() OVER (ORDER BY r DESC, term) AS rn
+        FROM p4 WHERE r > 0)
+SELECT term, r AS rank FROM rkp WHERE rn <= 20
 """,
         "jaro_expand": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -261,3 +261,58 @@ def pmi_bigrams(transcripts_ds, min_count: int = 5, top_n: int = 20,
     cand = edges.map_batches(score, batch_format="pandas").to_pandas()
     return (cand.sort_values(["pmi", "s", "t"], ascending=[False, True, True],
                              kind="mergesort").head(top_n).reset_index(drop=True))
+
+
+def personalized_pagerank(transcripts_ds, seeds: list[str], n_iter: int = 4,
+                          top_n: int = 20,
+                          cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+    """Topic-sensitive PageRank (Haveliwala, WWW 2002): the restart
+    mass lands ONLY on the seed terms, so the stationary-ish scores
+    rank the vocabulary by proximity to the seed topic — the
+    related-term expansion primitive. Same integer contract as
+    TextRank with a seed-conditional base:
+
+        r_{t+1}(v) = (v ∈ seeds ? 150_000_000 : 0)
+                     + (85 · Σ_{u→v} (r_t(u)·w) // W(u)) // 100
+
+    Same shuffle shape too: one symmetric edge build, K broadcast-rank
+    iterations over edge blocks. Returns top-``top_n`` (term, rank),
+    seeds included (they dominate by construction)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = build_adjacency(transcripts_ds, cfg).materialize()
+    wout = edges.groupby("s").aggregate(Sum("w", alias_name="W")).to_pandas()
+    nodes = wout["s"].to_numpy(dtype=object)
+    w_of = dict(zip(nodes, wout["W"].astype(np.int64)))
+    w_ref = ray.put(w_of)
+    seed_set = set(seeds)
+    base = {n: (_BASE if n in seed_set else 0) for n in nodes}
+    ranks = dict(base)
+
+    for _ in range(n_iter):
+        r_ref = ray.put(ranks)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            r = ray.get(r_ref)
+            w_map = ray.get(w_ref)
+            s = b["s"].to_numpy(dtype=object)
+            ru = np.array([r[x] for x in s], dtype=np.int64)
+            wu = np.array([w_map[x] for x in s], dtype=np.int64)
+            w = b["w"].to_numpy().astype(np.int64)
+            keep = ru > 0                 # sparse frontier: zero mass emits nothing
+            return pd.DataFrame({"t": b["t"].to_numpy(dtype=object)[keep],
+                                 "c": ((ru * w) // wu)[keep]})
+
+        agg = (edges.map_batches(contrib, batch_format="pandas")
+               .groupby("t").aggregate(Sum("c", alias_name="sc")).to_pandas())
+        ranks = dict(base)
+        for t_, v in zip(agg["t"].to_numpy(dtype=object),
+                         agg["sc"].astype(np.int64).to_numpy()):
+            ranks[t_] = base[t_] + (_D_NUM * int(v)) // _D_DEN
+
+    out = pd.DataFrame({"term": list(ranks), "rank": list(ranks.values())})
+    out = out[out["rank"] > 0]
+    out["rank"] = out["rank"].astype(np.int64)
+    return (out.sort_values(["rank", "term"], ascending=[False, True],
+                            kind="mergesort").head(top_n).reset_index(drop=True))

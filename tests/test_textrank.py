@@ -187,3 +187,43 @@ def test_pmi_bigrams_brute(ray_session):
     pd.testing.assert_frame_equal(out, exp)
     # the dominant collocation ranks first
     assert tuple(out.iloc[0][["s", "t"]]) in {("strong", "coffee"), ("tea", "strong"), ("black", "tea")}
+
+
+def test_personalized_pagerank_topical(ray_session):
+    """Seed mass stays near the seeds: direct neighbours outrank
+    disconnected parts of the graph; brute replay exact."""
+    from collections import Counter, defaultdict
+
+    from hybrid_sanctions_search_engine_ray.stages.textrank import (
+        _BASE,
+        personalized_pagerank,
+    )
+
+    texts = ["seed near near2", "seed near", "far faraway", "faraway far other"]
+    out = personalized_pagerank(_ts(texts, ray_session), ["seed"],
+                                n_iter=3, top_n=20)
+    ranks = dict(zip(out.term, out["rank"].astype(int)))
+    assert ranks["seed"] >= _BASE                 # restart mass
+    assert "near" in ranks
+    assert "far" not in ranks and "faraway" not in ranks  # unreachable: rank 0
+
+    # brute replay
+    ew: Counter = Counter()
+    for s in texts:
+        toks = s.split()
+        for u, v in zip(toks, toks[1:]):
+            if u != v:
+                ew[(u, v)] += 1
+                ew[(v, u)] += 1
+    wout: dict[str, int] = defaultdict(int)
+    for (u, _), w in ew.items():
+        wout[u] += w
+    base = {n: (_BASE if n == "seed" else 0) for n in wout}
+    r = dict(base)
+    for _ in range(3):
+        inflow: dict[str, int] = defaultdict(int)
+        for (u, v), w in ew.items():
+            inflow[v] += (r[u] * w) // wout[u]
+        r = {n: base[n] + (85 * inflow[n]) // 100 for n in wout}
+    for t, v in ranks.items():
+        assert v == r[t]

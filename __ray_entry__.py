@@ -8960,6 +8960,61 @@ def q_wds_export(sf_dir: str):
     )
 
 
+_ABL_LO, _ABL_HI = 100, 2000  # the cheap doc-quality rule for the ablation
+
+
+def q_source_ablation(sf_dir: str):
+    """Leave-one-source-out data valuation: each source's influence on
+    corpus statistics computed ALGEBRAICALLY from per-source sufficient
+    sums (total − source partials — no per-source re-scan, one
+    sources-sized exchange): mean chars and a length-rule pass rate
+    without each source, plus the deltas vs the full corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ok = _pc.and_(_pc.greater_equal(b["n_chars"], _ABL_LO),
+                      _pc.less_equal(b["n_chars"], _ABL_HI))
+        t = pa.table({"source": b["source"], "chars": b["n_chars"],
+                      "ok": _pc.cast(ok, pa.int64())})
+        g = t.group_by("source").aggregate(
+            [([], "count_all"), ("chars", "sum"), ("ok", "sum")])
+        return pa.table({"source": g["source"],
+                         "n_p": g["count_all"].cast(pa.int64()),
+                         "ch_p": g["chars_sum"].cast(pa.int64()),
+                         "ok_p": g["ok_sum"].cast(pa.int64())})
+
+    per = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_p", alias_name="n"),
+                      Sum("ch_p", alias_name="ch"),
+                      Sum("ok_p", alias_name="ok"))
+           .to_pandas())
+    N, CH, OK = (int(per["n"].sum()), int(per["ch"].sum()), int(per["ok"].sum()))
+    r4 = lambda x: np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4  # noqa: E731
+    n = per["n"].to_numpy(np.int64)
+    ch = per["ch"].to_numpy(np.int64)
+    ok = per["ok"].to_numpy(np.int64)
+    mean_full = CH / N
+    pass_full = OK / N
+    mean_wo = (CH - ch) / (N - n)
+    pass_wo = (OK - ok) / (N - n)
+    out = pd.DataFrame({
+        "source": per["source"],
+        "n_docs": n,
+        "mean_chars_without": r4(mean_wo),
+        "delta_mean_chars": r4(mean_wo - mean_full),
+        "pass_rate_without": r4(pass_wo),
+        "delta_pass_rate": r4(pass_wo - pass_full),
+    })
+    return out.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
 _PPR_SEEDS = ["join", "merge"]
 
 
@@ -9050,6 +9105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": q_frequent_triples,
         "jaro_expand": q_jaro_expand,
         "ppr_related": q_ppr_related,
+        "source_ablation": q_source_ablation,
         "vocab_entropy": q_vocab_entropy,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
@@ -14556,6 +14612,19 @@ SELECT digit, n,
        round(bp, 4) AS benford_p,
        round((n - t * bp) * (n - t * bp) / (t * bp), 4) AS chi2_term
 FROM j
+""",
+        "source_ablation": f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS ch,
+         sum(CASE WHEN n_chars BETWEEN {_ABL_LO} AND {_ABL_HI} THEN 1 ELSE 0 END)::BIGINT AS ok
+  FROM documents GROUP BY source),
+tots AS (SELECT sum(n)::BIGINT AS tn, sum(ch)::BIGINT AS tch, sum(ok)::BIGINT AS tok FROM per)
+SELECT source, per.n AS n_docs,
+       round((tch - ch) / (tn - n)::DOUBLE, 4) AS mean_chars_without,
+       round((tch - ch) / (tn - n)::DOUBLE - tch / tn::DOUBLE, 4) AS delta_mean_chars,
+       round((tok - ok) / (tn - n)::DOUBLE, 4) AS pass_rate_without,
+       round((tok - ok) / (tn - n)::DOUBLE - tok / tn::DOUBLE, 4) AS delta_pass_rate
+FROM per CROSS JOIN tots
 """,
         "ppr_related": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -8960,6 +8960,67 @@ def q_wds_export(sf_dir: str):
     )
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Train/val n-gram novelty (the memorization/generalization audit
+    run after a split): fraction of the val split's DISTINCT word
+    3-grams never seen in train — low novelty means eval text is
+    recoverable from training data even with conversation-level
+    splitting. Uses the conv_split assignment; one shingle scan →
+    per-batch distinct (gram, split) partials → ONE gram-keyed
+    exchange with two boolean max-flags."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+    from hybrid_sanctions_search_engine_ray.stages.sampling import dataset_split
+
+    cfg = _engine_cfg().analyzer
+    tagged = dataset_split(transcripts_from_documents(sf_dir), "conv_id",
+                           _CONV_SPLITS, salt="-cs")
+
+    def grams(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg)
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "tr_p": pa.array([], pa.int64()),
+                          "va_p": pa.array([], pa.int64())})
+        if parent.size < 3:
+            return empty
+        t = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        n = len(t) - 2
+        ok = (parent[:n] == parent[2:]) if n > 0 else np.empty(0, bool)
+        at = np.flatnonzero(ok)
+        if at.size == 0:
+            return empty
+        g3 = _pc.binary_join_element_wise(
+            t.take(pa.array(at, pa.int64())),
+            t.take(pa.array(at + 1, pa.int64())),
+            t.take(pa.array(at + 2, pa.int64())), " ")
+        split = b["split"].to_numpy(zero_copy_only=False)[parent[at]]
+        tt = pa.table({"gram": g3,
+                       "tr_p": pa.array((split == "train").astype(np.int64)),
+                       "va_p": pa.array((split == "val").astype(np.int64))})
+        gg = tt.group_by("gram").aggregate([("tr_p", "max"), ("va_p", "max")])
+        return pa.table({"gram": gg["gram"],
+                         "tr_p": gg["tr_p_max"].cast(pa.int64()),
+                         "va_p": gg["va_p_max"].cast(pa.int64())})
+
+    agg = (tagged.map_batches(grams, batch_format="pyarrow")
+           .groupby("gram")
+           .aggregate(Max("tr_p", alias_name="tr"), Max("va_p", alias_name="va"))
+           .to_pandas())
+    va = agg["va"].to_numpy(np.int64) == 1
+    tr = agg["tr"].to_numpy(np.int64) == 1
+    n_val = int(va.sum())
+    n_shared = int((va & tr).sum())
+    r4 = lambda x: float(np.floor(x * 1e4 + 0.5) / 1e4)  # noqa: E731
+    nov = 0.0 if n_val == 0 else r4((n_val - n_shared) / n_val)
+    return pd.DataFrame({"n_val_grams": [np.int64(n_val)],
+                         "n_shared": [np.int64(n_shared)],
+                         "novelty_frac": [nov]})
+
+
 _ABL_LO, _ABL_HI = 100, 2000  # the cheap doc-quality rule for the ablation
 
 
@@ -9106,6 +9167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaro_expand": q_jaro_expand,
         "ppr_related": q_ppr_related,
         "source_ablation": q_source_ablation,
+        "ngram_novelty": q_ngram_novelty,
         "vocab_entropy": q_vocab_entropy,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
@@ -14612,6 +14674,33 @@ SELECT digit, n,
        round(bp, 4) AS benford_p,
        round((n - t * bp) * (n - t * bp) / (t * bp), 4) AS chi2_term
 FROM j
+""",
+        "ngram_novelty": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+spl AS (
+  SELECT doc_id,
+         CASE
+           WHEN md5_number_upper('conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') || '-cs') % 100 < {_CONV_SPLITS["test"]} THEN 'test'
+           WHEN md5_number_upper('conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') || '-cs') % 100 < {_CONV_SPLITS["test"] + _CONV_SPLITS["train"]} THEN 'train'
+           ELSE 'val' END AS split
+  FROM documents),
+g3 AS (
+  SELECT DISTINCT a.term || ' ' || b.term || ' ' || c.term AS gram, spl.split
+  FROM tokpos a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN spl ON spl.doc_id = a.doc_id),
+fl AS (
+  SELECT gram,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+         max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va
+  FROM g3 GROUP BY gram)
+SELECT sum(va)::BIGINT AS n_val_grams,
+       sum(CASE WHEN va = 1 AND tr = 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       round((sum(va) - sum(CASE WHEN va = 1 AND tr = 1 THEN 1 ELSE 0 END))
+             / sum(va)::DOUBLE, 4) AS novelty_frac
+FROM fl
 """,
         "source_ablation": f"""
 WITH per AS (

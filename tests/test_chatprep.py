@@ -160,3 +160,14 @@ def test_pack_conversations_contiguous_budget(ray_session):
     np.testing.assert_array_equal(out["pack_id"].to_numpy(), before // 50)
     # contiguity: pack ids are nondecreasing in conv order
     assert (np.diff(out["pack_id"].to_numpy()) >= 0).all()
+
+
+def test_ngram_novelty_value(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    out = e.q_ngram_novelty("/root/testdata/sf0.001").iloc[0]
+    assert int(out.n_val_grams) > 0
+    assert 0 <= int(out.n_shared) <= int(out.n_val_grams)
+    assert 0.0 <= out.novelty_frac <= 1.0

@@ -8960,6 +8960,52 @@ def q_wds_export(sf_dir: str):
     )
 
 
+def q_role_transitions(sf_dir: str):
+    """Conversation role-transition matrix (the Markov structure
+    summary of a chat corpus): counts and row-normalized probabilities
+    of role_i → role_{i+1} within conversations — reuses the chatprep
+    bucket exchange with a vectorized shifted compare."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import (
+        _sorted_runs,
+        _with_bucket,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"from_role": pd.Series([], dtype=object),
+                                 "to_role": pd.Series([], dtype=object),
+                                 "c_p": pd.Series([], dtype=np.int64)})
+        order, c, _ = _sorted_runs(g)
+        turn = g["turn_idx"].to_numpy().astype(np.int64)[order]
+        role = g["role"].to_numpy()[order]
+        ok = (c[1:] == c[:-1]) & (turn[1:] == turn[:-1] + 1)
+        at = np.flatnonzero(ok)
+        df = pd.DataFrame({"from_role": role[at], "to_role": role[at + 1]})
+        out = df.groupby(["from_role", "to_role"], sort=False).size().reset_index(
+            name="c_p")
+        out["c_p"] = out["c_p"].astype(np.int64)
+        return out
+
+    agg = (
+        _with_bucket(transcripts_from_documents(sf_dir), 256,
+                     ["conv_id", "turn_idx", "role", "text"])
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["from_role", "to_role"])
+        .aggregate(Sum("c_p", alias_name="n"))
+        .to_pandas()
+    )
+    tot = agg.groupby("from_role")["n"].transform("sum").to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    agg["n"] = n
+    agg["p"] = np.floor(n / tot * 1e4 + 0.5) / 1e4
+    return agg.sort_values(["from_role", "to_role"],
+                           kind="mergesort").reset_index(drop=True)
+
+
 def q_ngram_novelty(sf_dir: str):
     """Train/val n-gram novelty (the memorization/generalization audit
     run after a split): fraction of the val split's DISTINCT word
@@ -9168,6 +9214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_related": q_ppr_related,
         "source_ablation": q_source_ablation,
         "ngram_novelty": q_ngram_novelty,
+        "role_transitions": q_role_transitions,
         "vocab_entropy": q_vocab_entropy,
         "sft_pairs": q_sft_pairs,
         "sft_examples": q_sft_examples,
@@ -14674,6 +14721,25 @@ SELECT digit, n,
        round(bp, 4) AS benford_p,
        round((n - t * bp) * (n - t * bp) / (t * bp), 4) AS chi2_term
 FROM j
+""",
+        "role_transitions": """
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         cast(doc_id % 8 AS int) AS turn_idx,
+         CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role
+  FROM documents),
+tr AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ti
+  FROM t),
+cnt AS (
+  SELECT prev_role AS from_role, role AS to_role, count(*)::BIGINT AS n
+  FROM tr WHERE prev_role IS NOT NULL AND prev_ti = turn_idx - 1
+  GROUP BY prev_role, role)
+SELECT from_role, to_role, n,
+       round(n / sum(n) OVER (PARTITION BY from_role)::DOUBLE, 4) AS p
+FROM cnt
 """,
         "ngram_novelty": f"""
 WITH {TRANSCRIPTS_CTE},

@@ -8426,7 +8426,16 @@ def q_nb_classify(sf_dir: str):
     contract), add-one smoothing, and an int64 ×10⁴ log-prob table so
     per-doc scores are INTEGER sums — argmax deterministic with no
     float comparison (stages/nb_classify.nb_train_score; one C×B-row
-    train shuffle + one broadcast scoring pass)."""
+    train shuffle + one broadcast scoring pass).
+
+    Round-4 root cause of the r03 driver hash-red: DuckDB ``sum(BIGINT)``
+    widens to HUGEINT, so the twin's ``score_x1e4`` came back to pandas
+    as float64 while this side emits int64 — values identical, dtypes
+    not, and the driver's value hash is dtype-sensitive (the local
+    checker's ``np.isclose`` float branch masked it). Fixed by casting
+    the twin's final score to BIGINT, emitting this side sorted by
+    doc_id with pinned dtypes, and adding a dtype-parity audit to
+    tools/check_oracle.py (see tools/README_nb_classify_rootcause.md)."""
     import ray.data as rd
 
     from hybrid_sanctions_search_engine_ray.stages.nb_classify import nb_train_score
@@ -8438,7 +8447,7 @@ def q_nb_classify(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "lang"]) \
            .map_batches(split, batch_format="pyarrow")
-    return nb_train_score(ds, "lang", "is_test", n_buckets=_NB_B)
+    return nb_train_score(ds, "lang", "is_test", n_buckets=_NB_B).sort("doc_id")
 
 
 _EQL_STEPS = ["signup", "purchase", "error"]
@@ -8572,10 +8581,12 @@ _WM_DELAY_S = 1_209_600  # 14 days: ~half the ~30-day event span → both classe
 
 def q_watermark(sf_dir: str):
     """Streaming watermark / allowed-lateness accounting (Beam/Flink
-    semantics): replay events in deterministic md5-arrival order,
+    semantics): replay events in a deterministic Lehmer-permutation
+    arrival order (pure BIGINT arithmetic, shared with the twin),
     watermark = max event time seen − delay, per tumbling day count
     on-time vs late arrivals — a distributed PREFIX MAX on the pack_bins
-    range-carry pattern (stages/windows.watermark_lateness)."""
+    range-carry pattern, two streaming passes, nothing materialized
+    (stages/windows.watermark_lateness)."""
     import ray.data as rd
 
     from hybrid_sanctions_search_engine_ray.stages.windows import watermark_lateness
@@ -9989,8 +10000,10 @@ pred AS (
          row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
   FROM scores
 )
-SELECT p.doc_id, l.lang AS true_label, p.cls AS pred_label, p.s AS score_x1e4
+SELECT p.doc_id, l.lang AS true_label, p.cls AS pred_label,
+       cast(p.s AS BIGINT) AS score_x1e4
 FROM pred p JOIN lab l USING (doc_id) WHERE p.rn = 1
+ORDER BY p.doc_id
 """,
         # EQL sequence: each hop is LEFT JOIN LATERAL earliest-follower.
         "eql_sequence": f"""
@@ -15121,7 +15134,7 @@ SELECT kind, term, score FROM ta WHERE rn <= 10
 WITH w AS (
   SELECT epoch_us(ts) AS tsu,
          max(epoch_us(ts)) OVER (
-           ORDER BY md5_number_upper(cast(event_id AS varchar)), event_id
+           ORDER BY ((event_id % 2147483647) * 48271) % 2147483647, event_id
            ROWS UNBOUNDED PRECEDING) AS wm
   FROM events)
 SELECT tsu // 86400000000 AS window_id,

@@ -1483,8 +1483,8 @@ def benford_audit(ds, value_col: str = "value"):
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = pc.round(pc.multiply(b[value_col], 100)).cast(pa.int64())
-        v = cents.to_numpy(zero_copy_only=False)
+        from hybrid_sanctions_search_engine_ray.stages.textops import exact_cents
+        v = exact_cents(b[value_col]).to_numpy(zero_copy_only=False)
         v = v[v > 0]
         if v.size == 0:
             return pa.table({"digit": pa.array([], pa.int64()),

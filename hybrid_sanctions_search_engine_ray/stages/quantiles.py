@@ -145,60 +145,59 @@ def psi_drift(ds, value_col: str, ts_col: str, n_bins: int = 10,
     bin ``(p_i − q_i)·ln(p_i/q_i)`` plus the PSI total (<0.1 stable,
     >0.25 drifted — the published rule of thumb).
 
-    Scale shape: min/max ts via one scalar agg; decile cuts from ONE
-    bounded (cents-value histogram) exchange over the reference half
-    (the exact-quantile pattern shared with curate_corpus); one
-    streaming labelling pass → bins×2 partial counts. Zero-count bins
-    take the standard ε=1e-6 smoothing (deterministic, shared with the
-    twin)."""
+    Scale shape (round-4 un-pin, no ``materialize()`` anywhere): pass 1
+    is one scalar Min/Max(ts) aggregate over the pruned read; pass 2 is
+    ONE bounded ``(cents, half)`` joint-histogram exchange (distinct
+    cents values × 2 rows, regardless of corpus size). Decile cuts AND
+    the per-(bin, half) counts both derive from that histogram on the
+    driver — the raw rows stream through exactly twice and are never
+    held in the object store. Zero-count bins take the standard ε=1e-6
+    smoothing (deterministic, shared with the twin)."""
     import pandas as pd
     import pyarrow.compute as pc_
     from ray.data.aggregate import Max, Min, Sum
 
-    def to_cents(b: pa.Table) -> pa.Table:
+    from hybrid_sanctions_search_engine_ray.stages.textops import exact_cents
+
+    def tsu_only(b: pa.Table) -> pa.Table:
         return pa.table({
-            "cents": pc_.round(pc_.multiply(b[value_col], 100)).cast(pa.int64()),
             "tsu": pc_.cast(pc_.cast(b[ts_col], pa.timestamp("us")), pa.int64()),
         })
 
-    cents = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
-    mm = cents.aggregate(Min("tsu"), Max("tsu"))
+    mm = ds.map_batches(tsu_only, batch_format="pyarrow") \
+           .aggregate(Min("tsu"), Max("tsu"))
     mid = split_us if split_us is not None else (mm["min(tsu)"] + mm["max(tsu)"]) // 2
 
-    # exact reference-half deciles from a bounded value histogram
-    ref_hist = (
-        cents.map_batches(
-            lambda b: pa.table({"cents": b["cents"]}).filter(
-                pc_.less_equal(b["tsu"], mid)).group_by("cents").aggregate(
-                [([], "count_all")]).rename_columns(["cents", "c_p"]),
-            batch_format="pyarrow")
-        .groupby("cents").aggregate(Sum("c_p", alias_name="c")).to_pandas()
-        .sort_values("cents", kind="mergesort")
-    )
-    vals = ref_hist["cents"].to_numpy(np.int64)
-    cnts = ref_hist["c"].to_numpy(np.int64)
+    def joint_partial(b: pa.Table) -> pa.Table:
+        tsu = pc_.cast(pc_.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        t = pa.table({
+            "cents": exact_cents(b[value_col]),
+            "half": pc_.cast(pc_.greater(tsu, mid), pa.int64()),
+        })
+        g = t.group_by(["cents", "half"]).aggregate([([], "count_all")])
+        return pa.table({"cents": g["cents"], "half": g["half"],
+                         "c_p": g["count_all"].cast(pa.int64())})
+
+    joint = (ds.map_batches(joint_partial, batch_format="pyarrow")
+             .groupby(["cents", "half"]).aggregate(Sum("c_p", alias_name="c"))
+             .to_pandas().sort_values("cents", kind="mergesort"))
+    jv = joint["cents"].to_numpy(np.int64)
+    jh = joint["half"].to_numpy(np.int64)
+    jc = joint["c"].to_numpy(np.int64)
+
+    # exact reference-half deciles from the half==0 slice of the histogram
+    ref = jh == 0
+    vals, cnts = jv[ref], jc[ref]
     n_ref = int(cnts.sum())
     cum = np.cumsum(cnts)
     # quantile_disc cut k/n_bins: smallest value with cum ≥ ceil(q·n)
     cuts = np.array([vals[np.searchsorted(cum, -(-n_ref * k // n_bins))]
                      for k in range(1, n_bins)], dtype=np.int64)
 
-    def label(b: pa.Table) -> pa.Table:
-        c = b["cents"].to_numpy(zero_copy_only=False)
-        half = np.where(b["tsu"].to_numpy(zero_copy_only=False) <= mid, 0, 1)
-        bin_ = np.searchsorted(cuts, c, side="left")
-        t = pa.table({"bin": pa.array(bin_.astype(np.int64)),
-                      "half": pa.array(half.astype(np.int64))})
-        g = t.group_by(["bin", "half"]).aggregate([([], "count_all")])
-        return pa.table({"bin": g["bin"], "half": g["half"],
-                         "c_p": g["count_all"].cast(pa.int64())})
-
-    counts = (cents.map_batches(label, batch_format="pyarrow")
-              .groupby(["bin", "half"]).aggregate(Sum("c_p", alias_name="c"))
-              .to_pandas())
+    # (bin, half) counts straight from the same histogram — no third pass
+    bin_ = np.searchsorted(cuts, jv, side="left")
     full = np.zeros((n_bins, 2), dtype=np.int64)
-    for _, r in counts.iterrows():
-        full[int(r["bin"]), int(r["half"])] = int(r["c"])
+    np.add.at(full, (bin_, jh), jc)
     n0, n1 = full[:, 0].sum(), full[:, 1].sum()
     eps = 1e-6
     p = np.maximum(full[:, 0] / max(n0, 1), eps)

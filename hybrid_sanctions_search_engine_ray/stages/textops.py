@@ -27,6 +27,15 @@ def round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
 
 
+def exact_cents(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """The repo's single integer-cents kernel: ``sign·floor(|v|·100+0.5)``
+    as int64 — half-AWAY-from-zero, matching DuckDB ``round(v*100)`` in
+    every SQL twin. (Arrow's ``pc.round`` is half-to-even and would
+    diverge on exact .5 boundaries, e.g. 3-decimal inputs.)"""
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.array((np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64))
+
+
 # marker-token sets per language (deterministic, tiny; argmax with
 # fixed tie order en < de < es < fr < ru — matches the SQL CASE chain)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

@@ -361,47 +361,44 @@ def watermark_lateness(events_ds, delay_s: int, window_s: int = 86400,
     tumbling window count events that arrived on time vs late (an event
     is late iff its event time is below the watermark at its arrival).
 
-    Arrival order is the deterministic md5 hash of event_id (ties by
-    event_id) — the repo's SQL-parity convention standing in for a
-    network arrival sequence, shared verbatim with the oracle twin (the
-    raw log is time-ordered, which would make lateness trivially zero).
+    Arrival order is a deterministic Lehmer/MINSTD permutation of
+    event_id — ``h = ((event_id % P) · 48271) % P`` with P = 2³¹−1,
+    ties by event_id — pure BIGINT arithmetic computable identically in
+    numpy and in the DuckDB twin (round 4: replaces the per-row Python
+    md5 loop; the contract stands in for a network arrival sequence,
+    since the raw log is time-ordered which would make lateness
+    trivially zero).
 
     Scale shape — a distributed PREFIX MAX (the pack_bins prefix-sum
-    pattern): because arrival order IS hash order, ``hash >> k`` gives
-    contiguous arrival ranges, so (1) per-range partial maxima shuffle
-    a range-count-sized table to the driver, which builds exclusive
-    prefix-max carries; (2) one groupby(range) pass runs
-    ``np.maximum.accumulate`` within each range against its broadcast
-    carry; (3) per-window partials → one windows-sized groupby. Raw
-    events shuffle once, by range.
+    pattern), round-4 un-pinned (no ``materialize()``): because arrival
+    order IS hash order, ``h·n_ranges // P`` gives contiguous arrival
+    ranges, so (1) a first streaming pass over the pruned read shuffles
+    only range-count-sized partial maxima to the driver, which builds
+    exclusive prefix-max carries; (2) a second streaming pass groups by
+    range and runs ``np.maximum.accumulate`` within each range against
+    its broadcast carry; (3) per-window partials → one windows-sized
+    groupby. Raw events shuffle once, by range; nothing is pinned in
+    the object store between passes.
     """
-    import hashlib
-
     import ray
     from ray.data.aggregate import Sum
 
-    shift = np.uint64(64 - int(np.log2(n_ranges)))
+    P = np.int64(2147483647)  # 2^31 - 1
+    A = np.int64(48271)  # MINSTD multiplier; (id%P)*A < 2^47 — int64-safe
     delay_us = np.int64(delay_s) * 1_000_000
     win_us = np.int64(window_s) * 1_000_000
 
     def keyed(b: pa.Table) -> pa.Table:
         eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = np.empty(eid.size, dtype=np.uint64)
-        for i, e in enumerate(eid):
-            h[i] = int.from_bytes(hashlib.md5(str(e).encode()).digest()[:8], "little")
+        h = (eid % P) * A % P
         tsu = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({
             "event_id": pa.array(eid), "tsu": pa.array(tsu),
-            "h": pa.array(h.astype(np.int64)),  # order-preserving: top bit
-            "rng": pa.array((h >> shift).astype(np.int64)),
+            "h": pa.array(h),
+            "rng": pa.array(h * np.int64(n_ranges) // P),  # monotone in h
         })
-    # NOTE on "h" signedness: md5_number_upper is uint64; storing the raw
-    # bits as int64 would break ordering for values ≥ 2^63. Keep ordering
-    # exact by sorting on (rng, h_signed) only WITHIN a range — a range
-    # never spans the sign boundary (ranges are high-bit prefixes), so
-    # int64 order inside one range equals uint64 order.
 
-    pairs = events_ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    pairs = events_ds.map_batches(keyed, batch_format="pyarrow")
 
     def rng_partial(b: pa.Table) -> pa.Table:
         g = pa.table({"rng": b["rng"], "tsu": b["tsu"]}).group_by("rng").aggregate(

@@ -164,9 +164,8 @@ def test_downsample_roundtrip(ray_session, tmp_path):
 
 def test_watermark_lateness_brute(ray_session):
     """watermark_lateness vs a sequential replay on synthetic
-    out-of-order events (arrival = md5 order, event time scrambled)."""
-    import hashlib
-
+    out-of-order events (arrival = the Lehmer-permutation order, event
+    time scrambled)."""
     import numpy as np
     import pandas as pd
     import ray.data as rd
@@ -183,9 +182,9 @@ def test_watermark_lateness_brute(ray_session):
     out = watermark_lateness(rd.from_pandas(df).repartition(4),
                              delay_s=delay_s, n_ranges=16)
 
-    # brute sequential replay in md5-arrival order
-    h = np.array([int.from_bytes(hashlib.md5(str(e).encode()).digest()[:8], "little")
-                  for e in eid], dtype=np.uint64)
+    # brute sequential replay in Lehmer-arrival order (the stage's
+    # BIGINT-arithmetic contract: ((id % P) * 48271) % P, P = 2^31-1)
+    h = (eid % np.int64(2147483647)) * np.int64(48271) % np.int64(2147483647)
     order = np.lexsort((eid, h))
     wm = -np.inf
     late = np.zeros(n, dtype=bool)

@@ -34,6 +34,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind(dt) -> str:
+    """Coarse dtype class used for the dtype-parity audit: the driver's
+    value hash is dtype-sensitive, so an int64 Ray column vs a float64
+    oracle column (e.g. DuckDB sum(BIGINT)->HUGEINT->float64) hashes
+    red even when every value is numerically identical — the r03
+    nb_classify root cause."""
+    import numpy as np
+    dt = np.dtype(dt) if not isinstance(dt, pd.api.types.CategoricalDtype) else np.dtype(object)
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    if np.issubdtype(dt, np.integer) or np.issubdtype(dt, np.bool_):
+        return "int"
+    if np.issubdtype(dt, np.datetime64):
+        return "ts"
+    return "obj"
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     issues = []
     if len(ray_df) != len(sql_df):
@@ -41,6 +58,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         issues.append(f"columns ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
         return issues
+    for c in sorted(ray_df.columns):
+        ka, kb = _kind(ray_df[c].dtype), _kind(sql_df[c].dtype)
+        if ka != kb:
+            issues.append(f"dtype col {c}: ray={ray_df[c].dtype}({ka}) sql={sql_df[c].dtype}({kb})")
     a, b = canon(ray_df), canon(sql_df)
     if len(a) == len(b):
         for c in a.columns:

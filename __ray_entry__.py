@@ -8542,7 +8542,7 @@ _CM_TERMS = ["the", "payment", "и", "done", "tok00042", "tok00777",
 
 
 def q_geo_pairs(sf_dir: str):
-    """Spatial distance self-join: all point pairs within 3° (planar
+    """Spatial distance self-join: all point pairs within 6° (planar
     integer milli-degrees) via grid-bucket + neighbor-cell replication —
     the bounded-fan-out spatial-join shuffle pattern; never an all-pairs
     exchange (stages/geo.geo_pairs). Exact brute self-join twin."""

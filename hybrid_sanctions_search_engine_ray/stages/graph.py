@@ -65,30 +65,41 @@ def triangle_stats(transcripts_ds, cfg: AnalyzerConfig | None = None) -> pd.Data
             batch_format="pyarrow")
         .groupby("s").aggregate(Sum("one", alias_name="deg")).to_pandas()
     )
-    deg = dict(zip(deg_df["s"].to_numpy(dtype=object),
-                   deg_df["deg"].astype(np.int64)))
-    deg_ref = ray.put(deg)
-    n_nodes = len(deg)
-    degs = deg_df["deg"].to_numpy(np.int64)
-    n_wedges = int((degs * (degs - 1) // 2).sum())
+    # Factorized degree state: sorted node array + aligned int64 degree
+    # array broadcast ONCE (zero-copy numpy through the object store; no
+    # vocab-sized Python dict, no per-edge Python lookup loop — the
+    # round-4 graph-state contract shared with stages/textrank.py).
+    order = np.argsort(deg_df["s"].to_numpy(dtype=object), kind="mergesort")
+    node_arr = deg_df["s"].to_numpy(dtype=object)[order]
+    deg_arr = deg_df["deg"].to_numpy(np.int64)[order]
+    state_ref = ray.put((node_arr, deg_arr))
+    n_nodes = node_arr.size
+    n_wedges = int((deg_arr * (deg_arr - 1) // 2).sum())
 
-    def orient(b: pa.Table) -> pa.Table:
+    class _Orient:
         """low-(deg, term) endpoint → high; bucket by src for the wedge
-        exchange."""
-        d = ray.get(deg_ref)
-        s = b["s"].to_numpy(zero_copy_only=False)
-        t = b["t"].to_numpy(zero_copy_only=False)
-        ds_ = np.array([d[x] for x in s], dtype=np.int64)
-        dt_ = np.array([d[x] for x in t], dtype=np.int64)
-        s_first = ds_ <= dt_          # tie → term order, and s < t holds
-        src = np.where(s_first, s, t)
-        dst = np.where(s_first, t, s)
-        bk = hash_string_array(pa.array(src, pa.string())).astype(np.int64) % _NB
-        return pa.table({"src": pa.array(src, pa.string()),
-                         "dst": pa.array(dst, pa.string()),
-                         "bucket": pa.array(bk, pa.int64())})
+        exchange. Hash index over the node array built once per actor."""
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow")
+        def __init__(self, ref):
+            nodes, degs = ray.get(ref)
+            self.idx = pd.Index(nodes)
+            self.degs = degs
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            s = b["s"].to_numpy(zero_copy_only=False)
+            t = b["t"].to_numpy(zero_copy_only=False)
+            ds_ = self.degs[self.idx.get_indexer(s)]
+            dt_ = self.degs[self.idx.get_indexer(t)]
+            s_first = ds_ <= dt_          # tie → term order, and s < t holds
+            src = np.where(s_first, s, t)
+            dst = np.where(s_first, t, s)
+            bk = hash_string_array(pa.array(src, pa.string())).astype(np.int64) % _NB
+            return pa.table({"src": pa.array(src, pa.string()),
+                             "dst": pa.array(dst, pa.string()),
+                             "bucket": pa.array(bk, pa.int64())})
+
+    oriented = edges.map_batches(_Orient, fn_constructor_args=(state_ref,),
+                                 batch_format="pyarrow", concurrency=2)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         """All out-neighbor pairs, per source run (O(√m) out-degrees)."""

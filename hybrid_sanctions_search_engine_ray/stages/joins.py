@@ -210,7 +210,7 @@ def range_join(big_ds, ranges_df: pd.DataFrame, on: str, lo: str = "lo", hi: str
 
 
 def skew_join(left_ds, right_ds, on: str, hot_threshold: int = 10_000,
-              num_buckets: int = 32):
+              num_buckets: int = 32, max_hot_right_rows: int = 5_000_000):
     """Skew-aware inner equality join: the brief's "salt hot keys"
     pattern as a reusable operator. A plain hash join sends EVERY row of
     a hot key to one reducer — the curse-of-the-last-reducer straggler.
@@ -220,53 +220,67 @@ def skew_join(left_ds, right_ds, on: str, hot_threshold: int = 10_000,
        key-cardinality-sized groupby) pick the hot set
        ``{k : count(k) > hot_threshold}``. Deterministic — no sampling
        noise in the plan, so results and even the split are
-       retry/batching stable. (At 100 TB swap in the hash-sampled
-       estimator; the hot SET only affects routing, never results.)
+       retry/batching stable. The ``c > hot_threshold`` filter is
+       applied INSIDE the dataset, so only the (tiny) hot-key rows ever
+       reach the driver — the distinct-key table itself never does.
     2. Hot keys take the BROADCAST path: their right-side rows (bounded:
-       a hot key must be dimension-like on the right, documented
-       contract) ship once via ``ray.put``; hot left rows join inside
-       their own map task and NEVER enter the shuffle.
+       a hot key must be dimension-like on the right — enforced by
+       ``max_hot_right_rows``, which raises loudly instead of silently
+       pinning an unbounded frame) ship once via ``ray.put``; hot left
+       rows join inside their own map task and NEVER enter the shuffle.
     3. Cold keys take the normal bucketed hash join.
 
     The union is row-identical to a plain inner join (pytest-asserted
-    against ``bucketed_join``), only the partitioning differs.
+    against ``bucketed_join``), only the partitioning differs. The hot
+    set ships to the filter closures as ONE sorted numpy array built
+    once (``np.isin`` against a pre-sorted array, no per-batch
+    list conversion).
     """
     import ray
     from ray.data.aggregate import Sum
-
-    right_cols = list(right_ds.schema().names)
 
     def count_partial(b: pa.Table) -> pa.Table:
         g = pa.table({on: b[on]}).group_by(on).aggregate([([], "count_all")])
         return pa.table({on: g[on], "c_p": g["count_all"].cast(pa.int64())})
 
-    counts = (
-        left_ds.map_batches(count_partial, batch_format="pyarrow")
-        .groupby(on).aggregate(Sum("c_p", alias_name="c")).to_pandas()
-    )
-    hot = set(counts[counts["c"] > hot_threshold][on].tolist())
+    def keep_hot(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater(b["c"], pa.scalar(hot_threshold, pa.int64())))
 
-    if hot:
+    hot_keys = (
+        left_ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(on).aggregate(Sum("c_p", alias_name="c"))
+        .map_batches(keep_hot, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hot_arr = np.sort(hot_keys[on].to_numpy()) if len(hot_keys) else None
+
+    if hot_arr is not None and hot_arr.size:
         hot_right = right_ds.map_batches(
             lambda b: b.filter(pa.array(np.isin(
-                b[on].to_numpy(zero_copy_only=False), list(hot)))),
+                b[on].to_numpy(zero_copy_only=False), hot_arr))),
             batch_format="pyarrow").to_pandas()
+        if len(hot_right) > max_hot_right_rows:
+            raise ValueError(
+                f"skew_join: hot right side has {len(hot_right)} rows > "
+                f"max_hot_right_rows={max_hot_right_rows}; the broadcast "
+                f"contract requires a dimension-like right side for hot keys")
         hr_ref = ray.put(hot_right)
 
         def join_hot(b: pa.Table) -> pd.DataFrame:
             keys = b[on].to_numpy(zero_copy_only=False)
-            m = np.isin(keys, list(hot))
+            m = np.isin(keys, hot_arr)
             lf = b.filter(pa.array(m)).to_pandas()
             return lf.merge(ray.get(hr_ref), on=on, how="inner")
 
         hot_joined = left_ds.map_batches(join_hot, batch_format="pyarrow")
         cold_left = left_ds.map_batches(
             lambda b: b.filter(pa.array(~np.isin(
-                b[on].to_numpy(zero_copy_only=False), list(hot)))),
+                b[on].to_numpy(zero_copy_only=False), hot_arr))),
             batch_format="pyarrow")
         cold_right = right_ds.map_batches(
             lambda b: b.filter(pa.array(~np.isin(
-                b[on].to_numpy(zero_copy_only=False), list(hot)))),
+                b[on].to_numpy(zero_copy_only=False), hot_arr))),
             batch_format="pyarrow")
     else:
         hot_joined = None

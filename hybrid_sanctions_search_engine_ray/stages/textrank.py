@@ -20,17 +20,29 @@ per iteration). Published TextRank uses float PageRank; the integer
 quantization (9 decimal digits) changes ranks by <1e-9·K and is the
 price of an exact distributed contract — the repo-wide rule.
 
-Scale shape:
+Scale shape (round-4 factorized state):
 - Edge building is the corpus-sized pass: one streaming tokenize
   (``flat_terms``), vectorized shifted-array adjacency per batch,
   per-batch partial counts (Arrow group_by), then ONE (u,v)-keyed
   shuffle to total weights — bigram-vocabulary-sized, the same class
   as the shingle index build.
-- Iterations touch only the EDGE table: ranks and out-weights are
-  node-(vocabulary-)sized and are broadcast via ``ray.put`` once per
-  iteration (the established idf-broadcast pattern); each iteration is
-  one map over edge blocks + one node-sized groupby-sum. K iterations
-  = K small shuffles; the corpus is never re-read.
+- Node terms are FACTORIZED once into dense int64 ids
+  (:func:`factorize_edge_graph`): the edge table is converted to
+  (s_id, t_id, w) int columns in one actor-pool pass (a hash index
+  built once per actor, vectorized ``pd.Index.get_indexer`` per
+  batch), and every per-iteration broadcast is a plain int64 NUMPY
+  ARRAY — zero-copy through the object store (~8 bytes/node vs ~100+
+  for the earlier Python-dict state) and indexed with vectorized fancy
+  indexing instead of a per-edge Python loop. Iterations touch only
+  the int edge table: K iterations = K node-sized groupby-sums; the
+  corpus is never re-read. (At a vocabulary too large for one driver
+  array the factorize step itself becomes a distributed join — the
+  documented next rung; the per-iteration exchange shape is already
+  right.)
+- Integer-overflow guards: every per-batch ``r_u * w`` multiply
+  asserts ``max(r_u) ≤ (2^63−1)/max(w)`` so a pathological
+  hub-weight combination fails loudly instead of silently wrapping
+  (the SQL twin runs in BIGINT/HUGEINT and would diverge, not wrap).
 - Terms that never sit adjacent to a different term (single-token
   documents) have no node — standard TextRank ranks graph nodes only.
 
@@ -51,6 +63,17 @@ from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
 SCALE = 1_000_000_000  # initial rank; 0.15/0.85 damping in integers
 _BASE = 150_000_000
 _D_NUM, _D_DEN = 85, 100
+_I64_MAX = 2**63 - 1
+
+
+def _guard_mul(a: np.ndarray, b: np.ndarray, what: str) -> None:
+    """Fail loudly if element-wise ``a * b`` could exceed int64."""
+    if a.size and b.size:
+        am, bm = int(a.max()), int(b.max())
+        if am > 0 and bm > 0 and am > _I64_MAX // bm:
+            raise OverflowError(
+                f"{what}: int64 overflow risk (max operands {am} × {bm}); "
+                f"rescale ranks or shard the graph")
 
 
 def _adjacency_partial(batch: pa.Table, cfg: AnalyzerConfig,
@@ -98,6 +121,51 @@ def build_adjacency(transcripts_ds, cfg: AnalyzerConfig | None = None,
     )
 
 
+class _EdgeToIds:
+    """Actor body for the one-time string→id edge conversion: the hash
+    index over the sorted node array is built ONCE per actor from the
+    broadcast ref; each batch is two vectorized ``get_indexer`` calls."""
+
+    def __init__(self, nodes_ref):
+        import ray
+
+        self.idx = pd.Index(ray.get(nodes_ref))
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_id": self.idx.get_indexer(b["s"]).astype(np.int64),
+            "t_id": self.idx.get_indexer(b["t"]).astype(np.int64),
+            "w": b["w"].to_numpy().astype(np.int64),
+        })
+
+
+def factorize_edge_graph(edges):
+    """String-keyed edge Dataset (s, t, w) → ``(nodes, edges_int)``:
+    ``nodes`` is the sorted distinct term array (driver-side, the id→term
+    map), ``edges_int`` a materialized Dataset (s_id, t_id, w int64)
+    with ids = positions in ``nodes``. One node-sized groupby + one
+    actor-pool conversion pass; after this the strings never enter an
+    iteration again."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    both = (
+        edges.map_batches(
+            lambda b: pa.table({"n": pa.concat_arrays(
+                [pa.array(b["s"].to_numpy(zero_copy_only=False), pa.string()),
+                 pa.array(b["t"].to_numpy(zero_copy_only=False), pa.string())]),
+                "one": pa.array(np.ones(2 * len(b), np.int64))}),
+            batch_format="pyarrow")
+        .groupby("n").aggregate(Sum("one", alias_name="c")).to_pandas()
+    )
+    nodes = np.sort(both["n"].to_numpy(dtype=object))
+    nodes_ref = ray.put(nodes)
+    edges_int = edges.map_batches(
+        _EdgeToIds, fn_constructor_args=(nodes_ref,),
+        batch_format="pandas", concurrency=2).materialize()
+    return nodes, edges_int
+
+
 def textrank_keywords(transcripts_ds, n_iter: int = 4, top_n: int = 20,
                       cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
     """Top-``top_n`` terms by integer PageRank after ``n_iter`` damped
@@ -106,39 +174,39 @@ def textrank_keywords(transcripts_ds, n_iter: int = 4, top_n: int = 20,
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg).materialize()
+    nodes, eint = factorize_edge_graph(edges)
+    V = nodes.size
 
-    # node-sized out-weights, broadcast once
-    wout = edges.groupby("s").aggregate(Sum("w", alias_name="W")).to_pandas()
-    nodes = wout["s"].to_numpy(dtype=object)
-    w_of = dict(zip(nodes, wout["W"].astype(np.int64)))
-    w_ref = ray.put(w_of)
-    ranks = {n: SCALE for n in nodes}
+    wout = eint.groupby("s_id").aggregate(Sum("w", alias_name="W")).to_pandas()
+    W_arr = np.zeros(V, dtype=np.int64)
+    W_arr[wout["s_id"].to_numpy()] = wout["W"].to_numpy().astype(np.int64)
+    w_ref = ray.put(W_arr)
+    r = np.full(V, SCALE, dtype=np.int64)
 
     for _ in range(n_iter):
-        r_ref = ray.put(ranks)
+        r_ref = ray.put(r)
 
         def contrib(b: pd.DataFrame) -> pd.DataFrame:
-            r = ray.get(r_ref)
-            w_map = ray.get(w_ref)
-            s = b["s"].to_numpy(dtype=object)
-            ru = np.array([r[x] for x in s], dtype=np.int64)
-            wu = np.array([w_map[x] for x in s], dtype=np.int64)
+            r_arr = ray.get(r_ref)
+            W = ray.get(w_ref)
+            s = b["s_id"].to_numpy()
             w = b["w"].to_numpy().astype(np.int64)
-            return pd.DataFrame({"t": b["t"], "c": (ru * w) // wu})
+            ru = r_arr[s]
+            _guard_mul(ru, w, "textrank contrib")
+            return pd.DataFrame({"t_id": b["t_id"], "c": (ru * w) // W[s]})
 
         new = (
-            edges.map_batches(contrib, batch_format="pandas")
-            .groupby("t")
+            eint.map_batches(contrib, batch_format="pandas")
+            .groupby("t_id")
             .aggregate(Sum("c", alias_name="sc"))
             .to_pandas()
         )
-        ranks = {n: _BASE for n in nodes}  # nodes with no in-flow keep the base
-        t_arr = new["t"].to_numpy(dtype=object)
-        sc = new["sc"].astype(np.int64).to_numpy()
-        for i in range(len(t_arr)):
-            ranks[t_arr[i]] = _BASE + (_D_NUM * int(sc[i])) // _D_DEN
+        sc = new["sc"].to_numpy().astype(np.int64)
+        _guard_mul(np.array([_D_NUM]), sc, "textrank damped update")
+        r = np.full(V, _BASE, dtype=np.int64)
+        r[new["t_id"].to_numpy()] = _BASE + (_D_NUM * sc) // _D_DEN
 
-    out = pd.DataFrame({"term": list(ranks), "rank": list(ranks.values())})
+    out = pd.DataFrame({"term": nodes, "rank": r})
     out["rank"] = out["rank"].astype(np.int64)
     out = out.sort_values(["rank", "term"], ascending=[False, True],
                           kind="mergesort").head(top_n)
@@ -154,54 +222,51 @@ def hits_scores(transcripts_ds, n_iter: int = 2, top_n: int = 10,
     same all-integer determinism contract as TextRank, so every step is
     exactly replicable in SQL (a/h/max CTE triple per iteration).
 
-    Scale shape: identical to TextRank — the directed edge table is the
-    only corpus-derived state; scores are node-sized broadcasts; each
-    half-iteration is one map over edge blocks + one node-sized
-    groupby-sum. Returns the top-``top_n`` rows per kind:
-    (kind ∈ {hub, authority}, term, score)."""
+    Scale shape: identical to TextRank — the directed int-id edge table
+    is the only corpus-derived state; scores are node-sized int64 numpy
+    broadcasts; each half-iteration is one map over edge blocks + one
+    node-sized groupby-sum. The raw (un-normalized) gather can exceed
+    int64 only in the normalizing multiply, which therefore runs in
+    Python-object (arbitrary-precision) arithmetic over the node-sized
+    array — matching the twin's HUGEINT semantics exactly. Returns the
+    top-``top_n`` rows per kind: (kind ∈ {hub, authority}, term, score)."""
     import ray
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg, symmetric=False).materialize()
-    # distinct node set (node-sized): one groupby over both endpoints
-    both = edges.map_batches(
-        lambda b: pa.table({"n": pa.concat_arrays(
-            [pa.array(b["s"].to_numpy(zero_copy_only=False), pa.string()),
-             pa.array(b["t"].to_numpy(zero_copy_only=False), pa.string())]),
-            "one": pa.array(np.ones(2 * len(b), np.int64))}),
-        batch_format="pyarrow").groupby("n").aggregate(Sum("one", alias_name="c")).to_pandas()
-    nodes = both["n"].to_numpy(dtype=object)
+    nodes, eint = factorize_edge_graph(edges)
+    V = nodes.size
 
-    a = {n: SCALE for n in nodes}
-    h = {n: SCALE for n in nodes}
+    a = np.full(V, SCALE, dtype=np.int64)
+    h = np.full(V, SCALE, dtype=np.int64)
 
-    def _push(scores: dict, src_col: str, dst_col: str) -> dict:
+    def _push(scores: np.ndarray, src_col: str, dst_col: str) -> np.ndarray:
         ref = ray.put(scores)
 
         def contrib(b: pd.DataFrame) -> pd.DataFrame:
-            sc = ray.get(ref)
-            src = b[src_col].to_numpy(dtype=object)
+            sc_arr = ray.get(ref)
+            src = b[src_col].to_numpy()
             w = b["w"].to_numpy().astype(np.int64)
-            val = np.array([sc[x] for x in src], dtype=np.int64)
+            val = sc_arr[src]
+            _guard_mul(val, w, "hits gather")
             return pd.DataFrame({"t": b[dst_col], "c": val * w})
 
-        agg = (edges.map_batches(contrib, batch_format="pandas")
+        agg = (eint.map_batches(contrib, batch_format="pandas")
                .groupby("t").aggregate(Sum("c", alias_name="sc")).to_pandas())
-        out = {n: 0 for n in nodes}
-        for t_, v in zip(agg["t"].to_numpy(dtype=object),
-                         agg["sc"].astype(np.int64).to_numpy()):
-            out[t_] = int(v)
-        mx = max(out.values()) if out else 0
+        out = np.zeros(V, dtype=np.int64)
+        out[agg["t"].to_numpy()] = agg["sc"].to_numpy().astype(np.int64)
+        mx = int(out.max()) if out.size else 0
         if mx > 0:
-            out = {k: (v * SCALE) // mx for k, v in out.items()}
+            # HUGEINT-equivalent normalize: object-dtype node-sized array
+            out = ((out.astype(object) * SCALE) // mx).astype(np.int64)
         return out
 
     for _ in range(n_iter):
-        a = _push(h, "s", "t")   # authorities gather from hubs
-        h = _push(a, "t", "s")   # hubs gather from authorities
+        a = _push(h, "s_id", "t_id")   # authorities gather from hubs
+        h = _push(a, "t_id", "s_id")   # hubs gather from authorities
 
-    def _top(scores: dict, kind: str) -> pd.DataFrame:
-        df = pd.DataFrame({"term": list(scores), "score": list(scores.values())})
+    def _top(scores: np.ndarray, kind: str) -> pd.DataFrame:
+        df = pd.DataFrame({"term": nodes, "score": scores})
         df["score"] = df["score"].astype(np.int64)
         df = df.sort_values(["score", "term"], ascending=[False, True],
                             kind="mergesort").head(top_n)
@@ -222,20 +287,26 @@ def pmi_bigrams(transcripts_ds, min_count: int = 5, top_n: int = 20,
     unit signal feeding tokenizer-vocab curation.
 
     Scale shape: ONE directed-adjacency edge shuffle (shared with
-    TextRank/HITS), two node-sized marginal groupbys broadcast once, a
-    scoring map over edge blocks with batch-local top-n partials, tiny
-    driver merge. Returns (s, t, n_pair, pmi round4) by (pmi desc, s, t).
-    """
+    TextRank/HITS), two node-sized marginal groupbys broadcast as
+    aligned int64 arrays, a scoring map over int edge blocks with
+    batch-local top-n partials (ids mapped back to terms only for the
+    ≤top_n survivors per batch), tiny driver merge. Returns
+    (s, t, n_pair, pmi round4) by (pmi desc, s, t)."""
     import ray
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg, symmetric=False).materialize()
-    left = edges.groupby("s").aggregate(Sum("w", alias_name="cl")).to_pandas()
-    right = edges.groupby("t").aggregate(Sum("w", alias_name="cr")).to_pandas()
+    nodes, eint = factorize_edge_graph(edges)
+    V = nodes.size
+
+    left = eint.groupby("s_id").aggregate(Sum("w", alias_name="cl")).to_pandas()
+    right = eint.groupby("t_id").aggregate(Sum("w", alias_name="cr")).to_pandas()
     n_total = int(left["cl"].sum())
-    cl = dict(zip(left["s"].to_numpy(dtype=object), left["cl"].astype(np.int64)))
-    cr = dict(zip(right["t"].to_numpy(dtype=object), right["cr"].astype(np.int64)))
-    ref = ray.put({"cl": cl, "cr": cr, "n": n_total})
+    cl = np.zeros(V, dtype=np.int64)
+    cl[left["s_id"].to_numpy()] = left["cl"].to_numpy().astype(np.int64)
+    cr = np.zeros(V, dtype=np.int64)
+    cr[right["t_id"].to_numpy()] = right["cr"].to_numpy().astype(np.int64)
+    ref = ray.put({"cl": cl, "cr": cr, "n": n_total, "nodes": nodes})
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         st = ray.get(ref)
@@ -246,19 +317,20 @@ def pmi_bigrams(transcripts_ds, min_count: int = 5, top_n: int = 20,
                                  "t": pd.Series([], dtype=object),
                                  "n_pair": pd.Series([], dtype=np.int64),
                                  "pmi": pd.Series([], dtype=float)})
-        s = b["s"].to_numpy(dtype=object)[keep]
-        t = b["t"].to_numpy(dtype=object)[keep]
+        s_id = b["s_id"].to_numpy()[keep]
+        t_id = b["t_id"].to_numpy()[keep]
         w = w[keep]
-        a = np.array([st["cl"][x] for x in s], dtype=np.float64)
-        c = np.array([st["cr"][x] for x in t], dtype=np.float64)
+        a = st["cl"][s_id].astype(np.float64)
+        c = st["cr"][t_id].astype(np.float64)
         pmi = np.log(st["n"] * w.astype(np.float64) / (a * c))
         pmi = np.sign(pmi) * np.floor(np.abs(pmi) * 1e4 + 0.5) / 1e4
-        out = pd.DataFrame({"s": s, "t": t, "n_pair": w, "pmi": pmi})
+        out = pd.DataFrame({"s": st["nodes"][s_id], "t": st["nodes"][t_id],
+                            "n_pair": w, "pmi": pmi})
         return out.sort_values(["pmi", "s", "t"],
                                ascending=[False, True, True],
                                kind="mergesort").head(top_n)
 
-    cand = edges.map_batches(score, batch_format="pandas").to_pandas()
+    cand = eint.map_batches(score, batch_format="pandas").to_pandas()
     return (cand.sort_values(["pmi", "s", "t"], ascending=[False, True, True],
                              kind="mergesort").head(top_n).reset_index(drop=True))
 
@@ -276,42 +348,52 @@ def personalized_pagerank(transcripts_ds, seeds: list[str], n_iter: int = 4,
                      + (85 · Σ_{u→v} (r_t(u)·w) // W(u)) // 100
 
     Same shuffle shape too: one symmetric edge build, K broadcast-rank
-    iterations over edge blocks. Returns top-``top_n`` (term, rank),
-    seeds included (they dominate by construction)."""
+    iterations over int edge blocks, frontier-sparse (zero-mass edges
+    emit nothing). Returns top-``top_n`` (term, rank), seeds included
+    (they dominate by construction)."""
     import ray
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg).materialize()
-    wout = edges.groupby("s").aggregate(Sum("w", alias_name="W")).to_pandas()
-    nodes = wout["s"].to_numpy(dtype=object)
-    w_of = dict(zip(nodes, wout["W"].astype(np.int64)))
-    w_ref = ray.put(w_of)
-    seed_set = set(seeds)
-    base = {n: (_BASE if n in seed_set else 0) for n in nodes}
-    ranks = dict(base)
+    nodes, eint = factorize_edge_graph(edges)
+    V = nodes.size
+
+    wout = eint.groupby("s_id").aggregate(Sum("w", alias_name="W")).to_pandas()
+    W_arr = np.zeros(V, dtype=np.int64)
+    W_arr[wout["s_id"].to_numpy()] = wout["W"].to_numpy().astype(np.int64)
+    w_ref = ray.put(W_arr)
+
+    seed_pos = np.searchsorted(nodes, np.array(sorted(set(seeds)), dtype=object))
+    seed_ids = np.array(
+        [p for p, s_ in zip(seed_pos, sorted(set(seeds)))
+         if p < V and nodes[p] == s_], dtype=np.int64)
+    base = np.zeros(V, dtype=np.int64)
+    base[seed_ids] = _BASE
+    r = base.copy()
 
     for _ in range(n_iter):
-        r_ref = ray.put(ranks)
+        r_ref = ray.put(r)
 
         def contrib(b: pd.DataFrame) -> pd.DataFrame:
-            r = ray.get(r_ref)
-            w_map = ray.get(w_ref)
-            s = b["s"].to_numpy(dtype=object)
-            ru = np.array([r[x] for x in s], dtype=np.int64)
-            wu = np.array([w_map[x] for x in s], dtype=np.int64)
-            w = b["w"].to_numpy().astype(np.int64)
+            r_arr = ray.get(r_ref)
+            W = ray.get(w_ref)
+            s = b["s_id"].to_numpy()
+            ru = r_arr[s]
             keep = ru > 0                 # sparse frontier: zero mass emits nothing
-            return pd.DataFrame({"t": b["t"].to_numpy(dtype=object)[keep],
-                                 "c": ((ru * w) // wu)[keep]})
+            s, ru = s[keep], ru[keep]
+            w = b["w"].to_numpy().astype(np.int64)[keep]
+            _guard_mul(ru, w, "ppr contrib")
+            return pd.DataFrame({"t_id": b["t_id"].to_numpy()[keep],
+                                 "c": (ru * w) // W[s]})
 
-        agg = (edges.map_batches(contrib, batch_format="pandas")
-               .groupby("t").aggregate(Sum("c", alias_name="sc")).to_pandas())
-        ranks = dict(base)
-        for t_, v in zip(agg["t"].to_numpy(dtype=object),
-                         agg["sc"].astype(np.int64).to_numpy()):
-            ranks[t_] = base[t_] + (_D_NUM * int(v)) // _D_DEN
+        agg = (eint.map_batches(contrib, batch_format="pandas")
+               .groupby("t_id").aggregate(Sum("c", alias_name="sc")).to_pandas())
+        sc = agg["sc"].to_numpy().astype(np.int64)
+        _guard_mul(np.array([_D_NUM]), sc, "ppr damped update")
+        r = base.copy()
+        r[agg["t_id"].to_numpy()] += (_D_NUM * sc) // _D_DEN
 
-    out = pd.DataFrame({"term": list(ranks), "rank": list(ranks.values())})
+    out = pd.DataFrame({"term": nodes, "rank": r})
     out = out[out["rank"] > 0]
     out["rank"] = out["rank"].astype(np.int64)
     return (out.sort_values(["rank", "term"], ascending=[False, True],

@@ -4478,7 +4478,9 @@ def q_ann_pq(sf_dir: str):
     merged candidates — vector quantization completes the ANN family
     beside IVF/LSH/NSW/int8 (stages/similarity.pq_build/pq_query).
     Rows-only (k-means float iterations are not SQL-expressible);
-    recall vs brute force is gated in ann_eval."""
+    recall vs brute force is gated in ann_eval, and the ADC scan
+    kernel itself is value-verified by the exact pq_adc twin
+    (sampled-anchor codebook, pure BIGINT — see q_pq_adc)."""
     from hybrid_sanctions_search_engine_ray import __version__ as _fmt
     from hybrid_sanctions_search_engine_ray.stages.similarity import pq_build, pq_query
 
@@ -4488,6 +4490,27 @@ def q_ann_pq(sf_dir: str):
     pq_build(path, pq_dir)
     q_ids, q_mat = _load_query_vectors(path)
     return pq_query(pq_dir, path, q_ids.tolist(), q_mat, k=_EMB_TOP_K, rerank=100)
+
+
+_PQ_ADC_M, _PQ_ADC_CODES, _PQ_ADC_SCALE = 8, 8, 1_000_000
+
+
+def q_pq_adc(sf_dir: str):
+    """Product-quantization ADC scan with an EXACT value-level twin —
+    the verification companion to ann_pq (whose k-means codebooks are
+    principled rows-only). Codebook = subvectors of the n_codes corpus
+    rows ranked first by the Lehmer permutation ((vec_id%P)*48271)%P
+    (sampled-point VQ, no Lloyd iterations); every coordinate is
+    quantized to int64 ×1e6 with the DuckDB round() parity kernel, so
+    encode argmin, ADC tables and scores are pure BIGINT on both sides
+    (stages/similarity.pq_adc_exact). One streaming scan, broadcast
+    integer tables, batch-local top-k partials."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import pq_adc_exact
+
+    return pq_adc_exact(os.path.join(sf_dir, "embeddings.parquet"),
+                        n_queries=_N_EMB_QUERIES, m=_PQ_ADC_M,
+                        n_codes=_PQ_ADC_CODES, k=_EMB_TOP_K,
+                        scale=_PQ_ADC_SCALE)
 
 
 def q_ann_lsh(sf_dir: str):
@@ -9201,6 +9224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pairs": q_geo_pairs,
         "cm_sketch": q_cm_sketch,
         "ann_pq": q_ann_pq,
+        "pq_adc": q_pq_adc,
         "triangles": q_triangles,
         "label_prop": q_label_prop,
         "conv_split": q_conv_split,
@@ -11765,6 +11789,50 @@ ranked AS (
 )
 SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
 FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # PQ ADC scan, exact: sampled-anchor codebook (Lehmer-ranked
+        # rows), int64 ×1e6 coordinates, BIGINT encode/table/score.
+        "pq_adc": f"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         cast(round(unnest(embedding)::DOUBLE * {_PQ_ADC_SCALE}) AS BIGINT) AS q
+  FROM embeddings),
+anch AS (
+  SELECT vec_id AS aid, rn - 1 AS arank FROM (
+    SELECT vec_id, row_number() OVER (
+      ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id) AS rn
+    FROM embeddings) WHERE rn <= {_PQ_ADC_CODES}),
+asub AS (
+  SELECT a.arank, e.d // {64 // _PQ_ADC_M} AS s, e.d, e.q
+  FROM anch a JOIN ev e ON e.vec_id = a.aid),
+dist AS (
+  SELECT v.vec_id, v.d // {64 // _PQ_ADC_M} AS s, a.arank,
+         sum((v.q - a.q) * (v.q - a.q)) AS d2
+  FROM ev v JOIN asub a ON a.d = v.d
+  GROUP BY v.vec_id, 2, a.arank),
+codes AS (
+  SELECT vec_id, s, arank AS code FROM (
+    SELECT vec_id, s, arank,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, arank) AS rn
+    FROM dist) WHERE rn = 1),
+qdist AS (
+  SELECT v.vec_id AS query_vec_id, v.d // {64 // _PQ_ADC_M} AS s, a.arank,
+         sum((v.q - a.q) * (v.q - a.q)) AS t
+  FROM ev v JOIN asub a ON a.d = v.d
+  WHERE v.vec_id < {_N_EMB_QUERIES}
+  GROUP BY 1, 2, a.arank),
+score AS (
+  SELECT qd.query_vec_id, c.vec_id, sum(qd.t) AS adc
+  FROM codes c JOIN qdist qd ON qd.s = c.s AND qd.arank = c.code
+  WHERE c.vec_id <> qd.query_vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_vec_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY adc, vec_id) AS rnk
+  FROM score)
+SELECT query_vec_id, cast(rnk AS BIGINT) AS rank, vec_id,
+       cast(adc AS BIGINT) AS adc_d2
+FROM ranked WHERE rnk <= {_EMB_TOP_K} ORDER BY query_vec_id, rank
 """,
         # hard-negative mining: top-k most-similar DIFFERENT-label
         # vectors per query (the contrastive batch-construction rule).

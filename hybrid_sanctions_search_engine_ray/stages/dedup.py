@@ -791,6 +791,19 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 _CDC_A = np.int64(37)        # order-16 mod 64 (31 has order 2 — biased); sum < 2^63
 _CDC_W = 8                   # window (codepoints)
 _CDC_MASK = np.int64(64)     # boundary when H % 64 == 0 → ~64-char chunks
+# Odd multipliers for the two chunk-fingerprint lanes (splitmix64 / xxhash
+# constants); odd → invertible mod 2^64, so anchored prefix differences
+# recover the chunk-local polynomial exactly.
+_CDC_P1 = 0x9E3779B97F4A7C15
+_CDC_P2 = 0xC2B2AE3D27D4EB4F
+
+
+def _u64_inv(a: int) -> int:
+    """Multiplicative inverse of odd ``a`` mod 2^64 (Newton iteration)."""
+    x = a
+    for _ in range(6):
+        x = (x * (2 - a * x)) % (1 << 64)
+    return x
 
 
 def cdc_chunk_stats(ds, text_col: str = "text"):
@@ -804,75 +817,131 @@ def cdc_chunk_stats(ds, text_col: str = "text"):
     satisfies ``H % 64 == 0`` — boundaries move with CONTENT, so an
     insertion only re-chunks its neighbourhood (the property fixed-size
     blocks lack). Returns one summary row: docs chunked, total chunks,
-    DISTINCT chunks (md5 of the codepoint bytes — cross-doc chunk
-    dedup, the storage win CDC exists for), mean chunk length (round4).
+    DISTINCT chunks (cross-doc chunk dedup, the storage win CDC exists
+    for), mean chunk length (round4).
 
-    Scale shape: pure per-doc map (codepoints via one ``utf-32-le``
-    reinterpret, the 8-term window as eight shifted vector multiplies —
-    no per-char Python); chunk-hash rows (≈ chars/64 per doc) take ONE
-    distinct-count exchange; everything else is scalar partials. The
-    published scheme's min/max chunk clamps are omitted (they make
+    Round-4 shape — fully vectorized, nothing pinned:
+    - The batch's documents are concatenated into ONE flat codepoint
+      array (a single ``utf-32-le`` reinterpret per doc); the 8-term
+      window hash is eight shifted vector multiplies over the flat
+      array, with candidates crossing a document edge masked out by two
+      vectorized ``searchsorted`` range checks. No per-doc Python loop
+      in the hot path.
+    - Chunk identity is a 128-bit anchored polynomial fingerprint
+      (two independent lanes mod 2^64): with prefix sums
+      ``P[i] = Σ_{k<i} cp[k]·A^k`` the chunk a..e hashes to
+      ``(P[e] − P[a]) · A^{−a}``, all uint64 wraparound cumsums /
+      cumprods — the per-chunk ``hashlib.md5`` Python loop is gone.
+      The DISTINCT count needs only an injective content fingerprint,
+      not md5 parity: equal chunks collide by construction, unequal
+      chunks collide with ~2⁻¹²⁸ probability (chunk length is part of
+      the key too), so the SQL twin's ``count(DISTINCT substring)``
+      matches.
+    - ONE exchange total: per-batch pre-deduped fingerprint rows plus a
+      sentinel scalar row ride the same (kind, fingerprint) groupby; a
+      tiny post-aggregation map emits per-block partials (distinct
+      count + scalar sums) and the driver adds them up. No
+      ``materialize()`` anywhere.
+    The published scheme's min/max chunk clamps are omitted (they make
     boundary selection sequential); documented deviation — pure
     content-defined boundaries, exactly SQL-twinnable.
     """
-    import hashlib
+    from ray.data.aggregate import Sum
 
-    from ray.data.aggregate import Count, Sum
+    inv1 = _u64_inv(_CDC_P1)
+    inv2 = _u64_inv(_CDC_P2)
 
     def chunk_batch(b: pa.Table) -> pa.Table:
         texts = b[text_col].to_pandas().to_numpy(dtype=object)
-        hashes: list[bytes] = []
-        n_docs = 0
-        n_chunks = 0
-        n_chars = 0
-        for s in texts:
-            s = s or ""
-            if not s:
-                continue
-            n_docs += 1
-            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-            L = cp.size
-            n_chars += L
-            if L >= _CDC_W + 1:
-                h = np.zeros(L - _CDC_W + 1, dtype=np.int64)
-                for k in range(_CDC_W):
-                    h += cp[_CDC_W - 1 - k: L - k] * (_CDC_A ** k)
-                # h[j] is H at 1-based p = j + 8; boundary needs p <= L-1
-                bidx = np.flatnonzero(h % _CDC_MASK == 0)
-                bp = bidx + _CDC_W          # 1-based boundary positions
-                bp = bp[bp <= L - 1]
-            else:
-                bp = np.empty(0, dtype=np.int64)
-            ends = np.r_[bp, L]
-            starts = np.r_[0, bp]
-            n_chunks += ends.size
-            for a, e in zip(starts, ends):
-                hashes.append(hashlib.md5(cp[a:e].tobytes()).digest())
+        bufs = [(s or "").encode("utf-32-le") for s in texts]
+        lens = np.array([len(x) >> 2 for x in bufs], dtype=np.int64)
+        n_docs = int((lens > 0).sum())
+        n_chars = int(lens.sum())
+        off = np.concatenate([[0], np.cumsum(lens)])
+        flat = (np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.int64)
+                if n_chars else np.empty(0, np.int64))
+        N = flat.size
+
+        # boundary candidates over the FLAT array, doc-edge-masked
+        bp_flat = np.empty(0, dtype=np.int64)
+        if N >= _CDC_W + 1:
+            h = np.zeros(N - _CDC_W + 1, dtype=np.int64)
+            for k in range(_CDC_W):
+                h += flat[_CDC_W - 1 - k: N - k] * (_CDC_A ** k)
+            cand = np.flatnonzero(h % _CDC_MASK == 0) + _CDC_W  # 1-based flat pos
+            if cand.size:
+                d = np.searchsorted(off, cand - 1, side="right") - 1
+                ok = (cand - _CDC_W >= off[d]) & (cand <= off[d + 1] - 1)
+                bp_flat = cand[ok]
+
+        doc_start = off[:-1][lens > 0]
+        doc_end = off[1:][lens > 0]
+        starts = np.sort(np.concatenate([doc_start, bp_flat]))
+        ends = np.sort(np.concatenate([bp_flat, doc_end]))
+        n_chunks = ends.size
+
+        # 128-bit anchored polynomial fingerprints, all-vector uint64
+        u = flat.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pw1 = np.cumprod(np.full(N, np.uint64(_CDC_P1)), dtype=np.uint64)
+            pw1 = np.concatenate([[np.uint64(1)], pw1[:-1]]) if N else pw1
+            pw2 = np.cumprod(np.full(N, np.uint64(_CDC_P2)), dtype=np.uint64)
+            pw2 = np.concatenate([[np.uint64(1)], pw2[:-1]]) if N else pw2
+            pi1 = np.cumprod(np.full(N, np.uint64(inv1)), dtype=np.uint64)
+            pi1 = np.concatenate([[np.uint64(1)], pi1[:-1]]) if N else pi1
+            pi2 = np.cumprod(np.full(N, np.uint64(inv2)), dtype=np.uint64)
+            pi2 = np.concatenate([[np.uint64(1)], pi2[:-1]]) if N else pi2
+            P1 = np.concatenate([[np.uint64(0)], np.cumsum(u * pw1, dtype=np.uint64)])
+            P2 = np.concatenate([[np.uint64(0)], np.cumsum(u * pw2, dtype=np.uint64)])
+            h1 = ((P1[ends] - P1[starts]) * pi1[starts]).view(np.int64) \
+                if n_chunks else np.empty(0, np.int64)
+            h2 = ((P2[ends] - P2[starts]) * pi2[starts]).view(np.int64) \
+                if n_chunks else np.empty(0, np.int64)
+        clen = ends - starts
+
+        # map-side combine: distinct fingerprints within the batch
+        fp = pa.table({"h1": pa.array(h1, pa.int64()),
+                       "h2": pa.array(h2, pa.int64()),
+                       "clen": pa.array(clen, pa.int64())})
+        fp = fp.group_by(["h1", "h2", "clen"]).aggregate([([], "count_all")])
+        n_u = fp.num_rows
+        z = np.zeros(n_u, np.int64)
         return pa.table({
-            "kind": pa.array(["s"] + ["h"] * len(hashes), pa.string()),
-            "hash": pa.array([b""] + hashes, pa.binary()),
-            "n_docs": pa.array([n_docs] + [0] * len(hashes), pa.int64()),
-            "n_chunks": pa.array([n_chunks] + [0] * len(hashes), pa.int64()),
-            "n_chars": pa.array([n_chars] + [0] * len(hashes), pa.int64()),
+            "kind": pa.array(np.concatenate([[0], np.ones(n_u, np.int64)]), pa.int8()),
+            "h1": pa.array(np.concatenate([[0], fp["h1"].to_numpy()]), pa.int64()),
+            "h2": pa.array(np.concatenate([[0], fp["h2"].to_numpy()]), pa.int64()),
+            "clen": pa.array(np.concatenate([[0], fp["clen"].to_numpy()]), pa.int64()),
+            "n_docs": pa.array(np.concatenate([[n_docs], z]), pa.int64()),
+            "n_chunks": pa.array(np.concatenate([[n_chunks], z]), pa.int64()),
+            "n_chars": pa.array(np.concatenate([[n_chars], z]), pa.int64()),
         })
 
-    rows = ds.map_batches(chunk_batch, batch_format="pyarrow").materialize()
-    tot = (rows.groupby("kind")
-           .aggregate(Sum("n_docs", alias_name="d"),
-                      Sum("n_chunks", alias_name="c"),
-                      Sum("n_chars", alias_name="ch")).to_pandas())
-    srow = tot[tot["kind"] == "s"].iloc[0]
-    distinct = rows.map_batches(
-        lambda b: b.filter(pc.equal(b["kind"], "h")).select(["hash"]),
-        batch_format="pyarrow")
-    n_distinct = distinct.groupby("hash").aggregate(Count()).count()
-    n_chunks = int(srow["c"])
+    def partials(b: pa.Table) -> pa.Table:
+        kind = b["kind"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "distinct_p": pa.array([int((kind == 1).sum())], pa.int64()),
+            "d_p": pa.array([int(pc.sum(b["n_docs"]).as_py() or 0)], pa.int64()),
+            "c_p": pa.array([int(pc.sum(b["n_chunks"]).as_py() or 0)], pa.int64()),
+            "ch_p": pa.array([int(pc.sum(b["n_chars"]).as_py() or 0)], pa.int64()),
+        })
+
+    tot = (
+        ds.map_batches(chunk_batch, batch_format="pyarrow")
+        .groupby(["kind", "h1", "h2", "clen"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_chunks", alias_name="n_chunks"),
+                   Sum("n_chars", alias_name="n_chars"))
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_chunks = int(tot["c_p"].sum())
+    n_chars = int(tot["ch_p"].sum())
     mean_len = 0.0 if n_chunks == 0 else \
-        float(np.floor(int(srow["ch"]) / n_chunks * 1e4 + 0.5) / 1e4)
+        float(np.floor(n_chars / n_chunks * 1e4 + 0.5) / 1e4)
     return pd.DataFrame({
-        "n_docs": [np.int64(srow["d"])],
+        "n_docs": [np.int64(tot["d_p"].sum())],
         "n_chunks": [np.int64(n_chunks)],
-        "n_distinct_chunks": [np.int64(n_distinct)],
+        "n_distinct_chunks": [np.int64(tot["distinct_p"].sum())],
         "mean_chunk_len": [mean_len],
     })
 

@@ -1389,3 +1389,116 @@ def label_propagation(embeddings_path: str, k: int = 5, n_iter: int = 3,
 
     return pd.DataFrame({"vec_id": ids, "label": lab}).sort_values(
         "vec_id", kind="mergesort").reset_index(drop=True)
+
+
+# --- Exact-twin PQ: sampled-anchor codebook + integer ADC -------------------
+
+_LEHMER_P = 2147483647  # Lehmer/MINSTD modulus — the repo's arrival-order contract
+
+
+def pq_adc_exact(embeddings_path: str, n_queries: int, m: int = 8,
+                 n_codes: int = 8, k: int = 5,
+                 scale: int = 1_000_000) -> pd.DataFrame:
+    """Product-quantization ADC scan with an EXACT SQL twin: the
+    value-level verification companion to :func:`pq_build`/:func:`pq_query`
+    (which keep the production k-means codebooks, recall-gated in
+    ann_eval but not SQL-expressible).
+
+    Construction chosen so every step is pure BIGINT arithmetic on both
+    sides:
+    - Codebook per subspace = the subvectors of ``n_codes`` ANCHOR rows
+      — the corpus rows ranked first by the Lehmer permutation
+      ``((vec_id % P) * 48271) % P`` (the repo's established
+      pseudo-random order contract; sampled-point codebooks are the
+      classic Lloyd-iteration-free VQ baseline).
+    - All coordinates quantized to int64 at ×``scale``: float32→float64
+      is exact, ×1e6 is one correctly-rounded IEEE multiply, and
+      round-half-away matches DuckDB ``round()`` bit-for-bit — no libm
+      anywhere, so the encode argmin, the ADC tables and the final
+      scores are INTEGERS on both sides.
+    - Encode: per subspace, nearest anchor by integer squared L2
+      (ties → lowest anchor rank). ADC score(q, v) = Σ_s T[q][s][code],
+      integer table lookups; top-``k`` per query by (score asc, vec_id).
+
+    Scale shape: anchor selection is per-batch bottom-``n_codes``
+    partials + a tiny driver merge (never a sort of the corpus); the
+    scan is ONE streaming pass — quantize, encode, ADC-score against the
+    broadcast (nq × m × n_codes) int64 table, batch-local top-k
+    partials; driver merges nq·k·n_blocks candidate rows. Returns
+    (query_vec_id, rank, vec_id, adc_d2), all int64.
+    """
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+
+    def bottom_partial(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = ((ids % _LEHMER_P) * 48271) % _LEHMER_P
+        o = np.lexsort((ids, key))[:n_codes]
+        return b.take(pa.array(np.sort(o), pa.int64()))
+
+    cand = ds.map_batches(bottom_partial, batch_format="pyarrow").to_pandas()
+    ids_c = cand["vec_id"].to_numpy().astype(np.int64)
+    key_c = ((ids_c % _LEHMER_P) * 48271) % _LEHMER_P
+    take = np.lexsort((ids_c, key_c))[:n_codes]
+    A_f = np.stack(cand["embedding"].to_numpy()[take]).astype(np.float64)
+    A = round_half_away(A_f * scale, 0).astype(np.int64)      # (n_codes, dim)
+    dim = A.shape[1]
+    sub = dim // m
+    A_s = A.reshape(n_codes, m, sub)                           # (a, s, d)
+
+    import pyarrow.parquet as _pq
+
+    qt = _pq.read_table(embeddings_path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", n_queries)])
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = round_half_away(
+        np.stack(qt["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        * scale, 0).astype(np.int64)
+    Q_s = Q.reshape(len(q_ids), m, sub)                        # (q, s, d)
+    # T[q, s, a] = Σ_d (Q - A)²  — the integer ADC tables
+    T = ((Q_s[:, :, None, :] - A_s[None, :, :, :].transpose(0, 2, 1, 3)) ** 2
+         ).sum(axis=3)
+    state = ray.put({"A_s": A_s, "T": T, "q_ids": q_ids})
+
+    class Scan:
+        def __init__(self, ref, kk):
+            st = ray.get(ref)
+            self.A_s, self.T, self.q_ids = st["A_s"], st["T"], st["q_ids"]
+            self.k = kk
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            X = round_half_away(_batch_matrix(b) * scale, 0).astype(np.int64)
+            n = X.shape[0]
+            X_s = X.reshape(n, m, sub)
+            # encode: (n, s) nearest-anchor codes, first-min tie-break
+            d2 = ((X_s[:, :, None, :] - self.A_s.transpose(1, 0, 2)[None, :, :, :])
+                  ** 2).sum(axis=3)                 # (n, s, a)
+            codes = d2.argmin(axis=2)               # (n, s)
+            s_idx = np.arange(m)
+            out_q, out_v, out_d = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                sc = self.T[qi][s_idx[None, :], codes].sum(axis=1)  # (n,)
+                mask = ids != qid
+                svc, sid = sc[mask], ids[mask]
+                take_ = min(self.k, sid.size)
+                if take_ == 0:
+                    continue
+                part = np.lexsort((sid, svc))[:take_]
+                out_q.extend([int(qid)] * take_)
+                out_v.extend(sid[part].tolist())
+                out_d.extend(svc[part].tolist())
+            return pa.table({"query_vec_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_v, pa.int64()),
+                             "adc_d2": pa.array(out_d, pa.int64())})
+
+    cand2 = ds.map_batches(Scan, fn_constructor_args=(state, k),
+                           batch_format="pyarrow", concurrency=2).to_pandas()
+    cand2 = cand2.sort_values(["query_vec_id", "adc_d2", "vec_id"],
+                              kind="mergesort")
+    top = cand2.groupby("query_vec_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_vec_id").cumcount().astype(np.int64) + 1
+    return top[["query_vec_id", "rank", "vec_id", "adc_d2"]].astype(np.int64)

@@ -93,3 +93,40 @@ def test_pq_build_idempotent(ray_session, tmp_path):
     pq_build(path, out, m=8, n_codes=16)         # meta differs → rebuild
     books2 = np.load(os.path.join(out, "codebooks.npy"))
     assert books2.shape[1] == 16 and books1.shape[1] == 8
+
+
+def test_pq_adc_exact_bruteforce_parity(ray_session, tmp_path):
+    """pq_adc_exact must equal a local integer brute-force replay:
+    same Lehmer anchor ranking, same ×scale quantization, same
+    (score, vec_id) tie-break, self excluded."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import pq_adc_exact
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    X = _clustered(n=60, dim=16)
+    path = _write(str(tmp_path), X)
+    m, nc, k, scale = 4, 8, 3, 1_000_000
+    got = pq_adc_exact(path, n_queries=2, m=m, n_codes=nc, k=k, scale=scale)
+
+    # brute-force replay
+    P = 2147483647
+    ids = np.arange(len(X), dtype=np.int64)
+    key = ((ids % P) * 48271) % P
+    anchors = ids[np.lexsort((ids, key))[:nc]]
+    Q = round_half_away(X.astype(np.float64) * scale, 0).astype(np.int64)
+    A = Q[anchors]
+    sub = 16 // m
+    A_s = A.reshape(nc, m, sub)
+    X_s = Q.reshape(len(X), m, sub)
+    d2 = ((X_s[:, :, None, :] - A_s.transpose(1, 0, 2)[None]) ** 2).sum(axis=3)
+    codes = d2.argmin(axis=2)
+    for qid in (0, 1):
+        T = ((Q[qid].reshape(m, sub)[:, None, :] - A_s.transpose(1, 0, 2)) ** 2).sum(axis=2)
+        sc = T[np.arange(m)[None, :], codes].sum(axis=1)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], sc[mask]))[:k]
+        want_ids = ids[mask][order]
+        want_sc = sc[mask][order]
+        g = got[got.query_vec_id == qid]
+        assert list(g["vec_id"]) == want_ids.tolist()
+        assert list(g["adc_d2"]) == want_sc.tolist()
+        assert list(g["rank"]) == [1, 2, 3]

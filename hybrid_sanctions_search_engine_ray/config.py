@@ -54,8 +54,15 @@ class AnalyzerConfig:
     # suffix-stripping stemmer applied per token ("" = off; "ru" =
     # Snowball russian; "uk" = Ukrainian Porter-style — the lightweight
     # stand-ins for the reference's pymorphy ru+uk morphology layer,
-    # functions/stemmer.py)
+    # functions/stemmer.py; "ru_names"/"uk_names" add the suppletive
+    # diminutive→canonical given-name conflation on top, for fields
+    # holding person names only)
     stem: str = ""
+    # full mode only: reproduce the reference's language-split case rule
+    # (lower() for strings containing Cyrillic, casefold() otherwise —
+    # normalize_for_ac, high_recall_ac_generator.py:174-181). Default
+    # off: uniform casefold() (documented recall-friendly deviation).
+    lang_split_case: bool = False
     min_token_len: int = 1
     max_token_len: int = 64
 

@@ -160,6 +160,10 @@ _APOSTROPHES = dict.fromkeys(map(ord, "’ʼ‘`´"), ord("'"))
 _HYPHENS = dict.fromkeys(map(ord, "−–—‐‑"), ord("-"))
 # Fixed transliteration map (reference: token_processor.py:245-255)
 _TRANSLIT = {ord("ё"): "е", ord("Ё"): "Е", ord("ß"): "ss", ord("ẞ"): "SS"}
+# ru/uk branch of the lang-split case rule: ё folding applies (it's the
+# reference's ru normalization), ß/ẞ pass through like the reference's
+# raw lower() does
+_TRANSLIT_RU_BRANCH = {ord("ё"): "е", ord("Ё"): "Е"}
 
 # Latin↔Cyrillic confusables (standard Unicode confusable pairs; the
 # reference folds these toward the dominant script — unicode_service.py:403-460)
@@ -242,33 +246,53 @@ def recover_encoding(text: str) -> str:
         return text
 
 
-def normalize_full(text: str) -> str:
+_CYRILLIC = re.compile(r"[Ѐ-ӿ]")
+
+
+def normalize_full(text: str, lang_split_case: bool = False) -> str:
     """The canonical normalization (pre-tokenization) for ``full`` mode.
 
-    Case rule: uniform ``casefold()``. The reference splits by language
-    — ``lower()`` for ru/uk, ``casefold()`` for en (reference:
-    high_recall_ac_generator.py:174-181 ``normalize_for_ac``) — but the
-    two are IDENTICAL on every Cyrillic codepoint (Unicode defines no
-    full case foldings there), so the split only diverges on Latin
-    specials like ``ß``→``ss`` / ``ﬁ``→``fi`` appearing inside text the
-    reference would route to the ru/uk branch; there casefold is the
-    strictly more recall-friendly choice for an index analyzer (both
-    sides of a query/doc pair fold the same way). Deliberate, uniform,
-    and cheaper than per-string language routing."""
+    Case rule: uniform ``casefold()`` by default. The reference splits
+    by language — ``lower()`` for ru/uk, ``casefold()`` for en
+    (reference: high_recall_ac_generator.py:174-181
+    ``normalize_for_ac``) — but the two are IDENTICAL on every Cyrillic
+    codepoint (Unicode defines no full case foldings there), so the
+    split only diverges on Latin specials like ``ß``→``ss`` /
+    ``ﬁ``→``fi`` appearing inside text the reference would route to the
+    ru/uk branch; there casefold is the strictly more recall-friendly
+    choice for an index analyzer (both sides of a query/doc pair fold
+    the same way). Deliberate, uniform, and cheaper than per-string
+    language routing.
+
+    ``lang_split_case=True`` reproduces the reference's routing
+    faithfully (``casefold_by_language``: ``lower()`` for ru/uk,
+    ``casefold()`` otherwise — a raw ``lower()``, so on that branch the
+    Latin-special ß/ẞ translit entries are skipped too and the
+    codepoints survive, exactly as they do through the reference's
+    ru/uk path): a string containing any Cyrillic takes the ru/uk
+    branch, anything else takes ``casefold()``. The approximation of
+    the reference's language PARAMETER by per-string script detection
+    is exact for its ru/uk/en routing on real inputs (the reference
+    passes the detected language of the same string)."""
     t = recover_encoding(text).translate(_INVISIBLE).translate(_SPECIAL_IGNORED)
     t = unicodedata.normalize("NFKC", t)
     t = t.translate(_APOSTROPHES).translate(_HYPHENS)
-    for src, dst in _TRANSLIT.items():
+    ru_branch = lang_split_case and _CYRILLIC.search(t) is not None
+    table = _TRANSLIT_RU_BRANCH if ru_branch else _TRANSLIT
+    for src, dst in table.items():
         t = t.replace(chr(src), dst)
     t = _WS.sub(" ", t).strip()
+    if ru_branch:
+        return t.translate(_PRE_LOWER).lower()
     return t.casefold()
 
 
 _EDGE_PUNCT = ".,;:!?()[]{}\"'"
 
 
-def tokenize_full(text: str, remove_stopwords: bool = False) -> list[str]:
-    t = normalize_full(text)
+def tokenize_full(text: str, remove_stopwords: bool = False,
+                  lang_split_case: bool = False) -> list[str]:
+    t = normalize_full(text, lang_split_case=lang_split_case)
     # date exclusion must run BEFORE the noise strip: slash dates
     # (01/02/2003) would otherwise be split into bare number tokens when
     # '/' is removed (reference: token_processor.py:17-22 checks raw
@@ -337,14 +361,21 @@ def get_analyzer(cfg: AnalyzerConfig):
         base = tokenize_shingle
     elif cfg.mode == "full":
         def base(text: str) -> list[str]:
-            return tokenize_full(text, remove_stopwords=cfg.remove_stopwords)
+            return tokenize_full(text, remove_stopwords=cfg.remove_stopwords,
+                                 lang_split_case=cfg.lang_split_case)
     else:
         raise ValueError(f"unknown analyzer mode: {cfg.mode}")
 
-    if cfg.stem in ("ru", "uk"):
-        from hybrid_sanctions_search_engine_ray.functions.stemmer import stem_ru, stem_uk
+    if cfg.stem in ("ru", "uk", "ru_names", "uk_names"):
+        from hybrid_sanctions_search_engine_ray.functions.stemmer import (
+            name_stem_ru,
+            name_stem_uk,
+            stem_ru,
+            stem_uk,
+        )
 
-        stem_fn = stem_ru if cfg.stem == "ru" else stem_uk
+        stem_fn = {"ru": stem_ru, "uk": stem_uk,
+                   "ru_names": name_stem_ru, "uk_names": name_stem_uk}[cfg.stem]
         inner = base
 
         def base(text: str) -> list[str]:  # noqa: F811

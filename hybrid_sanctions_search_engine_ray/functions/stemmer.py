@@ -274,3 +274,84 @@ def stem_uk(word: str) -> str:
         if word.endswith("ь") and len(word) - 1 >= rv:
             word = word[:-1]
     return word
+
+
+# --- name-field conflation: diminutive → canonical given-name stems --------
+#
+# The reference resolves Slavic given-name diminutives through pymorphy's
+# dictionary + dedicated rules (reference:
+# layers/normalization/morphology_adapter.py:74-258, morphology/
+# gender_rules.py): Саша and Александр must conflate when screening
+# names, and no suffix-stripper can reach that — the diminutive stem is
+# SUPPLETIVE with respect to the full name. These tables map the
+# Snowball STEM of each high-frequency diminutive paradigm to the
+# Snowball stem of its canonical full name (values are asserted equal
+# to ``stem_xx(full-name form)`` in tests/test_stemmer.py), so every
+# inflection of the diminutive (Саша/Сашей/Сашу → саш) lands on the
+# canonical stem in one dict hop after the algorithmic pass.
+#
+# NAME-FIELD ONLY: several keys collide with common nouns (жен(а) →
+# Евгений, кол → Николай), which is exactly why the reference applies
+# morphology-based name resolution only inside its name-matching layer.
+# Use ``stem="ru_names"`` / ``stem="uk_names"`` on fields that hold
+# person names; general text keeps plain "ru"/"uk".
+
+_DIMINUTIVE_RU: dict[str, str] = {
+    "саш": "александр", "шур": "александр",
+    "вов": "владимир", "волод": "владимир",
+    "дим": "дмитр", "мит": "дмитр",
+    "кол": "никола",
+    "пет": "петр",
+    "миш": "миха",
+    "жен": "евген",
+    "кат": "екатерин",
+    "лен": "ел",
+    "наташ": "натал",
+    "маш": "мар",
+    "сереж": "серг",
+    "тан": "татья",
+    "ван": "ива",
+    "паш": "павел",
+    "леш": "алекс", "алеш": "алекс",
+    "андрюш": "андр",
+    "кост": "константин",
+    "люд": "людм",
+    "свет": "светла",
+    # paradigm repair (not a diminutive): Snowball splits Михаил's own
+    # paradigm — михаила→"миха" but михаилу→"михаил"; pin both to "миха"
+    "михаил": "миха",
+}
+
+_DIMINUTIVE_UK: dict[str, str] = {
+    "сашк": "олександр",
+    "вов": "володимир",
+    "дмитрик": "дмитр",
+    "миколк": "микол",
+    "петрик": "петр",
+    "михайлик": "михайл",
+    "жен": "євген",
+    "кат": "катерин",
+    "оленк": "олен",
+    "наталк": "наталі",
+    "мар": "марі",
+    "сергійк": "серг",
+    "тан": "тетя",
+    "іванк": "іва",
+    "васьк": "васил",
+    "павлик": "павл",
+    "андрійк": "андр",
+}
+
+
+def name_stem_ru(word: str) -> str:
+    """Russian name-field stem: suppletive-diminutive conflation after
+    the algorithmic Snowball pass (Саша/Сашей/Шуре and
+    Александр/Александром all → "александр")."""
+    s = stem_ru(word)
+    return _DIMINUTIVE_RU.get(s, s)
+
+
+def name_stem_uk(word: str) -> str:
+    """Ukrainian name-field stem (see :func:`name_stem_ru`)."""
+    s = stem_uk(word)
+    return _DIMINUTIVE_UK.get(s, s)

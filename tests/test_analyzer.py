@@ -229,3 +229,33 @@ def test_full_mode_fast_path_stopwords_and_dedup():
             for t in toks:
                 want[t] = want.get(t, 0) + 1
             assert got.get(i, {}) == want, (cfg, s)
+
+
+def test_lang_split_case_routing():
+    """lang_split_case=True reproduces normalize_for_ac's routing:
+    lower() for Cyrillic-bearing strings (Latin specials keep their
+    codepoints), casefold() otherwise (ß→ss, ﬁ→fi)."""
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import normalize_full
+
+    # default: uniform casefold
+    assert normalize_full("Straße") == "strasse"
+    assert normalize_full("Straße по-русски") == "strasse по-русски"
+    # split: pure-Latin still casefolds...
+    assert normalize_full("Straße", lang_split_case=True) == "strasse"
+    # ...but the ru/uk branch lowers, keeping ß
+    assert normalize_full("Straße по-русски", lang_split_case=True) == "straße по-русски"
+    # Cyrillic itself is identical under both rules
+    assert (normalize_full("МОСКВА Київ", lang_split_case=True)
+            == normalize_full("МОСКВА Київ") == "москва київ")
+    # İ pre-fold holds on the lower() branch too (utf8proc/DuckDB parity)
+    assert normalize_full("İstanbul и Москва", lang_split_case=True).startswith("istanbul")
+
+
+def test_lang_split_case_through_config():
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
+
+    an = get_analyzer(AnalyzerConfig(mode="full", lang_split_case=True))
+    assert "straße" in an("Straße и Москва")
+    an2 = get_analyzer(AnalyzerConfig(mode="full"))
+    assert "strasse" in an2("Straße и Москва")

@@ -165,3 +165,77 @@ def test_uk_stemmed_index_recall(ray_session, tmp_path):
     r = IndexReader(idx)
     docs, _ = r.search_one("книгу олені", 3)     # different case forms
     assert docs.size and int(docs[0]) == 0
+
+
+# --- name-field diminutive conflation --------------------------------------
+
+
+def test_name_stem_table_values_are_canonical_stems():
+    """Every _DIMINUTIVE_* value must be reachable as the Snowball stem
+    of the canonical full name — the consistency contract that makes
+    diminutive and full-name inflections meet at one stem."""
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import (
+        _DIMINUTIVE_RU,
+        _DIMINUTIVE_UK,
+        stem_ru,
+        stem_uk,
+    )
+
+    canon_ru = {
+        "александр": "александра", "владимир": "владимира",
+        "дмитр": "дмитрия", "никола": "николай", "петр": "петра",
+        "миха": "михаила", "евген": "евгения", "екатерин": "екатерина",
+        "ел": "елена", "натал": "наталья", "мар": "мария",
+        "серг": "сергей", "татья": "татьяна", "ива": "иван",
+        "павел": "павел", "алекс": "алексей", "андр": "андрей",
+        "константин": "константин", "людм": "людмила",
+        "светла": "светлана",
+    }
+    for stem_val in set(_DIMINUTIVE_RU.values()):
+        assert stem_val in canon_ru, stem_val
+        assert stem_ru(canon_ru[stem_val]) == stem_val
+
+    canon_uk = {
+        "олександр": "олександра", "володимир": "володимира",
+        "дмитр": "дмитро", "микол": "микола", "петр": "петро",
+        "михайл": "михайло", "євген": "євгена", "катерин": "катерина",
+        "олен": "олена", "наталі": "наталія", "марі": "марія",
+        "серг": "сергій", "тетя": "тетяна", "іва": "іван",
+        "васил": "василь", "павл": "павло", "андр": "андрій",
+    }
+    for stem_val in set(_DIMINUTIVE_UK.values()):
+        assert stem_val in canon_uk, stem_val
+        assert stem_uk(canon_uk[stem_val]) == stem_val
+
+
+def test_name_stem_conflates_diminutive_inflections():
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import (
+        name_stem_ru,
+        name_stem_uk,
+    )
+
+    # every inflection of Саша / Шура and of Александр → one stem
+    for w in ["саша", "сашей", "сашу", "шура", "шуре",
+              "александр", "александра", "александром"]:
+        assert name_stem_ru(w) == "александр", w
+    for w in ["вова", "вовой", "володя", "владимир", "владимиру"]:
+        assert name_stem_ru(w) == "владимир", w
+    # paradigm repair: Snowball splits Михаил's own paradigm
+    for w in ["миша", "мише", "михаила", "михаилу"]:
+        assert name_stem_ru(w) == "миха", w
+    # uk
+    for w in ["сашко", "сашка", "олександр", "олександра"]:
+        assert name_stem_uk(w) == "олександр", w
+
+
+def test_name_stem_is_name_field_only_hazard_documented():
+    """The collisions that make this a name-field-only analyzer:
+    жена (wife) would conflate with Евгений — assert the hazard is
+    real so nobody silently enables ru_names for general text."""
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import (
+        name_stem_ru,
+        stem_ru,
+    )
+
+    assert stem_ru("жена") == "жен"
+    assert name_stem_ru("жена") == name_stem_ru("евгения") == "евген"

@@ -139,31 +139,55 @@ class _EdgeToIds:
         })
 
 
-def factorize_edge_graph(edges):
-    """String-keyed edge Dataset (s, t, w) → ``(nodes, edges_int)``:
+def factorize_edge_graph(edges, symmetric: bool = False):
+    """String-keyed edge Dataset (s, t, w) → ``(nodes, W_arr, edges_int)``:
     ``nodes`` is the sorted distinct term array (driver-side, the id→term
-    map), ``edges_int`` a materialized Dataset (s_id, t_id, w int64)
-    with ids = positions in ``nodes``. One node-sized groupby + one
-    actor-pool conversion pass; after this the strings never enter an
-    iteration again."""
+    map), ``W_arr`` the id-aligned int64 out-weight array (Σw per
+    source), ``edges_int`` a materialized Dataset (s_id, t_id, w int64)
+    with ids = positions in ``nodes``. ``symmetric=True`` (TextRank/PPR
+    graphs, where every node appears as a source) derives the node set
+    from the SAME out-weight groupby — one node-sized exchange total;
+    directed graphs (HITS/PMI) take one extra union groupby. Then one
+    actor-pool conversion pass; strings never enter an iteration again."""
     import ray
     from ray.data.aggregate import Sum
 
-    both = (
-        edges.map_batches(
-            lambda b: pa.table({"n": pa.concat_arrays(
-                [pa.array(b["s"].to_numpy(zero_copy_only=False), pa.string()),
-                 pa.array(b["t"].to_numpy(zero_copy_only=False), pa.string())]),
-                "one": pa.array(np.ones(2 * len(b), np.int64))}),
-            batch_format="pyarrow")
-        .groupby("n").aggregate(Sum("one", alias_name="c")).to_pandas()
-    )
-    nodes = np.sort(both["n"].to_numpy(dtype=object))
+    wout = edges.groupby("s").aggregate(Sum("w", alias_name="W")).to_pandas()
+    if symmetric:
+        order = np.argsort(wout["s"].to_numpy(dtype=object), kind="mergesort")
+        nodes = wout["s"].to_numpy(dtype=object)[order]
+        W_arr = wout["W"].to_numpy().astype(np.int64)[order]
+    else:
+        both = (
+            edges.map_batches(
+                lambda b: pa.table({"n": pa.concat_arrays(
+                    [pa.array(b["s"].to_numpy(zero_copy_only=False), pa.string()),
+                     pa.array(b["t"].to_numpy(zero_copy_only=False), pa.string())]),
+                    "one": pa.array(np.ones(2 * len(b), np.int64))}),
+                batch_format="pyarrow")
+            .groupby("n").aggregate(Sum("one", alias_name="c")).to_pandas()
+        )
+        nodes = np.sort(both["n"].to_numpy(dtype=object))
+        W_arr = np.zeros(nodes.size, dtype=np.int64)
+        idx = pd.Index(nodes)
+        W_arr[idx.get_indexer(wout["s"])] = wout["W"].to_numpy().astype(np.int64)
     nodes_ref = ray.put(nodes)
-    edges_int = edges.map_batches(
-        _EdgeToIds, fn_constructor_args=(nodes_ref,),
-        batch_format="pandas", concurrency=2).materialize()
-    return nodes, edges_int
+    if nodes.size <= 200_000:
+        # small vocabulary: per-task index rebuild is cheaper than actor
+        # pool startup (stateless task pool, no pool warm-up latency)
+        def conv(b: pd.DataFrame) -> pd.DataFrame:
+            idx = pd.Index(ray.get(nodes_ref))
+            return pd.DataFrame({
+                "s_id": idx.get_indexer(b["s"]).astype(np.int64),
+                "t_id": idx.get_indexer(b["t"]).astype(np.int64),
+                "w": b["w"].to_numpy().astype(np.int64)})
+
+        edges_int = edges.map_batches(conv, batch_format="pandas").materialize()
+    else:
+        edges_int = edges.map_batches(
+            _EdgeToIds, fn_constructor_args=(nodes_ref,),
+            batch_format="pandas", concurrency=2).materialize()
+    return nodes, W_arr, edges_int
 
 
 def textrank_keywords(transcripts_ds, n_iter: int = 4, top_n: int = 20,
@@ -174,12 +198,8 @@ def textrank_keywords(transcripts_ds, n_iter: int = 4, top_n: int = 20,
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg).materialize()
-    nodes, eint = factorize_edge_graph(edges)
+    nodes, W_arr, eint = factorize_edge_graph(edges, symmetric=True)
     V = nodes.size
-
-    wout = eint.groupby("s_id").aggregate(Sum("w", alias_name="W")).to_pandas()
-    W_arr = np.zeros(V, dtype=np.int64)
-    W_arr[wout["s_id"].to_numpy()] = wout["W"].to_numpy().astype(np.int64)
     w_ref = ray.put(W_arr)
     r = np.full(V, SCALE, dtype=np.int64)
 
@@ -234,7 +254,7 @@ def hits_scores(transcripts_ds, n_iter: int = 2, top_n: int = 10,
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg, symmetric=False).materialize()
-    nodes, eint = factorize_edge_graph(edges)
+    nodes, _, eint = factorize_edge_graph(edges)
     V = nodes.size
 
     a = np.full(V, SCALE, dtype=np.int64)
@@ -296,14 +316,11 @@ def pmi_bigrams(transcripts_ds, min_count: int = 5, top_n: int = 20,
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg, symmetric=False).materialize()
-    nodes, eint = factorize_edge_graph(edges)
+    nodes, cl, eint = factorize_edge_graph(edges)
     V = nodes.size
 
-    left = eint.groupby("s_id").aggregate(Sum("w", alias_name="cl")).to_pandas()
     right = eint.groupby("t_id").aggregate(Sum("w", alias_name="cr")).to_pandas()
-    n_total = int(left["cl"].sum())
-    cl = np.zeros(V, dtype=np.int64)
-    cl[left["s_id"].to_numpy()] = left["cl"].to_numpy().astype(np.int64)
+    n_total = int(cl.sum())
     cr = np.zeros(V, dtype=np.int64)
     cr[right["t_id"].to_numpy()] = right["cr"].to_numpy().astype(np.int64)
     ref = ray.put({"cl": cl, "cr": cr, "n": n_total, "nodes": nodes})
@@ -355,12 +372,8 @@ def personalized_pagerank(transcripts_ds, seeds: list[str], n_iter: int = 4,
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg).materialize()
-    nodes, eint = factorize_edge_graph(edges)
+    nodes, W_arr, eint = factorize_edge_graph(edges, symmetric=True)
     V = nodes.size
-
-    wout = eint.groupby("s_id").aggregate(Sum("w", alias_name="W")).to_pandas()
-    W_arr = np.zeros(V, dtype=np.int64)
-    W_arr[wout["s_id"].to_numpy()] = wout["W"].to_numpy().astype(np.int64)
     w_ref = ray.put(W_arr)
 
     seed_pos = np.searchsorted(nodes, np.array(sorted(set(seeds)), dtype=object))

@@ -685,6 +685,122 @@ def _round4(x: np.ndarray) -> np.ndarray:
 # --- queries ----------------------------------------------------------------
 
 
+def q_postings_bytes(sf_dir: str):
+    """Stored-postings codec audit: read back the PERSISTED segment
+    parquet of a dedicated unsalted index and report, per term, the
+    exact on-disk byte counts of the three varint streams (delta+varint
+    doc ids, varint tfs, varint doc lengths) plus the posting count —
+    verifying the physical artifact the BM25 tier serves from, byte for
+    byte, against an SQL reconstruction of the codec framing
+    (functions/codec.encode_posting: delta with absolute first value,
+    LEB128 7-bit varints). The audit index is built with
+    hot_term_df_ratio=2.0 — no term can exceed the sampled-df cut, so
+    hot-term salting is deterministically OFF and every posting list is
+    one contiguous delta chain in one partition (salted framing is
+    covered by the rank-identity of the hot-term BM25 oracles, which
+    read through the same codec). Sub-segment splits can't trigger
+    either (df ≤ n_docs ≪ max_postings_per_segment) — asserted loudly."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}-coldonly"
+    try:
+        done = IndexManifest.load(index_dir).status == "complete"
+    except FileNotFoundError:
+        done = False
+    if not done:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        cfg = EngineConfig(num_partitions=16, hot_term_df_ratio=2.0,
+                           analyzer=AnalyzerConfig(mode="simple"))
+        build_index(os.path.join(sf_dir, "documents.parquet"), index_dir, cfg,
+                    transcripts_ds=transcripts_from_documents(sf_dir))
+
+    import glob as _glob
+
+    seg_files = sorted(_glob.glob(
+        os.path.join(index_dir, "segments", "part=*", "postings.parquet")))
+    segs = rd.read_parquet(
+        seg_files, columns=["term", "seg_idx", "n_docs", "docs", "tfs", "dls"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if pc.max(b["seg_idx"]).as_py() not in (None, 0):
+            raise AssertionError("postings_bytes: unexpected sub-segment split")
+        t = pa.table({
+            "term": b["term"],
+            "nd": b["n_docs"],
+            "db": pc.binary_length(b["docs"]).cast(pa.int64()),
+            "tb": pc.binary_length(b["tfs"]).cast(pa.int64()),
+            "lb": pc.binary_length(b["dls"]).cast(pa.int64()),
+        })
+        g = t.group_by("term").aggregate(
+            [("nd", "sum"), ("db", "sum"), ("tb", "sum"), ("lb", "sum")])
+        return pa.table({"term": g["term"],
+                         "nd_p": g["nd_sum"].cast(pa.int64()),
+                         "db_p": g["db_sum"].cast(pa.int64()),
+                         "tb_p": g["tb_sum"].cast(pa.int64()),
+                         "lb_p": g["lb_sum"].cast(pa.int64())})
+
+    return (segs.map_batches(partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("nd_p", alias_name="n_docs"),
+                       Sum("db_p", alias_name="docs_bytes"),
+                       Sum("tb_p", alias_name="tfs_bytes"),
+                       Sum("lb_p", alias_name="dls_bytes")))
+
+
+_PRUNE_TOP_N = 16
+
+
+def q_static_prune(sf_dir: str):
+    """BM25 over a statically-pruned index (Carmel et al., SIGIR'01:
+    keep each term's top-N postings by impact, tf desc / doc_id
+    tie-break): the smaller serving tier built by
+    pipelines/maintenance.static_prune_index from the unsalted audit
+    index. N and avgdl stay global (copied manifest); df is derived
+    from the pruned lists at read time — both reconstructed exactly by
+    the twin (tf filtered via row_number ≤ N, df recomputed over the
+    survivors), so the whole prune→serve path is value-gated."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import static_prune_index
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    q_postings_bytes(sf_dir)  # ensures the coldonly source index exists
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}-coldonly"
+    out_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}-pruned{_PRUNE_TOP_N}"
+    try:
+        done = IndexManifest.load(out_dir).status == "complete"
+    except FileNotFoundError:
+        done = False
+    if not done:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        static_prune_index(src_dir, out_dir, top_n=_PRUNE_TOP_N)
+    queries_ds = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K}
+         for qid, text in BM25_QUERIES.items()])
+    res = search(queries_ds, out_dir, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_finish, batch_format="pandas")
+
+
 def q_bm25_topk(sf_dir: str):
     import ray.data as rd
 
@@ -9257,6 +9373,8 @@ def q_textrank(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "postings_bytes": q_postings_bytes,
+        "static_prune": q_static_prune,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10021,9 +10139,31 @@ def _adjacency_sql() -> str:
     return " UNION ALL ".join(sel)
 
 
+def _vlen_sql(col: str) -> str:
+    """LEB128 varint byte length of a non-negative BIGINT column —
+    the SQL mirror of functions/codec.varint_encode framing."""
+    cases = " ".join(f"WHEN {col} < {128**k} THEN {k}" for k in range(1, 10))
+    return f"(CASE {cases} ELSE 10 END)"
+
+
 def oracle_sql() -> dict[str, str]:
     qterms = _qterms_values()
     return {
+        # stored-postings codec audit: per-term varint stream bytes of
+        # the persisted unsalted index, reconstructed from the framing.
+        "postings_bytes": f"""
+WITH {TRANSCRIPTS_CTE},
+seq AS (
+  SELECT term, doc_id, tf,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS delta
+  FROM tf),
+wj AS (SELECT s.term, s.delta, s.tf, l.dl FROM seq s JOIN dl l USING (doc_id))
+SELECT term, count(*)::BIGINT AS n_docs,
+       sum({_vlen_sql('delta')})::BIGINT AS docs_bytes,
+       sum({_vlen_sql('tf')})::BIGINT AS tfs_bytes,
+       sum({_vlen_sql('dl')})::BIGINT AS dls_bytes
+FROM wj GROUP BY term
+""",
         # NB classifier: integer ×10⁴ log-prob sums, argmax by (s desc, cls).
         "nb_classify": f"""
 WITH {TRANSCRIPTS_CTE},
@@ -10092,6 +10232,37 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # static pruning: per-term impact top-N postings survive; df
+        # recomputed over survivors, N/avgdl global — mirror of
+        # maintenance.static_prune_index + IndexReader df derivation.
+        "static_prune": f"""
+WITH {TRANSCRIPTS_CTE},
+ptf AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+    FROM tf) WHERE rn <= {_PRUNE_TOP_N}),
+pdf AS (SELECT term, count(*)::BIGINT AS df FROM ptf GROUP BY term),
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN ptf tf ON tf.term = q.term
+  JOIN pdf df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores
+)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         "bm25_topk": f"""
 WITH {TRANSCRIPTS_CTE},

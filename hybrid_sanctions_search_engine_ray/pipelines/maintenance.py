@@ -1021,3 +1021,109 @@ def snapshot_diff(snap_a: str, snap_b: str) -> "pd.DataFrame":
     df = pd.DataFrame(rows, columns=["partition", "status"])
     df["partition"] = df["partition"].astype("int64")
     return df
+
+
+# --- static index pruning (impact top-N) ------------------------------------
+
+
+@ray.remote
+def _prune_part(index_dir: str, out_dir: str, part: int, top_n: int) -> dict:
+    """Rewrite one partition keeping each term's ``top_n``
+    highest-impact postings (tf desc, doc_id asc tie-break); lists
+    already within the budget are copied as zero-copy row slices."""
+    import zlib
+
+    src = os.path.join(segment_dir(index_dir, part), "postings.parquet")
+    sdir = segment_dir(out_dir, part)
+    os.makedirs(sdir, exist_ok=True)
+    if not os.path.exists(src):
+        return {"part": part, "n_terms": 0, "n_rows": 0, "n_postings": 0}
+    tbl = pq.read_table(src)
+    pieces: list[pa.Table] = []
+    rebuilt: dict[str, list] = {c: [] for c in tbl.column_names}
+    run_start = 0
+
+    def _flush_clean(upto: int) -> None:
+        nonlocal run_start
+        if upto > run_start:
+            pieces.append(tbl.slice(run_start, upto - run_start))
+        run_start = upto + 1
+
+    nd = tbl["n_docs"].to_numpy(zero_copy_only=False)
+    for i in np.flatnonzero(nd > top_n):
+        i = int(i)
+        _flush_clean(i)
+        if tbl["seg_idx"][i].as_py() != 0:
+            raise ValueError(
+                "static_prune_index: sub-segmented posting list — prune "
+                "before rollover/append, or merge segments first")
+        d, t, l = decode_posting(
+            tbl["docs"][i].as_py(), tbl["tfs"][i].as_py(), tbl["dls"][i].as_py())
+        sel = np.sort(np.lexsort((d, -t))[:top_n])
+        dk, tk, lk = d[sel], t[sel], l[sel]
+        db, tb, lb = encode_posting(dk, tk, lk)
+        row = {"term": tbl["term"][i].as_py(), "seg_idx": 0,
+               "n_docs": int(dk.size), "cf": int(tk.sum()),
+               "max_tf": int(tk.max()), "docs": db, "tfs": tb, "dls": lb}
+        for c in tbl.column_names:
+            rebuilt[c].append(row[c])
+        pieces.append(pa.table({c: pa.array(rebuilt[c], tbl.schema.field(c).type)
+                                for c in tbl.column_names}))
+        rebuilt = {c: [] for c in tbl.column_names}
+    _flush_clean(tbl.num_rows)
+    out = pa.concat_tables(pieces) if pieces else tbl.schema.empty_table()
+    f = os.path.join(sdir, "postings.parquet")
+    pq.write_table(out, f + ".tmp", row_group_size=4096)
+    os.replace(f + ".tmp", f)
+    n_postings = int(out["n_docs"].to_numpy(zero_copy_only=False).sum()) if out.num_rows else 0
+    n_terms = len(set(out["term"].to_pylist()))
+    with open(f, "rb") as fh:
+        crc = zlib.crc32(fh.read(1 << 20))
+    atomic_write_json(os.path.join(sdir, "meta.json"),
+                      {"n_terms": n_terms, "n_rows": out.num_rows,
+                       "n_postings": n_postings, "bytes": os.path.getsize(f),
+                       "checksum_head_crc32": crc,
+                       "pruned_top_n": top_n, "input": src})
+    return {"part": part, "n_terms": n_terms, "n_rows": out.num_rows,
+            "n_postings": n_postings}
+
+
+def static_prune_index(index_dir: str, out_dir: str, top_n: int) -> IndexManifest:
+    """Static index pruning (Carmel et al., SIGIR'01): write a new index
+    keeping only each term's ``top_n`` highest-impact postings (tf desc,
+    doc_id tie-break) — the smaller, faster serving tier that answers
+    most queries identically to the full index and degrades gracefully
+    on deep-recall ones. Corpus stats (N, avgdl) stay GLOBAL (the
+    manifest is copied unchanged), so kept postings keep their exact
+    tf_factor; per-term df is derived from the pruned lists at read
+    time (pipelines/query.IndexReader), so idf reflects the index
+    actually served — both choices are the standard pruned-index
+    contract and both are SQL-reproducible (the q_static_prune twin).
+
+    One Ray task per partition, atomic per-part writes with meta
+    lineage — the same maintenance fabric as compaction. Refuses
+    salted (hot-term) indexes: a salted term's list spans partitions,
+    so global top-N needs a term-keyed repartition first
+    (repartition_index) — refusing loudly beats silently pruning
+    per-partition."""
+    m = IndexManifest.load(index_dir)
+    if m.status != "complete":
+        raise ValueError("only complete indexes can be pruned")
+    if m.hot_terms:
+        raise ValueError(
+            "static_prune_index: index has salted hot terms — their lists "
+            "span partitions; repartition to an unsalted layout first")
+    os.makedirs(out_dir, exist_ok=True)
+    dm_src = os.path.join(index_dir, "docmap.parquet")
+    dm_dst = os.path.join(out_dir, "docmap.parquet")
+    if os.path.isdir(dm_src) and not os.path.isdir(dm_dst):
+        shutil.copytree(dm_src, dm_dst)
+    tomb = os.path.join(index_dir, "tombstones.json")
+    if os.path.exists(tomb):
+        shutil.copy2(tomb, os.path.join(out_dir, "tombstones.json"))
+    stats = ray.get([_prune_part.remote(index_dir, out_dir, p, top_n)
+                     for p in range(m.num_partitions)])
+    m.parts = {str(s["part"]): {k: s[k] for k in ("n_terms", "n_rows", "n_postings")}
+               for s in stats if s["n_rows"] or str(s["part"]) in m.parts}
+    m.save(out_dir)
+    return m

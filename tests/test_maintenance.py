@@ -431,3 +431,56 @@ def test_snapshot_diff_statuses(ray_session, tmp_path):
     # symmetric view: the dropped partition reads as added from b→a
     d2 = snapshot_diff(b, a).set_index("partition")["status"]
     assert d2[rm] == "added"
+
+
+# --- static pruning ---------------------------------------------------------
+
+
+def test_static_prune_identity_when_budget_covers(ray_session, tmp_path):
+    """top_n >= every df → the pruned index answers identically."""
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import static_prune_index
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    idx, m = _build(tmp_path, "full", TEXTS)
+    out = str(tmp_path / "pruned_all")
+    static_prune_index(idx, out, top_n=100)
+    ad, asc = IndexReader(idx).search_one("wire transfer", 5)
+    bd, bsc = IndexReader(out).search_one("wire transfer", 5)
+    assert ad.tolist() == bd.tolist()
+    assert [round(float(x), 6) for x in asc] == [round(float(x), 6) for x in bsc]
+
+
+def test_static_prune_keeps_impact_postings(ray_session, tmp_path):
+    """top_n=1 keeps exactly the highest-tf (doc_id tie-break) posting
+    per term, df shrinks accordingly, corpus stats stay global."""
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import static_prune_index
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    texts = ["pay pay pay fee", "pay fee fee", "pay alone"]
+    idx, m = _build(tmp_path, "full2", texts)
+    out = str(tmp_path / "pruned_one")
+    static_prune_index(idx, out, top_n=1)
+    rd_ = IndexReader(out)
+    p = rd_.load_postings(["pay"])["pay"]
+    assert p.doc_ids.tolist() == [0]          # tf=3 wins
+    f = rd_.load_postings(["fee"])["fee"]
+    assert f.doc_ids.tolist() == [1]          # tf=2 wins
+    m2 = IndexManifest.load(out)
+    assert m2.n_docs == m.n_docs and m2.avgdl == m.avgdl  # global stats kept
+
+
+def test_static_prune_refuses_salted(ray_session, tmp_path):
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import static_prune_index
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    idx, m = _build(tmp_path, "full3", TEXTS)
+    mm = IndexManifest.load(idx)
+    mm.hot_terms = ["wire"]
+    mm.save(idx)
+    import pytest
+
+    with pytest.raises(ValueError, match="salted"):
+        static_prune_index(idx, str(tmp_path / "nope"), top_n=2)

@@ -757,6 +757,72 @@ def q_postings_bytes(sf_dir: str):
 
 
 _PRUNE_TOP_N = 16
+_QPP_K = 100
+
+
+_WIN_K, _WIN_W = 3, 4
+_WIN_POS_CAP_SQL = 1 << 20  # mirrors stages/dedup._WIN_POS_CAP
+
+
+def q_winnow_fp(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS
+    algorithm): k-token gram hashes, per-window rightmost-minimum
+    selection — guarantees any shared ≥(w+k−1)-token run between docs
+    shares a fingerprint; the local-fingerprinting member of the dedup
+    family beside CDC and dup-spans (stages/dedup.winnow_fingerprints).
+    Exact twin: the md5_number_upper gram-hash contract plus a HUGEINT
+    (hash·2²⁰ + inverted-pos) packed window-min that realizes the same
+    rightmost-min tie rule in one SQL window frame."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(transcripts_from_documents(sf_dir),
+                               k=_WIN_K, w=_WIN_W)
+
+
+def q_query_difficulty(sf_dir: str):
+    """Query-performance prediction (the search-ops feature that routes
+    hard queries to deeper retrieval tiers): per query, the standard
+    pre-retrieval predictors avg/max IDF and SCQ (Zhao et al. 2008,
+    Σ (1+ln cf)·ln(1+N/df) over index-present query terms) plus the
+    post-retrieval NQC (Shtok et al. 2012 — score-commitment: pop-std
+    of the top-100 raw BM25 scores over their mean; our variant
+    normalizes by the mean top-k score). Pre-retrieval terms come from
+    the dictionary stats the reader already holds; the post-retrieval
+    pass reuses the warm BMW/MaxScore scorer. All four round4 (the
+    repo's multi-float-sum convention); exact twin recomputes from the
+    same tf/df/cf CTEs and the bm25_topk score expression."""
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import idf as _idf
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = IndexReader(index_dir)
+    n_docs = reader.manifest.n_docs
+    rows = []
+    for qid, text in BM25_QUERIES.items():
+        terms = sorted(set(text.lower().split()))
+        idfs, scq_terms = [], []
+        for t in terms:
+            raw = reader.load_raw(t)
+            if raw is None:
+                continue
+            doc_ids, tfs, _ = raw
+            df_t, cf_t = int(doc_ids.size), int(tfs.sum())
+            idfs.append(float(_idf(n_docs, df_t)))
+            scq_terms.append((1.0 + np.log(cf_t)) * np.log(1.0 + n_docs / df_t))
+        if not idfs:
+            continue  # zero-hit query: the twin's INNER JOIN drops it too
+        _, scores = reader.search_one(text, _QPP_K)
+        mean = float(scores.mean())
+        nqc = float(np.sqrt(((scores - mean) ** 2).mean()) / mean)
+        rows.append({
+            "query_id": qid,
+            "avg_idf": float(_round4(np.array([np.mean(idfs)]))[0]),
+            "max_idf": float(_round4(np.array([np.max(idfs)]))[0]),
+            "scq": float(_round4(np.array([np.sum(scq_terms)]))[0]),
+            "nqc": float(_round4(np.array([nqc]))[0]),
+        })
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
 def q_static_prune(sf_dir: str):
@@ -9375,6 +9441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "postings_bytes": q_postings_bytes,
         "static_prune": q_static_prune,
+        "query_difficulty": q_query_difficulty,
+        "winnow_fp": q_winnow_fp,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10232,6 +10300,67 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # winnowing: k-gram md5 hashes, rightmost-window-min via the
+        # HUGEINT (h·2^20 + inverted pos) pack, distinct picked sites.
+        "winnow_fp": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+grams AS (
+  SELECT doc_id, pos,
+         md5_number_upper(term || ' '
+           || lead(term, 1) OVER w || ' '
+           || lead(term, 2) OVER w) AS h
+  FROM tokpos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term, {_WIN_K - 1}) OVER w IS NOT NULL),
+keys AS (
+  SELECT doc_id, pos,
+         min(h::HUGEINT * {_WIN_POS_CAP_SQL} + ({_WIN_POS_CAP_SQL - 1} - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS mk
+  FROM grams),
+picked AS (SELECT DISTINCT doc_id, mk FROM keys)
+SELECT (SELECT count(DISTINCT doc_id) FROM grams)::BIGINT AS n_docs,
+       (SELECT count(*) FROM grams)::BIGINT AS n_grams,
+       (SELECT count(*) FROM picked)::BIGINT AS n_fingerprints,
+       (SELECT count(DISTINCT mk // {_WIN_POS_CAP_SQL}) FROM picked)::BIGINT AS n_distinct_fp
+""",
+        # QPP: pre-retrieval avg/max IDF + SCQ, post-retrieval NQC over
+        # the top-100 raw BM25 scores — bm25_topk's score expression.
+        "query_difficulty": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+ctf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+pre AS (
+  SELECT q.query_id,
+         round(avg(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))), 4) AS avg_idf,
+         round(max(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))), 4) AS max_idf,
+         round(sum((1 + ln(c.cf)) * ln(1 + s.n_docs / df.df::DOUBLE)), 4) AS scq
+  FROM qterms q
+  JOIN df ON df.term = q.term
+  JOIN ctf c ON c.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+topk AS (
+  SELECT query_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores),
+nqc AS (
+  SELECT query_id, round(stddev_pop(score) / avg(score), 4) AS nqc
+  FROM topk WHERE rnk <= {_QPP_K} GROUP BY query_id)
+SELECT p.query_id, p.avg_idf, p.max_idf, p.scq, n.nqc
+FROM pre p JOIN nqc n USING (query_id) ORDER BY p.query_id
 """,
         # static pruning: per-term impact top-N postings survive; df
         # recomputed over survivors, N/avgdl global — mirror of

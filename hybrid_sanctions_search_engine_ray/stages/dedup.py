@@ -978,3 +978,132 @@ def containment_verify(pairs_df: pd.DataFrame, texts: dict[int, str],
     out["cont_b"] = round_half_away(np.asarray(cb, dtype=np.float64), 6)
     out["containment"] = np.maximum(out["cont_a"], out["cont_b"])
     return out
+
+
+# --- winnowing fingerprints (Schleimer et al., SIGMOD'03) -------------------
+
+_WIN_POS_CAP = 1 << 20   # the SQL twin packs (hash, pos) into one HUGEINT key
+
+
+def winnow_fingerprints(ds, k: int = 3, w: int = 4,
+                        cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+    """Winnowing document fingerprints (the MOSS plagiarism-detection
+    algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every
+    ``k``-token gram, slide a ``w``-gram window over the hash sequence,
+    and from each window select the MINIMUM hash (ties → rightmost
+    position). The guarantee: any shared run of ≥ w+k-1 tokens between
+    two documents shares at least one selected fingerprint — local
+    fingerprinting with bounded gap, the third member of the
+    fingerprint family beside CDC chunking (storage dedup) and
+    dup-span detection (training-data dedup). Variant note: leading
+    partial windows are included (standard SQL frame semantics,
+    ``ROWS w-1 PRECEDING``), so documents shorter than w+k-1 tokens
+    still fingerprint — a documented deviation from the paper, which
+    assumes m ≥ w.
+
+    Returns ONE summary row (n_docs, n_grams, n_fingerprints,
+    n_distinct_fp) — n_fingerprints counts distinct selected (doc, pos)
+    sites, n_distinct_fp distinct fingerprint hash VALUES corpus-wide.
+
+    Scale shape: one streaming tokenize pass; grams built by vectorized
+    shifted joins over the flat token array (doc edges masked), hashed
+    with the md5_number_upper parity contract (per-batch factorize →
+    one md5 per DISTINCT gram); window minima via one
+    ``sliding_window_view`` matrix per batch (m × w uint64, rightmost
+    argmin by reversed-argmin); the ONLY exchange is the per-batch
+    pre-deduped distinct-fingerprint rows + a sentinel scalar row
+    through a hash-keyed groupby (the cdc_chunk_stats pattern). Nothing
+    materialized."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
+
+    cfg = cfg or AnalyzerConfig()
+    U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fp_batch(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg)
+        tarr = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        n = parent.size
+        if n >= k:
+            same = parent[: n - k + 1] == parent[k - 1:]
+            gidx = np.flatnonzero(same)          # flat start positions of grams
+        else:
+            gidx = np.empty(0, dtype=np.int64)
+        n_docs = int(np.unique(parent[gidx]).size) if gidx.size else 0
+        m = gidx.size
+        if m == 0:
+            return pa.table({
+                "kind": pa.array([0], pa.int8()),
+                "h": pa.array([0], pa.int64()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_grams": pa.array([0], pa.int64()),
+                "n_fp": pa.array([0], pa.int64()),
+            })
+        parts = [tarr.take(pa.array(gidx + j, pa.int64())) for j in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        codes, uniques = factorize_exact(grams)
+        uh = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):
+            s_ = u.encode("utf-8") if isinstance(u, str) else b""
+            uh[i] = int.from_bytes(_hl.md5(s_).digest()[:8], "little")
+        g = uh[codes]                             # (m,) uint64 gram hashes
+
+        gdoc = parent[gidx]                       # doc of each gram
+        # gram position within its doc (docs are contiguous in flat order)
+        starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+        doc_start_of = starts[np.searchsorted(starts, np.arange(m), side="right") - 1]
+        gpos = np.arange(m) - doc_start_of
+        if gpos.size and int(gpos.max()) >= _WIN_POS_CAP:
+            raise AssertionError("winnow_fingerprints: doc exceeds the "
+                                 "HUGEINT pack position cap (2^20 grams)")
+
+        # per-window rightmost argmin over [max(doc_start, e-w+1), e]
+        pad = np.full(w - 1, U64MAX, dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([pad, g]), w).copy()   # (m, w): win[e, j] = g[e-w+1+j]
+        offs = np.arange(-w + 1, 1)
+        pos_mat = np.arange(m)[:, None] + offs[None, :]
+        win[pos_mat < doc_start_of[:, None]] = U64MAX
+        rev = win[:, ::-1]
+        j_rev = np.argmin(rev, axis=1)            # first min in reversed = rightmost
+        sel = np.arange(m) - j_rev                # selected flat gram index per window
+        sel = np.unique(sel)
+        n_fp = int(sel.size)
+        fp_h = np.unique(g[sel])                  # distinct fingerprint hashes (batch)
+
+        nd = fp_h.size
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(1, np.int64), np.ones(nd, np.int64)], pa.int8()),
+            "h": pa.array(np.concatenate([[np.int64(0)], fp_h.view(np.int64)]), pa.int64()),
+            "n_docs": pa.array(np.r_[np.int64(n_docs), np.zeros(nd, np.int64)], pa.int64()),
+            "n_grams": pa.array(np.r_[np.int64(m), np.zeros(nd, np.int64)], pa.int64()),
+            "n_fp": pa.array(np.r_[np.int64(n_fp), np.zeros(nd, np.int64)], pa.int64()),
+        })
+
+    def partials(b: pa.Table) -> pa.Table:
+        kind = b["kind"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nd_p": pa.array([int((kind == 1).sum())], pa.int64()),
+            "docs_p": pa.array([int(pc.sum(b["n_docs"]).as_py() or 0)], pa.int64()),
+            "grams_p": pa.array([int(pc.sum(b["n_grams"]).as_py() or 0)], pa.int64()),
+            "fp_p": pa.array([int(pc.sum(b["n_fp"]).as_py() or 0)], pa.int64()),
+        })
+
+    tot = (
+        ds.map_batches(fp_batch, batch_format="pyarrow")
+        .groupby(["kind", "h"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_grams", alias_name="n_grams"),
+                   Sum("n_fp", alias_name="n_fp"))
+        .map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "n_docs": [np.int64(tot["docs_p"].sum())],
+        "n_grams": [np.int64(tot["grams_p"].sum())],
+        "n_fingerprints": [np.int64(tot["fp_p"].sum())],
+        "n_distinct_fp": [np.int64(tot["nd_p"].sum())],
+    })

@@ -359,3 +359,72 @@ def test_containment_embedded_doc():
     assert cont.cont_a == 1.0                 # every short-shingle is in long
     assert cont.containment == 1.0
     assert jac.jaccard < 0.2                  # resemblance dilutes it
+
+
+# --- winnowing --------------------------------------------------------------
+
+
+def test_winnow_matches_bruteforce(ray_session):
+    """Vectorized winnowing equals a per-doc brute-force replay of the
+    rightmost-window-min rule (partial leading windows included)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
+    from hybrid_sanctions_search_engine_ray.stages.dedup import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "tiny doc",          # shorter than k tokens → no grams
+        "one two three",     # exactly k tokens → one gram, one fp
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    k, w = 3, 4
+    got = winnow_fingerprints(ds, k=k, w=w)
+
+    an = get_analyzer(AnalyzerConfig())
+    all_sites, all_h, n_docs, n_grams = set(), set(), 0, 0
+    for d, t in enumerate(texts):
+        toks = an(t)
+        if len(toks) < k:
+            continue
+        n_docs += 1
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+              for g in grams]
+        n_grams += len(hs)
+        for e in range(len(hs)):
+            lo = max(0, e - w + 1)
+            win = hs[lo:e + 1]
+            mn = min(win)
+            p = lo + max(i for i, v in enumerate(win) if v == mn)
+            all_sites.add((d, p))
+            all_h.add(hs[p])
+    row = got.iloc[0]
+    assert int(row["n_docs"]) == n_docs
+    assert int(row["n_grams"]) == n_grams
+    assert int(row["n_fingerprints"]) == len(all_sites)
+    assert int(row["n_distinct_fp"]) == len(all_h)
+
+
+def test_winnow_shared_run_guarantee(ray_session):
+    """Two docs sharing a run of >= w+k-1 tokens must share a
+    fingerprint hash — the winnowing guarantee (checked through the
+    distinct-count arithmetic: duplicating a doc adds sites but no new
+    hash values)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import winnow_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    one = rd.from_items([{"doc_id": 0, "text": base}])
+    two = rd.from_items([{"doc_id": 0, "text": base},
+                         {"doc_id": 1, "text": base}])
+    a = winnow_fingerprints(one)
+    b = winnow_fingerprints(two)
+    assert int(b.iloc[0]["n_distinct_fp"]) == int(a.iloc[0]["n_distinct_fp"])
+    assert int(b.iloc[0]["n_fingerprints"]) == 2 * int(a.iloc[0]["n_fingerprints"])

@@ -760,6 +760,22 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+def q_dpo_pairs(sf_dir: str):
+    """Preference-pair (DPO/RLHF) dataset construction: per
+    conversation, chosen = assistant turn first by (token count desc,
+    turn asc), rejected = first by (token count asc, turn desc),
+    prompt = first user turn — the token-count rule is the documented
+    deterministic stand-in for a preference label; the op's value is
+    the conversation-keyed assembly plumbing a real label would ride
+    (stages/chatprep.dpo_pairs, the shared chatprep bucket exchange).
+    Token counts are dl-parity with the tok CTE, so the twin is exact
+    including both text payloads."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import dpo_pairs
+
+    return dpo_pairs(transcripts_from_documents(sf_dir))
+
+
 _WIN_K, _WIN_W = 3, 4
 _WIN_POS_CAP_SQL = 1 << 20  # mirrors stages/dedup._WIN_POS_CAP
 
@@ -9443,6 +9459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "static_prune": q_static_prune,
         "query_difficulty": q_query_difficulty,
         "winnow_fp": q_winnow_fp,
+        "dpo_pairs": q_dpo_pairs,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10300,6 +10317,39 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # DPO pairs: chosen/rejected assistant turns by dl-parity token
+        # count, prompt = first user turn; conv-keyed assembly.
+        "dpo_pairs": f"""
+WITH {TRANSCRIPTS_CTE},
+dlz AS (
+  SELECT t.doc_id, coalesce(d.dl, 0) AS ntok
+  FROM transcripts t LEFT JOIN dl d USING (doc_id)),
+ast AS (
+  SELECT tr.conv_id, tr.turn_idx, tr.text, z.ntok,
+         row_number() OVER (PARTITION BY tr.conv_id
+                            ORDER BY z.ntok DESC, tr.turn_idx) AS rc,
+         row_number() OVER (PARTITION BY tr.conv_id
+                            ORDER BY z.ntok ASC, tr.turn_idx DESC) AS rr,
+         count(*) OVER (PARTITION BY tr.conv_id) AS na
+  FROM transcripts tr JOIN dlz z USING (doc_id)
+  WHERE tr.role = 'assistant'),
+usr AS (
+  SELECT conv_id, text AS prompt,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ru
+  FROM transcripts WHERE role = 'user'),
+ch AS (SELECT conv_id, turn_idx AS chosen_turn, text AS chosen,
+              ntok AS chosen_ntok FROM ast WHERE rc = 1 AND na >= 2),
+rj AS (SELECT conv_id, turn_idx AS rejected_turn, text AS rejected,
+              ntok AS rejected_ntok FROM ast WHERE rr = 1)
+SELECT c.conv_id, u.prompt, c.chosen, r.rejected,
+       c.chosen_turn::INT AS chosen_turn,
+       r.rejected_turn::INT AS rejected_turn,
+       c.chosen_ntok::BIGINT AS chosen_ntok,
+       r.rejected_ntok::BIGINT AS rejected_ntok
+FROM ch c
+JOIN rj r USING (conv_id)
+JOIN usr u ON u.conv_id = c.conv_id AND u.ru = 1
 """,
         # winnowing: k-gram md5 hashes, rightmost-window-min via the
         # HUGEINT (h·2^20 + inverted pos) pack, distinct picked sites.

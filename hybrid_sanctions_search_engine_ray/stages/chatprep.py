@@ -49,6 +49,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
 from hybrid_sanctions_search_engine_ray.functions.hashing import (
     factorize_exact,
     hash_string_array,
@@ -388,3 +389,104 @@ def pack_conversations(rendered_ds, cfg=None, budget: int = 512,
                              "pack_id": (before // budget).astype(np.int64)})
 
     return pairs.groupby("rng").map_groups(assign, batch_format="pandas")
+
+
+def dpo_pairs(transcripts_ds, num_buckets: int = _NUM_BUCKETS,
+              cfg: AnalyzerConfig | None = None):
+    """Preference-pair construction (the DPO/RLHF dataset shape): one
+    row per conversation with ≥2 assistant turns and ≥1 user turn —
+    ``chosen`` = the assistant turn ranked first by (token count desc,
+    turn_idx asc), ``rejected`` = first by (token count asc, turn_idx
+    desc), ``prompt`` = the conversation's first user turn. The
+    token-count heuristic is the DOCUMENTED deterministic stand-in for
+    a human/RM preference label — the op's value is the leakage-safe
+    conversation-keyed assembly plumbing, which is exactly what a real
+    label column would ride through. Token counts use the simple
+    analyzer (``flat_terms``), so they are dl-parity with the SQL tok
+    CTE and the pair choice is exact on both sides; with all-equal
+    counts the rule degenerates to (first, last) assistant turn, so
+    chosen ≠ rejected always holds.
+
+    Scale shape: the ONE coarse conv-bucket exchange every chatprep op
+    shares; inside each bucket all selection is vectorized (lexsort +
+    run-start reduceat — no per-conversation Python)."""
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    cfg = cfg or AnalyzerConfig()
+    empty = pd.DataFrame({
+        "conv_id": pd.Series([], dtype=object),
+        "prompt": pd.Series([], dtype=object),
+        "chosen": pd.Series([], dtype=object),
+        "rejected": pd.Series([], dtype=object),
+        "chosen_turn": pd.Series([], dtype=np.int32),
+        "rejected_turn": pd.Series([], dtype=np.int32),
+        "chosen_ntok": pd.Series([], dtype=np.int64),
+        "rejected_ntok": pd.Series([], dtype=np.int64),
+    })
+
+    def pick_first_per_run(codes_sorted: np.ndarray) -> np.ndarray:
+        if codes_sorted.size == 0:
+            return np.empty(0, dtype=np.int64)
+        return np.flatnonzero(np.r_[True, codes_sorted[1:] != codes_sorted[:-1]])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty
+        parent, _terms = flat_terms(
+            pa.Table.from_pandas(g[["text"]], preserve_index=False), cfg)
+        ntok = np.bincount(parent, minlength=len(g)).astype(np.int64)
+        codes, _u = factorize_exact(g["conv_id"].to_numpy())
+        turn = g["turn_idx"].to_numpy().astype(np.int64)
+        role = g["role"].to_numpy()
+        text = g["text"].to_numpy()
+        conv = g["conv_id"].to_numpy()
+
+        am = role == "assistant"
+        ac, at_, an_, atx = codes[am], turn[am], ntok[am], text[am]
+        if ac.size == 0:
+            return empty
+        # chosen: first per conv by (ntok desc, turn asc)
+        oc = np.lexsort((at_, -an_, ac))
+        cs = pick_first_per_run(ac[oc])
+        chosen_idx = oc[cs]
+        # rejected: first per conv by (ntok asc, turn desc)
+        orj = np.lexsort((-at_, an_, ac))
+        rs = pick_first_per_run(ac[orj])
+        rejected_idx = orj[rs]
+        # assistant-turn count per conv (aligned with run order of ac[oc])
+        n_per = np.bincount(ac, minlength=0)
+        keep = n_per[ac[chosen_idx]] >= 2
+
+        um = role == "user"
+        uc, ut, utx = codes[um], turn[um], text[um]
+        ou = np.lexsort((ut, uc))
+        us = pick_first_per_run(uc[ou])
+        first_user_idx = ou[us]
+        prompt_arr = np.full(len(_u), None, dtype=object)
+        prompt_arr[uc[first_user_idx]] = utx[first_user_idx]
+
+        ci = chosen_idx[keep]
+        ri = rejected_idx[keep]
+        ccode = ac[ci]
+        has_prompt = np.array([prompt_arr[c] is not None for c in ccode],
+                              dtype=bool) if ccode.size else np.empty(0, bool)
+        ci, ri, ccode = ci[has_prompt], ri[has_prompt], ccode[has_prompt]
+        if ci.size == 0:
+            return empty
+        return pd.DataFrame({
+            "conv_id": np.asarray(_u, dtype=object)[ccode],
+            "prompt": prompt_arr[ccode],
+            "chosen": atx[ci],
+            "rejected": atx[ri],
+            "chosen_turn": at_[ci].astype(np.int32),
+            "rejected_turn": at_[ri].astype(np.int32),
+            "chosen_ntok": an_[ci].astype(np.int64),
+            "rejected_ntok": an_[ri].astype(np.int64),
+        })
+
+    return (
+        _with_bucket(transcripts_ds, num_buckets,
+                     ["conv_id", "turn_idx", "role", "text"])
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )

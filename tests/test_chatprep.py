@@ -171,3 +171,35 @@ def test_ngram_novelty_value(ray_session):
     assert int(out.n_val_grams) > 0
     assert 0 <= int(out.n_shared) <= int(out.n_val_grams)
     assert 0.0 <= out.novelty_frac <= 1.0
+
+
+def test_dpo_pairs_selection_rules(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import dpo_pairs
+
+    rows = [
+        # conv A: clear winner/loser by token count
+        {"conv_id": "A", "turn_idx": 0, "role": "user", "text": "ask one"},
+        {"conv_id": "A", "turn_idx": 1, "role": "assistant", "text": "a b c d e"},
+        {"conv_id": "A", "turn_idx": 3, "role": "assistant", "text": "short"},
+        # conv B: all-equal counts -> (first, last) assistant turns
+        {"conv_id": "B", "turn_idx": 0, "role": "user", "text": "ask two"},
+        {"conv_id": "B", "turn_idx": 1, "role": "assistant", "text": "same len"},
+        {"conv_id": "B", "turn_idx": 2, "role": "assistant", "text": "also two"},
+        # conv C: only one assistant turn -> dropped
+        {"conv_id": "C", "turn_idx": 0, "role": "user", "text": "ask"},
+        {"conv_id": "C", "turn_idx": 1, "role": "assistant", "text": "only"},
+        # conv D: no user turn -> dropped
+        {"conv_id": "D", "turn_idx": 0, "role": "assistant", "text": "x y"},
+        {"conv_id": "D", "turn_idx": 1, "role": "assistant", "text": "z"},
+    ]
+    out = dpo_pairs(rd.from_items(rows)).to_pandas().sort_values("conv_id")
+    assert out["conv_id"].tolist() == ["A", "B"]
+    a = out[out.conv_id == "A"].iloc[0]
+    assert a["chosen"] == "a b c d e" and a["rejected"] == "short"
+    assert a["prompt"] == "ask one"
+    assert (a["chosen_turn"], a["rejected_turn"]) == (1, 3)
+    b = out[out.conv_id == "B"].iloc[0]
+    assert (b["chosen_turn"], b["rejected_turn"]) == (1, 2)
+    assert b["chosen_ntok"] == b["rejected_ntok"] == 2

@@ -760,6 +760,79 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+def q_ef_bytes(sf_dir: str):
+    """Elias-Fano postings-layout audit (Vigna WSDM'13 — the
+    quasi-succinct doc-id code behind Lucene/PISA): decode each term's
+    REAL stored posting list from the unsalted index, re-encode it
+    Elias-Fano against the global doc universe, and report the exact
+    encoded byte counts (functions/codec.ef_encode, roundtrip-tested).
+    l uses the integer identity floor(log2(u/n)) = bit_length(u//n)−1,
+    so the twin reproduces the byte accounting in pure BIGINT (CASE
+    bit-length ladder + shift) — the codec-choice companion to
+    postings_bytes (varint): together they quantify the layout
+    tradeoff on the physical index."""
+    import glob as _glob
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.functions.codec import decode_posting, ef_encode
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    q_postings_bytes(sf_dir)  # ensures the coldonly index exists
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}-coldonly"
+    universe = IndexManifest.load(index_dir).n_docs
+
+    seg_files = sorted(_glob.glob(
+        os.path.join(index_dir, "segments", "part=*", "postings.parquet")))
+    segs = rd.read_parquet(seg_files, columns=["term", "docs", "tfs", "dls"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        terms, ns, ls, szs = [], [], [], []
+        for i in range(b.num_rows):  # vocab-sized row loop, vector inner ops
+            d, _t, _l = decode_posting(b["docs"][i].as_py(), b["tfs"][i].as_py(),
+                                       b["dls"][i].as_py())
+            lo, up, l = ef_encode(d, universe)
+            terms.append(b["term"][i].as_py())
+            ns.append(int(d.size))
+            ls.append(l)
+            szs.append(len(lo) + len(up))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "n_p": pa.array(ns, pa.int64()),
+                         "l_p": pa.array(ls, pa.int64()),
+                         "sz_p": pa.array(szs, pa.int64())})
+
+    return (segs.map_batches(partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("n_p", alias_name="n_docs"),
+                       Sum("l_p", alias_name="l"),
+                       Sum("sz_p", alias_name="ef_bytes")))
+
+
+_AC_PATTERNS = ["join filter", "the data", "hash agg", "slow query",
+                "и", "wire transfer", "zzz_never_present"]
+
+
+def q_ac_match(sf_dir: str):
+    """Multi-pattern exact substring screening (the reference's
+    Aho–Corasick tier shape): per dictionary pattern, containing-doc
+    count and total non-overlapping occurrences over the raw document
+    text (stages/textops.dictionary_match — one Arrow count_substring
+    kernel per pattern per batch, P-row exchange). Twin uses the
+    replace-trick occurrence count; both sides count non-overlapping
+    left-to-right, so the match is exact including absent patterns."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import dictionary_match
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return dictionary_match(ds, _AC_PATTERNS)
+
+
 def q_dpo_pairs(sf_dir: str):
     """Preference-pair (DPO/RLHF) dataset construction: per
     conversation, chosen = assistant turn first by (token count desc,
@@ -9460,6 +9533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_difficulty": q_query_difficulty,
         "winnow_fp": q_winnow_fp,
         "dpo_pairs": q_dpo_pairs,
+        "ac_match": q_ac_match,
+        "ef_bytes": q_ef_bytes,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10317,6 +10392,35 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # Elias-Fano layout audit: l = bit_length(u//n)-1 via CASE
+        # ladder; bytes = ceil(n*l/8) + ceil((n + (mx>>l) + 1)/8).
+        "ef_bytes": f"""
+WITH {TRANSCRIPTS_CTE},
+agg AS (SELECT term, count(*)::BIGINT AS n, max(doc_id)::BIGINT AS mx
+        FROM tf GROUP BY term),
+lc AS (SELECT a.term, a.n, a.mx, s.n_docs // a.n AS r
+       FROM agg a CROSS JOIN stats s),
+lv AS (SELECT term, n, mx,
+              greatest(0, CASE {" ".join(f"WHEN r >= {1 << k} THEN {k}" for k in range(40, 0, -1))} ELSE 0 END) AS l
+       FROM lc)
+SELECT term, n AS n_docs, l::BIGINT AS l,
+       ((n * l + 7) // 8 + (n + (mx >> l) + 1 + 7) // 8)::BIGINT AS ef_bytes
+FROM lv
+""",
+        # AC-tier dictionary screening: replace-trick non-overlapping
+        # occurrence counts per pattern over the raw text.
+        "ac_match": f"""
+WITH pats(pattern) AS (VALUES {", ".join(f"('{p}')" for p in _AC_PATTERNS)}),
+m AS (
+  SELECT p.pattern, d.doc_id,
+         (length(d.text) - length(replace(d.text, p.pattern, '')))
+           // length(p.pattern) AS occ
+  FROM pats p CROSS JOIN documents d)
+SELECT pattern,
+       cast(count(*) FILTER (occ > 0) AS BIGINT) AS n_docs,
+       cast(sum(occ) AS BIGINT) AS n_occ
+FROM m GROUP BY pattern
 """,
         # DPO pairs: chosen/rejected assistant turns by dl-parity token
         # count, prompt = first user turn; conv-keyed assembly.

@@ -130,3 +130,62 @@ def block_maxes(tfs: np.ndarray, doclens: np.ndarray, k1: float, b: float, avgdl
         return np.empty(0, dtype=np.float32)
     starts = np.arange(0, n, block_size)
     return np.maximum.reduceat(f, starts).astype(np.float32)
+
+
+# --- Elias-Fano (quasi-succinct) doc-id codec -------------------------------
+#
+# Vigna, "Quasi-succinct indices" (WSDM'13) — the monotone-sequence code
+# behind Lucene/PISA doc-id lists: n sorted values in [0, u) take
+# n·l + n + (u_max >> l) + 1 bits with l = max(0, floor(log2(u/n))),
+# within half a bit of the information-theoretic optimum. Offered beside
+# delta+varint as the alternative postings layout; l uses the
+# integer-only identity floor(log2(u/n)) = bit_length(u // n) − 1, so
+# the size accounting is exactly reproducible in BIGINT SQL.
+
+
+def ef_split_l(universe: int, n: int) -> int:
+    """The Elias-Fano lower-bit width (integer-only, no float log)."""
+    if n <= 0:
+        raise ValueError("ef_split_l: empty sequence")
+    r = universe // n
+    return max(0, int(r).bit_length() - 1) if r >= 1 else 0
+
+
+def ef_encode(doc_ids: np.ndarray, universe: int) -> tuple[bytes, bytes, int]:
+    """Encode a sorted ascending uint array from [0, universe) →
+    (lower_buf, upper_buf, l). Lower l bits packed LSB-first; upper
+    parts gap-unary (bit 1 at position high_i + i). All vectorized
+    (packbits), no per-value Python."""
+    v = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        raise ValueError("ef_encode: empty sequence")
+    if int(v[-1]) >= universe:
+        raise ValueError("ef_encode: value outside universe")
+    l = ef_split_l(universe, n)
+    if l:
+        bits = ((v[:, None] >> np.arange(l, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.uint8).ravel()
+        lower = np.packbits(bits, bitorder="little").tobytes()
+    else:
+        lower = b""
+    highs = (v >> np.uint64(l)).astype(np.int64)
+    ubits = np.zeros(int(n + highs[-1] + 1), dtype=np.uint8)
+    ubits[highs + np.arange(n)] = 1
+    upper = np.packbits(ubits, bitorder="little").tobytes()
+    return lower, upper, l
+
+
+def ef_decode(lower: bytes, upper: bytes, n: int, l: int) -> np.ndarray:
+    """Inverse of :func:`ef_encode` → uint64 array of length n."""
+    ubits = np.unpackbits(np.frombuffer(upper, dtype=np.uint8), bitorder="little")
+    ones = np.flatnonzero(ubits)[:n]
+    highs = (ones - np.arange(n)).astype(np.uint64)
+    if l:
+        bits = np.unpackbits(np.frombuffer(lower, dtype=np.uint8),
+                             bitorder="little")[: n * l].reshape(n, l)
+        lows = (bits.astype(np.uint64)
+                << np.arange(l, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    else:
+        lows = np.zeros(n, dtype=np.uint64)
+    return (highs << np.uint64(l)) | lows

@@ -734,3 +734,40 @@ def vocab_entropy(ds, cfg: AnalyzerConfig | None = None):
     return pd.DataFrame({"n_terms": [np.int64(len(c))],
                          "entropy_bits": [r4(h)],
                          "perplexity": [r4(2.0 ** h)]})
+
+
+def dictionary_match(ds, patterns: list[str], text_col: str = "text"):
+    """Multi-pattern exact substring matching — the engine-side analog
+    of the reference's Aho–Corasick screening tier (reference:
+    layers/patterns/high_recall_ac_generator.py generates the pattern
+    payloads; the ES side matches them): count per pattern how many
+    docs contain it and the total (non-overlapping, left-to-right)
+    occurrence count.
+
+    Per batch it runs ONE Arrow ``count_substring`` kernel per pattern
+    (C-vectorized across the whole batch — no per-doc Python), emitting
+    P partial rows; the only exchange is the P-row pattern-keyed
+    groupby. This kernel-per-pattern shape is the right one up to
+    ~10³ patterns (each pass is a memchr-class scan); beyond that an
+    automaton actor (one pass per batch regardless of P) wins — the
+    documented swap point. Occurrence counting is non-overlapping,
+    matching the SQL replace-trick twin exactly."""
+    from ray.data.aggregate import Sum
+
+    pats = list(patterns)
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        occ_out, doc_out = [], []
+        for p in pats:
+            c = pc.count_substring(text, pattern=p)
+            occ_out.append(int(pc.sum(c).as_py() or 0))
+            doc_out.append(int(pc.sum(pc.cast(pc.greater(c, 0), pa.int64())).as_py() or 0))
+        return pa.table({"pattern": pa.array(pats, pa.string()),
+                         "nd_p": pa.array(doc_out, pa.int64()),
+                         "no_p": pa.array(occ_out, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("pattern")
+            .aggregate(Sum("nd_p", alias_name="n_docs"),
+                       Sum("no_p", alias_name="n_occ")))

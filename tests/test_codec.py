@@ -69,3 +69,50 @@ def test_block_maxes():
     # factor is monotone in tf at fixed dl → block maxes at tf=5 and tf=10
     f = lambda tf: tf * 2.2 / (tf + 1.2)  # noqa: E731
     assert np.allclose(bm, [f(5), f(10)], rtol=1e-6)
+
+
+# --- Elias-Fano -------------------------------------------------------------
+
+
+def test_ef_roundtrip_random():
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_ray.functions.codec import ef_decode, ef_encode
+
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        n = int(rng.integers(1, 300))
+        u = int(rng.integers(n, 50_000))
+        v = np.sort(rng.choice(u, size=n, replace=False)).astype(np.uint64)
+        lo, up, l = ef_encode(v, u)
+        assert (ef_decode(lo, up, n, l) == v).all()
+        assert len(lo) == (n * l + 7) // 8
+        assert len(up) == (n + (int(v[-1]) >> l) + 1 + 7) // 8
+
+
+def test_ef_edge_cases():
+    import numpy as np
+    import pytest
+
+    from hybrid_sanctions_search_engine_ray.functions.codec import (
+        ef_decode,
+        ef_encode,
+        ef_split_l,
+    )
+
+    # dense sequence: l = 0, pure unary upper
+    v = np.arange(10, dtype=np.uint64)
+    lo, up, l = ef_encode(v, 10)
+    assert l == 0 and lo == b""
+    assert (ef_decode(lo, up, 10, l) == v).all()
+    # single value near the top of a large universe
+    v = np.array([999_999], dtype=np.uint64)
+    lo, up, l = ef_encode(v, 1_000_000)
+    assert (ef_decode(lo, up, 1, l) == v).all()
+    assert l == 1_000_000 .bit_length() - 1
+    # refusals
+    with pytest.raises(ValueError):
+        ef_encode(np.empty(0, dtype=np.uint64), 10)
+    with pytest.raises(ValueError):
+        ef_encode(np.array([10], dtype=np.uint64), 10)
+    assert ef_split_l(7, 8) == 0  # u < n → l = 0

@@ -760,6 +760,26 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+_IVJ_GAP_S = 3600
+
+
+def q_interval_join(sf_dir: str):
+    """Temporal interval self-join reduced to per-user pair stats: for
+    each user, the count and exact µs gap sum of ordered event pairs
+    within (0, 1h] — the stream-stream interval-join operator (Flink
+    ``b.ts > a.ts AND b.ts <= a.ts + Δ``) via time-bucket + previous-
+    bucket replication, the 1-D analog of the geo_pairs grid shuffle
+    (stages/windows.interval_self_join_stats). All-integer epoch-µs;
+    exact self-join twin."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.windows import interval_self_join_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return interval_self_join_stats(ds, max_gap_s=_IVJ_GAP_S)
+
+
 def q_ef_bytes(sf_dir: str):
     """Elias-Fano postings-layout audit (Vigna WSDM'13 — the
     quasi-succinct doc-id code behind Lucene/PISA): decode each term's
@@ -9535,6 +9555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dpo_pairs": q_dpo_pairs,
         "ac_match": q_ac_match,
         "ef_bytes": q_ef_bytes,
+        "interval_join": q_interval_join,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10392,6 +10413,25 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # interval self-join: per-user ordered-pair count + exact µs
+        # gap sum within (0, Δ]; strict ts inequality (ties pair never).
+        "interval_join": f"""
+WITH p AS (
+  SELECT a.user_id,
+         epoch_us(b.ts) - epoch_us(a.ts) AS gap
+  FROM events a JOIN events b
+    ON b.user_id = a.user_id
+   AND epoch_us(b.ts) > epoch_us(a.ts)
+   AND epoch_us(b.ts) <= epoch_us(a.ts) + {_IVJ_GAP_S * 1_000_000}),
+agg AS (
+  SELECT user_id, count(*)::BIGINT AS n_pairs,
+         cast(sum(gap) AS BIGINT) AS sum_gap_us
+  FROM p GROUP BY user_id)
+SELECT u.user_id AS k, coalesce(a.n_pairs, 0) AS n_pairs,
+       coalesce(a.sum_gap_us, 0) AS sum_gap_us
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN agg a USING (user_id)
 """,
         # Elias-Fano layout audit: l = bit_length(u//n)-1 via CASE
         # ladder; bytes = ceil(n*l/8) + ceil((n + (mx>>l) + 1)/8).

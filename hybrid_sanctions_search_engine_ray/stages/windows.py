@@ -446,3 +446,70 @@ def watermark_lateness(events_ds, delay_s: int, window_s: int = 86400,
         "n_late": piv[1].astype(np.int64) if 1 in piv.columns else np.int64(0),
     })
     return out.sort_values("window_id", kind="mergesort").reset_index(drop=True)
+
+
+# --- temporal interval self-join --------------------------------------------
+
+
+def interval_self_join_stats(events_ds, key: str = "user_id",
+                             ts_col: str = "ts", max_gap_s: int = 3600):
+    """Stream-stream interval self-join (the Flink/KSQL
+    ``a.ts < b.ts <= a.ts + Δ`` join) reduced to per-key pair
+    statistics: for every key, the number of ordered event pairs whose
+    gap lies in (0, Δ] and the exact integer sum of those gaps (µs).
+
+    Scale shape — the temporal 1-D analog of the geo_pairs grid: each
+    event lands in time bucket ``ts//Δ`` and is replicated into the
+    PREVIOUS bucket (2 rows per event, bounded fan-out); a pair's
+    earlier event a finds every partner b in a's home bucket because
+    ``tb ∈ (ta, ta+Δ]`` forces ``tb//Δ ∈ {g, g+1}``. ONE
+    (key, bucket)-keyed exchange of 2× the event rows — never an
+    all-pairs or per-key-global shuffle; inside a group the pair scan
+    is two vectorized ``searchsorted`` calls + a prefix-sum (no Python
+    per event). A second key-sized groupby folds bucket partials. Ties
+    (equal timestamps) pair in NEITHER direction — the documented
+    strict-inequality contract, deterministic without an arrival-order
+    tiebreak. All arithmetic int64 epoch-µs — exact."""
+    from ray.data.aggregate import Sum
+
+    gap_us = int(max_gap_s) * 1_000_000
+
+    def replicate(b: pa.Table) -> pa.Table:
+        tsu = pc.cast(b[ts_col], pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        k = b[key].to_numpy(zero_copy_only=False)
+        g = tsu // gap_us
+        return pa.table({
+            "k": pa.array(np.concatenate([k, k])),
+            "g": pa.array(np.concatenate([g, g - 1]), pa.int64()),
+            "tsu": pa.array(np.concatenate([tsu, tsu]), pa.int64()),
+            "home": pa.array(np.concatenate([np.ones(k.size, bool),
+                                             np.zeros(k.size, bool)])),
+        })
+
+    def pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        tsu = grp["tsu"].to_numpy(np.int64)
+        home = grp["home"].to_numpy(bool)
+        a = np.sort(tsu[home])          # earlier-event candidates: home rows
+        v = np.sort(tsu)                # home + next-bucket visitor rows
+        if a.size == 0 or v.size == 0:
+            return pd.DataFrame({"k": grp["k"].iloc[:0],
+                                 "n_p": pd.Series([], dtype=np.int64),
+                                 "s_p": pd.Series([], dtype=np.int64)})
+        pref = np.concatenate([[0], np.cumsum(v, dtype=np.int64)])
+        lo = np.searchsorted(v, a, side="right")
+        hi = np.searchsorted(v, a + gap_us, side="right")
+        n = (hi - lo).astype(np.int64)
+        s = (pref[hi] - pref[lo]) - a * n
+        return pd.DataFrame({"k": [grp["k"].iloc[0]],
+                             "n_p": [np.int64(n.sum())],
+                             "s_p": [np.int64(s.sum())]})
+
+    return (
+        events_ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby(["k", "g"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("n_p", alias_name="n_pairs"),
+                   Sum("s_p", alias_name="sum_gap_us"))
+    )

@@ -760,6 +760,24 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+_KN_D, _KN_MIN = 0.75, 5
+
+
+def q_kn_bigrams(sf_dir: str):
+    """Interpolated Kneser-Ney bigram LM probabilities (Kneser & Ney
+    '95 / Chen & Goodman '99): absolute discount D=0.75, continuation
+    probability from bigram-type counts — the n-gram smoothing standard
+    behind classical LM scoring, over the shared directed adjacency
+    (stages/textrank.kn_bigrams; one bigram shuffle + three node-sized
+    marginals as broadcast arrays). Twin mirrors the float expression
+    association-for-association over integer inputs, then round4."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.textrank import kn_bigrams
+
+    return kn_bigrams(transcripts_from_documents(sf_dir),
+                      discount=_KN_D, min_count=_KN_MIN)
+
+
 _IVJ_GAP_S = 3600
 
 
@@ -9556,6 +9574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ac_match": q_ac_match,
         "ef_bytes": q_ef_bytes,
         "interval_join": q_interval_join,
+        "kn_bigrams": q_kn_bigrams,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10413,6 +10432,29 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # Kneser-Ney bigrams: identical float association order over
+        # integer counts, then round4 — type counts from the edge table.
+        "kn_bigrams": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+ew AS (
+  SELECT a.term AS s, b.term AS t, count(*)::BIGINT AS w
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> b.term GROUP BY a.term, b.term),
+lm AS (SELECT s, sum(w)::BIGINT AS cl, count(*)::BIGINT AS ot FROM ew GROUP BY s),
+rm AS (SELECT t, count(*)::BIGINT AS it FROM ew GROUP BY t),
+tt AS (SELECT count(*)::BIGINT AS n FROM ew),
+scored AS (
+  SELECT e.s, e.t, e.w AS n_pair,
+         round(greatest(e.w - {_KN_D}::DOUBLE, 0) / lm.cl
+               + {_KN_D}::DOUBLE * lm.ot / lm.cl * (rm.it / tt.n::DOUBLE), 4) AS pkn
+  FROM ew e JOIN lm ON lm.s = e.s JOIN rm ON rm.t = e.t CROSS JOIN tt
+  WHERE e.w >= {_KN_MIN}),
+rk AS (SELECT s, t, n_pair, pkn,
+              row_number() OVER (ORDER BY pkn DESC, s, t) AS rn
+       FROM scored)
+SELECT s, t, n_pair, pkn FROM rk WHERE rn <= 20
 """,
         # interval self-join: per-user ordered-pair count + exact µs
         # gap sum within (0, Δ]; strict ts inequality (ties pair never).

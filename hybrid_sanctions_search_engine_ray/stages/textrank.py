@@ -411,3 +411,73 @@ def personalized_pagerank(transcripts_ds, seeds: list[str], n_iter: int = 4,
     out["rank"] = out["rank"].astype(np.int64)
     return (out.sort_values(["rank", "term"], ascending=[False, True],
                             kind="mergesort").head(top_n).reset_index(drop=True))
+
+
+def kn_bigrams(transcripts_ds, discount: float = 0.75, min_count: int = 5,
+               top_n: int = 20,
+               cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney '95;
+    Chen & Goodman '99 — the n-gram smoothing standard):
+
+        P(t|s) = max(c(s,t) − D, 0)/c(s·)
+                 + (D · N1+(s·)/c(s·)) · N1+(·t)/N1+(··)
+
+    with absolute discount D, continuation probability from bigram-TYPE
+    counts — the lower-order distribution that makes KN the right LM
+    for "Francisco"-type words that appear in few contexts. Built on
+    the shared directed adjacency (self-bigrams excluded, the edge
+    convention PMI/HITS use — documented).
+
+    Scale shape: ONE bigram-vocabulary shuffle (shared edge build +
+    int-id factorize), THREE node-sized groupbys (occurrence marginal
+    rides the factorize; out-type / in-type counts) broadcast as
+    aligned arrays, scoring as a map over int edge blocks with
+    batch-local top-n partials. The float expression is written
+    identically on both sides (same association order over integer
+    inputs → identical IEEE results), then round4 half-away — exact
+    twin. Returns (s, t, n_pair, pkn) by (pkn desc, s, t),
+    ``n_pair ≥ min_count``."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    edges = build_adjacency(transcripts_ds, cfg, symmetric=False).materialize()
+    nodes, cl, eint = factorize_edge_graph(edges)
+    V = nodes.size
+
+    ot_df = eint.groupby("s_id").aggregate(Count(alias_name="k")).to_pandas()
+    it_df = eint.groupby("t_id").aggregate(Count(alias_name="k")).to_pandas()
+    ot = np.zeros(V, dtype=np.int64)
+    ot[ot_df["s_id"].to_numpy()] = ot_df["k"].to_numpy().astype(np.int64)
+    it = np.zeros(V, dtype=np.int64)
+    it[it_df["t_id"].to_numpy()] = it_df["k"].to_numpy().astype(np.int64)
+    total_types = int(ot.sum())
+    ref = ray.put({"cl": cl, "ot": ot, "it": it, "nodes": nodes})
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        w = b["w"].to_numpy().astype(np.int64)
+        keep = w >= min_count
+        if not keep.any():
+            return pd.DataFrame({"s": pd.Series([], dtype=object),
+                                 "t": pd.Series([], dtype=object),
+                                 "n_pair": pd.Series([], dtype=np.int64),
+                                 "pkn": pd.Series([], dtype=float)})
+        s_id = b["s_id"].to_numpy()[keep]
+        t_id = b["t_id"].to_numpy()[keep]
+        w = w[keep]
+        cls = st["cl"][s_id].astype(np.float64)
+        ots = st["ot"][s_id].astype(np.float64)
+        its = st["it"][t_id].astype(np.float64)
+        # association order mirrors the SQL expression verbatim
+        pkn = (np.maximum(w - discount, 0.0) / cls
+               + discount * ots / cls * (its / float(total_types)))
+        pkn = np.sign(pkn) * np.floor(np.abs(pkn) * 1e4 + 0.5) / 1e4
+        out = pd.DataFrame({"s": st["nodes"][s_id], "t": st["nodes"][t_id],
+                            "n_pair": w, "pkn": pkn})
+        return out.sort_values(["pkn", "s", "t"],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(top_n)
+
+    cand = eint.map_batches(score, batch_format="pandas").to_pandas()
+    return (cand.sort_values(["pkn", "s", "t"], ascending=[False, True, True],
+                             kind="mergesort").head(top_n).reset_index(drop=True))

@@ -1038,6 +1038,16 @@ def _prune_part(index_dir: str, out_dir: str, part: int, top_n: int) -> dict:
     os.makedirs(sdir, exist_ok=True)
     if not os.path.exists(src):
         return {"part": part, "n_terms": 0, "n_rows": 0, "n_postings": 0}
+    # resume: a finished part records its top_n in meta.json (written
+    # AFTER the data file — presence implies a complete part)
+    meta_path = os.path.join(sdir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as mf:
+            meta = json.load(mf)
+        if meta.get("pruned_top_n") == top_n and \
+                os.path.exists(os.path.join(sdir, "postings.parquet")):
+            return {"part": part, "n_terms": meta["n_terms"],
+                    "n_rows": meta["n_rows"], "n_postings": meta["n_postings"]}
     tbl = pq.read_table(src)
     pieces: list[pa.Table] = []
     rebuilt: dict[str, list] = {c: [] for c in tbl.column_names}

@@ -484,3 +484,23 @@ def test_static_prune_refuses_salted(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="salted"):
         static_prune_index(idx, str(tmp_path / "nope"), top_n=2)
+
+
+def test_static_prune_resume_skips_finished_parts(ray_session, tmp_path):
+    """Re-running static_prune_index with the same top_n must not
+    rewrite finished parts (meta presence-implies-complete contract);
+    a different top_n must."""
+    import os
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import static_prune_index
+    from hybrid_sanctions_search_engine_ray.state.manifest import segment_dir
+
+    idx, m = _build(tmp_path, "full_resume", TEXTS)
+    out = str(tmp_path / "pruned_resume")
+    static_prune_index(idx, out, top_n=2)
+    f = os.path.join(segment_dir(out, 0), "postings.parquet")
+    mtime = os.path.getmtime(f)
+    static_prune_index(idx, out, top_n=2)        # resume: untouched
+    assert os.path.getmtime(f) == mtime
+    static_prune_index(idx, out, top_n=1)        # different budget: rewrite
+    assert os.path.getmtime(f) != mtime

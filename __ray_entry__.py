@@ -760,6 +760,64 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+_LTR_K = 20
+
+
+def q_ltr_features(sf_dir: str):
+    """Learning-to-rank feature extraction (the ES-LTR / MSLR dataset
+    shape): for each query and its BM25 top-20 docs, emit the classic
+    per-(query, doc) feature vector — bm25 score, matched-term count,
+    summed tf, doc length, and the summed/max idf of matched terms.
+    The op that turns the index into LTR training rows; features are
+    exactly the quantities the scorer already holds, so the twin
+    recomputes every column from the tf/df/dl CTEs. round4 on the two
+    float features (the multi-float-sum convention); candidate set =
+    rank ≤ 20 by (raw score desc, doc_id), the scorer's rank rule."""
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import idf as _idf
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = IndexReader(index_dir)
+    n_docs = reader.manifest.n_docs
+    rows = []
+    for qid, text in BM25_QUERIES.items():
+        terms = sorted(set(text.lower().split()))
+        posts = []
+        for t in terms:
+            raw = reader.load_raw(t)
+            if raw is not None:
+                posts.append((t, raw))
+        if not posts:
+            continue
+        docs, scores = reader.search_one(text, _LTR_K)
+        doc_set = {int(d): i for i, d in enumerate(docs)}
+        feat = {int(d): {"n_matched": 0, "sum_tf": 0, "dl": 0,
+                         "sum_idf": 0.0, "max_idf": 0.0} for d in docs}
+        for t, (dids, tfs, dls) in posts:
+            t_idf = float(_idf(n_docs, int(dids.size)))
+            for j in np.flatnonzero(np.isin(dids, docs)):
+                f = feat[int(dids[j])]
+                f["n_matched"] += 1
+                f["sum_tf"] += int(tfs[j])
+                f["dl"] = int(dls[j])
+                f["sum_idf"] += t_idf
+                f["max_idf"] = max(f["max_idf"], t_idf)
+        for d, sc in zip(docs, scores):
+            f = feat[int(d)]
+            rows.append({
+                "query_id": qid, "doc_id": int(d),
+                "rank": np.int32(doc_set[int(d)] + 1),
+                "bm25": float(_round4(np.array([sc]))[0]),
+                "n_matched": np.int64(f["n_matched"]),
+                "sum_tf": np.int64(f["sum_tf"]),
+                "dl": np.int64(f["dl"]),
+                "sum_idf": float(_round4(np.array([f["sum_idf"]]))[0]),
+                "max_idf": float(_round4(np.array([f["max_idf"]]))[0]),
+            })
+    out = pd.DataFrame(rows)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 _KN_D, _KN_MIN = 0.75, 5
 
 
@@ -9575,6 +9633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ef_bytes": q_ef_bytes,
         "interval_join": q_interval_join,
         "kn_bigrams": q_kn_bigrams,
+        "ltr_features": q_ltr_features,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10432,6 +10491,36 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # LTR features: per (query, top-20 doc) the classic feature
+        # vector recomputed from the tf/df/dl CTEs; rank by the
+        # engine's (round4 score desc, doc_id) rule.
+        "ltr_features": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score,
+         count(*)::BIGINT AS n_matched,
+         sum(tf.tf)::BIGINT AS sum_tf,
+         round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))), 4) AS sum_idf,
+         round(max(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))), 4) AS max_idf
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT sc.*, dl.dl,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id) AS rnk
+  FROM scored sc JOIN dl ON dl.doc_id = sc.doc_id)
+SELECT query_id, doc_id, cast(rnk AS INT) AS rank,
+       round(score, 4) AS bm25, n_matched, sum_tf, dl::BIGINT AS dl,
+       sum_idf, max_idf
+FROM ranked WHERE rnk <= {_LTR_K}
 """,
         # Kneser-Ney bigrams: identical float association order over
         # integer counts, then round4 — type counts from the edge table.

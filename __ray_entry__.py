@@ -760,6 +760,59 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+_NB_CAL_BINS = 5
+
+
+def q_nb_calibration(sf_dir: str):
+    """Classifier reliability diagram (the calibration check run on
+    every corpus-curation classifier): equal-width integer bins over
+    the winning NB scores (×10⁴ domain — no float binning), per bin
+    the doc count, correct count and accuracy. Equal-WIDTH bins keep
+    the contract rank-free (value arithmetic only — ntile would need a
+    global sort); exchange shape: ONE (score, correct)-keyed aggregated
+    histogram rides out of the scoring pass (distinct-winning-score
+    cardinality, heavily tied in the ×10⁴ integer domain), binning is
+    driver arithmetic on that histogram. Twin reuses the shared NB CTE
+    chain (_NB_CORE_CTES) with the same bin formula."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.nb_classify import nb_train_score
+
+    def split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("is_test", pa.array(ids % 5 == 0))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"]) \
+           .map_batches(split, batch_format="pyarrow")
+    res = nb_train_score(ds, "lang", "is_test", n_buckets=_NB_B)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        correct = pc.equal(b["pred_label"], b["true_label"])
+        t = pa.table({"s": b["score_x1e4"], "correct": correct})
+        g = t.group_by(["s", "correct"]).aggregate([([], "count_all")])
+        return pa.table({"s": g["s"], "correct": g["correct"],
+                         "c_p": g["count_all"].cast(pa.int64())})
+
+    hist = (res.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["s", "correct"])
+            .aggregate(Sum("c_p", alias_name="c"))
+            .to_pandas())
+    s = hist["s"].to_numpy(np.int64)
+    mn, mx = int(s.min()), int(s.max())
+    bins = (s - mn) * _NB_CAL_BINS // (mx - mn + 1)
+    hist["bin"] = bins
+    g = hist.groupby("bin", sort=True)
+    n = g["c"].sum().astype(np.int64)
+    ncorr = hist[hist["correct"]].groupby("bin")["c"].sum() \
+        .reindex(n.index, fill_value=0).astype(np.int64)
+    acc = _round4((ncorr.to_numpy() / n.to_numpy().astype(np.float64)))
+    return pd.DataFrame({"bin": n.index.to_numpy().astype(np.int64),
+                         "n": n.to_numpy(), "n_correct": ncorr.to_numpy(),
+                         "acc": acc})
+
+
 _LTR_K = 20
 
 
@@ -9634,6 +9687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "kn_bigrams": q_kn_bigrams,
         "ltr_features": q_ltr_features,
+        "nb_calibration": q_nb_calibration,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10405,27 +10459,9 @@ def _vlen_sql(col: str) -> str:
     return f"(CASE {cases} ELSE 10 END)"
 
 
-def oracle_sql() -> dict[str, str]:
-    qterms = _qterms_values()
-    return {
-        # stored-postings codec audit: per-term varint stream bytes of
-        # the persisted unsalted index, reconstructed from the framing.
-        "postings_bytes": f"""
-WITH {TRANSCRIPTS_CTE},
-seq AS (
-  SELECT term, doc_id, tf,
-         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS delta
-  FROM tf),
-wj AS (SELECT s.term, s.delta, s.tf, l.dl FROM seq s JOIN dl l USING (doc_id))
-SELECT term, count(*)::BIGINT AS n_docs,
-       sum({_vlen_sql('delta')})::BIGINT AS docs_bytes,
-       sum({_vlen_sql('tf')})::BIGINT AS tfs_bytes,
-       sum({_vlen_sql('dl')})::BIGINT AS dls_bytes
-FROM wj GROUP BY term
-""",
-        # NB classifier: integer ×10⁴ log-prob sums, argmax by (s desc, cls).
-        "nb_classify": f"""
-WITH {TRANSCRIPTS_CTE},
+# shared CTE chain for the NB classifier twins (train counts →
+# int64 ×1e4 log-prob tables → per-test-doc integer scores → argmax)
+_NB_CORE_CTES = f"""
 lab AS (SELECT doc_id, lang, (doc_id % 5 = 0) AS is_test FROM documents),
 tb AS (
   SELECT t.doc_id, cast(md5_number_upper(t.term) % {_NB_B} AS BIGINT) AS b,
@@ -10462,10 +10498,54 @@ pred AS (
          row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
   FROM scores
 )
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    qterms = _qterms_values()
+    return {
+        # stored-postings codec audit: per-term varint stream bytes of
+        # the persisted unsalted index, reconstructed from the framing.
+        "postings_bytes": f"""
+WITH {TRANSCRIPTS_CTE},
+seq AS (
+  SELECT term, doc_id, tf,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS delta
+  FROM tf),
+wj AS (SELECT s.term, s.delta, s.tf, l.dl FROM seq s JOIN dl l USING (doc_id))
+SELECT term, count(*)::BIGINT AS n_docs,
+       sum({_vlen_sql('delta')})::BIGINT AS docs_bytes,
+       sum({_vlen_sql('tf')})::BIGINT AS tfs_bytes,
+       sum({_vlen_sql('dl')})::BIGINT AS dls_bytes
+FROM wj GROUP BY term
+""",
+        # NB classifier: integer ×10⁴ log-prob sums, argmax by (s desc, cls).
+        "nb_classify": f"""
+WITH {TRANSCRIPTS_CTE},
+{_NB_CORE_CTES}
 SELECT p.doc_id, l.lang AS true_label, p.cls AS pred_label,
        cast(p.s AS BIGINT) AS score_x1e4
 FROM pred p JOIN lab l USING (doc_id) WHERE p.rn = 1
 ORDER BY p.doc_id
+""",
+        # NB reliability diagram: equal-width integer score bins over
+        # the winning scores; per-bin count + correct count + accuracy.
+        "nb_calibration": f"""
+WITH {TRANSCRIPTS_CTE},
+{_NB_CORE_CTES},
+win AS (
+  SELECT p.doc_id, cast(p.s AS BIGINT) AS s,
+         (p.cls = l.lang) AS correct
+  FROM pred p JOIN lab l USING (doc_id) WHERE p.rn = 1),
+rng AS (SELECT min(s) AS mn, max(s) AS mx FROM win),
+binned AS (
+  SELECT ((w.s - r.mn) * {_NB_CAL_BINS}) // (r.mx - r.mn + 1) AS bin,
+         w.correct
+  FROM win w CROSS JOIN rng r)
+SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+       cast(count(*) FILTER (correct) AS BIGINT) AS n_correct,
+       round(count(*) FILTER (correct) / count(*)::DOUBLE, 4) AS acc
+FROM binned GROUP BY bin
 """,
         # EQL sequence: each hop is LEFT JOIN LATERAL earliest-follower.
         "eql_sequence": f"""

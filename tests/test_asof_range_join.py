@@ -92,3 +92,39 @@ def test_range_join_empty_ranges(ray_session):
     assert len(range_join(big, empty, on="x", how="inner").to_pandas()) == 0
     left = range_join(big, empty, on="x", how="left").to_pandas()
     assert len(left) == 2 and left["tier"].isna().all()
+
+
+def test_bloom_prefilter_counts_and_false_positives(ray_session):
+    """With a tiny bit array the filter must pass all true keys (no
+    false negatives — Bloom guarantee) and the measured false-positive
+    accounting must equal a brute replay of the same hash layout."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.joins import bloom_prefilter_stats
+
+    m = 16  # tiny → collisions guaranteed
+    right = [str(k) for k in (3, 7, 11)]
+    left_keys = [str(k) for k in range(100)] * 3
+    ds = rd.from_pandas(pd.DataFrame({"k": left_keys}))
+    got = bloom_prefilter_stats(ds, "k", right, m_bits=m).iloc[0]
+
+    def h(s, salt=""):
+        return int.from_bytes(hashlib.md5((s + salt).encode()).digest()[:8],
+                              "little") % m
+
+    bits = np.zeros(m, bool)
+    for k in right:
+        bits[h(k)] = True
+        bits[h(k, "#")] = True
+    n_pass = sum(bits[h(k)] and bits[h(k, "#")] for k in left_keys)
+    n_true = sum(k in right for k in left_keys)
+    assert int(got["n_left"]) == 300
+    assert int(got["n_true_match"]) == n_true == 9
+    assert int(got["n_bloom_pass"]) == n_pass
+    assert int(got["n_false_pos"]) == n_pass - n_true > 0  # collisions real
+    # no false negatives: every true key passes
+    assert n_pass >= n_true

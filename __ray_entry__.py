@@ -760,6 +760,32 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+_BLOOM_M = 8192
+_BLOOM_MOD = 7  # build side = suppliers with s_suppkey % 7 == 0
+
+
+def q_bloom_prefilter(sf_dir: str):
+    """Bloom-filter join pushdown accounting: a k=2 md5-parity Bloom
+    filter of the build side (suppliers with s_suppkey % 7 == 0 — a
+    deterministic subset non-empty at every sf) is broadcast
+    and probed by every lineitem row before any shuffle — rows scanned,
+    rows passing, true matches and MEASURED false positives (the pass
+    set is a deterministic function of the bit layout, so even the
+    false positives are exactly SQL-reproducible;
+    stages/joins.bloom_prefilter_stats). One streaming pass, zero
+    shuffles."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.joins import bloom_prefilter_stats
+
+    sup = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    rkeys = sup[sup["s_suppkey"] % _BLOOM_MOD == 0]["s_suppkey"].astype(str)
+    left = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_suppkey"])
+    return bloom_prefilter_stats(left, "l_suppkey", rkeys, m_bits=_BLOOM_M)
+
+
 _NB_CAL_BINS = 5
 
 
@@ -9688,6 +9714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigrams": q_kn_bigrams,
         "ltr_features": q_ltr_features,
         "nb_calibration": q_nb_calibration,
+        "bloom_prefilter": q_bloom_prefilter,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10571,6 +10598,38 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # Bloom pushdown: the pass set (incl. false positives) is a
+        # deterministic function of the md5-parity bit layout.
+        "bloom_prefilter": f"""
+WITH rk AS (
+  SELECT DISTINCT cast(s_suppkey AS VARCHAR) AS k
+  FROM supplier WHERE s_suppkey % {_BLOOM_MOD} = 0),
+bits AS (
+  SELECT DISTINCT h FROM (
+    SELECT cast(md5_number_upper(k) % {_BLOOM_M} AS BIGINT) AS h FROM rk
+    UNION ALL
+    SELECT cast(md5_number_upper(k || '#') % {_BLOOM_M} AS BIGINT) AS h FROM rk)),
+dk AS (
+  SELECT cast(l_suppkey AS VARCHAR) AS k, count(*)::BIGINT AS c
+  FROM lineitem GROUP BY 1),
+flags AS (
+  SELECT dk.k, dk.c,
+         (cast(md5_number_upper(dk.k) % {_BLOOM_M} AS BIGINT) IN (SELECT h FROM bits)
+          AND cast(md5_number_upper(dk.k || '#') % {_BLOOM_M} AS BIGINT) IN (SELECT h FROM bits)) AS pass,
+         dk.k IN (SELECT k FROM rk) AS istrue
+  FROM dk),
+agg AS (
+  SELECT cast(sum(c) AS BIGINT) AS n_left,
+         cast(coalesce(sum(c) FILTER (pass), 0) AS BIGINT) AS n_bloom_pass,
+         cast(coalesce(sum(c) FILTER (istrue), 0) AS BIGINT) AS n_true_match
+  FROM flags)
+SELECT n_left, n_bloom_pass, n_true_match,
+       n_bloom_pass - n_true_match AS n_false_pos,
+       CASE WHEN n_left = n_true_match THEN 0.0
+            ELSE round((n_bloom_pass - n_true_match)
+                       / (n_left - n_true_match)::DOUBLE, 4) END AS false_pos_rate
+FROM agg
 """,
         # LTR features: per (query, top-20 doc) the classic feature
         # vector recomputed from the tf/df/dl CTEs; rank by the

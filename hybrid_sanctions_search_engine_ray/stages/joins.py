@@ -289,3 +289,80 @@ def skew_join(left_ds, right_ds, on: str, hot_threshold: int = 10_000,
     cold_joined = bucketed_join(cold_left, cold_right, on=on,
                                 num_buckets=num_buckets, how="inner")
     return cold_joined.union(hot_joined) if hot_joined is not None else cold_joined
+
+
+def bloom_prefilter_stats(left_ds, key_col: str, right_keys,
+                          m_bits: int = 8192) -> pd.DataFrame:
+    """Bloom-filter join pushdown (the classic distributed-join
+    optimization: ship a small bit array instead of the build side, let
+    probe rows that cannot match die before the shuffle): build a
+    k=2-hash Bloom filter of the build-side keys, broadcast it, and
+    report the probe-side accounting — rows scanned, rows passing the
+    filter, true matches, and false positives.
+
+    Hash family is the repo's md5_number_upper parity contract
+    (``h1 = md5(key) % m``, ``h2 = md5(key || '#') % m``), so the PASS
+    SET — including the false positives, which are a deterministic
+    function of the bit layout — is exactly SQL-reproducible; the
+    false-positive rate is measured, not estimated. ONE streaming pass
+    over the probe side (per-batch distinct-key factorize → two md5s
+    per distinct key, vectorized bit probes), zero shuffles; the filter
+    and the true-match key set ship once via ``ray.put``.
+    """
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
+
+    def _h(s: str, salt: str = "") -> int:
+        return int.from_bytes(
+            hashlib.md5((s + salt).encode("utf-8")).digest()[:8],
+            "little") % m_bits
+
+    rkeys = sorted({str(k) for k in right_keys})
+    bits = np.zeros(m_bits, dtype=bool)
+    for k in rkeys:
+        bits[_h(k)] = True
+        bits[_h(k, "#")] = True
+    state = ray.put({"bits": bits,
+                     "rset": np.array(rkeys, dtype=object)})
+
+    def probe(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        st = ray.get(state)
+        keys = pc.cast(b[key_col], pa.string())
+        codes, uniques = factorize_exact(keys)
+        h1 = np.fromiter((_h(u) for u in uniques), dtype=np.int64,
+                         count=len(uniques))
+        h2 = np.fromiter((_h(u, "#") for u in uniques), dtype=np.int64,
+                         count=len(uniques))
+        upass = st["bits"][h1] & st["bits"][h2]
+        utrue = np.isin(np.asarray(uniques, dtype=object), st["rset"])
+        npass = int(upass[codes].sum())
+        ntrue = int(utrue[codes].sum())
+        return pa.table({"n_left": pa.array([len(b)], pa.int64()),
+                         "n_pass": pa.array([npass], pa.int64()),
+                         "n_true": pa.array([ntrue], pa.int64())})
+
+    tot = (left_ds.map_batches(probe, batch_format="pyarrow")
+           .aggregate(Sum("n_left", alias_name="n_left"),
+                      Sum("n_pass", alias_name="n_bloom_pass"),
+                      Sum("n_true", alias_name="n_true_match")))
+    n_left = int(tot["n_left"])
+    n_pass = int(tot["n_bloom_pass"])
+    n_true = int(tot["n_true_match"])
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    fpr = 0.0 if n_left == n_true else \
+        float(round_half_away(np.array(
+            [(n_pass - n_true) / (n_left - n_true) * 1e4]), 0)[0] / 1e4)
+    return pd.DataFrame({
+        "n_left": [np.int64(n_left)],
+        "n_bloom_pass": [np.int64(n_pass)],
+        "n_true_match": [np.int64(n_true)],
+        "n_false_pos": [np.int64(n_pass - n_true)],
+        "false_pos_rate": [fpr],
+    })

@@ -760,6 +760,152 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+_DDI_PARTS = 16  # hash-prefix partitions of the fingerprint store
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup against a PERSISTED fingerprint store
+    (the production re-ingest shape: don't rescan the corpus, probe the
+    stored hashes): the corpus text-md5 set is written once as parquet
+    partitioned by the hex-prefix (int(md5[:2],16) % 16), then a
+    simulated delta (every 10th doc, half of them modified) probes the
+    store with a bucketed probe: delta rows shuffle by their OWN hash
+    prefix and each group task reads exactly its one store partition —
+    partition pruning on the store, the delta never meets the corpus
+    rows themselves, and a store partition is read only if the delta
+    names it. Emits per-delta-doc (doc_id, known); exact md5 twin."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+    from hybrid_sanctions_search_engine_ray.stages.dedup import add_md5
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/graft_dedup_store/{_fmt}/{tag}"
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    if not os.path.exists(os.path.join(store, "_DONE")):
+        shutil.rmtree(store, ignore_errors=True)
+
+        def fp(b: pa.Table) -> pa.Table:
+            t = add_md5(b)
+            pref = pc.utf8_slice_codeunits(t["text_md5"], 0, 2)
+            part = np.array([int(p, 16) % _DDI_PARTS
+                             for p in pref.to_pylist()], np.int64)
+            return pa.table({"text_md5": t["text_md5"],
+                             "part": pa.array(part, pa.int64())})
+
+        (docs.map_batches(fp, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(lambda g: g.drop_duplicates("text_md5"),
+                         batch_format="pandas")
+             .write_parquet(store, partition_cols=["part"]))
+        with open(os.path.join(store, "_DONE"), "w") as f:
+            f.write("ok")
+
+    def mk_delta(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 10 == 0
+        t = b.filter(pa.array(keep))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        text = t["text"].to_pylist()
+        # every second delta doc gets modified content → unknown to the store
+        modified = [(x or "") + " __v2" if i % 20 == 10 else (x or "")
+                    for i, x in zip(ids, text)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(modified, pa.string())})
+
+    def with_part(b: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(b["text_md5"], 0, 2)
+        part = np.array([int(p, 16) % _DDI_PARTS for p in pref.to_pylist()],
+                        np.int64)
+        return b.append_column("part", pa.array(part, pa.int64()))
+
+    def probe_group(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as _pq
+
+        p = int(g["part"].iloc[0])
+        files = _glob.glob(os.path.join(store, f"part={p}", "*.parquet"))
+        known: set = set()
+        for f in files:
+            known.update(_pq.read_table(f, columns=["text_md5"])
+                         ["text_md5"].to_pylist())
+        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
+                             "known": g["text_md5"].isin(known)})
+
+    return (docs.map_batches(mk_delta, batch_format="pyarrow")
+            .map_batches(add_md5, batch_format="pyarrow")
+            .map_batches(with_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(probe_group, batch_format="pandas")
+            .sort("doc_id"))
+
+
+_MV_SPLIT_DAY = 20  # base = days < 20, delta = days >= 20
+
+
+def q_incr_agg(sf_dir: str):
+    """Incremental materialized-view maintenance (the warehouse
+    pattern: refresh an aggregate from the delta instead of
+    rescanning): the per-(event_type, day) count/sum view is built once
+    over the base slice (days < 20), PERSISTED to parquet, and on
+    "refresh" only the delta slice (days ≥ 20) is aggregated and
+    sum-merged with the stored partials — additive aggregates merge by
+    summation, the incremental-view invariant. The twin recomputes the
+    view from the FULL table, so the query proves incremental == full.
+    Exact-cents integer sums (the repo's money convention)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+    from hybrid_sanctions_search_engine_ray.stages.textops import exact_cents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base_path = f"/tmp/graft_mv_cache/{_fmt}/{tag}/base_view"
+
+    def partial(b: pa.Table, keep_base: bool | None) -> pa.Table:
+        tsu = pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = tsu // 86_400_000_000 - 19723  # days since 2024-01-01
+        if keep_base is True:
+            m = day < _MV_SPLIT_DAY
+        elif keep_base is False:
+            m = day >= _MV_SPLIT_DAY
+        else:
+            m = np.ones(len(b), bool)
+        t = pa.table({"event_type": pc.cast(b["event_type"], pa.string()),
+                      "day": pa.array(day, pa.int64()),
+                      "one": pa.array(np.ones(len(b), np.int64)),
+                      "cents": exact_cents(b["value"])}).filter(pa.array(m))
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "n_p": g["one_sum"].cast(pa.int64()),
+                         "c_p": g["cents_sum"].cast(pa.int64())})
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    if not os.path.exists(os.path.join(base_path, "_DONE")):
+        shutil.rmtree(base_path, ignore_errors=True)
+        (ev.map_batches(lambda b: partial(b, True), batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("n_p", alias_name="n_p"),
+                      Sum("c_p", alias_name="c_p"))
+           .write_parquet(base_path))
+        with open(os.path.join(base_path, "_DONE"), "w") as f:
+            f.write("ok")
+
+    base = rd.read_parquet(base_path)
+    delta = ev.map_batches(lambda b: partial(b, False), batch_format="pyarrow")
+    merged = (base.union(delta)
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n_p", alias_name="n_events"),
+                         Sum("c_p", alias_name="sum_cents")))
+    return merged
+
+
 _BLOOM_M = 8192
 _BLOOM_MOD = 7  # build side = suppliers with s_suppkey % 7 == 0
 
@@ -9715,6 +9861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_features": q_ltr_features,
         "nb_calibration": q_nb_calibration,
         "bloom_prefilter": q_bloom_prefilter,
+        "incr_agg": q_incr_agg,
+        "dedup_incremental": q_dedup_incremental,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10598,6 +10746,26 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # incremental dedup: delta (every 10th doc, half modified)
+        # probed against the corpus md5 set.
+        "dedup_incremental": """
+WITH delta AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 10 THEN text || ' __v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 = 0),
+corpus AS (SELECT DISTINCT md5(text) AS h FROM documents)
+SELECT d.doc_id, md5(d.text) IN (SELECT h FROM corpus) AS known
+FROM delta d ORDER BY doc_id
+""",
+        # incremental view maintenance: the twin is the FULL recompute,
+        # proving stored-base + delta merge == full aggregation.
+        "incr_agg": """
+SELECT event_type,
+       epoch_us(ts) // 86400000000 - 19723 AS day,
+       count(*)::BIGINT AS n_events,
+       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
 """,
         # Bloom pushdown: the pass set (incl. false positives) is a
         # deterministic function of the md5-parity bit layout.

@@ -760,6 +760,40 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+def q_kn_perplexity(sf_dir: str):
+    """Held-out bigram perplexity of the val split under the
+    train-split interpolated Kneser-Ney LM (the LM-eval loop every
+    training pipeline runs), on the conv_split assignment. Per-bigram
+    log-probs quantized int64 ×10⁴ BEFORE summation (the nb_classify
+    exactness pattern) so the corpus sum is batch-order-invariant;
+    unseen TERMS are excluded and counted OOV (unseen pairs of seen
+    terms are covered by the continuation term). One train-adjacency
+    build + one val-bigram exchange (stages/textrank.kn_perplexity)."""
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.sampling import dataset_split
+    from hybrid_sanctions_search_engine_ray.stages.textrank import kn_perplexity
+
+    tagged = dataset_split(transcripts_from_documents(sf_dir), "conv_id",
+                           _CONV_SPLITS, salt="-cs")
+    return kn_perplexity(tagged, discount=_KN_D)
+
+
+def q_readability(sf_dir: str):
+    """Flesch–Kincaid grade per document (the classic readability
+    feature in quality-filter panels): regex-defined word / sentence /
+    vowel-group counts, one Arrow count_substring_regex kernel each,
+    zero exchanges (stages/textops.readability_scores). Twin recounts
+    with regexp_extract_all (RE2 parity) and mirrors the float grade
+    expression."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import readability_scores
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return readability_scores(ds)
+
+
 _DDI_PARTS = 16  # hash-prefix partitions of the fingerprint store
 
 
@@ -9863,6 +9897,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_prefilter": q_bloom_prefilter,
         "incr_agg": q_incr_agg,
         "dedup_incremental": q_dedup_incremental,
+        "readability": q_readability,
+        "kn_perplexity": q_kn_perplexity,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10746,6 +10782,70 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # KN perplexity: val bigrams scored under the train KN LM,
+        # per-bigram ln quantized x1e4 before the integer sum.
+        "kn_perplexity": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+spl AS (
+  SELECT doc_id,
+         CASE
+           WHEN md5_number_upper('conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') || '-cs') % 100 < {_CONV_SPLITS["test"]} THEN 'test'
+           WHEN md5_number_upper('conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') || '-cs') % 100 < {_CONV_SPLITS["test"] + _CONV_SPLITS["train"]} THEN 'train'
+           ELSE 'val' END AS split
+  FROM documents),
+ewt AS (
+  SELECT a.term AS s, b.term AS t, count(*)::BIGINT AS w
+  FROM tokpos a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN spl ON spl.doc_id = a.doc_id AND spl.split = 'train'
+  WHERE a.term <> b.term GROUP BY a.term, b.term),
+lm AS (SELECT s, sum(w)::BIGINT AS cl, count(*)::BIGINT AS ot FROM ewt GROUP BY s),
+rm AS (SELECT t, count(*)::BIGINT AS it FROM ewt GROUP BY t),
+tt AS (SELECT count(*)::BIGINT AS n FROM ewt),
+vb AS (
+  SELECT a.term AS s, b.term AS t, count(*)::BIGINT AS c
+  FROM tokpos a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN spl ON spl.doc_id = a.doc_id AND spl.split = 'val'
+  WHERE a.term <> b.term GROUP BY a.term, b.term),
+scored AS (
+  SELECT vb.c,
+         cast(round(ln(greatest(coalesce(e.w, 0) - {_KN_D}::DOUBLE, 0) / lm.cl
+                       + {_KN_D}::DOUBLE * lm.ot / lm.cl * (rm.it / tt.n::DOUBLE))
+                    * 10000) AS BIGINT) AS lp
+  FROM vb
+  JOIN lm ON lm.s = vb.s
+  JOIN rm ON rm.t = vb.t
+  LEFT JOIN ewt e ON e.s = vb.s AND e.t = vb.t
+  CROSS JOIN tt),
+agg AS (
+  SELECT cast(coalesce(sum(c), 0) AS BIGINT) AS n_big,
+         cast(coalesce(sum(c * lp), 0) AS BIGINT) AS s_lp
+  FROM scored),
+va AS (SELECT cast(coalesce(sum(c), 0) AS BIGINT) AS n_all FROM vb)
+SELECT a.n_big AS n_val_bigrams,
+       v.n_all - a.n_big AS n_oov_bigrams,
+       a.s_lp AS sum_lp_x1e4,
+       CASE WHEN a.n_big = 0 THEN 0.0
+            ELSE round(exp(-(a.s_lp / 10000.0) / a.n_big), 4) END AS ppl
+FROM agg a CROSS JOIN va v
+""",
+        # Flesch-Kincaid readability: RE2-parity counts + mirrored
+        # float grade expression, round4.
+        "readability": r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(0.39::DOUBLE * (greatest(n_words, 1) / greatest(n_sentences, 1)::DOUBLE)
+             + 11.8::DOUBLE * (greatest(n_syllables, 1) / greatest(n_words, 1)::DOUBLE)
+             - 15.59::DOUBLE, 4) AS fk_grade
+FROM c
 """,
         # incremental dedup: delta (every 10th doc, half modified)
         # probed against the corpus md5 set.

@@ -481,3 +481,119 @@ def kn_bigrams(transcripts_ds, discount: float = 0.75, min_count: int = 5,
     cand = eint.map_batches(score, batch_format="pandas").to_pandas()
     return (cand.sort_values(["pkn", "s", "t"], ascending=[False, True, True],
                              kind="mergesort").head(top_n).reset_index(drop=True))
+
+
+def kn_perplexity(tagged_ds, discount: float = 0.75,
+                  cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+    """Bigram perplexity of the VAL split under the TRAIN-split
+    interpolated Kneser-Ney LM — the held-out LM evaluation every
+    training pipeline runs. ``tagged_ds`` carries transcripts plus a
+    ``split`` column (dataset_split contract).
+
+    Determinism: each val bigram's log-probability is quantized to an
+    int64 (×10⁴, DuckDB round() parity) BEFORE summation — the
+    nb_classify pattern — so the corpus sum is an integer, independent
+    of batch order, and perplexity = exp(−sum/10⁴/N) is one identical
+    float op at the end. Bigrams whose left or right term never occurs
+    in a train bigram are EXCLUDED and counted as OOV (the interpolated
+    form covers unseen PAIRS of seen terms via the continuation term —
+    only unseen TERMS need exclusion); self-pairs (s==t) are excluded
+    on both splits, the adjacency convention every graph op shares.
+
+    Scale shape: one train-adjacency build + factorize (shared
+    machinery), one val-bigram (s,t)-keyed exchange, scoring as a map
+    over the val edge blocks against broadcast marginal arrays, scalar
+    partials out. Returns one row (n_val_bigrams, n_oov_bigrams,
+    sum_lp_x1e4, ppl)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    cfg = cfg or AnalyzerConfig()
+
+    def only(split_val: str):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return b.filter(pc.equal(b["split"], split_val))
+        return f
+
+    edges = build_adjacency(tagged_ds.map_batches(only("train"),
+                                                  batch_format="pyarrow"),
+                            cfg, symmetric=False).materialize()
+    nodes, cl, eint = factorize_edge_graph(edges)
+    V = nodes.size
+    ot_df = eint.groupby("s_id").aggregate(Count(alias_name="k")).to_pandas()
+    it_df = eint.groupby("t_id").aggregate(Count(alias_name="k")).to_pandas()
+    ot = np.zeros(V, dtype=np.int64)
+    ot[ot_df["s_id"].to_numpy()] = ot_df["k"].to_numpy().astype(np.int64)
+    it = np.zeros(V, dtype=np.int64)
+    it[it_df["t_id"].to_numpy()] = it_df["k"].to_numpy().astype(np.int64)
+    total_types = int(ot.sum())
+
+    # train pair weights ride the scoring join as a third marginal-like
+    # input: shuffle val bigram counts UNIONed with train edges on (s,t)
+    val_edges = build_adjacency(tagged_ds.map_batches(only("val"),
+                                                      batch_format="pyarrow"),
+                                cfg, symmetric=False)
+
+    def tag_train(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": b["s"], "t": b["t"],
+                             "w_tr": b["w"].astype(np.int64),
+                             "w_va": np.zeros(len(b), np.int64)})
+
+    def tag_val(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": b["s"], "t": b["t"],
+                             "w_tr": np.zeros(len(b), np.int64),
+                             "w_va": b["w"].astype(np.int64)})
+
+    merged = (edges.map_batches(tag_train, batch_format="pandas")
+              .union(val_edges.map_batches(tag_val, batch_format="pandas"))
+              .groupby(["s", "t"])
+              .aggregate(Sum("w_tr", alias_name="w"),
+                         Sum("w_va", alias_name="v")))
+
+    ref = ray.put({"cl": cl, "ot": ot, "it": it, "nodes": nodes})
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        v = b["v"].to_numpy().astype(np.int64)
+        keep = v > 0
+        if not keep.any():
+            return pd.DataFrame({"n_p": [np.int64(0)], "oov_p": [np.int64(0)],
+                                 "lp_p": [np.int64(0)]})
+        idx = pd.Index(st["nodes"])
+        s_id = idx.get_indexer(b["s"].to_numpy()[keep])
+        t_id = idx.get_indexer(b["t"].to_numpy()[keep])
+        v = v[keep]
+        w = b["w"].to_numpy().astype(np.int64)[keep]
+        seen = (s_id >= 0) & (t_id >= 0)
+        seen &= np.where(seen, st["cl"][np.maximum(s_id, 0)] > 0, False)
+        seen &= np.where(seen, st["it"][np.maximum(t_id, 0)] > 0, False)
+        n_oov = int(v[~seen].sum())
+        s_id, t_id, v, w = s_id[seen], t_id[seen], v[seen], w[seen]
+        if v.size == 0:
+            return pd.DataFrame({"n_p": [np.int64(0)],
+                                 "oov_p": [np.int64(n_oov)],
+                                 "lp_p": [np.int64(0)]})
+        cls = st["cl"][s_id].astype(np.float64)
+        ots = st["ot"][s_id].astype(np.float64)
+        its = st["it"][t_id].astype(np.float64)
+        pkn = (np.maximum(w - discount, 0.0) / cls
+               + discount * ots / cls * (its / float(total_types)))
+        lp = round_half_away(np.log(pkn) * 1e4, 0).astype(np.int64)
+        return pd.DataFrame({"n_p": [np.int64(v.sum())],
+                             "oov_p": [np.int64(n_oov)],
+                             "lp_p": [np.int64((v * lp).sum())]})
+
+    tot = merged.map_batches(score, batch_format="pandas").to_pandas()
+    n_big = int(tot["n_p"].sum())
+    n_oov = int(tot["oov_p"].sum())
+    s_lp = int(tot["lp_p"].sum())
+    ppl = 0.0 if n_big == 0 else float(
+        round_half_away(np.array([np.exp(-(s_lp / 1e4) / n_big)]) * 1e4,
+                        0)[0] / 1e4)
+    return pd.DataFrame({"n_val_bigrams": [np.int64(n_big)],
+                         "n_oov_bigrams": [np.int64(n_oov)],
+                         "sum_lp_x1e4": [np.int64(s_lp)],
+                         "ppl": [ppl]})

@@ -760,6 +760,58 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+_SLTK_WIN_D, _SLTK_K = 7, 3
+
+
+def q_sliding_topk(sf_dir: str):
+    """Continuous top-k over the event stream (the SAP/ICDE'18 class of
+    standing queries): for every day, the top-3 event types by 7-day
+    trailing count — the dashboard query that re-ranks as the window
+    slides. ONE (day, type)-keyed exchange of daily partials (the
+    corpus-sized pass); the sliding re-aggregation runs on the tiny
+    (days × types) matrix — vectorized cumsum difference per type, then
+    per-day (count desc, type) ranking. Types absent from a window are
+    absent from that day's ranking (count-0 rows are not invented).
+    Exact window-range-join twin."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    daily = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "ts"])
+        .map_batches(lambda b: (lambda day: pa.table({
+            "event_type": pc.cast(b["event_type"], pa.string()),
+            "day": pa.array(day, pa.int64()),
+            "one": pa.array(np.ones(len(b), np.int64))}))(
+                pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000 - 19723),
+            batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("one", alias_name="n"))
+        .to_pandas()
+    )
+    days = np.arange(int(daily["day"].min()), int(daily["day"].max()) + 1)
+    types = sorted(daily["event_type"].unique())
+    # dense (types × days) matrix → trailing sums via cumsum difference
+    mat = np.zeros((len(types), days.size), dtype=np.int64)
+    t_idx = {t: i for i, t in enumerate(types)}
+    mat[daily["event_type"].map(t_idx).to_numpy(),
+        daily["day"].to_numpy() - days[0]] = daily["n"].to_numpy()
+    cs = np.concatenate([np.zeros((len(types), 1), np.int64),
+                         np.cumsum(mat, axis=1)], axis=1)
+    lo = np.maximum(np.arange(days.size) - (_SLTK_WIN_D - 1), 0)
+    trail = cs[:, np.arange(days.size) + 1] - cs[:, lo]   # (T, D)
+    rows = []
+    for di, d in enumerate(days):
+        col = trail[:, di]
+        nz = np.flatnonzero(col > 0)
+        order = nz[np.lexsort((np.array(types, dtype=object)[nz], -col[nz]))]
+        for r, ti in enumerate(order[:_SLTK_K], start=1):
+            rows.append({"day": np.int64(d), "rank": np.int32(r),
+                         "event_type": types[ti], "n_7d": np.int64(col[ti])})
+    return pd.DataFrame(rows)
+
+
 def q_kn_perplexity(sf_dir: str):
     """Held-out bigram perplexity of the val split under the
     train-split interpolated Kneser-Ney LM (the LM-eval loop every
@@ -9899,6 +9951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "readability": q_readability,
         "kn_perplexity": q_kn_perplexity,
+        "sliding_topk": q_sliding_topk,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10782,6 +10835,25 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # continuous top-k: per-day trailing-7d counts via range join,
+        # rank by (count desc, type).
+        "sliding_topk": f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 - 19723 AS day FROM events),
+daily AS (SELECT event_type, day, count(*)::BIGINT AS n FROM ev GROUP BY 1, 2),
+dr AS (SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                     (SELECT max(day) FROM daily))) AS day),
+win AS (
+  SELECT d.day, da.event_type, cast(sum(da.n) AS BIGINT) AS n_7d
+  FROM dr d JOIN daily da ON da.day BETWEEN d.day - {_SLTK_WIN_D - 1} AND d.day
+  GROUP BY d.day, da.event_type),
+rk AS (SELECT day, event_type, n_7d,
+              row_number() OVER (PARTITION BY day
+                                 ORDER BY n_7d DESC, event_type) AS rn
+       FROM win WHERE n_7d > 0)
+SELECT day::BIGINT AS day, cast(rn AS INT) AS rank, event_type, n_7d
+FROM rk WHERE rn <= {_SLTK_K} ORDER BY day, rank
 """,
         # KN perplexity: val bigrams scored under the train KN LM,
         # per-bigram ln quantized x1e4 before the integer sum.

@@ -760,6 +760,54 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+def q_type_correlation(sf_dir: str):
+    """Correlated-series search (the ICDE'22 sketch-index problem at
+    exact scale): pairwise Pearson correlation between the DENSE daily
+    count series of every event-type pair — zeros filled over the full
+    observed day range, so the moments are well-defined. The
+    corpus-sized pass is the one (day, type) exchange shared with
+    sliding_topk; correlation derives from integer sufficient moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) on the tiny types×days matrix, the float
+    expression mirrored then round4. Returns (type_a < type_b, r)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    daily = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "ts"])
+        .map_batches(lambda b: (lambda day: pa.table({
+            "event_type": pc.cast(b["event_type"], pa.string()),
+            "day": pa.array(day, pa.int64()),
+            "one": pa.array(np.ones(len(b), np.int64))}))(
+                pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000 - 19723),
+            batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("one", alias_name="n"))
+        .to_pandas()
+    )
+    days = np.arange(int(daily["day"].min()), int(daily["day"].max()) + 1)
+    types = sorted(daily["event_type"].unique())
+    mat = np.zeros((len(types), days.size), dtype=np.int64)
+    t_idx = {t: i for i, t in enumerate(types)}
+    mat[daily["event_type"].map(t_idx).to_numpy(),
+        daily["day"].to_numpy() - days[0]] = daily["n"].to_numpy()
+    n = days.size
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            x, y = mat[i], mat[j]
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sxx, syy = int((x * x).sum()), int((y * y).sum())
+            num = n * sxy - sx * sy
+            den = np.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+            r = 0.0 if den == 0.0 else float(
+                _round4(np.array([num / den]))[0])
+            rows.append({"type_a": types[i], "type_b": types[j], "r": r})
+    return pd.DataFrame(rows)
+
+
 _SLTK_WIN_D, _SLTK_K = 7, 3
 
 
@@ -9952,6 +10000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q_readability,
         "kn_perplexity": q_kn_perplexity,
         "sliding_topk": q_sliding_topk,
+        "type_correlation": q_type_correlation,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10835,6 +10884,36 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # pairwise Pearson of dense daily type series from integer
+        # moments; float expression mirrored, round4.
+        "type_correlation": """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 - 19723 AS day FROM events),
+daily AS (SELECT event_type, day, count(*)::BIGINT AS n FROM ev GROUP BY 1, 2),
+dr AS (SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                     (SELECT max(day) FROM daily))) AS day),
+ty AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, d.day, coalesce(da.n, 0)::BIGINT AS n
+  FROM ty t CROSS JOIN dr d
+  LEFT JOIN daily da ON da.event_type = t.event_type AND da.day = d.day),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n,
+         cast(sum(a.n) AS BIGINT) AS sx, cast(sum(b.n) AS BIGINT) AS sy,
+         cast(sum(a.n * b.n) AS BIGINT) AS sxy,
+         cast(sum(a.n * a.n) AS BIGINT) AS sxx,
+         cast(sum(b.n * b.n) AS BIGINT) AS syy
+  FROM dense a JOIN dense b
+    ON b.day = a.day AND b.event_type > a.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0.0
+            ELSE round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx)::DOUBLE
+                              * (n * syy - sy * sy)::DOUBLE), 4) END AS r
+FROM pairs ORDER BY type_a, type_b
 """,
         # continuous top-k: per-day trailing-7d counts via range join,
         # rank by (count desc, type).

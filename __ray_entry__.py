@@ -760,6 +760,50 @@ _PRUNE_TOP_N = 16
 _QPP_K = 100
 
 
+_DP_EPS = 1.0
+
+
+def q_dp_counts(sf_dir: str):
+    """Differentially-private-style histogram release (the Laplace
+    mechanism shape): per event_type, the true count plus Laplace(1/ε)
+    noise — with the noise draw DERIVED DETERMINISTICALLY from the
+    md5-uniform of the key (u = md5(key||'-dp') % 2⁵³ / 2⁵³, inverse
+    CDF −(1/ε)·sign(u−½)·ln(1−2|u−½|)), so the release is replayable
+    and exactly SQL-twinnable. Production DP would draw fresh
+    randomness (this seam is where it plugs in — the docstring
+    contract); everything else — sensitivity-1 counting query, noise
+    scale, post-processing rounding — is the real mechanism. Counts
+    ride one event-type-keyed exchange; noise is per-released-row."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    tot = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type"])
+        .map_batches(lambda b: (lambda g: pa.table({
+            "event_type": g["event_type"],
+            "c_p": g["count_all"].cast(pa.int64())}))(
+                pa.table({"event_type": pc.cast(b["event_type"], pa.string())})
+                .group_by("event_type").aggregate([([], "count_all")])),
+            batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("c_p", alias_name="n"))
+        .to_pandas()
+    )
+    keys = tot["event_type"].astype(str)
+    u = np.array([int.from_bytes(hashlib.md5((k + "-dp").encode())
+                                 .digest()[:8], "little") % (1 << 53)
+                  for k in keys], dtype=np.float64) / float(1 << 53)
+    noise = -(1.0 / _DP_EPS) * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+    noisy = _round4(tot["n"].to_numpy().astype(np.float64) + noise)
+    out = pd.DataFrame({"event_type": keys,
+                        "n_true": tot["n"].astype(np.int64),
+                        "n_noisy": noisy})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_type_correlation(sf_dir: str):
     """Correlated-series search (the ICDE'22 sketch-index problem at
     exact scale): pairwise Pearson correlation between the DENSE daily
@@ -10001,6 +10045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_perplexity": q_kn_perplexity,
         "sliding_topk": q_sliding_topk,
         "type_correlation": q_type_correlation,
+        "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
         "geo_pairs": q_geo_pairs,
@@ -10884,6 +10929,21 @@ SELECT user_id, e1_id, e2_id, e3_id,
 FROM abc
 WHERE e3_id IS NOT NULL
   AND epoch_us(t3) - epoch_us(t1) <= {_EQL_MAXSPAN_S * 1_000_000}
+""",
+        # DP-style Laplace release with md5-seeded deterministic
+        # noise (the replayable-test contract; fresh randomness is the
+        # production seam).
+        "dp_counts": f"""
+WITH c AS (SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n,
+         (md5_number_upper(event_type || '-dp') % 9007199254740992)
+           / 9007199254740992.0 AS uu
+  FROM c)
+SELECT event_type, n AS n_true,
+       round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
+                  * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
+FROM u ORDER BY event_type
 """,
         # pairwise Pearson of dense daily type series from integer
         # moments; float expression mirrored, round4.

@@ -1065,15 +1065,24 @@ def q_incr_agg(sf_dir: str):
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts", "value"])
-    if not os.path.exists(os.path.join(base_path, "_DONE")):
+    # the _DONE marker records the VIEW DEFINITION so a changed split
+    # day / day-offset invalidates the cached base instead of silently
+    # serving a stale view
+    view_def = f"split={_MV_SPLIT_DAY};epoch_off=19723;v=1"
+    done_path = os.path.join(base_path, "_DONE")
+    fresh = False
+    if os.path.exists(done_path):
+        with open(done_path) as f:
+            fresh = f.read() == view_def
+    if not fresh:
         shutil.rmtree(base_path, ignore_errors=True)
         (ev.map_batches(lambda b: partial(b, True), batch_format="pyarrow")
            .groupby(["event_type", "day"])
            .aggregate(Sum("n_p", alias_name="n_p"),
                       Sum("c_p", alias_name="c_p"))
            .write_parquet(base_path))
-        with open(os.path.join(base_path, "_DONE"), "w") as f:
-            f.write("ok")
+        with open(done_path, "w") as f:
+            f.write(view_def)
 
     base = rd.read_parquet(base_path)
     delta = ev.map_batches(lambda b: partial(b, False), batch_format="pyarrow")

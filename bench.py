@@ -185,7 +185,9 @@ def run_bench() -> dict:
 
     for name in ("exact_dedup", "minhash_pairs", "simhash", "embedding_topk",
                  "text_quality", "dup_spans", "line_dedup", "semdedup",
-                 "dsir_select", "sft_examples", "textrank"):
+                 "dsir_select", "sft_examples", "textrank",
+                 # round-4 flagship additions
+                 "winnow_fp", "kn_bigrams", "interval_join"):
         t0 = time.monotonic()
         out = entrymod.queries()[name](SF_DIR)
         if hasattr(out, "count"):

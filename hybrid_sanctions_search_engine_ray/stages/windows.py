@@ -462,24 +462,32 @@ def interval_self_join_stats(events_ds, key: str = "user_id",
     event lands in time bucket ``ts//Δ`` and is replicated into the
     PREVIOUS bucket (2 rows per event, bounded fan-out); a pair's
     earlier event a finds every partner b in a's home bucket because
-    ``tb ∈ (ta, ta+Δ]`` forces ``tb//Δ ∈ {g, g+1}``. ONE
-    (key, bucket)-keyed exchange of 2× the event rows — never an
-    all-pairs or per-key-global shuffle; inside a group the pair scan
-    is two vectorized ``searchsorted`` calls + a prefix-sum (no Python
-    per event). A second key-sized groupby folds bucket partials. Ties
+    ``tb ∈ (ta, ta+Δ]`` forces ``tb//Δ ∈ {g, g+1}``. The exchange is
+    COARSE-bucketed (crc32(key)·31+g mod 256, the chatprep coarsening —
+    millions of (key, bucket) cells would otherwise mean millions of
+    per-group Python calls); inside each coarse group ALL (key, bucket)
+    runs are processed at once with a composite-offset trick:
+    ``comp = run_id·4Δ + (ts − bucket_start)`` keeps every run in a
+    disjoint composite range (in-run offsets < 2Δ, probes add ≤ Δ), so
+    TWO global ``searchsorted`` calls + one prefix-sum cover every run —
+    no per-run loop. A second key-sized groupby folds partials. Ties
     (equal timestamps) pair in NEITHER direction — the documented
     strict-inequality contract, deterministic without an arrival-order
     tiebreak. All arithmetic int64 epoch-µs — exact."""
-    from ray.data.aggregate import Sum
+    from hybrid_sanctions_search_engine_ray.functions.hashing import hash_string_array
 
     gap_us = int(max_gap_s) * 1_000_000
+    _NCB = 256
 
     def replicate(b: pa.Table) -> pa.Table:
         tsu = pc.cast(b[ts_col], pa.timestamp("us")).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         k = b[key].to_numpy(zero_copy_only=False)
         g = tsu // gap_us
+        kh = hash_string_array(pa.array(k.astype(str), pa.string())).astype(np.int64)
         return pa.table({
+            "cb": pa.array(np.concatenate([(kh * 31 + g) % _NCB,
+                                           (kh * 31 + g - 1) % _NCB]), pa.int64()),
             "k": pa.array(np.concatenate([k, k])),
             "g": pa.array(np.concatenate([g, g - 1]), pa.int64()),
             "tsu": pa.array(np.concatenate([tsu, tsu]), pa.int64()),
@@ -490,26 +498,46 @@ def interval_self_join_stats(events_ds, key: str = "user_id",
     def pairs(grp: pd.DataFrame) -> pd.DataFrame:
         tsu = grp["tsu"].to_numpy(np.int64)
         home = grp["home"].to_numpy(bool)
-        a = np.sort(tsu[home])          # earlier-event candidates: home rows
-        v = np.sort(tsu)                # home + next-bucket visitor rows
-        if a.size == 0 or v.size == 0:
-            return pd.DataFrame({"k": grp["k"].iloc[:0],
-                                 "n_p": pd.Series([], dtype=np.int64),
-                                 "s_p": pd.Series([], dtype=np.int64)})
-        pref = np.concatenate([[0], np.cumsum(v, dtype=np.int64)])
-        lo = np.searchsorted(v, a, side="right")
-        hi = np.searchsorted(v, a + gap_us, side="right")
+        g = grp["g"].to_numpy(np.int64)
+        # np.unique keeps the key's ORIGINAL dtype (int keys stay int in
+        # the output, full-string compare — no NUL hazard)
+        kuniq, kcodes = np.unique(grp["k"].to_numpy(), return_inverse=True)
+        # dense run ids over (key, bucket)
+        gmin = int(g.min())
+        rkey = kcodes.astype(np.int64) * (int(g.max()) - gmin + 1) + (g - gmin)
+        _, r_id = np.unique(rkey, return_inverse=True)
+        off = tsu - g * gap_us          # home ∈ [0, Δ), visitors ∈ [Δ, 2Δ)
+        comp = r_id.astype(np.int64) * (4 * gap_us) + off
+        order = np.argsort(comp, kind="stable")
+        vcomp = comp[order]
+        vts = tsu[order]
+        pref = np.concatenate([[0], np.cumsum(vts, dtype=np.int64)])
+        am = home
+        acomp = comp[am]
+        lo = np.searchsorted(vcomp, acomp, side="right")
+        hi = np.searchsorted(vcomp, acomp + gap_us, side="right")
         n = (hi - lo).astype(np.int64)
-        s = (pref[hi] - pref[lo]) - a * n
-        return pd.DataFrame({"k": [grp["k"].iloc[0]],
-                             "n_p": [np.int64(n.sum())],
-                             "s_p": [np.int64(s.sum())]})
+        s = (pref[hi] - pref[lo]) - tsu[am] * n
+        # fold to per-key partials inside the coarse group (np.add.at:
+        # integer-exact, unlike float-accumulating bincount weights)
+        n_k = np.zeros(len(kuniq), np.int64)
+        s_k = np.zeros(len(kuniq), np.int64)
+        np.add.at(n_k, kcodes[am], n)
+        np.add.at(s_k, kcodes[am], s)
+        return pd.DataFrame({"k": kuniq, "n_p": n_k, "s_p": s_k})
 
-    return (
+    partials = (
         events_ds.map_batches(replicate, batch_format="pyarrow")
-        .groupby(["k", "g"])
+        .groupby("cb")
         .map_groups(pairs, batch_format="pandas")
-        .groupby("k")
-        .aggregate(Sum("n_p", alias_name="n_pairs"),
-                   Sum("s_p", alias_name="sum_gap_us"))
+        .to_pandas()
     )
+    # final fold: (key × coarse-bucket)-bounded partials, key-sized
+    # output — driver arithmetic, saving a whole second exchange; at
+    # extreme key cardinality swap this for a groupby(k) Sum
+    out = (partials.groupby("k", sort=True)
+           .agg(n_pairs=("n_p", "sum"), sum_gap_us=("s_p", "sum"))
+           .reset_index())
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out["sum_gap_us"] = out["sum_gap_us"].astype(np.int64)
+    return out

@@ -20,8 +20,7 @@ def test_interval_self_join_bruteforce(ray_session):
             rows.append({"user_id": u, "ts": pd.Timestamp(int(t), unit="us")})
     ds = rd.from_pandas(pd.DataFrame(rows))
     gap_s = 1000  # small gap → many boundary-straddling pairs
-    got = interval_self_join_stats(ds, max_gap_s=gap_s).to_pandas() \
-        .set_index("k").sort_index()
+    got = interval_self_join_stats(ds, max_gap_s=gap_s).set_index("k").sort_index()
 
     gap_us = gap_s * 1_000_000
     df = pd.DataFrame(rows)

@@ -116,3 +116,28 @@ def test_ef_edge_cases():
     with pytest.raises(ValueError):
         ef_encode(np.array([10], dtype=np.uint64), 10)
     assert ef_split_l(7, 8) == 0  # u < n → l = 0
+
+
+def test_ef_roundtrip_hypothesis():
+    """Property: any sorted duplicate-free uint sequence in any universe
+    round-trips, and the byte counts match the closed-form sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_ray.functions.codec import ef_decode, ef_encode
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sets(st.integers(min_value=0, max_value=1 << 40),
+                   min_size=1, max_size=200),
+           st.integers(min_value=1, max_value=1 << 20))
+    def inner(vals, slack):
+        v = np.array(sorted(vals), dtype=np.uint64)
+        u = int(v[-1]) + slack
+        lo, up, l = ef_encode(v, u)
+        assert (ef_decode(lo, up, v.size, l) == v).all()
+        assert len(lo) == (v.size * l + 7) // 8
+        assert len(up) == (v.size + (int(v[-1]) >> l) + 1 + 7) // 8
+
+    inner()

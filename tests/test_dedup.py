@@ -428,3 +428,54 @@ def test_winnow_shared_run_guarantee(ray_session):
     b = winnow_fingerprints(two)
     assert int(b.iloc[0]["n_distinct_fp"]) == int(a.iloc[0]["n_distinct_fp"])
     assert int(b.iloc[0]["n_fingerprints"]) == 2 * int(a.iloc[0]["n_fingerprints"])
+
+
+def test_winnow_hypothesis_bruteforce():
+    """Property: the vectorized winnowing summary equals the per-doc
+    brute replay for arbitrary small corpora (unicode words, any doc
+    lengths, duplicate docs)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
+    from hybrid_sanctions_search_engine_ray.stages.dedup import winnow_fingerprints
+
+    words = st.sampled_from(["aa", "bb", "cc", "dd", "чё", "x1"])
+    doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def inner(texts):
+        ds = rd.from_items([{"doc_id": i, "text": t}
+                            for i, t in enumerate(texts)])
+        k, w = 3, 4
+        got = winnow_fingerprints(ds, k=k, w=w).iloc[0]
+        an = get_analyzer(AnalyzerConfig())
+        sites, hashes, n_docs, n_grams = set(), set(), 0, 0
+        for d, t in enumerate(texts):
+            toks = an(t)
+            if len(toks) < k:
+                continue
+            n_docs += 1
+            hs = [int.from_bytes(
+                hashlib.md5(" ".join(toks[i:i + k]).encode()).digest()[:8],
+                "little") for i in range(len(toks) - k + 1)]
+            n_grams += len(hs)
+            for e in range(len(hs)):
+                lo = max(0, e - w + 1)
+                win = hs[lo:e + 1]
+                mn = min(win)
+                p = lo + max(i for i, v in enumerate(win) if v == mn)
+                sites.add((d, p))
+                hashes.add(hs[p])
+        assert int(got["n_docs"]) == n_docs
+        assert int(got["n_grams"]) == n_grams
+        assert int(got["n_fingerprints"]) == len(sites)
+        assert int(got["n_distinct_fp"]) == len(hashes)
+
+    inner()

@@ -804,6 +804,58 @@ def q_dp_counts(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# probes chosen to exercise every tier: exact (window, vector), jaro
+# (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
+# weondew→window — jw below τ but Soundex-coded with a dictionary
+# term), none (zzqqzz, sately)
+_SCREEN_QUERIES = ["window", "vector", "strem", "filtr", "grup",
+                   "botsh", "mirj", "weondew", "zzqqzz", "sately"]
+_SCREEN_JW_TAU = 8500  # ×1e4 — jaro-winkler acceptance threshold
+
+
+def q_screen_cascade(sf_dir: str):
+    """The reference's tiered screening flow as ONE composed query (the
+    sanctions-domain user story: exact hit → fuzzy name match →
+    phonetic block → no match): each probe name resolves against the
+    corpus dictionary through the cascade
+    exact / jaro-winkler ≥ 0.85 / shared-Soundex-bucket / none,
+    emitting (query, tier, matched, jw_x1e4). Deterministic pick per
+    tier: jaro by (jw desc, term asc) using the bit-parity scorer
+    (functions/fuzzy.jaro_winkler ↔ DuckDB jaro_winkler_similarity),
+    phonetic by (term asc) within the bucket; scores integer ×1e4.
+    The dictionary is the distributed term_dictionary exchange; the
+    cascade itself is probe-count × vocab work (the jaro_expand
+    dictionary-scan precedent)."""
+    from hybrid_sanctions_search_engine_ray.functions.fuzzy import jaro_winkler
+    from hybrid_sanctions_search_engine_ray.functions.phonetic import soundex
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    vocab = sorted(q_term_dictionary(sf_dir).to_pandas()["term"])
+    rows = []
+    for q in _SCREEN_QUERIES:
+        if q in vocab:
+            rows.append({"query": q, "tier": "exact", "matched": q,
+                         "jw_x1e4": np.int64(10000)})
+            continue
+        jw = np.array([float(jaro_winkler(q, t)) for t in vocab])
+        jw_i = round_half_away(jw * 1e4, 0).astype(np.int64)
+        best = int(np.lexsort((np.array(vocab, dtype=object), -jw_i))[0])
+        if jw_i[best] >= _SCREEN_JW_TAU:
+            rows.append({"query": q, "tier": "jaro", "matched": vocab[best],
+                         "jw_x1e4": np.int64(jw_i[best])})
+            continue
+        sx = soundex(q)
+        bucket = [t for t in vocab
+                  if t.isascii() and t.isalpha() and soundex(t) == sx]
+        if bucket:
+            rows.append({"query": q, "tier": "phonetic", "matched": bucket[0],
+                         "jw_x1e4": np.int64(0)})
+            continue
+        rows.append({"query": q, "tier": "none", "matched": "",
+                     "jw_x1e4": np.int64(0)})
+    return pd.DataFrame(rows)
+
+
 def q_type_correlation(sf_dir: str):
     """Correlated-series search (the ICDE'22 sketch-index problem at
     exact scale): pairwise Pearson correlation between the DENSE daily
@@ -10054,6 +10106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_perplexity": q_kn_perplexity,
         "sliding_topk": q_sliding_topk,
         "type_correlation": q_type_correlation,
+        "screen_cascade": q_screen_cascade,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
@@ -10953,6 +11006,45 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # tiered screening cascade: exact / jw>=tau / soundex bucket /
+        # none, with the bit-parity jaro and the shared soundex chain.
+        "screen_cascade": f"""
+WITH {TRANSCRIPTS_CTE},
+qq(query) AS (VALUES {", ".join("('" + q + "')" for q in _SCREEN_QUERIES)}),
+ex AS (SELECT DISTINCT q.query FROM qq q JOIN df ON df.term = q.query),
+jw AS (
+  SELECT q.query, df.term,
+         cast(round(jaro_winkler_similarity(q.query, df.term) * 10000) AS BIGINT) AS jwi
+  FROM qq q CROSS JOIN df),
+j1 AS (
+  SELECT query, term, jwi FROM (
+    SELECT query, term, jwi,
+           row_number() OVER (PARTITION BY query ORDER BY jwi DESC, term) AS rn
+    FROM jw) WHERE rn = 1),
+code_t AS (
+  SELECT term, substr(term, 1, 1) || substr(rpad(replace(substr(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(term, 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202'), '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g'), 2), '0', ''), 3, '0'), 1, 3) AS code
+  FROM df WHERE regexp_matches(term, '^[a-z]+$')),
+code_q AS (SELECT query, substr(query, 1, 1) || substr(rpad(replace(substr(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(query, 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202'), '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g'), 2), '0', ''), 3, '0'), 1, 3) AS code FROM qq),
+ph AS (
+  SELECT cq.query, min(ct.term) AS pterm
+  FROM code_q cq JOIN code_t ct USING (code) GROUP BY cq.query)
+SELECT q.query,
+       CASE WHEN ex.query IS NOT NULL THEN 'exact'
+            WHEN j1.jwi >= {_SCREEN_JW_TAU} THEN 'jaro'
+            WHEN ph.pterm IS NOT NULL THEN 'phonetic'
+            ELSE 'none' END AS tier,
+       CASE WHEN ex.query IS NOT NULL THEN q.query
+            WHEN j1.jwi >= {_SCREEN_JW_TAU} THEN j1.term
+            WHEN ph.pterm IS NOT NULL THEN ph.pterm
+            ELSE '' END AS matched,
+       CASE WHEN ex.query IS NOT NULL THEN 10000
+            WHEN j1.jwi >= {_SCREEN_JW_TAU} THEN j1.jwi
+            ELSE 0 END::BIGINT AS jw_x1e4
+FROM qq q
+LEFT JOIN ex ON ex.query = q.query
+LEFT JOIN j1 ON j1.query = q.query
+LEFT JOIN ph ON ph.query = q.query
 """,
         # pairwise Pearson of dense daily type series from integer
         # moments; float expression mirrored, round4.

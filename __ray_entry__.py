@@ -808,6 +808,61 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (the product-analytics standard): users
+    cohorted by FIRST-event week; for each (cohort_week, week_offset ≥
+    0), the count of cohort users active that week and the retention
+    rate against the cohort size. Shape: one (user, week) distinct
+    exchange + one user-sized Min groupby for cohort assignment, the
+    two joined with the engine's own bucketed hash join (user-keyed, no
+    broadcast), then a (cohort, offset)-sized aggregation; the final
+    rate division happens on the tiny matrix. Exact twin."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def weeks(b: pa.Table) -> pa.Table:
+        tsu = pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = (tsu // 86_400_000_000 - 19723) // 7
+        t = pa.table({"user_id": b["user_id"], "week": pa.array(wk, pa.int64())})
+        g = t.group_by(["user_id", "week"]).aggregate([([], "count_all")])
+        return g.select(["user_id", "week"])
+
+    uw = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id", "ts"])
+          .map_batches(weeks, batch_format="pyarrow")
+          .groupby(["user_id", "week"])
+          .aggregate(Min("week", alias_name="w_")))  # distinct via groupby
+    uw = uw.map_batches(lambda b: b.select(["user_id", "week"]),
+                        batch_format="pyarrow")
+    first = (uw.groupby("user_id")
+             .aggregate(Min("week", alias_name="cohort_week")))
+
+    from hybrid_sanctions_search_engine_ray.stages.joins import bucketed_join
+
+    joined = bucketed_join(uw, first, on="user_id", num_buckets=16)
+
+    def offs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_week": b["cohort_week"].astype(np.int64),
+            "week_offset": (b["week"] - b["cohort_week"]).astype(np.int64),
+            "one": np.ones(len(b), np.int64)})
+
+    cells = (joined.map_batches(offs, batch_format="pandas")
+             .groupby(["cohort_week", "week_offset"])
+             .aggregate(Sum("one", alias_name="n_active"))
+             .to_pandas())
+    sizes = cells[cells["week_offset"] == 0][["cohort_week", "n_active"]] \
+        .rename(columns={"n_active": "n_cohort"})
+    out = cells.merge(sizes, on="cohort_week")
+    out["rate"] = _round4(out["n_active"].to_numpy()
+                          / out["n_cohort"].to_numpy().astype(np.float64))
+    out = out.astype({"cohort_week": np.int64, "week_offset": np.int64,
+                      "n_active": np.int64, "n_cohort": np.int64})
+    return (out[["cohort_week", "week_offset", "n_active", "n_cohort", "rate"]]
+            .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True))
+
+
 _SCREEN_QUERIES = ["window", "vector", "strem", "filtr", "grup",
                    "botsh", "mirj", "weondew", "zzqqzz", "sately"]
 _SCREEN_JW_TAU = 8500  # ×1e4 — jaro-winkler acceptance threshold
@@ -10107,6 +10162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_topk": q_sliding_topk,
         "type_correlation": q_type_correlation,
         "screen_cascade": q_screen_cascade,
+        "cohort_retention": q_cohort_retention,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
@@ -11006,6 +11062,26 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # cohort retention: first-event-week cohorts, weekly activity,
+        # rate over cohort size.
+        "cohort_retention": """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000 - 19723) // 7 AS week
+  FROM events),
+first AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+cells AS (
+  SELECT f.cohort_week, u.week - f.cohort_week AS week_offset,
+         count(*)::BIGINT AS n_active
+  FROM uw u JOIN first f USING (user_id)
+  GROUP BY 1, 2),
+sizes AS (SELECT cohort_week, n_active AS n_cohort FROM cells WHERE week_offset = 0)
+SELECT c.cohort_week::BIGINT AS cohort_week, c.week_offset::BIGINT AS week_offset,
+       c.n_active, s.n_cohort,
+       round(c.n_active / s.n_cohort::DOUBLE, 4) AS rate
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
 """,
         # tiered screening cascade: exact / jw>=tau / soundex bucket /
         # none, with the bit-parity jaro and the shared soundex chain.

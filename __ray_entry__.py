@@ -808,6 +808,118 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_quantile_normalize(sf_dir: str):
+    """ECDF / quantile normalization of the value column (the ML
+    feature-prep primitive: map each value to its empirical percentile,
+    ties → min rank): pct = count(values < v) / n over exact integer
+    cents. Two streaming passes, nothing pinned — pass 1 is the bounded
+    (cents, count) value-histogram exchange (the repo's exact-quantile
+    pattern), whose cumulative-below table broadcasts once; pass 2 maps
+    every event through a vectorized searchsorted lookup. Twin:
+    ``(rank() OVER (ORDER BY cents) − 1) / n`` — rank's min-tie rule IS
+    count-below + 1."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import exact_cents
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"cents": exact_cents(b["value"])})
+        g = t.group_by("cents").aggregate([([], "count_all")])
+        return pa.table({"cents": g["cents"],
+                         "c_p": g["count_all"].cast(pa.int64())})
+
+    h = (ev.map_batches(hist, batch_format="pyarrow")
+         .groupby("cents").aggregate(Sum("c_p", alias_name="c")).to_pandas()
+         .sort_values("cents"))
+    vals = h["cents"].to_numpy(np.int64)
+    below = np.concatenate([[0], np.cumsum(h["c"].to_numpy(np.int64))[:-1]])
+    n = int(h["c"].sum())
+    st = ray.put({"vals": vals, "below": below, "n": n})
+
+    def norm(b: pa.Table) -> pa.Table:
+        s = ray.get(st)
+        cents = exact_cents(b["value"]).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(s["vals"], cents)
+        pct = _round4(s["below"][idx] / float(s["n"]))
+        return pa.table({"event_id": b["event_id"],
+                         "cents": pa.array(cents, pa.int64()),
+                         "pct": pa.array(pct, pa.float64())})
+
+    return ev.map_batches(norm, batch_format="pyarrow")
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_SPAN_S = 172800  # 48 h per hop
+
+
+def q_funnel_rates(sf_dir: str):
+    """Funnel conversion analysis (the product-analytics companion to
+    the EQL sequence engine): per step of view → click → purchase, the
+    number of users whose earliest-follower chain reaches that step
+    with each hop within 48 h, plus step-over-step and overall
+    conversion rates. Per-user chaining is the eql_sequence
+    searchsorted hop (one user-keyed exchange, earliest-follower
+    deterministic); the funnel totals are a steps-sized aggregation.
+    Exact LEFT-JOIN-chain twin."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    span_us = _FUNNEL_SPAN_S * 1_000_000
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        tsu = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.argsort(tsu, kind="stable")
+        tsu, et = tsu[order], et[order]
+        depth = 0
+        t_cur = None
+        for step in _FUNNEL_STEPS:
+            cand = tsu[et == step]
+            if t_cur is None:
+                if cand.size == 0:
+                    break
+                t_cur = int(cand[0])      # earliest first-step event
+            else:
+                j = np.searchsorted(cand, t_cur, side="right")
+                if j >= cand.size or cand[j] > t_cur + span_us:
+                    break
+                t_cur = int(cand[j])      # earliest follower within span
+            depth += 1
+        reach = np.zeros(len(_FUNNEL_STEPS), np.int64)
+        reach[:depth] = 1
+        return pd.DataFrame({"step": np.arange(1, len(_FUNNEL_STEPS) + 1,
+                                               dtype=np.int64),
+                             "r_p": reach})
+
+    tot = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "event_type", "ts"])
+        .groupby("user_id")
+        .map_groups(chain, batch_format="pandas")
+        .groupby("step")
+        .aggregate(Sum("r_p", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    n = tot["n_users"].to_numpy(np.int64)
+    prev = np.concatenate([[n[0]], n[:-1]])
+    step_rate = np.where(prev > 0, n / np.maximum(prev, 1), 0.0)
+    overall = np.where(n[0] > 0, n / max(int(n[0]), 1), 0.0)
+    return pd.DataFrame({
+        "step": tot["step"].astype(np.int64),
+        "event_type": _FUNNEL_STEPS,
+        "n_users": n,
+        "step_rate": _round4(step_rate),
+        "overall_rate": _round4(overall),
+    })
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort retention matrix (the product-analytics standard): users
     cohorted by FIRST-event week; for each (cohort_week, week_offset ≥
@@ -10163,6 +10275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_correlation": q_type_correlation,
         "screen_cascade": q_screen_cascade,
         "cohort_retention": q_cohort_retention,
+        "funnel_rates": q_funnel_rates,
+        "quantile_normalize": q_quantile_normalize,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
@@ -11062,6 +11176,55 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # ECDF normalization: rank min-tie = count-below + 1.
+        "quantile_normalize": """
+WITH c AS (
+  SELECT event_id, cast(round(value * 100) AS BIGINT) AS cents FROM events),
+r AS (
+  SELECT event_id, cents,
+         rank() OVER (ORDER BY cents) - 1 AS below,
+         count(*) OVER () AS n
+  FROM c)
+SELECT event_id, cents, round(below / n::DOUBLE, 4) AS pct FROM r
+""",
+        # funnel: earliest-follower LEFT JOIN chain, per-step user
+        # counts + step/overall conversion rates.
+        "funnel_rates": f"""
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (
+  SELECT s1.user_id, min(epoch_us(e.ts)) AS t
+  FROM s1 JOIN events e ON e.user_id = s1.user_id
+    AND e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND epoch_us(e.ts) > s1.t AND epoch_us(e.ts) <= s1.t + {_FUNNEL_SPAN_S * 1_000_000}
+  GROUP BY s1.user_id),
+s3 AS (
+  SELECT s2.user_id, min(epoch_us(e.ts)) AS t
+  FROM s2 JOIN events e ON e.user_id = s2.user_id
+    AND e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND epoch_us(e.ts) > s2.t AND epoch_us(e.ts) <= s2.t + {_FUNNEL_SPAN_S * 1_000_000}
+  GROUP BY s2.user_id),
+c AS (SELECT (SELECT count(*) FROM s1)::BIGINT AS n1,
+             (SELECT count(*) FROM s2)::BIGINT AS n2,
+             (SELECT count(*) FROM s3)::BIGINT AS n3)
+SELECT * FROM (
+  SELECT 1::BIGINT AS step, '{_FUNNEL_STEPS[0]}' AS event_type, n1 AS n_users,
+         round(CASE WHEN n1 > 0 THEN n1 / greatest(n1, 1)::DOUBLE ELSE 0.0 END, 4) AS step_rate,
+         round(CASE WHEN n1 > 0 THEN n1 / greatest(n1, 1)::DOUBLE ELSE 0.0 END, 4) AS overall_rate
+  FROM c
+  UNION ALL
+  SELECT 2, '{_FUNNEL_STEPS[1]}', n2,
+         round(CASE WHEN n1 > 0 THEN n2 / greatest(n1, 1)::DOUBLE ELSE 0.0 END, 4),
+         round(CASE WHEN n1 > 0 THEN n2 / greatest(n1, 1)::DOUBLE ELSE 0.0 END, 4)
+  FROM c
+  UNION ALL
+  SELECT 3, '{_FUNNEL_STEPS[2]}', n3,
+         round(CASE WHEN n2 > 0 THEN n3 / greatest(n2, 1)::DOUBLE ELSE 0.0 END, 4),
+         round(CASE WHEN n1 > 0 THEN n3 / greatest(n1, 1)::DOUBLE ELSE 0.0 END, 4)
+  FROM c)
+ORDER BY step
 """,
         # cohort retention: first-event-week cohorts, weekly activity,
         # rate over cohort size.

@@ -808,6 +808,103 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_JE_D, _JE_W = 4, 512
+
+
+def q_join_estimate(sf_dir: str):
+    """Sketch-based join-size estimation (the AGMS/CM classic: |A ⋈ B|
+    from the sketch inner product — here the skew-sensitive SELF-join
+    on user_id, whose true size is Σ c(u)²): CM estimate = min over
+    rows of Σ_w counter², true size from exact per-key counts; both
+    integers, the estimate deterministic given the md5-parity salted
+    hash family (the cm_sketch contract), so even the collision
+    overcount is exactly SQL-twinnable — and the CM ≥ exact guarantee
+    is visible in the released row. Width 512 forces real collisions.
+    Two bounded exchanges: (row, bucket) ≤ d·W and the per-key count."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b["user_id"], pa.string()).to_pylist()
+        uniq, counts = np.unique(np.array(keys, dtype=object),
+                                 return_counts=True)
+        rows_out, w_out, c_out = [], [], []
+        for r in range(_JE_D):
+            bk = np.array([int.from_bytes(
+                hashlib.md5(f"{r}:{u}".encode()).digest()[:8], "little")
+                % _JE_W for u in uniq], dtype=np.int64)
+            rows_out.append(np.full(uniq.size, r, np.int64))
+            w_out.append(bk)
+            c_out.append(counts.astype(np.int64))
+        # per-key exact partials ride along at row = -1, bucket = md5(key)
+        kh = np.array([int.from_bytes(hashlib.md5(u.encode()).digest()[:8],
+                                      "little") % (1 << 62) for u in uniq],
+                      dtype=np.int64)
+        rows_out.append(np.full(uniq.size, -1, np.int64))
+        w_out.append(kh)
+        c_out.append(counts.astype(np.int64))
+        return pa.table({"r": pa.array(np.concatenate(rows_out), pa.int64()),
+                         "w": pa.array(np.concatenate(w_out), pa.int64()),
+                         "c_p": pa.array(np.concatenate(c_out), pa.int64())})
+
+    agg = (ev.map_batches(partials, batch_format="pyarrow")
+           .groupby(["r", "w"])
+           .aggregate(Sum("c_p", alias_name="c"))
+           .to_pandas())
+    exact_rows = agg[agg["r"] == -1]
+    exact = int((exact_rows["c"].to_numpy(np.int64) ** 2).sum())
+    ests = []
+    for r in range(_JE_D):
+        s = agg[agg["r"] == r]["c"].to_numpy(np.int64)
+        ests.append(int((s ** 2).sum()))
+    est = min(ests)
+    return pd.DataFrame({"exact_size": [np.int64(exact)],
+                         "cm_estimate": [np.int64(est)],
+                         "overcount": [np.int64(est - exact)]})
+
+
+def q_scd2_intervals(sf_dir: str):
+    """Slowly-changing-dimension type-2 build (the warehouse history
+    table): per user, consecutive runs of the same event_type (ordered
+    by ts, event_id tiebreak) collapse into validity intervals —
+    (user_id, status, valid_from_us, valid_to_us, n_events), where
+    valid_to is the next run's start and −1 marks the open current
+    interval. One user-keyed exchange; inside each group the
+    gaps-and-islands pass is one vectorized shift compare + reduceat.
+    Exact twin via the row_number-difference islands idiom."""
+    import ray.data as rd
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        tsu = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, tsu))
+        tsu, et = tsu[order], et[order]
+        n = tsu.size
+        new_run = np.r_[True, et[1:] != et[:-1]]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], n]
+        valid_from = tsu[starts]
+        valid_to = np.r_[tsu[starts[1:]], np.int64(-1)]
+        return pd.DataFrame({
+            "user_id": np.repeat(g["user_id"].iloc[0], starts.size),
+            "status": et[starts],
+            "valid_from_us": valid_from.astype(np.int64),
+            "valid_to_us": valid_to.astype(np.int64),
+            "n_events": (ends - starts).astype(np.int64),
+        })
+
+    return (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_id", "event_type", "ts"])
+            .groupby("user_id")
+            .map_groups(runs, batch_format="pandas"))
+
+
 def q_quantile_normalize(sf_dir: str):
     """ECDF / quantile normalization of the value column (the ML
     feature-prep primitive: map each value to its empirical percentile,
@@ -10277,6 +10374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "funnel_rates": q_funnel_rates,
         "quantile_normalize": q_quantile_normalize,
+        "scd2_intervals": q_scd2_intervals,
+        "join_estimate": q_join_estimate,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
@@ -11176,6 +11275,44 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # CM join-size estimate: sketch self-inner-product, min over
+        # salted rows; exact = sum of squared per-key counts.
+        "join_estimate": f"""
+WITH kc AS (
+  SELECT cast(user_id AS VARCHAR) AS k, count(*)::BIGINT AS c
+  FROM events GROUP BY 1),
+ex AS (SELECT cast(sum(c * c) AS BIGINT) AS exact_size FROM kc),
+rows_ AS (SELECT unnest(generate_series(0, {_JE_D - 1})) AS r),
+cm AS (
+  SELECT r.r, cast(md5_number_upper(r.r || ':' || kc.k) % {_JE_W} AS BIGINT) AS w,
+         cast(sum(kc.c) AS BIGINT) AS s
+  FROM rows_ r CROSS JOIN kc
+  GROUP BY 1, 2),
+inner_ AS (SELECT r, cast(sum(s * s) AS BIGINT) AS ip FROM cm GROUP BY r),
+est AS (SELECT min(ip) AS cm_estimate FROM inner_)
+SELECT e.exact_size, t.cm_estimate::BIGINT AS cm_estimate,
+       (t.cm_estimate - e.exact_size)::BIGINT AS overcount
+FROM ex e CROSS JOIN est t
+""",
+        # SCD2: row_number-difference islands; valid_to = next run's
+        # start, -1 for the open interval.
+        "scd2_intervals": """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rt
+  FROM events),
+isl AS (
+  SELECT user_id, event_type AS status, min(tsu) AS valid_from_us,
+         count(*)::BIGINT AS n_events, min(rn) AS first_rn
+  FROM o GROUP BY user_id, event_type, rn - rt),
+nx AS (
+  SELECT i.*, lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY first_rn) AS nxt
+  FROM isl i)
+SELECT user_id, status, valid_from_us::BIGINT AS valid_from_us,
+       coalesce(nxt, -1)::BIGINT AS valid_to_us, n_events
+FROM nx
 """,
         # ECDF normalization: rank min-tie = count-below + 1.
         "quantile_normalize": """

@@ -808,6 +808,105 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_tool_stats(sf_dir: str):
+    """Agent-transcript tool-usage profile (the ops dashboard of an
+    agent corpus): per tool over tool-role turns — call count, distinct
+    conversations, mean turn position (round4) and total payload chars.
+    One tool-keyed exchange of per-batch Arrow partials."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["role"], "tool")
+        t = b.filter(m)
+        tbl = pa.table({
+            "tool": t["tool"],
+            "conv_id": t["conv_id"],
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "ti": pc.cast(t["turn_idx"], pa.int64()),
+            "ch": pc.utf8_length(t["text"]).cast(pa.int64()),
+        })
+        g1 = tbl.group_by("tool").aggregate(
+            [("one", "sum"), ("ti", "sum"), ("ch", "sum")])
+        # distinct conv partials: (tool, conv) pre-dedup per batch
+        g2 = tbl.select(["tool", "conv_id"]).group_by(["tool", "conv_id"]) \
+            .aggregate([([], "count_all")])
+        a = pa.table({"tool": g1["tool"],
+                      "conv_id": pa.array([""] * g1.num_rows, pa.string()),
+                      "n_p": g1["one_sum"].cast(pa.int64()),
+                      "ti_p": g1["ti_sum"].cast(pa.int64()),
+                      "ch_p": g1["ch_sum"].cast(pa.int64()),
+                      "cv_p": pa.array(np.zeros(g1.num_rows, np.int64))})
+        z = np.zeros(g2.num_rows, np.int64)
+        bq = pa.table({"tool": g2["tool"], "conv_id": g2["conv_id"],
+                       "n_p": pa.array(z), "ti_p": pa.array(z),
+                       "ch_p": pa.array(z),
+                       "cv_p": pa.array(np.ones(g2.num_rows, np.int64))})
+        return pa.concat_tables([a, bq])
+
+    agg = (transcripts_from_documents(sf_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["tool", "conv_id"])
+           .aggregate(Sum("n_p", alias_name="n"), Sum("ti_p", alias_name="ti"),
+                      Sum("ch_p", alias_name="ch"), Sum("cv_p", alias_name="cv"))
+           .to_pandas())
+    base = agg[agg["conv_id"] == ""].set_index("tool")
+    convs = agg[(agg["conv_id"] != "") & (agg["cv"] > 0)] \
+        .groupby("tool").size()
+    out = pd.DataFrame({
+        "tool": base.index,
+        "n_calls": base["n"].astype(np.int64).to_numpy(),
+        "n_convs": convs.reindex(base.index, fill_value=0).astype(np.int64).to_numpy(),
+        "avg_turn_idx": _round4(base["ti"].to_numpy()
+                                / base["n"].to_numpy().astype(np.float64)),
+        "total_chars": base["ch"].astype(np.int64).to_numpy(),
+    })
+    return out.sort_values("tool").reset_index(drop=True)
+
+
+def q_tool_chains(sf_dir: str):
+    """Tool-call transition matrix within conversations (which tool
+    follows which — the agent-behavior summary): consecutive TOOL-role
+    turns by turn_idx, counts per (from_tool, to_tool); the shared
+    chatprep conv-bucket exchange with a vectorized shifted compare.
+    Exact LAG twin."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import (
+        _sorted_runs,
+        _with_bucket,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["role"] == "tool"]
+        if len(g) < 2:
+            return pd.DataFrame({"from_tool": pd.Series([], dtype=object),
+                                 "to_tool": pd.Series([], dtype=object),
+                                 "n_p": pd.Series([], dtype=np.int64)})
+        order, c, _ = _sorted_runs(g)
+        tool = g["tool"].to_numpy()[order]
+        ok = c[1:] == c[:-1]
+        at = np.flatnonzero(ok)
+        t = pa.table({"f": pa.array(tool[at], pa.string()),
+                      "t": pa.array(tool[at + 1], pa.string())})
+        gg = t.group_by(["f", "t"]).aggregate([([], "count_all")])
+        return pd.DataFrame({"from_tool": gg["f"].to_numpy(zero_copy_only=False),
+                             "to_tool": gg["t"].to_numpy(zero_copy_only=False),
+                             "n_p": gg["count_all"].to_numpy().astype(np.int64)})
+
+    return (
+        _with_bucket(transcripts_from_documents(sf_dir), 256,
+                     ["conv_id", "turn_idx", "role", "tool"])
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["from_tool", "to_tool"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+
 _JE_D, _JE_W = 4, 512
 
 
@@ -10376,6 +10475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": q_quantile_normalize,
         "scd2_intervals": q_scd2_intervals,
         "join_estimate": q_join_estimate,
+        "tool_stats": q_tool_stats,
+        "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
         "textrank": q_textrank,
@@ -11276,6 +11377,33 @@ SELECT event_type, n AS n_true,
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
 """,
+        # agent tool analytics: tool column derived from doc_id %% 8 (the
+        # transcripts source contract), tool-role turns only.
+        "tool_stats": """
+WITH {TRANSCRIPTS_CTE},
+tl AS (
+  SELECT conv_id, turn_idx, text,
+         (['','search','calculator','browser','python','sql','shell','editor'])[cast(doc_id % 8 AS INT) + 1] AS tool
+  FROM transcripts WHERE role = 'tool')
+SELECT tool, count(*)::BIGINT AS n_calls,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       round(sum(turn_idx) / count(*)::DOUBLE, 4) AS avg_turn_idx,
+       cast(sum(length(text)) AS BIGINT) AS total_chars
+FROM tl GROUP BY tool ORDER BY tool
+""".format(TRANSCRIPTS_CTE=TRANSCRIPTS_CTE),
+        "tool_chains": """
+WITH {TRANSCRIPTS_CTE},
+tl AS (
+  SELECT conv_id, turn_idx,
+         (['','search','calculator','browser','python','sql','shell','editor'])[cast(doc_id % 8 AS INT) + 1] AS tool
+  FROM transcripts WHERE role = 'tool'),
+lagd AS (
+  SELECT conv_id, tool AS to_tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_tool
+  FROM tl)
+SELECT from_tool, to_tool, count(*)::BIGINT AS n
+FROM lagd WHERE from_tool IS NOT NULL GROUP BY 1, 2
+""".format(TRANSCRIPTS_CTE=TRANSCRIPTS_CTE),
         # CM join-size estimate: sketch self-inner-product, min over
         # salted rows; exact = sum of squared per-key counts.
         "join_estimate": f"""

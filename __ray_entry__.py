@@ -808,6 +808,62 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_CTX_BUDGET = 256  # tokens
+
+
+def q_context_overflow(sf_dir: str):
+    """Context-window accounting per conversation (the agent-replay
+    truncation question: at which turn does the running prompt exceed
+    the budget?): per conv — turn count, total dl-parity tokens, and
+    the first turn index where the cumulative token count crosses 256
+    (−1 if it never does). Vectorized per-conv cumsum on the shared
+    chatprep bucket exchange; exact window-SUM twin."""
+    from ray.data.aggregate import Sum  # noqa: F401  (symmetry with family)
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import (
+        _sorted_runs,
+        _with_bucket,
+    )
+
+    cfg = _engine_cfg().analyzer
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "n_turns": pd.Series([], dtype=np.int64),
+                                 "total_tokens": pd.Series([], dtype=np.int64),
+                                 "overflow_turn": pd.Series([], dtype=np.int64)})
+        parent, _t = flat_terms(
+            pa.Table.from_pandas(g[["text"]], preserve_index=False), cfg)
+        ntok = np.bincount(parent, minlength=len(g)).astype(np.int64)
+        order, c, starts = _sorted_runs(g)
+        turn = g["turn_idx"].to_numpy().astype(np.int64)[order]
+        nt = ntok[order]
+        conv = g["conv_id"].to_numpy()[order]
+        ends = np.r_[starts[1:], c.size]
+        cum = np.cumsum(nt)
+        base = np.repeat(np.r_[0, cum[ends[:-1] - 1]], ends - starts)
+        run_cum = cum - base                      # per-conv cumulative tokens
+        over = run_cum > _CTX_BUDGET
+        rows = []
+        for s_, e_ in zip(starts, ends):
+            ov = np.flatnonzero(over[s_:e_])
+            rows.append((conv[s_], np.int64(e_ - s_),
+                         np.int64(run_cum[e_ - 1]),
+                         np.int64(turn[s_ + ov[0]]) if ov.size else np.int64(-1)))
+        return pd.DataFrame(rows, columns=["conv_id", "n_turns",
+                                           "total_tokens", "overflow_turn"])
+
+    return (
+        _with_bucket(transcripts_from_documents(sf_dir), 256,
+                     ["conv_id", "turn_idx", "text"])
+        .groupby("bucket")
+        .map_groups(per_conv, batch_format="pandas")
+    )
+
+
 def q_tool_stats(sf_dir: str):
     """Agent-transcript tool-usage profile (the ops dashboard of an
     agent corpus): per tool over tool-role turns — call count, distinct
@@ -10476,6 +10532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": q_scd2_intervals,
         "join_estimate": q_join_estimate,
         "tool_stats": q_tool_stats,
+        "context_overflow": q_context_overflow,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11376,6 +11433,24 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # context budget: per-conv running dl-parity token sum, first
+        # turn crossing the budget (-1 none).
+        "context_overflow": f"""
+WITH {TRANSCRIPTS_CTE},
+dlz AS (
+  SELECT t.doc_id, t.conv_id, t.turn_idx, coalesce(d.dl, 0) AS ntok
+  FROM transcripts t LEFT JOIN dl d USING (doc_id)),
+cum AS (
+  SELECT conv_id, turn_idx, ntok,
+         sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS run_cum
+  FROM dlz)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       cast(max(run_cum) AS BIGINT) AS total_tokens,
+       cast(coalesce(min(turn_idx) FILTER (run_cum > {_CTX_BUDGET}), -1) AS BIGINT)
+         AS overflow_turn
+FROM cum GROUP BY conv_id
 """,
         # agent tool analytics: tool column derived from doc_id %% 8 (the
         # transcripts source contract), tool-role turns only.

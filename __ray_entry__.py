@@ -808,6 +808,69 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_PROX_PAIRS = {"p1": ("spark", "join"), "p2": ("window", "stream"),
+               "p3": ("hash", "agg")}
+
+
+def q_prox_boost(sf_dir: str):
+    """Proximity-boosted ranking (the ES rescore-by-phrase-proximity
+    pattern): for two-term queries, docs containing BOTH terms score
+    bm25(q1) + bm25(q2) + 1/(1 + d_min), d_min the minimum absolute
+    position distance between any occurrence pair — served from the
+    POSITIONAL index (in-document position postings). Per query the
+    candidate set is the posting intersection; min-distance per doc is
+    a vectorized merge over the two ascending position lists
+    (searchsorted of list A into list B, both directions). Rank by raw
+    score then round4 (the bm25 twin convention). Twin recomputes
+    d_min from the tokpos self-join."""
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import idf as _idf
+    from hybrid_sanctions_search_engine_ray.functions.bm25 import tf_factor
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir, positional=True)
+    reader = IndexReader(index_dir)
+    m = reader.manifest
+    rows = []
+    for qid, (t1, t2) in _PROX_PAIRS.items():
+        p1, p2 = reader.load_raw(t1), reader.load_raw(t2)
+        pos1, pos2 = reader.load_positions(t1), reader.load_positions(t2)
+        if p1 is None or p2 is None:
+            continue
+        d1, tf1, dl1 = p1
+        d2, tf2, dl2 = p2
+        common, i1, i2 = np.intersect1d(d1, d2, return_indices=True)
+        if common.size == 0:
+            continue
+        s1 = tf_factor(tf1[i1], dl1[i1], m.k1, m.b, m.avgdl) * float(_idf(m.n_docs, int(d1.size)))
+        s2 = tf_factor(tf2[i2], dl2[i2], m.k1, m.b, m.avgdl) * float(_idf(m.n_docs, int(d2.size)))
+        pd1, off1, fl1 = pos1
+        pd2, off2, fl2 = pos2
+        j1 = np.searchsorted(pd1, common)
+        j2 = np.searchsorted(pd2, common)
+        boosts = np.empty(common.size, np.float64)
+        for x in range(common.size):
+            a = fl1[off1[j1[x]]:off1[j1[x] + 1]].astype(np.int64)
+            b = fl2[off2[j2[x]]:off2[j2[x] + 1]].astype(np.int64)
+            # min |a_i - b_j| via merge: nearest b around each a
+            ins = np.searchsorted(b, a)
+            cand = []
+            left = ins - 1
+            okl = left >= 0
+            if okl.any():
+                cand.append(np.min(np.abs(a[okl] - b[left[okl]])))
+            okr = ins < b.size
+            if okr.any():
+                cand.append(np.min(np.abs(a[okr] - b[ins[okr]])))
+            boosts[x] = 1.0 / (1.0 + float(min(cand)))
+        score = s1 + s2 + boosts
+        order = np.lexsort((common, -score))[:BM25_TOP_K]
+        for r, ix in enumerate(order, start=1):
+            rows.append({"query_id": qid, "rank": np.int32(r),
+                         "doc_id": np.int64(common[ix]),
+                         "score": float(_round4(np.array([score[ix]]))[0])})
+    return pd.DataFrame(rows)
+
+
 _CTX_BUDGET = 256  # tokens
 
 
@@ -10533,6 +10596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_estimate": q_join_estimate,
         "tool_stats": q_tool_stats,
         "context_overflow": q_context_overflow,
+        "prox_boost": q_prox_boost,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11434,6 +11498,66 @@ SELECT event_type, n AS n_true,
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
 """,
+        # proximity boost: bm25(t1)+bm25(t2) + 1/(1+min |pos diff|),
+        # association (sA + sB) + boost mirrored; rank raw desc.
+        "prox_boost": """
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+scores AS (
+  SELECT 'p1' AS query_id, ta.doc_id,
+         ((ta.tf * 2.2 / (ta.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) * ln(1 + (s.n_docs - dfa.df + 0.5) / (dfa.df + 0.5)))
+          + (tb.tf * 2.2 / (tb.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) * ln(1 + (s.n_docs - dfb.df + 0.5) / (dfb.df + 0.5))))
+         + 1.0 / (1.0 + md.dmin) AS score
+  FROM tf ta
+  JOIN tf tb ON tb.doc_id = ta.doc_id AND tb.term = 'join'
+  JOIN df dfa ON dfa.term = 'spark'
+  JOIN df dfb ON dfb.term = 'join'
+  JOIN dl ON dl.doc_id = ta.doc_id
+  JOIN (SELECT a.doc_id, min(abs(a.pos - b.pos))::BIGINT AS dmin
+        FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
+        WHERE a.term = 'spark' AND b.term = 'join'
+        GROUP BY a.doc_id) md ON md.doc_id = ta.doc_id
+  CROSS JOIN stats s
+  WHERE ta.term = 'spark'
+  UNION ALL
+  SELECT 'p2' AS query_id, ta.doc_id,
+         ((ta.tf * 2.2 / (ta.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) * ln(1 + (s.n_docs - dfa.df + 0.5) / (dfa.df + 0.5)))
+          + (tb.tf * 2.2 / (tb.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) * ln(1 + (s.n_docs - dfb.df + 0.5) / (dfb.df + 0.5))))
+         + 1.0 / (1.0 + md.dmin) AS score
+  FROM tf ta
+  JOIN tf tb ON tb.doc_id = ta.doc_id AND tb.term = 'stream'
+  JOIN df dfa ON dfa.term = 'window'
+  JOIN df dfb ON dfb.term = 'stream'
+  JOIN dl ON dl.doc_id = ta.doc_id
+  JOIN (SELECT a.doc_id, min(abs(a.pos - b.pos))::BIGINT AS dmin
+        FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
+        WHERE a.term = 'window' AND b.term = 'stream'
+        GROUP BY a.doc_id) md ON md.doc_id = ta.doc_id
+  CROSS JOIN stats s
+  WHERE ta.term = 'window'
+  UNION ALL
+  SELECT 'p3' AS query_id, ta.doc_id,
+         ((ta.tf * 2.2 / (ta.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) * ln(1 + (s.n_docs - dfa.df + 0.5) / (dfa.df + 0.5)))
+          + (tb.tf * 2.2 / (tb.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) * ln(1 + (s.n_docs - dfb.df + 0.5) / (dfb.df + 0.5))))
+         + 1.0 / (1.0 + md.dmin) AS score
+  FROM tf ta
+  JOIN tf tb ON tb.doc_id = ta.doc_id AND tb.term = 'agg'
+  JOIN df dfa ON dfa.term = 'hash'
+  JOIN df dfb ON dfb.term = 'agg'
+  JOIN dl ON dl.doc_id = ta.doc_id
+  JOIN (SELECT a.doc_id, min(abs(a.pos - b.pos))::BIGINT AS dmin
+        FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
+        WHERE a.term = 'hash' AND b.term = 'agg'
+        GROUP BY a.doc_id) md ON md.doc_id = ta.doc_id
+  CROSS JOIN stats s
+  WHERE ta.term = 'hash'),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id, cast(rnk AS INT) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
+""".format(TRANSCRIPTS_CTE=TRANSCRIPTS_CTE, TOKPOS_CTE=TOKPOS_CTE, BM25_TOP_K=BM25_TOP_K),
         # context budget: per-conv running dl-parity token sum, first
         # turn crossing the budget (-1 none).
         "context_overflow": f"""

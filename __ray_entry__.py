@@ -808,6 +808,62 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_REL_PER_SHARD = 16
+
+
+def q_sft_release(sf_dir: str):
+    """End-to-end chat-corpus RELEASE (the capstone composition a
+    training team actually ships): leakage-safe conv split → train
+    conversations rendered through the chat template → WebDataset tar
+    shards (conv-number-derived sharding, resumable) → READ BACK from
+    the tar bytes → per-shard release accounting (conversations,
+    rendered chars). The verified path runs through the physical
+    artifact, so the oracle checks the whole split+render+sink chain
+    end to end (the wds_export precedent, lifted to conversations)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.sources.webdataset import (
+        export_webdataset,
+        read_webdataset,
+    )
+    from hybrid_sanctions_search_engine_ray.stages.chatprep import chat_render
+    from hybrid_sanctions_search_engine_ray.stages.sampling import dataset_split
+
+    tagged = dataset_split(transcripts_from_documents(sf_dir), "conv_id",
+                           _CONV_SPLITS, salt="-cs")
+    train = tagged.map_batches(
+        lambda b: b.filter(pc.equal(b["split"], "train")),
+        batch_format="pyarrow")
+    rendered = chat_render(train)
+
+    def with_key(b: pd.DataFrame) -> pd.DataFrame:
+        num = b["conv_id"].str.slice(5).astype(np.int64)
+        return pd.DataFrame({"conv_num": num, "text": b["rendered"]})
+
+    keyed = rendered.map_batches(with_key, batch_format="pandas")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_sft_release/{tag}"
+    export_webdataset(keyed, out, samples_per_shard=_REL_PER_SHARD,
+                      key_col="conv_num", text_col="text")
+
+    def partial(b: pa.Table) -> pa.Table:
+        sh = pc.divide(b["doc_id"], _REL_PER_SHARD)
+        t = pa.table({"shard": sh,
+                      "chars": pc.utf8_length(b["text"]).cast(pa.int64())})
+        g = t.group_by("shard").aggregate([([], "count_all"), ("chars", "sum")])
+        return pa.table({"shard": g["shard"].cast(pa.int64()),
+                         "n_p": g["count_all"].cast(pa.int64()),
+                         "ch_p": g["chars_sum"].cast(pa.int64())})
+
+    return (read_webdataset(out)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("shard")
+            .aggregate(Sum("n_p", alias_name="n_convs"),
+                       Sum("ch_p", alias_name="n_chars")))
+
+
 _PROX_PAIRS = {"p1": ("spark", "join"), "p2": ("window", "stream"),
                "p3": ("hash", "agg")}
 
@@ -10597,6 +10653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_stats": q_tool_stats,
         "context_overflow": q_context_overflow,
         "prox_boost": q_prox_boost,
+        "sft_release": q_sft_release,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11497,6 +11554,34 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # release accounting recomputed from source: split rule +
+        # string_agg render + conv-number sharding.
+        "sft_release": f"""
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         doc_id // 8 AS conv_num,
+         cast(doc_id % 8 AS int) AS turn_idx,
+         CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents),
+spl AS (
+  SELECT conv_id,
+         CASE
+           WHEN md5_number_upper(conv_id || '-cs') % 100 < {_CONV_SPLITS["test"]} THEN 'test'
+           WHEN md5_number_upper(conv_id || '-cs') % 100 < {_CONV_SPLITS["test"] + _CONV_SPLITS["train"]} THEN 'train'
+           ELSE 'val' END AS split
+  FROM (SELECT DISTINCT conv_id FROM t)),
+r AS (
+  SELECT t.conv_num,
+         length(string_agg('<|' || t.role || '|>' || t.text, chr(10) ORDER BY t.turn_idx))::BIGINT AS n_chars
+  FROM t JOIN spl USING (conv_id)
+  WHERE spl.split = 'train'
+  GROUP BY t.conv_num)
+SELECT conv_num // {_REL_PER_SHARD} AS shard,
+       count(*)::BIGINT AS n_convs,
+       cast(sum(n_chars) AS BIGINT) AS n_chars
+FROM r GROUP BY 1
 """,
         # proximity boost: bm25(t1)+bm25(t2) + 1/(1+min |pos diff|),
         # association (sA + sB) + boost mirrored; rank raw desc.

@@ -808,6 +808,61 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_sample_ci(sf_dir: str):
+    """Estimate-vs-truth methodology for at-scale statistics (when a
+    full pass is too expensive, sample by conversation hash and bound
+    the error): mean document chars from the 10% conv-hash sample
+    (md5(conv_id||'-ci') % 10 = 0 — retry-stable, no RNG), a 95% normal
+    CI from the sample's integer sufficient statistics (Σx, Σx², n),
+    and the exact full-corpus mean beside it with a coverage flag. ONE
+    streaming pass carries sample and full partials together; the CI
+    arithmetic is a mirrored float expression over integer sums,
+    round4. Exact twin."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    def partial(b: pa.Table) -> pa.Table:
+        chars = pc.utf8_length(b["text"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        conv = b["conv_id"].to_pylist()
+        insample = np.array([
+            int.from_bytes(hashlib.md5((c + "-ci").encode()).digest()[:8],
+                           "little") % 10 == 0 for c in conv], bool)
+        sx = chars[insample]
+        return pa.table({
+            "n_s": pa.array([int(insample.sum())], pa.int64()),
+            "sx_s": pa.array([int(sx.sum())], pa.int64()),
+            "sxx_s": pa.array([int((sx.astype(np.int64) ** 2).sum())], pa.int64()),
+            "n_f": pa.array([len(chars)], pa.int64()),
+            "sx_f": pa.array([int(chars.sum())], pa.int64()),
+        })
+
+    t = (transcripts_from_documents(sf_dir)
+         .map_batches(partial, batch_format="pyarrow")
+         .aggregate(Sum("n_s", alias_name="n_s"), Sum("sx_s", alias_name="sx_s"),
+                    Sum("sxx_s", alias_name="sxx_s"), Sum("n_f", alias_name="n_f"),
+                    Sum("sx_f", alias_name="sx_f")))
+    n_s, sx_s, sxx_s = int(t["n_s"]), int(t["sx_s"]), int(t["sxx_s"])
+    n_f, sx_f = int(t["n_f"]), int(t["sx_f"])
+    mean_s = sx_s / n_s
+    var_s = (sxx_s - sx_s * sx_s / n_s) / n_s
+    se = np.sqrt(var_s / n_s)
+    lo, hi = mean_s - 1.96 * se, mean_s + 1.96 * se
+    mean_f = sx_f / n_f
+    return pd.DataFrame({
+        "n_sample": [np.int64(n_s)],
+        "sample_mean": [float(_round4(np.array([mean_s]))[0])],
+        "ci_lo": [float(_round4(np.array([lo]))[0])],
+        "ci_hi": [float(_round4(np.array([hi]))[0])],
+        "full_mean": [float(_round4(np.array([mean_f]))[0])],
+        "covered": [bool(lo <= mean_f <= hi)],
+    })
+
+
 _REL_PER_SHARD = 16
 
 
@@ -10654,6 +10709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_overflow": q_context_overflow,
         "prox_boost": q_prox_boost,
         "sft_release": q_sft_release,
+        "sample_ci": q_sample_ci,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11554,6 +11610,33 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # sampled mean + normal CI from integer sufficient stats,
+        # coverage vs the exact full mean; mirrored float expressions.
+        "sample_ci": """
+WITH t AS (
+  SELECT 'conv-' || lpad(cast(doc_id // 8 AS varchar), 8, '0') AS conv_id,
+         length(text)::BIGINT AS chars
+  FROM documents),
+m AS (
+  SELECT cast(count(*) FILTER (md5_number_upper(conv_id || '-ci') % 10 = 0) AS BIGINT) AS n_s,
+         cast(coalesce(sum(chars) FILTER (md5_number_upper(conv_id || '-ci') % 10 = 0), 0) AS BIGINT) AS sx_s,
+         cast(coalesce(sum(chars * chars) FILTER (md5_number_upper(conv_id || '-ci') % 10 = 0), 0) AS BIGINT) AS sxx_s,
+         count(*)::BIGINT AS n_f,
+         cast(sum(chars) AS BIGINT) AS sx_f
+  FROM t),
+c AS (
+  SELECT n_s, sx_s / n_s::DOUBLE AS mean_s,
+         sqrt(((sxx_s - sx_s * sx_s / n_s::DOUBLE) / n_s) / n_s) AS se,
+         sx_f / n_f::DOUBLE AS mean_f
+  FROM m)
+SELECT n_s AS n_sample,
+       round(mean_s, 4) AS sample_mean,
+       round(mean_s - 1.96 * se, 4) AS ci_lo,
+       round(mean_s + 1.96 * se, 4) AS ci_hi,
+       round(mean_f, 4) AS full_mean,
+       (mean_s - 1.96 * se <= mean_f AND mean_f <= mean_s + 1.96 * se) AS covered
+FROM c
 """,
         # release accounting recomputed from source: split rule +
         # string_agg render + conv-number sharding.

@@ -808,6 +808,29 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_build_metrics(sf_dir: str):
+    """Build-lineage integrity audit (the north rule's per-partition
+    lineage + metrics, made queryable and verified): fold the unsalted
+    index's per-part manifest records into corpus totals — segment
+    rows, stored postings, distinct terms — and let the twin recompute
+    the same totals from the raw corpus (tf CTE). A lineage record that
+    drifts from the data (lost part, double count, stale resume) fails
+    value-exactly."""
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    q_postings_bytes(sf_dir)  # ensures the coldonly index + lineage exist
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    m = IndexManifest.load(f"/tmp/graft_idx_cache/{_fmt}/{tag}-coldonly")
+    parts = m.parts.values()
+    return pd.DataFrame({
+        "n_rows": [np.int64(sum(int(p.get("n_rows", 0)) for p in parts))],
+        "n_postings": [np.int64(sum(int(p.get("n_postings", 0)) for p in parts))],
+        "n_terms": [np.int64(sum(int(p.get("n_terms", 0)) for p in parts))],
+    })
+
+
 def q_sample_ci(sf_dir: str):
     """Estimate-vs-truth methodology for at-scale statistics (when a
     full pass is too expensive, sample by conversation hash and bound
@@ -10710,6 +10733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prox_boost": q_prox_boost,
         "sft_release": q_sft_release,
         "sample_ci": q_sample_ci,
+        "build_metrics": q_build_metrics,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11610,6 +11634,14 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # lineage totals vs raw-corpus truth (coldonly layout: one row
+        # per term, postings = (term, doc) pairs, terms distinct).
+        "build_metrics": f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_rows,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms
 """,
         # sampled mean + normal CI from integer sufficient stats,
         # coverage vs the exact full mean; mirrored float expressions.

@@ -808,6 +808,65 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_TREND_PERIOD_US = 100_000_000  # 100 s — a "week" of the synthetic clock
+_TREND_K = 10
+
+
+def q_trending_terms(sf_dir: str):
+    """Trending-term detection (the search-ops zeitgeist panel): per
+    time period, the top-10 terms by smoothed occurrence growth
+    ``(c_t + 1)/(c_{t-1} + 1)`` over the PREVIOUS period — the
+    add-one-smoothed ratio that surfaces new vocabulary without
+    dividing by zero. One (term, period) exchange of per-batch
+    partials; the LAG + ratio + per-period ranking runs on the tiny
+    vocab × periods matrix. Period = 100 synthetic-clock seconds (the
+    transcripts source assigns ts = epoch + doc_id s, so periods are
+    corpus slices at every sf). Exact LAG twin."""
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    cfg = _engine_cfg().analyzer
+
+    def partial(b: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(b, cfg)
+        if parent.size == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "period": pa.array([], pa.int64()),
+                             "c_p": pa.array([], pa.int64())})
+        tsu = pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        period = (tsu // _TREND_PERIOD_US)[parent]
+        t = pa.table({"term": terms, "period": pa.array(period, pa.int64())})
+        g = t.group_by(["term", "period"]).aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "period": g["period"],
+                         "c_p": g["count_all"].cast(pa.int64())})
+
+    tp = (transcripts_from_documents(sf_dir)
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["term", "period"])
+          .aggregate(Sum("c_p", alias_name="c"))
+          .to_pandas())
+    tp = tp.sort_values(["term", "period"])
+    prev = tp.groupby("term")["c"].shift(1)
+    prev_period = tp.groupby("term")["period"].shift(1)
+    ok = prev_period == tp["period"] - 1
+    cur = tp[ok].copy()
+    cur["growth"] = _round4((cur["c"].to_numpy(np.int64) + 1)
+                            / (prev[ok].to_numpy() + 1.0))
+    cur["rank"] = cur.groupby("period")["growth"].rank(
+        method="first", ascending=False).astype(np.int64)
+    # rank with deterministic (growth desc, term asc) tie order
+    cur = cur.sort_values(["period", "growth", "term"],
+                          ascending=[True, False, True])
+    cur["rank"] = cur.groupby("period").cumcount().astype(np.int64) + 1
+    out = cur[cur["rank"] <= _TREND_K][["period", "rank", "term", "c", "growth"]]
+    out = out.rename(columns={"c": "n_occ"}).astype(
+        {"period": np.int64, "rank": np.int64, "n_occ": np.int64})
+    return out.reset_index(drop=True)
+
+
 def q_build_metrics(sf_dir: str):
     """Build-lineage integrity audit (the north rule's per-partition
     lineage + metrics, made queryable and verified): fold the unsalted
@@ -10734,6 +10793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_release": q_sft_release,
         "sample_ci": q_sample_ci,
         "build_metrics": q_build_metrics,
+        "trending_terms": q_trending_terms,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11634,6 +11694,34 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # trending terms: add-one-smoothed period-over-period growth,
+        # top-10 per period by (growth desc, term).
+        "trending_terms": f"""
+WITH {TRANSCRIPTS_CTE},
+tsu AS (
+  SELECT doc_id, (doc_id * 1000000 + 1767225600000000) // {_TREND_PERIOD_US} AS period
+  FROM documents),
+tp AS (
+  SELECT t.term, u.period, count(*)::BIGINT AS c
+  FROM tok t JOIN tsu u USING (doc_id)
+  GROUP BY 1, 2),
+lagd AS (
+  SELECT term, period, c,
+         lag(c) OVER (PARTITION BY term ORDER BY period) AS pc,
+         lag(period) OVER (PARTITION BY term ORDER BY period) AS pp
+  FROM tp),
+gr AS (
+  SELECT period, term, c AS n_occ,
+         round((c + 1) / (pc + 1)::DOUBLE, 4) AS growth
+  FROM lagd WHERE pp = period - 1),
+rk AS (
+  SELECT period, term, n_occ, growth,
+         row_number() OVER (PARTITION BY period
+                            ORDER BY growth DESC, term) AS rn
+  FROM gr)
+SELECT period::BIGINT AS period, rn::BIGINT AS rank, term, n_occ, growth
+FROM rk WHERE rn <= {_TREND_K}
 """,
         # lineage totals vs raw-corpus truth (coldonly layout: one row
         # per term, postings = (term, doc) pairs, terms distinct).

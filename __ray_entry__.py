@@ -808,6 +808,46 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_rate_outliers(sf_dir: str):
+    """Per-user event-rate anomaly flags (the ops alerting primitive):
+    a user-day is an outlier when its event count exceeds the user's
+    own mean + 2·pop-std over their active days. Integer sufficient
+    moments per user (n, Σc, Σc²) ride the same (user, day) exchange as
+    the daily counts; the flagging threshold is a mirrored float
+    expression, and only flagged rows are emitted. Exact twin."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    daily = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "ts"])
+        .map_batches(lambda b: (lambda day: pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(day, pa.int64()),
+            "one": pa.array(np.ones(len(b), np.int64))}))(
+                pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000 - 19723),
+            batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("one", alias_name="c"))
+        .to_pandas()
+    )
+    g = daily.groupby("user_id")["c"]
+    n = g.transform("size").to_numpy(np.float64)
+    sx = g.transform("sum").to_numpy(np.float64)
+    sxx = g.transform(lambda x: (x.astype(np.int64) ** 2).sum()).to_numpy(np.float64)
+    mean = sx / n
+    var = (sxx - sx * sx / n) / n
+    thr = mean + 2.0 * np.sqrt(var)
+    flag = daily["c"].to_numpy(np.int64) > thr
+    out = daily[flag].copy()
+    out["mean_c"] = _round4(mean[flag])
+    out["thr"] = _round4(thr[flag])
+    out = out.astype({"day": np.int64, "c": np.int64})
+    return (out[["user_id", "day", "c", "mean_c", "thr"]]
+            .sort_values(["user_id", "day"]).reset_index(drop=True))
+
+
 _TREND_PERIOD_US = 100_000_000  # 100 s — a "week" of the synthetic clock
 _TREND_K = 10
 
@@ -10794,6 +10834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_ci": q_sample_ci,
         "build_metrics": q_build_metrics,
         "trending_terms": q_trending_terms,
+        "rate_outliers": q_rate_outliers,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11694,6 +11735,27 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # per-user day-count outliers: c > mean + 2*pop_std, moments
+        # per user; mirrored float threshold.
+        "rate_outliers": """
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 - 19723 AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT user_id, count(*)::BIGINT AS n, cast(sum(c) AS BIGINT) AS sx,
+         cast(sum(c * c) AS BIGINT) AS sxx
+  FROM daily GROUP BY user_id),
+j AS (
+  SELECT d.user_id, d.day, d.c,
+         m.sx / m.n::DOUBLE AS mean_c,
+         m.sx / m.n::DOUBLE
+           + 2.0 * sqrt((m.sxx - m.sx * m.sx / m.n::DOUBLE) / m.n) AS thr
+  FROM daily d JOIN m USING (user_id))
+SELECT user_id, day::BIGINT AS day, c, round(mean_c, 4) AS mean_c,
+       round(thr, 4) AS thr
+FROM j WHERE c > thr ORDER BY user_id, day
 """,
         # trending terms: add-one-smoothed period-over-period growth,
         # top-10 per period by (growth desc, term).

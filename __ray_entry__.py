@@ -808,6 +808,44 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_theilsen_trend(sf_dir: str):
+    """Theil–Sen robust trend of the daily event volume (the
+    outlier-resistant slope estimator — median of all pairwise slopes,
+    breakdown point 29%): daily counts ride one day-keyed exchange; the
+    O(days²) pairwise-slope matrix and the order statistic run on the
+    tiny day series. Median = the LOWER order statistic at (m−1)//2
+    under the deterministic (slope, i, j) ordering — rank-exact, no
+    interpolation ambiguity. Slope round4. Exact pairwise twin."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    daily = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+        .map_batches(lambda b: (lambda day: pa.table({
+            "day": pa.array(day, pa.int64()),
+            "one": pa.array(np.ones(len(b), np.int64))}))(
+                pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000 - 19723),
+            batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("one", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    d = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    ii, jj = np.triu_indices(d.size, 1)
+    slopes = (c[jj] - c[ii]) / (d[jj] - d[ii]).astype(np.float64)
+    order = np.lexsort((d[jj], d[ii], slopes))
+    k = (slopes.size - 1) // 2
+    med = float(slopes[order][k])
+    return pd.DataFrame({
+        "n_days": [np.int64(d.size)],
+        "n_pairs": [np.int64(slopes.size)],
+        "slope": [float(_round4(np.array([med]))[0])],
+    })
+
+
 def q_rate_outliers(sf_dir: str):
     """Per-user event-rate anomaly flags (the ops alerting primitive):
     a user-day is an outlier when its event count exceeds the user's
@@ -10835,6 +10873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_metrics": q_build_metrics,
         "trending_terms": q_trending_terms,
         "rate_outliers": q_rate_outliers,
+        "theilsen_trend": q_theilsen_trend,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11735,6 +11774,24 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # Theil-Sen: lower-median pairwise slope under (slope, i, j)
+        # ordering — rank-exact, no interpolation.
+        "theilsen_trend": """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 - 19723 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1),
+p AS (
+  SELECT a.day AS di, b.day AS dj,
+         (b.c - a.c) / (b.day - a.day)::DOUBLE AS slope
+  FROM daily a JOIN daily b ON b.day > a.day),
+r AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, di, dj) AS rn,
+         count(*) OVER () AS m
+  FROM p)
+SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+       (SELECT count(*) FROM p)::BIGINT AS n_pairs,
+       (SELECT round(slope, 4) FROM r WHERE rn = (m - 1) // 2 + 1 LIMIT 1) AS slope
 """,
         # per-user day-count outliers: c > mean + 2*pop_std, moments
         # per user; mirrored float threshold.

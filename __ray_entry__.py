@@ -808,6 +808,87 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_MHB_BANDS, _MHB_ROWS = 4, 2  # bands over the 8 _MHX permutations
+_MHB_MOD = 18446744073709551616  # 2^64 — the uint64 wraparound modulus
+
+
+def q_minhash_bands(sf_dir: str):
+    """LSH BANDING with full value evidence — the exact-oracle upgrade
+    for the banding+pairing step that minhash_pairs (crc32 family) runs
+    rows-only: signatures on the SQL-checkable mhx contract (md5-parity
+    gram hashes, Mersenne-61 perms), band hash = uint64-wraparound
+    ``sig₀·1000003 + sig₁`` per 2-row band, candidate pairs = docs
+    sharing any (band, hash) bucket, deduped with the shared-band
+    count. One (band, hash)-keyed exchange of 4 rows/doc; pair
+    expansion only inside buckets (the LSH guarantee); a pair-keyed
+    groupby folds band counts. Exact HUGEINT twin."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+    from hybrid_sanctions_search_engine_ray.stages.dedup import (
+        _MERSENNE,
+        _gram_hashes,
+        _perm_params,
+        _token_hashes_md5,
+    )
+
+    a, b = _perm_params(_MHX_PERMS)
+    cfg = AnalyzerConfig()
+
+    def bands(batch: pa.Table) -> pa.Table:
+        parent, terms = flat_terms(batch, cfg)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"band": pa.array([], pa.int64()),
+                          "bh": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if len(terms) == 0:
+            return empty
+        th = _token_hashes_md5(terms.to_numpy(zero_copy_only=False))
+        grams_all = _gram_hashes(th, _MHX_K)
+        valid = parent[: grams_all.size] == parent[_MHX_K - 1: _MHX_K - 1 + grams_all.size]
+        grams = grams_all[valid]
+        gdoc = parent[: grams_all.size][valid]
+        if grams.size == 0:
+            return empty
+        vals = (grams.reshape(-1, 1) * a + b) % np.uint64(_MERSENNE)
+        starts = np.flatnonzero(np.concatenate(([True], gdoc[1:] != gdoc[:-1])))
+        present = gdoc[starts]
+        mins = np.minimum.reduceat(vals, starts, axis=0)  # (docs, 8) uint64
+        n_docs = mins.shape[0]
+        outs_b, outs_h, outs_d = [], [], []
+        with np.errstate(over="ignore"):
+            for bi in range(_MHB_BANDS):
+                s0 = mins[:, bi * _MHB_ROWS]
+                s1 = mins[:, bi * _MHB_ROWS + 1]
+                bh = (s0 * np.uint64(1000003) + s1)   # uint64 wraparound
+                outs_b.append(np.full(n_docs, bi, np.int64))
+                outs_h.append(bh.view(np.int64))
+                outs_d.append(doc_ids[present])
+        return pa.table({"band": pa.array(np.concatenate(outs_b), pa.int64()),
+                         "bh": pa.array(np.concatenate(outs_h), pa.int64()),
+                         "doc_id": pa.array(np.concatenate(outs_d), pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
+        if d.size < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "n_p": pd.Series([], dtype=np.int64)})
+        ii, jj = np.triu_indices(d.size, 1)
+        return pd.DataFrame({"doc_a": d[ii], "doc_b": d[jj],
+                             "n_p": np.ones(ii.size, np.int64)})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return (ds.map_batches(bands, batch_format="pyarrow", batch_size=1024)
+            .groupby(["band", "bh"])
+            .map_groups(pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Sum("n_p", alias_name="n_bands")))
+
+
 def q_theilsen_trend(sf_dir: str):
     """Theil–Sen robust trend of the daily event volume (the
     outlier-resistant slope estimator — median of all pairwise slopes,
@@ -10874,6 +10955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": q_trending_terms,
         "rate_outliers": q_rate_outliers,
         "theilsen_trend": q_theilsen_trend,
+        "minhash_bands": q_minhash_bands,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11774,6 +11856,46 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # LSH banding on the mhx signature contract: uint64-wraparound
+        # band hash, pairs share any (band, hash) bucket.
+        "minhash_bands": f"""
+WITH {TRANSCRIPTS_CTE},
+{TOKPOS_CTE},
+mth AS (SELECT doc_id, pos, md5_number_upper(term)::HUGEINT AS h FROM tokpos),
+mgr AS (
+  SELECT t1.doc_id,
+         (((t1.h * 1000003) % 18446744073709551616::HUGEINT + t2.h)
+            % 18446744073709551616::HUGEINT * 1000003
+            % 18446744073709551616::HUGEINT + t3.h)
+           % 18446744073709551616::HUGEINT AS gram
+  FROM mth t1
+  JOIN mth t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN mth t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+),
+mperm(perm, pa, pb) AS (VALUES {_mhx_perm_values()}),
+msig AS (
+  SELECT g.doc_id, p.perm,
+         min(((g.gram * p.pa) % 18446744073709551616::HUGEINT + p.pb)
+             % 18446744073709551616::HUGEINT
+             % 2305843009213693951::HUGEINT)::HUGEINT AS sig
+  FROM mgr g CROSS JOIN mperm p
+  GROUP BY g.doc_id, p.perm
+),
+bnd AS (
+  SELECT m0.doc_id, b.band,
+         ((m0.sig * 1000003) % 18446744073709551616::HUGEINT + m1.sig)
+           % 18446744073709551616::HUGEINT AS bh
+  FROM (SELECT unnest(generate_series(0, {_MHB_BANDS - 1})) AS band) b
+  JOIN msig m0 ON m0.perm = b.band * {_MHB_ROWS}
+  JOIN msig m1 ON m1.perm = b.band * {_MHB_ROWS} + 1 AND m1.doc_id = m0.doc_id
+),
+prs AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bnd a JOIN bnd b2
+    ON b2.band = a.band AND b2.bh = a.bh AND b2.doc_id > a.doc_id)
+SELECT doc_a, doc_b, count(*)::BIGINT AS n_bands
+FROM prs GROUP BY 1, 2
 """,
         # Theil-Sen: lower-median pairwise slope under (slope, i, j)
         # ordering — rank-exact, no interpolation.

@@ -808,6 +808,61 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_SHB_BANDS = 4  # 16-bit bands of the 64-bit simhash
+
+
+def q_simhash_bands(sf_dir: str):
+    """SimHash hamming-bucket pairing with full value evidence — the
+    exact-oracle upgrade for the bucketing step the production simhash
+    query runs rows-only: signatures on the md5-parity contract
+    (q_simhash_exact), split into four 16-bit bands; two docs are
+    candidates when ANY band matches (hamming ≤ 48 guarantee by
+    pigeonhole — docs within 3 flipped bits always share a band).
+    Emits deduped pairs with shared-band counts. One (band, value)
+    exchange of 4 rows/doc, pair expansion only inside buckets. Exact
+    bit-extraction twin."""
+    from functools import partial as _partial
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hybrid_sanctions_search_engine_ray.stages.dedup import simhash64
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    sigs = ds.map_batches(_partial(simhash64, hasher="md5"),
+                          batch_format="pyarrow", batch_size=1024)
+
+    def bands(b: pa.Table) -> pa.Table:
+        sig = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs_b, outs_v, outs_d = [], [], []
+        for bi in range(_SHB_BANDS):
+            outs_b.append(np.full(doc.size, bi, np.int64))
+            outs_v.append(((sig >> np.uint64(16 * bi))
+                           & np.uint64(0xFFFF)).astype(np.int64))
+            outs_d.append(doc)
+        return pa.table({"band": pa.array(np.concatenate(outs_b), pa.int64()),
+                         "v": pa.array(np.concatenate(outs_v), pa.int64()),
+                         "doc_id": pa.array(np.concatenate(outs_d), pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
+        if d.size < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "n_p": pd.Series([], dtype=np.int64)})
+        ii, jj = np.triu_indices(d.size, 1)
+        return pd.DataFrame({"doc_a": d[ii], "doc_b": d[jj],
+                             "n_p": np.ones(ii.size, np.int64)})
+
+    return (sigs.map_batches(bands, batch_format="pyarrow")
+            .groupby(["band", "v"])
+            .map_groups(pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Sum("n_p", alias_name="n_bands")))
+
+
 _MHB_BANDS, _MHB_ROWS = 4, 2  # bands over the 8 _MHX permutations
 _MHB_MOD = 18446744073709551616  # 2^64 — the uint64 wraparound modulus
 
@@ -10956,6 +11011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_outliers": q_rate_outliers,
         "theilsen_trend": q_theilsen_trend,
         "minhash_bands": q_minhash_bands,
+        "simhash_bands": q_simhash_bands,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11856,6 +11912,34 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # SimHash 16-bit band bucketing over the md5-parity signature;
+        # pairs share any band (pigeonhole: hamming<=3 always pairs).
+        "simhash_bands": f"""
+WITH {TRANSCRIPTS_CTE},
+sth AS (SELECT doc_id, md5_number_upper(term) AS h FROM tok),
+sbits AS (
+  SELECT doc_id, b.b,
+         CASE WHEN 2 * sum(((h >> b.b) & 1)::BIGINT) > count(*)
+              THEN 1::HUGEINT ELSE 0::HUGEINT END AS s
+  FROM sth CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+spack AS (
+  SELECT doc_id, sum(s * (1::HUGEINT << b))::HUGEINT AS v FROM sbits GROUP BY doc_id
+),
+bnd AS (
+  SELECT p.doc_id, b.band,
+         cast((p.v >> (16 * b.band)) % 65536 AS BIGINT) AS bv
+  FROM spack p
+  CROSS JOIN (SELECT unnest(generate_series(0, {_SHB_BANDS - 1})) AS band) b
+),
+prs AS (
+  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bnd a JOIN bnd b2
+    ON b2.band = a.band AND b2.bv = a.bv AND b2.doc_id > a.doc_id)
+SELECT doc_a, doc_b, count(*)::BIGINT AS n_bands
+FROM prs GROUP BY 1, 2
 """,
         # LSH banding on the mhx signature contract: uint64-wraparound
         # band hash, pairs share any (band, hash) bucket.

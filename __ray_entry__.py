@@ -808,6 +808,73 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_HLLX_P = 8  # 2^8 = 256 registers
+
+
+def q_hll_exact(sf_dir: str):
+    """HyperLogLog with full value evidence — the exact-oracle upgrade
+    for the sketch the production distinct_sketch runs rows-only
+    (crc32+fmix64 isn't SQL-computable): registers over the md5-parity
+    term hash (idx = top 8 bits, rank = leading zeros of the remaining
+    56 bits + 1, via integer arithmetic only), the standard estimator
+    with the small-range linear-counting branch, both branches mirrored
+    float expressions. The estimate — including its error — is a
+    deterministic function of the hash layout, so the twin reproduces
+    it exactly. Per-batch distinct-term partials → ONE register-sized
+    (≤256-row) exchange."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from hybrid_sanctions_search_engine_ray.functions.hashing import factorize_exact
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    cfg = _engine_cfg().analyzer
+    m = 1 << _HLLX_P
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, terms = flat_terms(b, cfg)
+        if len(terms) == 0:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "rank_p": pa.array([], pa.int64())})
+        _, uniques = factorize_exact(terms)
+        h = np.array([int.from_bytes(hashlib.md5(
+            (u if isinstance(u, str) else "").encode()).digest()[:8], "little")
+            for u in uniques], dtype=np.uint64)
+        idx = (h >> np.uint64(64 - _HLLX_P)).astype(np.int64)
+        rest = (h & np.uint64((1 << (64 - _HLLX_P)) - 1))
+        # exact bit_length per distinct term (vocab-sized loop)
+        bl = np.array([int(x).bit_length() for x in rest], dtype=np.int64)
+        rank = np.where(rest > 0, 64 - _HLLX_P - bl + 1, 64 - _HLLX_P + 1)
+        t = pa.table({"idx": pa.array(idx, pa.int64()),
+                      "rank_p": pa.array(rank.astype(np.int64), pa.int64())})
+        g = t.group_by("idx").aggregate([("rank_p", "max")])
+        return pa.table({"idx": g["idx"],
+                         "rank_p": g["rank_p_max"].cast(pa.int64())})
+
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    regs = (transcripts_from_documents(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("idx")
+            .aggregate(Max("rank_p", alias_name="r"))
+            .to_pandas())
+    present = regs["r"].to_numpy(np.int64)
+    n_zero = m - len(regs)
+    # EXACT integer denominator: Σ 2^(57−rank) + zeros·2^57 (powers of
+    # two — no float summation order anywhere)
+    denom_scaled = sum(1 << (57 - int(r)) for r in present) + n_zero * (1 << 57)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    est = alpha * 65536.0 * 144115188075855872.0 / float(denom_scaled)
+    if est <= 2.5 * m and n_zero > 0:
+        est = m * np.log(m / n_zero)
+    return pd.DataFrame({
+        "n_registers_set": [np.int64(len(regs))],
+        "est": [float(_round4(np.array([est]))[0])],
+    })
+
+
 _SHB_BANDS = 4  # 16-bit bands of the 64-bit simhash
 
 
@@ -11012,6 +11079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen_trend": q_theilsen_trend,
         "minhash_bands": q_minhash_bands,
         "simhash_bands": q_simhash_bands,
+        "hll_exact": q_hll_exact,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11912,6 +11980,40 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # HLL on the md5 contract: integer registers, exact power-of-two
+        # denominator, mirrored estimator with linear-counting branch.
+        "hll_exact": f"""
+WITH {TRANSCRIPTS_CTE},
+hh AS (SELECT DISTINCT md5_number_upper(term) AS h FROM tok),
+rr AS (
+  SELECT cast(h // 72057594037927936 AS BIGINT) AS idx,
+         h % 72057594037927936 AS rest
+  FROM hh),
+regs AS (
+  SELECT idx,
+         max(CASE WHEN rest = 0 THEN 57
+                  ELSE 57 - (CASE WHEN rest >= 36028797018963968 THEN 56 WHEN rest >= 18014398509481984 THEN 55 WHEN rest >= 9007199254740992 THEN 54 WHEN rest >= 4503599627370496 THEN 53 WHEN rest >= 2251799813685248 THEN 52 WHEN rest >= 1125899906842624 THEN 51 WHEN rest >= 562949953421312 THEN 50 WHEN rest >= 281474976710656 THEN 49 WHEN rest >= 140737488355328 THEN 48 WHEN rest >= 70368744177664 THEN 47 WHEN rest >= 35184372088832 THEN 46 WHEN rest >= 17592186044416 THEN 45 WHEN rest >= 8796093022208 THEN 44 WHEN rest >= 4398046511104 THEN 43 WHEN rest >= 2199023255552 THEN 42 WHEN rest >= 1099511627776 THEN 41 WHEN rest >= 549755813888 THEN 40 WHEN rest >= 274877906944 THEN 39 WHEN rest >= 137438953472 THEN 38 WHEN rest >= 68719476736 THEN 37 WHEN rest >= 34359738368 THEN 36 WHEN rest >= 17179869184 THEN 35 WHEN rest >= 8589934592 THEN 34 WHEN rest >= 4294967296 THEN 33 WHEN rest >= 2147483648 THEN 32 WHEN rest >= 1073741824 THEN 31 WHEN rest >= 536870912 THEN 30 WHEN rest >= 268435456 THEN 29 WHEN rest >= 134217728 THEN 28 WHEN rest >= 67108864 THEN 27 WHEN rest >= 33554432 THEN 26 WHEN rest >= 16777216 THEN 25 WHEN rest >= 8388608 THEN 24 WHEN rest >= 4194304 THEN 23 WHEN rest >= 2097152 THEN 22 WHEN rest >= 1048576 THEN 21 WHEN rest >= 524288 THEN 20 WHEN rest >= 262144 THEN 19 WHEN rest >= 131072 THEN 18 WHEN rest >= 65536 THEN 17 WHEN rest >= 32768 THEN 16 WHEN rest >= 16384 THEN 15 WHEN rest >= 8192 THEN 14 WHEN rest >= 4096 THEN 13 WHEN rest >= 2048 THEN 12 WHEN rest >= 1024 THEN 11 WHEN rest >= 512 THEN 10 WHEN rest >= 256 THEN 9 WHEN rest >= 128 THEN 8 WHEN rest >= 64 THEN 7 WHEN rest >= 32 THEN 6 WHEN rest >= 16 THEN 5 WHEN rest >= 8 THEN 4 WHEN rest >= 4 THEN 3 WHEN rest >= 2 THEN 2 WHEN rest >= 1 THEN 1 ELSE 0 END) END)::BIGINT AS rk
+  FROM rr GROUP BY idx),
+agg AS (
+  SELECT count(*)::BIGINT AS nset,
+         sum(1::HUGEINT << (57 - rk)) AS dpresent
+  FROM regs),
+d AS (
+  SELECT nset,
+         (dpresent + (256 - nset)::HUGEINT * (1::HUGEINT << 57)) AS denom,
+         256 - nset AS nz
+  FROM agg),
+e AS (
+  SELECT nset, nz,
+         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 144115188075855872.0
+           / cast(denom AS DOUBLE) AS est0
+  FROM d)
+SELECT nset AS n_registers_set,
+       round(CASE WHEN est0 <= 640.0 AND nz > 0
+                  THEN 256 * ln(256.0 / nz)
+                  ELSE est0 END, 4) AS est
+FROM e
 """,
         # SimHash 16-bit band bucketing over the md5-parity signature;
         # pairs share any band (pigeonhole: hamming<=3 always pairs).

@@ -808,6 +808,40 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_BPE_FM_K = 10
+
+
+def q_bpe_first_merge(sf_dir: str):
+    """Value evidence for the BPE trainer's core counting step (the
+    train loop itself stays rows-only — iterative): the FIRST
+    iteration's weighted symbol-pair table over the word-frequency
+    vocabulary (chars + the Sennrich ``</w>`` marker), top-10 pairs by
+    (count desc, pair asc) — exactly the argmax the first merge takes.
+    The corpus-sized pass is the one word-count exchange the trainer
+    shares; pair counting runs on the vocabulary. Exact twin via char
+    splitting + adjacent-position self-join."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.bpe_train import _word_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    vocab = _word_counts(ds, "text")
+    pair_counts: dict[tuple[str, str], int] = {}
+    for w, c in zip(vocab["word"].tolist(), vocab["count"].tolist()):
+        sym = tuple(w) + ("</w>",)
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + int(c)
+    top = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_FM_K]
+    return pd.DataFrame({
+        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+        "left": [p[0][0] for p in top],
+        "right": [p[0][1] for p in top],
+        "pair_count": np.array([p[1] for p in top], np.int64),
+    })
+
+
 _HLLX_P = 8  # 2^8 = 256 registers
 
 
@@ -11080,6 +11114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_bands": q_minhash_bands,
         "simhash_bands": q_simhash_bands,
         "hll_exact": q_hll_exact,
+        "bpe_first_merge": q_bpe_first_merge,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -11980,6 +12015,32 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # BPE first-iteration pair table: chars + </w>, weighted by
+        # word frequency; top-10 by (count desc, pair asc).
+        "bpe_first_merge": f"""
+WITH w AS (
+  SELECT t.w AS word, count(*)::BIGINT AS c
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+          x -> x <> '')) AS w
+        FROM documents) t
+  GROUP BY t.w),
+sym AS (
+  SELECT word, c,
+         list_append(string_split(word, ''), '</w>') AS syms
+  FROM w),
+pairs AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, c
+  FROM sym, unnest(generate_series(1, len(syms) - 1)) AS u(i)),
+agg AS (
+  SELECT l, r, cast(sum(c) AS BIGINT) AS pair_count FROM pairs GROUP BY l, r),
+rk AS (
+  SELECT l, r, pair_count,
+         row_number() OVER (ORDER BY pair_count DESC, l, r) AS rn
+  FROM agg)
+SELECT rn::BIGINT AS rank, l AS left, r AS right, pair_count
+FROM rk WHERE rn <= {_BPE_FM_K}
 """,
         # HLL on the md5 contract: integer registers, exact power-of-two
         # denominator, mirrored estimator with linear-counting branch.

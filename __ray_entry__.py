@@ -808,6 +808,50 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_posting_gaps(sf_dir: str):
+    """Doc-id gap statistics per posting list, decoded from the REAL
+    stored index (the compressibility profile that justifies
+    delta+varint vs Elias-Fano — postings_bytes' analytical companion):
+    per term, df, first doc id, mean gap (round4) and max gap between
+    consecutive doc ids. One task pass over the persisted segments;
+    twin recomputes the deltas from the tf CTE with LAG."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.functions.codec import decode_posting
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    q_postings_bytes(sf_dir)  # ensures the coldonly index exists
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/graft_idx_cache/{_fmt}/{tag}-coldonly"
+    seg_files = sorted(_glob.glob(
+        os.path.join(index_dir, "segments", "part=*", "postings.parquet")))
+    segs = rd.read_parquet(seg_files, columns=["term", "docs", "tfs", "dls"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        terms, dfs, fsts, mgs, mxs = [], [], [], [], []
+        for i in range(b.num_rows):  # vocab-sized loop, vector inner ops
+            d, _t, _l = decode_posting(b["docs"][i].as_py(), b["tfs"][i].as_py(),
+                                       b["dls"][i].as_py())
+            d = d.astype(np.int64)
+            gaps = np.diff(d)
+            terms.append(b["term"][i].as_py())
+            dfs.append(int(d.size))
+            fsts.append(int(d[0]))
+            mgs.append(float(_round4(np.array(
+                [gaps.sum() / gaps.size]))[0]) if gaps.size else 0.0)
+            mxs.append(int(gaps.max()) if gaps.size else 0)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array(dfs, pa.int64()),
+                         "first_doc": pa.array(fsts, pa.int64()),
+                         "mean_gap": pa.array(mgs, pa.float64()),
+                         "max_gap": pa.array(mxs, pa.int64())})
+
+    return segs.map_batches(stats, batch_format="pyarrow")
+
+
 _BPE_FM_K = 10
 
 
@@ -11115,6 +11159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_bands": q_simhash_bands,
         "hll_exact": q_hll_exact,
         "bpe_first_merge": q_bpe_first_merge,
+        "posting_gaps": q_posting_gaps,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -12015,6 +12060,19 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # posting-list gap stats recomputed with LAG over the tf CTE.
+        "posting_gaps": f"""
+WITH {TRANSCRIPTS_CTE},
+lagd AS (
+  SELECT term, doc_id,
+         doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+  FROM tf)
+SELECT term, count(*)::BIGINT AS df,
+       min(doc_id)::BIGINT AS first_doc,
+       coalesce(round(cast(sum(gap) AS BIGINT) / count(gap)::DOUBLE, 4), 0.0) AS mean_gap,
+       coalesce(max(gap), 0)::BIGINT AS max_gap
+FROM lagd GROUP BY term
 """,
         # BPE first-iteration pair table: chars + </w>, weighted by
         # word frequency; top-10 by (count desc, pair asc).

@@ -808,6 +808,38 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_RC_K = 10
+
+
+def q_rank_correlation(sf_dir: str):
+    """Ranker-agreement evaluation (the IR analytics behind similarity-
+    module selection): per query, Spearman ρ between the BM25 and
+    LM-Dirichlet top-10 rankings, computed over the INTERSECTION of the
+    two top-10 sets re-ranked by each system's own order — the
+    permutation form where ρ = 1 − 6Σd²/(n(n²−1)) is exact. Integer d²,
+    mirrored float tail, queries with <2 shared docs excluded on both
+    sides. Served entirely from the warm reader."""
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    index_dir = _ensure_index(sf_dir)
+    reader = IndexReader(index_dir)
+    rows = []
+    for qid, text in BM25_QUERIES.items():
+        db, _sb = reader.search_one(text, _RC_K)
+        dl_, _sl = reader.search_one_lmd(text, _RC_K, mu=_LMD_MU)
+        shared = set(db.tolist()) & set(dl_.tolist())
+        n = len(shared)
+        if n < 2:
+            continue
+        rb = {int(d): i for i, d in enumerate(x for x in db if int(x) in shared)}
+        rl = {int(d): i for i, d in enumerate(x for x in dl_ if int(x) in shared)}
+        sumd2 = sum((rb[d] - rl[d]) ** 2 for d in shared)
+        rho = 1.0 - 6.0 * sumd2 / (n * (n * n - 1))
+        rows.append({"query_id": qid, "n_shared": np.int64(n),
+                     "rho": float(_round4(np.array([rho]))[0])})
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
 def q_posting_gaps(sf_dir: str):
     """Doc-id gap statistics per posting list, decoded from the REAL
     stored index (the compressibility profile that justifies
@@ -11160,6 +11192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_exact": q_hll_exact,
         "bpe_first_merge": q_bpe_first_merge,
         "posting_gaps": q_posting_gaps,
+        "rank_correlation": q_rank_correlation,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -12060,6 +12093,60 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # Spearman rho between the BM25 and LMD top-10, intersection
+        # re-ranked by each system's own order; permutation formula.
+        "rank_correlation": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+bscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ctf AS (SELECT term, sum(tf)::DOUBLE AS cttf FROM tf GROUP BY term),
+tot AS (SELECT sum(dl)::DOUBLE AS total FROM dl),
+lscores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(greatest(0.0,
+             ln(1 + tf.tf / ({_LMD_MU} * (c.cttf / t.total)))
+             + ln({_LMD_MU} / (dl.dl + {_LMD_MU})))) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN ctf c ON c.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot t
+  GROUP BY q.query_id, tf.doc_id),
+br AS (
+  SELECT query_id, doc_id, rn FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM bscores) WHERE rn <= {_RC_K}),
+lr AS (
+  SELECT query_id, doc_id, rn FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rn
+    FROM lscores) WHERE rn <= {_RC_K}),
+sh AS (
+  SELECT b.query_id, b.doc_id, b.rn AS rb, l.rn AS rl
+  FROM br b JOIN lr l USING (query_id, doc_id)),
+rr AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rb) - 1 AS rb2,
+         row_number() OVER (PARTITION BY query_id ORDER BY rl) - 1 AS rl2
+  FROM sh),
+agg AS (
+  SELECT query_id, count(*)::BIGINT AS n,
+         cast(sum((rb2 - rl2) * (rb2 - rl2)) AS BIGINT) AS sumd2
+  FROM rr GROUP BY query_id)
+SELECT query_id, n AS n_shared,
+       round(1.0 - 6.0 * sumd2 / (n * (n * n - 1))::DOUBLE, 4) AS rho
+FROM agg WHERE n >= 2 ORDER BY query_id
 """,
         # posting-list gap stats recomputed with LAG over the tf CTE.
         "posting_gaps": f"""

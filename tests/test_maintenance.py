@@ -504,3 +504,26 @@ def test_static_prune_resume_skips_finished_parts(ray_session, tmp_path):
     assert os.path.getmtime(f) == mtime
     static_prune_index(idx, out, top_n=1)        # different budget: rewrite
     assert os.path.getmtime(f) != mtime
+
+
+def test_static_prune_partial_crash_resume(ray_session, tmp_path):
+    """A part whose meta.json is missing (crash between data write and
+    meta write) must be re-pruned on resume; finished parts stay
+    untouched."""
+    import os
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import static_prune_index
+    from hybrid_sanctions_search_engine_ray.state.manifest import segment_dir
+
+    idx, m = _build(tmp_path, "full_crash", TEXTS)
+    out = str(tmp_path / "pruned_crash")
+    static_prune_index(idx, out, top_n=2)
+    # simulate the crash window on part 1: meta gone, data present
+    victim_meta = os.path.join(segment_dir(out, 1), "meta.json")
+    survivor = os.path.join(segment_dir(out, 0), "postings.parquet")
+    if os.path.exists(victim_meta):
+        os.remove(victim_meta)
+    s_mtime = os.path.getmtime(survivor)
+    static_prune_index(idx, out, top_n=2)
+    assert os.path.exists(victim_meta)            # victim re-pruned
+    assert os.path.getmtime(survivor) == s_mtime  # survivor untouched

@@ -808,6 +808,65 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+_MAINT_MOD = 10  # delete every doc with doc_id % 10 == 7
+
+
+def q_maintenance_e2e(sf_dir: str):
+    """Index-lifecycle capstone, value-gated end to end: build → delete
+    10% of docs (doc_id % 10 == 7) → COMPACT (physical purge with exact
+    stat correction) → REPARTITION to a different layout → serve BM25
+    from the repartitioned index. The twin is simply BM25 over the
+    corpus WITHOUT the deleted docs with recomputed stats — so
+    tombstoning, compaction's stat repair, the repartition rewrite and
+    the reader all have to agree exactly for the hash to match. Built
+    once per sf (cached, _DONE-marked after the full chain)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        compact_index,
+        delete_docs,
+        repartition_index,
+    )
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/graft_idx_cache/{_fmt}/{tag}-maint"
+    final = base + "-repart"
+    done = os.path.join(final, "_E2E_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        cfg = EngineConfig(num_partitions=16, analyzer=AnalyzerConfig(mode="simple"))
+        build_index(os.path.join(sf_dir, "documents.parquet"), base, cfg,
+                    transcripts_ds=transcripts_from_documents(sf_dir))
+        n_docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"]).count()
+        doomed = [d for d in range(n_docs) if d % _MAINT_MOD == 7]
+        delete_docs(base, doomed)
+        compact_index(base)
+        repartition_index(base, final, new_partitions=8)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    queries_ds = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K}
+         for qid, text in BM25_QUERIES.items()])
+    res = search(queries_ds, final, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_finish, batch_format="pandas")
+
+
 _RC_K = 10
 
 
@@ -11193,6 +11252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_first_merge": q_bpe_first_merge,
         "posting_gaps": q_posting_gaps,
         "rank_correlation": q_rank_correlation,
+        "maintenance_e2e": q_maintenance_e2e,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -12093,6 +12153,37 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # lifecycle capstone: BM25 over the corpus minus the deleted
+        # docs, stats recomputed — must equal the
+        # delete->compact->repartition->serve chain exactly.
+        "maintenance_e2e": f"""
+WITH t0 AS (SELECT doc_id, text FROM documents WHERE doc_id % {_MAINT_MOD} <> 7),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(nfc_normalize(text)), '[^\\p{{L}}\\p{{N}}]+')) AS term
+  FROM t0),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # Spearman rho between the BM25 and LMD top-10, intersection
         # re-ranked by each system's own order; permutation formula.

@@ -808,6 +808,59 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_federated_e2e(sf_dir: str):
+    """Federated (base + overlay) serving capstone, value-gated in the
+    driver gate: the corpus splits into two shards by doc-id parity,
+    each builds its own index, and a FederatedReader answers the BM25
+    query batch across both — the overlay/active-merge tier (S8/D2).
+    Federation is exact by construction (global df/stats assembled from
+    the shards' raw postings), so the twin is plain BM25 over the FULL
+    corpus: shard stats assembly, cross-shard merge, the doc-id offset
+    glue and ranking all have to agree with the single-index truth.
+    The split is a contiguous conv-boundary cut; the shard builds keep
+    the transcripts' global doc_id column, so no offset glue is
+    needed."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.federated import FederatedReader
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    n_docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"]).count()
+    cut = (n_docs // 2 // 8) * 8   # conversation boundary (8 turns/conv)
+    dirs = []
+    for half, (lo, hi) in enumerate(((0, cut), (cut, n_docs))):
+        idx = f"/tmp/graft_idx_cache/{_fmt}/{tag}-fed{half}"
+        dirs.append(idx)
+        if os.path.exists(os.path.join(idx, "manifest.json")):
+            continue
+        shutil.rmtree(idx, ignore_errors=True)
+        ts = transcripts_from_documents(sf_dir).map_batches(
+            lambda b, lo_=lo, hi_=hi: b.filter(pc.and_(
+                pc.greater_equal(b["doc_id"], lo_),
+                pc.less(b["doc_id"], hi_))),
+            batch_format="pyarrow")
+        cfg = EngineConfig(num_partitions=8, analyzer=AnalyzerConfig(mode="simple"))
+        build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg,
+                    transcripts_ds=ts)
+    # shard builds keep the transcripts' GLOBAL doc_id column, so the
+    # offset glue is identity (the default would re-offset dense ids)
+    reader = FederatedReader(dirs, doc_id_offsets=[0, 0])
+    rows = []
+    for qid, text in BM25_QUERIES.items():
+        docs, scores = reader.search_one(text, BM25_TOP_K)
+        for r, (d, sc) in enumerate(zip(docs, scores), start=1):
+            rows.append({"query_id": qid, "rank": np.int32(r),
+                         "doc_id": np.int64(d),
+                         "score": float(_round4(np.array([sc]))[0])})
+    return pd.DataFrame(rows)
+
+
 _MAINT_MOD = 10  # delete every doc with doc_id % 10 == 7
 
 
@@ -11253,6 +11306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_gaps": q_posting_gaps,
         "rank_correlation": q_rank_correlation,
         "maintenance_e2e": q_maintenance_e2e,
+        "federated_e2e": q_federated_e2e,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -12153,6 +12207,28 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # federated == single-index truth: plain BM25 over the full
+        # corpus (shared expression with bm25_topk).
+        "federated_e2e": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # lifecycle capstone: BM25 over the corpus minus the deleted
         # docs, stats recomputed — must equal the

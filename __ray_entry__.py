@@ -808,6 +808,70 @@ def q_dp_counts(sf_dir: str):
 # (strem, filtr, grup), phonetic (botsh→batch, mirj→merge,
 # weondew→window — jw below τ but Soundex-coded with a dictionary
 # term), none (zzqqzz, sately)
+def q_append_e2e(sf_dir: str):
+    """Incremental-ingest capstone (the ES index-new-batch-then-
+    rollover flow, physical form): a live index over the first
+    conv-boundary slice of the corpus, the remaining conversations
+    appended through append_documents — delta built with the live
+    index's exact parameters, ids lifted by the live doc count,
+    partition-parallel physical merge — and the BM25 query batch served
+    from the MERGED index. The twin is plain BM25 over the full corpus,
+    so delta build, id lifting, the merge pass and the reader must all
+    reproduce the from-scratch truth. Completes the lifecycle trio
+    beside maintenance_e2e and federated_e2e."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import append_documents
+    from hybrid_sanctions_search_engine_ray.pipelines.query import search
+    from hybrid_sanctions_search_engine_ray.sources.transcripts import transcripts_from_documents
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/graft_idx_cache/{_fmt}/{tag}-appbase"
+    merged = f"/tmp/graft_idx_cache/{_fmt}/{tag}-appmerged"
+    if not os.path.exists(os.path.join(merged, "manifest.json")):
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(merged, ignore_errors=True)
+        n_docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"]).count()
+        cut = (n_docs // 2 // 8) * 8   # conversation boundary
+        # both builds go through the checkpoint path (no doc_id column)
+        # so their docmap layouts agree and ids are assigned dense in
+        # (conv_id, turn_idx) order — prefix slice ids = global ids
+        live_ts = transcripts_from_documents(sf_dir).map_batches(
+            lambda b: b.filter(pc.less(b["doc_id"], cut))
+                       .select(["conv_id", "turn_idx", "role", "text",
+                                "tool", "ts"]),
+            batch_format="pyarrow")
+        cfg = EngineConfig(num_partitions=8, analyzer=AnalyzerConfig(mode="simple"))
+        build_index(os.path.join(sf_dir, "documents.parquet"), base, cfg,
+                    transcripts_ds=live_ts)
+        # the delta is NEW data: no doc_id column — append assigns dense
+        # ids and lifts them by the live doc count (append-ordered ids)
+        delta_ts = transcripts_from_documents(sf_dir).map_batches(
+            lambda b: b.filter(pc.greater_equal(b["doc_id"], cut))
+                       .select(["conv_id", "turn_idx", "role", "text",
+                                "tool", "ts"]),
+            batch_format="pyarrow")
+        append_documents(base, delta_ts, merged)
+
+    queries_ds = rd.from_items(
+        [{"query_id": qid, "query_text": text, "top_k": BM25_TOP_K}
+         for qid, text in BM25_QUERIES.items()])
+    res = search(queries_ds, merged, _engine_cfg())
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = _round4(b["score"].to_numpy())
+        b["rank"] = b["rank"].astype(np.int32)
+        return b
+
+    return res.map_batches(_finish, batch_format="pandas")
+
+
 def q_federated_e2e(sf_dir: str):
     """Federated (base + overlay) serving capstone, value-gated in the
     driver gate: the corpus splits into two shards by doc-id parity,
@@ -11307,6 +11371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_correlation": q_rank_correlation,
         "maintenance_e2e": q_maintenance_e2e,
         "federated_e2e": q_federated_e2e,
+        "append_e2e": q_append_e2e,
         "tool_chains": q_tool_chains,
         "dp_counts": q_dp_counts,
         "loss_mask_spans": q_loss_mask_spans,
@@ -12207,6 +12272,28 @@ SELECT event_type, n AS n_true,
        round(n + (-(1.0 / {_DP_EPS}) * sign(uu - 0.5)
                   * ln(1 - 2 * abs(uu - 0.5))), 4) AS n_noisy
 FROM u ORDER BY event_type
+""",
+        # append/merge == from-scratch truth (same full-corpus BM25
+        # expression as federated_e2e).
+        "append_e2e": f"""
+WITH {TRANSCRIPTS_CTE},
+qterms(query_id, term) AS (VALUES {qterms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * {_K1 + 1.0} / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id, cast(rnk AS int) AS rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # federated == single-index truth: plain BM25 over the full
         # corpus (shared expression with bm25_topk).

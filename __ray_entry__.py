@@ -6583,24 +6583,47 @@ def q_ann_ivf(sf_dir: str):
     return ivf_query(ivf_dir, q_ids.tolist(), q_mat, k=_EMB_TOP_K)
 
 
-def q_ann_pq(sf_dir: str):
-    """Product-quantization ANN (Jégou et al. 2011): ADC scan over the
-    m-byte/vector persisted code table + exact cosine rescore of the
-    merged candidates — vector quantization completes the ANN family
-    beside IVF/LSH/NSW/int8 (stages/similarity.pq_build/pq_query).
-    Rows-only (k-means float iterations are not SQL-expressible);
-    recall vs brute force is gated in ann_eval, and the ADC scan
-    kernel itself is value-verified by the exact pq_adc twin
-    (sampled-anchor codebook, pure BIGINT — see q_pq_adc)."""
+_PQ_RERANK = 100
+_PQX_SCALE = 1_000_000  # == stages.similarity.PQ_EXACT_SCALE
+
+
+def _pq_oracle_dir() -> str:
+    """The FIXED path the ann_pq DuckDB twin reads the persisted k-means
+    codebook from (oracle_sql() strings are static, so the Ray callable
+    refreshes this copy on every run — the gate always runs the Ray side
+    immediately before its SQL twin on the same sf)."""
     from hybrid_sanctions_search_engine_ray import __version__ as _fmt
-    from hybrid_sanctions_search_engine_ray.stages.similarity import pq_build, pq_query
+
+    return f"/tmp/graft_pq_oracle/{_fmt}"
+
+
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011): ADC lookup-sum scan
+    over the m-byte/vector persisted code table + rescore of the merged
+    top-rerank candidates — vector quantization completes the ANN family
+    beside IVF/LSH/NSW/int8 (stages/similarity.pq_build/pq_query_exact).
+    VALUE-GATED end to end: pq_build persists the k-means OUTPUT as an
+    int64 codebook table (training stays outside the oracle; its output
+    is just a table), encoding/ADC/rescore are pure BIGINT
+    (quantized-normalized coords, integer dot rescore), and the DuckDB
+    twin reads the SAME codebook parquet and reproduces codes, ADC sums
+    and the rescore ranking value-for-value."""
+    import shutil as _sh
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        pq_build, pq_query_exact)
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
     pq_dir = f"/tmp/graft_pq_cache/{_fmt}/{tag}"
     pq_build(path, pq_dir)
-    q_ids, q_mat = _load_query_vectors(path)
-    return pq_query(pq_dir, path, q_ids.tolist(), q_mat, k=_EMB_TOP_K, rerank=100)
+    odir = _pq_oracle_dir()
+    os.makedirs(odir, exist_ok=True)
+    _sh.copyfile(os.path.join(pq_dir, "codebook.parquet"),
+                 os.path.join(odir, "codebook.parquet"))
+    return pq_query_exact(pq_dir, path, n_queries=_N_EMB_QUERIES,
+                          k=_EMB_TOP_K, rerank=_PQ_RERANK)
 
 
 _PQ_ADC_M, _PQ_ADC_CODES, _PQ_ADC_SCALE = 8, 8, 1_000_000
@@ -15052,6 +15075,65 @@ ranked AS (
 )
 SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
 FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # ann_pq, exact: reads the PERSISTED k-means codebook parquet
+        # (the training OUTPUT as a table — the Ray callable refreshes
+        # this copy every run) and reproduces encode argmin, ADC
+        # lookup-sum and the integer-dot rescore in pure BIGINT.
+        # Quantized-normalization parity: xq = round(x·S) is exact;
+        # ss = Σxq² is exact integer; nq = round(xq/sqrt(ss)·S) is a
+        # fixed sequence of correctly-rounded IEEE ops identical in
+        # numpy and DuckDB (no accumulation-order float sums anywhere).
+        "ann_pq": f"""
+WITH raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         cast(round(unnest(embedding)::DOUBLE * {_PQX_SCALE}) AS BIGINT) AS xq
+  FROM embeddings),
+nrm AS (SELECT vec_id, sum(xq * xq) AS ss FROM raw GROUP BY vec_id),
+vn AS (
+  SELECT r.vec_id, r.d,
+         cast(round(r.xq / sqrt(n.ss::DOUBLE) * {_PQX_SCALE}) AS BIGINT) AS nq
+  FROM raw r JOIN nrm n USING (vec_id)),
+cb AS (SELECT sub, code, d, val_q
+       FROM read_parquet('{_pq_oracle_dir()}/codebook.parquet')),
+dist AS (
+  SELECT v.vec_id, c.sub, c.code,
+         sum((v.nq - c.val_q) * (v.nq - c.val_q)) AS d2
+  FROM vn v JOIN cb c ON c.d = v.d
+  GROUP BY v.vec_id, c.sub, c.code),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM dist) WHERE rn = 1),
+qdist AS (
+  SELECT vec_id AS query_vec_id, sub, code, d2 AS t
+  FROM dist WHERE vec_id < {_N_EMB_QUERIES}),
+adc AS (
+  SELECT qd.query_vec_id, c.vec_id, sum(qd.t) AS adc_d2
+  FROM codes c JOIN qdist qd ON qd.sub = c.sub AND qd.code = c.code
+  WHERE c.vec_id <> qd.query_vec_id
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query_vec_id, vec_id, adc_d2 FROM (
+    SELECT query_vec_id, vec_id, adc_d2,
+           row_number() OVER (
+             PARTITION BY query_vec_id ORDER BY adc_d2, vec_id) AS rn
+    FROM adc) WHERE rn <= {_PQ_RERANK}),
+dots AS (
+  SELECT c.query_vec_id, c.vec_id, c.adc_d2, sum(q.nq * v.nq) AS dot_q
+  FROM cand c
+  JOIN vn q ON q.vec_id = c.query_vec_id
+  JOIN vn v ON v.vec_id = c.vec_id AND v.d = q.d
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query_vec_id, vec_id, adc_d2, dot_q,
+         row_number() OVER (
+           PARTITION BY query_vec_id ORDER BY dot_q DESC, vec_id) AS rnk
+  FROM dots)
+SELECT query_vec_id, cast(rnk AS BIGINT) AS rank, vec_id,
+       cast(adc_d2 AS BIGINT) AS adc_d2, cast(dot_q AS BIGINT) AS dot_q
+FROM ranked WHERE rnk <= {_EMB_TOP_K} ORDER BY query_vec_id, rank
 """,
         # PQ ADC scan, exact: sampled-anchor codebook (Lehmer-ranked
         # rows), int64 ×1e6 coordinates, BIGINT encode/table/score.

@@ -1180,17 +1180,47 @@ class PQCodebook:
         return t
 
 
+PQ_EXACT_SCALE = 1_000_000
+
+
+def _quantize_norm_int(mat: np.ndarray, scale: int = PQ_EXACT_SCALE) -> np.ndarray:
+    """Integer-exact unit-normalization: the two-step quantization that
+    DuckDB reproduces bit-for-bit.  Step 1: raw float32 coords → int64
+    ``xq = round(x·scale)`` (one correctly-rounded IEEE multiply + the
+    half-away kernel that matches DuckDB ``round()``).  Step 2: the
+    squared norm ``ss = Σ xq²`` is EXACT integer arithmetic, so
+    ``nq = round(xq / sqrt(ss) · scale)`` is a fixed sequence of
+    correctly-rounded IEEE ops (int64→double exact, sqrt and divide
+    exactly rounded per IEEE-754) — identical in numpy and DuckDB, with
+    no accumulation-order-dependent float sums anywhere."""
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    xq = round_half_away(np.asarray(mat, dtype=np.float64) * scale, 0)
+    xq = xq.astype(np.int64)
+    ss = (xq * xq).sum(axis=1)                      # exact int64
+    nrm = np.sqrt(ss.astype(np.float64))
+    nq = round_half_away(xq / nrm[:, None] * scale, 0).astype(np.int64)
+    return nq
+
+
 def pq_build(embeddings_path: str, out_dir: str, m: int = 16, n_codes: int = 16,
              sample_rows: int = 2048, n_iter: int = 8, seed: int = 13,
+             scale: int = PQ_EXACT_SCALE,
              cols: tuple[str, str] = ("vec_id", "embedding")) -> str:
-    """Build a PERSISTED PQ layout: ``codebooks.npy`` + sharded
-    ``codes/`` parquet of (vec_id, code_0..code_{m-1}) — the corpus
-    compressed m bytes/vector (64× at dim 16 float32 → 4 uint8). One
-    streaming encode pass; queries scan CODES, not vectors, and only
-    the top-``rerank`` candidates ever touch the raw embeddings
-    (ADC + exact-rescore, the production PQ serving shape). Completes
-    the ANN family: IVF (partition pruning), LSH (bucket probing),
-    NSW (graph walk), int8 (scalar quantization), PQ (vector
+    """Build a PERSISTED PQ layout: ``codebooks.npy`` (float, for the
+    production ADC path) + ``codebook.parquet`` — the k-means OUTPUT as
+    a plain int64 table (sub, code, d, val_q at ×``scale``) that the
+    ann_pq DuckDB twin reads back — + sharded ``codes/`` parquet of
+    (vec_id, code_0..code_{m-1}): the corpus compressed m bytes/vector.
+    Encoding is integer argmin (quantized-normalized vector vs quantized
+    centroid, ties → lowest code), so the persisted codes are exactly
+    reproducible from codebook.parquet + the raw embeddings in SQL —
+    k-means training stays outside the oracle; its output is just a
+    table. One streaming encode pass; queries scan CODES, not vectors,
+    and only the top-``rerank`` candidates ever touch the raw
+    embeddings (ADC + rescore, the production PQ serving shape).
+    Completes the ANN family: IVF (partition pruning), LSH (bucket
+    probing), NSW (graph walk), int8 (scalar quantization), PQ (vector
     quantization). Skips work if ``out_dir`` is already complete."""
     import json
 
@@ -1198,7 +1228,8 @@ def pq_build(embeddings_path: str, out_dir: str, m: int = 16, n_codes: int = 16,
 
     meta_path = os.path.join(out_dir, "_PQ_META.json")
     meta = {"m": m, "n_codes": n_codes, "sample_rows": sample_rows,
-            "n_iter": n_iter, "seed": seed, "source": embeddings_path}
+            "n_iter": n_iter, "seed": seed, "scale": scale,
+            "source": embeddings_path}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == meta:
@@ -1211,22 +1242,43 @@ def pq_build(embeddings_path: str, out_dir: str, m: int = 16, n_codes: int = 16,
     pq_.fit(_sample_bottomk_by_hash(ds, sample_rows))
     np.save(os.path.join(out_dir, "codebooks.npy"), pq_.codebooks)
 
-    books_ref = ray.put(pq_.codebooks)
+    # The k-means OUTPUT as an integer table: (sub, code, d, val_q)
+    # with d the GLOBAL dim index (sub·subdim + local) — the layout the
+    # SQL twin joins on. round_half_away == DuckDB round().
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    books_q = round_half_away(pq_.codebooks * scale, 0).astype(np.int64)
+    n_c, subdim = books_q.shape[1], books_q.shape[2]
+    sub_col = np.repeat(np.arange(m, dtype=np.int64), n_c * subdim)
+    code_col = np.tile(np.repeat(np.arange(n_c, dtype=np.int64), subdim), m)
+    d_col = (sub_col * subdim
+             + np.tile(np.arange(subdim, dtype=np.int64), m * n_c))
+    import pyarrow.parquet as _pqt
+    _pqt.write_table(
+        pa.table({"sub": sub_col, "code": code_col, "d": d_col,
+                  "val_q": books_q.reshape(-1)}),
+        os.path.join(out_dir, "codebook.parquet"))
+
+    books_ref = ray.put(books_q)
 
     class Encode:
-        def __init__(self, ref, m_, n_codes_):
-            self.pq = PQCodebook(m=m_, n_codes=n_codes_)
-            self.pq.codebooks = ray.get(ref)
+        def __init__(self, ref):
+            self.books_q = ray.get(ref)   # (m, n_codes, subdim) int64
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            mat = _normalize(_batch_matrix(b))
-            codes = self.pq.encode(mat)
+            nq = _quantize_norm_int(_batch_matrix(b), scale)
+            n = nq.shape[0]
+            nq_s = nq.reshape(n, m, subdim)
+            # integer argmin ‖nq − c_q‖² per subspace, ties → lowest code
+            d2 = ((nq_s[:, :, None, :] - self.books_q[None, :, :, :]) ** 2
+                  ).sum(axis=3)            # (n, m, n_codes)
+            codes = d2.argmin(axis=2).astype(np.uint8)
             out = {"vec_id": b["vec_id"]}
             for j in range(codes.shape[1]):
                 out[f"code_{j}"] = pa.array(codes[:, j], pa.uint8())
             return pa.table(out)
 
-    (ds.map_batches(Encode, fn_constructor_args=(books_ref, m, n_codes),
+    (ds.map_batches(Encode, fn_constructor_args=(books_ref,),
                     batch_format="pyarrow", concurrency=2)
        .write_parquet(os.path.join(out_dir, "codes")))
     with open(meta_path, "w") as f:
@@ -1314,6 +1366,117 @@ def pq_query(pq_dir: str, embeddings_path: str, query_ids: list[int],
     import pandas as pd  # noqa: F811
 
     return pd.DataFrame(rows, columns=["query_vec_id", "vec_id", "cos_sim", "rank"])
+
+
+def pq_query_exact(pq_dir: str, embeddings_path: str, n_queries: int,
+                   k: int = 5, rerank: int = 100,
+                   scale: int = PQ_EXACT_SCALE) -> pd.DataFrame:
+    """The full ann_pq serving path — ADC lookup-sum over the persisted
+    codes + rescore of the merged top-``rerank`` candidates — with every
+    arithmetic step in int64 so a DuckDB twin that reads the SAME
+    ``codebook.parquet`` reproduces it value-for-value (k-means training
+    stays outside the oracle; its output is just a table).
+
+    - Queries = corpus rows ``vec_id < n_queries``, quantized-normalized
+      by :func:`_quantize_norm_int` (bit-parity with the SQL two-step).
+    - ADC tables ``T[q,s,a] = Σ_d (qn−c_q)²`` — pure BIGINT.
+    - Scan: ONE streaming pass over the codes parquet; per-batch integer
+      table lookups + batch-local top-``rerank`` partials (self
+      excluded); the driver merges nq·rerank·n_blocks candidate rows.
+    - Rescore: point-filtered embedding read of the candidate ids only;
+      score = integer dot of the quantized-normalized vectors
+      (rank-equivalent to cosine at 1e-6 resolution); top-``k`` by
+      (dot_q desc, vec_id asc).
+
+    Returns (query_vec_id, rank, vec_id, adc_d2, dot_q), all int64.
+    """
+    import pyarrow.parquet as _pqt
+    import ray.data as rd
+
+    cb = _pqt.read_table(os.path.join(pq_dir, "codebook.parquet"))
+    m = int(pa.compute.max(cb["sub"]).as_py()) + 1
+    n_codes = int(pa.compute.max(cb["code"]).as_py()) + 1
+    dim = int(pa.compute.max(cb["d"]).as_py()) + 1
+    subdim = dim // m
+    books_q = np.zeros((m, n_codes, subdim), dtype=np.int64)
+    books_q[cb["sub"].to_numpy(zero_copy_only=False),
+            cb["code"].to_numpy(zero_copy_only=False),
+            cb["d"].to_numpy(zero_copy_only=False) % subdim] = \
+        cb["val_q"].to_numpy(zero_copy_only=False)
+
+    qt = _pqt.read_table(embeddings_path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", n_queries)])
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    Qn = _quantize_norm_int(
+        np.stack(qt["embedding"].to_pandas().to_numpy()).astype(np.float64),
+        scale)
+    Qn_s = Qn.reshape(len(q_ids), m, subdim)
+    # T[q, s, a] = Σ_d (qn − c_q)² — integer ADC tables
+    T = ((Qn_s[:, :, None, :] - books_q[None, :, :, :]) ** 2).sum(axis=3)
+    state = ray.put({"T": T, "q_ids": q_ids})
+
+    class ScanInt:
+        def __init__(self, ref, rr):
+            st = ray.get(ref)
+            self.T, self.q_ids, self.rr = st["T"], st["q_ids"], rr
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mm = self.T.shape[1]
+            codes = np.stack([b[f"code_{j}"].to_numpy(zero_copy_only=False)
+                              for j in range(mm)], axis=1)
+            vec_ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s_idx = np.arange(mm)
+            out_q, out_v, out_d = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                sc = self.T[qi][s_idx[None, :], codes].sum(axis=1)
+                mask = vec_ids != qid
+                svc, sid = sc[mask], vec_ids[mask]
+                take = min(self.rr, sid.size)
+                if take == 0:
+                    continue
+                part = np.lexsort((sid, svc))[:take]
+                out_q.extend([int(qid)] * take)
+                out_v.extend(sid[part].tolist())
+                out_d.extend(svc[part].tolist())
+            return pa.table({"query_vec_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_v, pa.int64()),
+                             "adc_d2": pa.array(out_d, pa.int64())})
+
+    cand = (rd.read_parquet(os.path.join(pq_dir, "codes"))
+            .map_batches(ScanInt, fn_constructor_args=(state, rerank),
+                         batch_format="pyarrow", concurrency=2)
+            .to_pandas())
+    cand = cand.sort_values(["query_vec_id", "adc_d2", "vec_id"],
+                            kind="mergesort")
+    cand = cand.groupby("query_vec_id", sort=True).head(rerank)
+
+    all_ids = sorted(set(cand["vec_id"].tolist()))
+    if not all_ids:
+        return pd.DataFrame(columns=["query_vec_id", "rank", "vec_id",
+                                     "adc_d2", "dot_q"]).astype(np.int64)
+    emb = _pqt.read_table(embeddings_path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "in", all_ids)])
+    eid = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    En = _quantize_norm_int(
+        np.stack(emb["embedding"].to_pandas().to_numpy()).astype(np.float64),
+        scale)
+    pos = pd.Series(np.arange(len(eid)), index=eid)
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        g = cand[cand["query_vec_id"] == qid]
+        if g.empty:
+            continue
+        ids = g["vec_id"].to_numpy(np.int64)
+        adc = g["adc_d2"].to_numpy(np.int64)
+        sel = pos.loc[ids].to_numpy()
+        dots = En[sel] @ Qn[qi]                     # exact int64 dots
+        order = np.lexsort((ids, -dots))[:k]
+        for r, oi in enumerate(order, 1):
+            rows.append((int(qid), r, int(ids[oi]), int(adc[oi]),
+                         int(dots[oi])))
+    return pd.DataFrame(
+        rows, columns=["query_vec_id", "rank", "vec_id", "adc_d2", "dot_q"]
+    ).astype(np.int64)
 
 
 def label_propagation(embeddings_path: str, k: int = 5, n_iter: int = 3,

@@ -95,6 +95,49 @@ def test_pq_build_idempotent(ray_session, tmp_path):
     assert books2.shape[1] == 16 and books1.shape[1] == 8
 
 
+def test_pq_query_exact_bruteforce_parity(ray_session, tmp_path):
+    """pq_query_exact (the value-gated ann_pq serving path) must equal a
+    local integer replay: encode by integer argmin against the persisted
+    quantized codebook, ADC lookup-sum, top-rerank by (adc, vec_id),
+    integer-dot rescore by (dot desc, vec_id) — self excluded."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _quantize_norm_int, pq_query_exact)
+
+    X = _clustered(n=80, dim=16)
+    path = _write(str(tmp_path), X)
+    out = os.path.join(str(tmp_path), "pqx")
+    m, nc, k, rerank = 4, 8, 3, 20
+    pq_build(path, out, m=m, n_codes=nc)
+    got = pq_query_exact(out, path, n_queries=2, k=k, rerank=rerank)
+
+    # replay from the persisted codebook parquet
+    cb = pq.read_table(os.path.join(out, "codebook.parquet"))
+    sub = 16 // m
+    books_q = np.zeros((m, nc, sub), dtype=np.int64)
+    books_q[cb["sub"].to_numpy(), cb["code"].to_numpy(),
+            cb["d"].to_numpy() % sub] = cb["val_q"].to_numpy()
+    Nq = _quantize_norm_int(X.astype(np.float64))
+    N_s = Nq.reshape(len(X), m, sub)
+    d2 = ((N_s[:, :, None, :] - books_q[None]) ** 2).sum(axis=3)
+    codes = d2.argmin(axis=2)
+    ids = np.arange(len(X), dtype=np.int64)
+    for qid in (0, 1):
+        T = ((Nq[qid].reshape(m, sub)[:, None, :]
+              - books_q.transpose(0, 1, 2)[np.arange(m)][:, :, :]) ** 2
+             ).sum(axis=2)
+        sc = T[np.arange(m)[None, :], codes].sum(axis=1)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], sc[mask]))[:rerank]
+        cid, cadc = ids[mask][order], sc[mask][order]
+        dots = Nq[cid] @ Nq[qid]
+        fin = np.lexsort((cid, -dots))[:k]
+        g = got[got.query_vec_id == qid]
+        assert list(g["vec_id"]) == cid[fin].tolist()
+        assert list(g["adc_d2"]) == cadc[fin].tolist()
+        assert list(g["dot_q"]) == dots[fin].tolist()
+        assert list(g["rank"]) == [1, 2, 3]
+
+
 def test_pq_adc_exact_bruteforce_parity(ray_session, tmp_path):
     """pq_adc_exact must equal a local integer brute-force replay:
     same Lehmer anchor ranking, same ×scale quantization, same

@@ -205,6 +205,34 @@ def test_full_mode_fast_path_parity(texts):
     assert got == want
 
 
+_CYR_AL = ("абвгдеёжзийклмнопрстуфхцчшщъыьэюя" "АБВЕЁИЙКМНОПРСТУХ"
+           "їієґЇІЄҐ" "abcdefgXYZ" " \t,!?()\"«»" "0123456789" ".-'ёÃ№ßΣ​")
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.text(alphabet=_CYR_AL, max_size=60), min_size=1, max_size=12))
+def test_full_mode_cyrillic_vec_path_parity(texts):
+    """flat_terms full-mode with the NFKC-identity vectorized path
+    (ru/uk-heavy rows in Arrow kernels, blacklisted rows in Python)
+    equals the per-row Python analyzer on every row — including mixed
+    Latin/Cyrillic homoglyph tokens, ё folding, typographic noise,
+    dates, invisibles and Unicode specials."""
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    parent, terms = flat_terms(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        FULL,
+    )
+    got: dict[int, list[str]] = {}
+    for d, t in zip(parent.tolist(), terms.to_pylist()):
+        got.setdefault(d, []).append(t)
+    want = {i: tokenize_full(s) for i, s in enumerate(texts) if tokenize_full(s)}
+    assert got == want
+
+
 def test_full_mode_fast_path_stopwords_and_dedup():
     import pyarrow as pa
 

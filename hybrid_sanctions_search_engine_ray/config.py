@@ -63,6 +63,16 @@ class AnalyzerConfig:
     # normalize_for_ac, high_recall_ac_generator.py:174-181). Default
     # off: uniform casefold() (documented recall-friendly deviation).
     lang_split_case: bool = False
+    # full mode + lang_split_case only: route the case rule by a
+    # DETECTED-LANGUAGE COLUMN instead of per-string script detection —
+    # the faithful rendering of the reference's request-level language
+    # parameter (normalize_for_ac receives the detected language of the
+    # request, high_recall_ac_generator.py:174-181; our M3 langid stage
+    # produces the column). When set, batches passed to the analyzer
+    # stage must carry this column; rows whose value is "ru"/"uk" take
+    # the lower() branch, every other value takes casefold(). None =
+    # per-string script detection (the documented approximation).
+    lang_col: str | None = None
     min_token_len: int = 1
     max_token_len: int = 64
 

@@ -249,7 +249,8 @@ def recover_encoding(text: str) -> str:
 _CYRILLIC = re.compile(r"[Ѐ-ӿ]")
 
 
-def normalize_full(text: str, lang_split_case: bool = False) -> str:
+def normalize_full(text: str, lang_split_case: bool = False,
+                   lang: str | None = None) -> str:
     """The canonical normalization (pre-tokenization) for ``full`` mode.
 
     Case rule: uniform ``casefold()`` by default. The reference splits
@@ -273,11 +274,20 @@ def normalize_full(text: str, lang_split_case: bool = False) -> str:
     branch, anything else takes ``casefold()``. The approximation of
     the reference's language PARAMETER by per-string script detection
     is exact for its ru/uk/en routing on real inputs (the reference
-    passes the detected language of the same string)."""
+    passes the detected language of the same string).
+
+    ``lang`` (with ``lang_split_case=True``) replaces the per-string
+    script detection with the reference's actual routing input — the
+    DETECTED LANGUAGE of the request (``"ru"``/``"uk"`` → ``lower()``
+    branch, anything else → ``casefold()``). Supplied per row from an
+    M3 language column via ``AnalyzerConfig.lang_col``."""
     t = recover_encoding(text).translate(_INVISIBLE).translate(_SPECIAL_IGNORED)
     t = unicodedata.normalize("NFKC", t)
     t = t.translate(_APOSTROPHES).translate(_HYPHENS)
-    ru_branch = lang_split_case and _CYRILLIC.search(t) is not None
+    if lang is not None:
+        ru_branch = lang_split_case and lang in ("ru", "uk")
+    else:
+        ru_branch = lang_split_case and _CYRILLIC.search(t) is not None
     table = _TRANSLIT_RU_BRANCH if ru_branch else _TRANSLIT
     for src, dst in table.items():
         t = t.replace(chr(src), dst)
@@ -291,8 +301,9 @@ _EDGE_PUNCT = ".,;:!?()[]{}\"'"
 
 
 def tokenize_full(text: str, remove_stopwords: bool = False,
-                  lang_split_case: bool = False) -> list[str]:
-    t = normalize_full(text, lang_split_case=lang_split_case)
+                  lang_split_case: bool = False,
+                  lang: str | None = None) -> list[str]:
+    t = normalize_full(text, lang_split_case=lang_split_case, lang=lang)
     # date exclusion must run BEFORE the noise strip: slash dates
     # (01/02/2003) would otherwise be split into bare number tokens when
     # '/' is removed (reference: token_processor.py:17-22 checks raw
@@ -346,23 +357,32 @@ def dedup_tokens(toks: list[str]) -> list[str]:
 
 @lru_cache(maxsize=8)
 def get_analyzer(cfg: AnalyzerConfig):
-    """Return a ``str -> list[str]`` tokenizer for this config."""
+    """Return a ``(text, lang=None) -> list[str]`` tokenizer for this
+    config. ``lang`` is honored only by ``full`` mode with
+    ``lang_split_case`` (the column-driven case routing of
+    ``AnalyzerConfig.lang_col``); every other mode ignores it."""
     lo, hi = cfg.min_token_len, cfg.max_token_len
     if cfg.mode == "simple":
-        base = tokenize_simple
         if cfg.remove_stopwords:
-            def base(text: str) -> list[str]:  # noqa: F811
+            def base(text: str, lang: str | None = None) -> list[str]:
                 return [t for t in tokenize_simple(text) if t not in STOPWORDS]
+        else:
+            def base(text: str, lang: str | None = None) -> list[str]:
+                return tokenize_simple(text)
     elif cfg.mode == "char3":
-        base = tokenize_char3
+        def base(text: str, lang: str | None = None) -> list[str]:
+            return tokenize_char3(text)
     elif cfg.mode == "edge":
-        base = tokenize_edge
+        def base(text: str, lang: str | None = None) -> list[str]:
+            return tokenize_edge(text)
     elif cfg.mode == "shingle":
-        base = tokenize_shingle
+        def base(text: str, lang: str | None = None) -> list[str]:
+            return tokenize_shingle(text)
     elif cfg.mode == "full":
-        def base(text: str) -> list[str]:
+        def base(text: str, lang: str | None = None) -> list[str]:
             return tokenize_full(text, remove_stopwords=cfg.remove_stopwords,
-                                 lang_split_case=cfg.lang_split_case)
+                                 lang_split_case=cfg.lang_split_case,
+                                 lang=lang)
     else:
         raise ValueError(f"unknown analyzer mode: {cfg.mode}")
 
@@ -378,25 +398,26 @@ def get_analyzer(cfg: AnalyzerConfig):
                    "ru_names": name_stem_ru, "uk_names": name_stem_uk}[cfg.stem]
         inner = base
 
-        def base(text: str) -> list[str]:  # noqa: F811
-            return [stem_fn(t) for t in inner(text)]
+        def base(text: str, lang: str | None = None) -> list[str]:  # noqa: F811
+            return [stem_fn(t) for t in inner(text, lang)]
     elif cfg.stem:
         raise ValueError(f"unknown stemmer: {cfg.stem}")
 
     if cfg.dedup_tokens:
         inner_d = base
 
-        def base(text: str) -> list[str]:  # noqa: F811
-            return dedup_tokens(inner_d(text))
+        def base(text: str, lang: str | None = None) -> list[str]:  # noqa: F811
+            return dedup_tokens(inner_d(text, lang))
 
     if lo <= 1 and hi >= 64:
         return base
 
-    def bounded(text: str) -> list[str]:
-        return [t for t in base(text) if lo <= len(t) <= hi]
+    def bounded(text: str, lang: str | None = None) -> list[str]:
+        return [t for t in base(text, lang) if lo <= len(t) <= hi]
 
     return bounded
 
 
-def analyze(text: str, cfg: AnalyzerConfig | None = None) -> list[str]:
-    return get_analyzer(cfg or AnalyzerConfig())(text)
+def analyze(text: str, cfg: AnalyzerConfig | None = None,
+            lang: str | None = None) -> list[str]:
+    return get_analyzer(cfg or AnalyzerConfig())(text, lang)

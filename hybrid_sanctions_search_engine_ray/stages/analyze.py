@@ -457,12 +457,27 @@ def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Arr
             parents.append(idx_vec[p_local])
             flats.append(fl)
         rest_idx = np.flatnonzero(~(plain | vec))
-    # Python chain for the remaining rows (all rows when no fast path)
+    # Python chain for the remaining rows (all rows when no fast path).
+    # With lang_col set (full mode + lang_split_case), the case rule is
+    # routed by the M3 language column instead of per-string script
+    # detection — the vectorized fast paths stay valid for BOTH branches
+    # (on eligible rows casefold == lower per char and ß is blacklisted,
+    # so the branch choice cannot change their output).
     analyzer = get_analyzer(cfg)
+    langs = None
+    if cfg.lang_col is not None:
+        if cfg.lang_col not in batch.column_names:
+            raise ValueError(
+                f"AnalyzerConfig.lang_col={cfg.lang_col!r} but the batch "
+                f"has columns {batch.column_names}")
+        langs = batch[cfg.lang_col]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
     it = enumerate(text) if rest_idx is None else (
         (int(i), text[int(i)]) for i in rest_idx)
     for i, s in it:
-        toks = analyzer(s.as_py() or "")
+        toks = analyzer(s.as_py() or "",
+                        langs[i].as_py() if langs is not None else None)
         if toks:
             parents.append(np.full(len(toks), i, dtype=np.int64))
             flats.append(pa.array(toks, pa.string()))

@@ -205,6 +205,65 @@ def test_full_mode_fast_path_parity(texts):
     assert got == want
 
 
+def test_lang_col_routing_vs_script_detection():
+    """Column-driven case routing (AnalyzerConfig.lang_col — the
+    reference's request-level language parameter) vs per-string script
+    detection: golden disagree cases, both modes exercised through
+    flat_terms, plus an agreement case and a vec-path invariance case."""
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_ray.stages.analyze import flat_terms
+
+    texts = [
+        "Straße Москва",    # detect: Cyrillic → ru branch (ß survives);
+                             # routed lang=en → casefold (ß → ss)
+        "ΟΔΥΣΣΕΥΣ",         # detect: no Cyrillic → casefold (σ);
+                             # routed lang=ru → lower() (final ς)
+        "Ёлка і ялинка",    # agree: Cyrillic detected, routed uk
+        "путин москва",     # vec-eligible: identical under both modes
+    ]
+    langs = ["en", "ru", "uk", "en"]
+
+    def run(cfg, with_lang):
+        tbl = {"doc_id": pa.array(range(len(texts)), pa.int64()),
+               "text": pa.array(texts, pa.string())}
+        if with_lang:
+            tbl["lang"] = pa.array(langs, pa.string())
+        parent, terms = flat_terms(pa.table(tbl), cfg)
+        got: dict[int, list[str]] = {}
+        for d, t in zip(parent.tolist(), terms.to_pylist()):
+            got.setdefault(d, []).append(t)
+        return got
+
+    detect = run(AnalyzerConfig(mode="full", lang_split_case=True), False)
+    routed = run(AnalyzerConfig(mode="full", lang_split_case=True,
+                                lang_col="lang"), True)
+
+    # disagree case 1: ß survives the detected ru branch, folds to ss
+    # under the routed en branch
+    assert detect[0] == ["straße", "москва"]
+    assert routed[0] == ["strasse", "москва"]
+    # disagree case 2: final sigma under routed-ru lower(), plain sigma
+    # under detected casefold()
+    assert detect[1] == ["οδυσσευσ"]
+    assert routed[1] == ["οδυσσευς"]
+    # agreement: both modes take the ru/uk branch
+    assert detect[2] == routed[2] == ["елка", "і", "ялинка"]
+    # vec-path row: mode choice cannot change the output
+    assert detect[3] == routed[3] == ["путин", "москва"]
+
+    # per-row Python twin agrees with the column-driven stage
+    for i, (s, lg) in enumerate(zip(texts, langs)):
+        assert routed[i] == tokenize_full(s, lang_split_case=True, lang=lg)
+
+    # lang_col set but column missing → loud failure
+    import pytest
+
+    with pytest.raises(ValueError, match="lang_col"):
+        run(AnalyzerConfig(mode="full", lang_split_case=True,
+                           lang_col="lang"), False)
+
+
 _CYR_AL = ("абвгдеёжзийклмнопрстуфхцчшщъыьэюя" "АБВЕЁИЙКМНОПРСТУХ"
            "їієґЇІЄҐ" "abcdefgXYZ" " \t,!?()\"«»" "0123456789" ".-'ёÃ№ßΣ​")
 

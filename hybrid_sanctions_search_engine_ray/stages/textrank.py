@@ -190,16 +190,146 @@ def factorize_edge_graph(edges, symmetric: bool = False):
     return nodes, W_arr, edges_int
 
 
+#: node count above which textrank_keywords switches to the SHARDED
+#: rank-state path automatically (below it, one broadcast array per
+#: iteration is cheaper than shard bookkeeping). ~5e6 int64 ranks =
+#: 40 MB/worker broadcast — the comfortable ceiling for the flat path.
+SHARD_AT_NODES = 5_000_000
+
+
+def _textrank_sharded(eint, W_arr, V: int, n_iter: int,
+                      shard_size: int) -> list:
+    """TextRank iterations with rank state SHARDED by node-id range —
+    the bounded-per-worker-state path for vocabularies past
+    ``SHARD_AT_NODES`` (VERDICT r04 next-round item 5).
+
+    Layout: edges are tagged with ``s_shard = s_id // shard_size`` and
+    sorted by it ONCE (the only edge-sized exchange added); rank and
+    out-weight state live as per-shard object refs. Per iteration each
+    edge task ``ray.get``s ONLY the shards its (contiguous) batch
+    touches — O(shard_size) per worker, never O(V) — computes the same
+    integer contributions as the flat path, map-side-combines by t_id,
+    and the node-sized aggregate is re-assembled into new shard refs by
+    STREAMING ``iter_batches`` over a t_id-sorted result, so
+    the driver too holds at most one shard at a time. Arithmetic is
+    bit-identical to the broadcast path (same per-edge floor division,
+    exact integer sums in any order) — property-tested equal.
+
+    Returns the final rank state as the list of per-shard refs."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_shards = (V + shard_size - 1) // shard_size
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["s_shard"] = b["s_id"].to_numpy() // shard_size
+        return b
+
+    esh = eint.map_batches(tag, batch_format="pandas").sort("s_shard").materialize()
+    w_refs = [ray.put(W_arr[i * shard_size:(i + 1) * shard_size])
+              for i in range(n_shards)]
+    r_refs = [ray.put(np.full(min(shard_size, V - i * shard_size), SCALE,
+                              dtype=np.int64))
+              for i in range(n_shards)]
+
+    for _ in range(n_iter):
+        cur = list(r_refs)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            sh = b["s_shard"].to_numpy()
+            s_all = b["s_id"].to_numpy()
+            t_all = b["t_id"].to_numpy()
+            w_all = b["w"].to_numpy().astype(np.int64)
+            out_t: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            for shard in np.unique(sh):
+                m = sh == shard
+                s = s_all[m] - int(shard) * shard_size
+                w = w_all[m]
+                r_arr = ray.get(cur[int(shard)])
+                W = ray.get(w_refs[int(shard)])
+                ru = r_arr[s]
+                _guard_mul(ru, w, "textrank contrib (sharded)")
+                out_t.append(t_all[m])
+                out_c.append((ru * w) // W[s])
+            if not out_t:
+                return pd.DataFrame({"t_id": pd.Series([], dtype=np.int64),
+                                     "c": pd.Series([], dtype=np.int64)})
+            df = pd.DataFrame({"t_id": np.concatenate(out_t),
+                               "c": np.concatenate(out_c)})
+            # map-side combine (exact integer sums, order-free)
+            return df.groupby("t_id", sort=False, as_index=False)["c"].sum()
+
+        agg = (esh.map_batches(contrib, batch_format="pandas")
+               .groupby("t_id").aggregate(Sum("c", alias_name="sc"))
+               .sort("t_id"))
+        # streaming shard re-assembly: ≤1 shard in driver memory
+        new_refs: list = []
+        buf = np.full(min(shard_size, V), _BASE, dtype=np.int64)
+        cur_shard = 0
+
+        def flush_to(upto: int):
+            nonlocal cur_shard, buf
+            while cur_shard < upto:
+                new_refs.append(ray.put(buf))
+                cur_shard += 1
+                size = min(shard_size, V - cur_shard * shard_size)
+                buf = np.full(max(size, 0), _BASE, dtype=np.int64)
+
+        for bt in agg.iter_batches(batch_format="pandas"):
+            t = bt["t_id"].to_numpy().astype(np.int64)
+            sc = bt["sc"].to_numpy().astype(np.int64)
+            _guard_mul(np.array([_D_NUM]), sc, "textrank damped update")
+            shards = t // shard_size
+            for shard in np.unique(shards):
+                flush_to(int(shard))
+                m = shards == shard
+                buf[t[m] - int(shard) * shard_size] = (
+                    _BASE + (_D_NUM * sc[m]) // _D_DEN)
+        flush_to(n_shards)
+        r_refs = new_refs
+    return r_refs
+
+
 def textrank_keywords(transcripts_ds, n_iter: int = 4, top_n: int = 20,
-                      cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+                      cfg: AnalyzerConfig | None = None,
+                      shard_size: int | None = None) -> pd.DataFrame:
     """Top-``top_n`` terms by integer PageRank after ``n_iter`` damped
-    iterations; returns (term, rank) ordered by (rank desc, term)."""
+    iterations; returns (term, rank) ordered by (rank desc, term).
+
+    Rank state is a per-iteration broadcast numpy array up to
+    ``SHARD_AT_NODES`` nodes; past that (or when ``shard_size`` is
+    given explicitly) the sharded path bounds per-worker AND driver
+    state to one shard (:func:`_textrank_sharded`)."""
     import ray
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg).materialize()
     nodes, W_arr, eint = factorize_edge_graph(edges, symmetric=True)
     V = nodes.size
+
+    if shard_size is None and V > SHARD_AT_NODES:
+        shard_size = SHARD_AT_NODES
+    if shard_size is not None and V > 0:
+        r_refs = _textrank_sharded(eint, W_arr, V, n_iter, shard_size)
+        # per-shard top-n partials → tiny driver merge
+        parts = []
+        for i, ref in enumerate(r_refs):
+            r = ray.get(ref)
+            if r.size == 0:
+                continue
+            k = min(top_n, r.size)
+            pos = np.argpartition(-r, k - 1)[:k]
+            parts.append(pd.DataFrame({
+                "term": nodes[i * shard_size + pos], "rank": r[pos]}))
+        out = pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"term": [], "rank": []})
+        out["rank"] = out["rank"].astype(np.int64)
+        out = out.sort_values(["rank", "term"], ascending=[False, True],
+                              kind="mergesort").head(top_n)
+        return out.reset_index(drop=True)
+
     w_ref = ray.put(W_arr)
     r = np.full(V, SCALE, dtype=np.int64)
 
@@ -245,22 +375,40 @@ def hits_scores(transcripts_ds, n_iter: int = 2, top_n: int = 10,
     Scale shape: identical to TextRank — the directed int-id edge table
     is the only corpus-derived state; scores are node-sized int64 numpy
     broadcasts; each half-iteration is one map over edge blocks + one
-    node-sized groupby-sum. The raw (un-normalized) gather can exceed
-    int64 only in the normalizing multiply, which therefore runs in
-    Python-object (arbitrary-precision) arithmetic over the node-sized
-    array — matching the twin's HUGEINT semantics exactly. Returns the
+    node-sized groupby-sum. int64 overflow is guarded at BOTH widths:
+    per-element (``_guard_mul`` on score×w inside each batch) AND on
+    the aggregated gather — before each push the driver asserts
+    ``max(scores) × max-in-weight-of-the-gather-side`` fits int64 (the
+    per-node in-weight maxima are node-sized aggregates computed once
+    at setup), since a node's in-flow SUM can wrap even when every
+    addend fits. The normalizing multiply then runs in Python-object
+    (arbitrary-precision) arithmetic over the node-sized array —
+    matching the twin's HUGEINT semantics exactly. Returns the
     top-``top_n`` rows per kind: (kind ∈ {hub, authority}, term, score)."""
     import ray
     from ray.data.aggregate import Sum
 
     edges = build_adjacency(transcripts_ds, cfg, symmetric=False).materialize()
-    nodes, _, eint = factorize_edge_graph(edges)
+    nodes, W_out, eint = factorize_edge_graph(edges)
     V = nodes.size
+
+    # max total in-weight per gather side (ADVICE r04: the groupby Sum
+    # of in-flow can wrap int64 even when each val·w addend fits)
+    win = eint.groupby("t_id").aggregate(Sum("w", alias_name="wi")).to_pandas()
+    max_in_t = int(win["wi"].max()) if len(win) else 0
+    max_in_s = int(W_out.max()) if W_out.size else 0
+    _I64 = (1 << 63) - 1
 
     a = np.full(V, SCALE, dtype=np.int64)
     h = np.full(V, SCALE, dtype=np.int64)
 
     def _push(scores: np.ndarray, src_col: str, dst_col: str) -> np.ndarray:
+        gather_w = max_in_t if dst_col == "t_id" else max_in_s
+        mx_score = int(scores.max()) if scores.size else 0
+        if gather_w and mx_score and mx_score > _I64 // gather_w:
+            raise OverflowError(
+                f"hits aggregated gather would exceed int64: max score "
+                f"{mx_score} × max in-weight {gather_w}")
         ref = ray.put(scores)
 
         def contrib(b: pd.DataFrame) -> pd.DataFrame:

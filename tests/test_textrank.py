@@ -73,6 +73,34 @@ def test_textrank_partition_invariance(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_textrank_sharded_equals_flat(ray_session):
+    """The sharded rank-state path (per-shard refs, edges sorted by
+    source shard once, streaming shard re-assembly) must be
+    BIT-IDENTICAL to the broadcast path — here forced with a tiny
+    shard_size so the vocabulary spans many shards, batches straddle
+    shard boundaries, and shards with zero in-flow exercise the
+    base-fill branch."""
+    flat = textrank_keywords(_ts(DOCS, ray_session, blocks=4), n_iter=4, top_n=50)
+    for shard_size in (1, 3, 7, 1000):
+        sharded = textrank_keywords(_ts(DOCS, ray_session, blocks=4),
+                                    n_iter=4, top_n=50, shard_size=shard_size)
+        pd.testing.assert_frame_equal(sharded, flat)
+
+
+def test_textrank_sharded_larger_vocab(ray_session):
+    """Synthetic larger-vocabulary corpus: many shards, per-worker state
+    bounded to shard_size — results equal the flat path and the brute
+    replay."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(180)]
+    docs = [" ".join(rng.choice(vocab, size=12)) for _ in range(60)]
+    flat = textrank_keywords(_ts(docs, ray_session, blocks=5), n_iter=3, top_n=40)
+    sharded = textrank_keywords(_ts(docs, ray_session, blocks=5),
+                                n_iter=3, top_n=40, shard_size=32)
+    pd.testing.assert_frame_equal(sharded, flat)
+    pd.testing.assert_frame_equal(flat, _brute(docs, 3, 40))
+
+
 def test_textrank_two_node_closed_form(ray_session):
     # a↔b only: symmetric, each iteration r = 0.15 + 0.85·r (mass conserved)
     out = textrank_keywords(_ts(["alpha beta"], ray_session), n_iter=4, top_n=10)

@@ -6688,6 +6688,72 @@ def q_ann_nsw(sf_dir: str):
     return nsw_query(nsw_dir, q_ids.tolist(), q_mat, k=_EMB_TOP_K, ef=48)
 
 
+def _nsw_oracle_dir() -> str:
+    """Fixed path the nsw_full_beam twin reads the persisted shard-0
+    parquet from (same refresh-on-run contract as _pq_oracle_dir)."""
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    return f"/tmp/graft_nsw_oracle/{_fmt}"
+
+
+def q_nsw_full_beam(sf_dir: str):
+    """VALUE-GATED companion to ann_nsw (the r04 evidence-closure item):
+    with the beam width set to the whole shard, the NSW greedy search
+    must visit every node reachable from the entry point and its
+    (-sim, local-index) ordering must equal exact brute-force cosine
+    ranking — so over ONE persisted shard, full-beam NSW == brute force
+    on that shard's vectors, which IS SQL-expressible. The twin reads
+    the same part=0 parquet (shard membership comes from the persisted
+    layout, not from re-deriving splitmix64 in SQL) and ranks by
+    list_cosine_similarity. This gates graph connectivity AND the
+    beam-search kernel's ordering semantics; the production ef regime's
+    recall stays measured in ann_eval."""
+    import shutil as _sh
+
+    import pyarrow.parquet as _pqt
+
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _batch_matrix, _normalize, _nsw_search, nsw_build)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    nsw_dir = f"/tmp/graft_nsw_cache/{_fmt}/{tag}"
+    nsw_build(path, nsw_dir, n_parts=8, m=8, ef_construction=48)
+    shard_path = os.path.join(nsw_dir, "part=0", "data.parquet")
+    odir = _nsw_oracle_dir()
+    os.makedirs(odir, exist_ok=True)
+    _sh.copyfile(shard_path, os.path.join(odir, "shard0.parquet"))
+
+    tbl = _pqt.read_table(shard_path)
+    mat = _normalize(_batch_matrix(tbl))
+    vec_ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = tbl["neighbors"].combine_chunks()
+    flat = nb.flatten().to_numpy(zero_copy_only=False)
+    offs = nb.offsets.to_numpy(zero_copy_only=False)
+    nbrs = [flat[offs[i]:offs[i + 1]] for i in range(len(tbl))]
+    q_ids, q_mat = _load_query_vectors(path)
+    qm = _normalize(np.asarray(q_mat, dtype=np.float64))
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        idx, sims = _nsw_search(mat, nbrs, qm[qi], ef=len(nbrs))
+        r = 0
+        for j, s in zip(idx, sims):
+            if vec_ids[j] == qid:
+                continue
+            r += 1
+            if r > _EMB_TOP_K:
+                break
+            rows.append((int(qid), r, int(vec_ids[j]), float(s)))
+    out = pd.DataFrame(rows, columns=["query_vec_id", "rank", "vec_id",
+                                      "cos_sim"])
+    out["query_vec_id"] = out["query_vec_id"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["cos_sim"] = _round4(out["cos_sim"].to_numpy())
+    return out
+
+
 # --- driver entry points ----------------------------------------------------
 
 
@@ -11546,6 +11612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "ann_nsw": q_ann_nsw,
+        "nsw_full_beam": q_nsw_full_beam,
         "topk_sketch": q_topk_sketch,
         "quantile_sketch": q_quantile_sketch,
         "distinct_sketch": q_distinct_sketch,
@@ -15075,6 +15142,31 @@ ranked AS (
 )
 SELECT query_vec_id, cast(rnk AS int) AS rank, vec_id, round(cos, 4) AS cos_sim
 FROM ranked WHERE rnk <= {_EMB_TOP_K}
+""",
+        # nsw_full_beam: full-beam NSW over the persisted shard-0 graph
+        # == exact brute-force cosine top-k on that shard's vectors
+        # (shard membership read from the SAME parquet the Ray side
+        # searched; gates connectivity + beam-order semantics).
+        "nsw_full_beam": f"""
+WITH shard AS (
+  SELECT vec_id FROM read_parquet('{_nsw_oracle_dir()}/shard0.parquet')),
+q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe
+  FROM embeddings WHERE vec_id < {_N_EMB_QUERIES}),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  JOIN shard s ON s.vec_id = e.vec_id
+  WHERE e.vec_id <> q.query_vec_id),
+ranked AS (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (
+           PARTITION BY query_vec_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM sims)
+SELECT query_vec_id, cast(rnk AS BIGINT) AS rank, vec_id,
+       round(cos, 4) AS cos_sim
+FROM ranked WHERE rnk <= {_EMB_TOP_K} ORDER BY query_vec_id, rank
 """,
         # ann_pq, exact: reads the PERSISTED k-means codebook parquet
         # (the training OUTPUT as a table — the Ray callable refreshes

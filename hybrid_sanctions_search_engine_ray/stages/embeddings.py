@@ -135,6 +135,120 @@ class Embedder:
         )
 
 
+def minilm_backend_factory(model: str =
+                           "sentence-transformers/paraphrase-multilingual-MiniLM-L12-v2",
+                           dim: int = 384):
+    """The REAL-model wiring for :class:`Embedder` — the reference's
+    MiniLM-L12-v2 loaded once per actor (reference:
+    embedding_service.py:17,70,108-150). Returns a zero-arg factory to
+    pass as ``backend_factory``; calling the factory (inside the
+    actor's ``__init__``) imports and loads the model there, so the
+    driver never holds weights and each actor loads exactly once.
+
+    Tries ``sentence_transformers`` first, then an
+    ``onnxruntime`` + ``tokenizers`` session if ``model`` points at an
+    .onnx file. Raises ImportError with a clear message when neither
+    stack is installed (this sandbox) — the swap is proven by
+    ``tests/test_embeddings_backend.py`` (skip-if-unavailable for the
+    real load; a fake factory proves the routing either way), and
+    rank-quality vs the hashing default is measured by
+    :func:`embedding_backend_eval` when weights are present."""
+    def factory():
+        try:
+            from sentence_transformers import SentenceTransformer
+
+            m = SentenceTransformer(model)
+
+            def encode(texts):
+                return m.encode(texts, batch_size=len(texts),
+                                normalize_embeddings=False,
+                                convert_to_numpy=True)
+
+            return encode
+        except ImportError:
+            pass
+        if model.endswith(".onnx"):
+            try:
+                import onnxruntime
+                from tokenizers import Tokenizer
+
+                sess = onnxruntime.InferenceSession(model)
+                tok = Tokenizer.from_file(model.rsplit(".", 1)[0] + ".tokenizer.json")
+
+                def encode(texts):
+                    encs = tok.encode_batch(texts)
+                    max_len = max((len(e.ids) for e in encs), default=1)
+                    ids = np.zeros((len(texts), max_len), dtype=np.int64)
+                    mask = np.zeros_like(ids)
+                    for i, e in enumerate(encs):
+                        ids[i, :len(e.ids)] = e.ids
+                        mask[i, :len(e.ids)] = 1
+                    out = sess.run(None, {"input_ids": ids,
+                                          "attention_mask": mask})[0]
+                    # mean-pool over the mask (MiniLM sentence embedding)
+                    w = mask[:, :, None].astype(np.float32)
+                    return (out * w).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-9)
+
+                return encode
+            except ImportError:
+                pass
+        raise ImportError(
+            "no embedding backend available: install sentence-transformers, "
+            "or onnxruntime+tokenizers with an exported .onnx model")
+
+    return factory
+
+
+def embedding_backend_eval(ds, query_ids: list[int], k: int = 10,
+                           dim_a: int = 64, dim_b: int = 64,
+                           factory_a=None, factory_b=None,
+                           analyzer_cfg: AnalyzerConfig | None = None):
+    """Rank-quality comparison harness between two embedding backends
+    (VERDICT r04 item 7): embed the corpus with each backend, run exact
+    cosine top-``k`` for ``query_ids`` against both spaces, and report
+    per-query rank agreement — ``overlap_at_k`` (|A∩B|/k) plus the mean
+    row. Run with ``factory_b=minilm_backend_factory()`` when weights
+    are present to quantify the hashing stand-in's ranking gap; with two
+    hashing seeds it doubles as a determinism/diversity probe (CI runs
+    that form). Returns a pandas DataFrame
+    (query_doc_id, overlap_at_k) + a summary row (query_doc_id = -1)."""
+    import pandas as pd
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        brute_force_topk)
+
+    qset = pa.array(sorted(set(int(q) for q in query_ids)), pa.int64())
+
+    def space(factory, dim):
+        import pyarrow.compute as pc
+
+        def as_vec(b: pa.Table) -> pa.Table:
+            return pa.table({"vec_id": b["doc_id"], "embedding": b["embedding"]})
+
+        emb = (embed_documents(ds, dim=dim, analyzer_cfg=analyzer_cfg,
+                               backend_factory=factory)
+               .map_batches(as_vec, batch_format="pyarrow").materialize())
+        qt = (emb.map_batches(
+                  lambda b: b.filter(pc.is_in(b["vec_id"], value_set=qset)),
+                  batch_format="pyarrow").to_pandas())
+        qt = qt.sort_values("vec_id", kind="mergesort")
+        qm = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+        res = brute_force_topk(emb, qt["vec_id"].tolist(), qm, k=k,
+                               exclude_self=True).to_pandas()
+        return {int(q): list(g["vec_id"]) for q, g in res.groupby("query_vec_id")}
+
+    a = space(factory_a, dim_a)
+    b = space(factory_b, dim_b)
+    rows = [{"query_doc_id": q,
+             "overlap_at_k": round(len(set(a.get(q, [])) & set(b.get(q, []))) / k, 4)}
+            for q in sorted(set(a) | set(b))]
+    out = pd.DataFrame(rows)
+    mean = round(float(out["overlap_at_k"].mean()), 4) if len(out) else 0.0
+    return pd.concat([out, pd.DataFrame([{"query_doc_id": -1,
+                                          "overlap_at_k": mean}])],
+                     ignore_index=True)
+
+
 def embed_documents(ds, dim: int = 64, analyzer_cfg: AnalyzerConfig | None = None,
                     concurrency: int = 4, batch_size: int = 2048,
                     backend_factory=None):

@@ -2590,9 +2590,18 @@ def q_ef_bytes(sf_dir: str):
 
     seg_files = sorted(_glob.glob(
         os.path.join(index_dir, "segments", "part=*", "postings.parquet")))
-    segs = rd.read_parquet(seg_files, columns=["term", "docs", "tfs", "dls"])
+    segs = rd.read_parquet(
+        seg_files, columns=["term", "seg_idx", "docs", "tfs", "dls"])
 
     def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # a sub-segmented term (rollover/append) would double-count l and
+        # mis-size the encoding vs the twin, which encodes each term's
+        # full list once — refuse rather than silently diverge (ADVICE r04)
+        if pc.max(b["seg_idx"]).as_py() not in (None, 0):
+            raise ValueError("ef_bytes: sub-segmented posting list — merge "
+                             "segments before the EF layout audit")
         terms, ns, ls, szs = [], [], [], []
         for i in range(b.num_rows):  # vocab-sized row loop, vector inner ops
             d, _t, _l = decode_posting(b["docs"][i].as_py(), b["tfs"][i].as_py(),

@@ -58,6 +58,14 @@ class AnalyzerConfig:
     # diminutive→canonical given-name conflation on top, for fields
     # holding person names only)
     stem: str = ""
+    # declares this analyzer configured for a PERSON-NAME field. The
+    # "_names" stemmers conflate diminutive stems that collide with
+    # common nouns (жен(а)→Евгений, кол→Николай — see
+    # functions/stemmer.py), which destroys recall on general text; the
+    # reference applies them only inside its name-matching layer.
+    # build_analyzer warns when a "_names" stemmer is configured without
+    # this flag so the misconfiguration fails loudly (ADVICE r04).
+    name_field: bool = False
     # full mode only: reproduce the reference's language-split case rule
     # (lower() for strings containing Cyrillic, casefold() otherwise —
     # normalize_for_ac, high_recall_ac_generator.py:174-181). Default

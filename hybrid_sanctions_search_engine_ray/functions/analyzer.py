@@ -387,6 +387,16 @@ def get_analyzer(cfg: AnalyzerConfig):
         raise ValueError(f"unknown analyzer mode: {cfg.mode}")
 
     if cfg.stem in ("ru", "uk", "ru_names", "uk_names"):
+        if cfg.stem.endswith("_names") and not cfg.name_field:
+            import warnings
+
+            warnings.warn(
+                f'stem="{cfg.stem}" conflates diminutive stems that collide '
+                "with common nouns (жен(а)→Евгений, кол→Николай) and is safe "
+                "only on person-name fields; set name_field=True on this "
+                'AnalyzerConfig to confirm, or use stem="'
+                f'{cfg.stem[:2]}" for general text',
+                UserWarning, stacklevel=2)
         from hybrid_sanctions_search_engine_ray.functions.stemmer import (
             name_stem_ru,
             name_stem_uk,

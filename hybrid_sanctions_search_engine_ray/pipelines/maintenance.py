@@ -1069,7 +1069,9 @@ def _prune_part(index_dir: str, out_dir: str, part: int, top_n: int) -> dict:
                 "before rollover/append, or merge segments first")
         d, t, l = decode_posting(
             tbl["docs"][i].as_py(), tbl["tfs"][i].as_py(), tbl["dls"][i].as_py())
-        sel = np.sort(np.lexsort((d, -t))[:top_n])
+        # signed key: negating the uint64 tf array would rely on wraparound
+        # (and a tf of 0 would sort as highest-impact) — ADVICE r04
+        sel = np.sort(np.lexsort((d, -t.astype(np.int64)))[:top_n])
         dk, tk, lk = d[sel], t[sel], l[sel]
         db, tb, lb = encode_posting(dk, tk, lk)
         row = {"term": tbl["term"][i].as_py(), "seg_idx": 0,

@@ -239,3 +239,25 @@ def test_name_stem_is_name_field_only_hazard_documented():
 
     assert stem_ru("жена") == "жен"
     assert name_stem_ru("жена") == name_stem_ru("евгения") == "евген"
+
+
+def test_names_stemmer_warns_without_name_field_flag():
+    """Configuring a "_names" stemmer without declaring the field a
+    name field is the recall-destroying misconfiguration (ADVICE r04)
+    — it must warn loudly; setting name_field=True must be silent."""
+    import warnings
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
+
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="person-name fields"):
+        tok = get_analyzer(AnalyzerConfig(stem="ru_names", max_token_len=63))
+    assert tok("Саша") == ["александр"]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tok = get_analyzer(
+            AnalyzerConfig(stem="uk_names", name_field=True, max_token_len=63))
+    assert tok("Сашко") == ["олександр"]

@@ -963,7 +963,7 @@ def q_maintenance_e2e(sf_dir: str):
                     transcripts_ds=transcripts_from_documents(sf_dir))
         n_docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                  columns=["doc_id"]).count()
-        doomed = [d for d in range(n_docs) if d % _MAINT_MOD == 7]
+        doomed = np.arange(7, n_docs, _MAINT_MOD).tolist()
         delete_docs(base, doomed)
         compact_index(base)
         repartition_index(base, final, new_partitions=8)

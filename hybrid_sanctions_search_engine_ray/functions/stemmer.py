@@ -343,15 +343,28 @@ _DIMINUTIVE_UK: dict[str, str] = {
 }
 
 
+# the generated wide tables (tools/audit_diminutives.py --emit, derived
+# from the reference's full diminutive resolution surface — data/
+# diminutives_ru.json / diminutives_uk.json behind diminutive_resolver.py)
+# extend the curated cores above; curated entries win on key collision.
+from hybrid_sanctions_search_engine_ray.functions._diminutive_gen import (  # noqa: E402
+    GEN_DIMINUTIVE_RU,
+    GEN_DIMINUTIVE_UK,
+)
+
+_DIM_RU_ALL: dict[str, str] = {**GEN_DIMINUTIVE_RU, **_DIMINUTIVE_RU}
+_DIM_UK_ALL: dict[str, str] = {**GEN_DIMINUTIVE_UK, **_DIMINUTIVE_UK}
+
+
 def name_stem_ru(word: str) -> str:
     """Russian name-field stem: suppletive-diminutive conflation after
     the algorithmic Snowball pass (Саша/Сашей/Шуре and
     Александр/Александром all → "александр")."""
     s = stem_ru(word)
-    return _DIMINUTIVE_RU.get(s, s)
+    return _DIM_RU_ALL.get(s, s)
 
 
 def name_stem_uk(word: str) -> str:
     """Ukrainian name-field stem (see :func:`name_stem_ru`)."""
     s = stem_uk(word)
-    return _DIMINUTIVE_UK.get(s, s)
+    return _DIM_UK_ALL.get(s, s)

@@ -80,6 +80,9 @@ class IndexReader:
                 remove_stopwords=self.manifest.remove_stopwords,
                 stem=self.manifest.stem,
                 dedup_tokens=self.manifest.dedup_tokens,
+                # the name-field consent gate ran at build time; a reader
+                # reconstructing the build analyzer must not re-warn
+                name_field=self.manifest.stem.endswith("_names"),
             ),
         )
         self.analyzer = get_analyzer(

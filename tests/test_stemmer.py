@@ -261,3 +261,53 @@ def test_names_stemmer_warns_without_name_field_flag():
         tok = get_analyzer(
             AnalyzerConfig(stem="uk_names", name_field=True, max_token_len=63))
     assert tok("Сашко") == ["олександр"]
+
+
+def test_generated_diminutive_table_is_wired_and_conflates():
+    """The generated wide tables (tools/audit_diminutives.py, derived
+    from the reference's full diminutive resolution surface) extend the
+    curated core: paradigms absent from the curated table conflate to
+    the canonical name's own stem."""
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import (
+        name_stem_ru,
+        name_stem_uk,
+    )
+
+    # ru: each diminutive lands exactly on its canonical's stem
+    for dim, canon in [("веруня", "вера"), ("борька", "борис"),
+                       ("анюта", "анна"), ("аннушка", "анна"),
+                       ("наденька", "надежда"), ("ирочка", "ирина")]:
+        assert name_stem_ru(dim) == name_stem_ru(canon), (dim, canon)
+    # uk
+    for dim, canon in [("гришко", "григорій"), ("петрусь", "петро")]:
+        assert name_stem_uk(dim) == name_stem_uk(canon), (dim, canon)
+
+
+def test_generated_diminutive_values_are_fixed_points():
+    """A single post-Snowball dict hop must suffice: no generated value
+    may itself be a key of the merged table mapping elsewhere (chains
+    would make conflation order-dependent)."""
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import (
+        _DIM_RU_ALL,
+        _DIM_UK_ALL,
+    )
+
+    for tbl in (_DIM_RU_ALL, _DIM_UK_ALL):
+        for k, v in tbl.items():
+            assert tbl.get(v, v) == v, (k, v)
+
+
+def test_curated_table_overrides_generated():
+    """Curated entries (hand-audited against the reference's paradigm
+    repairs) win over generated ones on key collision."""
+    from hybrid_sanctions_search_engine_ray.functions._diminutive_gen import (
+        GEN_DIMINUTIVE_RU,
+    )
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import (
+        _DIMINUTIVE_RU,
+        _DIM_RU_ALL,
+    )
+
+    for k, v in _DIMINUTIVE_RU.items():
+        assert _DIM_RU_ALL[k] == v
+    assert len(_DIM_RU_ALL) >= len(GEN_DIMINUTIVE_RU)

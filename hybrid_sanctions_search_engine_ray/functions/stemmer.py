@@ -359,8 +359,21 @@ _DIM_UK_ALL: dict[str, str] = {**GEN_DIMINUTIVE_UK, **_DIMINUTIVE_UK}
 def name_stem_ru(word: str) -> str:
     """Russian name-field stem: suppletive-diminutive conflation after
     the algorithmic Snowball pass (Саша/Сашей/Шуре and
-    Александр/Александром all → "александр")."""
-    s = stem_ru(word)
+    Александр/Александром all → "александр").
+
+    Surname paradigm repair (reference: morphology/gender_rules.py
+    FEMALE_SUFFIXES_RU — the feminine↔masculine surname surface):
+    Snowball strips -ов/-ев from a masculine NOMINATIVE surname
+    (иванов→иван) while every other form of the same paradigm — the
+    feminine nominative иванова, both genders' oblique cases, the
+    plural — stems to "иванов". Keeping the nominative's own shape as
+    its stem rejoins the paradigm, so Иванов/Иванова/Ивановой all
+    conflate (and Иванов no longer collides with the given name Иван).
+    -ин/-ын nominatives need no repair (путин→путин already)."""
+    if len(word) >= 5 and word.endswith(("ов", "ев", "ёв")):
+        s = word.replace("ё", "е")  # Snowball folds ё→е; the guard must too
+    else:
+        s = stem_ru(word)
     return _DIM_RU_ALL.get(s, s)
 
 

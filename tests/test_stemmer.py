@@ -311,3 +311,22 @@ def test_curated_table_overrides_generated():
     for k, v in _DIMINUTIVE_RU.items():
         assert _DIM_RU_ALL[k] == v
     assert len(_DIM_RU_ALL) >= len(GEN_DIMINUTIVE_RU)
+
+
+def test_surname_gender_paradigm_repair_ru():
+    """Reference gender_rules.py surface (FEMALE_SUFFIXES_RU): the
+    masculine nominative -ов/-ев surname must conflate with its
+    feminine and oblique forms — Snowball alone splits the nominative
+    off its own paradigm (иванов→иван vs иванова→иванов)."""
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import name_stem_ru
+
+    for fem, masc in [("иванова", "иванов"), ("ивановой", "иванов"),
+                      ("смирнова", "смирнов"), ("лебедевой", "лебедев"),
+                      ("козлова", "козлов"), ("соловьёва", "соловьёв")]:
+        assert name_stem_ru(fem) == name_stem_ru(masc), (fem, masc)
+    # the repair must NOT merge the surname with the bare given name
+    assert name_stem_ru("иванов") != name_stem_ru("иван")
+    # -ин/-ын paradigms were never split; unchanged
+    assert name_stem_ru("путина") == name_stem_ru("путин") == "путин"
+    # short words (Лев) never trigger the nominative guard
+    assert name_stem_ru("лев") == "лев"

@@ -6592,6 +6592,37 @@ def q_ann_ivf(sf_dir: str):
     return ivf_query(ivf_dir, q_ids.tolist(), q_mat, k=_EMB_TOP_K)
 
 
+_IVFX_CLUSTERS, _IVFX_NPROBE = 8, 3
+
+
+def _ivf_oracle_dir() -> str:
+    """The FIXED path the ivf_probe_exact DuckDB twin reads the
+    persisted int64 centroid table from (same refresh contract as
+    :func:`_pq_oracle_dir`: the Ray callable rewrites it every run,
+    and the gate runs the Ray side immediately before its twin)."""
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    return f"/tmp/graft_ivf_oracle/{_fmt}"
+
+
+def q_ivf_probe_exact(sf_dir: str):
+    """IVF probe serving, VALUE-GATED end to end — the verification
+    companion to ann_ivf (whose float centroids are principled
+    rows-only), completing the closure pattern across the ANN family
+    (pq_adc/ann_pq for PQ, nsw_full_beam for NSW): k-means training
+    stays outside the oracle, its output is persisted as an int64
+    centroid table the DuckDB twin reads back, and assignment, probe
+    ordering, the partition-pruned candidate scan and the integer-dot
+    top-k are reproduced value-for-value in SQL
+    (stages/similarity.ivf_probe_exact)."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import ivf_probe_exact
+
+    return ivf_probe_exact(os.path.join(sf_dir, "embeddings.parquet"),
+                           _ivf_oracle_dir(), n_queries=_N_EMB_QUERIES,
+                           n_clusters=_IVFX_CLUSTERS, nprobe=_IVFX_NPROBE,
+                           k=_EMB_TOP_K)
+
+
 _PQ_RERANK = 100
 _PQX_SCALE = 1_000_000  # == stages.similarity.PQ_EXACT_SCALE
 
@@ -11619,6 +11650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_docs": q_embed_docs,
         "media_features": q_media_features,
         "ann_ivf": q_ann_ivf,
+        "ivf_probe_exact": q_ivf_probe_exact,
         "ann_lsh": q_ann_lsh,
         "ann_nsw": q_ann_nsw,
         "nsw_full_beam": q_nsw_full_beam,
@@ -15234,6 +15266,55 @@ ranked AS (
   FROM dots)
 SELECT query_vec_id, cast(rnk AS BIGINT) AS rank, vec_id,
        cast(adc_d2 AS BIGINT) AS adc_d2, cast(dot_q AS BIGINT) AS dot_q
+FROM ranked WHERE rnk <= {_EMB_TOP_K} ORDER BY query_vec_id, rank
+""",
+        # IVF probe serving, exact: persisted int64 centroid table
+        # (k-means output — training outside the oracle), BIGINT
+        # assignment / probe ordering / partition-pruned scan / dot.
+        "ivf_probe_exact": f"""
+WITH raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         cast(round(unnest(embedding)::DOUBLE * {_PQX_SCALE}) AS BIGINT) AS xq
+  FROM embeddings),
+nrm AS (SELECT vec_id, sum(xq * xq) AS ss FROM raw GROUP BY vec_id),
+vn AS (
+  SELECT r.vec_id, r.d,
+         cast(round(r.xq / sqrt(n.ss::DOUBLE) * {_PQX_SCALE}) AS BIGINT) AS nq
+  FROM raw r JOIN nrm n USING (vec_id)),
+cb AS (SELECT cluster, d, val_q
+       FROM read_parquet('{_ivf_oracle_dir()}/centroids.parquet')),
+dist AS (
+  SELECT v.vec_id, c.cluster,
+         sum((v.nq - c.val_q) * (v.nq - c.val_q)) AS d2
+  FROM vn v JOIN cb c ON c.d = v.d
+  GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM dist) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM dist WHERE vec_id < {_N_EMB_QUERIES}) WHERE rn <= {_IVFX_NPROBE}),
+cand AS (
+  SELECT p.query_vec_id, a.vec_id, a.cluster
+  FROM probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_vec_id),
+dots AS (
+  SELECT c.query_vec_id, c.vec_id, c.cluster, sum(q.nq * v.nq) AS dot_q
+  FROM cand c
+  JOIN vn q ON q.vec_id = c.query_vec_id
+  JOIN vn v ON v.vec_id = c.vec_id AND v.d = q.d
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query_vec_id, vec_id, cluster, dot_q,
+         row_number() OVER (
+           PARTITION BY query_vec_id ORDER BY dot_q DESC, vec_id) AS rnk
+  FROM dots)
+SELECT query_vec_id, cast(rnk AS BIGINT) AS rank, vec_id, cluster,
+       cast(dot_q AS BIGINT) AS dot_q
 FROM ranked WHERE rnk <= {_EMB_TOP_K} ORDER BY query_vec_id, rank
 """,
         # PQ ADC scan, exact: sampled-anchor codebook (Lehmer-ranked

@@ -1665,3 +1665,126 @@ def pq_adc_exact(embeddings_path: str, n_queries: int, m: int = 8,
     top = cand2.groupby("query_vec_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_vec_id").cumcount().astype(np.int64) + 1
     return top[["query_vec_id", "rank", "vec_id", "adc_d2"]].astype(np.int64)
+
+
+def ivf_probe_exact(embeddings_path: str, oracle_dir: str, n_queries: int,
+                    n_clusters: int = 8, nprobe: int = 3, k: int = 10,
+                    sample_rows: int = 256, n_iter: int = 8,
+                    scale: int = PQ_EXACT_SCALE) -> pd.DataFrame:
+    """IVF probe serving with an EXACT SQL twin — the value-level
+    verification companion to :func:`ivf_build`/:func:`ivf_query` (whose
+    float centroids/assignment are principled rows-only), closing the
+    IVF family the way pq_adc/ann_pq closed PQ: k-means training stays
+    OUTSIDE the oracle, its output is persisted as a plain int64 table
+    (``centroids.parquet``: cluster, d, val_q) that the DuckDB twin
+    reads back, and everything downstream — assignment, probe ordering,
+    candidate scan, scoring — is pure BIGINT arithmetic on both sides:
+
+    - every vector quantize-normalized to int64 (``_quantize_norm_int``,
+      the DuckDB ``round()`` parity kernel proven by ann_pq);
+    - assignment = integer squared-L2 argmin vs the persisted centroids
+      (ties → lowest cluster id);
+    - per query, the ``nprobe`` clusters with smallest integer d2
+      (ties → lowest id) are probed; candidates are the vectors
+      ASSIGNED to those clusters (the partition-pruned IVF read shape);
+    - score = integer dot of quantized-normalized vectors; top-``k`` by
+      (dot desc, vec_id) — |nq| ≤ ~scale so a 64-dim dot is ≤ ~2⁶²·10⁻⁵,
+      far inside int64.
+
+    Training: deterministic Lloyd (``n_iter`` rounds, float64,
+    driver-side) on the hash-sampled quantized vectors, init = the
+    sample's first ``n_clusters`` rows in hash order; empty clusters
+    keep their previous centroid. The output is just a table — the
+    oracle never sees the iterations.
+
+    Scale shape: centroids are a broadcast ``ray.put`` constant; the
+    corpus pass is ONE streaming map_batches (quantize → assign →
+    masked integer matmul vs the broadcast query matrix → batch-local
+    top-k partials); the driver merges n_queries·k·n_blocks candidate
+    rows, never the corpus. Returns
+    (query_vec_id, rank, vec_id, cluster, dot_q), all int64.
+    """
+    import pyarrow.parquet as _pqt
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+
+    # --- train (outside the oracle), persist int64 centroid table ---
+    sample = _sample_bottomk_by_hash(ds, sample_rows)          # float64 (s, dim)
+    snq = _quantize_norm_int(sample, scale).astype(np.float64)
+    cent = snq[:n_clusters].copy()
+    for _ in range(n_iter):
+        d2 = ((snq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = np.argmin(d2, axis=1)
+        for c in range(n_clusters):
+            m = lab == c
+            if m.any():
+                cent[c] = snq[m].mean(axis=0)
+    qc = round_half_away(cent, 0).astype(np.int64)             # (C, dim)
+    dim = qc.shape[1]
+    os.makedirs(oracle_dir, exist_ok=True)
+    cl_col = np.repeat(np.arange(n_clusters, dtype=np.int64), dim)
+    d_col = np.tile(np.arange(dim, dtype=np.int64), n_clusters)
+    tmp = os.path.join(oracle_dir, "centroids.parquet.tmp")
+    _pqt.write_table(pa.table({"cluster": cl_col, "d": d_col,
+                               "val_q": qc.reshape(-1)}), tmp)
+    os.replace(tmp, os.path.join(oracle_dir, "centroids.parquet"))
+
+    # --- driver-side query prep (pushdown-pruned read, tiny) ---
+    head = _pqt.read_table(embeddings_path, columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", n_queries)])
+    q_ids = head["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(q_ids, kind="stable")
+    q_ids = q_ids[o]
+    q_mat = np.stack(head["embedding"].to_pandas().to_numpy()[o]).astype(np.float64)
+    qnq = _quantize_norm_int(q_mat, scale)                     # (nq, dim) int64
+    qd2 = ((qnq[:, None, :] - qc[None, :, :]) ** 2).sum(axis=2)  # int64
+    # probe set: nprobe smallest (d2, cluster) per query
+    probe_mask = np.zeros((q_ids.size, n_clusters), dtype=bool)
+    for i in range(q_ids.size):
+        order = np.lexsort((np.arange(n_clusters), qd2[i]))[:nprobe]
+        probe_mask[i, order] = True
+
+    state = ray.put((qc, qnq, q_ids, probe_mask))
+
+    class Scan:
+        def __init__(self, ref, k_):
+            self.qc, self.qnq, self.qids, self.probe = ray.get(ref)
+            self.k = k_
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            col = b["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                ids.size, -1).astype(np.float64)
+            nq = _quantize_norm_int(mat, scale)
+            d2 = ((nq[:, None, :] - self.qc[None, :, :]) ** 2).sum(axis=2)
+            cl = np.argmin(d2, axis=1)          # first min == lowest cluster id
+            dots = nq @ self.qnq.T              # (n, nq) int64
+            out_q, out_v, out_c, out_d = [], [], [], []
+            for j, qid in enumerate(self.qids):
+                mask = self.probe[j, cl] & (ids != qid)
+                if not mask.any():
+                    continue
+                dv, iv, cv = dots[mask, j], ids[mask], cl[mask]
+                take = np.lexsort((iv, -dv))[: self.k]
+                out_q.extend([int(qid)] * take.size)
+                out_v.extend(iv[take].tolist())
+                out_c.extend(cv[take].tolist())
+                out_d.extend(dv[take].tolist())
+            return pa.table({"query_vec_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_v, pa.int64()),
+                             "cluster": pa.array(out_c, pa.int64()),
+                             "dot_q": pa.array(out_d, pa.int64())})
+
+    cand = ds.map_batches(Scan, fn_constructor_args=(state, k),
+                          batch_format="pyarrow", concurrency=2).to_pandas()
+    cand = cand.sort_values(["query_vec_id", "dot_q", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    top = cand.groupby("query_vec_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_vec_id").cumcount().astype(np.int64) + 1
+    return top[["query_vec_id", "rank", "vec_id", "cluster", "dot_q"]].astype(np.int64)

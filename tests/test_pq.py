@@ -173,3 +173,55 @@ def test_pq_adc_exact_bruteforce_parity(ray_session, tmp_path):
         assert list(g["vec_id"]) == want_ids.tolist()
         assert list(g["adc_d2"]) == want_sc.tolist()
         assert list(g["rank"]) == [1, 2, 3]
+
+
+def test_ivf_probe_exact_bruteforce_parity(ray_session, tmp_path):
+    """ivf_probe_exact must equal a local integer replay: same
+    quantize-normalize kernel, assignment/probe ties → lowest cluster,
+    candidates restricted to probed clusters, top-k by (dot desc,
+    vec_id), self excluded — and the persisted centroid table must
+    reproduce the assignment."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _quantize_norm_int,
+        ivf_probe_exact,
+    )
+
+    X = _clustered(n=80, dim=16)
+    path = _write(str(tmp_path), X)
+    odir = os.path.join(str(tmp_path), "ivf_oracle")
+    nc, nprobe, k = 4, 2, 3
+    got = ivf_probe_exact(path, odir, n_queries=2, n_clusters=nc,
+                          nprobe=nprobe, k=k, sample_rows=32, n_iter=4)
+
+    cent = pq.read_table(os.path.join(odir, "centroids.parquet")).to_pandas()
+    qc = (cent.sort_values(["cluster", "d"])["val_q"].to_numpy()
+          .reshape(nc, 16).astype(np.int64))
+    nq = _quantize_norm_int(X.astype(np.float64))
+    ids = np.arange(len(X), dtype=np.int64)
+    d2 = ((nq[:, None, :] - qc[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    for qid in (0, 1):
+        probed = np.lexsort((np.arange(nc), d2[qid]))[:nprobe]
+        mask = np.isin(cl, probed) & (ids != qid)
+        dots = nq[mask] @ nq[qid]
+        order = np.lexsort((ids[mask], -dots))[:k]
+        g = got[got.query_vec_id == qid]
+        assert list(g["vec_id"]) == ids[mask][order].tolist()
+        assert list(g["dot_q"]) == dots[order].tolist()
+        assert list(g["cluster"]) == cl[mask][order].tolist()
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_ivf_probe_exact_deterministic_across_runs(ray_session, tmp_path):
+    """Two runs (fresh oracle dirs) must be identical — training is
+    deterministic in the sample hash order, so the persisted centroid
+    table and the full result frame reproduce bit-for-bit."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import ivf_probe_exact
+
+    X = _clustered(n=60, dim=16, seed=11)
+    path = _write(str(tmp_path), X)
+    a = ivf_probe_exact(path, os.path.join(str(tmp_path), "o1"), n_queries=2,
+                        n_clusters=4, nprobe=2, k=3, sample_rows=32)
+    b = ivf_probe_exact(path, os.path.join(str(tmp_path), "o2"), n_queries=2,
+                        n_clusters=4, nprobe=2, k=3, sample_rows=32)
+    pd.testing.assert_frame_equal(a, b)

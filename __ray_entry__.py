@@ -6623,6 +6623,26 @@ def q_ivf_probe_exact(sf_dir: str):
                            k=_EMB_TOP_K)
 
 
+_LSHX_PLANES, _LSHX_RADIUS = 8, 2
+
+
+def q_lsh_probe_exact(sf_dir: str):
+    """Hyperplane-LSH probe serving, VALUE-GATED end to end — the
+    companion to ann_lsh (whose Gaussian planes are principled
+    rows-only): planes are the quantize-normalized Lehmer-ranked anchor
+    rows, signatures/buckets are integer dot signs, multi-probe is a
+    Hamming-radius filter (DuckDB bit_count(xor)), scoring is the
+    integer dot — all pure BIGINT on both sides
+    (stages/similarity.lsh_probe_exact). With ivf_probe_exact,
+    pq_adc/ann_pq and nsw_full_beam, every ANN mode now has value-level
+    evidence."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import lsh_probe_exact
+
+    return lsh_probe_exact(os.path.join(sf_dir, "embeddings.parquet"),
+                           n_queries=_N_EMB_QUERIES, n_planes=_LSHX_PLANES,
+                           radius=_LSHX_RADIUS, k=_EMB_TOP_K)
+
+
 _PQ_RERANK = 100
 _PQX_SCALE = 1_000_000  # == stages.similarity.PQ_EXACT_SCALE
 
@@ -11651,6 +11671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "ann_ivf": q_ann_ivf,
         "ivf_probe_exact": q_ivf_probe_exact,
+        "lsh_probe_exact": q_lsh_probe_exact,
         "ann_lsh": q_ann_lsh,
         "ann_nsw": q_ann_nsw,
         "nsw_full_beam": q_nsw_full_beam,
@@ -15314,6 +15335,56 @@ ranked AS (
            PARTITION BY query_vec_id ORDER BY dot_q DESC, vec_id) AS rnk
   FROM dots)
 SELECT query_vec_id, cast(rnk AS BIGINT) AS rank, vec_id, cluster,
+       cast(dot_q AS BIGINT) AS dot_q
+FROM ranked WHERE rnk <= {_EMB_TOP_K} ORDER BY query_vec_id, rank
+""",
+        # LSH probe serving, exact: anchor-row hyperplanes, integer
+        # sign signatures, Hamming-radius multi-probe, BIGINT dots.
+        "lsh_probe_exact": f"""
+WITH raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         cast(round(unnest(embedding)::DOUBLE * {_PQX_SCALE}) AS BIGINT) AS xq
+  FROM embeddings),
+nrm AS (SELECT vec_id, sum(xq * xq) AS ss FROM raw GROUP BY vec_id),
+vn AS (
+  SELECT r.vec_id, r.d,
+         cast(round(r.xq / sqrt(n.ss::DOUBLE) * {_PQX_SCALE}) AS BIGINT) AS nq
+  FROM raw r JOIN nrm n USING (vec_id)),
+anch AS (
+  SELECT vec_id AS aid, rn - 1 AS arank FROM (
+    SELECT vec_id, row_number() OVER (
+      ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id) AS rn
+    FROM embeddings) WHERE rn <= {_LSHX_PLANES}),
+planes AS (
+  SELECT a.arank, v.d, v.nq FROM anch a JOIN vn v ON v.vec_id = a.aid),
+bits AS (
+  SELECT v.vec_id, p.arank,
+         CASE WHEN sum(v.nq * p.nq) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM vn v JOIN planes p ON p.d = v.d
+  GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id, cast(sum(bit * (1::BIGINT << arank)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id),
+cand AS (
+  SELECT q.vec_id AS query_vec_id, v.vec_id, v.bucket,
+         bit_count(xor(q.bucket, v.bucket))::BIGINT AS hamming
+  FROM buckets q JOIN buckets v
+    ON bit_count(xor(q.bucket, v.bucket)) <= {_LSHX_RADIUS}
+   AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_EMB_QUERIES}),
+dots AS (
+  SELECT c.query_vec_id, c.vec_id, c.bucket, c.hamming,
+         sum(q.nq * v.nq) AS dot_q
+  FROM cand c
+  JOIN vn q ON q.vec_id = c.query_vec_id
+  JOIN vn v ON v.vec_id = c.vec_id AND v.d = q.d
+  GROUP BY 1, 2, 3, 4),
+ranked AS (
+  SELECT query_vec_id, vec_id, bucket, hamming, dot_q,
+         row_number() OVER (
+           PARTITION BY query_vec_id ORDER BY dot_q DESC, vec_id) AS rnk
+  FROM dots)
+SELECT query_vec_id, cast(rnk AS BIGINT) AS rank, vec_id, bucket, hamming,
        cast(dot_q AS BIGINT) AS dot_q
 FROM ranked WHERE rnk <= {_EMB_TOP_K} ORDER BY query_vec_id, rank
 """,

@@ -1788,3 +1788,110 @@ def ivf_probe_exact(embeddings_path: str, oracle_dir: str, n_queries: int,
     top = cand.groupby("query_vec_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_vec_id").cumcount().astype(np.int64) + 1
     return top[["query_vec_id", "rank", "vec_id", "cluster", "dot_q"]].astype(np.int64)
+
+
+def lsh_probe_exact(embeddings_path: str, n_queries: int, n_planes: int = 8,
+                    radius: int = 2, k: int = 10,
+                    scale: int = PQ_EXACT_SCALE) -> pd.DataFrame:
+    """Hyperplane-LSH probe serving with an EXACT SQL twin — the
+    value-level companion to :func:`lsh_build`/:func:`lsh_query` (whose
+    Gaussian random planes are principled rows-only), completing the
+    value-gated closure across the ANN family beside ivf_probe_exact /
+    pq_adc_exact / nsw full-beam. Construction chosen so every step is
+    pure BIGINT on both sides:
+
+    - planes = the quantize-normalized vectors of the ``n_planes``
+      ANCHOR rows — the corpus rows ranked first by the Lehmer
+      permutation ``((vec_id % P) * 48271) % P`` (the repo's
+      pseudo-random order contract; data-sampled hyperplanes are a
+      classic LSH variant);
+    - signature bit_i(v) = [nq_v · plane_i ≥ 0] (integer dot sign;
+      0 counts as 1 on both sides), bucket = Σ bit_i · 2^i;
+    - multi-probe candidates for q: every vector whose bucket is within
+      Hamming ``radius`` of q's bucket (DuckDB ``bit_count(xor(..))``),
+      self excluded;
+    - score = integer dot of quantized-normalized vectors; top-``k`` by
+      (dot desc, vec_id).
+
+    One streaming corpus pass: anchor selection is per-batch bottom-k
+    partials + a tiny driver merge; the scan quantizes, signs against
+    the broadcast plane matrix, Hamming-filters against the broadcast
+    query buckets, scores with one integer matmul and emits batch-local
+    top-k partials. Returns
+    (query_vec_id, rank, vec_id, bucket, hamming, dot_q), all int64.
+    """
+    import pyarrow.parquet as _pqt
+    import ray.data as rd
+
+    ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+
+    def bottom_partial(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = ((ids % _LEHMER_P) * 48271) % _LEHMER_P
+        o = np.lexsort((ids, key))[:n_planes]
+        return b.take(pa.array(np.sort(o), pa.int64()))
+
+    cand = ds.map_batches(bottom_partial, batch_format="pyarrow").to_pandas()
+    ids_c = cand["vec_id"].to_numpy().astype(np.int64)
+    key_c = ((ids_c % _LEHMER_P) * 48271) % _LEHMER_P
+    take = np.lexsort((ids_c, key_c))[:n_planes]
+    planes = _quantize_norm_int(
+        np.stack(cand["embedding"].to_numpy()[take]).astype(np.float64), scale)
+
+    head = _pqt.read_table(embeddings_path, columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", n_queries)])
+    q_ids = head["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(q_ids, kind="stable")
+    q_ids = q_ids[o]
+    qnq = _quantize_norm_int(
+        np.stack(head["embedding"].to_pandas().to_numpy()[o]).astype(np.float64),
+        scale)
+    q_buckets = (((qnq @ planes.T) >= 0).astype(np.int64)
+                 << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+
+    state = ray.put((planes, qnq, q_ids, q_buckets))
+
+    class Scan:
+        def __init__(self, ref, k_, radius_):
+            self.planes, self.qnq, self.qids, self.qb = ray.get(ref)
+            self.k, self.radius = k_, radius_
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            col = b["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                ids.size, -1).astype(np.float64)
+            nq = _quantize_norm_int(mat, scale)
+            nb = (((nq @ self.planes.T) >= 0).astype(np.int64)
+                  << np.arange(self.planes.shape[0], dtype=np.int64)).sum(axis=1)
+            dots = nq @ self.qnq.T
+            out = {c: [] for c in
+                   ("query_vec_id", "vec_id", "bucket", "hamming", "dot_q")}
+            for j, qid in enumerate(self.qids):
+                x = np.bitwise_xor(nb, self.qb[j])
+                # popcount ≤ n_planes bits (numpy 1.x has no bitwise_count)
+                ham = np.zeros_like(x)
+                for bit in range(self.planes.shape[0]):
+                    ham += (x >> bit) & 1
+                mask = (ham <= self.radius) & (ids != qid)
+                if not mask.any():
+                    continue
+                dv, iv = dots[mask, j], ids[mask]
+                take_ = np.lexsort((iv, -dv))[: self.k]
+                out["query_vec_id"].extend([int(qid)] * take_.size)
+                out["vec_id"].extend(iv[take_].tolist())
+                out["bucket"].extend(nb[mask][take_].tolist())
+                out["hamming"].extend(ham[mask][take_].astype(np.int64).tolist())
+                out["dot_q"].extend(dv[take_].tolist())
+            return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+
+    cand2 = ds.map_batches(Scan, fn_constructor_args=(state, k, radius),
+                           batch_format="pyarrow", concurrency=2).to_pandas()
+    cand2 = cand2.sort_values(["query_vec_id", "dot_q", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    top = cand2.groupby("query_vec_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_vec_id").cumcount().astype(np.int64) + 1
+    return top[["query_vec_id", "rank", "vec_id", "bucket", "hamming",
+                "dot_q"]].astype(np.int64)

@@ -537,3 +537,48 @@ def test_prototype_prune_matches_brute(ray_session, vectors):
     if (~out.keep).any():
         assert out[~out.keep].centroid_sim_r6.min() > cut
     assert out.keep.mean() >= 0.75
+
+
+def test_lsh_probe_exact_bruteforce_parity(ray_session, tmp_path):
+    """lsh_probe_exact must equal a local integer replay: Lehmer-ranked
+    anchor planes, sign-bit buckets (dot 0 counts as 1), Hamming-radius
+    candidate filter, (dot desc, vec_id) top-k, self excluded."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _quantize_norm_int,
+        lsh_probe_exact,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(70, 16).astype(np.float32)
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(X)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in X], pa.list_(pa.float32())),
+    }), src)
+
+    n_planes, radius, k = 6, 2, 4
+    got = lsh_probe_exact(src, n_queries=2, n_planes=n_planes,
+                          radius=radius, k=k)
+
+    P = 2147483647
+    ids = np.arange(len(X), dtype=np.int64)
+    key = ((ids % P) * 48271) % P
+    anchors = ids[np.lexsort((ids, key))[:n_planes]]
+    nq = _quantize_norm_int(X.astype(np.float64))
+    planes = nq[anchors]
+    buckets = (((nq @ planes.T) >= 0).astype(np.int64)
+               << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+    for qid in (0, 1):
+        x = np.bitwise_xor(buckets, buckets[qid])
+        ham = sum(((x >> b) & 1) for b in range(n_planes))
+        mask = (ham <= radius) & (ids != qid)
+        dots = nq[mask] @ nq[qid]
+        order = np.lexsort((ids[mask], -dots))[:k]
+        g = got[got.query_vec_id == qid]
+        assert list(g["vec_id"]) == ids[mask][order].tolist()
+        assert list(g["dot_q"]) == dots[order].tolist()
+        assert list(g["hamming"]) == ham[mask][order].tolist()
+        assert list(g["rank"]) == list(range(1, len(g) + 1))

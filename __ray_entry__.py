@@ -6643,6 +6643,32 @@ def q_lsh_probe_exact(sf_dir: str):
                            radius=_LSHX_RADIUS, k=_EMB_TOP_K)
 
 
+_PROTOX_KEEP, _PROTOX_CLUSTERS = 0.75, 8
+
+
+def _proto_oracle_dir() -> str:
+    """Fixed centroid-table path for the proto_prune_exact twin (same
+    refresh contract as :func:`_pq_oracle_dir`)."""
+    from hybrid_sanctions_search_engine_ray import __version__ as _fmt
+
+    return f"/tmp/graft_proto_oracle/{_fmt}"
+
+
+def q_proto_prune_exact(sf_dir: str):
+    """SSL-prototype pruning, VALUE-GATED end to end — the companion to
+    prototype_prune (float cosines, principled rows-only): persisted
+    int64 centroids, integer dot prototypicality, rank-K keep-hard
+    cutoff with ties kept, all BIGINT on both sides
+    (stages/similarity.proto_prune_exact; the cutoff selection is two
+    extra streaming passes — coarse bucket histogram, then only the
+    target bucket's rows — never a corpus materialize or sort)."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import proto_prune_exact
+
+    return proto_prune_exact(os.path.join(sf_dir, "embeddings.parquet"),
+                             _proto_oracle_dir(), keep_frac=_PROTOX_KEEP,
+                             n_clusters=_PROTOX_CLUSTERS)
+
+
 _PQ_RERANK = 100
 _PQX_SCALE = 1_000_000  # == stages.similarity.PQ_EXACT_SCALE
 
@@ -11672,6 +11698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "ivf_probe_exact": q_ivf_probe_exact,
         "lsh_probe_exact": q_lsh_probe_exact,
+        "proto_prune_exact": q_proto_prune_exact,
         "ann_lsh": q_ann_lsh,
         "ann_nsw": q_ann_nsw,
         "nsw_full_beam": q_nsw_full_beam,
@@ -15337,6 +15364,39 @@ ranked AS (
 SELECT query_vec_id, cast(rnk AS BIGINT) AS rank, vec_id, cluster,
        cast(dot_q AS BIGINT) AS dot_q
 FROM ranked WHERE rnk <= {_EMB_TOP_K} ORDER BY query_vec_id, rank
+""",
+        # SSL-prototype pruning, exact: persisted int64 centroids,
+        # integer-dot prototypicality, rank-K keep-hard cutoff.
+        "proto_prune_exact": f"""
+WITH raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         cast(round(unnest(embedding)::DOUBLE * {_PQX_SCALE}) AS BIGINT) AS xq
+  FROM embeddings),
+nrm AS (SELECT vec_id, sum(xq * xq) AS ss FROM raw GROUP BY vec_id),
+vn AS (
+  SELECT r.vec_id, r.d,
+         cast(round(r.xq / sqrt(n.ss::DOUBLE) * {_PQX_SCALE}) AS BIGINT) AS nq
+  FROM raw r JOIN nrm n USING (vec_id)),
+cb AS (SELECT cluster, d, val_q
+       FROM read_parquet('{_proto_oracle_dir()}/centroids.parquet')),
+dist AS (
+  SELECT v.vec_id, c.cluster,
+         sum((v.nq - c.val_q) * (v.nq - c.val_q)) AS d2,
+         sum(v.nq * c.val_q) AS dot
+  FROM vn v JOIN cb c ON c.d = v.d
+  GROUP BY 1, 2),
+scored AS (
+  SELECT vec_id, cluster, cast(dot AS BIGINT) AS dot_q FROM (
+    SELECT vec_id, cluster, dot,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM dist) WHERE rn = 1),
+cut AS (
+  SELECT dot_q AS cutoff FROM (
+    SELECT dot_q, row_number() OVER (ORDER BY dot_q, vec_id) AS rn
+    FROM scored) WHERE rn = greatest(
+      1, cast(floor({_PROTOX_KEEP} * (SELECT count(*) FROM scored)) AS BIGINT)))
+SELECT s.vec_id, s.cluster, s.dot_q, s.dot_q <= c.cutoff AS keep
+FROM scored s CROSS JOIN cut c ORDER BY s.vec_id
 """,
         # LSH probe serving, exact: anchor-row hyperplanes, integer
         # sign signatures, Hamming-radius multi-probe, BIGINT dots.

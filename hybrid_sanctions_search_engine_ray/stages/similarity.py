@@ -1667,6 +1667,42 @@ def pq_adc_exact(embeddings_path: str, n_queries: int, m: int = 8,
     return top[["query_vec_id", "rank", "vec_id", "adc_d2"]].astype(np.int64)
 
 
+def _train_persist_quantized_centroids(ds, oracle_dir: str, n_clusters: int,
+                                       sample_rows: int, n_iter: int,
+                                       scale: int) -> np.ndarray:
+    """Shared k-means-outside-the-oracle trainer for the exact-twin
+    companions (ivf_probe_exact, proto_prune_exact): deterministic
+    Lloyd on the hash-sampled quantize-normalized vectors (init = the
+    sample's first ``n_clusters`` rows in hash order; empty clusters
+    keep their previous centroid), OUTPUT quantized to int64 and
+    persisted as ``centroids.parquet`` (cluster, d, val_q) — the table
+    the DuckDB twins read back. Returns the (C, dim) int64 array."""
+    import pyarrow.parquet as _pqt
+
+    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
+
+    sample = _sample_bottomk_by_hash(ds, sample_rows)          # float64 (s, dim)
+    snq = _quantize_norm_int(sample, scale).astype(np.float64)
+    cent = snq[:n_clusters].copy()
+    for _ in range(n_iter):
+        d2 = ((snq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = np.argmin(d2, axis=1)
+        for c in range(n_clusters):
+            m = lab == c
+            if m.any():
+                cent[c] = snq[m].mean(axis=0)
+    qc = round_half_away(cent, 0).astype(np.int64)             # (C, dim)
+    dim = qc.shape[1]
+    os.makedirs(oracle_dir, exist_ok=True)
+    cl_col = np.repeat(np.arange(n_clusters, dtype=np.int64), dim)
+    d_col = np.tile(np.arange(dim, dtype=np.int64), n_clusters)
+    tmp = os.path.join(oracle_dir, "centroids.parquet.tmp")
+    _pqt.write_table(pa.table({"cluster": cl_col, "d": d_col,
+                               "val_q": qc.reshape(-1)}), tmp)
+    os.replace(tmp, os.path.join(oracle_dir, "centroids.parquet"))
+    return qc
+
+
 def ivf_probe_exact(embeddings_path: str, oracle_dir: str, n_queries: int,
                     n_clusters: int = 8, nprobe: int = 3, k: int = 10,
                     sample_rows: int = 256, n_iter: int = 8,
@@ -1707,30 +1743,9 @@ def ivf_probe_exact(embeddings_path: str, oracle_dir: str, n_queries: int,
     import pyarrow.parquet as _pqt
     import ray.data as rd
 
-    from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
-
     ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
-
-    # --- train (outside the oracle), persist int64 centroid table ---
-    sample = _sample_bottomk_by_hash(ds, sample_rows)          # float64 (s, dim)
-    snq = _quantize_norm_int(sample, scale).astype(np.float64)
-    cent = snq[:n_clusters].copy()
-    for _ in range(n_iter):
-        d2 = ((snq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        lab = np.argmin(d2, axis=1)
-        for c in range(n_clusters):
-            m = lab == c
-            if m.any():
-                cent[c] = snq[m].mean(axis=0)
-    qc = round_half_away(cent, 0).astype(np.int64)             # (C, dim)
-    dim = qc.shape[1]
-    os.makedirs(oracle_dir, exist_ok=True)
-    cl_col = np.repeat(np.arange(n_clusters, dtype=np.int64), dim)
-    d_col = np.tile(np.arange(dim, dtype=np.int64), n_clusters)
-    tmp = os.path.join(oracle_dir, "centroids.parquet.tmp")
-    _pqt.write_table(pa.table({"cluster": cl_col, "d": d_col,
-                               "val_q": qc.reshape(-1)}), tmp)
-    os.replace(tmp, os.path.join(oracle_dir, "centroids.parquet"))
+    qc = _train_persist_quantized_centroids(
+        ds, oracle_dir, n_clusters, sample_rows, n_iter, scale)
 
     # --- driver-side query prep (pushdown-pruned read, tiny) ---
     head = _pqt.read_table(embeddings_path, columns=["vec_id", "embedding"],
@@ -1895,3 +1910,105 @@ def lsh_probe_exact(embeddings_path: str, n_queries: int, n_planes: int = 8,
     top["rank"] = top.groupby("query_vec_id").cumcount().astype(np.int64) + 1
     return top[["query_vec_id", "rank", "vec_id", "bucket", "hamming",
                 "dot_q"]].astype(np.int64)
+
+
+def proto_prune_exact(embeddings_path: str, oracle_dir: str,
+                      keep_frac: float = 0.75, n_clusters: int = 8,
+                      sample_rows: int = 256, n_iter: int = 8,
+                      scale: int = PQ_EXACT_SCALE):
+    """SSL-prototype pruning (Sorscher et al. 2022) with an EXACT SQL
+    twin — the value-level companion to :func:`prototype_prune` (whose
+    float cosines are principled rows-only): k-means training stays
+    outside the oracle (int64 centroid table persisted by the shared
+    trainer), and assignment, the prototypicality score and the
+    keep-hard cutoff are pure BIGINT on both sides:
+
+    - score(v) = nq_v · qc[cluster(v)] — the integer analog of
+      cosine-to-centroid (both factors ~unit at ×scale);
+    - keep rule: keep the K = max(1, floor(keep_frac·n)) HARDEST
+      vectors (smallest score); cutoff = the score at ascending rank K
+      ordered by (score, vec_id), kept with ties (score ≤ cutoff) —
+      the same prune-the-most-prototypical contract, rank-defined so
+      both sides agree without quantile-semantics fine print.
+
+    Scale shape (the psi_drift lesson: no corpus materialize): THREE
+    streaming passes over the pruned (vec_id, embedding) read — (1) a
+    coarse histogram of score >> 32 per bucket (tiny groupby) locates
+    the bucket holding rank K; (2) only that bucket's scores (its
+    count, ≪ n) come to the driver for the exact cutoff; (3) the final
+    pass emits (vec_id, cluster, dot_q, keep) with the broadcast
+    scalar cutoff. Returns a Dataset, all int64 + bool ``keep``.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+    qc = _train_persist_quantized_centroids(
+        ds, oracle_dir, n_clusters, sample_rows, n_iter, scale)
+    qc_ref = ray.put(qc)
+
+    def _score_batch(b: pa.Table, qc_):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            ids.size, -1).astype(np.float64)
+        nq = _quantize_norm_int(mat, scale)
+        d2 = ((nq[:, None, :] - qc_[None, :, :]) ** 2).sum(axis=2)
+        cl = np.argmin(d2, axis=1)                   # ties → lowest cluster
+        dot = np.take_along_axis(nq @ qc_.T, cl[:, None], axis=1)[:, 0]
+        return ids, cl.astype(np.int64), dot
+
+    class Hist:
+        def __init__(self, ref):
+            self.qc = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            _, _, dot = _score_batch(b, self.qc)
+            bucket = dot >> 32                        # arithmetic shift: order-preserving
+            u, c = np.unique(bucket, return_counts=True)
+            return pa.table({"bucket": pa.array(u, pa.int64()),
+                             "n_p": pa.array(c, pa.int64())})
+
+    hist = (ds.map_batches(Hist, fn_constructor_args=(qc_ref,),
+                           batch_format="pyarrow", concurrency=2)
+            .groupby("bucket").sum("n_p").to_pandas()
+            .sort_values("bucket").reset_index(drop=True))
+    counts = hist["sum(n_p)"].to_numpy()
+    n_total = int(counts.sum())
+    k_rank = max(1, int(np.floor(keep_frac * n_total)))
+    cum = counts.cumsum()
+    bi = int(np.searchsorted(cum, k_rank))
+    target_bucket = int(hist["bucket"].iloc[bi])
+    rank_in_bucket = k_rank - (int(cum[bi - 1]) if bi else 0)   # 1-based
+
+    class BucketVals:
+        def __init__(self, ref, tb):
+            self.qc = ray.get(ref)
+            self.tb = tb
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, _, dot = _score_batch(b, self.qc)
+            m = (dot >> 32) == self.tb
+            return pa.table({"dot_q": pa.array(dot[m], pa.int64()),
+                             "vec_id": pa.array(ids[m], pa.int64())})
+
+    bv = (ds.map_batches(BucketVals, fn_constructor_args=(qc_ref, target_bucket),
+                         batch_format="pyarrow", concurrency=2).to_pandas())
+    bv = bv.sort_values(["dot_q", "vec_id"], kind="mergesort")
+    cutoff = int(bv["dot_q"].iloc[rank_in_bucket - 1])
+
+    class Final:
+        def __init__(self, ref, cut):
+            self.qc = ray.get(ref)
+            self.cut = cut
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, cl, dot = _score_batch(b, self.qc)
+            return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                             "cluster": pa.array(cl, pa.int64()),
+                             "dot_q": pa.array(dot, pa.int64()),
+                             "keep": pa.array(dot <= self.cut, pa.bool_())})
+
+    return ds.map_batches(Final, fn_constructor_args=(qc_ref, cutoff),
+                          batch_format="pyarrow", concurrency=2)

@@ -582,3 +582,49 @@ def test_lsh_probe_exact_bruteforce_parity(ray_session, tmp_path):
         assert list(g["dot_q"]) == dots[order].tolist()
         assert list(g["hamming"]) == ham[mask][order].tolist()
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_proto_prune_exact_bruteforce_parity(ray_session, tmp_path):
+    """proto_prune_exact must equal a local integer replay against the
+    PERSISTED centroid table: assignment ties → lowest cluster, keep =
+    the K hardest (smallest integer dot) with ties kept, K =
+    max(1, floor(keep_frac·n))."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _quantize_norm_int,
+        proto_prune_exact,
+    )
+
+    rng = np.random.RandomState(19)
+    X = rng.randn(90, 16).astype(np.float32)
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(X)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in X], pa.list_(pa.float32())),
+    }), src)
+    odir = str(tmp_path / "proto_oracle")
+    keep_frac, nc = 0.6, 4
+    got = (proto_prune_exact(src, odir, keep_frac=keep_frac, n_clusters=nc,
+                             sample_rows=32, n_iter=4)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    cent = pq.read_table(os.path.join(odir, "centroids.parquet")).to_pandas()
+    qc = (cent.sort_values(["cluster", "d"])["val_q"].to_numpy()
+          .reshape(nc, 16).astype(np.int64))
+    nq = _quantize_norm_int(X.astype(np.float64))
+    ids = np.arange(len(X), dtype=np.int64)
+    d2 = ((nq[:, None, :] - qc[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    dot = np.take_along_axis(nq @ qc.T, cl[:, None], axis=1)[:, 0]
+    k_rank = max(1, int(np.floor(keep_frac * len(X))))
+    order = np.lexsort((ids, dot))
+    cutoff = dot[order[k_rank - 1]]
+    keep = dot <= cutoff
+    assert list(got["cluster"]) == cl.tolist()
+    assert list(got["dot_q"]) == dot.tolist()
+    assert list(got["keep"]) == keep.tolist()
+    assert keep.sum() >= k_rank  # ties kept, never fewer than K

@@ -6669,6 +6669,98 @@ def q_proto_prune_exact(sf_dir: str):
                              n_clusters=_PROTOX_CLUSTERS)
 
 
+_MMRX_W, _MMRX_K, _MMRX_WREL, _MMRX_WDIV = 12, 5, 7, 3
+
+
+def q_mmr_exact(sf_dir: str):
+    """Diversified retrieval (MMR), VALUE-GATED — the companion to
+    mmr_rerank (BM25+trigram greedy float loop, principled rows-only):
+    integer-dot relevance over quantize-normalized embeddings, integer
+    weights 7/3 for λ=0.7, greedy steps reproduced in the twin as k
+    UNROLLED argmax CTEs (stages/similarity.mmr_exact). mmr_q is the
+    marginal score at selection time, so the whole greedy trajectory —
+    not just the final set — is value-checked."""
+    from hybrid_sanctions_search_engine_ray.stages.similarity import mmr_exact
+
+    return mmr_exact(os.path.join(sf_dir, "embeddings.parquet"),
+                     n_queries=_N_EMB_QUERIES, window=_MMRX_W, k=_MMRX_K,
+                     w_rel=_MMRX_WREL, w_div=_MMRX_WDIV)
+
+
+def _mmr_exact_sql() -> str:
+    """Build the mmr_exact twin: standard integer-normalization CTEs +
+    candidate window + pairwise dots, then the greedy loop UNROLLED as
+    ``_MMRX_K`` chained argmax CTEs (step t picks the (mmr desc,
+    vec_id) winner among candidates not yet in p{{t-1}})."""
+    wrel, wdiv = _MMRX_WREL, _MMRX_WDIV
+    parts = [f"""
+WITH raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         cast(round(unnest(embedding)::DOUBLE * {_PQX_SCALE}) AS BIGINT) AS xq
+  FROM embeddings),
+nrm AS (SELECT vec_id, sum(xq * xq) AS ss FROM raw GROUP BY vec_id),
+vn AS (
+  SELECT r.vec_id, r.d,
+         cast(round(r.xq / sqrt(n.ss::DOUBLE) * {_PQX_SCALE}) AS BIGINT) AS nq
+  FROM raw r JOIN nrm n USING (vec_id)),
+rel AS (
+  SELECT q.vec_id AS query_vec_id, v.vec_id, sum(q.nq * v.nq) AS dot
+  FROM vn q JOIN vn v ON v.d = q.d AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_EMB_QUERIES}
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query_vec_id, vec_id, cast(dot AS BIGINT) AS rel_q FROM (
+    SELECT query_vec_id, vec_id, dot,
+           row_number() OVER (
+             PARTITION BY query_vec_id ORDER BY dot DESC, vec_id) AS rn
+    FROM rel) WHERE rn <= {_MMRX_W}),
+pairdot AS (
+  SELECT c1.query_vec_id, c1.vec_id AS a, c2.vec_id AS b,
+         cast(sum(va.nq * vb.nq) AS BIGINT) AS dot
+  FROM cand c1
+  JOIN cand c2 ON c2.query_vec_id = c1.query_vec_id
+  JOIN vn va ON va.vec_id = c1.vec_id
+  JOIN vn vb ON vb.vec_id = c2.vec_id AND vb.d = va.d
+  GROUP BY 1, 2, 3),
+s1 AS (
+  SELECT query_vec_id, vec_id, rel_q, {wrel} * rel_q AS mmr_q, 1 AS rank
+  FROM (SELECT c.*, row_number() OVER (
+          PARTITION BY query_vec_id
+          ORDER BY {wrel} * rel_q DESC, vec_id) AS rn FROM cand c)
+  WHERE rn = 1),
+p1 AS (SELECT query_vec_id, vec_id FROM s1)"""]
+    for t in range(2, _MMRX_K + 1):
+        parts.append(f""",
+s{t} AS (
+  SELECT query_vec_id, vec_id, rel_q, mmr_q, {t} AS rank FROM (
+    SELECT c.query_vec_id, c.vec_id, c.rel_q,
+           {wrel} * c.rel_q - {wdiv} * COALESCE(m.maxdiv, 0) AS mmr_q,
+           row_number() OVER (
+             PARTITION BY c.query_vec_id
+             ORDER BY {wrel} * c.rel_q - {wdiv} * COALESCE(m.maxdiv, 0) DESC,
+                      c.vec_id) AS rn
+    FROM cand c
+    LEFT JOIN p{t - 1} pp
+      ON pp.query_vec_id = c.query_vec_id AND pp.vec_id = c.vec_id
+    LEFT JOIN (
+      SELECT pd.query_vec_id, pd.a AS vec_id, max(pd.dot) AS maxdiv
+      FROM pairdot pd
+      JOIN p{t - 1} p ON p.query_vec_id = pd.query_vec_id
+                     AND p.vec_id = pd.b
+      GROUP BY 1, 2) m
+      ON m.query_vec_id = c.query_vec_id AND m.vec_id = c.vec_id
+    WHERE pp.vec_id IS NULL) WHERE rn = 1),
+p{t} AS (SELECT * FROM p{t - 1}
+         UNION ALL SELECT query_vec_id, vec_id FROM s{t})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM s{t}" for t in range(1, _MMRX_K + 1))
+    parts.append(f"""
+SELECT query_vec_id, cast(rank AS BIGINT) AS rank, vec_id, rel_q,
+       cast(mmr_q AS BIGINT) AS mmr_q
+FROM ({union}) ORDER BY query_vec_id, rank""")
+    return "".join(parts)
+
+
 _PQ_RERANK = 100
 _PQX_SCALE = 1_000_000  # == stages.similarity.PQ_EXACT_SCALE
 
@@ -11699,6 +11791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_probe_exact": q_ivf_probe_exact,
         "lsh_probe_exact": q_lsh_probe_exact,
         "proto_prune_exact": q_proto_prune_exact,
+        "mmr_exact": q_mmr_exact,
         "ann_lsh": q_ann_lsh,
         "ann_nsw": q_ann_nsw,
         "nsw_full_beam": q_nsw_full_beam,
@@ -15365,6 +15458,9 @@ SELECT query_vec_id, cast(rnk AS BIGINT) AS rank, vec_id, cluster,
        cast(dot_q AS BIGINT) AS dot_q
 FROM ranked WHERE rnk <= {_EMB_TOP_K} ORDER BY query_vec_id, rank
 """,
+        # MMR diversified rerank, exact: greedy steps unrolled as k
+        # chained argmax CTEs, integer dots and weights throughout.
+        "mmr_exact": _mmr_exact_sql(),
         # SSL-prototype pruning, exact: persisted int64 centroids,
         # integer-dot prototypicality, rank-K keep-hard cutoff.
         "proto_prune_exact": f"""

@@ -2012,3 +2012,115 @@ def proto_prune_exact(embeddings_path: str, oracle_dir: str,
 
     return ds.map_batches(Final, fn_constructor_args=(qc_ref, cutoff),
                           batch_format="pyarrow", concurrency=2)
+
+
+def mmr_exact(embeddings_path: str, n_queries: int, window: int = 12,
+              k: int = 5, w_rel: int = 7, w_div: int = 3,
+              scale: int = PQ_EXACT_SCALE) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diversified rerank (Carbonell &
+    Goldstein '98) with an EXACT SQL twin — the value-level companion
+    to the BM25+trigram mmr_rerank (greedy float loop, principled
+    rows-only). Same shape as the other `_exact` companions: integer
+    arithmetic end to end, greedy steps UNROLLED as k chained CTEs in
+    the twin (each step a plain argmax — no recursive-CTE aggregation
+    restrictions):
+
+    - rel(q, v) = integer dot of quantize-normalized vectors;
+      candidate window = top-``window`` by (rel desc, vec_id), self
+      excluded — the rerank window a RAG stack would pass to MMR;
+    - greedy: at each step pick argmax of
+      ``w_rel·rel − w_div·max_{s∈picked} dot(v, s)`` (integer weights
+      stand in for λ = w_rel/(w_rel+w_div); ties → lowest vec_id);
+      step 1 has no diversity term (max over ∅ = 0 on both sides);
+    - k picks per query; output (query_vec_id, rank, vec_id, rel_q,
+      mmr_q) — mmr_q is the score AT SELECTION TIME, all int64.
+
+    Scale shape: ONE streaming corpus pass finds the candidate window
+    (batch-local top-``window`` partials, driver merges
+    n_queries·window·n_blocks rows); candidate vectors come back via a
+    pushdown-pruned point read; the greedy loop itself is
+    O(n_queries·k·window) driver work on the tiny window — the same
+    split mmr_rerank uses.
+    """
+    import pyarrow.parquet as _pqt
+    import ray.data as rd
+
+    ds = rd.read_parquet(embeddings_path, columns=["vec_id", "embedding"])
+
+    head = _pqt.read_table(embeddings_path, columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", n_queries)])
+    q_ids = head["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(q_ids, kind="stable")
+    q_ids = q_ids[o]
+    qnq = _quantize_norm_int(
+        np.stack(head["embedding"].to_pandas().to_numpy()[o]).astype(np.float64),
+        scale)
+    state = ray.put((qnq, q_ids))
+
+    class WindowScan:
+        def __init__(self, ref, w):
+            self.qnq, self.qids = ray.get(ref)
+            self.w = w
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            col = b["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                ids.size, -1).astype(np.float64)
+            nq = _quantize_norm_int(mat, scale)
+            dots = nq @ self.qnq.T
+            out_q, out_v, out_r = [], [], []
+            for j, qid in enumerate(self.qids):
+                mask = ids != qid
+                dv, iv = dots[mask, j], ids[mask]
+                take = np.lexsort((iv, -dv))[: self.w]
+                out_q.extend([int(qid)] * take.size)
+                out_v.extend(iv[take].tolist())
+                out_r.extend(dv[take].tolist())
+            return pa.table({"query_vec_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_v, pa.int64()),
+                             "rel_q": pa.array(out_r, pa.int64())})
+
+    cand = ds.map_batches(WindowScan, fn_constructor_args=(state, window),
+                          batch_format="pyarrow", concurrency=2).to_pandas()
+    cand = cand.sort_values(["query_vec_id", "rel_q", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    cand = cand.groupby("query_vec_id", sort=True).head(window)
+
+    # pushdown-pruned point read of the window vectors (tiny)
+    need = sorted(set(cand["vec_id"].tolist()))
+    ct = _pqt.read_table(embeddings_path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", need)])
+    c_ids = ct["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnq = _quantize_norm_int(
+        np.stack(ct["embedding"].to_pandas().to_numpy()).astype(np.float64),
+        scale)
+    pos = {int(v): i for i, v in enumerate(c_ids)}
+
+    rows = []
+    for qid, g in cand.groupby("query_vec_id", sort=True):
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        rel = g["rel_q"].to_numpy().astype(np.int64)
+        vecs = cnq[[pos[int(v)] for v in ids]]
+        picked: list[int] = []
+        maxdiv = np.zeros(ids.size, dtype=np.int64)
+        avail = np.ones(ids.size, dtype=bool)
+        for step in range(1, min(k, ids.size) + 1):
+            score = w_rel * rel - w_div * maxdiv
+            # select among available rows only (negating an int64-min
+            # sentinel would wrap and sort masked rows first)
+            av = np.flatnonzero(avail)
+            i = int(av[np.lexsort((ids[av], -score[av]))[0]])
+            rows.append({"query_vec_id": int(qid), "rank": step,
+                         "vec_id": int(ids[i]), "rel_q": int(rel[i]),
+                         "mmr_q": int(score[i])})
+            avail[i] = False
+            # max over the picked set can be NEGATIVE (anti-correlated
+            # vectors) — assign on the first pick, maximum() after
+            d_new = vecs @ vecs[i]
+            maxdiv = d_new if not picked else np.maximum(maxdiv, d_new)
+            picked.append(i)
+        del picked
+    return pd.DataFrame(rows).astype(np.int64)

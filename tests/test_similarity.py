@@ -628,3 +628,49 @@ def test_proto_prune_exact_bruteforce_parity(ray_session, tmp_path):
     assert list(got["dot_q"]) == dot.tolist()
     assert list(got["keep"]) == keep.tolist()
     assert keep.sum() >= k_rank  # ties kept, never fewer than K
+
+
+def test_mmr_exact_bruteforce_parity(ray_session, tmp_path):
+    """mmr_exact must equal a local greedy replay: top-window integer
+    relevance candidates, marginal score w_rel·rel − w_div·max_picked
+    (max may be NEGATIVE — no clamping), ties → lowest vec_id, and the
+    reported mmr_q is the score AT selection time."""
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        _quantize_norm_int,
+        mmr_exact,
+    )
+
+    rng = np.random.RandomState(23)
+    X = rng.randn(50, 16).astype(np.float32)
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(X)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in X], pa.list_(pa.float32())),
+    }), src)
+    W, K, WREL, WDIV = 8, 4, 7, 3
+    got = mmr_exact(src, n_queries=2, window=W, k=K, w_rel=WREL, w_div=WDIV)
+
+    nq = _quantize_norm_int(X.astype(np.float64))
+    ids = np.arange(len(X), dtype=np.int64)
+    for qid in (0, 1):
+        rel_all = nq @ nq[qid]
+        m = ids != qid
+        order = np.lexsort((ids[m], -rel_all[m]))[:W]
+        c_ids, c_rel = ids[m][order], rel_all[m][order]
+        c_vec = nq[c_ids]
+        avail = np.ones(W, dtype=bool)
+        maxdiv = None
+        g = got[got.query_vec_id == qid].reset_index(drop=True)
+        for step in range(K):
+            score = WREL * c_rel - WDIV * (maxdiv if maxdiv is not None
+                                           else np.zeros(W, dtype=np.int64))
+            av = np.flatnonzero(avail)
+            i = int(av[np.lexsort((c_ids[av], -score[av]))[0]])
+            assert g.loc[step, "vec_id"] == c_ids[i]
+            assert g.loc[step, "mmr_q"] == score[i]
+            assert g.loc[step, "rank"] == step + 1
+            avail[i] = False
+            d_new = c_vec @ c_vec[i]
+            maxdiv = d_new if maxdiv is None else np.maximum(maxdiv, d_new)

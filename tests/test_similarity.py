@@ -674,3 +674,48 @@ def test_mmr_exact_bruteforce_parity(ray_session, tmp_path):
             avail[i] = False
             d_new = c_vec @ c_vec[i]
             maxdiv = d_new if maxdiv is None else np.maximum(maxdiv, d_new)
+
+
+def test_exact_companions_tiny_corpus_edges(ray_session, tmp_path):
+    """Degenerate-size behavior of the round-5 exact companions: a
+    corpus smaller than n_clusters/window/k must produce consistent,
+    loud-or-correct results — never a ragged centroid table or a
+    crash."""
+    import pyarrow.parquet as pq
+
+    from hybrid_sanctions_search_engine_ray.stages.similarity import (
+        ivf_probe_exact,
+        lsh_probe_exact,
+        mmr_exact,
+        proto_prune_exact,
+    )
+
+    rng = np.random.RandomState(31)
+    X = rng.randn(5, 8).astype(np.float32)
+    src = str(tmp_path / "tiny.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(X)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in X], pa.list_(pa.float32())),
+    }), src)
+
+    # n_clusters > corpus → clamped to corpus size, still exact
+    got = ivf_probe_exact(src, str(tmp_path / "o_ivf"), n_queries=1,
+                          n_clusters=16, nprobe=16, k=10, sample_rows=16)
+    assert set(got["query_vec_id"]) == {0}
+    assert len(got) <= 4  # self excluded
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+    # window/k larger than corpus → every non-self vector ranked once
+    got = mmr_exact(src, n_queries=1, window=50, k=50)
+    assert list(got["rank"]) == list(range(1, 5))
+    assert len(set(got["vec_id"])) == 4
+
+    # prune with keep_frac on a tiny corpus → K = max(1, floor(...))
+    got = (proto_prune_exact(src, str(tmp_path / "o_proto"), keep_frac=0.01,
+                             n_clusters=16, sample_rows=16)
+           .to_pandas())
+    assert got["keep"].sum() >= 1
+
+    # LSH with more planes than vectors → planes = all vectors, radius 0
+    got = lsh_probe_exact(src, n_queries=1, n_planes=5, radius=5, k=10)
+    assert len(got) <= 4

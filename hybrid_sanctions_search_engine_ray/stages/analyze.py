@@ -96,11 +96,14 @@ DOC_SENTINEL = "\x00__docs__"
 
 def _full_vec_blacklist_regex() -> str:
     import unicodedata
-    from functools import lru_cache  # noqa: F401  (kept local; cached below)
 
     from hybrid_sanctions_search_engine_ray.functions import analyzer as _an
 
-    explicit = set("._'-") | {"_"}
+    # '/' must route to Python: the _DATE exclusion drops slash dates
+    # (01/02/2003) whole, while the vectorized splitter would emit bare
+    # number tokens — an index/query divergence on any Cyrillic row
+    # holding a birth date (code-review r05 finding).
+    explicit = set("._'-/") | {"_"}
     explicit |= {chr(k) for k in _an._APOSTROPHES} | {chr(k) for k in _an._HYPHENS}
     explicit |= {chr(k) for k in _an._INVISIBLE} | {chr(k) for k in _an._SPECIAL_IGNORED}
     explicit |= {chr(k) for k in _an._TRANSLIT if chr(k) not in "ёЁ"}  # ß/ẞ expand
@@ -124,6 +127,14 @@ def _full_vec_blacklist_regex() -> str:
         if c.casefold() != c.lower():
             bad.append(cp)
     bad.extend(range(0xE0100, 0xE01F0))  # plane-14 variation selectors (Mn)
+    # Hangul conjoining jamo: each codepoint is NFKC-identity ALONE but
+    # composes at STRING level (U+1100 U+1161 → 가), which the
+    # per-codepoint check above cannot see — route to the Python path
+    # (code-review r05 finding; Mn/Mc/Me already cover the other
+    # multi-codepoint composition class, base + combining mark).
+    bad.extend(range(0x1100, 0x1200))
+    bad.extend(range(0xA960, 0xA980))
+    bad.extend(range(0xD7B0, 0xD800))
     # collapse to ranges → one RE2 character class
     bad_arr = np.asarray(sorted(bad), dtype=np.int64)
     breaks = np.flatnonzero(np.diff(bad_arr) > 1)

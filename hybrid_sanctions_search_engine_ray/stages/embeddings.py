@@ -160,9 +160,14 @@ def minilm_backend_factory(model: str =
             m = SentenceTransformer(model)
 
             def encode(texts):
-                return m.encode(texts, batch_size=len(texts),
-                                normalize_embeddings=False,
-                                convert_to_numpy=True)
+                out = m.encode(texts, batch_size=len(texts),
+                               normalize_embeddings=False,
+                               convert_to_numpy=True)
+                if out.shape[1] != dim:
+                    raise ValueError(
+                        f"model {model} emits dim {out.shape[1]}, "
+                        f"factory configured for {dim}")
+                return out
 
             return encode
         except ImportError:
@@ -187,7 +192,13 @@ def minilm_backend_factory(model: str =
                                           "attention_mask": mask})[0]
                     # mean-pool over the mask (MiniLM sentence embedding)
                     w = mask[:, :, None].astype(np.float32)
-                    return (out * w).sum(axis=1) / np.maximum(w.sum(axis=1), 1e-9)
+                    pooled = ((out * w).sum(axis=1)
+                              / np.maximum(w.sum(axis=1), 1e-9))
+                    if pooled.shape[1] != dim:
+                        raise ValueError(
+                            f"model {model} emits dim {pooled.shape[1]}, "
+                            f"factory configured for {dim}")
+                    return pooled
 
                 return encode
             except ImportError:

@@ -1407,8 +1407,12 @@ def pq_query_exact(pq_dir: str, embeddings_path: str, n_queries: int,
     qt = _pqt.read_table(embeddings_path, columns=["vec_id", "embedding"],
                          filters=[("vec_id", "<", n_queries)])
     q_ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # multi-file / row-group reads need not return vec_id order — sort,
+    # so output row order matches the twin's ORDER BY (code-review r05)
+    o = np.argsort(q_ids, kind="stable")
+    q_ids = q_ids[o]
     Qn = _quantize_norm_int(
-        np.stack(qt["embedding"].to_pandas().to_numpy()).astype(np.float64),
+        np.stack(qt["embedding"].to_pandas().to_numpy()[o]).astype(np.float64),
         scale)
     Qn_s = Qn.reshape(len(q_ids), m, subdim)
     # T[q, s, a] = Σ_d (qn − c_q)² — integer ADC tables
@@ -1776,11 +1780,7 @@ def ivf_probe_exact(embeddings_path: str, oracle_dir: str, n_queries: int,
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            col = b["embedding"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                ids.size, -1).astype(np.float64)
+            mat = _batch_matrix(b)
             nq = _quantize_norm_int(mat, scale)
             d2 = ((nq[:, None, :] - self.qc[None, :, :]) ** 2).sum(axis=2)
             cl = np.argmin(d2, axis=1)          # first min == lowest cluster id
@@ -1866,6 +1866,9 @@ def lsh_probe_exact(embeddings_path: str, n_queries: int, n_planes: int = 8,
     qnq = _quantize_norm_int(
         np.stack(head["embedding"].to_pandas().to_numpy()[o]).astype(np.float64),
         scale)
+    # a corpus smaller than n_planes yields that many planes — use the
+    # actual plane count everywhere (code-review r05)
+    n_planes = planes.shape[0]
     q_buckets = (((qnq @ planes.T) >= 0).astype(np.int64)
                  << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
 
@@ -1878,11 +1881,7 @@ def lsh_probe_exact(embeddings_path: str, n_queries: int, n_planes: int = 8,
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            col = b["embedding"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                ids.size, -1).astype(np.float64)
+            mat = _batch_matrix(b)
             nq = _quantize_norm_int(mat, scale)
             nb = (((nq @ self.planes.T) >= 0).astype(np.int64)
                   << np.arange(self.planes.shape[0], dtype=np.int64)).sum(axis=1)
@@ -1953,11 +1952,7 @@ def proto_prune_exact(embeddings_path: str, oracle_dir: str,
 
     def _score_batch(b: pa.Table, qc_):
         ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        col = b["embedding"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
-            ids.size, -1).astype(np.float64)
+        mat = _batch_matrix(b)
         nq = _quantize_norm_int(mat, scale)
         d2 = ((nq[:, None, :] - qc_[None, :, :]) ** 2).sum(axis=2)
         cl = np.argmin(d2, axis=1)                   # ties → lowest cluster
@@ -2069,11 +2064,7 @@ def mmr_exact(embeddings_path: str, n_queries: int, window: int = 12,
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            col = b["embedding"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                ids.size, -1).astype(np.float64)
+            mat = _batch_matrix(b)
             nq = _quantize_norm_int(mat, scale)
             dots = nq @ self.qnq.T
             out_q, out_v, out_r = [], [], []

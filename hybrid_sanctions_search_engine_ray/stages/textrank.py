@@ -320,7 +320,22 @@ def textrank_keywords(transcripts_ds, n_iter: int = 4, top_n: int = 20,
             if r.size == 0:
                 continue
             k = min(top_n, r.size)
+            # top-k by the SAME (rank desc, term asc) order the final
+            # merge uses: argpartition alone keeps an arbitrary subset
+            # of rank-ties at the k-th boundary, which can drop a term
+            # the flat path would return (code-review r05). Resolve the
+            # boundary ties by term without sorting the shard.
             pos = np.argpartition(-r, k - 1)[:k]
+            v = int(r[pos].min())               # k-th largest rank
+            strict = np.flatnonzero(r > v)
+            need = k - strict.size
+            tied = np.flatnonzero(r == v)
+            if tied.size > need:
+                t_terms = nodes[i * shard_size + tied]
+                tied = tied[np.argpartition(t_terms, need - 1)[:need]]
+                tied = tied[np.argsort(nodes[i * shard_size + tied],
+                                       kind="stable")]
+            pos = np.concatenate([strict, tied])
             parts.append(pd.DataFrame({
                 "term": nodes[i * shard_size + pos], "rank": r[pos]}))
         out = pd.concat(parts, ignore_index=True) if parts else \

@@ -330,3 +330,25 @@ def test_surname_gender_paradigm_repair_ru():
     assert name_stem_ru("путина") == name_stem_ru("путин") == "путин"
     # short words (Лев) never trigger the nominative guard
     assert name_stem_ru("лев") == "лев"
+
+
+def test_generated_diminutive_table_has_no_single_letter_keys():
+    """The full analyzer indexes initials as bare letters (А. С. Пушкин
+    → а, с, пушкин), so a single-letter conflation key would merge
+    every initial with some given name — the generator must never emit
+    one, and the bare initial must stem to itself (code-review r05)."""
+    from hybrid_sanctions_search_engine_ray.functions._diminutive_gen import (
+        GEN_DIMINUTIVE_RU,
+        GEN_DIMINUTIVE_UK,
+    )
+    from hybrid_sanctions_search_engine_ray.functions.stemmer import (
+        name_stem_ru,
+        name_stem_uk,
+    )
+
+    assert all(len(k) >= 2 for k in GEN_DIMINUTIVE_RU)
+    assert all(len(k) >= 2 for k in GEN_DIMINUTIVE_UK)
+    for ch in "абвгдежзиклмнопрстуфхцчшщэюя":
+        assert name_stem_ru(ch) == ch, ch
+    for ch in "абвгдежзиіїклмнопрстуфхцчшщюя":
+        assert name_stem_uk(ch) == ch, ch

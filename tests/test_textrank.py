@@ -255,3 +255,19 @@ def test_personalized_pagerank_topical(ray_session):
         r = {n: base[n] + (85 * inflow[n]) // 100 for n in wout}
     for t, v in ranks.items():
         assert v == r[t]
+
+
+def test_textrank_sharded_boundary_ties(ray_session):
+    """shard_size > top_n with rank TIES at the per-shard k-th boundary
+    (the production regime — code-review r05): many isolated-pair terms
+    share identical ranks, so the per-shard truncation must resolve the
+    boundary by the same (rank desc, term asc) order the final merge
+    uses, or a tied term the flat path returns gets dropped."""
+    # 40 disjoint symmetric pairs → 80 nodes with IDENTICAL structure
+    # (and identical integer ranks), vocabulary split across shards
+    docs = [f"pair{i:02d}a pair{i:02d}b" for i in range(40)] * 3
+    flat = textrank_keywords(_ts(docs, ray_session, blocks=4), n_iter=3, top_n=10)
+    for shard_size in (15, 33, 64):
+        sharded = textrank_keywords(_ts(docs, ray_session, blocks=4),
+                                    n_iter=3, top_n=10, shard_size=shard_size)
+        pd.testing.assert_frame_equal(sharded, flat)

@@ -8098,17 +8098,30 @@ def q_ann_int8(sf_dir: str):
 
 def q_ann_eval(sf_dir: str):
     """ANN quality harness: recall@k of every approximate index (IVF,
-    LSH, int8-rescore, sharded-NSW graph) against the exact brute-force
-    top-k, one row per (method, query) plus the per-method mean — the
-    evaluation loop a production ANN deployment runs before flipping an
-    alias. Rows-only check (IVF/LSH/NSW assignment is not
-    SQL-expressible)."""
+    LSH, int8-rescore, sharded-NSW graph, PQ) against the exact
+    brute-force top-k, one row per (method, query) plus the per-method
+    mean — the evaluation loop a production ANN deployment runs before
+    flipping an alias. Round 5 adds the integer value-gated companions
+    (ivf_x / lsh_x / mmr_x): their recall is LOWER by design — ivf_x
+    probes 3/8 sample-trained clusters, lsh_x probes Hamming radius 2
+    of 8 anchor planes, and mmr_x deliberately trades top-k recall for
+    diversity — so the harness now quantifies the
+    verifiability-vs-recall tradeoff explicitly (e.g. at sf0.001:
+    ivf 0.93 vs ivf_x 0.40, lsh 1.0 vs lsh_x 0.53, mmr_x 0.67).
+    Rows-only check (IVF/LSH/NSW assignment is not SQL-expressible;
+    the companions' VALUES are gated by their own exact twins)."""
     exact = q_embedding_topk(sf_dir).to_pandas()
     truth = {qid: set(g["vec_id"]) for qid, g in exact.groupby("query_vec_id")}
     rows = []
+    # float production paths AND the round-5 integer value-gated
+    # companions (ivf_x/lsh_x/mmr_x) — the companions run different
+    # algorithms (persisted int centroids, anchor-row planes), so their
+    # retrieval quality deserves its own recall row beside the twins'
+    # value gate
     for method, fn in (("ivf", q_ann_ivf), ("lsh", q_ann_lsh),
                        ("int8", q_ann_int8), ("nsw", q_ann_nsw),
-                       ("pq", q_ann_pq)):
+                       ("pq", q_ann_pq), ("ivf_x", q_ivf_probe_exact),
+                       ("lsh_x", q_lsh_probe_exact), ("mmr_x", q_mmr_exact)):
         got = fn(sf_dir)
         got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
         for qid, g in got.groupby("query_vec_id"):

@@ -265,7 +265,11 @@ def test_lang_col_routing_vs_script_detection():
 
 
 _CYR_AL = ("абвгдеёжзийклмнопрстуфхцчшщъыьэюя" "АБВЕЁИЙКМНОПРСТУХ"
-           "їієґЇІЄҐ" "abcdefgXYZ" " \t,!?()\"«»" "0123456789" ".-'ёÃ№ßΣ​")
+           "їієґЇІЄҐ" "abcdefgXYZ" " \t,!?()\"«»" "0123456789" ".-'ёÃ№ßΣ​"
+           # code-review r05 hazard chars: '/' (slash dates must be
+           # excluded whole on both paths) and Hangul conjoining jamo
+           # (NFKC-identity per codepoint, composing at string level)
+           "/가")
 
 
 @settings(max_examples=120, deadline=None)

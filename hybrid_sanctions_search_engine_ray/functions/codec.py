@@ -121,15 +121,21 @@ def block_maxes(tfs: np.ndarray, doclens: np.ndarray, k1: float, b: float, avgdl
     ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` — multiplied by the term's
     idf at query time this upper-bounds any doc's contribution in the
     block (block-max pruning; Ding & Suel, "Faster Top-k Document
-    Retrieval Using Block-Max Indexes", SIGIR'11)."""
+    Retrieval Using Block-Max Indexes", SIGIR'11).
+
+    Reference form of the kernel the serving path computes inside
+    TermPosting (functions/bm25.py) — kept in FLOAT64: a float32
+    downcast could round a block max DOWN and let pruning skip a true
+    top-k doc, breaking the rank-identical-to-TAAT contract
+    (code-review r05 finding)."""
     tf = tfs.astype(np.float64)
     dl = doclens.astype(np.float64)
     f = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
     n = f.size
     if n == 0:
-        return np.empty(0, dtype=np.float32)
+        return np.empty(0, dtype=np.float64)
     starts = np.arange(0, n, block_size)
-    return np.maximum.reduceat(f, starts).astype(np.float32)
+    return np.maximum.reduceat(f, starts)
 
 
 # --- Elias-Fano (quasi-succinct) doc-id codec -------------------------------

@@ -65,13 +65,21 @@ def _attach_ids_task(tmp_path: str, offset: int, out_path: str, sample_path: str
     later reads 2% of the corpus instead of scanning every text row."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(tmp_path)
-    ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
-    t = t.add_column(0, "doc_id", ids)
-    tmp_out = out_path + ".tmp"
-    pq.write_table(t, tmp_out)
-    os.replace(tmp_out, out_path)
-    os.unlink(tmp_path)
+    # idempotent under Ray task retry (code-review r05): a worker death
+    # after the rename but before returning must not fail the re-run —
+    # if the input tmp is gone and the output exists, a prior attempt
+    # finished the rewrite; re-derive the (atomic, idempotent) sample
+    # write from the output and return. The tmp unlink is LAST so no
+    # death point loses both copies.
+    if not os.path.exists(tmp_path) and os.path.exists(out_path):
+        t = pq.read_table(out_path)
+    else:
+        t = pq.read_table(tmp_path)
+        ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
+        t = t.add_column(0, "doc_id", ids)
+        tmp_out = out_path + ".tmp"
+        pq.write_table(t, tmp_out)
+        os.replace(tmp_out, out_path)
     if sample_path is not None:
         from hybrid_sanctions_search_engine_ray.functions.hashing import hash_string_array
         from hybrid_sanctions_search_engine_ray.stages.analyze import HOT_SAMPLE_EVERY
@@ -82,11 +90,14 @@ def _attach_ids_task(tmp_path: str, offset: int, out_path: str, sample_path: str
             tmp_s = sample_path + ".tmp"
             pq.write_table(sub, tmp_s)
             os.replace(tmp_s, sample_path)
+    if os.path.exists(tmp_path):
+        os.unlink(tmp_path)
     return t.num_rows
 
 
 def checkpoint_corpus_with_ids(ds, corpus_dir: str, sort: bool = True,
-                               sample_dir: str | None = None) -> int:
+                               sample_dir: str | None = None,
+                               extra_cols: tuple = ()) -> int:
     """Persist the sorted+id'd corpus as a parquet checkpoint — doc ids
     are dense ranks under stable ``(conv_id, turn_idx)`` ordering (the
     north rule's T5 invariant, SURVEY.md §2.6) — WITHOUT ever pinning
@@ -133,7 +144,7 @@ def checkpoint_corpus_with_ids(ds, corpus_dir: str, sort: bool = True,
                              "n_rows": pa.array([], pa.int64()), "path": pa.array([], pa.string())})
         fd, tmp = tempfile.mkstemp(dir=corpus_dir, suffix=".blk")
         os.close(fd)
-        pq.write_table(batch.select(_CORPUS_COLS), tmp)
+        pq.write_table(batch.select(_CORPUS_COLS + list(extra_cols)), tmp)
         return pa.table(
             {
                 "conv0": pa.array([batch["conv_id"][0].as_py()], pa.string()),
@@ -336,6 +347,10 @@ def build_index(
         _sh.rmtree(docmap_path, ignore_errors=True)
         os.replace(tmp, docmap_path)
 
+    # the analyzer's detected-language column must survive every pruned
+    # read/checkpoint on the way to the scan (code-review r05 finding)
+    _lang_extra = [cfg.analyzer.lang_col] if cfg.analyzer.lang_col else []
+
     sample_files: list[str] = []
     fast_sorted_files: list[str] | None = None
     if "doc_id" in ds.schema().names:
@@ -361,7 +376,7 @@ def build_index(
             # store capacity; large corpora take the streaming branch)
             fast_sorted_files = None
             ds = read_sorted_parquet_with_ids(
-                input_path, ["doc_id", "conv_id", "turn_idx", "text"]
+                input_path, ["doc_id", "conv_id", "turn_idx", "text"] + _lang_extra
             ).materialize()
             if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
                 docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
@@ -371,7 +386,8 @@ def build_index(
                     lambda p: _ds_mat.select_columns(docmap_cols).write_parquet(p),
                 )
         else:
-            ds = read_sorted_parquet_with_ids(input_path, ["doc_id", "conv_id", "text"])
+            ds = read_sorted_parquet_with_ids(
+                input_path, ["doc_id", "conv_id", "text"] + _lang_extra)
             if not (have_partial and os.path.isdir(docmap_path) and os.listdir(docmap_path)):
                 docmap_cols = ["doc_id", "conv_id", "turn_idx"] + (["text"] if store_text else [])
                 _docmap_future = _docmap_pool.submit(
@@ -382,7 +398,9 @@ def build_index(
     else:
         use_checkpoint = True
         if not (have_partial and corpus_checkpoint_complete(docmap_path)):
-            checkpoint_corpus_with_ids(ds, docmap_path, sort=not assume_sorted, sample_dir=sample_path)
+            checkpoint_corpus_with_ids(ds, docmap_path, sort=not assume_sorted,
+                                       sample_dir=sample_path,
+                                       extra_cols=tuple(_lang_extra))
         _mark("doc_ids")
         corpus_files = sorted(
             os.path.join(docmap_path, f) for f in os.listdir(docmap_path) if f.endswith(".parquet")
@@ -391,7 +409,8 @@ def build_index(
             sample_files = sorted(
                 os.path.join(sample_path, f) for f in os.listdir(sample_path) if f.endswith(".parquet")
             )
-        ds = rd.read_parquet(corpus_files, columns=["doc_id", "conv_id", "text"])
+        ds = rd.read_parquet(corpus_files,
+                             columns=["doc_id", "conv_id", "text"] + _lang_extra)
         _mark("docmap")
 
     # --- hot-term pre-pass: tokenize only the deterministic 2% conv
@@ -399,7 +418,44 @@ def build_index(
     # cluster sizes and resumes); reused from the manifest on resume ---
     if have_partial:
         manifest = IndexManifest.load(index_dir)
+        # resume must use the ORIGINAL run's layout: partition hashing,
+        # salting and tokenization all feed the done-part skip, so a
+        # changed cfg would silently drop or misroute postings
+        # (code-review r05 finding) — refuse loudly instead.
+        _mismatch = [
+            f"{name}: saved={got!r} cfg={want!r}"
+            for name, got, want in (
+                ("num_partitions", manifest.num_partitions, cfg.num_partitions),
+                ("hot_term_salt_buckets", manifest.hot_term_salt_buckets,
+                 cfg.hot_term_salt_buckets),
+                ("block_size", manifest.block_size, cfg.block_size),
+                ("analyzer_mode", manifest.analyzer_mode, cfg.analyzer.mode),
+                ("remove_stopwords", manifest.remove_stopwords,
+                 cfg.analyzer.remove_stopwords),
+                ("stem", manifest.stem, cfg.analyzer.stem),
+                ("dedup_tokens", manifest.dedup_tokens, cfg.analyzer.dedup_tokens),
+                ("min_token_len", manifest.min_token_len,
+                 cfg.analyzer.min_token_len),
+                ("max_token_len", manifest.max_token_len,
+                 cfg.analyzer.max_token_len),
+                ("lang_split_case", manifest.lang_split_case,
+                 cfg.analyzer.lang_split_case),
+                ("lang_col", manifest.lang_col, cfg.analyzer.lang_col),
+                ("store_positions", manifest.store_positions, store_positions),
+            )
+            if got != want
+        ]
+        if _mismatch:
+            raise ValueError(
+                "build_index(resume=True): config differs from the saved "
+                "manifest — resume with the original config or rebuild "
+                "fresh: " + "; ".join(_mismatch))
     else:
+        # a FRESH build owns the whole dir: stale segments from any
+        # previous build in the same location must not survive into the
+        # completed_parts sweep (they would corrupt corpus stats and
+        # leave old-corpus postings queryable — code-review r05 finding)
+        _sh.rmtree(os.path.join(index_dir, "segments"), ignore_errors=True)
         import pyarrow.compute as pc
         from ray.data.aggregate import Sum
 
@@ -474,6 +530,10 @@ def build_index(
             remove_stopwords=cfg.analyzer.remove_stopwords,
             stem=cfg.analyzer.stem,
             dedup_tokens=cfg.analyzer.dedup_tokens,
+            min_token_len=cfg.analyzer.min_token_len,
+            max_token_len=cfg.analyzer.max_token_len,
+            lang_split_case=cfg.analyzer.lang_split_case,
+            lang_col=cfg.analyzer.lang_col,
             store_positions=store_positions,
             hot_terms=hot_terms,
             hot_term_salt_buckets=cfg.hot_term_salt_buckets,

@@ -80,6 +80,11 @@ class IndexReader:
                 remove_stopwords=self.manifest.remove_stopwords,
                 stem=self.manifest.stem,
                 dedup_tokens=self.manifest.dedup_tokens,
+                min_token_len=self.manifest.min_token_len,
+                max_token_len=self.manifest.max_token_len,
+                # query strings have no language column — keep the
+                # per-string script detection for the case rule
+                lang_split_case=self.manifest.lang_split_case,
                 # the name-field consent gate ran at build time; a reader
                 # reconstructing the build analyzer must not re-warn
                 name_field=self.manifest.stem.endswith("_names"),
@@ -252,15 +257,29 @@ class IndexReader:
         clamp — a no-op for kernels that are strictly positive)."""
         top_k = max(1, min(int(top_k), 1000))
         terms = sorted(set(self.analyzer(query_text)))
+        # one partition-grouped read for ALL terms (the BM25 path's
+        # batching — not a per-term parquet scan), which also fills _raw
+        self.load_postings(terms)
+        if self.tombstones.size:
+            from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+                tombstone_mask,
+            )
         d_parts: list[np.ndarray] = []
         s_parts: list[np.ndarray] = []
         for term in terms:  # query-term count, not posting count
-            raw = self.load_raw(term)
+            raw = self._raw.get(term)
             if raw is None:
                 continue
             doc_ids, tfs, dls = raw
+            # kernel sees the UNFILTERED posting (collection stats like
+            # cttf count tombstoned docs until compaction — the same
+            # convention as df in the BM25 path), but tombstoned docs
+            # are excluded from the RESULTS (the documented reader
+            # invariant; code-review r05 finding)
             s = kernel(tfs.astype(np.float64), dls.astype(np.float64))
             keep = s > 0.0
+            if self.tombstones.size:
+                keep &= ~tombstone_mask(self.tombstones, doc_ids)
             d_parts.append(doc_ids[keep])
             s_parts.append(s[keep])
         if not d_parts or not sum(x.size for x in d_parts):

@@ -383,6 +383,21 @@ def _dedup_occurrences(parent: np.ndarray, flat: pa.Array) -> tuple[np.ndarray, 
     return d_all[order], t_all.take(pa.array(order))
 
 
+def _bound_tokens(parent_np: np.ndarray, flat: pa.Array,
+                  cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Array]:
+    """Apply the analyzer's min/max token-length bounds to a fast-path
+    result — the vectorized twin of get_analyzer's ``bounded`` wrapper,
+    which filters OUTPUT tokens. Without this, the Arrow paths indexed
+    tokens the query analyzer drops (code-review r05 finding)."""
+    if cfg.min_token_len <= 1 and cfg.max_token_len >= 64:
+        return parent_np, flat
+    ln = pc.utf8_length(flat)
+    keep = pc.and_(pc.greater_equal(ln, cfg.min_token_len),
+                   pc.less_equal(ln, cfg.max_token_len))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return parent_np[keep_np], flat.filter(keep)
+
+
 def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Array]:
     """Tokenize a batch → flat (doc_row_index, term) pairs.
 
@@ -401,17 +416,22 @@ def flat_terms(batch: pa.Table, cfg: AnalyzerConfig) -> tuple[np.ndarray, pa.Arr
         keep = pc.greater(pc.utf8_length(flat), 0)
         if cfg.remove_stopwords:
             keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))))
+        if cfg.min_token_len > 1 or cfg.max_token_len < 64:
+            ln = pc.utf8_length(flat)
+            keep = pc.and_(keep, pc.and_(
+                pc.greater_equal(ln, cfg.min_token_len),
+                pc.less_equal(ln, cfg.max_token_len)))
         parent_np = parent.filter(keep).to_numpy(zero_copy_only=False)
         flat = flat.filter(keep)
         if cfg.dedup_tokens:
             return _dedup_occurrences(parent_np, flat)
         return parent_np, flat
     if cfg.mode == "char3" and not cfg.stem and not cfg.dedup_tokens:
-        return _char3_flat(text)
+        return _bound_tokens(*_char3_flat(text), cfg)
     if cfg.mode == "edge" and not cfg.stem and not cfg.dedup_tokens:
-        return _edge_flat(text)
+        return _bound_tokens(*_edge_flat(text), cfg)
     if cfg.mode == "shingle" and not cfg.stem and not cfg.dedup_tokens:
-        return _shingle_flat(text)
+        return _bound_tokens(*_shingle_flat(text), cfg)
     # full mode: vectorized "plain row" fast path + per-row Python for
     # the rest. A row is PLAIN when it is pure ASCII and contains none
     # of [. _ ' -] (digits ARE allowed — round 4 widening); on such

@@ -80,6 +80,11 @@ def pack_postings_by_part(batch: pa.Table) -> pa.Table:
     magnitude while the byte volume stays the same. This is the
     map-side-combine pattern for Ray Data shuffles (ray_guide
     "Aggregation at scale")."""
+    if batch.num_rows == 0:
+        # the (starts, ends) walk below would index sp[0] on an empty
+        # array (code-review r05) — return an empty payload table
+        return pa.table({"part": pa.array([], pa.int32()),
+                         "payload": pa.array([], pa.binary())})
     part = batch["part"].to_numpy(zero_copy_only=False)
     order = np.argsort(part, kind="stable")
     sorted_tbl = batch.take(pa.array(order))

@@ -63,6 +63,14 @@ class IndexManifest:
     remove_stopwords: bool = False
     stem: str = ""
     dedup_tokens: bool = False
+    # the REST of AnalyzerConfig — persisted so readers reconstruct the
+    # exact build analyzer (older manifests default to these; a
+    # non-default build without them silently diverged query-side
+    # tokenization — code-review r05 finding)
+    min_token_len: int = 1
+    max_token_len: int = 64
+    lang_split_case: bool = False
+    lang_col: str | None = None
     store_positions: bool = False
     # skew handling
     hot_terms: list[str] = field(default_factory=list)

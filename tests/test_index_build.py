@@ -91,3 +91,70 @@ def test_write_dictionary_utility(built_index):
     d = pq.read_table(dict_path).to_pandas()
     assert int(d["df"].sum()) == total_seg
     assert d["term"].is_unique
+
+
+def test_lang_col_survives_checkpoint_build(ray_session, tmp_path):
+    """A full-mode lang_col build through the CHECKPOINT path (input
+    without doc ids) must carry the language column into the postings
+    scan instead of crashing after the checkpoint pass (code-review
+    r05), and the column-driven case routing must be in effect."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    rows = [
+        {"conv_id": f"c-{i:04d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1), "lang": lg}
+        for i, (t, lg) in enumerate([
+            ("Москва справка отчет", "ru"),
+            ("plain english text", "en"),
+            ("Київ звіт документ", "uk"),
+        ])
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path / "langidx")
+    cfg = EngineConfig(num_partitions=2,
+                       analyzer=AnalyzerConfig(mode="full", lang_split_case=True,
+                                               lang_col="lang"))
+    m = build_index("mem", idx, cfg, transcripts_ds=ds)
+    assert m.status == "complete" and m.n_docs == 3
+    assert m.lang_col == "lang" and m.lang_split_case is True
+    r = IndexReader(idx)
+    docs, _ = r.search_one("москва", 5)
+    assert list(docs) == [0]
+
+
+def test_manifest_round_trips_token_bounds(ray_session, tmp_path):
+    """min_token_len must survive the manifest so the reader's query
+    analyzer matches the build analyzer — a 1-char query term must be
+    DROPPED (matching the index), not treated as a required term with
+    no postings (code-review r05)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig, EngineConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.index_build import build_index
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    rows = [
+        {"conv_id": f"c-{i:04d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+        for i, t in enumerate(["a moscow report", "b berlin file"])
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False))
+    idx = str(tmp_path / "boundsidx")
+    cfg = EngineConfig(num_partitions=2,
+                       analyzer=AnalyzerConfig(mode="simple", min_token_len=2))
+    m = build_index("mem", idx, cfg, transcripts_ds=ds)
+    assert m.min_token_len == 2
+    r = IndexReader(idx)
+    # 'a' is sub-min on both sides: neither indexed nor required
+    assert set(r.analyzer("a moscow")) == {"moscow"}
+    docs, _ = r.search_one("a moscow", 5)
+    assert list(docs) == [0]
+    assert r.load_raw("a") is None  # never indexed

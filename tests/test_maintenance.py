@@ -527,3 +527,84 @@ def test_static_prune_partial_crash_resume(ray_session, tmp_path):
     static_prune_index(idx, out, top_n=2)
     assert os.path.exists(victim_meta)            # victim re-pruned
     assert os.path.getmtime(survivor) == s_mtime  # survivor untouched
+
+
+def test_delete_hides_docs_in_similarity_kernels(ray_session, tmp_path):
+    """The reader invariant 'tombstoned docs are excluded from every
+    result' must hold for the pluggable similarity modules too — the
+    kernel path scored deleted docs before (code-review r05)."""
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    idx, _ = _build(tmp_path, "delsim", TEXTS)
+    r0 = IndexReader(idx)
+    docs0, _ = r0.search_one_lmd("wire transfer", 10)
+    assert 1 in docs0
+    delete_docs(idx, [1])
+    r1 = IndexReader(idx)
+    for meth in ("search_one_lmd", "search_one_lmjm", "search_one_classic",
+                 "search_one_dfr", "search_one_dfi", "search_one_ib"):
+        fn = getattr(r1, meth, None)
+        if fn is None:
+            continue
+        docs, _ = fn("wire transfer", 10)
+        assert 1 not in docs, meth
+    # BM25 path unchanged (regression canary)
+    docs, _ = r1.search_one("wire transfer", 10)
+    assert 1 not in docs
+
+
+def test_fresh_rebuild_clears_stale_segments(ray_session, tmp_path):
+    """A fresh (resume=False) build into a dir holding an OLD index
+    must not merge the old partitions' metas or postings — stats and
+    results must equal a build into a clean dir (code-review r05)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.pipelines.query import IndexReader
+
+    rows = lambda texts: [
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+        for i, t in enumerate(texts)
+    ]
+    idx = str(tmp_path / "rebuild")
+    ds1 = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows(TEXTS)),
+                                             preserve_index=False))
+    build_index("mem", idx, EngineConfig(num_partitions=8), transcripts_ds=ds1)
+    # rebuild SAME dir: fewer partitions + a smaller corpus
+    texts2 = TEXTS[:3]
+    ds2 = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows(texts2)),
+                                             preserve_index=False))
+    m2 = build_index("mem", idx, EngineConfig(num_partitions=2), transcripts_ds=ds2)
+    assert m2.n_docs == 3
+    assert m2.num_partitions == 2
+    assert set(int(p) for p in m2.parts) <= {0, 1}
+    r = IndexReader(idx)
+    docs, _ = r.search_one("wire transfer", 10)
+    assert set(docs) <= {0, 1, 2}  # no stale doc ids from the old build
+
+
+def test_resume_with_changed_config_refuses(ray_session, tmp_path):
+    """Resuming with a different layout config must raise loudly — the
+    done-part skip and query path assume the original run's hashing
+    (code-review r05)."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    rows = [
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+        for i, t in enumerate(TEXTS)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows),
+                                            preserve_index=False))
+    idx = str(tmp_path / "resumecfg")
+    with _pytest.raises(RuntimeError):
+        build_index("mem", idx, EngineConfig(num_partitions=4),
+                    transcripts_ds=ds, fail_after_parts=1)
+    with _pytest.raises(ValueError, match="config differs"):
+        build_index("mem", idx, EngineConfig(num_partitions=8),
+                    transcripts_ds=ds, resume=True)
+    # original config resumes fine
+    m = build_index("mem", idx, EngineConfig(num_partitions=4),
+                    transcripts_ds=ds, resume=True)
+    assert m.status == "complete"

@@ -65,13 +65,18 @@ class FederatedReader:
         self.n_docs = sum(r.manifest.n_docs for r in self.readers)
         total_tokens = sum(r.manifest.total_tokens for r in self.readers)
         self.avgdl = total_tokens / self.n_docs if self.n_docs else 0.0
+        from hybrid_sanctions_search_engine_ray.state.manifest import analyzer_key
+
         m0 = self.readers[0].manifest
         for r in self.readers[1:]:
-            if (r.manifest.k1, r.manifest.b, r.manifest.analyzer_mode, r.manifest.remove_stopwords) != (
+            # FULL analyzer identity (stem/dedup/bounds/case routing) —
+            # a stemmed + unstemmed pair would silently lose the
+            # unstemmed sub-index's docs from every result
+            # (code-review r05 finding)
+            if (r.manifest.k1, r.manifest.b, analyzer_key(r.manifest)) != (
                 m0.k1,
                 m0.b,
-                m0.analyzer_mode,
-                m0.remove_stopwords,
+                analyzer_key(m0),
             ):
                 raise ValueError("sub-indexes disagree on scoring/analyzer parameters")
         self.k1, self.b, self.block_size = m0.k1, m0.b, m0.block_size

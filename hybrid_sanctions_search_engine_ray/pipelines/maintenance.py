@@ -213,10 +213,26 @@ def _run_plan(index_dir: str, m: IndexManifest, plan: dict) -> IndexManifest:
         m.parts[str(p)].update(
             n_terms=r["n_terms"], n_rows=r["n_rows"], n_postings=r["n_postings"]
         )
-    m.n_docs -= int(plan["n_docs_removed"])
-    m.total_tokens -= int(plan["tokens_removed"])
+    # ABSOLUTE post-compaction stats (idempotent: a crash between the
+    # manifest save and the plan-file removal re-runs the plan on the
+    # already-corrected manifest, and assignment cannot double-subtract
+    # the way the original delta form did — code-review r05 finding).
+    # Legacy delta plans (no *_after keys) keep the old arithmetic.
+    if "n_docs_after" in plan:
+        m.n_docs = int(plan["n_docs_after"])
+        m.total_tokens = int(plan["tokens_after"])
+    else:
+        m.n_docs -= int(plan["n_docs_removed"])
+        m.total_tokens -= int(plan["tokens_removed"])
     m.avgdl = (m.total_tokens / m.n_docs) if m.n_docs else 0.0
-    m.n_terms = sum(p.get("n_terms", 0) for p in m.parts.values())
+    # same hot-term overcount correction as merge/repartition: a salted
+    # term appears in several partitions but is ONE distinct term
+    n_terms_sum = sum(p.get("n_terms", 0) for p in m.parts.values())
+    hot_hits: dict[str, int] = {}
+    for p in m.parts.values():
+        for t in p.get("hot_terms_present", []):
+            hot_hits[t] = hot_hits.get(t, 0) + 1
+    m.n_terms = n_terms_sum - sum(h - 1 for h in hot_hits.values() if h > 1)
     m.save(index_dir)
     # optional vocabulary artifact: regenerate so df/cf reflect the purge
     if os.path.exists(os.path.join(index_dir, "dictionary.parquet")):
@@ -240,6 +256,19 @@ def compact_index(index_dir: str) -> IndexManifest:
     docstring); resumes a half-finished compaction before handling any
     tombstones added since. No-op when nothing is pending."""
     m = IndexManifest.load(index_dir)
+    # open point-in-time snapshots freeze a tombstone set but share the
+    # SEGMENTS — physically purging would silently remove docs a PIT
+    # reader is promised to keep seeing (code-review r05 finding).
+    # Refuse loudly; close PITs (or copy the index) before compacting.
+    pit_dir = os.path.join(index_dir, _PIT_DIR)
+    if os.path.isdir(pit_dir):
+        open_pits = sorted(f[:-5] for f in os.listdir(pit_dir)
+                           if f.startswith("pit-") and f.endswith(".json"))
+        if open_pits:
+            raise ValueError(
+                "compact_index: open point-in-time snapshots would lose "
+                f"purged docs: {open_pits} — close them first "
+                "(close_point_in_time)")
     plan_path = os.path.join(index_dir, _PLAN_FILE)
     if os.path.exists(plan_path):
         with open(plan_path) as f:
@@ -258,6 +287,9 @@ def compact_index(index_dir: str) -> IndexManifest:
         "tombstones": [int(x) for x in tomb.tolist()],
         "n_docs_removed": len(removed),
         "tokens_removed": int(sum(removed.values())),
+        # absolute targets — what _run_plan assigns (idempotent re-run)
+        "n_docs_after": int(m.n_docs - len(removed)),
+        "tokens_after": int(m.total_tokens - sum(removed.values())),
     }
     atomic_write_json(plan_path, plan)
     return _run_plan(index_dir, m, plan)
@@ -381,7 +413,11 @@ def merge_indexes(index_dirs: list[str], out_dir: str, resume: bool = False) -> 
     for m in ms:
         if m.status != "complete":
             raise ValueError("all source indexes must be complete")
-    key = lambda m: (m.k1, m.b, m.analyzer_mode, m.remove_stopwords, m.stem,  # noqa: E731
+    from hybrid_sanctions_search_engine_ray.state.manifest import analyzer_key
+
+    # FULL analyzer identity — dedup_tokens/token bounds/case routing
+    # change tokenization too (code-review r05 finding)
+    key = lambda m: (m.k1, m.b, analyzer_key(m),  # noqa: E731
                      m.num_partitions, m.hot_term_salt_buckets, m.block_size,
                      m.store_positions)
     if len({key(m) for m in ms}) != 1:
@@ -408,7 +444,10 @@ def merge_indexes(index_dirs: list[str], out_dir: str, resume: bool = False) -> 
         k1=m0.k1, b=m0.b, block_size=m0.block_size,
         num_partitions=m0.num_partitions,
         analyzer_mode=m0.analyzer_mode, remove_stopwords=m0.remove_stopwords,
-        stem=m0.stem, store_positions=m0.store_positions,
+        stem=m0.stem, dedup_tokens=m0.dedup_tokens,
+        min_token_len=m0.min_token_len, max_token_len=m0.max_token_len,
+        lang_split_case=m0.lang_split_case, lang_col=m0.lang_col,
+        store_positions=m0.store_positions,
         hot_terms=sorted({t for m in ms for t in m.hot_terms}),
         hot_term_salt_buckets=m0.hot_term_salt_buckets,
         input_path=";".join(index_dirs),
@@ -421,6 +460,12 @@ def merge_indexes(index_dirs: list[str], out_dir: str, resume: bool = False) -> 
         from hybrid_sanctions_search_engine_ray.state.manifest import completed_parts
 
         done = completed_parts(out_dir)
+        # a meta left by a DIFFERENT merge (other sources) must not be
+        # incorporated — its postings carry the wrong doc-id offsets
+        # (code-review r05 finding); re-merge those partitions.
+        expected_input = ";".join(d for d, _ in srcs)
+        done = {p: meta for p, meta in done.items()
+                if meta.get("input") == expected_input}
     todo = [p for p in range(m0.num_partitions) if p not in done]
     results = ray.get(
         [_merge_part.remote(out_dir, p, srcs, m0.store_positions, out.hot_terms) for p in todo]
@@ -444,7 +489,13 @@ def merge_indexes(index_dirs: list[str], out_dir: str, resume: bool = False) -> 
     # docmap: stream each source's rows with its offset into the merged
     # docmap directory (never materialized)
     dm_out = os.path.join(out_dir, "docmap.parquet")
-    if not (resume and os.path.isdir(dm_out) and os.listdir(dm_out)):
+    # atomic: write ALL sources into a tmp dir, publish with one rename —
+    # a crash mid-merge can neither leave a partial dir a resume would
+    # trust nor duplicate rows on a fresh re-run (code-review r05
+    # finding; same pattern as build_index's _deferred_docmap).
+    if not (resume and os.path.isdir(dm_out)):
+        dm_tmp = dm_out + ".tmp"
+        shutil.rmtree(dm_tmp, ignore_errors=True)
         for i, (d, off) in enumerate(srcs):
             ds = rd.read_parquet(os.path.join(d, "docmap.parquet"))
             if off:
@@ -456,7 +507,9 @@ def merge_indexes(index_dirs: list[str], out_dir: str, resume: bool = False) -> 
                     ),
                     batch_format="pyarrow",
                 )
-            ds.write_parquet(dm_out)
+            ds.write_parquet(dm_tmp)
+        shutil.rmtree(dm_out, ignore_errors=True)
+        os.replace(dm_tmp, dm_out)
 
     out.status = "complete"
     out.save(out_dir)
@@ -485,12 +538,22 @@ def ingest_delta(main_index: str, delta_transcripts_ds, out_dir: str,
     m = IndexManifest.load(main_index)
     if m.status != "complete":
         raise ValueError("main index must be complete")
+    from hybrid_sanctions_search_engine_ray.state.manifest import analyzer_from_manifest
+
+    # the FULL analyzer config — a partial reconstruction tokenized the
+    # delta inconsistently with the main index (code-review r05 finding)
     cfg = EngineConfig(
         k1=m.k1, b=m.b, block_size=m.block_size, num_partitions=m.num_partitions,
         hot_term_salt_buckets=m.hot_term_salt_buckets,
-        analyzer=AnalyzerConfig(mode=m.analyzer_mode, remove_stopwords=m.remove_stopwords,
-                                stem=m.stem),
+        analyzer=analyzer_from_manifest(m),
     )
+    # store_text must match the main index or merge_indexes' docmap
+    # schema check rejects the (already-built) delta — derive it from
+    # the main docmap (code-review r05 finding)
+    import pyarrow.dataset as _pads
+
+    main_store_text = "text" in _pads.dataset(
+        os.path.join(main_index, "docmap.parquet")).schema.names
     work = delta_work_dir or tempfile.mkdtemp(prefix="graft_delta_")
     delta_manifest_done = False
     if resume:
@@ -500,7 +563,8 @@ def ingest_delta(main_index: str, delta_transcripts_ds, out_dir: str,
             pass
     if not delta_manifest_done:
         build_index(work + "_src", work, cfg, transcripts_ds=delta_transcripts_ds,
-                    resume=resume, store_positions=m.store_positions)
+                    resume=resume, store_positions=m.store_positions,
+                    store_text=main_store_text)
     return merge_indexes([main_index, work], out_dir, resume=resume)
 
 
@@ -671,7 +735,10 @@ def repartition_index(index_dir: str, out_dir: str, new_partitions: int) -> Inde
         k1=m.k1, b=m.b, block_size=m.block_size,
         num_partitions=new_partitions,
         analyzer_mode=m.analyzer_mode, remove_stopwords=m.remove_stopwords,
-        stem=m.stem, store_positions=m.store_positions,
+        stem=m.stem, dedup_tokens=m.dedup_tokens,
+        min_token_len=m.min_token_len, max_token_len=m.max_token_len,
+        lang_split_case=m.lang_split_case, lang_col=m.lang_col,
+        store_positions=m.store_positions,
         hot_terms=list(m.hot_terms), hot_term_salt_buckets=m.hot_term_salt_buckets,
         input_path=index_dir,
     )
@@ -732,7 +799,12 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
     dm_src = os.path.join(index_dir, "docmap.parquet")
     dm_dst = os.path.join(snap_dir, "docmap.parquet")
     if os.path.isdir(dm_src) and not os.path.isdir(dm_dst):
-        shutil.copytree(dm_src, dm_dst)
+        # copy to tmp + rename: a crash mid-copytree must not leave a
+        # partial dir a re-run would trust as complete (code-review r05)
+        dm_tmp = dm_dst + ".tmp"
+        shutil.rmtree(dm_tmp, ignore_errors=True)
+        shutil.copytree(dm_src, dm_tmp)
+        os.replace(dm_tmp, dm_dst)
     tomb = os.path.join(index_dir, "tombstones.json")
     if os.path.exists(tomb):
         shutil.copy2(tomb, os.path.join(snap_dir, "tombstones.json"))
@@ -836,11 +908,12 @@ def append_documents(index_dir: str, new_transcripts_ds, out_dir: str,
     m = IndexManifest.load(index_dir)
     if m.status != "complete":
         raise ValueError(f"live index at {index_dir} is not complete")
+    from hybrid_sanctions_search_engine_ray.state.manifest import analyzer_from_manifest
+
     cfg = EngineConfig(
         k1=m.k1, b=m.b, block_size=m.block_size, num_partitions=m.num_partitions,
         hot_term_salt_buckets=m.hot_term_salt_buckets,
-        analyzer=AnalyzerConfig(mode=m.analyzer_mode,
-                                remove_stopwords=m.remove_stopwords, stem=m.stem),
+        analyzer=analyzer_from_manifest(m),  # FULL config (code-review r05)
     )
     import pyarrow.dataset as pads
 
@@ -1125,6 +1198,11 @@ def static_prune_index(index_dir: str, out_dir: str, top_n: int) -> IndexManifes
         raise ValueError(
             "static_prune_index: index has salted hot terms — their lists "
             "span partitions; repartition to an unsalted layout first")
+    if m.store_positions:
+        raise ValueError(
+            "static_prune_index: positional indexes are not supported — "
+            "the pruned rows would drop their positions column "
+            "(code-review r05); prune a non-positional build")
     os.makedirs(out_dir, exist_ok=True)
     dm_src = os.path.join(index_dir, "docmap.parquet")
     dm_dst = os.path.join(out_dir, "docmap.parquet")

@@ -112,3 +112,32 @@ def completed_parts(index_dir: str) -> dict[int, dict]:
             with open(meta_path) as f:
                 done[int(name.split("=")[1])] = json.load(f)
     return done
+
+
+def analyzer_from_manifest(m: "IndexManifest"):
+    """Reconstruct the FULL build analyzer from a manifest — every
+    persisted field, not just mode/stopwords/stem (partial
+    reconstruction silently diverged query/delta tokenization from the
+    build — code-review r05 finding). ``name_field`` is set for
+    "_names" stemmers so readers don't re-fire the build-time consent
+    warning."""
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+
+    return AnalyzerConfig(
+        mode=m.analyzer_mode,
+        remove_stopwords=m.remove_stopwords,
+        stem=m.stem,
+        dedup_tokens=m.dedup_tokens,
+        min_token_len=m.min_token_len,
+        max_token_len=m.max_token_len,
+        lang_split_case=m.lang_split_case,
+        lang_col=m.lang_col,
+        name_field=m.stem.endswith("_names"),
+    )
+
+
+def analyzer_key(m: "IndexManifest") -> tuple:
+    """The analyzer-identity tuple two indexes must share to be
+    mergeable / federable — every field that changes tokenization."""
+    return (m.analyzer_mode, m.remove_stopwords, m.stem, m.dedup_tokens,
+            m.min_token_len, m.max_token_len, m.lang_split_case, m.lang_col)

@@ -608,3 +608,118 @@ def test_resume_with_changed_config_refuses(ray_session, tmp_path):
     m = build_index("mem", idx, EngineConfig(num_partitions=4),
                     transcripts_ds=ds, resume=True)
     assert m.status == "complete"
+
+
+def test_compaction_plan_rerun_is_idempotent(ray_session, tmp_path):
+    """A crash between the manifest save and the plan-file removal must
+    not double-subtract on re-run: the plan carries ABSOLUTE
+    post-compaction stats (code-review r05)."""
+    import json as _json
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        _run_plan,
+        compact_index,
+    )
+    from hybrid_sanctions_search_engine_ray.state.manifest import IndexManifest
+
+    idx, m0 = _build(tmp_path, "planidem", TEXTS)
+    delete_docs(idx, [1])
+    m1 = compact_index(idx)
+    want = (m1.n_docs, m1.total_tokens, m1.avgdl)
+    # simulate the crash window: re-run the SAME plan on the corrected
+    # manifest (plan reconstructed as compact_index would have written)
+    plan = {"tombstones": [1], "n_docs_removed": 1,
+            "tokens_removed": m0.total_tokens - m1.total_tokens,
+            "n_docs_after": m1.n_docs, "tokens_after": m1.total_tokens}
+    import os as _os
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import _PLAN_FILE
+    _json.dump(plan, open(_os.path.join(idx, _PLAN_FILE), "w"))
+    m2 = _run_plan(idx, IndexManifest.load(idx), plan)
+    assert (m2.n_docs, m2.total_tokens, m2.avgdl) == want
+
+
+def test_compact_refuses_with_open_pit(ray_session, tmp_path):
+    """Physically purging while a point-in-time snapshot is open would
+    silently remove docs the PIT reader is promised (code-review r05)
+    — compact_index must refuse until the PIT closes."""
+    import pytest as _pytest
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        close_point_in_time,
+        compact_index,
+        open_point_in_time,
+    )
+
+    idx, _ = _build(tmp_path, "pitc", TEXTS)
+    pit = open_point_in_time(idx)
+    delete_docs(idx, [1])
+    with _pytest.raises(ValueError, match="point-in-time"):
+        compact_index(idx)
+    close_point_in_time(idx, pit)
+    m = compact_index(idx)
+    assert m.n_docs == len(TEXTS) - 1
+
+
+def test_merge_refuses_analyzer_identity_mismatch(ray_session, tmp_path):
+    """dedup_tokens / token bounds are part of the analyzer identity —
+    merging indexes that disagree must refuse (code-review r05)."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import merge_indexes
+
+    rows = [
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+        for i, t in enumerate(TEXTS)
+    ]
+    ds = lambda: rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows),  # noqa: E731
+                                                    preserve_index=False))
+    a = str(tmp_path / "ma")
+    b = str(tmp_path / "mb")
+    build_index("mem", a, EngineConfig(num_partitions=4), transcripts_ds=ds())
+    build_index("mem", b,
+                EngineConfig(num_partitions=4,
+                             analyzer=AnalyzerConfig(min_token_len=2)),
+                transcripts_ds=ds())
+    with _pytest.raises(ValueError, match="disagree"):
+        merge_indexes([a, b], str(tmp_path / "mout"))
+
+
+def test_merge_manifest_round_trips_analyzer(ray_session, tmp_path):
+    """The merged manifest must carry the sources' full analyzer config
+    so readers of the merged index tokenize like the builds did
+    (code-review r05)."""
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.config import AnalyzerConfig
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import merge_indexes
+
+    rows = lambda texts: [  # noqa: E731
+        {"conv_id": f"conv-{i:08d}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": "", "ts": pd.Timestamp(2026, 1, 1)}
+        for i, t in enumerate(texts)
+    ]
+    cfg = EngineConfig(num_partitions=4,
+                       analyzer=AnalyzerConfig(min_token_len=2))
+    a = str(tmp_path / "ra")
+    b = str(tmp_path / "rb")
+    build_index("mem", a, cfg, transcripts_ds=rd.from_arrow(
+        pa.Table.from_pandas(pd.DataFrame(rows(TEXTS[:3])), preserve_index=False)))
+    build_index("mem", b, cfg, transcripts_ds=rd.from_arrow(
+        pa.Table.from_pandas(pd.DataFrame(rows(TEXTS[3:])), preserve_index=False)))
+    merged = merge_indexes([a, b], str(tmp_path / "rout"))
+    assert merged.min_token_len == 2
+
+
+def test_static_prune_refuses_positional(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from hybrid_sanctions_search_engine_ray.pipelines.maintenance import (
+        static_prune_index,
+    )
+
+    idx, _ = _build(tmp_path, "prpos", TEXTS, store_positions=True)
+    with _pytest.raises(ValueError, match="positional"):
+        static_prune_index(idx, str(tmp_path / "prout"), top_n=1)

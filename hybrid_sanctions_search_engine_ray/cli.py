@@ -30,7 +30,11 @@ def _ensure_ray(num_cpus: int | None) -> None:
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", ignore_reinit_error=True, **kwargs)
+        # no explicit address: honors $RAY_ADDRESS, so `ray job submit`
+        # drivers join the running cluster instead of silently starting
+        # an isolated single-node instance (code-review r05 finding);
+        # standalone runs still come up local ($RAY_ADDRESS unset/local)
+        ray.init(ignore_reinit_error=True, **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -55,6 +55,13 @@ def documents_batch_to_transcripts(batch: pa.Table) -> pa.Table:
     TRANSCRIPTS_SQL in __ray_entry__.py; keep the two in lockstep)."""
     doc_id = batch["doc_id"]
     conv_num = pc.divide(doc_id, TURNS_PER_CONV)
+    # same 8-digit pad limit as generate_transcripts: a 9-digit conv id
+    # would silently break lexicographic == numeric conv ordering
+    _mx = pc.max(conv_num).as_py()
+    if _mx is not None and _mx >= 10**8:
+        raise ValueError(
+            f"documents_batch_to_transcripts: conv id {_mx} exceeds the "
+            "8-digit pad; widen the pad (and the SQL twins) first")
     conv_id = pc.binary_join_element_wise(
         pa.array(["conv-"] * len(batch)),
         pc.utf8_lpad(pc.cast(conv_num, pa.string()), 8, "0"),
@@ -177,6 +184,21 @@ def generate_transcripts(out_dir: str, n_convs: int, seed: int = 42, shard_convs
         with open(meta_path) as f:
             if json.load(f) == meta:
                 return out_dir
+        # parameters changed: regenerating into a dirty dir would leave
+        # the previous parameterization's extra shards beside the new
+        # ones — a silently corrupt corpus (code-review r05 finding)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    # conv ids are zero-padded to 8 digits; a 9-digit id would sort
+    # lexicographically BEFORE conv-99999999 and silently violate the
+    # global-sort precondition of build_index(assume_sorted=True)
+    # (code-review r05 finding) — refuse loudly at the limit
+    if n_convs > 10**8:
+        raise ValueError(
+            f"generate_transcripts: n_convs={n_convs} exceeds the 8-digit "
+            "conv-id pad; widen the pad (and every conv-id producer/twin) "
+            "before generating corpora this large")
     os.makedirs(out_dir, exist_ok=True)
 
     def expand_and_write(batch: pa.Table) -> pa.Table:

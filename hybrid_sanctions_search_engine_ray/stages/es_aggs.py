@@ -147,10 +147,18 @@ def welch_t_test(ds, key: str, col: str, group_a, group_b) -> pd.DataFrame:
             raise ValueError(f"t_test group {g!r} not present in column {key!r}")
     na, ma, va = stats[group_a]
     nb, mb, vb = stats[group_b]
+    # float cancellation in (sq - s²/n) can drive an exact-zero variance
+    # a hair negative; constant groups make the pooled SE exactly 0 —
+    # clamp and report NaN instead of crashing (code-review r05 finding)
+    va, vb = max(va, 0.0), max(vb, 0.0)
     se2 = va / na + vb / nb
-    t_stat = (ma - mb) / math.sqrt(se2)
-    # Welch–Satterthwaite degrees of freedom (reported, not rounded away)
-    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    if se2 == 0.0:
+        t_stat = float("nan")
+        dof = float("nan")
+    else:
+        t_stat = (ma - mb) / math.sqrt(se2)
+        # Welch–Satterthwaite degrees of freedom (reported, not rounded away)
+        dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
     return pd.DataFrame(
         [{
             "group_a": group_a, "group_b": group_b,
@@ -204,6 +212,8 @@ def range_agg(ds, col: str, edges: list[float], key: str | None = None):
 
     def partial(b: pa.Table) -> pa.Table:
         v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]  # ES skips missing values; NaN would land
+        # in the top bucket and poison its sum (code-review r05 finding)
         idx = np.digitize(v, e)  # 0 = below e0, len(e) = above last
         t = pa.table(
             {"bucket": pa.array(idx.astype(np.int32)),
@@ -730,7 +740,10 @@ def matrix_stats(ds, cols: list[str]) -> pd.DataFrame:
                 "mean_x": round(sx / n, 6), "mean_y": round(sy / n, 6),
                 "var_x": round(var_x, 6), "var_y": round(var_y, 6),
                 "cov": round(cov, 6),
-                "corr": round(cov / math.sqrt(var_x * var_y), 6),
+                # a constant column has no defined correlation — NaN,
+                # not ZeroDivisionError (code-review r05 finding)
+                "corr": (round(cov / math.sqrt(var_x * var_y), 6)
+                         if var_x > 0.0 and var_y > 0.0 else float("nan")),
             })
     return pd.DataFrame(out)
 
@@ -1289,6 +1302,10 @@ def date_range_agg(ds, ts_col: str, edges: list[str], value_col: str):
         ts = b[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
             .astype(np.int64)
         v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # ES skips missing values: NaT timestamps (int64 min) and NaN
+        # values must not land in any bucket (code-review r05 finding)
+        valid = (ts != np.iinfo(np.int64).min) & ~np.isnan(v)
+        ts, v = ts[valid], v[valid]
         idx = np.digitize(ts, e_us)
         t = pa.table({"bucket": pa.array(idx.astype(np.int32)),
                       "n": pa.array(np.ones(ts.size, np.int64)),

@@ -81,9 +81,12 @@ def sessionize_group(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
 
 
 def sessionize(events_ds, gap_s: int = 1800, concurrency: int | None = None):
-    """Dataset(user_id, ts, value) → one row per (user, session)."""
+    """Dataset(user_id, ts, value) → one row per (user, session).
+    ``concurrency`` bounds the map_groups task pool (it was accepted and
+    silently ignored before — code-review r05 finding)."""
+    kw = {"concurrency": concurrency} if concurrency else {}
     return events_ds.groupby("user_id").map_groups(
-        lambda g: sessionize_group(g, gap_s), batch_format="pandas"
+        lambda g: sessionize_group(g, gap_s), batch_format="pandas", **kw
     )
 
 
@@ -131,7 +134,10 @@ def trailing_mean_group(g: pd.DataFrame, key: str, ts: str, order_break: str,
     # bit-identical to summing each window in row order (a prefix-sum
     # difference would introduce cancellation error on long groups).
     s = np.zeros(n, dtype=np.float64)
-    for off in range(window_rows - 1, -1, -1):
+    # groups shorter than the window: offsets >= n contribute nothing
+    # (v[:n-off] with a negative bound is a NON-empty slice that would
+    # crash the broadcast — code-review r05 finding)
+    for off in range(min(window_rows - 1, n - 1), -1, -1):
         s[off:] += v[: n - off]
     width = np.minimum(np.arange(1, n + 1), window_rows)
     mavg = s / width
@@ -220,7 +226,10 @@ def auto_date_histogram(events_ds, ts_col: str = "ts", target_buckets: int = 10,
                          "mx": pa.array([pc.max(us).as_py()], pa.int64())})
 
     bounds = events_ds.map_batches(mm, batch_format="pyarrow").to_pandas()
-    if bounds.empty:  # empty Dataset loses columns on to_pandas
+    # empty Dataset loses columns on to_pandas; a dataset of only
+    # zero-row blocks yields all-null min/max rows instead
+    # (code-review r05 finding) — both mean "no events"
+    if bounds.empty or bounds["mn"].isna().all():
         return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
                              "interval_s": pd.Series([], dtype=np.int64),
                              "doc_count": pd.Series([], dtype=np.int64)})

@@ -556,3 +556,44 @@ def test_variable_width_histogram_skew_collapses_cuts(ray_session):
     assert int(out.doc_count.sum()) == 100
     assert len(out) <= 3  # duplicate cuts collapsed
     assert (out.v_min <= out.v_max).all()
+
+
+def test_welch_constant_groups_yield_nan_not_crash(ray_session):
+    """Two constant-valued groups have zero pooled SE — the t statistic
+    is undefined; report NaN instead of ZeroDivisionError
+    (code-review r05)."""
+    import math
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import welch_t_test
+
+    ds = rd.from_items([{"g": "a", "v": 5.0}] * 3 + [{"g": "b", "v": 7.0}] * 3)
+    out = welch_t_test(ds, "g", "v", "a", "b")
+    assert math.isnan(out["t_stat"].iloc[0])
+    assert out["mean_a"].iloc[0] == 5.0 and out["mean_b"].iloc[0] == 7.0
+
+
+def test_matrix_stats_constant_column_nan_corr(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import matrix_stats
+
+    ds = rd.from_items([{"a": float(i), "b": 7.0} for i in range(10)])
+    out = matrix_stats(ds, ["a", "b"])
+    row = out[(out.field_x == "a") & (out.field_y == "b")].iloc[0]
+    assert math.isnan(row["corr"])
+    assert row["var_y"] == 0.0
+
+
+def test_range_agg_skips_missing_values(ray_session):
+    import ray.data as rd
+
+    from hybrid_sanctions_search_engine_ray.stages.es_aggs import range_agg
+
+    ds = rd.from_items([{"v": 1.0}, {"v": 5.0}, {"v": None}, {"v": 50.0}])
+    out = range_agg(ds, "v", [0.0, 10.0])
+    assert int(out["doc_count"].sum()) == 3  # the null contributes nowhere
+    assert not out["v_sum"].isna().any()

@@ -18275,12 +18275,12 @@ frt AS (
 ),
 frs AS (
   SELECT query_id, p,
-      0.4 * (100.0 * (1.0 - levenshtein(q, p) / greatest(length(q), length(p), 1)))
-    + 0.35 * (100.0 * (1.0 - levenshtein(sq, sp) / greatest(length(sq), length(sp), 1)))
+      0.4 * (100.0 * (1.0 - levenshtein(q, p) / greatest(strlen(q), strlen(p), 1)))
+    + 0.35 * (100.0 * (1.0 - levenshtein(sq, sp) / greatest(strlen(sq), strlen(sp), 1)))
     + 0.25 * greatest(
-        100.0 * (1.0 - levenshtein(t0, t1) / greatest(length(t0), length(t1), 1)),
-        100.0 * (1.0 - levenshtein(t0, t2) / greatest(length(t0), length(t2), 1)),
-        100.0 * (1.0 - levenshtein(t1, t2) / greatest(length(t1), length(t2), 1))
+        100.0 * (1.0 - levenshtein(t0, t1) / greatest(strlen(t0), strlen(t1), 1)),
+        100.0 * (1.0 - levenshtein(t0, t2) / greatest(strlen(t0), strlen(t2), 1)),
+        100.0 * (1.0 - levenshtein(t1, t2) / greatest(strlen(t1), strlen(t2), 1))
       ) AS s
   FROM frt
 ),

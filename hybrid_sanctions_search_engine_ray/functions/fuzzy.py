@@ -140,12 +140,16 @@ def similarity_ratio(a: str, b: str) -> float:
 
 
 def ratio100(a: str, b: str) -> float:
-    """100·(1 − lev/max(len)) over characters — the SQL-checkable
-    normalization of the rapidfuzz ``ratio`` (DuckDB ``levenshtein``
-    parity; rapidfuzz's own ratio uses indel distance, which SQL
-    lacks — the deviation is documented here and in the oracle)."""
-    m = max(len(a), len(b), 1)
-    return 100.0 * (1.0 - levenshtein(a, b) / m)
+    """100·(1 − lev/max(len)) over UTF-8 BYTES on both factors — the
+    SQL-checkable normalization of the rapidfuzz ``ratio`` (DuckDB
+    ``levenshtein``/``strlen`` parity; rapidfuzz's own ratio uses indel
+    distance, which SQL lacks — the deviation is documented here and in
+    the oracle). Byte length must match the byte-level distance: the
+    earlier char-length mix made multibyte pairs score below 0
+    (ratio100('ёё','ab') was −100 — code-review r05 finding)."""
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    m = max(len(ab), len(bb), 1)
+    return 100.0 * (1.0 - levenshtein(ab, bb) / m)
 
 
 def token_sort_ratio(a: str, b: str) -> float:

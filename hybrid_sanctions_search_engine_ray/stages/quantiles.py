@@ -77,20 +77,8 @@ def grouped_exact_quantiles(ds, key: str, col: str, qs: list[float]):
     (key, quantile). ``qs`` entries must be exactly representable from
     their decimal literal (they are re-parsed via ``Fraction(str(q))``).
     """
-    from ray.data.aggregate import Sum
-
     q_fracs = [(float(q), Fraction(str(q))) for q in qs]
-
-    def partial(b: pa.Table) -> pa.Table:
-        t = pa.table({key: b[key], col: b[col]})
-        g = t.group_by([key, col]).aggregate([([], "count_all")])
-        return g.rename_columns([key, col, "c_p"])
-
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([key, col])
-        .aggregate(Sum("c_p", alias_name="c"))
-    )
+    counts = hist_counts(ds, key, col)  # the shared quantile shuffle
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(col, kind="mergesort")
@@ -166,6 +154,8 @@ def psi_drift(ds, value_col: str, ts_col: str, n_bins: int = 10,
 
     mm = ds.map_batches(tsu_only, batch_format="pyarrow") \
            .aggregate(Min("tsu"), Max("tsu"))
+    if mm["min(tsu)"] is None:
+        raise ValueError("psi_drift: dataset has no rows")
     mid = split_us if split_us is not None else (mm["min(tsu)"] + mm["max(tsu)"]) // 2
 
     def joint_partial(b: pa.Table) -> pa.Table:
@@ -189,6 +179,13 @@ def psi_drift(ds, value_col: str, ts_col: str, n_bins: int = 10,
     ref = jh == 0
     vals, cnts = jv[ref], jc[ref]
     n_ref = int(cnts.sum())
+    if n_ref == 0:
+        # a split before the earliest timestamp leaves no reference
+        # half: deciles are undefined — refuse with a clear error
+        # instead of IndexError (code-review r05 finding)
+        raise ValueError(
+            "psi_drift: the reference half is empty (split_us precedes "
+            "every event) — choose a split inside the data range")
     cum = np.cumsum(cnts)
     # quantile_disc cut k/n_bins: smallest value with cum ≥ ceil(q·n)
     cuts = np.array([vals[np.searchsorted(cum, -(-n_ref * k // n_bins))]

@@ -186,7 +186,11 @@ def weighted_sample(ds, key: str, weight_col: str, n: int, salt: str = "-ws"):
             buckets[i] = int.from_bytes(d[:8], "little")
         u = ((buckets % np.uint64(1_000_000)).astype(np.float64) + 1.0) / 1_000_001.0
         sk = np.log(u) / w
-        top = np.argsort(-sk, kind="mergesort")[:n]
+        # tie-break by key ASC inside the partial too — argsort by sk
+        # alone prunes ties in batch row order, which can discard the
+        # (sk desc, key asc) contract winner before the driver merge
+        # sees it (code-review r05 finding)
+        top = np.lexsort((keys, -sk))[:n]
         return pa.table({key: pa.array(keys[top]),
                          "sample_key": pa.array(sk[top]),
                          weight_col: pa.array(w[top])})
@@ -228,7 +232,14 @@ def sliced_scan(ds, key: str, n_slices: int, salt: str = "-sl") -> "pd.DataFrame
             d = hashlib.md5((str(kv) + salt).encode("utf-8")).digest()
             buckets[i] = int.from_bytes(d[:8], "little")
         sl = (buckets % np.uint64(n_slices)).astype(np.int64)
-        kv = np.asarray(keys, dtype=np.int64)
+        try:
+            kv = np.asarray(keys, dtype=np.int64)
+        except (ValueError, TypeError, OverflowError):
+            raise TypeError(
+                "sliced_scan: slice manifests carry min/max/sum of the "
+                "key, which requires INTEGER keys — string-keyed corpora "
+                "need a numeric surrogate (the slice assignment itself "
+                "hashes any key; code-review r05 finding)") from None
         t = pa.table({"slice_id": pa.array(sl), "k": pa.array(kv)})
         g = t.group_by(["slice_id"]).aggregate(
             [("k", "min"), ("k", "max"), ("k", "sum"), ([], "count_all")]

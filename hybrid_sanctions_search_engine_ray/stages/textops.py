@@ -615,6 +615,11 @@ def term_dispersion(ds, cfg: AnalyzerConfig | None = None,
                    Sum("s2_p", alias_name="s2"))
         .to_pandas()
     )
+    if "df" not in agg.columns:  # empty Dataset loses columns on to_pandas
+        agg = pd.DataFrame({"term": pd.Series([], dtype=object),
+                            "df": pd.Series([], dtype=np.int64),
+                            "s1": pd.Series([], dtype=np.int64),
+                            "s2": pd.Series([], dtype=np.int64)})
     agg = agg[agg["df"] >= min_df].copy()
     df_ = agg["df"].to_numpy(np.int64).astype(np.float64)
     s1 = agg["s1"].to_numpy(np.int64).astype(np.float64)
@@ -651,6 +656,9 @@ def vocab_gini(ds, cfg: AnalyzerConfig | None = None):
 
     cf = (ds.map_batches(partial, batch_format="pyarrow")
           .groupby("term").aggregate(Sum("c_p", alias_name="c")).to_pandas())
+    if "c" not in cf.columns:  # empty Dataset loses columns on to_pandas
+        cf = pd.DataFrame({"term": pd.Series([], dtype=object),
+                           "c": pd.Series([], dtype=np.int64)})
     cf = cf.sort_values(["c", "term"], kind="mergesort").reset_index(drop=True)
     c = cf["c"].to_numpy(np.int64)
     n = c.size
@@ -687,6 +695,9 @@ def zipf_fit(ds, cfg: AnalyzerConfig | None = None, min_count: int = 5):
 
     cf = (ds.map_batches(partial, batch_format="pyarrow")
           .groupby("term").aggregate(Sum("c_p", alias_name="c")).to_pandas())
+    if "c" not in cf.columns:  # empty Dataset loses columns on to_pandas
+        cf = pd.DataFrame({"term": pd.Series([], dtype=object),
+                           "c": pd.Series([], dtype=np.int64)})
     cf = cf[cf["c"] >= min_count]
     cf = cf.sort_values(["c", "term"], ascending=[False, True],
                         kind="mergesort").reset_index(drop=True)
@@ -723,6 +734,9 @@ def vocab_entropy(ds, cfg: AnalyzerConfig | None = None):
 
     cf = (ds.map_batches(partial, batch_format="pyarrow")
           .groupby("term").aggregate(Sum("c_p", alias_name="c")).to_pandas())
+    if "c" not in cf.columns:  # empty Dataset loses columns on to_pandas
+        cf = pd.DataFrame({"term": pd.Series([], dtype=object),
+                           "c": pd.Series([], dtype=np.int64)})
     c = cf["c"].to_numpy(np.int64).astype(np.float64)
     tot = c.sum()
     r4 = lambda x: float(np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4)  # noqa: E731
@@ -789,7 +803,8 @@ def readability_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
     Returns (doc_id, n_words, n_sentences, n_syllables, fk_grade)."""
 
     def score(b: pa.Table) -> pa.Table:
-        t = b[text_col]
+        t = pc.fill_null(b[text_col], "")  # null text must not NaN-poison
+        # the int casts (code-review r05 finding)
         w = pc.count_substring_regex(t, pattern=r"\S+").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         s = pc.count_substring_regex(t, pattern=r"[.!?]+").cast(pa.int64()) \

@@ -53,7 +53,9 @@ def facet_counts_ds(meta_ds, ids: np.ndarray, facet_col: str,
     """(facet, n_docs) for the rows of ``meta_ds`` whose id is in
     ``ids``: broadcast id set, per-batch vectorized membership filter +
     partial value_counts, tiny pandas merge of facet-sized partials."""
-    ref = ray.put(np.asarray(ids, dtype=np.int64))
+    # searchsorted membership REQUIRES sorted ids — sort here so
+    # caller order cannot silently undercount (code-review r05)
+    ref = ray.put(np.sort(np.asarray(ids, dtype=np.int64)))
 
     class PartialCounts:
         def __init__(self):
@@ -76,7 +78,9 @@ def facet_counts_ds(meta_ds, ids: np.ndarray, facet_col: str,
     if parts.empty:
         return pd.DataFrame({"facet": pd.Series([], dtype=object),
                              "n_docs": pd.Series([], dtype=np.int64)})
-    out = parts.groupby("facet", as_index=False)["n_part"].sum()
+    # keep the null-facet bucket (ES "missing" behavior): pandas
+    # groupby drops NaN keys by default (code-review r05)
+    out = parts.groupby("facet", as_index=False, dropna=False)["n_part"].sum()
     out = out.rename(columns={"n_part": "n_docs"})
     out = out.sort_values(["n_docs", "facet"], ascending=[False, True],
                           kind="mergesort").reset_index(drop=True)
@@ -288,7 +292,8 @@ def sampler_terms(index_dir: str, query_text: str, corpus_ds,
                           "rank": pd.Series([], dtype=np.int32)})
     if ids.size == 0:
         return empty
-    ref = ray.put(ids)
+    # sorted membership contract, caller-order independent (r05 review)
+    ref = ray.put(np.sort(np.asarray(ids, dtype=np.int64)))
 
     class Partial:
         def __init__(self):
@@ -358,7 +363,8 @@ class _Percolator:
         parent, terms = flat_terms(b, self.cfg)
         n = b.num_rows
         have = np.zeros((n, self.vocab.size), dtype=bool)
-        if len(terms):
+        if len(terms) and self.vocab.size:  # empty stored-query vocab →
+            # zero matches, not an IndexError (code-review r05)
             t = terms.to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.vocab, t)
             safe = np.minimum(pos, self.vocab.size - 1)

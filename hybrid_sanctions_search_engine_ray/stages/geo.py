@@ -199,6 +199,13 @@ def geo_centroid(ds, key_col: str) -> pd.DataFrame:
                    Sum("lo_p", alias_name="lo"))
         .to_pandas()
     )
+    if (agg.empty or "n" not in agg.columns
+            or agg["n"].iloc[0] is None or pd.isna(agg["n"].iloc[0])
+            or int(agg["n"].iloc[0]) == 0):
+        # empty dataset: no centroid (code-review r05 finding)
+        return pd.DataFrame({"doc_count": pd.Series([0], dtype=np.int64),
+                             "centroid_lat": [float("nan")],
+                             "centroid_lon": [float("nan")]})
     n = int(agg["n"].iloc[0])
     return pd.DataFrame({
         "doc_count": pd.Series([n], dtype=np.int64),
@@ -218,6 +225,11 @@ def geo_distance_agg(ds, key_col: str, lat_md: int, lon_md: int,
     from ray.data.aggregate import Sum
 
     bounds = np.asarray(rings_mdeg2, dtype=np.int64)
+    if bounds.size and not (np.diff(bounds) > 0).all():
+        # searchsorted is undefined on unsorted bounds — wrong ring
+        # assignment with no error (code-review r05 finding)
+        raise ValueError("geo_distance_agg: rings_mdeg2 must be strictly "
+                         "increasing")
 
     def partial(b: pa.Table) -> pa.Table:
         keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -274,7 +286,9 @@ def geo_line_agg(ds, group_col: str, ts_col: str, key_col: str,
         u, c = gs[starts], np.diff(np.r_[starts, gs.size])
         return pa.table({
             group_col: pa.array(np.r_[gs[keep], u]),
-            "ts_us": pa.array(np.r_[tss[keep], np.full(u.size, -1, dtype=np.int64)]),
+            # sentinel = int64 min: -1 collided with legitimate
+            # pre-epoch timestamps (code-review r05 finding)
+            "ts_us": pa.array(np.r_[tss[keep], np.full(u.size, np.iinfo(np.int64).min, dtype=np.int64)]),
             "k": pa.array(np.r_[ks[keep], np.zeros(u.size, dtype=np.int64)]),
             "lat_md": pa.array(np.r_[la, np.zeros(u.size, dtype=np.int64)]),
             "lon_md": pa.array(np.r_[lo, np.zeros(u.size, dtype=np.int64)]),
@@ -283,7 +297,7 @@ def geo_line_agg(ds, group_col: str, ts_col: str, key_col: str,
 
     def finish(gdf: pd.DataFrame) -> pd.DataFrame:
         total = int(gdf["cnt"].sum())
-        pts = gdf[gdf["ts_us"] >= 0].sort_values(["ts_us", "k"], kind="mergesort").head(size)
+        pts = gdf[gdf["ts_us"] != np.iinfo(np.int64).min].sort_values(["ts_us", "k"], kind="mergesort").head(size)
         line = ";".join(f"{int(lo)} {int(la)}"
                         for lo, la in zip(pts["lon_md"], pts["lat_md"]))
         return pd.DataFrame({group_col: [int(gdf[group_col].iloc[0])],

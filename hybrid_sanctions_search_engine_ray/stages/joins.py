@@ -50,7 +50,7 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on: str, how: str = "inner", 
 def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32, how: str = "inner"):
     """Both-sides-large hash join: bucket each side by ``hash(key) %
     num_buckets`` and merge matching buckets inside ``map_groups``.
-    Keys are hashed with a stable function (crc32 via int cast) so
+    Keys are hashed with a stable function (Knuth multiplicative) so
     bucketing is deterministic across processes."""
 
     left_cols = [c for c in left_ds.schema().names]
@@ -59,8 +59,19 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32, how: str = 
     r_schema = {n: t for n, t in zip(right_ds.schema().names, right_ds.schema().types)}
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
+    # integer-key contract: the bucket hash is a Knuth multiplicative
+    # hash over int64 keys; string keys would crash mid-task and float
+    # keys would collide after truncation (code-review r05 finding)
+    for side_schema, side_name in ((l_schema, "left"), (r_schema, "right")):
+        if on in side_schema and not pa.types.is_integer(side_schema[on]):
+            raise TypeError(
+                f"bucketed_join: key column {on!r} on the {side_name} side "
+                f"is {side_schema[on]} — integer keys required (hash or "
+                "factorize string keys first)")
+
     def add_bucket(b: pa.Table, side: str) -> pa.Table:
         keys = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        # Knuth multiplicative hash (not crc32) over the int64 key
         bucket = (keys * 2654435761 % (2**31)) % num_buckets
         cols = {}
         for c in all_cols:
@@ -113,6 +124,9 @@ def asof_join(left_ds, right_ds, key: str, ts: str, how: str = "inner", rsuffix:
     Right columns (except key/ts) are appended, renamed with ``rsuffix``
     on collision; ``how="left"`` keeps unmatched left rows with nulls.
     """
+    if how not in ("inner", "left"):
+        # anything else silently ran as inner before (code-review r05)
+        raise ValueError(f"asof_join: how={how!r} not supported (inner|left)")
     left_cols = list(left_ds.schema().names)
     right_cols = list(right_ds.schema().names)
     l_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
@@ -200,6 +214,8 @@ def range_join(big_ds, ranges_df: pd.DataFrame, on: str, lo: str = "lo", hi: str
     join (tiering/binning). The ranges ship via ``ray.put`` once;
     each batch bins with one ``searchsorted``. No shuffle. For a
     large-large range join, interval-bucket both sides instead."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how={how!r} not supported (inner|left)")
     ref = ray.put(ranges_df)
     return big_ds.map_batches(
         _RangeJoiner,

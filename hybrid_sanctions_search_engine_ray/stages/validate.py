@@ -58,6 +58,10 @@ def clean(ds, max_len: int = MAX_LEN, text_col: str = "text"):
         )
         i = b.column_names.index(text_col)
         b = b.set_column(i, text_col, cleaned)
+        # control-only text becomes empty AFTER the strip — re-apply the
+        # drop-empty contract (code-review r05 finding)
+        b = b.filter(pc.greater(
+            pc.utf8_length(pc.utf8_trim_whitespace(b[text_col])), 0))
         return b.drop_columns(["valid", "truncated", "reject_reason"])
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -180,7 +184,10 @@ def l_diversity_audit(ds, quasi_cols: list[str], sensitive_col: str,
         .aggregate(Sum("c_p", alias_name="c"))
         .to_pandas()
     )
-    grp = pairs.groupby(quasi_cols, sort=False).agg(
+    # dropna=False: a null-quasi equivalence class is still a class —
+    # k_anonymity_audit counts it, and dropping it here underreports a
+    # homogeneous leaking class (code-review r05 finding)
+    grp = pairs.groupby(quasi_cols, sort=False, dropna=False).agg(
         n_distinct=(sensitive_col, "nunique"), n_rows=("c", "sum"))
     nd = grp["n_distinct"].to_numpy(np.int64)
     nr = grp["n_rows"].to_numpy(np.int64)

@@ -28,9 +28,17 @@ def _word_counts(ds, col: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
+        from hybrid_sanctions_search_engine_ray.stages.analyze import (
+            _SIMPLE_RE2,
+            _lower_nfc,
+        )
+
         s = pc.fill_null(b[col], "")
-        s = pc.utf8_lower(s)
-        toks = pc.split_pattern_regex(s, pattern="[^\\p{L}\\p{N}]+")
+        # the shared simple-analyzer kernel (NFC + lower + split): the
+        # bare utf8_lower used before tokenized decomposed (NFD) input
+        # differently from the analyzer the engine indexes with —
+        # combining marks became token separators (code-review r05)
+        toks = pc.split_pattern_regex(_lower_nfc(s), _SIMPLE_RE2)
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))
         g = pa.table({"word": flat}).group_by("word").aggregate([([], "count_all")])

@@ -81,13 +81,16 @@ def _sorted_runs(g: pd.DataFrame):
 
 
 def _render_pieces(role: np.ndarray, text: np.ndarray) -> pa.Array:
-    """``<|role|>text`` per row (one Arrow kernel, no Python concat)."""
+    """``<|role|>text`` per row (one Arrow kernel, no Python concat).
+    Null text renders as empty — a null piece would otherwise propagate
+    into null rendered strings and INT64_MIN char counts / garbage
+    loss-mask offsets downstream (code-review r05 finding)."""
     n = len(role)
     return pc.binary_join_element_wise(
         pa.array(["<|"] * n, pa.string()),
         pa.array(role, pa.string()),
         pa.array(["|>"] * n, pa.string()),
-        pa.array(text, pa.string()),
+        pc.fill_null(pa.array(text, pa.string()), ""),
         "",
     )
 
@@ -163,8 +166,11 @@ def sft_examples(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
         lens = at - s
         off = np.r_[0, np.cumsum(lens)]
         idx = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], lens) + np.repeat(s, lens)
-        ctx_list = pa.ListArray.from_arrays(
-            pa.array(off, pa.int32()), pieces.take(pa.array(idx, pa.int64()))
+        # int64 offsets: the context gather is quadratic per conversation
+        # summed per bucket, which can exceed 2^31 at corpus scale
+        # (code-review r05 finding)
+        ctx_list = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), pieces.take(pa.array(idx, pa.int64()))
         )
         ctx = pc.binary_join(ctx_list, "\n")
         return pd.DataFrame({
@@ -198,7 +204,9 @@ def chat_render(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
         text = g["text"].to_numpy()[order]
         pieces = _render_pieces(role, text)
         off = np.r_[starts, c.size]
-        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()), pieces)
+        # int64 offsets: summed context expansion can exceed 2^31 at
+        # corpus scale (code-review r05 finding)
+        la = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), pieces)
         rendered = pc.binary_join(la, "\n")
         return pd.DataFrame({
             "conv_id": conv[starts],
@@ -250,7 +258,9 @@ def chat_lint(transcripts_ds, num_buckets: int = _NUM_BUCKETS):
         n_user = per_run(role == "user")
         n_assistant = per_run(role == "assistant")
         n_tool = per_run(role == "tool")
-        n_empty = per_run(text == "")
+        # None counts as empty too (pandas object arrays carry None
+        # for null text — code-review r05 finding)
+        n_empty = per_run((text == "") | (text == None))  # noqa: E711
         first_role = role[starts]
         return pd.DataFrame({
             "conv_id": conv[starts],

@@ -70,8 +70,13 @@ def dsir_select(ds, is_target_col: str, n_select: int,
         is_t = b[is_target_col].to_numpy(zero_copy_only=False)[parent]
         ct = np.bincount(bk[is_t], minlength=n_buckets).astype(np.int64)
         cr = np.bincount(bk[~is_t], minlength=n_buckets).astype(np.int64)
-        return pa.table({"b": pa.array(np.arange(n_buckets, dtype=np.int64)),
-                         "ct_p": pa.array(ct), "cr_p": pa.array(cr)})
+        # emit only occupied buckets: the driver's scatter-fill already
+        # tolerates absent rows, and shipping n_batches × n_buckets
+        # zero rows dominates the shuffle for sparse batches
+        # (code-review r05 finding; the nb_classify pattern)
+        nz = np.flatnonzero(ct | cr)
+        return pa.table({"b": pa.array(nz),
+                         "ct_p": pa.array(ct[nz]), "cr_p": pa.array(cr[nz])})
 
     hist = (
         ds.map_batches(count_partial, batch_format="pyarrow")

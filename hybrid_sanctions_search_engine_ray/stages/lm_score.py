@@ -154,7 +154,9 @@ def lm_score(ds, k: float = 0.5, concurrency: int = 4, round_digits: int = 4):
         ds.map_batches(_batch_bigrams, batch_format="pyarrow")
         .map_batches(_add_space, batch_format="pyarrow")
         .groupby("space")
-        .map_groups(_make_space_scorer(cu_ref, v, k), batch_format="pandas")
+        # concurrency was accepted but never used (code-review r05)
+        .map_groups(_make_space_scorer(cu_ref, v, k), batch_format="pandas",
+                    concurrency=concurrency)
     )
     agg = contrib.groupby("doc_id").aggregate(Sum("sum_logp"), Sum("n_pos"))
 
@@ -195,8 +197,14 @@ def ccnet_buckets(ds, lang_ds, k: float = 0.5, n_buckets: int = 3,
     the SQL twin's inner joins.
     """
     scored = lm_score(ds, k=k)
+    # (doc_id, lang, nll) is doc-count-sized, and BOTH the histogram and
+    # the labelling pass consume it — materialize once or the whole
+    # lm_score pipeline (corpus scan + two bigram shuffles) re-executes
+    # for the second pass (code-review r05 finding; the same pattern
+    # pack_conversations uses)
     joined = scored.join(lang_ds, join_type="inner",
-                         num_partitions=num_partitions, on=("doc_id",))
+                         num_partitions=num_partitions,
+                         on=("doc_id",)).materialize()
 
     def hist_partial(b: pa.Table) -> pa.Table:
         cents = round_half_away(

@@ -68,6 +68,13 @@ def nb_train_score(ds, label_col: str, is_test_col: str,
         labs_out, bks_out, cs_out = [], [], []
         if b.num_rows:
             labels = np.asarray(b[label_col].to_pylist(), dtype=object)
+            if any(l is None for l in labels):
+                # np.unique over object-with-None raises an opaque
+                # TypeError deep in the worker (code-review r05) —
+                # refuse with a clear validation error instead
+                raise ValueError(
+                    "nb train split contains null labels — drop or "
+                    "impute them before training")
             parent, terms = flat_terms(b, cfg)
             bk = _buckets(terms, n_buckets) if parent.size else np.empty(0, np.int64)
             tok_lab = labels[parent] if parent.size else np.empty(0, object)

@@ -40,8 +40,13 @@ def weighted_fusion(
     weighted sum + shared-hit bonus, ties (score desc, doc_id asc)."""
     wsum = w_a + w_b
     w_a, w_b = w_a / wsum, w_b / wsum
-    na = scores_a / scores_a.max() if scores_a.size else scores_a
-    nb = scores_b / scores_b.max() if scores_b.size else scores_b
+    # guard max<=0: an all-zero list would divide 0/0 into NaN and sink
+    # every real-scored shared doc below unshared ones (code-review r05;
+    # weighted_fusion_many already guards this)
+    na = scores_a / scores_a.max() if scores_a.size and scores_a.max() > 0 \
+        else np.zeros_like(scores_a)
+    nb = scores_b / scores_b.max() if scores_b.size and scores_b.max() > 0 \
+        else np.zeros_like(scores_b)
 
     all_docs = np.concatenate([docs_a, docs_b]).astype(np.int64)
     contrib = np.concatenate([na * w_a, nb * w_b])
@@ -64,6 +69,10 @@ def rrf_fusion(
     top_k: int = 50,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Reciprocal-rank fusion: score(d) = Σ_lists 1/(k + rank_d)."""
+    if not ranked_lists:
+        # no candidate tiers: empty fusion, not an opaque numpy error
+        # (code-review r05; mirrors weighted_fusion_many)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     all_docs = np.concatenate([r.astype(np.int64) for r in ranked_lists])
     all_scores = np.concatenate(
         [1.0 / (k + np.arange(1, r.size + 1)) for r in ranked_lists]

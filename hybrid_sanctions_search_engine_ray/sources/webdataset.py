@@ -29,6 +29,7 @@ import io
 import json
 import os
 import tarfile
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -54,8 +55,16 @@ def export_webdataset(ds, out_dir: str, samples_per_shard: int = 1000,
         name = f"shard-{shard:06d}.tar"
         path = os.path.join(out_dir, name)
         meta_path = path + ".meta.json"
+        # content fingerprint: key/endpoint-only metas let a re-export
+        # after a text fix silently keep the stale tar (code-review r05)
+        crc = 0
+        for k, txt in zip(g[key_col].to_numpy(np.int64),
+                          g[text_col].to_numpy(dtype=object)):
+            crc = zlib.crc32((txt or "").encode("utf-8"),
+                             zlib.crc32(str(int(k)).encode(), crc))
         meta = {"shard": shard, "n_samples": int(len(g)),
-                "keys": [int(g[key_col].iloc[0]), int(g[key_col].iloc[-1])]}
+                "keys": [int(g[key_col].iloc[0]), int(g[key_col].iloc[-1])],
+                "content_crc32": int(crc)}
         if os.path.exists(path) and os.path.exists(meta_path):
             with open(meta_path) as f:
                 if json.load(f) == meta:   # complete — resumable skip
@@ -64,15 +73,20 @@ def export_webdataset(ds, out_dir: str, samples_per_shard: int = 1000,
                                          "n_bytes": [os.path.getsize(path)]})
         fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tar.tmp")
         os.close(fd)
-        with tarfile.open(tmp, "w") as tf:
-            for k, txt in zip(g[key_col].to_numpy(np.int64),
-                              g[text_col].to_numpy(dtype=object)):
-                data = (txt or "").encode("utf-8")
-                info = tarfile.TarInfo(name=f"{int(k):09d}.txt")
-                info.size = len(data)
-                info.mtime = 0          # byte-stable shards
-                tf.addfile(info, io.BytesIO(data))
-        os.replace(tmp, path)
+        try:
+            with tarfile.open(tmp, "w") as tf:
+                for k, txt in zip(g[key_col].to_numpy(np.int64),
+                                  g[text_col].to_numpy(dtype=object)):
+                    data = (txt or "").encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{int(k):09d}.txt")
+                    info.size = len(data)
+                    info.mtime = 0          # byte-stable shards
+                    tf.addfile(info, io.BytesIO(data))
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):     # no leaked .tar.tmp on failure
+                os.unlink(tmp)          # (code-review r05 finding)
+            raise
         with open(meta_path, "w") as f:
             json.dump(meta, f)
         return pd.DataFrame({"shard": [shard], "n_samples": [len(g)],

@@ -174,7 +174,10 @@ def audio_feature(x: np.ndarray, rate: int, n_bands: int = FEATURE_DIM - 3) -> n
     if x.size == 0:
         return np.zeros(n_bands + 3, dtype=np.float32)
     rms = float(np.sqrt(np.mean(x**2)))
-    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    # a 1-sample clip has no sign transitions — zcr 0, not the NaN
+    # np.mean emits over the empty diff (code-review r05 finding)
+    zcr = (float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+           if x.size > 1 else 0.0)
     spec = np.abs(np.fft.rfft(x))
     freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
     centroid = float((freqs * spec).sum() / spec.sum() / (rate / 2)) if spec.sum() > 0 else 0.0
@@ -215,10 +218,16 @@ class DecodeImage:
         if payload[:2] == b"BM":
             img = decode_bmp(payload)
             h, w = img.shape[:2]
-            img = resize_nearest(img, self.target_size, self.target_size)
+            # image_feature downsamples to its own 8×8 grid, and its
+            # output is invariant under the nearest-neighbor pre-resize
+            # the stage used to do — skip the wasted 150K-pixel
+            # intermediate (code-review r05 finding)
             return image_feature(img), w, h
         if self.fake:
-            return _fake_feature(payload), self.target_size, self.target_size
+            # -1 = "unknown / not decoded" (MEDIA_SCHEMA convention) —
+            # fabricated 224×224 dims looked like real decodes
+            # (code-review r05 finding)
+            return _fake_feature(payload), -1, -1
         raise NotImplementedError(
             f"no codec for {mime!r} in this environment (BMP decodes natively; "
             "construct with fake=True for the deterministic stand-in)"
@@ -313,7 +322,9 @@ def frame_sample(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
         {
             "media_id": pa.array(out_ids, pa.int64()),
             "frame_ms": pa.array(out_off, pa.int32()),
-            "frame_payload": pa.array(out_payload, pa.binary()),
+            # named "payload" so decode_images consumes frames without
+            # caller-side renames (code-review r05 finding)
+            "payload": pa.array(out_payload, pa.binary()),
         }
     )
 

@@ -57,18 +57,30 @@ def set_alias(registry_dir: str, alias: str, index_dir: str | list[str],
                     f"(status={m.status})"
                 )
     os.makedirs(registry_dir, exist_ok=True)
-    aliases = list_aliases(registry_dir)
-    aliases[alias] = (os.path.abspath(dirs[0]) if isinstance(index_dir, str)
-                      else [os.path.abspath(d) for d in dirs])
-    atomic_write_json(_path(registry_dir), aliases)
+    # fcntl-locked read-modify-write: two concurrent publishers on the
+    # shared registry must not lose each other's alias updates
+    # (code-review r05; the delete_docs tombstone pattern)
+    import fcntl
+
+    with open(os.path.join(registry_dir, ".aliases.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        aliases = list_aliases(registry_dir)
+        aliases[alias] = (os.path.abspath(dirs[0]) if isinstance(index_dir, str)
+                          else [os.path.abspath(d) for d in dirs])
+        atomic_write_json(_path(registry_dir), aliases)
 
 
 def delete_alias(registry_dir: str, alias: str) -> None:
-    aliases = list_aliases(registry_dir)
-    if alias not in aliases:
-        raise KeyError(f"alias {alias!r} does not exist")
-    del aliases[alias]
-    atomic_write_json(_path(registry_dir), aliases)
+    import fcntl
+
+    os.makedirs(registry_dir, exist_ok=True)
+    with open(os.path.join(registry_dir, ".aliases.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        aliases = list_aliases(registry_dir)
+        if alias not in aliases:
+            raise KeyError(f"alias {alias!r} does not exist")
+        del aliases[alias]
+        atomic_write_json(_path(registry_dir), aliases)
 
 
 def resolve_alias(registry_dir: str, name: str) -> str | list[str]:

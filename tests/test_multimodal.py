@@ -150,7 +150,7 @@ def test_frame_sample_real_frames(ray_session):
     # sampled frames are REAL decodable BMPs that match the source frame
     first = out.iloc[0]
     src = t["payload"][0].as_py()
-    assert np.array_equal(decode_bmp(first["frame_payload"]), rawvideo_frame(src, 0))
+    assert np.array_equal(decode_bmp(first["payload"]), rawvideo_frame(src, 0))
 
 
 def test_video_to_image_feature_pipeline(ray_session):
@@ -158,12 +158,9 @@ def test_video_to_image_feature_pipeline(ray_session):
     import ray.data as rd
 
     t = synthesize_media(6, kind="video")
+    # frame_sample now emits 'payload' directly — no rename glue needed
     frames = rd.from_arrow(t).map_batches(frame_sample, batch_format="pyarrow")
-    renamed = frames.map_batches(
-        lambda b: b.rename_columns(["media_id", "frame_ms", "payload"]),
-        batch_format="pyarrow",
-    )
-    out = renamed.map_batches(
+    out = frames.map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=8, concurrency=2
     ).to_pandas()
     assert len(out) >= 6

@@ -14493,7 +14493,7 @@ GROUP BY c_mktsegment
         "count_distinct": """
 SELECT event_type,
        count(DISTINCT user_id)::BIGINT AS n_distinct,
-       count(*)::BIGINT AS n_rows
+       count(user_id)::BIGINT AS n_rows
 FROM events GROUP BY event_type
 """,
         "user_gaps": """
@@ -16740,7 +16740,7 @@ FROM ranked WHERE rnk <= {BM25_TOP_K}
 """,
         # percentile_ranks: exact fraction of values <= each threshold.
         "percentile_ranks": f"""
-SELECT event_type, count(*)::BIGINT AS n_rows,
+SELECT event_type, count(value)::BIGINT AS n_rows,
        round(sum(CASE WHEN value <= {_PR_THRESHOLDS[0]} THEN 1 ELSE 0 END) / count(*), 6) AS pr_0,
        round(sum(CASE WHEN value <= {_PR_THRESHOLDS[1]} THEN 1 ELSE 0 END) / count(*), 6) AS pr_1
 FROM events GROUP BY event_type
@@ -16864,7 +16864,7 @@ FROM ranked WHERE rnk <= {BM25_TOP_K}
         "extended_stats": """
 WITH a AS (
   SELECT l_returnflag,
-         count(*)::BIGINT AS n_rows,
+         count(l_quantity)::BIGINT AS n_rows,
          sum(cast(l_quantity AS BIGINT))::BIGINT AS sum_v,
          sum(cast(l_quantity AS BIGINT) * cast(l_quantity AS BIGINT))::BIGINT AS sumsq,
          min(cast(l_quantity AS BIGINT))::BIGINT AS min_v,

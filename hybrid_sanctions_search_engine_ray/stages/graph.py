@@ -52,6 +52,10 @@ def triangle_stats(transcripts_ds, cfg: AnalyzerConfig | None = None) -> pd.Data
 
     # symmetric (s,t,w) adjacency → distinct undirected edges s < t
     adj = build_adjacency(transcripts_ds, cfg)
+    # adj is edge-sized and consumed TWICE (edges + degrees): without
+    # this materialize the full corpus tokenize + edge shuffle re-ran
+    # for the degree pass (code-review r05 finding)
+    adj = adj.materialize()
     edges = adj.map_batches(
         lambda b: b.filter(pc.less(b["s"], b["t"])).select(["s", "t"]),
         batch_format="pyarrow").materialize()

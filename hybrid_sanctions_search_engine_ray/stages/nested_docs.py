@@ -42,8 +42,12 @@ import pyarrow.compute as pc
 
 
 def _cents(v: np.ndarray) -> np.ndarray:
-    """Exact integer cents (round-half-away, matching the repo-wide rule)."""
-    return (np.floor(np.abs(v) * 100.0 + 0.5) * np.sign(v)).astype(np.int64)
+    """Exact integer cents — delegates to the repo-wide single kernel
+    (textops.exact_cents operates on Arrow arrays; this numpy shim keeps
+    the two from drifting — code-review r05 finding)."""
+    from hybrid_sanctions_search_engine_ray.stages.textops import exact_cents
+
+    return exact_cents(pa.array(v, pa.float64())).to_numpy(zero_copy_only=False)
 
 
 def nested_query(ds, parent_col: str, type_col: str, type_value: str,

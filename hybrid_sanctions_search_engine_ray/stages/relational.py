@@ -40,9 +40,15 @@ def exact_count_distinct(ds, key: str, distinct_col: str):
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        g = pa.table({key: b[key], distinct_col: b[distinct_col]}).group_by(
-            [key, distinct_col]
-        ).aggregate([([], "count_all")])
+        import pyarrow.compute as pc
+
+        t = pa.table({key: b[key], distinct_col: b[distinct_col]})
+        # NULL distinct values are excluded from BOTH counts — SQL
+        # COUNT(DISTINCT x) / COUNT(x) semantics (a null group would
+        # both miscount distincts AND break Ray's sort-based shuffle
+        # on the pair key — code-review r05 finding)
+        t = t.filter(pc.is_valid(t[distinct_col]))
+        g = t.group_by([key, distinct_col]).aggregate([([], "count_all")])
         return g.rename_columns([key, distinct_col, "c_p"])
 
     pairs = (
@@ -52,6 +58,7 @@ def exact_count_distinct(ds, key: str, distinct_col: str):
     )
 
     def pair_partial(b: pa.Table) -> pa.Table:
+        # n_rows = COUNT(distinct_col): rows with a value (see partial)
         g = pa.table({key: b[key], "c": b["c"]}).group_by(key).aggregate(
             [("c", "sum"), ([], "count_all")]
         )
@@ -86,10 +93,18 @@ def broadcast_anti_join(big_ds, keys: pa.Array, on: str, concurrency: int = 4):
     """Keep rows of ``big_ds`` whose ``on`` value is NOT in ``keys``.
 
     ``keys`` must be the small side's distinct key set (broadcast once
-    via the object store). NULL semantics: NULL probe values are dropped
+    via the object store) and must be NULL-FREE: SQL ``NOT IN`` against
+    a list containing NULL matches nothing, a semantic a silent filter
+    cannot honestly reproduce — refuse loudly instead
+    (code-review r05 finding). NULL semantics: NULL probe values are dropped
     — matching SQL ``NOT IN`` against a non-null key list (NULL NOT IN
     (...) is never true).
     """
+    if getattr(keys, "null_count", 0):
+        raise ValueError(
+            "broadcast_anti_join: key set contains NULL — SQL NOT IN "
+            "against a NULL-bearing list matches nothing; drop the null "
+            "key explicitly to state which semantics you want")
     ref = ray.put(keys)
     return big_ds.map_batches(
         _AntiJoiner,
@@ -245,8 +260,17 @@ def percentile_ranks(ds, key: str, value_col: str, thresholds: list[float]) -> p
         cols = {key: b[key]}
         for nm, th in zip(names, thresholds):
             cols[nm] = pc.cast(pc.less_equal(b[value_col], th), pa.int64())
+        # denominator counts NON-NULL values (ES percentile_ranks skips
+        # docs missing the field; count_all understated every fraction
+        # on nullable columns — code-review r05 finding)
+        if pa.types.is_null(b[value_col].type):
+            return pa.table({key: pa.array([], b[key].type),
+                             **{f"{nm}_p": pa.array([], pa.int64())
+                                for nm in names},
+                             "n_p": pa.array([], pa.int64())})
+        cols["nv"] = pc.cast(pc.is_valid(b[value_col]), pa.int64())
         t = pa.table(cols)
-        g = t.group_by([key]).aggregate([(nm, "sum") for nm in names] + [([], "count_all")])
+        g = t.group_by([key]).aggregate([(nm, "sum") for nm in names] + [("nv", "sum")])
         return g.rename_columns([key, *[f"{nm}_p" for nm in names], "n_p"])
 
     agg = (
@@ -344,14 +368,28 @@ def extended_stats(ds, key: str, value_col: str) -> pd.DataFrame:
     from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
 
     def partial(b: pa.Table) -> pa.Table:
+        if pa.types.is_null(b[value_col].type):
+            # an all-null block arrives null-TYPED; no values to count
+            return pa.table({key: pa.array([], b[key].type),
+                             "s_p": pa.array([], pa.int64()),
+                             "sq_p": pa.array([], pa.int64()),
+                             "mn_p": pa.array([], pa.int64()),
+                             "mx_p": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64())})
         v = pc.cast(b[value_col], pa.int64())
-        if not pc.all(pc.equal(pc.cast(v, b[value_col].type), b[value_col])).as_py():
+        # pc.all over an all-null comparison is a NULL scalar, not False —
+        # `not None` fired a bogus integrality error (code-review r05)
+        ok = pc.all(pc.equal(pc.cast(v, b[value_col].type), b[value_col])).as_py()
+        if ok is False:
             raise ValueError(f"{value_col} has non-integral values; extended_stats "
                              "is exact only over integers")
-        # checked multiply: x² overflow raises loudly instead of wrapping
+        # checked multiply: x² overflow raises loudly instead of wrapping.
+        # n counts NON-NULL values (ES extended_stats skips missing;
+        # count_all over null rows inflated the denominator while the
+        # sums skipped them — code-review r05 finding)
         t = pa.table({key: b[key], "x": v, "x2": pc.multiply_checked(v, v)})
         g = t.group_by([key]).aggregate(
-            [("x", "sum"), ("x2", "sum"), ("x", "min"), ("x", "max"), ([], "count_all")]
+            [("x", "sum"), ("x2", "sum"), ("x", "min"), ("x", "max"), ("x", "count")]
         )
         return g.rename_columns([key, "s_p", "sq_p", "mn_p", "mx_p", "n_p"])
 

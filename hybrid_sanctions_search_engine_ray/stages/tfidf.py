@@ -74,12 +74,20 @@ def gram_df(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     def partial(batch: pa.Table) -> pa.Table:
         occ = _char3_occurrences(batch[text_col])
+        # the "" sentinel gram carries the batch's DOC count (grams are
+        # always 3 chars, so "" cannot collide) — consumers that need N
+        # read it off the same pass instead of a separate corpus scan
+        # (code-review r05: tfidf_topk ran a third full plan execution
+        # just for ds.count())
+        sent = pa.table({"gram": pa.array([""], pa.string()),
+                         "df_part": pa.array([batch.num_rows], pa.int64())})
         if occ.num_rows == 0:
-            return pa.table({"gram": pa.array([], pa.string()),
-                             "df_part": pa.array([], pa.int64())})
+            return sent
         dist = occ.group_by(["d", "t"]).aggregate([])
         agg = dist.group_by("t").aggregate([([], "count_all")])
-        return pa.table({"gram": agg["t"], "df_part": agg["count_all"]})
+        return pa.concat_tables([
+            pa.table({"gram": agg["t"],
+                      "df_part": agg["count_all"].cast(pa.int64())}), sent])
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby("gram").sum("df_part")
 
@@ -160,9 +168,11 @@ def tfidf_topk(ds, query_text: str, k: int = 10, round_digits: int = 4,
     corpus, scoring batch-locally and emitting k rows per batch; the
     driver merges blocks×k rows. Final order: (round(score) desc,
     doc_id asc), ranks attached."""
-    if n_docs is None:
-        n_docs = ds.count()
     df_tbl = gram_df(ds).to_pandas()
+    sent = df_tbl["gram"] == ""
+    if n_docs is None:
+        n_docs = int(df_tbl.loc[sent, "sum(df_part)"].sum())
+    df_tbl = df_tbl[~sent]
     idf_arr = smooth_idf(df_tbl["sum(df_part)"].to_numpy(), n_docs)
     idf = dict(zip(df_tbl["gram"], idf_arr))
     qw = query_weights(query_text, idf)
@@ -223,6 +233,8 @@ def word_doc_keywords(ds, cfg, df_map: dict[str, int], n_docs: int, k: int = 3):
             rows = tf_tbl["d"].to_numpy(zero_copy_only=False)
             t_np = tf_tbl["t"].to_numpy(zero_copy_only=False)
             tf = tf_tbl["count_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if self.terms.size == 0:
+                return empty  # empty df_map: no known vocabulary (r05)
             at = np.searchsorted(self.terms, t_np)
             at = np.minimum(at, self.terms.size - 1)
             known = self.terms[at] == t_np

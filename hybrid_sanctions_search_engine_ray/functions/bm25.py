@@ -56,8 +56,11 @@ def topk_desc(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarr
         return doc_ids[:0], scores[:0]
     k = min(k, n)
     if n > 4 * k:
-        part = np.argpartition(-scores, k - 1)[: max(k * 2, k)]  # overselect to break ties stably
-        # ensure all score-ties at the boundary are included
+        part = np.argpartition(-scores, k - 1)[:k]
+        # threshold at the EXACT k-th score: the old 2k overselect took
+        # arbitrary sub-threshold entries, loosening thresh toward the
+        # whole array and nullifying the partition (code-review r05);
+        # `>= thresh` still keeps every boundary tie
         thresh = scores[part].min()
         cand = np.flatnonzero(scores >= thresh)
     else:

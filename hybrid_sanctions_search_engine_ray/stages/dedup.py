@@ -270,11 +270,11 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle_k: 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
-def jaccard_verify(pairs_df: pd.DataFrame, texts: dict[int, str], shingle_k: int = 3,
-                   cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
-    """Exact word-shingle Jaccard for candidate pairs (driver-side or
-    inside map_batches with a broadcast doc→text dict for the candidate
-    subset — candidates after LSH are small by construction)."""
+def _shingle_set_fn(texts: dict[int, str], shingle_k: int,
+                    cfg: AnalyzerConfig | None):
+    """Shared cached doc→shingle-hash-set lookup for the pair verifiers
+    (jaccard_verify / containment_verify) — one copy of the analyzer
+    setup and cache closure (code-review r05 reuse finding)."""
     from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
 
     analyzer = get_analyzer(cfg or AnalyzerConfig())
@@ -286,6 +286,15 @@ def jaccard_verify(pairs_df: pd.DataFrame, texts: dict[int, str], shingle_k: int
             cache[doc] = set(_shingle_hashes(toks, shingle_k).tolist())
         return cache[doc]
 
+    return sh
+
+
+def jaccard_verify(pairs_df: pd.DataFrame, texts: dict[int, str], shingle_k: int = 3,
+                   cfg: AnalyzerConfig | None = None) -> pd.DataFrame:
+    """Exact word-shingle Jaccard for candidate pairs (driver-side or
+    inside map_batches with a broadcast doc→text dict for the candidate
+    subset — candidates after LSH are small by construction)."""
+    sh = _shingle_set_fn(texts, shingle_k, cfg)
     jac = []
     for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
         sa, sb = sh(int(a)), sh(int(b))
@@ -373,11 +382,40 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str, window: int = 4):
     w = int(window)
     if w < 2:
         raise ValueError("window must be >= 2")
+    # the driver stitches blocks by the STRING of each block's first
+    # key; for a non-string key column that lexicographic order would
+    # diverge from the dataset's native sort ("10" < "9") and mis-pair
+    # block boundaries silently (code-review r05 finding)
+    _kt = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    # Ray schemas carry Arrow types for Arrow blocks but numpy/Python
+    # types for pandas blocks — reject only provably non-string keys
+    _bad = (isinstance(_kt, pa.DataType)
+            and not (pa.types.is_string(_kt) or pa.types.is_large_string(_kt))) \
+        or (isinstance(_kt, np.dtype) and _kt.kind not in ("U", "S", "O")) \
+        or (isinstance(_kt, type) and _kt not in (str, object))
+    if _bad:
+        raise TypeError(
+            f"sorted_neighborhood_pairs: key column {key_col!r} is {_kt} — "
+            "string blocking keys required (cast or zero-pad numerics so "
+            "lexicographic order equals the intended order)")
 
     def block_pairs(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         keys = np.asarray(b[key_col].to_pylist(), dtype=object)
         n = ids.size
+        if n == 0:
+            # fixed-schema empty table: pa.array([]) is null-typed and
+            # can fail strict schema unification downstream (r05 review)
+            return pa.table({
+                "kind": pa.array([], pa.string()),
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "key_a": pa.array([], pa.string()),
+                "key_b": pa.array([], pa.string()),
+                "pos": pa.array([], pa.int64()),
+                "block_key0": pa.array([], pa.string()),
+                "block_id0": pa.array([], pa.int64()),
+            })
         if 0 < n < w:
             raise ValueError(
                 f"sorted_neighborhood_pairs: a sorted block has {n} < window={w} rows; "
@@ -498,7 +536,7 @@ def dup_ngram_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     K = np.uint64(0x9E3779B97F4A7C15)
     _EMPTY_TOKS = (None, None, None, None)
 
-    def _gram_hashes(b: pa.Table):
+    def _batch_gram_hashes(b: pa.Table):
         """(flat_tokens Arrow array, gram_hash uint64 per valid start,
         flat start positions, doc index per valid start). Token → hash
         goes through Arrow ``dictionary_encode`` so the 10M+ flat token
@@ -543,7 +581,7 @@ def dup_ngram_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     _packed_schema = pa.schema([("part", pa.int32()), ("payload", pa.binary())])
 
     def partial(b: pa.Table) -> pa.Table:
-        _, gh, _, didx = _gram_hashes(b)
+        _, gh, _, didx = _batch_gram_hashes(b)
         if gh is None:
             return _packed_schema.empty_table()
         per = (
@@ -608,7 +646,7 @@ def dup_ngram_spans(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def resolve(b: pa.Table, cand_ref) -> pa.Table:
         ch = ray.get(cand_ref)
-        flat_toks, gh, starts, _ = _gram_hashes(b)
+        flat_toks, gh, starts, _ = _batch_gram_hashes(b)
         if gh is None:
             return _pair_schema.empty_table()
         ghs = gh.view(np.int64)
@@ -955,18 +993,9 @@ def containment_verify(pairs_df: pd.DataFrame, texts: dict[int, str],
     document embedded verbatim in a long one, which Jaccard dilutes
     toward 0 (the quote / boilerplate-inclusion dedup case). Same
     broadcast-candidate-subset shape as jaccard_verify."""
-    from hybrid_sanctions_search_engine_ray.functions.analyzer import get_analyzer
     from hybrid_sanctions_search_engine_ray.stages.textops import round_half_away
 
-    analyzer = get_analyzer(cfg or AnalyzerConfig())
-    cache: dict[int, set] = {}
-
-    def sh(doc: int) -> set:
-        if doc not in cache:
-            toks = np.array(analyzer(texts.get(doc, "")), dtype=object)
-            cache[doc] = set(_shingle_hashes(toks, shingle_k).tolist())
-        return cache[doc]
-
+    sh = _shingle_set_fn(texts, shingle_k, cfg)
     ca, cb = [], []
     for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
         sa, sb = sh(int(a)), sh(int(b))
@@ -1044,12 +1073,9 @@ def winnow_fingerprints(ds, k: int = 3, w: int = 4,
             })
         parts = [tarr.take(pa.array(gidx + j, pa.int64())) for j in range(k)]
         grams = pc.binary_join_element_wise(*parts, " ")
-        codes, uniques = factorize_exact(grams)
-        uh = np.empty(len(uniques), dtype=np.uint64)
-        for i, u in enumerate(uniques):
-            s_ = u.encode("utf-8") if isinstance(u, str) else b""
-            uh[i] = int.from_bytes(_hl.md5(s_).digest()[:8], "little")
-        g = uh[codes]                             # (m,) uint64 gram hashes
+        # the module's single md5_number_upper-parity hash kernel
+        # (an inline copy drifted here before — code-review r05)
+        g = _token_hashes_md5(grams)              # (m,) uint64 gram hashes
 
         gdoc = parent[gidx]                       # doc of each gram
         # gram position within its doc (docs are contiguous in flat order)

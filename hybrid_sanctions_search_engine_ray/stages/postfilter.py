@@ -44,6 +44,16 @@ def rank_filter_boost(
     """
     out = results.copy()
     if meta is not None:
+        # meta is authoritative: a results frame already carrying the
+        # column (e.g. a chained call) would suffix the merge to _x/_y
+        # and silently skip BOTH the filter and the boosts
+        # (code-review r05 finding)
+        if meta_col in out.columns:
+            out = out.drop(columns=[meta_col])
+        # one meta row per doc: duplicate doc_ids would fan candidate
+        # rows out through the left merge, double-counting docs and
+        # eating top-k slots (code-review r05 finding)
+        meta = meta.drop_duplicates(subset=["doc_id"], keep="first")
         out = out.merge(meta, on="doc_id", how="left")
     mask = out["score"].to_numpy() >= min_score
     if allowed_values is not None and meta_col in out.columns:
